@@ -1,0 +1,86 @@
+"""Multimodal column plumbing (SURVEY.md §2.11 ⊕; north-star requirement).
+
+Image/audio/video payloads are opaque ``BinaryType`` columns + typed
+metadata structs. The Spark-side plumbing — schema, partitioning, Arrow
+batch shape through ``mapInPandas`` — is real and tested; the actual media
+decode is stubbed (image/audio libraries are not in this container) behind
+a clearly-marked NotImplementedError with a deterministic fake used by
+tests.
+
+Scale: payloads stay columnar in parquet; feature extraction is an
+embarrassingly parallel ``mapInPandas`` over Arrow batches (no shuffle),
+with ``spark.sql.files.maxPartitionBytes`` sizing the batch working set.
+``spark.read.format("binaryFile")`` is the ingestion path for loose media
+files.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAYLOAD_SCHEMA = (
+    "doc_id long, payload binary, media_type string, byte_len long, checksum string"
+)
+
+FEATURE_SCHEMA = "doc_id long, byte_len long, mean_byte double, n_zero long"
+
+
+def attach_binary_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    media_type: str = "application/octet-stream",
+) -> DataFrame:
+    """Wrap a column as an opaque binary payload with typed metadata —
+    the canonical multimodal row shape (payload + media_type + byte_len +
+    checksum)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.lit(media_type).alias("media_type"),
+        F.octet_length(payload).cast("long").alias("byte_len"),
+        F.sha2(payload, 256).alias("checksum"),
+    )
+
+
+def decode_image(payload: bytes) -> object:
+    """STUB: real image decode requires PIL/opencv (not in this image).
+    The engine's contract is: bytes in, HWC uint8 array out."""
+    raise NotImplementedError(
+        "image decode requires an imaging library (PIL/opencv); "
+        "not available in this container — plumbing is exercised via "
+        "extract_fake_features"
+    )
+
+
+def _fake_feature_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic stand-in for a media feature extractor: byte-level
+    statistics (length, mean byte value, zero-byte count). Operates on an
+    Arrow batch exactly as a real decoder would."""
+    payloads = batch["payload"]
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "byte_len": payloads.map(len),
+            "mean_byte": payloads.map(
+                lambda b: float(sum(b)) / len(b) if len(b) else 0.0
+            ),
+            "n_zero": payloads.map(lambda b: sum(1 for x in b if x == 0)),
+        }
+    )
+
+
+def extract_fake_features(df: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads. Swap
+    ``_fake_feature_batch`` for a real decoder (decode_image) when media
+    libraries are present — the Spark plumbing (schema, batching,
+    partition-parallelism) is identical."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield _fake_feature_batch(batch)
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -1,0 +1,131 @@
+"""Vector similarity search (SURVEY.md §2.11 ⊕; north-star requirement).
+
+Over an ``array<float>`` embedding column:
+
+- **Brute-force cosine top-k** — the exact baseline: broadcast the (small)
+  query set, score every corpus vector with a pure-expression dot product
+  (``zip_with`` + ``aggregate``), take top-k per query with a window. Scan
+  shape: one pass over the corpus, no corpus-side shuffle except the
+  per-query top-k (tiny). This is the oracle-checkable path.
+- **Sign-LSH (random-hyperplane-style) bucketed top-k** — the scale path:
+  bucket vectors by the sign pattern of the first ``nbits`` dimensions
+  (axis-aligned hyperplanes — deterministic, engine-reproducible), equi-join
+  queries to corpus on bucket, score only within buckets. Recall trades off
+  against nbits; an IVF upgrade would learn centroids instead of using
+  axis-aligned planes (pyspark.ml KMeans) — same join shape.
+
+All arithmetic in double precision with index-ordered summation so results
+are bit-reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from census_data_pipeline_spark.operators.topk import top_k_per_group
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Index-ordered dot product: sum(zip_with(a, b, *))."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k nearest corpus
+    vectors (self-matches excluded). Output:
+    (query_id, neighbor_id, rank, cosine_sim).
+
+    The query side is broadcast — the corpus is scanned once with no
+    shuffle; only (n_queries × k) rows move afterwards."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    scored = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+        .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6))
+    )
+    return (
+        top_k_per_group(
+            scored,
+            ["query_id"],
+            by="cosine_sim",
+            k=k,
+            tiebreak=["neighbor_id"],
+            rank_col="rank",
+        )
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
+def sign_bucket(vec_col: Column | str, nbits: int = 8) -> Column:
+    """Deterministic LSH bucket: concatenated sign bits of the first
+    ``nbits`` dimensions (axis-aligned hyperplane family)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.concat(
+        *[
+            F.when(v[i] >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(nbits)
+        ]
+    )
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's sign
+    bucket. Same output schema as knn_bruteforce; recall < 1 by design.
+
+    Scale: corpus is pre-bucketed once (could be written bucketed-by
+    bucket key); each query touches ~corpus/2^nbits vectors via an
+    equi-join — no cross join anywhere."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        sign_bucket(vec_col, nbits).alias("__bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        sign_bucket(vec_col, nbits).alias("__bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="__bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6))
+    )
+    return (
+        top_k_per_group(
+            scored, ["query_id"], by="cosine_sim", k=k,
+            tiebreak=["neighbor_id"], rank_col="rank",
+        )
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )

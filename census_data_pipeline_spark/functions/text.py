@@ -1,0 +1,121 @@
+"""Text-analysis operators for the LLM-data-pipeline tier (SURVEY.md §2.11).
+
+Not in the reference (it has only lower+contains catalog search,
+census_pipeline.py:444-455); required by the north star. Everything here is
+**pure Catalyst expressions** — split/transform/aggregate array functions,
+no Python UDFs — so the whole text path stays inside whole-stage codegen
+and scales linearly with input at 100 TB.
+
+Design notes:
+- tokenization = whitespace split (documents are pre-normalized); a
+  BPE-ish fallback regex splits punctuation off tokens for raw text.
+- fingerprints/minhash use md5, which is deterministic, available in both
+  Spark and standard SQL engines (oracle-comparable), and uniformly
+  distributed — fine for sketching (not for security).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword set used for quality scoring / lang-id.
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+# BPE-ish tokenizer: splits on whitespace after separating punctuation runs.
+TOKEN_REGEX = r"\s+"
+PUNCT_REGEX = r"([\p{Punct}])"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of a pre-normalized text column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def tokens_bpeish(col: Column | str) -> Column:
+    """Tokenizer for raw text: lowercase, isolate punctuation, split on
+    whitespace runs, drop empties."""
+    c = F.col(col) if isinstance(col, str) else col
+    separated = F.regexp_replace(F.lower(c), PUNCT_REGEX, r" $1 ")
+    return F.filter(F.split(F.trim(separated), TOKEN_REGEX), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_count(col: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array column: the dedup/minhash unit.
+    Documents shorter than n words yield a single whole-text shingle so no
+    row silently drops out of dedup."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = tokens(c)
+    n_sh = F.size(t) - F.lit(n - 1)
+    windowed = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return F.array_distinct(windowed)
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    t = tokens(col)
+    stops = F.filter(t, lambda x: x.isin(*stopwords))
+    return F.size(stops) / F.size(t)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic [0,1] quality heuristic: rewards reasonable length and
+    penalizes extreme stopword ratios. Pure arithmetic (no transcendentals)
+    so any SQL engine reproduces it bit-for-bit."""
+    n = token_count(col).cast("double")
+    length_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    stop = stopword_ratio(col)
+    # ideal stopword band around ~0.25; linear penalty outside it
+    stop_term = F.greatest(F.lit(0.0), F.lit(1.0) - F.abs(stop - F.lit(0.25)) * F.lit(2.0))
+    return F.round(F.lit(0.6) * length_term + F.lit(0.4) * stop_term, 6)
+
+
+# Marker-token heuristic language ID: deterministic, SQL-expressible.
+# Real systems use char-n-gram profiles (e.g. CLD); the engine keeps the
+# decision surface identical across engines for oracle checking.
+LANG_MARKERS: tuple[tuple[str, str], ...] = (
+    ("en", "the"),
+    ("es", "el"),
+    ("fr", "le"),
+    ("de", "der"),
+)
+
+
+def lang_id(col: Column | str, default: str = "und") -> Column:
+    t = tokens(col)
+    expr: Column | None = None
+    for lang, marker in LANG_MARKERS:
+        cond = F.array_contains(t, marker)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit(default))
+
+
+def fingerprint(col: Column | str, n: int = 3) -> Column:
+    """Document fingerprint: minimum md5 over word-shingles (1-permutation
+    minhash). Identical documents → identical fingerprint; near-identical
+    documents collide with probability = their shingle-Jaccard."""
+    return F.array_min(F.transform(shingles(col, n), F.md5))
+
+
+def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience projection: token/char/distinct counts + quality."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(c),
+            "n_distinct_tokens": distinct_token_count(c),
+            "n_chars_computed": F.length(c),
+            "quality": quality_score(c),
+        }
+    )

@@ -1,0 +1,106 @@
+"""Aggregation operators (reference: src/transformers.py:279-318,
+examples/multi_state_comparison.py:79-86, examples/tract_level_analysis.py:122-139).
+
+- ``aggregate_to_geography``: hierarchical prefix rollup — derive the coarser
+  GEOID by string prefix, then groupBy + per-column aggregate dict. Compiles
+  to one hash aggregate (partial map-side + final) — the cheapest possible
+  shuffle shape. At 100 TB with the lake partitioned by state prefix this
+  shuffles only within-state partials.
+- ``grouped_summary``: the multi-agg groupBy from the reference's
+  multi-state example (sum/median/avg/count). ``median``/``percentile`` are
+  exact (Spark >= 3.4) for oracle parity; swap to ``percentile_approx`` for
+  the 100 TB path (single-pass sketch, no per-group sort).
+- ``hierarchy_rollup_sql``: the idiomatic SQL ROLLUP upgrade — one pass
+  produces every level of the geography hierarchy at once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from census_data_pipeline_spark.operators.geoid import geoid_prefix
+
+_AGG_FNS = {
+    "sum": F.sum,
+    "mean": F.avg,
+    "avg": F.avg,
+    "median": F.median,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "stddev": F.stddev,
+    "first": F.first,
+}
+
+
+def _agg_exprs(agg_columns: dict[str, str]) -> list[Column]:
+    exprs = []
+    for col, fn_name in agg_columns.items():
+        fn = _AGG_FNS.get(fn_name)
+        if fn is None:
+            raise ValueError(f"unsupported agg fn: {fn_name!r}")
+        exprs.append(fn(col).alias(col))
+    return exprs
+
+
+def aggregate_to_geography(
+    df: DataFrame,
+    target_geography: str,
+    agg_columns: dict[str, str],
+    geoid_col: str = "GEOID",
+) -> DataFrame:
+    """Reference: ``DataTransformer.aggregate_to_geography``
+    (src/transformers.py:279-318): prefix-slice the GEOID to the target
+    level's length, group, aggregate with a per-column fn dict, and rename
+    the key back to GEOID."""
+    return (
+        df.groupBy(geoid_prefix(geoid_col, target_geography).alias(geoid_col))
+        .agg(*_agg_exprs(agg_columns))
+    )
+
+
+def grouped_summary(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: list[tuple[str, str, str]],
+) -> DataFrame:
+    """``groupBy(...).agg`` with (fn, col, alias) triples
+    (reference: examples/multi_state_comparison.py:79-86)."""
+    exprs = []
+    for fn_name, col, alias in aggs:
+        fn = _AGG_FNS.get(fn_name)
+        if fn is None:
+            raise ValueError(f"unsupported agg fn: {fn_name!r}")
+        exprs.append(fn(col).alias(alias))
+    return df.groupBy(*group_cols).agg(*exprs)
+
+
+def global_stats(df: DataFrame, column: str) -> DataFrame:
+    """Global scalar reductions (reference:
+    examples/tract_level_analysis.py:122-139): sum/mean/median/min/max."""
+    c = F.col(column)
+    return df.agg(
+        F.sum(c).alias("sum"),
+        F.avg(c).alias("mean"),
+        F.median(c).alias("median"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.count(c).alias("count"),
+    )
+
+
+def hierarchy_rollup_sql(
+    df: DataFrame,
+    level_exprs: dict[str, Column],
+    agg_columns: dict[str, str],
+) -> DataFrame:
+    """SQL ROLLUP over hierarchy levels — the Spark-native upgrade of A1:
+    one shuffle computes every level (state, county, tract, ...) plus the
+    grand total, with ``grouping()`` flags identifying the level."""
+    keyed = df.withColumns(level_exprs)
+    names = list(level_exprs)
+    return keyed.rollup(*names).agg(
+        *_agg_exprs(agg_columns),
+        *[F.grouping(n).alias(f"is_total_{n}") for n in names],
+    )

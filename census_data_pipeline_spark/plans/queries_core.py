@@ -1,0 +1,766 @@
+"""Core reference-surface queries (SURVEY.md §2.1-§2.9) on the test lake.
+
+Every query here exercises a specific engine operator and carries a DuckDB
+oracle. FIXTURES.md's role mapping applies: region←nation←customer plays
+the state←county←tract hierarchy, lineitem/orders are the attribute facts.
+
+Float discipline: aggregate outputs are rounded (4-6 dp) on BOTH sides so
+summation-order ulp noise can never flip the driver's value hash; rounding
+units sit >=5 orders of magnitude above double noise at these magnitudes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from census_data_pipeline_spark.operators import (
+    change,
+    cleaning,
+    geoid,
+    index,
+    joins,
+    normalize,
+    rollup,
+    skew,
+    topk,
+)
+from census_data_pipeline_spark.operators.rates import safe_rate
+from census_data_pipeline_spark.plans.registry import query
+from census_data_pipeline_spark.sources.catalog import load_table
+from census_data_pipeline_spark.streaming import windows
+
+
+# ---------------------------------------------------------------------------
+# M0 flagship (SURVEY.md §7.1): the multi-state-comparison pipeline shape —
+# attribute fact ⋈ broadcast dims → grouped multi-agg (A2) → sort (T2).
+# Mirrors examples/multi_state_comparison.py:53-127.
+# ---------------------------------------------------------------------------
+@query(
+    "flagship_regional_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           count(c_custkey) AS n_customers,
+           round(sum(c_acctbal), 4) AS total_acctbal,
+           round(avg(c_acctbal), 4) AS avg_acctbal,
+           round(median(c_acctbal), 4) AS median_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def flagship_regional_rollup(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    enriched = joins.dim_lookup(
+        joins.dim_lookup(c, n, on=c.c_nationkey == n.n_nationkey, how="inner"),
+        r,
+        on=n.n_regionkey == r.r_regionkey,
+        how="inner",
+    )
+    summary = rollup.grouped_summary(
+        enriched,
+        ["r_name", "n_name"],
+        [
+            ("count", "c_custkey", "n_customers"),
+            ("sum", "c_acctbal", "total_acctbal"),
+            ("avg", "c_acctbal", "avg_acctbal"),
+            ("median", "c_acctbal", "median_acctbal"),
+        ],
+    )
+    return summary.select(
+        "r_name",
+        "n_name",
+        "n_customers",
+        F.round("total_acctbal", 4).alias("total_acctbal"),
+        F.round("avg_acctbal", 4).alias("avg_acctbal"),
+        F.round("median_acctbal", 4).alias("median_acctbal"),
+    ).orderBy(F.desc("total_acctbal"))
+
+
+# ---------------------------------------------------------------------------
+# A2/A3: TPC-H-Q1-shaped pricing summary — filter pushdown + 8-agg groupBy.
+# ---------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# T1: global top-k with deterministic tiebreak (nlargest semantics).
+# ---------------------------------------------------------------------------
+@query(
+    "top5_customers",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 5
+    """,
+)
+def top5_customers(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    return topk.top_k(c, by="c_acctbal", k=5, tiebreak=["c_custkey"])
+
+
+# ---------------------------------------------------------------------------
+# P5: case-insensitive substring catalog search
+# (reference: census_pipeline.py:444-455 search_variables).
+# ---------------------------------------------------------------------------
+@query(
+    "part_catalog_search",
+    oracle="""
+    SELECT p_partkey, p_name, p_type FROM part
+    WHERE contains(lower(p_type), 'econ') OR contains(lower(p_name), 'econ')
+    """,
+)
+def part_catalog_search(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        F.lower(F.col("p_type")).contains("econ")
+        | F.lower(F.col("p_name")).contains("econ")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+# ---------------------------------------------------------------------------
+# M10/P8/P9: sentinel cleaning. The lake has no census sentinels, so they
+# are injected deterministically (same CASE on both sides), then cleaned by
+# the engine operator (reference: transformers.py:42-72).
+# ---------------------------------------------------------------------------
+_INJECT_SQL = """
+    SELECT l_returnflag,
+           CASE WHEN l_orderkey % 7 = 0 THEN -666666666.0
+                WHEN l_orderkey % 11 = 0 THEN -999999999.0
+                ELSE l_quantity END AS qty_raw
+    FROM lineitem
+"""
+
+
+def _inject_sentinels(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_returnflag",
+        F.when(F.col("l_orderkey") % 7 == 0, F.lit(-666666666.0))
+        .when(F.col("l_orderkey") % 11 == 0, F.lit(-999999999.0))
+        .otherwise(F.col("l_quantity"))
+        .alias("qty_raw"),
+    )
+
+
+@query(
+    "sentinel_clean_fill",
+    oracle=f"""
+    WITH t AS ({_INJECT_SQL}),
+    c AS (SELECT l_returnflag,
+                 CASE WHEN qty_raw IN (-666666666, -999999999, -888888888,
+                                       -222222222, -333333333)
+                      THEN 0.0 ELSE qty_raw END AS qty_raw
+          FROM t)
+    SELECT l_returnflag, count(*) AS n_rows,
+           round(sum(qty_raw), 4) AS total_qty,
+           count(CASE WHEN qty_raw = 0 THEN 1 END) AS n_filled
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def sentinel_clean_fill(spark, sf_dir):
+    cleaned = cleaning.clean_missing_values(
+        _inject_sentinels(spark, sf_dir), columns=["qty_raw"],
+        strategy="fill", fill_value=0.0,
+    )
+    return cleaned.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("qty_raw"), 4).alias("total_qty"),
+        F.count(F.when(F.col("qty_raw") == 0, 1)).alias("n_filled"),
+    )
+
+
+@query(
+    "sentinel_clean_drop",
+    oracle=f"""
+    WITH t AS ({_INJECT_SQL})
+    SELECT l_returnflag, count(*) AS n_rows,
+           round(sum(qty_raw), 4) AS total_qty,
+           round(avg(qty_raw), 6) AS avg_qty
+    FROM t
+    WHERE qty_raw NOT IN (-666666666, -999999999, -888888888,
+                          -222222222, -333333333)
+    GROUP BY l_returnflag
+    """,
+)
+def sentinel_clean_drop(spark, sf_dir):
+    cleaned = cleaning.clean_missing_values(
+        _inject_sentinels(spark, sf_dir), columns=["qty_raw"], strategy="drop"
+    )
+    return cleaned.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("qty_raw"), 4).alias("total_qty"),
+        F.round(F.avg("qty_raw"), 6).alias("avg_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M1: rate with all three zero-denominator policies
+# (reference: transformers.py:74-111; ~5% of l_discount values are 0).
+# ---------------------------------------------------------------------------
+@query(
+    "rates_zero_policy",
+    oracle="""
+    WITH t AS (
+      SELECT l_returnflag, l_discount,
+             CASE WHEN l_discount = 0 THEN NULL
+                  ELSE l_extendedprice / l_discount * 100 END AS rate_nan,
+             CASE WHEN l_discount = 0 THEN 0.0
+                  ELSE l_extendedprice / l_discount * 100 END AS rate_zero,
+             CASE WHEN l_discount = 0 THEN 'infinity'::DOUBLE
+                  ELSE l_extendedprice / l_discount * 100 END AS rate_inf
+      FROM lineitem)
+    SELECT l_returnflag, count(*) AS n_rows,
+           count(CASE WHEN l_discount = 0 THEN 1 END) AS n_zero_denom,
+           count(CASE WHEN rate_nan IS NULL THEN 1 END) AS n_null_rate,
+           round(avg(rate_zero), 2) AS avg_rate_zero,
+           count(CASE WHEN isinf(rate_inf) THEN 1 END) AS n_inf
+    FROM t GROUP BY l_returnflag
+    """,
+)
+def rates_zero_policy(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select(
+        "l_returnflag",
+        "l_discount",
+        safe_rate("l_extendedprice", "l_discount", 100.0, "nan").alias("rate_nan"),
+        safe_rate("l_extendedprice", "l_discount", 100.0, "zero").alias("rate_zero"),
+        safe_rate("l_extendedprice", "l_discount", 100.0, "inf").alias("rate_inf"),
+    )
+    return df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("l_discount") == 0, 1)).alias("n_zero_denom"),
+        F.count(F.when(F.col("rate_nan").isNull(), 1)).alias("n_null_rate"),
+        F.round(F.avg("rate_zero"), 2).alias("avg_rate_zero"),
+        F.count(F.when(F.col("rate_inf") == float("inf"), 1)).alias("n_inf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M5/M6/A1: synthetic GEOID hierarchy (region=state, nation=county,
+# customer=tract; FIXTURES.md role mapping) + prefix rollups.
+# ---------------------------------------------------------------------------
+_GEOID_SQL = """
+    SELECT lpad(CAST(n_regionkey AS VARCHAR), 2, '0')
+           || lpad(CAST(n_nationkey AS VARCHAR), 3, '0')
+           || lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS GEOID,
+           c_acctbal, c_custkey
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def _geoided_customers(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    df = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return df.select(
+        F.concat(
+            F.lpad(F.col("n_regionkey").cast("string"), 2, "0"),
+            F.lpad(F.col("n_nationkey").cast("string"), 3, "0"),
+            F.lpad(F.col("c_custkey").cast("string"), 6, "0"),
+        ).alias("GEOID"),
+        "c_acctbal",
+        "c_custkey",
+    )
+
+
+def _rollup_query(target: str, prefix_len: int):
+    oracle = f"""
+    WITH g AS ({_GEOID_SQL})
+    SELECT substr(GEOID, 1, {prefix_len}) AS GEOID,
+           round(sum(c_acctbal), 4) AS total_acctbal,
+           count(c_custkey) AS n_units
+    FROM g GROUP BY 1
+    """
+
+    @query(f"geoid_rollup_{target}", oracle=oracle)
+    def _q(spark, sf_dir, target=target):
+        rolled = rollup.aggregate_to_geography(
+            _geoided_customers(spark, sf_dir),
+            target,
+            {"c_acctbal": "sum", "c_custkey": "count"},
+        )
+        return rolled.select(
+            "GEOID",
+            F.round("c_acctbal", 4).alias("total_acctbal"),
+            F.col("c_custkey").alias("n_units"),
+        )
+
+    return _q
+
+
+_rollup_query("state", geoid.GEOID_LENGTHS["state"])
+_rollup_query("county", geoid.GEOID_LENGTHS["county"])
+
+
+@query(
+    "geoid_parse",
+    oracle=f"""
+    WITH g AS ({_GEOID_SQL})
+    SELECT GEOID,
+           CASE WHEN length(GEOID) >= 2 THEN substr(GEOID, 1, 2) END AS state,
+           CASE WHEN length(GEOID) >= 5 THEN substr(GEOID, 3, 3) END AS county,
+           CASE WHEN length(GEOID) >= 11 THEN substr(GEOID, 6, 6) END AS tract,
+           CASE WHEN length(GEOID) >= 12 THEN substr(GEOID, 12, 1) END AS block_group
+    FROM g
+    """,
+)
+def geoid_parse(spark, sf_dir):
+    df = _geoided_customers(spark, sf_dir)
+    return geoid.parse_geoid_columns(df).select(
+        "GEOID", "state", "county", "tract", "block_group"
+    )
+
+
+@query(
+    "geoid_hierarchy_rollup",
+    oracle=f"""
+    WITH g AS ({_GEOID_SQL}),
+    k AS (SELECT substr(GEOID, 1, 2) AS state, substr(GEOID, 1, 5) AS county,
+                 c_acctbal, c_custkey FROM g)
+    SELECT state, county,
+           round(sum(c_acctbal), 4) AS total_acctbal,
+           count(c_custkey) AS n_units,
+           CAST(grouping(state) AS INT) AS is_total_state,
+           CAST(grouping(county) AS INT) AS is_total_county
+    FROM k GROUP BY ROLLUP(state, county)
+    """,
+)
+def geoid_hierarchy_rollup(spark, sf_dir):
+    df = _geoided_customers(spark, sf_dir)
+    rolled = rollup.hierarchy_rollup_sql(
+        df,
+        {
+            "state": F.substring("GEOID", 1, 2),
+            "county": F.substring("GEOID", 1, 5),
+        },
+        {"c_acctbal": "sum", "c_custkey": "count"},
+    )
+    return rolled.select(
+        "state",
+        "county",
+        F.round("c_acctbal", 4).alias("total_acctbal"),
+        F.col("c_custkey").alias("n_units"),
+        F.col("is_total_state").cast("int").alias("is_total_state"),
+        F.col("is_total_county").cast("int").alias("is_total_county"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1-W3: normalizations (agg + broadcast crossJoin — no 1-partition window).
+# ---------------------------------------------------------------------------
+@query(
+    "normalize_minmax",
+    oracle="""
+    SELECT c_custkey,
+           round((c_acctbal - min(c_acctbal) OVER ())
+                 / (max(c_acctbal) OVER () - min(c_acctbal) OVER ()), 6)
+           AS normalized
+    FROM customer
+    """,
+)
+def normalize_minmax(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    out = normalize.normalize_column(c, "c_acctbal", "minmax", "normalized")
+    return out.select("c_custkey", F.round("normalized", 6).alias("normalized"))
+
+
+@query(
+    "normalize_zscore",
+    oracle="""
+    SELECT c_custkey,
+           round((c_acctbal - avg(c_acctbal) OVER ())
+                 / stddev(c_acctbal) OVER (), 6) AS normalized
+    FROM customer
+    """,
+)
+def normalize_zscore(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    out = normalize.normalize_column(c, "c_acctbal", "zscore", "normalized")
+    return out.select("c_custkey", F.round("normalized", 6).alias("normalized"))
+
+
+@query(
+    "normalize_robust",
+    oracle="""
+    WITH s AS (SELECT quantile_cont(c_acctbal, 0.5) AS med,
+                      quantile_cont(c_acctbal, 0.25) AS q1,
+                      quantile_cont(c_acctbal, 0.75) AS q3
+               FROM customer)
+    SELECT c_custkey, round((c_acctbal - med) / (q3 - q1), 6) AS normalized
+    FROM customer, s
+    """,
+)
+def normalize_robust(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    out = normalize.normalize_column(c, "c_acctbal", "robust", "normalized")
+    return out.select("c_custkey", F.round("normalized", 6).alias("normalized"))
+
+
+# ---------------------------------------------------------------------------
+# M3: weighted composite index (reference: transformers.py:190-231).
+# ---------------------------------------------------------------------------
+@query(
+    "weighted_index_parts",
+    oracle="""
+    WITH s AS (SELECT min(p_retailprice) AS lo1, max(p_retailprice) AS hi1,
+                      min(p_size) AS lo2, max(p_size) AS hi2 FROM part)
+    SELECT p_partkey,
+           round((p_retailprice - lo1) / (hi1 - lo1) * 0.7
+                 + (p_size - lo2) / (hi2 - lo2) * 0.3, 6) AS composite_index
+    FROM part, s
+    """,
+)
+def weighted_index_parts(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    out = index.create_index(p, ["p_retailprice", "p_size"], [0.7, 0.3])
+    return out.select(
+        "p_partkey", F.round("composite_index", 6).alias("composite_index")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2/M4: temporal change self-join (reference: transformers.py:233-277) —
+# orders 1995 vs 1996 per customer as the two snapshots.
+# ---------------------------------------------------------------------------
+@query(
+    "change_over_time",
+    oracle="""
+    WITH t1 AS (SELECT o_custkey, round(sum(o_totalprice), 4) AS s
+                FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+         t2 AS (SELECT o_custkey, round(sum(o_totalprice), 4) AS s
+                FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1)
+    SELECT t1.o_custkey, t1.s AS spend_t1, t2.s AS spend_t2,
+           round(t2.s - t1.s, 4) AS spend_change,
+           CASE WHEN t1.s = 0 THEN NULL
+                ELSE round((t2.s - t1.s) / t1.s * 100, 6) END AS spend_pct_change
+    FROM t1 JOIN t2 USING (o_custkey)
+    """,
+)
+def change_over_time(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+
+    def period(year: int):
+        return (
+            o.filter(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(F.round(F.sum("o_totalprice"), 4).alias("spend"))
+        )
+
+    out = change.calculate_change(period(1995), period(1996), "spend", join_on="o_custkey")
+    return out.select(
+        "o_custkey",
+        "spend_t1",
+        "spend_t2",
+        F.round("spend_change", 4).alias("spend_change"),
+        F.round("spend_pct_change", 6).alias("spend_pct_change"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1: boundary right-join semantics — all attribute rows kept, NULL geometry
+# on miss (reference: census_pipeline.py:270-272).
+# ---------------------------------------------------------------------------
+@query(
+    "boundaries_right_join",
+    oracle="""
+    SELECT c_custkey, lpad(CAST(c_nationkey AS VARCHAR), 3, '0') AS GEOID,
+           CASE WHEN c_nationkey < 15
+                THEN 'POINT(' || c_nationkey || ' 0)' END AS geometry
+    FROM customer
+    """,
+)
+def boundaries_right_join(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation")
+    boundaries = n.filter(F.col("n_nationkey") < 15).select(
+        F.lpad(F.col("n_nationkey").cast("string"), 3, "0").alias("GEOID"),
+        F.concat(
+            F.lit("POINT("), F.col("n_nationkey").cast("string"), F.lit(" 0)")
+        ).alias("geometry"),
+    )
+    attrs = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.lpad(F.col("c_nationkey").cast("string"), 3, "0").alias("GEOID"),
+    )
+    return joins.join_boundaries(attrs, boundaries).select(
+        "c_custkey", "GEOID", "geometry"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3: broadcast dimension lookup chain (reference: the FIPS dict .map()).
+# ---------------------------------------------------------------------------
+@query(
+    "dim_lookup_customer",
+    oracle="""
+    SELECT c_custkey, c_name, n_name, r_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def dim_lookup_customer(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    out = joins.dim_lookup(c, n, on=c.c_nationkey == n.n_nationkey, how="inner")
+    out = joins.dim_lookup(out, r, on=n.n_regionkey == r.r_regionkey, how="inner")
+    return out.select("c_custkey", "c_name", "n_name", "r_name")
+
+
+# ---------------------------------------------------------------------------
+# W-ext: top-k per group (row_number window; SURVEY.md §2.5 extension).
+# ---------------------------------------------------------------------------
+@query(
+    "topk_per_nation",
+    oracle="""
+    WITH r AS (SELECT n_name, c_custkey, c_acctbal,
+                      row_number() OVER (PARTITION BY n_name
+                                         ORDER BY c_acctbal DESC, c_custkey)
+                      AS "rank"
+               FROM customer JOIN nation ON c_nationkey = n_nationkey)
+    SELECT n_name, c_custkey, c_acctbal, "rank" FROM r WHERE "rank" <= 3
+    """,
+)
+def topk_per_nation(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    df = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "n_name", "c_custkey", "c_acctbal"
+    )
+    out = topk.top_k_per_group(
+        df, ["n_name"], by="c_acctbal", k=3, tiebreak=["c_custkey"]
+    )
+    return out.select(
+        "n_name", "c_custkey", "c_acctbal", F.col("rank").cast("long").alias("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B1/U1: union of per-partition fetches (reference: census_pipeline.py:319).
+# ---------------------------------------------------------------------------
+@query(
+    "union_batch_states",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers,
+           round(sum(c_acctbal), 4) AS total_acctbal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def union_batch_states(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    halves = [
+        c.filter(F.col("c_custkey") % 2 == 0),
+        c.filter(F.col("c_custkey") % 2 == 1),
+    ]
+    from functools import reduce
+    from pyspark.sql import DataFrame
+
+    combined = reduce(DataFrame.unionByName, halves)
+    return combined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3: coerce-to-null numeric cast (reference: census_pipeline.py:361-363).
+# ---------------------------------------------------------------------------
+@query(
+    "numeric_coerce",
+    oracle="""
+    WITH t AS (SELECT TRY_CAST(CASE WHEN p_partkey % 5 = 0 THEN 'not-a-number'
+                                    ELSE CAST(p_retailprice AS VARCHAR) END
+                               AS DOUBLE) AS price
+               FROM part)
+    SELECT count(*) AS n_rows, count(price) AS n_parsed,
+           round(sum(price), 4) AS total_price
+    FROM t
+    """,
+)
+def numeric_coerce(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    df = p.select(
+        F.when(F.col("p_partkey") % 5 == 0, F.lit("not-a-number"))
+        .otherwise(F.col("p_retailprice").cast("string"))
+        .alias("price")
+    )
+    coerced = cleaning.coerce_numeric(df, ["price"])
+    return coerced.agg(
+        F.count("*").alias("n_rows"),
+        F.count("price").alias("n_parsed"),
+        F.round(F.sum("price"), 4).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew: two-phase salted aggregation == plain groupBy (exactness check).
+# ---------------------------------------------------------------------------
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type, count(value) AS n_events,
+           round(sum(value), 4) AS sum_value,
+           round(avg(value), 6) AS avg_value,
+           min(value) AS min_value, max(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = skew.salted_agg(
+        ev,
+        ["event_type"],
+        [
+            ("count", "value", "n_events"),
+            ("sum", "value", "sum_value"),
+            ("avg", "value", "avg_value"),
+            ("min", "value", "min_value"),
+            ("max", "value", "max_value"),
+        ],
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("avg_value", 6).alias("avg_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 event-time windows (batch-mode over events; same code runs streaming).
+# ---------------------------------------------------------------------------
+@query(
+    "events_tumbling_1h",
+    oracle="""
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_1h(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = windows.tumbling_window_agg(
+        ev, "ts", "1 hour", ["event_type"],
+        [("count", "*", "n_events"), ("sum", "value", "total_value")],
+    )
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+    )
+
+
+@query(
+    "events_sliding_1h_30m",
+    oracle="""
+    WITH b AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS b30,
+                      event_type, value FROM events),
+         w AS (SELECT b30 AS ws, event_type, value FROM b
+               UNION ALL
+               SELECT b30 - INTERVAL '30 minutes', event_type, value FROM b)
+    SELECT epoch_us(ws) AS window_start_us, event_type,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def events_sliding_1h_30m(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = windows.sliding_window_agg(
+        ev, "ts", "1 hour", "30 minutes", ["event_type"],
+        [("count", "*", "n_events"), ("sum", "value", "total_value")],
+    )
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+    )
+
+
+@query(
+    "events_session_5m",
+    oracle="""
+    WITH f AS (SELECT user_id, ts, value,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+                           THEN 1 ELSE 0 END AS new_s
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+               FROM f)
+    SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def events_session_5m(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = windows.session_window_agg(
+        ev, "ts", "5 minutes", ["user_id"],
+        [("count", "*", "n_events"), ("sum", "value", "total_value")],
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+    )
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS total_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+           AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_extract(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("total_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+    )

@@ -1,0 +1,318 @@
+"""Extension-tier queries (SURVEY.md §2.11 ⊕): text analysis, dedup,
+similarity search, multimodal plumbing — the LLM-data-pipeline operators
+over the `documents` / `embeddings` tables.
+
+Oracle parity notes:
+- md5/sha256 hex strings are identical across Spark and DuckDB, so hashing,
+  minhash and LSH band buckets are fully oracle-checkable.
+- word-shingle windows are built with the same 1-based slice arithmetic on
+  both sides (Spark ``slice``/``sequence`` vs DuckDB list slicing/``range``).
+- All similarity scores are computed in double precision with index-ordered
+  summation and rounded to 6 dp before ranking, so ranks are deterministic
+  and identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from census_data_pipeline_spark.functions import dedup, multimodal, similarity, text
+from census_data_pipeline_spark.plans.registry import query
+from census_data_pipeline_spark.sources.catalog import load_table
+
+_TOKS = "string_split(text, ' ')"
+_STOPLIST = "['" + "', '".join(text.STOPWORDS) + "']"
+
+
+def _shingle_sql(n: int) -> str:
+    """DuckDB expression for distinct word n-gram shingles of `toks` —
+    mirrors functions.text.shingles (same window and short-doc semantics)."""
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len(toks) - {n - 2}, 2)), "
+        f"i -> array_to_string(toks[i:i+{n - 1}], ' ')))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@query(
+    "text_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id,
+                 len(toks) AS n_tokens,
+                 len(list_distinct(toks)) AS n_distinct_tokens,
+                 length(text) AS n_chars_computed,
+                 len(list_filter(toks, x -> list_contains({_STOPLIST}, x)))
+                   / len(toks) AS stop_ratio
+          FROM t)
+    SELECT doc_id, n_tokens, n_distinct_tokens, n_chars_computed,
+           round(0.6 * least(n_tokens / 100.0, 1.0)
+                 + 0.4 * greatest(0.0, 1.0 - abs(stop_ratio - 0.25) * 2.0), 6)
+           AS quality
+    FROM s
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.add_text_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        F.col("n_chars_computed").cast("long").alias("n_chars_computed"),
+        "quality",
+    )
+
+
+@query(
+    "text_term_frequency",
+    oracle=f"""
+    WITH t AS (SELECT unnest({_TOKS}) AS token FROM documents)
+    SELECT token, count(*) AS n_occurrences
+    FROM t GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 20
+    """,
+)
+def text_term_frequency(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(text.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN list_contains(toks, 'the') THEN 'en'
+                WHEN list_contains(toks, 'el') THEN 'es'
+                WHEN list_contains(toks, 'le') THEN 'fr'
+                WHEN list_contains(toks, 'der') THEN 'de'
+                ELSE 'und' END AS lang_pred
+    FROM t
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", text.lang_id("text").alias("lang_pred"))
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, {_shingle_sql(3)} AS sh FROM t)
+    SELECT doc_id, list_min(list_transform(sh, x -> md5(x))) AS fingerprint
+    FROM s
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint("text", 3).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, min(doc_id) AS doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id AS id, unnest({_shingle_sql(4)}) AS shingle FROM t),
+    sz AS (SELECT id, count(*) AS n FROM s GROUP BY id),
+    inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+              FROM s a JOIN s b USING (shingle)
+              WHERE a.id < b.id GROUP BY 1, 2),
+    j AS (SELECT id_a, id_b,
+                 round(n_common / (x.n + y.n - n_common), 6) AS jaccard
+          FROM inter JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id)
+    SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, n=4, threshold=0.5)
+
+
+def _minhash_lsh_oracle(num_hashes: int = 8, band_size: int = 2, n: int = 4,
+                        threshold: float = 0.5) -> str:
+    sig_elems = ", ".join(
+        f"list_min(list_transform(shg, s -> md5('seed{i}|' || s)))"
+        for i in range(num_hashes)
+    )
+    n_bands = num_hashes // band_size
+    band_cases = " ".join(
+        f"WHEN {bi} THEN md5(sig[{bi * band_size + 1}] || '|' || sig[{bi * band_size + 2}])"
+        for bi in range(n_bands)
+    )
+    band_list = ", ".join(str(b) for b in range(n_bands))
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id AS id, {_shingle_sql(n)} AS shg FROM t),
+    sig AS (SELECT id, shg, [{sig_elems}] AS sig FROM sh),
+    bands AS (SELECT id, band, CASE band {band_cases} END AS bucket
+              FROM sig CROSS JOIN (SELECT unnest([{band_list}]) AS band) b),
+    cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+             FROM bands x JOIN bands y USING (band, bucket)
+             WHERE x.id < y.id),
+    v AS (SELECT id_a, id_b,
+                 len(list_intersect(a.shg, b.shg)) AS n_common,
+                 len(a.shg) AS na, len(b.shg) AS nb
+          FROM cand JOIN sh a ON id_a = a.id JOIN sh b ON id_b = b.id),
+    j AS (SELECT id_a, id_b,
+                 round(n_common / (na + nb - n_common), 6) AS jaccard FROM v)
+    SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {threshold}
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
+def dedup_minhash_lsh(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, num_hashes=8, band_size=2, n=4, threshold=0.5
+    )
+
+
+def _simhash_oracle() -> str:
+    # hex nibble -> int via strpos (DuckDB lacks a hex-parse scalar);
+    # first 8 md5 hex chars == the 32-bit token hash used by simhash32.
+    nibble = "(strpos('0123456789abcdef', substr(md5(x), {p}, 1)) - 1)"
+    weights = [268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1]
+    hv = " + ".join(
+        f"{nibble.format(p=p + 1)} * {w}" for p, w in enumerate(weights)
+    )
+    bit_terms = " + ".join(
+        f"CASE WHEN list_sum(list_transform(hv, v -> CASE WHEN (v >> {j}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << {j}) ELSE 0::BIGINT END"
+        for j in range(32)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    h AS (SELECT doc_id, list_transform(toks, x -> {hv}) AS hv FROM t)
+    SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM h
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_table(docs)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings (array<float>, 64-dim)
+# ---------------------------------------------------------------------------
+_COS_SQL = (
+    "round(list_dot_product(qv, cv)"
+    " / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)"
+)
+
+
+@query(
+    "knn_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+          FROM embeddings),
+    s AS (SELECT query_id, neighbor_id, {_COS_SQL} AS cosine_sim
+          FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
+    r AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC, neighbor_id)
+                 AS "rank",
+                 cosine_sim
+          FROM s)
+    SELECT query_id, neighbor_id, "rank", cosine_sim FROM r WHERE "rank" <= 10
+    """,
+)
+def knn_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    out = similarity.knn_bruteforce(emb, queries, k=10)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
+        "cosine_sim",
+    )
+
+
+def _bucket_sql(col: str, nbits: int = 8) -> str:
+    return " || ".join(
+        f"CASE WHEN {col}[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(nbits)
+    )
+
+
+@query(
+    "knn_lsh",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {_bucket_sql('embedding')} AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e
+          WHERE vec_id % 100 = 0),
+    s AS (SELECT query_id, e.vec_id AS neighbor_id,
+                 round(list_dot_product(qv, e.v)
+                       / (sqrt(list_dot_product(qv, qv))
+                          * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine_sim
+          FROM q JOIN e USING (bucket) WHERE e.vec_id <> query_id),
+    r AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC, neighbor_id)
+                 AS "rank",
+                 cosine_sim
+          FROM s)
+    SELECT query_id, neighbor_id, "rank", cosine_sim FROM r WHERE "rank" <= 10
+    """,
+)
+def knn_lsh(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    out = similarity.knn_lsh(emb, queries, k=10, nbits=8)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
+        "cosine_sim",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_payload",
+    oracle="""
+    SELECT doc_id, 'application/octet-stream' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text) AS checksum
+    FROM documents
+    """,
+)
+def multimodal_payload(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = multimodal.attach_binary_payload(docs)
+    return out.select("doc_id", "media_type", "byte_len", "checksum")
+
+
+@query("multimodal_features")  # rows-only: mapInPandas path, not SQL-expressible
+def multimodal_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_binary_payload(docs)
+    return multimodal.extract_fake_features(payloads)

@@ -1,0 +1,64 @@
+"""Table catalog over the driver's parquet test lake.
+
+The reference builds every table by fetching from a REST API and eagerly
+materializing a pandas DataFrame (reference: src/census_pipeline.py:102-169).
+Here the canonical storage is a parquet lake; scans are lazy DataFrames so
+Catalyst gets predicate pushdown + column pruning for free on every query.
+
+Scale notes (100 TB): each table would be a partitioned parquet/iceberg
+dataset (e.g. lineitem partitioned by ship-month, events by day, documents
+by source). The loader keeps a single entry point so partition-pruning
+predicates stay expressible at the call site; nothing in the engine assumes
+a single file per table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from census_data_pipeline_spark.session import apply_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy scan of one lake table.
+
+    ``events.ts`` is stored as parquet INT64(TIMESTAMP_NANOS), which Spark
+    does not map natively; with ``nanosAsLong`` it scans as LongType and we
+    convert to TimestampType at microsecond precision — the same truncation
+    DuckDB applies, so event-time results stay oracle-comparable.
+    """
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer division — double division loses bits at 1e18 ns scale
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register all lake tables as temp views for the SQL surface
+    (reference equivalent: the implicit pandas namespace; here it powers
+    ``spark.sql`` — reference's exporters.execute_sql analog, exporters.py:197-204).
+    """
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

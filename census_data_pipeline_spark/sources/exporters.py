@@ -1,0 +1,108 @@
+"""Sinks (reference: src/exporters.py).
+
+Format dispatch mirroring ``DataExporter.export`` (exporters.py:29-63):
+csv / geojson / parquet / json are native distributed writers; geopackage
+and shapefile have no Spark writer — they are small-result driver-side
+paths gated behind a geopandas import (absent in this image → clear
+NotImplementedError, per SURVEY.md §2.1 K2/K4). JDBC covers the PostGIS
+sink (exporters.py:120-195) with mode mapping fail/replace/append →
+error/overwrite/append.
+
+Scale: parquet is the canonical sink (columnar, partitionable,
+predicate-pushdown on re-read). CSV drops the geometry column first —
+same contract as the reference (exporters.py:65-69).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_JDBC_MODES = {"fail": "error", "replace": "overwrite", "append": "append"}
+
+
+def export(
+    df: DataFrame,
+    path: str,
+    fmt: str,
+    mode: str = "overwrite",
+    layer_name: str | None = None,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Format dispatcher (reference: src/exporters.py:29-63;
+    pipeline facade census_pipeline.py:324-341)."""
+    fmt = fmt.lower()
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "csv":
+        # reference drops geometry before CSV (exporters.py:65-69)
+        out = df.drop("geometry", "geometry_wkb") if "geometry" in df.columns else df
+        out.write.mode(mode).option("header", True).csv(path)
+    elif fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "json":
+        writer.json(path)
+    elif fmt == "geojson":
+        to_geojson(df).write.mode(mode).text(path)
+    elif fmt in ("geopackage", "gpkg", "shapefile", "shp"):
+        _driver_side_geo_export(df, path, fmt, layer_name)
+    else:
+        raise ValueError(f"unsupported format: {fmt!r}")
+
+
+def to_geojson(df: DataFrame, geometry_col: str = "geometry") -> DataFrame:
+    """GeoJSON Feature per row (reference: src/exporters.py:84-93): geometry
+    WKT is carried verbatim in properties-level form; a full RFC 7946
+    geometry object requires a WKT->GeoJSON geometry parser (Sedona's
+    ST_AsGeoJSON at scale). Distributed text sink — one Feature per line
+    (newline-delimited GeoJSON)."""
+    props = [c for c in df.columns if c not in (geometry_col, "geometry_wkb")]
+    feature = F.to_json(
+        F.struct(
+            F.lit("Feature").alias("type"),
+            F.struct(*[F.col(c).alias(c) for c in props]).alias("properties"),
+            F.col(geometry_col).alias("geometry_wkt"),
+        )
+    )
+    return df.select(feature.alias("value"))
+
+
+def _driver_side_geo_export(df: DataFrame, path: str, fmt: str,
+                            layer_name: str | None) -> None:
+    """K2/K4: GPKG & shapefile need geopandas/fiona (not in this image).
+    Small-result path only: collects to the driver — guarded so callers see
+    a clear error rather than an import crash."""
+    try:
+        import geopandas  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            f"{fmt} export requires geopandas (driver-side, small results "
+            "only); install geopandas or use parquet/geojson sinks"
+        ) from e
+    raise NotImplementedError(
+        f"{fmt} export: geopandas present but writer not wired in this build"
+    )
+
+
+def to_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    if_exists: str = "fail",
+    properties: dict[str, str] | None = None,
+) -> None:
+    """PostGIS/JDBC sink (reference: src/exporters.py:120-195). Geometry
+    travels as WKB; server-side ``ST_GeomFromWKB`` promotion is a post-step
+    (exporters.py:171-180 equivalent) executed by the caller via
+    ``execute_sql``."""
+    if if_exists not in _JDBC_MODES:
+        raise ValueError(f"if_exists must be one of {sorted(_JDBC_MODES)}")
+    df.write.jdbc(url, table, mode=_JDBC_MODES[if_exists],
+                  properties=properties or {})
+
+
+def execute_sql(spark: SparkSession, sql: str) -> DataFrame:
+    """Raw SQL passthrough (reference: src/exporters.py:197-204) against the
+    engine's own catalog."""
+    return spark.sql(sql)

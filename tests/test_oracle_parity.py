@@ -1,0 +1,96 @@
+"""Local replica of the driver's correctness gate: run every registered
+query through Spark AND its DuckDB oracle on the same parquet, compare
+row count, column names, and the full multiset of values.
+
+This is stricter than unit tests — it catches dialect drift (rounding,
+null semantics, window alignment) before the driver does.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from census_data_pipeline_spark.plans import ORACLE, QUERIES
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(value):
+    """Canonical form for cross-engine comparison."""
+    if value is None:
+        return None
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "NaN"
+        return round(value, 9)
+    if hasattr(value, "isoformat"):  # datetime/date
+        return value.isoformat()
+    if isinstance(value, (int, str, bool, bytes)):
+        return value
+    if isinstance(value, (list, tuple)):
+        return tuple(_normalize(v) for v in value)
+    try:  # Decimal and friends
+        return round(float(value), 9)
+    except (TypeError, ValueError):
+        return str(value)
+
+
+def _canon_rows(columns, rows):
+    cols_sorted = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_normalize(r[i]) for i in cols_sorted) for r in rows]
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    sdf = QUERIES[name](spark, sf_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    rel = duck.execute(ORACLE[name])
+    duck_cols = [d[0] for d in rel.description]
+    duck_rows = rel.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    s = _canon_rows(spark_cols, spark_rows)
+    d = _canon_rows(duck_cols, duck_rows)
+    mismatches = [(a, b) for a, b in zip(s, d) if a != b]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} row mismatches; first 3: {mismatches[:3]}"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
+def test_rows_only_queries_run(name, spark, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
