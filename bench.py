@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Headline-query benchmark (driver contract: one JSON line to stdout).
+
+Runs a representative slice of the registry — every operator class: scan+agg,
+multi-join rollup, temporal change join, prefix rollup, window top-k,
+event-time sessionization, sliding windows, minhash LSH dedup, brute-force
+vector search, text stats — at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``.
+
+Each query is forced end-to-end with the noop sink (computes every output
+column, unlike ``count()`` which lets Catalyst prune projections).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from census_data_pipeline_spark.plans import QUERIES  # noqa: E402
+from census_data_pipeline_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "flagship_regional_rollup",
+    "q1_pricing_summary",
+    "geoid_rollup_county",
+    "change_over_time",
+    "topk_per_nation",
+    "normalize_zscore",
+    "events_tumbling_1h",
+    "events_sliding_1h_30m",
+    "events_session_5m",
+    "text_token_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_bruteforce",
+    "knn_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="bench")
+
+    # warm the JVM/session so q1 doesn't pay one-time init
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_latency_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -65,7 +65,7 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, n)).alias("shingle"),
-    )
+    ).persist()  # reused by sizes + both self-join sides (3 downstream scans)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -93,18 +93,30 @@ def ngram_jaccard_pairs(
 
 def minhash_signature(text_col: Column | str, num_hashes: int = 8,
                       n: int = 3) -> Column:
-    """k-permutation minhash signature as array<string>: element i is
-    min(md5('seed<i>|' || shingle)). Seeded-md5 keeps every hash family
-    member deterministic and reproducible in any engine."""
+    """k-permutation minhash signature as array<string> (column form).
+
+    Hash family: two seeded md5s per shingle (``md5('a|'||s)``,
+    ``md5('b|'||s)``), each split into four 8-hex-char words — 8 hash
+    functions from 2 digests. Deterministic and reproducible in any engine;
+    lexicographic min over fixed-width hex == numeric min over 32-bit
+    values. For the relational/scale path use ``minhash_lsh_pairs``."""
+    if num_hashes > 8:
+        raise ValueError("at most 8 hash functions (2 md5 digests x 4 words)")
     sh = shingles(text_col, n)
-    return F.array(
-        *[
+    out = []
+    for i in range(num_hashes):
+        seed, off = ("a|", i * 8 + 1) if i < 4 else ("b|", (i - 4) * 8 + 1)
+        out.append(
             F.array_min(
-                F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"seed{i}|"), s)))
+                F.transform(
+                    sh,
+                    lambda s, seed=seed, off=off: F.substring(
+                        F.md5(F.concat(F.lit(seed), s)), off, 8
+                    ),
+                )
             )
-            for i in range(num_hashes)
-        ]
-    )
+        )
+    return F.array(*out)
 
 
 def minhash_lsh_pairs(
@@ -120,14 +132,40 @@ def minhash_lsh_pairs(
     bands), bucket-join on (band_idx, band_hash), then verify candidates
     with exact shingle Jaccard. Output (id_a, id_b, jaccard >= threshold).
 
-    Scale: candidate generation is an equi-join on band buckets — no
-    all-pairs comparison; verification touches only bucket-colliding pairs.
+    Plan shape (built for scale — every stage is a narrow scan or a hash
+    shuffle on a compact key):
+      1. explode distinct shingles (one pass; md5 computed ONCE per
+         (doc, shingle) — 8 hash fns come from substrings of 2 digests),
+      2. one groupBy(id) computes the whole signature (8 min-aggs,
+         map-side partial),
+      3. band buckets explode 4 rows/doc; equi-self-join on (band, bucket)
+         yields candidates — no all-pairs comparison anywhere,
+      4. verification joins the (tiny) candidate set back to the exploded
+         shingles with a broadcast, counting shared shingles.
     """
+    if num_hashes > 8:
+        raise ValueError("at most 8 hash functions (2 md5 digests x 4 words)")
     n_bands = num_hashes // band_size
-    sig = df.select(
+
+    # Materialized once (MEMORY_AND_DISK): consumed by the signature agg,
+    # the size agg and both verification sides — without it the
+    # split/shingle/explode lineage re-executes 4x. At cluster scale this
+    # is the stage you'd checkpoint or write to a temp table.
+    rows = df.select(
         F.col(id_col).alias("id"),
-        minhash_signature(text_col, num_hashes, n).alias("sig"),
+        F.explode(shingles(text_col, n)).alias("shingle"),
+    ).persist()
+    hashed = rows.select(
+        "id",
+        F.md5(F.concat(F.lit("a|"), F.col("shingle"))).alias("ha"),
+        F.md5(F.concat(F.lit("b|"), F.col("shingle"))).alias("hb"),
     )
+    min_exprs = []
+    for i in range(num_hashes):
+        src, off = ("ha", i * 8 + 1) if i < 4 else ("hb", (i - 4) * 8 + 1)
+        min_exprs.append(F.min(F.substring(F.col(src), off, 8)).alias(f"m{i}"))
+    sig = hashed.groupBy("id").agg(*min_exprs)
+
     bands = sig.select(
         "id",
         F.explode(
@@ -137,7 +175,8 @@ def minhash_lsh_pairs(
                         F.lit(bi).alias("band"),
                         F.md5(
                             F.concat_ws(
-                                "|", *[F.col("sig")[bi * band_size + r] for r in range(band_size)]
+                                "|",
+                                *[F.col(f"m{bi * band_size + r}") for r in range(band_size)],
                             )
                         ).alias("bucket"),
                     )
@@ -155,19 +194,21 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # verify with exact jaccard on the candidate set
-    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+    sizes = rows.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = rows.withColumnsRenamed({"id": "id_a"})
+    b = rows.withColumnsRenamed({"id": "id_b"})
+    inter = (
+        a.join(F.broadcast(candidates), "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
     verified = (
-        candidates.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
-        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "na"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "nb"}), "id_b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
-                6,
-            ),
+            F.round(F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -175,18 +216,10 @@ def minhash_lsh_pairs(
     return verified
 
 
-def simhash32(text_col: str) -> Column:
-    """32-bit SimHash over whitespace tokens: per bit j, sum +1/-1 weighted
-    by whether bit j of md5(token)'s first 32 bits is set; simhash bit j = 1
-    if the sum > 0. Hamming-near signatures <=> cosine-similar bags of
-    tokens. Pure generated SQL expression (md5 → conv → bit tests →
-    aggregate) so it stays codegen'd and engine-reproducible."""
-    hv = (
-        f"transform(split({text_col}, ' '), "
-        "x -> cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint))"
-    )
+def _simhash_from_hashes(hv_col: str) -> Column:
+    """SimHash fold over a precomputed array of 32-bit token hashes."""
     terms = " + ".join(
-        f"(CASE WHEN aggregate({hv}, 0, (acc, v) -> acc + "
+        f"(CASE WHEN aggregate({hv_col}, 0, (acc, v) -> acc + "
         f"(CASE WHEN (shiftright(v, {j}) & 1) = 1 THEN 1 ELSE -1 END)) > 0 "
         f"THEN cast({1 << j} as bigint) ELSE cast(0 as bigint) END)"
         for j in range(32)
@@ -196,4 +229,19 @@ def simhash32(text_col: str) -> Column:
 
 def simhash_table(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
-    return df.select(F.col(id_col), simhash32(text_col).alias("simhash"))
+    """32-bit SimHash over whitespace tokens: per bit j, sum +1/-1 weighted
+    by whether bit j of md5(token)'s first 32 bits is set; simhash bit j = 1
+    if the sum > 0. Hamming-near signatures <=> cosine-similar bags of
+    tokens.
+
+    Token hashes are materialized once into an array column, then the
+    32 bit-votes fold over that array — md5 is computed tokens×1, not
+    tokens×32 (the naive single-expression form is 32x more hashing)."""
+    hv = (
+        f"transform(split({text_col}, ' '), "
+        "x -> cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint))"
+    )
+    hashed = df.select(F.col(id_col), F.expr(hv).alias("__hv"))
+    return hashed.select(
+        F.col(id_col), _simhash_from_hashes("__hv").alias("simhash")
+    )

@@ -155,31 +155,38 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 def _minhash_lsh_oracle(num_hashes: int = 8, band_size: int = 2, n: int = 4,
                         threshold: float = 0.5) -> str:
-    sig_elems = ", ".join(
-        f"list_min(list_transform(shg, s -> md5('seed{i}|' || s)))"
-        for i in range(num_hashes)
-    )
+    """Mirrors functions.dedup.minhash_lsh_pairs: 8 hash fns = 8-hex-char
+    words of two seeded md5 digests; min per word per doc; banded buckets;
+    exact-jaccard verification of bucket-colliding pairs."""
+    sig_elems = []
+    for i in range(num_hashes):
+        src, off = ("ha", i * 8 + 1) if i < 4 else ("hb", (i - 4) * 8 + 1)
+        sig_elems.append(f"min(substr({src}, {off}, 8)) AS m{i}")
     n_bands = num_hashes // band_size
     band_cases = " ".join(
-        f"WHEN {bi} THEN md5(sig[{bi * band_size + 1}] || '|' || sig[{bi * band_size + 2}])"
+        f"WHEN {bi} THEN md5(m{bi * band_size} || '|' || m{bi * band_size + 1})"
         for bi in range(n_bands)
     )
     band_list = ", ".join(str(b) for b in range(n_bands))
     return f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    sh AS (SELECT doc_id AS id, {_shingle_sql(n)} AS shg FROM t),
-    sig AS (SELECT id, shg, [{sig_elems}] AS sig FROM sh),
+    shl AS (SELECT doc_id AS id, unnest({_shingle_sql(n)}) AS shingle FROM t),
+    h AS (SELECT id, md5('a|' || shingle) AS ha, md5('b|' || shingle) AS hb
+          FROM shl),
+    sig AS (SELECT id, {', '.join(sig_elems)} FROM h GROUP BY id),
     bands AS (SELECT id, band, CASE band {band_cases} END AS bucket
               FROM sig CROSS JOIN (SELECT unnest([{band_list}]) AS band) b),
     cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
              FROM bands x JOIN bands y USING (band, bucket)
              WHERE x.id < y.id),
-    v AS (SELECT id_a, id_b,
-                 len(list_intersect(a.shg, b.shg)) AS n_common,
-                 len(a.shg) AS na, len(b.shg) AS nb
-          FROM cand JOIN sh a ON id_a = a.id JOIN sh b ON id_b = b.id),
+    sz AS (SELECT id, count(*) AS n FROM shl GROUP BY id),
+    inter AS (SELECT id_a, id_b, count(*) AS n_common
+              FROM shl a JOIN cand ON a.id = id_a
+              JOIN shl b ON b.id = id_b AND a.shingle = b.shingle
+              GROUP BY 1, 2),
     j AS (SELECT id_a, id_b,
-                 round(n_common / (na + nb - n_common), 6) AS jaccard FROM v)
+                 round(n_common / (x.n + y.n - n_common), 6) AS jaccard
+          FROM inter JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id)
     SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {threshold}
     """
 
