@@ -1,0 +1,136 @@
+"""Extension tier: text analysis, dedup, similarity, multimodal."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from census_data_pipeline_spark.functions import dedup, multimodal, similarity, text
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# -- text ----------------------------------------------------------------
+def test_tokens_and_shingles_edges(spark):
+    df = _docs(spark, [(1, "a b c d"), (2, "a b"), (3, "a")])
+    out = df.select(
+        "doc_id",
+        text.token_count("text").alias("n"),
+        text.shingles("text", 3).alias("sh"),
+    ).orderBy("doc_id").collect()
+    assert out[0].n == 4 and out[0].sh == ["a b c", "b c d"]
+    assert out[1].sh == ["a b"]  # short doc -> whole-text shingle
+    assert out[2].sh == ["a"]
+
+
+def test_tokens_bpeish(spark):
+    df = _docs(spark, [(1, "Hello, world!  It's fine.")])
+    toks = df.select(text.tokens_bpeish("text").alias("t")).collect()[0].t
+    assert toks == ["hello", ",", "world", "!", "it", "'", "s", "fine", "."]
+
+
+def test_quality_score_bounds(spark):
+    df = _docs(spark, [(1, "the a of to " * 30), (2, "x"), (3, "word " * 99 + "the")])
+    rows = df.select(text.quality_score("text").alias("q")).collect()
+    for r in rows:
+        assert 0.0 <= r.q <= 1.0
+
+
+def test_lang_id_markers(spark):
+    df = _docs(spark, [(1, "the cat"), (2, "el gato"), (3, "xyz abc")])
+    out = [r.l for r in df.select(text.lang_id("text").alias("l")).orderBy("doc_id").collect()]
+    assert out == ["en", "es", "und"]
+
+
+def test_fingerprint_identity(spark):
+    df = _docs(spark, [(1, "a b c d e"), (2, "a b c d e"), (3, "totally different words")])
+    out = df.select("doc_id", text.fingerprint("text").alias("fp")).collect()
+    fps = {r.doc_id: r.fp for r in out}
+    assert fps[1] == fps[2] != fps[3]
+
+
+# -- dedup ---------------------------------------------------------------
+def test_exact_dedup_groups(spark):
+    df = _docs(spark, [(1, "same text"), (2, "same text"), (3, "other")])
+    out = {r.doc_id: r.n_copies for r in dedup.exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}  # min id kept per content hash
+
+
+def test_ngram_jaccard_finds_near_dups(spark):
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    near = "w0 w1 w2 w3 w4 w5 w6 w7 w8 zz"
+    df = _docs(spark, [(1, base), (2, near), (3, "completely unrelated text here")])
+    pairs = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.id_a, p.id_b) == (1, 2) and 0.5 <= p.jaccard < 1.0
+
+
+def test_minhash_lsh_identical_docs(spark):
+    df = _docs(
+        spark,
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "q r s t u v w x")],
+    )
+    pairs = dedup.minhash_lsh_pairs(df, n=3, threshold=0.9).collect()
+    assert [(p.id_a, p.id_b, p.jaccard) for p in pairs] == [(1, 2, 1.0)]
+    with pytest.raises(ValueError):
+        dedup.minhash_lsh_pairs(df, num_hashes=16)
+
+
+def test_simhash_bag_of_words_property(spark):
+    # simhash is over the token multiset -> permutation-invariant
+    df = _docs(spark, [(1, "a b c d"), (2, "d c b a"), (3, "p q r s")])
+    out = {r.doc_id: r.simhash for r in dedup.simhash_table(df).collect()}
+    assert out[1] == out[2] != out[3]
+    assert 0 <= out[1] < 2**32
+
+
+def test_dedup_rows(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "k long, v string")
+    assert dedup.dedup_rows(df).count() == 2
+    assert dedup.dedup_rows(df, ["v"]).count() == 2
+
+
+# -- similarity ----------------------------------------------------------
+def test_knn_bruteforce_exact(spark):
+    vecs = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = similarity.knn_bruteforce(df, df.filter("vec_id = 0"), k=3).collect()
+    ranked = [(r.rank, r.neighbor_id) for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked == [(1, 1), (2, 2), (3, 3)]  # by cosine to [1,0]
+    top = [r for r in out if r.rank == 1][0]
+    assert top.cosine_sim == pytest.approx(0.9 / math.sqrt(0.82), abs=1e-6)
+
+
+def test_knn_lsh_bucketing(spark):
+    vecs = [
+        (0, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+        (1, [0.9, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),  # same sign bucket
+        (2, [-1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),  # different bucket
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = similarity.knn_lsh(df, df.filter("vec_id = 0"), k=5, nbits=8).collect()
+    assert [r.neighbor_id for r in out] == [1]  # bucket 2 never scored
+
+
+# -- multimodal ----------------------------------------------------------
+def test_binary_payload_and_fake_features(spark):
+    df = _docs(spark, [(1, "abc"), (2, "")])
+    payloads = multimodal.attach_binary_payload(df)
+    rows = {r.doc_id: r for r in payloads.collect()}
+    assert rows[1].byte_len == 3 and len(rows[1].checksum) == 64
+    feats = {r.doc_id: r for r in multimodal.extract_fake_features(payloads).collect()}
+    assert feats[1].byte_len == 3
+    assert feats[1].mean_byte == pytest.approx((97 + 98 + 99) / 3)
+    assert feats[2].mean_byte == 0.0 and feats[2].n_zero == 0
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")

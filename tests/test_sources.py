@@ -1,0 +1,167 @@
+"""Sources: census REST connector (offline, injected transport), TIGER
+boundary lake, exporters, pipeline facade."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from census_data_pipeline_spark.pipeline import CensusSparkPipeline
+from census_data_pipeline_spark.sources import census_api, exporters, tiger
+
+FAKE_RESPONSE = [
+    ["NAME", "B01003_001E", "B01003_001M", "state", "county"],
+    ["Autauga County, Alabama", "58805", "123", "01", "001"],
+    ["Baldwin County, Alabama", "231767", "xx", "01", "003"],
+]
+
+
+# -- URL / predicate pushdown (reference: api_client.py:167-210) ---------
+def test_build_params_pushdown():
+    client = census_api.CensusAPIClient()
+    p = client.build_params(["B01003_001E"], "state", state="06")
+    assert p["for"] == "state:06"
+    p = client.build_params(["B01003_001E"], "county", state="06")
+    assert p["for"] == "county:*" and p["in"] == "state:06"
+    p = client.build_params(["B01003_001E"], "tract", state="06", county="059")
+    assert p["in"] == "state:06 county:059"
+    p = client.build_params(["X"], "block group", state="06", county="059")
+    assert p["for"] == "block group:*"
+    with pytest.raises(ValueError):
+        client.build_params(["X"], "continent")
+
+
+def test_build_url_endpoints():
+    client = census_api.CensusAPIClient(api_key="k123")
+    url = client.build_url("acs/acs5", 2022, ["B01003_001E"], "state")
+    assert url.startswith("https://api.census.gov/data/2022/acs/acs5?")
+    assert "key=k123" in url
+    with pytest.raises(ValueError):
+        client.get_decennial(1990, ["P1_001N"], "state")
+
+
+def test_retry_and_error_taxonomy(monkeypatch):
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    calls = []
+
+    def flaky(url):
+        calls.append(url)
+        if len(calls) < 3:
+            raise OSError("transient 503")
+        return FAKE_RESPONSE
+
+    client = census_api.CensusAPIClient(fetch=flaky)
+    assert client.request("http://x") == FAKE_RESPONSE
+    assert len(calls) == 3  # retried twice, succeeded third (api_client.py:46-51)
+
+    def not_found(url):
+        e = OSError("404")
+        e.code = 404
+        raise e
+
+    client2 = census_api.CensusAPIClient(fetch=not_found)
+    with pytest.raises(census_api.CensusAPIError):  # no retry on 404
+        client2.request("http://x")
+
+
+def test_moe_rewrite():
+    # reference: census_pipeline.py:142-148 — trailing E -> M, name + _moe
+    out = census_api.moe_variables({"B01003_001E": "total_population"})
+    assert out == {"B01003_001M": "total_population_moe"}
+
+
+def test_response_to_dataframe_coerce(spark):
+    df = census_api.response_to_dataframe(
+        spark, FAKE_RESPONSE, {"B01003_001E": "total_population"}
+    )
+    rows = df.orderBy("county").collect()
+    assert rows[0].total_population == 58805.0
+    assert rows[0].NAME.startswith("Autauga")
+    # 'xx' MOE column is untouched (not in var_dict) but renamed col coerced
+    assert rows[1].total_population == 231767.0
+
+
+def test_pipeline_facade_end_to_end(spark):
+    pipe = CensusSparkPipeline(spark, fetch=lambda url: FAKE_RESPONSE)
+    df = pipe.fetch_acs5(
+        {"B01003_001E": "total_population"}, "county", state="01", include_moe=True
+    )
+    rows = df.orderBy("county").collect()
+    assert rows[0].GEOID == "01001"  # state+county concat (census_pipeline.py:367-378)
+    assert rows[0].total_population == 58805.0
+    assert rows[1].total_population_moe is None  # 'xx' coerced to null
+
+    batch = pipe.fetch_batch_states(
+        {"B01003_001E": "pop"}, "county", states=["01", "02"]
+    )
+    assert batch.count() == 4  # 2 states x 2 rows (union of partitions)
+
+
+# -- TIGER lake (reference: geography.py) --------------------------------
+def test_tiger_urls():
+    assert tiger.build_tiger_url("county", 2022) == (
+        "https://www2.census.gov/geo/tiger/GENZ2022/shp/cb_2022_us_county_500k.zip"
+    )
+    assert tiger.build_tiger_url("tract", 2022, state_fips="06") == (
+        "https://www2.census.gov/geo/tiger/GENZ2022/shp/cb_2022_06_tract_500k.zip"
+    )
+    with pytest.raises(ValueError):
+        tiger.build_tiger_url("tract", 2022)  # state required
+    with pytest.raises(ValueError):
+        tiger.build_tiger_url("universe", 2022)
+
+
+def test_boundary_ingest_and_pruned_load(spark, tmp_path):
+    df = tiger.boundaries_from_records(
+        spark,
+        [("06059", "POINT(1 1)"), ("06059", "POINT(1 1)"), ("48201", "POINT(2 2)")],
+    )
+    assert df.count() == 2  # deduped on GEOID
+    lake = str(tmp_path / "geolake")
+    tiger.ingest_boundaries(df, lake)
+    ca = tiger.load_boundaries(spark, lake, state_fips="06")
+    assert [r.GEOID for r in ca.collect()] == ["06059"]
+    assert ca.select("crs").collect()[0].crs == "EPSG:4326"
+    # partition pruning: the state filter appears as a PartitionFilter
+    plan = ca._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "state_fips" in plan
+
+
+# -- exporters (reference: exporters.py) ---------------------------------
+def test_export_roundtrips(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("06059", "POINT(1 1)", 1.5)], "GEOID string, geometry string, v double"
+    )
+    pq = str(tmp_path / "out.parquet")
+    exporters.export(df, pq, "parquet")
+    assert spark.read.parquet(pq).collect()[0].v == 1.5
+
+    csv = str(tmp_path / "out.csv")
+    exporters.export(df, csv, "csv")
+    back = spark.read.option("header", True).csv(csv)
+    assert "geometry" not in back.columns  # dropped per exporters.py:65-69
+    assert back.collect()[0].GEOID == "06059"
+
+    js = str(tmp_path / "out.json")
+    exporters.export(df, js, "json")
+    assert spark.read.json(js).count() == 1
+
+    gj = str(tmp_path / "out.geojson")
+    exporters.export(df, gj, "geojson")
+    line = json.loads(spark.read.text(gj).collect()[0].value)
+    assert line["type"] == "Feature" and line["properties"]["GEOID"] == "06059"
+
+    with pytest.raises(NotImplementedError):
+        exporters.export(df, str(tmp_path / "x.gpkg"), "geopackage")
+    with pytest.raises(ValueError):
+        exporters.export(df, str(tmp_path / "x"), "avro-ish")
+    with pytest.raises(ValueError):
+        exporters.to_jdbc(df, "jdbc:x", "t", if_exists="upsert")
+
+
+def test_execute_sql(spark):
+    spark.createDataFrame([(1,)], "x int").createOrReplaceTempView("t_exec")
+    assert exporters.execute_sql(spark, "SELECT sum(x) AS s FROM t_exec").collect()[0].s == 1

@@ -1,0 +1,85 @@
+"""Structured Streaming: the batch-first window helpers driven through a
+real streaming query (parquet source -> memory sink, processAllAvailable),
+verifying stream results equal the batch results over the same rows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from census_data_pipeline_spark.sources.catalog import load_table
+from census_data_pipeline_spark.streaming import windows
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    # re-materialize events with native µs timestamps so readStream needs
+    # no legacy nanos conf (streaming sources read the schema up front)
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir):
+    batch_df = spark.read.parquet(events_dir)
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, round(r.total_value, 4))
+        for r in windows.tumbling_window_agg(
+            batch_df, "ts", "1 hour", ["event_type"],
+            [("count", "*", "n_events"), ("sum", "value", "total_value")],
+        ).collect()
+    }
+
+    stream = windows.stream_from_parquet(spark, events_dir, batch_df.schema)
+    assert stream.isStreaming
+    agg = windows.tumbling_window_agg(
+        windows.with_watermark(stream, "ts", "1 minute"),
+        "ts", "1 hour", ["event_type"],
+        [("count", "*", "n_events"), ("sum", "value", "total_value")],
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.window_start, r.event_type): (r.n_events, round(r.total_value, 4))
+            for r in spark.sql("SELECT * FROM tumbling_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
+
+
+def test_session_window_stream_runs(spark, events_dir):
+    batch_df = spark.read.parquet(events_dir)
+    stream = windows.stream_from_parquet(spark, events_dir, batch_df.schema)
+    agg = windows.session_window_agg(
+        windows.with_watermark(stream, "ts", "10 minutes"),
+        "ts", "5 minutes", ["user_id"],
+        [("count", "*", "n_events")],
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("session_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_stream = spark.sql("SELECT count(*) AS n FROM session_out").collect()[0].n
+    finally:
+        q.stop()
+    n_batch = windows.session_window_agg(
+        batch_df, "ts", "5 minutes", ["user_id"], [("count", "*", "n_events")]
+    ).count()
+    assert n_stream == n_batch > 0
+
+
+def test_dedup_in_stream_batch_fallback(spark, events_dir):
+    df = spark.read.parquet(events_dir)
+    deduped = windows.dedup_in_stream(df, ["user_id"], "ts", "10 minutes")
+    assert deduped.count() == df.select("user_id").distinct().count()
