@@ -1,0 +1,181 @@
+"""Analytics-surface queries beyond the reference: pivot, cube, set ops,
+running/lag windows, as-of join, and the approximate-sketch variants used
+on the 100 TB path (SURVEY.md §2.4-§2.6 "free in Spark" rows, made
+first-class with oracles)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from census_data_pipeline_spark.operators.asof import asof_join
+from census_data_pipeline_spark.plans.registry import query
+from census_data_pipeline_spark.sources.catalog import load_table
+
+
+@query(
+    "pivot_status_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def pivot_status_by_segment(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    df = o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+                o.o_custkey == c.c_custkey)
+    out = df.groupBy("c_mktsegment").pivot("o_orderstatus", ["O", "F", "P"]).count()
+    # Spark pivot-count yields NULL for empty cells; SQL conditional count
+    # yields 0 — normalize to the SQL convention.
+    return out.select(
+        "c_mktsegment",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(s) for s in ("O", "F", "P")],
+    )
+
+
+@query(
+    "cube_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS total_qty,
+           count(*) AS n_rows,
+           CAST(grouping(l_returnflag) AS INT) AS is_total_flag,
+           CAST(grouping(l_linestatus) AS INT) AS is_total_status
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_pricing(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+            F.count("*").alias("n_rows"),
+            F.grouping("l_returnflag").cast("int").alias("is_total_flag"),
+            F.grouping("l_linestatus").cast("int").alias("is_total_status"),
+        )
+    )
+
+
+@query(
+    "setop_nations_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_nations_intersect(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    return c.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        s.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@query(
+    "setop_nations_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_nations_except(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    # subtract == SQL EXCEPT (distinct); exceptAll is the multiset variant
+    return c.select(F.col("c_nationkey").alias("nationkey")).subtract(
+        s.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@query(
+    "anti_join_nations_without_suppliers",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    WHERE n_nationkey NOT IN (SELECT s_nationkey FROM supplier)
+    """,
+)
+def anti_join_nations_without_suppliers(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    return n.join(
+        s, n.n_nationkey == s.s_nationkey, "left_anti"
+    ).select("n_nationkey", "n_name")
+
+
+@query(
+    "running_customer_spend",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS UNBOUNDED PRECEDING), 4)
+             AS running_spend,
+           lag(o_totalprice) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey)
+             AS prev_price
+    FROM orders
+    """,
+)
+def running_customer_spend(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4
+        ).alias("running_spend"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    )
+
+
+@query(
+    "asof_click_purchase",
+    oracle="""
+    WITH c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts AS pts, value FROM events
+               WHERE event_type = 'purchase')
+    SELECT event_id, c.user_id, epoch_us(c.ts) AS click_ts_us,
+           epoch_us(pts) AS purchase_ts_us, value AS purchase_value
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.pts
+    """,
+)
+def asof_click_purchase(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(clicks, purchases, on=["user_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("click_ts_us"),
+        F.unix_micros("asof_ts").alias("purchase_ts_us"),
+        F.col("asof_value").alias("purchase_value"),
+    )
+
+
+@query("approx_sketches")  # rows-only: approximate results have no exact oracle
+def approx_sketches(spark, sf_dir):
+    """The 100 TB swap path: approx_count_distinct (HLL) and
+    percentile_approx (quantile sketch) replace their exact counterparts
+    (SURVEY.md §7.3 'exact vs approx quantiles')."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.count("*").alias("n_rows"),
+    )
