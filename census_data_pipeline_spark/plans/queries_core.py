@@ -24,7 +24,7 @@ from census_data_pipeline_spark.operators import (
     skew,
     topk,
 )
-from census_data_pipeline_spark.operators.rates import safe_rate
+from census_data_pipeline_spark.operators.rates import derive_demographics, safe_rate
 from census_data_pipeline_spark.plans.registry import query
 from census_data_pipeline_spark.sources.catalog import load_table
 from census_data_pipeline_spark.streaming import windows
@@ -267,6 +267,46 @@ def rates_zero_policy(spark, sf_dir):
         F.count(F.when(F.col("rate_nan").isNull(), 1)).alias("n_null_rate"),
         F.round(F.avg("rate_zero"), 2).alias("avg_rate_zero"),
         F.count(F.when(F.col("rate_inf") == float("inf"), 1)).alias("n_inf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M2: derived-demographics recipe batch (reference: transformers.py:113-150)
+# — customer columns renamed into the demographic shape; recipes whose
+# source columns are absent (pct_black etc.) must NOT be applied.
+# ---------------------------------------------------------------------------
+@query(
+    "derived_demographics",
+    oracle="""
+    WITH d AS (SELECT c_custkey,
+                      round(abs(c_acctbal)) AS total_population,
+                      CAST(c_custkey % 50 AS DOUBLE) AS white_population,
+                      CAST(c_custkey % 30 AS DOUBLE) AS unemployed,
+                      CAST(c_custkey % 60 + 1 AS DOUBLE) AS labor_force
+               FROM customer)
+    SELECT c_custkey,
+           CASE WHEN total_population = 0 THEN NULL
+                ELSE round(white_population / total_population * 100, 6)
+           END AS pct_white,
+           round(unemployed / labor_force * 100, 6) AS unemployment_rate
+    FROM d
+    """,
+)
+def derived_demographics_query(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    shaped = c.select(
+        "c_custkey",
+        F.round(F.abs("c_acctbal")).alias("total_population"),
+        (F.col("c_custkey") % 50).cast("double").alias("white_population"),
+        (F.col("c_custkey") % 30).cast("double").alias("unemployed"),
+        (F.col("c_custkey") % 60 + 1).cast("double").alias("labor_force"),
+    )
+    out = derive_demographics(shaped)
+    assert "pct_black" not in out.columns  # absent sources skipped
+    return out.select(
+        "c_custkey",
+        F.round("pct_white", 6).alias("pct_white"),
+        F.round("unemployment_rate", 6).alias("unemployment_rate"),
     )
 
 

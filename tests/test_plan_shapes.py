@@ -1,0 +1,69 @@
+"""Physical-plan regression tests (SCALING.md): pushdown, pruning,
+broadcast choices and true top-k must survive refactors — a correct result
+with the wrong plan is a 100 TB regression."""
+
+from __future__ import annotations
+
+import pytest
+
+from census_data_pipeline_spark.plans import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruned to the 7 needed columns — no l_orderkey/l_partkey
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_topk_compiles_to_take_ordered(spark, sf_dir):
+    assert "TakeOrderedAndProject" in _plan(spark, sf_dir, "top5_customers")
+
+
+def test_dim_lookups_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dim_lookup_customer")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_boundary_join_broadcasts_boundaries(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "boundaries_right_join")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_knn_has_no_cartesian_product(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "knn_bruteforce")
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan  # query side broadcast
+
+
+def test_rollup_has_partial_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "geoid_rollup_county")
+    # partial + final HashAggregate pair around a single exchange
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") <= 2
+
+
+def test_normalize_avoids_single_partition_window(spark, sf_dir):
+    # W1-W3 must be agg+crossJoin(broadcast), not Window.partitionBy()
+    plan = _plan(spark, sf_dir, "normalize_zscore")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_core_path_is_udf_free(spark, sf_dir):
+    # SURVEY §2.10: the whole reference surface compiles to Catalyst
+    # expressions — no Python eval anywhere on these plans.
+    for name in (
+        "flagship_regional_rollup", "q1_pricing_summary", "rates_zero_policy",
+        "geoid_hierarchy_rollup", "change_over_time", "events_session_5m",
+        "dedup_minhash_lsh", "knn_bruteforce", "text_token_stats",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
