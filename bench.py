@@ -26,6 +26,7 @@ from census_data_pipeline_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "flagship_regional_rollup",
     "q1_pricing_summary",
+    "q5_regional_revenue",
     "geoid_rollup_county",
     "change_over_time",
     "topk_per_nation",
@@ -36,8 +37,10 @@ HEADLINE = [
     "text_token_stats",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "knn_bruteforce",
     "knn_lsh",
+    "asof_click_purchase",
 ]
 
 

@@ -81,6 +81,61 @@ def knn_bruteforce(
     )
 
 
+def embedding_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine_sim) for
+    all pairs with cosine >= threshold — the dedup analog of knn search.
+
+    Exact all-pairs similarity is O(n²·d) dense arithmetic: per-pair
+    Catalyst expressions (zip_with + aggregate) pay higher-order-function
+    overhead per element (~40x slower measured), so this is the one place
+    the engine deliberately drops to Arrow + numpy: the corpus matrix is
+    L2-normalized and broadcast, and each Arrow batch computes a
+    (batch × corpus) BLAS matmul, emitting only threshold-passing pairs.
+
+    The broadcast bounds this to corpora that fit in executor memory
+    (~1M x 64 floats = 256 MB) — which is inherent to exact all-pairs
+    anyway; beyond that, prefilter candidates with sign-LSH buckets
+    (``knn_lsh``'s join) or block both sides."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    b = spark.sparkContext.broadcast((ids, mat))
+
+    def block(batches):
+        bids, bmat = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            x /= np.linalg.norm(x, axis=1, keepdims=True)
+            scores = np.round(x @ bmat.T, 6)
+            xids = pdf[id_col].to_numpy()
+            ii, jj = np.nonzero(
+                (scores >= threshold) & (xids[:, None] < bids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": xids[ii],
+                    "id_b": bids[jj],
+                    "cosine_sim": scores[ii, jj],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        block, schema="id_a long, id_b long, cosine_sim double"
+    )
+
+
 def sign_bucket(vec_col: Column | str, nbits: int = 8) -> Column:
     """Deterministic LSH bucket: concatenated sign bits of the first
     ``nbits`` dimensions (axis-aligned hyperplane family)."""

@@ -57,3 +57,34 @@ def normalize_column(
         drop = ["__med", "__q1", "__q3"]
 
     return df.crossJoin(F.broadcast(stats)).withColumn(out, expr).drop(*drop)
+
+
+def normalize_by_group(
+    df: DataFrame,
+    column: str,
+    group_cols: list[str],
+    method: str = "zscore",
+    output_col: str | None = None,
+) -> DataFrame:
+    """Per-group normalization (the grouped variant of W1/W2): group stats
+    via a hash aggregate joined back on the group key — one shuffle on the
+    (arbitrarily-many) group keys, never a single-partition window. The
+    equivalent SQL is a ``PARTITION BY`` window; this form scales when
+    groups are numerous or skewed."""
+    if method not in ("minmax", "zscore"):
+        raise ValueError("grouped normalization supports minmax|zscore")
+    out = output_col or f"{column}_normalized"
+    c = F.col(column)
+    if method == "minmax":
+        stats = df.groupBy(*group_cols).agg(
+            F.min(c).alias("__lo"), F.max(c).alias("__hi")
+        )
+        expr = (c - F.col("__lo")) / (F.col("__hi") - F.col("__lo"))
+        drop = ["__lo", "__hi"]
+    else:
+        stats = df.groupBy(*group_cols).agg(
+            F.avg(c).alias("__mu"), F.stddev(c).alias("__sigma")
+        )
+        expr = (c - F.col("__mu")) / F.col("__sigma")
+        drop = ["__mu", "__sigma"]
+    return df.join(stats, on=group_cols).withColumn(out, expr).drop(*drop)
