@@ -49,8 +49,13 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark(app_name="bench")
 
-    # warm the JVM/session so q1 doesn't pay one-time init
+    # warm the JVM/session and parquet footers so the first timed query
+    # doesn't pay one-time init (codegen warmup + file listing)
     spark.range(1000).selectExpr("sum(id)").collect()
+    from census_data_pipeline_spark.sources.catalog import TABLES
+
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").schema
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

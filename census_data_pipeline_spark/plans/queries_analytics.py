@@ -267,6 +267,76 @@ def asof_click_purchase(spark, sf_dir):
     )
 
 
+@query(
+    "sql_surface_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sql_surface_revenue(spark, sf_dir):
+    """The SQL-text surface (reference K7, exporters.py:197-204): the same
+    engine queried through spark.sql over registered views — Catalyst
+    produces the identical plan either way."""
+    from census_data_pipeline_spark.sources import catalog, exporters
+
+    catalog.register_views(spark, sf_dir)
+    return exporters.execute_sql(
+        spark,
+        """
+        SELECT l_returnflag,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem GROUP BY l_returnflag
+        """,
+    )
+
+
+@query(
+    "geo_point_extract",
+    oracle="""
+    WITH b AS (SELECT n_nationkey, n_regionkey,
+                      'POINT(' || n_nationkey || ' ' || n_regionkey || ')'
+                        AS geometry
+               FROM nation)
+    SELECT n_regionkey,
+           round(avg(CAST(regexp_extract(geometry,
+                          'POINT\\(([-0-9.]+) ([-0-9.]+)\\)', 1) AS DOUBLE)), 6)
+             AS centroid_x,
+           round(avg(CAST(regexp_extract(geometry,
+                          'POINT\\(([-0-9.]+) ([-0-9.]+)\\)', 2) AS DOUBLE)), 6)
+             AS centroid_y,
+           count(*) AS n_points
+    FROM b GROUP BY n_regionkey
+    """,
+)
+def geo_point_extract(spark, sf_dir):
+    """Geometry string algebra on WKT columns (the vanilla-Spark geometry
+    representation per SURVEY.md §1.1): parse POINT coordinates with
+    regexp_extract and aggregate a centroid per group — the pattern a
+    Sedona upgrade would replace with ST_X/ST_Y/ST_Centroid."""
+    n = load_table(spark, sf_dir, "nation")
+    b = n.select(
+        "n_nationkey",
+        "n_regionkey",
+        F.concat(
+            F.lit("POINT("),
+            F.col("n_nationkey").cast("string"),
+            F.lit(" "),
+            F.col("n_regionkey").cast("string"),
+            F.lit(")"),
+        ).alias("geometry"),
+    )
+    pat = r"POINT\(([-0-9.]+) ([-0-9.]+)\)"
+    x = F.regexp_extract("geometry", pat, 1).cast("double")
+    y = F.regexp_extract("geometry", pat, 2).cast("double")
+    return b.groupBy("n_regionkey").agg(
+        F.round(F.avg(x), 6).alias("centroid_x"),
+        F.round(F.avg(y), 6).alias("centroid_y"),
+        F.count("*").alias("n_points"),
+    )
+
+
 @query("approx_sketches")  # rows-only: approximate results have no exact oracle
 def approx_sketches(spark, sf_dir):
     """The 100 TB swap path: approx_count_distinct (HLL) and

@@ -323,3 +323,82 @@ def multimodal_features(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     payloads = multimodal.attach_binary_payload(docs)
     return multimodal.extract_fake_features(payloads)
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY 1),
+    dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (SELECT tf.doc_id, tf.token,
+                      round(tf.cnt / dl.doc_len * ln(n.n_docs / dfreq.df), 6)
+                        AS tfidf
+               FROM tf JOIN dl USING (doc_id)
+               JOIN dfreq USING (token) CROSS JOIN n),
+    ranked AS (SELECT doc_id, token, tfidf,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, token) AS "rank"
+               FROM scored)
+    SELECT doc_id, token, tfidf, "rank" FROM ranked
+    WHERE "rank" <= 3 AND doc_id % 25 = 0
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF with exact document frequencies: three hash aggregates and a
+    broadcast of the scalar corpus size — no full materialization of the
+    term-document matrix beyond the (doc, term) counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(text.tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("cnt") / F.col("doc_len") * F.log(F.col("n_docs") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from census_data_pipeline_spark.operators.topk import top_k_per_group
+
+    ranked = top_k_per_group(
+        scored, ["doc_id"], by="tfidf", k=3, tiebreak=["token"]
+    )
+    return ranked.filter(F.col("doc_id") % 25 == 0).select(
+        "doc_id", "token", "tfidf", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@query("dedup_minhash_ml")  # rows-only: pyspark.ml hash family isn't SQL-reproducible
+def dedup_minhash_ml(spark, sf_dir):
+    """The pyspark.ml alternative (SURVEY.md §2.11): HashingTF over shingles
+    -> MinHashLSH approxSimilarityJoin. Kept rows-only because MLlib's
+    seeded hash coefficients aren't reproducible in ANSI SQL; the primary
+    oracle-checked implementation is functions.dedup.minhash_lsh_pairs."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", text.shingles("text", 4).alias("sh"))
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(sh).filter(F.expr("size(sh) > 0"))
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.round(1 - F.col("jaccard_dist"), 6).alias("jaccard"),
+        )
+    )
