@@ -790,7 +790,8 @@ def events_session_5m(spark, sf_dir):
     "events_json_extract",
     oracle="""
     SELECT event_type, count(*) AS n_events,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS total_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS total_k,
            round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
            AS avg_k
     FROM events GROUP BY event_type

@@ -134,3 +134,13 @@ def test_binary_payload_and_fake_features(spark):
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_embedding_dup_pairs_blas(spark):
+    vecs = [
+        (0, [1.0, 0.0]), (1, [0.999, 0.01]), (2, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    pairs = similarity.embedding_dup_pairs(df, threshold=0.9).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(0, 1)]
+    assert pairs[0].cosine_sim > 0.99

@@ -218,3 +218,16 @@ def test_states_dim_broadcast_lookup(spark):
     facts = spark.createDataFrame([("06", 1.0), ("48", 2.0)], "fips string, v double")
     out = {r.fips: r.name for r in joins.dim_lookup(facts, dim, on="fips").collect()}
     assert out == {"06": "California", "48": "Texas"}
+
+
+def test_normalize_by_group(spark):
+    df = spark.createDataFrame(
+        [("g1", 0.0), ("g1", 10.0), ("g2", 100.0), ("g2", 300.0)],
+        "g string, v double",
+    )
+    mm = normalize.normalize_by_group(df, "v", ["g"], "minmax", "n")
+    got = sorted([(r.g, r.v, r.n) for r in mm.collect()])
+    assert got == [("g1", 0.0, 0.0), ("g1", 10.0, 1.0),
+                   ("g2", 100.0, 0.0), ("g2", 300.0, 1.0)]
+    with pytest.raises(ValueError):
+        normalize.normalize_by_group(df, "v", ["g"], "robust")

@@ -58,18 +58,52 @@ def _canon_rows(columns, rows):
     return sorted(out, key=repr)
 
 
+_SPARK_TYPE_CLASS = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float",
+    "string": "str", "binary": "bytes", "boolean": "bool",
+    "timestamp": "ts", "timestamp_ntz": "ts", "date": "ts",
+}
+
+_DUCK_TYPE_CLASS = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "UTINYINT": "int", "USMALLINT": "int", "UINTEGER": "int", "UBIGINT": "int",
+    "FLOAT": "float", "DOUBLE": "float",
+    "VARCHAR": "str", "BLOB": "bytes", "BOOLEAN": "bool",
+    "TIMESTAMP": "ts", "TIMESTAMP_NS": "ts", "DATE": "ts",
+    # HUGEINT / DECIMAL deliberately unmapped: a DuckDB aggregate that
+    # widens to int128/decimal will not survive the driver's schema
+    # comparison against Spark's bigint/double — cast it in the oracle.
+}
+
+
+def _type_classes(pairs, table):
+    out = {}
+    for name_, type_ in pairs:
+        base = str(type_).split("(")[0].strip()
+        cls = table.get(base)
+        assert cls is not None, f"unmapped {table is _DUCK_TYPE_CLASS and 'duck' or 'spark'} type {type_!r} for column {name_!r}"
+        out[name_] = cls
+    return out
+
+
 @pytest.mark.parametrize("name", sorted(ORACLE))
 def test_query_matches_oracle(name, spark, sf_dir, duck):
     sdf = QUERIES[name](spark, sf_dir)
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = sdf.columns
 
-    rel = duck.execute(ORACLE[name])
-    duck_cols = [d[0] for d in rel.description]
+    rel = duck.sql(ORACLE[name])
+    duck_cols = list(rel.columns)
+    duck_types = _type_classes(zip(rel.columns, rel.types), _DUCK_TYPE_CLASS)
     duck_rows = rel.fetchall()
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    spark_types = _type_classes(sdf.dtypes, _SPARK_TYPE_CLASS)
+    assert spark_types == duck_types, (
+        f"{name}: type-class mismatch {spark_types} vs {duck_types}"
     )
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
