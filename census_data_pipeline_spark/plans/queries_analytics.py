@@ -268,6 +268,124 @@ def asof_click_purchase(spark, sf_dir):
 
 
 @query(
+    "global_stats_price",
+    oracle="""
+    SELECT round(sum(l_extendedprice), 2) AS sum,
+           round(avg(l_extendedprice), 6) AS mean,
+           round(median(l_extendedprice), 6) AS median,
+           min(l_extendedprice) AS min,
+           max(l_extendedprice) AS max,
+           count(l_extendedprice) AS count
+    FROM lineitem
+    """,
+)
+def global_stats_price(spark, sf_dir):
+    """A3 global scalar reductions (reference:
+    examples/tract_level_analysis.py:122-139) via rollup.global_stats."""
+    from census_data_pipeline_spark.operators.rollup import global_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = global_stats(li, "l_extendedprice")
+    return out.select(
+        F.round("sum", 2).alias("sum"),
+        F.round("mean", 6).alias("mean"),
+        F.round("median", 6).alias("median"),
+        "min",
+        "max",
+        "count",
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           epoch_us(o_orderdate) AS orderdate_us,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H-Q3 shape: selective dim filter + fact-fact join + grouped
+    revenue + true top-k (TakeOrderedAndProject) with tiebreak."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    df = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue")
+        )
+    )
+    return (
+        df.select(
+            "o_orderkey",
+            "revenue",
+            # o_orderdate scans as TIMESTAMP_NTZ; with the session pinned to
+            # UTC this cast preserves the wall-clock instant (== DuckDB's
+            # epoch_us over its naive timestamp)
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("orderdate_us"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(avg(c_acctbal), 4) AS acctbal
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H-Q10 shape: returned-item revenue per customer with a
+    broadcast nation dim, top-20."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    df = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.round(F.avg("c_acctbal"), 4).alias("acctbal"),
+        )
+    )
+    return df.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+
+
+@query(
     "sql_surface_revenue",
     oracle="""
     SELECT l_returnflag,
