@@ -25,11 +25,13 @@ MISSING_CODES: tuple[int, ...] = (
     -333333333,
 )
 
-_NUMERIC_PREFIXES = ("int", "bigint", "double", "float", "decimal", "smallint", "tinyint", "long")
+_NUMERIC_TYPES = {"int", "bigint", "double", "float", "decimal", "smallint", "tinyint"}
 
 
 def _numeric_columns(df: DataFrame) -> list[str]:
-    return [c for c, t in df.dtypes if t.startswith(_NUMERIC_PREFIXES)]
+    # match on the base type name — a prefix test would also catch
+    # interval types ("interval day" startswith "int")
+    return [c for c, t in df.dtypes if t.split("(")[0] in _NUMERIC_TYPES]
 
 
 def sentinel_to_null(col: Column | str) -> Column:

@@ -37,7 +37,11 @@ def export(
         writer = writer.partitionBy(*partition_by)
     if fmt == "csv":
         # reference drops geometry before CSV (exporters.py:65-69)
-        out = df.drop("geometry", "geometry_wkb") if "geometry" in df.columns else df
+        out = (
+            df.drop("geometry", "geometry_bytes", "geometry_encoding")
+            if "geometry" in df.columns
+            else df
+        )
         out.write.mode(mode).option("header", True).csv(path)
     elif fmt == "parquet":
         writer.parquet(path)
@@ -57,7 +61,10 @@ def to_geojson(df: DataFrame, geometry_col: str = "geometry") -> DataFrame:
     geometry object requires a WKT->GeoJSON geometry parser (Sedona's
     ST_AsGeoJSON at scale). Distributed text sink — one Feature per line
     (newline-delimited GeoJSON)."""
-    props = [c for c in df.columns if c not in (geometry_col, "geometry_wkb")]
+    props = [
+        c for c in df.columns
+        if c not in (geometry_col, "geometry_bytes", "geometry_encoding")
+    ]
     feature = F.to_json(
         F.struct(
             F.lit("Feature").alias("type"),
@@ -93,9 +100,11 @@ def to_jdbc(
     properties: dict[str, str] | None = None,
 ) -> None:
     """PostGIS/JDBC sink (reference: src/exporters.py:120-195). Geometry
-    travels as WKB; server-side ``ST_GeomFromWKB`` promotion is a post-step
-    (exporters.py:171-180 equivalent) executed by the caller via
-    ``execute_sql``."""
+    travels in ``geometry_bytes``; the server-side promotion post-step
+    (exporters.py:171-180 equivalent, run by the caller via
+    ``execute_sql``) must dispatch on ``geometry_encoding``:
+    ``ST_GeomFromText`` for 'wkt-utf8' rows, ``ST_GeomFromWKB`` for
+    'wkb'."""
     if if_exists not in _JDBC_MODES:
         raise ValueError(f"if_exists must be one of {sorted(_JDBC_MODES)}")
     df.write.jdbc(url, table, mode=_JDBC_MODES[if_exists],

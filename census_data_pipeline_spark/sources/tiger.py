@@ -3,8 +3,10 @@
 The reference downloads cartographic-boundary shapefiles per
 (geography, year, resolution, state) and caches them as GPKG
 (geography.py:64-97,184-216). Spark-first design: a one-time **ingest job**
-writes boundaries to a GeoParquet-style lake — geometry carried as WKT
-string + WKB binary columns with a `crs` table property — and every query
+writes boundaries to a GeoParquet-style lake — geometry carried as a WKT
+string plus a binary column tagged by an explicit `geometry_encoding`
+marker ('wkt-utf8' in this image; 'wkb' once a shapely/Sedona-backed
+ingest encodes real WKB) with a `crs` table property — and every query
 reads plain parquet. The lake *is* the cache (S8); geometry predicates can
 later upgrade to Apache Sedona without changing the storage layout.
 
@@ -66,7 +68,15 @@ def boundaries_from_records(
 def normalize_boundaries(df: DataFrame, geoid_col: str = "GEOID",
                          wkt_col: str = "geometry") -> DataFrame:
     """Canonical boundary shape: GEOID (deduped — SURVEY.md §7.3 right-join
-    blowup risk), geometry WKT, geometry_wkb binary."""
+    blowup risk), geometry WKT, a binary geometry column, and an explicit
+    ``geometry_encoding`` marker.
+
+    Without shapely/Sedona in the image, the binary column carries the
+    WKT's UTF-8 bytes, and ``geometry_encoding`` says so ('wkt-utf8').
+    When ingest is upgraded to emit real WKB it writes 'wkb' instead —
+    the marker is persisted to the lake, so readers and the PostGIS
+    promotion step can tell mixed-vintage partitions apart instead of
+    mis-parsing bytes."""
     out = df
     if geoid_col != "GEOID":
         out = out.withColumnRenamed(geoid_col, "GEOID")
@@ -74,7 +84,8 @@ def normalize_boundaries(df: DataFrame, geoid_col: str = "GEOID",
         out = out.withColumnRenamed(wkt_col, "geometry")
     return (
         out.dropDuplicates(["GEOID"])
-        .withColumn("geometry_wkb", F.encode(F.col("geometry"), "UTF-8"))
+        .withColumn("geometry_bytes", F.encode(F.col("geometry"), "UTF-8"))
+        .withColumn("geometry_encoding", F.lit("wkt-utf8"))
     )
 
 

@@ -231,3 +231,14 @@ def test_normalize_by_group(spark):
                    ("g2", 100.0, 0.0), ("g2", 300.0, 1.0)]
     with pytest.raises(ValueError):
         normalize.normalize_by_group(df, "v", ["g"], "robust")
+
+
+def test_clean_missing_values_default_columns(spark):
+    # columns=None must auto-detect numeric columns (incl. decimal) and
+    # leave strings/intervals untouched
+    df = spark.createDataFrame(
+        [(-666666666.0, -666666666, "x")], "d double, i long, s string"
+    ).withColumn("dec", F.lit(-999999999).cast("decimal(12,0)"))
+    row = cleaning.clean_missing_values(df).collect()[0]
+    assert row.d is None and row.i is None and row.dec is None
+    assert row.s == "x"

@@ -165,3 +165,10 @@ def test_export_roundtrips(spark, tmp_path):
 def test_execute_sql(spark):
     spark.createDataFrame([(1,)], "x int").createOrReplaceTempView("t_exec")
     assert exporters.execute_sql(spark, "SELECT sum(x) AS s FROM t_exec").collect()[0].s == 1
+
+
+def test_boundary_encoding_marker(spark):
+    df = tiger.boundaries_from_records(spark, [("06059", "POINT(1 1)")])
+    row = df.collect()[0]
+    assert row.geometry_encoding == "wkt-utf8"
+    assert bytes(row.geometry_bytes).decode() == "POINT(1 1)"
