@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis) for algebraic invariants that
+example-based tests can't sweep: GEOID round-trips, salted-agg exactness
+over arbitrary key/value distributions, coerce-cast agreement with the
+pandas reference semantics."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from census_data_pipeline_spark.operators import geoid, skew
+from census_data_pipeline_spark.operators.rates import safe_rate
+
+fips2 = st.integers(1, 99).map(lambda i: f"{i:02d}")
+fips3 = st.integers(0, 999).map(lambda i: f"{i:03d}")
+fips6 = st.integers(0, 999999).map(lambda i: f"{i:06d}")
+fips1 = st.integers(0, 9).map(str)
+
+
+@given(fips2, fips3, fips6, fips1)
+def test_geoid_roundtrip_property(s, c, t, bg):
+    g = geoid.build_geoid(s, c, t, bg)
+    parsed = geoid.parse_geoid(g)
+    assert parsed == {"state": s, "county": c, "tract": t, "block_group": bg}
+    assert len(g) == geoid.GEOID_LENGTHS["block_group"]
+
+
+@pytest.mark.slow
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]),
+                  st.floats(-1e6, 1e6, allow_nan=False)),
+        min_size=1, max_size=40,
+    )
+)
+def test_salted_agg_equals_direct_property(spark, rows):
+    df = spark.createDataFrame(rows, "k string, v double").repartition(4)
+    from pyspark.sql import functions as F
+
+    direct = {
+        r.k: (r.s, r.c, r.lo, r.hi)
+        for r in df.groupBy("k").agg(
+            F.sum("v").alias("s"), F.count("v").alias("c"),
+            F.min("v").alias("lo"), F.max("v").alias("hi"),
+        ).collect()
+    }
+    salted = {
+        r.k: (r.s, r.c, r.lo, r.hi)
+        for r in skew.salted_agg(
+            df, ["k"],
+            [("sum", "v", "s"), ("count", "v", "c"),
+             ("min", "v", "lo"), ("max", "v", "hi")],
+            n_salts=4,
+        ).collect()
+    }
+    assert set(direct) == set(salted)
+    for k in direct:
+        ds, dc, dlo, dhi = direct[k]
+        ss, sc, slo, shi = salted[k]
+        assert (dc, dlo, dhi) == (sc, slo, shi)
+        assert ss == pytest.approx(ds, rel=1e-9)
+
+
+@pytest.mark.slow
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-1e9, 1e9, allow_nan=False),
+            st.floats(-1e3, 1e3, allow_nan=False),
+        ),
+        min_size=1, max_size=30,
+    )
+)
+def test_safe_rate_matches_pandas_reference(spark, pairs):
+    """The zero-policy contract vs the reference's pandas arithmetic
+    (transformers.py:100-108): raw division then policy replacement."""
+    df = spark.createDataFrame(pairs, "num double, den double")
+    got = df.select(
+        safe_rate("num", "den", 100.0, "nan").alias("r_nan"),
+        safe_rate("num", "den", 100.0, "zero").alias("r_zero"),
+    ).collect()
+    pdf = pd.DataFrame(pairs, columns=["num", "den"])
+    for row, (n, d) in zip(got, pairs):
+        if d == 0:
+            assert row.r_nan is None  # pandas: inf -> replaced by NaN
+            assert row.r_zero == 0.0
+        else:
+            expected = n / d * 100.0
+            assert row.r_nan == expected and row.r_zero == expected
+    assert len(got) == len(pdf)
