@@ -29,6 +29,26 @@ PAYLOAD_SCHEMA = (
 FEATURE_SCHEMA = "doc_id long, byte_len long, mean_byte double, n_zero long"
 
 
+def ingest_binary_files(spark, path: str, glob: str | None = None) -> DataFrame:
+    """Loose-media ingestion via ``spark.read.format("binaryFile")``
+    (SURVEY.md §2.11): one row per file with (path, modificationTime,
+    length, content), normalized to the engine's payload shape. Partition
+    parallelism follows file count/size; at scale, pack small media files
+    into parquet first (this reader is for raw landing zones)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    return df.select(
+        F.abs(F.xxhash64("path")).alias("doc_id"),
+        F.col("path").alias("source_path"),
+        F.col("content").alias("payload"),
+        F.lit("application/octet-stream").alias("media_type"),
+        F.col("length").cast("long").alias("byte_len"),
+        F.sha2(F.col("content"), 256).alias("checksum"),
+    )
+
+
 def attach_binary_payload(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     media_type: str = "application/octet-stream",

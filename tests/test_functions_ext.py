@@ -144,3 +144,15 @@ def test_embedding_dup_pairs_blas(spark):
     pairs = similarity.embedding_dup_pairs(df, threshold=0.9).collect()
     assert [(p.id_a, p.id_b) for p in pairs] == [(0, 1)]
     assert pairs[0].cosine_sim > 0.99
+
+
+def test_ingest_binary_files(spark, tmp_path):
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01payload-a")
+    (tmp_path / "b.bin").write_bytes(b"payload-b")
+    (tmp_path / "skip.txt").write_text("not matched")
+    df = multimodal.ingest_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = {r.source_path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.bin", "b.bin"}
+    assert rows["a.bin"].byte_len == 11 and len(rows["a.bin"].checksum) == 64
+    feats = multimodal.extract_fake_features(df)
+    assert feats.count() == 2

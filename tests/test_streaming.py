@@ -83,3 +83,22 @@ def test_dedup_in_stream_batch_fallback(spark, events_dir):
     df = spark.read.parquet(events_dir)
     deduped = windows.dedup_in_stream(df, ["user_id"], "ts", "10 minutes")
     assert deduped.count() == df.select("user_id").distinct().count()
+
+
+def test_foreachbatch_parquet_sink(spark, events_dir, tmp_path):
+    from census_data_pipeline_spark.streaming import sinks
+
+    batch_df = spark.read.parquet(events_dir)
+    stream = windows.stream_from_parquet(spark, events_dir, batch_df.schema)
+    q = sinks.start_parquet_stream(
+        stream.select("event_id", "user_id", "value"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = sinks.read_parquet_stream_output(spark, str(tmp_path / "out"))
+    assert back.count() == batch_df.count()
+    assert back.select("event_id").distinct().count() == batch_df.count()
