@@ -76,31 +76,30 @@ def decode_image(payload: bytes) -> object:
     )
 
 
-def _fake_feature_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    """Deterministic stand-in for a media feature extractor: byte-level
-    statistics (length, mean byte value, zero-byte count). Operates on an
-    Arrow batch exactly as a real decoder would."""
-    payloads = batch["payload"]
-    return pd.DataFrame(
-        {
-            "doc_id": batch["doc_id"],
-            "byte_len": payloads.map(len),
-            "mean_byte": payloads.map(
-                lambda b: float(sum(b)) / len(b) if len(b) else 0.0
-            ),
-            "n_zero": payloads.map(lambda b: sum(1 for x in b if x == 0)),
-        }
-    )
-
-
 def extract_fake_features(df: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction over binary payloads. Swap
-    ``_fake_feature_batch`` for a real decoder (decode_image) when media
-    libraries are present — the Spark plumbing (schema, batching,
-    partition-parallelism) is identical."""
+    """mapInPandas feature extraction over binary payloads: deterministic
+    byte-level statistics standing in for a real media decoder
+    (decode_image) — the Spark plumbing (schema, Arrow batching,
+    partition-parallelism) is identical.
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    The batch function is a self-contained closure (imports pandas inside,
+    references nothing module-level) so cloudpickle ships it BY VALUE —
+    it runs on workers that cannot import this package."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
         for batch in batches:
-            yield _fake_feature_batch(batch)
+            payloads = batch["payload"]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "byte_len": payloads.map(len),
+                    "mean_byte": payloads.map(
+                        lambda b: float(sum(b)) / len(b) if len(b) else 0.0
+                    ),
+                    "n_zero": payloads.map(lambda b: sum(1 for x in b if x == 0)),
+                }
+            )
 
     return df.select("doc_id", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)

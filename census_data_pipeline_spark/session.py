@@ -52,7 +52,40 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
             # Some confs may be static in exotic deployments; the engine
             # degrades gracefully (events scan will raise a clear error).
             pass
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Distribute this package to Python workers via ``addPyFile``.
+
+    An externally built session (the driver contract) has no guarantee
+    that workers can import ``census_data_pipeline_spark`` — cloudpickle
+    serializes module-level functions by reference, so any mapInPandas /
+    stateful closure would die with ModuleNotFoundError on the worker.
+    Shipping a zip of the package once per SparkContext makes every
+    Python-side operator location-independent."""
+    sc = spark.sparkContext
+    if getattr(sc, "_cdps_pkg_shipped", False):
+        return
+    try:
+        import shutil
+        import tempfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        root = os.path.dirname(pkg_dir)
+        staging = tempfile.mkdtemp(prefix="cdps_pkg_")
+        archive = shutil.make_archive(
+            os.path.join(staging, "census_data_pipeline_spark"),
+            "zip",
+            root_dir=root,
+            base_dir="census_data_pipeline_spark",
+        )
+        sc.addPyFile(archive)
+        sc._cdps_pkg_shipped = True
+    except Exception:
+        # non-fatal: JVM-only queries never need worker-side imports
+        pass
 
 
 def get_spark(

@@ -24,26 +24,32 @@ OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
 STATE_SCHEMA = "n long, total double"
 
 
-def _update(key, batches: Iterator[pd.DataFrame], state: GroupState):
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in batches:
-        n += len(pdf)
-        total += float(pdf["value"].fillna(0.0).sum())
-    state.update((n, total))
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
-    )
-
-
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Streaming: per-user running event count and value sum, updated per
     micro-batch. ``events`` must be a streaming DataFrame with columns
-    ``user_id`` and ``value``."""
+    ``user_id`` and ``value``.
+
+    The update function is a self-contained closure (pandas imported
+    inside, no module-level references) so cloudpickle ships it by value
+    to workers that cannot import this package."""
+
+    def update(key, batches: Iterator["pd.DataFrame"], state: GroupState):
+        import pandas as _pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield _pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
     return (
         events.select("user_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _update,
+            update,
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
