@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from census_data_pipeline_spark.functions.text import shingles, tokens
+from census_data_pipeline_spark.sources.catalog import ensure_parallelism
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -62,7 +63,7 @@ def ngram_jaccard_pairs(
     groupBy pair count(intersection) → join per-doc sizes → filter. Every
     step is a hash shuffle on a compact key.
     """
-    sh = df.select(
+    sh = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, n)).alias("shingle"),
     ).persist()  # reused by sizes + both self-join sides (3 downstream scans)
@@ -151,7 +152,7 @@ def minhash_lsh_pairs(
     # the size agg and both verification sides — without it the
     # split/shingle/explode lineage re-executes 4x. At cluster scale this
     # is the stage you'd checkpoint or write to a temp table.
-    rows = df.select(
+    rows = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, n)).alias("shingle"),
     ).persist()
@@ -241,7 +242,7 @@ def simhash_table(df: DataFrame, id_col: str = "doc_id",
         f"transform(split({text_col}, ' '), "
         "x -> cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint))"
     )
-    hashed = df.select(F.col(id_col), F.expr(hv).alias("__hv"))
+    hashed = ensure_parallelism(df).select(F.col(id_col), F.expr(hv).alias("__hv"))
     return hashed.select(
         F.col(id_col), _simhash_from_hashes("__hv").alias("simhash")
     )

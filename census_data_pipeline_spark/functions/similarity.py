@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from census_data_pipeline_spark.operators.topk import top_k_per_group
+from census_data_pipeline_spark.sources.catalog import ensure_parallelism
 
 
 def _as_double(col: Column) -> Column:
@@ -64,7 +65,9 @@ def knn_bruteforce(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
     scored = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+        ensure_parallelism(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+        )
         .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine_sim", F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6))
     )
@@ -131,6 +134,9 @@ def embedding_dup_pairs(
                 }
             )
 
+    # no repartition here: the matmul wants few LARGE Arrow batches —
+    # splitting 2k rows across 32 partitions costs a shuffle and per-batch
+    # numpy overhead for no parallel win (BLAS saturates a core per block)
     return df.select(id_col, vec_col).mapInPandas(
         block, schema="id_a long, id_b long, cosine_sim double"
     )
@@ -162,7 +168,7 @@ def knn_lsh(
     Scale: corpus is pre-bucketed once (could be written bucketed-by
     bucket key); each query touches ~corpus/2^nbits vectors via an
     equi-join — no cross join anywhere."""
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         sign_bucket(vec_col, nbits).alias("__bucket"),

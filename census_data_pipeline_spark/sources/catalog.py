@@ -51,6 +51,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a small single-file input up to the cluster's
+    parallelism. Small parquet files scan as ONE partition, which serializes
+    every downstream narrow transformation onto one core — fatal for
+    CPU-heavy per-row work (hashing, shingling, vector math). At real scale
+    inputs arrive multi-file and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
