@@ -386,6 +386,34 @@ def q10_returned_items(spark, sf_dir):
 
 
 @query(
+    "unpivot_part_measures",
+    oracle="""
+    SELECT p_partkey, measure, value FROM (
+      SELECT p_partkey, 'retail_price' AS measure,
+             p_retailprice AS value FROM part
+      UNION ALL
+      SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+    ) t
+    """,
+)
+def unpivot_part_measures(spark, sf_dir):
+    """Unpivot (wide->long): the inverse of T-pivot, via the native
+    ``unpivot``/``melt`` operator (SURVEY.md §2.6 'free in Spark' row)."""
+    p = load_table(spark, sf_dir, "part")
+    wide = p.select(
+        "p_partkey",
+        F.col("p_retailprice").alias("retail_price"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    return wide.unpivot(
+        ids=["p_partkey"],
+        values=["retail_price", "size"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+@query(
     "sql_surface_revenue",
     oracle="""
     SELECT l_returnflag,
