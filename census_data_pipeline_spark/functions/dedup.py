@@ -246,3 +246,54 @@ def simhash_table(df: DataFrame, id_col: str = "doc_id",
     return hashed.select(
         F.col(id_col), _simhash_from_hashes("__hv").alias("simhash")
     )
+
+
+def dup_clusters(pairs: DataFrame) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
+    components over the pair graph, labeling every member with the minimum
+    doc id of its component (the canonical keeper).
+
+    Iterative min-label propagation — the GraphX-free connected-components
+    pattern: each round joins labels across edges and takes the min; stops
+    when no label changes. Rounds are O(component diameter), which for
+    dup clusters is tiny. ``localCheckpoint`` truncates lineage each round
+    so the plan doesn't grow with iterations (mandatory for any iterative
+    DataFrame algorithm).
+
+    Output: (doc_id, cluster_id). Only docs that appear in >=1 pair are
+    returned (singletons are their own cluster implicitly).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    while True:
+        neighbor_labels = edges.join(
+            labels.withColumnRenamed("id", "dst"), on="dst"
+        ).select(F.col("src").alias("id"), "label")
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

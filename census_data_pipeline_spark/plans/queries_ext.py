@@ -379,6 +379,31 @@ def text_tfidf_top_terms(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_minhash_lsh_oracle()}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+    )
+    SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> duplicate clusters (connected components, iterative
+    min-label propagation); oracle is the recursive-CTE transitive closure
+    over the identical minhash pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=8, band_size=2, n=4,
+                                    threshold=0.5)
+    return dedup.dup_clusters(pairs)
+
+
 @query("dedup_minhash_ml")  # rows-only: pyspark.ml hash family isn't SQL-reproducible
 def dedup_minhash_ml(spark, sf_dir):
     """The pyspark.ml alternative (SURVEY.md §2.11): HashingTF over shingles

@@ -156,3 +156,13 @@ def test_ingest_binary_files(spark, tmp_path):
     assert rows["a.bin"].byte_len == 11 and len(rows["a.bin"].checksum) == 64
     feats = multimodal.extract_fake_features(df)
     assert feats.count() == 2
+
+
+def test_dup_clusters_connected_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (10, 11), (11, 12), (3, 4)],
+        "id_a long, id_b long",
+    )
+    out = {r.doc_id: r.cluster_id for r in dedup.dup_clusters(pairs).collect()}
+    # chains 1-2-3-4, 7-8, 10-11-12 -> components labeled by min id
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 10: 10, 11: 10, 12: 10}
