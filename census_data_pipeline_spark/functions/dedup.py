@@ -165,7 +165,9 @@ def minhash_lsh_pairs(
     for i in range(num_hashes):
         src, off = ("ha", i * 8 + 1) if i < 4 else ("hb", (i - 4) * 8 + 1)
         min_exprs.append(F.min(F.substring(F.col(src), off, 8)).alias(f"m{i}"))
-    sig = hashed.groupBy("id").agg(*min_exprs)
+    # shingle count rides along in the same aggregate — saves the separate
+    # sizes groupBy (one less shuffle + one less scan of `rows`)
+    sig = hashed.groupBy("id").agg(*min_exprs, F.count("*").alias("n_sh"))
 
     bands = sig.select(
         "id",
@@ -195,7 +197,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sizes = rows.groupBy("id").agg(F.count("*").alias("n_sh"))
+    sizes = sig.select("id", "n_sh")
     a = rows.withColumnsRenamed({"id": "id_a"})
     b = rows.withColumnsRenamed({"id": "id_b"})
     inter = (
