@@ -787,6 +787,57 @@ def events_session_5m(spark, sf_dir):
 
 
 @query(
+    "streaming_tumbling_1h",
+    oracle="""
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_1h(spark, sf_dir):
+    """The tumbling-window aggregation executed through a REAL Structured
+    Streaming query (parquet source -> watermark -> window agg -> memory
+    sink, drained synchronously), then returned as the sink's batch result —
+    so actual streaming execution is held to the same SQL oracle as the
+    batch form (events_tumbling_1h). The µs-precision events are staged to
+    a temp dir because streaming sources read the raw parquet schema (the
+    nanos shim is a batch-read conf)."""
+    import tempfile
+    import uuid
+
+    staged = tempfile.mkdtemp(prefix="stream_events_") + "/events"
+    batch = load_table(spark, sf_dir, "events")
+    batch.write.mode("overwrite").parquet(staged)
+
+    stream = windows.stream_from_parquet(
+        spark, staged, spark.read.parquet(staged).schema
+    )
+    agg = windows.tumbling_window_agg(
+        windows.with_watermark(stream, "ts", "1 minute"),
+        "ts", "1 hour", ["event_type"],
+        [("count", "*", "n_events"), ("sum", "value", "total_value")],
+    )
+    sink = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(sink)
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+    )
+
+
+@query(
     "events_json_extract",
     oracle="""
     SELECT event_type, count(*) AS n_events,

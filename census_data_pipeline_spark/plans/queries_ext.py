@@ -427,3 +427,17 @@ def dedup_minhash_ml(spark, sf_dir):
             F.round(1 - F.col("jaccard_dist"), 6).alias("jaccard"),
         )
     )
+
+
+@query("knn_ivf")  # rows-only: KMeans centroids aren't SQL-reproducible
+def knn_ivf_query(spark, sf_dir):
+    """IVF (learned coarse quantizer) similarity search — the pyspark.ml
+    upgrade of knn_lsh; rows-only because the trained centroids have no
+    ANSI-SQL oracle (the exact baseline knn_bruteforce is the checked one)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    out = similarity.knn_ivf(emb, queries, k=10, n_centroids=16)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
+        "cosine_sim",
+    )
