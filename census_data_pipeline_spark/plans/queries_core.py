@@ -153,6 +153,47 @@ def part_catalog_search(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# S9/S10: variable-catalog search (reference: census_pipeline.py:409-457) —
+# the catalog is a literal dimension (VALUES on both sides); the search is
+# the case-insensitive substring filter over label OR concept.
+# ---------------------------------------------------------------------------
+_CATALOG = [
+    ("B01003_001E", "Estimate!!Total", "TOTAL POPULATION"),
+    ("B19013_001E", "Estimate!!Median household income", "INCOME IN THE PAST 12 MONTHS"),
+    ("B23025_005E", "Estimate!!Unemployed", "EMPLOYMENT STATUS"),
+    ("B25077_001E", "Estimate!!Median value", "VALUE OF OWNER-OCCUPIED HOUSING UNITS"),
+    ("B17001_002E", "Estimate!!Income below poverty level", "POVERTY STATUS"),
+    ("B15003_022E", "Estimate!!Bachelor's degree", "EDUCATIONAL ATTAINMENT"),
+]
+
+_CATALOG_VALUES = ", ".join(
+    "(" + ", ".join("'" + v.replace("'", "''") + "'" for v in row) + ")"
+    for row in _CATALOG
+)
+
+
+@query(
+    "variable_catalog_search",
+    oracle=f"""
+    WITH catalog(variable, label, concept) AS (VALUES {_CATALOG_VALUES})
+    SELECT variable, label, concept FROM catalog
+    WHERE contains(lower(label), 'income') OR contains(lower(concept), 'income')
+    """,
+)
+def variable_catalog_search(spark, sf_dir):
+    """``search_variables`` semantics (reference: census_pipeline.py:426-457):
+    keyword match against label or concept, case-insensitive."""
+    catalog = spark.createDataFrame(
+        _CATALOG, "variable string, label string, concept string"
+    )
+    kw = "income"
+    return catalog.filter(
+        F.lower(F.col("label")).contains(kw)
+        | F.lower(F.col("concept")).contains(kw)
+    )
+
+
+# ---------------------------------------------------------------------------
 # M10/P8/P9: sentinel cleaning. The lake has no census sentinels, so they
 # are injected deterministically (same CASE on both sides), then cleaned by
 # the engine operator (reference: transformers.py:42-72).
