@@ -483,6 +483,102 @@ def geo_point_extract(spark, sf_dir):
     )
 
 
+@query(
+    "events_gapfill_1h",
+    oracle="""
+    WITH bounds AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                           date_trunc('hour', max(ts)) AS hi FROM events),
+    grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS h
+             FROM bounds),
+    et AS (SELECT DISTINCT event_type FROM events),
+    agg AS (SELECT date_trunc('hour', ts) AS h, event_type,
+                   count(*) AS n FROM events GROUP BY 1, 2)
+    SELECT epoch_us(g.h) AS window_start_us, et.event_type,
+           CAST(coalesce(agg.n, 0) AS BIGINT) AS n_events
+    FROM grid g CROSS JOIN et
+    LEFT JOIN agg ON agg.h = g.h AND agg.event_type = et.event_type
+    """,
+)
+def events_gapfill_1h(spark, sf_dir):
+    """Time-grid gap filling (resample): a dense (hour x event_type) grid
+    over the observed range, zero-filled where no events landed — the
+    standard prep step before time-series modeling. The grid is generated
+    with ``sequence`` from a 1-row bounds aggregate (broadcast), so the
+    only real shuffle is the hourly aggregation itself."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h")
+    )
+    et = ev.select("event_type").distinct()
+    agg = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    return (
+        grid.crossJoin(F.broadcast(et))
+        .join(agg, on=["h", "event_type"], how="left")
+        .select(
+            F.unix_micros("h").alias("window_start_us"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+
+
+def _profile_oracle(table: str, columns: list[str]) -> str:
+    parts = [
+        f"""SELECT '{c}' AS column_name,
+               count(*) - count({c}) AS n_null,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_value,
+               CAST(max({c}) AS VARCHAR) AS max_value
+        FROM {table}"""
+        for c in columns
+    ]
+    return " UNION ALL ".join(parts)
+
+
+_PROFILE_COLS = ["l_quantity", "l_returnflag", "l_shipdate", "l_discount"]
+
+
+@query(
+    "profile_lineitem",
+    oracle=_profile_oracle("lineitem", _PROFILE_COLS),
+)
+def profile_lineitem(spark, sf_dir):
+    """Column profiling (data-quality surface): null counts, distinct
+    counts, min/max per column in ONE aggregate pass (the per-column UNION
+    in the oracle is the semantic spec; the engine computes all columns'
+    stats in a single scan and unpivots driver-side expressions)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"__null_{c}"),
+            F.countDistinct(c).alias(f"__dist_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+        ]
+    stats = li.agg(*aggs)
+    profiles = [
+        stats.select(
+            F.lit(c).alias("column_name"),
+            F.col(f"__null_{c}").alias("n_null"),
+            F.col(f"__dist_{c}").alias("n_distinct"),
+            F.col(f"__min_{c}").alias("min_value"),
+            F.col(f"__max_{c}").alias("max_value"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    from functools import reduce
+    from pyspark.sql import DataFrame
+
+    return reduce(DataFrame.unionByName, profiles)
+
+
 @query("approx_sketches")  # rows-only: approximate results have no exact oracle
 def approx_sketches(spark, sf_dir):
     """The 100 TB swap path: approx_count_distinct (HLL) and
