@@ -484,6 +484,94 @@ def geo_point_extract(spark, sf_dir):
 
 
 @query(
+    "winsorize_acctbal",
+    oracle="""
+    WITH s AS (SELECT quantile_cont(c_acctbal, 0.05) AS p05,
+                      quantile_cont(c_acctbal, 0.95) AS p95 FROM customer)
+    SELECT c_custkey,
+           round(least(greatest(c_acctbal, p05), p95), 4) AS clipped
+    FROM customer, s
+    """,
+)
+def winsorize_acctbal(spark, sf_dir):
+    """Winsorization (outlier clipping at exact percentiles) — the
+    cleaning companion to the robust normalizer: one scalar-stats aggregate
+    broadcast back over the frame; swap exact percentiles for
+    approxQuantile at 100 TB."""
+    c = load_table(spark, sf_dir, "customer")
+    stats = c.agg(
+        F.expr("percentile(c_acctbal, 0.05)").alias("p05"),
+        F.expr("percentile(c_acctbal, 0.95)").alias("p95"),
+    )
+    return (
+        c.crossJoin(F.broadcast(stats))
+        .select(
+            "c_custkey",
+            F.round(
+                F.least(F.greatest(F.col("c_acctbal"), F.col("p05")), F.col("p95")), 4
+            ).alias("clipped"),
+        )
+    )
+
+
+@query(
+    "grouped_quantiles",
+    oracle="""
+    SELECT n_name,
+           round(quantile_cont(c_acctbal, 0.25), 6) AS q1,
+           round(quantile_cont(c_acctbal, 0.5), 6) AS med,
+           round(quantile_cont(c_acctbal, 0.75), 6) AS q3
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def grouped_quantiles(spark, sf_dir):
+    """Exact per-group quantiles (A4 by group). At 100 TB the per-group
+    sort inside exact percentile is the cost — percentile_approx is the
+    mergeable, skew-immune swap."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.expr("percentile(c_acctbal, 0.25)"), 6).alias("q1"),
+            F.round(F.expr("percentile(c_acctbal, 0.5)"), 6).alias("med"),
+            F.round(F.expr("percentile(c_acctbal, 0.75)"), 6).alias("q3"),
+        )
+    )
+
+
+@query(
+    "moving_average_spend",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                 4) AS ma3
+    FROM orders
+    """,
+)
+def moving_average_spend(spark, sf_dir):
+    """Explicit window frame spec (ROWS BETWEEN): 3-order trailing moving
+    average per customer — one shuffle on the partition key."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("ma3"),
+    )
+
+
+@query(
     "events_gapfill_1h",
     oracle="""
     WITH bounds AS (SELECT date_trunc('hour', min(ts)) AS lo,
