@@ -104,19 +104,17 @@ def minhash_signature(text_col: Column | str, num_hashes: int = 8,
     if num_hashes > 8:
         raise ValueError("at most 8 hash functions (2 md5 digests x 4 words)")
     sh = shingles(text_col, n)
+
+    def word_fn(seed: str, off: int):
+        # closure factory — default-arg lambdas don't work here: PySpark
+        # derives higher-order-function arity from the lambda's parameter
+        # count, so `lambda s, seed=seed:` parses as a 2-arg lambda
+        return lambda s: F.substring(F.md5(F.concat(F.lit(seed), s)), off, 8)
+
     out = []
     for i in range(num_hashes):
         seed, off = ("a|", i * 8 + 1) if i < 4 else ("b|", (i - 4) * 8 + 1)
-        out.append(
-            F.array_min(
-                F.transform(
-                    sh,
-                    lambda s, seed=seed, off=off: F.substring(
-                        F.md5(F.concat(F.lit(seed), s)), off, 8
-                    ),
-                )
-            )
-        )
+        out.append(F.array_min(F.transform(sh, word_fn(seed, off))))
     return F.array(*out)
 
 

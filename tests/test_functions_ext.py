@@ -166,3 +166,17 @@ def test_dup_clusters_connected_components(spark):
     out = {r.doc_id: r.cluster_id for r in dedup.dup_clusters(pairs).collect()}
     # chains 1-2-3-4, 7-8, 10-11-12 -> components labeled by min id
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 10: 10, 11: 10, 12: 10}
+
+
+def test_minhash_signature_column_form(spark):
+    df = _docs(spark, [(1, "a b c d e"), (2, "a b c d e"), (3, "z y x w v")])
+    out = {
+        r.doc_id: r.sig
+        for r in df.select(
+            "doc_id", dedup.minhash_signature("text", 8, 3).alias("sig")
+        ).collect()
+    }
+    assert out[1] == out[2] != out[3]
+    assert len(out[1]) == 8 and all(len(w) == 8 for w in out[1])
+    with pytest.raises(ValueError):
+        df.select(dedup.minhash_signature("text", 16))

@@ -172,3 +172,14 @@ def test_boundary_encoding_marker(spark):
     row = df.collect()[0]
     assert row.geometry_encoding == "wkt-utf8"
     assert bytes(row.geometry_bytes).decode() == "POINT(1 1)"
+
+
+def test_export_parquet_partition_by(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("06", 1.0), ("48", 2.0)], "state string, v double"
+    )
+    out = str(tmp_path / "part_out")
+    exporters.export(df, out, "parquet", partition_by=["state"])
+    assert os.path.isdir(out + "/state=06")
+    back = spark.read.parquet(out)
+    assert back.count() == 2
