@@ -63,10 +63,13 @@ def ngram_jaccard_pairs(
     groupBy pair count(intersection) → join per-doc sizes → filter. Every
     step is a hash shuffle on a compact key.
     """
+    # persisted: reused by sizes + both self-join sides (3 downstream
+    # scans). Lifetime is caller-scoped — Spark's ContextCleaner unpersists
+    # the blocks once the returned DataFrame is garbage-collected.
     sh = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, n)).alias("shingle"),
-    ).persist()  # reused by sizes + both self-join sides (3 downstream scans)
+    ).persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -146,10 +149,11 @@ def minhash_lsh_pairs(
         raise ValueError("at most 8 hash functions (2 md5 digests x 4 words)")
     n_bands = num_hashes // band_size
 
-    # Materialized once (MEMORY_AND_DISK): consumed by the signature agg,
-    # the size agg and both verification sides — without it the
-    # split/shingle/explode lineage re-executes 4x. At cluster scale this
-    # is the stage you'd checkpoint or write to a temp table.
+    # Materialized once (MEMORY_AND_DISK): consumed by the signature agg
+    # and both verification sides — without it the split/shingle/explode
+    # lineage re-executes per consumer. At cluster scale this is the stage
+    # you'd checkpoint or write to a temp table. Lifetime is caller-scoped:
+    # ContextCleaner unpersists when the returned DataFrame is GC'd.
     rows = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, n)).alias("shingle"),

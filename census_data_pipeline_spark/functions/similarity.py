@@ -48,6 +48,21 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+
+def _ranked_topk(scored, k: int):
+    """Shared tail for every knn variant: rank scored candidates per query
+    (rounded cosine, neighbor-id tiebreak) and project the contract columns.
+    One definition keeps the exact baseline and the approximate paths
+    emitting identical shapes/rounding."""
+    return (
+        top_k_per_group(
+            scored, ["query_id"], by="cosine_sim", k=k,
+            tiebreak=["neighbor_id"], rank_col="rank",
+        )
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -71,17 +86,7 @@ def knn_bruteforce(
         .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine_sim", F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6))
     )
-    return (
-        top_k_per_group(
-            scored,
-            ["query_id"],
-            by="cosine_sim",
-            k=k,
-            tiebreak=["neighbor_id"],
-            rank_col="rank",
-        )
-        .select("query_id", "neighbor_id", "rank", "cosine_sim")
-    )
+    return _ranked_topk(scored, k)
 
 
 def embedding_dup_pairs(
@@ -183,13 +188,7 @@ def knn_lsh(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine_sim", F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6))
     )
-    return (
-        top_k_per_group(
-            scored, ["query_id"], by="cosine_sim", k=k,
-            tiebreak=["neighbor_id"], rank_col="rank",
-        )
-        .select("query_id", "neighbor_id", "rank", "cosine_sim")
-    )
+    return _ranked_topk(scored, k)
 
 
 def knn_ivf(
@@ -234,10 +233,4 @@ def knn_ivf(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine_sim", F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6))
     )
-    return (
-        top_k_per_group(
-            scored, ["query_id"], by="cosine_sim", k=k,
-            tiebreak=["neighbor_id"], rank_col="rank",
-        )
-        .select("query_id", "neighbor_id", "rank", "cosine_sim")
-    )
+    return _ranked_topk(scored, k)

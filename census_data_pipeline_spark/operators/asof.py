@@ -36,7 +36,20 @@ def asof_join(
     payload_cols = [c for c in right.columns if c not in (*on, right_ts)]
     carried = [f"{payload_prefix}{c}" for c in payload_cols]
     ts_out = f"{payload_prefix}ts"
-    out_cols = [*on, "__ts", "__src", left_ts, *left_extra, *carried, ts_out]
+    out_cols = [*on, "__ts", "__src", left_ts, *left_extra, "__asof"]
+
+    # The right payload travels as ONE struct so the whole matched row is
+    # carried atomically: per-column last(ignorenulls) would mix values
+    # from different right rows whenever the matched row holds a NULL
+    # payload field (the struct itself is non-null for every right row,
+    # even when its fields are null).
+    payload_struct = F.struct(
+        F.col(right_ts).alias("__r_ts"),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    struct_type = (
+        right.select(payload_struct.alias("__asof")).schema["__asof"].dataType
+    )
 
     l_tagged = left.select(
         *on,
@@ -44,11 +57,7 @@ def asof_join(
         F.lit(1).alias("__src"),  # left sorts after right at equal ts
         F.col(left_ts),
         *[F.col(c) for c in left_extra],
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"{payload_prefix}{c}")
-            for c in payload_cols
-        ],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias(ts_out),
+        F.lit(None).cast(struct_type).alias("__asof"),
     ).select(*out_cols)
 
     r_tagged = right.select(
@@ -57,8 +66,7 @@ def asof_join(
         F.lit(0).alias("__src"),
         F.lit(None).cast(left.schema[left_ts].dataType).alias(left_ts),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_extra],
-        *[F.col(c).alias(f"{payload_prefix}{c}") for c in payload_cols],
-        F.col(right_ts).alias(ts_out),
+        payload_struct.alias("__asof"),
     ).select(*out_cols)
 
     w = (
@@ -66,7 +74,19 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__src").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = l_tagged.unionByName(r_tagged).withColumns(
-        {c: F.last(c, ignorenulls=True).over(w) for c in (*carried, ts_out)}
+    filled = l_tagged.unionByName(r_tagged).withColumn(
+        "__asof", F.last("__asof", ignorenulls=True).over(w)
     )
-    return filled.filter(F.col("__src") == 1).drop("__ts", "__src")
+    return (
+        filled.filter(F.col("__src") == 1)
+        .select(
+            *on,
+            left_ts,
+            *left_extra,
+            *[
+                F.col(f"__asof.{c}").alias(f"{payload_prefix}{c}")
+                for c in payload_cols
+            ],
+            F.col("__asof.__r_ts").alias(ts_out),
+        )
+    )

@@ -87,4 +87,14 @@ def normalize_by_group(
         )
         expr = (c - F.col("__mu")) / F.col("__sigma")
         drop = ["__mu", "__sigma"]
-    return df.join(stats, on=group_cols).withColumn(out, expr).drop(*drop)
+    # null-safe join: NULL is a legitimate group key (a window PARTITION BY
+    # keeps it, and groupBy computes stats for it) — a plain equi-join
+    # would silently drop those rows
+    cond = None
+    for g in group_cols:
+        c = df[g].eqNullSafe(stats[g])
+        cond = c if cond is None else cond & c
+    joined = df.join(stats, on=cond)
+    for g in group_cols:
+        joined = joined.drop(stats[g])
+    return joined.withColumn(out, expr).drop(*drop)

@@ -846,7 +846,8 @@ def streaming_tumbling_1h(spark, sf_dir):
     import tempfile
     import uuid
 
-    staged = tempfile.mkdtemp(prefix="stream_events_") + "/events"
+    staged_root = tempfile.mkdtemp(prefix="stream_events_")
+    staged = staged_root + "/events"
     batch = load_table(spark, sf_dir, "events")
     batch.write.mode("overwrite").parquet(staged)
 
@@ -869,6 +870,12 @@ def streaming_tumbling_1h(spark, sf_dir):
         q.processAllAvailable()
     finally:
         q.stop()
+        # the memory sink holds the results; the staged parquet copy is
+        # no longer needed — remove it so repeated invocations don't
+        # accumulate full copies of the events table under /tmp
+        import shutil
+
+        shutil.rmtree(staged_root, ignore_errors=True)
     out = spark.table(sink)
     return out.select(
         F.unix_micros("window_start").alias("window_start_us"),

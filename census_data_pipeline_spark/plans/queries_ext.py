@@ -164,7 +164,12 @@ def _minhash_lsh_oracle(num_hashes: int = 8, band_size: int = 2, n: int = 4,
         sig_elems.append(f"min(substr({src}, {off}, 8)) AS m{i}")
     n_bands = num_hashes // band_size
     band_cases = " ".join(
-        f"WHEN {bi} THEN md5(m{bi * band_size} || '|' || m{bi * band_size + 1})"
+        "WHEN {bi} THEN md5({concat})".format(
+            bi=bi,
+            concat=" || '|' || ".join(
+                f"m{bi * band_size + r}" for r in range(band_size)
+            ),
+        )
         for bi in range(n_bands)
     )
     band_list = ", ".join(str(b) for b in range(n_bands))

@@ -131,7 +131,8 @@ class CensusAPIClient:
                 status = getattr(e, "code", None)
                 if status in (400, 404):
                     raise CensusAPIError(f"request failed ({status}): {url}") from e
-                time.sleep(2**attempt)
+                if attempt < self.MAX_RETRIES - 1:  # no dead sleep after final try
+                    time.sleep(2**attempt)
         raise CensusAPIError(f"request failed after retries: {url}") from last_err
 
     # -- dataset endpoints (reference: src/api_client.py:53-119) ---------

@@ -32,23 +32,27 @@ def export(
     """Format dispatcher (reference: src/exporters.py:29-63;
     pipeline facade census_pipeline.py:324-341)."""
     fmt = fmt.lower()
-    writer = df.write.mode(mode)
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
+
+    def _writer(frame):
+        w = frame.write.mode(mode)
+        return w.partitionBy(*partition_by) if partition_by else w
+
     if fmt == "csv":
-        # reference drops geometry before CSV (exporters.py:65-69)
-        out = (
-            df.drop("geometry", "geometry_bytes", "geometry_encoding")
-            if "geometry" in df.columns
-            else df
-        )
-        out.write.mode(mode).option("header", True).csv(path)
+        # reference drops geometry before CSV (exporters.py:65-69); the
+        # binary/encoding companions are dropped whenever present (CSV
+        # cannot carry BinaryType)
+        geo_cols = [
+            c for c in ("geometry", "geometry_bytes", "geometry_encoding")
+            if c in df.columns
+        ]
+        out = df.drop(*geo_cols) if geo_cols else df
+        _writer(out).option("header", True).csv(path)
     elif fmt == "parquet":
-        writer.parquet(path)
+        _writer(df).parquet(path)
     elif fmt == "json":
-        writer.json(path)
+        _writer(df).json(path)
     elif fmt == "geojson":
-        to_geojson(df).write.mode(mode).text(path)
+        _writer(to_geojson(df)).text(path)
     elif fmt in ("geopackage", "gpkg", "shapefile", "shp"):
         _driver_side_geo_export(df, path, fmt, layer_name)
     else:
