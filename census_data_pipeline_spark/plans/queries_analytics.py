@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from census_data_pipeline_spark.functions.similarity import embedding_dup_pairs
 from census_data_pipeline_spark.operators.asof import asof_join
+from census_data_pipeline_spark.operators.rangejoin import interval_join
 from census_data_pipeline_spark.operators.normalize import normalize_by_group
 from census_data_pipeline_spark.plans.registry import query
 from census_data_pipeline_spark.sources.catalog import load_table
@@ -264,6 +265,49 @@ def asof_click_purchase(spark, sf_dir):
         F.unix_micros("ts").alias("click_ts_us"),
         F.unix_micros("asof_ts").alias("purchase_ts_us"),
         F.col("asof_value").alias("purchase_value"),
+    )
+
+
+@query(
+    "range_join_click_errors",
+    oracle="""
+    WITH c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+         e AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'error')
+    SELECT c.event_id AS click_id, e.event_id AS error_id, c.user_id,
+           epoch_us(e.ts) - epoch_us(c.ts) AS dt_us,
+           e.value AS error_value
+    FROM c JOIN e ON c.user_id = e.user_id
+      AND epoch_us(e.ts) BETWEEN epoch_us(c.ts) - 300000000
+                             AND epoch_us(c.ts) + 300000000
+    """,
+)
+def range_join_click_errors(spark, sf_dir):
+    """Interval join (operators/rangejoin.interval_join): every error within
+    +/-5 minutes of a click by the same user. Banded equi-join plan — see
+    the operator docstring for the 100 TB rationale."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = interval_join(
+        clicks,
+        errors,
+        on=["user_id"],
+        lower_us=-300_000_000,
+        upper_us=300_000_000,
+        payload_prefix="e_",
+    )
+    return out.select(
+        "click_id",
+        F.col("e_event_id").alias("error_id"),
+        "user_id",
+        (F.unix_micros("e_ts") - F.unix_micros("ts")).alias("dt_us"),
+        F.col("e_value").alias("error_value"),
     )
 
 

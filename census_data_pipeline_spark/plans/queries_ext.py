@@ -117,6 +117,42 @@ def doc_fingerprint(spark, sf_dir):
     return docs.select("doc_id", text.fingerprint("text", 3).alias("fingerprint"))
 
 
+@query(
+    "text_tokens_bpeish",
+    oracle=r"""
+    WITH raw AS (SELECT p_name || ', ' || p_type || '.' AS s FROM part),
+    t AS (SELECT list_filter(
+                   string_split_regex(
+                     trim(regexp_replace(lower(s), '([[:punct:]])', ' \1 ', 'g')),
+                     '\s+'),
+                   x -> x <> '') AS toks
+          FROM raw)
+    SELECT token, count(*) AS n_occurrences
+    FROM (SELECT unnest(toks) AS token FROM t)
+    GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 20
+    """,
+)
+def text_tokens_bpeish(spark, sf_dir):
+    """BPE-ish tokenizer (functions/text.tokens_bpeish) over raw text with
+    punctuation: lowercases, isolates punctuation runs into their own
+    tokens, splits on whitespace. The reference has no tokenizer (only
+    lower+contains search, census_pipeline.py:444-455); this is the
+    token-counting tier of the LLM-pipeline surface. Raw text is
+    synthesized from part name/type since the documents table ships
+    pre-normalized."""
+    part = load_table(spark, sf_dir, "part")
+    raw = part.select(
+        F.concat_ws("", F.col("p_name"), F.lit(", "), F.col("p_type"), F.lit(".")).alias("s")
+    )
+    return (
+        raw.select(F.explode(text.tokens_bpeish("s")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
