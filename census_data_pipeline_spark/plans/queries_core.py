@@ -797,6 +797,46 @@ def events_sliding_1h_30m(spark, sf_dir):
 
 
 @query(
+    "events_hypertable_rollup",
+    oracle="""
+    WITH b AS (SELECT event_type, date_trunc('day', ts) AS day_b,
+                      date_trunc('hour', ts) AS hour_b, value
+               FROM events)
+    SELECT event_type, epoch_us(day_b) AS day_us, epoch_us(hour_b) AS hour_us,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM b
+    GROUP BY GROUPING SETS ((event_type, day_b), (event_type, day_b, hour_b))
+    """,
+)
+def events_hypertable_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: one pass emits BOTH the hourly
+    and the daily rollup via GROUPING SETS (hour rows carry hour_us, day
+    rows carry hour_us = NULL). At 100 TB this is one shuffle with map-side
+    partials instead of two separate aggregation jobs; with the events lake
+    partitioned by day the partials are partition-local."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day_b"),
+        F.date_trunc("hour", "ts").alias("hour_b"),
+        "value",
+    )
+    out = ev.groupingSets(
+        [["event_type", "day_b"], ["event_type", "day_b", "hour_b"]],
+        "event_type", "day_b", "hour_b",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    return out.select(
+        "event_type",
+        F.unix_micros("day_b").alias("day_us"),
+        F.unix_micros("hour_b").alias("hour_us"),
+        "n_events",
+        "total_value",
+    )
+
+
+@query(
     "events_session_5m",
     oracle="""
     WITH f AS (SELECT user_id, ts, value,

@@ -153,6 +153,56 @@ def text_tokens_bpeish(spark, sf_dir):
     )
 
 
+@query(
+    "corpus_clean_pipeline",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    scored AS (
+      SELECT doc_id, text,
+             CASE WHEN list_contains(toks, 'the') THEN 'en'
+                  WHEN list_contains(toks, 'el') THEN 'es'
+                  WHEN list_contains(toks, 'le') THEN 'fr'
+                  WHEN list_contains(toks, 'der') THEN 'de'
+                  ELSE 'und' END AS lang_pred,
+             round(0.6 * least(len(toks) / 100.0, 1.0)
+                   + 0.4 * greatest(0.0, 1.0 - abs(
+                       len(list_filter(toks, x -> list_contains({_STOPLIST}, x)))
+                       / len(toks) - 0.25) * 2.0), 6) AS quality
+      FROM t),
+    kept AS (SELECT * FROM scored
+             WHERE lang_pred = 'en' AND quality >= 0.5)
+    SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,
+           count(*) AS n_copies,
+           round(min(quality), 6) AS quality
+    FROM kept GROUP BY md5(text)
+    """,
+)
+def corpus_clean_pipeline(spark, sf_dir):
+    """End-to-end LLM corpus cleaning in one lazy plan: language filter ->
+    quality-score filter -> exact dedup (keep lowest doc_id per content
+    hash). The whole chain is narrow expressions + ONE shuffle (the dedup
+    groupBy on a 16-byte hash) — the shape a 100 TB cleaning job wants.
+    Composes functions/text.lang_id, quality_score and the exact-dedup
+    tier of functions/dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        text.lang_id("text").alias("lang_pred"),
+        text.quality_score("text").alias("quality"),
+    )
+    kept = scored.filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
+    return (
+        kept.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("n_copies"),
+            F.round(F.min("quality"), 6).alias("quality"),
+        )
+        .select("doc_id", "content_hash", "n_copies", "quality")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
