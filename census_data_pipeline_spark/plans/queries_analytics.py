@@ -430,6 +430,78 @@ def q10_returned_items(spark, sf_dir):
 
 
 @query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H-Q6 shape: pure filter + scalar aggregate. Every predicate is a
+    parquet-pushable comparison, so at 100 TB this reads only row groups
+    whose min/max stats intersect the ship-date year — the canonical
+    predicate-pushdown showcase (asserted in tests/test_plan_shapes.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                 FROM lineitem GROUP BY l_orderkey
+                 HAVING sum(l_quantity) > 150)
+    SELECT c_name, o_orderkey, round(o_totalprice, 2) AS total_price,
+           round(sum_qty, 2) AS sum_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H-Q18 shape: aggregate-then-having as a join reducer. The
+    HAVING-filtered aggregate shrinks lineitem to the large orders BEFORE
+    joining orders/customer, so the expensive fact-fact join only moves
+    qualifying keys; AQE typically demotes the reduced side to broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+    )
+
+
+@query(
     "unpivot_part_measures",
     oracle="""
     SELECT p_partkey, measure, value FROM (

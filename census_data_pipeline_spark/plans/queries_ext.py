@@ -495,6 +495,32 @@ def dedup_clusters(spark, sf_dir):
     return dedup.dup_clusters(pairs)
 
 
+@query(
+    "embedding_centroid_by_label",
+    oracle="""
+    WITH e AS (SELECT label, i - 1 AS pos, embedding[i] AS v
+               FROM embeddings, range(1, 65) t(i)),
+    p AS (SELECT label, pos, round(avg(v), 6) AS centroid_val
+          FROM e GROUP BY label, pos)
+    SELECT label, pos, centroid_val FROM p
+    """,
+)
+def embedding_centroid_by_label(spark, sf_dir):
+    """Per-class centroid of the embedding column without any UDF:
+    posexplode -> groupBy(label, dimension) -> avg. The explode is narrow
+    (x64 rows but fused into the scan) and the single shuffle carries only
+    n_labels x dim partial aggregates — the scale-correct way to average
+    vectors in Spark. Output is flattened to (label, pos, value) rows;
+    the oracle unrolls dimensions with a range() cross join (dim=64 in the
+    test lake; the Spark side is dimension-agnostic)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return (
+        ex.groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(F.round(F.avg("v"), 6).alias("centroid_val"))
+    )
+
+
 @query("dedup_minhash_ml")  # rows-only: pyspark.ml hash family isn't SQL-reproducible
 def dedup_minhash_ml(spark, sf_dir):
     """The pyspark.ml alternative (SURVEY.md §2.11): HashingTF over shingles

@@ -22,6 +22,15 @@ def test_q1_filter_pushdown_and_column_pruning(spark, sf_dir):
     assert "l_quantity" in read_schema
 
 
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed to the parquet scan"
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema  # pruned to the 4 needed columns
+
+
 def test_topk_compiles_to_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in _plan(spark, sf_dir, "top5_customers")
 
