@@ -41,6 +41,10 @@ HEADLINE = [
     "knn_bruteforce",
     "knn_lsh",
     "asof_click_purchase",
+    "range_join_click_errors",
+    "q6_forecast_revenue",
+    "events_hypertable_rollup",
+    "corpus_clean_pipeline",
 ]
 
 
