@@ -502,6 +502,103 @@ def q18_large_orders(spark, sf_dir):
 
 
 @query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1995-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H-Q4 shape: EXISTS decorrelated to a LEFT SEMI join. The semi
+    join moves only the join key and stops probing at first match — at
+    100 TB the build side is the date-filtered orders slice and the probe
+    never materializes matched lineitem payload columns."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    matched = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@query(
+    "parts_above_avg_price",
+    oracle="""
+    SELECT p_brand, count(*) AS n_parts,
+           round(avg(p_retailprice), 4) AS brand_avg
+    FROM part
+    WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+    GROUP BY p_brand
+    """,
+)
+def parts_above_avg_price(spark, sf_dir):
+    """Scalar-subquery comparison: global average computed once (tiny agg)
+    and broadcast-crossed into the filter — never a per-row correlated
+    lookup and never a single-partition window."""
+    p = load_table(spark, sf_dir, "part")
+    global_avg = p.agg(F.avg("p_retailprice").alias("__avg"))
+    return (
+        p.crossJoin(F.broadcast(global_avg))
+        .filter(F.col("p_retailprice") > F.col("__avg"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("brand_avg"),
+        )
+    )
+
+
+@query(
+    "histogram_price",
+    oracle="""
+    WITH s AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+               FROM lineitem)
+    SELECT least(cast(floor((l_extendedprice - mn) / ((mx - mn) / 20.0))
+                      AS BIGINT), 19) AS bin,
+           count(*) AS n,
+           round(min(l_extendedprice), 2) AS bin_min,
+           round(max(l_extendedprice), 2) AS bin_max
+    FROM lineitem, s
+    GROUP BY 1
+    """,
+)
+def histogram_price(spark, sf_dir):
+    """Equal-width histogram (20 bins) in two passes: a scalar min/max agg
+    broadcast-crossed in, then one hash aggregate on the bin id. The
+    profiling primitive for numeric columns; at 100 TB both passes are
+    single map-side-partial shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.min("l_extendedprice").alias("__mn"), F.max("l_extendedprice").alias("__mx")
+    )
+    binned = li.crossJoin(F.broadcast(stats)).withColumn(
+        "bin",
+        F.least(
+            F.floor(
+                (F.col("l_extendedprice") - F.col("__mn"))
+                / ((F.col("__mx") - F.col("__mn")) / F.lit(20.0))
+            ).cast("long"),
+            F.lit(19).cast("long"),
+        ),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("l_extendedprice"), 2).alias("bin_min"),
+        F.round(F.max("l_extendedprice"), 2).alias("bin_max"),
+    )
+
+
+@query(
     "unpivot_part_measures",
     oracle="""
     SELECT p_partkey, measure, value FROM (
