@@ -49,6 +49,48 @@ def test_interval_join_rejects_inverted_bounds(spark):
         interval_join(df, df, on=["k"], lower_us=5, upper_us=1)
 
 
+def test_interval_join_equals_naive_property(spark):
+    """Banded rewrite == naive cross-filter for arbitrary timestamps and
+    bounds (hypothesis sweeps band-boundary alignments example tests miss)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        st.lists(st.tuples(st.integers(0, 2), st.integers(0, 3600)),
+                 min_size=1, max_size=15),
+        st.lists(st.tuples(st.integers(0, 2), st.integers(0, 3600)),
+                 min_size=1, max_size=15),
+        st.integers(-600, 600),
+        st.integers(0, 900),
+    )
+    def run(lrows, rrows, lo_s, width_s):
+        lo_us, hi_us = lo_s * 1_000_000, (lo_s + width_s) * 1_000_000
+        left = spark.createDataFrame(
+            [(k, _ts(s)) for k, s in lrows], "k long, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            [(k, _ts(s), f"p{i}") for i, (k, s) in enumerate(rrows)],
+            "k long, ts timestamp, v string",
+        )
+        got = {
+            (r.k, r.ts, r.r_v)
+            for r in interval_join(
+                left, right, on=["k"], lower_us=lo_us, upper_us=hi_us
+            ).collect()
+        }
+        want = {
+            (k, _ts(ls), f"p{i}")
+            for k, ls in lrows
+            for i, (rk, rs) in enumerate(rrows)
+            if rk == k and lo_s <= rs - ls <= lo_s + width_s
+        }
+        assert got == want
+
+    run()
+
+
 def test_interval_join_is_hash_equi_join(spark):
     """The banded rewrite must plan as a hash equi-join on (keys, bucket) —
     not a nested-loop over the range predicate."""
