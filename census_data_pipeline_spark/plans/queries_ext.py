@@ -16,7 +16,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from census_data_pipeline_spark.functions import dedup, multimodal, similarity, text
+from census_data_pipeline_spark.functions import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
 from census_data_pipeline_spark.plans.registry import query
 from census_data_pipeline_spark.sources.catalog import load_table
 
@@ -201,6 +207,46 @@ def corpus_clean_pipeline(spark, sf_dir):
         )
         .select("doc_id", "content_hash", "n_copies", "quality")
     )
+
+
+@query(
+    "sample_hash_docs",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+    """,
+)
+def sample_hash_docs(spark, sf_dir):
+    """Deterministic ~10% corpus sample (functions/sampling.hash_sample,
+    26/256 by doc_id hash). Reproducible across engines and retries, and
+    monotone: smaller fractions are subsets of larger ones — the
+    progressive-scaling sampler a 100 TB corpus run wants. Narrow filter,
+    no shuffle, no RNG."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.hash_sample(docs, "doc_id", 26).select("doc_id", "lang")
+
+
+@query(
+    "sample_stratified_events",
+    oracle="""
+    SELECT event_type, count(*) AS n_kept FROM events
+    WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <
+      CASE WHEN event_type = 'view' THEN '0d'
+           WHEN event_type = 'click' THEN '40'
+           ELSE 'zz' END
+    GROUP BY event_type
+    """,
+)
+def sample_stratified_events(spark, sf_dir):
+    """Stratified hash sampling: downsample the hot event classes (~5% of
+    views, ~25% of clicks) while keeping rare classes whole — the
+    class-rebalancing primitive of corpus curation, as one shuffle-free
+    filter (functions/sampling.stratified_hash_sample)."""
+    ev = load_table(spark, sf_dir, "events")
+    kept = sampling.stratified_hash_sample(
+        ev, "event_id", "event_type", {"view": 13, "click": 64}, default_num=256
+    )
+    return kept.groupBy("event_type").agg(F.count("*").alias("n_kept"))
 
 
 # ---------------------------------------------------------------------------
