@@ -210,6 +210,31 @@ def corpus_clean_pipeline(spark, sf_dir):
 
 
 @query(
+    "linkage_edit1_names",
+    oracle="""
+    WITH raw AS (SELECT c_custkey AS id, c_name AS name,
+                 unnest(list_transform(range(1, length(c_name) + 1),
+                        i -> {'pos': i,
+                              'variant': substr(c_name, 1, i - 1) || '*'
+                                         || substr(c_name, i + 1)})) AS u
+                 FROM customer),
+    v AS (SELECT id, name, u.pos AS pos, u.variant AS variant FROM raw)
+    SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b
+    FROM v a JOIN v b USING (pos, variant)
+    WHERE a.id < b.id AND levenshtein(a.name, b.name) = 1
+    """,
+)
+def linkage_edit1_names(spark, sf_dir):
+    """Fuzzy record linkage (functions/linkage.edit1_pairs): customer-name
+    pairs one substitution apart, via wildcard-variant blocking + exact
+    levenshtein verify — never an all-pairs comparison."""
+    c = load_table(spark, sf_dir, "customer")
+    from census_data_pipeline_spark.functions.linkage import edit1_pairs
+
+    return edit1_pairs(c, "c_custkey", "c_name")
+
+
+@query(
     "sample_hash_docs",
     oracle="""
     SELECT doc_id, lang FROM documents
