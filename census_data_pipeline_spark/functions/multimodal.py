@@ -76,6 +76,84 @@ def decode_image(payload: bytes) -> object:
     )
 
 
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """mapInPandas resize: decode -> resample to (width, height) -> re-encode.
+    The decode/resample core is the stubbed step (needs PIL/opencv — see
+    decode_image); the deterministic fake keeps the first width*height
+    payload bytes (zero-padded), so schema, metadata recompute (byte_len,
+    checksum) and Arrow round-trip are exercised for real. 1 row in ->
+    1 row out; no shuffle; partition-parallel."""
+    out_schema = (
+        "doc_id long, payload binary, media_type string, byte_len long, "
+        "checksum string, width int, height int"
+    )
+    target = width * height
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        def fake_resize(b: bytes) -> bytes:
+            body = bytes(b[:target])
+            return body + b"\x00" * (target - len(body))
+
+        for batch in batches:
+            resized = batch["payload"].map(fake_resize)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "payload": resized,
+                    "media_type": batch["media_type"],
+                    "byte_len": resized.map(len),
+                    "checksum": resized.map(
+                        lambda b: _hashlib.sha256(b).hexdigest()
+                    ),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    cols = df.select(
+        "doc_id", "payload", "media_type"
+    )
+    return cols.mapInPandas(run, schema=out_schema)
+
+
+def sample_frames(
+    df: DataFrame, frame_bytes: int = 256, every_n: int = 2
+) -> DataFrame:
+    """mapInPandas frame sampling: one input video payload fans out to one
+    row per kept frame (row-expanding batch shape, the 1->N contract a
+    real ffmpeg sampler needs). The frame decoder is the stubbed step; the
+    deterministic fake slices the payload into fixed ``frame_bytes``
+    chunks and keeps every ``every_n``-th. No shuffle; output rows carry
+    (doc_id, frame_idx, frame payload, checksum)."""
+    out_schema = "doc_id long, frame_idx long, frame binary, checksum string"
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for batch in batches:
+            ids, idxs, frames, sums = [], [], [], []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                n_frames = max(len(payload) // frame_bytes, 1)
+                for fi in range(0, n_frames, every_n):
+                    chunk = bytes(payload[fi * frame_bytes:(fi + 1) * frame_bytes])
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    frames.append(chunk)
+                    sums.append(_hashlib.sha256(chunk).hexdigest())
+            yield _pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames,
+                 "checksum": sums}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=out_schema)
+
+
 def extract_fake_features(df: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over binary payloads: deterministic
     byte-level statistics standing in for a real media decoder

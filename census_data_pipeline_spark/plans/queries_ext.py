@@ -488,6 +488,28 @@ def multimodal_features(spark, sf_dir):
 
 
 @query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH p AS (SELECT doc_id, encode(text) AS payload FROM documents),
+    f AS (SELECT doc_id,
+                 greatest(octet_length(payload) // 256, 1) AS n_frames
+          FROM p)
+    SELECT doc_id, CAST((n_frames + 1) // 2 AS BIGINT) AS n_sampled
+    FROM f
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame sampling through mapInPandas (functions/multimodal.
+    sample_frames): payloads fan out to every-2nd fixed-size frame. The
+    oracle checks the sampled-frame COUNT per document (ceil(n/2)) — the
+    frame bytes themselves are the stubbed decode's fake output."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_binary_payload(docs)
+    frames = multimodal.sample_frames(payloads, frame_bytes=256, every_n=2)
+    return frames.groupBy("doc_id").agg(F.count("*").alias("n_sampled"))
+
+
+@query(
     "text_tfidf_top_terms",
     oracle=f"""
     WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),

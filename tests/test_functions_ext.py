@@ -180,3 +180,27 @@ def test_minhash_signature_column_form(spark):
     assert len(out[1]) == 8 and all(len(w) == 8 for w in out[1])
     with pytest.raises(ValueError):
         df.select(dedup.minhash_signature("text", 16))
+
+def test_resize_images_plumbing(spark):
+    df = _docs(spark, [(1, "abcdefghij"), (2, "xy")])
+    payloads = multimodal.attach_binary_payload(df)
+    out = {r.doc_id: r for r in multimodal.resize_images(payloads, 2, 3).collect()}
+    # fake resize: first w*h bytes, zero-padded; metadata recomputed
+    assert bytes(out[1].payload) == b"abcdef"
+    assert bytes(out[2].payload) == b"xy\x00\x00\x00\x00"
+    assert out[1].byte_len == 6 and out[1].width == 2 and out[1].height == 3
+    import hashlib
+
+    assert out[2].checksum == hashlib.sha256(b"xy\x00\x00\x00\x00").hexdigest()
+
+
+def test_sample_frames_row_expansion(spark):
+    df = _docs(spark, [(1, "a" * 1024), (2, "b")])  # 4 frames / 1 short frame
+    payloads = multimodal.attach_binary_payload(df)
+    rows = multimodal.sample_frames(payloads, frame_bytes=256, every_n=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert sorted(r.frame_idx for r in by_doc[1]) == [0, 2]  # every 2nd of 4
+    assert len(by_doc[2]) == 1 and bytes(by_doc[2][0].frame) == b"b"
+    assert all(len(r.checksum) == 64 for r in rows)
