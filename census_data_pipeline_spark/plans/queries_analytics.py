@@ -502,6 +502,34 @@ def q18_large_orders(spark, sf_dir):
 
 
 @query(
+    "window_rank_functions",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           ntile(4) OVER w AS quartile,
+           dense_rank() OVER w AS drank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_rank_functions(spark, sf_dir):
+    """Ranking-window family (percent_rank / ntile / dense_rank) per
+    market segment — one shuffle on the partition key + per-partition
+    sort; the custkey tiebreak keeps ntile deterministic under ties."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.dense_rank().over(w).cast("long").alias("drank"),
+    )
+
+
+@query(
     "q4_order_priority",
     oracle="""
     SELECT o_orderpriority, count(*) AS n_orders
