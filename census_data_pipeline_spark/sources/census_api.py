@@ -156,6 +156,56 @@ class CensusAPIClient:
         return self.request(self.build_url("pep/population", year, variables, geography, state, county))
 
 
+def _default_json_fetch(url: str) -> dict:
+    """Driver-side GET of a JSON object (variables.json metadata)."""
+    with urllib.request.urlopen(url, timeout=30) as resp:
+        return json.loads(resp.read().decode("utf-8"))
+
+
+def get_variable_metadata(
+    variable_code: str, year: int = 2022,
+    fetch_json: Callable[[str], dict] | None = None,
+) -> dict:
+    """Single-variable metadata (reference: src/census_pipeline.py:409-423):
+    GET ``.../acs/acs5/variables/<code>.json`` and return the dict.
+    Driver-side metadata, not data — no Spark involvement needed."""
+    fetch = fetch_json or _default_json_fetch
+    url = f"{BASE_URL}/{year}/acs/acs5/variables/{variable_code}.json"
+    try:
+        return fetch(url)
+    except Exception as e:  # noqa: BLE001 - single taxonomy, like the client
+        raise CensusAPIError(f"metadata fetch failed: {url}") from e
+
+
+def search_variables(
+    spark: SparkSession, keyword: str, year: int = 2022,
+    fetch_json: Callable[[str], dict] | None = None,
+) -> DataFrame:
+    """Variable-catalog search (reference: src/census_pipeline.py:426-457):
+    fetch the full ``variables.json`` catalog once, filter case-insensitively
+    on label OR concept, return a (variable, label, concept) DataFrame.
+    The catalog is a small dimension (driver-side fetch, broadcast-sized);
+    the filter is the engine's P5 lower+contains predicate."""
+    fetch = fetch_json or _default_json_fetch
+    url = f"{BASE_URL}/{year}/acs/acs5/variables.json"
+    try:
+        payload = fetch(url)
+    except Exception as e:  # noqa: BLE001
+        raise CensusAPIError(f"catalog fetch failed: {url}") from e
+    rows = [
+        (code, meta.get("label", ""), meta.get("concept", ""))
+        for code, meta in payload.get("variables", {}).items()
+    ]
+    catalog = spark.createDataFrame(
+        rows, "variable string, label string, concept string"
+    )
+    kw = keyword.lower()
+    return catalog.filter(
+        F.lower(F.col("label")).contains(kw)
+        | F.lower(F.col("concept")).contains(kw)
+    )
+
+
 def moe_variables(var_dict: dict[str, str]) -> dict[str, str]:
     """Margin-of-error code derivation: trailing 'E' -> 'M', name + '_moe'
     (reference: src/census_pipeline.py:142-148)."""

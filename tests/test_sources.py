@@ -183,3 +183,46 @@ def test_export_parquet_partition_by(spark, tmp_path):
     assert os.path.isdir(out + "/state=06")
     back = spark.read.parquet(out)
     assert back.count() == 2
+
+
+def test_variable_metadata_and_catalog_search(spark):
+    from census_data_pipeline_spark.sources.census_api import (
+        CensusAPIError,
+        get_variable_metadata,
+        search_variables,
+    )
+
+    meta = {"name": "B19013_001E", "label": "Median income", "concept": "INCOME"}
+    got = get_variable_metadata("B19013_001E", 2022, fetch_json=lambda url: meta)
+    assert got["label"] == "Median income"
+
+    catalog = {
+        "variables": {
+            "B19013_001E": {"label": "Median income", "concept": "INCOME"},
+            "B01003_001E": {"label": "Total", "concept": "TOTAL POPULATION"},
+        }
+    }
+    hits = search_variables(spark, "income", fetch_json=lambda url: catalog)
+    assert [r.variable for r in hits.collect()] == ["B19013_001E"]
+
+    import pytest as _pytest
+
+    def boom(url):
+        raise OSError("offline")
+
+    with _pytest.raises(CensusAPIError):
+        get_variable_metadata("X", fetch_json=boom)
+
+
+def test_public_api_reference_parity():
+    """Every name in the reference __all__ (src/__init__.py:29-42) has a
+    mapped equivalent importable from the package root."""
+    import census_data_pipeline_spark as pkg
+
+    for name in (
+        "CensusSparkPipeline", "CensusAPIClient", "get_variable_metadata",
+        "search_variables", "parse_geoid", "build_geoid", "FIPS_CODES",
+        "STATE_NAME_TO_FIPS", "export", "to_jdbc", "execute_sql",
+    ):
+        assert hasattr(pkg, name), name
+    assert pkg.STATE_NAME_TO_FIPS[pkg.FIPS_CODES["06"]] == "06"
