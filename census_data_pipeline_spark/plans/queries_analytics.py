@@ -563,7 +563,7 @@ def q4_order_priority(spark, sf_dir):
     "parts_above_avg_price",
     oracle="""
     SELECT p_brand, count(*) AS n_parts,
-           round(avg(p_retailprice), 4) AS brand_avg
+           round(avg(p_retailprice), 2) AS brand_avg
     FROM part
     WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
     GROUP BY p_brand
@@ -581,7 +581,7 @@ def parts_above_avg_price(spark, sf_dir):
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 4).alias("brand_avg"),
+            F.round(F.avg("p_retailprice"), 2).alias("brand_avg"),
         )
     )
 
