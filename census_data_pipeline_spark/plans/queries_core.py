@@ -926,6 +926,68 @@ def streaming_tumbling_1h(spark, sf_dir):
 
 
 @query(
+    "streaming_enriched_rollup",
+    oracle="""
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+           count(*) AS n_events,
+           round(sum(value * CASE event_type WHEN 'purchase' THEN 2.0
+                                             WHEN 'click' THEN 0.5
+                                             ELSE 1.0 END), 4)
+             AS weighted_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_enriched_rollup(spark, sf_dir):
+    """Stream-STATIC join (§2.9): a real Structured Streaming source
+    enriched against a broadcast-sized static dimension (event_type ->
+    weight) before the watermarked tumbling aggregate — the standard
+    streaming-enrichment pattern (no state needed for the join; the dim is
+    rebroadcast per micro-batch). Drained through a memory sink and held
+    to the batch SQL oracle."""
+    import shutil
+    import tempfile
+    import uuid
+
+    staged_root = tempfile.mkdtemp(prefix="stream_enrich_")
+    staged = staged_root + "/events"
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(staged)
+
+    weights = spark.createDataFrame(
+        [("purchase", 2.0), ("click", 0.5)], "event_type string, weight double"
+    )
+    stream = windows.stream_from_parquet(
+        spark, staged, spark.read.parquet(staged).schema
+    )
+    enriched = (
+        windows.with_watermark(stream, "ts", "1 minute")
+        .join(F.broadcast(weights), "event_type", "left")
+        .withColumn("wvalue", F.col("value") * F.coalesce("weight", F.lit(1.0)))
+    )
+    agg = windows.tumbling_window_agg(
+        enriched, "ts", "1 hour", ["event_type"],
+        [("count", "*", "n_events"), ("sum", "wvalue", "weighted_value")],
+    )
+    sink = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(staged_root, ignore_errors=True)
+    return spark.table(sink).select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n_events",
+        F.round("weighted_value", 4).alias("weighted_value"),
+    )
+
+
+@query(
     "events_json_extract",
     oracle="""
     SELECT event_type, count(*) AS n_events,
