@@ -142,22 +142,20 @@ def minhash_lsh_pairs(
          map-side partial),
       3. band buckets explode 4 rows/doc; equi-self-join on (band, bucket)
          yields candidates — no all-pairs comparison anywhere,
-      4. verification joins the (tiny) candidate set back to the exploded
-         shingles with a broadcast, counting shared shingles.
+      4. verification broadcasts the (tiny) candidate set against per-doc
+         shingle ARRAYS and takes ``size(array_intersect(...))`` — data
+         moved is ∝ candidates + docs, never the exploded shingle set
+         (re-shuffling that, the previous formulation, was both the local
+         and the cluster bottleneck).
     """
     if num_hashes > 8:
         raise ValueError("at most 8 hash functions (2 md5 digests x 4 words)")
     n_bands = num_hashes // band_size
 
-    # Materialized once (MEMORY_AND_DISK): consumed by the signature agg
-    # and both verification sides — without it the split/shingle/explode
-    # lineage re-executes per consumer. At cluster scale this is the stage
-    # you'd checkpoint or write to a temp table. Lifetime is caller-scoped:
-    # ContextCleaner unpersists when the returned DataFrame is GC'd.
     rows = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, n)).alias("shingle"),
-    ).persist()
+    )
     hashed = rows.select(
         "id",
         F.md5(F.concat(F.lit("a|"), F.col("shingle"))).alias("ha"),
@@ -167,9 +165,7 @@ def minhash_lsh_pairs(
     for i in range(num_hashes):
         src, off = ("ha", i * 8 + 1) if i < 4 else ("hb", (i - 4) * 8 + 1)
         min_exprs.append(F.min(F.substring(F.col(src), off, 8)).alias(f"m{i}"))
-    # shingle count rides along in the same aggregate — saves the separate
-    # sizes groupBy (one less shuffle + one less scan of `rows`)
-    sig = hashed.groupBy("id").agg(*min_exprs, F.count("*").alias("n_sh"))
+    sig = hashed.groupBy("id").agg(*min_exprs)
 
     bands = sig.select(
         "id",
@@ -199,26 +195,24 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sizes = sig.select("id", "n_sh")
-    a = rows.withColumnsRenamed({"id": "id_a"})
-    b = rows.withColumnsRenamed({"id": "id_b"})
-    inter = (
-        a.join(F.broadcast(candidates), "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
+    arrays = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
     )
-    verified = (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "na"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "nb"}), "id_b")
+    a = arrays.withColumnsRenamed({"id": "id_a", "sh": "sh_a"})
+    b = arrays.withColumnsRenamed({"id": "id_b", "sh": "sh_b"})
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        a.join(F.broadcast(candidates), "id_a")
+        .join(b, "id_b")
         .withColumn(
             "jaccard",
-            F.round(F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6),
+            F.round(
+                n_common / (F.size("sh_a") + F.size("sh_b") - n_common), 6
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return verified
 
 
 def _simhash_from_hashes(hv_col: str) -> Column:
