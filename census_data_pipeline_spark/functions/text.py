@@ -108,6 +108,46 @@ def fingerprint(col: Column | str, n: int = 3) -> Column:
     return F.array_min(F.transform(shingles(col, n), F.md5))
 
 
+def chunk_texts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    training-sample generator of an LLM data pipeline (context-length
+    packing input). Chunk i covers tokens [i*stride+1, i*stride+chunk_size];
+    the final chunk keeps the tail (shorter than chunk_size when the
+    document doesn't divide evenly). Documents with <= chunk_size tokens
+    yield exactly one chunk.
+
+    Pure Catalyst (sequence/transform/slice + posexplode): the fan-out is
+    narrow, codegen-fused, shuffle-free — at 100 TB it's a map-only stage,
+    unlike a row-at-a-time UDTF doing the same thing.
+    """
+    if chunk_size < 1 or stride < 1:
+        raise ValueError("chunk_size and stride must be >= 1")
+    t = tokens(text_col)
+    n = F.size(t)
+    n_chunks = (
+        F.ceil(F.greatest(n - chunk_size, F.lit(0)) / F.lit(float(stride))) + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(t, i * stride + 1, chunk_size)),
+    )
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            "chunk_text",
+            F.size(F.split("chunk_text", " ")).cast("long").alias("chunk_tokens"),
+        )
+    )
+
+
 def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience projection: token/char/distinct counts + quality."""
     c = F.col(text_col)

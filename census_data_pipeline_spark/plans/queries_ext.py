@@ -210,6 +210,33 @@ def corpus_clean_pipeline(spark, sf_dir):
 
 
 @query(
+    "text_chunking",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    c AS (SELECT doc_id, toks,
+                 CAST(ceil(greatest(len(toks) - 64, 0) / 48.0) AS BIGINT) + 1
+                   AS n_chunks
+          FROM t),
+    x AS (SELECT doc_id,
+                 unnest(list_transform(range(0, n_chunks),
+                        i -> {{'idx': i,
+                              'txt': array_to_string(
+                                  toks[i * 48 + 1 : i * 48 + 64], ' ')}})) AS u
+          FROM c)
+    SELECT doc_id, u.idx AS chunk_idx, u.txt AS chunk_text,
+           len(string_split(u.txt, ' ')) AS chunk_tokens
+    FROM x
+    """,
+)
+def text_chunking(spark, sf_dir):
+    """Overlapping token-window chunking (functions/text.chunk_texts,
+    64-token chunks, stride 48): the training-sample generator. Map-only
+    fan-out, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_texts(docs, "text", "doc_id", chunk_size=64, stride=48)
+
+
+@query(
     "linkage_edit1_names",
     oracle="""
     WITH raw AS (SELECT c_custkey AS id, c_name AS name,

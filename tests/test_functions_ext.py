@@ -204,3 +204,24 @@ def test_sample_frames_row_expansion(spark):
     assert sorted(r.frame_idx for r in by_doc[1]) == [0, 2]  # every 2nd of 4
     assert len(by_doc[2]) == 1 and bytes(by_doc[2][0].frame) == b"b"
     assert all(len(r.checksum) == 64 for r in rows)
+
+
+def test_chunk_texts_windows_and_tail(spark):
+    import pytest as _pytest
+
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = _docs(spark, [(1, words), (2, "a b")])
+    out = text.chunk_texts(df, chunk_size=4, stride=3)
+    rows = sorted(
+        ((r.doc_id, r.chunk_idx, r.chunk_text, r.chunk_tokens) for r in out.collect())
+    )
+    # doc 1: ceil((10-4)/3)+1 = 3 chunks at starts 1,4,7
+    assert [r for r in rows if r[0] == 1] == [
+        (1, 0, "w0 w1 w2 w3", 4),
+        (1, 1, "w3 w4 w5 w6", 4),
+        (1, 2, "w6 w7 w8 w9", 4),
+    ]
+    # doc 2 fits one (short) chunk
+    assert [r for r in rows if r[0] == 2] == [(2, 0, "a b", 2)]
+    with _pytest.raises(ValueError):
+        text.chunk_texts(df, chunk_size=0)
