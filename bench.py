@@ -45,6 +45,7 @@ HEADLINE = [
     "q6_forecast_revenue",
     "events_hypertable_rollup",
     "corpus_clean_pipeline",
+    "text_chunking",
 ]
 
 
