@@ -502,6 +502,30 @@ def q18_large_orders(spark, sf_dir):
 
 
 @query(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id, arg_max(event_type, ts) AS last_type,
+           epoch_us(max(ts)) AS last_ts_us,
+           arg_max(value, ts) AS last_value,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def latest_event_per_user(spark, sf_dir):
+    """Argmax aggregation (max_by): latest row attributes per key in ONE
+    hash aggregate with map-side partials — the shuffle-light alternative
+    to the row_number()-then-filter pattern, which must sort every
+    partition. µs timestamps make the argmax tie-free."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", "ts").alias("last_type"),
+        F.unix_micros(F.max("ts")).alias("last_ts_us"),
+        F.max_by("value", "ts").alias("last_value"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
     "window_rank_functions",
     oracle="""
     SELECT c_custkey, c_mktsegment,
