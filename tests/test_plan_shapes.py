@@ -31,6 +31,22 @@ def test_q6_all_predicates_pushed(spark, sf_dir):
     assert "l_orderkey" not in read_schema  # pruned to the 4 needed columns
 
 
+def test_range_join_is_hash_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "range_join_click_errors")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_linkage_is_hash_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "linkage_edit1_names")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_chunking_is_map_only(spark, sf_dir):
+    # fan-out must stay narrow: no Exchange anywhere in the plan
+    plan = _plan(spark, sf_dir, "text_chunking")
+    assert "Exchange" not in plan
+
+
 def test_topk_compiles_to_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in _plan(spark, sf_dir, "top5_customers")
 
