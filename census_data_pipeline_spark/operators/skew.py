@@ -62,3 +62,34 @@ def salted_agg(
                 (F.sum(f"__p{i}_s") / F.sum(f"__p{i}_c")).alias(alias)
             )
     return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Salted equi-join for extreme key skew: the big side gets a
+    deterministic salt in [0, n_salts), the small side is replicated once
+    per salt, and the join runs on (keys..., salt) — so a hot key's rows
+    spread across ``n_salts`` reducers instead of melting one task.
+    Results are identical to ``big.join(small, on, how)``.
+
+    Use when AQE's skew-join splitting isn't enough (it splits partitions,
+    not single hot KEYS on the build side) and the small side is too big to
+    broadcast outright — replication costs small x n_salts, so keep
+    n_salts modest. Supported how: inner, left (each big row carries
+    exactly one salt, so left-outer semantics survive replication).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how in {'inner', 'left'}")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)
+    ).cast("int")
+    big_s = big.withColumn("__salt", salt)
+    small_s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return big_s.join(small_s, [*on, "__salt"], how).drop("__salt")

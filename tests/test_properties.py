@@ -96,3 +96,26 @@ def test_safe_rate_matches_pandas_reference(spark, pairs):
             expected = n / d * 100.0
             assert row.r_nan == expected and row.r_zero == expected
     assert len(got) == len(pdf)
+
+
+@pytest.mark.slow
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.tuples(st.sampled_from(["hot", "hot", "hot", "b", "c"]),
+                       st.integers(0, 100)), min_size=1, max_size=30),
+    st.lists(st.tuples(st.sampled_from(["hot", "b", "c", "d"]),
+                       st.integers(0, 100)), min_size=0, max_size=10),
+    st.sampled_from(["inner", "left"]),
+)
+def test_salted_join_equals_direct_property(spark, brows, srows, how):
+    """salted_join == plain join for arbitrary (skewed) inputs, inner and
+    left — replication + per-row salt must not change the result set."""
+    big = spark.createDataFrame(brows, "k string, bv long")
+    small = spark.createDataFrame(srows, "k string, sv long") if srows else \
+        spark.createDataFrame([], "k string, sv long")
+    direct = sorted(map(tuple, big.join(small, ["k"], how).collect()))
+    salted = sorted(
+        map(tuple, skew.salted_join(big, small, ["k"], n_salts=4, how=how).collect())
+    )
+    assert salted == direct
