@@ -744,6 +744,37 @@ def skew_salted_agg(spark, sf_dir):
     )
 
 
+@query(
+    "skew_salted_join",
+    oracle="""
+    SELECT o_orderstatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def skew_salted_join(spark, sf_dir):
+    """Salted fact-fact join (operators/skew.salted_join): hot order keys
+    spread over 8 reducers, orders side replicated x8 — result identical
+    to the plain join (the oracle IS the plain join)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    joined = skew.salted_join(
+        li.withColumnRenamed("l_orderkey", "okey"),
+        o.withColumnRenamed("o_orderkey", "okey"),
+        ["okey"],
+        n_salts=8,
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.9 event-time windows (batch-mode over events; same code runs streaming).
 # ---------------------------------------------------------------------------
