@@ -61,7 +61,15 @@ def create_geoid(
 
 
 def build_geoid(state: str, county: str = "", tract: str = "", block_group: str = "") -> str:
-    """Scalar builder with zero-padding (reference: src/geography.py:243-269)."""
+    """Scalar GEOID builder.
+
+    Deliberate strictness upgrade over the reference: src/geography.py:243-269
+    concatenates the raw parts verbatim (``build_geoid('6','59')`` -> ``'659'``),
+    which silently produces non-canonical GEOIDs when callers pass unpadded
+    FIPS codes. This builder zero-pads every part to its fixed Census width
+    (state 2, county 3, tract 6 with the '.' separator stripped) so the output
+    always satisfies the fixed-offset contract that ``parse_geoid`` and the
+    prefix rollups rely on."""
     geoid = state.zfill(2)
     if county:
         geoid += county.zfill(3)

@@ -35,7 +35,14 @@ def safe_rate(
     if handle_zero == "nan":
         return rate  # x/0 and x/NULL are already NULL in (non-ANSI) Spark
     if handle_zero == "zero":
-        return F.when(den == 0, F.lit(0.0)).otherwise(rate)
+        # pandas parity (transformers.py:100-108): the reference computes the
+        # raw division first (0/0 -> NaN, x/0 -> ±inf) and replaces only
+        # [inf, -inf] with 0 — so 0/0 stays NaN under the 'zero' policy too.
+        return (
+            F.when((den == 0) & (num == 0), F.lit(float("nan")))
+            .when(den == 0, F.lit(0.0))
+            .otherwise(rate)
+        )
     # 'inf': reproduce raw pandas float division (transformers.py:100-101):
     # +inf for positive numerator, -inf negative, NaN for 0/0.
     return (

@@ -967,14 +967,47 @@ def profile_lineitem(spark, sf_dir):
     return reduce(DataFrame.unionByName, profiles)
 
 
-@query("approx_sketches")  # rows-only: approximate results have no exact oracle
+@query(
+    "approx_sketches",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           count(*) AS n_rows,
+           TRUE AS hll_within_5pct,
+           TRUE AS approx_median_in_range
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_sketches(spark, sf_dir):
-    """The 100 TB swap path: approx_count_distinct (HLL) and
+    """The 100 TB swap path: approx_count_distinct (HLL sketch) and
     percentile_approx (quantile sketch) replace their exact counterparts
-    (SURVEY.md §7.3 'exact vs approx quantiles')."""
+    (SURVEY.md §7.3 'exact vs approx quantiles').
+
+    Sketch outputs have no exact oracle, so the accuracy contract is
+    asserted Spark-side and shipped as oracle-checked booleans: the HLL
+    estimate (rsd=0.01) must land within 5% of the exact distinct count,
+    and the approximate median must fall inside [min, max]. The oracle
+    recomputes the exact columns and expects TRUE for both assertions —
+    a red driver row means the sketch accuracy claim itself failed."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("__hll"),
         F.count("*").alias("n_rows"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("__amed"),
+        F.min("l_extendedprice").alias("__minp"),
+        F.max("l_extendedprice").alias("__maxp"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "n_rows",
+        (
+            F.abs(F.col("__hll") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("hll_within_5pct"),
+        (
+            (F.col("__amed") >= F.col("__minp"))
+            & (F.col("__amed") <= F.col("__maxp"))
+        ).alias("approx_median_in_range"),
     )

@@ -280,7 +280,9 @@ def sentinel_clean_drop(spark, sf_dir):
       SELECT l_returnflag, l_discount,
              CASE WHEN l_discount = 0 THEN NULL
                   ELSE l_extendedprice / l_discount * 100 END AS rate_nan,
-             CASE WHEN l_discount = 0 THEN 0.0
+             CASE WHEN l_discount = 0
+                  THEN (CASE WHEN l_extendedprice = 0
+                             THEN 'nan'::DOUBLE ELSE 0.0 END)
                   ELSE l_extendedprice / l_discount * 100 END AS rate_zero,
              CASE WHEN l_discount = 0 THEN 'infinity'::DOUBLE
                   ELSE l_extendedprice / l_discount * 100 END AS rate_inf
@@ -307,7 +309,9 @@ def rates_zero_policy(spark, sf_dir):
         F.count(F.when(F.col("l_discount") == 0, 1)).alias("n_zero_denom"),
         F.count(F.when(F.col("rate_nan").isNull(), 1)).alias("n_null_rate"),
         F.round(F.avg("rate_zero"), 2).alias("avg_rate_zero"),
-        F.count(F.when(F.col("rate_inf") == float("inf"), 1)).alias("n_inf"),
+        # abs() so BOTH signed infinities count, matching the oracle's
+        # isinf() — parity must not depend on the numerator staying positive
+        F.count(F.when(F.abs(F.col("rate_inf")) == float("inf"), 1)).alias("n_inf"),
     )
 
 

@@ -59,9 +59,15 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     inputs arrive multi-file and this is a no-op."""
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    # File count stands in for scan parallelism without the df.rdd hop
+    # (which forces a plan->RDD conversion per call). Multi-file inputs at
+    # or above the target are already parallel; anything else (few files,
+    # or a non-file-backed frame) gets an explicit round-robin repartition
+    # — harmless when small, necessary when CPU-bound downstream.
+    files = df.inputFiles()
+    if files and len(files) >= target:
+        return df
+    return df.repartition(target)
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

@@ -88,10 +88,21 @@ def test_safe_rate_matches_pandas_reference(spark, pairs):
         safe_rate("num", "den", 100.0, "zero").alias("r_zero"),
     ).collect()
     pdf = pd.DataFrame(pairs, columns=["num", "den"])
-    for row, (n, d) in zip(got, pairs):
+    # actual pandas reference arithmetic: raw division (0/0 -> NaN,
+    # x/0 -> ±inf), then the 'zero' policy replaces only ±inf with 0
+    # (transformers.py:100-108) — 0/0 stays NaN.
+    import numpy as np
+
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        raw = pdf["num"].to_numpy() / pdf["den"].to_numpy() * 100.0
+    exp_zero = np.where(np.isinf(raw), 0.0, raw)
+    for row, (n, d), ez in zip(got, pairs, exp_zero):
         if d == 0:
-            assert row.r_nan is None  # pandas: inf -> replaced by NaN
-            assert row.r_zero == 0.0
+            assert row.r_nan is None  # 'nan' policy: NULL on zero denom
+            if np.isnan(ez):
+                assert row.r_zero != row.r_zero  # NaN (0/0 parity)
+            else:
+                assert row.r_zero == ez
         else:
             expected = n / d * 100.0
             assert row.r_nan == expected and row.r_zero == expected
