@@ -7,12 +7,19 @@ Over an ``array<float>`` embedding column:
   (``zip_with`` + ``aggregate``), take top-k per query with a window. Scan
   shape: one pass over the corpus, no corpus-side shuffle except the
   per-query top-k (tiny). This is the oracle-checkable path.
-- **Sign-LSH (random-hyperplane-style) bucketed top-k** — the scale path:
-  bucket vectors by the sign pattern of the first ``nbits`` dimensions
-  (axis-aligned hyperplanes — deterministic, engine-reproducible), equi-join
-  queries to corpus on bucket, score only within buckets. Recall trades off
-  against nbits; an IVF upgrade would learn centroids instead of using
-  axis-aligned planes (pyspark.ml KMeans) — same join shape.
+- **Sign-LSH (random-hyperplane) bucketed search** — the scale path:
+  bucket vectors by the sign pattern of ``nbits`` seeded random
+  projections, optionally across ``n_tables`` independent hash tables
+  (any-table collision ⇒ candidate), equi-join on (table, bucket), score
+  only candidates. The projection coefficients come from a seeded PRNG and
+  are rounded to 6 decimals so the *identical literals* can be embedded in
+  an ANSI-SQL oracle — recall is a deterministic function of the seed, not
+  an un-checkable approximation.
+- **Embedding near-dup pairs** — the dedup analog: LSH candidate
+  generation + exact cosine verification, mirroring the
+  ``minhash_lsh_pairs`` plan shape (bucket self-equi-join → broadcast
+  candidates → verify). No driver-side materialization anywhere; the
+  legacy BLAS matmul path is kept as an explicit small-corpus option.
 
 All arithmetic in double precision with index-ordered summation so results
 are bit-reproducible across engines.
@@ -47,6 +54,70 @@ def norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
+
+# ---------------------------------------------------------------------------
+# Seeded random-hyperplane hash family
+# ---------------------------------------------------------------------------
+def random_projections(
+    dim: int, nbits: int, n_tables: int = 1, seed: int = 42
+) -> list[list[list[float]]]:
+    """Deterministic random-hyperplane coefficients:
+    ``n_tables × nbits`` unit-less normal vectors of length ``dim``.
+
+    Uses the legacy ``numpy.random.RandomState`` stream (bit-stable across
+    platforms/versions by NumPy's compatibility guarantee) and rounds to 6
+    decimals so the exact numeric literals round-trip through SQL text —
+    the oracle side embeds ``repr(coef)`` and parses back the identical
+    double."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [
+        [
+            [round(float(c), 6) for c in row]
+            for row in rng.standard_normal((nbits, dim))
+        ]
+        for _ in range(n_tables)
+    ]
+
+
+def random_projection_bucket(
+    vec_col: Column | str, projections: list[list[float]]
+) -> Column:
+    """LSH bucket id: concatenated sign bits of seeded random projections
+    (one hash table's ``nbits × dim`` coefficient matrix)."""
+    v = _as_double(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+    bits = []
+    for row in projections:
+        proj = dot(v, F.array(*[F.lit(c) for c in row]))
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def projection_bucket_sql(vec_expr: str, projections: list[list[float]]) -> str:
+    """DuckDB expression computing the *same* bucket id as
+    ``random_projection_bucket`` — coefficient literals are ``repr``'d
+    (shortest round-trip) so both engines hash with identical doubles."""
+    return " || ".join(
+        "CASE WHEN list_dot_product({v}, [{c}]) >= 0 THEN '1' ELSE '0' END".format(
+            v=vec_expr, c=", ".join(repr(c) for c in row)
+        )
+        for row in projections
+    )
+
+
+def sign_bucket(vec_col: Column | str, nbits: int = 8) -> Column:
+    """Legacy deterministic bucket: sign bits of the first ``nbits``
+    dimensions (axis-aligned hyperplanes). Dimension-agnostic but
+    vulnerable to correlated leading dimensions — prefer the seeded
+    random-projection family for real recall."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.concat(
+        *[
+            F.when(v[i] >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(nbits)
+        ]
+    )
 
 
 def _ranked_topk(scored, k: int):
@@ -89,32 +160,158 @@ def knn_bruteforce(
     return _ranked_topk(scored, k)
 
 
+def _bucket_entries(vec: Column, bucket_cols: list[Column]) -> Column:
+    """(table_idx, bucket) struct array for explode — one row per hash
+    table after the explode."""
+    return F.array(
+        *[
+            F.struct(F.lit(t).alias("tbl"), bc.alias("bucket"))
+            for t, bc in enumerate(bucket_cols)
+        ]
+    )
+
+
+def _bucket_frame(
+    df: DataFrame, id_col: str, vec_col: str, out_id: str,
+    bucket_cols_fn,
+) -> DataFrame:
+    """(out_id, tbl, bucket) rows — ids only, vectors are NOT carried
+    through the candidate join (they are re-fetched once per verified
+    candidate, mirroring minhash_lsh_pairs' verify stage)."""
+    base = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("__v"))
+    return base.select(
+        out_id, F.explode(_bucket_entries(F.col("__v"), bucket_cols_fn(F.col("__v")))).alias("tb")
+    ).select(out_id, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+
+def _make_bucket_fn(nbits: int, n_tables: int, dim: int | None, seed: int):
+    """Bucket-column factory shared by knn_lsh and embedding_dup_pairs:
+    seeded random projections when ``dim`` is known, legacy axis-aligned
+    signs (single table) otherwise."""
+    if dim is None:
+        return lambda v: [sign_bucket(v, nbits)]
+    projs = random_projections(dim, nbits, n_tables, seed)
+    return lambda v: [random_projection_bucket(v, tbl) for tbl in projs]
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 1,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors sharing an LSH bucket
+    with the query in at least one hash table. Same output schema as
+    knn_bruteforce; recall < 1 by design (see tests/test_functions_ext.py
+    recall floor and SCALING.md).
+
+    With ``dim`` set, buckets are sign patterns of ``nbits`` seeded random
+    projections per table — ``n_tables`` independent tables boost recall
+    multiplicatively (candidate iff colliding anywhere). Without ``dim``
+    the legacy axis-aligned single-table bucket is used.
+
+    Scale shape: corpus bucket ids are one narrow scan (could be written
+    bucketed-by bucket key); candidates come from an equi-join against the
+    broadcast query buckets; vectors are fetched once per distinct
+    candidate pair — no cross join, and the corpus never shuffles."""
+    bucket_fn = _make_bucket_fn(nbits, n_tables, dim, seed)
+    cb = _bucket_frame(ensure_parallelism(corpus), id_col, vec_col, "neighbor_id", bucket_fn)
+    qb = _bucket_frame(queries, id_col, vec_col, "query_id", bucket_fn)
+    candidates = (
+        cb.join(F.broadcast(qb), on=["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    cvec = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    scored = (
+        cvec.join(F.broadcast(candidates), "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn("cosine_sim", F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6))
+    )
+    return _ranked_topk(scored, k)
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "lsh",
+    dim: int | None = None,
+    nbits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine_sim) for
-    all pairs with cosine >= threshold — the dedup analog of knn search.
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine_sim) with
+    id_a < id_b and cosine >= threshold — the dedup analog of knn search.
 
-    Exact all-pairs similarity is O(n²·d) dense arithmetic: per-pair
-    Catalyst expressions (zip_with + aggregate) pay higher-order-function
-    overhead per element (~40x slower measured), so this is the one place
-    the engine deliberately drops to Arrow + numpy: the corpus matrix is
-    L2-normalized and broadcast, and each Arrow batch computes a
-    (batch × corpus) BLAS matmul, emitting only threshold-passing pairs.
+    Default ``method='lsh'`` is the 100 TB path, mirroring
+    ``minhash_lsh_pairs`` (dedup.py): seeded random-projection sign buckets
+    across ``n_tables`` hash tables generate candidate pairs via a
+    self-equi-join on (table, bucket); candidates are verified with the
+    exact Catalyst cosine. Everything is scan → shuffle-on-compact-key →
+    broadcast-verify; no driver-side materialization, and id type/schema
+    follow the input column. Recall is governed by (nbits, n_tables) vs
+    the threshold's angle — deterministic given the seed, so an oracle can
+    replicate the candidate set exactly (``projection_bucket_sql``).
 
-    The broadcast bounds this to corpora that fit in executor memory
-    (~1M x 64 floats = 256 MB) — which is inherent to exact all-pairs
-    anyway; beyond that, prefilter candidates with sign-LSH buckets
-    (``knn_lsh``'s join) or block both sides."""
+    ``method='exact'`` is the opt-in small-corpus fast path: exact
+    all-pairs via a driver-collected, L2-normalized matrix broadcast and a
+    per-Arrow-batch BLAS matmul. Bounded by executor/driver memory
+    (~1M × 64 floats); use only when the corpus is known-small."""
+    if method == "exact":
+        return _embedding_dup_pairs_blas(df, threshold, id_col, vec_col)
+    if method != "lsh":
+        raise ValueError(f"method must be 'lsh' or 'exact', got {method!r}")
+
+    bucket_fn = _make_bucket_fn(nbits, n_tables, dim, seed)
+    src = ensure_parallelism(df)
+    buckets = _bucket_frame(src, id_col, vec_col, "id", bucket_fn)
+    x, y = buckets.alias("x"), buckets.alias("y")
+    candidates = (
+        x.join(y, on=["tbl", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    vecs = src.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a = vecs.withColumnsRenamed({"id": "id_a", "v": "__va"})
+    b = vecs.withColumnsRenamed({"id": "id_b", "v": "__vb"})
+    return (
+        a.join(F.broadcast(candidates), "id_a")
+        .join(b, "id_b")
+        .withColumn("cosine_sim", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def _embedding_dup_pairs_blas(
+    df: DataFrame, threshold: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """Exact all-pairs via driver-collected matrix broadcast + per-batch
+    BLAS matmul. O(n²·d) dense arithmetic — per-pair Catalyst expressions
+    pay higher-order-function overhead per element (~40x slower measured),
+    so this is the one place the engine deliberately drops to Arrow+numpy.
+    Output id columns keep the input id column's Spark type."""
     import numpy as np
     import pandas as pd
 
     spark = df.sparkSession
+    id_type = dict(df.dtypes)[id_col]
     rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    ids = np.asarray([r[0] for r in rows])
     mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     b = spark.sparkContext.broadcast((ids, mat))
@@ -143,52 +340,8 @@ def embedding_dup_pairs(
     # splitting 2k rows across 32 partitions costs a shuffle and per-batch
     # numpy overhead for no parallel win (BLAS saturates a core per block)
     return df.select(id_col, vec_col).mapInPandas(
-        block, schema="id_a long, id_b long, cosine_sim double"
+        block, schema=f"id_a {id_type}, id_b {id_type}, cosine_sim double"
     )
-
-
-def sign_bucket(vec_col: Column | str, nbits: int = 8) -> Column:
-    """Deterministic LSH bucket: concatenated sign bits of the first
-    ``nbits`` dimensions (axis-aligned hyperplane family)."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    return F.concat(
-        *[
-            F.when(v[i] >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for i in range(nbits)
-        ]
-    )
-
-
-def knn_lsh(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    nbits: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Approximate top-k: score only corpus vectors in the query's sign
-    bucket. Same output schema as knn_bruteforce; recall < 1 by design.
-
-    Scale: corpus is pre-bucketed once (could be written bucketed-by
-    bucket key); each query touches ~corpus/2^nbits vectors via an
-    equi-join — no cross join anywhere."""
-    c = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
-        sign_bucket(vec_col, nbits).alias("__bucket"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qvec"),
-        sign_bucket(vec_col, nbits).alias("__bucket"),
-    )
-    scored = (
-        c.join(F.broadcast(q), on="__bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine_sim", F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6))
-    )
-    return _ranked_topk(scored, k)
 
 
 def knn_ivf(
@@ -202,7 +355,7 @@ def knn_ivf(
     """IVF-style approximate top-k: learn coarse centroids with KMeans
     (pyspark.ml), assign every vector to its nearest centroid, and score
     queries only against their own cell — the learned-partition upgrade of
-    the axis-aligned ``knn_lsh`` (same equi-join shape, better-balanced
+    the random-projection ``knn_lsh`` (same equi-join shape, better-balanced
     cells). Probing more cells trades latency for recall; this single-probe
     form is the baseline."""
     from pyspark.ml.clustering import KMeans

@@ -95,21 +95,55 @@ def normalize_zscore_by_nation(spark, sf_dir):
     return out.select("c_custkey", F.round("normalized", 6).alias("normalized"))
 
 
+def _embedding_lsh_oracle(
+    threshold: float, dim: int, nbits: int, n_tables: int, seed: int
+) -> str:
+    """DuckDB replica of the LSH-prefiltered dup-pair plan: the SAME seeded
+    projection literals build the buckets, so the candidate set — and hence
+    the (recall < 1 by design) result — matches the engine exactly."""
+    from census_data_pipeline_spark.functions.similarity import (
+        projection_bucket_sql,
+        random_projections,
+    )
+
+    projs = random_projections(dim, nbits, n_tables, seed)
+    tables = "\n    UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, "
+        f"{projection_bucket_sql('v', projs[t])} AS bucket FROM e"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS ({tables}),
+    cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+             FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
+                             AND x.vec_id < y.vec_id),
+    p AS (SELECT id_a, id_b,
+                 round(list_dot_product(a.v, c.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine_sim
+          FROM cand JOIN e a ON cand.id_a = a.vec_id
+                    JOIN e c ON cand.id_b = c.vec_id)
+    SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= {threshold}
+    """
+
+
 @query(
     "dedup_embedding_cosine",
-    oracle="""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                 round(list_dot_product(a.v, b.v)
-                       / (sqrt(list_dot_product(a.v, a.v))
-                          * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
-          FROM e a JOIN e b ON a.vec_id < b.vec_id)
-    SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= 0.4
-    """,
+    oracle=_embedding_lsh_oracle(
+        threshold=0.4, dim=64, nbits=4, n_tables=8, seed=42
+    ),
 )
 def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs via the scale path: seeded random-projection
+    LSH candidate generation + exact cosine verify (no driver collect; see
+    functions/similarity.embedding_dup_pairs). 4 bits × 8 tables targets
+    high recall at the 0.4 threshold's ~66° angle; the oracle replicates
+    the identical bucketing, so parity checks the full pipeline."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_dup_pairs(emb, threshold=0.4)
+    return embedding_dup_pairs(
+        emb, threshold=0.4, dim=64, nbits=4, n_tables=8, seed=42
+    )
 
 
 @query(

@@ -451,25 +451,30 @@ def knn_bruteforce(spark, sf_dir):
     )
 
 
-def _bucket_sql(col: str, nbits: int = 8) -> str:
-    return " || ".join(
-        f"CASE WHEN {col}[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(nbits)
+def _knn_lsh_oracle(dim: int, nbits: int, n_tables: int, seed: int) -> str:
+    """DuckDB replica of the multi-table random-projection knn: identical
+    seeded coefficient literals -> identical candidate sets -> exact
+    value parity despite recall < 1."""
+    projs = similarity.random_projections(dim, nbits, n_tables, seed)
+    tables = "\n    UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, "
+        f"{similarity.projection_bucket_sql('v', projs[t])} AS bucket FROM e"
+        for t in range(n_tables)
     )
-
-
-@query(
-    "knn_lsh",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-                      {_bucket_sql('embedding')} AS bucket
-               FROM embeddings),
-    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e
-          WHERE vec_id % 100 = 0),
-    s AS (SELECT query_id, e.vec_id AS neighbor_id,
-                 round(list_dot_product(qv, e.v)
-                       / (sqrt(list_dot_product(qv, qv))
-                          * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine_sim
-          FROM q JOIN e USING (bucket) WHERE e.vec_id <> query_id),
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS ({tables}),
+    qb AS (SELECT vec_id AS query_id, tbl, bucket FROM b
+           WHERE vec_id % 100 = 0),
+    cand AS (SELECT DISTINCT query_id, b.vec_id AS neighbor_id
+             FROM qb JOIN b ON qb.tbl = b.tbl AND qb.bucket = b.bucket
+             WHERE b.vec_id <> query_id),
+    s AS (SELECT query_id, neighbor_id,
+                 round(list_dot_product(q.v, c.v)
+                       / (sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine_sim
+          FROM cand JOIN e q ON cand.query_id = q.vec_id
+                    JOIN e c ON cand.neighbor_id = c.vec_id),
     r AS (SELECT query_id, neighbor_id,
                  row_number() OVER (PARTITION BY query_id
                                     ORDER BY cosine_sim DESC, neighbor_id)
@@ -477,12 +482,26 @@ def _bucket_sql(col: str, nbits: int = 8) -> str:
                  cosine_sim
           FROM s)
     SELECT query_id, neighbor_id, "rank", cosine_sim FROM r WHERE "rank" <= 10
-    """,
+    """
+
+
+@query(
+    "knn_lsh",
+    oracle=_knn_lsh_oracle(dim=64, nbits=4, n_tables=8, seed=42),
 )
 def knn_lsh(spark, sf_dir):
+    """Approximate knn on the scale path: 4 seeded random-projection sign
+    bits × 8 hash tables (any-table collision ⇒ candidate). Replaces the
+    axis-aligned first-nbits bucket (correlated leading dims ⇒ recall
+    cliff). Params are tuned for the synthetic lake's near-uniform vectors
+    (top-10 neighbors sit at cosine ≈ 0.3-0.5, so buckets must stay
+    coarse): measured recall@10 = 0.66 vs knn_bruteforce at sf0.001,
+    floor-tested in tests/test_functions_ext.py; see SCALING.md."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    out = similarity.knn_lsh(emb, queries, k=10, nbits=8)
+    out = similarity.knn_lsh(
+        emb, queries, k=10, nbits=4, n_tables=8, dim=64, seed=42
+    )
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
         "cosine_sim",

@@ -115,8 +115,51 @@ def test_knn_lsh_bucketing(spark):
         (2, [-1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),  # different bucket
     ]
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    # legacy axis-aligned bucket (dim=None): vec 2 flips the first sign bit
     out = similarity.knn_lsh(df, df.filter("vec_id = 0"), k=5, nbits=8).collect()
     assert [r.neighbor_id for r in out] == [1]  # bucket 2 never scored
+
+
+def _sf0001_embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def _recall_at_10(truth_df, approx_df):
+    truth, got = {}, {}
+    for r in truth_df.collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx_df.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    per_q = [len(got.get(q, set()) & t) / len(t) for q, t in truth.items()]
+    return sum(per_q) / len(per_q)
+
+
+@pytest.mark.slow
+def test_knn_lsh_recall_floor(spark):
+    """Random-projection LSH recall@10 vs the exact baseline on the real
+    test lake. Floor 0.5 with 4 bits × 8 tables (measured 0.66 on this
+    near-uniform data — see SCALING.md; the old axis-aligned first-8-dims
+    bucket measured 0.07 here, which is the recall cliff the seeded family
+    fixes)."""
+    emb = _sf0001_embeddings(spark)
+    queries = emb.filter("vec_id % 20 = 0")
+    bf = similarity.knn_bruteforce(emb, queries, k=10)
+    lsh = similarity.knn_lsh(
+        emb, queries, k=10, nbits=4, n_tables=8, dim=64, seed=42
+    )
+    assert _recall_at_10(bf, lsh) >= 0.5
+
+
+@pytest.mark.slow
+def test_knn_ivf_recall_floor(spark):
+    """Single-probe IVF recall@10 floor vs the exact baseline (measured
+    0.46 with 4 learned cells on the near-uniform lake; single-probe is
+    the documented baseline, multi-probe is the recall lever)."""
+    emb = _sf0001_embeddings(spark)
+    queries = emb.filter("vec_id % 20 = 0")
+    bf = similarity.knn_bruteforce(emb, queries, k=10)
+    ivf = similarity.knn_ivf(emb, queries, k=10, n_centroids=4)
+    assert _recall_at_10(bf, ivf) >= 0.3
 
 
 # -- multimodal ----------------------------------------------------------
@@ -141,9 +184,58 @@ def test_embedding_dup_pairs_blas(spark):
         (0, [1.0, 0.0]), (1, [0.999, 0.01]), (2, [0.0, 1.0]),
     ]
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
-    pairs = similarity.embedding_dup_pairs(df, threshold=0.9).collect()
+    pairs = similarity.embedding_dup_pairs(df, threshold=0.9, method="exact").collect()
     assert [(p.id_a, p.id_b) for p in pairs] == [(0, 1)]
     assert pairs[0].cosine_sim > 0.99
+
+
+def test_embedding_dup_pairs_blas_id_type_follows_input(spark):
+    # ADVICE r1: the BLAS path hardcoded 'id_a long' — ids must keep the
+    # input column's type (string ids here)
+    vecs = [("a", [1.0, 0.0]), ("b", [0.999, 0.01]), ("c", [0.0, 1.0])]
+    df = spark.createDataFrame(vecs, "vec_id string, embedding array<float>")
+    out = similarity.embedding_dup_pairs(df, threshold=0.9, method="exact")
+    assert dict(out.dtypes)["id_a"] == "string"
+    assert [(p.id_a, p.id_b) for p in out.collect()] == [("a", "b")]
+
+
+@pytest.mark.slow
+def test_embedding_dup_pairs_lsh_subset_of_exact(spark):
+    """The LSH path may miss pairs (recall < 1) but must never invent one,
+    and every emitted cosine must equal the exact path's value."""
+    emb = _sf0001_embeddings(spark)
+    exact = {
+        (p.id_a, p.id_b): p.cosine_sim
+        for p in similarity.embedding_dup_pairs(
+            emb, threshold=0.4, method="exact"
+        ).collect()
+    }
+    lsh = similarity.embedding_dup_pairs(
+        emb, threshold=0.4, dim=64, nbits=4, n_tables=8, seed=42
+    ).collect()
+    assert lsh, "LSH path found no pairs at all"
+    for p in lsh:
+        assert (p.id_a, p.id_b) in exact
+        assert p.cosine_sim == exact[(p.id_a, p.id_b)]
+    # recall floor at these params (measured 0.83 on the sf lake)
+    assert len(lsh) / len(exact) >= 0.6
+
+
+def test_embedding_dup_pairs_lsh_no_driver_materialization(spark):
+    """Plan-shape guard (VERDICT r1): the default dup-pairs path must be a
+    pure DataFrame plan — joins on bucket keys, no mapInPandas/collect
+    stage, and constructing it must not launch a Spark job."""
+    vecs = [(i, [float(i % 3) - 1.0] * 4) for i in range(6)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup() or [])
+    out = similarity.embedding_dup_pairs(df, threshold=0.9, dim=4, nbits=2,
+                                         n_tables=2, seed=7)
+    jobs_after = len(tracker.getJobIdsForGroup() or [])
+    assert jobs_after == jobs_before  # lazy construction, no driver collect
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "mapInPandas" not in plan
+    assert "Join" in plan
 
 
 def test_ingest_binary_files(spark, tmp_path):
