@@ -1,0 +1,134 @@
+"""WKT coordinate algebra and grid-partitioned bbox spatial join.
+
+The reference carries geometry opaquely and only ever equi-joins on GEOID
+(reference: src/census_pipeline.py:270-272); this module is the extension
+tier's first *real* spatial predicate, built from pure Catalyst expressions
+over WKT strings (the vanilla-Spark geometry representation per SURVEY.md
+§1.1 — a Sedona upgrade would swap these for ST_* calls with the same
+shapes):
+
+- ``wkt_xs`` / ``wkt_ys`` / ``wkt_bbox`` — extract every coordinate pair
+  from ANY WKT (POINT / LINESTRING / POLYGON) with ``regexp_extract_all``
+  and fold min/max — no UDF, codegen-fused into the scan.
+- ``bbox_intersects`` / ``bbox_contains_point`` — interval algebra on the
+  extracted envelopes.
+- ``grid_bbox_point_join`` — the 100 TB join shape: both sides are mapped
+  onto a fixed grid (a point lands in exactly one cell; a bbox explodes
+  into every cell it covers), candidates come from a hash equi-join on
+  (cell_x, cell_y), and the exact envelope predicate verifies. No cross
+  join, no per-partition nested loop; cell size trades explode volume
+  against candidate selectivity (pick ≈ the median bbox edge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_COORD_PAIR = r"(-?[0-9]+(?:\.[0-9]+)?) (-?[0-9]+(?:\.[0-9]+)?)"
+
+
+def wkt_coord_pairs(geom: Column | str) -> Column:
+    """All ``"x y"`` coordinate pair substrings of a WKT string, in
+    geometry order (array<string>)."""
+    g = F.col(geom) if isinstance(geom, str) else geom
+    return F.regexp_extract_all(g, F.lit(_COORD_PAIR), 0)
+
+
+def _pair_part(idx: int):
+    return lambda p: F.split(p, " ")[idx].cast("double")
+
+
+def wkt_xs(geom: Column | str) -> Column:
+    return F.transform(wkt_coord_pairs(geom), _pair_part(0))
+
+
+def wkt_ys(geom: Column | str) -> Column:
+    return F.transform(wkt_coord_pairs(geom), _pair_part(1))
+
+
+def wkt_bbox(geom: Column | str) -> Column:
+    """Envelope of any WKT geometry:
+    struct(xmin, ymin, xmax, ymax) — min/max folds over the coordinate
+    arrays."""
+    xs, ys = wkt_xs(geom), wkt_ys(geom)
+    return F.struct(
+        F.array_min(xs).alias("xmin"),
+        F.array_min(ys).alias("ymin"),
+        F.array_max(xs).alias("xmax"),
+        F.array_max(ys).alias("ymax"),
+    )
+
+
+def bbox_intersects(a: Column, b: Column) -> Column:
+    """Envelope overlap (closed intervals): the standard separating-axis
+    test on both axes."""
+    return (
+        (a["xmin"] <= b["xmax"]) & (b["xmin"] <= a["xmax"])
+        & (a["ymin"] <= b["ymax"]) & (b["ymin"] <= a["ymax"])
+    )
+
+
+def bbox_contains_point(bbox: Column, x: Column, y: Column) -> Column:
+    return (
+        (x >= bbox["xmin"]) & (x <= bbox["xmax"])
+        & (y >= bbox["ymin"]) & (y <= bbox["ymax"])
+    )
+
+
+def _cell(v: Column, cell_size: float) -> Column:
+    return F.floor(v / F.lit(float(cell_size))).cast("long")
+
+
+def grid_bbox_point_join(
+    points: DataFrame,
+    boxes: DataFrame,
+    cell_size: float,
+    x_col: str = "px",
+    y_col: str = "py",
+    bbox_col: str = "bbox",
+    broadcast_boxes: bool = True,
+) -> DataFrame:
+    """Spatial candidate join: every ``points`` row against every
+    ``boxes`` row whose envelope contains it.
+
+    Grid partitioning keeps this an equi-join: a point hashes to exactly
+    one (cell_x, cell_y); a bbox explodes into each grid cell its envelope
+    covers (``sequence`` × ``sequence`` flatten — bounded by
+    (edge/cell_size)² rows per box). Each (box, point) meets in at most
+    one cell (the point's), so no post-join dedup is needed; the exact
+    ``bbox_contains_point`` predicate verifies candidates. With
+    ``broadcast_boxes`` (dimension-sized polygon sets — the census case:
+    ~10⁵ boundaries vs 10¹⁰ points) the points side never shuffles at all.
+    """
+    b = boxes.withColumn(
+        "__cells",
+        F.flatten(
+            F.transform(
+                F.sequence(
+                    _cell(F.col(bbox_col)["xmin"], cell_size),
+                    _cell(F.col(bbox_col)["xmax"], cell_size),
+                ),
+                lambda cx: F.transform(
+                    F.sequence(
+                        _cell(F.col(bbox_col)["ymin"], cell_size),
+                        _cell(F.col(bbox_col)["ymax"], cell_size),
+                    ),
+                    lambda cy: F.struct(cx.alias("cx"), cy.alias("cy")),
+                ),
+            )
+        ),
+    ).select("*", F.explode("__cells").alias("__c")).select(
+        *[c for c in boxes.columns],
+        F.col("__c.cx").alias("__cx"),
+        F.col("__c.cy").alias("__cy"),
+    )
+    p = points.withColumn("__cx", _cell(F.col(x_col), cell_size)).withColumn(
+        "__cy", _cell(F.col(y_col), cell_size)
+    )
+    bside = F.broadcast(b) if broadcast_boxes else b
+    return (
+        p.join(bside, on=["__cx", "__cy"])
+        .filter(bbox_contains_point(F.col(bbox_col), F.col(x_col), F.col(y_col)))
+        .drop("__cx", "__cy")
+    )
