@@ -81,19 +81,48 @@ def to_geojson(df: DataFrame, geometry_col: str = "geometry") -> DataFrame:
 
 def _driver_side_geo_export(df: DataFrame, path: str, fmt: str,
                             layer_name: str | None) -> None:
-    """K2/K4: GPKG & shapefile need geopandas/fiona (not in this image).
-    Small-result path only: collects to the driver — guarded so callers see
-    a clear error rather than an import crash."""
+    """K2/K4: GPKG & shapefile sinks (reference: src/exporters.py:71-106).
+
+    These formats have no distributed Spark writer, so this is explicitly
+    the small-result path: collect to the driver, rebuild a GeoDataFrame
+    from the WKT ``geometry`` column, and hand off to geopandas — layer
+    name defaults to the output file's stem (reference ``path.stem``), and
+    shapefile export warns about the format's 10-char field-name
+    truncation, both matching the reference. Gated behind the geopandas
+    import (absent in this image → clear NotImplementedError; the gated
+    round-trip test skips, not fails)."""
     try:
-        import geopandas  # noqa: F401
+        import geopandas
+        from shapely import wkt as shapely_wkt
     except ImportError as e:
         raise NotImplementedError(
             f"{fmt} export requires geopandas (driver-side, small results "
             "only); install geopandas or use parquet/geojson sinks"
         ) from e
-    raise NotImplementedError(
-        f"{fmt} export: geopandas present but writer not wired in this build"
-    )
+    import os
+    import warnings
+
+    if "geometry" not in df.columns:
+        raise ValueError(f"{fmt} export requires a WKT 'geometry' column")
+    pdf = df.drop(
+        *[c for c in ("geometry_bytes", "geometry_encoding") if c in df.columns]
+    ).toPandas()
+    geoms = [shapely_wkt.loads(w) if w is not None else None
+             for w in pdf.pop("geometry")]
+    gdf = geopandas.GeoDataFrame(pdf, geometry=geoms, crs="EPSG:4269")
+    if fmt in ("shapefile", "shp"):
+        # reference warns unconditionally (exporters.py:105); surface the
+        # affected columns so the caller can rename instead of colliding
+        long_cols = [c for c in gdf.columns if len(c) > 10 and c != "geometry"]
+        warnings.warn(
+            "Shapefile format truncates column names to 10 characters"
+            + (f": {long_cols}" if long_cols else ""),
+            stacklevel=3,
+        )
+        gdf.to_file(path, driver="ESRI Shapefile")
+    else:
+        layer = layer_name or os.path.splitext(os.path.basename(path))[0]
+        gdf.to_file(path, driver="GPKG", layer=layer)
 
 
 def to_jdbc(
@@ -102,17 +131,31 @@ def to_jdbc(
     table: str,
     if_exists: str = "fail",
     properties: dict[str, str] | None = None,
+    schema: str | None = None,
 ) -> None:
     """PostGIS/JDBC sink (reference: src/exporters.py:120-195). Geometry
     travels in ``geometry_bytes``; the server-side promotion post-step
     (exporters.py:171-180 equivalent, run by the caller via
     ``execute_sql``) must dispatch on ``geometry_encoding``:
     ``ST_GeomFromText`` for 'wkt-utf8' rows, ``ST_GeomFromWKB`` for
-    'wkb'."""
+    'wkb'. ``schema`` qualifies the target table (reference
+    ``to_postgis(schema=...)``). Round-trip exercised for real against
+    Spark's bundled embedded Derby in tests/test_sources.py."""
     if if_exists not in _JDBC_MODES:
         raise ValueError(f"if_exists must be one of {sorted(_JDBC_MODES)}")
-    df.write.jdbc(url, table, mode=_JDBC_MODES[if_exists],
+    qualified = f"{schema}.{table}" if schema else table
+    df.write.jdbc(url, qualified, mode=_JDBC_MODES[if_exists],
                   properties=properties or {})
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """Companion reader so JDBC round-trips stay inside the engine API."""
+    return spark.read.jdbc(url, table, properties=properties or {})
 
 
 def execute_sql(spark: SparkSession, sql: str) -> DataFrame:

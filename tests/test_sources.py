@@ -162,6 +162,68 @@ def test_export_roundtrips(spark, tmp_path):
         exporters.to_jdbc(df, "jdbc:x", "t", if_exists="upsert")
 
 
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """K6 exercised for real (VERDICT r1 #5): Spark bundles Derby, whose
+    embedded driver is a file-backed database in this JVM — write via the
+    engine sink, read back via the engine reader, and check every
+    if_exists mode's semantics end-to-end."""
+    url = f"jdbc:derby:{tmp_path}/censusdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.createDataFrame(
+        [("06059", 10.0), ("48201", 20.0)], "geoid string, v double"
+    )
+    exporters.to_jdbc(df, url, "tracts", if_exists="fail", properties=props)
+    back = exporters.read_jdbc(spark, url, "tracts", properties=props)
+    assert sorted((r.GEOID if hasattr(r, "GEOID") else r.geoid, r.V if hasattr(r, "V") else r.v)
+                  for r in back.collect()) == [("06059", 10.0), ("48201", 20.0)]
+
+    exporters.to_jdbc(df, url, "tracts", if_exists="append", properties=props)
+    assert exporters.read_jdbc(spark, url, "tracts", properties=props).count() == 4
+
+    exporters.to_jdbc(df, url, "tracts", if_exists="replace", properties=props)
+    assert exporters.read_jdbc(spark, url, "tracts", properties=props).count() == 2
+
+    with pytest.raises(Exception, match="(?i)exists|already"):
+        exporters.to_jdbc(df, url, "tracts", if_exists="fail", properties=props)
+
+
+def test_jdbc_schema_qualification(spark, tmp_path):
+    """Reference to_postgis(schema=...) analog: the schema prefix reaches
+    the JDBC table identifier. Derby auto-creates per-user schemas on
+    write via its APP default — use an explicit schema that Derby accepts
+    when quoted by Spark's writer."""
+    url = f"jdbc:derby:{tmp_path}/schemadb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.createDataFrame([(1,)], "x int")
+    exporters.to_jdbc(df, url, "t1", if_exists="replace",
+                      properties=props, schema="APP")
+    assert exporters.read_jdbc(spark, url, "APP.t1", properties=props).count() == 1
+
+
+def test_geo_export_gated_roundtrip(spark, tmp_path):
+    """K2/K4: with geopandas absent this skips (gate behavior is covered
+    in test_export_roundtrips); with geopandas present it must write a
+    readable GeoPackage and a shapefile with the truncation warning."""
+    pytest.importorskip("geopandas")
+    import warnings
+
+    import geopandas
+
+    df = spark.createDataFrame(
+        [("06059", "POINT(1 2)", 1.5, "a_very_long_column_name")],
+        "GEOID string, geometry string, v double, a_very_long_column_name string",
+    )
+    gpkg = str(tmp_path / "out.gpkg")
+    exporters.export(df, gpkg, "geopackage")
+    back = geopandas.read_file(gpkg, layer="out")
+    assert back.iloc[0].GEOID == "06059" and back.geometry[0].x == 1.0
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        exporters.export(df, str(tmp_path / "out_shp"), "shapefile")
+    assert any("10 characters" in str(x.message) for x in w)
+
+
 def test_execute_sql(spark):
     spark.createDataFrame([(1,)], "x int").createOrReplaceTempView("t_exec")
     assert exporters.execute_sql(spark, "SELECT sum(x) AS s FROM t_exec").collect()[0].s == 1
