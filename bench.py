@@ -46,6 +46,12 @@ HEADLINE = [
     "events_hypertable_rollup",
     "corpus_clean_pipeline",
     "text_chunking",
+    # r2 breadth (VERDICT r1 #7): track the expensive extension tier
+    "dedup_clusters",
+    "linkage_edit1_names",
+    "sample_stratified_events",
+    "multimodal_frame_sample",
+    "geo_bbox_contains",
 ]
 
 

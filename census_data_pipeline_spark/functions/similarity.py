@@ -55,6 +55,15 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _cos_precomputed(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with per-VECTOR norms precomputed upstream: every scoring
+    path joins O(pairs) rows, so computing norms per pair triples the
+    higher-order-function work — hoisting them to the per-vector frames
+    keeps pair cost to a single dot. ``sqrt(dot)·sqrt(dot)`` then divide is
+    the exact expression ``cosine`` uses, so values stay bit-identical."""
+    return F.round(dot(a, b) / (na * nb), 6)
+
+
 # ---------------------------------------------------------------------------
 # Seeded random-hyperplane hash family
 # ---------------------------------------------------------------------------
@@ -82,16 +91,36 @@ def random_projections(
 
 
 def random_projection_bucket(
-    vec_col: Column | str, projections: list[list[float]]
+    vec_name: str, projections: list[list[float]]
 ) -> Column:
     """LSH bucket id: concatenated sign bits of seeded random projections
-    (one hash table's ``nbits × dim`` coefficient matrix)."""
-    v = _as_double(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+    (one hash table's ``nbits × dim`` coefficient matrix).
+
+    Built as one ``F.expr`` per table using SQL higher-order functions
+    with a flat ``array(...)`` coefficient literal. Constructions rejected
+    by measurement at 32×64 coefficients on sf0.1:
+
+    - per-coefficient ``F.lit`` Column trees (incl. ``F.lit(list)``, which
+      desugars to them): ~2.4 s of py4j round-trips per construction —
+      more than the query's execution;
+    - a flat ``v[0]*c0 + v[1]*c1 + ...`` SQL chain: ~4 s ANTLR parse (the
+      deep left-recursive ``+`` climb) and ~10 s interpreted execution
+      after codegen bails on the 2048-term method.
+
+    The SQL-lambda fold parses linearly (flat argument list) and compiles
+    to the same plan as the Column-API fold: index-ordered summation with
+    a ``0.0`` seed, bit-identical to the oracle's ``list_dot_product``.
+    Coefficients print as fixed 6-decimal literals — the same decimal
+    strings (hence the same doubles) the oracle embeds via ``repr``."""
     bits = []
     for row in projections:
-        proj = dot(v, F.array(*[F.lit(c) for c in row]))
-        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+        arr = ", ".join(f"{c:.6f}D" for c in row)
+        d = (
+            f"aggregate(zip_with(CAST({vec_name} AS ARRAY<DOUBLE>), "
+            f"array({arr}), (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+        )
+        bits.append(f"(CASE WHEN {d} >= 0.0D THEN '1' ELSE '0' END)")
+    return F.expr("concat(" + ", ".join(bits) + ")")
 
 
 def projection_bucket_sql(vec_expr: str, projections: list[list[float]]) -> str:
@@ -148,19 +177,28 @@ def knn_bruteforce(
     The query side is broadcast — the corpus is scanned once with no
     shuffle; only (n_queries × k) rows move afterwards."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qn"),
     )
     scored = (
         ensure_parallelism(
-            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("__cvec"),
+                norm(F.col(vec_col)).alias("__cn"),
+            )
         )
         .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine_sim", F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6))
+        .withColumn(
+            "cosine_sim",
+            _cos_precomputed(F.col("__qvec"), F.col("__cvec"),
+                             F.col("__qn"), F.col("__cn")),
+        )
     )
     return _ranked_topk(scored, k)
 
 
-def _bucket_entries(vec: Column, bucket_cols: list[Column]) -> Column:
+def _bucket_entries(bucket_cols: list[Column]) -> Column:
     """(table_idx, bucket) struct array for explode — one row per hash
     table after the explode."""
     return F.array(
@@ -180,18 +218,19 @@ def _bucket_frame(
     candidate, mirroring minhash_lsh_pairs' verify stage)."""
     base = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("__v"))
     return base.select(
-        out_id, F.explode(_bucket_entries(F.col("__v"), bucket_cols_fn(F.col("__v")))).alias("tb")
+        out_id, F.explode(_bucket_entries(bucket_cols_fn("__v"))).alias("tb")
     ).select(out_id, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
 
 
 def _make_bucket_fn(nbits: int, n_tables: int, dim: int | None, seed: int):
     """Bucket-column factory shared by knn_lsh and embedding_dup_pairs:
     seeded random projections when ``dim`` is known, legacy axis-aligned
-    signs (single table) otherwise."""
+    signs (single table) otherwise. Takes the vector COLUMN NAME (the
+    projection path builds a SQL expression string)."""
     if dim is None:
-        return lambda v: [sign_bucket(v, nbits)]
+        return lambda name: [sign_bucket(name, nbits)]
     projs = random_projections(dim, nbits, n_tables, seed)
-    return lambda v: [random_projection_bucket(v, tbl) for tbl in projs]
+    return lambda name: [random_projection_bucket(name, tbl) for tbl in projs]
 
 
 def knn_lsh(
@@ -229,15 +268,21 @@ def knn_lsh(
         .distinct()
     )
     cvec = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__cn"),
     )
     qvec = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qn"),
     )
     scored = (
         cvec.join(F.broadcast(candidates), "neighbor_id")
         .join(F.broadcast(qvec), "query_id")
-        .withColumn("cosine_sim", F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6))
+        .withColumn(
+            "cosine_sim",
+            _cos_precomputed(F.col("__qvec"), F.col("__cvec"),
+                             F.col("__qn"), F.col("__cn")),
+        )
     )
     return _ranked_topk(scored, k)
 
@@ -285,13 +330,23 @@ def embedding_dup_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    vecs = src.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    a = vecs.withColumnsRenamed({"id": "id_a", "v": "__va"})
-    b = vecs.withColumnsRenamed({"id": "id_b", "v": "__vb"})
+    vecs = src.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("n"),
+    )
+    a = vecs.withColumnsRenamed({"id": "id_a", "v": "__va", "n": "__na"})
+    b = vecs.withColumnsRenamed({"id": "id_b", "v": "__vb", "n": "__nb"})
+    # candidates can be LARGE when buckets are coarse relative to the
+    # corpus (low thresholds / near-uniform vectors) — no broadcast hint;
+    # AQE picks broadcast when the candidate set is actually small
     return (
-        a.join(F.broadcast(candidates), "id_a")
+        a.join(candidates, "id_a")
         .join(b, "id_b")
-        .withColumn("cosine_sim", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .withColumn(
+            "cosine_sim",
+            _cos_precomputed(F.col("__va"), F.col("__vb"),
+                             F.col("__na"), F.col("__nb")),
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
@@ -369,6 +424,7 @@ def knn_ivf(
     c = model.transform(featurized).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__cn"),
         F.col("prediction").alias("__cell"),
     )
     q = model.transform(
@@ -379,11 +435,16 @@ def knn_ivf(
     ).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qn"),
         F.col("prediction").alias("__cell"),
     )
     scored = (
         c.join(F.broadcast(q), on="__cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine_sim", F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6))
+        .withColumn(
+            "cosine_sim",
+            _cos_precomputed(F.col("__qvec"), F.col("__cvec"),
+                             F.col("__qn"), F.col("__cn")),
+        )
     )
     return _ranked_topk(scored, k)

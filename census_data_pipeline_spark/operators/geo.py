@@ -76,6 +76,72 @@ def bbox_contains_point(bbox: Column, x: Column, y: Column) -> Column:
     )
 
 
+def point_in_polygon(
+    xs: Column, ys: Column, px: Column, py: Column
+) -> Column:
+    """Ray-casting point-in-polygon over vertex coordinate arrays (a
+    closed WKT ring: first vertex repeated last). Counts edges whose
+    half-open y-interval brackets ``py`` and whose x-intersection lies
+    right of the point; odd count ⇒ inside. Pure Catalyst (``filter`` over
+    an edge-index ``sequence``) — per-row cost ∝ vertex count, no UDF.
+    Boundary points are half-open-rule dependent; callers needing closed
+    semantics should test edges explicitly."""
+    n = F.size(xs)
+    edges = F.sequence(F.lit(1), n - 1)  # 1-based first index of each edge
+
+    def crosses(i: Column) -> Column:
+        yi, yj = F.element_at(ys, i), F.element_at(ys, i + 1)
+        xi, xj = F.element_at(xs, i), F.element_at(xs, i + 1)
+        return ((yi > py) != (yj > py)) & (
+            px < (xj - xi) * (py - yi) / (yj - yi) + xi
+        )
+
+    return F.size(F.filter(edges, crosses)) % 2 == 1
+
+
+def _shoelace_terms(xs: Column, ys: Column) -> Column:
+    edges = F.sequence(F.lit(1), F.size(xs) - 1)
+    return F.aggregate(
+        edges,
+        F.lit(0.0),
+        lambda acc, i: acc
+        + (
+            F.element_at(xs, i) * F.element_at(ys, i + 1)
+            - F.element_at(xs, i + 1) * F.element_at(ys, i)
+        ),
+    )
+
+
+def polygon_area(xs: Column, ys: Column) -> Column:
+    """Unsigned shoelace area of a closed ring (vertex arrays)."""
+    return F.abs(_shoelace_terms(xs, ys)) / 2
+
+
+def polygon_centroid(xs: Column, ys: Column) -> Column:
+    """Centroid struct(cx, cy) of a closed ring via the standard signed
+    shoelace moments — sign cancels in the ratio, so ring orientation
+    doesn't matter."""
+    signed2 = _shoelace_terms(xs, ys)  # 2 × signed area
+    edges = F.sequence(F.lit(1), F.size(xs) - 1)
+
+    def moment(coord: Column):
+        return F.aggregate(
+            edges,
+            F.lit(0.0),
+            lambda acc, i: acc
+            + (F.element_at(coord, i) + F.element_at(coord, i + 1))
+            * (
+                F.element_at(xs, i) * F.element_at(ys, i + 1)
+                - F.element_at(xs, i + 1) * F.element_at(ys, i)
+            ),
+        )
+
+    return F.struct(
+        (moment(xs) / (3 * signed2)).alias("cx"),
+        (moment(ys) / (3 * signed2)).alias("cy"),
+    )
+
+
 def _cell(v: Column, cell_size: float) -> Column:
     return F.floor(v / F.lit(float(cell_size))).cast("long")
 

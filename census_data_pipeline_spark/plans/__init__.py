@@ -1,5 +1,16 @@
 """Query plans: the registry maps every implemented operator from
-SURVEY.md §2 to (Spark callable, DuckDB oracle SQL)."""
+SURVEY.md §2 to (Spark callable, DuckDB oracle SQL).
+
+Registry ORDER is part of the driver contract: the r1 driver verified
+exactly the first 50 registered queries (CORRECTNESS_r01.json = registry
+positions 0-49), leaving the whole §2.11 LLM tier and §2.9 event-time set
+unchecked. ``_CHECKED_PREFIX`` therefore front-loads one-or-more queries
+from EVERY operator family — all previously-unchecked oracle-backed
+queries plus the round's changed ones — so a 50-query cap still yields a
+driver CORRECTNESS row per family. Rows-only queries (no oracle) sit
+outside the prefix on purpose: inside it they burn a checked slot on a
+``no_oracle`` row. Queries not listed keep their registration order after
+the prefix (they were all driver-green in r1)."""
 
 from census_data_pipeline_spark.plans import (  # noqa: F401
     queries_analytics,
@@ -7,5 +18,85 @@ from census_data_pipeline_spark.plans import (  # noqa: F401
     queries_ext,
 )
 from census_data_pipeline_spark.plans.registry import ORACLE, QUERIES
+
+_CHECKED_PREFIX = [
+    # flagship first (also the entry() smoke query)
+    "flagship_regional_rollup",
+    # §2.11 dedup tier
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    # §2.11 similarity search
+    "knn_bruteforce",
+    "knn_lsh",
+    "embedding_centroid_by_label",
+    # §2.11 text analysis
+    "text_token_stats",
+    "text_term_frequency",
+    "text_lang_id",
+    "doc_fingerprint",
+    "text_tokens_bpeish",
+    "text_tfidf_top_terms",
+    "text_chunking",
+    "corpus_clean_pipeline",
+    # §2.11 linkage / sampling / multimodal
+    "linkage_edit1_names",
+    "sample_hash_docs",
+    "sample_stratified_events",
+    "multimodal_payload",
+    "multimodal_frame_sample",
+    # §2.9 event-time & streaming-parity
+    "events_tumbling_1h",
+    "events_sliding_1h_30m",
+    "events_hypertable_rollup",
+    "events_session_5m",
+    "streaming_tumbling_1h",
+    "streaming_enriched_rollup",
+    "events_json_extract",
+    # unchecked-in-r1 core operators
+    "boundaries_right_join",
+    "dim_lookup_customer",
+    "topk_per_nation",
+    "union_batch_states",
+    "numeric_coerce",
+    "skew_salted_agg",
+    "skew_salted_join",
+    # changed or new this round
+    "approx_sketches",
+    "geo_bbox_contains",
+    "geo_point_in_polygon",
+    "geo_polygon_stats",
+    "rates_zero_policy",
+    # one representative per remaining core family (driver-green in r1)
+    "q1_pricing_summary",
+    "q5_regional_revenue",
+    "asof_click_purchase",
+    "range_join_click_errors",
+    "latest_event_per_user",
+    "window_rank_functions",
+    "normalize_zscore_by_nation",
+    "geoid_hierarchy_rollup",
+]
+
+
+def _apply_checked_prefix() -> None:
+    missing = [n for n in _CHECKED_PREFIX if n not in QUERIES]
+    if missing:
+        raise RuntimeError(f"_CHECKED_PREFIX names unknown queries: {missing}")
+    no_oracle = [n for n in _CHECKED_PREFIX if n not in ORACLE]
+    if no_oracle:
+        raise RuntimeError(
+            f"rows-only queries may not occupy checked-prefix slots: {no_oracle}"
+        )
+    ordered = {n: QUERIES[n] for n in _CHECKED_PREFIX}
+    ordered.update((n, fn) for n, fn in QUERIES.items() if n not in ordered)
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+_apply_checked_prefix()
 
 __all__ = ["QUERIES", "ORACLE"]

@@ -881,6 +881,111 @@ def geo_bbox_contains(spark, sf_dir):
 
 
 @query(
+    "geo_point_in_polygon",
+    oracle="""
+    WITH pts AS (SELECT c_custkey, CAST(c_custkey % 97 AS DOUBLE) AS px,
+                        CAST(c_custkey % 89 AS DOUBLE) AS py FROM customer),
+    d AS (SELECT n_nationkey,
+                 CAST((n_nationkey * 7) % 60 + 10 AS DOUBLE) AS cx,
+                 CAST((n_nationkey * 11) % 50 + 10 AS DOUBLE) AS cy,
+                 CAST(n_nationkey % 5 AS DOUBLE) + 5.5 AS r
+          FROM nation)
+    SELECT n_nationkey, count(*) AS n_inside,
+           round(avg(px), 6) AS avg_x, round(avg(py), 6) AS avg_y
+    FROM d JOIN pts ON abs(px - cx) + abs(py - cy) < r
+    GROUP BY n_nationkey
+    """,
+)
+def geo_point_in_polygon(spark, sf_dir):
+    """Ray-casting point-in-polygon over non-rectangular rings (diamonds),
+    composed with the grid-cell candidate join: bbox prefilter → exact
+    ray-cast verify — the Sedona-free ST_Contains shape. The oracle checks
+    containment with the diamond's INDEPENDENT closed form
+    (|px-cx| + |py-cy| < r): the fractional radius keeps integer points
+    off the boundary, so the half-open ray-cast rule and the strict
+    inequality agree exactly."""
+    from census_data_pipeline_spark.operators import geo
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    pts = c.select(
+        "c_custkey",
+        (F.col("c_custkey") % 97).cast("double").alias("px"),
+        (F.col("c_custkey") % 89).cast("double").alias("py"),
+    )
+    cx = (F.col("n_nationkey") * 7 % 60 + 10).cast("double")
+    cy = (F.col("n_nationkey") * 11 % 50 + 10).cast("double")
+    r = (F.col("n_nationkey") % 5).cast("double") + 5.5
+    polys = n.select(
+        "n_nationkey",
+        F.format_string(
+            "POLYGON((%.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f))",
+            cx - r, cy, cx, cy - r, cx + r, cy, cx, cy + r, cx - r, cy,
+        ).alias("geometry"),
+    )
+    rings = polys.select(
+        "n_nationkey",
+        geo.wkt_xs("geometry").alias("__xs"),
+        geo.wkt_ys("geometry").alias("__ys"),
+        geo.wkt_bbox("geometry").alias("bbox"),
+    )
+    cands = geo.grid_bbox_point_join(pts, rings, cell_size=10.0)
+    inside = cands.filter(
+        geo.point_in_polygon(
+            F.col("__xs"), F.col("__ys"), F.col("px"), F.col("py")
+        )
+    )
+    return inside.groupBy("n_nationkey").agg(
+        F.count("*").alias("n_inside"),
+        F.round(F.avg("px"), 6).alias("avg_x"),
+        F.round(F.avg("py"), 6).alias("avg_y"),
+    )
+
+
+@query(
+    "geo_polygon_stats",
+    oracle="""
+    SELECT n_nationkey,
+           round(2 * (CAST(n_nationkey % 5 AS DOUBLE) + 5.5)
+                   * (CAST(n_nationkey % 5 AS DOUBLE) + 5.5), 6) AS area,
+           round(CAST((n_nationkey * 7) % 60 + 10 AS DOUBLE), 6) AS centroid_x,
+           round(CAST((n_nationkey * 11) % 50 + 10 AS DOUBLE), 6) AS centroid_y
+    FROM nation
+    """,
+)
+def geo_polygon_stats(spark, sf_dir):
+    """Shoelace area + centroid computed from the WKT ring coordinates
+    (operators/geo.polygon_area/centroid — pure Catalyst folds over the
+    vertex arrays). The oracle is the diamond's closed form (area = 2r²,
+    centroid = center), fully independent of the shoelace arithmetic."""
+    from census_data_pipeline_spark.operators import geo
+
+    n = load_table(spark, sf_dir, "nation")
+    cx = (F.col("n_nationkey") * 7 % 60 + 10).cast("double")
+    cy = (F.col("n_nationkey") * 11 % 50 + 10).cast("double")
+    r = (F.col("n_nationkey") % 5).cast("double") + 5.5
+    polys = n.select(
+        "n_nationkey",
+        F.format_string(
+            "POLYGON((%.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f))",
+            cx - r, cy, cx, cy - r, cx + r, cy, cx, cy + r, cx - r, cy,
+        ).alias("geometry"),
+    )
+    rings = polys.select(
+        "n_nationkey",
+        geo.wkt_xs("geometry").alias("__xs"),
+        geo.wkt_ys("geometry").alias("__ys"),
+    )
+    cen = geo.polygon_centroid(F.col("__xs"), F.col("__ys"))
+    return rings.select(
+        "n_nationkey",
+        F.round(geo.polygon_area(F.col("__xs"), F.col("__ys")), 6).alias("area"),
+        F.round(cen["cx"], 6).alias("centroid_x"),
+        F.round(cen["cy"], 6).alias("centroid_y"),
+    )
+
+
+@query(
     "winsorize_acctbal",
     oracle="""
     WITH s AS (SELECT quantile_cont(c_acctbal, 0.05) AS p05,

@@ -75,6 +75,91 @@ def test_grid_join_equals_naive_filter(spark):
         assert set(pairs) == expected, f"mismatch at cell={cell}"
 
 
+def _ring_df(spark, wkt, points):
+    ring = spark.createDataFrame([(wkt,)], "geometry string").select(
+        geo.wkt_xs("geometry").alias("xs"), geo.wkt_ys("geometry").alias("ys")
+    )
+    pts = spark.createDataFrame(points, "pid long, px double, py double")
+    return pts.crossJoin(ring)
+
+
+def test_point_in_polygon_concave(spark):
+    # L-shape: concave — a pure bbox test would wrongly include (4,4)
+    wkt = "POLYGON((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))"
+    points = [
+        (1, 1.0, 1.0, True),    # in the bottom bar
+        (2, 5.0, 1.5, True),    # in the bottom bar, right end
+        (3, 1.0, 5.0, True),    # in the left bar
+        (4, 4.0, 4.0, False),   # inside bbox, outside the L
+        (5, 7.0, 1.0, False),   # outside bbox
+        (6, 1.5, 2.5, True),    # just inside the left bar
+        (7, 2.5, 2.5, False),   # just outside the notch corner
+    ]
+    df = _ring_df(spark, wkt, [(p, x, y) for p, x, y, _ in points])
+    got = {
+        r.pid: r.inside
+        for r in df.select(
+            "pid",
+            geo.point_in_polygon(
+                F.col("xs"), F.col("ys"), F.col("px"), F.col("py")
+            ).alias("inside"),
+        ).collect()
+    }
+    for pid, _, _, want in points:
+        assert got[pid] == want, f"pid {pid}"
+
+
+def test_point_in_polygon_matches_diamond_closed_form(spark):
+    # diamond centered (10, 10), r=5.5 — closed form |dx|+|dy| < r
+    wkt = "POLYGON((4.5 10.0, 10.0 4.5, 15.5 10.0, 10.0 15.5, 4.5 10.0))"
+    points = [(i * 31 + j, float(i), float(j))
+              for i in range(3, 18, 2) for j in range(3, 18, 2)]
+    df = _ring_df(spark, wkt, points)
+    got = {
+        r.pid: r.inside
+        for r in df.select(
+            "pid",
+            geo.point_in_polygon(
+                F.col("xs"), F.col("ys"), F.col("px"), F.col("py")
+            ).alias("inside"),
+        ).collect()
+    }
+    for pid, x, y in points:
+        assert got[pid] == (abs(x - 10) + abs(y - 10) < 5.5), f"({x},{y})"
+
+
+def test_polygon_area_and_centroid(spark):
+    rows = [
+        # unit square: area 1, centroid (.5, .5)
+        (1, "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))", 1.0, 0.5, 0.5),
+        # 3-4 right triangle: area 6, centroid (1, 4/3)
+        (2, "POLYGON((0 0, 3 0, 0 4, 0 0))", 6.0, 1.0, 4.0 / 3),
+        # clockwise square (reversed orientation): same unsigned results
+        (3, "POLYGON((0 0, 0 1, 1 1, 1 0, 0 0))", 1.0, 0.5, 0.5),
+        # L-shape: area 6*2 + 2*4 = 20, centroid from decomposition
+        (4, "POLYGON((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))", 20.0,
+         (12 * 3 + 8 * 1) / 20, (12 * 1 + 8 * 4) / 20),
+    ]
+    df = spark.createDataFrame(
+        [(g, w) for g, w, *_ in rows], "gid long, geometry string"
+    ).select(
+        "gid",
+        geo.wkt_xs("geometry").alias("xs"), geo.wkt_ys("geometry").alias("ys")
+    )
+    cen = geo.polygon_centroid(F.col("xs"), F.col("ys"))
+    out = {
+        r.gid: r
+        for r in df.select(
+            "gid",
+            geo.polygon_area(F.col("xs"), F.col("ys")).alias("area"),
+            cen["cx"].alias("cx"), cen["cy"].alias("cy"),
+        ).collect()
+    }
+    for gid, _, area, cx, cy in rows:
+        assert abs(out[gid].area - area) < 1e-9
+        assert abs(out[gid].cx - cx) < 1e-9 and abs(out[gid].cy - cy) < 1e-9
+
+
 def test_grid_join_plan_is_broadcast_equi_join(spark):
     pdf = spark.createDataFrame([(1, 0.5, 0.5)], "pid long, px double, py double")
     bdf = spark.createDataFrame(
