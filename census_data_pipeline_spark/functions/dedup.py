@@ -246,6 +246,68 @@ def simhash_table(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup PAIRS: (id_a, id_b, hamming) for all pairs whose
+    32-bit simhashes differ in <= ``max_hamming`` bits.
+
+    Banding the 32-bit space (SCALING.md): split signatures into
+    ``n_bands`` contiguous bit bands; by pigeonhole, any pair with
+    hamming <= n_bands - 1 agrees on at least one whole band, so with
+    ``max_hamming < n_bands`` the band equi-self-join generates ALL
+    qualifying pairs — recall is exactly 1, unlike minhash banding.
+    Verification is a single ``bit_count(xor)`` per candidate. Plan shape:
+    one signature aggregation, explode ×n_bands (8-byte payload), hash
+    self-join on (band, band_bits), codegen verify — no all-pairs stage.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            "need max_hamming < n_bands for the pigeonhole recall guarantee"
+        )
+    if 32 % n_bands:
+        raise ValueError("n_bands must divide 32")
+    width = 32 // n_bands
+    mask = (1 << width) - 1
+    sig = simhash_table(df, id_col, text_col)
+    bands = sig.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bits"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", F.col("bb.band").alias("band"),
+             F.col("bb.bits").alias("bits"))
+    x, y = bands.alias("x"), bands.alias("y")
+    return (
+        x.join(y, on=["band", "bits"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def dup_clusters(pairs: DataFrame) -> DataFrame:
     """Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
     components over the pair graph, labeling every member with the minimum

@@ -27,6 +27,7 @@ _CHECKED_PREFIX = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "dedup_clusters",
     "dedup_embedding_cosine",
     # §2.11 similarity search
@@ -78,7 +79,6 @@ _CHECKED_PREFIX = [
     "latest_event_per_user",
     "window_rank_functions",
     "normalize_zscore_by_nation",
-    "geoid_hierarchy_rollup",
 ]
 
 

@@ -414,6 +414,31 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_table(docs)
 
 
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH s AS ({_simhash_oracle()}),
+    b AS (SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS bits
+          FROM s, (VALUES (0), (1), (2), (3)) t(band)),
+    cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+             FROM b x JOIN b y ON x.band = y.band AND x.bits = y.bits
+                             AND x.doc_id < y.doc_id),
+    p AS (SELECT id_a, id_b,
+                 CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT)
+                   AS hamming
+          FROM cand JOIN s sa ON cand.id_a = sa.doc_id
+                    JOIN s sb ON cand.id_b = sb.doc_id)
+    SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash band-join near-dup pairs (hamming <= 3 over 4×8-bit bands
+    — pigeonhole recall = 1; see functions/dedup.simhash_hamming_pairs).
+    The oracle recomputes the same banding over the simhash CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_hamming_pairs(docs, max_hamming=3, n_bands=4)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings (array<float>, 64-dim)
 # ---------------------------------------------------------------------------

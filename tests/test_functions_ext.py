@@ -89,6 +89,36 @@ def test_simhash_bag_of_words_property(spark):
     assert 0 <= out[1] < 2**32
 
 
+def test_simhash_hamming_pairs_equals_exact(spark):
+    """Banded pair join == exact all-pairs hamming filter (pigeonhole:
+    max_hamming < n_bands ⇒ recall is exactly 1, precision by verify)."""
+    docs = _docs(spark, [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g h"),       # identical -> hamming 0
+        (3, "a b c d e f g x"),       # near
+        (4, "p q r s t u v w"),       # far
+        (5, "a b c d e f x y"),       # near-ish
+        (6, "z z z y y y x x"),       # far
+    ])
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash_table(docs).collect()}
+    exact = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a in sigs for b in sigs if a < b
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_hamming_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == exact
+    assert got[(1, 2)] == 0
+
+    with pytest.raises(ValueError):
+        dedup.simhash_hamming_pairs(docs, max_hamming=4, n_bands=4)
+    with pytest.raises(ValueError):
+        dedup.simhash_hamming_pairs(docs, n_bands=5)
+
+
 def test_dedup_rows(spark):
     df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "k long, v string")
     assert dedup.dedup_rows(df).count() == 2
