@@ -70,13 +70,13 @@ _CHECKED_PREFIX = [
     "geo_bbox_contains",
     "geo_point_in_polygon",
     "geo_polygon_stats",
+    "zorder_locality",
     "rates_zero_policy",
     # one representative per remaining core family (driver-green in r1)
     "q1_pricing_summary",
     "q5_regional_revenue",
     "asof_click_purchase",
     "range_join_click_errors",
-    "latest_event_per_user",
     "window_rank_functions",
     "normalize_zscore_by_nation",
 ]

@@ -985,6 +985,45 @@ def geo_polygon_stats(spark, sf_dir):
     )
 
 
+def _zorder_locality_oracle() -> str:
+    from census_data_pipeline_spark.sources.bucketing import zorder_sql
+
+    return f"""
+    WITH pts AS (SELECT c_custkey, c_custkey % 97 AS px, c_custkey % 89 AS py
+                 FROM customer),
+    z AS (SELECT c_custkey, {zorder_sql('px', 'py', bits=7)} AS zval FROM pts)
+    SELECT zval // 64 AS zblock, count(*) AS n_points,
+           min(zval) AS z_min, max(zval) AS z_max
+    FROM z GROUP BY zblock
+    """
+
+
+@query("zorder_locality", oracle=_zorder_locality_oracle())
+def zorder_locality(spark, sf_dir):
+    """Z-order clustering key (sources/bucketing.zorder_value): customer
+    grid points interleaved into a 14-bit Morton code, grouped into
+    64-cell z-blocks — the layout statistic behind ``write_zordered``
+    (each block is an 8×8 spatial tile, so block-contiguous files prune
+    2-D ranges). Oracle replicates the bit arithmetic via zorder_sql."""
+    from census_data_pipeline_spark.sources.bucketing import zorder_value
+
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        (F.col("c_custkey") % 97).alias("px"),
+        (F.col("c_custkey") % 89).alias("py"),
+    )
+    z = pts.select(zorder_value(F.col("px"), F.col("py"), bits=7).alias("zval"))
+    return (
+        z.groupBy(F.floor(F.col("zval") / 64).alias("zblock"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.min("zval").alias("z_min"),
+            F.max("zval").alias("z_max"),
+        )
+    )
+
+
 @query(
     "winsorize_acctbal",
     oracle="""

@@ -45,3 +45,49 @@ def test_bucketed_join_has_no_exchange(spark, facts):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_bkt")
         spark.sql("DROP TABLE IF EXISTS o_bkt")
+
+
+def _py_zorder(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_value_matches_reference(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(x, y) for x in (0, 1, 5, 63, 96) for y in (0, 2, 7, 63, 88)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select(
+        "x", "y", bucketing.zorder_value(F.col("x"), F.col("y"), bits=7).alias("z")
+    ).collect()
+    for r in got:
+        assert r.z == _py_zorder(r.x, r.y, 7), (r.x, r.y)
+
+
+def test_write_zordered_clusters_files_and_preserves_rows(spark, tmp_path):
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    rows = [(i, i * 37 % 101, i * 53 % 103) for i in range(2000)]
+    df = spark.createDataFrame(rows, "rid long, x long, y long")
+    out = str(tmp_path / "zsorted")
+    bucketing.write_zordered(df, out, "x", "y", bits=7, n_files=8)
+
+    back = spark.read.parquet(out)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)  # lossless
+
+    # each output file must hold a narrow, non-overlapping z-range
+    per_file = (
+        back.withColumn("f", F.input_file_name())
+        .withColumn("z", bucketing.zorder_value(F.col("x"), F.col("y"), bits=7))
+        .groupBy("f").agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+        .collect()
+    )
+    assert len(per_file) == 8
+    spans = sorted((r.lo, r.hi) for r in per_file)
+    for (lo1, hi1), (lo2, _) in itertools.pairwise(spans):
+        assert hi1 <= lo2, "file z-ranges overlap — clustering broken"
