@@ -57,6 +57,7 @@ _CHECKED_PREFIX = [
     "streaming_tumbling_1h",
     "streaming_enriched_rollup",
     "events_json_extract",
+    "events_interpolate_1h",
     # unchecked-in-r1 core operators
     "boundaries_right_join",
     "dim_lookup_customer",
@@ -74,7 +75,6 @@ _CHECKED_PREFIX = [
     "rates_zero_policy",
     # one representative per remaining core family (driver-green in r1)
     "q1_pricing_summary",
-    "q5_regional_revenue",
     "asof_click_purchase",
     "range_join_click_errors",
     "window_rank_functions",

@@ -985,6 +985,82 @@ def geo_polygon_stats(spark, sf_dir):
     )
 
 
+@query(
+    "events_interpolate_1h",
+    oracle="""
+    WITH bounds AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                           date_trunc('hour', max(ts)) AS hi FROM events),
+    grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS h
+             FROM bounds),
+    et AS (SELECT DISTINCT event_type FROM events),
+    agg AS (SELECT date_trunc('hour', ts) AS h, event_type,
+                   avg(value) AS v FROM events GROUP BY 1, 2),
+    g AS (SELECT epoch_us(grid.h) AS hour_us, et.event_type, agg.v
+          FROM grid CROSS JOIN et
+          LEFT JOIN agg ON agg.h = grid.h AND agg.event_type = et.event_type),
+    w AS (SELECT hour_us, event_type, v,
+                 last_value(v IGNORE NULLS) OVER
+                   (PARTITION BY event_type ORDER BY hour_us
+                    ROWS UNBOUNDED PRECEDING) AS pv,
+                 last_value(CASE WHEN v IS NOT NULL THEN hour_us END
+                            IGNORE NULLS) OVER
+                   (PARTITION BY event_type ORDER BY hour_us
+                    ROWS UNBOUNDED PRECEDING) AS po,
+                 first_value(v IGNORE NULLS) OVER
+                   (PARTITION BY event_type ORDER BY hour_us
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                 first_value(CASE WHEN v IS NOT NULL THEN hour_us END
+                             IGNORE NULLS) OVER
+                   (PARTITION BY event_type ORDER BY hour_us
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS no
+          FROM g)
+    SELECT hour_us, event_type,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NULL THEN NULL
+                      WHEN nv IS NULL THEN pv
+                      ELSE pv + (nv - pv) * (hour_us - po) / (no - po)
+                 END, 6) AS value_interp
+    FROM w
+    """,
+)
+def events_interpolate_1h(spark, sf_dir):
+    """Linear interpolation over the hourly (event_type) series: grid ×
+    type left-joined to hourly avg(value), then nulls filled between
+    observations (operators/interpolate.interpolate_linear — pandas
+    'linear' semantics: interior linear, tail carried forward, leading
+    left null). One shuffle on event_type; the oracle mirrors the window
+    construction with DuckDB IGNORE NULLS frames."""
+    from census_data_pipeline_spark.operators.interpolate import (
+        interpolate_linear,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h")
+    )
+    et = ev.select("event_type").distinct()
+    agg = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.avg("value").alias("v"))
+    g = (
+        grid.crossJoin(F.broadcast(et))
+        .join(agg, on=["h", "event_type"], how="left")
+        .select(F.unix_micros("h").alias("hour_us"), "event_type", "v")
+    )
+    out = interpolate_linear(
+        g, order_col="hour_us", value_col="v",
+        group_cols=["event_type"], output_col="value_interp",
+    )
+    return out.select(
+        "hour_us", "event_type",
+        F.round("value_interp", 6).alias("value_interp"),
+    )
+
+
 def _zorder_locality_oracle() -> str:
     from census_data_pipeline_spark.sources.bucketing import zorder_sql
 

@@ -242,3 +242,37 @@ def test_clean_missing_values_default_columns(spark):
     row = cleaning.clean_missing_values(df).collect()[0]
     assert row.d is None and row.i is None and row.dec is None
     assert row.s == "x"
+
+
+def test_interpolate_linear_matches_pandas(spark):
+    """Interior linear, constant tail, leading nulls stay — the pandas
+    Series.interpolate('linear') default contract, checked against actual
+    pandas output."""
+    import pandas as pd
+
+    from census_data_pipeline_spark.operators.interpolate import (
+        interpolate_linear,
+    )
+
+    series = {
+        "a": [None, 1.0, None, None, 7.0, None],
+        "b": [2.0, None, 4.0, None, None, None],
+    }
+    rows = [
+        (g, float(i), v) for g, vs in series.items() for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, "g string, t double, v double")
+    got = {
+        (r.g, r.t): r.out
+        for r in interpolate_linear(
+            df, "t", "v", group_cols=["g"], output_col="out"
+        ).collect()
+    }
+    for g, vs in series.items():
+        expect = pd.Series(vs, dtype="float64").interpolate(method="linear")
+        for i, e in enumerate(expect):
+            got_v = got[(g, float(i))]
+            if pd.isna(e):
+                assert got_v is None, (g, i)
+            else:
+                assert got_v == pytest.approx(e), (g, i)
