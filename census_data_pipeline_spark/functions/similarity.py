@@ -399,6 +399,36 @@ def _embedding_dup_pairs_blas(
     )
 
 
+def _centroid_dist2_expr(vec_name: str, center: list[float]) -> str:
+    """Squared L2 distance to one centroid as a SQL-lambda fold (flat
+    array literal — see random_projection_bucket for why not Column
+    trees)."""
+    arr = ", ".join(f"{c:.8f}D" for c in center)
+    return (
+        f"aggregate(zip_with(CAST({vec_name} AS ARRAY<DOUBLE>), "
+        f"array({arr}), (x, y) -> (x - y) * (x - y)), 0.0D, "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def probe_cells(vec_name: str, centers: list[list[float]], n_probes: int) -> Column:
+    """The ``n_probes`` nearest coarse-quantizer cells for a vector:
+    per-centroid squared distances (codegen folds), ``array_sort`` on
+    (distance, cell), slice, project cell ids. Centroid count is small by
+    construction, so this is O(n_centroids · dim) per row with no joins."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.expr(_centroid_dist2_expr(vec_name, c)).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centers)
+        ]
+    )
+    probes = F.slice(F.array_sort(entries), 1, n_probes)
+    return F.transform(probes, lambda p: p["cell"])
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -406,13 +436,17 @@ def knn_ivf(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 1,
 ) -> DataFrame:
     """IVF-style approximate top-k: learn coarse centroids with KMeans
-    (pyspark.ml), assign every vector to its nearest centroid, and score
-    queries only against their own cell — the learned-partition upgrade of
-    the random-projection ``knn_lsh`` (same equi-join shape, better-balanced
-    cells). Probing more cells trades latency for recall; this single-probe
-    form is the baseline."""
+    (pyspark.ml), assign every corpus vector to its nearest centroid, and
+    score each query against its ``n_probes`` nearest cells — the
+    learned-partition upgrade of the random-projection ``knn_lsh`` (same
+    equi-join shape, better-balanced cells). Multi-probe is the recall
+    lever: the corpus-side layout never changes, queries just explode
+    into P (query, cell) rows, and since every corpus vector lives in
+    exactly ONE cell each (query, neighbor) pair meets at most once — no
+    dedup stage."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -427,16 +461,14 @@ def knn_ivf(
         norm(F.col(vec_col)).alias("__cn"),
         F.col("prediction").alias("__cell"),
     )
-    q = model.transform(
-        queries.select(
-            F.col(id_col), F.col(vec_col),
-            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
-        )
-    ).select(
+    centers = [[float(x) for x in ctr] for ctr in model.clusterCenters()]
+    q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
         norm(F.col(vec_col)).alias("__qn"),
-        F.col("prediction").alias("__cell"),
+        F.explode(
+            probe_cells(vec_col, centers, n_probes)
+        ).alias("__cell"),
     )
     scored = (
         c.join(F.broadcast(q), on="__cell")

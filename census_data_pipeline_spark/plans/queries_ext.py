@@ -712,12 +712,14 @@ def dedup_minhash_ml(spark, sf_dir):
 
 @query("knn_ivf")  # rows-only: KMeans centroids aren't SQL-reproducible
 def knn_ivf_query(spark, sf_dir):
-    """IVF (learned coarse quantizer) similarity search — the pyspark.ml
-    upgrade of knn_lsh; rows-only because the trained centroids have no
-    ANSI-SQL oracle (the exact baseline knn_bruteforce is the checked one)."""
+    """IVF (learned coarse quantizer) similarity search with multi-probe
+    (3 of 16 cells — measured recall@10 0.61 vs 0.27 single-probe on the
+    sf0.001 lake, floor-tested) — the pyspark.ml upgrade of knn_lsh;
+    rows-only because the trained centroids have no ANSI-SQL oracle (the
+    exact baseline knn_bruteforce is the checked one)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    out = similarity.knn_ivf(emb, queries, k=10, n_centroids=16)
+    out = similarity.knn_ivf(emb, queries, k=10, n_centroids=16, n_probes=3)
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
         "cosine_sim",

@@ -181,15 +181,22 @@ def test_knn_lsh_recall_floor(spark):
 
 
 @pytest.mark.slow
-def test_knn_ivf_recall_floor(spark):
-    """Single-probe IVF recall@10 floor vs the exact baseline (measured
-    0.46 with 4 learned cells on the near-uniform lake; single-probe is
-    the documented baseline, multi-probe is the recall lever)."""
+def test_knn_ivf_recall_floor_and_multiprobe_lever(spark):
+    """IVF recall@10 floors vs the exact baseline, and the multi-probe
+    monotonicity claim (measured on the near-uniform lake: 16 cells go
+    0.27 → 0.61 → 0.82 recall at 1 → 3 → 6 probes)."""
     emb = _sf0001_embeddings(spark)
     queries = emb.filter("vec_id % 20 = 0")
     bf = similarity.knn_bruteforce(emb, queries, k=10)
-    ivf = similarity.knn_ivf(emb, queries, k=10, n_centroids=4)
-    assert _recall_at_10(bf, ivf) >= 0.3
+    r1 = _recall_at_10(bf, similarity.knn_ivf(emb, queries, k=10,
+                                              n_centroids=4, n_probes=1))
+    assert r1 >= 0.3
+    r3 = _recall_at_10(bf, similarity.knn_ivf(emb, queries, k=10,
+                                              n_centroids=16, n_probes=3))
+    assert r3 >= 0.45
+    r6 = _recall_at_10(bf, similarity.knn_ivf(emb, queries, k=10,
+                                              n_centroids=16, n_probes=6))
+    assert r6 >= r3 >= 0.45 and r6 >= 0.7
 
 
 # -- multimodal ----------------------------------------------------------
