@@ -159,3 +159,63 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "quality": quality_score(c),
         }
     )
+
+
+# PII scrubbing: conservative patterns that parse identically under Java
+# regex (Spark) and RE2 (DuckDB) — no lookarounds, no backrefs, so the
+# DuckDB oracle can replicate redaction exactly.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "phone": r"\(?[0-9]{3}\)?[ -]?[0-9]{3}-[0-9]{4}",
+}
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    output_col: str | None = None,
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Redact PII spans (training-data hygiene): each pattern class is
+    counted (``n_<class>`` columns) and replaced with ``[<CLASS>]``.
+    Pure ``regexp_extract_all``/``regexp_replace`` — codegen, no UDF, one
+    narrow pass. Patterns are applied in dict order; counts are taken
+    BEFORE any replacement so overlapping classes count independently."""
+    out = output_col or text_col
+    pats = patterns or PII_PATTERNS
+    counts = {
+        f"n_{name}": F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+        ).cast("long")
+        for name, pat in pats.items()
+    }
+    cleaned = F.col(text_col)
+    for name, pat in pats.items():
+        cleaned = F.regexp_replace(cleaned, pat, f"[{name.upper()}]")
+    return df.withColumns({**counts, out: cleaned})
+
+
+def pack_token_bins(
+    df: DataFrame,
+    budget: int,
+    tokens_col: str = "n_tokens",
+    group_cols: tuple[str, ...] = ("source",),
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-cut sequence packing (training-batch prep): documents
+    are laid end-to-end in ``order_col`` order within each group and cut
+    into bins of ``budget`` tokens; a document's bin is where its FIRST
+    token lands (documents may straddle bin boundaries — the downstream
+    chunker handles splits, see ``chunk_texts``). One window cumsum per
+    group — the deterministic, shuffle-once formulation; true first-fit
+    bin packing is inherently sequential and not worth the coordination
+    at 100 TB."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(order_col)
+    cum = F.sum(tokens_col).over(w)
+    return df.withColumn(
+        "bin_id",
+        F.floor((cum - F.col(tokens_col)) / F.lit(budget)).cast("long"),
+    )

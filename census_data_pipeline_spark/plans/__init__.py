@@ -42,6 +42,8 @@ _CHECKED_PREFIX = [
     "text_tokens_bpeish",
     "text_tfidf_top_terms",
     "text_chunking",
+    "text_pii_scrub",
+    "text_pack_bins",
     "corpus_clean_pipeline",
     # §2.11 linkage / sampling / multimodal
     "linkage_edit1_names",
@@ -77,8 +79,6 @@ _CHECKED_PREFIX = [
     "q1_pricing_summary",
     "asof_click_purchase",
     "range_join_click_errors",
-    "window_rank_functions",
-    "normalize_zscore_by_nation",
 ]
 
 

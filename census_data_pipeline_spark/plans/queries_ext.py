@@ -685,6 +685,107 @@ def embedding_centroid_by_label(spark, sf_dir):
     )
 
 
+@query(
+    "text_pii_scrub",
+    oracle=r"""
+    WITH d AS (SELECT doc_id,
+                      text
+                      || CASE WHEN doc_id % 7 = 0
+                              THEN ' contact u' || doc_id || '@example.com'
+                              ELSE '' END
+                      || CASE WHEN doc_id % 11 = 0
+                              THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                              ELSE '' END AS text
+               FROM documents),
+    s AS (SELECT doc_id,
+                 len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   AS n_email,
+                 len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}'))
+                   AS n_ssn,
+                 len(regexp_extract_all(text,
+                     '\(?[0-9]{3}\)?[ -]?[0-9]{3}-[0-9]{4}')) AS n_phone,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'),
+                     '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g'),
+                   '\(?[0-9]{3}\)?[ -]?[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')
+                   AS clean
+          FROM d)
+    SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+           CAST(n_ssn AS BIGINT) AS n_ssn,
+           CAST(n_phone AS BIGINT) AS n_phone,
+           CAST(length(clean) AS BIGINT) AS clean_len
+    FROM s
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction (training-data hygiene, functions/text.scrub_pii):
+    deterministic emails/SSNs are injected into a keyed subset of the
+    corpus, then counted and replaced class-by-class. The patterns avoid
+    lookarounds/backrefs so Java regex (Spark) and RE2 (DuckDB) agree;
+    the oracle re-runs the same injection + scrub and compares counts and
+    redacted lengths."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" contact u"), F.col("doc_id").cast("string"),
+                         F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit(" ssn 123-45-"),
+                         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    scrubbed = text.scrub_pii(with_pii, "text", output_col="clean")
+    return scrubbed.select(
+        "doc_id", "n_email", "n_ssn", "n_phone",
+        F.length("clean").cast("long").alias("clean_len"),
+    )
+
+
+@query(
+    "text_pack_bins",
+    oracle="""
+    WITH t AS (SELECT doc_id, source,
+                      len(string_split(text, ' ')) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, source, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                   AS cum
+          FROM t)
+    SELECT source, CAST((cum - n_tokens) // 256 AS BIGINT) AS bin_id,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM c GROUP BY source, bin_id
+    """,
+)
+def text_pack_bins(spark, sf_dir):
+    """Concat-and-cut sequence packing (functions/text.pack_token_bins):
+    documents laid end-to-end per source in doc_id order, cut into
+    256-token training bins (a doc's bin = where its first token lands).
+    One window cumsum + one aggregation; the oracle mirrors the window."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "source", text.token_count("text").alias("n_tokens")
+    )
+    packed = text.pack_token_bins(
+        sized, budget=256, tokens_col="n_tokens",
+        group_cols=("source",), order_col="doc_id",
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
 @query("dedup_minhash_ml")  # rows-only: pyspark.ml hash family isn't SQL-reproducible
 def dedup_minhash_ml(spark, sf_dir):
     """The pyspark.ml alternative (SURVEY.md §2.11): HashingTF over shingles

@@ -354,3 +354,33 @@ def test_chunk_texts_windows_and_tail(spark):
     assert [r for r in rows if r[0] == 2] == [(2, 0, "a b", 2)]
     with _pytest.raises(ValueError):
         text.chunk_texts(df, chunk_size=0)
+
+
+def test_scrub_pii_counts_and_redacts(spark):
+    df = _docs(spark, [
+        (1, "mail a@b.io and c.d+x@e-f.org ssn 123-45-6789"),
+        (2, "phone (555)123-4567 and 555 123-4567 clean"),
+        (3, "nothing here"),
+    ])
+    out = {r.doc_id: r for r in text.scrub_pii(df, "text").collect()}
+    assert out[1].n_email == 2 and out[1].n_ssn == 1 and out[1].n_phone == 0
+    assert "[EMAIL]" in out[1].text and "[SSN]" in out[1].text
+    assert "@" not in out[1].text and "123-45-6789" not in out[1].text
+    assert out[2].n_phone == 2 and "[PHONE]" in out[2].text
+    assert out[3].text == "nothing here"
+    assert (out[3].n_email, out[3].n_ssn, out[3].n_phone) == (0, 0, 0)
+
+
+def test_pack_token_bins_straddle_and_groups(spark):
+    rows = [
+        # source a: token counts 100, 100, 100 -> bins 0, 0, 0 (first
+        # token of doc 3 lands at 200 < 256; it straddles into bin 1)
+        ("a", 1, 100), ("a", 2, 100), ("a", 3, 100),
+        # source b restarts its own bins
+        ("b", 1, 300), ("b", 2, 10),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    out = {(r.source, r.doc_id): r.bin_id
+           for r in text.pack_token_bins(df, budget=256).collect()}
+    assert out[("a", 1)] == 0 and out[("a", 2)] == 0 and out[("a", 3)] == 0
+    assert out[("b", 1)] == 0 and out[("b", 2)] == 1  # starts at 300
