@@ -59,3 +59,27 @@ def stratified_hash_sample(
             F.col(strata_col) == value, F.lit(_threshold_hex(num))
         ).otherwise(threshold)
     return df.filter(_hash_byte(F.col(key_col)) < threshold)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    cap: int,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically by
+    hash order (md5 of the order key, id tiebreak) — the source-balancing
+    primitive of corpus curation: hot sources are truncated to the cap,
+    rare sources pass through whole. Hash order makes the kept subset a
+    uniform draw that is stable across engines and runs; one shuffle on
+    the group key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        _hash_byte(F.col(order_col)), F.col(order_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

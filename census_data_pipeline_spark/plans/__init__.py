@@ -49,6 +49,7 @@ _CHECKED_PREFIX = [
     "linkage_edit1_names",
     "sample_hash_docs",
     "sample_stratified_events",
+    "sample_cap_per_source",
     "multimodal_payload",
     "multimodal_frame_sample",
     # §2.9 event-time & streaming-parity
@@ -76,7 +77,6 @@ _CHECKED_PREFIX = [
     "zorder_locality",
     "rates_zero_policy",
     # one representative per remaining core family (driver-green in r1)
-    "q1_pricing_summary",
     "asof_click_purchase",
     "range_join_click_errors",
 ]

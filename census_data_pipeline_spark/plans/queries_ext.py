@@ -279,6 +279,29 @@ def sample_hash_docs(spark, sf_dir):
 
 
 @query(
+    "sample_cap_per_source",
+    oracle="""
+    WITH r AS (SELECT doc_id, source,
+                      row_number() OVER (
+                        PARTITION BY source
+                        ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 2),
+                                 doc_id) AS rn
+               FROM documents)
+    SELECT doc_id, source FROM r WHERE rn <= 40
+    """,
+)
+def sample_cap_per_source(spark, sf_dir):
+    """Source balancing (functions/sampling.cap_per_group): at most 40
+    docs per source, chosen by deterministic hash order — truncates hot
+    sources, passes rare ones whole; the training-mix cap primitive. One
+    shuffle on source."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.cap_per_group(docs, ["source"], cap=40).select(
+        "doc_id", "source"
+    )
+
+
+@query(
     "sample_stratified_events",
     oracle="""
     SELECT event_type, count(*) AS n_kept FROM events

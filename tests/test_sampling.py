@@ -44,3 +44,20 @@ def test_stratified_sample_rates_and_default(keyed):
     # per-row decisions identical to the unstratified sampler
     plain_keys = {r.k for r in sampling.hash_sample(keyed, "k", 26).collect()}
     assert {r.k for r in hot} == {k for k in plain_keys if k % 3}
+
+
+def test_cap_per_group_truncates_hot_groups(spark):
+    from census_data_pipeline_spark.functions import sampling
+
+    rows = [(i, "hot" if i < 90 else "rare") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.cap_per_group(df, ["source"], cap=20).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    assert len(by_src["hot"]) == 20      # truncated to cap
+    assert len(by_src["rare"]) == 10     # passes through whole
+    # deterministic: same call yields the same kept set
+    again = sampling.cap_per_group(df, ["source"], cap=20).collect()
+    assert sorted((r.source, r.doc_id) for r in again) == \
+        sorted((r.source, r.doc_id) for r in out)
