@@ -1,7 +1,8 @@
 """End-to-end LLM training-corpus curation on the extension tier (no
 reference analog — the north-star surface, SURVEY.md §2.11): deterministic
-subsample -> language/quality gate -> exact dedup -> minhash near-dup
-clustering -> canonical-document selection -> per-class embedding
+subsample -> language/quality gate -> PII scrub -> exact dedup -> minhash
+near-dup clustering -> canonical-document selection -> per-source cap ->
+token-window chunking -> training-bin packing -> per-class embedding
 centroids.
 
 Every stage is the same operator the driver contract exercises
@@ -25,10 +26,10 @@ from census_data_pipeline_spark.sources.catalog import load_table
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
-def main() -> None:
+def main(sf_dir: str = SF_DIR) -> int:
     spark = get_spark(app_name="llm_corpus_pipeline")
 
-    docs = load_table(spark, SF_DIR, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     total = docs.count()
 
     # 1. deterministic ~50% subsample (monotone: rerunning at a higher
@@ -44,6 +45,10 @@ def main() -> None:
     kept = scored.filter(
         (F.col("lang_pred") == "en") & (F.col("quality") >= 0.5)
     )
+
+    # 2b. PII redaction before anything is persisted (counts + scrub in
+    #     one narrow pass)
+    kept = text.scrub_pii(kept, "text")
 
     # 3. exact dedup (one shuffle on a 16-byte content hash)
     uniq = dedup.exact_dedup(kept, "text", "doc_id")
@@ -66,8 +71,24 @@ def main() -> None:
     print(f"near-dup pairs found  : {n_pairs}")
     print(f"final canonical corpus: {n_final}")
 
-    # 5. per-class embedding centroids for the survivors' vector table
-    emb = load_table(spark, SF_DIR, "embeddings")
+    # 5. source balancing + training-sample prep: cap docs per source,
+    #    chunk into token windows, pack into fixed-budget bins
+    balanced = sampling.cap_per_group(
+        docs.join(canonical.select("doc_id"), "doc_id"),
+        ["source"], cap=40,
+    )
+    chunks = text.chunk_texts(balanced, chunk_size=64, stride=48)
+    sized = balanced.select(
+        "doc_id", "source", text.token_count("text").alias("n_tokens")
+    )
+    bins = text.pack_token_bins(sized, budget=256)
+    n_bins = bins.select("source", "bin_id").distinct().count()
+    print(f"after per-source cap  : {balanced.count()}")
+    print(f"training chunks       : {chunks.count()}")
+    print(f"packed training bins  : {n_bins}")
+
+    # 6. per-class embedding centroids for the survivors' vector table
+    emb = load_table(spark, sf_dir, "embeddings")
     centroids = (
         emb.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", "pos")
@@ -80,7 +101,8 @@ def main() -> None:
     for r in centroids.collect():
         print(f"  label {r.label}: dim={r.dim} mean={r.mean_of_means}")
 
-    spark.stop()
+    # NOTE: no spark.stop() — the session is shared when driven from tests
+    return n_final
 
 
 if __name__ == "__main__":

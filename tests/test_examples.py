@@ -23,3 +23,10 @@ def test_multi_state_comparison_runs(spark, tmp_path):
     n_states = multi_state_comparison.main(str(tmp_path))
     assert n_states == 6
     assert os.path.exists(tmp_path / "midwest_counties_2022.csv")
+
+
+def test_llm_corpus_pipeline_runs(spark):
+    from examples import llm_corpus_pipeline
+
+    n_final = llm_corpus_pipeline.main("/root/testdata/sf0.001")
+    assert n_final > 0
