@@ -52,6 +52,13 @@ HEADLINE = [
     "sample_stratified_events",
     "multimodal_frame_sample",
     "geo_bbox_contains",
+    # r2 new operators
+    "dedup_simhash_pairs",
+    "geo_point_in_polygon",
+    "events_interpolate_1h",
+    "text_pii_scrub",
+    "text_pack_bins",
+    "zorder_locality",
 ]
 
 
