@@ -202,6 +202,7 @@ def pack_token_bins(
     tokens_col: str = "n_tokens",
     group_cols: tuple[str, ...] = ("source",),
     order_col: str = "doc_id",
+    scalable: bool = False,
 ) -> DataFrame:
     """Concat-and-cut sequence packing (training-batch prep): documents
     are laid end-to-end in ``order_col`` order within each group and cut
@@ -210,7 +211,27 @@ def pack_token_bins(
     chunker handles splits, see ``chunk_texts``). One window cumsum per
     group — the deterministic, shuffle-once formulation; true first-fit
     bin packing is inherently sequential and not worth the coordination
-    at 100 TB."""
+    at 100 TB.
+
+    ``scalable=True`` swaps the direct window for the two-phase parallel
+    prefix sum (operators/prefixsum.running_sum_scalable) so a single hot
+    group no longer serializes one task — results are identical
+    (property-tested, and the oracle-checked query runs the scalable path
+    against a plain-window SQL oracle)."""
+    if scalable:
+        from census_data_pipeline_spark.operators.prefixsum import (
+            running_sum_scalable,
+        )
+
+        cummed = running_sum_scalable(
+            df, order_col, tokens_col,
+            group_cols=list(group_cols), output_col="__cum",
+        )
+        return cummed.withColumn(
+            "bin_id",
+            F.floor((F.col("__cum") - F.col(tokens_col)) / F.lit(budget))
+            .cast("long"),
+        ).drop("__cum")
     from pyspark.sql import Window
 
     w = Window.partitionBy(*group_cols).orderBy(order_col)

@@ -1,0 +1,77 @@
+"""Two-phase parallel prefix sum — the scale rewrite for ordered windows
+on hot groups.
+
+``sum(x) OVER (PARTITION BY g ORDER BY o)`` funnels each group through a
+single task, so one 10⁹-row group serializes the stage (SCALING.md
+'Skew' #4). The classic fix decomposes the running sum:
+
+1. bucket the order key into ``n_buckets`` contiguous ranges per group
+   (``ntile``-free: hash-independent ``floor`` over the order key's
+   min/max, so bucketing is deterministic and order-preserving),
+2. cumsum WITHIN each (group, bucket) — parallel windows over small
+   partitions,
+3. cumsum the per-bucket totals ACROSS buckets — a window over
+   n_buckets rows per group (tiny) — and broadcast-join the exclusive
+   bucket offset back.
+
+The result is bit-identical to the direct window for associative sums of
+integers (property-tested in tests/test_operators.py); wall-clock scales
+with the widest bucket instead of the widest group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def running_sum_scalable(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    output_col: str = "running_sum",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Inclusive running sum of ``value_col`` over ``order_col`` within
+    each group, computed with the two-phase decomposition above.
+    ``order_col`` must be numeric and unique per group (the same contract
+    the direct window form requires for a deterministic result)."""
+    groups = list(group_cols or [])
+
+    # deterministic range bucketing of the order key per group
+    bounds = df.groupBy(*groups).agg(
+        F.min(order_col).alias("__lo"), F.max(order_col).alias("__hi")
+    )
+    with_b = df.join(F.broadcast(bounds), on=groups) if groups else df.crossJoin(
+        F.broadcast(bounds)
+    )
+    span = (F.col("__hi") - F.col("__lo") + 1).cast("double")
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor((F.col(order_col) - F.col("__lo")) / span * n_buckets),
+    ).cast("long")
+    bucketed = with_b.withColumn("__bkt", bucket).drop("__lo", "__hi")
+
+    # phase 1: parallel cumsum within (group, bucket)
+    w_in = Window.partitionBy(*groups, "__bkt").orderBy(order_col)
+    local = bucketed.withColumn("__local", F.sum(value_col).over(w_in))
+
+    # phase 2: exclusive prefix of bucket totals (n_buckets rows per group)
+    totals = bucketed.groupBy(*groups, "__bkt").agg(
+        F.sum(value_col).alias("__tot")
+    )
+    w_bkt = Window.partitionBy(*groups).orderBy("__bkt")
+    offsets = totals.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__tot").over(w_bkt.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).select(*groups, "__bkt", "__off")
+
+    joined = local.join(F.broadcast(offsets), on=[*groups, "__bkt"])
+    return (
+        joined.withColumn(output_col, F.col("__local") + F.col("__off"))
+        .drop("__bkt", "__local", "__off")
+    )

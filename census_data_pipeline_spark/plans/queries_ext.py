@@ -794,14 +794,16 @@ def text_pack_bins(spark, sf_dir):
     """Concat-and-cut sequence packing (functions/text.pack_token_bins):
     documents laid end-to-end per source in doc_id order, cut into
     256-token training bins (a doc's bin = where its first token lands).
-    One window cumsum + one aggregation; the oracle mirrors the window."""
+    Runs the SCALABLE two-phase prefix sum (hot groups parallelize across
+    32 order-range buckets) while the oracle uses the plain SQL window —
+    parity is the equivalence proof."""
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.select(
         "doc_id", "source", text.token_count("text").alias("n_tokens")
     )
     packed = text.pack_token_bins(
         sized, budget=256, tokens_col="n_tokens",
-        group_cols=("source",), order_col="doc_id",
+        group_cols=("source",), order_col="doc_id", scalable=True,
     )
     return packed.groupBy("source", "bin_id").agg(
         F.count("*").alias("n_docs"),

@@ -276,3 +276,48 @@ def test_interpolate_linear_matches_pandas(spark):
                 assert got_v is None, (g, i)
             else:
                 assert got_v == pytest.approx(e), (g, i)
+
+
+def test_running_sum_scalable_equals_direct_window(spark):
+    """Two-phase parallel prefix sum == plain ordered window, including
+    hot groups, sparse/negative order keys, and the no-group global case."""
+    import random
+
+    from pyspark.sql import Window
+
+    from census_data_pipeline_spark.operators.prefixsum import (
+        running_sum_scalable,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for g, n in (("hot", 500), ("small", 3), ("one", 1)):
+        keys = rng.sample(range(-1000, 5000), n)
+        rows += [(g, k, rng.randint(-5, 50)) for k in keys]
+    df = spark.createDataFrame(rows, "g string, o long, v long")
+
+    w = Window.partitionBy("g").orderBy("o")
+    direct = {
+        (r.g, r.o): r.c
+        for r in df.withColumn("c", F.sum("v").over(w)).collect()
+    }
+    for nb in (1, 4, 32):
+        got = {
+            (r.g, r.o): r.running_sum
+            for r in running_sum_scalable(
+                df, "o", "v", group_cols=["g"], n_buckets=nb
+            ).collect()
+        }
+        assert got == direct, f"n_buckets={nb}"
+
+    # global (no groups) form
+    wg = Window.orderBy("o")
+    direct_g = {
+        r.o: r.c
+        for r in df.withColumn("c", F.sum("v").over(wg)).collect()
+    }
+    got_g = {
+        r.o: r.running_sum
+        for r in running_sum_scalable(df, "o", "v", n_buckets=8).collect()
+    }
+    assert got_g == direct_g
