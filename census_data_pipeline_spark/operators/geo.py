@@ -142,6 +142,20 @@ def polygon_centroid(xs: Column, ys: Column) -> Column:
     )
 
 
+def haversine_km(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance in km (haversine, mean Earth radius
+    6371.0088). Pure trig expressions — identical formula is expressible
+    in DuckDB for oracle parity; round outputs at ≤4 dp because libm
+    sin/cos may differ in the last ulp across engines."""
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dphi = F.radians(lat2 - lat1) / 2
+    dlmb = F.radians(lon2 - lon1) / 2
+    a = F.sin(dphi) ** 2 + F.cos(p1) * F.cos(p2) * F.sin(dlmb) ** 2
+    return 2 * 6371.0088 * F.asin(F.sqrt(a))
+
+
 def _cell(v: Column, cell_size: float) -> Column:
     return F.floor(v / F.lit(float(cell_size))).cast("long")
 
@@ -197,4 +211,44 @@ def grid_bbox_point_join(
         p.join(bside, on=["__cx", "__cy"])
         .filter(bbox_contains_point(F.col(bbox_col), F.col(x_col), F.col(y_col)))
         .drop("__cx", "__cy")
+    )
+
+
+def radius_point_join(
+    points: DataFrame,
+    centers: DataFrame,
+    radius: float,
+    x_col: str = "px",
+    y_col: str = "py",
+    cx_col: str = "cx",
+    cy_col: str = "cy",
+    cell_size: float | None = None,
+    broadcast_centers: bool = True,
+) -> DataFrame:
+    """Planar within-radius join: every point paired with every center at
+    Euclidean distance <= radius. The candidate stage is the grid-cell
+    equi-join over each center's radius bbox (cell_size defaults to the
+    radius — each center covers <= 9 cells); the exact verify compares
+    SQUARED distances so no sqrt sits on the predicate boundary. Adds a
+    ``dist`` column (rounded 6 dp). The haversine variant swaps the
+    verify predicate; the candidate grid works unchanged on small
+    radii."""
+    r = float(radius)
+    boxed = centers.withColumn(
+        "__rbox",
+        F.struct(
+            (F.col(cx_col) - r).alias("xmin"),
+            (F.col(cy_col) - r).alias("ymin"),
+            (F.col(cx_col) + r).alias("xmax"),
+            (F.col(cy_col) + r).alias("ymax"),
+        ),
+    )
+    cand = grid_bbox_point_join(
+        points, boxed, cell_size or r, x_col=x_col, y_col=y_col,
+        bbox_col="__rbox", broadcast_boxes=broadcast_centers,
+    ).drop("__rbox")
+    d2 = (F.col(x_col) - F.col(cx_col)) ** 2 + (F.col(y_col) - F.col(cy_col)) ** 2
+    return (
+        cand.filter(d2 <= F.lit(r * r))
+        .withColumn("dist", F.round(F.sqrt(d2), 6))
     )

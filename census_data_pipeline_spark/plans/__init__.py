@@ -74,11 +74,10 @@ _CHECKED_PREFIX = [
     "geo_bbox_contains",
     "geo_point_in_polygon",
     "geo_polygon_stats",
+    "geo_radius_join",
+    "geo_haversine_pairs",
     "zorder_locality",
     "rates_zero_policy",
-    # one representative per remaining core family (driver-green in r1)
-    "asof_click_purchase",
-    "range_join_click_errors",
 ]
 
 

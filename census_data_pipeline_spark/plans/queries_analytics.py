@@ -1101,6 +1101,102 @@ def zorder_locality(spark, sf_dir):
 
 
 @query(
+    "geo_radius_join",
+    oracle="""
+    WITH pts AS (SELECT c_custkey, CAST(c_custkey % 97 AS DOUBLE) AS px,
+                        CAST(c_custkey % 89 AS DOUBLE) AS py FROM customer),
+    ctr AS (SELECT n_nationkey,
+                   CAST((n_nationkey * 13) % 90 AS DOUBLE) + 3.5 AS cx,
+                   CAST((n_nationkey * 17) % 80 AS DOUBLE) + 4.5 AS cy
+            FROM nation)
+    SELECT n_nationkey, count(*) AS n_points,
+           round(min(sqrt((px - cx) * (px - cx) + (py - cy) * (py - cy))), 6)
+             AS min_dist,
+           round(max(sqrt((px - cx) * (px - cx) + (py - cy) * (py - cy))), 6)
+             AS max_dist
+    FROM ctr JOIN pts
+      ON (px - cx) * (px - cx) + (py - cy) * (py - cy) <= 156.25
+    GROUP BY n_nationkey
+    """,
+)
+def geo_radius_join(spark, sf_dir):
+    """Within-radius spatial join (operators/geo.radius_point_join):
+    customer grid points within Euclidean distance 12.5 of each nation
+    center, candidates from the radius-bbox grid join, verify on SQUARED
+    distance (fractional centers keep integer points off the boundary so
+    no sqrt sits on the predicate edge). min/max distance are
+    order-insensitive aggregates, safe under 6-dp rounding; the oracle
+    recomputes containment with independent arithmetic."""
+    from census_data_pipeline_spark.operators import geo
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    pts = c.select(
+        "c_custkey",
+        (F.col("c_custkey") % 97).cast("double").alias("px"),
+        (F.col("c_custkey") % 89).cast("double").alias("py"),
+    )
+    ctr = n.select(
+        "n_nationkey",
+        ((F.col("n_nationkey") * 13 % 90).cast("double") + 3.5).alias("cx"),
+        ((F.col("n_nationkey") * 17 % 80).cast("double") + 4.5).alias("cy"),
+    )
+    joined = geo.radius_point_join(pts, ctr, radius=12.5)
+    return joined.groupBy("n_nationkey").agg(
+        F.count("*").alias("n_points"),
+        F.round(F.min("dist"), 6).alias("min_dist"),
+        F.round(F.max("dist"), 6).alias("max_dist"),
+    )
+
+
+@query(
+    "geo_haversine_pairs",
+    oracle="""
+    WITH p AS (SELECT n_nationkey AS id,
+                      CAST((n_nationkey * 7) % 120 AS DOUBLE) - 60 + 0.5 AS lat,
+                      CAST((n_nationkey * 11) % 340 AS DOUBLE) - 170 + 0.5 AS lon
+               FROM nation)
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(2 * 6371.0088 * asin(sqrt(
+             sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+             + cos(radians(a.lat)) * cos(radians(b.lat))
+               * sin(radians(b.lon - a.lon) / 2)
+               * sin(radians(b.lon - a.lon) / 2))), 4) AS dist_km
+    FROM p a JOIN p b ON a.id < b.id
+    WHERE 2 * 6371.0088 * asin(sqrt(
+            sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+            + cos(radians(a.lat)) * cos(radians(b.lat))
+              * sin(radians(b.lon - a.lon) / 2)
+              * sin(radians(b.lon - a.lon) / 2))) < 6000
+    """,
+)
+def geo_haversine_pairs(spark, sf_dir):
+    """Great-circle distances (operators/geo.haversine_km) between nation
+    pseudo-coordinates: all pairs under 6000 km. Dimension-sized self-join
+    (25 rows — broadcast); outputs rounded at 4 dp because libm trig may
+    differ in the last ulp across engines."""
+    from census_data_pipeline_spark.operators import geo
+
+    n = load_table(spark, sf_dir, "nation")
+    p = n.select(
+        F.col("n_nationkey").alias("id"),
+        ((F.col("n_nationkey") * 7 % 120).cast("double") - 60 + 0.5).alias("lat"),
+        ((F.col("n_nationkey") * 11 % 340).cast("double") - 170 + 0.5).alias("lon"),
+    )
+    a = p.select(F.col("id").alias("id_a"), F.col("lat").alias("lat_a"),
+                 F.col("lon").alias("lon_a"))
+    b = p.select(F.col("id").alias("id_b"), F.col("lat").alias("lat_b"),
+                 F.col("lon").alias("lon_b"))
+    km = geo.haversine_km(F.col("lat_a"), F.col("lon_a"),
+                          F.col("lat_b"), F.col("lon_b"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .filter(km < 6000)
+        .select("id_a", "id_b", F.round(km, 4).alias("dist_km"))
+    )
+
+
+@query(
     "winsorize_acctbal",
     oracle="""
     WITH s AS (SELECT quantile_cont(c_acctbal, 0.05) AS p05,

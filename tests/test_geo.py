@@ -171,3 +171,51 @@ def test_grid_join_plan_is_broadcast_equi_join(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_radius_join_equals_naive(spark):
+    rng = random.Random(13)
+    pts = [(i, rng.uniform(0, 50), rng.uniform(0, 50)) for i in range(200)]
+    ctrs = [(j, rng.uniform(0, 50), rng.uniform(0, 50)) for j in range(10)]
+    pdf = spark.createDataFrame(pts, "pid long, px double, py double")
+    cdf = spark.createDataFrame(ctrs, "cid long, cx double, cy double")
+    R = 8.0
+    expected = {
+        (p, c)
+        for p, x, y in pts
+        for c, x0, y0 in ctrs
+        if (x - x0) ** 2 + (y - y0) ** 2 <= R * R
+    }
+    got = geo.radius_point_join(pdf, cdf, radius=R)
+    pairs = [(r.pid, r.cid) for r in got.collect()]
+    assert len(pairs) == len(set(pairs))
+    assert set(pairs) == expected
+    for r in got.collect():
+        assert r.dist <= R + 1e-9
+
+
+def test_haversine_known_distances(spark):
+    import math
+
+    rows = [
+        # 1 degree of longitude at the equator ~ 111.195 km
+        (1, 0.0, 0.0, 0.0, 1.0, 2 * math.pi * 6371.0088 / 360),
+        # pole to equator ~ quarter circumference
+        (2, 90.0, 0.0, 0.0, 0.0, 2 * math.pi * 6371.0088 / 4),
+        (3, 10.0, 20.0, 10.0, 20.0, 0.0),  # same point
+    ]
+    df = spark.createDataFrame(
+        [(i, a, b, c, d) for i, a, b, c, d, _ in rows],
+        "i long, lat1 double, lon1 double, lat2 double, lon2 double",
+    )
+    got = {
+        r.i: r.km
+        for r in df.select(
+            "i",
+            geo.haversine_km(
+                F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")
+            ).alias("km"),
+        ).collect()
+    }
+    for i, *_, want in rows:
+        assert abs(got[i] - want) < 0.01, (i, got[i], want)
