@@ -63,6 +63,62 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(windowed)
 
 
+def word_grams(col: Column | str, n: int) -> Column:
+    """Positional word n-grams WITH multiplicity (contrast ``shingles``,
+    which dedups for set-based sketching): repetition analysis needs the
+    duplicate occurrences. Documents shorter than n words yield a single
+    whole-text gram."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = tokens(c)
+    n_g = F.size(t) - F.lit(n - 1)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n_g, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 3,
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 §A1.1; not in the reference, which has no text-quality surface):
+
+    - ``top_gram_frac``: occurrences of the single most frequent ``top_n``-gram
+      divided by total ``top_n``-grams — catches boilerplate/spam pages that
+      repeat one phrase.
+    - ``dup_gram_frac``: fraction of ``dup_n``-grams that are repeats of an
+      earlier occurrence — catches templated/looped text.
+
+    Scale shape: ``dup_gram_frac`` is a narrow per-row array expression
+    (codegen, zero shuffle). ``top_gram_frac`` needs a per-(doc, gram) count,
+    which no per-row array form computes in linear time, so it explodes and
+    aggregates — shuffle volume ≈ corpus token count with map-side partial
+    aggregation, the same linear shape every distributed word-count has. The
+    final doc-level join is AQE-handled (both sides hash on ``id_col``).
+    Both fractions are exact integer ratios — deterministic across engines.
+    """
+    gid = F.col(id_col)
+    top = (
+        df.select(gid, F.explode(word_grams(text_col, top_n)).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg((F.max("c") / F.sum("c")).alias("top_gram_frac"))
+    )
+    g_dup = word_grams(text_col, dup_n)
+    narrow = df.select(
+        gid,
+        (
+            (F.size(g_dup) - F.size(F.array_distinct(g_dup))) / F.size(g_dup)
+        ).alias("dup_gram_frac"),
+    )
+    return narrow.join(top, id_col)
+
+
 def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
     t = tokens(col)
     stops = F.filter(t, lambda x: x.isin(*stopwords))

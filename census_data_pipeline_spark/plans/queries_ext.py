@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from census_data_pipeline_spark.functions import (
+    decontam,
     dedup,
     multimodal,
     sampling,
@@ -850,3 +851,70 @@ def knn_ivf_query(spark, sf_dir):
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
         "cosine_sim",
     )
+
+
+@query(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    gr AS (SELECT doc_id,
+              CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                   ELSE list_transform(range(1, len(toks)),
+                                       i -> array_to_string(toks[i:i+1], ' ')) END AS g2,
+              CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                   ELSE list_transform(range(1, len(toks) - 1),
+                                       i -> array_to_string(toks[i:i+2], ' ')) END AS g3
+           FROM t),
+    e2 AS (SELECT doc_id, unnest(g2) AS gram FROM gr),
+    c2 AS (SELECT doc_id, gram, count(*) AS c FROM e2 GROUP BY doc_id, gram),
+    a2 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS topf FROM c2 GROUP BY doc_id),
+    d3 AS (SELECT doc_id,
+                  (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3) AS dupf
+           FROM gr)
+    SELECT doc_id, round(topf, 6) AS top_gram_frac, round(dupf, 6) AS dup_gram_frac,
+           (topf > 0.06 OR dupf > 0.01) AS flagged
+    FROM a2 JOIN d3 USING (doc_id)
+    """,
+)
+def text_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters (top-2-gram fraction, duplicate
+    3-gram fraction): the boilerplate/template-page detector of corpus
+    curation. Thresholds (0.06 / 0.01) sit at the p90/p95 of the synthetic
+    corpus so `flagged` splits it non-trivially; production values (0.20 /
+    0.30 at n=2..4) are the Gopher paper's. Fractions are exact integer
+    ratios — identical across engines before rounding."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.repetition_stats(docs)
+    return out.select(
+        "doc_id",
+        F.round("top_gram_frac", 6).alias("top_gram_frac"),
+        F.round("dup_gram_frac", 6).alias("dup_gram_frac"),
+        (
+            (F.col("top_gram_frac") > 0.06) | (F.col("dup_gram_frac") > 0.01)
+        ).alias("flagged"),
+    )
+
+
+@query(
+    "decontam_ngram_overlap",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, {_shingle_sql(3)} AS sh FROM t),
+    g AS (SELECT doc_id, unnest(sh) AS gram FROM s),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+    SELECT doc_id, count(*) AS n_overlap
+    FROM g JOIN ev USING (gram)
+    WHERE doc_id % 97 <> 0
+    GROUP BY doc_id
+    """,
+)
+def decontam_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 97 == 0 stand in for
+    the eval set; every other doc is training. Returns the contaminated
+    training docs with their distinct shared-3-gram count (the small side
+    of the downstream anti-join). Eval grams broadcast; one explode + one
+    agg shuffle on the training side."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontam.ngram_overlap_contamination(train, ev, n=3)

@@ -7,7 +7,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from census_data_pipeline_spark.functions import dedup, multimodal, similarity, text
+from census_data_pipeline_spark.functions import decontam, dedup, multimodal, similarity, text
 
 
 def _docs(spark, rows):
@@ -384,3 +384,34 @@ def test_pack_token_bins_straddle_and_groups(spark):
            for r in text.pack_token_bins(df, budget=256).collect()}
     assert out[("a", 1)] == 0 and out[("a", 2)] == 0 and out[("a", 3)] == 0
     assert out[("b", 1)] == 0 and out[("b", 2)] == 1  # starts at 300
+
+
+def test_repetition_stats_values(spark):
+    rows = [
+        (1, "x y x y x y"),          # one 2-gram "x y" 3x of 5 grams; 3-grams all dup-heavy
+        (2, "a b c d e f"),          # no repetition
+        (3, "w"),                    # shorter than n: single whole-text gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.repetition_stats(df).collect()}
+    # doc1 2-grams: [x y, y x, x y, y x, x y] -> max 3 / total 5
+    assert out[1].top_gram_frac == pytest.approx(3 / 5)
+    # doc1 3-grams: [x y x, y x y, x y x, y x y] -> 2 distinct of 4
+    assert out[1].dup_gram_frac == pytest.approx(2 / 4)
+    assert out[2].top_gram_frac == pytest.approx(1 / 5)
+    assert out[2].dup_gram_frac == 0.0
+    assert out[3].top_gram_frac == 1.0 and out[3].dup_gram_frac == 0.0
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "totally unrelated words here")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "quick brown fox runs away")], "doc_id long, text string"
+    )
+    flagged = decontam.ngram_overlap_contamination(train, ev, n=3).collect()
+    assert [(r.doc_id, r.n_overlap) for r in flagged] == [(1, 1)]  # "quick brown fox"
+    kept = decontam.decontaminate(train, ev, n=3).select("doc_id").collect()
+    assert [r.doc_id for r in kept] == [2]
