@@ -59,6 +59,11 @@ HEADLINE = [
     "text_pii_scrub",
     "text_pack_bins",
     "zorder_locality",
+    # r2 training-pipeline curation tier
+    "text_repetition_stats",
+    "decontam_ngram_overlap",
+    "sample_temperature",
+    "shuffle_shard_assign",
 ]
 
 

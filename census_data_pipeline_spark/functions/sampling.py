@@ -61,6 +61,93 @@ def stratified_hash_sample(
     return df.filter(_hash_byte(F.col(key_col)) < threshold)
 
 
+def temperature_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    target_num: int = 1,
+    target_den: int = 2,
+    resolution: int = 4096,
+) -> DataFrame:
+    """Temperature-based source rebalancing (the multilingual/multi-source
+    resampling of Conneau et al. 2019 §5.1 at alpha=0.5): keep-rate for
+    stratum i is ``min(1, T·√pᵢ / (Σⱼ√pⱼ · pᵢ))`` where pᵢ is the stratum
+    row count and ``T = N·target_num/target_den`` the target kept total —
+    hot sources are downsampled ∝ √p, rare sources pass through whole.
+
+    Engine-exact by construction, so a SQL oracle reproduces the kept set
+    bit-for-bit: weights are ``round(sqrt(p))`` quantized to integers
+    (IEEE sqrt of an integer-valued double + half-away rounding are
+    identical everywhere), all products/sums stay exact int64 < 2^53, the
+    single division is correctly rounded on identical operands, and the
+    acceptance test compares a fixed 3-hex-char md5 prefix against the
+    per-stratum threshold ``floor(rate·4096)`` ('zzz' sentinel at rate=1,
+    same trick as ``_threshold_hex``). Plan: one tiny per-stratum agg
+    broadcast back onto a narrow filter — no data shuffle."""
+    if resolution != 4096:
+        raise ValueError("resolution must be 4096 (3 md5 hex chars)")
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("__p"))
+    g = counts.withColumn("__q", F.round(F.sqrt("__p"), 0).cast("long"))
+    tots = g.agg(F.sum("__p").alias("__n"), F.sum("__q").alias("__s"))
+    rate = F.least(
+        F.lit(1.0),
+        (F.expr(f"(__n * {target_num}) div {target_den}") * F.col("__q"))
+        .cast("double") / (F.col("__s") * F.col("__p")),
+    )
+    thr_int = F.floor(rate * resolution).cast("long")
+    thr = F.when(thr_int >= resolution, F.lit("zzz")).otherwise(
+        F.lpad(F.lower(F.hex(thr_int)), 3, "0")
+    )
+    rates = g.crossJoin(F.broadcast(tots)).select(strata_col, thr.alias("__thr"))
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(F.substring(F.md5(F.col(key_col).cast("string")), 1, 3) < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
+def epoch_shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    seed: int,
+    shard_size: int,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Deterministic epoch shuffle + training-shard assignment: order rows
+    by ``md5(seed:key)`` (a different permutation per epoch seed, identical
+    across engines and retries) and cut the shuffled order into
+    ``shard_size`` chunks. The global position comes from the two-phase
+    parallel prefix sum (``operators.prefixsum``) over a constant 1 — NOT a
+    single-partition ``row_number`` window, so the sort scales with the
+    widest range bucket rather than serializing 100 TB through one task.
+
+    Order key: 36-bit hash prefix (9 hex chars, parsed JVM-side with
+    ``conv``) in the high bits, ``key % 2^24`` as the tiebreak in the low
+    bits — total 60 bits, fits int64. Prefix collisions are therefore
+    resolved by key order; exact oracle equivalence assumes integer keys
+    < 2^24 (true for the test lakes; widen the split at larger key spaces).
+    Returns ``key_col``, ``shuffle_pos`` (1-based) and ``shard``."""
+    from census_data_pipeline_spark.operators.prefixsum import running_sum_scalable
+
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string")))
+    ord_key = (
+        F.conv(F.substring(h, 1, 9), 16, 10).cast("long") * F.lit(1 << 24)
+        + F.pmod(F.col(key_col).cast("long"), F.lit(1 << 24))
+    )
+    ranked = running_sum_scalable(
+        df.select(F.col(key_col), ord_key.alias("__ord"), F.lit(1).alias("__one")),
+        order_col="__ord",
+        value_col="__one",
+        output_col="shuffle_pos",
+        n_buckets=n_buckets,
+    )
+    return ranked.select(
+        key_col,
+        F.col("shuffle_pos").cast("long").alias("shuffle_pos"),
+        F.expr(f"(shuffle_pos - 1) div {shard_size}").cast("long").alias("shard"),
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_cols: list[str],

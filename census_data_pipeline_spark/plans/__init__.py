@@ -34,12 +34,11 @@ _CHECKED_PREFIX = [
     "knn_bruteforce",
     "knn_lsh",
     "embedding_centroid_by_label",
-    # §2.11 text analysis
+    # §2.11 text analysis / quality / decontamination
     "text_token_stats",
-    "text_term_frequency",
     "text_lang_id",
-    "doc_fingerprint",
-    "text_tokens_bpeish",
+    "text_repetition_stats",
+    "decontam_ngram_overlap",
     "text_tfidf_top_terms",
     "text_chunking",
     "text_pii_scrub",
@@ -48,8 +47,9 @@ _CHECKED_PREFIX = [
     # §2.11 linkage / sampling / multimodal
     "linkage_edit1_names",
     "sample_hash_docs",
-    "sample_stratified_events",
+    "sample_temperature",
     "sample_cap_per_source",
+    "shuffle_shard_assign",
     "multimodal_payload",
     "multimodal_frame_sample",
     # §2.9 event-time & streaming-parity

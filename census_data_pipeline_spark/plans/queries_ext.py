@@ -918,3 +918,53 @@ def decontam_ngram_overlap(spark, sf_dir):
     ev = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
     return decontam.ngram_overlap_contamination(train, ev, n=3)
+
+
+@query(
+    "sample_temperature",
+    oracle="""
+    WITH c AS (SELECT source, count(*) AS p FROM documents GROUP BY source),
+    q AS (SELECT source, p, CAST(round(sqrt(p)) AS BIGINT) AS q FROM c),
+    t AS (SELECT sum(p) AS n, sum(q) AS s FROM q),
+    r AS (SELECT source, least(1.0, ((n // 2) * q)::DOUBLE / (s * p)) AS rate
+          FROM q, t),
+    h AS (SELECT source,
+                 CASE WHEN CAST(floor(rate * 4096) AS BIGINT) >= 4096 THEN 'zzz'
+                      ELSE lpad(to_hex(CAST(floor(rate * 4096) AS BIGINT)), 3, '0')
+                 END AS thr
+          FROM r)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN h USING (source)
+    WHERE substr(md5(d.doc_id::VARCHAR), 1, 3) < h.thr
+    """,
+)
+def sample_temperature(spark, sf_dir):
+    """Temperature (alpha=0.5) source rebalancing of the corpus to a 1/2
+    target: hot sources downsampled toward sqrt-proportionality, rare
+    sources kept whole. All weight arithmetic is integer-exact (see
+    functions.sampling.temperature_sample), so the oracle reproduces the
+    exact kept set, not just its size."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.temperature_sample(docs, "doc_id", "source")
+    return out.select("doc_id", "source")
+
+
+@query(
+    "shuffle_shard_assign",
+    oracle="""
+    WITH r AS (SELECT doc_id, md5('42:' || doc_id::VARCHAR) AS h FROM documents),
+    rk AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY substr(h, 1, 9), doc_id) AS rn
+           FROM r)
+    SELECT doc_id, rn AS shuffle_pos, (rn - 1) // 64 AS shard FROM rk
+    """,
+)
+def shuffle_shard_assign(spark, sf_dir):
+    """Deterministic epoch shuffle + shard assignment (seed 42, shard
+    size 64): the global shuffle order every training run needs, computed
+    with the two-phase prefix-sum rank instead of a one-partition
+    row_number window. Oracle mirrors the order as (9-hex md5 prefix,
+    doc_id) — identical to the engine's 60-bit packed sort key for the
+    test lakes' id range."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.epoch_shuffle_shards(docs, "doc_id", seed=42, shard_size=64)

@@ -17,6 +17,10 @@ FAMILY_REPRESENTATIVES = [
     "knn_lsh",                # similarity search approximate (reworked r2)
     "text_token_stats",       # text analysis
     "text_chunking",          # training-sample chunking
+    "text_repetition_stats",  # repetition quality filters (new r2)
+    "decontam_ngram_overlap", # benchmark decontamination (new r2)
+    "sample_temperature",     # temperature source rebalancing (new r2)
+    "shuffle_shard_assign",   # epoch shuffle / shard assignment (new r2)
     "linkage_edit1_names",    # fuzzy record linkage
     "sample_hash_docs",       # deterministic sampling
     "multimodal_payload",     # multimodal plumbing

@@ -61,3 +61,41 @@ def test_cap_per_group_truncates_hot_groups(spark):
     again = sampling.cap_per_group(df, ["source"], cap=20).collect()
     assert sorted((r.source, r.doc_id) for r in again) == \
         sorted((r.source, r.doc_id) for r in out)
+
+
+def test_temperature_sample_rebalances_sources(spark):
+    rows = [(i, "hot" if i < 900 else "rare") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.temperature_sample(df, "doc_id", "source").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    # alpha=0.5, target N/2=500: weights q=(30, 10), S=40.
+    # hot rate = 500*30/(40*900) ≈ 0.417; rare rate = 500*10/(40*100) = 1.25 -> 1
+    assert len(by_src["rare"]) == 100           # rare kept whole
+    assert 0.3 < len(by_src["hot"]) / 900 < 0.55  # hot ≈ 42%, hash noise
+    # deterministic across invocations
+    again = sampling.temperature_sample(df, "doc_id", "source").collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in out)
+
+
+def test_epoch_shuffle_shards_matches_direct_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    out = sampling.epoch_shuffle_shards(df, "doc_id", seed=7, shard_size=50)
+    got = {r.doc_id: (r.shuffle_pos, r.shard) for r in out.collect()}
+    # direct (non-scalable) reference: one-partition row_number
+    h = F.md5(F.concat_ws(":", F.lit("7"), F.col("doc_id").cast("string")))
+    direct = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.substring(h, 1, 9), "doc_id"))
+    )
+    want = {r.doc_id: (r.rn, (r.rn - 1) // 50) for r in direct.collect()}
+    assert got == want
+    assert {s for _, s in got.values()} == set(range(6))  # 300/50 shards
+    # a different seed is a different permutation
+    other = sampling.epoch_shuffle_shards(df, "doc_id", seed=8, shard_size=50)
+    assert {r.doc_id: r.shuffle_pos for r in other.collect()} != {
+        k: p for k, (p, _) in got.items()
+    }
