@@ -64,6 +64,7 @@ HEADLINE = [
     "decontam_ngram_overlap",
     "sample_temperature",
     "shuffle_shard_assign",
+    "corpus_curation_e2e",
 ]
 
 

@@ -126,7 +126,7 @@ def epoch_shuffle_shards(
     bits — total 60 bits, fits int64. Prefix collisions are therefore
     resolved by key order; exact oracle equivalence assumes integer keys
     < 2^24 (true for the test lakes; widen the split at larger key spaces).
-    Returns ``key_col``, ``shuffle_pos`` (1-based) and ``shard``."""
+    Returns the input columns plus ``shuffle_pos`` (1-based) and ``shard``."""
     from census_data_pipeline_spark.operators.prefixsum import running_sum_scalable
 
     h = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string")))
@@ -135,14 +135,14 @@ def epoch_shuffle_shards(
         + F.pmod(F.col(key_col).cast("long"), F.lit(1 << 24))
     )
     ranked = running_sum_scalable(
-        df.select(F.col(key_col), ord_key.alias("__ord"), F.lit(1).alias("__one")),
+        df.withColumn("__ord", ord_key).withColumn("__one", F.lit(1)),
         order_col="__ord",
         value_col="__one",
         output_col="shuffle_pos",
         n_buckets=n_buckets,
     )
     return ranked.select(
-        key_col,
+        *df.columns,
         F.col("shuffle_pos").cast("long").alias("shuffle_pos"),
         F.expr(f"(shuffle_pos - 1) div {shard_size}").cast("long").alias("shard"),
     )

@@ -930,7 +930,7 @@ def decontam_ngram_overlap(spark, sf_dir):
           FROM q, t),
     h AS (SELECT source,
                  CASE WHEN CAST(floor(rate * 4096) AS BIGINT) >= 4096 THEN 'zzz'
-                      ELSE lpad(to_hex(CAST(floor(rate * 4096) AS BIGINT)), 3, '0')
+                      ELSE lpad(lower(to_hex(CAST(floor(rate * 4096) AS BIGINT))), 3, '0')
                  END AS thr
           FROM r)
     SELECT d.doc_id, d.source
@@ -967,4 +967,78 @@ def shuffle_shard_assign(spark, sf_dir):
     doc_id) — identical to the engine's 60-bit packed sort key for the
     test lakes' id range."""
     docs = load_table(spark, sf_dir, "documents")
-    return sampling.epoch_shuffle_shards(docs, "doc_id", seed=42, shard_size=64)
+    out = sampling.epoch_shuffle_shards(docs, "doc_id", seed=42, shard_size=64)
+    return out.select("doc_id", "shuffle_pos", "shard")
+
+
+@query(
+    "corpus_curation_e2e",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents
+               WHERE doc_id % 97 <> 0),
+    gr AS (SELECT doc_id,
+              CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                   ELSE list_transform(range(1, len(toks)),
+                                       i -> array_to_string(toks[i:i+1], ' ')) END AS g2,
+              CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                   ELSE list_transform(range(1, len(toks) - 1),
+                                       i -> array_to_string(toks[i:i+2], ' ')) END AS g3
+           FROM t),
+    e2 AS (SELECT doc_id, unnest(g2) AS gram FROM gr),
+    c2 AS (SELECT doc_id, gram, count(*) AS c FROM e2 GROUP BY doc_id, gram),
+    a2 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS topf FROM c2 GROUP BY doc_id),
+    d3 AS (SELECT doc_id,
+                  (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3) AS dupf
+           FROM gr),
+    rep_ok AS (SELECT doc_id FROM a2 JOIN d3 USING (doc_id)
+               WHERE topf <= 0.06 AND dupf <= 0.01),
+    at AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, {_shingle_sql(3)} AS sh FROM at),
+    g AS (SELECT doc_id, unnest(sh) AS gram FROM s),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    cont AS (SELECT DISTINCT doc_id FROM g JOIN ev USING (gram)
+             WHERE doc_id % 97 <> 0),
+    kept AS (SELECT t.doc_id, t.source FROM t
+             JOIN rep_ok USING (doc_id)
+             WHERE t.doc_id NOT IN (SELECT doc_id FROM cont)),
+    c AS (SELECT source, count(*) AS p FROM kept GROUP BY source),
+    q AS (SELECT source, p, CAST(round(sqrt(p)) AS BIGINT) AS q FROM c),
+    tt AS (SELECT sum(p) AS n, sum(q) AS s FROM q),
+    r AS (SELECT source, least(1.0, ((n // 2) * q)::DOUBLE / (s * p)) AS rate
+          FROM q, tt),
+    h AS (SELECT source,
+                 CASE WHEN CAST(floor(rate * 4096) AS BIGINT) >= 4096 THEN 'zzz'
+                      ELSE lpad(lower(to_hex(CAST(floor(rate * 4096) AS BIGINT))), 3, '0')
+                 END AS thr
+          FROM r),
+    samp AS (SELECT k.doc_id, k.source FROM kept k JOIN h USING (source)
+             WHERE substr(md5(k.doc_id::VARCHAR), 1, 3) < h.thr),
+    rk AS (SELECT doc_id, source,
+                  row_number() OVER (
+                    ORDER BY substr(md5('42:' || doc_id::VARCHAR), 1, 9), doc_id
+                  ) AS rn
+           FROM samp)
+    SELECT doc_id, source, rn AS shuffle_pos, (rn - 1) // 32 AS shard FROM rk
+    """,
+)
+def corpus_curation_e2e(spark, sf_dir):
+    """The full training-data curation path in ONE lazy plan: repetition
+    filter (Gopher top-2-gram/dup-3-gram) -> benchmark decontamination
+    (3-gram overlap vs the doc_id%97 eval split, broadcast anti-join) ->
+    temperature (alpha=0.5) source rebalancing to a 1/2 target -> epoch-42
+    shuffle with shard-size-32 assignment via the two-phase prefix-sum
+    rank. Composes corpus_clean_pipeline's shape with the r2 curation
+    tier; every stage stays engine-exact so the 50-line oracle reproduces
+    the final shard map bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    rep = text.repetition_stats(train).filter(
+        (F.col("top_gram_frac") <= 0.06) & (F.col("dup_gram_frac") <= 0.01)
+    )
+    kept = train.join(rep.select("doc_id"), "doc_id")
+    clean = decontam.decontaminate(kept, ev, n=3)
+    samp = sampling.temperature_sample(clean, "doc_id", "source").select(
+        "doc_id", "source"
+    )
+    return sampling.epoch_shuffle_shards(samp, "doc_id", seed=42, shard_size=32)
