@@ -92,3 +92,27 @@ def test_core_path_is_udf_free(spark, sf_dir):
     ):
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_decontam_broadcasts_eval_grams(spark, sf_dir):
+    # the eval n-gram set must be the broadcast side; corpus-side explode
+    # stays narrow and nothing goes cartesian
+    plan = _plan(spark, sf_dir, "decontam_ngram_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_temperature_sample_is_broadcast_filter(spark, sf_dir):
+    # per-stratum thresholds broadcast onto a narrow filter: the corpus
+    # itself must not shuffle (only the tiny counts agg exchanges)
+    plan = _plan(spark, sf_dir, "sample_temperature")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_epoch_shuffle_has_no_global_window(spark, sf_dir):
+    # the full-data window must partition by the range bucket; the only
+    # unpartitioned window runs over the n_buckets-row totals frame
+    plan = _plan(spark, sf_dir, "shuffle_shard_assign")
+    windows = [ln for ln in plan.splitlines() if "Window " in ln or "Window(" in ln]
+    assert any("__bkt" in ln for ln in windows), windows
