@@ -1424,3 +1424,83 @@ def approx_sketches(spark, sf_dir):
             & (F.col("__amed") <= F.col("__maxp"))
         ).alias("approx_median_in_range"),
     )
+
+
+@query(
+    "events_funnel_3step",
+    oracle="""
+    WITH s AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'click' AND e.ts > s.t1 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+    SELECT s.user_id, epoch_us(s.t1) AS signup_us, epoch_us(c.t2) AS click_us,
+           epoch_us(p.t3) AS purchase_us
+    FROM s JOIN c ON s.user_id = c.user_id JOIN p ON c.user_id = p.user_id
+    """,
+)
+def events_funnel_3step(spark, sf_dir):
+    """Ordered-event funnel (signup -> first later click -> first later
+    purchase), the product-analytics staple: per-step min-timestamp
+    aggregation + equi-join on user_id, so each step is one hash shuffle
+    on the (already user-keyed) shrinking cohort — no window over the full
+    event stream, no per-user collect. Returns users completing all three
+    steps with their step timestamps (exact microseconds)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (ev.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(s, "user_id").filter(F.col("ts") > F.col("t1"))
+         .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id").filter(F.col("ts") > F.col("t2"))
+         .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    return (
+        s.join(c, "user_id").join(p, "user_id")
+        .select(
+            "user_id",
+            F.unix_micros("t1").alias("signup_us"),
+            F.unix_micros("t2").alias("click_us"),
+            F.unix_micros("t3").alias("purchase_us"),
+        )
+    )
+
+
+@query(
+    "cohort_retention_weekly",
+    oracle="""
+    WITH f AS (SELECT user_id, date_trunc('week', min(ts))::DATE AS cohort_week
+               FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS activity_week
+          FROM events)
+    SELECT f.cohort_week, (a.activity_week - f.cohort_week) // 7 AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_weekly(spark, sf_dir):
+    """Weekly cohort retention: users cohorted by the ISO week of their
+    first event; n distinct active users per (cohort week, week offset).
+    Two user-keyed aggs + one join + the final small (cohort, offset)
+    rollup — the cohort frame is |users|, never |events|, and both engines
+    truncate weeks to Monday so the matrix is engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    a = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("activity_week")
+    ).distinct()
+    return (
+        a.join(f, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("activity_week", "cohort_week") / 7)
+            .cast("long").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
