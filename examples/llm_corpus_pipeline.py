@@ -1,9 +1,10 @@
 """End-to-end LLM training-corpus curation on the extension tier (no
 reference analog — the north-star surface, SURVEY.md §2.11): deterministic
-subsample -> language/quality gate -> PII scrub -> exact dedup -> minhash
-near-dup clustering -> canonical-document selection -> per-source cap ->
-token-window chunking -> training-bin packing -> per-class embedding
-centroids.
+subsample -> language/quality gate -> repetition filter -> PII scrub ->
+exact dedup -> minhash near-dup clustering -> canonical-document selection
+-> benchmark decontamination -> per-source cap -> temperature rebalancing
+-> token-window chunking -> training-bin packing -> epoch shuffle/shard
+assignment -> per-class embedding centroids.
 
 Every stage is the same operator the driver contract exercises
 (functions/{sampling,text,dedup,similarity}.py); chained here the whole
@@ -20,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from census_data_pipeline_spark import get_spark
-from census_data_pipeline_spark.functions import dedup, sampling, text
+from census_data_pipeline_spark.functions import decontam, dedup, sampling, text
 from census_data_pipeline_spark.sources.catalog import load_table
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -45,6 +46,12 @@ def main(sf_dir: str = SF_DIR) -> int:
     kept = scored.filter(
         (F.col("lang_pred") == "en") & (F.col("quality") >= 0.5)
     )
+
+    # 2a. repetition gate (Gopher-style): drop template/boilerplate pages
+    rep = text.repetition_stats(kept).filter(
+        (F.col("top_gram_frac") <= 0.06) & (F.col("dup_gram_frac") <= 0.01)
+    )
+    kept = kept.join(rep.select("doc_id"), "doc_id")
 
     # 2b. PII redaction before anything is persisted (counts + scrub in
     #     one narrow pass)
@@ -71,21 +78,35 @@ def main(sf_dir: str = SF_DIR) -> int:
     print(f"near-dup pairs found  : {n_pairs}")
     print(f"final canonical corpus: {n_final}")
 
-    # 5. source balancing + training-sample prep: cap docs per source,
-    #    chunk into token windows, pack into fixed-budget bins
-    balanced = sampling.cap_per_group(
-        docs.join(canonical.select("doc_id"), "doc_id"),
-        ["source"], cap=40,
+    # 4b. benchmark decontamination: hold out doc_id % 97 == 0 as the
+    #     stand-in eval set; drop training docs sharing any 3-gram
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    survivors = docs.join(canonical.select("doc_id"), "doc_id").filter(
+        F.col("doc_id") % 97 != 0
     )
+    clean = decontam.decontaminate(survivors, ev, n=3)
+    print(f"after decontamination : {clean.count()}")
+
+    # 5. source balancing + training-sample prep: cap docs per source,
+    #    temperature-rebalance (alpha=0.5) toward rare sources, chunk into
+    #    token windows, pack into fixed-budget bins
+    balanced = sampling.cap_per_group(clean, ["source"], cap=40)
+    balanced = sampling.temperature_sample(balanced, "doc_id", "source")
     chunks = text.chunk_texts(balanced, chunk_size=64, stride=48)
     sized = balanced.select(
         "doc_id", "source", text.token_count("text").alias("n_tokens")
     )
     bins = text.pack_token_bins(sized, budget=256)
     n_bins = bins.select("source", "bin_id").distinct().count()
-    print(f"after per-source cap  : {balanced.count()}")
+    print(f"after cap+temperature : {balanced.count()}")
     print(f"training chunks       : {chunks.count()}")
     print(f"packed training bins  : {n_bins}")
+
+    # 5b. deterministic epoch shuffle: global order + shard assignment
+    #     via the two-phase prefix-sum rank (no single-partition window)
+    shards = sampling.epoch_shuffle_shards(balanced, "doc_id", seed=0, shard_size=32)
+    n_shards = shards.select("shard").distinct().count()
+    print(f"epoch-0 shards        : {n_shards}")
 
     # 6. per-class embedding centroids for the survivors' vector table
     emb = load_table(spark, sf_dir, "embeddings")
