@@ -1504,3 +1504,38 @@ def cohort_retention_weekly(spark, sf_dir):
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "events_top_transitions",
+    oracle="""
+    WITH o AS (SELECT user_id, event_type,
+                      lead(event_type) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                      ) AS next_type
+               FROM events)
+    SELECT event_type, next_type, count(*) AS n
+    FROM o WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY n DESC, event_type, next_type
+    LIMIT 10
+    """,
+)
+def events_top_transitions(spark, sf_dir):
+    """Path analysis: the 10 most common consecutive event-type
+    transitions per user (bigram counts over each user's time-ordered
+    stream). One shuffle on user_id for the lead window — user groups are
+    bounded, so no hot-group serialization — then a tiny (type, type)
+    rollup. Tie-broken by event_id so the sequence is engine-exact."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.withColumn("next_type", F.lead("event_type").over(w))
+    return (
+        o.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "event_type", "next_type")
+        .limit(10)
+    )
