@@ -65,6 +65,10 @@ HEADLINE = [
     "sample_temperature",
     "shuffle_shard_assign",
     "corpus_curation_e2e",
+    # r2 event analytics
+    "events_funnel_3step",
+    "cohort_retention_weekly",
+    "events_top_transitions",
 ]
 
 
