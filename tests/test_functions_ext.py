@@ -415,3 +415,15 @@ def test_decontaminate_drops_overlapping_docs(spark):
     assert [(r.doc_id, r.n_overlap) for r in flagged] == [(1, 1)]  # "quick brown fox"
     kept = decontam.decontaminate(train, ev, n=3).select("doc_id").collect()
     assert [r.doc_id for r in kept] == [2]
+
+
+def test_decontaminate_no_overlap_keeps_everything(spark):
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(9, "iota kappa lambda mu")],
+                               "doc_id long, text string")
+    assert decontam.ngram_overlap_contamination(train, ev, n=3).count() == 0
+    kept = sorted(r.doc_id for r in decontam.decontaminate(train, ev, n=3).collect())
+    assert kept == [1, 2]

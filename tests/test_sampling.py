@@ -99,3 +99,12 @@ def test_epoch_shuffle_shards_matches_direct_window(spark):
     assert {r.doc_id: r.shuffle_pos for r in other.collect()} != {
         k: p for k, (p, _) in got.items()
     }
+
+
+def test_temperature_sample_single_stratum_hits_target(spark):
+    # one source: rate = (N//2)*q/(S*p) with q=S -> N//2 / N = 1/2 exactly
+    df = spark.createDataFrame([(i, "only") for i in range(1024)],
+                               "doc_id long, source string")
+    out = sampling.temperature_sample(df, "doc_id", "source").collect()
+    # md5-threshold acceptance at floor(0.5*4096)='800' keeps ~half
+    assert 0.4 < len(out) / 1024 < 0.6
