@@ -65,10 +65,11 @@ HEADLINE = [
     "sample_temperature",
     "shuffle_shard_assign",
     "corpus_curation_e2e",
-    # r2 event analytics
+    # r2 event analytics + sketch rollup
     "events_funnel_3step",
     "cohort_retention_weekly",
     "events_top_transitions",
+    "sketch_rollup_mergeable",
 ]
 
 

@@ -1539,3 +1539,78 @@ def events_top_transitions(spark, sf_dir):
         .orderBy(F.desc("n"), "event_type", "next_type")
         .limit(10)
     )
+
+
+@query(
+    "sketch_rollup_mergeable",
+    oracle="""
+    SELECT r_name,
+           round(quantile_cont(c_acctbal, 0.5), 6) AS exact_median,
+           count(DISTINCT c_custkey) AS exact_customers,
+           count(*) AS n_rows,
+           TRUE AS kll_median_in_band,
+           TRUE AS hll_within_5pct
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def sketch_rollup_mergeable(spark, sf_dir):
+    """Re-aggregatable sketch rollup — the 100 TB data-cube pattern the
+    exact operators can't give you: per-NATION DataSketches state (KLL
+    quantile sketch over acctbal, HLL sketch over custkey) is built once,
+    STORED as binary columns, then merged upward to REGION level without
+    touching raw rows again (``kll_sketch_merge_double`` fold over the ≤5
+    nation sketches per region; ``hll_union_agg``). Exact values are
+    recomputed from raw data only to assert the accuracy contract
+    Spark-side: the KLL median estimate must land inside the exact
+    [p40, p60] band and the HLL estimate within 5% of the exact distinct
+    count — shipped as oracle-checked booleans (same contract style as
+    ``approx_sketches``)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    base = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    # level 1: per-nation mergeable sketch state (what a lakehouse would
+    # persist alongside each partition)
+    lvl1 = base.groupBy("r_name", "n_nationkey").agg(
+        F.kll_sketch_agg_double("c_acctbal").alias("kll"),
+        F.hll_sketch_agg("c_custkey").alias("hll"),
+    )
+    # level 2: merge-only rollup to region
+    lvl2 = lvl1.groupBy("r_name").agg(
+        F.expr(
+            "aggregate(slice(collect_list(kll), 2, 1000000),"
+            " collect_list(kll)[0], (acc, s) -> kll_sketch_merge_double(acc, s))"
+        ).alias("kllm"),
+        F.hll_union_agg("hll").alias("hllm"),
+    )
+    est = lvl2.select(
+        "r_name",
+        F.expr("kll_sketch_get_quantile_double(kllm, 0.5D)").alias("__kmed"),
+        F.hll_sketch_estimate("hllm").alias("__hest"),
+    )
+    exact = base.groupBy("r_name").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 6).alias("exact_median"),
+        F.countDistinct("c_custkey").alias("exact_customers"),
+        F.count("*").alias("n_rows"),
+        F.expr("percentile(c_acctbal, 0.4)").alias("__p40"),
+        F.expr("percentile(c_acctbal, 0.6)").alias("__p60"),
+    )
+    return exact.join(est, "r_name").select(
+        "r_name",
+        "exact_median",
+        "exact_customers",
+        "n_rows",
+        (
+            (F.col("__kmed") >= F.col("__p40")) & (F.col("__kmed") <= F.col("__p60"))
+        ).alias("kll_median_in_band"),
+        (
+            F.abs(F.col("__hest") - F.col("exact_customers"))
+            <= 0.05 * F.col("exact_customers")
+        ).alias("hll_within_5pct"),
+    )
