@@ -108,3 +108,14 @@ def test_temperature_sample_single_stratum_hits_target(spark):
     out = sampling.temperature_sample(df, "doc_id", "source").collect()
     # md5-threshold acceptance at floor(0.5*4096)='800' keeps ~half
     assert 0.4 < len(out) / 1024 < 0.6
+
+
+def test_epoch_shuffle_is_balanced_permutation(spark):
+    # positions must be exactly 1..N (bijection) and shards evenly filled
+    df = spark.createDataFrame([(i,) for i in range(257)], "doc_id long")
+    out = sampling.epoch_shuffle_shards(df, "doc_id", seed=3, shard_size=64).collect()
+    assert sorted(r.shuffle_pos for r in out) == list(range(1, 258))
+    sizes = {}
+    for r in out:
+        sizes[r.shard] = sizes.get(r.shard, 0) + 1
+    assert sizes == {0: 64, 1: 64, 2: 64, 3: 64, 4: 1}
