@@ -10,7 +10,14 @@ queries plus the round's changed ones — so a 50-query cap still yields a
 driver CORRECTNESS row per family. Rows-only queries (no oracle) sit
 outside the prefix on purpose: inside it they burn a checked slot on a
 ``no_oracle`` row. Queries not listed keep their registration order after
-the prefix (they were all driver-green in r1)."""
+the prefix (they were all driver-green in r1 or r2).
+
+r3 rotation: the 9 oracle-backed queries that had never appeared in any
+CORRECTNESS file (corpus_curation_e2e, sketch_rollup_mergeable, the
+funnel/cohort/transition analytics trio, sample_stratified_events,
+doc_fingerprint, text_term_frequency, text_tokens_bpeish) replace nine
+r2-driver-green singletons whose families remain represented — after r3
+every oracle-backed query has had a green driver row in some round."""
 
 from census_data_pipeline_spark.plans import (  # noqa: F401
     queries_analytics,
@@ -36,31 +43,36 @@ _CHECKED_PREFIX = [
     "embedding_centroid_by_label",
     # §2.11 text analysis / quality / decontamination
     "text_token_stats",
-    "text_lang_id",
     "text_repetition_stats",
     "decontam_ngram_overlap",
-    "text_tfidf_top_terms",
     "text_chunking",
-    "text_pii_scrub",
     "text_pack_bins",
     "corpus_clean_pipeline",
+    # r3 rotation: never-driver-checked text queries (VERDICT r2 ask #1)
+    "doc_fingerprint",
+    "text_term_frequency",
+    "text_tokens_bpeish",
     # §2.11 linkage / sampling / multimodal
     "linkage_edit1_names",
-    "sample_hash_docs",
     "sample_temperature",
     "sample_cap_per_source",
+    "sample_stratified_events",
     "shuffle_shard_assign",
     "multimodal_payload",
     "multimodal_frame_sample",
+    # r3 rotation: end-to-end curation composite + mergeable sketch rollup
+    "corpus_curation_e2e",
+    "sketch_rollup_mergeable",
     # §2.9 event-time & streaming-parity
     "events_tumbling_1h",
-    "events_sliding_1h_30m",
     "events_hypertable_rollup",
     "events_session_5m",
     "streaming_tumbling_1h",
-    "streaming_enriched_rollup",
-    "events_json_extract",
     "events_interpolate_1h",
+    # r3 rotation: events analytics tier (funnel / cohort / transitions)
+    "events_funnel_3step",
+    "cohort_retention_weekly",
+    "events_top_transitions",
     # unchecked-in-r1 core operators
     "boundaries_right_join",
     "dim_lookup_customer",
@@ -69,13 +81,11 @@ _CHECKED_PREFIX = [
     "numeric_coerce",
     "skew_salted_agg",
     "skew_salted_join",
-    # changed or new this round
+    # sketches / geo / policy (r2-green family anchors kept in the prefix)
     "approx_sketches",
-    "geo_bbox_contains",
     "geo_point_in_polygon",
     "geo_polygon_stats",
     "geo_radius_join",
-    "geo_haversine_pairs",
     "zorder_locality",
     "rates_zero_policy",
 ]

@@ -22,7 +22,7 @@ FAMILY_REPRESENTATIVES = [
     "sample_temperature",     # temperature source rebalancing (new r2)
     "shuffle_shard_assign",   # epoch shuffle / shard assignment (new r2)
     "linkage_edit1_names",    # fuzzy record linkage
-    "sample_hash_docs",       # deterministic sampling
+    "sample_stratified_events",  # deterministic stratified sampling (rotated in r3)
     "multimodal_payload",     # multimodal plumbing
     "events_tumbling_1h",     # event-time windows
     "events_session_5m",      # sessionization
@@ -32,10 +32,18 @@ FAMILY_REPRESENTATIVES = [
     "union_batch_states",     # U1
     "numeric_coerce",         # P3
     "approx_sketches",        # sketch accuracy contract (oracle added r2)
-    "geo_bbox_contains",      # spatial predicate (new r2)
     "geo_point_in_polygon",   # ray-cast containment (new r2)
     "geo_polygon_stats",      # shoelace area/centroid (new r2)
     "rates_zero_policy",      # zero-policy parity (changed r2)
+    # r3 rotation: the 9 oracle-backed queries that had never seen a driver row
+    "corpus_curation_e2e",    # end-to-end curation composite
+    "sketch_rollup_mergeable",  # mergeable KLL/HLL rollup
+    "events_funnel_3step",    # funnel analytics
+    "cohort_retention_weekly",  # cohort analytics
+    "events_top_transitions",   # markov transition analytics
+    "doc_fingerprint",        # rolling-hash fingerprinting
+    "text_term_frequency",    # term frequency
+    "text_tokens_bpeish",     # BPE-ish tokenization
 ]
 
 
