@@ -1018,7 +1018,7 @@ def geo_polygon_stats(spark, sf_dir):
            round(CASE WHEN v IS NOT NULL THEN v
                       WHEN pv IS NULL THEN NULL
                       WHEN nv IS NULL THEN pv
-                      ELSE pv + (nv - pv) * (hour_us - po) / (no - po)
+                      ELSE pv + (nv - pv) * ((hour_us - po) / (no - po))
                  END, 6) AS value_interp
     FROM w
     """,
