@@ -66,23 +66,185 @@ def attach_binary_payload(
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
 def decode_image(payload: bytes) -> object:
-    """STUB: real image decode requires PIL/opencv (not in this image).
-    The engine's contract is: bytes in, HWC uint8 array out."""
+    """Decode an image payload to an HWC uint8 numpy array.
+
+    Stdlib-only decoders (no PIL/opencv in this container) for the two
+    formats whose specs are fully expressible with ``struct`` + ``zlib``:
+
+    - **BMP**: uncompressed BI_RGB, 24/32-bit, top-down or bottom-up.
+    - **PNG**: 8-bit gray/RGB/RGBA, non-interlaced, all five scanline
+      filters (None/Sub/Up/Average/Paeth per the PNG spec §9).
+
+    Anything else (JPEG, palette PNG, interlaced PNG, ...) still raises
+    NotImplementedError — that gate is the documented container limit,
+    and callers (resize_images) fall back to the deterministic fake so
+    row counts never depend on payload decodability."""
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
     raise NotImplementedError(
-        "image decode requires an imaging library (PIL/opencv); "
-        "not available in this container — plumbing is exercised via "
-        "extract_fake_features"
+        "only BMP (24/32-bit BI_RGB) and PNG (8-bit gray/RGB/RGBA, "
+        "non-interlaced) have stdlib decoders; other formats need an "
+        "imaging library (PIL/opencv) not available in this container"
     )
+
+
+def _decode_bmp(payload: bytes) -> object:
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size, width, height) = struct.unpack_from("<Iii", payload, 14)
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    nch = bpp // 8
+    row_bytes = (bpp * width + 31) // 32 * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * height, offset=data_off
+    ).reshape(height, row_bytes)[:, : width * nch]
+    px = rows.reshape(height, width, nch)
+    if bottom_up:
+        px = px[::-1]
+    # BGR(A) storage order -> RGB(A)
+    out = px[..., [2, 1, 0] + ([3] if nch == 4 else [])]
+    return np.ascontiguousarray(out)
+
+
+def _decode_png(payload: bytes) -> object:
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, [], None
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, ctype_id, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 6: 4}.get(ctype_id)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            "only 8-bit gray/RGB/RGBA non-interlaced PNG supported "
+            f"(depth={depth}, color_type={ctype_id}, interlace={interlace})"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG decompressed size mismatch")
+    out = bytearray(height * stride)
+    prev = bytearray(stride)
+    for y in range(height):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        cur = bytearray(raw[row_start + 1 : row_start + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                cur[i] = (cur[i] + cur[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                cur[i] = (cur[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = cur[i - channels] if i >= channels else 0
+                cur[i] = (cur[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = cur[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = cur
+        prev = cur
+    return (
+        np.frombuffer(bytes(out), dtype=np.uint8)
+        .reshape(height, width, channels)
+        .copy()
+    )
+
+
+def encode_bmp(pixels: object) -> bytes:
+    """Encode an HWC uint8 array (1/3/4 channels) as an uncompressed
+    24-bit bottom-up BMP — the deterministic stdlib re-encode target for
+    resize_images (alpha is dropped, gray is replicated to RGB)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[..., None]
+    h, w, nch = px.shape
+    if nch == 1:
+        px = np.repeat(px, 3, axis=2)
+    rgb = px[..., :3]
+    bgr = rgb[..., ::-1]
+    row_bytes = (w * 3 + 3) // 4 * 4
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, : w * 3] = bgr.reshape(h, w * 3)
+    body = body[::-1].tobytes()  # bottom-up row order
+    data_off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", data_off + len(body), 0, 0, data_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + dib + body
+
+
+def resize_nearest(pixels: object, width: int, height: int) -> object:
+    """Nearest-neighbor resample to (height, width) — integer index math
+    (floor of the pixel-center-free mapping), deterministic across
+    platforms, pure numpy indexing."""
+    import numpy as np
+
+    px = np.asarray(pixels)
+    h_in, w_in = px.shape[0], px.shape[1]
+    ys = (np.arange(height) * h_in) // height
+    xs = (np.arange(width) * w_in) // width
+    return px[ys][:, xs]
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     """mapInPandas resize: decode -> resample to (width, height) -> re-encode.
-    The decode/resample core is the stubbed step (needs PIL/opencv — see
-    decode_image); the deterministic fake keeps the first width*height
-    payload bytes (zero-padded), so schema, metadata recompute (byte_len,
-    checksum) and Arrow round-trip are exercised for real. 1 row in ->
-    1 row out; no shuffle; partition-parallel."""
+
+    Payloads that the stdlib decoder understands (BMP, 8-bit PNG — see
+    decode_image) get REAL pixel math: decode, nearest-neighbor resample,
+    re-encode as 24-bit BMP with media_type 'image/bmp'. Undecodable
+    payloads (text bytes, JPEG, ...) keep the deterministic fake — first
+    width*height payload bytes zero-padded — so the operator is total and
+    row counts never depend on payload content. Either way the metadata
+    recompute (byte_len, checksum) and Arrow round-trip are real.
+    1 row in -> 1 row out; no shuffle; partition-parallel."""
     out_schema = (
         "doc_id long, payload binary, media_type string, byte_len long, "
         "checksum string, width int, height int"
@@ -94,17 +256,35 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
 
         import pandas as _pd
 
+        from census_data_pipeline_spark.functions.multimodal import (
+            decode_image,
+            encode_bmp,
+            resize_nearest,
+        )
+
         def fake_resize(b: bytes) -> bytes:
             body = bytes(b[:target])
             return body + b"\x00" * (target - len(body))
 
+        def resize_one(b: bytes) -> tuple[bytes, str]:
+            try:
+                px = decode_image(bytes(b))
+            except (NotImplementedError, ValueError, IndexError):
+                return fake_resize(b), None
+            return encode_bmp(resize_nearest(px, width, height)), "image/bmp"
+
         for batch in batches:
-            resized = batch["payload"].map(fake_resize)
+            pairs = batch["payload"].map(resize_one)
+            resized = pairs.map(lambda t: t[0])
+            mtype = [
+                t[1] if t[1] is not None else orig
+                for t, orig in zip(pairs, batch["media_type"])
+            ]
             yield _pd.DataFrame(
                 {
                     "doc_id": batch["doc_id"],
                     "payload": resized,
-                    "media_type": batch["media_type"],
+                    "media_type": mtype,
                     "byte_len": resized.map(len),
                     "checksum": resized.map(
                         lambda b: _hashlib.sha256(b).hexdigest()

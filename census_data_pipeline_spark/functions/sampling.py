@@ -112,6 +112,7 @@ def epoch_shuffle_shards(
     seed: int,
     shard_size: int,
     n_buckets: int = 32,
+    key_bits: int = 24,
 ) -> DataFrame:
     """Deterministic epoch shuffle + training-shard assignment: order rows
     by ``md5(seed:key)`` (a different permutation per epoch seed, identical
@@ -121,18 +122,40 @@ def epoch_shuffle_shards(
     single-partition ``row_number`` window, so the sort scales with the
     widest range bucket rather than serializing 100 TB through one task.
 
-    Order key: 36-bit hash prefix (9 hex chars, parsed JVM-side with
-    ``conv``) in the high bits, ``key % 2^24`` as the tiebreak in the low
-    bits — total 60 bits, fits int64. Prefix collisions are therefore
-    resolved by key order; exact oracle equivalence assumes integer keys
-    < 2^24 (true for the test lakes; widen the split at larger key spaces).
+    Order key: a hash prefix in the high bits (``60 - key_bits`` bits,
+    parsed JVM-side with ``conv``), the key itself in the low ``key_bits``
+    bits as the tiebreak — total 60 bits, fits int64. Because the tiebreak
+    carries the FULL key, the packed order key is unique whenever keys are
+    unique and in ``[0, 2^key_bits)``; hash-prefix collisions resolve by
+    key order. Keys outside that range would silently collide on the
+    packed key and break the permutation/shard contract, so the expression
+    raises at execution time instead (codegen-fused per-row check, no
+    extra pass over the data). Widen ``key_bits`` (up to 52) for larger
+    key spaces — the hash prefix shrinks correspondingly, which only
+    coarsens shuffle uniformity, never correctness.
     Returns the input columns plus ``shuffle_pos`` (1-based) and ``shard``."""
     from census_data_pipeline_spark.operators.prefixsum import running_sum_scalable
 
+    if not 8 <= key_bits <= 52:
+        raise ValueError("key_bits must be in [8, 52] (hash prefix needs >= 8 bits)")
+    hash_chars = (60 - key_bits) // 4  # hex chars of md5 prefix in the high bits
+    key = F.col(key_col).cast("long")
     h = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string")))
-    ord_key = (
-        F.conv(F.substring(h, 1, 9), 16, 10).cast("long") * F.lit(1 << 24)
-        + F.pmod(F.col(key_col).cast("long"), F.lit(1 << 24))
+    packed = (
+        F.conv(F.substring(h, 1, hash_chars), 16, 10).cast("long")
+        * F.lit(1 << key_bits)
+        + key
+    )
+    ord_key = F.when((key >= 0) & (key < F.lit(1 << key_bits)), packed).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"epoch_shuffle_shards: key out of [0, 2^{key_bits}) — "
+                    "raise key_bits to keep the packed order key unique: "
+                ),
+                key.cast("string"),
+            )
+        )
     )
     ranked = running_sum_scalable(
         df.withColumn("__ord", ord_key).withColumn("__one", F.lit(1)),

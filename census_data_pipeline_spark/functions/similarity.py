@@ -225,9 +225,19 @@ def _bucket_frame(
 def _make_bucket_fn(nbits: int, n_tables: int, dim: int | None, seed: int):
     """Bucket-column factory shared by knn_lsh and embedding_dup_pairs:
     seeded random projections when ``dim`` is known, legacy axis-aligned
-    signs (single table) otherwise. Takes the vector COLUMN NAME (the
-    projection path builds a SQL expression string)."""
+    signs (single table, explicit opt-in) otherwise. Takes the vector
+    COLUMN NAME (the projection path builds a SQL expression string)."""
     if dim is None:
+        if n_tables > 1:
+            # ADVICE r2: silently ignoring n_tables/seed here handed
+            # callers the weaker axis-aligned hash family (a documented
+            # recall cliff) while they thought they'd configured
+            # multi-table random projections. Fail loudly instead.
+            raise ValueError(
+                "n_tables > 1 requires dim (the random-projection family); "
+                "dim=None selects the legacy single-table axis-aligned "
+                "bucket, which ignores n_tables and seed"
+            )
         return lambda name: [sign_bucket(name, nbits)]
     projs = random_projections(dim, nbits, n_tables, seed)
     return lambda name: [random_projection_bucket(name, tbl) for tbl in projs]
@@ -275,8 +285,11 @@ def knn_lsh(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"),
         norm(F.col(vec_col)).alias("__qn"),
     )
+    # candidates scale with n_queries × bucket occupancy and can exceed
+    # broadcast limits when buckets are coarse — no hint; AQE broadcasts
+    # when the candidate set is actually small (ADVICE r2)
     scored = (
-        cvec.join(F.broadcast(candidates), "neighbor_id")
+        cvec.join(candidates, "neighbor_id")
         .join(F.broadcast(qvec), "query_id")
         .withColumn(
             "cosine_sim",

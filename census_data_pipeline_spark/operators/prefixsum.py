@@ -61,7 +61,12 @@ def running_sum_scalable(
     totals = bucketed.groupBy(*groups, "__bkt").agg(
         F.sum(value_col).alias("__tot")
     )
-    w_bkt = Window.partitionBy(*groups).orderBy("__bkt")
+    # The totals frame holds at most n_buckets rows per group, so a
+    # single-partition window over it is intentional and safe. Partition by
+    # a constant when there are no groups so Spark doesn't emit the
+    # "No Partition Defined" WindowExec warning — keeping logs clean means a
+    # REAL unpartitioned data-scale window can't hide in the noise.
+    w_bkt = Window.partitionBy(*(groups or [F.lit(0)])).orderBy("__bkt")
     offsets = totals.withColumn(
         "__off",
         F.coalesce(

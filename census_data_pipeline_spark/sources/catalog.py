@@ -38,16 +38,23 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy scan of one lake table.
 
-    ``events.ts`` is stored as parquet INT64(TIMESTAMP_NANOS), which Spark
-    does not map natively; with ``nanosAsLong`` it scans as LongType and we
-    convert to TimestampType at microsecond precision — the same truncation
-    DuckDB applies, so event-time results stay oracle-comparable.
+    ``events.ts`` has shipped in two physical forms across lake
+    generations: INT64(TIMESTAMP_NANOS) (scans as LongType under
+    ``nanosAsLong``) and TIMESTAMP_MICROS without UTC adjustment (scans as
+    TIMESTAMP_NTZ). Both are normalized to session-zone TimestampType at
+    microsecond precision — the session zone is pinned UTC, so the
+    wall-clock reinterpretation is the identity and results stay
+    comparable with the DuckDB oracle's naive-UTC timestamps.
     """
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer division — double division loses bits at 1e18 ns scale
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer division — double division loses bits at 1e18 ns scale
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -67,6 +74,13 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     files = df.inputFiles()
     if files and len(files) >= target:
         return df
+    if not files:
+        # Non-file-backed frame (in-memory, shuffled intermediate): fall
+        # back to the physical partition count before forcing a shuffle —
+        # a frame that already has enough partitions gains nothing from a
+        # round-robin repartition.
+        if df.rdd.getNumPartitions() >= target:
+            return df
     return df.repartition(target)
 
 

@@ -211,9 +211,128 @@ def test_binary_payload_and_fake_features(spark):
     assert feats[2].mean_byte == 0.0 and feats[2].n_zero == 0
 
 
-def test_decode_image_is_stubbed():
+def test_decode_image_gate_for_unknown_formats():
+    # JPEG/unknown magic stays behind the NotImplementedError gate
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+        multimodal.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")  # truncated signature
+
+
+def _golden_png(filters: list[int]) -> tuple[bytes, "object"]:
+    """Hand-build a 3x3 RGB PNG, one scanline per requested filter type,
+    independent of the decoder under test. Returns (png_bytes, expected
+    HWC uint8 array)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.arange(3 * 3 * 3, dtype=np.uint8).reshape(3, 3, 3) * 7 % 251
+    stride = 9
+    raw = bytearray()
+    prev = bytes(stride)
+    for y, ftype in enumerate(filters):
+        cur = px[y].reshape(-1)
+        enc = bytearray()
+        for i in range(stride):
+            a = int(cur[i - 3]) if i >= 3 else 0
+            b = int(prev[i])
+            c = 0
+            if ftype == 0:
+                enc.append(int(cur[i]))
+            elif ftype == 1:
+                enc.append((int(cur[i]) - a) & 0xFF)
+            elif ftype == 2:
+                enc.append((int(cur[i]) - b) & 0xFF)
+            elif ftype == 3:
+                enc.append((int(cur[i]) - (a + b) // 2) & 0xFF)
+            elif ftype == 4:
+                if y > 0 and i >= 3:
+                    c = int(prev[i - 3])
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc.append((int(cur[i]) - pred) & 0xFF)
+        raw.append(ftype)
+        raw.extend(enc)
+        prev = bytes(cur)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    return png, px
+
+
+def test_decode_png_golden_pixels_all_filters():
+    import numpy as np
+
+    for filters in ([0, 0, 0], [0, 1, 2], [1, 3, 4], [4, 4, 4]):
+        png, expected = _golden_png(filters)
+        got = multimodal.decode_image(png)
+        assert got.shape == (3, 3, 3)
+        assert np.array_equal(got, expected), f"filters={filters}"
+
+
+def test_decode_bmp_golden_pixels_and_roundtrip():
+    import numpy as np
+
+    px = (np.arange(2 * 5 * 3, dtype=np.uint8).reshape(2, 5, 3) * 13) % 256
+    bmp = multimodal.encode_bmp(px)
+    assert bmp[:2] == b"BM"
+    got = multimodal.decode_image(bmp)
+    assert np.array_equal(got, px)
+    # hand-check one golden byte: bottom-up + BGR means the FIRST stored
+    # pixel is row 1 (last row), col 0, blue channel = px[1,0,2]
+    data_off = int.from_bytes(bmp[10:14], "little")
+    assert bmp[data_off] == px[1, 0, 2]
+
+
+def test_resize_nearest_golden():
+    import numpy as np
+
+    px = np.array(
+        [[[0], [10], [20], [30]],
+         [[40], [50], [60], [70]],
+         [[80], [90], [100], [110]],
+         [[120], [130], [140], [150]]],
+        dtype=np.uint8,
+    )
+    out = multimodal.resize_nearest(px, 2, 2)
+    # index map: out[i] = in[(i*4)//2] = in[0], in[2]
+    assert np.array_equal(out.reshape(2, 2), np.array([[0, 20], [80, 100]]))
+
+
+def test_resize_images_real_decode_path(spark):
+    import hashlib
+
+    import numpy as np
+
+    px = (np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3) * 5) % 256
+    bmp = multimodal.encode_bmp(px)
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp), "image/bmp"), (2, bytearray(b"not an image"), "text/plain")],
+        "doc_id long, payload binary, media_type string",
+    )
+    out = {r.doc_id: r for r in multimodal.resize_images(df, 2, 2).collect()}
+    # real path: decoded, nearest-resampled, re-encoded BMP
+    expected = multimodal.encode_bmp(multimodal.resize_nearest(px, 2, 2))
+    assert bytes(out[1].payload) == expected
+    assert out[1].media_type == "image/bmp"
+    assert out[1].checksum == hashlib.sha256(expected).hexdigest()
+    # fake path: undecodable payload keeps the deterministic byte fake
+    # (first width*height = 4 payload bytes)
+    assert bytes(out[2].payload) == b"not "
+    assert out[2].media_type == "text/plain"
 
 
 def test_embedding_dup_pairs_blas(spark):
