@@ -60,7 +60,12 @@ def _cos_precomputed(a: Column, b: Column, na: Column, nb: Column) -> Column:
     path joins O(pairs) rows, so computing norms per pair triples the
     higher-order-function work — hoisting them to the per-vector frames
     keeps pair cost to a single dot. ``sqrt(dot)·sqrt(dot)`` then divide is
-    the exact expression ``cosine`` uses, so values stay bit-identical."""
+    the exact expression ``cosine`` uses, so values stay bit-identical.
+
+    Callers should ALSO pre-cast the vector columns to ``array<double>``
+    in the per-vector frames (``_as_double``): the cast inside ``dot`` is
+    then a no-op Catalyst removes, whereas a float-array column would be
+    re-cast per PAIR — measured 3.7× slower on an 808k-pair verify."""
     return F.round(dot(a, b) / (na * nb), 6)
 
 
@@ -91,7 +96,7 @@ def random_projections(
 
 
 def random_projection_bucket(
-    vec_name: str, projections: list[list[float]]
+    vec_name: str, projections: list[list[float]], cast: bool = True
 ) -> Column:
     """LSH bucket id: concatenated sign bits of seeded random projections
     (one hash table's ``nbits × dim`` coefficient matrix).
@@ -112,11 +117,12 @@ def random_projection_bucket(
     a ``0.0`` seed, bit-identical to the oracle's ``list_dot_product``.
     Coefficients print as fixed 6-decimal literals — the same decimal
     strings (hence the same doubles) the oracle embeds via ``repr``."""
+    vec = f"CAST({vec_name} AS ARRAY<DOUBLE>)" if cast else vec_name
     bits = []
     for row in projections:
         arr = ", ".join(f"{c:.6f}D" for c in row)
         d = (
-            f"aggregate(zip_with(CAST({vec_name} AS ARRAY<DOUBLE>), "
+            f"aggregate(zip_with({vec}, "
             f"array({arr}), (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
         )
         bits.append(f"(CASE WHEN {d} >= 0.0D THEN '1' ELSE '0' END)")
@@ -177,14 +183,15 @@ def knn_bruteforce(
     The query side is broadcast — the corpus is scanned once with no
     shuffle; only (n_queries × k) rows move afterwards."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"),
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("__qvec"),
         norm(F.col(vec_col)).alias("__qn"),
     )
     scored = (
         ensure_parallelism(
             corpus.select(
                 F.col(id_col).alias("neighbor_id"),
-                F.col(vec_col).alias("__cvec"),
+                _as_double(F.col(vec_col)).alias("__cvec"),
                 norm(F.col(vec_col)).alias("__cn"),
             )
         )
@@ -198,49 +205,88 @@ def knn_bruteforce(
     return _ranked_topk(scored, k)
 
 
-def _bucket_entries(bucket_cols: list[Column]) -> Column:
-    """(table_idx, bucket) struct array for explode — one row per hash
-    table after the explode."""
-    return F.array(
-        *[
-            F.struct(F.lit(t).alias("tbl"), bc.alias("bucket"))
-            for t, bc in enumerate(bucket_cols)
-        ]
-    )
+# The per-(tbl)-row bucket expression: nbits sign bits of seeded random
+# projections, coefficients read from the joined ``__coefs`` DATA column
+# (array<array<double>>, one row per hash table). Index-ordered fold with
+# a 0.0 seed — bit-identical to the oracle's list_dot_product, and to the
+# literal-embedding form (random_projection_bucket). Keeping coefficients
+# in data rather than in the expression tree matters enormously for the
+# driver: an 8-table × 4-bit × 64-dim literal tree is ~4k expression
+# nodes that the SQL parser AND every analyzer pass must walk — measured
+# >1 s of driver time per query; this expression is O(1) nodes.
+_BUCKET_EXPR = (
+    "array_join(transform(__coefs, c -> CASE WHEN "
+    "aggregate(zip_with(__v, c, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+    " >= 0.0D THEN '1' ELSE '0' END), '')"
+)
+
+
+_COEF_FRAME_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _coef_frame(spark, nbits: int, n_tables: int, dim: int, seed: int) -> DataFrame:
+    """(tbl, __coefs) — one row per hash table, coefficients as plain
+    column data (broadcast onto the vector frame; n_tables rows total).
+
+    Memoized per session: a knn call builds the bucket frame for BOTH the
+    corpus and query sides, and reusing one DataFrame lets Spark reuse a
+    single broadcast exchange instead of shipping (and createDataFrame-ing)
+    the coefficients twice."""
+    key = (spark.sparkContext.applicationId, nbits, n_tables, dim, seed)
+    if key not in _COEF_FRAME_CACHE:
+        if len(_COEF_FRAME_CACHE) > 32 or any(
+            k[0] != key[0] for k in _COEF_FRAME_CACHE
+        ):
+            _COEF_FRAME_CACHE.clear()  # stale sessions or unbounded growth
+        projs = random_projections(dim, nbits, n_tables, seed)
+        _COEF_FRAME_CACHE[key] = spark.createDataFrame(
+            [(t, projs[t]) for t in range(n_tables)],
+            "tbl int, __coefs array<array<double>>",
+        )
+    return _COEF_FRAME_CACHE[key]
 
 
 def _bucket_frame(
     df: DataFrame, id_col: str, vec_col: str, out_id: str,
-    bucket_cols_fn,
+    nbits: int, n_tables: int, dim: int | None, seed: int,
 ) -> DataFrame:
     """(out_id, tbl, bucket) rows — ids only, vectors are NOT carried
     through the candidate join (they are re-fetched once per verified
-    candidate, mirroring minhash_lsh_pairs' verify stage)."""
-    base = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("__v"))
-    return base.select(
-        out_id, F.explode(_bucket_entries(bucket_cols_fn("__v"))).alias("tb")
-    ).select(out_id, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    candidate, mirroring minhash_lsh_pairs' verify stage). The vector is
+    pre-cast to double ONCE; each row cross-joins the broadcast n_tables-row
+    coefficient frame (narrow, no shuffle) and computes its bucket string
+    from the coefficient DATA column.
 
-
-def _make_bucket_fn(nbits: int, n_tables: int, dim: int | None, seed: int):
-    """Bucket-column factory shared by knn_lsh and embedding_dup_pairs:
-    seeded random projections when ``dim`` is known, legacy axis-aligned
-    signs (single table, explicit opt-in) otherwise. Takes the vector
-    COLUMN NAME (the projection path builds a SQL expression string)."""
+    ``dim=None`` selects the legacy single-table axis-aligned sign bucket
+    (explicit opt-in; ADVICE r2: raise rather than silently ignoring
+    n_tables/seed, since the axis-aligned family has a documented recall
+    cliff)."""
+    base = df.select(
+        F.col(id_col).alias(out_id), _as_double(F.col(vec_col)).alias("__v")
+    )
     if dim is None:
         if n_tables > 1:
-            # ADVICE r2: silently ignoring n_tables/seed here handed
-            # callers the weaker axis-aligned hash family (a documented
-            # recall cliff) while they thought they'd configured
-            # multi-table random projections. Fail loudly instead.
             raise ValueError(
                 "n_tables > 1 requires dim (the random-projection family); "
                 "dim=None selects the legacy single-table axis-aligned "
                 "bucket, which ignores n_tables and seed"
             )
-        return lambda name: [sign_bucket(name, nbits)]
-    projs = random_projections(dim, nbits, n_tables, seed)
-    return lambda name: [random_projection_bucket(name, tbl) for tbl in projs]
+        return base.select(
+            out_id,
+            F.lit(0).alias("tbl"),
+            sign_bucket("__v", nbits).alias("bucket"),
+        )
+    coefs = _coef_frame(df.sparkSession, nbits, n_tables, dim, seed)
+    # coalesce makes the bucket expression provably non-nullable: the
+    # downstream equi-join on (tbl, bucket) infers an isnotnull(bucket)
+    # constraint, and on a nullable expression that check is pushed into
+    # this join's condition — evaluating the WHOLE nbits-dot fold a second
+    # time per row (verified in the physical plan; ~2× bucket CPU). With
+    # coalesce the inferred check folds to true and disappears.
+    return base.crossJoin(F.broadcast(coefs)).select(
+        out_id, "tbl",
+        F.coalesce(F.expr(_BUCKET_EXPR), F.lit("")).alias("bucket"),
+    )
 
 
 def knn_lsh(
@@ -268,9 +314,12 @@ def knn_lsh(
     bucketed-by bucket key); candidates come from an equi-join against the
     broadcast query buckets; vectors are fetched once per distinct
     candidate pair — no cross join, and the corpus never shuffles."""
-    bucket_fn = _make_bucket_fn(nbits, n_tables, dim, seed)
-    cb = _bucket_frame(ensure_parallelism(corpus), id_col, vec_col, "neighbor_id", bucket_fn)
-    qb = _bucket_frame(queries, id_col, vec_col, "query_id", bucket_fn)
+    cb = _bucket_frame(
+        ensure_parallelism(corpus), id_col, vec_col, "neighbor_id",
+        nbits, n_tables, dim, seed,
+    )
+    qb = _bucket_frame(queries, id_col, vec_col, "query_id",
+                       nbits, n_tables, dim, seed)
     candidates = (
         cb.join(F.broadcast(qb), on=["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -278,11 +327,13 @@ def knn_lsh(
         .distinct()
     )
     cvec = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"),
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__cvec"),
         norm(F.col(vec_col)).alias("__cn"),
     )
     qvec = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"),
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("__qvec"),
         norm(F.col(vec_col)).alias("__qn"),
     )
     # candidates scale with n_queries × bucket occupancy and can exceed
@@ -333,18 +384,26 @@ def embedding_dup_pairs(
     if method != "lsh":
         raise ValueError(f"method must be 'lsh' or 'exact', got {method!r}")
 
-    bucket_fn = _make_bucket_fn(nbits, n_tables, dim, seed)
     src = ensure_parallelism(df)
-    buckets = _bucket_frame(src, id_col, vec_col, "id", bucket_fn)
+    buckets = _bucket_frame(src, id_col, vec_col, "id", nbits, n_tables, dim, seed)
     x, y = buckets.alias("x"), buckets.alias("y")
     candidates = (
         x.join(y, on=["tbl", "bucket"])
         .filter(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
+        # candidate rows are BYTE-small but CPU-dense downstream (one
+        # 64-dim fold per row in the verify join); AQE's size-based
+        # coalesce would pack them into a handful of partitions and
+        # serialize the verify (measured 5 partitions / 4.3 s CPU at
+        # sf0.1). An explicit repartition pins verify parallelism.
+        .repartition(src.sparkSession.sparkContext.defaultParallelism)
     )
+    # pre-cast to double HERE: the verify join re-evaluates its columns
+    # per candidate PAIR, so a float vector would be re-cast O(pairs)
+    # times (measured 3.7× slower at 808k pairs); per-vector cast is free
     vecs = src.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"),
         norm(F.col(vec_col)).alias("n"),
     )
     a = vecs.withColumnsRenamed({"id": "id_a", "v": "__va", "n": "__na"})
@@ -470,14 +529,14 @@ def knn_ivf(
     model = KMeans(k=n_centroids, seed=42, featuresCol="features").fit(featurized)
     c = model.transform(featurized).select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
+        _as_double(F.col(vec_col)).alias("__cvec"),
         norm(F.col(vec_col)).alias("__cn"),
         F.col("prediction").alias("__cell"),
     )
     centers = [[float(x) for x in ctr] for ctr in model.clusterCenters()]
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qvec"),
+        _as_double(F.col(vec_col)).alias("__qvec"),
         norm(F.col(vec_col)).alias("__qn"),
         F.explode(
             probe_cells(vec_col, centers, n_probes)

@@ -47,6 +47,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     comparable with the DuckDB oracle's naive-UTC timestamps.
     """
     apply_runtime_confs(spark)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    if len(_TABLE_CACHE) > 256 or any(k[0] != key[0] for k in _TABLE_CACHE):
+        _TABLE_CACHE.clear()  # stale sessions or unbounded growth
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
@@ -55,7 +61,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _TABLE_CACHE[key] = df
     return df
+
+
+# DataFrames are immutable lazy plans, so handing every caller the same
+# object per (session, lake, table) is semantically identical to a fresh
+# spark.read — it just skips the per-call file listing + schema fetch
+# (~0.13 s of py4j round-trips per read, paid by every query otherwise).
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
