@@ -76,7 +76,10 @@ HEADLINE_R02 = [
 
 # Queries added after the r2 freeze: benched and counted in the grand
 # total, reported under their own subtotal.
-HEADLINE_NEW: list[str] = []
+HEADLINE_NEW: list[str] = [
+    "text_quality_scores",
+    "dedup_clusters_star",
+]
 
 HEADLINE = HEADLINE_R02 + HEADLINE_NEW
 

@@ -387,17 +387,22 @@ def embedding_dup_pairs(
     src = ensure_parallelism(df)
     buckets = _bucket_frame(src, id_col, vec_col, "id", nbits, n_tables, dim, seed)
     x, y = buckets.alias("x"), buckets.alias("y")
+    # Dedupe-across-tables and verify-parallelism in ONE shuffle: hash-
+    # partition by the pair key, then dropDuplicates reuses that
+    # partitioning (no second exchange), and the output keeps
+    # defaultParallelism partitions into the verify join. Candidate rows
+    # are BYTE-small but CPU-dense downstream (one 64-dim fold per row),
+    # so left to AQE's size-based coalesce they'd pack into a handful of
+    # partitions and serialize the verify (measured 5 partitions / 4.3 s
+    # CPU at sf0.1).
     candidates = (
         x.join(y, on=["tbl", "bucket"])
         .filter(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-        # candidate rows are BYTE-small but CPU-dense downstream (one
-        # 64-dim fold per row in the verify join); AQE's size-based
-        # coalesce would pack them into a handful of partitions and
-        # serialize the verify (measured 5 partitions / 4.3 s CPU at
-        # sf0.1). An explicit repartition pins verify parallelism.
-        .repartition(src.sparkSession.sparkContext.defaultParallelism)
+        .repartition(
+            src.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+        )
+        .dropDuplicates()
     )
     # pre-cast to double HERE: the verify join re-evaluates its columns
     # per candidate PAIR, so a float vector would be re-cast O(pairs)

@@ -17,7 +17,11 @@ CORRECTNESS file (corpus_curation_e2e, sketch_rollup_mergeable, the
 funnel/cohort/transition analytics trio, sample_stratified_events,
 doc_fingerprint, text_term_frequency, text_tokens_bpeish) replace nine
 r2-driver-green singletons whose families remain represented — after r3
-every oracle-backed query has had a green driver row in some round."""
+every oracle-backed query has had a green driver row in some round.
+The two queries ADDED in r3 (text_quality_scores, dedup_clusters_star)
+also sit in the prefix, displacing the r2-green geo_radius_join and
+zorder_locality (geo/locality families stay represented by
+geo_point_in_polygon + geo_polygon_stats)."""
 
 from census_data_pipeline_spark.plans import (  # noqa: F401
     queries_analytics,
@@ -48,6 +52,9 @@ _CHECKED_PREFIX = [
     "text_chunking",
     "text_pack_bins",
     "corpus_clean_pipeline",
+    # r3 additions: first-class quality surface + star-CC driver row
+    "text_quality_scores",
+    "dedup_clusters_star",
     # r3 rotation: never-driver-checked text queries (VERDICT r2 ask #1)
     "doc_fingerprint",
     "text_term_frequency",
@@ -85,8 +92,6 @@ _CHECKED_PREFIX = [
     "approx_sketches",
     "geo_point_in_polygon",
     "geo_polygon_stats",
-    "geo_radius_join",
-    "zorder_locality",
     "rates_zero_policy",
 ]
 

@@ -211,6 +211,44 @@ def corpus_clean_pipeline(spark, sf_dir):
 
 
 @query(
+    "text_quality_scores",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           CASE WHEN list_contains(toks, 'the') THEN 'en'
+                WHEN list_contains(toks, 'el') THEN 'es'
+                WHEN list_contains(toks, 'le') THEN 'fr'
+                WHEN list_contains(toks, 'der') THEN 'de'
+                ELSE 'und' END AS lang_pred,
+           round(len(list_filter(toks, x -> list_contains({_STOPLIST}, x)))
+                 / len(toks), 6) AS stopword_ratio,
+           round(0.6 * least(len(toks) / 100.0, 1.0)
+                 + 0.4 * greatest(0.0, 1.0 - abs(
+                     len(list_filter(toks, x -> list_contains({_STOPLIST}, x)))
+                     / len(toks) - 0.25) * 2.0), 6) AS quality
+    FROM t
+    """,
+)
+def text_quality_scores(spark, sf_dir):
+    """Per-document quality surface as a first-class query (the components
+    corpus_clean_pipeline composes): token count, marker-token language
+    id, stopword ratio, and the [0,1] quality heuristic
+    (functions/text.quality_score — pure arithmetic, engine-exact).
+    Narrow map-only plan, no shuffle; the filter thresholds live in the
+    caller, so this is the inspect-before-you-filter view a curation team
+    actually audits."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").cast("long").alias("n_tokens"),
+        text.lang_id("text").alias("lang_pred"),
+        F.round(text.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        text.quality_score("text").alias("quality"),
+    )
+
+
+@query(
     "text_chunking",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -658,9 +696,11 @@ def text_tfidf_top_terms(spark, sf_dir):
     )
 
 
-@query(
-    "dedup_clusters",
-    oracle=f"""
+# Shared by dedup_clusters (label propagation) and dedup_clusters_star
+# (large-star/small-star): both compute the same connected components over
+# the same minhash pair set, so one recursive-CTE transitive closure
+# checks either algorithm.
+_DUP_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE pairs AS ({_minhash_lsh_oracle()}),
     edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
               UNION SELECT id_b, id_a FROM pairs),
@@ -671,16 +711,31 @@ def text_tfidf_top_terms(spark, sf_dir):
         SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
     )
     SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
-    """,
-)
+    """
+
+
+def _minhash_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, num_hashes=8, band_size=2, n=4,
+                                   threshold=0.5)
+
+
+@query("dedup_clusters", oracle=_DUP_CLUSTERS_ORACLE)
 def dedup_clusters(spark, sf_dir):
     """Near-dup pairs -> duplicate clusters (connected components, iterative
     min-label propagation); oracle is the recursive-CTE transitive closure
     over the identical minhash pair set."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=8, band_size=2, n=4,
-                                    threshold=0.5)
-    return dedup.dup_clusters(pairs)
+    return dedup.dup_clusters(_minhash_pairs(spark, sf_dir))
+
+
+@query("dedup_clusters_star", oracle=_DUP_CLUSTERS_ORACLE)
+def dedup_clusters_star(spark, sf_dir):
+    """Same components via alternating large-star/small-star (Kiveris et
+    al. SoCC'14; functions/dedup._dup_clusters_star) — rounds bounded
+    O(log² n) instead of component diameter, the adversarial-long-chain
+    form. Identical output contract, so the same transitive-closure
+    oracle verifies it."""
+    return dedup.dup_clusters(_minhash_pairs(spark, sf_dir), algorithm="star")
 
 
 @query(
