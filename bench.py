@@ -79,6 +79,7 @@ HEADLINE_R02 = [
 HEADLINE_NEW: list[str] = [
     "text_quality_scores",
     "dedup_clusters_star",
+    "knn_ivf_seeded",
 ]
 
 HEADLINE = HEADLINE_R02 + HEADLINE_NEW

@@ -506,6 +506,94 @@ def probe_cells(vec_name: str, centers: list[list[float]], n_probes: int) -> Col
     return F.transform(probes, lambda p: p["cell"])
 
 
+def knn_ivf_seeded(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probes: int = 3,
+) -> DataFrame:
+    """IVF top-k with a DETERMINISTIC coarse quantizer: the centroids are
+    the corpus vectors with the ``n_centroids`` smallest ids (a fixed-seed
+    variant of IVF — no learned KMeans state), so the whole index is a
+    pure function of the data and an ANSI-SQL oracle can replicate cell
+    assignment, probing, and scoring exactly. This is the oracle-checkable
+    sibling of ``knn_ivf`` (KMeans quantizer, better-balanced cells, but
+    rows-only checkable because MLlib init isn't SQL-expressible).
+
+    Distances use the decomposition ``‖v‖² − 2·v·c + ‖c‖²`` with norms
+    hoisted per vector/centroid — one dot per (vector, cell) pair, and an
+    expression tree both engines evaluate identically (ties broken by
+    cell id). Plan shape: centroid frame broadcast-cross-joined for
+    assignment (n×n_centroids narrow rows), argmin per vector, probes per
+    query, then the same cell equi-join + exact-cosine scoring as every
+    knn variant. Corpus shuffles once (the id join after argmin)."""
+    spark = corpus.sparkSession
+    from pyspark.sql import Window
+
+    cent_w = Window.partitionBy(F.lit(0)).orderBy(id_col)  # n_centroids rows
+    cent = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col), _as_double(F.col(vec_col)).alias("__cv"))
+        .withColumn("__cell", F.row_number().over(cent_w) - 1)
+        .select(
+            "__cell", "__cv", dot(F.col("__cv"), F.col("__cv")).alias("__nc2")
+        )
+    )
+    vecs = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("__v"),
+    ).withColumn("__nv2", dot(F.col("__v"), F.col("__v")))
+    dist2 = F.col("__nv2") - F.lit(2.0) * dot(F.col("__v"), F.col("__cv")) + F.col("__nc2")
+    assigned = (
+        vecs.crossJoin(F.broadcast(cent))
+        .select("id", "__cell", dist2.alias("__d2"))
+        .groupBy("id")
+        .agg(F.min(F.struct("__d2", "__cell")).alias("__m"))
+        .select("id", F.col("__m.__cell").alias("__cell"))
+    )
+    c = (
+        vecs.join(assigned, "id")
+        .select(
+            F.col("id").alias("neighbor_id"),
+            F.col("__v").alias("__cvec"),
+            F.sqrt("__nv2").alias("__cn"),
+            "__cell",
+        )
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("__v"),
+    ).withColumn("__nv2", dot(F.col("__v"), F.col("__v")))
+    probe_w = Window.partitionBy("query_id").orderBy("__d2", "__cell")
+    q = (
+        qvecs.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            F.col("__v").alias("__qvec"),
+            F.sqrt("__nv2").alias("__qn"),
+            "__cell",
+            dist2.alias("__d2"),
+        )
+        .withColumn("__rn", F.row_number().over(probe_w))
+        .filter(F.col("__rn") <= n_probes)
+        .select("query_id", "__qvec", "__qn", "__cell")
+    )
+    scored = (
+        c.join(F.broadcast(q), on="__cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_sim",
+            _cos_precomputed(F.col("__qvec"), F.col("__cvec"),
+                             F.col("__qn"), F.col("__cn")),
+        )
+    )
+    return _ranked_topk(scored, k)
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,

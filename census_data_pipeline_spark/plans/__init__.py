@@ -18,10 +18,11 @@ funnel/cohort/transition analytics trio, sample_stratified_events,
 doc_fingerprint, text_term_frequency, text_tokens_bpeish) replace nine
 r2-driver-green singletons whose families remain represented — after r3
 every oracle-backed query has had a green driver row in some round.
-The two queries ADDED in r3 (text_quality_scores, dedup_clusters_star)
-also sit in the prefix, displacing the r2-green geo_radius_join and
-zorder_locality (geo/locality families stay represented by
-geo_point_in_polygon + geo_polygon_stats)."""
+The three queries ADDED in r3 (text_quality_scores, dedup_clusters_star,
+knn_ivf_seeded) also sit in the prefix, displacing the r2-green
+geo_radius_join, zorder_locality and events_hypertable_rollup (their
+families stay represented by geo_point_in_polygon + geo_polygon_stats
+and the tumbling/session/streaming event queries)."""
 
 from census_data_pipeline_spark.plans import (  # noqa: F401
     queries_analytics,
@@ -44,6 +45,7 @@ _CHECKED_PREFIX = [
     # §2.11 similarity search
     "knn_bruteforce",
     "knn_lsh",
+    "knn_ivf_seeded",
     "embedding_centroid_by_label",
     # §2.11 text analysis / quality / decontamination
     "text_token_stats",
@@ -72,7 +74,6 @@ _CHECKED_PREFIX = [
     "sketch_rollup_mergeable",
     # §2.9 event-time & streaming-parity
     "events_tumbling_1h",
-    "events_hypertable_rollup",
     "events_session_5m",
     "streaming_tumbling_1h",
     "events_interpolate_1h",

@@ -595,6 +595,64 @@ def knn_lsh(spark, sf_dir):
     )
 
 
+@query(
+    "knn_ivf_seeded",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+             FROM e ORDER BY vec_id LIMIT 16),
+    cn AS (SELECT cell, cv, list_dot_product(cv, cv) AS nc2 FROM cent),
+    en AS (SELECT vec_id, v, list_dot_product(v, v) AS nv2 FROM e),
+    ad AS (SELECT vec_id, cell,
+                  nv2 - 2.0 * list_dot_product(v, cv) + nc2 AS d2
+           FROM en CROSS JOIN cn),
+    assign AS (SELECT vec_id, cell FROM (
+                 SELECT vec_id, cell,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d2, cell) AS rn
+                 FROM ad) WHERE rn = 1),
+    qp AS (SELECT vec_id AS query_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cell) AS rn
+             FROM ad WHERE vec_id % 100 = 0) WHERE rn <= 3),
+    cand AS (SELECT query_id, a.vec_id AS neighbor_id
+             FROM qp JOIN assign a USING (cell)
+             WHERE a.vec_id <> query_id),
+    s AS (SELECT query_id, neighbor_id,
+                 round(list_dot_product(q.v, c.v)
+                       / (sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine_sim
+          FROM cand JOIN e q ON cand.query_id = q.vec_id
+                    JOIN e c ON cand.neighbor_id = c.vec_id),
+    r AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC, neighbor_id)
+                 AS "rank",
+                 cosine_sim
+          FROM s)
+    SELECT query_id, neighbor_id, "rank", cosine_sim FROM r WHERE "rank" <= 10
+    """,
+)
+def knn_ivf_seeded(spark, sf_dir):
+    """IVF approximate knn with a deterministic seeded quantizer — the
+    oracle-checkable IVF: centroids are the 16 smallest-id corpus vectors,
+    cells assigned by exact argmin distance, queries probe their 3 nearest
+    cells (functions/similarity.knn_ivf_seeded). The oracle replicates
+    quantization, probing and scoring bit-for-bit, so this closes the
+    IVF family's correctness gap (the KMeans variant stays rows-only —
+    MLlib init isn't SQL-expressible)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    out = similarity.knn_ivf_seeded(
+        emb, queries, k=10, n_centroids=16, n_probes=3
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
+        "cosine_sim",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

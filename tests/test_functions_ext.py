@@ -181,6 +181,19 @@ def test_knn_lsh_recall_floor(spark):
 
 
 @pytest.mark.slow
+def test_knn_ivf_seeded_recall_floor(spark):
+    """The deterministic-quantizer IVF (oracle-checkable variant) still
+    finds real neighbors: recall@10 vs brute force at 16 seed cells /
+    3 probes on the sf0.001 lake."""
+    emb = _sf0001_embeddings(spark)
+    queries = emb.filter("vec_id % 20 = 0")
+    bf = similarity.knn_bruteforce(emb, queries, k=10)
+    seeded = similarity.knn_ivf_seeded(emb, queries, k=10,
+                                       n_centroids=16, n_probes=3)
+    assert _recall_at_10(bf, seeded) >= 0.3
+
+
+@pytest.mark.slow
 def test_knn_ivf_recall_floor_and_multiprobe_lever(spark):
     """IVF recall@10 floors vs the exact baseline, and the multi-probe
     monotonicity claim (measured on the near-uniform lake: 16 cells go
@@ -310,6 +323,53 @@ def test_resize_nearest_golden():
     out = multimodal.resize_nearest(px, 2, 2)
     # index map: out[i] = in[(i*4)//2] = in[0], in[2]
     assert np.array_equal(out.reshape(2, 2), np.array([[0, 20], [80, 100]]))
+
+
+def test_bmp_roundtrip_property():
+    """encode_bmp -> decode_image is the identity for arbitrary RGB
+    arrays (row padding, bottom-up order, BGR swap all invert cleanly)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        arrays(
+            np.uint8,
+            st.tuples(
+                st.integers(1, 9), st.integers(1, 9), st.just(3)
+            ),
+        )
+    )
+    def check(px):
+        assert np.array_equal(multimodal.decode_image(multimodal.encode_bmp(px)), px)
+
+    check()
+
+
+def test_resize_nearest_properties():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        arrays(np.uint8, st.tuples(st.integers(1, 12), st.integers(1, 12), st.just(3))),
+        st.integers(1, 16),
+        st.integers(1, 16),
+    )
+    def check(px, w, h):
+        out = multimodal.resize_nearest(px, w, h)
+        assert out.shape == (h, w, 3)
+        # same-size resize is the identity
+        same = multimodal.resize_nearest(px, px.shape[1], px.shape[0])
+        assert np.array_equal(same, px)
+        # every output pixel exists in the input (nearest never invents values)
+        assert set(map(tuple, out.reshape(-1, 3))) <= set(map(tuple, px.reshape(-1, 3)))
+
+    check()
 
 
 def test_resize_images_real_decode_path(spark):
