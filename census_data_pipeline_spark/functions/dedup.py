@@ -354,11 +354,14 @@ def dup_clusters(pairs: DataFrame, algorithm: str = "label") -> DataFrame:
         neighbor_labels = edges.join(
             labels.withColumnRenamed("id", "dst"), on="dst"
         ).select(F.col("src").alias("id"), "label")
+        # lazy checkpoint: the `changed` count below is the round's only
+        # action and materializes the checkpoint as a side effect — eager
+        # would run a separate job per round just to checkpoint
         new_labels = (
             labels.unionByName(neighbor_labels)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -446,7 +449,9 @@ def _dup_clusters_star(pairs: DataFrame) -> tuple[DataFrame, int]:
     rounds = 0
     while True:
         rounds += 1
-        edges = small_star(large_star(edges)).localCheckpoint()
+        # lazy: signature() below is the round's only action and
+        # materializes the checkpoint as a side effect
+        edges = small_star(large_star(edges)).localCheckpoint(eager=False)
         new_sig = signature(edges)
         if new_sig == sig:
             break
