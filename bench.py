@@ -79,7 +79,10 @@ HEADLINE_R02 = [
 HEADLINE_NEW: list[str] = [
     "text_quality_scores",
     "dedup_clusters_star",
+    "dedup_keep_canonical",
     "knn_ivf_seeded",
+    "split_assign_docs",
+    "sample_upweight_rare",
 ]
 
 HEADLINE = HEADLINE_R02 + HEADLINE_NEW

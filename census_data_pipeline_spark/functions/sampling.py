@@ -171,6 +171,59 @@ def epoch_shuffle_shards(
     )
 
 
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: list[tuple[str, int]],
+    output_col: str = "split",
+) -> DataFrame:
+    """Deterministic exhaustive train/val/test assignment: every row gets
+    exactly one split label from ``splits`` — a list of (label, num)
+    where num/256 is the split's share and the nums sum to 256. Same
+    hash-byte mechanics as ``hash_sample``, so assignment is by KEY
+    (multi-row entities travel together), stable across engines/retries,
+    and a (label, 13/256) split is a strict subset of the same label at
+    26/256. Narrow map-only expression — no shuffle, no RNG."""
+    if sum(n for _, n in splits) != 256:
+        raise ValueError("split shares must sum to 256 (one md5 byte)")
+    byte = _hash_byte(F.col(key_col))
+    expr: Column | None = None
+    upper = 0
+    for label, num in splits:
+        upper += num
+        cond = byte < F.lit(_threshold_hex(upper))
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    return df.withColumn(output_col, expr)
+
+
+def upsample_by_weight(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, int],
+    default_weight: int = 1,
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Integer upsampling of rare classes: each row in stratum s is
+    replicated ``weights[s]`` times (``default_weight`` for unlisted
+    strata), with ``copy_col`` ∈ [0, w) distinguishing the copies — the
+    upweight-rare-classes complement of ``stratified_hash_sample`` /
+    ``cap_per_group``'s downsampling. RNG-free and engine-exact by
+    construction: the output is a deterministic function of the input,
+    so a SQL oracle reproduces it row-for-row. Map-only fan-out
+    (``explode(sequence(...))``), no shuffle; write the result with the
+    epoch shuffle if downstream needs copies dispersed."""
+    w: Column = F.lit(default_weight)
+    for value, n in sorted(weights.items()):
+        if n < 1:
+            raise ValueError(f"weights must be >= 1, got {n} for {value!r}")
+        w = F.when(F.col(strata_col) == value, F.lit(n)).otherwise(w)
+    # explode cannot nest inside another expression (e.g. a cast) —
+    # generate first, cast in a separate projection
+    return df.withColumn(copy_col, F.explode(F.sequence(F.lit(0), w - F.lit(1)))).withColumn(
+        copy_col, F.col(copy_col).cast("long")
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_cols: list[str],

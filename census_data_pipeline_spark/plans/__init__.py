@@ -18,11 +18,12 @@ funnel/cohort/transition analytics trio, sample_stratified_events,
 doc_fingerprint, text_term_frequency, text_tokens_bpeish) replace nine
 r2-driver-green singletons whose families remain represented — after r3
 every oracle-backed query has had a green driver row in some round.
-The three queries ADDED in r3 (text_quality_scores, dedup_clusters_star,
-knn_ivf_seeded) also sit in the prefix, displacing the r2-green
-geo_radius_join, zorder_locality and events_hypertable_rollup (their
-families stay represented by geo_point_in_polygon + geo_polygon_stats
-and the tumbling/session/streaming event queries)."""
+The six queries ADDED in r3 (text_quality_scores, dedup_clusters_star,
+dedup_keep_canonical, knn_ivf_seeded, split_assign_docs,
+sample_upweight_rare) also sit in the prefix, displacing six r2-green
+singletons (geo_radius_join, zorder_locality, events_hypertable_rollup,
+dedup_ngram_jaccard, dedup_simhash, embedding_centroid_by_label) whose
+families stay represented by the remaining geo/event/dedup anchors."""
 
 from census_data_pipeline_spark.plans import (  # noqa: F401
     queries_analytics,
@@ -37,16 +38,15 @@ _CHECKED_PREFIX = [
     # §2.11 dedup tier
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_keep_canonical",
     "dedup_embedding_cosine",
     # §2.11 similarity search
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivf_seeded",
-    "embedding_centroid_by_label",
     # §2.11 text analysis / quality / decontamination
     "text_token_stats",
     "text_repetition_stats",
@@ -54,9 +54,8 @@ _CHECKED_PREFIX = [
     "text_chunking",
     "text_pack_bins",
     "corpus_clean_pipeline",
-    # r3 additions: first-class quality surface + star-CC driver row
+    # r3 addition: first-class quality surface
     "text_quality_scores",
-    "dedup_clusters_star",
     # r3 rotation: never-driver-checked text queries (VERDICT r2 ask #1)
     "doc_fingerprint",
     "text_term_frequency",
@@ -66,6 +65,8 @@ _CHECKED_PREFIX = [
     "sample_temperature",
     "sample_cap_per_source",
     "sample_stratified_events",
+    "split_assign_docs",
+    "sample_upweight_rare",
     "shuffle_shard_assign",
     "multimodal_payload",
     "multimodal_frame_sample",

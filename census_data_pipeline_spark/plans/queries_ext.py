@@ -341,6 +341,52 @@ def sample_cap_per_source(spark, sf_dir):
 
 
 @query(
+    "split_assign_docs",
+    oracle="""
+    SELECT doc_id, source,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f5'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'fd'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def split_assign_docs(spark, sf_dir):
+    """Deterministic exhaustive train/val/test assignment
+    (functions/sampling.hash_split): 245/8/3 of 256 hash-byte shares by
+    doc_id — every row gets exactly one label, assignment is stable
+    across engines/retries and monotone under share growth. Narrow
+    map-only expression, no shuffle, no RNG."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.hash_split(
+        docs, "doc_id", [("train", 245), ("val", 8), ("test", 3)]
+    )
+    return out.select("doc_id", "source", "split")
+
+
+@query(
+    "sample_upweight_rare",
+    oracle="""
+    SELECT doc_id, lang, CAST(u.i AS BIGINT) AS copy_idx
+    FROM documents,
+         LATERAL (SELECT unnest(range(0, CASE WHEN lang = 'fr' THEN 3
+                                              WHEN lang = 'de' THEN 2
+                                              ELSE 1 END)) AS i) u
+    """,
+)
+def sample_upweight_rare(spark, sf_dir):
+    """Integer upsampling of rare classes
+    (functions/sampling.upsample_by_weight): French docs ×3, German ×2,
+    everything else ×1, with copy_idx distinguishing replicas — the
+    upweight complement of the stratified/cap downsampling primitives.
+    RNG-free map-only fan-out (explode over sequence), no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.upsample_by_weight(docs, "lang", {"fr": 3, "de": 2})
+    return out.select("doc_id", "lang", "copy_idx")
+
+
+@query(
     "sample_stratified_events",
     oracle="""
     SELECT event_type, count(*) AS n_kept FROM events
@@ -794,6 +840,30 @@ def dedup_clusters_star(spark, sf_dir):
     form. Identical output contract, so the same transitive-closure
     oracle verifies it."""
     return dedup.dup_clusters(_minhash_pairs(spark, sf_dir), algorithm="star")
+
+
+@query(
+    "dedup_keep_canonical",
+    oracle=f"""
+    WITH clusters AS ({_DUP_CLUSTERS_ORACLE})
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE d.doc_id NOT IN
+      (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+    """,
+)
+def dedup_keep_canonical(spark, sf_dir):
+    """The end-use of near-dup clustering: the corpus with every
+    non-canonical cluster member removed (the min-id doc survives per
+    component; docs in no pair pass through). Composes minhash LSH
+    pairs -> connected components -> broadcast-able anti-join — the
+    actual 'deduplicate my corpus' operation a training-data team runs,
+    as one lazy plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup.dup_clusters(_minhash_pairs(spark, sf_dir))
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(losers, on="doc_id", how="left_anti").select(
+        "doc_id", "source"
+    )
 
 
 @query(

@@ -119,3 +119,39 @@ def test_epoch_shuffle_is_balanced_permutation(spark):
     for r in out:
         sizes[r.shard] = sizes.get(r.shard, 0) + 1
     assert sizes == {0: 64, 1: 64, 2: 64, 3: 64, 4: 1}
+
+
+def test_hash_split_exhaustive_and_monotone(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    out = {r.doc_id: r.split for r in sampling.hash_split(
+        df, "doc_id", [("train", 245), ("val", 8), ("test", 3)]).collect()}
+    assert len(out) == 1000  # exhaustive: every row labeled, none duplicated
+    assert set(out.values()) == {"train", "val", "test"}
+    # shares roughly proportional (hash-uniform)
+    n_train = sum(1 for v in out.values() if v == "train")
+    assert 0.9 < n_train / (1000 * 245 / 256) < 1.1
+    # monotone: growing val's share only converts train rows, never test
+    wider = {r.doc_id: r.split for r in sampling.hash_split(
+        df, "doc_id", [("train", 220), ("val", 33), ("test", 3)]).collect()}
+    for k, v in out.items():
+        if v == "val":
+            assert wider[k] == "val"
+        if v == "test":
+            assert wider[k] == "test"
+    with pytest.raises(ValueError):
+        sampling.hash_split(df, "doc_id", [("a", 100), ("b", 100)])
+
+
+def test_upsample_by_weight_replicates_exactly(spark):
+    df = spark.createDataFrame(
+        [(1, "rare"), (2, "hot"), (3, "rare")], "doc_id long, lang string"
+    )
+    out = sampling.upsample_by_weight(df, "lang", {"rare": 3}).collect()
+    counts = {}
+    for r in out:
+        counts.setdefault(r.doc_id, []).append(r.copy_idx)
+    assert sorted(counts[1]) == [0, 1, 2]
+    assert sorted(counts[3]) == [0, 1, 2]
+    assert counts[2] == [0]
+    with pytest.raises(ValueError):
+        sampling.upsample_by_weight(df, "lang", {"rare": 0})
