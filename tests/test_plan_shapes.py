@@ -116,3 +116,30 @@ def test_epoch_shuffle_has_no_global_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "shuffle_shard_assign")
     windows = [ln for ln in plan.splitlines() if "Window " in ln or "Window(" in ln]
     assert any("__bkt" in ln for ln in windows), windows
+
+
+def test_split_and_upsample_are_map_only(spark, sf_dir):
+    # hash_split / upsample_by_weight are narrow expressions: a shuffle
+    # in either plan means the primitive stopped being free at scale
+    for name in ("split_assign_docs", "sample_upweight_rare"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_knn_ivf_seeded_no_cartesian_and_broadcast_centroids(spark, sf_dir):
+    # the only nested-loop joins are the n_centroids-row broadcast cross
+    # joins (assignment + probing); candidate scoring stays equi-join
+    plan = _plan(spark, sf_dir, "knn_ivf_seeded")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # cell equi-join for scoring
+
+
+def test_lsh_bucket_expr_not_duplicated_into_join(spark, sf_dir):
+    # r3 regression guard: the inferred isnotnull(bucket) constraint must
+    # constant-fold away (coalesce wrapper), not re-evaluate the bucket
+    # fold inside the coefficient cross join's condition
+    plan = _plan(spark, sf_dir, "knn_lsh")
+    for line in plan.splitlines():
+        if "Join condition" in line:
+            assert "array_join" not in line, line
