@@ -530,15 +530,24 @@ def knn_ivf_seeded(
     assignment (n×n_centroids narrow rows), argmin per vector, probes per
     query, then the same cell equi-join + exact-cosine scoring as every
     knn variant. Corpus shuffles once (the id join after argmin)."""
-    spark = corpus.sparkSession
     from pyspark.sql import Window
 
-    cent_w = Window.partitionBy(F.lit(0)).orderBy(id_col)  # n_centroids rows
-    cent = (
+    seeds = (
         corpus.orderBy(id_col)
         .limit(n_centroids)
-        .select(F.col(id_col), _as_double(F.col(vec_col)).alias("__cv"))
-        .withColumn("__cell", F.row_number().over(cent_w) - 1)
+        .select(F.col(id_col).alias("__sid"), _as_double(F.col(vec_col)).alias("__cv"))
+    )
+    # cell id = rank of the seed's id among the seeds, via a triangular
+    # count join over the n_centroids-row frame — an unpartitioned
+    # row_number window here would log Spark's "No Partition Defined"
+    # warning on every run (constant partition keys get folded away by
+    # EliminateWindowPartitions), and keeping logs warning-free is what
+    # lets a real data-scale unpartitioned window stand out.
+    s1, s2 = seeds.alias("s1"), seeds.alias("s2")
+    cent = (
+        s1.join(s2, F.col("s2.__sid") < F.col("s1.__sid"), "left")
+        .groupBy(F.col("s1.__sid"), F.col("s1.__cv").alias("__cv"))
+        .agg(F.count(F.col("s2.__sid")).cast("int").alias("__cell"))
         .select(
             "__cell", "__cv", dot(F.col("__cv"), F.col("__cv")).alias("__nc2")
         )

@@ -61,19 +61,34 @@ def running_sum_scalable(
     totals = bucketed.groupBy(*groups, "__bkt").agg(
         F.sum(value_col).alias("__tot")
     )
-    # The totals frame holds at most n_buckets rows per group, so a
-    # single-partition window over it is intentional and safe. Partition by
-    # a constant when there are no groups so Spark doesn't emit the
-    # "No Partition Defined" WindowExec warning — keeping logs clean means a
-    # REAL unpartitioned data-scale window can't hide in the noise.
-    w_bkt = Window.partitionBy(*(groups or [F.lit(0)])).orderBy("__bkt")
-    offsets = totals.withColumn(
-        "__off",
-        F.coalesce(
-            F.sum("__tot").over(w_bkt.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        ),
-    ).select(*groups, "__bkt", "__off")
+    # The totals frame holds at most n_buckets rows per group. With groups
+    # the exclusive prefix is a partitioned (warning-free) window; without
+    # groups an unpartitioned window would log Spark's "No Partition
+    # Defined" warning on every run (a constant partition key doesn't
+    # help — Spark 4's EliminateWindowPartitions folds it away), and a
+    # noisy benign warning would let a REAL data-scale unpartitioned
+    # window hide in the logs. So the ungrouped case uses a triangular
+    # self-join instead: O(n_buckets²) ≤ 64² rows, no window at all.
+    # Join+sum reorders the additions, which is exact for the integer
+    # sums this operator contracts for (see module docstring).
+    if groups:
+        w_bkt = Window.partitionBy(*groups).orderBy("__bkt")
+        offsets = totals.withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__tot").over(
+                    w_bkt.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        ).select(*groups, "__bkt", "__off")
+    else:
+        t1, t2 = totals.alias("t1"), totals.alias("t2")
+        offsets = (
+            t1.join(t2, F.col("t2.__bkt") < F.col("t1.__bkt"), "left")
+            .groupBy(F.col("t1.__bkt").alias("__bkt"))
+            .agg(F.coalesce(F.sum("t2.__tot"), F.lit(0)).alias("__off"))
+        )
 
     joined = local.join(F.broadcast(offsets), on=[*groups, "__bkt"])
     return (

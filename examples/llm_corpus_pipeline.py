@@ -102,7 +102,18 @@ def main(sf_dir: str = SF_DIR) -> int:
     print(f"training chunks       : {chunks.count()}")
     print(f"packed training bins  : {n_bins}")
 
-    # 5b. deterministic epoch shuffle: global order + shard assignment
+    # 5b. rare-language upweighting (integer replication, RNG-free) and
+    #     deterministic train/val/test split — both by-key and exhaustive
+    upsampled = sampling.upsample_by_weight(balanced, "lang", {"fr": 3, "de": 2})
+    split = sampling.hash_split(
+        balanced, "doc_id", [("train", 245), ("val", 8), ("test", 3)]
+    )
+    split_counts = {r.split: r.n for r in split.groupBy("split").agg(
+        F.count("*").alias("n")).collect()}
+    print(f"after rare upweight   : {upsampled.count()}")
+    print(f"split assignment      : {split_counts}")
+
+    # 5c. deterministic epoch shuffle: global order + shard assignment
     #     via the two-phase prefix-sum rank (no single-partition window)
     shards = sampling.epoch_shuffle_shards(balanced, "doc_id", seed=0, shard_size=32)
     n_shards = shards.select("shard").distinct().count()
