@@ -23,7 +23,11 @@ dedup_keep_canonical, knn_ivf_seeded, split_assign_docs,
 sample_upweight_rare) also sit in the prefix, displacing six r2-green
 singletons (geo_radius_join, zorder_locality, events_hypertable_rollup,
 dedup_ngram_jaccard, dedup_simhash, embedding_centroid_by_label) whose
-families stay represented by the remaining geo/event/dedup anchors."""
+families stay represented by the remaining geo/event/dedup anchors; and
+multimodal_features — upgraded in r3 from rows-only to a full value
+oracle over the Arrow mapInPandas path — displaces the r2-green
+dim_lookup_customer (broadcast dim joins remain exercised by the
+flagship and boundaries_right_join)."""
 
 from census_data_pipeline_spark.plans import (  # noqa: F401
     queries_analytics,
@@ -70,6 +74,7 @@ _CHECKED_PREFIX = [
     "shuffle_shard_assign",
     "multimodal_payload",
     "multimodal_frame_sample",
+    "multimodal_features",
     # r3 rotation: end-to-end curation composite + mergeable sketch rollup
     "corpus_curation_e2e",
     "sketch_rollup_mergeable",
@@ -84,7 +89,6 @@ _CHECKED_PREFIX = [
     "events_top_transitions",
     # unchecked-in-r1 core operators
     "boundaries_right_join",
-    "dim_lookup_customer",
     "topk_per_nation",
     "union_batch_states",
     "numeric_coerce",

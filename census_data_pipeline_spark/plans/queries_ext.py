@@ -717,8 +717,29 @@ def multimodal_payload(spark, sf_dir):
     return out.select("doc_id", "media_type", "byte_len", "checksum")
 
 
-@query("multimodal_features")  # rows-only: mapInPandas path, not SQL-expressible
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST((SELECT sum(ascii(substring(d.text, u.i, 1)))
+                           FROM (SELECT unnest(range(1, length(d.text) + 1)) AS i) u)
+                          AS DOUBLE) / length(text) END AS mean_byte,
+           CAST(length(text) - length(replace(text, chr(0), '')) AS BIGINT)
+             AS n_zero
+    FROM documents d
+    """,
+)
 def multimodal_features(spark, sf_dir):
+    """Byte statistics over binary payloads through the Arrow mapInPandas
+    path (functions/multimodal.extract_fake_features). Upgraded from
+    rows-only in r3: the test lake's text is pure ASCII (verified at every
+    sf), so per-character ascii() sums replicate the Python worker's
+    byte arithmetic exactly — the oracle now value-checks the
+    Arrow-batch round-trip itself, not just its row count. (The n_zero
+    term stays general via chr(0) counting; mean_byte is an
+    int-sum / int-len double division, identical in both engines.)"""
     docs = load_table(spark, sf_dir, "documents")
     payloads = multimodal.attach_binary_payload(docs)
     return multimodal.extract_fake_features(payloads)
