@@ -325,6 +325,38 @@ def test_resize_nearest_golden():
     assert np.array_equal(out.reshape(2, 2), np.array([[0, 20], [80, 100]]))
 
 
+def test_decode_image_malformed_inputs():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+    # bad filter byte (9) on the first scanline
+    raw = bytes([9, 0, 0, 0, 0, 0, 0]) + bytes([0] * 7)
+    with pytest.raises(ValueError, match="filter"):
+        multimodal.decode_image(sig + ihdr + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    # truncated pixel data -> size mismatch
+    with pytest.raises(ValueError, match="size"):
+        multimodal.decode_image(sig + ihdr + chunk(b"IDAT", zlib.compress(b"\x00\x01")) + chunk(b"IEND", b""))
+    # interlaced PNG stays gated, not mis-decoded
+    ihdr_i = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(sig + ihdr_i + chunk(b"IEND", b""))
+    # compressed (RLE) BMP stays gated
+    bmp = bytearray(multimodal.encode_bmp(np.zeros((2, 2, 3), np.uint8)))
+    bmp[30:34] = (1).to_bytes(4, "little")  # biCompression = BI_RLE8
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(bytes(bmp))
+
+
 def test_bmp_roundtrip_property():
     """encode_bmp -> decode_image is the identity for arbitrary RGB
     arrays (row padding, bottom-up order, BGR swap all invert cleanly)."""
