@@ -109,6 +109,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Long-lived multi-query sessions (bench, notebooks, services)
+        # accumulate broadcast/shuffle state that the ContextCleaner only
+        # releases on driver GC — the default periodic GC is 30 MINUTES,
+        # so cleanup lands as a pause inside whichever query is unlucky.
+        # A 1-minute cadence amortizes it. (Static conf: builder-time
+        # only; externally built sessions keep their own setting.)
+        .config("spark.cleaner.periodicGC.interval", "60s")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
