@@ -454,7 +454,20 @@ def _dup_clusters_star(pairs: DataFrame) -> tuple[DataFrame, int]:
         edges = small_star(large_star(edges)).localCheckpoint(eager=False)
         new_sig = signature(edges)
         if new_sig == sig:
-            break
+            # The signature is a checksum, so equality could in principle
+            # be a collision. Verify star-ness outright before stopping —
+            # a star graph has no node on both the src and dst side — so
+            # a collision can only cost extra rounds, never a wrong
+            # result. (Star-ness + per-round connectivity preservation ⇒
+            # one star per original component, Kiveris et al. Thm 1/2.)
+            nonstar = (
+                edges.alias("a")
+                .join(edges.alias("b"), F.col("a.dst") == F.col("b.src"))
+                .limit(1)
+                .count()
+            )
+            if nonstar == 0:
+                break
         sig = new_sig
     # converged edges are stars (v -> component min); roots map to themselves
     labels = all_nodes.join(
