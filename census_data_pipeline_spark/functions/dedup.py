@@ -19,7 +19,7 @@ All built from Catalyst expressions (md5/transform/aggregate); no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from census_data_pipeline_spark.functions.text import shingles, tokens
@@ -129,6 +129,7 @@ def minhash_lsh_pairs(
     band_size: int = 2,
     n: int = 3,
     threshold: float = 0.5,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup join: band the signature (b = k/band_size
     bands), bucket-join on (band_idx, band_hash), then verify candidates
@@ -142,11 +143,22 @@ def minhash_lsh_pairs(
          map-side partial),
       3. band buckets explode 4 rows/doc; equi-self-join on (band, bucket)
          yields candidates — no all-pairs comparison anywhere,
-      4. verification broadcasts the (tiny) candidate set against per-doc
-         shingle ARRAYS and takes ``size(array_intersect(...))`` — data
-         moved is ∝ candidates + docs, never the exploded shingle set
-         (re-shuffling that, the previous formulation, was both the local
-         and the cluster bottleneck).
+      4. verification joins candidates back to the per-doc shingle ARRAYS
+         and takes ``size(array_intersect(...))`` — data moved is
+         ∝ candidates + docs, never the exploded shingle set. No
+         broadcast hint: candidate volume is O(Σ bucket²) and a forced
+         broadcast OOMs the driver on duplicate-heavy corpora; AQE
+         broadcasts when the set is actually small.
+
+    ``bucket_cap``: optional hot-bucket guard. A (band, bucket) with b
+    members emits b(b-1)/2 candidates — a million-row exact-duplicate
+    cluster (common in web corpora) turns quadratic. With a cap, only the
+    ``bucket_cap`` LOWEST ids per bucket generate candidates
+    (deterministic), bounding per-bucket work at cap²/2. Near-dup
+    (non-identical) docs live in small buckets and are unaffected;
+    exact-duplicate mega-clusters should be removed by an exact-dedup
+    pre-pass first (the composition ``corpus_clean_pipeline`` uses — see
+    SCALING.md "Hot buckets in banded LSH").
     """
     if num_hashes > 8:
         raise ValueError("at most 8 hash functions (2 md5 digests x 4 words)")
@@ -187,6 +199,19 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
 
+    if bucket_cap is not None:
+        # deterministic lowest-k per (band, bucket); the per-bucket sort
+        # puts one bucket's rows (3 narrow cols) in one task — linear in
+        # bucket size, vs the quadratic candidate blowup it prevents
+        rank = F.row_number().over(
+            Window.partitionBy("band", "bucket").orderBy("id")
+        )
+        bands = (
+            bands.withColumn("__rn", rank)
+            .filter(F.col("__rn") <= bucket_cap)
+            .drop("__rn")
+        )
+
     x, y = bands.alias("x"), bands.alias("y")
     candidates = (
         x.join(y, on=["band", "bucket"])
@@ -202,7 +227,7 @@ def minhash_lsh_pairs(
     b = arrays.withColumnsRenamed({"id": "id_b", "sh": "sh_b"})
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        a.join(F.broadcast(candidates), "id_a")
+        a.join(candidates, "id_a")
         .join(b, "id_b")
         .withColumn(
             "jaccard",
@@ -424,12 +449,14 @@ def _dup_clusters_star(pairs: DataFrame) -> tuple[DataFrame, int]:
         sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
         m = F.least(F.col("mn"), F.col("src"))
+        # no trailing distinct: small_star's groupBy-min is duplicate-
+        # insensitive and its own distinct dedupes the final edge set, so
+        # deduping here would only add a shuffle per round
         return (
             sym.join(mins, on="src")
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), m.alias("dst"))
             .filter(F.col("src") != F.col("dst"))
-            .distinct()
         )
 
     def small_star(e: DataFrame) -> DataFrame:
@@ -455,18 +482,29 @@ def _dup_clusters_star(pairs: DataFrame) -> tuple[DataFrame, int]:
         new_sig = signature(edges)
         if new_sig == sig:
             # The signature is a checksum, so equality could in principle
-            # be a collision. Verify star-ness outright before stopping —
-            # a star graph has no node on both the src and dst side — so
-            # a collision can only cost extra rounds, never a wrong
-            # result. (Star-ness + per-round connectivity preservation ⇒
-            # one star per original component, Kiveris et al. Thm 1/2.)
+            # be a collision. Verify the converged shape outright before
+            # stopping, so a collision can only cost extra rounds, never a
+            # wrong result. Two conditions make the break sufficient
+            # (Kiveris et al. Thm 1/2 + functional labels):
+            #   1. star-ness — no node on both the dst and src side
+            #      (depth 1), and
+            #   2. functionality — every src has exactly ONE parent
+            #      (star-ness alone admits multi-parent flat states like
+            #      {(p,a),(p,b)}, which would split a component into two
+            #      labels).
+            # Both are O(|edges|) aggregates, unioned into one action.
             nonstar = (
                 edges.alias("a")
                 .join(edges.alias("b"), F.col("a.dst") == F.col("b.src"))
-                .limit(1)
-                .count()
+                .select(F.lit(1).alias("bad"))
             )
-            if nonstar == 0:
+            multi_parent = (
+                edges.groupBy("src")
+                .count()
+                .filter(F.col("count") > 1)
+                .select(F.lit(1).alias("bad"))
+            )
+            if nonstar.union(multi_parent).limit(1).count() == 0:
                 break
         sig = new_sig
     # converged edges are stars (v -> component min); roots map to themselves

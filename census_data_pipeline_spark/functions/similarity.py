@@ -280,9 +280,19 @@ def _bucket_frame(
     ``dim=None`` selects the legacy single-table axis-aligned sign bucket
     (explicit opt-in; ADVICE r2: raise rather than silently ignoring
     n_tables/seed, since the axis-aligned family has a documented recall
-    cliff)."""
+    cliff).
+
+    Null-vector rows (null column or any null element) are DROPPED here
+    (ADVICE r3): their bucket expression is NULL, and the coalesce('')
+    below would otherwise pool them all into one shared '' bucket in
+    every table — quadratic candidates among themselves plus null-cosine
+    rows occupying top-k slots. A vector that can't be scored can't be a
+    candidate, so dropping it is the only consistent semantics."""
     base = df.select(
         F.col(id_col).alias(out_id), _as_double(F.col(vec_col)).alias("__v")
+    ).filter(
+        F.col("__v").isNotNull()
+        & ~F.exists("__v", lambda x: x.isNull())
     )
     if dim is None:
         if n_tables > 1:
@@ -309,6 +319,19 @@ def _bucket_frame(
     )
 
 
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from the first non-null row (one tiny job).
+    Buckets assume fixed-width vectors, so any row's size is THE size."""
+    row = (
+        df.select(F.size(F.col(vec_col)).alias("d"))
+        .filter(F.col("d") > 0)
+        .first()
+    )
+    if row is None:
+        raise ValueError(f"cannot infer dim: no non-empty vectors in {vec_col!r}")
+    return row.d
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -317,7 +340,7 @@ def knn_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_tables: int = 1,
-    dim: int | None = None,
+    dim: int | str | None = "infer",
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors sharing an LSH bucket
@@ -325,15 +348,21 @@ def knn_lsh(
     knn_bruteforce; recall < 1 by design (see tests/test_functions_ext.py
     recall floor and SCALING.md).
 
-    With ``dim`` set, buckets are sign patterns of ``nbits`` seeded random
-    projections per table — ``n_tables`` independent tables boost recall
-    multiplicatively (candidate iff colliding anywhere). Without ``dim``
-    the legacy axis-aligned single-table bucket is used.
+    Buckets are sign patterns of ``nbits`` seeded random projections per
+    table — ``n_tables`` independent tables boost recall multiplicatively
+    (candidate iff colliding anywhere). ``dim`` defaults to ``"infer"``
+    (read from the first corpus vector, one tiny job) so the DEFAULT call
+    gets this family; pass an int to skip the probe job. ``dim=None`` is
+    an explicit opt-in to the legacy single-table axis-aligned bucket,
+    which has a documented recall cliff on correlated leading dimensions
+    (ADVICE r3: it must never be the silent default).
 
     Scale shape: corpus bucket ids are one narrow scan (could be written
     bucketed-by bucket key); candidates come from an equi-join against the
     broadcast query buckets; vectors are fetched once per distinct
     candidate pair — no cross join, and the corpus never shuffles."""
+    if dim == "infer":
+        dim = _infer_dim(corpus, vec_col)
     cb = _bucket_frame(
         ensure_parallelism(corpus), id_col, vec_col, "neighbor_id",
         nbits, n_tables, dim, seed,
@@ -373,7 +402,7 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "lsh",
-    dim: int | None = None,
+    dim: int | str | None = "infer",
     nbits: int = 8,
     n_tables: int = 4,
     seed: int = 42,
@@ -399,6 +428,8 @@ def embedding_dup_pairs(
         return _embedding_dup_pairs_blas(df, threshold, id_col, vec_col)
     if method != "lsh":
         raise ValueError(f"method must be 'lsh' or 'exact', got {method!r}")
+    if dim == "infer":
+        dim = _infer_dim(df, vec_col)
 
     src = ensure_parallelism(df)
     buckets = _bucket_frame(src, id_col, vec_col, "id", nbits, n_tables, dim, seed)

@@ -81,6 +81,28 @@ def test_minhash_lsh_identical_docs(spark):
         dedup.minhash_lsh_pairs(df, num_hashes=16)
 
 
+def test_minhash_bucket_cap_bounds_hot_buckets(spark):
+    """SCALING.md 'Hot buckets in banded LSH': an exact-duplicate cluster
+    of size b emits b(b-1)/2 candidates; bucket_cap bounds that at
+    cap²/2 per bucket while leaving genuine near-dup (non-identical)
+    pairs — which live in small buckets — untouched."""
+    rows = [(i, "dup dup text common words here now") for i in range(60)]
+    rows += [
+        (1000, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+        (1001, "w0 w1 w2 w3 w4 w5 w6 w7 w8 zz"),  # near-dup of 1000
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.minhash_lsh_pairs(df, n=3, threshold=0.5).count()
+    capped = dedup.minhash_lsh_pairs(df, n=3, threshold=0.5, bucket_cap=8)
+    got = capped.collect()
+    # 60-identical cluster: 1770 pairs uncapped, C(8,2)=28 capped
+    assert uncapped == 1770 + 1
+    assert len(got) == 28 + 1
+    # the genuine near-dup pair survives the cap, with its exact jaccard
+    nd = [p for p in got if p.id_a == 1000]
+    assert len(nd) == 1 and nd[0].id_b == 1001 and 0.5 <= nd[0].jaccard < 1.0
+
+
 def test_simhash_bag_of_words_property(spark):
     # simhash is over the token multiset -> permutation-invariant
     df = _docs(spark, [(1, "a b c d"), (2, "d c b a"), (3, "p q r s")])
@@ -145,9 +167,55 @@ def test_knn_lsh_bucketing(spark):
         (2, [-1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),  # different bucket
     ]
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
-    # legacy axis-aligned bucket (dim=None): vec 2 flips the first sign bit
-    out = similarity.knn_lsh(df, df.filter("vec_id = 0"), k=5, nbits=8).collect()
+    # legacy axis-aligned bucket (EXPLICIT dim=None): vec 2 flips the
+    # first sign bit
+    out = similarity.knn_lsh(
+        df, df.filter("vec_id = 0"), k=5, nbits=8, dim=None
+    ).collect()
     assert [r.neighbor_id for r in out] == [1]  # bucket 2 never scored
+
+
+def test_knn_lsh_default_is_seeded_family(spark):
+    """ADVICE r3 / VERDICT r3 #5: a default knn_lsh call must get the
+    seeded random-projection family (dim inferred from the corpus), not
+    silently fall back to the axis-aligned bucket with its recall cliff.
+    The seeded bucket is the array_join/zip_with fold over the broadcast
+    coefficient frame — assert it's in the default call's plan, and that
+    the result matches the explicit-dim call."""
+    vecs = [(i, [float((i * 7 + j * 3) % 5 - 2) for j in range(8)])
+            for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 2")
+    default_df = similarity.knn_lsh(df, q, k=3, nbits=4, n_tables=2)
+    plan = default_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "zip_with" in plan  # seeded family marker (coefficient fold)
+    explicit = similarity.knn_lsh(df, q, k=3, nbits=4, n_tables=2, dim=8)
+    assert sorted(map(tuple, default_df.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+
+
+def test_bucket_frame_drops_null_vectors(spark):
+    """ADVICE r3: null-vector rows (null column or null element) must not
+    enter the bucket frame — otherwise coalesce('') pools them into one
+    shared bucket in every table (quadratic candidates, null-cosine rows
+    in top-k)."""
+    vecs = [
+        (0, [1.0, 1.0, 1.0, 1.0]),
+        (1, [0.9, 1.0, 1.0, 1.0]),
+        (2, None),
+        (3, [1.0, None, 1.0, 1.0]),
+        (4, None),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    pairs = similarity.embedding_dup_pairs(
+        df, threshold=0.9, dim=4, nbits=2, n_tables=2
+    ).collect()
+    ids = {p.id_a for p in pairs} | {p.id_b for p in pairs}
+    assert ids <= {0, 1}  # null rows 2/3/4 never become candidates
+    out = similarity.knn_lsh(df, df.filter("vec_id = 0"), k=5, nbits=2,
+                             n_tables=2, dim=4).collect()
+    assert all(r.neighbor_id in (1,) and r.cosine_sim is not None for r in out)
 
 
 def _sf0001_embeddings(spark):
