@@ -155,44 +155,62 @@ def _decode_png(payload: bytes) -> object:
             "only 8-bit gray/RGB/RGBA non-interlaced PNG supported "
             f"(depth={depth}, color_type={ctype_id}, interlace={interlace})"
         )
-    raw = zlib.decompress(b"".join(idat))
+    # bound BEFORE decompressing: untrusted scraped payloads can declare
+    # huge dims or carry a decompression bomb; 2^26 output bytes (64 MB)
+    # per image is far above any sane training-data thumbnail
     stride = width * channels
-    if len(raw) != height * (stride + 1):
+    expected = height * (stride + 1)
+    if width <= 0 or height <= 0 or expected > (1 << 26):
+        raise ValueError(
+            f"PNG dimensions out of supported bounds ({width}x{height}x{channels})"
+        )
+    dec = zlib.decompressobj()
+    raw = dec.decompress(b"".join(idat), expected + 1)
+    if len(raw) != expected or dec.unconsumed_tail:
+        # wrong size OR a bomb still holding back output past the cap
         raise ValueError("PNG decompressed size mismatch")
-    out = bytearray(height * stride)
-    prev = bytearray(stride)
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    ftypes = arr[:, 0]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
     for y in range(height):
-        row_start = y * (stride + 1)
-        ftype = raw[row_start]
-        cur = bytearray(raw[row_start + 1 : row_start + 1 + stride])
-        if ftype == 1:  # Sub
-            for i in range(channels, stride):
-                cur[i] = (cur[i] + cur[i - channels]) & 0xFF
-        elif ftype == 2:  # Up
+        ftype = int(ftypes[y])
+        cur = arr[y, 1:].astype(np.int32)
+        if ftype == 0:
+            res = cur
+        elif ftype == 1:  # Sub — per-channel-lane prefix sum mod 256:
+            # recon[p] = Σ raw[0..p] (mod 256), so one cumsum vectorizes
+            # the whole scanline (addition mod 256 is associative)
+            res = (
+                np.cumsum(cur.reshape(-1, channels), axis=0, dtype=np.int64)
+                .reshape(-1) & 0xFF
+            )
+        elif ftype == 2:  # Up — plain vector add with the previous row
+            res = (cur + prev) & 0xFF
+        elif ftype == 3:  # Average — left-neighbor dependency with a
+            # non-associative //2: inherently sequential per scanline
+            cl, pl, res_l = cur.tolist(), prev.tolist(), []
             for i in range(stride):
-                cur[i] = (cur[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
+                left = res_l[i - channels] if i >= channels else 0
+                res_l.append((cl[i] + (left + pl[i]) // 2) & 0xFF)
+            res = np.array(res_l, dtype=np.int32)
+        elif ftype == 4:  # Paeth — sequential (predictor is branchy on
+            # the reconstructed left neighbor)
+            cl, pl, res_l = cur.tolist(), prev.tolist(), []
             for i in range(stride):
-                left = cur[i - channels] if i >= channels else 0
-                cur[i] = (cur[i] + (left + prev[i]) // 2) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = cur[i - channels] if i >= channels else 0
-                b = prev[i]
-                c = prev[i - channels] if i >= channels else 0
+                a = res_l[i - channels] if i >= channels else 0
+                b = pl[i]
+                c = pl[i - channels] if i >= channels else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[i] = (cur[i] + pred) & 0xFF
-        elif ftype != 0:
+                res_l.append((cl[i] + pred) & 0xFF)
+            res = np.array(res_l, dtype=np.int32)
+        else:
             raise ValueError(f"invalid PNG filter type {ftype}")
-        out[y * stride : (y + 1) * stride] = cur
-        prev = cur
-    return (
-        np.frombuffer(bytes(out), dtype=np.uint8)
-        .reshape(height, width, channels)
-        .copy()
-    )
+        out[y] = res
+        prev = res
+    return out.reshape(height, width, channels).copy()
 
 
 def encode_bmp(pixels: object) -> bytes:
@@ -251,27 +269,44 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     )
     target = width * height
 
+    # ADVICE r3: the closure must ship BY VALUE — workers cannot import
+    # this package. Nested defs always pickle by value, but the decode
+    # helpers are module-level (unit-testable), so cloudpickle would
+    # normally serialize them by reference (a worker-side import).
+    # register_pickle_by_value flips this module to by-value pickling,
+    # restoring extract_fake_features' documented contract for the whole
+    # decode path. Idempotent; pyspark's vendored cloudpickle is the one
+    # its serializer actually uses.
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+    _decode, _encode, _resample = decode_image, encode_bmp, resize_nearest
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import hashlib as _hashlib
+        import struct as _struct
+        import zlib as _zlib
 
         import pandas as _pd
-
-        from census_data_pipeline_spark.functions.multimodal import (
-            decode_image,
-            encode_bmp,
-            resize_nearest,
-        )
 
         def fake_resize(b: bytes) -> bytes:
             body = bytes(b[:target])
             return body + b"\x00" * (target - len(body))
 
         def resize_one(b: bytes) -> tuple[bytes, str]:
+            # the operator is TOTAL: any malformed payload — bad magic
+            # (NotImplementedError), bad structure (ValueError/IndexError),
+            # truncated header (struct.error), corrupt IDAT (zlib.error) —
+            # falls back to the deterministic fake; row counts never
+            # depend on payload content
             try:
-                px = decode_image(bytes(b))
-            except (NotImplementedError, ValueError, IndexError):
+                px = _decode(bytes(b))
+            except (NotImplementedError, ValueError, IndexError,
+                    _struct.error, _zlib.error):
                 return fake_resize(b), None
-            return encode_bmp(resize_nearest(px, width, height)), "image/bmp"
+            return _encode(_resample(px, width, height)), "image/bmp"
 
         for batch in batches:
             pairs = batch["payload"].map(resize_one)
