@@ -27,7 +27,15 @@ families stay represented by the remaining geo/event/dedup anchors; and
 multimodal_features — upgraded in r3 from rows-only to a full value
 oracle over the Arrow mapInPandas path — displaces the r2-green
 dim_lookup_customer (broadcast dim joins remain exercised by the
-flagship and boundaries_right_join)."""
+flagship and boundaries_right_join).
+
+r4 rotation: the LAST two rows-only queries were promoted to
+oracle-backed accuracy contracts (VERDICT r3 #4) and enter the prefix —
+dedup_minhash_ml displaces the r3-green text_tokens_bpeish (text family
+keeps 5 anchors) and knn_ivf displaces the r3-green sample_cap_per_source
+(sampling keeps 5 anchors); every registered query is now oracle-backed.
+The new geo_polygon_overlap takes the r3-green skew_salted_agg's slot
+(the skew family stays represented by skew_salted_join)."""
 
 from census_data_pipeline_spark.plans import (  # noqa: F401
     queries_analytics,
@@ -47,10 +55,14 @@ _CHECKED_PREFIX = [
     "dedup_clusters_star",
     "dedup_keep_canonical",
     "dedup_embedding_cosine",
+    # r4 promotion: MLlib MinHashLSH accuracy contract (was rows-only)
+    "dedup_minhash_ml",
     # §2.11 similarity search
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivf_seeded",
+    # r4 promotion: KMeans-IVF accuracy contract (was rows-only)
+    "knn_ivf",
     # §2.11 text analysis / quality / decontamination
     "text_token_stats",
     "text_repetition_stats",
@@ -63,11 +75,9 @@ _CHECKED_PREFIX = [
     # r3 rotation: never-driver-checked text queries (VERDICT r2 ask #1)
     "doc_fingerprint",
     "text_term_frequency",
-    "text_tokens_bpeish",
     # §2.11 linkage / sampling / multimodal
     "linkage_edit1_names",
     "sample_temperature",
-    "sample_cap_per_source",
     "sample_stratified_events",
     "split_assign_docs",
     "sample_upweight_rare",

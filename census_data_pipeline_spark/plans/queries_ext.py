@@ -1016,12 +1016,36 @@ def text_pack_bins(spark, sf_dir):
     )
 
 
-@query("dedup_minhash_ml")  # rows-only: pyspark.ml hash family isn't SQL-reproducible
+@query(
+    "dedup_minhash_ml",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id AS id, unnest({_shingle_sql(4)}) AS shingle FROM t),
+    sz AS (SELECT id, count(*) AS n FROM s GROUP BY id),
+    inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+              FROM s a JOIN s b USING (shingle)
+              WHERE a.id < b.id GROUP BY 1, 2),
+    j AS (SELECT id_a, id_b,
+                 round(n_common / (x.n + y.n - n_common), 6) AS jaccard
+          FROM inter JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id)
+    SELECT count(*) AS n_exact_pairs,
+           TRUE AS ml_recall_ge_080,
+           TRUE AS ml_pairs_verified
+    FROM j WHERE jaccard >= 0.5
+    """,
+)
 def dedup_minhash_ml(spark, sf_dir):
     """The pyspark.ml alternative (SURVEY.md §2.11): HashingTF over shingles
-    -> MinHashLSH approxSimilarityJoin. Kept rows-only because MLlib's
-    seeded hash coefficients aren't reproducible in ANSI SQL; the primary
-    oracle-checked implementation is functions.dedup.minhash_lsh_pairs."""
+    -> MinHashLSH approxSimilarityJoin. MLlib's seeded hash coefficients
+    aren't reproducible in ANSI SQL, so (r4, the approx_sketches pattern)
+    the accuracy contract is asserted Spark-side and shipped as
+    oracle-checked booleans: recall vs the EXACT shingle-jaccard pair set
+    (which the oracle recomputes in SQL) must be >= 0.8, and every
+    ML-returned pair must verify at exact jaccard >= 0.45 (slack for
+    HashingTF bucket collisions vs raw shingle sets). Measured at
+    sf0.01/sf0.1: recall 1.0, min verified jaccard 0.78 — a red driver
+    row means the MLlib path's accuracy claim itself broke. The primary
+    oracle-checked LSH implementation is functions.dedup.minhash_lsh_pairs."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1030,30 +1054,106 @@ def dedup_minhash_ml(spark, sf_dir):
     feats = tf.transform(sh).filter(F.expr("size(sh) > 0"))
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
     model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+    raw = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    ml_pairs = (
+        raw.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
             F.col("datasetA.doc_id").alias("id_a"),
             F.col("datasetB.doc_id").alias("id_b"),
-            F.round(1 - F.col("jaccard_dist"), 6).alias("jaccard"),
+        )
+        .distinct()
+    )
+    exact = dedup.ngram_jaccard_pairs(docs, n=4, threshold=0.5)
+    n_exact = exact.agg(F.count("*").alias("n_exact_pairs"))
+    n_hit = ml_pairs.join(exact, ["id_a", "id_b"]).agg(
+        F.count("*").alias("__n_hit")
+    )
+    arrays = docs.select(F.col("doc_id").alias("id"),
+                         text.shingles("text", 4).alias("s"))
+    a = arrays.withColumnsRenamed({"id": "id_a", "s": "sa"})
+    b = arrays.withColumnsRenamed({"id": "id_b", "s": "sb"})
+    n_common = F.size(F.array_intersect("sa", "sb"))
+    verify = (
+        a.join(ml_pairs, "id_a")
+        .join(b, "id_b")
+        .select(
+            (n_common / (F.size("sa") + F.size("sb") - n_common)).alias("j")
+        )
+        .agg(F.coalesce(F.min("j"), F.lit(1.0)).alias("__min_j"))
+    )
+    return (
+        n_exact.crossJoin(n_hit)
+        .crossJoin(verify)
+        .select(
+            "n_exact_pairs",
+            (
+                (F.col("n_exact_pairs") == 0)
+                | (F.col("__n_hit") >= 0.8 * F.col("n_exact_pairs"))
+            ).alias("ml_recall_ge_080"),
+            (F.col("__min_j") >= 0.45).alias("ml_pairs_verified"),
         )
     )
 
 
-@query("knn_ivf")  # rows-only: KMeans centroids aren't SQL-reproducible
+@query(
+    "knn_ivf",
+    oracle="""
+    SELECT count(*) AS n_queries,
+           TRUE AS ranks_well_formed,
+           TRUE AS recall_ge_035
+    FROM embeddings WHERE vec_id % 100 = 0
+    """,
+)
 def knn_ivf_query(spark, sf_dir):
     """IVF (learned coarse quantizer) similarity search with multi-probe
-    (3 of 16 cells — measured recall@10 0.61 vs 0.27 single-probe on the
-    sf0.001 lake, floor-tested) — the pyspark.ml upgrade of knn_lsh;
-    rows-only because the trained centroids have no ANSI-SQL oracle (the
-    exact baseline knn_bruteforce is the checked one)."""
+    (3 of 16 cells) — the pyspark.ml upgrade of knn_lsh. KMeans centroids
+    have no ANSI-SQL oracle, so (r4) the accuracy contract ships as
+    oracle-checked booleans: per-query ranks must be exactly 1..n with no
+    gaps/dupes, and pooled recall@10 vs the Spark-computed exact baseline
+    (knn_bruteforce, itself fully oracle-checked as its own query) must be
+    >= 0.35 (measured 0.49-0.68 across sf0.001/0.01/0.1 — margin covers
+    KMeans fp-order jitter). The seeded-quantizer variant knn_ivf_seeded
+    keeps the stronger EXACT SQL-replicated oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    out = similarity.knn_ivf(emb, queries, k=10, n_centroids=16, n_probes=3)
-    return out.select(
-        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
-        "cosine_sim",
+    ivf = similarity.knn_ivf(emb, queries, k=10, n_centroids=16, n_probes=3)
+    bf = similarity.knn_bruteforce(emb, queries, k=10)
+    n_hit = ivf.join(bf, ["query_id", "neighbor_id"]).agg(
+        F.count("*").alias("__n_hit")
+    )
+    n_truth = bf.agg(F.count("*").alias("__n_truth"))
+    ranks_ok = (
+        ivf.groupBy("query_id")
+        .agg(
+            F.max("rank").alias("__mx"),
+            F.min("rank").alias("__mn"),
+            F.count_distinct("rank").alias("__cd"),
+            F.count("*").alias("__c"),
+        )
+        .agg(
+            F.coalesce(
+                F.bool_and(
+                    (F.col("__mx") == F.col("__c"))
+                    & (F.col("__mn") == 1)
+                    & (F.col("__cd") == F.col("__c"))
+                ),
+                F.lit(True),
+            ).alias("ranks_well_formed")
+        )
+    )
+    n_q = queries.agg(F.count("*").alias("n_queries"))
+    return (
+        n_q.crossJoin(ranks_ok)
+        .crossJoin(n_hit)
+        .crossJoin(n_truth)
+        .select(
+            "n_queries",
+            "ranks_well_formed",
+            (
+                (F.col("__n_truth") == 0)
+                | (F.col("__n_hit") >= 0.35 * F.col("__n_truth"))
+            ).alias("recall_ge_035"),
+        )
     )
 
 
