@@ -214,6 +214,189 @@ def grid_bbox_point_join(
     )
 
 
+def grid_bbox_bbox_join(
+    left: DataFrame,
+    right: DataFrame,
+    cell_size: float,
+    left_bbox: str = "bbox_a",
+    right_bbox: str = "bbox_b",
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Polygon-polygon candidate join: every ``left`` row against every
+    ``right`` row whose envelope intersects it — the prefilter stage of
+    overlay (VERDICT r3 #7).
+
+    Both sides explode into the grid cells their envelope covers and meet
+    in a hash equi-join on (cell_x, cell_y). An intersecting pair shares
+    EVERY cell covered by the envelope intersection, so duplicates are
+    removed without a shuffle by the reference-point technique: a pair is
+    kept only in the one canonical cell containing the intersection's
+    (xmin, ymin) corner — which both envelopes cover by construction. The
+    exact ``bbox_intersects`` predicate verifies candidates. Column names
+    must be disjoint across the two frames (alias before calling)."""
+
+    def explode_cells(df: DataFrame, bbox: str) -> DataFrame:
+        return df.withColumn(
+            "__cells",
+            F.flatten(
+                F.transform(
+                    F.sequence(
+                        _cell(F.col(bbox)["xmin"], cell_size),
+                        _cell(F.col(bbox)["xmax"], cell_size),
+                    ),
+                    lambda cx: F.transform(
+                        F.sequence(
+                            _cell(F.col(bbox)["ymin"], cell_size),
+                            _cell(F.col(bbox)["ymax"], cell_size),
+                        ),
+                        lambda cy: F.struct(cx.alias("cx"), cy.alias("cy")),
+                    ),
+                )
+            ),
+        ).select("*", F.explode("__cells").alias("__c")).select(
+            *[c for c in df.columns],
+            F.col("__c.cx").alias("__cx"),
+            F.col("__c.cy").alias("__cy"),
+        )
+
+    el = explode_cells(left, left_bbox)
+    er = explode_cells(right, right_bbox)
+    rside = F.broadcast(er) if broadcast_right else er
+    a, b = F.col(left_bbox), F.col(right_bbox)
+    canonical = (
+        (F.col("__cx") == _cell(F.greatest(a["xmin"], b["xmin"]), cell_size))
+        & (F.col("__cy") == _cell(F.greatest(a["ymin"], b["ymin"]), cell_size))
+    )
+    return (
+        el.join(rside, on=["__cx", "__cy"])
+        .filter(bbox_intersects(a, b) & canonical)
+        .drop("__cx", "__cy")
+    )
+
+
+def ring_points(xs: Column, ys: Column) -> Column:
+    """A closed WKT ring (first vertex repeated last) as an OPEN
+    ``array<struct<x,y>>`` (repetition dropped) — the vertex-list form
+    the clipping fold operates on."""
+    idx = F.sequence(F.lit(1), F.size(xs) - 1)
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(xs, i).alias("x"), F.element_at(ys, i).alias("y")
+        ),
+    )
+
+
+def clip_convex(
+    sub_xs: Column, sub_ys: Column, clip_xs: Column, clip_ys: Column
+) -> Column:
+    """Sutherland–Hodgman polygon clipping as a pure Catalyst fold — no
+    UDF, same style as the ray-cast. Clips the subject ring by each edge
+    of a CONVEX clip ring; when the subject is also convex the result is
+    their exact intersection. Returns the clipped polygon as an open
+    ``array<struct<x,y>>`` (empty when disjoint).
+
+    Shape: ``aggregate`` over the clip edges with the running vertex list
+    as the accumulator; each step rebuilds the list with one
+    ``flatten(transform(...))`` pass over the current edges (0-2 output
+    points per edge, per the classic case table). Per-row cost
+    ∝ |subject| × |clip| — narrow, codegen-fused, scale-free.
+    Orientation-insensitive: the inside test is signed by the clip ring's
+    shoelace orientation.
+
+    All four inputs are let-bound through a single-element ``transform``
+    lambda so that computed input expressions (e.g. ``wkt_xs`` regex
+    trees) are evaluated once per row, not once per ``element_at``
+    reference inside the folds (see ``polygon_area_points``)."""
+
+    def body(t: Column) -> Column:
+        sxs, sys_ = t["sx"], t["sy"]
+        cxs, cys = t["cx"], t["cy"]
+        orient = F.signum(_shoelace_terms(cxs, cys))
+        subject = ring_points(sxs, sys_)
+        clip_edges = F.transform(
+            F.sequence(F.lit(1), F.size(cxs) - 1),
+            lambda i: F.struct(
+                F.element_at(cxs, i).alias("ax"),
+                F.element_at(cys, i).alias("ay"),
+                F.element_at(cxs, i + 1).alias("bx"),
+                F.element_at(cys, i + 1).alias("by"),
+            ),
+        )
+
+        def clip_one(acc: Column, e: Column) -> Column:
+            m = F.size(acc)
+
+            def side(p: Column) -> Column:
+                # signed distance proxy: orient × cross(edge, p - start)
+                return orient * (
+                    (e["bx"] - e["ax"]) * (p["y"] - e["ay"])
+                    - (e["by"] - e["ay"]) * (p["x"] - e["ax"])
+                )
+
+            def step(j: Column) -> Column:
+                s = F.element_at(acc, j)
+                t2 = F.element_at(acc, (j % m) + 1)
+                ds, dt = side(s), side(t2)
+                # ds/(ds-dt) only evaluated on sign-crossing branches,
+                # where ds - dt is strictly nonzero
+                frac = ds / (ds - dt)
+                ipt = F.struct(
+                    (s["x"] + frac * (t2["x"] - s["x"])).alias("x"),
+                    (s["y"] + frac * (t2["y"] - s["y"])).alias("y"),
+                )
+                return (
+                    F.when(
+                        dt >= 0,
+                        F.when(ds < 0, F.array(ipt, t2)).otherwise(F.array(t2)),
+                    )
+                    .otherwise(
+                        F.when(ds >= 0, F.array(ipt)).otherwise(F.slice(acc, 1, 0))
+                    )
+                )
+
+            return F.when(m == F.lit(0), acc).otherwise(
+                F.flatten(F.transform(F.sequence(F.lit(1), m), step))
+            )
+
+        return F.aggregate(clip_edges, subject, clip_one)
+
+    bound = F.struct(
+        sub_xs.alias("sx"), sub_ys.alias("sy"),
+        clip_xs.alias("cx"), clip_ys.alias("cy"),
+    )
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
+def polygon_area_points(ring: Column) -> Column:
+    """Unsigned shoelace area over an OPEN ``array<struct<x,y>>`` ring
+    (wrap-around edge included); degenerate rings (< 3 vertices) have
+    area 0.
+
+    The input is let-bound through a single-element ``transform`` lambda
+    before the fold. Without this, passing a computed expression (e.g.
+    the ``clip_convex`` tree) would re-evaluate it at EVERY ``element_at``
+    reference inside the fold — measured 12× per row on the overlay
+    query (62 s → 5 s at sf0.1). A lambda variable is evaluated once per
+    row; Catalyst has no cross-HOF common-subexpression elimination to do
+    this for us."""
+
+    def shoelace(r: Column) -> Column:
+        m = F.size(r)
+        terms = F.aggregate(
+            F.sequence(F.lit(1), m),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + (
+                F.element_at(r, j)["x"] * F.element_at(r, (j % m) + 1)["y"]
+                - F.element_at(r, (j % m) + 1)["x"] * F.element_at(r, j)["y"]
+            ),
+        )
+        return F.when(m < 3, F.lit(0.0)).otherwise(F.abs(terms) / 2)
+
+    return F.element_at(F.transform(F.array(ring), shoelace), 1)
+
+
 def radius_point_join(
     points: DataFrame,
     centers: DataFrame,

@@ -102,8 +102,9 @@ _CHECKED_PREFIX = [
     "topk_per_nation",
     "union_batch_states",
     "numeric_coerce",
-    "skew_salted_agg",
     "skew_salted_join",
+    # r4 addition: polygon-polygon overlay (Sutherland-Hodgman clip)
+    "geo_polygon_overlap",
     # sketches / geo / policy (r2-green family anchors kept in the prefix)
     "approx_sketches",
     "geo_point_in_polygon",

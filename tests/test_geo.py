@@ -219,3 +219,84 @@ def test_haversine_known_distances(spark):
     }
     for i, *_, want in rows:
         assert abs(got[i] - want) < 0.01, (i, got[i], want)
+
+
+# -- polygon-polygon overlay (r4) ------------------------------------------
+def _closed_ring(pts):
+    xs = [float(p[0]) for p in pts] + [float(pts[0][0])]
+    ys = [float(p[1]) for p in pts] + [float(pts[0][1])]
+    return xs, ys
+
+
+def test_clip_convex_known_areas(spark):
+    """Sutherland-Hodgman clip + shoelace vs hand-computed intersection
+    areas: partial overlap, disjoint, containment, diamonds, and a
+    CLOCKWISE clip ring (orientation-insensitivity)."""
+    cases = [
+        (_closed_ring([(0, 0), (2, 0), (2, 2), (0, 2)]),
+         _closed_ring([(1, 1), (3, 1), (3, 3), (1, 3)]), 1.0),
+        (_closed_ring([(0, 0), (1, 0), (1, 1), (0, 1)]),
+         _closed_ring([(5, 5), (6, 5), (6, 6), (5, 6)]), 0.0),
+        (_closed_ring([(1, 1), (2, 1), (2, 2), (1, 2)]),
+         _closed_ring([(0, 0), (5, 0), (5, 5), (0, 5)]), 1.0),
+        # diamonds r=2 at (0,0) and (1,1): rotated-square closed form
+        # du=2, dv=4 -> 2*4/2 = 4
+        (_closed_ring([(-2, 0), (0, -2), (2, 0), (0, 2)]),
+         _closed_ring([(-1, 1), (1, -1), (3, 1), (1, 3)]), 4.0),
+        # clockwise clip ring, same geometry as case 0
+        (_closed_ring([(0, 0), (2, 0), (2, 2), (0, 2)]),
+         _closed_ring([(1, 3), (3, 3), (3, 1), (1, 1)]), 1.0),
+    ]
+    rows = [(i, a[0], a[1], b[0], b[1]) for i, (a, b, _) in enumerate(cases)]
+    df = spark.createDataFrame(
+        rows,
+        "id long, ax array<double>, ay array<double>, "
+        "bx array<double>, by array<double>",
+    )
+    got = {
+        r.id: r.area
+        for r in df.select(
+            "id",
+            F.round(
+                geo.polygon_area_points(
+                    geo.clip_convex(
+                        F.col("ax"), F.col("ay"), F.col("bx"), F.col("by")
+                    )
+                ),
+                6,
+            ).alias("area"),
+        ).collect()
+    }
+    for i, (_, _, want) in enumerate(cases):
+        assert abs(got[i] - want) < 1e-9, (i, got[i], want)
+
+
+def test_grid_bbox_bbox_join_no_dup_pairs(spark):
+    """The reference-point dedup must yield each intersecting pair exactly
+    once even when envelopes share many grid cells, and exactly the pairs
+    whose envelopes intersect."""
+    import itertools
+
+    boxes = [(i, float(i), float(i), float(i) + 12.0, float(i) + 12.0)
+             for i in range(8)]  # heavily overlapping, span many cells
+
+    def frame(tag):
+        return spark.createDataFrame(
+            [(i, {"xmin": a, "ymin": b, "xmax": c, "ymax": d})
+             for i, a, b, c, d in boxes],
+            f"id_{tag} long, bbox_{tag} "
+            "struct<xmin:double,ymin:double,xmax:double,ymax:double>",
+        )
+
+    got = geo.grid_bbox_bbox_join(
+        frame("a"), frame("b"), cell_size=5.0,
+        left_bbox="bbox_a", right_bbox="bbox_b",
+    ).select("id_a", "id_b").collect()
+    pairs = [(r.id_a, r.id_b) for r in got]
+    assert len(pairs) == len(set(pairs)), "duplicate candidate pairs"
+    expected = {
+        (i, j)
+        for (i, *a), (j, *b) in itertools.product(boxes, boxes)
+        if a[0] <= b[2] and b[0] <= a[2] and a[1] <= b[3] and b[1] <= a[3]
+    }
+    assert set(pairs) == expected

@@ -155,3 +155,12 @@ def test_minhash_verify_join_not_hinted(spark, sf_dir):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert "strategy=broadcast" not in opt
+
+
+def test_polygon_overlap_grid_join_shape(spark, sf_dir):
+    # overlay must stay a hash equi-join on grid cells with the 25-row
+    # diamond side broadcast — no cartesian product, no sort-merge
+    plan = _plan(spark, sf_dir, "geo_polygon_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
