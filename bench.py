@@ -83,9 +83,38 @@ HEADLINE_NEW: list[str] = [
     "knn_ivf_seeded",
     "split_assign_docs",
     "sample_upweight_rare",
+    # r4 additions
+    "geo_polygon_overlap",
+    "dedup_minhash_ml",
+    "knn_ivf",
 ]
 
 HEADLINE = HEADLINE_R02 + HEADLINE_NEW
+
+# Contention sentinel (VERDICT r3 #2): BENCH_r03 reported knn_lsh at
+# 3.34 s where idle re-measurement gives 1.4-1.7 s — min-of-n does not
+# protect when every run contends with an unrelated host load. A fixed
+# calibration task (constant work, ~100 ms idle) is re-timed after every
+# headline sample; a sample whose trailing calibration exceeds
+# ``_SPIKE_FACTOR`` × the session's baseline is discarded and re-run
+# (bounded budget), and anything still contaminated is flagged in the
+# output instead of silently reported.
+_SPIKE_FACTOR = 1.6
+_EXTRA_BUDGET = 3  # extra attempts per query when samples get discarded
+
+
+def _calibrate(spark) -> float:
+    # min of 2 back-to-back runs: the first absorbs the ENGINE's own tail
+    # after a heavy query (ContextCleaner GC, executor thread wind-down),
+    # which would otherwise read as a host-load spike and burn re-run
+    # budget on an idle machine (false positive observed after the MLlib
+    # KMeans query). Sustained external load inflates both runs.
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(20_000_000).selectExpr("sum(id * 2 + 1) AS s").collect()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main() -> None:
@@ -119,18 +148,40 @@ def main() -> None:
     # n runs per query, report min (primary) and mean: dedup_clusters /
     # linkage_edit1_names swing ±2.5 s with host load (SCALING.md), and
     # min-of-n keeps round-over-round deltas from being scheduling noise
-    # (VERDICT r2 #7).
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # (VERDICT r2 #7). r4: default raised to 3 + contention sentinel.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    cal_baseline = min(_calibrate(spark) for _ in range(5))
+    spikes = 0
+    discarded = 0
+    flagged: list[str] = []
+    cal_max = cal_baseline
     mins: dict[str, float] = {}
     means: dict[str, float] = {}
     for name in HEADLINE:
-        samples = []
-        for _ in range(runs):
+        samples: list[float] = []
+        contaminated: list[float] = []
+        attempts = 0
+        while len(samples) < runs and attempts < runs + _EXTRA_BUDGET:
+            attempts += 1
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            samples.append(time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            cal = _calibrate(spark)
+            cal_max = max(cal_max, cal)
+            if cal > _SPIKE_FACTOR * cal_baseline:
+                # host was loaded while (or right after) this sample ran —
+                # its timing is untrustworthy in EITHER direction
+                spikes += 1
+                discarded += 1
+                contaminated.append(dt)
+                continue
+            samples.append(dt)
+        if not samples:
+            # sustained load: keep the contaminated mins but say so
+            samples = contaminated
+            flagged.append(name)
         mins[name] = round(min(samples), 3)
         means[name] = round(sum(samples) / len(samples), 3)
 
@@ -147,6 +198,14 @@ def main() -> None:
                 "runs": runs,
                 "shared_with_r02": shared,
                 "new_since_r02": round(total - shared, 3),
+                "calibration": {
+                    "baseline_sec": round(cal_baseline, 4),
+                    "max_sec": round(cal_max, 4),
+                    "spike_factor": _SPIKE_FACTOR,
+                    "spikes": spikes,
+                    "discarded_samples": discarded,
+                    "still_contaminated": flagged,
+                },
                 "sf": sf,
             }
         )
