@@ -363,39 +363,48 @@ def dup_clusters(pairs: DataFrame, algorithm: str = "label") -> DataFrame:
         return labels
     if algorithm != "label":
         raise ValueError(f"algorithm must be 'label' or 'star', got {algorithm!r}")
+    # lazy checkpoints throughout: round 1's action materializes them;
+    # eager would run one extra job apiece just to checkpoint
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     while True:
         neighbor_labels = edges.join(
             labels.withColumnRenamed("id", "dst"), on="dst"
         ).select(F.col("src").alias("id"), "label")
-        # lazy checkpoint: the `changed` count below is the round's only
-        # action and materializes the checkpoint as a side effect — eager
-        # would run a separate job per round just to checkpoint
-        new_labels = (
+        labels = (
             labels.unionByName(neighbor_labels)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .filter(F.col("n.label") != F.col("o.label"))
+        # Convergence = label CONSISTENCY across every edge (one action
+        # per round, materializing the checkpoint as a side effect).
+        # Consistent ⇒ each component uniformly labeled, and since labels
+        # only ever take existing-node minima, the uniform value IS the
+        # component min — so this stops one round EARLIER than waiting
+        # for a no-change round (changed==0 needs diameter+1 rounds).
+        inconsistent = (
+            edges.join(
+                labels.withColumnsRenamed({"id": "src", "label": "__ls"}), "src"
+            )
+            .join(
+                labels.withColumnsRenamed({"id": "dst", "label": "__ld"}), "dst"
+            )
+            .filter(F.col("__ls") != F.col("__ld"))
+            .limit(1)
             .count()
         )
-        labels = new_labels
-        if changed == 0:
+        if inconsistent == 0:
             break
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
@@ -417,11 +426,16 @@ def _dup_clusters_star(pairs: DataFrame) -> tuple[DataFrame, int]:
 
     Both steps are groupBy-min + join — no collect_list, so a hot node's
     neighbor set never materializes in one task (the property that makes
-    this the 100 TB-safe form). Convergence: the edge multiset is stable
-    (checked by count + sum-of-hashes — a 2⁻⁶⁴-per-round checksum
-    collision is the accepted trade for not running exceptAll twice per
-    round). Returns (labels, rounds) — rounds exposed for the log-bound
-    test."""
+    this the 100 TB-safe form). Convergence (r4): each round's ONLY
+    action directly tests the converged SHAPE — star-ness (no node on
+    both the src and dst side) plus functionality (every src has exactly
+    one parent). A functional union-of-stars is a fixed point of both
+    steps and per-round connectivity preservation makes it one star per
+    original component (Kiveris et al. Thm 1/2), so the test is a sound
+    stopping rule at ANY round — unlike the previous
+    checksum-stability scheme it needs no extra confirming round and
+    cannot false-positive. Returns (labels, rounds) — rounds exposed for
+    the log-bound test."""
     edges = (
         pairs.select(
             F.greatest("id_a", "id_b").alias("src"),
@@ -429,21 +443,25 @@ def _dup_clusters_star(pairs: DataFrame) -> tuple[DataFrame, int]:
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    all_nodes = (
-        edges.select(F.col("src").alias("id"))
-        .union(edges.select(F.col("dst").alias("id")))
-        .distinct()
-        .localCheckpoint()
-    )
+    all_nodes = edges.select(F.col("src").alias("id")).union(
+        edges.select(F.col("dst").alias("id"))
+    ).distinct()
 
-    def signature(e: DataFrame) -> tuple[int, int]:
-        row = e.agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.sum(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
-        ).collect()[0]
-        return row.n, row.h
+    def not_converged(e: DataFrame) -> int:
+        nonstar = (
+            e.alias("a")
+            .join(e.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(F.lit(1).alias("bad"))
+        )
+        multi_parent = (
+            e.groupBy("src")
+            .count()
+            .filter(F.col("count") > 1)
+            .select(F.lit(1).alias("bad"))
+        )
+        return nonstar.union(multi_parent).limit(1).count()
 
     def large_star(e: DataFrame) -> DataFrame:
         sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -472,41 +490,12 @@ def _dup_clusters_star(pairs: DataFrame) -> tuple[DataFrame, int]:
             .distinct()
         )
 
-    sig = signature(edges)
     rounds = 0
-    while True:
+    while not_converged(edges):
         rounds += 1
-        # lazy: signature() below is the round's only action and
+        # lazy: the next not_converged() is the round's only action and
         # materializes the checkpoint as a side effect
         edges = small_star(large_star(edges)).localCheckpoint(eager=False)
-        new_sig = signature(edges)
-        if new_sig == sig:
-            # The signature is a checksum, so equality could in principle
-            # be a collision. Verify the converged shape outright before
-            # stopping, so a collision can only cost extra rounds, never a
-            # wrong result. Two conditions make the break sufficient
-            # (Kiveris et al. Thm 1/2 + functional labels):
-            #   1. star-ness — no node on both the dst and src side
-            #      (depth 1), and
-            #   2. functionality — every src has exactly ONE parent
-            #      (star-ness alone admits multi-parent flat states like
-            #      {(p,a),(p,b)}, which would split a component into two
-            #      labels).
-            # Both are O(|edges|) aggregates, unioned into one action.
-            nonstar = (
-                edges.alias("a")
-                .join(edges.alias("b"), F.col("a.dst") == F.col("b.src"))
-                .select(F.lit(1).alias("bad"))
-            )
-            multi_parent = (
-                edges.groupBy("src")
-                .count()
-                .filter(F.col("count") > 1)
-                .select(F.lit(1).alias("bad"))
-            )
-            if nonstar.union(multi_parent).limit(1).count() == 0:
-                break
-        sig = new_sig
     # converged edges are stars (v -> component min); roots map to themselves
     labels = all_nodes.join(
         edges.select(F.col("src").alias("id"), F.col("dst").alias("label")),
