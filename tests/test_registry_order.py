@@ -43,7 +43,12 @@ FAMILY_REPRESENTATIVES = [
     "events_top_transitions",   # markov transition analytics
     "doc_fingerprint",        # rolling-hash fingerprinting
     "text_term_frequency",    # term frequency
-    "text_tokens_bpeish",     # BPE-ish tokenization
+    # r4 rotation: text_tokens_bpeish left the prefix (tokenization stays
+    # covered by text_token_stats/text_term_frequency); the two promoted
+    # MLlib contracts and the new overlay query joined it
+    "dedup_minhash_ml",       # MLlib MinHashLSH accuracy contract (r4)
+    "knn_ivf",                # KMeans-IVF accuracy contract (r4)
+    "geo_polygon_overlap",    # Sutherland-Hodgman overlay (new r4)
 ]
 
 
