@@ -76,10 +76,10 @@ def decode_image(payload: bytes) -> object:
     formats whose specs are fully expressible with ``struct`` + ``zlib``:
 
     - **BMP**: uncompressed BI_RGB, 24/32-bit, top-down or bottom-up.
-    - **PNG**: 8-bit gray/RGB/RGBA, non-interlaced, all five scanline
-      filters (None/Sub/Up/Average/Paeth per the PNG spec §9).
+    - **PNG**: 8-bit gray/RGB/RGBA/palette (PLTE lookup), non-interlaced,
+      all five scanline filters (None/Sub/Up/Average/Paeth, PNG spec §9).
 
-    Anything else (JPEG, palette PNG, interlaced PNG, ...) still raises
+    Anything else (JPEG, interlaced PNG, sub-8-bit depths, ...) still raises
     NotImplementedError — that gate is the documented container limit,
     and callers (resize_images) fall back to the deterministic fake so
     row counts never depend on payload decodability."""
@@ -88,7 +88,7 @@ def decode_image(payload: bytes) -> object:
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     raise NotImplementedError(
-        "only BMP (24/32-bit BI_RGB) and PNG (8-bit gray/RGB/RGBA, "
+        "only BMP (24/32-bit BI_RGB) and PNG (8-bit gray/RGB/RGBA/palette, "
         "non-interlaced) have stdlib decoders; other formats need an "
         "imaging library (PIL/opencv) not available in this container"
     )
@@ -134,13 +134,15 @@ def _decode_png(payload: bytes) -> object:
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, idat, ihdr = 8, [], None
+    pos, idat, ihdr, plte = 8, [], None, None
     while pos < len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -149,12 +151,19 @@ def _decode_png(payload: bytes) -> object:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     width, height, depth, ctype_id, comp, filt, interlace = ihdr
-    channels = {0: 1, 2: 3, 6: 4}.get(ctype_id)
+    # color type 3 (palette, r4): scanlines carry one index byte per
+    # pixel; output is the RGB PLTE lookup
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(ctype_id)
     if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
         raise NotImplementedError(
-            "only 8-bit gray/RGB/RGBA non-interlaced PNG supported "
+            "only 8-bit gray/RGB/RGBA/palette non-interlaced PNG supported "
             f"(depth={depth}, color_type={ctype_id}, interlace={interlace})"
         )
+    palette = None
+    if ctype_id == 3:
+        if plte is None or len(plte) % 3 or not 3 <= len(plte) <= 768:
+            raise ValueError("palette PNG missing or malformed PLTE")
+        palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
     # bound BEFORE decompressing: untrusted scraped payloads can declare
     # huge dims or carry a decompression bomb; 2^26 output bytes (64 MB)
     # per image is far above any sane training-data thumbnail
@@ -210,6 +219,11 @@ def _decode_png(payload: bytes) -> object:
             raise ValueError(f"invalid PNG filter type {ftype}")
         out[y] = res
         prev = res
+    if palette is not None:
+        idx = out.reshape(height, width)
+        if int(idx.max(initial=0)) >= palette.shape[0]:
+            raise ValueError("palette index out of PLTE range")
+        return palette[idx].copy()  # (H, W, 3) RGB lookup
     return out.reshape(height, width, channels).copy()
 
 

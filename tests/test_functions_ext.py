@@ -435,6 +435,49 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
+def test_decode_palette_png_golden():
+    """8-bit palette PNG (color type 3): index scanlines + PLTE lookup,
+    including a filtered (Sub) scanline over index bytes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    palette = bytes(
+        [250, 1, 2,    3, 250, 4,    5, 6, 250,    9, 9, 9]
+    )  # 4 entries
+    # 3x2 image of palette indices
+    idx = np.array([[0, 1, 2], [3, 2, 0]], dtype=np.uint8)
+    raw = bytearray()
+    raw += bytes([0]) + idx[0].tobytes()           # row 0: filter None
+    # row 1: filter Sub over index bytes (bpp = 1 byte)
+    r1 = idx[1]
+    enc = bytes([r1[0], (r1[1] - r1[0]) & 0xFF, (r1[2] - r1[1]) & 0xFF])
+    raw += bytes([1]) + enc
+    ihdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+    png = (
+        sig + ihdr + _png_chunk(b"PLTE", palette)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    got = multimodal.decode_image(png)
+    expected = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)[idx]
+    assert got.shape == (2, 3, 3)
+    assert np.array_equal(got, expected)
+    # missing PLTE -> ValueError (total-operator fake path, not a crash)
+    bad = sig + ihdr + _png_chunk(b"IDAT", zlib.compress(bytes(raw))) \
+        + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="PLTE"):
+        multimodal.decode_image(bad)
+    # index beyond palette -> ValueError
+    raw2 = bytes([0, 0, 1, 200]) + bytes([0]) + idx[1].tobytes()
+    bad2 = sig + ihdr + _png_chunk(b"PLTE", palette) \
+        + _png_chunk(b"IDAT", zlib.compress(raw2)) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="index"):
+        multimodal.decode_image(bad2)
+
+
 def test_decode_png_bomb_and_bounds_guard():
     """ADVICE r3: a tiny payload must not be able to allocate gigabytes —
     dims are bounded BEFORE decompression, and decompression itself is
