@@ -160,6 +160,24 @@ def _cell(v: Column, cell_size: float) -> Column:
     return F.floor(v / F.lit(float(cell_size))).cast("long")
 
 
+# Sentinel for null grid keys (see _grid_key): a cell index no real
+# coordinate reaches (|coord| would need to exceed ~4.6e18 * cell_size).
+_NULL_CELL = -(2**62)
+
+
+def _grid_key(c: Column) -> Column:
+    """Grid join keys must be PROVABLY non-null: an equi-join infers
+    ``isnotnull(key)`` on nullable keys, and constraint pushdown rewrites
+    that check through every projection down to the file scan — re-deriving
+    the whole WKT-parse + cell expression per input row BELOW the
+    repartition exchange (measured: the overlay join serialized ~2 s of
+    parse work into one task). ``coalesce`` folds the inferred check away;
+    sentinel rows (degenerate/null geometry) pair only with other sentinel
+    rows and are then dropped by the exact verify predicate, which is
+    null-rejecting."""
+    return F.coalesce(c, F.lit(_NULL_CELL))
+
+
 def grid_bbox_point_join(
     points: DataFrame,
     boxes: DataFrame,
@@ -181,6 +199,12 @@ def grid_bbox_point_join(
     ``broadcast_boxes`` (dimension-sized polygon sets — the census case:
     ~10⁵ boundaries vs 10¹⁰ points) the points side never shuffles at all.
     """
+    # explode_outer + coalesce'd keys: a plain explode makes the optimizer
+    # infer `size(__cells) > 0` (InferFiltersFromGenerate) and push the
+    # whole cell-derivation expression down to the scan as a filter —
+    # below any repartition, serializing the parse onto the scan's task
+    # count (see _grid_key). Outer explode infers nothing; null-cell rows
+    # carry the sentinel key and die in the exact verify.
     b = boxes.withColumn(
         "__cells",
         F.flatten(
@@ -198,14 +222,14 @@ def grid_bbox_point_join(
                 ),
             )
         ),
-    ).select("*", F.explode("__cells").alias("__c")).select(
+    ).select("*", F.explode_outer("__cells").alias("__c")).select(
         *[c for c in boxes.columns],
-        F.col("__c.cx").alias("__cx"),
-        F.col("__c.cy").alias("__cy"),
+        _grid_key(F.col("__c.cx")).alias("__cx"),
+        _grid_key(F.col("__c.cy")).alias("__cy"),
     )
-    p = points.withColumn("__cx", _cell(F.col(x_col), cell_size)).withColumn(
-        "__cy", _cell(F.col(y_col), cell_size)
-    )
+    p = points.withColumn(
+        "__cx", _grid_key(_cell(F.col(x_col), cell_size))
+    ).withColumn("__cy", _grid_key(_cell(F.col(y_col), cell_size)))
     bside = F.broadcast(b) if broadcast_boxes else b
     return (
         p.join(bside, on=["__cx", "__cy"])
@@ -236,6 +260,9 @@ def grid_bbox_bbox_join(
     must be disjoint across the two frames (alias before calling)."""
 
     def explode_cells(df: DataFrame, bbox: str) -> DataFrame:
+        # explode_outer + sentinel keys — see grid_bbox_point_join; a
+        # plain explode's inferred non-empty filter re-derives the parse
+        # expression at the scan, below any repartition
         return df.withColumn(
             "__cells",
             F.flatten(
@@ -253,10 +280,10 @@ def grid_bbox_bbox_join(
                     ),
                 )
             ),
-        ).select("*", F.explode("__cells").alias("__c")).select(
+        ).select("*", F.explode_outer("__cells").alias("__c")).select(
             *[c for c in df.columns],
-            F.col("__c.cx").alias("__cx"),
-            F.col("__c.cy").alias("__cy"),
+            _grid_key(F.col("__c.cx")).alias("__cx"),
+            _grid_key(F.col("__c.cy")).alias("__cy"),
         )
 
     el = explode_cells(left, left_bbox)
