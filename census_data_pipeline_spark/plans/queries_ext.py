@@ -1076,7 +1076,14 @@ def dedup_minhash_ml(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select("doc_id", text.shingles("text", 4).alias("sh"))
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
-    feats = tf.transform(sh).filter(F.expr("size(sh) > 0"))
+    # slim to (doc_id, features) BEFORE the join: approxSimilarityJoin
+    # drags full rows through its explode/join/distinct, and the raw
+    # shingle arrays are the widest column by far (r4: ~2x faster)
+    feats = (
+        tf.transform(sh)
+        .filter(F.expr("size(sh) > 0"))
+        .select("doc_id", "features")
+    )
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
     model = lsh.fit(feats)
     raw = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
@@ -1141,12 +1148,24 @@ def knn_ivf_query(spark, sf_dir):
     keeps the stronger EXACT SQL-replicated oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    ivf = similarity.knn_ivf(emb, queries, k=10, n_centroids=16, n_probes=3)
-    bf = similarity.knn_bruteforce(emb, queries, k=10)
-    n_hit = ivf.join(bf, ["query_id", "neighbor_id"]).agg(
-        F.count("*").alias("__n_hit")
+    # lazy checkpoints: both result sets feed two downstream consumers
+    # (recall join + rank/row stats); without the lineage cut each
+    # consumer re-executes the whole scoring pipeline
+    ivf = similarity.knn_ivf(
+        emb, queries, k=10, n_centroids=16, n_probes=3
+    ).localCheckpoint(eager=False)
+    bf = similarity.knn_bruteforce(emb, queries, k=10).localCheckpoint(
+        eager=False
     )
-    n_truth = bf.agg(F.count("*").alias("__n_truth"))
+    # one pass over bf for BOTH totals: left-join an ivf hit marker
+    marked = bf.join(
+        ivf.select("query_id", "neighbor_id").withColumn("__hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    stats = marked.agg(
+        F.count("*").alias("__n_truth"), F.count("__hit").alias("__n_hit")
+    )
     ranks_ok = (
         ivf.groupBy("query_id")
         .agg(
@@ -1169,8 +1188,7 @@ def knn_ivf_query(spark, sf_dir):
     n_q = queries.agg(F.count("*").alias("n_queries"))
     return (
         n_q.crossJoin(ranks_ok)
-        .crossJoin(n_hit)
-        .crossJoin(n_truth)
+        .crossJoin(stats)
         .select(
             "n_queries",
             "ranks_well_formed",
