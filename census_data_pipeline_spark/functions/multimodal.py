@@ -76,10 +76,11 @@ def decode_image(payload: bytes) -> object:
     formats whose specs are fully expressible with ``struct`` + ``zlib``:
 
     - **BMP**: uncompressed BI_RGB, 24/32-bit, top-down or bottom-up.
-    - **PNG**: 8-bit gray/RGB/RGBA/palette (PLTE lookup), non-interlaced,
-      all five scanline filters (None/Sub/Up/Average/Paeth, PNG spec §9).
+    - **PNG**: 8-bit gray/RGB/RGBA/palette (PLTE lookup), linear or
+      Adam7-interlaced, all five scanline filters (None/Sub/Up/Average/
+      Paeth, PNG spec §9; interlace passes unfilter independently).
 
-    Anything else (JPEG, interlaced PNG, sub-8-bit depths, ...) still raises
+    Anything else (JPEG, sub-8-bit depths, 16-bit depth, ...) still raises
     NotImplementedError — that gate is the documented container limit,
     and callers (resize_images) fall back to the deterministic fake so
     row counts never depend on payload decodability."""
@@ -89,7 +90,7 @@ def decode_image(payload: bytes) -> object:
         return _decode_bmp(payload)
     raise NotImplementedError(
         "only BMP (24/32-bit BI_RGB) and PNG (8-bit gray/RGB/RGBA/palette, "
-        "non-interlaced) have stdlib decoders; other formats need an "
+        "linear or Adam7) have stdlib decoders; other formats need an "
         "imaging library (PIL/opencv) not available in this container"
     )
 
@@ -154,9 +155,10 @@ def _decode_png(payload: bytes) -> object:
     # color type 3 (palette, r4): scanlines carry one index byte per
     # pixel; output is the RGB PLTE lookup
     channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(ctype_id)
-    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
+    if depth != 8 or channels is None or comp != 0 or filt != 0 \
+            or interlace not in (0, 1):
         raise NotImplementedError(
-            "only 8-bit gray/RGB/RGBA/palette non-interlaced PNG supported "
+            "only 8-bit gray/RGB/RGBA/palette PNG supported "
             f"(depth={depth}, color_type={ctype_id}, interlace={interlace})"
         )
     palette = None
@@ -168,8 +170,15 @@ def _decode_png(payload: bytes) -> object:
     # huge dims or carry a decompression bomb; 2^26 output bytes (64 MB)
     # per image is far above any sane training-data thumbnail
     stride = width * channels
-    expected = height * (stride + 1)
-    if width <= 0 or height <= 0 or expected > (1 << 26):
+    if interlace == 0:
+        expected = height * (stride + 1)
+    else:  # Adam7: per-pass sub-images, each row filtered independently
+        expected = sum(
+            ph * (pw * channels + 1)
+            for pw, ph in _adam7_sizes(width, height)
+            if pw > 0 and ph > 0
+        )
+    if width <= 0 or height <= 0 or height * (stride + 1) > (1 << 26):
         raise ValueError(
             f"PNG dimensions out of supported bounds ({width}x{height}x{channels})"
         )
@@ -178,12 +187,63 @@ def _decode_png(payload: bytes) -> object:
     if len(raw) != expected or dec.unconsumed_tail:
         # wrong size OR a bomb still holding back output past the cap
         raise ValueError("PNG decompressed size mismatch")
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
-    ftypes = arr[:, 0]
-    out = np.zeros((height, stride), dtype=np.uint8)
+    if interlace == 0:
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+        out = _unfilter_scanlines(arr, stride, channels).reshape(
+            height, width, channels
+        )
+    else:
+        out = np.zeros((height, width, channels), dtype=np.uint8)
+        off = 0
+        for (pw, ph), (x0, y0, dx, dy) in zip(
+            _adam7_sizes(width, height), _ADAM7
+        ):
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * channels
+            n = ph * (pstride + 1)
+            sub = np.frombuffer(
+                raw[off : off + n], dtype=np.uint8
+            ).reshape(ph, pstride + 1)
+            off += n
+            px = _unfilter_scanlines(sub, pstride, channels).reshape(
+                ph, pw, channels
+            )
+            out[y0::dy, x0::dx] = px
+    if palette is not None:
+        idx = out.reshape(height, width)
+        if int(idx.max(initial=0)) >= palette.shape[0]:
+            raise ValueError("palette index out of PLTE range")
+        return palette[idx].copy()  # (H, W, 3) RGB lookup
+    return out.copy()
+
+
+# Adam7 pass origins and strides: (x0, y0, dx, dy), PNG spec §8.2
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _adam7_sizes(width: int, height: int) -> list[tuple[int, int]]:
+    return [
+        ((width - x0 + dx - 1) // dx, (height - y0 + dy - 1) // dy)
+        for x0, y0, dx, dy in _ADAM7
+    ]
+
+
+def _unfilter_scanlines(arr: "object", stride: int, channels: int) -> "object":
+    """Reverse PNG scanline filtering over a (rows, stride+1) uint8 array
+    (leading filter byte per row); returns (rows, stride) uint8. Sub/Up
+    are numpy-vectorized (cumsum mod 256 / vector add); Average/Paeth are
+    inherently sequential (reconstructed-left dependency)."""
+    import numpy as np
+
+    rows = arr.shape[0]
+    out = np.zeros((rows, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
-    for y in range(height):
-        ftype = int(ftypes[y])
+    for y in range(rows):
+        ftype = int(arr[y, 0])
         cur = arr[y, 1:].astype(np.int32)
         if ftype == 0:
             res = cur
@@ -219,12 +279,7 @@ def _decode_png(payload: bytes) -> object:
             raise ValueError(f"invalid PNG filter type {ftype}")
         out[y] = res
         prev = res
-    if palette is not None:
-        idx = out.reshape(height, width)
-        if int(idx.max(initial=0)) >= palette.shape[0]:
-            raise ValueError("palette index out of PLTE range")
-        return palette[idx].copy()  # (H, W, 3) RGB lookup
-    return out.reshape(height, width, channels).copy()
+    return out
 
 
 def encode_bmp(pixels: object) -> bytes:

@@ -414,10 +414,14 @@ def test_decode_image_malformed_inputs():
     # truncated pixel data -> size mismatch
     with pytest.raises(ValueError, match="size"):
         multimodal.decode_image(sig + ihdr + chunk(b"IDAT", zlib.compress(b"\x00\x01")) + chunk(b"IEND", b""))
-    # interlaced PNG stays gated, not mis-decoded
+    # truncated interlaced PNG (no IDAT): size mismatch, not a crash
     ihdr_i = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="size"):
         multimodal.decode_image(sig + ihdr_i + chunk(b"IEND", b""))
+    # invalid interlace method byte stays gated
+    ihdr_b = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 2))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(sig + ihdr_b + chunk(b"IEND", b""))
     # compressed (RLE) BMP stays gated
     bmp = bytearray(multimodal.encode_bmp(np.zeros((2, 2, 3), np.uint8)))
     bmp[30:34] = (1).to_bytes(4, "little")  # biCompression = BI_RLE8
@@ -476,6 +480,42 @@ def test_decode_palette_png_golden():
         + _png_chunk(b"IDAT", zlib.compress(raw2)) + _png_chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="index"):
         multimodal.decode_image(bad2)
+
+
+def test_decode_interlaced_png_golden():
+    """Adam7 interlaced RGB PNG (r4): passes built independently in the
+    test (spec §8.2 origins/strides, filter None and Up rows), decoder
+    must reassemble the original pixel grid."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    w = h = 5
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        ys = list(range(y0, h, dy))
+        xs = list(range(x0, w, dx))
+        if not ys or not xs:
+            continue
+        prev = np.zeros(len(xs) * 3, dtype=np.int32)
+        for ri, y in enumerate(ys):
+            row = px[y, xs].reshape(-1).astype(np.int32)
+            if ri % 2 == 0:  # filter None
+                raw += bytes([0]) + row.astype(np.uint8).tobytes()
+            else:  # filter Up against the previous PASS row
+                raw += bytes([2]) + ((row - prev) & 0xFF).astype(np.uint8).tobytes()
+            prev = row
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+    png = sig + ihdr + _png_chunk(b"IDAT", zlib.compress(bytes(raw))) \
+        + _png_chunk(b"IEND", b"")
+    got = multimodal.decode_image(png)
+    assert np.array_equal(got, px)
 
 
 def test_decode_png_bomb_and_bounds_guard():
