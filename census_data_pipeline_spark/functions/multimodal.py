@@ -2,10 +2,12 @@
 
 Image/audio/video payloads are opaque ``BinaryType`` columns + typed
 metadata structs. The Spark-side plumbing — schema, partitioning, Arrow
-batch shape through ``mapInPandas`` — is real and tested; the actual media
-decode is stubbed (image/audio libraries are not in this container) behind
-a clearly-marked NotImplementedError with a deterministic fake used by
-tests.
+batch shape through ``mapInPandas`` — is real and tested, and so is image
+decode for BMP, PNG (incl. palette + Adam7) and baseline JPEG via
+stdlib+numpy (``decode_image``); remaining formats (progressive JPEG,
+16-bit depths, audio/video codecs) stay behind a clearly-marked
+NotImplementedError with a deterministic fake used by tests — the
+documented no-PIL/ffmpeg container limit.
 
 Scale: payloads stay columnar in parquet; feature extraction is an
 embarrassingly parallel ``mapInPandas`` over Arrow batches (no shuffle),
@@ -72,15 +74,18 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 def decode_image(payload: bytes) -> object:
     """Decode an image payload to an HWC uint8 numpy array.
 
-    Stdlib-only decoders (no PIL/opencv in this container) for the two
-    formats whose specs are fully expressible with ``struct`` + ``zlib``:
+    Stdlib-only decoders (no PIL/opencv in this container) — the specs
+    are fully expressible with ``struct`` + ``zlib`` + numpy:
 
     - **BMP**: uncompressed BI_RGB, 24/32-bit, top-down or bottom-up.
     - **PNG**: 8-bit gray/RGB/RGBA/palette (PLTE lookup), linear or
       Adam7-interlaced, all five scanline filters (None/Sub/Up/Average/
       Paeth, PNG spec §9; interlace passes unfilter independently).
+    - **JPEG**: baseline sequential (SOF0, 8-bit, huffman), gray or
+      YCbCr at any sampling factors (4:4:4/4:2:2/4:2:0), byte stuffing,
+      DRI restart markers; JFIF YCbCr->RGB.
 
-    Anything else (JPEG, sub-8-bit depths, 16-bit depth, ...) still raises
+    Anything else (progressive JPEG, sub-8-bit depths, 16-bit, ...) raises
     NotImplementedError — that gate is the documented container limit,
     and callers (resize_images) fall back to the deterministic fake so
     row counts never depend on payload decodability."""
@@ -88,9 +93,11 @@ def decode_image(payload: bytes) -> object:
         return _decode_png(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     raise NotImplementedError(
-        "only BMP (24/32-bit BI_RGB) and PNG (8-bit gray/RGB/RGBA/palette, "
-        "linear or Adam7) have stdlib decoders; other formats need an "
+        "only BMP (24/32-bit BI_RGB), PNG (8-bit, linear or Adam7) and "
+        "baseline JPEG have stdlib decoders; other formats need an "
         "imaging library (PIL/opencv) not available in this container"
     )
 
@@ -280,6 +287,251 @@ def _unfilter_scanlines(arr: "object", stride: int, channels: int) -> "object":
         out[y] = res
         prev = res
     return out
+
+
+# JPEG natural order: zigzag index -> (row-major) position, ITU-T.81 fig 5
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _idct_matrix():
+    import math
+
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for x in range(8):
+        for u in range(8):
+            c = math.sqrt(0.5) if u == 0 else 1.0
+            m[x, u] = 0.5 * c * math.cos((2 * x + 1) * u * math.pi / 16)
+    return m
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded JPEG data with 0xFF00
+    byte-stuffing removal and RSTn marker skipping."""
+
+    def __init__(self, data: bytes, start: int):
+        self.data = data
+        self.pos = start
+        self.bits = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = d[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed 0xFF data byte
+            elif 0xD0 <= nxt <= 0xD7:  # restart marker: skip, reset run
+                self.pos += 1
+                self.bits = 0
+                self.nbits = 0
+                self._fill()
+                return
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+        self.bits = (self.bits << 8) | b
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.bits >> self.nbits) & ((1 << n) - 1)
+        self.bits &= (1 << self.nbits) - 1
+        return v
+
+    def byte_align_reset(self) -> None:
+        self.bits = 0
+        self.nbits = 0
+
+
+def _huff_decode(reader: "_BitReader", lut: dict) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | reader.read(1)
+        length += 1
+        sym = lut.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    # ITU-T.81 F.2.2.1: map t raw bits to the signed coefficient value
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_jpeg(payload: bytes) -> object:
+    """Baseline sequential JPEG (SOF0, huffman, 8-bit) decoder: marker
+    parse -> per-MCU huffman DC/AC decode -> dequant -> IDCT (matrix
+    form) -> nearest-neighbor chroma upsample -> JFIF YCbCr->RGB.
+    Supports gray and 3-component color at any sampling factors (4:4:4 /
+    4:2:2 / 4:2:0), byte stuffing, and DRI restart markers. Progressive
+    (SOF2), arithmetic coding, and 12-bit precision stay gated behind
+    NotImplementedError."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, object] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    n = len(payload)
+    while pos < n:
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[_ZIGZAG] = np.frombuffer(
+                    seg[off + 1 : off + 65], dtype=np.uint8
+                ).astype(np.int32)
+                qt[tq] = tbl.reshape(8, 8)
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 0xF
+                counts = seg[off + 1 : off + 17]
+                off += 17
+                lut, code = {}, 0
+                for ln in range(1, 17):
+                    for _ in range(counts[ln - 1]):
+                        lut[(ln, code)] = seg[off]
+                        off += 1
+                        code += 1
+                    code <<= 1
+                huff[(tc, th)] = lut
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG precision")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"only baseline sequential JPEG (SOF0); got SOF{marker & 0xF}"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF0")
+            ns = seg[0]
+            scan_sel = {}
+            for i in range(ns):
+                cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan_sel[cs] = (tables >> 4, tables & 0xF)
+            return _jpeg_scan(
+                payload, pos + seglen, frame, scan_sel, qt, huff,
+                restart_interval,
+            )
+        elif marker == 0xD9:  # EOI before any scan
+            break
+        pos += seglen
+    raise ValueError("JPEG has no scan data")
+
+
+def _jpeg_scan(payload, start, frame, scan_sel, qt, huff, restart_interval):
+    import numpy as np
+
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    if w <= 0 or h <= 0 or w * h > (1 << 24):  # bomb guard, as PNG
+        raise ValueError(f"JPEG dimensions out of supported bounds ({w}x{h})")
+    if len(comps) not in (1, 3):
+        raise NotImplementedError("only gray or YCbCr JPEG supported")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    m = _idct_matrix()
+    planes = []
+    for c in comps:
+        planes.append(
+            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        )
+    reader = _BitReader(payload, start)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.byte_align_reset()
+                pred = [0] * len(comps)
+            mcu_count += 1
+            for ci, c in enumerate(comps):
+                dc_lut = huff[(0, scan_sel[c["id"]][0])]
+                ac_lut = huff[(1, scan_sel[c["id"]][1])]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros(64, dtype=np.int32)
+                        t = _huff_decode(reader, dc_lut)
+                        diff = _extend(reader.read(t), t) if t else 0
+                        pred[ci] += diff
+                        coef[0] = pred[ci]
+                        kk = 1
+                        while kk < 64:
+                            rs = _huff_decode(reader, ac_lut)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    kk += 16
+                                    continue
+                                break  # EOB
+                            kk += r
+                            if kk > 63:
+                                raise ValueError("JPEG AC run past block end")
+                            coef[_ZIGZAG[kk]] = _extend(reader.read(s), s)
+                            kk += 1
+                        block = coef.reshape(8, 8) * q
+                        px = m @ block @ m.T + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+    # upsample each plane to full MCU-grid resolution, crop, color-convert
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:  # nearest-neighbor chroma upsample
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return out[..., None].copy()
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
 def encode_bmp(pixels: object) -> bytes:

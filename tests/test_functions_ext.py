@@ -293,11 +293,15 @@ def test_binary_payload_and_fake_features(spark):
 
 
 def test_decode_image_gate_for_unknown_formats():
-    # JPEG/unknown magic stays behind the NotImplementedError gate
+    # unknown magic stays behind the NotImplementedError gate
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+        multimodal.decode_image(b"GIF87a not actually supported")
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")  # truncated signature
+    # r4: JPEG magic now dispatches to the real decoder — truncated junk
+    # is a ValueError (total-operator fake path), not a crash
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
 
 
 def _golden_png(filters: list[int]) -> tuple[bytes, "object"]:
@@ -516,6 +520,193 @@ def test_decode_interlaced_png_golden():
         + _png_chunk(b"IEND", b"")
     got = multimodal.decode_image(png)
     assert np.array_equal(got, px)
+
+
+# -- JPEG (r4) -------------------------------------------------------------
+# Minimal baseline-JPEG writer, independent of the decoder under test.
+# Tiny custom huffman tables: 8 symbols at code length 3 for both DC and
+# AC (DHT carries the tables, so the decoder must honor whatever we emit).
+_J_DC_SYMS = [0, 1, 2, 3, 4, 5, 6, 7]
+_J_AC_SYMS = [0x00, 0x01, 0x02, 0x03, 0x04, 0x05, 0x06, 0x07,
+              0x11, 0x21, 0x31, 0x41, 0x12, 0x22, 0x32, 0xF0]
+
+
+def _j_codes(symbols, length):
+    return {sym: (length, i) for i, sym in enumerate(symbols)}
+
+
+class _JBits:
+    def __init__(self):
+        self.acc, self.n, self.out = 0, 0, bytearray()
+
+    def put(self, val, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def flush(self):
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # 1-pad
+        return bytes(self.out)
+
+
+def _encode_block(bits, coef_zz, pred, dc_codes, ac_codes):
+    """coef_zz: 64 coefficients in ZIGZAG order."""
+    diff = coef_zz[0] - pred
+    t = max(diff.bit_length(), (-diff).bit_length()) if diff else 0
+    ln, code = dc_codes[t]
+    bits.put(code, ln)
+    if t:
+        bits.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+    run = 0
+    for k in range(1, 64):
+        v = coef_zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = ac_codes[0xF0]
+            bits.put(code, ln)
+            run -= 16
+        s = max(v.bit_length(), (-v).bit_length())
+        ln, code = ac_codes[(run << 4) | s]
+        bits.put(code, ln)
+        bits.put(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        ln, code = ac_codes[0x00]
+        bits.put(code, ln)
+    return coef_zz[0]
+
+
+def _make_jpeg(w, h, comps, mcu_blocks):
+    """comps: list of (h_samp, v_samp); mcu_blocks: per MCU, per comp, a
+    list of 64-elem zigzag coefficient lists (quant table is all-ones)."""
+    import struct
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0]) + bytes([1] * 64))  # DQT id 0, all ones
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for i, (hs, vs) in enumerate(comps):
+        sof += bytes([i + 1, (hs << 4) | vs, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes([0, 0, 8] + [0] * 13)
+               + bytes(_J_DC_SYMS))
+    out += seg(0xC4, bytes([0x10]) + bytes([0, 0, 0, 16] + [0] * 12)
+               + bytes(_J_AC_SYMS))
+    sos = bytes([len(comps)])
+    for i in range(len(comps)):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    bits = _JBits()
+    dc_codes, ac_codes = _j_codes(_J_DC_SYMS, 3), _j_codes(_J_AC_SYMS, 4)
+    preds = [0] * len(comps)
+    for mcu in mcu_blocks:
+        for ci, blocks in enumerate(mcu):
+            for zz in blocks:
+                preds[ci] = _encode_block(bits, zz, preds[ci], dc_codes, ac_codes)
+    return out + bits.flush() + b"\xff\xd9"
+
+
+def _dc_only(dc):
+    return [dc] + [0] * 63
+
+
+def test_decode_jpeg_flat_gray():
+    """DC-only block with unit quant: IDCT of F(0,0)=c is uniformly c/8,
+    level-shifted +128 — hand-computable golden."""
+    import numpy as np
+
+    png = _make_jpeg(8, 8, [(1, 1)], [[[_dc_only(64)]]])
+    got = multimodal.decode_image(png)
+    assert got.shape == (8, 8, 1)
+    assert np.all(got == 136)  # 64/8 + 128
+    neg = _make_jpeg(8, 8, [(1, 1)], [[[_dc_only(-64)]]])
+    assert np.all(multimodal.decode_image(neg) == 120)
+
+
+def test_decode_jpeg_single_ac_coefficient():
+    """One AC coefficient F(0,1)=40: expected from the spec's IDCT sum,
+    written directly in the test (independent of the decoder's matrix
+    form)."""
+    import math
+
+    import numpy as np
+
+    zz = [0] * 64
+    zz[1] = 40  # zigzag index 1 == position (u=0, v=1) horizontal freq
+    jpg = _make_jpeg(8, 8, [(1, 1)], [[[zz]]])
+    got = multimodal.decode_image(jpg)[:, :, 0].astype(float)
+    exp = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            s = 0.25 * (1 / math.sqrt(2)) * 1.0 * 40 \
+                * math.cos((2 * x + 1) * 1 * math.pi / 16) * 1.0
+            exp[y, x] = min(max(round(s + 128), 0), 255)
+    assert np.array_equal(got, exp)
+
+
+def test_decode_jpeg_color_and_420_subsampling():
+    """3-component flat color: 4:4:4 single MCU and 4:2:0 16x16 MCU
+    (4 Y blocks + 1 Cb + 1 Cr) must both produce the JFIF-converted flat
+    RGB everywhere."""
+    import numpy as np
+
+    y_dc, cb_dc, cr_dc = 0, 64, -64  # Y=128, Cb=136, Cr=120
+    yv, cbv, crv = 128.0, 136.0 - 128, 120.0 - 128
+    exp = [
+        min(max(round(yv + 1.402 * crv), 0), 255),
+        min(max(round(yv - 0.344136 * cbv - 0.714136 * crv), 0), 255),
+        min(max(round(yv + 1.772 * cbv), 0), 255),
+    ]
+    j444 = _make_jpeg(
+        8, 8, [(1, 1), (1, 1), (1, 1)],
+        [[[_dc_only(y_dc)], [_dc_only(cb_dc)], [_dc_only(cr_dc)]]],
+    )
+    got = multimodal.decode_image(j444)
+    assert got.shape == (8, 8, 3)
+    assert np.all(got == np.array(exp, dtype=np.uint8))
+    j420 = _make_jpeg(
+        16, 16, [(2, 2), (1, 1), (1, 1)],
+        [[[_dc_only(y_dc)] * 4, [_dc_only(cb_dc)], [_dc_only(cr_dc)]]],
+    )
+    got2 = multimodal.decode_image(j420)
+    assert got2.shape == (16, 16, 3)
+    assert np.all(got2 == np.array(exp, dtype=np.uint8))
+
+
+def test_decode_jpeg_stuffing_gate_and_crop():
+    """Byte-stuffed entropy data decodes (0xFF00 in stream), non-multiple
+    -of-8 dims crop, and progressive JPEG stays gated."""
+    import struct
+
+    import numpy as np
+
+    # DC diff 127 -> size 7, bits 1111111 + 3-bit codes of 1s produce
+    # 0xFF bytes the writer must stuff
+    jpg = _make_jpeg(8, 8, [(1, 1)], [[[_dc_only(127)]]])
+    scan = jpg[jpg.index(b"\xff\xda"):]
+    assert b"\xff\x00" in scan
+    got = multimodal.decode_image(jpg)
+    assert np.all(got == min(255, round(127 / 8 + 128)))
+    # 5x6 image: one padded MCU, cropped output
+    crop = multimodal.decode_image(_make_jpeg(5, 6, [(1, 1)], [[[_dc_only(64)]]]))
+    assert crop.shape == (6, 5, 1) and np.all(crop == 136)
+    # progressive (SOF2) gated
+    prog = _make_jpeg(8, 8, [(1, 1)], [[[_dc_only(0)]]]).replace(
+        b"\xff\xc0", b"\xff\xc2", 1
+    )
+    with pytest.raises(NotImplementedError, match="SOF"):
+        multimodal.decode_image(prog)
 
 
 def test_decode_png_bomb_and_bounds_guard():
