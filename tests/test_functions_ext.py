@@ -584,7 +584,7 @@ def _encode_block(bits, coef_zz, pred, dc_codes, ac_codes):
     return coef_zz[0]
 
 
-def _make_jpeg(w, h, comps, mcu_blocks):
+def _make_jpeg(w, h, comps, mcu_blocks, restart_interval=0):
     """comps: list of (h_samp, v_samp); mcu_blocks: per MCU, per comp, a
     list of 64-elem zigzag coefficient lists (quant table is all-ones)."""
     import struct
@@ -602,19 +602,29 @@ def _make_jpeg(w, h, comps, mcu_blocks):
                + bytes(_J_DC_SYMS))
     out += seg(0xC4, bytes([0x10]) + bytes([0, 0, 0, 16] + [0] * 12)
                + bytes(_J_AC_SYMS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([len(comps)])
     for i in range(len(comps)):
         sos += bytes([i + 1, 0x00])
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
-    bits = _JBits()
     dc_codes, ac_codes = _j_codes(_J_DC_SYMS, 3), _j_codes(_J_AC_SYMS, 4)
+    entropy = b""
+    bits = _JBits()
     preds = [0] * len(comps)
-    for mcu in mcu_blocks:
+    rst = 0
+    for mi, mcu in enumerate(mcu_blocks):
+        if restart_interval and mi and mi % restart_interval == 0:
+            entropy += bits.flush() + bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            bits = _JBits()
+            preds = [0] * len(comps)  # DC predictors reset at restart
         for ci, blocks in enumerate(mcu):
             for zz in blocks:
                 preds[ci] = _encode_block(bits, zz, preds[ci], dc_codes, ac_codes)
-    return out + bits.flush() + b"\xff\xd9"
+    entropy += bits.flush()
+    return out + entropy + b"\xff\xd9"
 
 
 def _dc_only(dc):
@@ -707,6 +717,45 @@ def test_decode_jpeg_stuffing_gate_and_crop():
     )
     with pytest.raises(NotImplementedError, match="SOF"):
         multimodal.decode_image(prog)
+
+
+def test_decode_jpeg_restart_markers():
+    """DRI=2: RSTn markers between MCU groups reset the bit stream and DC
+    predictors — a 32x8 gray image (4 MCUs, 2 restarts) with per-MCU DC
+    values must decode to its per-block flat values."""
+    import numpy as np
+
+    dcs = [8, 16, -8, 24]  # absolute DC per MCU (preds reset every 2)
+    mcus, prev = [], 0
+    for i, dc in enumerate(dcs):
+        if i % 2 == 0:
+            prev = 0  # writer resets predictor at each restart boundary
+        mcus.append([[_dc_only(dc)]])
+        prev = dc
+    # writer tracks predictors itself; feed ABSOLUTE values via coef[0]
+    jpg = _make_jpeg(32, 8, [(1, 1)], mcus, restart_interval=2)
+    assert any(bytes([0xFF, 0xD0 + i]) in jpg for i in range(8))
+    got = multimodal.decode_image(jpg)[:, :, 0]
+    for i, dc in enumerate(dcs):
+        assert np.all(got[:, i * 8:(i + 1) * 8] == dc // 8 + 128), i
+
+
+def test_resize_images_real_jpeg_payload(spark):
+    """A real baseline JPEG through the Spark resize path: decoded (not
+    faked), resampled, re-encoded as BMP with recomputed metadata."""
+    import hashlib
+
+    jpg = _make_jpeg(8, 8, [(1, 1)], [[[_dc_only(64)]]])
+    df = spark.createDataFrame(
+        [(1, jpg, "image/jpeg")],
+        "doc_id long, payload binary, media_type string",
+    )
+    row = multimodal.resize_images(df, 4, 4).collect()[0]
+    assert row.media_type == "image/bmp" and row.payload[:2] == b"BM"
+    px = multimodal.decode_image(bytes(row.payload))
+    assert px.shape == (4, 4, 3)
+    assert (px == 136).all()  # flat gray survives resample + BMP round-trip
+    assert row.checksum == hashlib.sha256(bytes(row.payload)).hexdigest()
 
 
 def test_decode_png_bomb_and_bounds_guard():
