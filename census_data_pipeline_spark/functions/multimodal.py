@@ -534,6 +534,121 @@ def _jpeg_scan(payload, start, frame, scan_sel, qt, huff, restart_interval):
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
+def decode_wav(payload: bytes) -> tuple[object, int]:
+    """Decode a RIFF/WAVE PCM payload to (samples, sample_rate) — samples
+    as float64 in [-1, 1], shape (n_frames, n_channels). Stdlib-only
+    (struct + numpy): 8-bit unsigned, 16-bit and 32-bit signed PCM
+    (format tag 1) are supported; compressed formats (float, ADPCM,
+    mp3-in-wav) raise NotImplementedError, malformed payloads ValueError
+    — both fall into callers' deterministic-fake gates."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    n = len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    tag, channels, rate, _byte_rate, _block, bits = fmt
+    if tag != 1:
+        raise NotImplementedError(f"only PCM WAV supported (format tag {tag})")
+    if channels < 1 or rate <= 0:
+        raise ValueError("malformed WAV fmt chunk")
+    if bits == 8:
+        raw = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+        samples = (raw - 128.0) / 128.0
+    elif bits == 16:
+        raw = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+        samples = raw.astype(np.float64) / 32768.0
+    elif bits == 32:
+        raw = np.frombuffer(data[: len(data) // 4 * 4], dtype="<i4")
+        samples = raw.astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"unsupported WAV bit depth {bits}")
+    frames = samples[: len(samples) // channels * channels]
+    return frames.reshape(-1, channels), rate
+
+
+def audio_features(samples: object, rate: int) -> dict:
+    """Deterministic per-clip audio statistics over decoded PCM
+    (channel-averaged): frame count, duration, RMS, peak, zero-crossing
+    count — the feature-extraction stage a training-data pipeline runs
+    before filtering/balancing an audio corpus."""
+    import numpy as np
+
+    mono = np.asarray(samples, dtype=np.float64).mean(axis=1)
+    nf = int(mono.shape[0])
+    zc = int(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+    return {
+        "n_frames": nf,
+        "duration_s": nf / rate if rate else 0.0,
+        "rms": float(np.sqrt(np.mean(mono**2))) if nf else 0.0,
+        "peak": float(np.max(np.abs(mono))) if nf else 0.0,
+        "zero_crossings": zc,
+    }
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """mapInPandas audio feature extraction over binary WAV payloads:
+    decode_wav -> audio_features per row; undecodable payloads get the
+    deterministic byte-stat fake (n_frames = byte_len, rms/peak from the
+    byte mean) so the operator is total — same contract as resize_images.
+    1 row in -> 1 row out; no shuffle; Arrow-batched."""
+    out_schema = (
+        "doc_id long, n_frames long, duration_s double, rms double, "
+        "peak double, zero_crossings long, decoded boolean"
+    )
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+    _decode, _feats = decode_wav, audio_features
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct as _struct
+
+        import pandas as _pd
+
+        def one(b: bytes) -> tuple:
+            try:
+                samples, rate = _decode(bytes(b))
+                f = _feats(samples, rate)
+                return (f["n_frames"], f["duration_s"], f["rms"], f["peak"],
+                        f["zero_crossings"], True)
+            except (NotImplementedError, ValueError, IndexError, _struct.error):
+                nb = len(b)
+                mean = (float(sum(b)) / nb / 255.0) if nb else 0.0
+                return (nb, 0.0, mean, mean, 0, False)
+
+        for batch in batches:
+            rows = [one(b) for b in batch["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_frames": [r[0] for r in rows],
+                    "duration_s": [r[1] for r in rows],
+                    "rms": [r[2] for r in rows],
+                    "peak": [r[3] for r in rows],
+                    "zero_crossings": [r[4] for r in rows],
+                    "decoded": [r[5] for r in rows],
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=out_schema)
+
+
 def encode_bmp(pixels: object) -> bytes:
     """Encode an HWC uint8 array (1/3/4 channels) as an uncompressed
     24-bit bottom-up BMP — the deterministic stdlib re-encode target for

@@ -746,6 +746,62 @@ def multimodal_features(spark, sf_dir):
 
 
 @query(
+    "multimodal_audio_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(800 + (doc_id % 5) * 160 AS BIGINT) AS n_frames,
+           (800 + (doc_id % 5) * 160) / 8000.0 AS duration_s,
+           CAST(0.375 AS DOUBLE) AS rms,
+           CAST(0.375 AS DOUBLE) AS peak,
+           CAST((800 + (doc_id % 5) * 160) // 40 - 1 AS BIGINT)
+             AS zero_crossings,
+           TRUE AS decoded
+    FROM documents
+    """,
+)
+def multimodal_audio_features(spark, sf_dir):
+    """Audio leg of the multimodal tier (r4): a deterministic 8 kHz
+    square-wave WAV is synthesized per doc (amplitude 12288/32768 = an
+    FP-exact 0.375; period 80 frames; length keyed on doc_id), then
+    REALLY decoded (multimodal.decode_wav — RIFF parse, PCM scaling) and
+    featurized (RMS / peak / zero crossings) through Arrow mapInPandas.
+    The oracle is the square wave's closed form: rms = peak = amplitude,
+    crossings = n/half_period - 1 — so a wrong RIFF offset, PCM scale
+    factor, or sign convention breaks the hash, not just a row count."""
+    import struct as _struct
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        half = np.concatenate(
+            [np.full(40, 12288, "<i2"), np.full(40, -12288, "<i2")]
+        )
+
+        def wav(d: int) -> bytes:
+            n = 800 + (d % 5) * 160  # multiple of 80: whole periods
+            data = np.tile(half, n // 80).tobytes()
+            return (
+                b"RIFF" + _struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                + b"data" + _struct.pack("<I", len(data)) + data
+            )
+
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "payload": [wav(int(d)) for d in batch["doc_id"]],
+                }
+            )
+
+    payloads = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    return multimodal.extract_audio_features(payloads)
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
     WITH p AS (SELECT doc_id, encode(text) AS payload FROM documents),

@@ -758,6 +758,72 @@ def test_resize_images_real_jpeg_payload(spark):
     assert row.checksum == hashlib.sha256(bytes(row.payload)).hexdigest()
 
 
+# -- WAV audio (r4) --------------------------------------------------------
+def _make_wav(samples_i16, rate=8000, channels=1, bits=16, tag=1):
+    import struct
+
+    import numpy as np
+
+    if bits == 16:
+        data = np.asarray(samples_i16, dtype="<i2").tobytes()
+    elif bits == 8:
+        data = bytes(np.asarray(samples_i16, dtype=np.uint8))
+    else:
+        data = np.asarray(samples_i16, dtype="<i4").tobytes()
+    block = channels * bits // 8
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, tag, channels, rate,
+                                rate * block, block, bits)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_decode_wav_pcm_golden():
+    import numpy as np
+
+    # 16-bit: exact power-of-two amplitudes
+    samples, rate = multimodal.decode_wav(_make_wav([16384, -16384, 0, 32767]))
+    assert rate == 8000 and samples.shape == (4, 1)
+    assert np.allclose(samples[:, 0], [0.5, -0.5, 0.0, 32767 / 32768])
+    # 8-bit unsigned: 128 -> 0.0, 255 -> ~1, 0 -> -1
+    s8, _ = multimodal.decode_wav(_make_wav([128, 255, 0], bits=8))
+    assert np.allclose(s8[:, 0], [0.0, 127 / 128, -1.0])
+    # stereo framing
+    st, _ = multimodal.decode_wav(_make_wav([100, -100, 200, -200], channels=2))
+    assert st.shape == (2, 2)
+    # gates: non-PCM tag and bad magic
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_wav(_make_wav([0], tag=3))
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(b"RIFX not a wave")
+
+
+def test_audio_features_square_wave():
+    import numpy as np
+
+    half = np.concatenate([np.full(40, 0.375), np.full(40, -0.375)])
+    mono = np.tile(half, 10).reshape(-1, 1)  # 800 frames
+    f = multimodal.audio_features(mono, 8000)
+    assert f["n_frames"] == 800
+    assert f["duration_s"] == 800 / 8000
+    assert f["rms"] == 0.375 and f["peak"] == 0.375
+    assert f["zero_crossings"] == 800 // 40 - 1
+
+
+def test_extract_audio_features_total_on_junk(spark):
+    """Real WAV decodes; junk and truncated RIFF fall back to the
+    deterministic byte-stat fake — the operator is total."""
+    wav = _make_wav([16384, -16384] * 100)
+    rows = [(1, wav), (2, b"not audio at all"), (3, b"RIFF\x00\x00\x00\x00WAVE")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in multimodal.extract_audio_features(df).collect()}
+    assert out[1].decoded and out[1].n_frames == 200
+    assert out[1].rms == 0.5 and out[1].zero_crossings == 199
+    assert not out[2].decoded and out[2].n_frames == len(b"not audio at all")
+    assert not out[3].decoded
+
+
 def test_decode_png_bomb_and_bounds_guard():
     """ADVICE r3: a tiny payload must not be able to allocate gigabytes —
     dims are bounded BEFORE decompression, and decompression itself is
