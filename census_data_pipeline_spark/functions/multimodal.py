@@ -3,9 +3,10 @@
 Image/audio/video payloads are opaque ``BinaryType`` columns + typed
 metadata structs. The Spark-side plumbing — schema, partitioning, Arrow
 batch shape through ``mapInPandas`` — is real and tested, and so is image
-decode for BMP, PNG (incl. palette + Adam7) and baseline JPEG via
-stdlib+numpy (``decode_image``); remaining formats (progressive JPEG,
-16-bit depths, audio/video codecs) stay behind a clearly-marked
+decode for BMP, PNG (incl. palette, 16-bit, Adam7) and baseline JPEG via
+stdlib+numpy (``decode_image``) and WAV/PCM audio (``decode_wav``);
+remaining formats (progressive JPEG, compressed audio, video codecs)
+stay behind a clearly-marked
 NotImplementedError with a deterministic fake used by tests — the
 documented no-PIL/ffmpeg container limit.
 
@@ -78,14 +79,15 @@ def decode_image(payload: bytes) -> object:
     are fully expressible with ``struct`` + ``zlib`` + numpy:
 
     - **BMP**: uncompressed BI_RGB, 24/32-bit, top-down or bottom-up.
-    - **PNG**: 8-bit gray/RGB/RGBA/palette (PLTE lookup), linear or
+    - **PNG**: 8/16-bit gray/RGB/RGBA + 8-bit palette (PLTE lookup),
+      16-bit high-byte downsampled, linear or
       Adam7-interlaced, all five scanline filters (None/Sub/Up/Average/
       Paeth, PNG spec §9; interlace passes unfilter independently).
     - **JPEG**: baseline sequential (SOF0, 8-bit, huffman), gray or
       YCbCr at any sampling factors (4:4:4/4:2:2/4:2:0), byte stuffing,
       DRI restart markers; JFIF YCbCr->RGB.
 
-    Anything else (progressive JPEG, sub-8-bit depths, 16-bit, ...) raises
+    Anything else (progressive JPEG, sub-8-bit depths, ...) raises
     NotImplementedError — that gate is the documented container limit,
     and callers (resize_images) fall back to the deterministic fake so
     row counts never depend on payload decodability."""
@@ -162,12 +164,19 @@ def _decode_png(payload: bytes) -> object:
     # color type 3 (palette, r4): scanlines carry one index byte per
     # pixel; output is the RGB PLTE lookup
     channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(ctype_id)
-    if depth != 8 or channels is None or comp != 0 or filt != 0 \
+    ok_depth = depth == 8 or (depth == 16 and ctype_id != 3)
+    if not ok_depth or channels is None or comp != 0 or filt != 0 \
             or interlace not in (0, 1):
         raise NotImplementedError(
-            "only 8-bit gray/RGB/RGBA/palette PNG supported "
+            "only 8/16-bit gray/RGB/RGBA and 8-bit palette PNG supported "
             f"(depth={depth}, color_type={ctype_id}, interlace={interlace})"
         )
+    # 16-bit samples are big-endian; after unfiltering we keep the high
+    # byte (the standard 16->8 downsample). Filters operate on BYTES with
+    # the left neighbor bpp bytes back (PNG spec 9.2), so the unfilter
+    # helper just gets a wider lane.
+    sample_bytes = depth // 8
+    bpp = channels * sample_bytes
     palette = None
     if ctype_id == 3:
         if plte is None or len(plte) % 3 or not 3 <= len(plte) <= 768:
@@ -176,12 +185,12 @@ def _decode_png(payload: bytes) -> object:
     # bound BEFORE decompressing: untrusted scraped payloads can declare
     # huge dims or carry a decompression bomb; 2^26 output bytes (64 MB)
     # per image is far above any sane training-data thumbnail
-    stride = width * channels
+    stride = width * bpp
     if interlace == 0:
         expected = height * (stride + 1)
     else:  # Adam7: per-pass sub-images, each row filtered independently
         expected = sum(
-            ph * (pw * channels + 1)
+            ph * (pw * bpp + 1)
             for pw, ph in _adam7_sizes(width, height)
             if pw > 0 and ph > 0
         )
@@ -196,27 +205,29 @@ def _decode_png(payload: bytes) -> object:
         raise ValueError("PNG decompressed size mismatch")
     if interlace == 0:
         arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
-        out = _unfilter_scanlines(arr, stride, channels).reshape(
-            height, width, channels
+        out = _unfilter_scanlines(arr, stride, bpp).reshape(
+            height, width, bpp
         )
     else:
-        out = np.zeros((height, width, channels), dtype=np.uint8)
+        out = np.zeros((height, width, bpp), dtype=np.uint8)
         off = 0
         for (pw, ph), (x0, y0, dx, dy) in zip(
             _adam7_sizes(width, height), _ADAM7
         ):
             if pw <= 0 or ph <= 0:
                 continue
-            pstride = pw * channels
+            pstride = pw * bpp
             n = ph * (pstride + 1)
             sub = np.frombuffer(
                 raw[off : off + n], dtype=np.uint8
             ).reshape(ph, pstride + 1)
             off += n
-            px = _unfilter_scanlines(sub, pstride, channels).reshape(
-                ph, pw, channels
+            px = _unfilter_scanlines(sub, pstride, bpp).reshape(
+                ph, pw, bpp
             )
             out[y0::dy, x0::dx] = px
+    if sample_bytes == 2:
+        out = np.ascontiguousarray(out[:, :, ::2])  # big-endian high byte
     if palette is not None:
         idx = out.reshape(height, width)
         if int(idx.max(initial=0)) >= palette.shape[0]:
@@ -239,10 +250,13 @@ def _adam7_sizes(width: int, height: int) -> list[tuple[int, int]]:
     ]
 
 
-def _unfilter_scanlines(arr: "object", stride: int, channels: int) -> "object":
+def _unfilter_scanlines(arr: "object", stride: int, bpp: int) -> "object":
     """Reverse PNG scanline filtering over a (rows, stride+1) uint8 array
-    (leading filter byte per row); returns (rows, stride) uint8. Sub/Up
-    are numpy-vectorized (cumsum mod 256 / vector add); Average/Paeth are
+    (leading filter byte per row); returns (rows, stride) uint8. ``bpp``
+    is the filter's left-neighbor distance in BYTES (channels x
+    bytes-per-sample, PNG spec 9.2) — byte lanes are independent mod 256,
+    so the same code covers 8- and 16-bit depths. Sub/Up are
+    numpy-vectorized (cumsum mod 256 / vector add); Average/Paeth are
     inherently sequential (reconstructed-left dependency)."""
     import numpy as np
 
@@ -258,7 +272,7 @@ def _unfilter_scanlines(arr: "object", stride: int, channels: int) -> "object":
             # recon[p] = Σ raw[0..p] (mod 256), so one cumsum vectorizes
             # the whole scanline (addition mod 256 is associative)
             res = (
-                np.cumsum(cur.reshape(-1, channels), axis=0, dtype=np.int64)
+                np.cumsum(cur.reshape(-1, bpp), axis=0, dtype=np.int64)
                 .reshape(-1) & 0xFF
             )
         elif ftype == 2:  # Up — plain vector add with the previous row
@@ -267,16 +281,16 @@ def _unfilter_scanlines(arr: "object", stride: int, channels: int) -> "object":
             # non-associative //2: inherently sequential per scanline
             cl, pl, res_l = cur.tolist(), prev.tolist(), []
             for i in range(stride):
-                left = res_l[i - channels] if i >= channels else 0
+                left = res_l[i - bpp] if i >= bpp else 0
                 res_l.append((cl[i] + (left + pl[i]) // 2) & 0xFF)
             res = np.array(res_l, dtype=np.int32)
         elif ftype == 4:  # Paeth — sequential (predictor is branchy on
             # the reconstructed left neighbor)
             cl, pl, res_l = cur.tolist(), prev.tolist(), []
             for i in range(stride):
-                a = res_l[i - channels] if i >= channels else 0
+                a = res_l[i - bpp] if i >= bpp else 0
                 b = pl[i]
-                c = pl[i - channels] if i >= channels else 0
+                c = pl[i - bpp] if i >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)

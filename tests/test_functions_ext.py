@@ -758,6 +758,47 @@ def test_resize_images_real_jpeg_payload(spark):
     assert row.checksum == hashlib.sha256(bytes(row.payload)).hexdigest()
 
 
+def test_decode_16bit_png_golden():
+    """Depth-16 RGB PNG: filters run over 6-byte pixel lanes (Sub's left
+    distance = channels x 2), output keeps the big-endian high byte."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    # 2x2 RGB, 16-bit samples; high bytes chosen distinct per pixel
+    hi = np.array([[[10, 20, 30], [40, 50, 60]],
+                   [[70, 80, 90], [100, 110, 120]]], dtype=np.uint8)
+    lo = 0xAB
+    rows = bytearray()
+    # row 0: filter None — interleave high/low bytes
+    r0 = bytearray()
+    for p in range(2):
+        for c in range(3):
+            r0 += bytes([hi[0, p, c], lo])
+    rows += bytes([0]) + r0
+    # row 1: filter Sub with bpp=6 — second pixel stored as delta
+    r1raw = bytearray()
+    for p in range(2):
+        for c in range(3):
+            r1raw += bytes([hi[1, p, c], lo])
+    r1 = bytearray(r1raw[:6])
+    for i in range(6, 12):
+        r1.append((r1raw[i] - r1raw[i - 6]) & 0xFF)
+    rows += bytes([1]) + r1
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+    png = sig + ihdr + _png_chunk(b"IDAT", zlib.compress(bytes(rows))) \
+        + _png_chunk(b"IEND", b"")
+    got = multimodal.decode_image(png)
+    assert got.shape == (2, 2, 3)
+    assert np.array_equal(got, hi)
+    # 16-bit palette is spec-invalid and stays gated
+    ihdr_p = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(sig + ihdr_p + _png_chunk(b"IEND", b""))
+
+
 # -- WAV audio (r4) --------------------------------------------------------
 def _make_wav(samples_i16, rate=8000, channels=1, bits=16, tag=1):
     import struct
