@@ -79,7 +79,8 @@ def decode_image(payload: bytes) -> object:
     are fully expressible with ``struct`` + ``zlib`` + numpy:
 
     - **BMP**: uncompressed BI_RGB, 24/32-bit, top-down or bottom-up.
-    - **PNG**: 8/16-bit gray/RGB/RGBA + 8-bit palette (PLTE lookup),
+    - **PNG**: 8/16-bit gray/RGB/RGBA + 1/2/4/8-bit palette and packed
+      gray (PLTE lookup / MSB-first unpack, gray scaled to full range),
       16-bit high-byte downsampled, linear or
       Adam7-interlaced, all five scanline filters (None/Sub/Up/Average/
       Paeth, PNG spec §9; interlace passes unfilter independently).
@@ -87,7 +88,7 @@ def decode_image(payload: bytes) -> object:
       YCbCr at any sampling factors (4:4:4/4:2:2/4:2:0), byte stuffing,
       DRI restart markers; JFIF YCbCr->RGB.
 
-    Anything else (progressive JPEG, sub-8-bit depths, ...) raises
+    Anything else (progressive JPEG, sub-8-bit Adam7, ...) raises
     NotImplementedError — that gate is the documented container limit,
     and callers (resize_images) fall back to the deterministic fake so
     row counts never depend on payload decodability."""
@@ -164,19 +165,28 @@ def _decode_png(payload: bytes) -> object:
     # color type 3 (palette, r4): scanlines carry one index byte per
     # pixel; output is the RGB PLTE lookup
     channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(ctype_id)
-    ok_depth = depth == 8 or (depth == 16 and ctype_id != 3)
+    ok_depth = (
+        depth == 8
+        or (depth == 16 and ctype_id != 3)
+        or (depth in (1, 2, 4) and ctype_id in (0, 3))  # packed gray/palette
+    )
     if not ok_depth or channels is None or comp != 0 or filt != 0 \
             or interlace not in (0, 1):
         raise NotImplementedError(
-            "only 8/16-bit gray/RGB/RGBA and 8-bit palette PNG supported "
+            "only 1/2/4/8/16-bit PNG color types 0/2/3/6 supported "
             f"(depth={depth}, color_type={ctype_id}, interlace={interlace})"
+        )
+    if depth in (1, 2, 4) and interlace == 1:
+        raise NotImplementedError(
+            "sub-8-bit Adam7 PNG unsupported (per-pass bit packing)"
         )
     # 16-bit samples are big-endian; after unfiltering we keep the high
     # byte (the standard 16->8 downsample). Filters operate on BYTES with
-    # the left neighbor bpp bytes back (PNG spec 9.2), so the unfilter
-    # helper just gets a wider lane.
+    # the left neighbor max(1, bpp) bytes back (PNG spec 9.2) — for
+    # sub-8-bit depths pixels are MSB-first bit-packed and the left
+    # distance is one byte; samples unpack AFTER unfiltering.
     sample_bytes = depth // 8
-    bpp = channels * sample_bytes
+    bpp = max(1, channels * sample_bytes)
     palette = None
     if ctype_id == 3:
         if plte is None or len(plte) % 3 or not 3 <= len(plte) <= 768:
@@ -185,7 +195,7 @@ def _decode_png(payload: bytes) -> object:
     # bound BEFORE decompressing: untrusted scraped payloads can declare
     # huge dims or carry a decompression bomb; 2^26 output bytes (64 MB)
     # per image is far above any sane training-data thumbnail
-    stride = width * bpp
+    stride = (width * channels * depth + 7) // 8
     if interlace == 0:
         expected = height * (stride + 1)
     else:  # Adam7: per-pass sub-images, each row filtered independently
@@ -205,9 +215,18 @@ def _decode_png(payload: bytes) -> object:
         raise ValueError("PNG decompressed size mismatch")
     if interlace == 0:
         arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
-        out = _unfilter_scanlines(arr, stride, bpp).reshape(
-            height, width, bpp
-        )
+        rows = _unfilter_scanlines(arr, stride, bpp)
+        if depth in (1, 2, 4):
+            # MSB-first unpack to one byte per pixel, trim row padding
+            unpacked = np.unpackbits(rows, axis=1)
+            px = unpacked.reshape(height, -1, depth)
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            vals = (px * weights).sum(axis=2).astype(np.uint8)[:, :width]
+            if ctype_id == 0:  # gray: scale to full 8-bit range
+                vals = (vals.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
+            out = vals.reshape(height, width, 1)
+        else:
+            out = rows.reshape(height, width, bpp)
     else:
         out = np.zeros((height, width, bpp), dtype=np.uint8)
         off = 0

@@ -799,6 +799,43 @@ def test_decode_16bit_png_golden():
         multimodal.decode_image(sig + ihdr_p + _png_chunk(b"IEND", b""))
 
 
+def test_decode_sub8bit_png_golden():
+    """1/2/4-bit packed PNGs: MSB-first unpack after unfiltering, gray
+    scaled to full range, palette indexed; row padding bits trimmed."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # 4-bit palette, 3x2: indices 0..5 pack two-per-byte, odd width pads
+    pal = bytes([10, 0, 0,  0, 20, 0,  0, 0, 30,  40, 40, 40,
+                 50, 0, 50,  0, 60, 60])
+    idx = np.array([[0, 1, 2], [3, 4, 5]], dtype=np.uint8)
+    raw = bytes([0, 0x01, 0x20]) + bytes([0, 0x34, 0x50])
+    ihdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 4, 3, 0, 0, 0))
+    png = sig + ihdr + _png_chunk(b"PLTE", pal) \
+        + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+    got = multimodal.decode_image(png)
+    exp = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)[idx]
+    assert np.array_equal(got, exp)
+    # 1-bit gray, 10x1: bits 1100110011 -> 255/0 scaled, pad trimmed
+    bits = bytes([0, 0b11001100, 0b11000000])
+    ihdr1 = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 10, 1, 1, 0, 0, 0, 0))
+    png1 = sig + ihdr1 + _png_chunk(b"IDAT", zlib.compress(bits)) \
+        + _png_chunk(b"IEND", b"")
+    got1 = multimodal.decode_image(png1)[:, :, 0]
+    assert np.array_equal(
+        got1[0], np.array([1, 1, 0, 0, 1, 1, 0, 0, 1, 1]) * 255
+    )
+    # 2-bit gray scaling: 0,1,2,3 -> 0,85,170,255
+    bits2 = bytes([0, 0b00011011])
+    ihdr2 = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 1, 2, 0, 0, 0, 0))
+    png2 = sig + ihdr2 + _png_chunk(b"IDAT", zlib.compress(bits2)) \
+        + _png_chunk(b"IEND", b"")
+    assert list(multimodal.decode_image(png2)[0, :, 0]) == [0, 85, 170, 255]
+
+
 # -- WAV audio (r4) --------------------------------------------------------
 def _make_wav(samples_i16, rate=8000, channels=1, bits=16, tag=1):
     import struct
