@@ -804,28 +804,74 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     return cols.mapInPandas(run, schema=out_schema)
 
 
+def decode_video_frames(payload: bytes) -> list:
+    """Extract per-frame payloads from a RIFF/AVI container (the MJPEG
+    case: each '..dc'/'..db' chunk in the 'movi' list is one complete
+    JPEG image, which ``decode_image`` can then decode — a real, fully
+    stdlib video path). Non-AVI or frameless payloads raise ValueError."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    frames: list = []
+    n = len(payload)
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            (clen,) = struct.unpack_from("<I", payload, pos + 4)
+            body = pos + 8
+            if cid == b"LIST":
+                walk(body + 4, min(body + clen, n))
+            elif cid[2:4] in (b"dc", b"db") and clen:
+                frames.append(payload[body : body + clen])
+            pos = body + clen + (clen & 1)  # chunks are word-aligned
+
+    walk(12, n)
+    if not frames:
+        raise ValueError("AVI has no video frames")
+    return frames
+
+
 def sample_frames(
     df: DataFrame, frame_bytes: int = 256, every_n: int = 2
 ) -> DataFrame:
     """mapInPandas frame sampling: one input video payload fans out to one
     row per kept frame (row-expanding batch shape, the 1->N contract a
-    real ffmpeg sampler needs). The frame decoder is the stubbed step; the
-    deterministic fake slices the payload into fixed ``frame_bytes``
-    chunks and keeps every ``every_n``-th. No shuffle; output rows carry
-    (doc_id, frame_idx, frame payload, checksum)."""
+    real ffmpeg sampler needs). RIFF/AVI payloads get REAL container
+    parsing (decode_video_frames — MJPEG frames are complete JPEGs);
+    anything else keeps the deterministic fake (fixed ``frame_bytes``
+    slices) so the operator is total. Every ``every_n``-th frame is kept
+    either way. No shuffle; output rows carry (doc_id, frame_idx, frame
+    payload, checksum)."""
     out_schema = "doc_id long, frame_idx long, frame binary, checksum string"
+
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+    _frames_of = decode_video_frames
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import hashlib as _hashlib
+        import struct as _struct
 
         import pandas as _pd
 
         for batch in batches:
             ids, idxs, frames, sums = [], [], [], []
             for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
-                n_frames = max(len(payload) // frame_bytes, 1)
-                for fi in range(0, n_frames, every_n):
-                    chunk = bytes(payload[fi * frame_bytes:(fi + 1) * frame_bytes])
+                try:
+                    all_frames = _frames_of(bytes(payload))
+                except (ValueError, NotImplementedError, _struct.error):
+                    nb = max(len(payload) // frame_bytes, 1)
+                    all_frames = [
+                        bytes(payload[i * frame_bytes : (i + 1) * frame_bytes])
+                        for i in range(nb)
+                    ]
+                for fi in range(0, len(all_frames), every_n):
+                    chunk = bytes(all_frames[fi])
                     ids.append(doc_id)
                     idxs.append(fi)
                     frames.append(chunk)

@@ -836,6 +836,42 @@ def test_decode_sub8bit_png_golden():
     assert list(multimodal.decode_image(png2)[0, :, 0]) == [0, 85, 170, 255]
 
 
+def _make_avi(frame_payloads):
+    """Minimal RIFF/AVI with a movi LIST of 00dc chunks."""
+    import struct
+
+    movi = b"movi"
+    for f in frame_payloads:
+        movi += b"00dc" + struct.pack("<I", len(f)) + f + (b"\x00" * (len(f) & 1))
+    body = b"AVI " + b"LIST" + struct.pack("<I", len(movi)) + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_video_frames_mjpeg(spark):
+    """MJPEG-in-AVI: container parse yields the JPEG frames, each of
+    which the image decoder can decode — then the Spark sampler keeps
+    every 2nd frame as real JPEG payloads."""
+    import numpy as np
+
+    jpegs = [_make_jpeg(8, 8, [(1, 1)], [[[_dc_only(dc)]]])
+             for dc in (8, 16, 24, 32, 40)]
+    avi = _make_avi(jpegs)
+    frames = multimodal.decode_video_frames(avi)
+    assert frames == jpegs
+    for f, dc in zip(frames, (8, 16, 24, 32, 40)):
+        assert np.all(multimodal.decode_image(f) == dc // 8 + 128)
+    with pytest.raises(ValueError):
+        multimodal.decode_video_frames(b"RIFF\x04\x00\x00\x00WAVE")
+    df = spark.createDataFrame([(1, avi), (2, b"not a video")],
+                               "doc_id long, payload binary")
+    rows = multimodal.sample_frames(df, frame_bytes=4, every_n=2).collect()
+    real = sorted((r.frame_idx, bytes(r.frame)) for r in rows if r.doc_id == 1)
+    assert real == [(0, jpegs[0]), (2, jpegs[2]), (4, jpegs[4])]
+    fake = [r for r in rows if r.doc_id == 2]
+    # 11 bytes -> floor(11/4)=2 fake slices, every 2nd kept -> idx 0 only
+    assert len(fake) == 1 and bytes(fake[0].frame) == b"not "
+
+
 # -- WAV audio (r4) --------------------------------------------------------
 def _make_wav(samples_i16, rate=8000, channels=1, bits=16, tag=1):
     import struct
