@@ -833,6 +833,23 @@ def decode_video_frames(payload: bytes) -> list:
     return frames
 
 
+def encode_avi(frames: list) -> bytes:
+    """Assemble frame payloads into a minimal RIFF/AVI movi list (the
+    inverse of ``decode_video_frames``): '00db' chunks, word-aligned.
+    Enough container structure for the decode path and MJPEG-style
+    pipelines; no index/header lists (players want those, parsers that
+    walk the chunk tree — like ours — don't need them)."""
+    import struct
+
+    movi = b"movi"
+    for f in frames:
+        movi += b"00db" + struct.pack("<I", len(f)) + bytes(f)
+        if len(f) & 1:
+            movi += b"\x00"
+    body = b"AVI " + b"LIST" + struct.pack("<I", len(movi)) + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def sample_frames(
     df: DataFrame, frame_bytes: int = 256, every_n: int = 2
 ) -> DataFrame:

@@ -802,6 +802,85 @@ def multimodal_audio_features(spark, sf_dir):
 
 
 @query(
+    "multimodal_video_frames",
+    oracle="""
+    WITH f AS (SELECT doc_id, unnest(range(0, 3 + doc_id % 3)) AS fi
+               FROM documents)
+    SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+           CAST((doc_id + fi) % 5 + 129 AS DOUBLE) AS mean_pixel
+    FROM f WHERE fi % 2 = 0
+    """,
+)
+def multimodal_video_frames(spark, sf_dir):
+    """Video leg of the multimodal tier (r4), end-to-end REAL: a
+    deterministic AVI is assembled per doc (multimodal.encode_avi; 3-5
+    flat 4x4 BMP frames whose pixel value keys on doc_id + frame index),
+    the container is parsed back by sample_frames' real path
+    (decode_video_frames), every 2nd frame is kept, and each kept frame
+    is DECODED (decode_image) to its mean pixel — so a wrong RIFF walk,
+    frame order, sampling stride, or BMP decode breaks the value hash
+    against the closed form, not just a row count."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    # ship the media helpers BY VALUE (workers cannot import this
+    # package — same contract as resize_images)
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[multimodal.__name__])
+    _enc_avi, _enc_bmp = multimodal.encode_avi, multimodal.encode_bmp
+    _dec_img = multimodal.decode_image
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        encode_avi, encode_bmp = _enc_avi, _enc_bmp
+
+        def avi(d: int) -> bytes:
+            frames = []
+            for fi in range(3 + d % 3):
+                v = (d + fi) % 5 + 129
+                frames.append(encode_bmp(np.full((4, 4, 3), v, np.uint8)))
+            return encode_avi(frames)
+
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "payload": [avi(int(d)) for d in batch["doc_id"]],
+                }
+            )
+
+    payloads = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    sampled = multimodal.sample_frames(payloads, every_n=2)
+
+    def featurize(batches):
+        import numpy as np
+        import pandas as pd
+
+        decode_image = _dec_img
+
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "frame_idx": batch["frame_idx"],
+                    "mean_pixel": [
+                        float(np.asarray(decode_image(bytes(b)),
+                                         dtype=np.float64).mean())
+                        for b in batch["frame"]
+                    ],
+                }
+            )
+
+    return sampled.mapInPandas(
+        featurize, schema="doc_id long, frame_idx long, mean_pixel double"
+    )
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
     WITH p AS (SELECT doc_id, encode(text) AS payload FROM documents),
