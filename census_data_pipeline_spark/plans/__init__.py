@@ -35,7 +35,12 @@ dedup_minhash_ml displaces the r3-green text_tokens_bpeish (text family
 keeps 5 anchors) and knn_ivf displaces the r3-green sample_cap_per_source
 (sampling keeps 5 anchors); every registered query is now oracle-backed.
 The new geo_polygon_overlap takes the r3-green skew_salted_agg's slot
-(the skew family stays represented by skew_salted_join)."""
+(the skew family stays represented by skew_salted_join). The two new
+media queries with FULL value oracles also enter: multimodal_video_frames
+replaces multimodal_frame_sample (which it subsumes — it runs the same
+sample_frames operator and additionally decodes the kept frames), and
+multimodal_audio_features replaces the r3-green events_interpolate_1h
+(the events family keeps six anchors)."""
 
 from census_data_pipeline_spark.plans import (  # noqa: F401
     queries_analytics,
@@ -83,8 +88,10 @@ _CHECKED_PREFIX = [
     "sample_upweight_rare",
     "shuffle_shard_assign",
     "multimodal_payload",
-    "multimodal_frame_sample",
     "multimodal_features",
+    # r4: full-value-oracle media queries (video subsumes frame_sample)
+    "multimodal_video_frames",
+    "multimodal_audio_features",
     # r3 rotation: end-to-end curation composite + mergeable sketch rollup
     "corpus_curation_e2e",
     "sketch_rollup_mergeable",
@@ -92,7 +99,6 @@ _CHECKED_PREFIX = [
     "events_tumbling_1h",
     "events_session_5m",
     "streaming_tumbling_1h",
-    "events_interpolate_1h",
     # r3 rotation: events analytics tier (funnel / cohort / transitions)
     "events_funnel_3step",
     "cohort_retention_weekly",

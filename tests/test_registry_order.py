@@ -49,6 +49,8 @@ FAMILY_REPRESENTATIVES = [
     "dedup_minhash_ml",       # MLlib MinHashLSH accuracy contract (r4)
     "knn_ivf",                # KMeans-IVF accuracy contract (r4)
     "geo_polygon_overlap",    # Sutherland-Hodgman overlay (new r4)
+    "multimodal_video_frames",    # real AVI parse + frame decode (new r4)
+    "multimodal_audio_features",  # real WAV decode + features (new r4)
 ]
 
 
