@@ -87,6 +87,8 @@ HEADLINE_NEW: list[str] = [
     "geo_polygon_overlap",
     "dedup_minhash_ml",
     "knn_ivf",
+    "multimodal_audio_features",
+    "multimodal_video_frames",
 ]
 
 HEADLINE = HEADLINE_R02 + HEADLINE_NEW
@@ -155,6 +157,7 @@ def main() -> None:
     discarded = 0
     flagged: list[str] = []
     cal_max = cal_baseline
+    cal_all: list[float] = []
     mins: dict[str, float] = {}
     means: dict[str, float] = {}
     for name in HEADLINE:
@@ -169,6 +172,7 @@ def main() -> None:
             ).save()
             dt = time.perf_counter() - t0
             cal = _calibrate(spark)
+            cal_all.append(cal)
             cal_max = max(cal_max, cal)
             if cal > _SPIKE_FACTOR * cal_baseline:
                 # host was loaded while (or right after) this sample ran —
@@ -201,10 +205,21 @@ def main() -> None:
                 "calibration": {
                     "baseline_sec": round(cal_baseline, 4),
                     "max_sec": round(cal_max, 4),
+                    "median_sec": round(sorted(cal_all)[len(cal_all) // 2], 4)
+                    if cal_all else round(cal_baseline, 4),
                     "spike_factor": _SPIKE_FACTOR,
                     "spikes": spikes,
                     "discarded_samples": discarded,
                     "still_contaminated": flagged,
+                    # sustained moderate load inflates EVERY sample without
+                    # tripping the per-sample spike threshold; a median
+                    # calibration well above the session baseline is the
+                    # tell (cross-run: compare baseline_sec too)
+                    "sustained_load": bool(
+                        cal_all
+                        and sorted(cal_all)[len(cal_all) // 2]
+                        > 1.25 * cal_baseline
+                    ),
                 },
                 "sf": sf,
             }
