@@ -57,7 +57,8 @@ _CHECKED_PREFIX = [
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "dedup_clusters",
-    "dedup_clusters_star",
+    # (dedup_clusters_star left the prefix in r4 for knn_pq_seeded: it was
+    # driver-green in r3 and shares dedup_clusters' recursive-CTE oracle)
     "dedup_keep_canonical",
     "dedup_embedding_cosine",
     # r4 promotion: MLlib MinHashLSH accuracy contract (was rows-only)
@@ -68,6 +69,8 @@ _CHECKED_PREFIX = [
     "knn_ivf_seeded",
     # r4 promotion: KMeans-IVF accuracy contract (was rows-only)
     "knn_ivf",
+    # r4 addition: PQ-ADC compressed-domain scan + exact re-rank
+    "knn_pq_seeded",
     # §2.11 text analysis / quality / decontamination
     "text_token_stats",
     "text_repetition_stats",

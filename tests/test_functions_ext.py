@@ -280,6 +280,33 @@ def test_knn_ivf_recall_floor_and_multiprobe_lever(spark):
     assert r6 >= r3 >= 0.45 and r6 >= 0.7
 
 
+@pytest.mark.slow
+def test_knn_pq_seeded_recall_and_rerank_lever(spark):
+    """PQ-ADC recall@10 vs brute force on the sf0.001 lake: ranking by
+    approximate distance alone is weak on near-uniform data (measured
+    0.16 at m=8/16 codes — quantization error ≈ the neighbor gap), and
+    the exact re-rank of the top-100 ADC candidates is what lifts it to a
+    usable 0.71. Pin both the floor and the lever."""
+    emb = _sf0001_embeddings(spark)
+    queries = emb.filter("vec_id % 20 = 0")
+    bf = similarity.knn_bruteforce(emb, queries, k=10)
+    adc_only = similarity.knn_pq_seeded(emb, queries, k=10, m=8,
+                                        n_codes=16, dim=64, rerank=None)
+    assert "approx_d2" in adc_only.columns
+    r_adc = _recall_at_10(bf, adc_only)
+    reranked = similarity.knn_pq_seeded(emb, queries, k=10, m=8,
+                                        n_codes=16, dim=64, rerank=100)
+    r_rr = _recall_at_10(bf, reranked)
+    assert r_rr >= 0.6
+    assert r_rr > r_adc
+
+
+def test_knn_pq_seeded_rejects_indivisible_dim(spark):
+    emb = _sf0001_embeddings(spark)
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.knn_pq_seeded(emb, emb.limit(1), m=7, dim=64)
+
+
 # -- multimodal ----------------------------------------------------------
 def test_binary_payload_and_fake_features(spark):
     df = _docs(spark, [(1, "abc"), (2, "")])
