@@ -506,3 +506,60 @@ def _dup_clusters_star(pairs: DataFrame) -> tuple[DataFrame, int]:
         F.coalesce("label", "id").alias("cluster_id"),
     )
     return labels, rounds
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 16,
+) -> DataFrame:
+    """Corpus-level duplicate-SPAN removal (the C4/RefinedWeb line-dedup
+    adapted to token windows): each document is cut into non-overlapping
+    ``span_tokens``-token spans, a span occurrence survives only if it is
+    the globally FIRST occurrence of its content (ordered by (doc id,
+    span index)), and each document is reassembled from its surviving
+    spans in order. Unlike document-level dedup this removes boilerplate
+    repeated ACROSS documents (headers, navboxes, license blurbs) while
+    keeping the unique remainder of every document.
+
+    Returns one row per input document: ``n_spans``, ``n_kept`` and the
+    reassembled ``text_dedup`` ('' when every span was seen before).
+
+    Scale shape: one narrow posexplode fan-out; ONE shuffle on
+    ``md5(span)`` for the first-occurrence rank (md5 keeps the shuffle
+    key 32 bytes regardless of span text, and hash collisions affect
+    Spark and the SQL oracle identically — both group on the digest);
+    one shuffle on doc id to reassemble. No joins, no candidate blowup:
+    heavy duplication COLLAPSES work here (a span duplicated a million
+    times is one partition's rank), the opposite failure mode of pairwise
+    LSH — which is why this is the recommended pre-pass for
+    duplicate-heavy corpora (see SCALING.md hot-bucket note).
+    """
+    t = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(t) / F.lit(float(span_tokens)))
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(t, i * span_tokens + 1, span_tokens)
+        ),
+    )
+    sp = ensure_parallelism(df).select(
+        F.col(id_col), F.posexplode(spans).alias("__idx", "__span")
+    )
+    w = Window.partitionBy(F.md5("__span")).orderBy(id_col, "__idx")
+    ranked = sp.withColumn("__rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("__rn") == 1, F.struct("__idx", "__span")
+    )
+    return ranked.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum((F.col("__rn") == 1).cast("int")).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["__span"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )

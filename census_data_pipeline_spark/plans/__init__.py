@@ -54,8 +54,12 @@ _CHECKED_PREFIX = [
     "flagship_regional_rollup",
     # §2.11 dedup tier
     "dedup_exact",
+    # r4 addition: corpus-level duplicate-span removal (C4-style)
+    "dedup_spans",
     "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
+    # (dedup_simhash_pairs left the prefix in r4 for dedup_spans: it was
+    # driver-green in r3; simhash stays pinned by its unit tests and the
+    # r1-green dedup_simhash singleton)
     "dedup_clusters",
     # (dedup_clusters_star left the prefix in r4 for knn_pq_seeded: it was
     # driver-green in r3 and shares dedup_clusters' recursive-CTE oracle)

@@ -1132,6 +1132,44 @@ def dedup_keep_canonical(spark, sf_dir):
 
 
 @query(
+    "dedup_spans",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    c AS (SELECT doc_id, toks,
+                 CAST(ceil(len(toks) / 16.0) AS BIGINT) AS n_spans
+          FROM t),
+    x AS (SELECT doc_id,
+                 unnest(list_transform(range(0, n_spans),
+                        i -> {'idx': i,
+                              'span': array_to_string(
+                                  toks[i * 16 + 1 : i * 16 + 16], ' ')})) AS u
+          FROM c),
+    s AS (SELECT doc_id, u.idx AS idx, u.span AS span FROM x),
+    r AS (SELECT doc_id, idx, span,
+                 row_number() OVER (PARTITION BY md5(span)
+                                    ORDER BY doc_id, idx) AS rn
+          FROM s)
+    SELECT doc_id,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' '
+                               ORDER BY idx), '') AS text_dedup
+    FROM r GROUP BY doc_id
+    """,
+)
+def dedup_spans(spark, sf_dir):
+    """Corpus-level duplicate-span removal with document reassembly
+    (functions/dedup.span_dedup, 16-token spans): the C4-style boilerplate
+    scrubber — a span survives only at its globally-first occurrence and
+    every document is rebuilt from its surviving spans. One md5-keyed
+    rank shuffle + one reassembly shuffle; duplication collapses work
+    instead of exploding it (the anti-LSH failure mode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.span_dedup(docs, "text", "doc_id", span_tokens=16)
+
+
+@query(
     "embedding_centroid_by_label",
     oracle="""
     WITH e AS (SELECT label, i - 1 AS pos, embedding[i] AS v

@@ -60,6 +60,25 @@ def test_exact_dedup_groups(spark):
     assert out == {1: 2, 3: 1}  # min id kept per content hash
 
 
+def test_span_dedup_keeps_first_occurrence_and_reassembles(spark):
+    """4-token spans: doc 1 owns both spans; doc 2 repeats doc 1's first
+    span then adds a fresh one; doc 3 is entirely doc 1's content
+    (reassembles to ''); span order inside a doc is preserved."""
+    df = _docs(spark, [
+        (1, "a b c d e f g h"),
+        (2, "a b c d x y z w"),
+        (3, "e f g h a b c d"),
+    ])
+    out = {r.doc_id: r for r in
+           dedup.span_dedup(df, span_tokens=4).collect()}
+    assert (out[1].n_spans, out[1].n_kept) == (2, 2)
+    assert out[1].text_dedup == "a b c d e f g h"
+    assert (out[2].n_spans, out[2].n_kept) == (2, 1)
+    assert out[2].text_dedup == "x y z w"
+    assert (out[3].n_spans, out[3].n_kept) == (2, 0)
+    assert out[3].text_dedup == ""
+
+
 def test_ngram_jaccard_finds_near_dups(spark):
     base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
     near = "w0 w1 w2 w3 w4 w5 w6 w7 w8 zz"
