@@ -1,0 +1,156 @@
+"""Keyword search: exact-statistics BM25 scoring over the corpus
+(SURVEY.md §2.11 ⊕ — the retrieval complement of the vector knn family).
+
+BM25 (Robertson/Spärck Jones) ranks documents for a SMALL literal set of
+query terms. With the term list known at plan time the whole pipeline is
+pure Catalyst and needs NO inverted index, explode, or join on terms:
+
+- per-doc term frequencies are array expressions over the token array
+  (one narrow map stage, codegen-fused);
+- corpus statistics (N, avgdl, per-term document frequencies) are ONE
+  global aggregate producing a single row, broadcast back with a
+  crossJoin — the classic tiny-dimension pattern;
+- the score is a fixed-order sum over the literal terms, so Spark and an
+  ANSI-SQL oracle produce bit-identical doubles;
+- top-k is ``orderBy(score).limit(k)`` → TakeOrderedAndProject (per-
+  partition heap + driver merge), never a data-scale unpartitioned
+  window.
+
+At 100 TB this is two passes over the corpus (stats, then score) with
+only one 1-row exchange between them; for a *persistent* search surface
+you'd materialize the stats row once and reuse it across queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from census_data_pipeline_spark.functions.text import tokens
+from census_data_pipeline_spark.operators.topk import top_k
+from census_data_pipeline_spark.sources.catalog import ensure_parallelism
+
+
+def _tf(toks: Column, term: str) -> Column:
+    """Occurrences of ``term`` in the token array (exact match)."""
+    return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BM25 score for ``terms``:
+
+        score = Σ_t idf_t · tf_t·(k1+1) / (tf_t + k1·(1−b+b·dl/avgdl))
+        idf_t = ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+
+    with the sum left-associated in ``terms`` order. Emits ``score``
+    (rounded to 6 dp — ranked on AFTER rounding so cross-engine ranking
+    is exact) and ``n_matched`` (how many query terms hit)."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    base = ensure_parallelism(docs).select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    ).withColumn("__dl", F.size("__toks").cast("long"))
+    for i, term in enumerate(terms):
+        base = base.withColumn(f"__tf{i}", _tf(F.col("__toks"), term))
+    stats = base.agg(
+        F.count("*").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("int")).cast("long")
+            .alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__n") - F.col(f"__df{i}") + F.lit(0.5))
+            / (F.col(f"__df{i}") + F.lit(0.5))
+        )
+        tf = F.col(f"__tf{i}")
+        part = idf * (tf * F.lit(k1 + 1.0)) / (
+            tf + F.lit(k1) * (
+                F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+            )
+        )
+        score = part if score is None else score + part
+    n_matched = None
+    for i in range(len(terms)):
+        hit = (F.col(f"__tf{i}") > 0).cast("int")
+        n_matched = hit if n_matched is None else n_matched + hit
+    return scored.select(
+        id_col,
+        F.round(score, 6).alias("score"),
+        n_matched.cast("long").alias("n_matched"),
+        F.col("__dl").alias("n_tokens"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k BM25 hits, ties broken by document id (TakeOrderedAndProject
+    — no global sort, no unpartitioned window)."""
+    scored = bm25_scores(docs, terms, k1=k1, b=b,
+                         text_col=text_col, id_col=id_col)
+    return top_k(scored, by="score", k=k, tiebreak=[id_col])
+
+
+def bm25_oracle_sql(
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+) -> str:
+    """DuckDB replica: same tf/df/idf expressions, same left-associated
+    sum, same round-before-rank — generated from the SAME parameters so
+    the two engines cannot drift."""
+    tf_cols = ",\n                 ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n                 ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(terms))
+    )
+    denom = f"(1.0 - {b!r} + {b!r} * dl / avgdl)"
+    score = " + ".join(
+        f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * {k1 + 1.0!r}) / (tf{i} + {k1!r} * {denom})"
+        for i in range(len(terms))
+    )
+    matched = " + ".join(
+        f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END" for i in range(len(terms))
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {table}),
+    d AS (SELECT doc_id, len(toks) AS dl,
+                 {tf_cols}
+          FROM t),
+    st AS (SELECT count(*) AS n, avg(dl) AS avgdl,
+                 {df_cols}
+           FROM d),
+    s AS (SELECT doc_id,
+                 round({score}, 6) AS score,
+                 CAST({matched} AS BIGINT) AS n_matched,
+                 CAST(dl AS BIGINT) AS n_tokens
+          FROM d CROSS JOIN st)
+    SELECT doc_id, score, n_matched, n_tokens
+    FROM s ORDER BY score DESC, doc_id LIMIT {k}
+    """

@@ -87,12 +87,15 @@ _CHECKED_PREFIX = [
     # r3 rotation: never-driver-checked text queries (VERDICT r2 ask #1)
     "doc_fingerprint",
     "text_term_frequency",
+    # r4 addition: BM25 keyword retrieval
+    "search_bm25",
     # §2.11 linkage / sampling / multimodal
     "linkage_edit1_names",
     "sample_temperature",
     "sample_stratified_events",
     "split_assign_docs",
-    "sample_upweight_rare",
+    # (sample_upweight_rare left the prefix in r4 for search_bm25: it was
+    # driver-green in r3; sampling keeps temperature/stratified/shard anchors)
     "shuffle_shard_assign",
     "multimodal_payload",
     "multimodal_features",

@@ -21,6 +21,7 @@ from census_data_pipeline_spark.functions import (
     dedup,
     multimodal,
     sampling,
+    search,
     similarity,
     text,
 )
@@ -1129,6 +1130,23 @@ def dedup_keep_canonical(spark, sf_dir):
     return docs.join(losers, on="doc_id", how="left_anti").select(
         "doc_id", "source"
     )
+
+
+_BM25_TERMS = ["vector", "stream", "merge"]
+
+
+@query(
+    "search_bm25",
+    oracle=search.bm25_oracle_sql(_BM25_TERMS, k=25),
+)
+def search_bm25(spark, sf_dir):
+    """Exact-statistics BM25 keyword retrieval (functions/search.bm25_topk):
+    literal-term tf as array expressions, one global stats row broadcast
+    back, fixed-order score sum, TakeOrderedAndProject top-k. The oracle
+    is generated from the same (terms, k1, b, k) parameters so the two
+    engines cannot drift."""
+    docs = load_table(spark, sf_dir, "documents")
+    return search.bm25_topk(docs, _BM25_TERMS, k=25)
 
 
 @query(

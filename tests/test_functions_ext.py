@@ -60,6 +60,32 @@ def test_exact_dedup_groups(spark):
     assert out == {1: 2, 3: 1}  # min id kept per content hash
 
 
+def test_bm25_rarity_saturation_and_length_norm(spark):
+    """BM25 invariants on a hand corpus: a rarer term outweighs a common
+    one at equal tf; repeated tf saturates (score grows sublinearly); a
+    shorter doc beats a longer one at equal tf; n_matched counts hits."""
+    from census_data_pipeline_spark.functions import search
+
+    df = _docs(spark, [
+        (1, "rare x x x"),               # rare term (df=2), short
+        (2, "common x x x"),             # common term (df=4)
+        (3, "common y y y"),
+        (4, "common z z z"),
+        (5, "rare rare rare x"),         # tf saturation vs doc 1
+        (6, "common x x x y y y z"),     # same tf as 2, longer doc
+    ])
+    out = {r.doc_id: r for r in
+           search.bm25_scores(df, ["rare", "common"]).collect()}
+    assert out[1].score > out[2].score           # rarity
+    assert out[5].score < 3 * out[1].score       # saturation
+    assert out[2].score > out[6].score           # length norm
+    assert out[2].n_matched == 1 and out[1].n_matched == 1
+    top = search.bm25_topk(df, ["rare", "common"], k=2).collect()
+    assert [r.doc_id for r in top] == [5, 1]
+    with pytest.raises(ValueError):
+        search.bm25_scores(df, [])
+
+
 def test_span_dedup_keeps_first_occurrence_and_reassembles(spark):
     """4-token spans: doc 1 owns both spans; doc 2 repeats doc 1's first
     span then adds a fresh one; doc 3 is entirely doc 1's content

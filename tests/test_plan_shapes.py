@@ -51,6 +51,15 @@ def test_topk_compiles_to_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in _plan(spark, sf_dir, "top5_customers")
 
 
+def test_bm25_take_ordered_and_broadcast_stats(spark, sf_dir):
+    # global top-k must be a per-partition heap, not a sort or an
+    # unpartitioned window; the 1-row stats frame must broadcast
+    plan = _plan(spark, sf_dir, "search_bm25")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row crossJoin
+    assert "Window" not in plan
+
+
 def test_dim_lookups_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dim_lookup_customer")
     assert plan.count("BroadcastHashJoin") == 2
