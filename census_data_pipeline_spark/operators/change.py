@@ -42,3 +42,53 @@ def calculate_change(
     return joined.withColumn(f"{variable}_change", change).withColumn(
         f"{variable}_pct_change", pct
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build (CDC compaction):
+    collapse a per-key event stream into validity intervals — one row per
+    CHANGE of the tracked attributes, with ``valid_from`` (the change
+    timestamp), ``valid_to`` (the next change, NULL while current),
+    ``version`` (1-based per key) and ``is_current``. This is the
+    standard dimension-table maintenance operation a warehouse runs over
+    ingested change feeds, and the inverse of an as-of join (which reads
+    such intervals back at a point in time — see operators/asof.py).
+
+    Change detection is null-safe (``IS DISTINCT FROM`` semantics) and
+    ordering is made deterministic by ``tiebreak`` columns after the
+    timestamp — REQUIRED when timestamps can tie, or the kept row under a
+    tie is engine-dependent.
+
+    Scale shape: one shuffle on the key; both windows (lag for change
+    detection, lead/row_number for interval stitching) share that
+    partitioning, so Catalyst plans a single Exchange and two Window
+    nodes over it. Compacts monotonically: output rows = number of
+    attribute transitions, never more than input rows."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + [F.col(t) for t in (tiebreak or [])]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    first = F.row_number().over(w) == 1
+    chg = (
+        df.withColumn("__chg", first | changed)
+        .filter(F.col("__chg"))
+        .drop("__chg")
+    )
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return chg.select(
+        key_col,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )

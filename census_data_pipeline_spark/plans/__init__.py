@@ -81,7 +81,9 @@ _CHECKED_PREFIX = [
     "decontam_ngram_overlap",
     "text_chunking",
     "text_pack_bins",
-    "corpus_clean_pipeline",
+    # (corpus_clean_pipeline left the prefix in r4 for scd2_user_status: it
+    # was driver-green in r1-r3 and corpus_curation_e2e exercises the same
+    # cleaning stages plus three more)
     # r3 addition: first-class quality surface
     "text_quality_scores",
     # r3 rotation: never-driver-checked text queries (VERDICT r2 ask #1)
@@ -113,6 +115,8 @@ _CHECKED_PREFIX = [
     "events_funnel_3step",
     "cohort_retention_weekly",
     "events_top_transitions",
+    # r4 addition: SCD2 validity-interval history build
+    "scd2_user_status",
     # unchecked-in-r1 core operators
     "boundaries_right_join",
     "topk_per_nation",

@@ -1706,3 +1706,46 @@ def sketch_rollup_mergeable(spark, sf_dir):
             <= 0.05 * F.col("exact_customers")
         ).alias("hll_within_5pct"),
     )
+
+
+@query(
+    "scd2_user_status",
+    oracle="""
+    WITH c AS (SELECT user_id, ts, event_id, event_type,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+               FROM events),
+    chg AS (SELECT user_id, ts, event_id, event_type FROM c
+            WHERE prev IS NULL OR event_type IS DISTINCT FROM prev),
+    iv AS (SELECT user_id, event_type,
+                  epoch_us(ts) AS valid_from_us,
+                  epoch_us(lead(ts) OVER w) AS valid_to_us,
+                  CAST(row_number() OVER w AS BIGINT) AS version,
+                  lead(ts) OVER w IS NULL AS is_current
+           FROM chg
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, event_type, valid_from_us, valid_to_us, version,
+           is_current
+    FROM iv
+    """,
+)
+def scd2_user_status(spark, sf_dir):
+    """SCD type-2 history build (operators/change.scd2_intervals): the
+    per-user event_type stream compacted to validity intervals — one row
+    per status CHANGE with [valid_from, valid_to) stitched by lead(),
+    version numbers and an is_current flag. Null-safe change detection,
+    event_id tiebreak for deterministic ordering, one shuffle on the key
+    shared by both windows. Timestamps exported as µs epochs (the
+    established events parity convention)."""
+    from census_data_pipeline_spark.operators import change
+
+    ev = load_table(spark, sf_dir, "events")
+    out = change.scd2_intervals(
+        ev, "user_id", "ts", ["event_type"], tiebreak=["event_id"]
+    )
+    return out.select(
+        "user_id", "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "version", "is_current",
+    )

@@ -321,3 +321,38 @@ def test_running_sum_scalable_equals_direct_window(spark):
         for r in running_sum_scalable(df, "o", "v", n_buckets=8).collect()
     }
     assert got_g == direct_g
+
+
+def test_scd2_intervals_compaction_and_null_safety(spark):
+    from census_data_pipeline_spark.operators.change import scd2_intervals
+
+    df = spark.createDataFrame(
+        [
+            # user 1: a a b b a  -> 3 intervals (a, b, a)
+            (1, 10, "a", 1), (1, 20, "a", 2), (1, 30, "b", 3),
+            (1, 40, "b", 4), (1, 50, "a", 5),
+            # user 2: null null x -> null interval then x (null-safe lag)
+            (2, 10, None, 6), (2, 20, None, 7), (2, 30, "x", 8),
+            # user 3: timestamp tie broken by event id
+            (3, 10, "p", 10), (3, 10, "q", 9),
+        ],
+        "user_id long, ts long, status string, event_id long",
+    )
+    out = scd2_intervals(df, "user_id", "ts", ["status"],
+                         tiebreak=["event_id"])
+    rows = {(r.user_id, r.version): r for r in out.collect()}
+    assert len([k for k in rows if k[0] == 1]) == 3
+    assert rows[(1, 1)].status == "a" and rows[(1, 1)].valid_to == 30
+    assert rows[(1, 2)].status == "b" and rows[(1, 2)].valid_to == 50
+    assert rows[(1, 3)].status == "a" and rows[(1, 3)].is_current
+    # nulls equal under IS DISTINCT FROM: one null interval, then x
+    assert len([k for k in rows if k[0] == 2]) == 2
+    assert rows[(2, 1)].status is None and rows[(2, 1)].valid_to == 30
+    assert rows[(2, 2)].status == "x" and rows[(2, 2)].is_current
+    # tie at ts=10: event_id 9 ("q") first, then 10 ("p")
+    assert rows[(3, 1)].status == "q" and rows[(3, 2)].status == "p"
+    # both windows share one shuffle on the key (count only the final
+    # plan — AQE's plan string repeats nodes in its Initial Plan section)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1
