@@ -95,7 +95,9 @@ _CHECKED_PREFIX = [
     "linkage_edit1_names",
     "sample_temperature",
     "sample_stratified_events",
-    "split_assign_docs",
+    # (split_assign_docs left the prefix in r4 for streaming_interval_join:
+    # driver-green in r3; hash_split stays pinned by unit tests and the
+    # sampling anchors below)
     # (sample_upweight_rare left the prefix in r4 for search_bm25: it was
     # driver-green in r3; sampling keeps temperature/stratified/shard anchors)
     "shuffle_shard_assign",
@@ -111,6 +113,8 @@ _CHECKED_PREFIX = [
     "events_tumbling_1h",
     "events_session_5m",
     "streaming_tumbling_1h",
+    # r4 addition: real stream-stream interval join (symmetric hash state)
+    "streaming_interval_join",
     # r3 rotation: events analytics tier (funnel / cohort / transitions)
     "events_funnel_3step",
     "cohort_retention_weekly",

@@ -27,6 +27,7 @@ from census_data_pipeline_spark.operators import (
 from census_data_pipeline_spark.operators.rates import derive_demographics, safe_rate
 from census_data_pipeline_spark.plans.registry import query
 from census_data_pipeline_spark.sources.catalog import load_table
+from census_data_pipeline_spark.streaming import joins as stream_joins
 from census_data_pipeline_spark.streaming import windows
 
 
@@ -1019,6 +1020,76 @@ def streaming_enriched_rollup(spark, sf_dir):
         "event_type",
         "n_events",
         F.round("weighted_value", 4).alias("weighted_value"),
+    )
+
+
+@query(
+    "streaming_interval_join",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           epoch_us(c.ts) AS click_ts_us, epoch_us(p.ts) AS purchase_ts_us,
+           round(p.value, 4) AS purchase_value
+    FROM events c JOIN events p ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR
+    """,
+)
+def streaming_interval_join(spark, sf_dir):
+    """STREAM-STREAM join (§2.9, streaming/joins.interval_equi_join):
+    clicks and purchases as two REAL watermarked streams, inner-joined on
+    user with purchase_ts in [click_ts, click_ts + 4h] — the stateful
+    StreamingSymmetricHashJoin whose buffered state Spark expires from
+    the watermark + range bound. Drained through an append-mode memory
+    sink and held to the identical batch SQL oracle."""
+    import shutil
+    import tempfile
+    import uuid
+
+    staged_root = tempfile.mkdtemp(prefix="stream_join_")
+    staged = staged_root + "/events"
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(staged)
+    schema = spark.read.parquet(staged).schema
+
+    clicks = (
+        windows.stream_from_parquet(spark, staged, schema)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id", F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 minute")
+    )
+    purchases = (
+        windows.stream_from_parquet(spark, staged, schema)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 minute")
+    )
+    joined = stream_joins.interval_equi_join(
+        clicks, purchases, "user_id", "click_ts", "purchase_ts",
+        lower="0 seconds", upper="4 hours",
+    )
+    sink = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(staged_root, ignore_errors=True)
+    return spark.table(sink).select(
+        "user_id", "click_id", "purchase_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        F.round("purchase_value", 4).alias("purchase_value"),
     )
 
 

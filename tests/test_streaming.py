@@ -102,3 +102,29 @@ def test_foreachbatch_parquet_sink(spark, events_dir, tmp_path):
     back = sinks.read_parquet_stream_output(spark, str(tmp_path / "out"))
     assert back.count() == batch_df.count()
     assert back.select("event_id").distinct().count() == batch_df.count()
+
+
+def test_interval_equi_join_batch_semantics(spark):
+    """Batch-first contract of the stream-stream join helper: inclusive
+    [lower, upper] range on the right timestamp, equi-key, inner."""
+    from census_data_pipeline_spark.streaming.joins import interval_equi_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200), (2, 100)],
+        "user_id long, left_s long",
+    ).select("user_id", F.timestamp_seconds("left_s").alias("left_ts"))
+    right = spark.createDataFrame(
+        [(1, 100), (1, 160), (1, 161), (1, 99), (3, 100)],
+        "user_id long, right_s long",
+    ).select("user_id", F.timestamp_seconds("right_s").alias("right_ts"))
+    out = interval_equi_join(
+        left, right, "user_id", "left_ts", "right_ts",
+        lower="0 seconds", upper="60 seconds",
+    ).collect()
+    got = sorted(
+        (r.user_id, int(r.left_ts.timestamp()), int(r.right_ts.timestamp()))
+        for r in out
+    )
+    # left@100 matches right@100 (lower inclusive) and @160 (upper
+    # inclusive), not @161 or @99; left@200 matches nothing; user 2/3 never
+    assert got == [(1, 100, 100), (1, 100, 160)]
