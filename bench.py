@@ -89,6 +89,13 @@ HEADLINE_NEW: list[str] = [
     "knn_ivf",
     "multimodal_audio_features",
     "multimodal_video_frames",
+    "knn_pq_seeded",
+    "dedup_spans",
+    "search_bm25",
+    "scd2_user_status",
+    # streaming_interval_join is excluded like the other REAL-streaming
+    # queries (streaming_tumbling_1h, streaming_enriched_rollup): their
+    # cost is state-store + micro-batch machinery, not engine operators
 ]
 
 HEADLINE = HEADLINE_R02 + HEADLINE_NEW

@@ -733,12 +733,13 @@ def knn_pq_seeded(
 
     Plan shape at scale: the codebook (m·n_codes rows) broadcasts;
     encoding is one narrow crossJoin + partial-agg argmin over the corpus
-    (map-side combine, single shuffle on id); the ADC tables
-    (|Q|·m·n_codes rows) broadcast; the scan is ``m`` broadcast hash
-    joins over the encoded (id, m ints) frame — the corpus never
-    shuffles again and only code ints cross the wire. For corpora too
-    big even for the compressed scan, compose with IVF cells (encode
-    residuals per cell) — the corpus-side layout here is cell-agnostic.
+    (map-side combine, single shuffle on id); the per-query distance
+    tables (|Q| rows × m code-ordered double arrays) broadcast in ONE
+    crossJoin over the encoded (id, m ints) frame, and each pair's
+    distance is m ``element_at`` lookups — the corpus never shuffles
+    again and only code ints cross the wire. For corpora too big even
+    for the compressed scan, compose with IVF cells (encode residuals
+    per cell) — the corpus-side layout here is cell-agnostic.
 
     All distances use ``‖v‖² − 2·v·c + ‖c‖²`` with fold-based dots and a
     left-associated final sum so Spark and the DuckDB oracle agree on
@@ -815,20 +816,32 @@ def knn_pq_seeded(
         .select(F.col("id").alias("query_id"), "__s", "__code",
                 pd2.alias("__pd2"))
     )
-
-    pairs = enc_wide
-    for s in range(m):
-        a = adc.filter(F.col("__s") == s).select(
-            "query_id",
-            F.col("__code").alias(f"__c{s}"),
-            F.col("__pd2").alias(f"__p{s}"),
+    # per-query distance TABLES as arrays (one column per subspace,
+    # code-ordered), so the compressed scan is ONE broadcast join plus m
+    # element_at lookups per pair — not m chained hash joins, whose 10×
+    # intermediate materialization cost is what the ADC trick exists to
+    # avoid (measured 10.3 s -> the join-chain form at sf0.1)
+    adc_wide = (
+        adc.groupBy("query_id", "__s")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__code", "__pd2"))),
+                lambda e: e["__pd2"],
+            ).alias("__tbl")
         )
-        on = [f"__c{s}"] if s == 0 else ["query_id", f"__c{s}"]
-        pairs = pairs.join(F.broadcast(a), on)
+        .groupBy("query_id")
+        .agg(*[
+            F.max(F.when(F.col("__s") == s, F.col("__tbl"))).alias(f"__p{s}")
+            for s in range(m)
+        ])
+    )
+    pairs = enc_wide.crossJoin(F.broadcast(adc_wide))
 
-    approx = F.col("__p0")
+    approx = F.element_at(F.col("__p0"), F.col("__c0") + 1)
     for s in range(1, m):
-        approx = approx + F.col(f"__p{s}")
+        approx = approx + F.element_at(
+            F.col(f"__p{s}"), F.col(f"__c{s}") + 1
+        )
     cut = rerank if rerank is not None else k
     ranked = (
         pairs.filter(F.col("id") != F.col("query_id"))
