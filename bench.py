@@ -93,6 +93,7 @@ HEADLINE_NEW: list[str] = [
     "dedup_spans",
     "search_bm25",
     "scd2_user_status",
+    "graph_pagerank",
     # streaming_interval_join is excluded like the other REAL-streaming
     # queries (streaming_tumbling_1h, streaming_enriched_rollup): their
     # cost is state-store + micro-batch machinery, not engine operators

@@ -102,13 +102,16 @@ _CHECKED_PREFIX = [
     # driver-green in r3; sampling keeps temperature/stratified/shard anchors)
     "shuffle_shard_assign",
     "multimodal_payload",
-    "multimodal_features",
+    # (multimodal_features left the prefix in r4 for graph_pagerank: it was
+    # driver-green in r3; the media family keeps payload/video/audio anchors)
     # r4: full-value-oracle media queries (video subsumes frame_sample)
     "multimodal_video_frames",
     "multimodal_audio_features",
     # r3 rotation: end-to-end curation composite + mergeable sketch rollup
     "corpus_curation_e2e",
     "sketch_rollup_mergeable",
+    # r4 addition: fixed-iteration PageRank (unrolled-CTE oracle)
+    "graph_pagerank",
     # §2.9 event-time & streaming-parity
     "events_tumbling_1h",
     "events_session_5m",

@@ -1664,3 +1664,73 @@ def corpus_curation_e2e(spark, sf_dir):
         "doc_id", "source"
     )
     return sampling.epoch_shuffle_shards(samp, "doc_id", seed=42, shard_size=32)
+
+
+def _pagerank_oracle(iters: int = 5, d: float = 0.85) -> str:
+    """DuckDB replica of the fixed-iteration PageRank: the power
+    iteration UNROLLED into one CTE per round over the same
+    customer->supplier edge list — same teleport/damping/dangling
+    formula, generated from the same (iterations, damping) parameters."""
+    rounds = []
+    prev = "r0"
+    for t in range(iters):
+        cur = f"r{t + 1}"
+        rounds.append(f"""
+    {cur} AS (
+      SELECT b.id, b.deg,
+             (1.0 - {d!r}) / nn.n + {d!r} * (
+               coalesce(s.c, 0.0) + dg.m / nn.n) AS rank
+      FROM base b
+      CROSS JOIN nn
+      CROSS JOIN (SELECT coalesce(sum(rank), 0.0) AS m FROM {prev}
+                  WHERE deg IS NULL) dg
+      LEFT JOIN (SELECT e.dst, sum(r.rank / r.deg) AS c
+                 FROM edges e JOIN {prev} r ON e.src = r.id
+                 GROUP BY e.dst) s ON b.id = s.dst
+    )""")
+        prev = cur
+    return f"""
+    WITH edges AS (SELECT DISTINCT 'c' || o.o_custkey AS src,
+                                   's' || l.l_suppkey AS dst
+                   FROM orders o
+                   JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    nodes AS (SELECT DISTINCT id FROM (
+                SELECT src AS id FROM edges
+                UNION ALL SELECT dst FROM edges)),
+    od AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS deg
+           FROM edges GROUP BY src),
+    base AS (SELECT n.id, od.deg FROM nodes n LEFT JOIN od ON n.id = od.id),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT b.id, b.deg, 1.0 / nn.n AS rank
+           FROM base b CROSS JOIN nn),{",".join(rounds)}
+    SELECT id, round(rank, 6) AS pagerank FROM {prev}
+    """
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle(iters=5, d=0.85))
+def graph_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (functions/graph.pagerank) over the
+    customer->supplier purchase graph (distinct edges from orders ⋈
+    lineitem): 5 power-iteration rounds with uniform dangling-mass
+    redistribution — suppliers are all dangling, so that path is
+    exercised every round. Per round: one edge⋈rank join, one
+    partial-agg contribution sum, a 1-row dangling aggregate broadcast
+    back (never a driver collect), lineage cut by lazy localCheckpoint
+    (the connected-components discipline)."""
+    from census_data_pipeline_spark.functions import graph
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    e = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = graph.pagerank(e, iterations=5, damping=0.85,
+                        broadcast_ranks=True)
+    return pr.select("id", F.round("rank", 6).alias("pagerank"))

@@ -1466,3 +1466,41 @@ def test_decontaminate_no_overlap_keeps_everything(spark):
     assert decontam.ngram_overlap_contamination(train, ev, n=3).count() == 0
     kept = sorted(r.doc_id for r in decontam.decontaminate(train, ev, n=3).collect())
     assert kept == [1, 2]
+
+
+# -- graph ---------------------------------------------------------------
+def test_pagerank_matches_reference_power_iteration(spark):
+    """Exact parity with a NumPy-free Python power iteration on a small
+    graph with a cycle, a hub, and a dangling node; ranks sum to 1."""
+    from census_data_pipeline_spark.functions.graph import pagerank
+
+    edge_list = [("a", "b"), ("b", "a"), ("a", "c"), ("d", "c")]
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+
+    def ref(iters, d=0.85):
+        nodes = sorted({x for e in edge_list for x in e})
+        n = len(nodes)
+        out = {}
+        for s, _ in edge_list:
+            out[s] = out.get(s, 0) + 1
+        r = {v: 1.0 / n for v in nodes}
+        for _ in range(iters):
+            dm = sum(r[v] for v in nodes if v not in out)
+            nxt = {}
+            for v in nodes:
+                c = sum(r[s] / out[s] for s, t in edge_list if t == v)
+                nxt[v] = (1.0 - d) / n + d * (c + dm / n)
+            r = nxt
+        return r
+
+    for bcast in (False, True):
+        got = {r.id: r.rank for r in
+               pagerank(edges, iterations=3,
+                        broadcast_ranks=bcast).collect()}
+        want = ref(3)
+        assert set(got) == set(want)
+        for v in want:
+            assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+    with pytest.raises(ValueError):
+        pagerank(edges, iterations=0)
