@@ -92,3 +92,49 @@ def scd2_intervals(
         F.row_number().over(w2).cast("long").alias("version"),
         F.lead(ts_col).over(w2).isNull().alias("is_current"),
     )
+
+
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """MERGE INTO semantics without a table format: apply a change feed
+    (rows tagged ``op`` ∈ {'I','U','D'}) to a snapshot — deletes drop the
+    key, inserts/upserts replace it, untouched rows pass through. With
+    ``seq_col`` the LATEST change per key wins (deterministic tiebreak on
+    the sequence column); otherwise the feed must be pre-deduped per key.
+
+    This is deliberately NOT a full-outer join: the scale shape is
+
+        kept   = snapshot ANTI JOIN touched-keys      (broadcast-able)
+        result = kept UNION (latest changes where op != 'D')
+
+    so when the change feed is small relative to the snapshot — the
+    normal CDC regime — the snapshot never shuffles at all (AQE
+    broadcasts the touched keys into the anti join), where a full-outer
+    formulation would exchange both sides on the key unconditionally.
+    The change columns (minus op/seq) must match the snapshot schema;
+    unionByName keeps the contract explicit."""
+    from pyspark.sql import Window
+
+    latest = changes
+    if seq_col is not None:
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(seq_col).desc(), *[F.col(k) for k in key_cols]
+        )
+        latest = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    payload = [
+        c for c in latest.columns if c not in (op_col, seq_col)
+    ]
+    kept = snapshot.join(
+        latest.select(*key_cols), on=key_cols, how="left_anti"
+    )
+    ups = latest.filter(F.col(op_col) != "D").select(*payload)
+    return kept.unionByName(ups)

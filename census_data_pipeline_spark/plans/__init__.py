@@ -70,7 +70,8 @@ _CHECKED_PREFIX = [
     # §2.11 similarity search
     "knn_bruteforce",
     "knn_lsh",
-    "knn_ivf_seeded",
+    # (knn_ivf_seeded left the prefix in r4 for cdc_apply_changes: it was
+    # driver-green in r3; similarity keeps bruteforce/lsh/ivf/pq anchors)
     # r4 promotion: KMeans-IVF accuracy contract (was rows-only)
     "knn_ivf",
     # r4 addition: PQ-ADC compressed-domain scan + exact re-rank
@@ -122,8 +123,9 @@ _CHECKED_PREFIX = [
     "events_funnel_3step",
     "cohort_retention_weekly",
     "events_top_transitions",
-    # r4 addition: SCD2 validity-interval history build
+    # r4 addition: SCD2 validity-interval history build + MERGE apply
     "scd2_user_status",
+    "cdc_apply_changes",
     # unchecked-in-r1 core operators
     "boundaries_right_join",
     "topk_per_nation",

@@ -1749,3 +1749,46 @@ def scd2_user_status(spark, sf_dir):
         F.unix_micros("valid_to").alias("valid_to_us"),
         "version", "is_current",
     )
+
+
+@query(
+    "cdc_apply_changes",
+    oracle="""
+    WITH ch AS (SELECT o_custkey AS c_custkey, count(*) AS n,
+                       sum(o_totalprice) AS tot
+                FROM orders GROUP BY 1),
+    latest AS (SELECT c.c_custkey,
+                      CASE WHEN ch.n >= 15 THEN 'D' ELSE 'U' END AS op,
+                      c.c_name,
+                      round(c.c_acctbal + round(ch.tot, 2), 2) AS c_acctbal
+               FROM ch JOIN customer c USING (c_custkey)),
+    kept AS (SELECT c_custkey, c_name, c_acctbal FROM customer
+             WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)),
+    ups AS (SELECT c_custkey, c_name, c_acctbal FROM latest
+            WHERE op <> 'D')
+    SELECT * FROM kept UNION ALL SELECT * FROM ups
+    """,
+)
+def cdc_apply_changes(spark, sf_dir):
+    """MERGE INTO semantics (operators/change.apply_changes): a change
+    feed derived from the order stream — active customers get an
+    account-balance upsert, heavy customers (>=15 orders) are deleted —
+    applied to the customer snapshot as anti-join + union, NOT a
+    full-outer join, so a small feed never shuffles the snapshot."""
+    from census_data_pipeline_spark.operators import change
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count("*").alias("__n"), F.sum("o_totalprice").alias("__tot")
+    )
+    changes = agg.join(cust, "c_custkey").select(
+        "c_custkey",
+        F.when(F.col("__n") >= 15, "D").otherwise("U").alias("op"),
+        "c_name",
+        F.round(F.col("c_acctbal") + F.round(F.col("__tot"), 2), 2)
+        .alias("c_acctbal"),
+    )
+    return change.apply_changes(cust, changes, ["c_custkey"])

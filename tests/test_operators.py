@@ -356,3 +356,28 @@ def test_scd2_intervals_compaction_and_null_safety(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange") == 1
+
+
+def test_apply_changes_merge_semantics(spark):
+    from census_data_pipeline_spark.operators.change import apply_changes
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, val double",
+    )
+    changes = spark.createDataFrame(
+        [
+            ("U", 1, 2, "a2", 11.0),   # latest update for key 1 (seq 2)
+            ("U", 1, 1, "a1", 10.5),   # superseded by seq 2
+            ("D", 2, 1, "b", 20.0),    # delete key 2
+            ("I", 9, 1, "z", 99.0),    # brand-new key
+        ],
+        "op string, id long, seq long, name string, val double",
+    )
+    out = apply_changes(snap, changes, ["id"], seq_col="seq")
+    rows = {r.id: (r.name, r.val) for r in out.collect()}
+    assert rows == {1: ("a2", 11.0), 3: ("c", 30.0), 9: ("z", 99.0)}
+    # the merge is anti-join + union, never a full-outer exchange of the
+    # snapshot side
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" not in plan
