@@ -1354,10 +1354,14 @@ def dedup_minhash_ml(spark, sf_dir):
     # slim to (doc_id, features) BEFORE the join: approxSimilarityJoin
     # drags full rows through its explode/join/distinct, and the raw
     # shingle arrays are the widest column by far (r4: ~2x faster)
+    # checkpointed: consumed by fit() once and by BOTH sides of the
+    # approx join — without the cut the shingle+hash pipeline re-runs
+    # three times
     feats = (
         tf.transform(sh)
         .filter(F.expr("size(sh) > 0"))
         .select("doc_id", "features")
+        .localCheckpoint(eager=False)
     )
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
     model = lsh.fit(feats)
@@ -1369,6 +1373,9 @@ def dedup_minhash_ml(spark, sf_dir):
             F.col("datasetB.doc_id").alias("id_b"),
         )
         .distinct()
+        # consumed by the recall join AND the verify join — cut, or the
+        # whole MLlib approx join runs twice (measured ~2x on this query)
+        .localCheckpoint(eager=False)
     )
     exact = dedup.ngram_jaccard_pairs(docs, n=4, threshold=0.5)
     n_exact = exact.agg(F.count("*").alias("n_exact_pairs"))
@@ -1659,7 +1666,13 @@ def corpus_curation_e2e(spark, sf_dir):
         (F.col("top_gram_frac") <= 0.06) & (F.col("dup_gram_frac") <= 0.01)
     )
     kept = train.join(rep.select("doc_id"), "doc_id")
-    clean = decontam.decontaminate(kept, ev, n=3)
+    # checkpointed: temperature_sample's keep-rate aggregate AND the
+    # shuffle-shard prefix-sum each re-read this frame through their
+    # broadcast lineage — without the cut the repetition+decontam stages
+    # (the expensive half of the plan) execute up to 4x
+    clean = decontam.decontaminate(kept, ev, n=3).localCheckpoint(
+        eager=False
+    )
     samp = sampling.temperature_sample(clean, "doc_id", "source").select(
         "doc_id", "source"
     )
