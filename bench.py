@@ -90,6 +90,7 @@ HEADLINE_NEW: list[str] = [
     "multimodal_audio_features",
     "multimodal_video_frames",
     "knn_pq_seeded",
+    "knn_ivfpq_seeded",
     "dedup_spans",
     "search_bm25",
     "scd2_user_status",

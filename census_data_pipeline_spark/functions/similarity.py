@@ -543,8 +543,16 @@ def knn_ivf_seeded(
     assignment (n×n_centroids narrow rows), argmin per vector, probes per
     query, then the same cell equi-join + exact-cosine scoring as every
     knn variant. Corpus shuffles once (the id join after argmin)."""
-    from pyspark.sql import Window
+    cent = _seeded_centroids(corpus, n_centroids, id_col, vec_col)
+    return _ivf_score(corpus, queries, cent, k, id_col, vec_col, n_probes)
 
+
+def _seeded_centroids(
+    corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Deterministic coarse-quantizer frame (__cell, __cv, __nc2): the
+    ``n_centroids`` smallest-id corpus vectors, cell id = rank among the
+    seeds. Shared by knn_ivf_seeded and knn_ivfpq_seeded."""
     seeds = (
         corpus.orderBy(id_col)
         .limit(n_centroids)
@@ -557,7 +565,7 @@ def knn_ivf_seeded(
     # EliminateWindowPartitions), and keeping logs warning-free is what
     # lets a real data-scale unpartitioned window stand out.
     s1, s2 = seeds.alias("s1"), seeds.alias("s2")
-    cent = (
+    return (
         s1.join(s2, F.col("s2.__sid") < F.col("s1.__sid"), "left")
         .groupBy(F.col("s1.__sid"), F.col("s1.__cv").alias("__cv"))
         .agg(F.count(F.col("s2.__sid")).cast("int").alias("__cell"))
@@ -565,7 +573,6 @@ def knn_ivf_seeded(
             "__cell", "__cv", dot(F.col("__cv"), F.col("__cv")).alias("__nc2")
         )
     )
-    return _ivf_score(corpus, queries, cent, k, id_col, vec_col, n_probes)
 
 
 def _ivf_score(
@@ -695,58 +702,22 @@ def knn_ivf(
     return _ivf_score(corpus, queries, cent, k, id_col, vec_col, n_probes)
 
 
-def knn_pq_seeded(
+def _pq_parts(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int = 10,
-    m: int = 8,
-    n_codes: int = 16,
-    dim: int = 64,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    rerank: int | None = 100,
-) -> DataFrame:
-    """Product-quantization top-k (asymmetric distance computation) with a
-    DETERMINISTIC codebook — the compressed-domain member of the knn
-    family (brute-force / sign-LSH / IVF / PQ).
+    m: int,
+    n_codes: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared PQ machinery: (enc_wide, adc_wide).
 
-    The vector space is split into ``m`` contiguous subspaces of
-    ``dim // m`` dims. The per-subspace codebook is the corresponding
-    subvectors of the ``n_codes`` smallest-id corpus vectors (the same
-    seeding rule as ``knn_ivf_seeded``), so the entire index — codes,
-    distance tables, ranking — is a pure function of the data and an
-    ANSI-SQL oracle replicates it bit-for-bit. Each corpus vector is
-    encoded as ``m`` small ints (argmin L2² per subspace, ties by code);
-    a query's distance to a vector is the fixed-order sum of ``m``
-    precomputed (subspace, code) table entries — the classic ADC scan:
-    O(m) lookups per pair instead of an O(dim) dot product, an 8-32×
-    bandwidth cut that is the point of PQ at 100 TB (Jégou et al., PAMI
-    2011). With ``rerank=C`` (the standard PQ pipeline) the ADC scan
-    prefilters to the C best candidates per query (ties by neighbor id)
-    and only those C·|Q| pairs get an exact cosine, which then ranks the
-    final top-k — measured recall@10 0.71 at m=8 / 16 codes / C=100 on
-    the near-uniform test lake vs 0.16 ranking by ADC alone (there the
-    quantization error is the same order as the neighbor-vs-random
-    distance gap; re-rank is what turns the compressed scan into a
-    usable index). ``rerank=None`` ranks purely by approximate distance
-    and additionally emits ``approx_d2``.
-
-    Plan shape at scale: the codebook (m·n_codes rows) broadcasts;
-    encoding is one narrow crossJoin + partial-agg argmin over the corpus
-    (map-side combine, single shuffle on id); the per-query distance
-    tables (|Q| rows × m code-ordered double arrays) broadcast in ONE
-    crossJoin over the encoded (id, m ints) frame, and each pair's
-    distance is m ``element_at`` lookups — the corpus never shuffles
-    again and only code ints cross the wire. For corpora too big even
-    for the compressed scan, compose with IVF cells (encode residuals
-    per cell) — the corpus-side layout here is cell-agnostic.
-
-    All distances use ``‖v‖² − 2·v·c + ‖c‖²`` with fold-based dots and a
-    left-associated final sum so Spark and the DuckDB oracle agree on
-    every bit (the established parity discipline of this module).
-    """
-    from pyspark.sql import Window
-
+    ``enc_wide``: one row per corpus vector, ``id`` + m code ints
+    (argmin L2² per subspace against the smallest-id seeded codebook,
+    ties by code). ``adc_wide``: one row per query, ``query_id`` + m
+    code-ordered arrays of precomputed subspace distances — the ADC
+    tables, built to be broadcast."""
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     sub = dim // m
@@ -820,7 +791,7 @@ def knn_pq_seeded(
     # code-ordered), so the compressed scan is ONE broadcast join plus m
     # element_at lookups per pair — not m chained hash joins, whose 10×
     # intermediate materialization cost is what the ADC trick exists to
-    # avoid (measured 10.3 s -> the join-chain form at sf0.1)
+    # avoid (measured 10.3 s -> 2.9 s at sf0.1 switching forms)
     adc_wide = (
         adc.groupBy("query_id", "__s")
         .agg(
@@ -835,7 +806,23 @@ def knn_pq_seeded(
             for s in range(m)
         ])
     )
-    pairs = enc_wide.crossJoin(F.broadcast(adc_wide))
+    return enc_wide, adc_wide
+
+
+def _adc_rank(
+    pairs: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int,
+    k: int,
+    rerank: int | None,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared ADC ranking tail: fixed-order m-term lookup sum, top-cut by
+    approximate distance (ties by neighbor id), exact cosine on the
+    survivors, optional exact re-rank to the final top-k."""
+    from pyspark.sql import Window
 
     approx = F.element_at(F.col("__p0"), F.col("__c0") + 1)
     for s in range(1, m):
@@ -891,3 +878,133 @@ def knn_pq_seeded(
             F.col("rank").cast("long").alias("rank"), "cosine_sim",
         )
     )
+
+
+def knn_pq_seeded(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int | None = 100,
+) -> DataFrame:
+    """Product-quantization top-k (asymmetric distance computation) with a
+    DETERMINISTIC codebook — the compressed-domain member of the knn
+    family (brute-force / sign-LSH / IVF / PQ / IVF-PQ).
+
+    The vector space is split into ``m`` contiguous subspaces of
+    ``dim // m`` dims. The per-subspace codebook is the corresponding
+    subvectors of the ``n_codes`` smallest-id corpus vectors (the same
+    seeding rule as ``knn_ivf_seeded``), so the entire index — codes,
+    distance tables, ranking — is a pure function of the data and an
+    ANSI-SQL oracle replicates it bit-for-bit. Each corpus vector is
+    encoded as ``m`` small ints (argmin L2² per subspace, ties by code);
+    a query's distance to a vector is the fixed-order sum of ``m``
+    precomputed (subspace, code) table entries — the classic ADC scan:
+    O(m) lookups per pair instead of an O(dim) dot product, an 8-32×
+    bandwidth cut that is the point of PQ at 100 TB (Jégou et al., PAMI
+    2011). With ``rerank=C`` (the standard PQ pipeline) the ADC scan
+    prefilters to the C best candidates per query (ties by neighbor id)
+    and only those C·|Q| pairs get an exact cosine, which then ranks the
+    final top-k — measured recall@10 0.71 at m=8 / 16 codes / C=100 on
+    the near-uniform test lake vs 0.16 ranking by ADC alone (there the
+    quantization error is the same order as the neighbor gap; re-rank is
+    what turns the compressed scan into a usable index). ``rerank=None``
+    ranks purely by approximate distance and additionally emits
+    ``approx_d2``.
+
+    Plan shape at scale: the codebook (m·n_codes rows) broadcasts;
+    encoding is one narrow crossJoin + partial-agg argmin over the corpus
+    (map-side combine, single shuffle on id); the per-query distance
+    tables (|Q| rows × m code-ordered double arrays) broadcast in ONE
+    crossJoin over the encoded (id, m ints) frame, and each pair's
+    distance is m ``element_at`` lookups — the corpus never shuffles
+    again and only code ints cross the wire. For corpora too big even
+    for the full compressed scan, ``knn_ivfpq_seeded`` restricts the
+    scan to probed IVF cells first.
+
+    All distances use ``‖v‖² − 2·v·c + ‖c‖²`` with fold-based dots and a
+    left-associated final sum so Spark and the DuckDB oracle agree on
+    every bit (the established parity discipline of this module).
+    """
+    enc_wide, adc_wide = _pq_parts(
+        corpus, queries, m, n_codes, dim, id_col, vec_col
+    )
+    pairs = enc_wide.crossJoin(F.broadcast(adc_wide))
+    return _adc_rank(pairs, corpus, queries, m, k, rerank, id_col, vec_col)
+
+
+def knn_ivfpq_seeded(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probes: int = 3,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int | None = 50,
+) -> DataFrame:
+    """IVF-PQ: the FAISS-style composition and the scale architecture of
+    this module's ANN family — coarse seeded-IVF cells RESTRICT the
+    candidate set (each query probes its ``n_probes`` nearest cells),
+    the PQ-ADC compressed scan RANKS the candidates with m int lookups
+    per pair, and an exact-cosine re-rank of the top ``rerank`` finishes.
+    Both quantizers use the deterministic smallest-id seeding, so the
+    whole three-stage index is SQL-replicable (unlike learned FAISS
+    state). This is IVFADC without residual encoding — codes are built
+    on raw vectors, which costs some ADC precision but keeps the corpus
+    layout cell-agnostic (one global codebook, cells re-assignable
+    without re-encoding).
+
+    Plan shape at scale: corpus-side layout = (cell, m codes) per vector
+    — built with ONE shuffle each for assignment and encoding, then the
+    per-query work is an equi-join on probed cells (shuffle bounded by
+    candidates, ~n_probes/n_centroids of the corpus) + broadcast ADC
+    lookups + the tiny re-rank join. Against 100 TB of vectors this is
+    the only family member whose per-query cost does not touch the whole
+    corpus even in compressed form."""
+    vecs = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("__v"),
+    ).withColumn("__nv2", dot(F.col("__v"), F.col("__v")))
+    cent = _seeded_centroids(corpus, n_centroids, id_col, vec_col)
+    dist2 = (
+        F.col("__nv2")
+        - F.lit(2.0) * dot(F.col("__v"), F.col("__cv"))
+        + F.col("__nc2")
+    )
+    assigned = (
+        vecs.crossJoin(F.broadcast(cent))
+        .select("id", "__cell", dist2.alias("__d2"))
+        .groupBy("id")
+        .agg(F.min(F.struct("__d2", "__cell")).alias("__m"))
+        .select("id", F.col("__m.__cell").alias("__cell"))
+    )
+    from pyspark.sql import Window
+
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("__v"),
+    ).withColumn("__nv2", dot(F.col("__v"), F.col("__v")))
+    probe_w = Window.partitionBy("query_id").orderBy("__d2", "__cell")
+    probes = (
+        qvecs.crossJoin(F.broadcast(cent))
+        .select("query_id", "__cell", dist2.alias("__d2"))
+        .withColumn("__rn", F.row_number().over(probe_w))
+        .filter(F.col("__rn") <= n_probes)
+        .select("query_id", "__cell")
+    )
+    enc_wide, adc_wide = _pq_parts(
+        corpus, queries, m, n_codes, dim, id_col, vec_col
+    )
+    cand = assigned.join(F.broadcast(probes), "__cell").select(
+        "query_id", "id"
+    )
+    pairs = cand.join(enc_wide, "id").join(F.broadcast(adc_wide), "query_id")
+    return _adc_rank(pairs, corpus, queries, m, k, rerank, id_col, vec_col)

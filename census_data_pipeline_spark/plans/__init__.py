@@ -74,8 +74,9 @@ _CHECKED_PREFIX = [
     # driver-green in r3; similarity keeps bruteforce/lsh/ivf/pq anchors)
     # r4 promotion: KMeans-IVF accuracy contract (was rows-only)
     "knn_ivf",
-    # r4 addition: PQ-ADC compressed-domain scan + exact re-rank
+    # r4 additions: PQ-ADC compressed-domain scan + the IVF-PQ composition
     "knn_pq_seeded",
+    "knn_ivfpq_seeded",
     # §2.11 text analysis / quality / decontamination
     "text_token_stats",
     "text_repetition_stats",
@@ -128,7 +129,9 @@ _CHECKED_PREFIX = [
     "cdc_apply_changes",
     # unchecked-in-r1 core operators
     "boundaries_right_join",
-    "topk_per_nation",
+    # (topk_per_nation left the prefix in r4 for knn_ivfpq_seeded: it was
+    # driver-green in r3; windowed top-k stays pinned by unit tests and the
+    # r1-green top5_customers/window_rank_functions singletons)
     "union_batch_states",
     "numeric_coerce",
     "skew_salted_join",

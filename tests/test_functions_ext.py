@@ -346,6 +346,25 @@ def test_knn_pq_seeded_recall_and_rerank_lever(spark):
     assert r_rr > r_adc
 
 
+@pytest.mark.slow
+def test_knn_ivfpq_recall_floor_and_probe_lever(spark):
+    """IVF-PQ recall@10 vs brute force: bounded above by the IVF
+    restriction (0.82 at 6 probes), reduced by PQ ranking error, rescued
+    by the exact re-rank — measured 0.59 at 6 probes / m=8 / C=100, and
+    more probes must not hurt."""
+    emb = _sf0001_embeddings(spark)
+    queries = emb.filter("vec_id % 20 = 0")
+    bf = similarity.knn_bruteforce(emb, queries, k=10)
+    r6 = _recall_at_10(bf, similarity.knn_ivfpq_seeded(
+        emb, queries, k=10, n_centroids=16, n_probes=6,
+        m=8, n_codes=16, dim=64, rerank=100))
+    assert r6 >= 0.5
+    r8 = _recall_at_10(bf, similarity.knn_ivfpq_seeded(
+        emb, queries, k=10, n_centroids=16, n_probes=8,
+        m=8, n_codes=16, dim=64, rerank=100))
+    assert r8 >= r6
+
+
 def test_knn_pq_seeded_rejects_indivisible_dim(spark):
     emb = _sf0001_embeddings(spark)
     with pytest.raises(ValueError, match="not divisible"):
