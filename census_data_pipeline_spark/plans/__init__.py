@@ -40,7 +40,15 @@ media queries with FULL value oracles also enter: multimodal_video_frames
 replaces multimodal_frame_sample (which it subsumes — it runs the same
 sample_frames operator and additionally decodes the kept frames), and
 multimodal_audio_features replaces the r3-green events_interpolate_1h
-(the events family keeps six anchors)."""
+(the events family keeps six anchors).
+
+Nine more r4 operators enter the prefix, each displacing one r3-green
+singleton whose family keeps other anchors (the inline comments below
+name each swap): knn_pq_seeded + knn_ivfpq_seeded (PQ-ADC and the
+FAISS-style IVF-PQ composition), dedup_spans (corpus-level span dedup),
+search_bm25 (keyword retrieval), scd2_user_status + cdc_apply_changes
+(the CDC pair), streaming_interval_join (real stream-stream join),
+graph_pagerank (fixed-iteration PageRank). All have FULL value oracles."""
 
 from census_data_pipeline_spark.plans import (  # noqa: F401
     queries_analytics,
