@@ -1736,13 +1736,17 @@ def graph_pagerank(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
+    # dedup on the int pair BEFORE building string node ids: the distinct
+    # shuffles 16-byte rows instead of ~24-byte strings and the concat
+    # runs on 49k unique edges instead of 600k join rows
     e = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
         )
-        .distinct()
     )
     pr = graph.pagerank(e, iterations=5, damping=0.85,
                         broadcast_ranks=True)
