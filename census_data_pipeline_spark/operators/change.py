@@ -122,8 +122,14 @@ def apply_changes(
 
     latest = changes
     if seq_col is not None:
+        # seq ties (a malformed feed) resolve deterministically by the
+        # remaining columns rather than partition order
+        rest = [
+            F.col(c).desc() for c in changes.columns
+            if c not in (*key_cols, seq_col)
+        ]
         w = Window.partitionBy(*key_cols).orderBy(
-            F.col(seq_col).desc(), *[F.col(k) for k in key_cols]
+            F.col(seq_col).desc(), *rest
         )
         latest = (
             changes.withColumn("__rn", F.row_number().over(w))

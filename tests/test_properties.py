@@ -130,3 +130,100 @@ def test_salted_join_equals_direct_property(spark, brows, srows, how):
         map(tuple, skew.salted_join(big, small, ["k"], n_salts=4, how=how).collect())
     )
     assert salted == direct
+
+
+@pytest.mark.slow
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["w", "x", "y", "z"]), min_size=1,
+                 max_size=12).map(" ".join),
+        min_size=1, max_size=10,
+    )
+)
+def test_span_dedup_invariants_property(spark, texts):
+    """span_dedup invariants over arbitrary small corpora: (1) per doc,
+    n_kept <= n_spans and the reassembled text is a subsequence of the
+    doc's spans; (2) every distinct span content survives EXACTLY once
+    across the whole corpus; (3) kept-span multiset == first-occurrence
+    rule applied sequentially."""
+    from census_data_pipeline_spark.functions.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in span_dedup(df, span_tokens=3).collect()}
+
+    def spans_of(t):
+        toks = t.split(" ")
+        return [" ".join(toks[i:i + 3]) for i in range(0, len(toks), 3)]
+
+    seen, expect_kept = set(), {}
+    for i, t in enumerate(texts):
+        kept = []
+        for sp in spans_of(t):
+            if sp not in seen:
+                seen.add(sp)
+                kept.append(sp)
+        expect_kept[i] = kept
+    for i, t in enumerate(texts):
+        r = out[i]
+        assert r.n_spans == len(spans_of(t))
+        assert r.n_kept == len(expect_kept[i])
+        assert r.text_dedup == " ".join(expect_kept[i])
+    # every distinct span content survives exactly once corpus-wide
+    all_kept = [sp for i in out for sp in
+                (out[i].text_dedup.split(" ") and
+                 _respan(out[i].text_dedup))]
+    assert sorted(all_kept) == sorted(seen)
+
+
+def _respan(text_dedup):
+    if not text_dedup:
+        return []
+    toks = text_dedup.split(" ")
+    return [" ".join(toks[i:i + 3]) for i in range(0, len(toks), 3)]
+
+
+@pytest.mark.slow
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 99)),
+             min_size=0, max_size=12),
+)
+def test_apply_changes_idempotent_property(spark, feed):
+    """apply_changes invariants: applying the same (deduped-by-seq) feed
+    twice equals applying it once, and result keys = (snapshot keys −
+    deletes) ∪ upserts."""
+    from census_data_pipeline_spark.operators.change import apply_changes
+
+    snap = spark.createDataFrame(
+        [(k, float(k)) for k in range(4)], "id long, val double"
+    )
+    rows = [("D" if seq % 3 == 0 else "U", k, seq, float(seq))
+            for k, seq in feed]
+    if not rows:
+        return
+    changes = spark.createDataFrame(
+        rows, "op string, id long, seq long, val double"
+    )
+    once = apply_changes(snap, changes, ["id"], seq_col="seq")
+    twice = apply_changes(once, changes, ["id"], seq_col="seq")
+    r1 = sorted((r.id, r.val) for r in once.collect())
+    r2 = sorted((r.id, r.val) for r in twice.collect())
+    assert r1 == r2
+    # reference merge
+    latest = {}
+    for op, k, seq, v in rows:
+        if k not in latest or seq > latest[k][1] or (
+                seq == latest[k][1] and k > k):
+            latest[k] = (op, seq, v)
+    want = {k: float(k) for k in range(4)}
+    for k, (op, _seq, v) in latest.items():
+        if op == "D":
+            want.pop(k, None)
+        else:
+            want[k] = v
+    assert dict(r1) == want
