@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from census_data_pipeline_spark.sources.catalog import ensure_parallelism
+
 # Tiny deterministic stopword set used for quality scoring / lang-id.
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
 
@@ -294,4 +296,49 @@ def pack_token_bins(
     return df.withColumn(
         "bin_id",
         F.floor((cum - F.col(tokens_col)) / F.lit(budget)).cast("long"),
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unigram language-model scoring — the CCNet-style perplexity proxy
+    used to quality-rank corpora: fit the MLE unigram model on the corpus
+    itself (token frequencies / total tokens) and score every document by
+    its mean token log-probability. Low ``avg_logprob`` (high
+    ``ppl_proxy``) = unusual token distribution — boilerplate, code
+    dumps, lorem-ipsum, non-language noise; the standard filter keeps the
+    middle of the distribution.
+
+    Scale shape: one exploded token pass (checkpointed — it feeds the
+    frequency model, the total, and the scoring join), one groupBy(token)
+    frequency model, a shuffle join tokens⋈freq on the token (the model
+    is vocabulary-sized — broadcast-able for small vocabularies, and AQE
+    decides), one groupBy(doc). ``ppl_proxy`` is exp(−avg) computed from
+    the ALREADY-ROUNDED average so both engines derive it from identical
+    inputs (fp discipline)."""
+    tok = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+        .localCheckpoint(eager=False)
+    )
+    freq = tok.groupBy("__t").agg(F.count("*").alias("__c"))
+    total = tok.agg(F.count("*").alias("__n"))
+    scored = (
+        tok.join(freq, "__t")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.log(F.col("__c") / F.col("__n")).alias("__lp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg("__lp"), 6).alias("avg_logprob"),
+        )
+    )
+    return scored.withColumn(
+        "ppl_proxy", F.round(F.exp(-F.col("avg_logprob")), 4)
     )

@@ -94,8 +94,11 @@ _CHECKED_PREFIX = [
     # (corpus_clean_pipeline left the prefix in r4 for scd2_user_status: it
     # was driver-green in r1-r3 and corpus_curation_e2e exercises the same
     # cleaning stages plus three more)
-    # r3 addition: first-class quality surface
-    "text_quality_scores",
+    # (text_quality_scores left the prefix in r4 for text_unigram_logprob:
+    # driver-green in r3; the heuristic quality surface stays exercised by
+    # corpus_curation_e2e and unit tests, and the LM-based ranker below is
+    # the stronger quality signal)
+    "text_unigram_logprob",
     # r3 rotation: never-driver-checked text queries (VERDICT r2 ask #1)
     "doc_fingerprint",
     "text_term_frequency",

@@ -1864,3 +1864,29 @@ def knn_ivfpq_seeded(spark, sf_dir):
         emb, queries, k=10, n_centroids=16, n_probes=6,
         m=8, n_codes=16, dim=64, rerank=100,
     )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    total AS (SELECT count(*) AS n FROM tok),
+    s AS (SELECT doc_id,
+                 count(*) AS n_tokens,
+                 round(avg(ln(c / n)), 6) AS avg_logprob
+          FROM tok JOIN freq USING (t) CROSS JOIN total
+          GROUP BY doc_id)
+    SELECT doc_id, n_tokens, avg_logprob,
+           round(exp(-avg_logprob), 4) AS ppl_proxy
+    FROM s
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Unigram LM quality scoring (functions/text.unigram_logprob): fit
+    the MLE unigram model on the corpus, score each doc by mean token
+    log-probability + a perplexity proxy — the CCNet-style quality
+    ranker. One frequency model shuffle + one scoring join; ppl derived
+    from the already-rounded average (fp discipline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.unigram_logprob(docs, "text", "doc_id")

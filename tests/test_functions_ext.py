@@ -1523,3 +1523,20 @@ def test_pagerank_matches_reference_power_iteration(spark):
         assert abs(sum(got.values()) - 1.0) < 1e-9
     with pytest.raises(ValueError):
         pagerank(edges, iterations=0)
+
+
+def test_unigram_logprob_ranks_unusual_text_lower(spark):
+    """MLE unigram scoring: a doc of corpus-common tokens scores higher
+    (less negative) than one of rare tokens; ppl = exp(-avg) of the
+    rounded average; n_tokens exact."""
+    df = _docs(spark, [
+        (1, "a a a a"), (2, "a a a b"), (3, "a a b c"),
+    ])
+    out = {r.doc_id: r for r in text.unigram_logprob(df).collect()}
+    assert out[1].avg_logprob > out[2].avg_logprob > out[3].avg_logprob
+    assert out[1].n_tokens == 4
+    import math
+    for r in out.values():
+        assert abs(r.ppl_proxy - round(math.exp(-r.avg_logprob), 4)) < 1e-9
+    # doc of only the most common token: p("a") = 9/12
+    assert abs(out[1].avg_logprob - round(math.log(9 / 12), 6)) < 1e-9
