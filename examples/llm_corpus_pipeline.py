@@ -1,10 +1,12 @@
 """End-to-end LLM training-corpus curation on the extension tier (no
 reference analog — the north-star surface, SURVEY.md §2.11): deterministic
 subsample -> language/quality gate -> repetition filter -> PII scrub ->
-exact dedup -> minhash near-dup clustering -> canonical-document selection
--> benchmark decontamination -> per-source cap -> temperature rebalancing
--> token-window chunking -> training-bin packing -> epoch shuffle/shard
-assignment -> per-class embedding centroids.
+corpus-level span dedup -> unigram-LM perplexity gate -> exact dedup ->
+minhash near-dup clustering -> canonical-document selection -> benchmark
+decontamination -> per-source cap -> temperature rebalancing ->
+token-window chunking -> training-bin packing -> epoch shuffle/shard
+assignment -> per-class embedding centroids -> BM25 + IVF-PQ retrieval
+over the curated corpus.
 
 Every stage is the same operator the driver contract exercises
 (functions/{sampling,text,dedup,similarity}.py); chained here the whole
@@ -56,6 +58,25 @@ def main(sf_dir: str = SF_DIR) -> int:
     # 2b. PII redaction before anything is persisted (counts + scrub in
     #     one narrow pass)
     kept = text.scrub_pii(kept, "text")
+
+    # 2c. corpus-level span dedup (r4): strip cross-document boilerplate
+    #     spans BEFORE pairwise near-dup — duplication collapses work
+    #     here instead of exploding LSH buckets (SCALING.md)
+    respanned = dedup.span_dedup(kept, "text", "doc_id", span_tokens=16)
+    kept = (
+        kept.drop("text")
+        .join(respanned.filter(F.col("n_kept") > 0)
+              .select("doc_id", F.col("text_dedup").alias("text")),
+              "doc_id")
+    )
+
+    # 2d. unigram-LM quality gate (r4): CCNet-style perplexity proxy —
+    #     drop documents whose token distribution is far from the
+    #     corpus model
+    lm = text.unigram_logprob(kept, "text", "doc_id")
+    kept = kept.join(
+        lm.filter(F.col("ppl_proxy") <= 40.0).select("doc_id"), "doc_id"
+    )
 
     # 3. exact dedup (one shuffle on a 16-byte content hash)
     uniq = dedup.exact_dedup(kept, "text", "doc_id")
@@ -132,6 +153,24 @@ def main(sf_dir: str = SF_DIR) -> int:
     print("\nembedding centroids (label, dim, mean-of-means):")
     for r in centroids.collect():
         print(f"  label {r.label}: dim={r.dim} mean={r.mean_of_means}")
+
+    # 7. retrieval over the curated corpus (r4): BM25 keyword top-5 and
+    #    IVF-PQ approximate vector neighbors for a sample of queries
+    from census_data_pipeline_spark.functions import search, similarity
+
+    corpus_text = canonical.select("doc_id").join(
+        kept.select("doc_id", "text"), "doc_id"
+    )
+    hits = search.bm25_topk(corpus_text, ["vector", "stream"], k=5)
+    print("\nBM25 top-5 for 'vector stream':")
+    for r in hits.collect():
+        print(f"  doc {r.doc_id}: score={r.score} matched={r.n_matched}")
+    queries = emb.filter(F.col("vec_id") % 200 == 0)
+    ann = similarity.knn_ivfpq_seeded(
+        emb, queries, k=3, n_centroids=16, n_probes=6,
+        m=8, n_codes=16, dim=64, rerank=50,
+    )
+    print(f"IVF-PQ neighbor rows  : {ann.count()}")
 
     # NOTE: no spark.stop() — the session is shared when driven from tests
     return n_final
