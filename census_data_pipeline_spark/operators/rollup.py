@@ -104,3 +104,40 @@ def hierarchy_rollup_sql(
         *_agg_exprs(agg_columns),
         *[F.grouping(n).alias(f"is_total_{n}") for n in names],
     )
+
+
+def merge_aggregates(
+    snapshot: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Incremental view maintenance for re-aggregatable aggregates: merge
+    a materialized per-key aggregate SNAPSHOT with the partial aggregate
+    of a DELTA batch — union the two tiny aggregate frames and re-reduce,
+    so a refresh touches O(|groups| + |delta groups|) rows instead of
+    rescanning the fact table. ``merges`` lists (merge_fn, col) pairs
+    where merge_fn ∈ {sum, min, max} is the ALGEBRAIC combiner: counts
+    merge with sum, sums with sum, mins with min, maxes with max
+    (averages must be carried as sum+count and derived after — the same
+    decomposition Spark's own partial aggregation uses; medians/distincts
+    need sketches, see sketch_rollup_mergeable).
+
+    This is the batch analog of a streaming materialized view: the
+    snapshot is yesterday's agg, the delta is today's partition, and the
+    merged output is bit-identical to re-aggregating the union of the
+    raw data — for these combiners the merge is associative, so ANY
+    batching of the history produces the same result (the property the
+    oracle checks by aggregating the full fact table directly)."""
+    fns = {"sum": F.sum, "min": F.min, "max": F.max}
+    bad = [fn for fn, _ in merges if fn not in fns]
+    if bad:
+        raise ValueError(
+            f"non-algebraic merge fns {bad}: carry sum+count (avg), or a "
+            "sketch column (distinct/quantile), and derive after the merge"
+        )
+    return (
+        snapshot.unionByName(delta)
+        .groupBy(*keys)
+        .agg(*[fns[fn](c).alias(c) for fn, c in merges])
+    )

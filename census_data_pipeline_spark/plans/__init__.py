@@ -70,8 +70,9 @@ _CHECKED_PREFIX = [
     # r1-green dedup_simhash singleton)
     "dedup_clusters",
     # (dedup_clusters_star left the prefix in r4 for knn_pq_seeded: it was
-    # driver-green in r3 and shares dedup_clusters' recursive-CTE oracle)
-    "dedup_keep_canonical",
+    # driver-green in r3 and shares dedup_clusters' recursive-CTE oracle;
+    # dedup_keep_canonical left for ivm_incremental_rollup — r3-green, and
+    # its pairs->CC->anti-join plan is the dedup_clusters oracle + a join)
     "dedup_embedding_cosine",
     # r4 promotion: MLlib MinHashLSH accuracy contract (was rows-only)
     "dedup_minhash_ml",
@@ -123,8 +124,9 @@ _CHECKED_PREFIX = [
     # r3 rotation: end-to-end curation composite + mergeable sketch rollup
     "corpus_curation_e2e",
     "sketch_rollup_mergeable",
-    # r4 addition: fixed-iteration PageRank (unrolled-CTE oracle)
+    # r4 additions: fixed-iteration PageRank + incremental view maintenance
     "graph_pagerank",
+    "ivm_incremental_rollup",
     # §2.9 event-time & streaming-parity
     "events_tumbling_1h",
     "events_session_5m",

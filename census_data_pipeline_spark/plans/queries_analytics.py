@@ -1792,3 +1792,45 @@ def cdc_apply_changes(spark, sf_dir):
         .alias("c_acctbal"),
     )
     return change.apply_changes(cust, changes, ["c_custkey"])
+
+
+@query(
+    "ivm_incremental_rollup",
+    oracle="""
+    SELECT o_custkey AS c_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_spend,
+           round(max(o_totalprice), 2) AS max_order
+    FROM orders GROUP BY 1
+    """,
+)
+def ivm_incremental_rollup(spark, sf_dir):
+    """Incremental view maintenance (operators/rollup.merge_aggregates):
+    the per-customer order rollup is materialized from 90% of the fact
+    table (the 'snapshot'), the remaining 10% arrives as a delta batch,
+    and the refresh merges the two PARTIAL aggregate frames — never
+    rescanning the snapshot's facts. The oracle aggregates the full fact
+    table directly, so a green row proves the algebraic merge is exact
+    (sum+count+max combiners; sums rounded only AFTER the merge)."""
+    from census_data_pipeline_spark.operators import rollup as rollup_ops
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def partial(df):
+        return df.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("o_totalprice").alias("total_spend"),
+            F.max("o_totalprice").alias("max_order"),
+        )
+
+    snapshot = partial(orders.filter(F.col("o_orderkey") % 10 != 0))
+    delta = partial(orders.filter(F.col("o_orderkey") % 10 == 0))
+    merged = rollup_ops.merge_aggregates(
+        snapshot, delta, ["c_custkey"],
+        [("sum", "n_orders"), ("sum", "total_spend"), ("max", "max_order")],
+    )
+    return merged.select(
+        "c_custkey", "n_orders",
+        F.round("total_spend", 2).alias("total_spend"),
+        F.round("max_order", 2).alias("max_order"),
+    )

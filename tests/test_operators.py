@@ -381,3 +381,31 @@ def test_apply_changes_merge_semantics(spark):
     # snapshot side
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "FullOuter" not in plan
+
+
+def test_merge_aggregates_equals_direct(spark):
+    from census_data_pipeline_spark.operators.rollup import merge_aggregates
+
+    facts = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0), ("b", -1.0), ("c", 9.0)],
+        "k string, v double",
+    )
+
+    def partial(df):
+        return df.groupBy("k").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("v").alias("s"), F.max("v").alias("mx"),
+        )
+
+    snap = partial(facts.filter("v >= 0"))
+    delta = partial(facts.filter("v < 0"))
+    merged = {r.k: r for r in merge_aggregates(
+        snap, delta, ["k"],
+        [("sum", "n"), ("sum", "s"), ("max", "mx")]).collect()}
+    direct = {r.k: r for r in partial(facts).collect()}
+    assert set(merged) == set(direct)
+    for k in direct:
+        assert (merged[k].n, merged[k].s, merged[k].mx) == (
+            direct[k].n, direct[k].s, direct[k].mx)
+    with pytest.raises(ValueError, match="non-algebraic"):
+        merge_aggregates(snap, delta, ["k"], [("avg", "s")])
