@@ -98,6 +98,8 @@ HEADLINE_NEW: list[str] = [
     "cdc_apply_changes",
     "text_unigram_logprob",
     "ivm_incremental_rollup",
+    "events_rate_anomaly",
+    "copurchase_topk",
     # streaming_interval_join is excluded like the other REAL-streaming
     # queries (streaming_tumbling_1h, streaming_enriched_rollup): their
     # cost is state-store + micro-batch machinery, not engine operators

@@ -91,7 +91,8 @@ _CHECKED_PREFIX = [
     "text_repetition_stats",
     "decontam_ngram_overlap",
     "text_chunking",
-    "text_pack_bins",
+    # (text_pack_bins left the prefix in r4 for copurchase_topk: driver-green
+    # r1-r3; packing stays pinned by the straddle/scalable-prefix-sum tests)
     # (corpus_clean_pipeline left the prefix in r4 for scd2_user_status: it
     # was driver-green in r1-r3 and corpus_curation_e2e exercises the same
     # cleaning stages plus three more)
@@ -136,10 +137,14 @@ _CHECKED_PREFIX = [
     # r3 rotation: events analytics tier (funnel / cohort / transitions)
     "events_funnel_3step",
     "cohort_retention_weekly",
-    "events_top_transitions",
-    # r4 addition: SCD2 validity-interval history build + MERGE apply
+    # (events_top_transitions left the prefix in r4 for events_rate_anomaly:
+    # driver-green in r3; the transition rollup shares its lead-window shape
+    # with scd2_user_status below)
+    # r4 additions: SCD2 + MERGE apply + anomaly + co-occurrence analytics
     "scd2_user_status",
     "cdc_apply_changes",
+    "events_rate_anomaly",
+    "copurchase_topk",
     # unchecked-in-r1 core operators
     "boundaries_right_join",
     # (topk_per_nation left the prefix in r4 for knn_ivfpq_seeded: it was

@@ -1834,3 +1834,111 @@ def ivm_incremental_rollup(spark, sf_dir):
         F.round("total_spend", 2).alias("total_spend"),
         F.round("max_order", 2).alias("max_order"),
     )
+
+
+@query(
+    "copurchase_topk",
+    oracle="""
+    WITH pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                          count(*) AS n_co
+                   FROM lineitem a JOIN lineitem b
+                     ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+                   GROUP BY 1, 2),
+    sym AS (SELECT part_a AS part, part_b AS other, n_co FROM pairs
+            UNION ALL
+            SELECT part_b AS part, part_a AS other, n_co FROM pairs),
+    r AS (SELECT part, other, n_co,
+                 row_number() OVER (PARTITION BY part
+                                    ORDER BY n_co DESC, other) AS "rank"
+          FROM sym)
+    SELECT part, other, n_co, "rank" FROM r WHERE "rank" <= 3
+    """,
+)
+def copurchase_topk(spark, sf_dir):
+    """Item-item co-occurrence recommender (the classic 'bought together'
+    rollup): self-join lineitem on the order key with part_a < part_b,
+    count pairs, symmetrize, top-3 co-purchased parts per part. Scale
+    shape: the self-join fans out quadratically PER ORDER — bounded here
+    because TPC-H orders hold ≤7 items; for long baskets cap items per
+    basket upstream (sampling.cap_per_group) exactly like the LSH
+    hot-bucket guard. One shuffle on the order key, one on the pair,
+    one on the part for the per-part rank."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.withColumnsRenamed({"l_partkey": "part_a"})
+    b = li.withColumnsRenamed({"l_partkey": "part_b"})
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_co"))
+    )
+    sym = pairs.select(
+        F.col("part_a").alias("part"), F.col("part_b").alias("other"), "n_co"
+    ).unionByName(pairs.select(
+        F.col("part_b").alias("part"), F.col("part_a").alias("other"), "n_co"
+    ))
+    from census_data_pipeline_spark.operators.topk import top_k_per_group
+
+    return top_k_per_group(
+        sym, ["part"], by="n_co", k=3, tiebreak=["other"]
+    ).select("part", "other", "n_co", F.col("rank").cast("long").alias("rank"))
+
+
+@query(
+    "events_rate_anomaly",
+    oracle="""
+    WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM events GROUP BY 1, 2),
+    w AS (SELECT event_type, epoch_us(h) AS hour_us, n,
+                 avg(n) OVER tw AS mu,
+                 stddev_samp(n) OVER tw AS sd,
+                 count(*) OVER tw AS n_window
+          FROM hourly
+          WINDOW tw AS (PARTITION BY event_type ORDER BY h
+                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, hour_us, n,
+           round((n - mu) / sd, 4) AS zscore,
+           round((n - mu) / sd, 4) > 3.0 AS is_anomaly
+    FROM w WHERE n_window >= 12 AND sd > 0
+    """,
+)
+def events_rate_anomaly(spark, sf_dir):
+    """Event-rate anomaly detection: hourly counts per event type,
+    z-scored against the TRAILING 24-hour window (rows 24..1 preceding —
+    never includes the current bucket, so a spike can't mask itself);
+    buckets with fewer than 12 trailing hours or zero variance are
+    unscored. One shuffle to hourly buckets (already tiny), one
+    type-partitioned ordered window — bounded state per type, the same
+    shape a streaming detector keeps. The anomaly flag derives from the
+    ROUNDED z (fp discipline)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").cast("long").alias("n"))
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    z = F.round(
+        (F.col("n") - F.avg("n").over(tw)) / F.stddev_samp("n").over(tw), 4
+    )
+    return (
+        hourly.select(
+            "event_type",
+            F.unix_micros("h").alias("hour_us"),
+            "n",
+            z.alias("zscore"),
+            (z > 3.0).alias("is_anomaly"),
+            F.count("*").over(tw).alias("__nw"),
+            F.stddev_samp("n").over(tw).alias("__sd"),
+        )
+        .filter((F.col("__nw") >= 12) & (F.col("__sd") > 0))
+        .drop("__nw", "__sd")
+    )

@@ -40,7 +40,8 @@ FAMILY_REPRESENTATIVES = [
     "sketch_rollup_mergeable",  # mergeable KLL/HLL rollup
     "events_funnel_3step",    # funnel analytics
     "cohort_retention_weekly",  # cohort analytics
-    "events_top_transitions",   # markov transition analytics
+    # (events_top_transitions rotated out in r4 — r3-green; the events
+    # analytics family keeps funnel/cohort plus the two r4 rows below)
     "doc_fingerprint",        # rolling-hash fingerprinting
     "text_term_frequency",    # term frequency
     # r4 rotation: text_tokens_bpeish left the prefix (tokenization stays
@@ -51,6 +52,19 @@ FAMILY_REPRESENTATIVES = [
     "geo_polygon_overlap",    # Sutherland-Hodgman overlay (new r4)
     "multimodal_video_frames",    # real AVI parse + frame decode (new r4)
     "multimodal_audio_features",  # real WAV decode + features (new r4)
+    # r4 session additions — one per new operator family
+    "knn_pq_seeded",          # PQ-ADC compressed scan + exact re-rank
+    "knn_ivfpq_seeded",       # FAISS-style IVF-PQ composition
+    "dedup_spans",            # corpus-level span dedup (C4-style)
+    "search_bm25",            # BM25 keyword retrieval
+    "scd2_user_status",       # SCD2 validity-interval history build
+    "cdc_apply_changes",      # MERGE INTO apply (anti-join + union)
+    "streaming_interval_join",  # real stream-stream interval join
+    "graph_pagerank",         # fixed-iteration PageRank
+    "text_unigram_logprob",   # unigram-LM perplexity-proxy quality
+    "ivm_incremental_rollup",  # incremental view maintenance
+    "events_rate_anomaly",    # trailing-window z-score anomaly flags
+    "copurchase_topk",        # item-item co-occurrence recommender
 ]
 
 
