@@ -89,6 +89,7 @@ HEADLINE_NEW: list[str] = [
     "knn_ivf",
     "multimodal_audio_features",
     "multimodal_video_frames",
+    "multimodal_image_dhash",
     "knn_pq_seeded",
     "knn_ivfpq_seeded",
     "dedup_spans",

@@ -42,13 +42,17 @@ sample_frames operator and additionally decodes the kept frames), and
 multimodal_audio_features replaces the r3-green events_interpolate_1h
 (the events family keeps six anchors).
 
-Nine more r4 operators enter the prefix, each displacing one r3-green
-singleton whose family keeps other anchors (the inline comments below
-name each swap): knn_pq_seeded + knn_ivfpq_seeded (PQ-ADC and the
+Fourteen more r4 operators enter the prefix, each displacing one
+r3-green singleton whose family keeps other anchors (the inline comments
+below name each swap): knn_pq_seeded + knn_ivfpq_seeded (PQ-ADC and the
 FAISS-style IVF-PQ composition), dedup_spans (corpus-level span dedup),
 search_bm25 (keyword retrieval), scd2_user_status + cdc_apply_changes
 (the CDC pair), streaming_interval_join (real stream-stream join),
-graph_pagerank (fixed-iteration PageRank). All have FULL value oracles."""
+graph_pagerank (fixed-iteration PageRank), text_unigram_logprob
+(perplexity-proxy quality), ivm_incremental_rollup (partial-aggregate
+merge), events_rate_anomaly + copurchase_topk (ops analytics), and
+multimodal_image_dhash (real BMP round-trip visual fingerprint). All
+have FULL value oracles."""
 
 from census_data_pipeline_spark.plans import (  # noqa: F401
     queries_analytics,
@@ -109,7 +113,9 @@ _CHECKED_PREFIX = [
     # §2.11 linkage / sampling / multimodal
     "linkage_edit1_names",
     "sample_temperature",
-    "sample_stratified_events",
+    # (sample_stratified_events left the prefix in r4 for
+    # multimodal_image_dhash: driver-green r3; sampling keeps the
+    # temperature + shard anchors and the stratified path's unit tests)
     # (split_assign_docs left the prefix in r4 for streaming_interval_join:
     # driver-green in r3; hash_split stays pinned by unit tests and the
     # sampling anchors below)
@@ -122,6 +128,7 @@ _CHECKED_PREFIX = [
     # r4: full-value-oracle media queries (video subsumes frame_sample)
     "multimodal_video_frames",
     "multimodal_audio_features",
+    "multimodal_image_dhash",
     # r3 rotation: end-to-end curation composite + mergeable sketch rollup
     "corpus_curation_e2e",
     "sketch_rollup_mergeable",

@@ -1890,3 +1890,68 @@ def text_unigram_logprob(spark, sf_dir):
     from the already-rounded average (fp discipline)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.unigram_logprob(docs, "text", "doc_id")
+
+
+def _dhash_oracle() -> str:
+    """Closed-form dHash: the synthesized 9x8 image has pixel value
+    (doc_id*7 + x*11 + y*13) % 251, so each of the 64 dHash bits
+    (left-to-right brightness increase) is analytically known — the
+    oracle rebuilds the exact bit string the Spark side computes from the
+    REAL decoded BMP bytes."""
+    bits = []
+    for y in range(8):
+        for x in range(8):
+            a = f"(doc_id*7 + {x + 1}*11 + {y}*13) % 251"
+            b = f"(doc_id*7 + {x}*11 + {y}*13) % 251"
+            bits.append(f"CASE WHEN {a} > {b} THEN '1' ELSE '0' END")
+    expr = " || ".join(bits)
+    return f"""
+    SELECT doc_id, {expr} AS dhash FROM documents
+    """
+
+
+@query("multimodal_image_dhash", oracle=_dhash_oracle())
+def multimodal_image_dhash(spark, sf_dir):
+    """Image difference-hash (dHash) — the visual near-dup fingerprint of
+    the multimodal tier, end-to-end REAL: a deterministic 9x8 gradient
+    BMP is encoded per doc (pixel = (doc_id*7 + x*11 + y*13) % 251),
+    decoded back through the stdlib BMP decoder, and hashed by comparing
+    horizontally adjacent pixels (64 bits, y-major). A wrong encode, row
+    padding, decode, or comparison order breaks the value hash against
+    the closed form. The hash feeds the same hamming-band pair join as
+    simhash (functions/dedup.simhash_hamming_pairs) for visual near-dup
+    at scale; 1→1 Arrow mapInPandas, helpers shipped by value."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[multimodal.__name__])
+    _enc_bmp, _dec_img = multimodal.encode_bmp, multimodal.decode_image
+
+    def hash_batch(batches):
+        import numpy as np
+        import pandas as pd
+
+        encode_bmp, decode_image = _enc_bmp, _dec_img
+
+        def dhash(d: int) -> str:
+            x = np.arange(9)[None, :]
+            y = np.arange(8)[:, None]
+            px = ((d * 7 + x * 11 + y * 13) % 251).astype(np.uint8)
+            img = np.repeat(px[:, :, None], 3, axis=2)
+            arr = decode_image(encode_bmp(img))  # REAL round-trip
+            ch = arr[:, :, 0].astype(np.int32)
+            bits = (ch[:, 1:] > ch[:, :-1]).astype(np.uint8).ravel()
+            return "".join("1" if b else "0" for b in bits)
+
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "dhash": [dhash(int(d)) for d in batch["doc_id"]],
+                }
+            )
+
+    return docs.mapInPandas(hash_batch, schema="doc_id long, dhash string")

@@ -22,7 +22,8 @@ FAMILY_REPRESENTATIVES = [
     "sample_temperature",     # temperature source rebalancing (new r2)
     "shuffle_shard_assign",   # epoch shuffle / shard assignment (new r2)
     "linkage_edit1_names",    # fuzzy record linkage
-    "sample_stratified_events",  # deterministic stratified sampling (rotated in r3)
+    # (sample_stratified_events rotated out in r4 — r3-green; sampling keeps
+    # sample_temperature + shuffle_shard_assign anchors)
     "multimodal_payload",     # multimodal plumbing
     "events_tumbling_1h",     # event-time windows
     "events_session_5m",      # sessionization
@@ -65,6 +66,7 @@ FAMILY_REPRESENTATIVES = [
     "ivm_incremental_rollup",  # incremental view maintenance
     "events_rate_anomaly",    # trailing-window z-score anomaly flags
     "copurchase_topk",        # item-item co-occurrence recommender
+    "multimodal_image_dhash",  # real BMP round-trip visual fingerprint
 ]
 
 
