@@ -88,19 +88,40 @@ def _driver_side_geo_export(df: DataFrame, path: str, fmt: str,
     from the WKT ``geometry`` column, and hand off to geopandas — layer
     name defaults to the output file's stem (reference ``path.stem``), and
     shapefile export warns about the format's 10-char field-name
-    truncation, both matching the reference. Gated behind the geopandas
-    import (absent in this image → clear NotImplementedError; the gated
-    round-trip test skips, not fails)."""
+    truncation, both matching the reference. Uses geopandas' battle-tested
+    drivers when the library is present (reference parity); otherwise
+    falls back to the engine's pure-stdlib GeoPackage (sqlite3) and
+    shapefile (struct) writers in ``geo_formats`` — same files, no
+    dependency, round-trip-tested in tests/test_geo_formats.py."""
+    import os
+    import warnings
+
     try:
         import geopandas
         from shapely import wkt as shapely_wkt
-    except ImportError as e:
-        raise NotImplementedError(
-            f"{fmt} export requires geopandas (driver-side, small results "
-            "only); install geopandas or use parquet/geojson sinks"
-        ) from e
-    import os
-    import warnings
+    except ImportError:
+        if "geometry" not in df.columns:
+            raise ValueError(f"{fmt} export requires a WKT 'geometry' column")
+        from census_data_pipeline_spark.sources import geo_formats
+
+        slim = df.drop(
+            *[c for c in ("geometry_bytes", "geometry_encoding")
+              if c in df.columns]
+        )
+        rows = [tuple(r) for r in slim.collect()]
+        if fmt in ("shapefile", "shp"):
+            long_cols = [c for c in slim.columns
+                         if len(c) > 10 and c != "geometry"]
+            warnings.warn(
+                "Shapefile format truncates column names to 10 characters"
+                + (f": {long_cols}" if long_cols else ""),
+                stacklevel=3,
+            )
+            geo_formats.write_shapefile(path, slim.columns, rows)
+        else:
+            layer = layer_name or os.path.splitext(os.path.basename(path))[0]
+            geo_formats.write_gpkg(path, layer, slim.columns, rows)
+        return
 
     if "geometry" not in df.columns:
         raise ValueError(f"{fmt} export requires a WKT 'geometry' column")

@@ -154,8 +154,14 @@ def test_export_roundtrips(spark, tmp_path):
     line = json.loads(spark.read.text(gj).collect()[0].value)
     assert line["type"] == "Feature" and line["properties"]["GEOID"] == "06059"
 
-    with pytest.raises(NotImplementedError):
-        exporters.export(df, str(tmp_path / "x.gpkg"), "geopackage")
+    # K2 executes even without geopandas via the stdlib GeoPackage writer
+    # (full round-trips in tests/test_geo_formats.py)
+    gpkg = str(tmp_path / "x.gpkg")
+    exporters.export(df, gpkg, "geopackage")
+    from census_data_pipeline_spark.sources.geo_formats import read_gpkg
+
+    cols, rows = read_gpkg(gpkg, "x")
+    assert len(rows) == 1 and "POINT" in rows[0][cols.index("geometry")]
     with pytest.raises(ValueError):
         exporters.export(df, str(tmp_path / "x"), "avro-ish")
     with pytest.raises(ValueError):
