@@ -101,6 +101,11 @@ HEADLINE_NEW: list[str] = [
     "ivm_incremental_rollup",
     "events_rate_anomaly",
     "copurchase_topk",
+    # r4 second batch
+    "dedup_semantic",
+    "text_dsir_logratio",
+    "graph_triangles",
+    "skyline_parts",
     # streaming_interval_join is excluded like the other REAL-streaming
     # queries (streaming_tumbling_1h, streaming_enriched_rollup): their
     # cost is state-store + micro-batch machinery, not engine operators

@@ -104,3 +104,71 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks.select("id", "rank")
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph (edges may
+    arrive in either direction / duplicated; they are canonicalized
+    first). Returns (id, triangles) for every node in >=1 triangle.
+
+    Algorithm: degree-ordered edge orientation (Cohen 2009 / the
+    GraphX-and-MapReduce standard) — orient every edge from the
+    (degree, id)-smaller endpoint to the larger, generate wedges only
+    from each node's ORIENTED out-neighbors, and close them against the
+    oriented edge set. Orientation caps out-degree at O(√m) on any
+    graph, so wedge volume is O(m^{3/2}) instead of Σ deg² — the skewed
+    hub that makes naive wedge generation quadratic becomes a SINK with
+    tiny out-degree. Triangle SET is orientation-invariant, so results
+    match the textbook id-ordered 3-way self-join an oracle runs.
+
+    Shape: degree agg (one shuffle), two equi-joins on node keys for the
+    orientation, wedge self-join on the apex, closing equi-join on the
+    (v, w) pair — every join a plain shuffle-hash/SMJ equi-join, no
+    driver state."""
+    und = (
+        ensure_parallelism(edges)
+        .select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .union(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("__deg"))
+    )
+    da = deg.select(F.col("id").alias("a"), F.struct(
+        F.col("__deg").alias("d"), F.col("a").alias("i")).alias("__ka"))
+    db = deg.select(F.col("id").alias("b"), F.struct(
+        F.col("__deg").alias("d"), F.col("b").alias("i")).alias("__kb"))
+    oriented = (
+        und.join(da, "a").join(db, "b")
+        .select(
+            F.when(F.col("__ka") < F.col("__kb"), F.col("a"))
+            .otherwise(F.col("b")).alias("u"),
+            F.when(F.col("__ka") < F.col("__kb"), F.col("b"))
+            .otherwise(F.col("a")).alias("v"),
+            F.greatest("__ka", "__kb").alias("__kv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w1 = oriented.select("u", F.col("v").alias("x"), F.col("__kv").alias("__kx"))
+    w2 = oriented.select("u", F.col("v").alias("y"), F.col("__kv").alias("__ky"))
+    wedges = w1.join(w2, "u").filter(F.col("__kx") < F.col("__ky")).select(
+        "u", "x", "y"
+    )
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tris = wedges.join(closing, ["x", "y"])
+    return (
+        tris.select(F.col("u").alias("id"))
+        .union(tris.select(F.col("x").alias("id")))
+        .union(tris.select(F.col("y").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )

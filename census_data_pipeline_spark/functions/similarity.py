@@ -1008,3 +1008,78 @@ def knn_ivfpq_seeded(
     )
     pairs = cand.join(enc_wide, "id").join(F.broadcast(adc_wide), "query_id")
     return _adc_rank(pairs, corpus, queries, m, k, rerank, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup-style)
+# ---------------------------------------------------------------------------
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.3,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with a coarse quantizer, then
+    WITHIN each cluster drop every vector that has a lower-id neighbor
+    with cosine >= ``threshold`` — one canonical representative survives
+    per semantic-duplicate group, and cross-cluster duplicates are missed
+    by construction (that is the method's documented approximation; the
+    paper's k-means plays the same role this quantizer does).
+
+    Deterministic end to end: the quantizer is the seeded smallest-id
+    centroid frame shared with ``knn_ivf_seeded`` (no learned state), so
+    an ANSI-SQL oracle replicates assignment, pairing and the keep
+    decision exactly.
+
+    Returns (id, cell, kept): every corpus id, its cluster, and whether
+    it survives.
+
+    100 TB shape: assignment is a broadcast crossJoin over ``n_centroids``
+    rows + argmin (narrow); the within-cell pair generation is a
+    self-equi-join ON the cell key — one shuffle, candidate volume
+    O(Σ cell²). ``n_centroids`` is the scale knob: size it ~n/1k so cells
+    stay small (SemDeDup uses ~100k clusters for web corpora); the skew
+    story matches the LSH hot-bucket note in SCALING.md."""
+    cent = _seeded_centroids(corpus, n_centroids, id_col, vec_col)
+    vecs = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("__v"),
+    ).withColumn("__nv2", dot(F.col("__v"), F.col("__v")))
+    dist2 = (
+        F.col("__nv2") - F.lit(2.0) * dot(F.col("__v"), F.col("__cv"))
+        + F.col("__nc2")
+    )
+    assigned = (
+        vecs.crossJoin(F.broadcast(cent))
+        .select("id", "__cell", dist2.alias("__d2"))
+        .groupBy("id")
+        .agg(F.min(F.struct("__d2", "__cell")).alias("__m"))
+        .select("id", F.col("__m.__cell").alias("cell"))
+    )
+    cellv = vecs.join(assigned, "id").select(
+        "id", "cell", "__v", F.sqrt("__nv2").alias("__n")
+    )
+    a = cellv.select(
+        F.col("id").alias("id_a"), F.col("cell").alias("__ca"),
+        F.col("__v").alias("__va"), F.col("__n").alias("__na"),
+    )
+    b = cellv.select(
+        F.col("id").alias("id_b"), F.col("cell").alias("__cb"),
+        F.col("__v").alias("__vb"), F.col("__n").alias("__nb"),
+    )
+    losers = (
+        a.join(b, (F.col("__ca") == F.col("__cb"))
+               & (F.col("id_a") < F.col("id_b")))
+        .filter(F.expr(_COS_EXPR_AB) >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.join(losers.withColumn("__drop", F.lit(True)), "id", "left")
+        .select(
+            "id", "cell",
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -342,3 +342,75 @@ def unigram_logprob(
     return scored.withColumn(
         "ppl_proxy", F.round(F.exp(-F.col("avg_logprob")), 4)
     )
+
+
+def dsir_logratio(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    resolution: int = 4096,
+) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023, arXiv:2302.03169): fit hashed
+    bag-of-words unigram models over a curated TARGET subset (rows where
+    ``target`` is true) and over the raw corpus, then score every
+    document by its log-likelihood ratio Σ_tokens ln(p_target/p_raw) —
+    the importance weight DSIR resamples by (pair with
+    ``sampling.temperature_resample``-style keep rates or a top-k cut for
+    the selection step).
+
+    Features are md5-prefix hash buckets (3 hex chars = 4096 buckets) —
+    the same engine-parity trick as ``sampling``: the bucket is a string
+    both engines derive identically, so no integer-conversion dialect
+    drift. ``alpha`` is add-α smoothing over the bucket space (unseen
+    target buckets get mass α / (N_t + α·R)).
+
+    Scale shape: one exploded token pass (checkpointed — feeds both
+    models and the scoring join), two bucket-count aggs (≤``resolution``
+    rows each), and a scoring join tokens⋈weights where the weight frame
+    is AT MOST ``resolution`` rows — broadcast, so the corpus never
+    shuffles for scoring; the only wide exchange is the groupBy(doc)."""
+    if resolution != 4096:
+        raise ValueError("resolution must be 4096 (3 md5 hex chars)")
+    tok = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            target.alias("__tgt"),
+            F.explode(tokens(text_col)).alias("__t"),
+        )
+        .select(
+            id_col, "__tgt",
+            F.substring(F.md5("__t"), 1, 3).alias("__b"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    raw = tok.groupBy("__b").agg(F.count("*").alias("__ca"))
+    tgt = tok.filter("__tgt").groupBy("__b").agg(F.count("*").alias("__ct"))
+    n_raw = tok.agg(F.count("*").alias("__na"))
+    n_tgt = tok.filter("__tgt").agg(F.count("*").alias("__nt"))
+    r = float(resolution)
+    weights = (
+        raw.join(tgt, "__b", "left")
+        .crossJoin(F.broadcast(n_raw))
+        .crossJoin(F.broadcast(n_tgt))
+        .select(
+            "__b",
+            (
+                F.log((F.coalesce("__ct", F.lit(0)) + alpha)
+                      / (F.col("__nt") + alpha * r))
+                - F.log((F.col("__ca") + alpha)
+                        / (F.col("__na") + alpha * r))
+            ).alias("__lw"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(weights), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.sum("__lw"), 6).alias("logratio"),
+        )
+    )

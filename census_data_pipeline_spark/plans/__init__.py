@@ -52,7 +52,19 @@ graph_pagerank (fixed-iteration PageRank), text_unigram_logprob
 (perplexity-proxy quality), ivm_incremental_rollup (partial-aggregate
 merge), events_rate_anomaly + copurchase_topk (ops analytics), and
 multimodal_image_dhash (real BMP round-trip visual fingerprint). All
-have FULL value oracles."""
+have FULL value oracles.
+
+r4 second batch: four more operators with exact oracles enter, each
+displacing an r3-green singleton whose family keeps other anchors —
+dedup_semantic (SemDeDup-style within-cell cosine dedup) displaces
+dedup_clusters (dedup keeps exact/spans/minhash_lsh/embedding_cosine/
+minhash_ml; CC stays pinned by its unit tests and the r3-green
+clusters/star/keep_canonical rows), text_dsir_logratio (DSIR importance
+weights) displaces doc_fingerprint (text keeps six anchors),
+graph_triangles (degree-ordered triangle counting) displaces
+events_funnel_3step (events keeps nine anchors), and skyline_parts
+(two-phase Pareto front) displaces union_batch_states (core keeps six
+anchors)."""
 
 from census_data_pipeline_spark.plans import (  # noqa: F401
     queries_analytics,
@@ -72,7 +84,9 @@ _CHECKED_PREFIX = [
     # (dedup_simhash_pairs left the prefix in r4 for dedup_spans: it was
     # driver-green in r3; simhash stays pinned by its unit tests and the
     # r1-green dedup_simhash singleton)
-    "dedup_clusters",
+    # (dedup_clusters left the prefix in r4b for dedup_semantic: it was
+    # driver-green in r1-r3; CC stays pinned by unit tests)
+    "dedup_semantic",
     # (dedup_clusters_star left the prefix in r4 for knn_pq_seeded: it was
     # driver-green in r3 and shares dedup_clusters' recursive-CTE oracle;
     # dedup_keep_canonical left for ivm_incremental_rollup — r3-green, and
@@ -105,8 +119,8 @@ _CHECKED_PREFIX = [
     # corpus_curation_e2e and unit tests, and the LM-based ranker below is
     # the stronger quality signal)
     "text_unigram_logprob",
-    # r3 rotation: never-driver-checked text queries (VERDICT r2 ask #1)
-    "doc_fingerprint",
+    # r4b: DSIR importance weights (doc_fingerprint left — r3-green)
+    "text_dsir_logratio",
     "text_term_frequency",
     # r4 addition: BM25 keyword retrieval
     "search_bm25",
@@ -141,8 +155,9 @@ _CHECKED_PREFIX = [
     "streaming_tumbling_1h",
     # r4 addition: real stream-stream interval join (symmetric hash state)
     "streaming_interval_join",
-    # r3 rotation: events analytics tier (funnel / cohort / transitions)
-    "events_funnel_3step",
+    # r4b: triangle counting joins pagerank as the graph anchors
+    # (events_funnel_3step left — r3-green, events keeps nine anchors)
+    "graph_triangles",
     "cohort_retention_weekly",
     # (events_top_transitions left the prefix in r4 for events_rate_anomaly:
     # driver-green in r3; the transition rollup shares its lead-window shape
@@ -157,7 +172,9 @@ _CHECKED_PREFIX = [
     # (topk_per_nation left the prefix in r4 for knn_ivfpq_seeded: it was
     # driver-green in r3; windowed top-k stays pinned by unit tests and the
     # r1-green top5_customers/window_rank_functions singletons)
-    "union_batch_states",
+    # (union_batch_states left the prefix in r4b for skyline_parts: it
+    # was driver-green in r1-r3; core keeps six anchors)
+    "skyline_parts",
     "numeric_coerce",
     "skew_salted_join",
     # r4 addition: polygon-polygon overlay (Sutherland-Hodgman clip)

@@ -147,6 +147,74 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 
 @query(
+    "skyline_parts",
+    oracle="""
+    SELECT p_partkey, p_size, p_retailprice
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+        AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
+    """,
+)
+def skyline_parts(spark, sf_dir):
+    """2-D skyline / Pareto front (operators/skyline.skyline_2d): parts
+    where no other part is both at-least-as-large and at-most-as-cheap
+    (strictly better somewhere) — max p_size, min p_retailprice. The
+    engine runs the two-phase bucketed suffix-max decomposition (no
+    unpartitioned window, no quadratic self-join); the oracle runs the
+    definitional NOT EXISTS — identical sets by construction."""
+    from census_data_pipeline_spark.operators.skyline import skyline_2d
+
+    part = load_table(spark, sf_dir, "part")
+    out = skyline_2d(part, "p_size", "p_retailprice",
+                     maximize_x=True, maximize_y=False)
+    return out.select("p_partkey", "p_size", "p_retailprice")
+
+
+@query(
+    "dedup_semantic",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+             FROM e ORDER BY vec_id LIMIT 16),
+    cn AS (SELECT cell, cv, list_dot_product(cv, cv) AS nc2 FROM cent),
+    en AS (SELECT vec_id, v, list_dot_product(v, v) AS nv2 FROM e),
+    ad AS (SELECT vec_id, cell,
+                  nv2 - 2.0 * list_dot_product(v, cv) + nc2 AS d2
+           FROM en CROSS JOIN cn),
+    assign AS MATERIALIZED (SELECT vec_id, cell FROM (
+                 SELECT vec_id, cell,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d2, cell) AS rn
+                 FROM ad) WHERE rn = 1),
+    cv2 AS (SELECT a.vec_id, a.cell, e.v,
+                   sqrt(list_dot_product(e.v, e.v)) AS n
+            FROM assign a JOIN e ON a.vec_id = e.vec_id),
+    losers AS (SELECT DISTINCT y.vec_id AS id
+               FROM cv2 x JOIN cv2 y
+                 ON x.cell = y.cell AND x.vec_id < y.vec_id
+               WHERE round(list_dot_product(x.v, y.v) / (x.n * y.n), 6)
+                     >= 0.3)
+    SELECT a.vec_id AS id, a.cell,
+           (a.vec_id NOT IN (SELECT id FROM losers)) AS kept
+    FROM assign a
+    """,
+)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup (functions/similarity.semantic_dedup):
+    seeded coarse quantizer (same centroid frame as knn_ivf_seeded), then
+    within-cell cosine >= 0.3 drops every non-minimal member of a
+    semantic-duplicate group. The oracle replicates quantization, pairing
+    and the keep decision exactly — cell assignment, the within-cell
+    self-join, and the lowest-id-survives rule are all deterministic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from census_data_pipeline_spark.functions.similarity import semantic_dedup
+
+    return semantic_dedup(emb, threshold=0.3, n_centroids=16)
+
+
+@query(
     "pivot_status_by_segment",
     oracle="""
     SELECT c_mktsegment,

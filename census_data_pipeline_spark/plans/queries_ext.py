@@ -1753,6 +1753,50 @@ def graph_pagerank(spark, sf_dir):
     return pr.select("id", F.round("rank", 6).alias("pagerank"))
 
 
+@query(
+    "graph_triangles",
+    oracle="""
+    WITH p AS (SELECT a.l_partkey AS x, b.l_partkey AS y
+               FROM lineitem a JOIN lineitem b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+    t AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+          FROM p e1 JOIN p e2 ON e1.y = e2.x
+                    JOIN p e3 ON e3.x = e1.x AND e3.y = e2.y),
+    n AS (SELECT a AS id FROM t
+          UNION ALL SELECT b FROM t
+          UNION ALL SELECT c FROM t)
+    SELECT id, count(*) AS triangles FROM n GROUP BY id
+    """,
+)
+def graph_triangles(spark, sf_dir):
+    """Per-node triangle counts (functions/graph.triangle_counts) over
+    the part co-purchase graph (parts sharing >=2 orders). The engine
+    runs the degree-ordered orientation — wedge volume O(m^{3/2}) on any
+    degree distribution — while the oracle runs the textbook id-ordered
+    3-way self-join; the triangle set is orientation-invariant, so the
+    counts must agree exactly."""
+    from census_data_pipeline_spark.functions import graph
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("src", "dst")
+    )
+    return graph.triangle_counts(edges)
+
+
 def _knn_ivfpq_oracle(
     n_centroids: int = 16,
     n_probes: int = 6,
@@ -1863,6 +1907,40 @@ def knn_ivfpq_seeded(spark, sf_dir):
     return similarity.knn_ivfpq_seeded(
         emb, queries, k=10, n_centroids=16, n_probes=6,
         m=8, n_codes=16, dim=64, rerank=100,
+    )
+
+
+@query(
+    "text_dsir_logratio",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, source IN ('src0', 'src1') AS tgt,
+                        substring(md5(t), 1, 3) AS b
+                 FROM (SELECT doc_id, source, unnest({_TOKS}) AS t
+                       FROM documents)),
+    raw AS (SELECT b, count(*) AS ca FROM tok GROUP BY b),
+    tgt AS (SELECT b, count(*) AS ct FROM tok WHERE tgt GROUP BY b),
+    nr AS (SELECT count(*) AS na FROM tok),
+    nt AS (SELECT count(*) AS nt FROM tok WHERE tgt),
+    w AS (SELECT raw.b,
+                 ln((coalesce(ct, 0) + 1.0) / (nt + 4096.0))
+                 - ln((ca + 1.0) / (na + 4096.0)) AS lw
+          FROM raw LEFT JOIN tgt USING (b) CROSS JOIN nr CROSS JOIN nt)
+    SELECT doc_id, count(*) AS n_tokens, round(sum(lw), 6) AS logratio
+    FROM tok JOIN w USING (b)
+    GROUP BY doc_id
+    """,
+)
+def text_dsir_logratio(spark, sf_dir):
+    """DSIR importance weights (functions/text.dsir_logratio; Xie et al.
+    2023): hashed-unigram target model (docs from src0/src1 as the
+    curated set) vs raw-corpus model, per-doc log-likelihood ratio — the
+    data-selection score a pretraining pipeline resamples by. The 4096
+    md5-prefix buckets make both models and the score exactly
+    SQL-replicable; the weight frame is <=4096 rows and broadcast, so
+    scoring never shuffles the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.dsir_logratio(
+        docs, target=F.col("source").isin("src0", "src1")
     )
 
 

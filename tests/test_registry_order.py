@@ -12,7 +12,10 @@ FAMILY_REPRESENTATIVES = [
     "dedup_exact",            # exact dedup
     "dedup_minhash_lsh",      # fuzzy dedup
     "dedup_embedding_cosine", # embedding dedup (reworked r2)
-    "dedup_clusters",         # connected components
+    # (dedup_clusters rotated out in r4b for dedup_semantic — r1-r3
+    # green; CC stays pinned by unit tests and the clusters/star/
+    # keep_canonical driver rows)
+    "dedup_semantic",         # SemDeDup-style semantic dedup (new r4b)
     "knn_bruteforce",         # similarity search exact
     "knn_lsh",                # similarity search approximate (reworked r2)
     "text_token_stats",       # text analysis
@@ -30,7 +33,9 @@ FAMILY_REPRESENTATIVES = [
     "streaming_tumbling_1h",  # real structured streaming
     "skew_salted_join",       # skew handling
     "boundaries_right_join",  # J1
-    "union_batch_states",     # U1
+    # (union_batch_states rotated out in r4b for skyline_parts —
+    # r1-r3 green; core keeps six anchors)
+    "skyline_parts",          # two-phase Pareto front (new r4b)
     "numeric_coerce",         # P3
     "approx_sketches",        # sketch accuracy contract (oracle added r2)
     "geo_point_in_polygon",   # ray-cast containment (new r2)
@@ -39,11 +44,15 @@ FAMILY_REPRESENTATIVES = [
     # r3 rotation: the 9 oracle-backed queries that had never seen a driver row
     "corpus_curation_e2e",    # end-to-end curation composite
     "sketch_rollup_mergeable",  # mergeable KLL/HLL rollup
-    "events_funnel_3step",    # funnel analytics
+    # (events_funnel_3step rotated out in r4b for graph_triangles —
+    # r3-green; events keeps nine anchors)
+    "graph_triangles",        # degree-ordered triangle counts (new r4b)
     "cohort_retention_weekly",  # cohort analytics
     # (events_top_transitions rotated out in r4 — r3-green; the events
     # analytics family keeps funnel/cohort plus the two r4 rows below)
-    "doc_fingerprint",        # rolling-hash fingerprinting
+    # (doc_fingerprint rotated out in r4b for text_dsir_logratio —
+    # r3-green; text keeps six anchors)
+    "text_dsir_logratio",     # DSIR importance weights (new r4b)
     "text_term_frequency",    # term frequency
     # r4 rotation: text_tokens_bpeish left the prefix (tokenization stays
     # covered by text_token_stats/text_term_frequency); the two promoted

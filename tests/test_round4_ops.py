@@ -1,0 +1,184 @@
+"""Unit tests for the round-4 additions: semantic dedup (SemDeDup),
+DSIR importance scoring, degree-ordered triangle counting, and the
+two-phase 2-D skyline. Oracle parity runs separately in
+test_oracle_parity.py; these pin the operator semantics directly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from census_data_pipeline_spark.functions.graph import triangle_counts
+from census_data_pipeline_spark.functions.similarity import semantic_dedup
+from census_data_pipeline_spark.functions.text import dsir_logratio
+from census_data_pipeline_spark.operators.skyline import skyline_2d
+
+
+# -- semantic dedup ------------------------------------------------------
+def _emb_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semantic_dedup_drops_within_cell_duplicates(spark):
+    # two exact duplicate pairs + one singleton; 2 centroids
+    rows = [
+        (1, [1.0, 0.0]), (2, [1.0, 0.0]),      # dup pair, cell of seed 1
+        (3, [0.0, 1.0]), (4, [0.0, 1.0]),      # dup pair, other cell
+        (5, [-1.0, -1.0]),                     # far singleton
+    ]
+    out = semantic_dedup(_emb_df(spark, rows), threshold=0.99, n_centroids=2)
+    res = {r.id: r.kept for r in out.collect()}
+    assert res[1] and not res[2]     # lowest id survives
+    assert res[3] and not res[4]
+    assert res[5]
+    assert out.columns == ["id", "cell", "kept"]
+
+
+def test_semantic_dedup_threshold_above_one_keeps_all(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(1, 8)]
+    out = semantic_dedup(_emb_df(spark, rows), threshold=1.01, n_centroids=3)
+    assert all(r.kept for r in out.collect())
+    assert out.count() == 7
+
+
+def test_semantic_dedup_misses_cross_cell_pairs(spark):
+    """Documented SemDeDup approximation: near-duplicates that straddle
+    a cell boundary are never paired. Seeds [1,0] and [0,1]; the pair
+    (0.51,0.49)/(0.49,0.51) has cosine ~0.999 but lands in different
+    cells — both survive."""
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+        (3, [0.51, 0.49]), (4, [0.49, 0.51]),
+    ]
+    out = semantic_dedup(_emb_df(spark, rows), threshold=0.9, n_centroids=2)
+    res = {r.id: (r.cell, r.kept) for r in out.collect()}
+    assert res[3][0] != res[4][0]  # split across cells
+    assert res[3][1] and res[4][1]  # so both kept despite cosine >= 0.9
+
+
+# -- DSIR importance -----------------------------------------------------
+def test_dsir_target_docs_score_higher(spark):
+    target_docs = [(i, "alpha beta gamma delta", "tgt") for i in range(10)]
+    other_docs = [(100 + i, "zeta eta theta iota", "raw") for i in range(10)]
+    df = spark.createDataFrame(
+        target_docs + other_docs, "doc_id long, text string, source string"
+    )
+    out = dsir_logratio(df, target=F.col("source") == "tgt")
+    scores = {r.doc_id: r.logratio for r in out.collect()}
+    t = [scores[i] for i in range(10)]
+    o = [scores[100 + i] for i in range(10)]
+    assert min(t) > max(o)  # target-like text gets higher importance
+    assert out.columns == ["doc_id", "n_tokens", "logratio"]
+
+
+def test_dsir_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 5} common word", f"src{i % 3}") for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    tgt = F.col("source") == "src0"
+    a = sorted(map(tuple, dsir_logratio(df, tgt).collect()))
+    b = sorted(map(tuple, dsir_logratio(df, tgt).collect()))
+    assert a == b
+
+
+# -- triangle counting ---------------------------------------------------
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_triangles_k4(spark):
+    # complete graph on 4 nodes: 4 triangles, every node in 3
+    pairs = [(a, b) for a in range(4) for b in range(4) if a < b]
+    out = {r.id: r.triangles for r in
+           triangle_counts(_edges_df(spark, pairs)).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_star_has_none(spark):
+    # hub-and-spoke: the skew shape degree-ordering exists for — no output
+    pairs = [(0, i) for i in range(1, 30)]
+    assert triangle_counts(_edges_df(spark, pairs)).count() == 0
+
+
+def test_triangles_direction_and_duplicates_canonicalized(spark):
+    # one triangle written with mixed directions and repeats
+    pairs = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (1, 1)]
+    out = {r.id: r.triangles for r in
+           triangle_counts(_edges_df(spark, pairs)).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangles_matches_naive_on_random_graph(spark):
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    nodes = range(24)
+    pairs = [(a, b) for a, b in itertools.combinations(nodes, 2)
+             if rng.random() < 0.3]
+    adj = set(pairs)
+    naive = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= adj:
+            for v in (a, b, c):
+                naive[v] = naive.get(v, 0) + 1
+    out = {r.id: r.triangles for r in
+           triangle_counts(_edges_df(spark, pairs)).collect()}
+    assert out == naive
+
+
+# -- skyline -------------------------------------------------------------
+def _naive_skyline(rows, max_x, max_y):
+    def better(p, q):
+        px = p[1] if max_x else -p[1]
+        py = p[2] if max_y else -p[2]
+        qx = q[1] if max_x else -q[1]
+        qy = q[2] if max_y else -q[2]
+        return px >= qx and py >= qy and (px > qx or py > qy)
+
+    return sorted(q for q in rows if not any(better(p, q) for p in rows))
+
+
+@pytest.mark.parametrize("max_x,max_y", [(True, True), (True, False),
+                                         (False, True), (False, False)])
+def test_skyline_matches_naive(spark, max_x, max_y):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(0, 20), round(rng.uniform(0, 10), 2))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, x int, y double")
+    got = sorted(map(tuple, skyline_2d(
+        df, "x", "y", maximize_x=max_x, maximize_y=max_y).collect()))
+    assert got == _naive_skyline(rows, max_x, max_y)
+
+
+def test_skyline_duplicates_both_survive(spark):
+    rows = [(1, 5, 5.0), (2, 5, 5.0), (3, 4, 4.0)]
+    df = spark.createDataFrame(rows, "id long, x int, y double")
+    got = sorted(r.id for r in skyline_2d(df, "x", "y").collect())
+    assert got == [1, 2]  # identical points dominate only non-strictly
+
+
+def test_skyline_equal_x_ties(spark):
+    # same x, different y: only the best y at that x survives
+    rows = [(1, 5, 1.0), (2, 5, 9.0), (3, 1, 10.0)]
+    df = spark.createDataFrame(rows, "id long, x int, y double")
+    got = sorted(r.id for r in skyline_2d(df, "x", "y").collect())
+    assert got == [2, 3]
+
+
+def test_skyline_single_x_value(spark):
+    # span == 0 exercises the constant-bucket guard
+    rows = [(1, 7, 1.0), (2, 7, 3.0), (3, 7, 3.0)]
+    df = spark.createDataFrame(rows, "id long, x int, y double")
+    got = sorted(r.id for r in skyline_2d(df, "x", "y").collect())
+    assert got == [2, 3]
+
+
+def test_skyline_nulls_excluded(spark):
+    rows = [(1, 5, 5.0), (2, None, 9.0), (3, 6, None)]
+    df = spark.createDataFrame(rows, "id long, x int, y double")
+    got = [r.id for r in skyline_2d(df, "x", "y").collect()]
+    assert got == [1]
