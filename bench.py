@@ -106,6 +106,9 @@ HEADLINE_NEW: list[str] = [
     "text_dsir_logratio",
     "graph_triangles",
     "skyline_parts",
+    "events_robust_outliers",
+    "events_attribution",
+    "events_rolling_median",
     # streaming_interval_join is excluded like the other REAL-streaming
     # queries (streaming_tumbling_1h, streaming_enriched_rollup): their
     # cost is state-store + micro-batch machinery, not engine operators

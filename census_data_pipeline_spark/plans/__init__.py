@@ -64,7 +64,16 @@ weights) displaces doc_fingerprint (text keeps six anchors),
 graph_triangles (degree-ordered triangle counting) displaces
 events_funnel_3step (events keeps nine anchors), and skyline_parts
 (two-phase Pareto front) displaces union_batch_states (core keeps six
-anchors)."""
+anchors).
+
+r4 third batch: events_robust_outliers (median/MAD modified z-score)
+displaces cohort_retention_weekly, events_attribution (first/last-touch
+credit) displaces events_tumbling_1h, and events_rolling_median
+(trailing bounded-window exact median) displaces geo_polygon_stats —
+all three displaced queries were driver-green in earlier rounds, the
+events family keeps nine+ anchors, tumbling semantics stay exercised by
+streaming_tumbling_1h, and geo keeps point_in_polygon +
+polygon_overlap."""
 
 from census_data_pipeline_spark.plans import (  # noqa: F401
     queries_analytics,
@@ -150,7 +159,8 @@ _CHECKED_PREFIX = [
     "graph_pagerank",
     "ivm_incremental_rollup",
     # §2.9 event-time & streaming-parity
-    "events_tumbling_1h",
+    # (events_tumbling_1h left the prefix in r4c for events_attribution:
+    # r1-r3 green; tumbling stays exercised by streaming_tumbling_1h)
     "events_session_5m",
     "streaming_tumbling_1h",
     # r4 addition: real stream-stream interval join (symmetric hash state)
@@ -158,7 +168,11 @@ _CHECKED_PREFIX = [
     # r4b: triangle counting joins pagerank as the graph anchors
     # (events_funnel_3step left — r3-green, events keeps nine anchors)
     "graph_triangles",
-    "cohort_retention_weekly",
+    # (cohort_retention_weekly left the prefix in r4c for
+    # events_robust_outliers: r3-green)
+    "events_robust_outliers",
+    "events_attribution",
+    "events_rolling_median",
     # (events_top_transitions left the prefix in r4 for events_rate_anomaly:
     # driver-green in r3; the transition rollup shares its lead-window shape
     # with scd2_user_status below)
@@ -182,7 +196,8 @@ _CHECKED_PREFIX = [
     # sketches / geo / policy (r2-green family anchors kept in the prefix)
     "approx_sketches",
     "geo_point_in_polygon",
-    "geo_polygon_stats",
+    # (geo_polygon_stats left the prefix in r4c for events_rolling_median:
+    # r2/r3-green; geo keeps point_in_polygon + polygon_overlap)
     "rates_zero_policy",
 ]
 

@@ -147,6 +147,116 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 
 @query(
+    "events_robust_outliers",
+    oracle="""
+    WITH m AS (SELECT event_type, median(value) AS med
+               FROM events GROUP BY event_type),
+    d AS (SELECT e.event_id, e.event_type, e.value, m.med
+          FROM events e JOIN m USING (event_type)),
+    a AS (SELECT event_type, median(abs(value - med)) AS mad
+          FROM d GROUP BY event_type),
+    z AS (SELECT d.event_id, d.event_type, d.value,
+                 CASE WHEN a.mad <> 0
+                      THEN round(0.6745 * (d.value - d.med) / a.mad, 6)
+                 END AS robust_z
+          FROM d JOIN a USING (event_type))
+    SELECT event_id, event_type, value, robust_z,
+           coalesce(abs(robust_z) > 3.5, false) AS is_outlier
+    FROM z
+    """,
+)
+def events_robust_outliers(spark, sf_dir):
+    """Median/MAD modified z-score per event type
+    (operators/outliers.robust_outliers) — the contamination-proof
+    quality filter (mean/stddev scores are dragged by the outliers they
+    hunt; median/MAD break down only past 50%). Two exact-median aggs +
+    broadcast stats joins; swap to percentile_approx at the sketch tier."""
+    from census_data_pipeline_spark.operators.outliers import robust_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    out = robust_outliers(ev, "value", ["event_type"], cutoff=3.5)
+    return out.select(
+        "event_id", "event_type", "value", "robust_z", "is_outlier"
+    )
+
+
+@query(
+    "events_attribution",
+    oracle="""
+    WITH conv AS (SELECT event_id AS conversion_id, user_id, ts AS cts,
+                         value
+                  FROM events WHERE event_type = 'purchase'),
+    tch AS (SELECT user_id, ts AS tts, event_id AS tid, event_type AS tt
+            FROM events WHERE event_type IN ('click', 'view')),
+    j AS (SELECT c.conversion_id, c.user_id, c.value, t.tts, t.tid, t.tt
+          FROM conv c LEFT JOIN tch t ON c.user_id = t.user_id
+            AND t.tts <= c.cts
+            AND t.tts >= c.cts - INTERVAL 7 DAY),
+    r AS (SELECT conversion_id, user_id, value, tt,
+                 row_number() OVER (PARTITION BY conversion_id
+                                    ORDER BY tts, tid) AS rn_f,
+                 row_number() OVER (PARTITION BY conversion_id
+                                    ORDER BY tts DESC, tid DESC) AS rn_l
+          FROM j)
+    SELECT conversion_id, user_id, value,
+           max(CASE WHEN rn_f = 1 THEN tt END) AS first_touch_type,
+           max(CASE WHEN rn_l = 1 THEN tt END) AS last_touch_type
+    FROM r GROUP BY conversion_id, user_id, value
+    """,
+)
+def events_attribution(spark, sf_dir):
+    """First-/last-touch attribution (operators/attribution
+    .touch_attribution): every purchase credited to the first and last
+    click/view inside a 7-day lookback; conversions with no qualifying
+    touch keep a NULL attribution (the organic baseline). User-keyed
+    equi-join with the horizon as a range predicate + one min_by/max_by
+    groupBy — deterministic under timestamp ties via the (ts, id) key."""
+    from census_data_pipeline_spark.operators.attribution import (
+        touch_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return touch_attribution(ev, lookback="7 days")
+
+
+@query(
+    "events_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           round(median(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS rolling_median
+    FROM events
+    """,
+)
+def events_rolling_median(spark, sf_dir):
+    """Trailing-5-event median of value per user — the robust rolling
+    baseline a monitoring surface subtracts before alerting (pairs with
+    events_rate_anomaly's mean/std z-score). Partitioned bounded-rows
+    window (never unpartitioned), deterministic tie order via
+    (ts, event_id). Spark rejects ``median`` with a window FRAME
+    (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the trailing median
+    is a collect_list over the <=5-row frame + array_sort + the
+    two-middle average — the interpolation DuckDB's window median uses."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    return ev.select(
+        "event_id", "user_id",
+        F.round((lo + hi) / 2.0, 6).alias("rolling_median"),
+    )
+
+
+@query(
     "skyline_parts",
     oracle="""
     SELECT p_partkey, p_size, p_retailprice

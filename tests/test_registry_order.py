@@ -28,7 +28,9 @@ FAMILY_REPRESENTATIVES = [
     # (sample_stratified_events rotated out in r4 — r3-green; sampling keeps
     # sample_temperature + shuffle_shard_assign anchors)
     "multimodal_payload",     # multimodal plumbing
-    "events_tumbling_1h",     # event-time windows
+    # (events_tumbling_1h rotated out in r4c for events_attribution —
+    # r1-r3 green; tumbling stays covered by streaming_tumbling_1h)
+    "events_attribution",     # first/last-touch credit (new r4c)
     "events_session_5m",      # sessionization
     "streaming_tumbling_1h",  # real structured streaming
     "skew_salted_join",       # skew handling
@@ -39,7 +41,9 @@ FAMILY_REPRESENTATIVES = [
     "numeric_coerce",         # P3
     "approx_sketches",        # sketch accuracy contract (oracle added r2)
     "geo_point_in_polygon",   # ray-cast containment (new r2)
-    "geo_polygon_stats",      # shoelace area/centroid (new r2)
+    # (geo_polygon_stats rotated out in r4c — r2/r3-green; geo keeps
+    # point_in_polygon + polygon_overlap)
+    "events_rolling_median",  # trailing bounded-window median (new r4c)
     "rates_zero_policy",      # zero-policy parity (changed r2)
     # r3 rotation: the 9 oracle-backed queries that had never seen a driver row
     "corpus_curation_e2e",    # end-to-end curation composite
@@ -47,7 +51,8 @@ FAMILY_REPRESENTATIVES = [
     # (events_funnel_3step rotated out in r4b for graph_triangles —
     # r3-green; events keeps nine anchors)
     "graph_triangles",        # degree-ordered triangle counts (new r4b)
-    "cohort_retention_weekly",  # cohort analytics
+    # (cohort_retention_weekly rotated out in r4c — r3-green)
+    "events_robust_outliers", # median/MAD modified z-score (new r4c)
     # (events_top_transitions rotated out in r4 — r3-green; the events
     # analytics family keeps funnel/cohort plus the two r4 rows below)
     # (doc_fingerprint rotated out in r4b for text_dsir_logratio —

@@ -182,3 +182,111 @@ def test_skyline_nulls_excluded(spark):
     df = spark.createDataFrame(rows, "id long, x int, y double")
     got = [r.id for r in skyline_2d(df, "x", "y").collect()]
     assert got == [1]
+
+
+# -- robust outliers -----------------------------------------------------
+def test_robust_outliers_known_values(spark):
+    # group A: values 1..9 plus a wild 100 -> median 5.5, MAD 2.5
+    rows = [(i, "A", float(v)) for i, v in enumerate([1, 2, 3, 4, 5,
+                                                      6, 7, 8, 9, 100])]
+    from census_data_pipeline_spark.operators.outliers import robust_outliers
+
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {r.id: (r.robust_z, r.is_outlier)
+           for r in robust_outliers(df, "v", ["g"]).collect()}
+    # z(100) = 0.6745 * (100 - 5.5) / 2.5 = 25.49...
+    assert out[9][1] is True
+    assert abs(out[9][0] - round(0.6745 * 94.5 / 2.5, 6)) < 1e-9
+    assert all(not out[i][1] for i in range(9))  # 1..9 all inliers
+
+
+def test_robust_outliers_zero_mad_group(spark):
+    from census_data_pipeline_spark.operators.outliers import robust_outliers
+
+    rows = [(i, "C", 7.0) for i in range(5)] + [(9, "C", 1000.0)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {r.id: (r.robust_z, r.is_outlier)
+           for r in robust_outliers(df, "v", ["g"]).collect()}
+    # MAD = median(|x - 7|) = 0 -> z undefined everywhere, nothing flagged
+    assert all(z is None and not o for z, o in out.values())
+
+
+def test_robust_outliers_ungrouped(spark):
+    from census_data_pipeline_spark.operators.outliers import robust_outliers
+
+    rows = [(i, float(i)) for i in range(1, 10)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = robust_outliers(df, "v")
+    assert out.filter("is_outlier").count() == 0
+    assert out.count() == 9
+
+
+# -- touch attribution ---------------------------------------------------
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double",
+    )
+
+
+def test_attribution_first_and_last_touch(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 10, 12, 0, 0)
+    rows = [
+        (1, t0, 7, "click", 0.0),
+        (2, t0 + dt.timedelta(hours=1), 7, "view", 0.0),
+        (3, t0 + dt.timedelta(hours=2), 7, "click", 0.0),
+        (4, t0 + dt.timedelta(hours=3), 7, "purchase", 50.0),
+        # a touch AFTER the conversion must not count
+        (5, t0 + dt.timedelta(hours=4), 7, "view", 0.0),
+    ]
+    from census_data_pipeline_spark.operators.attribution import (
+        touch_attribution,
+    )
+
+    out = touch_attribution(_events_df(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.first_touch_type, r.last_touch_type) == ("click", "click")
+    assert r.conversion_id == 4 and r.value == 50.0
+
+
+def test_attribution_lookback_horizon_and_organic(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 10)
+    rows = [
+        # user 1: only touch is 10 days before -> outside 7-day lookback
+        (1, t0 - dt.timedelta(days=10), 1, "click", 0.0),
+        (2, t0, 1, "purchase", 5.0),
+        # user 2: no touches at all
+        (3, t0, 2, "purchase", 9.0),
+    ]
+    from census_data_pipeline_spark.operators.attribution import (
+        touch_attribution,
+    )
+
+    out = {r.conversion_id: r for r in
+           touch_attribution(_events_df(spark, rows)).collect()}
+    assert len(out) == 2  # both conversions kept
+    assert out[2].first_touch_type is None and out[2].last_touch_type is None
+    assert out[3].first_touch_type is None
+
+
+def test_attribution_timestamp_tie_uses_event_id(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 10)
+    rows = [
+        (10, t0, 3, "click", 0.0),
+        (11, t0, 3, "view", 0.0),   # same ts, higher id
+        (12, t0 + dt.timedelta(hours=1), 3, "purchase", 1.0),
+    ]
+    from census_data_pipeline_spark.operators.attribution import (
+        touch_attribution,
+    )
+
+    r = touch_attribution(_events_df(spark, rows)).collect()[0]
+    assert r.first_touch_type == "click"  # lower event_id on the tie
+    assert r.last_touch_type == "view"    # higher event_id on the tie
