@@ -95,6 +95,58 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Directed n-gram containment C(a -> b) = |A∩B| / |A| for document
+    pairs sharing >= 1 shingle: (contained_id, container_id,
+    containment) rows where at least ``threshold`` of the contained
+    doc's shingles appear in the container. This is the SUBSET detector
+    Jaccard structurally misses: a tweet quoted inside an article has
+    J ~ |A|/|B| ~ 0 but C(tweet -> article) ~ 1 — the relation a
+    curation pipeline needs for quote/excerpt/boilerplate-inclusion
+    handling (drop the contained copy, keep the superset).
+
+    Plan shape: identical to ``ngram_jaccard_pairs`` (one shingle
+    explode, one self equi-join on the shingle, one pair-count agg, two
+    size joins); the directed output is derived from the single
+    unordered intersection count, so both directions cost ONE join
+    pipeline. Same scale guidance: run on LSH candidates or an id-sample
+    for all-pairs workloads; shingle co-occurrence bounds the join.
+    """
+    sh = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, n)).alias("shingle"),
+    ).persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+        .join(sizes.withColumnsRenamed({"id": "id_a", "n_shingles": "size_a"}),
+              "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_shingles": "size_b"}),
+              "id_b")
+    )
+    d1 = inter.select(
+        F.col("id_a").alias("contained_id"),
+        F.col("id_b").alias("container_id"),
+        F.round(F.col("n_common") / F.col("size_a"), 6).alias("containment"),
+    )
+    d2 = inter.select(
+        F.col("id_b").alias("contained_id"),
+        F.col("id_a").alias("container_id"),
+        F.round(F.col("n_common") / F.col("size_b"), 6).alias("containment"),
+    )
+    return d1.union(d2).filter(F.col("containment") >= threshold)
+
+
 def minhash_signature(text_col: Column | str, num_hashes: int = 8,
                       n: int = 3) -> Column:
     """k-permutation minhash signature as array<string> (column form).

@@ -67,3 +67,37 @@ def robust_outliers(
         )
         .drop("__med", "__mad")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    output_col: str = "winsorized",
+) -> DataFrame:
+    """Clamp ``value_col`` to its per-group [lower, upper] exact
+    percentiles (linear interpolation — the quantile_cont convention) —
+    the heavy-tail tamer applied before mean-based aggregates and model
+    features. Bounds are rounded to 6 decimals BEFORE clamping so a
+    clamped row carries a cross-engine-stable value while in-range rows
+    keep their exact input. Same scale shape as ``robust_outliers``:
+    one grouped percentile agg + a broadcast stats join; swap the exact
+    percentile for ``percentile_approx`` at the sketch tier."""
+    if not 0 <= lower < upper <= 1:
+        raise ValueError("need 0 <= lower < upper <= 1")
+    groups = list(group_cols or [])
+    agg = [
+        F.round(F.percentile(value_col, F.lit(lower)), 6).alias("__lo"),
+        F.round(F.percentile(value_col, F.lit(upper)), 6).alias("__hi"),
+    ]
+    stats = df.groupBy(*groups).agg(*agg) if groups else df.agg(*agg)
+    joined = (
+        df.join(F.broadcast(stats), on=groups) if groups
+        else df.crossJoin(F.broadcast(stats))
+    )
+    return joined.withColumn(
+        output_col,
+        F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+    ).drop("__lo", "__hi")

@@ -73,7 +73,13 @@ credit) displaces events_tumbling_1h, and events_rolling_median
 all three displaced queries were driver-green in earlier rounds, the
 events family keeps nine+ anchors, tumbling semantics stay exercised by
 streaming_tumbling_1h, and geo keeps point_in_polygon +
-polygon_overlap."""
+polygon_overlap.
+
+r4 fourth batch: dedup_containment (directed n-gram containment — the
+near-subset detector) displaces text_term_frequency, and
+orders_winsorized (per-group percentile clamping) displaces
+numeric_coerce — both displaced queries were driver-green in earlier
+rounds and their families keep multiple anchors."""
 
 from census_data_pipeline_spark.plans import (  # noqa: F401
     queries_analytics,
@@ -130,7 +136,9 @@ _CHECKED_PREFIX = [
     "text_unigram_logprob",
     # r4b: DSIR importance weights (doc_fingerprint left — r3-green)
     "text_dsir_logratio",
-    "text_term_frequency",
+    # (text_term_frequency left the prefix in r4d for dedup_containment:
+    # r3-green; text keeps token_stats/repetition/chunking/unigram/dsir)
+    "dedup_containment",
     # r4 addition: BM25 keyword retrieval
     "search_bm25",
     # §2.11 linkage / sampling / multimodal
@@ -189,7 +197,9 @@ _CHECKED_PREFIX = [
     # (union_batch_states left the prefix in r4b for skyline_parts: it
     # was driver-green in r1-r3; core keeps six anchors)
     "skyline_parts",
-    "numeric_coerce",
+    # (numeric_coerce left the prefix in r4d for orders_winsorized:
+    # r3-green; the coerce cast stays pinned by unit tests)
+    "orders_winsorized",
     "skew_salted_join",
     # r4 addition: polygon-polygon overlay (Sutherland-Hodgman clip)
     "geo_polygon_overlap",

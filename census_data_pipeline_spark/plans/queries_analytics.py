@@ -147,6 +147,35 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 
 @query(
+    "orders_winsorized",
+    oracle="""
+    WITH s AS (SELECT o_orderpriority,
+                      round(quantile_cont(o_totalprice, 0.05), 6) AS lo,
+                      round(quantile_cont(o_totalprice, 0.95), 6) AS hi
+               FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderkey, o.o_orderpriority, o_totalprice,
+           least(greatest(o_totalprice, lo), hi) AS winsorized
+    FROM orders o JOIN s ON o.o_orderpriority = s.o_orderpriority
+    """,
+)
+def orders_winsorized(spark, sf_dir):
+    """Per-group winsorization (operators/outliers.winsorize): clamp
+    order totals to the [p05, p95] exact percentiles of their priority
+    class — the heavy-tail tamer run before mean-based features. Bounds
+    rounded to 6 before clamping (cross-engine-stable clamped values;
+    in-range rows keep exact inputs); one percentile agg + broadcast
+    stats join."""
+    from census_data_pipeline_spark.operators.outliers import winsorize
+
+    o = load_table(spark, sf_dir, "orders")
+    out = winsorize(o, "o_totalprice", ["o_orderpriority"],
+                    lower=0.05, upper=0.95)
+    return out.select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "winsorized"
+    )
+
+
+@query(
     "events_robust_outliers",
     oracle="""
     WITH m AS (SELECT event_type, median(value) AS med

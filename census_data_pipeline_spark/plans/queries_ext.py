@@ -427,6 +427,36 @@ def dedup_exact(spark, sf_dir):
 
 
 @query(
+    "dedup_containment",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id AS id, unnest({_shingle_sql(4)}) AS shingle FROM t),
+    sz AS (SELECT id, count(*) AS n FROM s GROUP BY id),
+    inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+              FROM s a JOIN s b USING (shingle)
+              WHERE a.id < b.id GROUP BY 1, 2),
+    j AS (SELECT id_a, id_b, n_common, x.n AS size_a, y.n AS size_b
+          FROM inter JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id),
+    d AS (SELECT id_a AS contained_id, id_b AS container_id,
+                 round(n_common / size_a, 6) AS containment FROM j
+          UNION ALL
+          SELECT id_b, id_a, round(n_common / size_b, 6) FROM j)
+    SELECT contained_id, container_id, containment
+    FROM d WHERE containment >= 0.5
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Directed n-gram containment (functions/dedup
+    .ngram_containment_pairs): |A∩B| / |A| >= 0.5 over 4-gram shingles —
+    the near-SUBSET detector (quotes, excerpts, boilerplate inclusion)
+    that symmetric Jaccard structurally misses when document sizes
+    differ. Both directions derived from one unordered intersection
+    pipeline; same shingle-co-occurrence join bound as Jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_containment_pairs(docs, n=4, threshold=0.5)
+
+
+@query(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -38,7 +38,8 @@ FAMILY_REPRESENTATIVES = [
     # (union_batch_states rotated out in r4b for skyline_parts —
     # r1-r3 green; core keeps six anchors)
     "skyline_parts",          # two-phase Pareto front (new r4b)
-    "numeric_coerce",         # P3
+    # (numeric_coerce rotated out in r4d — r3-green, unit-pinned)
+    "orders_winsorized",      # per-group percentile clamping (new r4d)
     "approx_sketches",        # sketch accuracy contract (oracle added r2)
     "geo_point_in_polygon",   # ray-cast containment (new r2)
     # (geo_polygon_stats rotated out in r4c — r2/r3-green; geo keeps
@@ -58,7 +59,8 @@ FAMILY_REPRESENTATIVES = [
     # (doc_fingerprint rotated out in r4b for text_dsir_logratio —
     # r3-green; text keeps six anchors)
     "text_dsir_logratio",     # DSIR importance weights (new r4b)
-    "text_term_frequency",    # term frequency
+    # (text_term_frequency rotated out in r4d — r3-green)
+    "dedup_containment",      # directed n-gram containment (new r4d)
     # r4 rotation: text_tokens_bpeish left the prefix (tokenization stays
     # covered by text_token_stats/text_term_frequency); the two promoted
     # MLlib contracts and the new overlay query joined it

@@ -290,3 +290,75 @@ def test_attribution_timestamp_tie_uses_event_id(spark):
     r = touch_attribution(_events_df(spark, rows)).collect()[0]
     assert r.first_touch_type == "click"  # lower event_id on the tie
     assert r.last_touch_type == "view"    # higher event_id on the tie
+
+
+# -- n-gram containment --------------------------------------------------
+def test_containment_detects_subset(spark):
+    from census_data_pipeline_spark.functions.dedup import (
+        ngram_containment_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    article = ("today we report that " + quote
+               + " and much more besides happened downtown")
+    df = spark.createDataFrame(
+        [(1, quote), (2, article), (3, "completely unrelated words here")],
+        "doc_id long, text string",
+    )
+    out = {(r.contained_id, r.container_id): r.containment
+           for r in ngram_containment_pairs(df, n=3, threshold=0.8).collect()}
+    assert (1, 2) in out          # the quote IS contained in the article
+    assert out[(1, 2)] == 1.0     # every quote shingle appears
+    assert (2, 1) not in out      # the article is NOT contained in the quote
+    assert all(k[0] != 3 and k[1] != 3 for k in out)
+
+
+def test_containment_symmetric_for_identical_docs(spark):
+    from census_data_pipeline_spark.functions.dedup import (
+        ngram_containment_pairs,
+    )
+
+    t = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id long, text string"
+    )
+    out = {(r.contained_id, r.container_id): r.containment
+           for r in ngram_containment_pairs(df, n=3, threshold=0.9).collect()}
+    assert out == {(1, 2): 1.0, (2, 1): 1.0}
+
+
+# -- winsorization -------------------------------------------------------
+def test_winsorize_clamps_tails_only(spark):
+    from census_data_pipeline_spark.operators.outliers import winsorize
+
+    rows = [(i, "g", float(v)) for i, v in enumerate(range(1, 101))]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {r.id: r.winsorized
+           for r in winsorize(df, "v", ["g"], 0.05, 0.95).collect()}
+    # p05 of 1..100 (linear interpolation) = 5.95; p95 = 95.05
+    assert out[0] == 5.95          # v=1 clamped up
+    assert out[99] == 95.05        # v=100 clamped down
+    assert out[49] == 50.0         # middle untouched, exact input
+    assert min(out.values()) == 5.95 and max(out.values()) == 95.05
+
+
+def test_winsorize_grouped_independent_bounds(spark):
+    from census_data_pipeline_spark.operators.outliers import winsorize
+
+    rows = [(i, "a", float(i)) for i in range(10)] + [
+        (100 + i, "b", 1000.0 + i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = winsorize(df, "v", ["g"], 0.1, 0.9)
+    a_vals = [r.winsorized for r in out.filter("g = 'a'").collect()]
+    b_vals = [r.winsorized for r in out.filter("g = 'b'").collect()]
+    assert max(a_vals) < 10        # group a bounds from group a only
+    assert min(b_vals) >= 1000.0
+
+
+def test_winsorize_rejects_bad_bounds(spark):
+    from census_data_pipeline_spark.operators.outliers import winsorize
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    with pytest.raises(ValueError):
+        winsorize(df, "v", lower=0.9, upper=0.1)
