@@ -111,6 +111,8 @@ HEADLINE_NEW: list[str] = [
     "events_rolling_median",
     "dedup_containment",
     "orders_winsorized",
+    "linkage_entity_clusters",
+    "decontam_semantic",
     # streaming_interval_join is excluded like the other REAL-streaming
     # queries (streaming_tumbling_1h, streaming_enriched_rollup): their
     # cost is state-store + micro-batch machinery, not engine operators

@@ -68,3 +68,66 @@ def decontaminate(
         train_df, eval_df, text_col, id_col, n
     ).filter(F.col("n_overlap") > max_overlap)
     return train_df.join(flagged.select(id_col), id_col, "left_anti")
+
+
+def semantic_contamination(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level decontamination: training vectors whose cosine to
+    ANY eval vector reaches ``threshold`` — the paraphrase-robust
+    complement of n-gram overlap (a reworded benchmark item shares no
+    13-gram but sits next to the original in embedding space; this is
+    the screen modern pipelines run alongside the lexical one).
+
+    Returns flagged (``id_col``, ``max_eval_cosine``) — like
+    ``ngram_overlap_contamination``, deliberately the small side of the
+    downstream anti-join.
+
+    Scale shape mirrors the lexical path exactly: the EVAL side is the
+    small one, so it broadcasts (as vectors, not grams) and the corpus
+    is scanned once with a per-row max over the broadcast side — no
+    corpus shuffle except the final groupBy(id) which AQE coalesces.
+    For very large eval sets compose with the LSH/IVF candidates
+    instead (``similarity.knn_lsh``) — same verify expression."""
+    from census_data_pipeline_spark.functions.similarity import (
+        _as_double,
+        _cos_precomputed,
+        dot,
+    )
+
+    ev = eval_df.select(
+        F.col(id_col).alias("__eid"),
+        _as_double(F.col(vec_col)).alias("__ev"),
+    ).withColumn("__en", F.sqrt(dot(F.col("__ev"), F.col("__ev"))))
+    tr = train_df.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("__tv"),
+    ).withColumn("__tn", F.sqrt(dot(F.col("__tv"), F.col("__tv"))))
+    scored = tr.crossJoin(F.broadcast(ev)).withColumn(
+        "__cos",
+        _cos_precomputed(F.col("__tv"), F.col("__ev"),
+                         F.col("__tn"), F.col("__en")),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.max("__cos").alias("max_eval_cosine"))
+        .filter(F.col("max_eval_cosine") >= threshold)
+    )
+
+
+def decontaminate_semantic(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Drop training vectors semantically too close to the eval set."""
+    flagged = semantic_contamination(
+        train_df, eval_df, threshold, id_col, vec_col
+    )
+    return train_df.join(flagged.select(id_col), id_col, "left_anti")

@@ -79,7 +79,14 @@ r4 fourth batch: dedup_containment (directed n-gram containment — the
 near-subset detector) displaces text_term_frequency, and
 orders_winsorized (per-group percentile clamping) displaces
 numeric_coerce — both displaced queries were driver-green in earlier
-rounds and their families keep multiple anchors."""
+rounds and their families keep multiple anchors.
+
+r4 fifth batch: linkage_entity_clusters (edit-1 pairs -> connected
+components -> canonical id) displaces linkage_edit1_names, whose pair
+stage it runs internally; decontam_semantic (embedding-level benchmark
+screening) displaces decontam_ngram_overlap, whose lexical screen stays
+exercised inside corpus_curation_e2e. Both displaced queries were
+driver-green r1-r3."""
 
 from census_data_pipeline_spark.plans import (  # noqa: F401
     queries_analytics,
@@ -122,7 +129,10 @@ _CHECKED_PREFIX = [
     # §2.11 text analysis / quality / decontamination
     "text_token_stats",
     "text_repetition_stats",
-    "decontam_ngram_overlap",
+    # (decontam_ngram_overlap left the prefix in r4e for
+    # decontam_semantic: r1-r3 green; the lexical screen stays exercised
+    # inside corpus_curation_e2e)
+    "decontam_semantic",
     "text_chunking",
     # (text_pack_bins left the prefix in r4 for copurchase_topk: driver-green
     # r1-r3; packing stays pinned by the straddle/scalable-prefix-sum tests)
@@ -142,7 +152,9 @@ _CHECKED_PREFIX = [
     # r4 addition: BM25 keyword retrieval
     "search_bm25",
     # §2.11 linkage / sampling / multimodal
-    "linkage_edit1_names",
+    # (linkage_edit1_names left the prefix in r4e for
+    # linkage_entity_clusters, which runs the same pair stage + CC)
+    "linkage_entity_clusters",
     "sample_temperature",
     # (sample_stratified_events left the prefix in r4 for
     # multimodal_image_dhash: driver-green r3; sampling keeps the

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from census_data_pipeline_spark.functions import (
     decontam,
     dedup,
+    linkage,
     multimodal,
     sampling,
     search,
@@ -1075,6 +1076,83 @@ def text_tfidf_top_terms(spark, sf_dir):
 # (large-star/small-star): both compute the same connected components over
 # the same minhash pair set, so one recursive-CTE transitive closure
 # checks either algorithm.
+_EDIT1_PAIRS_SQL = """
+    WITH raw AS (SELECT c_custkey AS id, c_name AS name,
+                 unnest(list_transform(range(1, length(c_name) + 1),
+                        i -> {'pos': i,
+                              'variant': substr(c_name, 1, i - 1) || '*'
+                                         || substr(c_name, i + 1)})) AS u
+                 FROM customer),
+    v AS (SELECT id, name, u.pos AS pos, u.variant AS variant FROM raw)
+    SELECT a.id AS id_a, b.id AS id_b
+    FROM v a JOIN v b USING (pos, variant)
+    WHERE a.id < b.id AND levenshtein(a.name, b.name) = 1
+    """
+
+
+@query(
+    "linkage_entity_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_EDIT1_PAIRS_SQL}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+    )
+    SELECT id AS entity_id, min(r) AS canonical_id FROM reach GROUP BY id
+    """,
+)
+def linkage_entity_clusters(spark, sf_dir):
+    """Entity resolution end-use: edit-1 linkage pairs -> connected
+    components -> canonical id per matched entity (the master-data
+    'golden record' grouping). Pure composition of two verified
+    primitives (linkage.edit1_pairs + dedup.dup_clusters), one lazy
+    plan; the oracle is the recursive-CTE transitive closure over the
+    identical pair set."""
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = linkage.edit1_pairs(cust, "c_custkey", "c_name").select(
+        "id_a", "id_b"
+    )
+    labels = dedup.dup_clusters(pairs)
+    return labels.select(
+        F.col("doc_id").alias("entity_id"),
+        F.col("cluster_id").alias("canonical_id"),
+    )
+
+
+@query(
+    "decontam_semantic",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ev AS (SELECT vec_id AS eid, v,
+                  sqrt(list_dot_product(v, v)) AS n
+           FROM e WHERE vec_id % 100 = 0),
+    tr AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n
+           FROM e WHERE vec_id % 100 <> 0),
+    s AS (SELECT tr.vec_id,
+                 round(list_dot_product(tr.v, ev.v) / (tr.n * ev.n), 6) AS c
+          FROM tr CROSS JOIN ev)
+    SELECT vec_id, max(c) AS max_eval_cosine
+    FROM s GROUP BY vec_id HAVING max(c) >= 0.3
+    """,
+)
+def decontam_semantic(spark, sf_dir):
+    """Embedding-level benchmark decontamination (functions/decontam
+    .semantic_contamination): training vectors whose cosine to ANY
+    held-out eval vector reaches 0.3 — the paraphrase-robust complement
+    of the 13-gram lexical screen (reworded eval items share no n-gram
+    but sit next to the original in embedding space). Eval side
+    broadcasts; the corpus is scanned once, exactly the lexical
+    decontam shape with vectors instead of grams."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 100 == 0)
+    tr = emb.filter(F.col("vec_id") % 100 != 0)
+    return decontam.semantic_contamination(tr, ev, threshold=0.3)
+
+
 _DUP_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE pairs AS ({_minhash_lsh_oracle()}),
     edges AS (SELECT id_a AS src, id_b AS dst FROM pairs

@@ -21,10 +21,14 @@ FAMILY_REPRESENTATIVES = [
     "text_token_stats",       # text analysis
     "text_chunking",          # training-sample chunking
     "text_repetition_stats",  # repetition quality filters (new r2)
-    "decontam_ngram_overlap", # benchmark decontamination (new r2)
+    # (decontam_ngram_overlap rotated out in r4e — r1-r3 green; lexical
+    # screen stays inside corpus_curation_e2e)
+    "decontam_semantic",      # embedding-level decontamination (new r4e)
     "sample_temperature",     # temperature source rebalancing (new r2)
     "shuffle_shard_assign",   # epoch shuffle / shard assignment (new r2)
-    "linkage_edit1_names",    # fuzzy record linkage
+    # (linkage_edit1_names rotated out in r4e — its pair stage runs
+    # inside the composition below)
+    "linkage_entity_clusters",  # linkage -> CC canonical ids (new r4e)
     # (sample_stratified_events rotated out in r4 — r3-green; sampling keeps
     # sample_temperature + shuffle_shard_assign anchors)
     "multimodal_payload",     # multimodal plumbing

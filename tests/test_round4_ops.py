@@ -362,3 +362,43 @@ def test_winsorize_rejects_bad_bounds(spark):
     df = spark.createDataFrame([(1, 1.0)], "id long, v double")
     with pytest.raises(ValueError):
         winsorize(df, "v", lower=0.9, upper=0.1)
+
+
+# -- entity clusters + semantic decontam ---------------------------------
+def test_entity_clusters_transitive(spark):
+    from census_data_pipeline_spark.functions.dedup import dup_clusters
+    from census_data_pipeline_spark.functions.linkage import edit1_pairs
+
+    # chain: abc ~ abd ~ abe (pairwise edit-1 via shared positions),
+    # plus an isolated record
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abd"), (3, "abe"), (9, "xyz")],
+        "id long, name string",
+    )
+    pairs = edit1_pairs(df, "id", "name").select("id_a", "id_b")
+    labels = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1}  # one entity, canonical = min id
+    assert 9 not in labels               # unmatched records have no row
+
+
+def test_semantic_contamination_flags_near_eval(spark):
+    from census_data_pipeline_spark.functions.decontam import (
+        decontaminate_semantic,
+        semantic_contamination,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    tr = spark.createDataFrame(
+        [(1, [0.99, 0.1]),    # near-duplicate of the eval item
+         (2, [0.0, 1.0]),     # orthogonal
+         (3, [-1.0, 0.0])],   # opposite
+        "vec_id long, embedding array<float>",
+    )
+    flagged = semantic_contamination(tr, ev, threshold=0.9)
+    rows = {r.vec_id: r.max_eval_cosine for r in flagged.collect()}
+    assert set(rows) == {1}
+    assert rows[1] > 0.9
+    kept = decontaminate_semantic(tr, ev, threshold=0.9)
+    assert sorted(r.vec_id for r in kept.collect()) == [2, 3]
