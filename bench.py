@@ -113,6 +113,7 @@ HEADLINE_NEW: list[str] = [
     "orders_winsorized",
     "linkage_entity_clusters",
     "decontam_semantic",
+    "text_bigram_logprob",
     # streaming_interval_join is excluded like the other REAL-streaming
     # queries (streaming_tumbling_1h, streaming_enriched_rollup): their
     # cost is state-store + micro-batch machinery, not engine operators

@@ -414,3 +414,73 @@ def dsir_logratio(
             F.round(F.sum("__lw"), 6).alias("logratio"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Interpolated bigram LM scoring — the next step up from
+    ``unigram_logprob`` on the CCNet-style quality ladder:
+
+        p(w | prev) = λ · c(prev, w)/c(prev·) + (1−λ) · c(w)/N
+
+    fit on the corpus itself (MLE counts; ``c(prev·)`` is the count of
+    ``prev`` as a bigram context, so the conditional sums to 1), scored
+    as each document's mean ln p over its bigram positions. Repetitive
+    or templated text scores HIGH (its transitions are predictable);
+    token-salad noise scores LOW — ranking by this catches what unigram
+    frequency cannot (scrambled words keep their unigram score).
+
+    Documents with fewer than two tokens have no bigram positions and
+    are omitted (no row), matching the SQL oracle's inner-join shape.
+
+    Scale: the bigram explode is narrow (arrays_zip of two slices);
+    both count models are groupBy aggs bounded by the observed bigram
+    vocabulary; scoring joins on the bigram key then the unigram key —
+    AQE broadcasts whichever model frame is small. The exploded frame
+    is checkpointed once and feeds models and scoring."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    big = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.arrays_zip(
+                    F.slice(toks, 1, n - 1).alias("prev"),
+                    F.slice(toks, 2, n - 1).alias("w"),
+                )
+            ).alias("__b"),
+        )
+        .select(id_col, F.col("__b.prev").alias("__p"),
+                F.col("__b.w").alias("__w"))
+        .localCheckpoint(eager=False)
+    )
+    uni = (
+        ensure_parallelism(df)
+        .select(F.explode(toks).alias("__w"))
+        .localCheckpoint(eager=False)
+    )
+    c2 = big.groupBy("__p", "__w").agg(F.count("*").alias("__c2"))
+    c1 = big.groupBy("__p").agg(F.count("*").alias("__c1"))
+    cu = uni.groupBy("__w").agg(F.count("*").alias("__cu"))
+    nt = uni.agg(F.count("*").alias("__n"))
+    p = (
+        F.lit(lam) * (F.col("__c2") / F.col("__c1"))
+        + F.lit(1.0 - lam) * (F.col("__cu") / F.col("__n"))
+    )
+    return (
+        big.join(c2, ["__p", "__w"])
+        .join(c1, "__p")
+        .join(cu, "__w")
+        .crossJoin(F.broadcast(nt))
+        .select(id_col, F.log(p).alias("__lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg("__lp"), 6).alias("avg_logprob2"),
+        )
+    )

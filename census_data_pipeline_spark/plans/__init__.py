@@ -86,7 +86,11 @@ components -> canonical id) displaces linkage_edit1_names, whose pair
 stage it runs internally; decontam_semantic (embedding-level benchmark
 screening) displaces decontam_ngram_overlap, whose lexical screen stays
 exercised inside corpus_curation_e2e. Both displaced queries were
-driver-green r1-r3."""
+driver-green r1-r3.
+
+r4 sixth batch: text_bigram_logprob (interpolated bigram LM quality
+ranker) displaces text_repetition_stats (r1-r3 green; the repetition
+filters stay exercised inside corpus_curation_e2e and unit tests)."""
 
 from census_data_pipeline_spark.plans import (  # noqa: F401
     queries_analytics,
@@ -128,7 +132,10 @@ _CHECKED_PREFIX = [
     "knn_ivfpq_seeded",
     # §2.11 text analysis / quality / decontamination
     "text_token_stats",
-    "text_repetition_stats",
+    # (text_repetition_stats left the prefix in r4f for
+    # text_bigram_logprob: r1-r3 green; repetition filters stay inside
+    # corpus_curation_e2e)
+    "text_bigram_logprob",
     # (decontam_ngram_overlap left the prefix in r4e for
     # decontam_semantic: r1-r3 green; the lexical screen stays exercised
     # inside corpus_curation_e2e)

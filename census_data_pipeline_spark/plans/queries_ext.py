@@ -2053,6 +2053,39 @@ def text_dsir_logratio(spark, sf_dir):
 
 
 @query(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    b AS (SELECT doc_id,
+                 unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+          FROM t WHERE len(toks) >= 2),
+    big AS (SELECT doc_id, z[1] AS p, z[2] AS w FROM b),
+    c2 AS (SELECT p, w, count(*) AS c2 FROM big GROUP BY p, w),
+    c1 AS (SELECT p, count(*) AS c1 FROM big GROUP BY p),
+    tok AS (SELECT unnest({_TOKS}) AS w FROM documents),
+    cu AS (SELECT w, count(*) AS cu FROM tok GROUP BY w),
+    nt AS (SELECT count(*) AS n FROM tok),
+    s AS (SELECT doc_id,
+                 ln(0.75 * (c2.c2 * 1.0 / c1.c1)
+                    + 0.25 * (cu.cu * 1.0 / nt.n)) AS lp
+          FROM big JOIN c2 USING (p, w) JOIN c1 USING (p)
+                   JOIN cu USING (w) CROSS JOIN nt)
+    SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logprob2
+    FROM s GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram LM scoring (functions/text.bigram_logprob,
+    λ=0.75) — the transition-predictability quality ranker one rung
+    above the unigram model: scrambled token-salad keeps its unigram
+    score but collapses here. Both count models are vocabulary-bounded
+    groupBy aggs; scoring joins on the bigram then unigram key (AQE
+    broadcasts small model frames)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bigram_logprob(docs, "text", "doc_id", lam=0.75)
+
+
+@query(
     "text_unigram_logprob",
     oracle=f"""
     WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),

@@ -20,7 +20,9 @@ FAMILY_REPRESENTATIVES = [
     "knn_lsh",                # similarity search approximate (reworked r2)
     "text_token_stats",       # text analysis
     "text_chunking",          # training-sample chunking
-    "text_repetition_stats",  # repetition quality filters (new r2)
+    # (text_repetition_stats rotated out in r4f — r1-r3 green; stays
+    # inside corpus_curation_e2e)
+    "text_bigram_logprob",    # interpolated bigram LM ranker (new r4f)
     # (decontam_ngram_overlap rotated out in r4e — r1-r3 green; lexical
     # screen stays inside corpus_curation_e2e)
     "decontam_semantic",      # embedding-level decontamination (new r4e)

@@ -402,3 +402,28 @@ def test_semantic_contamination_flags_near_eval(spark):
     assert rows[1] > 0.9
     kept = decontaminate_semantic(tr, ev, threshold=0.9)
     assert sorted(r.vec_id for r in kept.collect()) == [2, 3]
+
+
+# -- bigram LM -----------------------------------------------------------
+def test_bigram_logprob_repetitive_beats_scrambled(spark):
+    from census_data_pipeline_spark.functions.text import bigram_logprob
+
+    # doc 1: perfectly predictable transitions; doc 2: same unigram
+    # distribution, scrambled transitions
+    df = spark.createDataFrame(
+        [(1, "a b a b a b a b a b a b"),
+         (2, "a a b b a b b a a b a b")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.avg_logprob2 for r in bigram_logprob(df).collect()}
+    assert out[1] > out[2]
+
+
+def test_bigram_logprob_short_docs_omitted(spark):
+    from census_data_pipeline_spark.functions.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "only"), (2, "two tokens")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r.n_bigrams for r in bigram_logprob(df).collect()}
+    assert rows == {2: 1}  # single-token doc has no bigram positions
