@@ -114,6 +114,8 @@ HEADLINE_NEW: list[str] = [
     "linkage_entity_clusters",
     "decontam_semantic",
     "text_bigram_logprob",
+    "classify_nearest_centroid",
+    "text_chi2_features",
     # streaming_interval_join is excluded like the other REAL-streaming
     # queries (streaming_tumbling_1h, streaming_enriched_rollup): their
     # cost is state-store + micro-batch machinery, not engine operators

@@ -1083,3 +1083,79 @@ def semantic_dedup(
             F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def classify_nearest_centroid(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification over an embedding
+    column: fit per-class mean vectors, assign every vector to the
+    class whose centroid it is most cosine-similar to, and report
+    correctness against the true label — the cheap strong baseline for
+    label auditing ("which examples sit in another class's region?")
+    and weak-label bootstrapping.
+
+    Determinism discipline: centroid components are rounded to 6
+    decimals BEFORE scoring, and the score is the index-ordered dot
+    fold — so an oracle that builds the same rounded centroid list
+    reproduces every cosine bit-for-bit (same reason all similarity
+    paths here fold index-ordered). Ties broken by smallest label.
+
+    Scale: centroid fit is one posexplode + groupBy((label, pos)) —
+    word-count shape; the centroid frame is (n_classes × dim) tiny and
+    broadcasts; scoring is a single corpus scan with an argmax over the
+    broadcast side (groupBy-min on a (−cos, label) struct — no sort
+    window). The only wide exchange is that per-id argmax."""
+    base = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.col(label_col).alias("__true"),
+        _as_double(F.col(vec_col)).alias("__v"),
+    )
+    cent = (
+        base.select(
+            "__true", F.posexplode("__v").alias("__pos", "__x")
+        )
+        .groupBy("__true", "__pos")
+        .agg(F.round(F.avg("__x"), 6).alias("__cv"))
+        .groupBy(F.col("__true").alias("__cl"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__pos", "__cv"))
+            ).alias("__pairs")
+        )
+        .select(
+            "__cl",
+            F.transform(F.col("__pairs"), lambda p: p["__cv"]).alias("__c"),
+        )
+        .withColumn("__cn", F.sqrt(dot(F.col("__c"), F.col("__c"))))
+    )
+    scored = (
+        base.withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
+        .crossJoin(F.broadcast(cent))
+        .withColumn(
+            "__cos",
+            _cos_precomputed(F.col("__v"), F.col("__c"),
+                             F.col("__n"), F.col("__cn")),
+        )
+    )
+    return (
+        scored.groupBy(id_col, F.col("__true").alias("true_label"))
+        .agg(
+            F.min(
+                F.struct((-F.col("__cos")).alias("__neg"),
+                         F.col("__cl").alias("__cl"))
+            ).alias("__m")
+        )
+        .select(
+            id_col,
+            "true_label",
+            F.col("__m.__cl").alias("pred_label"),
+            # + 0.0 normalizes the negated-negation's -0.0 back to 0.0
+            # (a -0.0 would survive Python == but not a value hash)
+            (-F.col("__m.__neg") + F.lit(0.0)).alias("cosine"),
+            (F.col("true_label") == F.col("__m.__cl")).alias("correct"),
+        )
+    )

@@ -484,3 +484,69 @@ def bigram_logprob(
             F.round(F.avg("__lp"), 6).alias("avg_logprob2"),
         )
     )
+
+
+def chi2_feature_selection(
+    df: DataFrame,
+    class_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+) -> DataFrame:
+    """Per-class χ² feature selection over document-level token presence
+    (Manning/Schütze/Raghavan IR ch. 13 — the classic supervised
+    vocabulary pruner): for each (token, class) contingency table
+
+        n11 docs-in-class containing t,   n10 other docs containing t,
+        n01 docs-in-class without t,      n00 the rest,
+
+        χ² = N · (n11·n00 − n10·n01)² / ((n11+n01)(n11+n10)(n10+n00)(n01+n00))
+
+    and the ``top_k`` tokens per class by χ² (ties by token). All counts
+    are exact integers; the χ² arithmetic runs in double (at web scale
+    the integer products overflow int64 — doubles are exact up to 2^53
+    and both engines evaluate the identical expression tree).
+
+    Scale shape: doc-level presence explode (array_distinct, narrow) →
+    one groupBy((token, class)) count + one groupBy(token) count — both
+    word-count shapes; class totals and N are a broadcast frame; the
+    per-class top-k is a bounded groupBy-window over ~vocab rows."""
+    from pyspark.sql import Window
+
+    pres = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.col(class_col).alias("__c"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("__t"),
+    ).localCheckpoint(eager=False)
+    n_tc = pres.groupBy("__t", "__c").agg(
+        F.count("*").cast("double").alias("__n11")
+    )
+    n_t = pres.groupBy("__t").agg(F.count("*").cast("double").alias("__nt"))
+    n_c = df.groupBy(F.col(class_col).alias("__c")).agg(
+        F.count("*").cast("double").alias("__nc")
+    )
+    n = df.agg(F.count("*").cast("double").alias("__n"))
+    t = (
+        n_tc.join(n_t, "__t")
+        .join(F.broadcast(n_c), "__c")
+        .crossJoin(F.broadcast(n))
+    )
+    n11 = F.col("__n11")
+    n10 = F.col("__nt") - n11
+    n01 = F.col("__nc") - n11
+    n00 = F.col("__n") - F.col("__nt") - F.col("__nc") + n11
+    num = F.col("__n") * F.pow(n11 * n00 - n10 * n01, 2)
+    den = (n11 + n01) * (n11 + n10) * (n10 + n00) * (n01 + n00)
+    scored = t.select(
+        F.col("__c").alias("class"),
+        F.col("__t").alias("token"),
+        F.when(den != 0, F.round(num / den, 6)).otherwise(0.0).alias("chi2"),
+    )
+    w = Window.partitionBy("class").orderBy(
+        F.col("chi2").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("class", "token", "chi2", "rank")
+    )

@@ -90,7 +90,13 @@ driver-green r1-r3.
 
 r4 sixth batch: text_bigram_logprob (interpolated bigram LM quality
 ranker) displaces text_repetition_stats (r1-r3 green; the repetition
-filters stay exercised inside corpus_curation_e2e and unit tests)."""
+filters stay exercised inside corpus_curation_e2e and unit tests).
+
+r4 seventh batch: classify_nearest_centroid (Rocchio label audit)
+displaces multimodal_payload (r1-r3 green; media keeps the
+video/audio/dhash full-value anchors), and text_chi2_features
+(supervised vocabulary selection) displaces sketch_rollup_mergeable
+(r3-green; sketches stay anchored by approx_sketches)."""
 
 from census_data_pipeline_spark.plans import (  # noqa: F401
     queries_analytics,
@@ -172,7 +178,10 @@ _CHECKED_PREFIX = [
     # (sample_upweight_rare left the prefix in r4 for search_bm25: it was
     # driver-green in r3; sampling keeps temperature/stratified/shard anchors)
     "shuffle_shard_assign",
-    "multimodal_payload",
+    # (multimodal_payload left the prefix in r4g for
+    # classify_nearest_centroid: r1-r3 green; media keeps three
+    # full-value-oracle anchors)
+    "classify_nearest_centroid",
     # (multimodal_features left the prefix in r4 for graph_pagerank: it was
     # driver-green in r3; the media family keeps payload/video/audio anchors)
     # r4: full-value-oracle media queries (video subsumes frame_sample)
@@ -181,7 +190,9 @@ _CHECKED_PREFIX = [
     "multimodal_image_dhash",
     # r3 rotation: end-to-end curation composite + mergeable sketch rollup
     "corpus_curation_e2e",
-    "sketch_rollup_mergeable",
+    # (sketch_rollup_mergeable left the prefix in r4g for
+    # text_chi2_features: r3-green; approx_sketches anchors the family)
+    "text_chi2_features",
     # r4 additions: fixed-iteration PageRank + incremental view maintenance
     "graph_pagerank",
     "ivm_incremental_rollup",

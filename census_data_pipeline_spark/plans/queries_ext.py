@@ -2053,6 +2053,84 @@ def text_dsir_logratio(spark, sf_dir):
 
 
 @query(
+    "classify_nearest_centroid",
+    oracle="""
+    WITH x AS (SELECT vec_id, label, i AS pos,
+                      embedding[i]::DOUBLE AS v
+               FROM embeddings, range(1, 65) t(i)),
+    cpos AS (SELECT label AS cl, pos, round(avg(v), 6) AS cv
+             FROM x GROUP BY label, pos),
+    c AS (SELECT cl, list(cv ORDER BY pos) AS cvec FROM cpos GROUP BY cl),
+    cn AS (SELECT cl, cvec, sqrt(list_dot_product(cvec, cvec)) AS n FROM c),
+    e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    en AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS n
+           FROM e),
+    s AS (SELECT en.vec_id, en.label,
+                 cn.cl,
+                 round(list_dot_product(en.v, cn.cvec) / (en.n * cn.n), 6)
+                   AS cos
+          FROM en CROSS JOIN cn),
+    r AS (SELECT vec_id, label, cl, cos,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cos DESC, cl) AS rn
+          FROM s)
+    SELECT vec_id, label AS true_label, cl AS pred_label,
+           cos AS cosine, (label = cl) AS correct
+    FROM r WHERE rn = 1
+    """,
+)
+def classify_nearest_centroid(spark, sf_dir):
+    """Nearest-centroid (Rocchio) classification
+    (functions/similarity.classify_nearest_centroid): per-class mean
+    embeddings (components rounded to 6 BEFORE scoring), every vector
+    assigned to its most-cosine-similar centroid, correctness against
+    the true label — the label-audit baseline. Index-ordered dot folds
+    on both sides make every cosine bit-identical; centroid frame
+    broadcasts, corpus scans once."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.classify_nearest_centroid(emb)
+
+
+@query(
+    "text_chi2_features",
+    oracle=f"""
+    WITH pres AS (SELECT DISTINCT doc_id, source AS c, t
+                  FROM (SELECT doc_id, source, unnest({_TOKS}) AS t
+                        FROM documents)),
+    ntc AS (SELECT t, c, count(*)::DOUBLE AS n11 FROM pres GROUP BY t, c),
+    nt AS (SELECT t, count(*)::DOUBLE AS nt FROM pres GROUP BY t),
+    nc AS (SELECT source AS c, count(*)::DOUBLE AS nc
+           FROM documents GROUP BY source),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    s AS (SELECT ntc.c AS class, ntc.t AS token,
+                 CASE WHEN (n11 + (nc - n11)) * (n11 + (nt - n11))
+                           * ((nt - n11) + (n - nt - nc + n11))
+                           * ((nc - n11) + (n - nt - nc + n11)) <> 0
+                      THEN round(n * pow(n11 * (n - nt - nc + n11)
+                                         - (nt - n11) * (nc - n11), 2)
+                                 / ((n11 + (nc - n11)) * (n11 + (nt - n11))
+                                    * ((nt - n11) + (n - nt - nc + n11))
+                                    * ((nc - n11) + (n - nt - nc + n11))), 6)
+                      ELSE 0.0 END AS chi2
+          FROM ntc JOIN nt USING (t) JOIN nc USING (c) CROSS JOIN nn),
+    r AS (SELECT class, token, chi2,
+                 row_number() OVER (PARTITION BY class
+                                    ORDER BY chi2 DESC, token) AS rank
+          FROM s)
+    SELECT class, token, chi2, rank FROM r WHERE rank <= 5
+    """,
+)
+def text_chi2_features(spark, sf_dir):
+    """Per-class χ² feature selection (functions/text
+    .chi2_feature_selection): top-5 tokens most associated with each
+    source by the doc-presence contingency χ² — the classic supervised
+    vocabulary pruner / "what words define this slice" audit. Exact
+    integer counts, identical double expression tree in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chi2_feature_selection(docs, "source", top_k=5)
+
+
+@query(
     "text_bigram_logprob",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

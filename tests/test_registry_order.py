@@ -33,7 +33,8 @@ FAMILY_REPRESENTATIVES = [
     "linkage_entity_clusters",  # linkage -> CC canonical ids (new r4e)
     # (sample_stratified_events rotated out in r4 — r3-green; sampling keeps
     # sample_temperature + shuffle_shard_assign anchors)
-    "multimodal_payload",     # multimodal plumbing
+    # (multimodal_payload rotated out in r4g — r1-r3 green)
+    "classify_nearest_centroid",  # Rocchio label audit (new r4g)
     # (events_tumbling_1h rotated out in r4c for events_attribution —
     # r1-r3 green; tumbling stays covered by streaming_tumbling_1h)
     "events_attribution",     # first/last-touch credit (new r4c)
@@ -54,7 +55,8 @@ FAMILY_REPRESENTATIVES = [
     "rates_zero_policy",      # zero-policy parity (changed r2)
     # r3 rotation: the 9 oracle-backed queries that had never seen a driver row
     "corpus_curation_e2e",    # end-to-end curation composite
-    "sketch_rollup_mergeable",  # mergeable KLL/HLL rollup
+    # (sketch_rollup_mergeable rotated out in r4g — r3-green)
+    "text_chi2_features",     # chi-squared vocabulary selection (new r4g)
     # (events_funnel_3step rotated out in r4b for graph_triangles —
     # r3-green; events keeps nine anchors)
     "graph_triangles",        # degree-ordered triangle counts (new r4b)

@@ -427,3 +427,43 @@ def test_bigram_logprob_short_docs_omitted(spark):
     )
     rows = {r.doc_id: r.n_bigrams for r in bigram_logprob(df).collect()}
     assert rows == {2: 1}  # single-token doc has no bigram positions
+
+
+# -- nearest-centroid classifier + chi2 ----------------------------------
+def test_classify_nearest_centroid_separable(spark):
+    from census_data_pipeline_spark.functions.similarity import (
+        classify_nearest_centroid,
+    )
+
+    rows = (
+        [(i, [1.0, 0.0], 0) for i in range(5)]
+        + [(10 + i, [0.0, 1.0], 1) for i in range(5)]
+        + [(99, [0.9, 0.1], 1)]   # labeled 1 but sits in class 0's region
+    )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.vec_id: (r.pred_label, r.correct)
+           for r in classify_nearest_centroid(df).collect()}
+    assert all(out[i] == (0, True) for i in range(5))
+    assert all(out[10 + i] == (1, True) for i in range(5))
+    assert out[99][0] == 0 and out[99][1] is False  # the label-audit catch
+
+
+def test_chi2_exclusive_token_tops_its_class(spark):
+    from census_data_pipeline_spark.functions.text import (
+        chi2_feature_selection,
+    )
+
+    rows = (
+        [(i, "zebra common word", "a") for i in range(10)]
+        + [(100 + i, "yak common word", "b") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = chi2_feature_selection(df, "source", top_k=2).collect()
+    top = {(r["class"], r.rank): r.token for r in out}
+    assert top[("a", 1)] == "zebra"   # class-exclusive token ranks first
+    assert top[("b", 1)] == "yak"
+    # shared tokens carry zero association
+    chi = {(r["class"], r.token): r.chi2 for r in out}
+    assert all(v > 0 for k, v in chi.items() if k[1] in ("zebra", "yak"))
