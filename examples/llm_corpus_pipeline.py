@@ -6,7 +6,9 @@ minhash near-dup clustering -> canonical-document selection -> benchmark
 decontamination -> per-source cap -> temperature rebalancing ->
 token-window chunking -> training-bin packing -> epoch shuffle/shard
 assignment -> per-class embedding centroids -> BM25 + IVF-PQ retrieval
-over the curated corpus.
+over the curated corpus -> embedding-side curation and audits (SemDeDup,
+semantic decontamination, DSIR data selection, nearest-centroid label
+audit, chi-squared class vocabulary).
 
 Every stage is the same operator the driver contract exercises
 (functions/{sampling,text,dedup,similarity}.py); chained here the whole
@@ -171,6 +173,35 @@ def main(sf_dir: str = SF_DIR) -> int:
         m=8, n_codes=16, dim=64, rerank=50,
     )
     print(f"IVF-PQ neighbor rows  : {ann.count()}")
+
+    # 8. embedding-side curation + audits (r4): SemDeDup, semantic
+    #    decontamination, DSIR data selection, nearest-centroid label
+    #    audit, and the chi-squared per-class vocabulary report
+    sem = similarity.semantic_dedup(emb, threshold=0.3, n_centroids=16)
+    n_sem_kept = sem.filter("kept").count()
+    print(f"\nSemDeDup survivors    : {n_sem_kept} / {sem.count()}")
+
+    ev_vec = emb.filter(F.col("vec_id") % 97 == 0)
+    tr_vec = emb.filter(F.col("vec_id") % 97 != 0)
+    sem_flagged = decontam.semantic_contamination(
+        tr_vec, ev_vec, threshold=0.3
+    )
+    print(f"semantic-decontam flags: {sem_flagged.count()}")
+
+    dsir = text.dsir_logratio(
+        docs, target=F.col("source").isin("src0", "src1")
+    )
+    n_sel = dsir.filter(F.col("logratio") > 0).count()
+    print(f"DSIR-positive docs    : {n_sel}")
+
+    audit = similarity.classify_nearest_centroid(emb)
+    acc = audit.agg(F.avg(F.col("correct").cast("double"))).first()[0]
+    print(f"centroid label audit  : accuracy={acc:.3f}")
+
+    chi = text.chi2_feature_selection(docs, "source", top_k=2)
+    print("top chi2 tokens (first 2 classes):")
+    for r in sorted(chi.collect(), key=lambda r: (r["class"], r.rank))[:4]:
+        print(f"  {r['class']}: #{r.rank} {r.token} (chi2={r.chi2})")
 
     # NOTE: no spark.stop() — the session is shared when driven from tests
     return n_final
