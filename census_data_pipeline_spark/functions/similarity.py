@@ -1057,10 +1057,13 @@ def semantic_dedup(
         .groupBy("id")
         .agg(F.min(F.struct("__d2", "__cell")).alias("__m"))
         .select("id", F.col("__m.__cell").alias("cell"))
+        # lineage cut: the crossJoin+argmin feeds BOTH self-join sides
+        # and the final keep frame — uncut it executes three times
+        .localCheckpoint(eager=False)
     )
     cellv = vecs.join(assigned, "id").select(
         "id", "cell", "__v", F.sqrt("__nv2").alias("__n")
-    )
+    ).localCheckpoint(eager=False)
     a = cellv.select(
         F.col("id").alias("id_a"), F.col("cell").alias("__ca"),
         F.col("__v").alias("__va"), F.col("__n").alias("__na"),

@@ -96,7 +96,13 @@ r4 seventh batch: classify_nearest_centroid (Rocchio label audit)
 displaces multimodal_payload (r1-r3 green; media keeps the
 video/audio/dhash full-value anchors), and text_chi2_features
 (supervised vocabulary selection) displaces sketch_rollup_mergeable
-(r3-green; sketches stay anchored by approx_sketches)."""
+(r3-green; sketches stay anchored by approx_sketches).
+
+r4 eighth batch: streaming_interval_join_outer (REAL stream-stream
+LEFT-OUTER join — watermark-evicted NULL rows held to a horizon-closed
+batch oracle) displaces streaming_tumbling_1h (r3-green; real streaming
+stays represented by both interval joins, and tumbling semantics by the
+batch events anchors)."""
 
 from census_data_pipeline_spark.plans import (  # noqa: F401
     queries_analytics,
@@ -200,7 +206,10 @@ _CHECKED_PREFIX = [
     # (events_tumbling_1h left the prefix in r4c for events_attribution:
     # r1-r3 green; tumbling stays exercised by streaming_tumbling_1h)
     "events_session_5m",
-    "streaming_tumbling_1h",
+    # (streaming_tumbling_1h left the prefix in r4h for the outer
+    # stream-stream join: r3-green; real streaming keeps both interval
+    # joins)
+    "streaming_interval_join_outer",
     # r4 addition: real stream-stream interval join (symmetric hash state)
     "streaming_interval_join",
     # r4b: triangle counting joins pagerank as the graph anchors

@@ -1094,6 +1094,91 @@ def streaming_interval_join(spark, sf_dir):
 
 
 @query(
+    "streaming_interval_join_outer",
+    oracle="""
+    WITH wm AS (SELECT least(
+                  (SELECT max(ts) FROM events WHERE event_type = 'click'),
+                  (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+                - INTERVAL 1 MINUTE AS w),
+    c AS (SELECT user_id, event_id AS click_id, ts AS cts FROM events
+          WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS purchase_id, ts AS pts, value
+          FROM events WHERE event_type = 'purchase'),
+    j AS (SELECT c.user_id, c.click_id, p.purchase_id, c.cts, p.pts, p.value
+          FROM c LEFT JOIN p ON c.user_id = p.user_id
+            AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 4 HOUR)
+    SELECT user_id, click_id, purchase_id,
+           epoch_us(cts) AS click_ts_us,
+           epoch_us(pts) AS purchase_ts_us,
+           round(value, 4) AS purchase_value
+    FROM j CROSS JOIN wm
+    WHERE purchase_id IS NOT NULL OR cts + INTERVAL 4 HOUR < w
+    """,
+)
+def streaming_interval_join_outer(spark, sf_dir):
+    """STREAM-STREAM LEFT-OUTER interval join — the 'clicked but never
+    purchased within 4 h' stream. Matched rows emit like the inner
+    form; an unmatched click emits its NULL row only once the global
+    watermark (min over both inputs of max-event-time − 1 min) passes
+    its horizon — so the oracle keeps unmatched clicks ONLY where
+    cts + 4 h < watermark, exactly the state-eviction rule Spark
+    derives. Boundary-safe on this lake: no click's horizon falls
+    within 5 s of the final watermark (verified at sf0.01). The second
+    processAllAvailable cycle drains the post-batch eviction."""
+    import shutil
+    import tempfile
+    import uuid
+
+    staged_root = tempfile.mkdtemp(prefix="stream_loj_")
+    staged = staged_root + "/events"
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(staged)
+    schema = spark.read.parquet(staged).schema
+
+    clicks = (
+        windows.stream_from_parquet(spark, staged, schema)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id", F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 minute")
+    )
+    purchases = (
+        windows.stream_from_parquet(spark, staged, schema)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 minute")
+    )
+    joined = stream_joins.interval_equi_join(
+        clicks, purchases, "user_id", "click_ts", "purchase_ts",
+        lower="0 seconds", upper="4 hours", how="left_outer",
+    )
+    sink = f"stream_loj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        q.processAllAvailable()  # drain post-batch outer-row eviction
+    finally:
+        q.stop()
+        shutil.rmtree(staged_root, ignore_errors=True)
+    return spark.table(sink).select(
+        "user_id", "click_id", "purchase_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        F.round("purchase_value", 4).alias("purchase_value"),
+    )
+
+
+@query(
     "events_json_extract",
     oracle="""
     SELECT event_type, count(*) AS n_events,

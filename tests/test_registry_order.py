@@ -39,7 +39,8 @@ FAMILY_REPRESENTATIVES = [
     # r1-r3 green; tumbling stays covered by streaming_tumbling_1h)
     "events_attribution",     # first/last-touch credit (new r4c)
     "events_session_5m",      # sessionization
-    "streaming_tumbling_1h",  # real structured streaming
+    # (streaming_tumbling_1h rotated out in r4h — r3-green)
+    "streaming_interval_join_outer",  # real left-outer stream join (r4h)
     "skew_salted_join",       # skew handling
     "boundaries_right_join",  # J1
     # (union_batch_states rotated out in r4b for skyline_parts —

@@ -128,3 +128,87 @@ def test_interval_equi_join_batch_semantics(spark):
     # left@100 matches right@100 (lower inclusive) and @160 (upper
     # inclusive), not @161 or @99; left@200 matches nothing; user 2/3 never
     assert got == [(1, 100, 100), (1, 100, 160)]
+
+
+def test_interval_equi_join_left_outer_batch(spark):
+    """Outer form: unconverted left rows survive with NULL right side —
+    the 'clicked but never purchased within the horizon' query."""
+    from census_data_pipeline_spark.streaming.joins import interval_equi_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200), (2, 100)],
+        "user_id long, left_s long",
+    ).select("user_id", F.timestamp_seconds("left_s").alias("left_ts"))
+    right = spark.createDataFrame(
+        [(1, 160), (3, 100)],
+        "user_id long, right_s long",
+    ).select("user_id", F.timestamp_seconds("right_s").alias("right_ts"))
+    out = interval_equi_join(
+        left, right, "user_id", "left_ts", "right_ts",
+        lower="0 seconds", upper="60 seconds", how="left_outer",
+    ).collect()
+    got = sorted(
+        (r.user_id, int(r.left_ts.timestamp()),
+         None if r.right_ts is None else int(r.right_ts.timestamp()))
+        for r in out
+    )
+    assert got == [(1, 100, 160), (1, 200, None), (2, 100, None)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        interval_equi_join(left, right, "user_id", how="full_outer")
+
+
+def test_interval_equi_join_left_outer_streaming(spark, tmp_path):
+    """REAL streaming left-outer: the NULL row emits only after the
+    watermark passes its horizon — a far-future sentinel on BOTH streams
+    advances the watermark and flushes the unmatched click."""
+    import uuid
+
+    from census_data_pipeline_spark.streaming import windows
+    from census_data_pipeline_spark.streaming.joins import interval_equi_join
+
+    base = 1_700_000_000
+    # click@base converts; click@base+100 never does; sentinel@+1d closes
+    # both horizons
+    clicks = spark.createDataFrame(
+        [(1, base), (2, base + 100), (99, base + 86_400)],
+        "user_id long, s long",
+    ).select("user_id", F.timestamp_seconds("s").alias("click_ts"))
+    buys = spark.createDataFrame(
+        [(1, base + 30), (99, base + 86_400)],
+        "user_id long, s long",
+    ).select("user_id", F.timestamp_seconds("s").alias("buy_ts"))
+    cdir, bdir = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    clicks.write.parquet(cdir)
+    buys.write.parquet(bdir)
+
+    cs = windows.stream_from_parquet(
+        spark, cdir, clicks.schema
+    ).withWatermark("click_ts", "1 second")
+    bs = windows.stream_from_parquet(
+        spark, bdir, buys.schema
+    ).withWatermark("buy_ts", "1 second")
+    joined = interval_equi_join(
+        cs, bs, "user_id", "click_ts", "buy_ts",
+        lower="0 seconds", upper="60 seconds", how="left_outer",
+    )
+    sink = f"loj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory").queryName(sink).start()
+    )
+    try:
+        q.processAllAvailable()
+        # one more empty-batch cycle lets the state store evict and emit
+        # outer rows for the now-closed horizons
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        r.user_id: (None if r.buy_ts is None else int(r.buy_ts.timestamp()))
+        for r in spark.table(sink).collect()
+        if r.user_id != 99
+    }
+    assert rows.get(1) == base + 30       # converted inside the horizon
+    assert 2 in rows and rows[2] is None  # flushed as NULL after close
