@@ -116,6 +116,8 @@ HEADLINE_NEW: list[str] = [
     "text_bigram_logprob",
     "classify_nearest_centroid",
     "text_chi2_features",
+    "dq_suite_core",
+    "dq_profile_orders",
     # streaming_interval_join is excluded like the other REAL-streaming
     # queries (streaming_tumbling_1h, streaming_enriched_rollup): their
     # cost is state-store + micro-batch machinery, not engine operators

@@ -1,0 +1,100 @@
+"""Data-quality surface: column profiling, uniqueness / referential /
+expectation checks with a uniform violation-count summary — the
+ANALYZE-plus-assertions layer a lake pipeline runs before promoting a
+snapshot (Deequ/Great-Expectations-shaped, expressed as plain
+DataFrame plans so every check is one aggregation).
+
+Scale notes: every check is a single scan + aggregation (uniqueness is
+one groupBy on the key; referential is a left-anti join — the parent
+side broadcast when small, AQE otherwise). ``profile_columns`` computes
+EXACT distinct counts (one Expand pass over the columns) for oracle
+parity — at the 100 TB tier swap ``approx_count_distinct`` in, same
+frame shape. Profiled min/max are cast to strings so one summary schema
+covers every column type.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def uniqueness_violations(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Key tuples appearing more than once: (keys..., n_rows)."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
+
+
+def referential_orphans(
+    child: DataFrame, parent: DataFrame, child_key: str, parent_key: str
+) -> DataFrame:
+    """Distinct child keys with no matching parent (FK violations)."""
+    return (
+        child.select(F.col(child_key).alias("orphan_key"))
+        .distinct()
+        .join(
+            parent.select(F.col(parent_key).alias("orphan_key")).distinct(),
+            "orphan_key",
+            "left_anti",
+        )
+    )
+
+
+def expect(df: DataFrame, check: str, condition) -> DataFrame:
+    """One summary row (check, n_violations): rows FAILING ``condition``.
+    NULL condition results count as violations (unknown fails the
+    expectation, the Deequ convention)."""
+    return df.agg(
+        F.lit(check).alias("check"),
+        F.count_if(~F.coalesce(condition, F.lit(False))).alias("n_violations"),
+    )
+
+
+def as_check(frame: DataFrame, check: str) -> DataFrame:
+    """Collapse any violations frame to its (check, n_violations) row."""
+    return frame.agg(
+        F.lit(check).alias("check"),
+        F.count("*").alias("n_violations"),
+    )
+
+
+def dq_summary(*checks: DataFrame) -> DataFrame:
+    """Union of (check, n_violations) rows — the suite verdict."""
+    return reduce(lambda a, b: a.unionByName(b), checks)
+
+
+def profile_columns(
+    df: DataFrame, columns: list[str] | None = None
+) -> DataFrame:
+    """Per-column profile in ONE aggregation pass:
+    (column, n_rows, n_nulls, n_distinct, min_value, max_value) with
+    min/max rendered as strings (one schema for every column type).
+    Exact distinct counts (Expand); swap approx_count_distinct at the
+    sketch tier."""
+    cols = columns or df.columns
+    aggs = [F.count("*").alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            F.count_distinct(c).alias(f"__nd_{c}"),
+            F.min(c).cast("string").alias(f"__mn_{c}"),
+            F.max(c).cast("string").alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col(f"__nn_{c}")).alias("n_nulls"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.col(f"__mn_{c}").alias("min_value"),
+            F.col(f"__mx_{c}").alias("max_value"),
+        )
+        for c in cols
+    ])
+    return one.select(F.explode(rows).alias("p")).select("p.*")

@@ -102,7 +102,14 @@ r4 eighth batch: streaming_interval_join_outer (REAL stream-stream
 LEFT-OUTER join — watermark-evicted NULL rows held to a horizon-closed
 batch oracle) displaces streaming_tumbling_1h (r3-green; real streaming
 stays represented by both interval joins, and tumbling semantics by the
-batch events anchors)."""
+batch events anchors).
+
+r4 ninth batch: the data-quality tier — dq_suite_core (uniqueness/FK/
+expectation verdicts) displaces shuffle_shard_assign (r1-r3 green;
+sampling keeps sample_temperature plus unit pins) and
+dq_profile_orders (one-pass column profiling) displaces text_chunking
+(r1-r3 green; chunking stays pinned by the straddle tests and the
+curation composite)."""
 
 from census_data_pipeline_spark.plans import (  # noqa: F401
     queries_analytics,
@@ -152,7 +159,9 @@ _CHECKED_PREFIX = [
     # decontam_semantic: r1-r3 green; the lexical screen stays exercised
     # inside corpus_curation_e2e)
     "decontam_semantic",
-    "text_chunking",
+    # (text_chunking left the prefix in r4i for dq_profile_orders:
+    # r1-r3 green; chunking stays pinned by unit tests + curation e2e)
+    "dq_profile_orders",
     # (text_pack_bins left the prefix in r4 for copurchase_topk: driver-green
     # r1-r3; packing stays pinned by the straddle/scalable-prefix-sum tests)
     # (corpus_clean_pipeline left the prefix in r4 for scd2_user_status: it
@@ -183,7 +192,9 @@ _CHECKED_PREFIX = [
     # sampling anchors below)
     # (sample_upweight_rare left the prefix in r4 for search_bm25: it was
     # driver-green in r3; sampling keeps temperature/stratified/shard anchors)
-    "shuffle_shard_assign",
+    # (shuffle_shard_assign left the prefix in r4i for dq_suite_core:
+    # r1-r3 green; the prefix-sum shard rank stays unit-pinned)
+    "dq_suite_core",
     # (multimodal_payload left the prefix in r4g for
     # classify_nearest_centroid: r1-r3 green; media keeps three
     # full-value-oracle anchors)

@@ -147,6 +147,103 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 
 @query(
+    "dq_suite_core",
+    oracle="""
+    SELECT 'orders_pk_unique' AS check, count(*) AS n_violations
+    FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'orders_custkey_date_unique', count(*)
+    FROM (SELECT o_custkey, o_orderdate FROM orders
+          GROUP BY 1, 2 HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'orders_fk_customer', count(*)
+    FROM (SELECT DISTINCT o_custkey FROM orders
+          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+    UNION ALL
+    SELECT 'lineitem_fk_orders', count(*)
+    FROM (SELECT DISTINCT l_orderkey FROM lineitem
+          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           count_if(NOT coalesce(o_totalprice > 0, false))::BIGINT
+    FROM orders
+    UNION ALL
+    SELECT 'documents_nchars_consistent',
+           count_if(NOT coalesce(n_chars = length(text), false))::BIGINT
+    FROM documents
+    """,
+)
+def dq_suite_core(spark, sf_dir):
+    """Data-quality suite (operators/quality): primary-key and
+    business-key uniqueness, two FK orphan checks, a range expectation,
+    and a derived-column consistency expectation — each one aggregation,
+    unioned into the (check, n_violations) verdict a pipeline gates a
+    snapshot promotion on. NULL expectation results count as violations
+    (the Deequ convention)."""
+    from census_data_pipeline_spark.operators import quality as dq
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    docs = load_table(spark, sf_dir, "documents")
+    return dq.dq_summary(
+        dq.as_check(dq.uniqueness_violations(o, ["o_orderkey"]),
+                    "orders_pk_unique"),
+        dq.as_check(
+            dq.uniqueness_violations(o, ["o_custkey", "o_orderdate"]),
+            "orders_custkey_date_unique"),
+        dq.as_check(dq.referential_orphans(o, c, "o_custkey", "c_custkey"),
+                    "orders_fk_customer"),
+        dq.as_check(dq.referential_orphans(li, o, "l_orderkey", "o_orderkey"),
+                    "lineitem_fk_orders"),
+        dq.expect(o, "orders_totalprice_positive", F.col("o_totalprice") > 0),
+        dq.expect(docs, "documents_nchars_consistent",
+                  F.col("n_chars") == F.length("text")),
+    )
+
+
+@query(
+    "dq_profile_orders",
+    oracle="""
+    SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+           count(*) - count(o_orderkey) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    """,
+)
+def dq_profile_orders(spark, sf_dir):
+    """One-pass column profiling (operators/quality.profile_columns):
+    row/null/exact-distinct counts + stringified min/max per column —
+    the ANALYZE surface. Restricted to the integer/string columns whose
+    string rendering is engine-portable (float/timestamp rendering
+    differs between engines; those columns profile fine in Spark but
+    are excluded from the cross-engine oracle)."""
+    from census_data_pipeline_spark.operators.quality import profile_columns
+
+    o = load_table(spark, sf_dir, "orders")
+    return profile_columns(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+@query(
     "orders_winsorized",
     oracle="""
     WITH s AS (SELECT o_orderpriority,

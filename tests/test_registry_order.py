@@ -19,7 +19,8 @@ FAMILY_REPRESENTATIVES = [
     "knn_bruteforce",         # similarity search exact
     "knn_lsh",                # similarity search approximate (reworked r2)
     "text_token_stats",       # text analysis
-    "text_chunking",          # training-sample chunking
+    # (text_chunking rotated out in r4i — r1-r3 green)
+    "dq_profile_orders",      # one-pass column profiling (new r4i)
     # (text_repetition_stats rotated out in r4f — r1-r3 green; stays
     # inside corpus_curation_e2e)
     "text_bigram_logprob",    # interpolated bigram LM ranker (new r4f)
@@ -27,7 +28,8 @@ FAMILY_REPRESENTATIVES = [
     # screen stays inside corpus_curation_e2e)
     "decontam_semantic",      # embedding-level decontamination (new r4e)
     "sample_temperature",     # temperature source rebalancing (new r2)
-    "shuffle_shard_assign",   # epoch shuffle / shard assignment (new r2)
+    # (shuffle_shard_assign rotated out in r4i — r1-r3 green)
+    "dq_suite_core",          # data-quality verdict suite (new r4i)
     # (linkage_edit1_names rotated out in r4e — its pair stage runs
     # inside the composition below)
     "linkage_entity_clusters",  # linkage -> CC canonical ids (new r4e)

@@ -467,3 +467,45 @@ def test_chi2_exclusive_token_tops_its_class(spark):
     # shared tokens carry zero association
     chi = {(r["class"], r.token): r.chi2 for r in out}
     assert all(v > 0 for k, v in chi.items() if k[1] in ("zebra", "yak"))
+
+
+# -- data quality --------------------------------------------------------
+def test_dq_checks_on_dirty_data(spark):
+    from census_data_pipeline_spark.operators import quality as dq
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (2, 10), (3, 99)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    uniq = dq.uniqueness_violations(child, ["id"]).collect()
+    assert [(r.id, r.n_rows) for r in uniq] == [(2, 2)]
+    orph = dq.referential_orphans(child, parent, "fk", "pk").collect()
+    assert [r.orphan_key for r in orph] == [99]
+    summary = {r.check: r.n_violations for r in dq.dq_summary(
+        dq.as_check(dq.uniqueness_violations(child, ["id"]), "u"),
+        dq.as_check(dq.referential_orphans(child, parent, "fk", "pk"), "fk"),
+        dq.expect(child, "fk_small", F.col("fk") < 50),
+    ).collect()}
+    assert summary == {"u": 1, "fk": 1, "fk_small": 1}
+
+
+def test_dq_expect_null_counts_as_violation(spark):
+    from census_data_pipeline_spark.operators import quality as dq
+
+    df = spark.createDataFrame([(1.0,), (None,), (5.0,)], "v double")
+    row = dq.expect(df, "v_positive", F.col("v") > 0).collect()[0]
+    assert (row.check, row.n_violations) == ("v_positive", 1)  # the NULL
+
+
+def test_dq_profile_columns(spark):
+    from census_data_pipeline_spark.operators.quality import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "b"), (2, None), (2, "a")], "k long, s string"
+    )
+    prof = {r.column: r for r in profile_columns(df).collect()}
+    assert prof["k"].n_rows == 3 and prof["k"].n_nulls == 0
+    assert prof["k"].n_distinct == 2
+    assert (prof["k"].min_value, prof["k"].max_value) == ("1", "2")
+    assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
+    assert (prof["s"].min_value, prof["s"].max_value) == ("a", "b")
