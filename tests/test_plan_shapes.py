@@ -173,3 +173,54 @@ def test_polygon_overlap_grid_join_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_skyline_no_cartesian_no_quadratic(spark, sf_dir):
+    """The two-phase skyline must not plan the quadratic NOT-EXISTS
+    shape: no cartesian/nested-loop anywhere except broadcast of the
+    1-row bounds frame."""
+    plan = _plan(spark, sf_dir, "skyline_parts")
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_cell_equijoin(spark, sf_dir):
+    """Within-cell pairing must be an equi-join on the cell key (hash or
+    sort-merge), never a cartesian over the corpus."""
+    plan = _plan(spark, sf_dir, "dedup_semantic")
+    assert "CartesianProduct" not in plan
+
+
+def test_triangles_all_equijoins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "graph_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_attribution_extracts_equi_key(spark, sf_dir):
+    """The lookback predicate must ride on a user-keyed equi-join, not
+    degrade the whole join to a nested loop."""
+    plan = _plan(spark, sf_dir, "events_attribution")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_profile_is_single_scan(spark, sf_dir):
+    """Column profiling contracts ONE pass over the table: a single
+    FileScan with the multi-distinct Expand."""
+    plan = _plan(spark, sf_dir, "dq_profile_orders")
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+
+
+def test_winsorize_and_outliers_broadcast_stats(spark, sf_dir):
+    for name in ("orders_winsorized", "events_robust_outliers"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_semantic_decontam_broadcasts_eval_side(spark, sf_dir):
+    """The eval vectors are the structurally small side — they must
+    broadcast; the corpus must not shuffle for scoring."""
+    plan = _plan(spark, sf_dir, "decontam_semantic")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
