@@ -118,6 +118,7 @@ HEADLINE_NEW: list[str] = [
     "text_chi2_features",
     "dq_suite_core",
     "dq_profile_orders",
+    "orders_snapshot_diff",
     # streaming_interval_join is excluded like the other REAL-streaming
     # queries (streaming_tumbling_1h, streaming_enriched_rollup): their
     # cost is state-store + micro-batch machinery, not engine operators

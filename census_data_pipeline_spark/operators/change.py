@@ -12,6 +12,8 @@ shuffle-free under bucketing.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -144,3 +146,63 @@ def apply_changes(
     )
     ups = latest.filter(F.col(op_col) != "D").select(*payload)
     return kept.unionByName(ups)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Full-outer diff of two snapshots of the same table: one row per
+    key present in EITHER side, classified ``added`` / ``removed`` /
+    ``changed`` / ``unchanged`` (null-safe column comparison, so
+    NULL -> value and value -> NULL both read as changes) — the
+    read-side complement of ``apply_changes``: MERGE applies a feed,
+    diff RECOVERS the feed from two snapshots (audit, replication
+    verification, regression triage).
+
+    Returns keys + ``change_type`` + per-compared-column ``old_``/
+    ``new_`` value pairs.
+
+    Scale: this is the one legitimately full-outer operation in the
+    engine — both snapshots shuffle once on the key (unlike MERGE,
+    where the feed is small; a diff's output is unbounded on either
+    side, so there is no anti-join rewrite). On a bucketed lake
+    (sources/bucketing.py) both sides co-locate and the exchange
+    disappears — diff is the operator bucketing exists for."""
+    compare = compare_cols or [
+        c for c in old.columns if c not in keys and c in new.columns
+    ]
+    o = old.select(
+        *[F.col(k) for k in keys],
+        F.lit(True).alias("__in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare],
+    )
+    n = new.select(
+        *[F.col(k) for k in keys],
+        F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare],
+    )
+    joined = o.join(n, on=keys, how="full_outer")
+    same = reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+            for c in compare
+        ],
+        F.lit(True),
+    )
+    change_type = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        *keys,
+        change_type.alias("change_type"),
+        *[c for pair in (
+            (f"old_{x}", f"new_{x}") for x in compare
+        ) for c in pair],
+    )

@@ -216,7 +216,9 @@ _CHECKED_PREFIX = [
     # §2.9 event-time & streaming-parity
     # (events_tumbling_1h left the prefix in r4c for events_attribution:
     # r1-r3 green; tumbling stays exercised by streaming_tumbling_1h)
-    "events_session_5m",
+    # (events_session_5m left the prefix in r4j for orders_snapshot_diff:
+    # r1/r3 green; sessionization stays unit- and stream-pinned)
+    "orders_snapshot_diff",
     # (streaming_tumbling_1h left the prefix in r4h for the outer
     # stream-stream join: r3-green; real streaming keeps both interval
     # joins)

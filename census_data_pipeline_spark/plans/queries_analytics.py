@@ -147,6 +147,55 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 
 @query(
+    "orders_snapshot_diff",
+    oracle="""
+    WITH old AS (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_orderkey % 89 <> 0),
+    new AS (SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 1.0
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders WHERE o_orderkey % 97 <> 0),
+    j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                 o.o_totalprice AS old_o_totalprice,
+                 n.o_totalprice AS new_o_totalprice,
+                 o.o_orderkey IS NOT NULL AS in_old,
+                 n.o_orderkey IS NOT NULL AS in_new
+          FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey)
+    SELECT o_orderkey,
+           CASE WHEN NOT in_old THEN 'added'
+                WHEN NOT in_new THEN 'removed'
+                WHEN old_o_totalprice IS NOT DISTINCT FROM new_o_totalprice
+                     THEN 'unchanged'
+                ELSE 'changed' END AS change_type,
+           old_o_totalprice, new_o_totalprice
+    FROM j
+    """,
+)
+def orders_snapshot_diff(spark, sf_dir):
+    """Snapshot diff (operators/change.snapshot_diff): two derived
+    snapshots of orders — keys %89 absent from old (added), %97 absent
+    from new (removed), %10==3 repriced (+1.0, exact in doubles) — full
+    outer on the key with null-safe value comparison, classified
+    added/removed/changed/unchanged. The read-side complement of the
+    CDC merge: MERGE applies a feed, diff recovers one. The one
+    legitimately full-outer shape in the engine (both snapshot sides
+    are unbounded) — exchange-free on a bucketed lake."""
+    from census_data_pipeline_spark.operators.change import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 3,
+               F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
+@query(
     "dq_suite_core",
     oracle="""
     SELECT 'orders_pk_unique' AS check, count(*) AS n_violations

@@ -40,7 +40,8 @@ FAMILY_REPRESENTATIVES = [
     # (events_tumbling_1h rotated out in r4c for events_attribution —
     # r1-r3 green; tumbling stays covered by streaming_tumbling_1h)
     "events_attribution",     # first/last-touch credit (new r4c)
-    "events_session_5m",      # sessionization
+    # (events_session_5m rotated out in r4j — r1/r3 green)
+    "orders_snapshot_diff",   # full-outer snapshot diff (new r4j)
     # (streaming_tumbling_1h rotated out in r4h — r3-green)
     "streaming_interval_join_outer",  # real left-outer stream join (r4h)
     "skew_salted_join",       # skew handling

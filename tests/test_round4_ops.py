@@ -509,3 +509,38 @@ def test_dq_profile_columns(spark):
     assert (prof["k"].min_value, prof["k"].max_value) == ("1", "2")
     assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
     assert (prof["s"].min_value, prof["s"].max_value) == ("a", "b")
+
+
+# -- snapshot diff -------------------------------------------------------
+def test_snapshot_diff_classifies_all_types(spark):
+    from census_data_pipeline_spark.operators.change import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, 20.0, "y"), (3, None, "z")],
+        "k long, v double, s string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "x"),      # unchanged
+         (2, 25.0, "y"),      # changed (value)
+         (3, 30.0, "z"),      # changed (NULL -> value, null-safe)
+         (4, 40.0, "w")],     # added
+        "k long, v double, s string",
+    )
+    out = {r.k: r.change_type
+           for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "changed", 4: "added"}
+
+    out2 = snapshot_diff(new, old, ["k"]).collect()
+    by_key = {r.k: r for r in out2}
+    assert by_key[4].change_type == "removed"
+    assert by_key[4].new_v is None and by_key[4].old_v == 40.0
+
+
+def test_snapshot_diff_compare_subset(spark):
+    from census_data_pipeline_spark.operators.change import snapshot_diff
+
+    old = spark.createDataFrame([(1, 1.0, "a")], "k long, v double, s string")
+    new = spark.createDataFrame([(1, 1.0, "b")], "k long, v double, s string")
+    # comparing only v: the s change is invisible
+    r = snapshot_diff(old, new, ["k"], compare_cols=["v"]).collect()[0]
+    assert r.change_type == "unchanged"
