@@ -119,6 +119,10 @@ HEADLINE_NEW: list[str] = [
     "dq_suite_core",
     "dq_profile_orders",
     "orders_snapshot_diff",
+    "events_ohlc_hourly",
+    "events_time_weighted_avg",
+    "revenue_share_of_parent",
+    "corpus_vocab_stats",
     # streaming_interval_join is excluded like the other REAL-streaming
     # queries (streaming_tumbling_1h, streaming_enriched_rollup): their
     # cost is state-store + micro-batch machinery, not engine operators

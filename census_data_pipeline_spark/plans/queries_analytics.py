@@ -7,7 +7,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from census_data_pipeline_spark.functions import text
 from census_data_pipeline_spark.functions.similarity import embedding_dup_pairs
+
+# DuckDB tokenizer expression shared with queries_ext (single-space split)
+_TOKS = "string_split(text, ' ')"
 from census_data_pipeline_spark.operators.asof import asof_join
 from census_data_pipeline_spark.operators.rangejoin import interval_join
 from census_data_pipeline_spark.operators.normalize import normalize_by_group
@@ -143,6 +147,190 @@ def dedup_embedding_cosine(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_dup_pairs(
         emb, threshold=0.4, dim=64, nbits=4, n_tables=8, seed=42
+    )
+
+
+@query(
+    "events_ohlc_hourly",
+    oracle="""
+    WITH r AS (SELECT date_trunc('hour', ts) AS bucket, event_type, value,
+                      row_number() OVER (
+                        PARTITION BY date_trunc('hour', ts), event_type
+                        ORDER BY ts, event_id) AS rn_a,
+                      row_number() OVER (
+                        PARTITION BY date_trunc('hour', ts), event_type
+                        ORDER BY ts DESC, event_id DESC) AS rn_d
+               FROM events)
+    SELECT bucket, event_type,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*) AS n_samples
+    FROM r GROUP BY bucket, event_type
+    """,
+)
+def events_ohlc_hourly(spark, sf_dir):
+    """OHLC bars — the time-series-database downsampling primitive:
+    per (hour, type) open/high/low/close with deterministic (ts, id)
+    tie order for open/close via min_by/max_by. ONE hash aggregation
+    with map-side partials (no window, no sort); at 100 TB the day-
+    partitioned events lake prunes the scan to the queried range."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.min_by("value", key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+        F.count("*").alias("n_samples"),
+    )
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH s AS (SELECT user_id, ts, value,
+                      lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS nxt
+               FROM events),
+    w AS (SELECT user_id, value,
+                 epoch_us(nxt) - epoch_us(ts) AS dt_us
+          FROM s WHERE nxt IS NOT NULL)
+    SELECT user_id,
+           round(sum(value * dt_us) / sum(dt_us), 6) AS tw_avg,
+           count(*) AS n_intervals
+    FROM w GROUP BY user_id
+    """,
+)
+def events_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average over IRREGULAR samples (the TimescaleDB
+    ``time_weight`` / LOCF-integral primitive): each observation holds
+    its value until the next one, so the mean weights each sample by
+    its holding interval — an arithmetic mean over-weights bursts.
+    One per-user lead window (partitioned, deterministic (ts, id)
+    order) + one groupBy; the last observation per user has no holding
+    interval and drops out, matching the oracle's inner shape."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id", "value",
+        (F.unix_micros(F.lead("ts").over(w))
+         - F.unix_micros("ts")).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    return s.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 6)
+        .alias("tw_avg"),
+        F.count("*").alias("n_intervals"),
+    )
+
+
+@query(
+    "revenue_share_of_parent",
+    oracle="""
+    WITH n AS (SELECT r_name, n_name, n_nationkey, r_regionkey
+               FROM nation JOIN region ON n_regionkey = r_regionkey),
+    rev AS (SELECT r_name, n_name,
+                   sum(o_totalprice) AS nation_rev
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN n ON c_nationkey = n_nationkey
+            GROUP BY r_name, n_name),
+    reg AS (SELECT r_name, sum(nation_rev) AS region_rev FROM rev
+            GROUP BY r_name)
+    SELECT rev.r_name, n_name,
+           round(nation_rev, 2) AS nation_rev,
+           round(100.0 * nation_rev / region_rev, 4) AS pct_of_region
+    FROM rev JOIN reg ON rev.r_name = reg.r_name
+    """,
+)
+def revenue_share_of_parent(spark, sf_dir):
+    """Share-of-parent contribution rollup — the BI drill-down staple:
+    each nation's revenue as a percentage of its region. Child totals
+    aggregate once; the parent level re-aggregates the CHILD TOTALS
+    (25 rows), never the facts, and joins back broadcast — the
+    hierarchical version of the normalize-by-group pattern (no window
+    over the fact table)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    dim = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+    rev = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o["o_custkey"] == F.col("c_custkey"))
+        .join(F.broadcast(dim), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("o_totalprice").alias("nation_rev"))
+    )
+    reg = rev.groupBy("r_name").agg(F.sum("nation_rev").alias("region_rev"))
+    return (
+        rev.join(F.broadcast(reg), "r_name")
+        .select(
+            "r_name", "n_name",
+            F.round("nation_rev", 2).alias("nation_rev"),
+            F.round(F.lit(100.0) * F.col("nation_rev")
+                    / F.col("region_rev"), 4).alias("pct_of_region"),
+        )
+    )
+
+
+@query(
+    "corpus_vocab_stats",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS t FROM documents),
+    f AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT sum(c)::BIGINT AS n_tokens, count(*) AS vocab FROM f),
+    top AS (SELECT sum(c)::BIGINT AS top10 FROM
+            (SELECT c FROM f ORDER BY c DESC, t LIMIT 10)),
+    h AS (SELECT count(*) AS hapax FROM f WHERE c = 1)
+    SELECT n_tokens, vocab,
+           round(vocab * 1.0 / n_tokens, 6) AS type_token_ratio,
+           round(top10 * 1.0 / n_tokens, 6) AS top10_coverage,
+           hapax,
+           round(hapax * 1.0 / vocab, 6) AS hapax_ratio
+    FROM tot CROSS JOIN top CROSS JOIN h
+    """,
+)
+def corpus_vocab_stats(spark, sf_dir):
+    """Corpus-level vocabulary diagnostics — the Zipf/Heaps health
+    check run before committing a tokenizer budget: token count, vocab
+    size, type-token ratio, top-10-token coverage (Zipf head mass) and
+    hapax-legomenon ratio (tail mass / OOV pressure). One token
+    explode + one frequency agg; everything downstream is frames of
+    at most vocab rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = (
+        docs.select(F.explode(text.tokens("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = f.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").alias("vocab"),
+    )
+    top = (
+        f.orderBy(F.col("c").desc(), "t").limit(10)
+        .agg(F.sum("c").cast("long").alias("top10"))
+    )
+    h = f.filter("c = 1").agg(F.count("*").alias("hapax"))
+    return (
+        tot.crossJoin(F.broadcast(top)).crossJoin(F.broadcast(h))
+        .select(
+            "n_tokens", "vocab",
+            F.round(F.col("vocab") / F.col("n_tokens"), 6)
+            .alias("type_token_ratio"),
+            F.round(F.col("top10") / F.col("n_tokens"), 6)
+            .alias("top10_coverage"),
+            "hapax",
+            F.round(F.col("hapax") / F.col("vocab"), 6).alias("hapax_ratio"),
+        )
     )
 
 
