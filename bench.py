@@ -123,6 +123,7 @@ HEADLINE_NEW: list[str] = [
     "events_time_weighted_avg",
     "revenue_share_of_parent",
     "corpus_vocab_stats",
+    "orders_target_encoding",
     # streaming_interval_join is excluded like the other REAL-streaming
     # queries (streaming_tumbling_1h, streaming_enriched_rollup): their
     # cost is state-store + micro-batch machinery, not engine operators

@@ -246,3 +246,52 @@ def cap_per_group(
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
     )
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    alpha: float = 10.0,
+    loo: bool = False,
+    output_col: str = "target_enc",
+) -> DataFrame:
+    """Smoothed target encoding — the categorical-feature workhorse of
+    tabular ML: replace a category with the shrunk mean of the target,
+
+        enc(c) = (n_c · mean_c + α · mean_global) / (n_c + α)
+
+    so rare categories pull toward the prior instead of memorizing
+    noise. ``loo=True`` switches to the leave-one-out form — each ROW's
+    own target is excluded from its category's statistics
+    ((sum_c − y) / (n_c − 1) before shrinking) — the standard guard
+    against target leakage when the encoding is fit on the training
+    split itself; singleton categories fall back to the global mean.
+
+    Scale shape: one groupBy(cat) stats frame (category-cardinality
+    rows, broadcast), a 1-row global frame, and a map-only encode join —
+    the corpus never shuffles. Encodings round to 6 (engine parity)."""
+    stats = df.groupBy(cat_col).agg(
+        F.count(target_col).alias("__n"),
+        F.sum(target_col).alias("__s"),
+    )
+    glob = df.agg(
+        (F.sum(target_col) / F.count(target_col)).alias("__gm")
+    )
+    out = df.join(F.broadcast(stats), cat_col).crossJoin(F.broadcast(glob))
+    if loo:
+        n_eff = F.col("__n") - 1
+        s_eff = F.col("__s") - F.col(target_col)
+        cat_mean = F.when(n_eff > 0, s_eff / n_eff)
+        enc = F.when(
+            n_eff > 0,
+            (n_eff * cat_mean + alpha * F.col("__gm")) / (n_eff + alpha),
+        ).otherwise(F.col("__gm"))
+    else:
+        enc = (
+            (F.col("__s") + alpha * F.col("__gm"))
+            / (F.col("__n") + alpha)
+        )
+    return out.withColumn(output_col, F.round(enc, 6)).drop(
+        "__n", "__s", "__gm"
+    )

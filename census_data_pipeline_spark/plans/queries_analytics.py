@@ -151,6 +151,46 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 
 @query(
+    "orders_target_encoding",
+    oracle="""
+    WITH s AS (SELECT o_custkey, count(o_totalprice) AS n,
+                      sum(o_totalprice) AS sm
+               FROM orders GROUP BY 1),
+    g AS (SELECT sum(o_totalprice) / count(o_totalprice) AS gm FROM orders)
+    SELECT o_orderkey, o.o_custkey, o_totalprice,
+           round((sm + 10.0 * gm) / (n + 10.0), 6) AS target_enc,
+           round(CASE WHEN n - 1 > 0
+                      THEN ((n - 1) * ((sm - o_totalprice) / (n - 1))
+                            + 10.0 * gm) / ((n - 1) + 10.0)
+                      ELSE gm END, 6) AS target_enc_loo
+    FROM orders o JOIN s USING (o_custkey) CROSS JOIN g
+    """,
+)
+def orders_target_encoding(spark, sf_dir):
+    """Smoothed + leave-one-out target encoding
+    (functions/sampling.target_encode): customer key encoded by the
+    shrunk mean of order totals (α=10 toward the global prior), with
+    the LOO form excluding each row's own target — the standard
+    leakage guard; singleton categories fall back to the prior. Stats
+    frame broadcast, corpus never shuffles; identical FP expression
+    trees in both engines."""
+    from census_data_pipeline_spark.functions.sampling import target_encode
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    enc = target_encode(o, "o_custkey", "o_totalprice", alpha=10.0)
+    loo = target_encode(
+        o, "o_custkey", "o_totalprice", alpha=10.0, loo=True,
+        output_col="target_enc_loo",
+    ).select("o_orderkey", "target_enc_loo")
+    return enc.join(loo, "o_orderkey").select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        "target_enc", "target_enc_loo",
+    )
+
+
+@query(
     "events_ohlc_hourly",
     oracle="""
     WITH r AS (SELECT date_trunc('hour', ts) AS bucket, event_type, value,

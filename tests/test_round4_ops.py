@@ -544,3 +544,31 @@ def test_snapshot_diff_compare_subset(spark):
     # comparing only v: the s change is invisible
     r = snapshot_diff(old, new, ["k"], compare_cols=["v"]).collect()[0]
     assert r.change_type == "unchanged"
+
+
+# -- target encoding -----------------------------------------------------
+def test_target_encode_shrinks_rare_categories(spark):
+    from census_data_pipeline_spark.functions.sampling import target_encode
+
+    rows = [(i, "big", 10.0) for i in range(100)] + [(200, "rare", 100.0)]
+    df = spark.createDataFrame(rows, "id long, cat string, y double")
+    out = {r.id: r.target_enc
+           for r in target_encode(df, "cat", "y", alpha=10.0).collect()}
+    g = (100 * 10.0 + 100.0) / 101  # global mean ~10.89
+    # big category barely moves; the rare one shrinks hard toward prior
+    assert abs(out[0] - 10.0) < 0.1
+    assert abs(out[200] - (100.0 + 10 * g) / 11) < 1e-6
+
+
+def test_target_encode_loo_excludes_own_row(spark):
+    from census_data_pipeline_spark.functions.sampling import target_encode
+
+    rows = [(1, "c", 0.0), (2, "c", 10.0), (3, "solo", 5.0)]
+    df = spark.createDataFrame(rows, "id long, cat string, y double")
+    out = {r.id: r.target_enc
+           for r in target_encode(df, "cat", "y", alpha=0.0,
+                                  loo=True).collect()}
+    # alpha=0: pure leave-one-out means
+    assert out[1] == 10.0   # excludes its own 0
+    assert out[2] == 0.0    # excludes its own 10
+    assert out[3] == 5.0    # singleton -> global mean (0+10+5)/3
