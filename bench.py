@@ -124,6 +124,8 @@ HEADLINE_NEW: list[str] = [
     "revenue_share_of_parent",
     "corpus_vocab_stats",
     "orders_target_encoding",
+    "drift_ks_click_vs_error",
+    "drift_psi_purchase_value",
     # streaming_interval_join is excluded like the other REAL-streaming
     # queries (streaming_tumbling_1h, streaming_enriched_rollup): their
     # cost is state-store + micro-batch machinery, not engine operators

@@ -1,0 +1,133 @@
+"""Distribution-drift detection between two samples of a numeric
+column — the monitoring layer that decides whether yesterday's data
+still looks like today's (feature drift before a model retrain,
+snapshot drift before a promotion; composes with the DQ verdicts in
+operators/quality.py):
+
+- **KS statistic** (Kolmogorov–Smirnov): max |F_a(x) − F_b(x)| over
+  the pooled empirical CDFs — distribution-free, sensitive anywhere.
+- **PSI** (population stability index): Σ (p_i − q_i)·ln(p_i/q_i)
+  over quantile bins of the REFERENCE sample — the
+  industry-standard scorecard-monitoring metric (rule of thumb:
+  <0.1 stable, 0.1–0.25 drifting, >0.25 shifted).
+
+Scale shapes: the KS CDFs are running sums over the DISTINCT pooled
+values — computed with the two-phase bucketed prefix sum
+(operators/prefixsum.running_sum_scalable), so no unpartitioned
+window even when the value space is large; everything else is
+grouped counts. PSI is a broadcast of <=n_bins rounded bin edges +
+one conditional-count aggregation per side — map-only over the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from census_data_pipeline_spark.operators.prefixsum import running_sum_scalable
+
+
+def ks_statistic(
+    df_a: DataFrame, df_b: DataFrame, value_col: str
+) -> DataFrame:
+    """One row (ks_stat, n_a, n_b): the exact two-sample KS statistic
+    (supremum of |F_a − F_b| over the pooled distinct values, CDFs
+    right-continuous — ties across samples handled exactly). NULLs are
+    excluded (not comparable on the value axis)."""
+    a = df_a.select(F.col(value_col).cast("double").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    b = df_b.select(F.col(value_col).cast("double").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    counts = (
+        a.groupBy("__v").agg(F.count("*").alias("__ca"))
+        .join(
+            b.groupBy("__v").agg(F.count("*").alias("__cb")),
+            "__v", "full_outer",
+        )
+        .select(
+            "__v",
+            F.coalesce("__ca", F.lit(0)).alias("__ca"),
+            F.coalesce("__cb", F.lit(0)).alias("__cb"),
+        )
+    )
+    cum = running_sum_scalable(
+        running_sum_scalable(counts, "__v", "__ca", output_col="__cuma"),
+        "__v", "__cb", output_col="__cumb",
+    )
+    na = a.count()
+    nb = b.count()
+    return cum.agg(
+        F.round(
+            F.max(F.abs(F.col("__cuma") / F.lit(float(na))
+                        - F.col("__cumb") / F.lit(float(nb)))), 6
+        ).alias("ks_stat"),
+        F.lit(na).alias("n_a"),
+        F.lit(nb).alias("n_b"),
+    )
+
+
+def psi(
+    reference: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    epsilon: float = 1e-4,
+) -> DataFrame:
+    """Population stability index over ``n_bins`` quantile bins of the
+    REFERENCE sample: per-bin rows (bin, p_ref, p_cur, contribution)
+    plus the bin edges implicitly via ordering; sum `contribution` for
+    the headline PSI. Bin edges are the reference's interior quantiles
+    rounded to 6 (cross-engine-stable boundaries); each side's
+    proportions are clamped by ``epsilon`` so empty bins contribute a
+    finite penalty (the standard continuity correction).
+
+    Bin i (1-based) = 1 + number of edges strictly below the value, so
+    values equal to an edge fall in the LOWER bin — deterministic."""
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edges_row = reference.agg(
+        *[
+            F.round(
+                F.percentile(F.col(value_col).cast("double"), F.lit(q)), 6
+            ).alias(f"__e{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+
+    def bin_col(edges):
+        v = F.col(value_col).cast("double")
+        b = F.lit(1)
+        for i in range(len(qs)):
+            b = b + F.when(v > edges[i], 1).otherwise(0)
+        return b
+
+    def proportions(df, name):
+        edges = [F.col(f"__e{i}") for i in range(len(qs))]
+        binned = df.crossJoin(F.broadcast(edges_row)).select(
+            bin_col(edges).alias("bin")
+        )
+        n = df.count()
+        return (
+            binned.groupBy("bin").agg(
+                (F.count("*") / F.lit(float(n))).alias(name)
+            )
+        )
+
+    bins = (
+        proportions(reference, "p_ref")
+        .join(proportions(current, "p_cur"), "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("p_ref", F.lit(0.0)).alias("p_ref"),
+            F.coalesce("p_cur", F.lit(0.0)).alias("p_cur"),
+        )
+    )
+    pr = F.greatest(F.col("p_ref"), F.lit(epsilon))
+    pc = F.greatest(F.col("p_cur"), F.lit(epsilon))
+    return bins.select(
+        "bin",
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("p_cur", 6).alias("p_cur"),
+        F.round((pr - pc) * F.log(pr / pc), 6).alias("contribution"),
+    )

@@ -151,6 +151,95 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 
 @query(
+    "drift_ks_click_vs_error",
+    oracle="""
+    WITH a AS (SELECT value AS v FROM events
+               WHERE event_type = 'click' AND value IS NOT NULL),
+    b AS (SELECT value AS v FROM events
+          WHERE event_type = 'error' AND value IS NOT NULL),
+    ca AS (SELECT v, count(*) AS c FROM a GROUP BY v),
+    cb AS (SELECT v, count(*) AS c FROM b GROUP BY v),
+    m AS (SELECT coalesce(ca.v, cb.v) AS v,
+                 coalesce(ca.c, 0) AS ka, coalesce(cb.c, 0) AS kb
+          FROM ca FULL JOIN cb ON ca.v = cb.v),
+    c AS (SELECT v, sum(ka) OVER (ORDER BY v) AS cuma,
+                 sum(kb) OVER (ORDER BY v) AS cumb
+          FROM m),
+    n AS (SELECT (SELECT count(*) FROM a) AS n_a,
+                 (SELECT count(*) FROM b) AS n_b)
+    SELECT round(max(abs(cuma / n_a - cumb / n_b)), 6) AS ks_stat,
+           n_a, n_b
+    FROM c CROSS JOIN n GROUP BY n_a, n_b
+    """,
+)
+def drift_ks_click_vs_error(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift statistic
+    (operators/drift.ks_statistic): sup |F_click − F_error| over the
+    pooled value CDFs — the distribution-free 'did this slice shift'
+    monitor. The engine computes the pooled CDFs with the two-phase
+    bucketed prefix sum (no unpartitioned window); the oracle uses the
+    plain window form, proving the decomposition exact."""
+    from census_data_pipeline_spark.operators.drift import ks_statistic
+
+    ev = load_table(spark, sf_dir, "events")
+    return ks_statistic(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "error"),
+        "value",
+    )
+
+
+@query(
+    "drift_psi_purchase_value",
+    oracle="""
+    WITH ref AS (SELECT value AS v FROM events
+                 WHERE event_type = 'purchase' AND user_id % 2 = 0),
+    cur AS (SELECT value AS v FROM events
+            WHERE event_type = 'purchase' AND user_id % 2 = 1),
+    ed AS (SELECT list_transform(
+             quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                               0.6, 0.7, 0.8, 0.9]),
+             x -> round(x, 6)) AS e FROM ref),
+    rb AS (SELECT 1 + len(list_filter(ed.e, x -> v > x)) AS bin
+           FROM ref CROSS JOIN ed),
+    cb AS (SELECT 1 + len(list_filter(ed.e, x -> v > x)) AS bin
+           FROM cur CROSS JOIN ed),
+    rp AS (SELECT bin, count(*) * 1.0 / (SELECT count(*) FROM ref)
+                  AS p_ref FROM rb GROUP BY bin),
+    cp AS (SELECT bin, count(*) * 1.0 / (SELECT count(*) FROM cur)
+                  AS p_cur FROM cb GROUP BY bin),
+    j AS (SELECT coalesce(rp.bin, cp.bin) AS bin,
+                 coalesce(p_ref, 0) AS p_ref,
+                 coalesce(p_cur, 0) AS p_cur
+          FROM rp FULL JOIN cp ON rp.bin = cp.bin)
+    SELECT bin, round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+           round((greatest(p_ref, 0.0001) - greatest(p_cur, 0.0001))
+                 * ln(greatest(p_ref, 0.0001)
+                      / greatest(p_cur, 0.0001)), 6) AS contribution
+    FROM j
+    """,
+)
+def drift_psi_purchase_value(spark, sf_dir):
+    """Population stability index (operators/drift.psi): purchase
+    values split by user parity into reference/current, binned by the
+    REFERENCE deciles (edges rounded to 6 so both engines draw the
+    same boundaries), per-bin (p_ref − p_cur)·ln(p_ref/p_cur)
+    contributions with the ε=1e-4 empty-bin clamp — sum for the
+    headline PSI. Broadcast edges + one conditional count per side."""
+    from census_data_pipeline_spark.operators.drift import psi
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return psi(
+        ev.filter(F.col("user_id") % 2 == 0),
+        ev.filter(F.col("user_id") % 2 == 1),
+        "value",
+        n_bins=10,
+    )
+
+
+@query(
     "orders_target_encoding",
     oracle="""
     WITH s AS (SELECT o_custkey, count(o_totalprice) AS n,

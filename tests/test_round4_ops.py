@@ -572,3 +572,39 @@ def test_target_encode_loo_excludes_own_row(spark):
     assert out[1] == 10.0   # excludes its own 0
     assert out[2] == 0.0    # excludes its own 10
     assert out[3] == 5.0    # singleton -> global mean (0+10+5)/3
+
+
+# -- drift detection -----------------------------------------------------
+def test_ks_identical_and_disjoint(spark):
+    from census_data_pipeline_spark.operators.drift import ks_statistic
+
+    a = spark.createDataFrame([(float(i),) for i in range(50)], "v double")
+    b = spark.createDataFrame([(float(i) + 1000,) for i in range(50)],
+                              "v double")
+    same = ks_statistic(a, a, "v").collect()[0]
+    assert same.ks_stat == 0.0
+    far = ks_statistic(a, b, "v").collect()[0]
+    assert far.ks_stat == 1.0  # fully separated distributions
+
+
+def test_ks_matches_scipy_convention_small(spark):
+    from census_data_pipeline_spark.operators.drift import ks_statistic
+
+    # hand-computed: a={1,2,3}, b={2,4}: sup|Fa-Fb| at x=3: |1 - 0.5|=0.5
+    a = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "v double")
+    b = spark.createDataFrame([(2.0,), (4.0,)], "v double")
+    assert ks_statistic(a, b, "v").collect()[0].ks_stat == 0.5
+
+
+def test_psi_stable_vs_shifted(spark):
+    from pyspark.sql import functions as SF
+
+    from census_data_pipeline_spark.operators.drift import psi
+
+    ref = spark.createDataFrame([(float(i % 100),) for i in range(1000)],
+                                "v double")
+    shifted = ref.select((SF.col("v") + 50.0).alias("v"))
+    stable = psi(ref, ref, "v").agg(SF.sum("contribution")).first()[0]
+    moved = psi(ref, shifted, "v").agg(SF.sum("contribution")).first()[0]
+    assert abs(stable) < 1e-9          # identical data -> PSI ~ 0
+    assert moved > 0.25                # half the mass left its bins
