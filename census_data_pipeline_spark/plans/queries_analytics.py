@@ -150,6 +150,55 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+def _bloom_prune_oracle() -> str:
+    from census_data_pipeline_spark.operators.bloom import bloom_sql_condition
+
+    words_cte, checks = bloom_sql_condition(
+        "l_orderkey",
+        "SELECT o_orderkey AS key FROM orders WHERE o_totalprice > 450000",
+        expected_items=1493,
+        fpp=0.01,
+    )
+    return f"""
+    WITH {words_cte},
+    surv AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE {checks})
+    SELECT l_orderkey,
+           l_orderkey IN (SELECT o_orderkey FROM orders
+                          WHERE o_totalprice > 450000) AS is_true_match
+    FROM surv
+    """
+
+
+@query("bloom_join_prune", oracle=_bloom_prune_oracle())
+def bloom_join_prune(spark, sf_dir):
+    """Bloom-filter semi-join pruning (operators/bloom.bloom_prefilter):
+    lineitem pre-filtered by a 16 Kbit / 8-hash bloom of the high-value
+    orders' keys — the runtime-filter middle regime (build side too big
+    to broadcast raw at scale, selectivity ~10%). Output = the DISTINCT
+    surviving keys with their true-match flag, so the oracle verifies
+    EXACT bloom membership — false positives included — via the
+    identical md5-prefix bit positions (bloom_sql_condition), plus the
+    no-false-negative guarantee (every true match must appear with
+    is_true_match = true)."""
+    from census_data_pipeline_spark.operators.bloom import bloom_prefilter
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 450000
+    )
+    surv = bloom_prefilter(
+        li, o, "l_orderkey", "o_orderkey", expected_items=1493, fpp=0.01
+    ).select("l_orderkey").distinct()
+    return surv.join(
+        o.select(F.col("o_orderkey").alias("l_orderkey"))
+        .withColumn("__t", F.lit(True)),
+        "l_orderkey", "left",
+    ).select(
+        "l_orderkey",
+        F.coalesce("__t", F.lit(False)).alias("is_true_match"),
+    )
+
+
 @query(
     "drift_ks_click_vs_error",
     oracle="""

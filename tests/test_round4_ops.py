@@ -608,3 +608,41 @@ def test_psi_stable_vs_shifted(spark):
     moved = psi(ref, shifted, "v").agg(SF.sum("contribution")).first()[0]
     assert abs(stable) < 1e-9          # identical data -> PSI ~ 0
     assert moved > 0.25                # half the mass left its bins
+
+
+# -- bloom-filter join pruning -------------------------------------------
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    import random
+
+    from census_data_pipeline_spark.operators.bloom import (
+        bloom_prefilter,
+        optimal_params,
+    )
+
+    rng = random.Random(3)
+    build_keys = sorted(rng.sample(range(100_000), 300))
+    probe_keys = list(range(3000))
+    build = spark.createDataFrame([(k,) for k in build_keys], "k long")
+    probe = spark.createDataFrame([(k,) for k in probe_keys], "k long")
+    out = {r.k for r in bloom_prefilter(
+        probe, build, "k", "k", expected_items=300, fpp=0.01).collect()}
+    true_matches = set(build_keys) & set(probe_keys)
+    assert true_matches <= out          # never loses a real match
+    fp = len(out - true_matches)
+    non_matches = len(probe_keys) - len(true_matches)
+    assert fp / non_matches < 0.05      # ~1% expected; 5x slack
+    m, k = optimal_params(300, 0.01)
+    assert m >= 2048 and 1 <= k <= 16
+
+
+def test_bloom_string_keys(spark):
+    from census_data_pipeline_spark.operators.bloom import bloom_prefilter
+
+    build = spark.createDataFrame([("alpha",), ("beta",)], "s string")
+    probe = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",), ("delta",)], "s string"
+    )
+    out = {r.s for r in bloom_prefilter(
+        probe, build, "s", "s", expected_items=2, fpp=0.001).collect()}
+    assert {"alpha", "beta"} <= out
+    assert len(out) <= 3  # tiny filter, at most one lucky collision
