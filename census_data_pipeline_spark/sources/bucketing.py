@@ -93,3 +93,59 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Catalog read that preserves bucket metadata (spark.table, not
     spark.read.parquet on the files — the latter loses bucketing)."""
     return spark.table(table)
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_col: str | None = None,
+) -> dict:
+    """Small-file compaction — the lake-maintenance job every streaming
+    or incremental writer eventually needs: thousands of KB-sized
+    parquet files (one per micro-batch/task) cost a listing + footer +
+    task-schedule overhead per file at read time; compaction rewrites
+    the SAME rows into ~``target_file_bytes`` files.
+
+    File count is sized from the CURRENT on-disk bytes (a cheap driver
+    listing, no data read); the rewrite is ``repartition(n)`` — or
+    ``repartitionByRange(n, sort_col)`` + a per-partition sort when a
+    clustering column is given, so compaction doubles as re-sorting and
+    parquet min/max stats stay selective. The rewrite goes to a temp
+    directory first and swaps in atomically-enough for a lake without a
+    table format (Delta/Iceberg replace this dance with a metadata
+    commit; the operator keeps the same surface so the swap is a
+    one-line change there).
+
+    Returns {files_before, files_after, bytes}."""
+    import glob as _glob
+    import os
+    import shutil
+
+    files = [
+        f for f in _glob.glob(os.path.join(path, "**", "*.parquet"),
+                              recursive=True)
+        if os.path.isfile(f)
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_file_bytes))  # ceil div
+    df = spark.read.parquet(path)
+    if sort_col is not None:
+        out = df.repartitionByRange(n_out, F.col(sort_col)).sortWithinPartitions(
+            sort_col
+        )
+    else:
+        out = df.repartition(n_out)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = len([
+        f for f in _glob.glob(os.path.join(path, "**", "*.parquet"),
+                              recursive=True)
+        if os.path.isfile(f)
+    ])
+    return {"files_before": len(files), "files_after": after,
+            "bytes": total}

@@ -91,3 +91,49 @@ def test_write_zordered_clusters_files_and_preserves_rows(spark, tmp_path):
     spans = sorted((r.lo, r.hi) for r in per_file)
     for (lo1, hi1), (lo2, _) in itertools.pairwise(spans):
         assert hi1 <= lo2, "file z-ranges overlap — clustering broken"
+
+
+def test_compact_files_preserves_rows_and_reduces_files(spark, tmp_path):
+    from census_data_pipeline_spark.sources.bucketing import compact_files
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).selectExpr("id", "id % 7 AS g")
+    # fragment: 64 tiny files
+    df.repartition(64).write.parquet(path)
+    import glob
+
+    before = len(glob.glob(path + "/*.parquet"))
+    assert before >= 32
+    stats = compact_files(spark, path, target_file_bytes=1 << 30)
+    assert stats["files_before"] == before
+    assert stats["files_after"] == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg({"id": "sum"}).first()[0] == 10_000 * 9_999 // 2
+
+
+def test_compact_files_with_sort_clusters_ranges(spark, tmp_path):
+    from census_data_pipeline_spark.sources.bucketing import compact_files
+
+    path = str(tmp_path / "frag2")
+    spark.range(50_000).selectExpr("id").repartition(40).write.parquet(path)
+    # force >1 output file, clustered by id
+    total = sum(
+        __import__("os").path.getsize(f)
+        for f in __import__("glob").glob(path + "/*.parquet")
+    )
+    stats = compact_files(spark, path, target_file_bytes=total // 3,
+                          sort_col="id")
+    assert stats["files_after"] >= 2
+    # range clustering: per-file min/max spans must not overlap
+    import glob
+
+    spans = []
+    for f in sorted(glob.glob(path + "/*.parquet")):
+        mm = spark.read.parquet(f).agg(
+            {"id": "min"}
+        ).first()[0], spark.read.parquet(f).agg({"id": "max"}).first()[0]
+        spans.append(mm)
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2  # contiguous, non-overlapping ranges
