@@ -295,3 +295,53 @@ def target_encode(
     return out.withColumn(output_col, F.round(enc, 6)).drop(
         "__n", "__s", "__gm"
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES, Inf. Process. Lett. 2006): each row draws
+    a uniform u from its key's md5 (seeded, engine-portable), scores
+    ln(u)/w, and the k LARGEST scores win — inclusion probability
+    proportional to weight, exactly one pass, no rejection loop.
+
+    The uniform is (hex32 + 0.5) / 2^32 from the first 8 md5 hex chars —
+    strictly inside (0,1) so ln never sees 0, and bit-identical in any
+    engine that has md5 (DuckDB parses the same hex via '0x'::BIGINT).
+    Rows with NULL or non-positive weights are excluded (zero-weight
+    items must never win; A-ES assumes w > 0).
+
+    Scale: a narrow per-row score (fused into the scan) + ONE global
+    top-k — which Catalyst compiles to TakeOrderedAndProject (per-
+    partition heaps of k, driver merges k rows), the same no-sort shape
+    as every top-k in this engine. Returns the winners with their
+    ``__score`` dropped; deterministic for a given (seed, data)."""
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(
+                        ":", F.lit(str(seed)), F.col(key_col).cast("string")
+                    )),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("double")
+            + F.lit(0.5)
+        )
+        / F.lit(float(1 << 32))
+    )
+    w = F.col(weight_col).cast("double")
+    scored = df.filter(w.isNotNull() & (w > 0)).withColumn(
+        "__score", F.log(u) / w
+    )
+    return (
+        scored.orderBy(F.col("__score").desc(), F.col(key_col))
+        .limit(k)
+        .drop("__score")
+    )

@@ -150,6 +150,36 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+@query(
+    "sample_weighted_docs",
+    oracle="""
+    WITH s AS (SELECT doc_id, source, n_chars,
+                      ln((('0x' || substr(md5('0' || ':'
+                            || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                          + 0.5) / 4294967296.0)
+                      / CAST(n_chars AS DOUBLE) AS score
+               FROM documents
+               WHERE n_chars IS NOT NULL AND n_chars > 0)
+    SELECT doc_id, source, n_chars
+    FROM s ORDER BY score DESC, doc_id LIMIT 50
+    """,
+)
+def sample_weighted_docs(spark, sf_dir):
+    """Weighted sampling without replacement (functions/sampling
+    .weighted_sample; Efraimidis–Spirakis): 50 documents drawn with
+    probability proportional to length — the size-biased sample a
+    token-budgeted inspection or eval draw needs. The md5-derived
+    uniform makes the draw bit-identical in SQL, so the oracle
+    reproduces the exact winner set; the engine's top-k compiles to
+    TakeOrderedAndProject (no global sort)."""
+    from census_data_pipeline_spark.functions.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return weighted_sample(docs, "doc_id", "n_chars", k=50, seed=0)
+
+
 def _bloom_prune_oracle() -> str:
     from census_data_pipeline_spark.operators.bloom import bloom_sql_condition
 

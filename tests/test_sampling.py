@@ -155,3 +155,41 @@ def test_upsample_by_weight_replicates_exactly(spark):
     assert counts[2] == [0]
     with pytest.raises(ValueError):
         sampling.upsample_by_weight(df, "lang", {"rare": 0})
+
+
+def test_weighted_sample_proportional_to_weight(spark):
+    """Statistical property over many disjoint seeds: an item with 9x
+    the weight appears ~9x as often among winners."""
+    from census_data_pipeline_spark.functions.sampling import weighted_sample
+
+    rows = [(1, 9.0), (2, 1.0), (3, 1.0), (4, 1.0), (5, 1.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    wins = {i: 0 for i, _ in rows}
+    for seed in range(120):
+        (winner,) = weighted_sample(df, "id", "w", k=1, seed=seed).collect()
+        wins[winner.id] += 1
+    p_heavy = wins[1] / 120
+    assert 0.55 < p_heavy < 0.85   # expected 9/13 ~ 0.69
+    assert all(v > 0 for v in wins.values())  # everyone can win
+
+
+def test_weighted_sample_deterministic_and_excludes_nonpositive(spark):
+    from census_data_pipeline_spark.functions.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)],
+        "id long, w double",
+    )
+    a = sorted(r.id for r in weighted_sample(df, "id", "w", 10, seed=7).collect())
+    b = sorted(r.id for r in weighted_sample(df, "id", "w", 10, seed=7).collect())
+    assert a == b == [1, 5]  # zero/negative/null weights never win
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    from census_data_pipeline_spark.functions.sampling import weighted_sample
+
+    df = spark.createDataFrame([(i, 1.0) for i in range(100)],
+                               "id long, w double")
+    plan = weighted_sample(df, "id", "w", 5)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
