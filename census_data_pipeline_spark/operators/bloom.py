@@ -19,8 +19,11 @@ Construction (k hashes over m = 2^b bits):
           (63 bits per long: DuckDB overflow-checks 1<<63, and Spark's
           arithmetic shiftright of a sign-bit word needs masking — 63
           dodges both portably)
-          -> one MAP row (map_from_entries) broadcast to the probe
-  probe:  map-only — k element_at lookups + bit tests per row, no
+          -> ONE DENSE ARRAY row broadcast to the probe. Dense array,
+          not a map: Spark's MapType element_at is a LINEAR SCAN of the
+          entries, so k lookups x m/63 entries x rows went quadratic
+          (measured 86 s on 600k rows); ArrayType element_at is O(1).
+  probe:  map-only — k O(1) array lookups + bit tests per row, no
           shuffle, fused into the scan.
 
 At 100 TB this targets the middle regime a broadcast-hash join can't:
@@ -59,9 +62,10 @@ def optimal_params(expected_items: int, fpp: float) -> tuple[int, int]:
 def build_bloom(
     df: DataFrame, key: str, expected_items: int, fpp: float = 0.01
 ) -> DataFrame:
-    """1-row bloom filter of ``key``: (``__bm`` map<long,long> of set
-    bitset words, ``__m`` bits, ``__k`` hashes)."""
+    """1-row bloom filter of ``key``: (``__ba`` dense array<long> of
+    ceil(m/63) bitset words, ``__m`` bits, ``__k`` hashes)."""
     m, k = optimal_params(expected_items, fpp)
+    n_words = -(-m // 63)
     pos_arr = "array(" + ", ".join(
         _pos_expr(i, key, m) for i in range(k)
     ) + ")"
@@ -76,10 +80,17 @@ def build_bloom(
         .groupBy("__word")
         .agg(F.bit_or("__one").alias("__bits"))
     )
+    # densify the sparse (word, bits) pairs into an O(1)-indexable
+    # array: runs ONCE on a single row (n_words x set-words fold)
     return words.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("__word", "__bits"))
-        ).alias("__bm"),
+        F.collect_list(F.struct("__word", "__bits")).alias("__pairs")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {n_words - 1}), w -> "
+            f"coalesce(aggregate(filter(__pairs, p -> p.__word = w), "
+            f"CAST(0 AS BIGINT), (acc, p) -> acc | p.__bits), "
+            f"CAST(0 AS BIGINT)))"
+        ).alias("__ba"),
         F.lit(m).alias("__m"),
         F.lit(k).alias("__k"),
     )
@@ -100,18 +111,21 @@ def bloom_prefilter(
     broadcasts; k map lookups per row, no shuffle)."""
     m, k = optimal_params(expected_items, fpp)
     bf = build_bloom(build, build_key, expected_items, fpp)
+    # Inline position expressions, NOT a materialized position array:
+    # AND short-circuits, so a non-matching row usually stops after its
+    # first unset bit (~2 md5s); the hoisted-array form always computes
+    # all k positions and measured ~35% slower end-to-end.
     # & 1, not % 2: shiftright is ARITHMETIC, and a negative long
     # (bit 63 set) modulo 2 is -1 in Spark's sign convention
     checks = [
-        f"(shiftright(coalesce(element_at(__bm, "
-        f"CAST({_pos_expr(i, probe_key, m)} DIV 63 AS BIGINT)), "
-        f"CAST(0 AS BIGINT)), "
+        f"(shiftright(element_at(__ba, "
+        f"CAST({_pos_expr(i, probe_key, m)} DIV 63 AS INT) + 1), "
         f"CAST({_pos_expr(i, probe_key, m)} % 63 AS INT)) & 1) = 1"
         for i in range(k)
     ]
     cond = F.expr(" AND ".join(checks))
     return probe.crossJoin(F.broadcast(bf)).filter(cond).drop(
-        "__bm", "__m", "__k"
+        "__ba", "__m", "__k"
     )
 
 

@@ -186,7 +186,7 @@ def _bloom_prune_oracle() -> str:
     words_cte, checks = bloom_sql_condition(
         "l_orderkey",
         "SELECT o_orderkey AS key FROM orders WHERE o_totalprice > 450000",
-        expected_items=1493,
+        expected_items=15000,
         fpp=0.01,
     )
     return f"""
@@ -202,9 +202,13 @@ def _bloom_prune_oracle() -> str:
 @query("bloom_join_prune", oracle=_bloom_prune_oracle())
 def bloom_join_prune(spark, sf_dir):
     """Bloom-filter semi-join pruning (operators/bloom.bloom_prefilter):
-    lineitem pre-filtered by a 16 Kbit / 8-hash bloom of the high-value
+    lineitem pre-filtered by a 256 Kbit / 12-hash bloom of the high-value
     orders' keys — the runtime-filter middle regime (build side too big
-    to broadcast raw at scale, selectivity ~10%). Output = the DISTINCT
+    to broadcast raw at scale, selectivity ~10%). (m, k) are FIXED from
+    the sf0.1 build cardinality so the oracle is exact at every scale
+    factor; smaller factors just enjoy a lower fpp — sizing for the
+    LARGEST expected build side is exactly how a production runtime
+    filter is provisioned. Output = the DISTINCT
     surviving keys with their true-match flag, so the oracle verifies
     EXACT bloom membership — false positives included — via the
     identical md5-prefix bit positions (bloom_sql_condition), plus the
@@ -217,7 +221,7 @@ def bloom_join_prune(spark, sf_dir):
         F.col("o_totalprice") > 450000
     )
     surv = bloom_prefilter(
-        li, o, "l_orderkey", "o_orderkey", expected_items=1493, fpp=0.01
+        li, o, "l_orderkey", "o_orderkey", expected_items=15000, fpp=0.01
     ).select("l_orderkey").distinct()
     return surv.join(
         o.select(F.col("o_orderkey").alias("l_orderkey"))
