@@ -30,3 +30,10 @@ def test_llm_corpus_pipeline_runs(spark):
 
     n_final = llm_corpus_pipeline.main("/root/testdata/sf0.001")
     assert n_final > 0
+
+
+def test_events_analytics_runs(spark):
+    from examples import events_analytics
+
+    n_bought = events_analytics.main("/root/testdata/sf0.001")
+    assert n_bought >= 0
