@@ -646,3 +646,80 @@ def test_bloom_string_keys(spark):
         probe, build, "s", "s", expected_items=2, fpp=0.001).collect()}
     assert {"alpha", "beta"} <= out
     assert len(out) <= 3  # tiny filter, at most one lucky collision
+
+
+# -- algebraic invariants -------------------------------------------------
+def test_winsorize_wider_bounds_clamp_fewer(spark):
+    """Monotonicity: widening [lower, upper] can only reduce the number
+    of clamped rows, and every clamped value moves INWARD. (True
+    idempotence does NOT hold: interpolated percentiles of the clamped
+    data shift off the tie mass at the bounds — don't assert it.)"""
+    import random
+
+    from census_data_pipeline_spark.operators.outliers import winsorize
+
+    rng = random.Random(5)
+    df = spark.createDataFrame(
+        [(i, rng.gauss(0, 100)) for i in range(500)], "id long, v double"
+    )
+    narrow = winsorize(df, "v", lower=0.2, upper=0.8)
+    wide = winsorize(df, "v", lower=0.02, upper=0.98)
+    n_narrow = narrow.filter("v <> winsorized").count()
+    n_wide = wide.filter("v <> winsorized").count()
+    assert n_wide < n_narrow
+    moved = narrow.filter("v <> winsorized")
+    assert moved.filter(
+        "abs(winsorized) > abs(v) + 1e-9"
+    ).count() == 0  # clamping never moves a value outward
+
+
+def test_snapshot_diff_self_is_all_unchanged_and_symmetry(spark):
+    from census_data_pipeline_spark.operators.change import snapshot_diff
+
+    df = spark.createDataFrame(
+        [(i, float(i % 13), str(i % 7)) for i in range(300)],
+        "k long, v double, s string",
+    )
+    self_diff = snapshot_diff(df, df, ["k"])
+    assert self_diff.filter("change_type <> 'unchanged'").count() == 0
+    other = df.filter("k % 3 <> 0")
+    ab = {r.k: r.change_type
+          for r in snapshot_diff(df, other, ["k"]).collect()}
+    ba = {r.k: r.change_type
+          for r in snapshot_diff(other, df, ["k"]).collect()}
+    # removed in one direction <=> added in the other
+    assert {k for k, t in ab.items() if t == "removed"} == \
+           {k for k, t in ba.items() if t == "added"}
+
+
+def test_ks_symmetric(spark):
+    import random
+
+    from census_data_pipeline_spark.operators.drift import ks_statistic
+
+    rng = random.Random(9)
+    a = spark.createDataFrame([(rng.uniform(0, 10),) for _ in range(300)],
+                              "v double")
+    b = spark.createDataFrame([(rng.uniform(2, 12),) for _ in range(200)],
+                              "v double")
+    ab = ks_statistic(a, b, "v").first().ks_stat
+    ba = ks_statistic(b, a, "v").first().ks_stat
+    assert ab == ba and 0 < ab < 1
+
+
+def test_semantic_dedup_threshold_monotone(spark):
+    """Raising the threshold can only ADD survivors (fewer pairs)."""
+    import random
+
+    from census_data_pipeline_spark.functions.similarity import semantic_dedup
+
+    rng = random.Random(4)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept_lo = {r.id for r in
+               semantic_dedup(df, threshold=0.5, n_centroids=4).collect()
+               if r.kept}
+    kept_hi = {r.id for r in
+               semantic_dedup(df, threshold=0.9, n_centroids=4).collect()
+               if r.kept}
+    assert kept_lo <= kept_hi
