@@ -87,6 +87,11 @@ def decode_image(payload: bytes) -> object:
     - **JPEG**: baseline sequential (SOF0, 8-bit, huffman), gray or
       YCbCr at any sampling factors (4:4:4/4:2:2/4:2:0), byte stuffing,
       DRI restart markers; JFIF YCbCr->RGB.
+    - **GIF**: 87a/89a first frame — variable-width LSB-first LZW,
+      global/local palettes, interlaced or linear row order; extensions
+      (GCE transparency, comments) skipped, output opaque RGB.
+      Animation frames beyond the first are the frame-sampling tier's
+      job (decode_video_frames).
 
     Anything else (progressive JPEG, sub-8-bit Adam7, ...) raises
     NotImplementedError — that gate is the documented container limit,
@@ -98,10 +103,13 @@ def decode_image(payload: bytes) -> object:
         return _decode_bmp(payload)
     if payload[:2] == b"\xff\xd8":
         return _decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     raise NotImplementedError(
-        "only BMP (24/32-bit BI_RGB), PNG (8-bit, linear or Adam7) and "
-        "baseline JPEG have stdlib decoders; other formats need an "
-        "imaging library (PIL/opencv) not available in this container"
+        "only BMP (24/32-bit BI_RGB), PNG (8-bit, linear or Adam7), "
+        "baseline JPEG and GIF (LZW, first frame) have stdlib decoders; "
+        "other formats need an imaging library (PIL/opencv) not "
+        "available in this container"
     )
 
 
@@ -565,6 +573,131 @@ def _jpeg_scan(payload, start, frame, scan_sel, qt, huff, restart_interval):
     b = y + 1.772 * cb
     out = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list:
+    """GIF-variant LZW: variable-width codes packed LSB-FIRST (unlike
+    PNG/JPEG bitstreams), clear/end codes at 2^mcs and 2^mcs+1, code
+    width grows when the dictionary fills 2^width (cap 12 bits)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    def reset():
+        return {i: (i,) for i in range(clear)}, min_code_size + 1
+
+    table, width = reset()
+    next_code = end + 1
+    out: list = []
+    acc = 0
+    nbits = 0
+    prev: tuple | None = None
+    pos = 0
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table, width = reset()
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code not in table:
+                raise ValueError("invalid GIF LZW first code")
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+        elif code == next_code:
+            entry = prev + (prev[0],)
+            table[next_code] = entry
+            next_code += 1
+        else:
+            raise ValueError("invalid GIF LZW code")
+        out.extend(entry)
+        prev = entry
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+    return out[:n_pixels]
+
+
+# GIF interlace passes: (first row, row step), in order
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif(payload: bytes) -> object:
+    """First frame of a GIF87a/89a to an HWC uint8 RGB array."""
+    import struct as _struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed = _struct.unpack_from("<HHB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(-1, 3)
+        pos += 3 * n
+    if not (0 < sw <= 8192 and 0 < sh <= 8192):
+        raise ValueError(f"GIF dimensions out of supported bounds ({sw}x{sh})")
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            break
+        if block == 0x21:  # extension: label + sub-blocks, skipped
+            pos += 1
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, w, h, ipacked = _struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(-1, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image has no color table")
+        mcs = payload[pos]
+        pos += 1
+        if not 2 <= mcs <= 11:
+            raise ValueError(f"bad GIF LZW min code size {mcs}")
+        chunks = []
+        while payload[pos] != 0:
+            ln = payload[pos]
+            chunks.append(payload[pos + 1:pos + 1 + ln])
+            pos += 1 + ln
+        idx = _gif_lzw_decode(b"".join(chunks), mcs, w * h)
+        if len(idx) < w * h:
+            raise ValueError("GIF pixel data short")
+        flat = np.array(idx, dtype=np.int64).reshape(h, w)
+        if flat.max() >= len(pal):
+            raise ValueError("GIF index out of palette range")
+        if ipacked & 0x40:  # interlaced: reorder rows into place
+            ordered = np.empty_like(flat)
+            src = 0
+            for first, step in _GIF_INTERLACE:
+                for row in range(first, h, step):
+                    ordered[row] = flat[src]
+                    src += 1
+            flat = ordered
+        return np.ascontiguousarray(pal[flat])
+    raise ValueError("GIF has no image descriptor")
 
 
 def decode_wav(payload: bytes) -> tuple[object, int]:

@@ -386,9 +386,13 @@ def test_binary_payload_and_fake_features(spark):
 def test_decode_image_gate_for_unknown_formats():
     # unknown magic stays behind the NotImplementedError gate
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"GIF87a not actually supported")
+        multimodal.decode_image(b"RIFFnot an image payload")
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")  # truncated signature
+    # r4: GIF magic now dispatches to the real decoder — junk after the
+    # signature fails the dimension bounds check
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"GIF87a junk that is not a gif")
     # r4: JPEG magic now dispatches to the real decoder — truncated junk
     # is a ValueError (total-operator fake path), not a crash
     with pytest.raises(ValueError):
@@ -1540,3 +1544,111 @@ def test_unigram_logprob_ranks_unusual_text_lower(spark):
         assert abs(r.ppl_proxy - round(math.exp(-r.avg_logprob), 4)) < 1e-9
     # doc of only the most common token: p("a") = 9/12
     assert abs(out[1].avg_logprob - round(math.log(9 / 12), 6)) < 1e-9
+
+
+# -- GIF decode (r4) ------------------------------------------------------
+def _encode_gif(width, height, palette, indices, interlaced=False):
+    """Minimal valid GIF89a writer for test fixtures: 'uncompressed'
+    LZW (root codes only, clear emitted before the dictionary would
+    force a width bump), LSB-first packing per the spec."""
+    import struct
+
+    n_pal = max(2, 1 << (max(palette.keys()) + 1).bit_length()) \
+        if isinstance(palette, dict) else len(palette)
+    # round palette size to a power of two >= 2
+    size = 2
+    while size < n_pal:
+        size *= 2
+    pal_bytes = bytearray()
+    pal = palette if isinstance(palette, list) else []
+    for i in range(size):
+        rgb = pal[i] if i < len(pal) else (0, 0, 0)
+        pal_bytes += bytes(rgb)
+    gct_bits = size.bit_length() - 2  # 2^(n+1) = size
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | gct_bits, 0, 0)
+    out += pal_bytes
+    ipacked = 0x40 if interlaced else 0
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, ipacked)
+    mcs = max(2, (size - 1).bit_length())
+    out += bytes([mcs])
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width_bits = mcs + 1
+    codes = []
+    budget = (1 << width_bits) - end - 2  # emits before width would grow
+    pending = 0
+    codes.append(clear)
+    rows = list(range(height))
+    if interlaced:
+        rows = ([r for r in range(0, height, 8)]
+                + [r for r in range(4, height, 8)]
+                + [r for r in range(2, height, 4)]
+                + [r for r in range(1, height, 2)])
+    for r in rows:
+        for c in range(width):
+            if pending >= budget:
+                codes.append(clear)
+                pending = 0
+            codes.append(indices[r][c])
+            pending += 1
+    codes.append(end)
+    acc = nbits = 0
+    data = bytearray()
+    for code in codes:
+        acc |= code << nbits
+        nbits += width_bits
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_decode_gif_golden():
+    import numpy as np
+
+    from census_data_pipeline_spark.functions.multimodal import decode_image
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    idx = [[0, 1, 2, 3],
+           [3, 2, 1, 0],
+           [1, 1, 2, 2],
+           [0, 3, 0, 3]]
+    px = decode_image(_encode_gif(4, 4, pal, idx))
+    assert px.shape == (4, 4, 3)
+    expected = np.array([[pal[i] for i in row] for row in idx], np.uint8)
+    assert (px == expected).all()
+
+
+def test_decode_gif_interlaced_matches_linear():
+    from census_data_pipeline_spark.functions.multimodal import decode_image
+
+    pal = [(i, 2 * i, 3 * i) for i in range(8)]
+    idx = [[(r * 7 + c) % 8 for c in range(5)] for r in range(9)]
+    lin = decode_image(_encode_gif(5, 9, pal, idx, interlaced=False))
+    ila = decode_image(_encode_gif(5, 9, pal, idx, interlaced=True))
+    assert (lin == ila).all()
+
+
+def test_decode_gif_failure_modes():
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from census_data_pipeline_spark.functions.multimodal import decode_image
+
+    pal = [(1, 2, 3), (4, 5, 6)]
+    good = _encode_gif(3, 3, pal, [[0, 1, 0]] * 3)
+    # truncated payloads raise ValueError or struct.error — both are in
+    # the except tuple the total-operator callers (resize_one) catch
+    with _pytest.raises((ValueError, _struct.error, IndexError)):
+        decode_image(good[:20])
+    with _pytest.raises(ValueError):
+        # trailer immediately after screen descriptor: no image at all
+        decode_image(good[:13 + 6] + b"\x3b")
