@@ -128,6 +128,7 @@ HEADLINE_NEW: list[str] = [
     "drift_psi_purchase_value",
     "bloom_join_prune",
     "sample_weighted_docs",
+    "scd2_snapshot_at",
     # streaming_interval_join is excluded like the other REAL-streaming
     # queries (streaming_tumbling_1h, streaming_enriched_rollup): their
     # cost is state-store + micro-batch machinery, not engine operators

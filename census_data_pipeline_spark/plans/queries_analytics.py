@@ -2505,6 +2505,48 @@ def scd2_user_status(spark, sf_dir):
 
 
 @query(
+    "scd2_snapshot_at",
+    oracle="""
+    WITH c AS (SELECT user_id, ts, event_id, event_type,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+               FROM events),
+    chg AS (SELECT user_id, ts, event_id, event_type FROM c
+            WHERE prev IS NULL OR event_type IS DISTINCT FROM prev),
+    iv AS (SELECT user_id, event_type, ts AS valid_from,
+                  lead(ts) OVER w AS valid_to,
+                  CAST(row_number() OVER w AS BIGINT) AS version
+           FROM chg
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, event_type, version
+    FROM iv
+    WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+    """,
+)
+def scd2_snapshot_at(spark, sf_dir):
+    """Point-in-time snapshot reconstruction — the time-travel READ the
+    SCD2 history exists for: each user's status AS OF 2024-01-15,
+    recovered by filtering the validity intervals to the ones covering
+    the timestamp (valid_from <= t < valid_to, open current rows
+    included). Composes operators/change.scd2_intervals with a narrow
+    interval filter; with interval tables partitioned by valid_from
+    range, the filter prunes at the scan. Users whose history starts
+    after t are absent — they did not exist yet."""
+    from census_data_pipeline_spark.operators import change
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = change.scd2_intervals(
+        ev, "user_id", "ts", ["event_type"], tiebreak=["event_id"]
+    )
+    t = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    return iv.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("user_id", "event_type", "version")
+
+
+@query(
     "cdc_apply_changes",
     oracle="""
     WITH ch AS (SELECT o_custkey AS c_custkey, count(*) AS n,
