@@ -129,6 +129,8 @@ HEADLINE_NEW: list[str] = [
     "bloom_join_prune",
     "sample_weighted_docs",
     "scd2_snapshot_at",
+    "events_gaps",
+    "customer_rfm",
     # streaming_interval_join is excluded like the other REAL-streaming
     # queries (streaming_tumbling_1h, streaming_enriched_rollup): their
     # cost is state-store + micro-batch machinery, not engine operators

@@ -2505,6 +2505,109 @@ def scd2_user_status(spark, sf_dir):
 
 
 @query(
+    "events_gaps",
+    oracle="""
+    WITH s AS (SELECT user_id, ts, event_id,
+                      lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS nxt
+               FROM events)
+    SELECT user_id,
+           epoch_us(ts) AS gap_start_us,
+           epoch_us(nxt) AS gap_end_us,
+           (epoch_us(nxt) - epoch_us(ts)) / 1000000 AS gap_seconds
+    FROM s
+    WHERE nxt IS NOT NULL
+      AND epoch_us(nxt) - epoch_us(ts) > 86400000000::BIGINT
+    """,
+)
+def events_gaps(spark, sf_dir):
+    """Gap detection (the islands-and-gaps complement of
+    sessionization): per-user silences longer than 24 h — the feed-
+    health / churn-signal query, and the scan `interpolate_linear`
+    fills afterwards. One partitioned lead window with deterministic
+    (ts, id) order; day-partitioned lakes prune the scan to the
+    monitored range."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("gap_start_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("gap_end_us"),
+    )
+    return s.filter(
+        F.col("gap_end_us").isNotNull()
+        & (F.col("gap_end_us") - F.col("gap_start_us")
+           > 86400 * 1_000_000)
+    ).select(
+        "user_id", "gap_start_us", "gap_end_us",
+        ((F.col("gap_end_us") - F.col("gap_start_us")) / 1_000_000)
+        .alias("gap_seconds"),
+    )
+
+
+@query(
+    "customer_rfm",
+    oracle="""
+    WITH base AS (SELECT o_custkey,
+                         max(o_orderdate) AS last_order,
+                         count(*) AS frequency,
+                         round(sum(o_totalprice), 2) AS monetary
+                  FROM orders GROUP BY o_custkey),
+    b AS (SELECT round(quantile_cont(frequency * 1.0, 0.5), 6) AS f_med,
+                 round(quantile_cont(monetary, 0.5), 6) AS m_med,
+                 round(quantile_cont(epoch_us(last_order) * 1.0, 0.5), 6)
+                   AS r_med
+          FROM base)
+    SELECT o_custkey AS c_custkey,
+           epoch_us(last_order) AS last_order_us, frequency, monetary,
+           (CASE WHEN epoch_us(last_order) * 1.0 > r_med
+                 THEN 'R+' ELSE 'R-' END ||
+            CASE WHEN frequency * 1.0 > f_med THEN 'F+' ELSE 'F-' END ||
+            CASE WHEN monetary > m_med THEN 'M+' ELSE 'M-' END)
+             AS rfm_segment
+    FROM base CROSS JOIN b
+    """,
+)
+def customer_rfm(spark, sf_dir):
+    """RFM customer segmentation — recency (last order), frequency
+    (order count), monetary (lifetime spend), each split at its exact
+    median (bounds rounded to 6, the winsorize parity discipline) into
+    an 8-cell segment code. One grouped agg + a 1-row broadcast bounds
+    frame + a map-only labeler — no ntile window over the customer
+    table (the textbook form serializes on an unpartitioned sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        # parquet reads the date as TIMESTAMP_NTZ; unix_micros wants
+        # TIMESTAMP (UTC session conf pins the cast)
+        F.unix_micros(F.max(F.col("o_orderdate").cast("timestamp")))
+        .alias("last_order_us"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    b = base.agg(
+        F.round(F.percentile(F.col("frequency").cast("double"),
+                             F.lit(0.5)), 6).alias("__fm"),
+        F.round(F.percentile("monetary", F.lit(0.5)), 6).alias("__mm"),
+        F.round(F.percentile(F.col("last_order_us").cast("double"),
+                             F.lit(0.5)), 6).alias("__rm"),
+    )
+    seg = F.concat(
+        F.when(F.col("last_order_us").cast("double") > F.col("__rm"),
+               F.lit("R+")).otherwise(F.lit("R-")),
+        F.when(F.col("frequency").cast("double") > F.col("__fm"),
+               F.lit("F+")).otherwise(F.lit("F-")),
+        F.when(F.col("monetary") > F.col("__mm"),
+               F.lit("M+")).otherwise(F.lit("M-")),
+    )
+    return base.crossJoin(F.broadcast(b)).select(
+        "c_custkey", "last_order_us", "frequency", "monetary",
+        seg.alias("rfm_segment"),
+    )
+
+
+@query(
     "scd2_snapshot_at",
     oracle="""
     WITH c AS (SELECT user_id, ts, event_id, event_type,
