@@ -212,3 +212,54 @@ def test_export_geo_spark_round_trip(tmp_path, spark):
     cols2, rows2 = gf.read_shapefile(shp)
     assert len(rows2) == 2
     assert "total_popu" in cols2
+
+
+# -- property tests -------------------------------------------------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _coord = st.floats(
+        min_value=-1e6, max_value=1e6,
+        allow_nan=False, allow_infinity=False,
+    )
+    _point = st.tuples(_coord, _coord)
+    _ring = st.lists(_point, min_size=3, max_size=8).map(
+        lambda pts: pts + [pts[0]]
+    )
+
+    @st.composite
+    def _wkt_geometry(draw):
+        kind = draw(st.sampled_from(
+            ["POINT", "LINESTRING", "POLYGON", "MULTIPOLYGON"]
+        ))
+        if kind == "POINT":
+            return gf.unparse_wkt("POINT", draw(_point))
+        if kind == "LINESTRING":
+            return gf.unparse_wkt(
+                "LINESTRING", draw(st.lists(_point, min_size=2, max_size=6))
+            )
+        if kind == "POLYGON":
+            return gf.unparse_wkt(
+                "POLYGON", draw(st.lists(_ring, min_size=1, max_size=3))
+            )
+        return gf.unparse_wkt(
+            "MULTIPOLYGON",
+            draw(st.lists(st.lists(_ring, min_size=1, max_size=2),
+                          min_size=1, max_size=3)),
+        )
+
+    @settings(max_examples=200, deadline=None)
+    @given(_wkt_geometry())
+    def test_wkb_round_trip_property(wkt):
+        assert gf.parse_wkt(gf.wkb_to_wkt(gf.wkt_to_wkb(wkt))) == \
+            gf.parse_wkt(wkt)
+
+    @settings(max_examples=100, deadline=None)
+    @given(_wkt_geometry())
+    def test_gpkg_blob_round_trip_property(wkt):
+        blob = gf.gpkg_geometry_blob(wkt, srs_id=4326)
+        assert gf.parse_wkt(gf.gpkg_parse_blob(blob)) == gf.parse_wkt(wkt)
+
+except ImportError:  # pragma: no cover - hypothesis is in the image
+    pass
