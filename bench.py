@@ -131,6 +131,8 @@ HEADLINE_NEW: list[str] = [
     "scd2_snapshot_at",
     "events_gaps",
     "customer_rfm",
+    "ab_test_conversion",
+    "funnel_step_latency",
     # streaming_interval_join is excluded like the other REAL-streaming
     # queries (streaming_tumbling_1h, streaming_enriched_rollup): their
     # cost is state-store + micro-batch machinery, not engine operators

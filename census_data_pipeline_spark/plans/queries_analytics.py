@@ -2505,6 +2505,133 @@ def scd2_user_status(spark, sf_dir):
 
 
 @query(
+    "ab_test_conversion",
+    oracle="""
+    WITH u AS (SELECT user_id,
+                      CAST(user_id % 2 AS INT) AS variant,
+                      max(CASE WHEN event_type = 'purchase'
+                               AND value > 200 THEN 1
+                          ELSE 0 END) AS converted
+               FROM events GROUP BY user_id),
+    s AS (SELECT variant, count(*) AS n_users,
+                 sum(converted)::BIGINT AS conversions,
+                 round(sum(converted) * 1.0 / count(*), 6) AS rate
+          FROM u GROUP BY variant),
+    w AS (SELECT max(CASE WHEN variant = 0 THEN n_users END) AS n0,
+                 max(CASE WHEN variant = 0 THEN conversions END) AS c0,
+                 max(CASE WHEN variant = 1 THEN n_users END) AS n1,
+                 max(CASE WHEN variant = 1 THEN conversions END) AS c1
+          FROM s),
+    z AS (SELECT n0, c0, n1, c1,
+                 (c0 + c1) * 1.0 / (n0 + n1) AS pp FROM w)
+    SELECT s.variant, s.n_users, s.conversions, s.rate,
+           round((c1 * 1.0 / n1 - c0 * 1.0 / n0)
+                 / sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1)), 6)
+             AS z_stat,
+           abs((c1 * 1.0 / n1 - c0 * 1.0 / n0)
+               / sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1))) > 1.96
+             AS significant_95
+    FROM s CROSS JOIN z
+    """,
+)
+def ab_test_conversion(spark, sf_dir):
+    """Two-proportion A/B z-test — the experimentation readout: user
+    parity as the variant split, conversion = a purchase above 200
+    (any-purchase is degenerate on this lake — every user buys), pooled-
+    proportion z statistic with the 1.96 two-sided flag. One per-user
+    agg + one per-variant agg + a 1-row pivoted stats frame broadcast
+    back — identical closed-form FP trees in both engines. (On this
+    synthetic lake parity assigns users at random, so the honest
+    answer is 'not significant' — the oracle verifies the MATH, not a
+    planted effect.)"""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        F.max(F.when((F.col("event_type") == "purchase")
+                     & (F.col("value") > 200), 1)
+              .otherwise(0)).alias("__conv"),
+    )
+    s = u.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("__conv").cast("long").alias("conversions"),
+        F.round(F.sum("__conv") / F.count("*"), 6).alias("rate"),
+    )
+    w = s.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("__n0"),
+        F.max(F.when(F.col("variant") == 0,
+                     F.col("conversions"))).alias("__c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("__n1"),
+        F.max(F.when(F.col("variant") == 1,
+                     F.col("conversions"))).alias("__c1"),
+    )
+    pp = (F.col("__c0") + F.col("__c1")) * F.lit(1.0) / (
+        F.col("__n0") + F.col("__n1")
+    )
+    z = (
+        (F.col("__c1") * F.lit(1.0) / F.col("__n1")
+         - F.col("__c0") * F.lit(1.0) / F.col("__n0"))
+        / F.sqrt(pp * (F.lit(1.0) - pp)
+                 * (F.lit(1.0) / F.col("__n0") + F.lit(1.0) / F.col("__n1")))
+    )
+    return s.crossJoin(F.broadcast(w)).select(
+        "variant", "n_users", "conversions", "rate",
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )
+
+
+@query(
+    "funnel_step_latency",
+    oracle="""
+    WITH u AS (SELECT user_id,
+                      min(CASE WHEN event_type = 'view' THEN ts END) AS v,
+                      min(CASE WHEN event_type = 'click' THEN ts END) AS c,
+                      min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+               FROM events GROUP BY user_id),
+    d AS (SELECT 'view->click' AS step,
+                 (epoch_us(c) - epoch_us(v)) / 1000000.0 AS delay_s
+          FROM u WHERE c > v
+          UNION ALL
+          SELECT 'click->purchase',
+                 (epoch_us(p) - epoch_us(c)) / 1000000.0
+          FROM u WHERE p > c AND c > v)
+    SELECT step, count(*) AS n_converted,
+           round(quantile_cont(delay_s, 0.5), 6) AS p50_s,
+           round(quantile_cont(delay_s, 0.9), 6) AS p90_s
+    FROM d GROUP BY step
+    """,
+)
+def funnel_step_latency(spark, sf_dir):
+    """Time-to-convert percentiles per funnel step — the latency half
+    of funnel analysis (events_funnel_3step counts WHO converts; this
+    measures HOW LONG the step takes): per-user first-event times,
+    step deltas for ordered conversions, exact p50/p90. One per-user
+    agg + a tiny per-step agg."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("c"),
+        F.min(F.when(F.col("event_type") == "purchase",
+                     F.col("ts"))).alias("p"),
+    )
+    d1 = u.filter(F.col("c") > F.col("v")).select(
+        F.lit("view->click").alias("step"),
+        ((F.unix_micros("c") - F.unix_micros("v")) / 1_000_000.0)
+        .alias("delay_s"),
+    )
+    d2 = u.filter((F.col("p") > F.col("c")) & (F.col("c") > F.col("v"))).select(
+        F.lit("click->purchase").alias("step"),
+        ((F.unix_micros("p") - F.unix_micros("c")) / 1_000_000.0)
+        .alias("delay_s"),
+    )
+    return d1.unionByName(d2).groupBy("step").agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.percentile("delay_s", F.lit(0.5)), 6).alias("p50_s"),
+        F.round(F.percentile("delay_s", F.lit(0.9)), 6).alias("p90_s"),
+    )
+
+
+@query(
     "events_gaps",
     oracle="""
     WITH s AS (SELECT user_id, ts, event_id,
