@@ -48,6 +48,37 @@ def _pair_ids(a: Column, b: Column) -> tuple[Column, Column]:
     return F.least(a, b), F.greatest(a, b)
 
 
+def _shingle_intersections(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Shared core of the exact set-overlap family: unordered pairs
+    (id_a < id_b) sharing >= 1 word-n-gram shingle, with the
+    intersection count and both set sizes. Plan shape: explode distinct
+    shingles → self equi-join on shingle → groupBy pair count → two
+    size joins — every step a hash shuffle on a compact key.
+
+    The exploded frame is persisted: it feeds the sizes agg and both
+    self-join sides (3 downstream scans). Lifetime is caller-scoped —
+    Spark's ContextCleaner unpersists the blocks once the derived
+    DataFrames are garbage-collected."""
+    sh = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, n)).alias("shingle"),
+    ).persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, on="shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+        .join(sizes.withColumnsRenamed(
+            {"id": "id_a", "n_shingles": "size_a"}), "id_a")
+        .join(sizes.withColumnsRenamed(
+            {"id": "id_b", "n_shingles": "size_b"}), "id_b")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -57,31 +88,12 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact pairwise Jaccard over word-n-gram shingle sets for all document
     pairs sharing >= 1 shingle. Output: (id_a, id_b, jaccard) with
-    id_a < id_b and jaccard >= threshold.
-
-    Plan shape: explode distinct shingles → self equi-join on shingle →
-    groupBy pair count(intersection) → join per-doc sizes → filter. Every
-    step is a hash shuffle on a compact key.
+    id_a < id_b and jaccard >= threshold. Plan shape: see
+    ``_shingle_intersections``.
     """
-    # persisted: reused by sizes + both self-join sides (3 downstream
-    # scans). Lifetime is caller-scoped — Spark's ContextCleaner unpersists
-    # the blocks once the returned DataFrame is garbage-collected.
-    sh = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(text_col, n)).alias("shingle"),
-    ).persist()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, on="shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    out = (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_shingles": "size_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n_shingles": "size_b"}), "id_b")
-        .withColumn(
+    inter = _shingle_intersections(df, id_col, text_col, n)
+    return (
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("n_common")
@@ -92,7 +104,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 def ngram_containment_pairs(
@@ -111,29 +122,13 @@ def ngram_containment_pairs(
     curation pipeline needs for quote/excerpt/boilerplate-inclusion
     handling (drop the contained copy, keep the superset).
 
-    Plan shape: identical to ``ngram_jaccard_pairs`` (one shingle
-    explode, one self equi-join on the shingle, one pair-count agg, two
-    size joins); the directed output is derived from the single
-    unordered intersection count, so both directions cost ONE join
-    pipeline. Same scale guidance: run on LSH candidates or an id-sample
-    for all-pairs workloads; shingle co-occurrence bounds the join.
+    Plan shape: the shared ``_shingle_intersections`` pipeline; the
+    directed output is derived from the single unordered intersection
+    count, so both directions cost ONE join pipeline. Same scale
+    guidance as Jaccard: run on LSH candidates or an id-sample for
+    all-pairs workloads; shingle co-occurrence bounds the join.
     """
-    sh = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(text_col, n)).alias("shingle"),
-    ).persist()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, on="shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
-        .join(sizes.withColumnsRenamed({"id": "id_a", "n_shingles": "size_a"}),
-              "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n_shingles": "size_b"}),
-              "id_b")
-    )
+    inter = _shingle_intersections(df, id_col, text_col, n)
     d1 = inter.select(
         F.col("id_a").alias("contained_id"),
         F.col("id_b").alias("container_id"),
