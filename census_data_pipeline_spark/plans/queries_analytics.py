@@ -2505,6 +2505,63 @@ def scd2_user_status(spark, sf_dir):
 
 
 @query(
+    "cohort_ltv_weekly",
+    oracle="""
+    WITH first AS (SELECT user_id,
+                          date_trunc('week', min(ts)) AS cohort_week
+                   FROM events GROUP BY user_id),
+    rev AS (SELECT f.cohort_week,
+                   CAST(floor(date_diff('day', f.cohort_week,
+                                        date_trunc('week', e.ts)) / 7)
+                        AS BIGINT) AS age_weeks,
+                   round(sum(e.value), 2) AS revenue
+            FROM events e JOIN first f USING (user_id)
+            WHERE e.event_type = 'purchase'
+            GROUP BY 1, 2)
+    SELECT epoch_us(cohort_week) AS cohort_week_us, age_weeks, revenue,
+           round(sum(revenue) OVER (PARTITION BY cohort_week
+                                    ORDER BY age_weeks), 2)
+             AS cum_revenue
+    FROM rev
+    """,
+)
+def cohort_ltv_weekly(spark, sf_dir):
+    """Cohort LTV curves — the revenue half of cohort analysis
+    (cohort_retention_weekly counts WHO comes back; this accumulates
+    what they SPEND): purchase revenue by (signup-week cohort, weeks
+    since signup), cumulated along cohort age. Per-user first-event
+    agg + broadcast-able cohort join + one grouped sum; the cumsum
+    window is partitioned by cohort over at most a few dozen age rows
+    (never a data-scale window). Weekly sums rounded BEFORE cumulating
+    so both engines accumulate identical operands."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")),
+                           F.col("cohort_week")) / 7
+            ).cast("long").alias("age_weeks"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("cohort_week").orderBy("age_weeks")
+    return rev.select(
+        F.unix_micros("cohort_week").alias("cohort_week_us"),
+        "age_weeks",
+        "revenue",
+        F.round(F.sum("revenue").over(w), 2).alias("cum_revenue"),
+    )
+
+
+@query(
     "ab_test_conversion",
     oracle="""
     WITH u AS (SELECT user_id,
