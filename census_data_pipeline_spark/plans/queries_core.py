@@ -1094,6 +1094,75 @@ def streaming_interval_join(spark, sf_dir):
 
 
 @query(
+    "streaming_ohlc_hourly",
+    oracle="""
+    WITH r AS (SELECT date_trunc('hour', ts) AS bucket, event_type, value,
+                      row_number() OVER (
+                        PARTITION BY date_trunc('hour', ts), event_type
+                        ORDER BY ts, event_id) AS rn_a,
+                      row_number() OVER (
+                        PARTITION BY date_trunc('hour', ts), event_type
+                        ORDER BY ts DESC, event_id DESC) AS rn_d
+               FROM events)
+    SELECT epoch_us(bucket) AS bucket_us, event_type,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*) AS n_samples
+    FROM r GROUP BY bucket, event_type
+    """,
+)
+def streaming_ohlc_hourly(spark, sf_dir):
+    """OHLC downsampling through a REAL Structured Streaming query —
+    min_by/max_by with the deterministic (ts, id) tie key run as a
+    stateful windowed aggregation (parquet stream -> watermark ->
+    window agg -> complete-mode memory sink), held to the same oracle
+    as the batch form (events_ohlc_hourly). Proves the order-sensitive
+    open/close aggregates are micro-batch-safe: min_by/max_by merge
+    associatively over the struct key, so arrival order across batches
+    cannot change the result."""
+    import shutil
+    import tempfile
+    import uuid
+
+    staged_root = tempfile.mkdtemp(prefix="stream_ohlc_")
+    staged = staged_root + "/events"
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(staged)
+
+    stream = windows.stream_from_parquet(
+        spark, staged, spark.read.parquet(staged).schema
+    )
+    key = F.struct("ts", "event_id")
+    agg = (
+        windows.with_watermark(stream, "ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").alias("n_samples"),
+        )
+    )
+    sink = f"stream_ohlc_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(staged_root, ignore_errors=True)
+    return spark.table(sink).select(
+        F.unix_micros(F.col("window.start")).alias("bucket_us"),
+        "event_type", "open", "high", "low", "close", "n_samples",
+    )
+
+
+@query(
     "streaming_interval_join_outer",
     oracle="""
     WITH wm AS (SELECT least(
