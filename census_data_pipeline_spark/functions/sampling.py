@@ -271,6 +271,8 @@ def target_encode(
     Scale shape: one groupBy(cat) stats frame (category-cardinality
     rows, broadcast), a 1-row global frame, and a map-only encode join —
     the corpus never shuffles. Encodings round to 6 (engine parity)."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
     stats = df.groupBy(cat_col).agg(
         F.count(target_col).alias("__n"),
         F.sum(target_col).alias("__s"),
@@ -321,6 +323,8 @@ def weighted_sample(
     partition heaps of k, driver merges k rows), the same no-sort shape
     as every top-k in this engine. Returns the winners with their
     ``__score`` dropped; deterministic for a given (seed, data)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
     u = (
         (
             F.conv(

@@ -1042,6 +1042,8 @@ def semantic_dedup(
     O(Σ cell²). ``n_centroids`` is the scale knob: size it ~n/1k so cells
     stay small (SemDeDup uses ~100k clusters for web corpora); the skew
     story matches the LSH hot-bucket note in SCALING.md."""
+    if n_centroids < 1:
+        raise ValueError("n_centroids must be >= 1")
     cent = _seeded_centroids(corpus, n_centroids, id_col, vec_col)
     vecs = ensure_parallelism(corpus).select(
         F.col(id_col).alias("id"),

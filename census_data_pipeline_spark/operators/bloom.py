@@ -53,6 +53,10 @@ def _pos_expr(i: int, key: str, m: int) -> str:
 def optimal_params(expected_items: int, fpp: float) -> tuple[int, int]:
     """(m_bits, k_hashes) from the standard formulas, m rounded up to a
     power of two (so ``% m`` is uniform over md5's 32-bit prefix)."""
+    if expected_items < 1:
+        raise ValueError("expected_items must be >= 1")
+    if not 0 < fpp < 1:
+        raise ValueError("fpp must be in (0, 1)")
     m = max(64, int(-expected_items * math.log(fpp) / (math.log(2) ** 2)))
     m = 1 << (m - 1).bit_length()
     k = max(1, round(m / max(expected_items, 1) * math.log(2)))

@@ -85,6 +85,10 @@ def psi(
 
     Bin i (1-based) = 1 + number of edges strictly below the value, so
     values equal to an edge fall in the LOWER bin — deterministic."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    if epsilon <= 0:
+        raise ValueError("epsilon must be > 0")
     qs = [i / n_bins for i in range(1, n_bins)]
     edges_row = reference.agg(
         *[

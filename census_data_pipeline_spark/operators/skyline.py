@@ -43,6 +43,8 @@ def skyline_2d(
     per criterion via ``maximize_x`` / ``maximize_y`` (False =
     minimize). Null criteria rows are excluded (null is not comparable
     under dominance)."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
     sx = F.col(x_col) if maximize_x else -F.col(x_col)
     sy = F.col(y_col) if maximize_y else -F.col(y_col)
     base = (

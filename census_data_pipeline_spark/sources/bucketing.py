@@ -118,6 +118,8 @@ def compact_files(
     one-line change there).
 
     Returns {files_before, files_after, bytes}."""
+    if target_file_bytes < 1:
+        raise ValueError("target_file_bytes must be >= 1")
     import glob as _glob
     import os
     import shutil

@@ -723,3 +723,35 @@ def test_semantic_dedup_threshold_monotone(spark):
                semantic_dedup(df, threshold=0.9, n_centroids=4).collect()
                if r.kept}
     assert kept_lo <= kept_hi
+
+
+# -- argument validation --------------------------------------------------
+def test_new_operators_reject_bad_arguments(spark):
+    from census_data_pipeline_spark.functions.sampling import (
+        target_encode,
+        weighted_sample,
+    )
+    from census_data_pipeline_spark.functions.similarity import semantic_dedup
+    from census_data_pipeline_spark.operators.bloom import optimal_params
+    from census_data_pipeline_spark.operators.drift import psi
+    from census_data_pipeline_spark.operators.skyline import skyline_2d
+    from census_data_pipeline_spark.sources.bucketing import compact_files
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    emb = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        weighted_sample(df, "id", "v", k=0)
+    with pytest.raises(ValueError):
+        target_encode(df, "id", "v", alpha=-1.0)
+    with pytest.raises(ValueError):
+        semantic_dedup(emb, n_centroids=0)
+    with pytest.raises(ValueError):
+        optimal_params(0, 0.01)
+    with pytest.raises(ValueError):
+        optimal_params(10, 1.5)
+    with pytest.raises(ValueError):
+        psi(df, df, "v", n_bins=1)
+    with pytest.raises(ValueError):
+        skyline_2d(df, "id", "v", n_buckets=0)
+    with pytest.raises(ValueError):
+        compact_files(spark, "/nonexistent", target_file_bytes=0)
