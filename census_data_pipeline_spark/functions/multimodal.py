@@ -938,14 +938,25 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def decode_video_frames(payload: bytes) -> list:
-    """Extract per-frame payloads from a RIFF/AVI container (the MJPEG
-    case: each '..dc'/'..db' chunk in the 'movi' list is one complete
-    JPEG image, which ``decode_image`` can then decode — a real, fully
-    stdlib video path). Non-AVI or frameless payloads raise ValueError."""
+    """Extract per-frame payloads from a multi-frame container:
+
+    - **RIFF/AVI** (the MJPEG case): each '..dc'/'..db' chunk in the
+      'movi' list is one complete JPEG image;
+    - **animated GIF**: each image descriptor is repackaged as a
+      standalone single-frame GIF (header + global palette + the
+      frame's descriptor/local palette/LZW data), so full-frame
+      animations round-trip exactly; partial-frame disposal composition
+      is out of scope (each frame decodes independently).
+
+    Every returned payload is decodable by ``decode_image`` — a real,
+    fully stdlib video path. Other or frameless payloads raise
+    ValueError."""
     import struct
 
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_split_frames(payload)
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
-        raise ValueError("not a RIFF/AVI payload")
+        raise ValueError("not a RIFF/AVI or GIF payload")
     frames: list = []
     n = len(payload)
 
@@ -963,6 +974,46 @@ def decode_video_frames(payload: bytes) -> list:
     walk(12, n)
     if not frames:
         raise ValueError("AVI has no video frames")
+    return frames
+
+
+def _gif_split_frames(payload: bytes) -> list:
+    """Repackage every frame of a (possibly animated) GIF as a
+    standalone single-frame GIF sharing the original header + global
+    palette. Walks the same block grammar as ``_decode_gif``."""
+    import struct
+
+    sw, sh, packed = struct.unpack_from("<HHB", payload, 6)
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    header = payload[:pos]
+    frames: list = []
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:  # extension: label + sub-blocks, not carried
+            pos += 1
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        start = pos - 1
+        _, _, _, _, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if ipacked & 0x80:
+            pos += 3 * (2 << (ipacked & 0x07))
+        pos += 1  # LZW min code size
+        while payload[pos] != 0:
+            pos += 1 + payload[pos]
+        pos += 1
+        frames.append(header + payload[start:pos] + b"\x3b")
+    if not frames:
+        raise ValueError("GIF has no image frames")
     return frames
 
 

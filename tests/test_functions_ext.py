@@ -1652,3 +1652,27 @@ def test_decode_gif_failure_modes():
     with _pytest.raises(ValueError):
         # trailer immediately after screen descriptor: no image at all
         decode_image(good[:13 + 6] + b"\x3b")
+
+
+def test_gif_animation_frames_split_and_decode():
+    import numpy as np
+
+    from census_data_pipeline_spark.functions.multimodal import (
+        decode_image,
+        decode_video_frames,
+    )
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 7, 7)]
+    f1 = [[0, 1], [2, 3]]
+    f2 = [[3, 2], [1, 0]]
+    # build a 2-frame animation by splicing a second image block into a
+    # single-frame fixture (same global palette, full-frame frames)
+    g1 = _encode_gif(2, 2, pal, f1)
+    g2 = _encode_gif(2, 2, pal, f2)
+    hdr_len = 13 + 3 * 4  # header + 4-entry GCT
+    anim = g1[:-1] + g2[hdr_len:]  # strip g1 trailer, append g2 blocks
+    frames = decode_video_frames(anim)
+    assert len(frames) == 2
+    d1, d2 = decode_image(frames[0]), decode_image(frames[1])
+    assert (d1 == np.array([[pal[i] for i in r] for r in f1], np.uint8)).all()
+    assert (d2 == np.array([[pal[i] for i in r] for r in f2], np.uint8)).all()
