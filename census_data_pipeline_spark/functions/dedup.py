@@ -168,6 +168,57 @@ def minhash_signature(text_col: Column | str, num_hashes: int = 8,
     return F.array(*out)
 
 
+def _minhash_band_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    band_size: int,
+    n: int,
+) -> DataFrame:
+    """(id, band, bucket) LSH band frame shared by the self-join dedup
+    and the cross-corpus form: one shingle explode (md5 computed ONCE
+    per (doc, shingle) — 8 hash fns from substrings of 2 digests), one
+    groupBy(id) for the whole signature, band buckets exploded
+    num_hashes/band_size rows per doc."""
+    n_bands = num_hashes // band_size
+
+    rows = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, n)).alias("shingle"),
+    )
+    hashed = rows.select(
+        "id",
+        F.md5(F.concat(F.lit("a|"), F.col("shingle"))).alias("ha"),
+        F.md5(F.concat(F.lit("b|"), F.col("shingle"))).alias("hb"),
+    )
+    min_exprs = []
+    for i in range(num_hashes):
+        src, off = ("ha", i * 8 + 1) if i < 4 else ("hb", (i - 4) * 8 + 1)
+        min_exprs.append(F.min(F.substring(F.col(src), off, 8)).alias(f"m{i}"))
+    sig = hashed.groupBy("id").agg(*min_exprs)
+
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[F.col(f"m{bi * band_size + r}") for r in range(band_size)],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -209,42 +260,8 @@ def minhash_lsh_pairs(
     """
     if num_hashes > 8:
         raise ValueError("at most 8 hash functions (2 md5 digests x 4 words)")
-    n_bands = num_hashes // band_size
-
-    rows = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(text_col, n)).alias("shingle"),
-    )
-    hashed = rows.select(
-        "id",
-        F.md5(F.concat(F.lit("a|"), F.col("shingle"))).alias("ha"),
-        F.md5(F.concat(F.lit("b|"), F.col("shingle"))).alias("hb"),
-    )
-    min_exprs = []
-    for i in range(num_hashes):
-        src, off = ("ha", i * 8 + 1) if i < 4 else ("hb", (i - 4) * 8 + 1)
-        min_exprs.append(F.min(F.substring(F.col(src), off, 8)).alias(f"m{i}"))
-    sig = hashed.groupBy("id").agg(*min_exprs)
-
-    bands = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[F.col(f"m{bi * band_size + r}") for r in range(band_size)],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for bi in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    bands = _minhash_band_frame(df, id_col, text_col, num_hashes,
+                                band_size, n)
 
     if bucket_cap is not None:
         # deterministic lowest-k per (band, bucket); the per-bucket sort
@@ -285,6 +302,80 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def minhash_dedup_against(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-corpus near-dup flagging — INCREMENTAL curation's core
+    join: which documents of a NEW batch are near-duplicates of an
+    already-curated REFERENCE corpus (dedupe the fresh crawl against
+    the training set you already have, without re-pairing the reference
+    against itself). Returns flagged new-side rows
+    (id, ref_id, jaccard): each new doc's BEST-matching reference doc
+    at ``jaccard >= threshold`` (ties broken by smallest ref id); drop
+    them with a left_anti on ``id``.
+
+    Plan shape: both sides run the shared ``_minhash_band_frame`` (one
+    shingle pass each), candidates come from the CROSS-frame equi-join
+    on (band, bucket) — no self-pairs on either side — and exact
+    shingle-Jaccard verification joins the candidate ids back to the
+    per-doc shingle arrays, exactly the ``minhash_lsh_pairs`` shapes.
+    At scale the reference band frame is write-once (persist it
+    alongside the curated corpus) and each incremental batch only pays
+    its own signature pass plus the bucket join."""
+    if num_hashes > 8:
+        raise ValueError("at most 8 hash functions (2 md5 digests x 4 words)")
+    nb = _minhash_band_frame(new_df, id_col, text_col, num_hashes,
+                             band_size, n)
+    rb = _minhash_band_frame(ref_df, id_col, text_col, num_hashes,
+                             band_size, n)
+    candidates = (
+        nb.join(rb.withColumnsRenamed({"id": "ref_id"}),
+                on=["band", "bucket"])
+        .select("id", "ref_id")
+        .distinct()
+    )
+    new_arr = ensure_parallelism(new_df).select(
+        F.col(id_col).alias("id"), shingles(text_col, n).alias("sh_n")
+    )
+    ref_arr = ensure_parallelism(ref_df).select(
+        F.col(id_col).alias("ref_id"), shingles(text_col, n).alias("sh_r")
+    )
+    n_common = F.size(F.array_intersect("sh_n", "sh_r"))
+    verified = (
+        new_arr.join(candidates, "id")
+        .join(ref_arr, "ref_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                n_common / (F.size("sh_n") + F.size("sh_r") - n_common), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    best = (
+        verified.groupBy("id")
+        .agg(
+            F.min(
+                F.struct((-F.col("jaccard")).alias("__nj"),
+                         F.col("ref_id").alias("__r"))
+            ).alias("__m")
+        )
+        .select(
+            "id",
+            F.col("__m.__r").alias("ref_id"),
+            (-F.col("__m.__nj") + F.lit(0.0)).alias("jaccard"),
+        )
+    )
+    return best
 
 
 def _simhash_from_hashes(hv_col: str) -> Column:

@@ -520,6 +520,72 @@ def _minhash_lsh_oracle(num_hashes: int = 8, band_size: int = 2, n: int = 4,
     """
 
 
+def _minhash_cross_oracle(num_hashes: int = 8, band_size: int = 2,
+                          n: int = 4, threshold: float = 0.5) -> str:
+    """Cross-corpus variant of ``_minhash_lsh_oracle``: candidates are
+    NEW (doc_id % 3 <> 0) x REFERENCE (doc_id % 3 = 0) bucket
+    collisions, output is each flagged new doc's best reference match."""
+    sig_elems = []
+    for i in range(num_hashes):
+        src, off = ("ha", i * 8 + 1) if i < 4 else ("hb", (i - 4) * 8 + 1)
+        sig_elems.append(f"min(substr({src}, {off}, 8)) AS m{i}")
+    n_bands = num_hashes // band_size
+    band_cases = " ".join(
+        "WHEN {bi} THEN md5({concat})".format(
+            bi=bi,
+            concat=" || '|' || ".join(
+                f"m{bi * band_size + r}" for r in range(band_size)
+            ),
+        )
+        for bi in range(n_bands)
+    )
+    band_list = ", ".join(str(b) for b in range(n_bands))
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    shl AS (SELECT doc_id AS id, unnest({_shingle_sql(n)}) AS shingle FROM t),
+    h AS (SELECT id, md5('a|' || shingle) AS ha, md5('b|' || shingle) AS hb
+          FROM shl),
+    sig AS (SELECT id, {', '.join(sig_elems)} FROM h GROUP BY id),
+    bands AS (SELECT id, band, CASE band {band_cases} END AS bucket
+              FROM sig CROSS JOIN (SELECT unnest([{band_list}]) AS band) b),
+    cand AS (SELECT DISTINCT x.id AS id, y.id AS ref_id
+             FROM bands x JOIN bands y USING (band, bucket)
+             WHERE x.id % 3 <> 0 AND y.id % 3 = 0),
+    sz AS (SELECT id, count(*) AS n FROM shl GROUP BY id),
+    inter AS (SELECT cand.id, cand.ref_id, count(*) AS n_common
+              FROM shl a JOIN cand ON a.id = cand.id
+              JOIN shl b ON b.id = cand.ref_id AND a.shingle = b.shingle
+              GROUP BY 1, 2),
+    j AS (SELECT inter.id, ref_id,
+                 round(n_common / (x.n + y.n - n_common), 6) AS jaccard
+          FROM inter JOIN sz x ON inter.id = x.id
+                     JOIN sz y ON ref_id = y.id),
+    r AS (SELECT id, ref_id, jaccard,
+                 row_number() OVER (PARTITION BY id
+                                    ORDER BY jaccard DESC, ref_id) AS rn
+          FROM j WHERE jaccard >= {threshold})
+    SELECT id, ref_id, jaccard FROM r WHERE rn = 1
+    """
+
+
+@query("dedup_against_reference", oracle=_minhash_cross_oracle())
+def dedup_against_reference(spark, sf_dir):
+    """Incremental cross-corpus dedup (functions/dedup
+    .minhash_dedup_against): flag new-batch documents (doc_id % 3 <> 0)
+    that are near-duplicates of the already-curated reference corpus
+    (doc_id % 3 = 0) — the dedupe-the-fresh-crawl-against-the-training-
+    set join. Both sides share the banded signature machinery; the
+    candidate join is CROSS-frame only (no self-pairs), and each
+    flagged doc reports its best reference match. At scale the
+    reference band frame is write-once per corpus version."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    return dedup.minhash_dedup_against(
+        new, ref, num_hashes=8, band_size=2, n=4, threshold=0.5
+    )
+
+
 @query("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
 def dedup_minhash_lsh(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")

@@ -755,3 +755,26 @@ def test_new_operators_reject_bad_arguments(spark):
         skyline_2d(df, "id", "v", n_buckets=0)
     with pytest.raises(ValueError):
         compact_files(spark, "/nonexistent", target_file_bytes=0)
+
+
+# -- cross-corpus dedup --------------------------------------------------
+def test_dedup_against_reference_no_self_pairs(spark):
+    from census_data_pipeline_spark.functions.dedup import (
+        minhash_dedup_against,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    ref = spark.createDataFrame(
+        [(100, shared), (101, "completely different reference text here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, shared),                      # duplicate of ref 100
+         (2, "brand new unrelated words entirely"),
+         (3, "brand new unrelated words entirely")],  # dup of ANOTHER new
+        "doc_id long, text string",
+    )
+    out = {r.id: (r.ref_id, r.jaccard) for r in minhash_dedup_against(
+        new, ref, n=3, threshold=0.5).collect()}
+    assert out[1] == (100, 1.0)   # flagged against the reference
+    assert 2 not in out and 3 not in out  # new-vs-new pairs NOT flagged
