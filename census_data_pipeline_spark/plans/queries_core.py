@@ -1094,6 +1094,56 @@ def streaming_interval_join(spark, sf_dir):
 
 
 @query(
+    "streaming_dedup_events",
+    oracle="""
+    SELECT event_id, event_type, round(value, 4) AS value
+    FROM events
+    """,
+)
+def streaming_dedup_events(spark, sf_dir):
+    """Exactly-once repair on a duplicating source, run as a REAL
+    stream: the staged feed carries every event TWICE (the classic
+    at-least-once replay), and ``dropDuplicatesWithinWatermark`` on the
+    event id collapses them with bounded state — the oracle is simply
+    the distinct original events. The duplicated copies are staged into
+    one directory read at stream start, so replays land inside the
+    dedup state's watermark horizon (the operator's documented
+    contract: duplicates must arrive within the delay)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    staged_root = tempfile.mkdtemp(prefix="stream_dedup_")
+    staged = staged_root + "/events"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    ev.unionAll(ev).write.mode("overwrite").parquet(staged)
+
+    stream = windows.stream_from_parquet(
+        spark, staged, spark.read.parquet(staged).schema
+    )
+    deduped = windows.dedup_in_stream(
+        stream, ["event_id"], "ts", "1 minute"
+    )
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(staged_root, ignore_errors=True)
+    return spark.table(sink).select(
+        "event_id", "event_type", F.round("value", 4).alias("value")
+    )
+
+
+@query(
     "streaming_ohlc_hourly",
     oracle="""
     WITH r AS (SELECT date_trunc('hour', ts) AS bucket, event_type, value,
