@@ -135,6 +135,7 @@ HEADLINE_NEW: list[str] = [
     "funnel_step_latency",
     "cohort_ltv_weekly",
     "dedup_against_reference",
+    "orders_price_histogram",
     # streaming_interval_join is excluded like the other REAL-streaming
     # queries (streaming_tumbling_1h, streaming_enriched_rollup): their
     # cost is state-store + micro-batch machinery, not engine operators

@@ -135,3 +135,48 @@ def psi(
         F.round("p_cur", 6).alias("p_cur"),
         F.round((pr - pc) * F.log(pr / pc), 6).alias("contribution"),
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Equi-depth (quantile-bucketed) histogram — the distribution
+    summary optimizers and dashboards both want: ``n_bins`` buckets
+    holding ~equal row counts, each reporting its observed [lo, hi],
+    row count and mean. Shares PSI's binning discipline (interior
+    quantile edges rounded to 6 so any engine draws identical
+    boundaries; values equal to an edge fall in the LOWER bin) but
+    reports the buckets themselves instead of comparing two samples.
+
+    One percentile aggregation (a 1-row broadcast edges frame) + one
+    map-side bin assignment + one grouped agg — the corpus never
+    shuffles except for the final ≤``n_bins``-row aggregate. NULLs are
+    excluded (no bucket holds them)."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    qs = [i / n_bins for i in range(1, n_bins)]
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("__v")
+    )
+    edges_row = base.agg(
+        *[
+            F.round(F.percentile("__v", F.lit(q)), 6).alias(f"__e{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    b = F.lit(1)
+    for i in range(len(qs)):
+        b = b + F.when(F.col("__v") > F.col(f"__e{i}"), 1).otherwise(0)
+    return (
+        base.crossJoin(F.broadcast(edges_row))
+        .select(b.alias("bin"), "__v")
+        .groupBy("bin")
+        .agg(
+            F.min("__v").alias("lo"),
+            F.max("__v").alias("hi"),
+            F.count("*").alias("n"),
+            F.round(F.avg("__v"), 6).alias("mean"),
+        )
+    )

@@ -2508,6 +2508,35 @@ def scd2_user_status(spark, sf_dir):
 
 
 @query(
+    "orders_price_histogram",
+    oracle="""
+    WITH base AS (SELECT o_totalprice::DOUBLE AS v FROM orders
+                  WHERE o_totalprice IS NOT NULL),
+    ed AS (SELECT list_transform(
+             quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                               0.6, 0.7, 0.8, 0.9]),
+             x -> round(x, 6)) AS e FROM base),
+    binned AS (SELECT 1 + len(list_filter(ed.e, x -> v > x)) AS bin, v
+               FROM base CROSS JOIN ed)
+    SELECT bin, min(v) AS lo, max(v) AS hi, count(*) AS n,
+           round(avg(v), 6) AS mean
+    FROM binned GROUP BY bin
+    """,
+)
+def orders_price_histogram(spark, sf_dir):
+    """Equi-depth decile histogram of order totals
+    (operators/drift.equidepth_histogram): ten ~equal-count buckets
+    with observed [lo, hi], count and mean — the distribution summary
+    an optimizer's statistics collector and a dashboard both want.
+    Rounded quantile edges make the bucket boundaries engine-identical;
+    one broadcast edges frame + map-side binning + a 10-row aggregate."""
+    from census_data_pipeline_spark.operators.drift import equidepth_histogram
+
+    o = load_table(spark, sf_dir, "orders")
+    return equidepth_histogram(o, "o_totalprice", n_bins=10)
+
+
+@query(
     "cohort_ltv_weekly",
     oracle="""
     WITH first AS (SELECT user_id,

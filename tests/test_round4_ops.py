@@ -778,3 +778,31 @@ def test_dedup_against_reference_no_self_pairs(spark):
         new, ref, n=3, threshold=0.5).collect()}
     assert out[1] == (100, 1.0)   # flagged against the reference
     assert 2 not in out and 3 not in out  # new-vs-new pairs NOT flagged
+
+
+# -- equi-depth histogram -------------------------------------------------
+def test_equidepth_histogram_balanced_and_total(spark):
+    from census_data_pipeline_spark.operators.drift import equidepth_histogram
+
+    df = spark.createDataFrame([(float(i),) for i in range(1000)], "v double")
+    out = {r.bin: r for r in equidepth_histogram(df, "v", 10).collect()}
+    assert len(out) == 10
+    assert sum(r.n for r in out.values()) == 1000
+    assert all(90 <= r.n <= 110 for r in out.values())  # ~equal depth
+    # buckets tile the range in order with no overlap
+    bins = [out[i] for i in sorted(out)]
+    for a, b in zip(bins, bins[1:]):
+        assert a.hi < b.lo or a.hi <= b.lo
+    assert bins[0].lo == 0.0 and bins[-1].hi == 999.0
+
+
+def test_equidepth_histogram_excludes_nulls_and_validates(spark):
+    from census_data_pipeline_spark.operators.drift import equidepth_histogram
+
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (2.0,), (3.0,), (4.0,)], "v double"
+    )
+    out = equidepth_histogram(df, "v", 2).collect()
+    assert sum(r.n for r in out) == 4  # the NULL is not bucketed
+    with pytest.raises(ValueError):
+        equidepth_histogram(df, "v", 1)
