@@ -109,7 +109,36 @@ expectation verdicts) displaces shuffle_shard_assign (r1-r3 green;
 sampling keeps sample_temperature plus unit pins) and
 dq_profile_orders (one-pass column profiling) displaces text_chunking
 (r1-r3 green; chunking stays pinned by the straddle tests and the
-curation composite)."""
+curation composite).
+
+r5 rotation (VERDICT r4 #1): ALL 50 r4 prefix slots went driver-green,
+so the 19 late-r4 queries that have never had a driver CORRECTNESS row
+enter the prefix, each displacing an r4-green query whose family keeps
+other anchors — after r5 the cumulative driver record is 167/167.
+In: sample_weighted_docs, bloom_join_prune, drift_ks_click_vs_error,
+drift_psi_purchase_value, orders_target_encoding, events_ohlc_hourly,
+events_time_weighted_avg, revenue_share_of_parent, corpus_vocab_stats,
+orders_price_histogram, cohort_ltv_weekly, ab_test_conversion,
+funnel_step_latency, events_gaps, customer_rfm, scd2_snapshot_at,
+streaming_dedup_events, streaming_ohlc_hourly, dedup_against_reference
+(the last also carries this round's bucket_cap change — changed queries
+belong in the prefix).
+Out (all driver-green in r4): dedup_semantic + dedup_minhash_ml (dedup
+keeps exact/spans/minhash_lsh/embedding_cosine/containment plus the new
+cross-corpus join), knn_ivf + knn_pq_seeded (similarity keeps
+bruteforce/lsh/ivfpq_seeded), text_bigram_logprob + text_dsir_logratio
++ text_chi2_features (text keeps token_stats/unigram_logprob plus the
+new corpus_vocab_stats), dq_profile_orders (dq keeps dq_suite_core),
+sample_temperature (sampling gains weighted-docs + target-encoding),
+multimodal_audio_features (media keeps video_frames/image_dhash),
+graph_triangles (graph keeps pagerank), ivm_incremental_rollup (rollup
+keeps the flagship plus the new revenue_share_of_parent),
+orders_snapshot_diff + scd2_user_status (change keeps cdc_apply_changes
+plus the new scd2_snapshot_at), streaming_interval_join (real streaming
+keeps the harder outer join plus the two new stream queries),
+events_robust_outliers + events_attribution + events_rolling_median +
+events_rate_anomaly (events gains OHLC/TWA/gaps/funnel-latency/RFM/
+LTV/A-B anchors)."""
 
 from census_data_pipeline_spark.plans import (  # noqa: F401
     queries_analytics,
@@ -121,145 +150,78 @@ from census_data_pipeline_spark.plans.registry import ORACLE, QUERIES
 _CHECKED_PREFIX = [
     # flagship first (also the entry() smoke query)
     "flagship_regional_rollup",
-    # §2.11 dedup tier
+    # §2.11 dedup tier (r5: semantic + minhash_ml rotated out, both
+    # r4-green; the family keeps five anchors plus the cross-corpus join)
     "dedup_exact",
-    # r4 addition: corpus-level duplicate-span removal (C4-style)
     "dedup_spans",
     "dedup_minhash_lsh",
-    # (dedup_simhash_pairs left the prefix in r4 for dedup_spans: it was
-    # driver-green in r3; simhash stays pinned by its unit tests and the
-    # r1-green dedup_simhash singleton)
-    # (dedup_clusters left the prefix in r4b for dedup_semantic: it was
-    # driver-green in r1-r3; CC stays pinned by unit tests)
-    "dedup_semantic",
-    # (dedup_clusters_star left the prefix in r4 for knn_pq_seeded: it was
-    # driver-green in r3 and shares dedup_clusters' recursive-CTE oracle;
-    # dedup_keep_canonical left for ivm_incremental_rollup — r3-green, and
-    # its pairs->CC->anti-join plan is the dedup_clusters oracle + a join)
     "dedup_embedding_cosine",
-    # r4 promotion: MLlib MinHashLSH accuracy contract (was rows-only)
-    "dedup_minhash_ml",
-    # §2.11 similarity search
+    "dedup_containment",
+    # r5 in: cross-corpus incremental dedup — never driver-checked, and
+    # it carries this round's bucket_cap change
+    "dedup_against_reference",
+    # §2.11 similarity search (r5: knn_ivf + knn_pq_seeded rotated out,
+    # both r4-green; ivfpq subsumes the PQ-ADC scan + IVF routing)
     "knn_bruteforce",
     "knn_lsh",
-    # (knn_ivf_seeded left the prefix in r4 for cdc_apply_changes: it was
-    # driver-green in r3; similarity keeps bruteforce/lsh/ivf/pq anchors)
-    # r4 promotion: KMeans-IVF accuracy contract (was rows-only)
-    "knn_ivf",
-    # r4 additions: PQ-ADC compressed-domain scan + the IVF-PQ composition
-    "knn_pq_seeded",
     "knn_ivfpq_seeded",
-    # §2.11 text analysis / quality / decontamination
+    # §2.11 text analysis / quality / decontamination (r5:
+    # bigram_logprob, dsir_logratio, chi2_features rotated out, all
+    # r4-green; corpus_vocab_stats is the never-checked entrant)
     "text_token_stats",
-    # (text_repetition_stats left the prefix in r4f for
-    # text_bigram_logprob: r1-r3 green; repetition filters stay inside
-    # corpus_curation_e2e)
-    "text_bigram_logprob",
-    # (decontam_ngram_overlap left the prefix in r4e for
-    # decontam_semantic: r1-r3 green; the lexical screen stays exercised
-    # inside corpus_curation_e2e)
-    "decontam_semantic",
-    # (text_chunking left the prefix in r4i for dq_profile_orders:
-    # r1-r3 green; chunking stays pinned by unit tests + curation e2e)
-    "dq_profile_orders",
-    # (text_pack_bins left the prefix in r4 for copurchase_topk: driver-green
-    # r1-r3; packing stays pinned by the straddle/scalable-prefix-sum tests)
-    # (corpus_clean_pipeline left the prefix in r4 for scd2_user_status: it
-    # was driver-green in r1-r3 and corpus_curation_e2e exercises the same
-    # cleaning stages plus three more)
-    # (text_quality_scores left the prefix in r4 for text_unigram_logprob:
-    # driver-green in r3; the heuristic quality surface stays exercised by
-    # corpus_curation_e2e and unit tests, and the LM-based ranker below is
-    # the stronger quality signal)
     "text_unigram_logprob",
-    # r4b: DSIR importance weights (doc_fingerprint left — r3-green)
-    "text_dsir_logratio",
-    # (text_term_frequency left the prefix in r4d for dedup_containment:
-    # r3-green; text keeps token_stats/repetition/chunking/unigram/dsir)
-    "dedup_containment",
-    # r4 addition: BM25 keyword retrieval
-    "search_bm25",
-    # §2.11 linkage / sampling / multimodal
-    # (linkage_edit1_names left the prefix in r4e for
-    # linkage_entity_clusters, which runs the same pair stage + CC)
-    "linkage_entity_clusters",
-    "sample_temperature",
-    # (sample_stratified_events left the prefix in r4 for
-    # multimodal_image_dhash: driver-green r3; sampling keeps the
-    # temperature + shard anchors and the stratified path's unit tests)
-    # (split_assign_docs left the prefix in r4 for streaming_interval_join:
-    # driver-green in r3; hash_split stays pinned by unit tests and the
-    # sampling anchors below)
-    # (sample_upweight_rare left the prefix in r4 for search_bm25: it was
-    # driver-green in r3; sampling keeps temperature/stratified/shard anchors)
-    # (shuffle_shard_assign left the prefix in r4i for dq_suite_core:
-    # r1-r3 green; the prefix-sum shard rank stays unit-pinned)
+    "corpus_vocab_stats",
+    "decontam_semantic",
     "dq_suite_core",
-    # (multimodal_payload left the prefix in r4g for
-    # classify_nearest_centroid: r1-r3 green; media keeps three
-    # full-value-oracle anchors)
+    # r4-green dq_profile_orders rotated out; dq_suite_core anchors dq
+    "search_bm25",
+    "linkage_entity_clusters",
+    # §2.11 sampling (r5: sample_temperature rotated out, r1-r4 green;
+    # the two never-checked sampling entrants take the slots)
+    "sample_weighted_docs",
+    "orders_target_encoding",
     "classify_nearest_centroid",
-    # (multimodal_features left the prefix in r4 for graph_pagerank: it was
-    # driver-green in r3; the media family keeps payload/video/audio anchors)
-    # r4: full-value-oracle media queries (video subsumes frame_sample)
+    # media (r5: audio_features rotated out, r4-green with a full value
+    # oracle; video + dhash keep the family)
     "multimodal_video_frames",
-    "multimodal_audio_features",
     "multimodal_image_dhash",
-    # r3 rotation: end-to-end curation composite + mergeable sketch rollup
     "corpus_curation_e2e",
-    # (sketch_rollup_mergeable left the prefix in r4g for
-    # text_chi2_features: r3-green; approx_sketches anchors the family)
-    "text_chi2_features",
-    # r4 additions: fixed-iteration PageRank + incremental view maintenance
+    # graph (r5: triangles rotated out, r4-green)
     "graph_pagerank",
-    "ivm_incremental_rollup",
-    # §2.9 event-time & streaming-parity
-    # (events_tumbling_1h left the prefix in r4c for events_attribution:
-    # r1-r3 green; tumbling stays exercised by streaming_tumbling_1h)
-    # (events_session_5m left the prefix in r4j for orders_snapshot_diff:
-    # r1/r3 green; sessionization stays unit- and stream-pinned)
-    "orders_snapshot_diff",
-    # (streaming_tumbling_1h left the prefix in r4h for the outer
-    # stream-stream join: r3-green; real streaming keeps both interval
-    # joins)
+    # §2.9 streaming (r5: inner interval join + scd2_user_status +
+    # orders_snapshot_diff rotated out, all r4-green; the two
+    # never-checked real-stream queries + snapshot-at enter)
     "streaming_interval_join_outer",
-    # r4 addition: real stream-stream interval join (symmetric hash state)
-    "streaming_interval_join",
-    # r4b: triangle counting joins pagerank as the graph anchors
-    # (events_funnel_3step left — r3-green, events keeps nine anchors)
-    "graph_triangles",
-    # (cohort_retention_weekly left the prefix in r4c for
-    # events_robust_outliers: r3-green)
-    "events_robust_outliers",
-    "events_attribution",
-    "events_rolling_median",
-    # (events_top_transitions left the prefix in r4 for events_rate_anomaly:
-    # driver-green in r3; the transition rollup shares its lead-window shape
-    # with scd2_user_status below)
-    # r4 additions: SCD2 + MERGE apply + anomaly + co-occurrence analytics
-    "scd2_user_status",
+    "streaming_dedup_events",
+    "streaming_ohlc_hourly",
+    "scd2_snapshot_at",
     "cdc_apply_changes",
-    "events_rate_anomaly",
+    # events/analytics (r5: robust_outliers, attribution,
+    # rolling_median, rate_anomaly rotated out — all r4-green; the seven
+    # never-checked analytics queries enter)
+    "events_ohlc_hourly",
+    "events_time_weighted_avg",
+    "events_gaps",
+    "funnel_step_latency",
+    "customer_rfm",
+    "cohort_ltv_weekly",
+    "ab_test_conversion",
     "copurchase_topk",
-    # unchecked-in-r1 core operators
+    # drift / profiling — never driver-checked
+    "drift_ks_click_vs_error",
+    "drift_psi_purchase_value",
+    "orders_price_histogram",
+    # rollup — never driver-checked hierarchical share-of-parent
+    "revenue_share_of_parent",
+    # joins (r5 in: bloom_join_prune, never driver-checked)
     "boundaries_right_join",
-    # (topk_per_nation left the prefix in r4 for knn_ivfpq_seeded: it was
-    # driver-green in r3; windowed top-k stays pinned by unit tests and the
-    # r1-green top5_customers/window_rank_functions singletons)
-    # (union_batch_states left the prefix in r4b for skyline_parts: it
-    # was driver-green in r1-r3; core keeps six anchors)
+    "bloom_join_prune",
     "skyline_parts",
-    # (numeric_coerce left the prefix in r4d for orders_winsorized:
-    # r3-green; the coerce cast stays pinned by unit tests)
     "orders_winsorized",
     "skew_salted_join",
-    # r4 addition: polygon-polygon overlay (Sutherland-Hodgman clip)
     "geo_polygon_overlap",
-    # sketches / geo / policy (r2-green family anchors kept in the prefix)
     "approx_sketches",
     "geo_point_in_polygon",
-    # (geo_polygon_stats left the prefix in r4c for events_rolling_median:
-    # r2/r3-green; geo keeps point_in_polygon + polygon_overlap)
     "rates_zero_policy",
 ]
 

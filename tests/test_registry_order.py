@@ -1,101 +1,98 @@
 """Registry-order contract: the driver verifies the first ~50 registered
 queries (r1 evidence: CORRECTNESS_r01.json == registry positions 0-49), so
 the checked prefix must cover every operator family and contain no
-rows-only entries."""
+rows-only entries.
+
+r5 adds the window-hygiene contract (VERDICT r4 #5): the union of all
+driver CORRECTNESS rows recorded so far PLUS the current 50-slot prefix
+must cover EVERY registered query — a future round cannot silently grow
+an unverified tail of queries that never get a driver row. A new query
+must either take a prefix slot or the test goes red.
+"""
+
+import glob
+import json
+import os
 
 from census_data_pipeline_spark.plans import ORACLE, QUERIES
 
 PREFIX_N = 50
 
-# at least one per family that r1 left unchecked (VERDICT r1 'missing' #1)
+# at least one anchor per operator family; every name must sit in the
+# checked prefix (r5 rotation: the 19 never-driver-checked late-r4
+# queries entered, displacing 19 r4-green queries whose families keep
+# the anchors below — see plans/__init__.py docstring for the full swap)
 FAMILY_REPRESENTATIVES = [
-    "dedup_exact",            # exact dedup
-    "dedup_minhash_lsh",      # fuzzy dedup
-    "dedup_embedding_cosine", # embedding dedup (reworked r2)
-    # (dedup_clusters rotated out in r4b for dedup_semantic — r1-r3
-    # green; CC stays pinned by unit tests and the clusters/star/
-    # keep_canonical driver rows)
-    "dedup_semantic",         # SemDeDup-style semantic dedup (new r4b)
-    "knn_bruteforce",         # similarity search exact
-    "knn_lsh",                # similarity search approximate (reworked r2)
-    "text_token_stats",       # text analysis
-    # (text_chunking rotated out in r4i — r1-r3 green)
-    "dq_profile_orders",      # one-pass column profiling (new r4i)
-    # (text_repetition_stats rotated out in r4f — r1-r3 green; stays
-    # inside corpus_curation_e2e)
-    "text_bigram_logprob",    # interpolated bigram LM ranker (new r4f)
-    # (decontam_ngram_overlap rotated out in r4e — r1-r3 green; lexical
-    # screen stays inside corpus_curation_e2e)
-    "decontam_semantic",      # embedding-level decontamination (new r4e)
-    "sample_temperature",     # temperature source rebalancing (new r2)
-    # (shuffle_shard_assign rotated out in r4i — r1-r3 green)
-    "dq_suite_core",          # data-quality verdict suite (new r4i)
-    # (linkage_edit1_names rotated out in r4e — its pair stage runs
-    # inside the composition below)
-    "linkage_entity_clusters",  # linkage -> CC canonical ids (new r4e)
-    # (sample_stratified_events rotated out in r4 — r3-green; sampling keeps
-    # sample_temperature + shuffle_shard_assign anchors)
-    # (multimodal_payload rotated out in r4g — r1-r3 green)
-    "classify_nearest_centroid",  # Rocchio label audit (new r4g)
-    # (events_tumbling_1h rotated out in r4c for events_attribution —
-    # r1-r3 green; tumbling stays covered by streaming_tumbling_1h)
-    "events_attribution",     # first/last-touch credit (new r4c)
-    # (events_session_5m rotated out in r4j — r1/r3 green)
-    "orders_snapshot_diff",   # full-outer snapshot diff (new r4j)
-    # (streaming_tumbling_1h rotated out in r4h — r3-green)
-    "streaming_interval_join_outer",  # real left-outer stream join (r4h)
-    "skew_salted_join",       # skew handling
-    "boundaries_right_join",  # J1
-    # (union_batch_states rotated out in r4b for skyline_parts —
-    # r1-r3 green; core keeps six anchors)
-    "skyline_parts",          # two-phase Pareto front (new r4b)
-    # (numeric_coerce rotated out in r4d — r3-green, unit-pinned)
-    "orders_winsorized",      # per-group percentile clamping (new r4d)
-    "approx_sketches",        # sketch accuracy contract (oracle added r2)
-    "geo_point_in_polygon",   # ray-cast containment (new r2)
-    # (geo_polygon_stats rotated out in r4c — r2/r3-green; geo keeps
-    # point_in_polygon + polygon_overlap)
-    "events_rolling_median",  # trailing bounded-window median (new r4c)
-    "rates_zero_policy",      # zero-policy parity (changed r2)
-    # r3 rotation: the 9 oracle-backed queries that had never seen a driver row
-    "corpus_curation_e2e",    # end-to-end curation composite
-    # (sketch_rollup_mergeable rotated out in r4g — r3-green)
-    "text_chi2_features",     # chi-squared vocabulary selection (new r4g)
-    # (events_funnel_3step rotated out in r4b for graph_triangles —
-    # r3-green; events keeps nine anchors)
-    "graph_triangles",        # degree-ordered triangle counts (new r4b)
-    # (cohort_retention_weekly rotated out in r4c — r3-green)
-    "events_robust_outliers", # median/MAD modified z-score (new r4c)
-    # (events_top_transitions rotated out in r4 — r3-green; the events
-    # analytics family keeps funnel/cohort plus the two r4 rows below)
-    # (doc_fingerprint rotated out in r4b for text_dsir_logratio —
-    # r3-green; text keeps six anchors)
-    "text_dsir_logratio",     # DSIR importance weights (new r4b)
-    # (text_term_frequency rotated out in r4d — r3-green)
-    "dedup_containment",      # directed n-gram containment (new r4d)
-    # r4 rotation: text_tokens_bpeish left the prefix (tokenization stays
-    # covered by text_token_stats/text_term_frequency); the two promoted
-    # MLlib contracts and the new overlay query joined it
-    "dedup_minhash_ml",       # MLlib MinHashLSH accuracy contract (r4)
-    "knn_ivf",                # KMeans-IVF accuracy contract (r4)
-    "geo_polygon_overlap",    # Sutherland-Hodgman overlay (new r4)
-    "multimodal_video_frames",    # real AVI parse + frame decode (new r4)
-    "multimodal_audio_features",  # real WAV decode + features (new r4)
-    # r4 session additions — one per new operator family
-    "knn_pq_seeded",          # PQ-ADC compressed scan + exact re-rank
-    "knn_ivfpq_seeded",       # FAISS-style IVF-PQ composition
-    "dedup_spans",            # corpus-level span dedup (C4-style)
-    "search_bm25",            # BM25 keyword retrieval
-    "scd2_user_status",       # SCD2 validity-interval history build
-    "cdc_apply_changes",      # MERGE INTO apply (anti-join + union)
-    "streaming_interval_join",  # real stream-stream interval join
-    "graph_pagerank",         # fixed-iteration PageRank
-    "text_unigram_logprob",   # unigram-LM perplexity-proxy quality
-    "ivm_incremental_rollup",  # incremental view maintenance
-    "events_rate_anomaly",    # trailing-window z-score anomaly flags
-    "copurchase_topk",        # item-item co-occurrence recommender
-    "multimodal_image_dhash",  # real BMP round-trip visual fingerprint
+    # dedup
+    "dedup_exact",
+    "dedup_spans",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dedup_containment",
+    "dedup_against_reference",   # cross-corpus incremental (new r5 slot)
+    # similarity search
+    "knn_bruteforce",
+    "knn_lsh",
+    "knn_ivfpq_seeded",
+    # text / quality / decontamination
+    "text_token_stats",
+    "text_unigram_logprob",
+    "corpus_vocab_stats",        # vocabulary stats (new r5 slot)
+    "decontam_semantic",
+    "dq_suite_core",
+    "search_bm25",
+    "linkage_entity_clusters",
+    # sampling
+    "sample_weighted_docs",      # weighted sampling (new r5 slot)
+    "orders_target_encoding",    # leakage-safe target encoding (r5 slot)
+    "classify_nearest_centroid",
+    # media
+    "multimodal_video_frames",
+    "multimodal_image_dhash",
+    "corpus_curation_e2e",
+    # graph
+    "graph_pagerank",
+    # streaming / change-data
+    "streaming_interval_join_outer",
+    "streaming_dedup_events",    # exactly-once repair stream (r5 slot)
+    "streaming_ohlc_hourly",     # stateful stream rollup (r5 slot)
+    "scd2_snapshot_at",          # time travel over SCD2 (r5 slot)
+    "cdc_apply_changes",
+    # events / analytics
+    "events_ohlc_hourly",
+    "events_time_weighted_avg",
+    "events_gaps",
+    "funnel_step_latency",
+    "customer_rfm",
+    "cohort_ltv_weekly",
+    "ab_test_conversion",
+    "copurchase_topk",
+    # drift / profiling
+    "drift_ks_click_vs_error",
+    "drift_psi_purchase_value",
+    "orders_price_histogram",
+    # rollup / joins / core
+    "revenue_share_of_parent",
+    "boundaries_right_join",
+    "bloom_join_prune",
+    "skyline_parts",
+    "orders_winsorized",
+    "skew_salted_join",
+    "geo_polygon_overlap",
+    "approx_sketches",
+    "geo_point_in_polygon",
+    "rates_zero_policy",
 ]
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _driver_checked_union():
+    seen = set()
+    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            seen |= set(json.load(f))
+    return seen
 
 
 def test_prefix_is_fully_oracle_backed():
@@ -119,3 +116,18 @@ def test_flagship_is_first():
 def test_every_query_callable_and_every_oracle_has_query():
     assert all(callable(fn) for fn in QUERIES.values())
     assert set(ORACLE) <= set(QUERIES)
+
+
+def test_no_unverified_tail():
+    """Window hygiene (VERDICT r4 #5): every registered query must have a
+    driver CORRECTNESS row already, or occupy a slot in the current
+    50-query prefix (so the NEXT driver run gives it one). Red means a
+    query was registered without rotating it into the checked window."""
+    seen = _driver_checked_union()
+    prefix = set(list(QUERIES)[:PREFIX_N])
+    tail = sorted(set(QUERIES) - seen - prefix)
+    assert tail == [], (
+        f"queries with no driver row and no prefix slot: {tail} — rotate "
+        "them into _CHECKED_PREFIX (plans/__init__.py) or they will never "
+        "be driver-verified"
+    )
