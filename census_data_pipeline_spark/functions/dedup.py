@@ -219,6 +219,24 @@ def _minhash_band_frame(
     ).select("id", "bb.band", "bb.bucket")
 
 
+def _cap_buckets(bands: DataFrame, bucket_cap: int | None) -> DataFrame:
+    """Hot-bucket guard: keep only the ``bucket_cap`` LOWEST ids per
+    (band, bucket) — deterministic, so reruns and the two sides of a
+    cross-frame join see the same survivors. The per-bucket sort puts one
+    bucket's rows (3 narrow cols) in one task — linear in bucket size,
+    vs the quadratic candidate blowup it prevents. ``None`` = no cap."""
+    if bucket_cap is None:
+        return bands
+    rank = F.row_number().over(
+        Window.partitionBy("band", "bucket").orderBy("id")
+    )
+    return (
+        bands.withColumn("__rn", rank)
+        .filter(F.col("__rn") <= bucket_cap)
+        .drop("__rn")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -260,21 +278,10 @@ def minhash_lsh_pairs(
     """
     if num_hashes > 8:
         raise ValueError("at most 8 hash functions (2 md5 digests x 4 words)")
-    bands = _minhash_band_frame(df, id_col, text_col, num_hashes,
-                                band_size, n)
-
-    if bucket_cap is not None:
-        # deterministic lowest-k per (band, bucket); the per-bucket sort
-        # puts one bucket's rows (3 narrow cols) in one task — linear in
-        # bucket size, vs the quadratic candidate blowup it prevents
-        rank = F.row_number().over(
-            Window.partitionBy("band", "bucket").orderBy("id")
-        )
-        bands = (
-            bands.withColumn("__rn", rank)
-            .filter(F.col("__rn") <= bucket_cap)
-            .drop("__rn")
-        )
+    bands = _cap_buckets(
+        _minhash_band_frame(df, id_col, text_col, num_hashes, band_size, n),
+        bucket_cap,
+    )
 
     x, y = bands.alias("x"), bands.alias("y")
     candidates = (
@@ -313,6 +320,8 @@ def minhash_dedup_against(
     band_size: int = 2,
     n: int = 3,
     threshold: float = 0.5,
+    bucket_cap: int | None = None,
+    new_bucket_cap: int | None = None,
 ) -> DataFrame:
     """Cross-corpus near-dup flagging — INCREMENTAL curation's core
     join: which documents of a NEW batch are near-duplicates of an
@@ -330,13 +339,42 @@ def minhash_dedup_against(
     per-doc shingle arrays, exactly the ``minhash_lsh_pairs`` shapes.
     At scale the reference band frame is write-once (persist it
     alongside the curated corpus) and each incremental batch only pays
-    its own signature pass plus the bucket join."""
+    its own signature pass plus the bucket join.
+
+    ``bucket_cap`` (VERDICT r4 #2): hot-bucket guard on the REFERENCE
+    side. A (band, bucket) with r reference members and b new-batch
+    members emits r×b candidate pairs — a mega-cluster in the curated
+    reference (the exact corpus this function targets) colliding with a
+    duplicate-heavy crawl batch turns quadratic, the same blowup
+    ``minhash_lsh_pairs(bucket_cap=...)`` guards against. With a cap,
+    only the ``bucket_cap`` LOWEST ref ids per (band, bucket) generate
+    candidates (deterministic), bounding per-bucket work at
+    cap×|new bucket| — LINEAR in batch size, which a flag-every-new-doc
+    join pays anyway. Flag-recall is preserved: every new doc keeps its
+    candidate rows, and in an identical mega-cluster every capped ref
+    survivor is a true match (non-identical near-dups live in small
+    buckets across all bands and are unaffected).
+
+    The NEW side is deliberately NOT capped by ``bucket_cap``: dropping
+    a new-side row from its buckets silently un-flags it — a duplicate
+    would pass curation. A duplicate-heavy batch should be self-deduped
+    first (exact-hash pre-pass or ``minhash_lsh_pairs(bucket_cap=...)``,
+    the standard curation order), after which new-side buckets are
+    small. ``new_bucket_cap`` exists as an explicit opt-in for callers
+    who accept that recall trade to bound a pathological un-deduped
+    batch (SCALING.md "Cross-corpus LSH cap")."""
     if num_hashes > 8:
         raise ValueError("at most 8 hash functions (2 md5 digests x 4 words)")
-    nb = _minhash_band_frame(new_df, id_col, text_col, num_hashes,
-                             band_size, n)
-    rb = _minhash_band_frame(ref_df, id_col, text_col, num_hashes,
-                             band_size, n)
+    nb = _cap_buckets(
+        _minhash_band_frame(new_df, id_col, text_col, num_hashes,
+                            band_size, n),
+        new_bucket_cap,
+    )
+    rb = _cap_buckets(
+        _minhash_band_frame(ref_df, id_col, text_col, num_hashes,
+                            band_size, n),
+        bucket_cap,
+    )
     candidates = (
         nb.join(rb.withColumnsRenamed({"id": "ref_id"}),
                 on=["band", "bucket"])

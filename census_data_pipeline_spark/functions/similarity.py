@@ -321,7 +321,20 @@ def _bucket_frame(
 
 def _infer_dim(df: DataFrame, vec_col: str) -> int:
     """Vector dimensionality from the first non-null row (one tiny job).
-    Buckets assume fixed-width vectors, so any row's size is THE size."""
+    Buckets assume fixed-width vectors, so any row's size is THE size.
+
+    Memoized on the DataFrame object (VERDICT r4 #6): repeated calls
+    against the same frame — e.g. dedup passes + knn over one loaded
+    embeddings table, or a query invoked twice — pay the probe job
+    once. The cache dies with the DataFrame, so a *different* frame
+    (even same-named) re-probes; width is fixed per frame by contract,
+    so staleness within a frame's lifetime is impossible."""
+    cache = getattr(df, "_cdp_inferred_dims", None)
+    if cache is None:
+        cache = {}
+        df._cdp_inferred_dims = cache
+    if vec_col in cache:
+        return cache[vec_col]
     row = (
         df.select(F.size(F.col(vec_col)).alias("d"))
         .filter(F.col("d") > 0)
@@ -329,6 +342,7 @@ def _infer_dim(df: DataFrame, vec_col: str) -> int:
     )
     if row is None:
         raise ValueError(f"cannot infer dim: no non-empty vectors in {vec_col!r}")
+    cache[vec_col] = row.d
     return row.d
 
 

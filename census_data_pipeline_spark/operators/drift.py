@@ -141,6 +141,8 @@ def equidepth_histogram(
     df: DataFrame,
     value_col: str,
     n_bins: int = 10,
+    approx: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Equi-depth (quantile-bucketed) histogram — the distribution
     summary optimizers and dashboards both want: ``n_bins`` buckets
@@ -153,19 +155,44 @@ def equidepth_histogram(
     One percentile aggregation (a 1-row broadcast edges frame) + one
     map-side bin assignment + one grouped agg — the corpus never
     shuffles except for the final ≤``n_bins``-row aggregate. NULLs are
-    excluded (no bucket holds them)."""
+    excluded (no bucket holds them).
+
+    ``approx`` is the 100 TB lever (VERDICT r4 #3, same discipline as
+    ``normalize`` / ``robust_outliers`` / ``profile_columns``): exact
+    ``F.percentile`` funnels EVERY value into one final aggregation
+    buffer — the ``n_bins`` edges are exact, correct for oracle parity
+    at test SF, but the single-buffer sort is an OOM at 100×. With
+    ``approx=True`` the edges come from ``percentile_approx`` (KLL-style
+    mergeable sketch, bounded memory ∝ ``accuracy``, rank error
+    ≤ 1/accuracy) — buckets are then (1−ε)-balanced rather than exact,
+    which is what a statistics collector wants at scale. Bin counts /
+    lo / hi / mean remain EXACT for whichever edges were drawn; only
+    edge placement is approximate (SCALING.md "Exact percentiles")."""
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
     qs = [i / n_bins for i in range(1, n_bins)]
     base = df.filter(F.col(value_col).isNotNull()).select(
         F.col(value_col).cast("double").alias("__v")
     )
-    edges_row = base.agg(
-        *[
-            F.round(F.percentile("__v", F.lit(q)), 6).alias(f"__e{i}")
-            for i, q in enumerate(qs)
-        ]
-    )
+    if approx:
+        pct = base.agg(
+            F.percentile_approx(
+                "__v", F.array(*[F.lit(q) for q in qs]), F.lit(accuracy)
+            ).alias("__qs")
+        )
+        edges_row = pct.select(
+            *[
+                F.round(F.col("__qs")[i], 6).alias(f"__e{i}")
+                for i in range(len(qs))
+            ]
+        )
+    else:
+        edges_row = base.agg(
+            *[
+                F.round(F.percentile("__v", F.lit(q)), 6).alias(f"__e{i}")
+                for i, q in enumerate(qs)
+            ]
+        )
     b = F.lit(1)
     for i in range(len(qs)):
         b = b + F.when(F.col("__v") > F.col(f"__e{i}"), 1).otherwise(0)

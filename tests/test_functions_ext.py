@@ -240,6 +240,41 @@ def test_knn_lsh_default_is_seeded_family(spark):
     )
 
 
+def test_infer_dim_memoized_per_frame(spark, monkeypatch):
+    """VERDICT r4 #6: the dim probe is one driver-side .first() job per
+    (DataFrame, col) — repeated knn_lsh calls over the same loaded frame
+    must pay it ONCE. Count probe jobs by instrumenting DataFrame.first;
+    a fresh frame re-probes (cache lives on the object)."""
+    vecs = [(i, [float(i), 1.0, 2.0, 3.0]) for i in range(5)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    # patch the CONCRETE class (Spark 4: pyspark.sql.classic.dataframe
+    # .DataFrame overrides the pyspark.sql.DataFrame base method)
+    cls = type(df)
+    probes = []
+    orig = cls.first
+
+    def counting_first(self):
+        probes.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(cls, "first", counting_first)
+    assert similarity._infer_dim(df, "embedding") == 4
+    assert similarity._infer_dim(df, "embedding") == 4
+    assert len(probes) == 1  # second call served from the frame's cache
+    # a different frame (even identical contents) probes again
+    df2 = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    assert similarity._infer_dim(df2, "embedding") == 4
+    assert len(probes) == 2
+    # end-to-end: two default knn_lsh calls over one fresh corpus frame
+    # -> exactly one probe job total
+    probes.clear()
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = corpus.limit(1)
+    similarity.knn_lsh(corpus, q, k=2, nbits=4).collect()
+    similarity.knn_lsh(corpus, q, k=2, nbits=4).collect()
+    assert len(probes) == 1
+
+
 def test_bucket_frame_drops_null_vectors(spark):
     """ADVICE r3: null-vector rows (null column or null element) must not
     enter the bucket frame — otherwise coalesce('') pools them into one

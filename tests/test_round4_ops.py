@@ -780,6 +780,65 @@ def test_dedup_against_reference_no_self_pairs(spark):
     assert 2 not in out and 3 not in out  # new-vs-new pairs NOT flagged
 
 
+def test_dedup_against_reference_bucket_cap_adversarial(spark):
+    """SCALING.md 'Cross-corpus LSH cap' (VERDICT r4 #2): a mega-cluster
+    in the curated reference colliding with a duplicate-heavy crawl
+    batch would emit r×b candidates per bucket. bucket_cap keeps the 8
+    lowest ref ids per (band, bucket) — candidates drop to 8×b (linear
+    in batch size) — while flag-recall is PRESERVED: every new dup still
+    matches a capped survivor, and the non-identical near-dup pair in a
+    small bucket is untouched. new_bucket_cap is the explicit opt-in
+    that trades recall (un-flags capped-away new rows) for a bound on a
+    pathological un-deduped batch."""
+    from census_data_pipeline_spark.functions.dedup import (
+        _cap_buckets,
+        _minhash_band_frame,
+        minhash_dedup_against,
+    )
+    import pyspark.sql.functions as F
+
+    mega = "dup dup text common words here now"
+    ref = spark.createDataFrame(
+        [(100 + i, mega) for i in range(60)]          # ref mega-cluster
+        + [(900, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"),    # near-dup target
+           (901, "totally unrelated reference words")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(i, mega) for i in range(1, 41)]             # duplicate-heavy batch
+        + [(50, "w0 w1 w2 w3 w4 w5 w6 w7 w8 zz"),     # near-dup of 900
+           (60, "brand new words nothing shared")],
+        "doc_id long, text string",
+    )
+
+    # the cap bounds the ref band frame itself: <= 8 rows per (band, bucket)
+    capped_bands = _cap_buckets(
+        _minhash_band_frame(ref, "doc_id", "text", 8, 2, 3), 8
+    )
+    per_bucket = capped_bands.groupBy("band", "bucket").count()
+    assert per_bucket.agg(F.max("count")).first()[0] <= 8
+    # so cross-join candidates are <= 8 x |new bucket| instead of 60 x 40
+
+    uncapped = {r.id: (r.ref_id, r.jaccard) for r in minhash_dedup_against(
+        new, ref, n=3, threshold=0.5).collect()}
+    capped = {r.id: (r.ref_id, r.jaccard) for r in minhash_dedup_against(
+        new, ref, n=3, threshold=0.5, bucket_cap=8).collect()}
+    # recall preserved exactly: all 40 dups flagged (best ref = lowest id
+    # 100 survives any cap), near-dup 50 -> 900 flagged, 60 clean
+    assert capped == uncapped
+    assert set(capped) == set(range(1, 41)) | {50}
+    assert all(capped[i] == (100, 1.0) for i in range(1, 41))
+    assert capped[50][0] == 900 and 0.5 <= capped[50][1] < 1.0
+
+    # new_bucket_cap is the documented recall trade: only the 8 lowest
+    # new ids in the mega-bucket keep their flags; the near-dup (small
+    # bucket) is unaffected
+    both = {r.id for r in minhash_dedup_against(
+        new, ref, n=3, threshold=0.5, bucket_cap=8, new_bucket_cap=8
+    ).collect()}
+    assert both == set(range(1, 9)) | {50}
+
+
 # -- equi-depth histogram -------------------------------------------------
 def test_equidepth_histogram_balanced_and_total(spark):
     from census_data_pipeline_spark.operators.drift import equidepth_histogram
@@ -794,6 +853,31 @@ def test_equidepth_histogram_balanced_and_total(spark):
     for a, b in zip(bins, bins[1:]):
         assert a.hi < b.lo or a.hi <= b.lo
     assert bins[0].lo == 0.0 and bins[-1].hi == 999.0
+
+
+def test_equidepth_histogram_approx_mode_balanced(spark):
+    """VERDICT r4 #3: approx=True swaps the exact single-buffer
+    percentile for the mergeable percentile_approx sketch. Buckets must
+    stay (1-eps)-balanced (rank error <= n/accuracy -> here exact-rank,
+    so allow the same tolerance band as exact), tile the range, and
+    cover every row; exact mode is unchanged."""
+    from census_data_pipeline_spark.operators.drift import equidepth_histogram
+
+    df = spark.createDataFrame([(float(i),) for i in range(1000)], "v double")
+    out = {r.bin: r for r in
+           equidepth_histogram(df, "v", 10, approx=True).collect()}
+    assert len(out) == 10
+    assert sum(r.n for r in out.values()) == 1000
+    # accuracy=10000 over 1000 rows -> rank error <= 1 row per edge
+    assert all(90 <= r.n <= 110 for r in out.values())
+    bins = [out[i] for i in sorted(out)]
+    for a, b in zip(bins, bins[1:]):
+        assert a.hi <= b.lo
+    assert bins[0].lo == 0.0 and bins[-1].hi == 999.0
+
+    # exact mode still produces the identical result it always did
+    exact = {(r.bin, r.n) for r in equidepth_histogram(df, "v", 10).collect()}
+    assert exact == {(i + 1, 100) for i in range(10)}
 
 
 def test_equidepth_histogram_excludes_nulls_and_validates(spark):
