@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Streaming benchmark (VERDICT r4 #8): the REAL Structured Streaming
+queries are excluded from bench.py by design — their cost is state-store
+plus micro-batch machinery, not engine operators — so this artifact
+measures them separately: end-to-end wall (stage parquet -> stream ->
+drain memory sink -> read result), micro-batch count, input rows, and
+peak state-store rows.
+
+Metrics come from a ``StreamingQueryListener`` attached to the session:
+each micro-batch emits a progress event carrying ``batchId``,
+``numInputRows`` and per-stateful-operator ``numRowsTotal`` — the same
+numbers the Spark UI's streaming tab shows, so the artifact reflects
+what an operator would see in production monitoring.
+
+Prints ONE JSON line:
+  {"metric": "streaming_query_wall_total", "value": N, "unit": "sec",
+   "queries": {name: {"wall_sec": s, "out_rows": n, "micro_batches": b,
+                      "input_rows": i, "state_rows_peak": r}}, "sf": f}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql.streaming import StreamingQueryListener  # noqa: E402
+
+from census_data_pipeline_spark.plans import QUERIES  # noqa: E402
+from census_data_pipeline_spark.session import get_spark  # noqa: E402
+
+# every registered query that runs a real writeStream (micro-batch
+# execution against a state store), in registration order
+STREAMING_QUERIES = [
+    "streaming_tumbling_1h",
+    "streaming_enriched_rollup",
+    "streaming_interval_join",
+    "streaming_interval_join_outer",
+    "streaming_dedup_events",
+    "streaming_ohlc_hourly",
+]
+
+
+class _ProgressCollector(StreamingQueryListener):
+    """Accumulates every query-progress event on the session. Events are
+    delivered asynchronously on the listener bus — callers snapshot
+    ``len(events)`` around a run and settle briefly after stop()."""
+
+    def __init__(self) -> None:
+        self.events: list[dict] = []
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        self.events.append(json.loads(event.progress.json))
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+
+def _settle(collector: _ProgressCollector, n_before: int) -> list[dict]:
+    """Wait (bounded) for the listener bus to drain, then return the
+    events appended since the snapshot."""
+    deadline = time.time() + 5.0
+    last = -1
+    while time.time() < deadline:
+        now = len(collector.events)
+        if now == last and now > n_before:
+            break
+        last = now
+        time.sleep(0.2)
+    return collector.events[n_before:]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+    spark = get_spark(app_name="bench_streaming")
+    collector = _ProgressCollector()
+    spark.streams.addListener(collector)
+
+    results: dict[str, dict] = {}
+    for name in STREAMING_QUERIES:
+        n_before = len(collector.events)
+        t0 = time.perf_counter()
+        out_rows = QUERIES[name](spark, sf_dir).count()
+        wall = time.perf_counter() - t0
+        progresses = _settle(collector, n_before)
+        batch_ids = {p.get("batchId") for p in progresses
+                     if p.get("numInputRows", 0) > 0}
+        input_rows = sum(p.get("numInputRows", 0) for p in progresses)
+        state_peak = max(
+            (
+                sum(op.get("numRowsTotal", 0)
+                    for op in p.get("stateOperators", []))
+                for p in progresses
+            ),
+            default=0,
+        )
+        results[name] = {
+            "wall_sec": round(wall, 3),
+            "out_rows": out_rows,
+            "micro_batches": len(batch_ids),
+            "input_rows": input_rows,
+            "state_rows_peak": state_peak,
+        }
+
+    total = round(sum(r["wall_sec"] for r in results.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "streaming_query_wall_total",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

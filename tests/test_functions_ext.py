@@ -1689,6 +1689,154 @@ def test_decode_gif_failure_modes():
         decode_image(good[:13 + 6] + b"\x3b")
 
 
+def _gif_lzw_blocks(indices, size):
+    """mcs byte + chunked 'uncompressed' LZW data + block terminator for
+    an index grid — the same root-codes-only scheme as _encode_gif."""
+    mcs = max(2, (size - 1).bit_length())
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width_bits = mcs + 1
+    budget = (1 << width_bits) - end - 2
+    codes, pending = [clear], 0
+    for row in indices:
+        for v in row:
+            if pending >= budget:
+                codes.append(clear)
+                pending = 0
+            codes.append(v)
+            pending += 1
+    codes.append(end)
+    acc = nbits = 0
+    data = bytearray()
+    for code in codes:
+        acc |= code << nbits
+        nbits += width_bits
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    out = bytearray([mcs])
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00"
+    return bytes(out)
+
+
+def _encode_gif_anim(width, height, palette, frames, bg=0):
+    """Multi-frame GIF89a with per-frame Graphic Control Extensions:
+    each frame is {left, top, indices, disposal, transparent} — the
+    partial-frame/disposal fixture _encode_gif can't express."""
+    import struct
+
+    size = 2
+    while size < len(palette):
+        size *= 2
+    pal_bytes = bytearray()
+    for i in range(size):
+        rgb = palette[i] if i < len(palette) else (0, 0, 0)
+        pal_bytes += bytes(rgb)
+    gct_bits = size.bit_length() - 2
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | gct_bits, bg, 0)
+    out += pal_bytes
+    for f in frames:
+        disposal = f.get("disposal", 0)
+        transparent = f.get("transparent")
+        flags = (disposal << 2) | (1 if transparent is not None else 0)
+        out += b"\x21\xf9\x04" + bytes([flags, 0, 0, transparent or 0])
+        out += b"\x00"
+        idx = f["indices"]
+        fh, fw = len(idx), len(idx[0])
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", f.get("left", 0), f.get("top", 0), fw, fh, 0
+        )
+        out += _gif_lzw_blocks(idx, size)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_disposal_composition_golden():
+    """VERDICT r4 #7: partial frames must composite onto the accumulated
+    canvas per the GCE — transparency shows the canvas through, disposal
+    2 restores the frame rectangle to background, disposal 3 restores it
+    to the pre-frame canvas."""
+    import numpy as np
+
+    from census_data_pipeline_spark.functions.multimodal import (
+        decode_gif_composited,
+    )
+
+    BG, RED, GRN, BLU = (10, 10, 10), (255, 0, 0), (0, 255, 0), (0, 0, 255)
+    pal = [BG, RED, GRN, BLU]
+    anim = _encode_gif_anim(4, 4, pal, [
+        # frame 1: full red screen, leave in place
+        {"indices": [[1] * 4 for _ in range(4)], "disposal": 0},
+        # frame 2: 2x2 at (1,1), transparent index 0, then restore the
+        # rectangle to background
+        {"left": 1, "top": 1, "indices": [[2, 0], [0, 3]],
+         "disposal": 2, "transparent": 0},
+        # frame 3: 1x1 green at (0,0), restore-to-previous
+        {"left": 0, "top": 0, "indices": [[2]], "disposal": 3},
+        # frame 4: 1x1 blue at (3,3)
+        {"left": 3, "top": 3, "indices": [[3]]},
+    ])
+    frames = decode_gif_composited(anim)
+    assert len(frames) == 4 and frames[0].shape == (4, 4, 3)
+
+    f1 = np.array([[RED] * 4] * 4, np.uint8)
+    assert (frames[0] == f1).all()
+
+    # frame 2 draws only its opaque pixels onto the red canvas
+    f2 = f1.copy()
+    f2[1, 1], f2[2, 2] = GRN, BLU          # opaque
+    assert (frames[1] == f2).all()         # (1,2),(2,1) still red
+
+    # frame 2's disposal=2 wiped its 2x2 rectangle to BG before frame 3
+    f3 = f1.copy()
+    f3[1:3, 1:3] = BG
+    f3[0, 0] = GRN
+    assert (frames[2] == f3).all()
+
+    # frame 3's disposal=3 restored (0,0) to pre-frame (red)
+    f4 = f1.copy()
+    f4[1:3, 1:3] = BG
+    f4[3, 3] = BLU
+    assert (frames[3] == f4).all()
+
+
+def test_gif_composited_matches_decode_for_full_frames():
+    """Full-frame animations: composition degenerates to independent
+    decode — pin against _decode_gif on the split frames."""
+    import numpy as np
+
+    from census_data_pipeline_spark.functions.multimodal import (
+        decode_gif_composited,
+        decode_image,
+        decode_video_frames,
+    )
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 7, 7)]
+    f1 = [[0, 1], [2, 3]]
+    f2 = [[3, 2], [1, 0]]
+    anim = _encode_gif_anim(2, 2, pal, [
+        {"indices": f1}, {"indices": f2},
+    ])
+    composed = decode_gif_composited(anim)
+    split = [decode_image(p) for p in decode_video_frames(anim)]
+    assert len(composed) == len(split) == 2
+    for c, s in zip(composed, split):
+        assert (c == s).all()
+    # out-of-bounds frame placement is an error, not silent clipping
+    import pytest as _pytest
+    bad = _encode_gif_anim(2, 2, pal, [
+        {"left": 1, "top": 1, "indices": [[0, 1], [2, 3]]},
+    ])
+    with _pytest.raises(ValueError):
+        decode_gif_composited(bad)
+
+
 def test_gif_animation_frames_split_and_decode():
     import numpy as np
 
