@@ -1,0 +1,212 @@
+#!/usr/bin/env python
+"""Amplified-data scale rehearsal (VERDICT r4 #4): the 2× perf gate runs
+at sf0.1 and every 100 TB claim is plan-shape reasoning — this script
+MEASURES how the five heaviest families scale by running them at 1× and
+10× of sf0.1, where the 10× corpus is a deterministic union of
+key-shifted copies plus one adversarial mega-duplicate cluster.
+
+Amplification model (all deterministic, no RNG):
+- documents ×10: copy k shifts doc_id by k·10⁷ and suffixes every TOKEN
+  with a per-copy marker, so copies are NOT near-duplicates of each
+  other (realistic growth: new content at the same internal
+  duplicate-rate), while each copy preserves sf0.1's own dup structure.
+- adversarial mega-cluster: n identical documents (n scales with the
+  corpus: 200 at 1×, 2000 at 10×) — the exact shape that turns banded
+  LSH quadratic, present at BOTH scales so capped-vs-uncapped deltas
+  are apples-to-apples.
+- embeddings ×10: vec_id shift + deterministic per-copy element offset
+  (copies are near but not identical vectors).
+- purchase graph ×10: key-shifted custkey/suppkey per copy — ten
+  disconnected copies of the real orders⋈lineitem graph.
+
+For each family: min-of-2 wall at each scale, scaling exponent
+α = log(t₁₀/t₁)/log(10) (α=1 linear, α=2 quadratic). Emits one JSON
+line and a markdown table for SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+from functools import reduce
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from census_data_pipeline_spark.session import get_spark  # noqa: E402
+from census_data_pipeline_spark.functions import (  # noqa: E402
+    dedup,
+    graph,
+    similarity,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+MEGA_TEXT = "dup dup boilerplate license blurb repeated across the crawl " * 5
+
+
+def _salt_tokens(text_col, k: int):
+    """Suffix every token with a per-copy marker — shingles of copy k
+    are disjoint from copy j's, so amplification adds VOLUME, not
+    cross-copy near-duplicates."""
+    if k == 0:
+        return F.col(text_col)
+    return F.array_join(
+        F.transform(F.split(F.col(text_col), " "),
+                    lambda x: F.concat(x, F.lit(f"§{k}"))),
+        " ",
+    )
+
+
+def amplify_docs(docs: DataFrame, copies: int, mega: int) -> DataFrame:
+    parts = [
+        docs.select(
+            (F.col("doc_id") + k * 10_000_000).alias("doc_id"),
+            _salt_tokens("text", k).alias("text"),
+        )
+        for k in range(copies)
+    ]
+    spark = docs.sparkSession
+    mega_df = spark.range(mega).select(
+        (F.col("id") + 900_000_000).alias("doc_id"),
+        F.lit(MEGA_TEXT).alias("text"),
+    )
+    return reduce(DataFrame.unionAll, parts + [mega_df])
+
+
+def amplify_embeddings(emb: DataFrame, copies: int) -> DataFrame:
+    parts = [
+        emb.select(
+            (F.col("vec_id") + k * 10_000_000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x + F.lit(0.001 * k) * ((i % 7) - 3),
+            ).alias("embedding"),
+        )
+        for k in range(copies)
+    ]
+    return reduce(DataFrame.unionAll, parts)
+
+
+def amplify_edges(edges: DataFrame, copies: int) -> DataFrame:
+    parts = [
+        edges.select(
+            F.concat(F.lit(f"k{k}_"), "src").alias("src"),
+            F.concat(F.lit(f"k{k}_"), "dst").alias("dst"),
+        )
+        for k in range(copies)
+    ]
+    return reduce(DataFrame.unionAll, parts)
+
+
+def timed(build, runs: int = 2) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        build().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale_rehearsal")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges1 = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), "o_custkey").alias("src"),
+            F.concat(F.lit("s"), "l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+
+    # materialize both scales once so amplification cost isn't timed
+    scales = {}
+    for label, copies, mega in (("1x", 1, 200), ("10x", 10, 2000)):
+        d = amplify_docs(docs, copies, mega).localCheckpoint()
+        e = amplify_embeddings(emb, copies).localCheckpoint()
+        g = amplify_edges(edges1, copies).localCheckpoint()
+        scales[label] = (d, e, g)
+        print(
+            f"# scale {label}: docs={d.count()} emb={e.count()} "
+            f"edges={g.count()}",
+            file=sys.stderr,
+        )
+
+    def fam_minhash_capped(d, e, g):
+        return dedup.minhash_lsh_pairs(d, threshold=0.5, bucket_cap=8)
+
+    def fam_minhash_uncapped(d, e, g):
+        return dedup.minhash_lsh_pairs(d, threshold=0.5)
+
+    def fam_cross_corpus(d, e, g):
+        ref = d.filter(F.col("doc_id") % 3 == 0)
+        new = d.filter(F.col("doc_id") % 3 != 0)
+        return dedup.minhash_dedup_against(new, ref, threshold=0.5,
+                                           bucket_cap=8)
+
+    def fam_cc_star(d, e, g):
+        pairs = dedup.minhash_lsh_pairs(d, threshold=0.5, bucket_cap=8)
+        return dedup.dup_clusters(pairs, algorithm="star")
+
+    def fam_span_dedup(d, e, g):
+        return dedup.span_dedup(d, span_tokens=16)
+
+    def fam_pagerank(d, e, g):
+        return graph.pagerank(g, iterations=5, broadcast_ranks=True)
+
+    def fam_ivfpq(d, e, g):
+        q = e.filter(F.col("vec_id") < 50)
+        return similarity.knn_ivfpq_seeded(e, q, k=10)
+
+    families = {
+        "minhash_lsh_capped": fam_minhash_capped,
+        "minhash_lsh_uncapped": fam_minhash_uncapped,
+        "cross_corpus_dedup": fam_cross_corpus,
+        "cc_star": fam_cc_star,
+        "span_dedup": fam_span_dedup,
+        "pagerank": fam_pagerank,
+        "ivfpq": fam_ivfpq,
+    }
+
+    results: dict[str, dict] = {}
+    for name, fn in families.items():
+        row: dict = {}
+        for label in ("1x", "10x"):
+            d, e, g = scales[label]
+            row[label] = round(timed(lambda: fn(d, e, g)), 3)
+            print(f"# {name} @{label}: {row[label]} s", file=sys.stderr)
+        row["exponent"] = round(
+            math.log(max(row["10x"], 1e-9) / max(row["1x"], 1e-9))
+            / math.log(10.0),
+            3,
+        )
+        results[name] = row
+
+    print(json.dumps({"sf_base": SF_DIR, "families": results}))
+    print("\n| family | 1x (s) | 10x (s) | exponent |", file=sys.stderr)
+    print("|---|---|---|---|", file=sys.stderr)
+    for name, row in results.items():
+        print(
+            f"| {name} | {row['1x']} | {row['10x']} | {row['exponent']} |",
+            file=sys.stderr,
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
