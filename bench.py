@@ -136,9 +136,16 @@ HEADLINE_NEW: list[str] = [
     "cohort_ltv_weekly",
     "dedup_against_reference",
     "orders_price_histogram",
-    # streaming_interval_join is excluded like the other REAL-streaming
-    # queries (streaming_tumbling_1h, streaming_enriched_rollup): their
-    # cost is state-store + micro-batch machinery, not engine operators
+    # r5 additions
+    "text_bpe_merges",
+    "text_pmi_pairs",
+    "mine_hard_negatives",
+    "search_hybrid_rrf",
+    # REAL-streaming queries (streaming_tumbling_1h,
+    # streaming_enriched_rollup, both interval joins, streaming_dedup,
+    # streaming_ohlc) are excluded here by design — their cost is
+    # state-store + micro-batch machinery, not engine operators — and
+    # measured separately by bench_streaming.py (BENCH_STREAMING_r05).
 ]
 
 HEADLINE = HEADLINE_R02 + HEADLINE_NEW

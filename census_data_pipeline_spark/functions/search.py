@@ -154,3 +154,45 @@ def bm25_oracle_sql(
     SELECT doc_id, score, n_matched, n_tokens
     FROM s ORDER BY score DESC, doc_id LIMIT {k}
     """
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rrf_k: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009) — the
+    standard hybrid-retrieval combiner (RAG pipelines fuse BM25 and
+    vector ranks this way): score(d) = Σ_r 1/(rrf_k + rank_r(d)) over
+    the retrievers that returned d. Rank-based, so the retrievers'
+    incomparable score scales never need calibration. Output:
+    (id_col, rrf_score, n_retrievers, best_rank), top ``k`` by
+    (rrf_score desc, id).
+
+    Scale shape: each input is an already-truncated top-k frame (a few
+    dozen rows), so the union + groupBy + TakeOrderedAndProject here is
+    driver-trivial; the heavy lifting happened inside the retrievers,
+    which keep their own scale disciplines."""
+    if not ranked:
+        raise ValueError("ranked must be non-empty")
+    tagged = [
+        df.select(F.col(id_col).alias("__id"),
+                  F.col(rank_col).cast("long").alias("__rnk"))
+        for df in ranked
+    ]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionAll(t)
+    fused = u.groupBy("__id").agg(
+        F.round(F.sum(F.lit(1.0) / (F.lit(rrf_k) + F.col("__rnk"))), 6)
+        .alias("rrf_score"),
+        F.count("*").alias("n_retrievers"),
+        F.min("__rnk").alias("best_rank"),
+    )
+    return top_k(
+        fused, by="rrf_score", k=k, tiebreak=["__id"]
+    ).withColumnRenamed("__id", id_col).select(
+        id_col, "rrf_score", "n_retrievers", "best_rank"
+    )

@@ -225,6 +225,62 @@ def knn_bruteforce(
     return _ranked_topk(scored, k)
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the ``k`` most-cosine-similar corpus vectors whose LABEL
+    DIFFERS from the anchor's — the near-miss examples a contrastive or
+    retrieval objective learns the most from (easy negatives are
+    random; hard negatives sit just across the decision boundary).
+    Output: (query_id, neighbor_id, neighbor_label, rank, cosine_sim).
+
+    Exact baseline, same shape as ``knn_bruteforce``: the anchor side is
+    broadcast, the corpus is scanned ONCE with no shuffle, the label
+    inequality is part of the join condition (pruned before scoring),
+    and only (n_anchors × k) rows move afterwards. For anchor sets too
+    large to broadcast, restrict candidates first with the seeded-LSH /
+    IVF cell machinery (`knn_lsh`/`knn_ivf_seeded` composition) and
+    apply the same label filter — identical contract, bounded
+    candidates."""
+    a = anchors.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qn"),
+        F.col(label_col).alias("__qlabel"),
+    )
+    scored = (
+        ensure_parallelism(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                _as_double(F.col(vec_col)).alias("__cvec"),
+                norm(F.col(vec_col)).alias("__cn"),
+                F.col(label_col).alias("neighbor_label"),
+            )
+        )
+        .join(
+            F.broadcast(a),
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("neighbor_label") != F.col("__qlabel")),
+        )
+        .withColumn(
+            "cosine_sim",
+            _cos_precomputed(F.col("__qvec"), F.col("__cvec"),
+                             F.col("__qn"), F.col("__cn")),
+        )
+    )
+    return top_k_per_group(
+        scored, ["query_id"], by="cosine_sim", k=k,
+        tiebreak=["neighbor_id"], rank_col="rank",
+    ).select("query_id", "neighbor_id", "neighbor_label", "rank",
+             "cosine_sim")
+
+
 # The per-(tbl)-row bucket expression: nbits sign bits of seeded random
 # projections, coefficients read from the joined ``__coefs`` DATA column
 # (array<array<double>>, one row per hash table). Index-ordered fold with

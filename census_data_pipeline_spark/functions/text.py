@@ -550,3 +550,168 @@ def chi2_feature_selection(
         .filter(F.col("rank") <= top_k)
         .select("class", "token", "chi2", "rank")
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+) -> DataFrame:
+    """Byte-Pair-Encoding vocabulary training (Sennrich et al. 2016) as
+    DataFrame ops — the tokenizer-training step of an LLM data pipeline.
+    Returns the learned merge table: one row per merge step,
+    ``(step, lhs, rhs, merged, weight)`` where ``weight`` is the
+    frequency-weighted count of the winning adjacent symbol pair.
+
+    Classic BPE trains on the WORD-FREQUENCY table, not the corpus: the
+    single corpus-scale pass here is the whitespace-tokenize + groupBy
+    word count (one shuffle on the word); every merge round then works
+    on the vocabulary-bounded word frame — at 100 TB the corpus pass
+    dominates and the training loop is effectively free. Per round: one
+    pair-count aggregation over the word frame, a deterministic global
+    argmax (max weight, then lexicographically smallest pair), and one
+    broadcast-merge applied via string ``replace``.
+
+    Engine-parity trick (what makes this SQL-oracle-checkable): each
+    word's symbol sequence is one string with DOUBLE-space delimiters
+    ("␠␠a␠␠b␠␠"). The merge pattern "␠a␠␠b␠" consumes only the INNER
+    space of each boundary pair, so a single left-to-right
+    ``replace`` pass implements BPE's greedy non-overlapping merge
+    (including runs like "aaaa" → "aa","aa") and restores the
+    double-space invariant — identical semantics in Spark and DuckDB,
+    no per-row recursion. Rounds are separated by eager
+    ``localCheckpoint`` (the iterative-algorithm discipline: without it
+    each round's 1-row argmax would re-derive every prior round)."""
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    spark = df.sparkSession
+    words = (
+        ensure_parallelism(df)
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    syms = words.select(
+        F.concat(
+            F.lit("  "),
+            F.array_join(
+                F.expr("transform(sequence(1, length(w)), "
+                       "i -> substring(w, i, 1))"),
+                "  ",
+            ),
+            F.lit("  "),
+        ).alias("s"),
+        "freq",
+    ).localCheckpoint(eager=True)
+
+    merge_rows = []
+    for step in range(1, num_merges + 1):
+        pairs = syms.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(split(trim(s), '  ')) >= 2 THEN "
+                    "transform(sequence(1, size(split(trim(s), '  ')) - 1), "
+                    "i -> struct(element_at(split(trim(s), '  '), i) AS a, "
+                    "element_at(split(trim(s), '  '), i + 1) AS b)) "
+                    "ELSE array() END"
+                )
+            ).alias("p"),
+            "freq",
+        )
+        best = (
+            pairs.groupBy(F.col("p.a").alias("lhs"), F.col("p.b").alias("rhs"))
+            .agg(F.sum("freq").alias("weight"))
+            .orderBy(F.col("weight").desc(), "lhs", "rhs")
+            .limit(1)
+            .select(
+                F.lit(step).alias("step"), "lhs", "rhs",
+                F.concat("lhs", "rhs").alias("merged"), "weight",
+            )
+            .localCheckpoint(eager=True)
+        )
+        merge_rows.append(best)
+        syms = (
+            syms.crossJoin(F.broadcast(best.select("lhs", "rhs")))
+            .select(
+                F.expr(
+                    "replace(s, ' ' || lhs || '  ' || rhs || ' ', "
+                    "' ' || lhs || rhs || ' ')"
+                ).alias("s"),
+                "freq",
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def pmi_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 50,
+    min_pairs: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Pointwise mutual information over document-level co-occurrence —
+    the collocation/word-association surface (phrase discovery, topic
+    seeds, embedding sanity checks). For the ``vocab_size`` highest-
+    document-frequency tokens, PMI(a,b) = ln(N·c_ab / (c_a·c_b)) where
+    counts are document PRESENCE (a doc contributes a pair once). Output:
+    the ``top_k`` pairs by (pmi desc, token_a, token_b) with
+    ``c_ab >= min_pairs``, columns (token_a, token_b, n_docs_a,
+    n_docs_b, n_docs_both, pmi).
+
+    Scale shape: one exploded-distinct presence pass (one shuffle on the
+    token), a vocab_size-row top frame broadcast back to prune the
+    presence frame, then a per-document self-join whose fan-out is
+    bounded at C(vocab_size, 2) per doc BY CONSTRUCTION (the vocabulary
+    restriction is the hot-bucket cap of this operator — without it a
+    long document goes quadratic in its distinct tokens). Both top-k
+    cuts are ``orderBy().limit()`` = TakeOrderedAndProject (per-partition
+    top-k, merge at the driver) — never an unpartitioned rank window
+    over the corpus vocabulary. Final aggregation is vocab²-bounded."""
+    pres = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("__d"),
+                F.explode(tokens(text_col)).alias("__t"))
+        .filter(F.col("__t") != "")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dfreq = pres.groupBy("__t").agg(F.count("*").alias("__c"))
+    top = (
+        dfreq.orderBy(F.col("__c").desc(), "__t")
+        .limit(vocab_size)
+        .select("__t", "__c")
+    )
+    pv = pres.join(F.broadcast(top), "__t")
+    n_docs = df.agg(F.countDistinct(id_col).alias("__n"))
+    a = pv.select(F.col("__d"), F.col("__t").alias("token_a"),
+                  F.col("__c").alias("n_docs_a"))
+    b = pv.select(F.col("__d"), F.col("__t").alias("token_b"),
+                  F.col("__c").alias("n_docs_b"))
+    pairs = (
+        a.join(b, "__d")
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b", "n_docs_a", "n_docs_b")
+        .agg(F.count("*").alias("n_docs_both"))
+        .filter(F.col("n_docs_both") >= min_pairs)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token_a", "token_b", "n_docs_a", "n_docs_b", "n_docs_both",
+            F.round(
+                F.log(
+                    F.col("n_docs_both") * F.col("__n")
+                    / (F.col("n_docs_a") * F.col("n_docs_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return pairs.orderBy(
+        F.col("pmi").desc(), "token_a", "token_b"
+    ).limit(top_k)

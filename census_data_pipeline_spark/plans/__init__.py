@@ -171,6 +171,18 @@ _CHECKED_PREFIX = [
     "text_token_stats",
     "text_unigram_logprob",
     "corpus_vocab_stats",
+    # r5 additions (new operators this round — changed/new queries
+    # belong in the prefix; each displaces an r4-green singleton whose
+    # family keeps anchors: text_bpe_merges + text_pmi_pairs take
+    # copurchase_topk's and skyline_parts' slots, mine_hard_negatives
+    # takes geo_polygon_overlap's)
+    "text_bpe_merges",
+    "text_pmi_pairs",
+    "mine_hard_negatives",
+    # search_hybrid_rrf (RRF fusion of BM25 + vector ranks) takes
+    # orders_winsorized's slot (r4-green; winsorize stays unit-pinned
+    # and the percentile family keeps histogram + drift anchors)
+    "search_hybrid_rrf",
     "decontam_semantic",
     "dq_suite_core",
     # r4-green dq_profile_orders rotated out; dq_suite_core anchors dq
@@ -206,7 +218,10 @@ _CHECKED_PREFIX = [
     "customer_rfm",
     "cohort_ltv_weekly",
     "ab_test_conversion",
-    "copurchase_topk",
+    # (copurchase_topk, skyline_parts, geo_polygon_overlap rotated out
+    # for the three r5 operators above — all r4-green; co-occurrence
+    # stays unit-pinned, core keeps boundaries/winsorized/skew anchors,
+    # geo keeps point_in_polygon)
     # drift / profiling — never driver-checked
     "drift_ks_click_vs_error",
     "drift_psi_purchase_value",
@@ -216,10 +231,7 @@ _CHECKED_PREFIX = [
     # joins (r5 in: bloom_join_prune, never driver-checked)
     "boundaries_right_join",
     "bloom_join_prune",
-    "skyline_parts",
-    "orders_winsorized",
     "skew_salted_join",
-    "geo_polygon_overlap",
     "approx_sketches",
     "geo_point_in_polygon",
     "rates_zero_policy",

@@ -2318,3 +2318,186 @@ def multimodal_image_dhash(spark, sf_dir):
             )
 
     return docs.mapInPandas(hash_batch, schema="doc_id long, dhash string")
+
+
+# ---------------------------------------------------------------------------
+# r5: tokenizer training / collocations / contrastive mining
+# ---------------------------------------------------------------------------
+def _bpe_oracle(num_merges: int) -> str:
+    """DuckDB replica of functions/text.bpe_train: the word-frequency
+    table, per-round overlapping pair counts, deterministic argmax
+    (weight desc, then lexicographically smallest pair) and the
+    double-space-delimited replace merge — same string trick, identical
+    greedy left-to-right semantics. One MATERIALIZED CTE chain per
+    round."""
+    parts = [
+        """WITH w0 AS MATERIALIZED (
+      SELECT w, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w),
+    s0 AS MATERIALIZED (
+      SELECT '  ' || array_to_string(list_transform(
+               range(1, length(w) + 1), i -> w[i:i]), '  ') || '  ' AS s,
+             freq
+      FROM w0)"""
+    ]
+    for r in range(1, num_merges + 1):
+        parts.append(f""",
+    p{r} AS (
+      SELECT tk[i] AS lhs, tk[i + 1] AS rhs,
+             CAST(sum(freq) AS BIGINT) AS weight
+      FROM (SELECT tk, freq, unnest(range(1, len(tk))) AS i
+            FROM (SELECT string_split(trim(s, ' '), '  ') AS tk, freq
+                  FROM s{r - 1}))
+      GROUP BY 1, 2),
+    m{r} AS MATERIALIZED (
+      SELECT {r} AS step, lhs, rhs, lhs || rhs AS merged, weight
+      FROM p{r} ORDER BY weight DESC, lhs, rhs LIMIT 1),
+    s{r} AS MATERIALIZED (
+      SELECT replace(s, ' ' || lhs || '  ' || rhs || ' ',
+                     ' ' || lhs || rhs || ' ') AS s, freq
+      FROM s{r - 1}, m{r})""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT step, lhs, rhs, merged, weight FROM m{r}"
+        for r in range(1, num_merges + 1)
+    )
+    parts.append(f"\n    {union}")
+    return "".join(parts)
+
+
+@query("text_bpe_merges", oracle=_bpe_oracle(6))
+def text_bpe_merges(spark, sf_dir):
+    """BPE vocabulary training (functions/text.bpe_train): six merge
+    rounds over the corpus word-frequency table — the tokenizer-training
+    step of an LLM pipeline. One corpus-scale tokenize+count shuffle;
+    every round after that is vocabulary-bounded (pair counts, a 1-row
+    deterministic argmax broadcast, a string-replace merge). Both
+    engines run the identical double-space replace trick, so the learned
+    merge table matches value-for-value."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_train(docs, num_merges=6)
+
+
+@query(
+    "text_pmi_pairs",
+    oracle="""
+    WITH pres AS MATERIALIZED (
+      SELECT DISTINCT doc_id AS d, t FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      WHERE t <> ''),
+    dfreq AS (SELECT t, count(*) AS c FROM pres GROUP BY t),
+    top AS (SELECT t, c FROM dfreq ORDER BY c DESC, t LIMIT 50),
+    pv AS (SELECT p.d, p.t, top.c FROM pres p JOIN top USING (t)),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    pairs AS (
+      SELECT a.t AS token_a, b.t AS token_b, a.c AS n_docs_a,
+             b.c AS n_docs_b, count(*) AS n_docs_both
+      FROM pv a JOIN pv b ON a.d = b.d AND a.t < b.t
+      GROUP BY 1, 2, 3, 4
+      HAVING count(*) >= 3)
+    SELECT token_a, token_b, n_docs_a, n_docs_b, n_docs_both,
+           round(ln(n_docs_both * n.n / (n_docs_a * n_docs_b)), 6) AS pmi
+    FROM pairs, n
+    ORDER BY pmi DESC, token_a, token_b
+    LIMIT 100
+    """,
+)
+def text_pmi_pairs(spark, sf_dir):
+    """Document-level PMI collocations (functions/text.pmi_topk): the
+    word-association surface over the 50 highest-document-frequency
+    tokens. The vocabulary restriction bounds the per-document self-join
+    fan-out by construction; both top-k cuts are TakeOrderedAndProject,
+    never an unpartitioned rank window."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.pmi_topk(docs, vocab_size=50, min_pairs=3, top_k=100)
+
+
+@query(
+    "mine_hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label
+               FROM embeddings WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+                 label AS neighbor_label
+          FROM embeddings),
+    s AS (SELECT query_id, neighbor_id, neighbor_label,
+                 {_COS_SQL} AS cosine_sim
+          FROM q CROSS JOIN c
+          WHERE neighbor_id <> query_id AND neighbor_label <> q.label),
+    r AS (SELECT query_id, neighbor_id, neighbor_label,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC, neighbor_id)
+                 AS "rank",
+                 cosine_sim
+          FROM s)
+    SELECT query_id, neighbor_id, neighbor_label, "rank", cosine_sim
+    FROM r WHERE "rank" <= 5
+    """,
+)
+def mine_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (functions/similarity.hard_negatives): for
+    each anchor embedding, the 5 most-cosine-similar vectors with a
+    DIFFERENT label — the near-miss pairs contrastive training learns
+    most from. Anchor side broadcast, one corpus scan, label inequality
+    inside the join condition; exact scores shared with knn_bruteforce."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 100 == 0)
+    out = similarity.hard_negatives(emb, anchors, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "neighbor_label",
+        F.col("rank").cast("long").alias("rank"), "cosine_sim",
+    )
+
+
+@query(
+    "search_hybrid_rrf",
+    oracle=f"""
+    WITH lexr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+      FROM ({search.bm25_oracle_sql(_BM25_TERMS, k=25)})),
+    semr AS (
+      SELECT neighbor_id AS doc_id,
+             row_number() OVER (ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+      FROM (
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                   WHERE vec_id = 0),
+        c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+              FROM embeddings WHERE vec_id <> 0)
+        SELECT neighbor_id, {_COS_SQL} AS cosine_sim
+        FROM q CROSS JOIN c
+        ORDER BY cosine_sim DESC, neighbor_id LIMIT 25)),
+    u AS (SELECT doc_id, rnk FROM lexr
+          UNION ALL SELECT doc_id, rnk FROM semr),
+    f AS (SELECT doc_id,
+                 round(sum(1.0 / (60 + rnk)), 6) AS rrf_score,
+                 CAST(count(*) AS BIGINT) AS n_retrievers,
+                 CAST(min(rnk) AS BIGINT) AS best_rank
+          FROM u GROUP BY doc_id)
+    SELECT doc_id, rrf_score, n_retrievers, best_rank
+    FROM f ORDER BY rrf_score DESC, doc_id LIMIT 15
+    """,
+)
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via Reciprocal Rank Fusion
+    (functions/search.rrf_fuse): BM25 keyword top-25 fused with exact
+    cosine top-25 from the vec_id=0 anchor embedding — the standard RAG
+    retrieval combiner (rank-based, so the incomparable score scales
+    never need calibration). The rank windows run over the ALREADY
+    truncated 25-row retriever outputs (bounded by construction); each
+    retriever keeps its own scale discipline."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = search.bm25_topk(docs, _BM25_TERMS, k=25).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("score").desc(), "doc_id")
+        ),
+    )
+    sem = (
+        similarity.knn_bruteforce(emb, emb.filter(F.col("vec_id") == 0), k=25)
+        .withColumnRenamed("neighbor_id", "doc_id")
+    )
+    return search.rrf_fuse([lex, sem], rrf_k=60, k=15)

@@ -66,7 +66,11 @@ FAMILY_REPRESENTATIVES = [
     "customer_rfm",
     "cohort_ltv_weekly",
     "ab_test_conversion",
-    "copurchase_topk",
+    # r5 operators (new this round)
+    "text_bpe_merges",
+    "text_pmi_pairs",
+    "mine_hard_negatives",
+    "search_hybrid_rrf",
     # drift / profiling
     "drift_ks_click_vs_error",
     "drift_psi_purchase_value",
@@ -75,10 +79,7 @@ FAMILY_REPRESENTATIVES = [
     "revenue_share_of_parent",
     "boundaries_right_join",
     "bloom_join_prune",
-    "skyline_parts",
-    "orders_winsorized",
     "skew_salted_join",
-    "geo_polygon_overlap",
     "approx_sketches",
     "geo_point_in_polygon",
     "rates_zero_policy",

