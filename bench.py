@@ -138,6 +138,7 @@ HEADLINE_NEW: list[str] = [
     "orders_price_histogram",
     # r5 additions
     "text_bpe_merges",
+    "text_bpe_segment",
     "text_pmi_pairs",
     "mine_hard_negatives",
     "search_hybrid_rrf",

@@ -582,17 +582,34 @@ def bpe_train(
     no per-row recursion. Rounds are separated by eager
     ``localCheckpoint`` (the iterative-algorithm discipline: without it
     each round's 1-row argmax would re-derive every prior round)."""
-    if num_merges < 1:
-        raise ValueError("num_merges must be >= 1")
-    spark = df.sparkSession
-    words = (
+    merge_rows, _syms = _bpe_rounds(_bpe_words(df, text_col), num_merges)
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def _bpe_words(df: DataFrame, text_col: str) -> DataFrame:
+    """(w, freq) word-frequency table — the one corpus-scale pass."""
+    return (
         ensure_parallelism(df)
         .select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
     )
+
+
+def _bpe_rounds(words: DataFrame, num_merges: int):
+    """Shared BPE merge loop over a (w, freq) frame. Returns
+    (merge_rows, final_syms) where merge_rows is a list of 1-row
+    (step, lhs, rhs, merged, weight) frames and final_syms keeps
+    (w, s, freq) — the word key rides along so `bpe_segment` can join
+    the learned segmentation back onto the corpus."""
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
     syms = words.select(
+        "w",
         F.concat(
             F.lit("  "),
             F.array_join(
@@ -631,21 +648,72 @@ def bpe_train(
             .localCheckpoint(eager=True)
         )
         merge_rows.append(best)
+        # LEFT join on true (not crossJoin): if pairs ran out this round,
+        # ``best`` is EMPTY and a cross join would wipe the vocabulary —
+        # the null-lhs branch keeps every word's segmentation as-is
+        # (mirrors the reference implementation's loop break)
         syms = (
-            syms.crossJoin(F.broadcast(best.select("lhs", "rhs")))
+            syms.join(F.broadcast(best.select("lhs", "rhs")),
+                      F.lit(True), "left")
             .select(
-                F.expr(
-                    "replace(s, ' ' || lhs || '  ' || rhs || ' ', "
-                    "' ' || lhs || rhs || ' ')"
-                ).alias("s"),
+                "w",
+                F.when(F.col("lhs").isNull(), F.col("s"))
+                .otherwise(
+                    F.expr(
+                        "replace(s, ' ' || lhs || '  ' || rhs || ' ', "
+                        "' ' || lhs || rhs || ' ')"
+                    )
+                )
+                .alias("s"),
                 "freq",
             )
             .localCheckpoint(eager=True)
         )
-    out = merge_rows[0]
-    for m in merge_rows[1:]:
-        out = out.unionAll(m)
-    return out
+    return merge_rows, syms
+
+
+def bpe_segment(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_merges: int = 8,
+) -> DataFrame:
+    """Train BPE on the corpus (``bpe_train``'s loop) and APPLY the
+    learned segmentation back to every document — the token-counting
+    step a training pipeline runs before packing/budgeting. Returns
+    (id, n_words, n_chars, n_bpe_tokens, chars_per_token) where
+    ``n_bpe_tokens`` is the document's token count under the learned
+    vocabulary and ``chars_per_token`` the achieved compression.
+
+    Scale shape: the word-frequency pass (one corpus shuffle), the
+    vocabulary-bounded merge rounds, then ONE more corpus pass — tokens
+    joined to the vocab-sized (word → subtoken-count) frame (AQE
+    broadcasts it) and a per-doc aggregate. The corpus never carries
+    symbol strings; only the word key moves."""
+    words = _bpe_words(df, text_col)
+    _merges, syms = _bpe_rounds(words, num_merges)
+    vocab = syms.select(
+        "w",
+        F.size(F.split(F.trim(F.col("s")), "  ")).cast("long").alias("__nsub"),
+    )
+    tok = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(F.split(F.col(text_col), " "))
+                .alias("w"))
+        .filter(F.col("w") != "")
+    )
+    return (
+        tok.join(vocab, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("w")).alias("n_chars"),
+            F.sum("__nsub").alias("n_bpe_tokens"),
+            F.round(
+                F.sum(F.length("w")) / F.sum("__nsub"), 6
+            ).alias("chars_per_token"),
+        )
+    )
 
 
 def pmi_topk(

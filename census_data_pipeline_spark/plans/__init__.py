@@ -177,6 +177,10 @@ _CHECKED_PREFIX = [
     # copurchase_topk's and skyline_parts' slots, mine_hard_negatives
     # takes geo_polygon_overlap's)
     "text_bpe_merges",
+    # text_bpe_segment (train+apply token counting) takes search_bm25's
+    # slot: r4-green, and search_hybrid_rrf below runs the full BM25
+    # scoring pipeline inside its lexical arm (subsumption)
+    "text_bpe_segment",
     "text_pmi_pairs",
     "mine_hard_negatives",
     # search_hybrid_rrf (RRF fusion of BM25 + vector ranks) takes
@@ -186,7 +190,6 @@ _CHECKED_PREFIX = [
     "decontam_semantic",
     "dq_suite_core",
     # r4-green dq_profile_orders rotated out; dq_suite_core anchors dq
-    "search_bm25",
     "linkage_entity_clusters",
     # §2.11 sampling (r5: sample_temperature rotated out, r1-r4 green;
     # the two never-checked sampling entrants take the slots)

@@ -2323,20 +2323,22 @@ def multimodal_image_dhash(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # r5: tokenizer training / collocations / contrastive mining
 # ---------------------------------------------------------------------------
-def _bpe_oracle(num_merges: int) -> str:
-    """DuckDB replica of functions/text.bpe_train: the word-frequency
-    table, per-round overlapping pair counts, deterministic argmax
-    (weight desc, then lexicographically smallest pair) and the
-    double-space-delimited replace merge — same string trick, identical
-    greedy left-to-right semantics. One MATERIALIZED CTE chain per
-    round."""
+def _bpe_chain(num_merges: int) -> str:
+    """Shared DuckDB CTE chain replicating functions/text._bpe_rounds:
+    the word-frequency table, per-round overlapping pair counts,
+    deterministic argmax (weight desc, then lexicographically smallest
+    pair) and the double-space-delimited replace merge — same string
+    trick, identical greedy left-to-right semantics. The word key `w`
+    rides through every s-frame so the segment query can join the
+    learned segmentation back onto the corpus."""
     parts = [
         """WITH w0 AS MATERIALIZED (
       SELECT w, count(*) AS freq
       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
       WHERE w <> '' GROUP BY w),
     s0 AS MATERIALIZED (
-      SELECT '  ' || array_to_string(list_transform(
+      SELECT w,
+             '  ' || array_to_string(list_transform(
                range(1, length(w) + 1), i -> w[i:i]), '  ') || '  ' AS s,
              freq
       FROM w0)"""
@@ -2354,15 +2356,38 @@ def _bpe_oracle(num_merges: int) -> str:
       SELECT {r} AS step, lhs, rhs, lhs || rhs AS merged, weight
       FROM p{r} ORDER BY weight DESC, lhs, rhs LIMIT 1),
     s{r} AS MATERIALIZED (
-      SELECT replace(s, ' ' || lhs || '  ' || rhs || ' ',
-                     ' ' || lhs || rhs || ' ') AS s, freq
-      FROM s{r - 1}, m{r})""")
+      SELECT w,
+             CASE WHEN lhs IS NULL THEN s
+                  ELSE replace(s, ' ' || lhs || '  ' || rhs || ' ',
+                               ' ' || lhs || rhs || ' ') END AS s,
+             freq
+      FROM s{r - 1} LEFT JOIN m{r} ON true)""")
+    return "".join(parts)
+
+
+def _bpe_oracle(num_merges: int) -> str:
     union = "\n    UNION ALL ".join(
         f"SELECT step, lhs, rhs, merged, weight FROM m{r}"
         for r in range(1, num_merges + 1)
     )
-    parts.append(f"\n    {union}")
-    return "".join(parts)
+    return f"{_bpe_chain(num_merges)}\n    {union}"
+
+
+def _bpe_segment_oracle(num_merges: int) -> str:
+    return f"""{_bpe_chain(num_merges)},
+    v AS (SELECT w, len(string_split(trim(s, ' '), '  ')) AS nsub
+          FROM s{num_merges}),
+    tok AS (SELECT doc_id, w FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents) WHERE w <> '')
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(w)) AS BIGINT) AS n_chars,
+           CAST(sum(nsub) AS BIGINT) AS n_bpe_tokens,
+           round(sum(length(w)) / sum(nsub), 6) AS chars_per_token
+    FROM tok JOIN v USING (w)
+    GROUP BY doc_id
+    """
 
 
 @query("text_bpe_merges", oracle=_bpe_oracle(6))
@@ -2501,3 +2526,15 @@ def search_hybrid_rrf(spark, sf_dir):
         .withColumnRenamed("neighbor_id", "doc_id")
     )
     return search.rrf_fuse([lex, sem], rrf_k=60, k=15)
+
+
+@query("text_bpe_segment", oracle=_bpe_segment_oracle(6))
+def text_bpe_segment(spark, sf_dir):
+    """Train-and-apply BPE (functions/text.bpe_segment): per-document
+    token counts under the vocabulary learned by six merge rounds — the
+    token-budgeting surface packing/sharding runs on. One extra corpus
+    pass beyond training: tokens joined to the vocab-sized
+    word→subtoken-count frame (AQE broadcasts it), then a per-doc
+    aggregate; the corpus never carries symbol strings."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_segment(docs, num_merges=6)

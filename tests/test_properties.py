@@ -227,3 +227,70 @@ def test_apply_changes_idempotent_property(spark, feed):
         else:
             want[k] = v
     assert dict(r1) == want
+
+
+@pytest.mark.slow
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=5),
+            min_size=1, max_size=6,
+        ).map(" ".join),
+        min_size=1, max_size=5,
+    ),
+)
+def test_bpe_train_matches_reference_fuzz(spark, texts):
+    """The double-space replace merge must equal reference greedy
+    left-to-right BPE on arbitrary two-letter corpora — runs like
+    'abab'/'aaaa' and single-char words are exactly the adjacent-pattern
+    edge cases the string trick must survive."""
+    from collections import Counter
+
+    from census_data_pipeline_spark.functions.text import bpe_train
+
+    def ref(texts, num_merges):
+        words = Counter()
+        for t in texts:
+            for w in t.split(" "):
+                if w:
+                    words[w] += 1
+        seqs = {w: list(w) for w in words}
+        merges = []
+        for step in range(1, num_merges + 1):
+            pc = Counter()
+            for w, freq in words.items():
+                s = seqs[w]
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += freq
+            if not pc:
+                break
+            (a, b), weight = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((step, a, b, a + b, weight))
+            for w, s in seqs.items():
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                seqs[w] = out
+        return merges
+
+    expected = ref(texts, 3)
+    if not expected:
+        return  # corpus with no pairs anywhere: nothing to train
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r.step, r.lhs, r.rhs, r.merged, r.weight)
+        for r in bpe_train(df, num_merges=len(expected))
+        .orderBy("step").collect()
+    ]
+    assert got == expected

@@ -40,7 +40,6 @@ FAMILY_REPRESENTATIVES = [
     "corpus_vocab_stats",        # vocabulary stats (new r5 slot)
     "decontam_semantic",
     "dq_suite_core",
-    "search_bm25",
     "linkage_entity_clusters",
     # sampling
     "sample_weighted_docs",      # weighted sampling (new r5 slot)
@@ -68,6 +67,7 @@ FAMILY_REPRESENTATIVES = [
     "ab_test_conversion",
     # r5 operators (new this round)
     "text_bpe_merges",
+    "text_bpe_segment",
     "text_pmi_pairs",
     "mine_hard_negatives",
     "search_hybrid_rrf",

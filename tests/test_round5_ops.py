@@ -165,3 +165,76 @@ def test_rrf_fuse_exact(spark):
     assert [r.doc_id for r in ordered] == [20, 10]
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_bpe_segment_counts(spark):
+    """Train+apply: per-doc BPE token counts must equal the reference
+    segmentation applied to each document's words."""
+    from census_data_pipeline_spark.functions.text import bpe_segment
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "aaaa aaaa aa baa",
+        "wide wider widest",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    # reference final segmentation after 6 merges
+    words = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                words[w] += 1
+    seqs = {w: list(w) for w in words}
+    for step in range(6):
+        pc = Counter()
+        for w, freq in words.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += freq
+        if not pc:
+            break
+        (a, b), _ = min(pc.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    got = {r.doc_id: r for r in bpe_segment(df, num_merges=6).collect()}
+    for i, t in enumerate(texts):
+        ws = [w for w in t.split(" ") if w]
+        n_bpe = sum(len(seqs[w]) for w in ws)
+        n_chars = sum(len(w) for w in ws)
+        assert got[i].n_words == len(ws)
+        assert got[i].n_chars == n_chars
+        assert got[i].n_bpe_tokens == n_bpe
+        assert got[i].chars_per_token == round(n_chars / n_bpe, 6)
+
+
+def test_bpe_exhaustion_keeps_vocabulary(spark):
+    """If mergeable pairs run out before num_merges, later rounds must
+    be no-ops (empty argmax LEFT-joined, not cross-joined away): the
+    merge table stops early and segmentation still covers every word."""
+    from census_data_pipeline_spark.functions.text import (
+        bpe_segment,
+        bpe_train,
+    )
+
+    # 'aa aa': one merge possible, then every word is a single symbol
+    df = spark.createDataFrame([(1, "aa aa")], "doc_id long, text string")
+    merges = bpe_train(df, num_merges=4).collect()
+    assert [(r.step, r.lhs, r.rhs) for r in merges] == [(1, "a", "a")]
+    seg = bpe_segment(df, num_merges=4).collect()[0]
+    assert (seg.n_words, seg.n_bpe_tokens, seg.n_chars) == (2, 2, 4)
+    # no pairs at all: zero merges, segmentation = one char per token
+    df2 = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    assert bpe_train(df2, num_merges=2).count() == 0
+    seg2 = bpe_segment(df2, num_merges=2).collect()[0]
+    assert (seg2.n_words, seg2.n_bpe_tokens) == (3, 3)
