@@ -41,6 +41,7 @@ STREAMING_QUERIES = [
     "streaming_interval_join_outer",
     "streaming_dedup_events",
     "streaming_ohlc_hourly",
+    "streaming_session_5m",
 ]
 
 

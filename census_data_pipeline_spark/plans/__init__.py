@@ -210,7 +210,10 @@ _CHECKED_PREFIX = [
     "streaming_dedup_events",
     "streaming_ohlc_hourly",
     "scd2_snapshot_at",
-    "cdc_apply_changes",
+    # streaming_session_5m (REAL merging-session-state stream) takes
+    # cdc_apply_changes' slot (r4-green; change-data stays anchored by
+    # scd2_snapshot_at above)
+    "streaming_session_5m",
     # events/analytics (r5: robust_outliers, attribution,
     # rolling_median, rate_anomaly rotated out — all r4-green; the seven
     # never-checked analytics queries enter)

@@ -1316,3 +1316,65 @@ def events_json_extract(spark, sf_dir):
         F.sum(k).alias("total_k"),
         F.round(F.avg(k), 6).alias("avg_k"),
     )
+
+
+@query(
+    "streaming_session_5m",
+    oracle="""
+    WITH f AS (SELECT user_id, ts, value,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+                           THEN 1 ELSE 0 END AS new_s
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+               FROM f)
+    SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def streaming_session_5m(spark, sf_dir):
+    """Sessionization as a REAL Structured Streaming query — the
+    merging-session-state operator (`F.session_window` + watermark:
+    Spark's UpdatingSessionsExec / MergingSessionsExec path, where
+    overlapping per-key sessions MERGE as events arrive, unlike the
+    fixed-window tumbling state). Complete-mode memory sink drained
+    synchronously, held to the same gaps-and-islands SQL oracle as the
+    batch form (events_session_5m) — so real streaming session-merge
+    semantics are value-checked against the lag+cumsum formulation."""
+    import shutil
+    import tempfile
+    import uuid
+
+    staged_root = tempfile.mkdtemp(prefix="stream_session_")
+    staged = staged_root + "/events"
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(staged)
+
+    stream = windows.stream_from_parquet(
+        spark, staged, spark.read.parquet(staged).schema
+    )
+    agg = windows.session_window_agg(
+        windows.with_watermark(stream, "ts", "1 minute"),
+        "ts", "5 minutes", ["user_id"],
+        [("count", "*", "n_events"), ("sum", "value", "total_value")],
+    )
+    sink = f"stream_session_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(staged_root, ignore_errors=True)
+    return spark.table(sink).select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+    )

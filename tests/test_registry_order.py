@@ -56,7 +56,7 @@ FAMILY_REPRESENTATIVES = [
     "streaming_dedup_events",    # exactly-once repair stream (r5 slot)
     "streaming_ohlc_hourly",     # stateful stream rollup (r5 slot)
     "scd2_snapshot_at",          # time travel over SCD2 (r5 slot)
-    "cdc_apply_changes",
+    "streaming_session_5m",      # merging-session-state stream (r5)
     # events / analytics
     "events_ohlc_hourly",
     "events_time_weighted_avg",
