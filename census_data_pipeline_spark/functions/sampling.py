@@ -146,17 +146,7 @@ def epoch_shuffle_shards(
         * F.lit(1 << key_bits)
         + key
     )
-    ord_key = F.when((key >= 0) & (key < F.lit(1 << key_bits)), packed).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    f"epoch_shuffle_shards: key out of [0, 2^{key_bits}) — "
-                    "raise key_bits to keep the packed order key unique: "
-                ),
-                key.cast("string"),
-            )
-        )
-    )
+    ord_key = _guard_packed_key(key, packed, key_bits, "epoch_shuffle_shards")
     ranked = running_sum_scalable(
         df.withColumn("__ord", ord_key).withColumn("__one", F.lit(1)),
         order_col="__ord",
@@ -348,4 +338,87 @@ def weighted_sample(
         scored.orderBy(F.col("__score").desc(), F.col(key_col))
         .limit(k)
         .drop("__score")
+    )
+
+
+def _guard_packed_key(key, packed, key_bits: int, op: str):
+    """Execution-time range guard shared by the packed-order-key users:
+    keys outside [0, 2^key_bits) would silently collide on the packed
+    key and break the permutation contract, so raise per-row instead
+    (codegen-fused check, no extra pass)."""
+    return F.when((key >= 0) & (key < F.lit(1 << key_bits)), packed).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"{op}: key out of [0, 2^{key_bits}) — raise key_bits "
+                    "to keep the packed order key unique: "
+                ),
+                key.cast("string"),
+            )
+        )
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    seed: int = 42,
+    n_buckets: int = 32,
+    key_bits: int = 24,
+) -> DataFrame:
+    """Per-source TOKEN-budget quota sampling — the mix-building step
+    that assembles a training corpus to target size: within each source,
+    keep documents in a deterministic seeded-shuffle order until the
+    running token count reaches ``budget_tokens``; the document that
+    crosses the line is INCLUDED (the budget is reached, not
+    undershot), everything after it is dropped. Deterministic across
+    engines, retries and epochs (same md5 permutation discipline as
+    ``epoch_shuffle_shards``; change ``seed`` for a different draw).
+    Returns the kept rows plus ``n_tokens`` and ``cum_tokens``.
+
+    Scale shape: the running token count per source comes from the
+    two-phase parallel prefix sum (``operators.prefixsum``) — a
+    100 TB source never serializes through one ordered-window task;
+    wall-clock scales with the widest hash-range bucket. The keep
+    predicate (exclusive prefix < budget) is a map-side filter on the
+    summed frame."""
+    if budget_tokens < 1:
+        raise ValueError("budget_tokens must be >= 1")
+    if not 8 <= key_bits <= 52:
+        raise ValueError("key_bits must be in [8, 52]")
+    from census_data_pipeline_spark.operators.prefixsum import (
+        running_sum_scalable,
+    )
+
+    hash_chars = (60 - key_bits) // 4
+    key = F.col(key_col).cast("long")
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)),
+                          F.col(key_col).cast("string")))
+    packed = (
+        F.conv(F.substring(h, 1, hash_chars), 16, 10).cast("long")
+        * F.lit(1 << key_bits)
+        + key
+    )
+    ord_key = _guard_packed_key(key, packed, key_bits, "token_budget_sample")
+    base = df.withColumn("__ord", ord_key).withColumn(
+        "__ntok", F.size(F.split(F.col(text_col), " ")).cast("long")
+    )
+    summed = running_sum_scalable(
+        base,
+        order_col="__ord",
+        value_col="__ntok",
+        group_cols=[source_col],
+        output_col="cum_tokens",
+        n_buckets=n_buckets,
+    )
+    return (
+        summed.filter(F.col("cum_tokens") - F.col("__ntok") < budget_tokens)
+        .select(
+            *df.columns,
+            F.col("__ntok").alias("n_tokens"),
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
     )

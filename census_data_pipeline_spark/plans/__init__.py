@@ -194,8 +194,12 @@ _CHECKED_PREFIX = [
     # §2.11 sampling (r5: sample_temperature rotated out, r1-r4 green;
     # the two never-checked sampling entrants take the slots)
     "sample_weighted_docs",
+    # sample_token_budget (per-source quota mix building) takes
+    # classify_nearest_centroid's slot (r4-green; the Rocchio audit
+    # stays unit-pinned and the centroid machinery is exercised by
+    # decontam_semantic/knn anchors)
+    "sample_token_budget",
     "orders_target_encoding",
-    "classify_nearest_centroid",
     # media (r5: audio_features rotated out, r4-green with a full value
     # oracle; video + dhash keep the family)
     "multimodal_video_frames",

@@ -2538,3 +2538,33 @@ def text_bpe_segment(spark, sf_dir):
     aggregate; the corpus never carries symbol strings."""
     docs = load_table(spark, sf_dir, "documents")
     return text.bpe_segment(docs, num_merges=6)
+
+
+@query(
+    "sample_token_budget",
+    oracle="""
+    WITH d AS (SELECT doc_id, source, md5('42:' || doc_id::VARCHAR) AS h,
+                      len(string_split(text, ' ')) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, source, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source
+                                     ORDER BY substr(h, 1, 9), doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d)
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum AS BIGINT) AS cum_tokens
+    FROM c WHERE cum - n_tokens < 300
+    """,
+)
+def sample_token_budget(spark, sf_dir):
+    """Per-source token-budget quota sampling
+    (functions/sampling.token_budget_sample): assemble a training mix by
+    filling a 300-token budget per source in deterministic seeded-shuffle
+    order (the doc crossing the line is included). The per-source running
+    token count uses the two-phase parallel prefix sum — no one-partition
+    ordered window; the oracle mirrors the order as (9-hex md5 prefix,
+    doc_id), identical to the engine's 60-bit packed key for the test
+    lakes' id range."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.token_budget_sample(docs, budget_tokens=300, seed=42)
+    return out.select("doc_id", "source", "n_tokens", "cum_tokens")

@@ -44,7 +44,7 @@ FAMILY_REPRESENTATIVES = [
     # sampling
     "sample_weighted_docs",      # weighted sampling (new r5 slot)
     "orders_target_encoding",    # leakage-safe target encoding (r5 slot)
-    "classify_nearest_centroid",
+    "sample_token_budget",       # per-source quota mix building (r5)
     # media
     "multimodal_video_frames",
     "multimodal_image_dhash",

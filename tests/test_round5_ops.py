@@ -238,3 +238,34 @@ def test_bpe_exhaustion_keeps_vocabulary(spark):
     assert bpe_train(df2, num_merges=2).count() == 0
     seg2 = bpe_segment(df2, num_merges=2).collect()[0]
     assert (seg2.n_words, seg2.n_bpe_tokens) == (3, 3)
+
+
+def test_token_budget_sample_semantics(spark):
+    """Quota filling: docs kept in seeded-hash order until the budget is
+    reached; the crossing doc is included; later docs dropped; a source
+    under budget keeps everything."""
+    import hashlib
+
+    from census_data_pipeline_spark.functions.sampling import (
+        token_budget_sample,
+    )
+
+    rows = [(i, "s1", "w " * 9 + "w") for i in range(10)]       # 10 tokens
+    rows += [(100, "s2", "a b c")]                              # 3 tokens
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = token_budget_sample(df, budget_tokens=25, key_col="doc_id",
+                              seed=7).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    # s1: 10-token docs -> cum 10, 20, 30: third doc crosses 25, included
+    s1 = sorted(by_src["s1"], key=lambda r: r.cum_tokens)
+    assert [r.cum_tokens for r in s1] == [10, 20, 30]
+    # the kept set follows the md5('7:'||id) order exactly
+    order = sorted(range(10), key=lambda i: (
+        hashlib.md5(f"7:{i}".encode()).hexdigest()[:9], i))
+    assert [r.doc_id for r in s1] == order[:3]
+    # s2 total (3) < budget: kept whole
+    assert [r.cum_tokens for r in by_src["s2"]] == [3]
+    with pytest.raises(ValueError):
+        token_budget_sample(df, budget_tokens=0)
