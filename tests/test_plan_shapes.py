@@ -224,3 +224,45 @@ def test_semantic_decontam_broadcasts_eval_side(spark, sf_dir):
     broadcast; the corpus must not shuffle for scoring."""
     plan = _plan(spark, sf_dir, "decontam_semantic")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pmi_take_ordered_no_vocab_window(spark, sf_dir):
+    """r5: both PMI top-k cuts must be TakeOrderedAndProject — never an
+    unpartitioned rank window over the corpus vocabulary — and the
+    per-doc self-join must be an equi (hash) join, not a cartesian."""
+    plan = _plan(spark, sf_dir, "text_pmi_pairs")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_token_budget_sample_windows_are_bucketed(spark, sf_dir):
+    """r5: the per-source running token count must ride the two-phase
+    prefix sum — every full-data window partitions by (source, bucket)."""
+    plan = _plan(spark, sf_dir, "sample_token_budget")
+    windows = [ln for ln in plan.splitlines()
+               if "Window " in ln or "Window(" in ln]
+    assert any("__bkt" in ln for ln in windows), windows
+    assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_broadcast_anchors_no_shuffle(spark, sf_dir):
+    """r5: the anchor side must broadcast (one corpus scan, no corpus
+    shuffle); the label filter lives in the join, not a post-filter of a
+    cartesian."""
+    plan = _plan(spark, sf_dir, "mine_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_segment_corpus_join_no_symbol_strings(spark, sf_dir):
+    """r5: the corpus side of the segmentation join carries only
+    (doc_id, w) — the double-space symbol strings stay on the
+    vocab-sized frame."""
+    plan = _plan(spark, sf_dir, "text_bpe_segment")
+    assert "CartesianProduct" not in plan
+    # replace() (the merge machinery) must not appear in the corpus-side
+    # token explode stage; it lives upstream on the checkpointed vocab
+    explode_lines = [ln for ln in plan.splitlines() if "Generate explode" in ln]
+    assert all("replace" not in ln for ln in explode_lines)
