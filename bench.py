@@ -143,6 +143,7 @@ HEADLINE_NEW: list[str] = [
     "mine_hard_negatives",
     "search_hybrid_rrf",
     "sample_token_budget",
+    "dedup_against_index",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is

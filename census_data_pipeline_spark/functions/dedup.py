@@ -387,6 +387,20 @@ def minhash_dedup_against(
     ref_arr = ensure_parallelism(ref_df).select(
         F.col(id_col).alias("ref_id"), shingles(text_col, n).alias("sh_r")
     )
+    return _verify_best_match(candidates, new_arr, ref_arr, threshold)
+
+
+def _verify_best_match(
+    candidates: DataFrame,
+    new_arr: DataFrame,
+    ref_arr: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Shared tail of the cross-corpus flaggers: exact shingle-Jaccard
+    verification of (id, ref_id) candidates against the per-doc shingle
+    arrays, then each flagged new doc's best reference match (max
+    jaccard, ties to smallest ref id) via a groupBy min-struct — no
+    window."""
     n_common = F.size(F.array_intersect("sh_n", "sh_r"))
     verified = (
         new_arr.join(candidates, "id")
@@ -399,7 +413,7 @@ def minhash_dedup_against(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    best = (
+    return (
         verified.groupBy("id")
         .agg(
             F.min(
@@ -413,7 +427,92 @@ def minhash_dedup_against(
             (-F.col("__m.__nj") + F.lit(0.0)).alias("jaccard"),
         )
     )
-    return best
+
+
+def write_dedup_index(
+    ref_df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    n: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the curated reference corpus's dedup index — the
+    WRITE-ONCE asset the cross-corpus docstrings promise: incremental
+    curation pays the reference's signature pass once per corpus
+    version, and every fresh crawl batch then joins against the stored
+    index instead of re-hashing the reference.
+
+    Layout under ``path``:
+    - ``bands/``    (band, bucket, id) parquet, PARTITIONED BY band —
+      the bucket join reads only colliding band partitions,
+    - ``shingles/`` (ref_id, sh_r) parquet — the verification arrays,
+    - ``meta/``     1-row (num_hashes, band_size, n) — parameter guard:
+      an index probed with different parameters would silently produce
+      disjoint buckets, so reads validate against this row.
+
+    ``mode="append"`` grows the index with a newly curated batch (the
+    post-dedup kept docs) — meta must match the existing index."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError("mode must be 'overwrite' or 'append'")
+    spark = ref_df.sparkSession
+    if mode == "append":
+        existing = spark.read.parquet(path + "/meta").first()
+        got = (existing.num_hashes, existing.band_size, existing.n)
+        if got != (num_hashes, band_size, n):
+            raise ValueError(
+                f"index at {path} was built with (num_hashes, band_size, n)"
+                f"={got}, refusing to append with "
+                f"{(num_hashes, band_size, n)}"
+            )
+    bands = _minhash_band_frame(ref_df, id_col, text_col, num_hashes,
+                                band_size, n)
+    bands.write.partitionBy("band").mode(mode).parquet(path + "/bands")
+    arrays = ensure_parallelism(ref_df).select(
+        F.col(id_col).alias("ref_id"), shingles(text_col, n).alias("sh_r")
+    )
+    arrays.write.mode(mode).parquet(path + "/shingles")
+    meta = spark.createDataFrame(
+        [(num_hashes, band_size, n)], "num_hashes int, band_size int, n int"
+    )
+    meta.write.mode("overwrite").parquet(path + "/meta")
+
+
+def minhash_dedup_against_index(
+    new_df: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Incremental cross-corpus dedup against a MATERIALIZED index
+    (``write_dedup_index``): identical semantics and output to
+    ``minhash_dedup_against(new_df, ref_df, ...)``, but the reference
+    side comes from the stored band/shingle parquet — each batch pays
+    only its own signature pass plus the bucket join. ``bucket_cap``
+    caps the stored reference buckets exactly like the direct form
+    (lowest-k ids per (band, bucket); flag-recall preserved)."""
+    spark = new_df.sparkSession
+    meta = spark.read.parquet(index_path + "/meta").first()
+    nb = _minhash_band_frame(new_df, id_col, text_col, meta.num_hashes,
+                             meta.band_size, meta.n)
+    # cap BEFORE renaming: _cap_buckets ranks by the 'id' column
+    rb = _cap_buckets(
+        spark.read.parquet(index_path + "/bands"), bucket_cap
+    ).withColumnsRenamed({"id": "ref_id"})
+    candidates = (
+        nb.join(rb, on=["band", "bucket"])
+        .select("id", "ref_id")
+        .distinct()
+    )
+    new_arr = ensure_parallelism(new_df).select(
+        F.col(id_col).alias("id"), shingles(text_col, meta.n).alias("sh_n")
+    )
+    ref_arr = spark.read.parquet(index_path + "/shingles")
+    return _verify_best_match(candidates, new_arr, ref_arr, threshold)
 
 
 def _simhash_from_hashes(hv_col: str) -> Column:

@@ -160,6 +160,11 @@ _CHECKED_PREFIX = [
     # r5 in: cross-corpus incremental dedup — never driver-checked, and
     # it carries this round's bucket_cap change
     "dedup_against_reference",
+    # dedup_against_index (the write-once materialized-index path, same
+    # oracle) takes decontam_semantic's slot (r4-green; the semantic
+    # screen stays unit-pinned and the eval-set broadcast shape is
+    # shared with classify/centroid machinery)
+    "dedup_against_index",
     # §2.11 similarity search (r5: knn_ivf + knn_pq_seeded rotated out,
     # both r4-green; ivfpq subsumes the PQ-ADC scan + IVF routing)
     "knn_bruteforce",
@@ -187,7 +192,6 @@ _CHECKED_PREFIX = [
     # orders_winsorized's slot (r4-green; winsorize stays unit-pinned
     # and the percentile family keeps histogram + drift anchors)
     "search_hybrid_rrf",
-    "decontam_semantic",
     "dq_suite_core",
     # r4-green dq_profile_orders rotated out; dq_suite_core anchors dq
     "linkage_entity_clusters",

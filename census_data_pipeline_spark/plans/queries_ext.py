@@ -2568,3 +2568,30 @@ def sample_token_budget(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = sampling.token_budget_sample(docs, budget_tokens=300, seed=42)
     return out.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+@query("dedup_against_index", oracle=_minhash_cross_oracle())
+def dedup_against_index(spark, sf_dir):
+    """Incremental cross-corpus dedup through the MATERIALIZED index
+    (functions/dedup.write_dedup_index + minhash_dedup_against_index):
+    the reference corpus's band + shingle frames are written once as a
+    band-partitioned parquet asset, and the fresh batch joins against
+    the stored index — proving the write-once path produces EXACTLY the
+    direct form's output (same oracle as dedup_against_reference). The
+    index is staged per-invocation under a temp dir and the result is
+    eagerly checkpointed so the staging can be removed."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    staged = tempfile.mkdtemp(prefix="dedup_index_")
+    try:
+        dedup.write_dedup_index(ref, staged, num_hashes=8, band_size=2, n=4)
+        out = dedup.minhash_dedup_against_index(
+            new, staged, threshold=0.5
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+    return out

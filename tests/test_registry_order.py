@@ -30,6 +30,7 @@ FAMILY_REPRESENTATIVES = [
     "dedup_embedding_cosine",
     "dedup_containment",
     "dedup_against_reference",   # cross-corpus incremental (new r5 slot)
+    "dedup_against_index",       # materialized write-once index (r5)
     # similarity search
     "knn_bruteforce",
     "knn_lsh",
@@ -38,7 +39,6 @@ FAMILY_REPRESENTATIVES = [
     "text_token_stats",
     "text_unigram_logprob",
     "corpus_vocab_stats",        # vocabulary stats (new r5 slot)
-    "decontam_semantic",
     "dq_suite_core",
     "linkage_entity_clusters",
     # sampling

@@ -269,3 +269,54 @@ def test_token_budget_sample_semantics(spark):
     assert [r.cum_tokens for r in by_src["s2"]] == [3]
     with pytest.raises(ValueError):
         token_budget_sample(df, budget_tokens=0)
+
+
+def test_dedup_index_matches_direct_and_appends(spark, tmp_path):
+    """The materialized dedup index must reproduce minhash_dedup_against
+    EXACTLY; append mode grows it to the union reference; parameter
+    mismatch on append is refused."""
+    from census_data_pipeline_spark.functions.dedup import (
+        minhash_dedup_against,
+        minhash_dedup_against_index,
+        write_dedup_index,
+    )
+
+    shared1 = "alpha beta gamma delta epsilon zeta eta theta"
+    shared2 = "one two three four five six seven eight"
+    ref1 = spark.createDataFrame(
+        [(100, shared1), (101, "reference only words here nothing")],
+        "doc_id long, text string",
+    )
+    ref2 = spark.createDataFrame(
+        [(200, shared2)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, shared1), (2, shared2), (3, "fresh crawl novel content")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "dedup_index")
+    write_dedup_index(ref1, path, n=3)
+    got1 = {(r.id, r.ref_id, r.jaccard) for r in
+            minhash_dedup_against_index(new, path, threshold=0.5).collect()}
+    want1 = {(r.id, r.ref_id, r.jaccard) for r in
+             minhash_dedup_against(new, ref1, n=3, threshold=0.5).collect()}
+    assert got1 == want1 == {(1, 100, 1.0)}
+
+    # append the second curated batch: index == dedup vs ref1 UNION ref2
+    write_dedup_index(ref2, path, n=3, mode="append")
+    got2 = {(r.id, r.ref_id, r.jaccard) for r in
+            minhash_dedup_against_index(new, path, threshold=0.5).collect()}
+    want2 = {(r.id, r.ref_id, r.jaccard) for r in minhash_dedup_against(
+        new, ref1.unionAll(ref2), n=3, threshold=0.5).collect()}
+    assert got2 == want2 == {(1, 100, 1.0), (2, 200, 1.0)}
+
+    # capped probe still flags everything here (small buckets)
+    capped = {(r.id, r.ref_id) for r in minhash_dedup_against_index(
+        new, path, threshold=0.5, bucket_cap=4).collect()}
+    assert capped == {(1, 100), (2, 200)}
+
+    # parameter guard: appending with different shingle n is refused
+    with pytest.raises(ValueError):
+        write_dedup_index(ref2, path, n=4, mode="append")
+    with pytest.raises(ValueError):
+        write_dedup_index(ref2, path, mode="frobnicate")
