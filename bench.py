@@ -144,6 +144,7 @@ HEADLINE_NEW: list[str] = [
     "search_hybrid_rrf",
     "sample_token_budget",
     "dedup_against_index",
+    "text_tag_keywords",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is

@@ -783,3 +783,51 @@ def pmi_topk(
     return pairs.orderBy(
         F.col("pmi").desc(), "token_a", "token_b"
     ).limit(top_k)
+
+
+def tag_keywords(
+    df: DataFrame,
+    phrases: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Dictionary / gazetteer tagging at scale — which documents mention
+    which dictionary phrases, and how often (blocklists, PII term lists,
+    topic gazetteers, entity lexicons). The Spark-first matcher: instead
+    of compiling a million-entry dictionary into one regex (driver-side
+    blowup, per-row scan cost ∝ dictionary), documents are cut into word
+    n-grams per DISTINCT PHRASE LENGTH and matched with a plain
+    equi-JOIN on the gram string — the dictionary is just another
+    (broadcastable) table, and matching cost is ∝ corpus grams ×
+    distinct lengths, independent of dictionary size.
+
+    Returns (id, phrase, n_hits) with one row per (document, matched
+    phrase); overlapping occurrences count per gram window (token-level
+    sliding, the standard gazetteer semantics). The distinct phrase
+    lengths are collected to the driver — a few integers (the loop
+    bound), the same driver-bounded pattern as BPE's round count."""
+    lengths = sorted(
+        r[0]
+        for r in phrases.select(
+            F.size(F.split(F.col(phrase_col), " ")).alias("L")
+        ).distinct().collect()
+    )
+    if not lengths:
+        raise ValueError("phrases frame is empty")
+    if lengths[0] < 1:
+        raise ValueError("phrases must contain at least one token")
+    out = None
+    for L in lengths:
+        p = phrases.filter(
+            F.size(F.split(F.col(phrase_col), " ")) == L
+        ).select(F.col(phrase_col).alias("__g")).distinct()
+        grams = ensure_parallelism(df).select(
+            F.col(id_col).alias("id"),
+            F.explode(word_grams(text_col, L)).alias("__g"),
+        )
+        hits = grams.join(p, "__g").groupBy("id", "__g").agg(
+            F.count("*").alias("n_hits")
+        )
+        out = hits if out is None else out.unionAll(hits)
+    return out.select("id", F.col("__g").alias(phrase_col), "n_hits")

@@ -176,6 +176,11 @@ _CHECKED_PREFIX = [
     "text_token_stats",
     "text_unigram_logprob",
     "corpus_vocab_stats",
+    # text_tag_keywords (gazetteer tagging via per-length gram joins)
+    # takes corpus_curation_e2e's slot (r1-r4 green; every curation
+    # stage it composes stays anchored by the dedup/decontam/quality
+    # prefix rows)
+    "text_tag_keywords",
     # r5 additions (new operators this round — changed/new queries
     # belong in the prefix; each displaces an r4-green singleton whose
     # family keeps anchors: text_bpe_merges + text_pmi_pairs take
@@ -208,7 +213,6 @@ _CHECKED_PREFIX = [
     # oracle; video + dhash keep the family)
     "multimodal_video_frames",
     "multimodal_image_dhash",
-    "corpus_curation_e2e",
     # graph (r5: triangles rotated out, r4-green)
     "graph_pagerank",
     # §2.9 streaming (r5: inner interval join + scd2_user_status +

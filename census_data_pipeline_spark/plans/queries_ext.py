@@ -2595,3 +2595,51 @@ def dedup_against_index(spark, sf_dir):
     finally:
         shutil.rmtree(staged, ignore_errors=True)
     return out
+
+
+_GAZETTEER = ["hash join", "table scan", "stream", "sort merge join",
+              "merge join", "window"]
+
+
+def _gram_sql(L: int) -> str:
+    """Positional word L-grams WITH multiplicity — the SQL mirror of
+    functions.text.word_grams (same short-doc whole-text fallback)."""
+    if L == 1:
+        inner = "list_transform(range(1, len(toks) + 1), i -> toks[i])"
+        return inner
+    return (
+        f"CASE WHEN len(toks) < {L} THEN [array_to_string(toks, ' ')] "
+        f"ELSE list_transform(range(1, len(toks) - {L - 2}), "
+        f"i -> array_to_string(toks[i:i+{L - 1}], ' ')) END"
+    )
+
+
+@query(
+    "text_tag_keywords",
+    oracle=f"""
+    WITH ph(phrase) AS (VALUES {", ".join(f"('{p}')" for p in _GAZETTEER)}),
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g1 AS (SELECT doc_id, unnest({_gram_sql(1)}) AS g FROM t),
+    g2 AS (SELECT doc_id, unnest({_gram_sql(2)}) AS g FROM t),
+    g3 AS (SELECT doc_id, unnest({_gram_sql(3)}) AS g FROM t),
+    u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2
+          UNION ALL SELECT * FROM g3)
+    SELECT doc_id, g AS phrase, CAST(count(*) AS BIGINT) AS n_hits
+    FROM u JOIN ph ON u.g = ph.phrase
+    GROUP BY 1, 2
+    """,
+)
+def text_tag_keywords(spark, sf_dir):
+    """Dictionary/gazetteer tagging (functions/text.tag_keywords): which
+    documents mention which dictionary phrases, matched with per-length
+    word-gram EQUI-JOINS instead of a compiled mega-regex — matching
+    cost ∝ corpus grams × distinct phrase lengths, independent of
+    dictionary size (the dictionary is just another broadcastable
+    table). Cross-length false matches are impossible (an L-gram
+    contains L−1 spaces), so the SQL oracle can union all gram lengths
+    into one join."""
+    docs = load_table(spark, sf_dir, "documents")
+    phrases = spark.createDataFrame([(p,) for p in _GAZETTEER],
+                                    "phrase string")
+    out = text.tag_keywords(docs, phrases)
+    return out.select(F.col("id").alias("doc_id"), "phrase", "n_hits")

@@ -39,6 +39,7 @@ FAMILY_REPRESENTATIVES = [
     "text_token_stats",
     "text_unigram_logprob",
     "corpus_vocab_stats",        # vocabulary stats (new r5 slot)
+    "text_tag_keywords",         # gazetteer gram-join tagging (r5)
     "dq_suite_core",
     "linkage_entity_clusters",
     # sampling
@@ -48,7 +49,6 @@ FAMILY_REPRESENTATIVES = [
     # media
     "multimodal_video_frames",
     "multimodal_image_dhash",
-    "corpus_curation_e2e",
     # graph
     "graph_pagerank",
     # streaming / change-data

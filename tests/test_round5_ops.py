@@ -320,3 +320,28 @@ def test_dedup_index_matches_direct_and_appends(spark, tmp_path):
         write_dedup_index(ref2, path, n=4, mode="append")
     with pytest.raises(ValueError):
         write_dedup_index(ref2, path, mode="frobnicate")
+
+
+def test_tag_keywords_semantics(spark):
+    from census_data_pipeline_spark.functions.text import tag_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "hash join beats nested loop hash join"),
+         (2, "full table scan again"),
+         (3, "nothing relevant here"),
+         (4, "scan")],                      # shorter than the 2-gram
+        "doc_id long, text string",
+    )
+    phrases = spark.createDataFrame(
+        [("hash join",), ("table scan",), ("scan",)], "phrase string"
+    )
+    out = {(r.id, r.phrase): r.n_hits
+           for r in tag_keywords(docs, phrases).collect()}
+    assert out[(1, "hash join")] == 2      # multiplicity counted
+    assert out[(2, "table scan")] == 1
+    assert out[(2, "scan")] == 1           # 1-gram matches inside doc 2
+    assert out[(4, "scan")] == 1
+    assert all(k[0] != 3 for k in out)     # no-hit docs absent
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        tag_keywords(docs, phrases.filter("phrase = 'zzz-none'"))
