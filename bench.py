@@ -145,6 +145,7 @@ HEADLINE_NEW: list[str] = [
     "sample_token_budget",
     "dedup_against_index",
     "text_tag_keywords",
+    "text_normalize_unicode",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is

@@ -831,3 +831,58 @@ def tag_keywords(
         )
         out = hits if out is None else out.unionAll(hits)
     return out.select("id", F.col("__g").alias(phrase_col), "n_hits")
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode normalization — the first step of real-world text
+    curation (web crawls mix composed/decomposed accents, ligatures,
+    width variants; dedup and tokenization both need one canonical
+    form). Returns (id, text_norm, changed, n_cp_before, n_cp_after).
+
+    No Catalyst builtin performs Unicode normalization, so this is an
+    Arrow ``mapInPandas`` stage over stdlib ``unicodedata`` — the same
+    executor discipline as the media tier: the helper ships BY VALUE in
+    the closure (no package import on executors), batches stay
+    columnar, and the op is total (None text passes through as None).
+    ``form`` ∈ NFC/NFKC/NFD/NFKD; NFC matches DuckDB's
+    ``nfc_normalize`` for the oracle."""
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError("form must be one of NFC/NFKC/NFD/NFKD")
+    out_schema = (
+        f"{id_col} long, text_norm string, changed boolean, "
+        "n_cp_before long, n_cp_after long"
+    )
+
+    def run(batches):
+        import unicodedata as _ud
+
+        import pandas as _pd
+
+        for batch in batches:
+            texts = batch[text_col]
+            norm = [
+                None if t is None else _ud.normalize(form, t) for t in texts
+            ]
+            yield _pd.DataFrame(
+                {
+                    id_col: batch[id_col],
+                    "text_norm": norm,
+                    "changed": [
+                        None if t is None else (t != v)
+                        for t, v in zip(texts, norm)
+                    ],
+                    "n_cp_before": [
+                        None if t is None else len(t) for t in texts
+                    ],
+                    "n_cp_after": [
+                        None if v is None else len(v) for v in norm
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)

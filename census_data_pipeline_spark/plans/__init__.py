@@ -181,6 +181,11 @@ _CHECKED_PREFIX = [
     # stage it composes stays anchored by the dedup/decontam/quality
     # prefix rows)
     "text_tag_keywords",
+    # text_normalize_unicode (Arrow NFC vs DuckDB nfc_normalize) takes
+    # linkage_entity_clusters' slot (r4-green; the edit-1 blocking +
+    # star-CC composition stays unit-pinned and CC is exercised by the
+    # dedup anchors)
+    "text_normalize_unicode",
     # r5 additions (new operators this round — changed/new queries
     # belong in the prefix; each displaces an r4-green singleton whose
     # family keeps anchors: text_bpe_merges + text_pmi_pairs take
@@ -199,7 +204,6 @@ _CHECKED_PREFIX = [
     "search_hybrid_rrf",
     "dq_suite_core",
     # r4-green dq_profile_orders rotated out; dq_suite_core anchors dq
-    "linkage_entity_clusters",
     # §2.11 sampling (r5: sample_temperature rotated out, r1-r4 green;
     # the two never-checked sampling entrants take the slots)
     "sample_weighted_docs",

@@ -2643,3 +2643,23 @@ def text_tag_keywords(spark, sf_dir):
                                     "phrase string")
     out = text.tag_keywords(docs, phrases)
     return out.select(F.col("id").alias("doc_id"), "phrase", "n_hits")
+
+
+@query(
+    "text_normalize_unicode",
+    oracle="""
+    SELECT doc_id, nfc_normalize(text) AS text_norm,
+           nfc_normalize(text) <> text AS changed,
+           CAST(length(text) AS BIGINT) AS n_cp_before,
+           CAST(length(nfc_normalize(text)) AS BIGINT) AS n_cp_after
+    FROM documents
+    """,
+)
+def text_normalize_unicode(spark, sf_dir):
+    """Unicode NFC normalization (functions/text.normalize_unicode):
+    Arrow mapInPandas over stdlib unicodedata, value-checked against
+    DuckDB's nfc_normalize — Python's NFC and DuckDB's agree by the
+    Unicode standard, and codepoint counts (Python len == DuckDB
+    length) pin the transform beyond pass-through."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.normalize_unicode(docs, form="NFC")

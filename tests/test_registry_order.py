@@ -40,8 +40,8 @@ FAMILY_REPRESENTATIVES = [
     "text_unigram_logprob",
     "corpus_vocab_stats",        # vocabulary stats (new r5 slot)
     "text_tag_keywords",         # gazetteer gram-join tagging (r5)
+    "text_normalize_unicode",    # Arrow NFC normalization (r5)
     "dq_suite_core",
-    "linkage_entity_clusters",
     # sampling
     "sample_weighted_docs",      # weighted sampling (new r5 slot)
     "orders_target_encoding",    # leakage-safe target encoding (r5 slot)

@@ -345,3 +345,29 @@ def test_tag_keywords_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         tag_keywords(docs, phrases.filter("phrase = 'zzz-none'"))
+
+
+def test_normalize_unicode_forms(spark):
+    """Real Unicode work (the corpus is ASCII, so the unit test carries
+    the non-trivial cases): decomposed e+combining-acute -> composed é
+    under NFC; the ﬁ ligature survives NFC but splits under NFKC; None
+    passes through."""
+    from census_data_pipeline_spark.functions.text import normalize_unicode
+
+    decomposed = "café"        # cafe + combining acute
+    ligature = "ﬁne"                  # ﬁne
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, ligature), (3, None), (4, "plain ascii")],
+        "doc_id long, text string",
+    )
+    nfc = {r.doc_id: r for r in normalize_unicode(df, form="NFC").collect()}
+    assert nfc[1].text_norm == "café"
+    assert nfc[1].changed and nfc[1].n_cp_before == 5 and nfc[1].n_cp_after == 4
+    assert nfc[2].text_norm == ligature and not nfc[2].changed
+    assert nfc[3].text_norm is None and nfc[3].changed is None
+    assert nfc[4].text_norm == "plain ascii" and not nfc[4].changed
+    nfkc = {r.doc_id: r for r in normalize_unicode(df, form="NFKC").collect()}
+    assert nfkc[2].text_norm == "fine" and nfkc[2].changed
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        normalize_unicode(df, form="NFX")
