@@ -212,6 +212,10 @@ _CHECKED_PREFIX = [
     # stays unit-pinned and the centroid machinery is exercised by
     # decontam_semantic/knn anchors)
     "sample_token_budget",
+    # mix_build_e2e (dedup -> quality -> budget -> shard capstone) takes
+    # boundaries_right_join's slot (r4-green; J1 right-join semantics
+    # stay pinned by unit tests and the flagship's dim joins)
+    "mix_build_e2e",
     "orders_target_encoding",
     # media (r5: audio_features rotated out, r4-green with a full value
     # oracle; video + dhash keep the family)
@@ -251,7 +255,6 @@ _CHECKED_PREFIX = [
     # rollup — never driver-checked hierarchical share-of-parent
     "revenue_share_of_parent",
     # joins (r5 in: bloom_join_prune, never driver-checked)
-    "boundaries_right_join",
     "bloom_join_prune",
     "skew_salted_join",
     "approx_sketches",

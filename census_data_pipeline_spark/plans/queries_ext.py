@@ -2663,3 +2663,68 @@ def text_normalize_unicode(spark, sf_dir):
     length) pin the transform beyond pass-through."""
     docs = load_table(spark, sf_dir, "documents")
     return text.normalize_unicode(docs, form="NFC")
+
+
+@query(
+    "mix_build_e2e",
+    oracle=f"""
+    WITH kept AS (SELECT min(doc_id) AS doc_id FROM documents
+                  GROUP BY md5(text)),
+    d AS (SELECT doc_id, source, {_TOKS} AS toks
+          FROM documents JOIN kept USING (doc_id)),
+    q AS (SELECT doc_id, source, len(toks) AS n_tokens,
+                 len(list_filter(toks, x -> list_contains({_STOPLIST}, x)))
+                   / len(toks) AS stop_ratio
+          FROM d),
+    qq AS (SELECT doc_id, source, n_tokens FROM q
+           WHERE round(0.6 * least(n_tokens / 100.0, 1.0)
+                       + 0.4 * greatest(0.0,
+                                        1.0 - abs(stop_ratio - 0.25) * 2.0),
+                       6) >= 0.3),
+    bud AS (SELECT doc_id, source, n_tokens,
+                   sum(n_tokens) OVER (
+                     PARTITION BY source
+                     ORDER BY substr(md5('42:' || doc_id::VARCHAR), 1, 9),
+                              doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+            FROM qq),
+    bk AS (SELECT doc_id, source, n_tokens FROM bud
+           WHERE cum - n_tokens < 500),
+    sh AS (SELECT source, n_tokens,
+                  (row_number() OVER (
+                     ORDER BY substr(md5('42:' || doc_id::VARCHAR), 1, 9),
+                              doc_id) - 1) // 16 AS shard
+           FROM bk)
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM sh GROUP BY shard
+    """,
+)
+def mix_build_e2e(spark, sf_dir):
+    """End-to-end training-MIX assembly — the r5 capstone composite:
+    exact dedup (min-id per content hash) → heuristic quality gate
+    (rounded score ≥ 0.3) → per-source 500-token budget fill in seeded
+    order (functions/sampling.token_budget_sample) → epoch shuffle +
+    16-doc shard assignment (two-phase prefix-sum rank) → per-shard
+    manifest (docs, tokens, distinct sources). One lazy plan, no
+    driver-side state; every stage keeps its own scale discipline
+    (hash-groupBy dedup, map-only quality filter, bucketed prefix sums
+    for both the budget cumsum and the shard rank)."""
+    from census_data_pipeline_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept_ids = dedup.exact_dedup(docs).select("doc_id")
+    kept = docs.join(kept_ids, "doc_id")
+    quality = kept.filter(quality_score("text") >= 0.3)
+    budgeted = sampling.token_budget_sample(quality, budget_tokens=500,
+                                            seed=42)
+    sharded = sampling.epoch_shuffle_shards(
+        budgeted.select("doc_id", "source", "n_tokens"),
+        "doc_id", seed=42, shard_size=16,
+    )
+    return sharded.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )

@@ -46,6 +46,7 @@ FAMILY_REPRESENTATIVES = [
     "sample_weighted_docs",      # weighted sampling (new r5 slot)
     "orders_target_encoding",    # leakage-safe target encoding (r5 slot)
     "sample_token_budget",       # per-source quota mix building (r5)
+    "mix_build_e2e",             # dedup->quality->budget->shard (r5)
     # media
     "multimodal_video_frames",
     "multimodal_image_dhash",
@@ -77,7 +78,6 @@ FAMILY_REPRESENTATIVES = [
     "orders_price_histogram",
     # rollup / joins / core
     "revenue_share_of_parent",
-    "boundaries_right_join",
     "bloom_join_prune",
     "skew_salted_join",
     "approx_sketches",
