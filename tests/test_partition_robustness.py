@@ -24,6 +24,12 @@ QUERIES = [
     "dedup_clusters",
     "events_rolling_median",
     "scd2_user_status",
+    # r5: iterative vocab argmax, prefix-sum budget fill, tie-broken
+    # top-k fusion, and the four-stage composite — all shape-sensitive
+    "text_bpe_merges",
+    "sample_token_budget",
+    "search_hybrid_rrf",
+    "mix_build_e2e",
 ]
 
 _SCRIPT = r"""
