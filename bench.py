@@ -147,6 +147,7 @@ HEADLINE_NEW: list[str] = [
     "text_tag_keywords",
     "text_normalize_unicode",
     "mix_build_e2e",
+    "events_ewma",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is

@@ -240,6 +240,11 @@ _CHECKED_PREFIX = [
     "events_ohlc_hourly",
     "events_time_weighted_avg",
     "events_gaps",
+    # events_ewma (Horner-fold trailing EWMA) takes geo_point_in_polygon's
+    # slot (r2-r4 green; ray-cast containment stays unit- and
+    # overlap-pinned, geo_polygon_overlap anchors left in r5 already —
+    # geo remains pinned by its unit/plan tests this round)
+    "events_ewma",
     "funnel_step_latency",
     "customer_rfm",
     "cohort_ltv_weekly",
@@ -258,7 +263,6 @@ _CHECKED_PREFIX = [
     "bloom_join_prune",
     "skew_salted_join",
     "approx_sketches",
-    "geo_point_in_polygon",
     "rates_zero_policy",
 ]
 

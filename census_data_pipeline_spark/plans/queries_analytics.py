@@ -3056,3 +3056,44 @@ def events_rate_anomaly(spark, sf_dir):
         .filter((F.col("__nw") >= 12) & (F.col("__sd") > 0))
         .drop("__nw", "__sd")
     )
+
+
+@query(
+    "events_ewma",
+    oracle="""
+    WITH w AS (SELECT event_id, user_id,
+                      list(value) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS arr
+               FROM events)
+    SELECT event_id, user_id,
+           round(list_reduce(arr, (acc, x) -> acc * 0.5 + x)
+                 / ((1 - power(0.5, len(arr))) / 0.5), 6) AS ewma
+    FROM w
+    """,
+)
+def events_ewma(spark, sf_dir):
+    """Trailing-8-event exponentially weighted moving average per user
+    (decay 0.5) — the responsiveness-tunable smoother monitoring pairs
+    with the rolling median. The numerator is a HORNER left-fold over
+    the chronological frame (acc·a + x), identical step-for-step in
+    Spark's ``aggregate`` and DuckDB's ``list_reduce`` (whose implicit
+    first-element seed equals the 0-init fold's first step); the
+    normalizer (1−aⁿ)/(1−a) is exact in floating point because 0.5
+    powers are dyadic. Partitioned bounded-rows window, deterministic
+    (ts, event_id) tie order — the rolling-median discipline."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, 0)
+    )
+    arr = F.collect_list("value").over(w)
+    num = F.aggregate(arr, F.lit(0.0),
+                      lambda acc, x: acc * F.lit(0.5) + x)
+    den = (F.lit(1.0) - F.pow(F.lit(0.5), F.size(arr))) / F.lit(0.5)
+    return ev.select(
+        "event_id", "user_id", F.round(num / den, 6).alias("ewma"),
+    )

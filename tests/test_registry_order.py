@@ -62,6 +62,7 @@ FAMILY_REPRESENTATIVES = [
     "events_ohlc_hourly",
     "events_time_weighted_avg",
     "events_gaps",
+    "events_ewma",               # Horner-fold trailing EWMA (r5)
     "funnel_step_latency",
     "customer_rfm",
     "cohort_ltv_weekly",
@@ -81,7 +82,6 @@ FAMILY_REPRESENTATIVES = [
     "bloom_join_prune",
     "skew_salted_join",
     "approx_sketches",
-    "geo_point_in_polygon",
     "rates_zero_policy",
 ]
 
