@@ -111,6 +111,22 @@ dq_profile_orders (one-pass column profiling) displaces text_chunking
 (r1-r3 green; chunking stays pinned by the straddle tests and the
 curation composite).
 
+r5 second batch (new operators this round): twelve NEW queries enter
+the prefix as they are built, each displacing an r4-green singleton
+whose family keeps other anchors (inline comments name each swap):
+text_bpe_merges + text_bpe_segment (BPE vocabulary training and its
+corpus application), text_pmi_pairs (document-presence collocations),
+mine_hard_negatives (contrastive near-miss mining), search_hybrid_rrf
+(reciprocal-rank fusion of BM25 + vector ranks, subsuming search_bm25's
+scoring pipeline), streaming_session_5m (REAL merging-session-state
+stream), sample_token_budget (per-source quota mix building),
+dedup_against_index (the materialized write-once index path, same
+oracle as the direct join), text_tag_keywords (gazetteer tagging via
+per-length gram joins), text_normalize_unicode (Arrow NFC vs DuckDB
+nfc_normalize), mix_build_e2e (the dedup→quality→budget→shard
+capstone), and events_ewma (Horner-fold trailing smoother). All carry
+FULL value oracles.
+
 r5 rotation (VERDICT r4 #1): ALL 50 r4 prefix slots went driver-green,
 so the 19 late-r4 queries that have never had a driver CORRECTNESS row
 enter the prefix, each displacing an r4-green query whose family keeps
@@ -241,9 +257,13 @@ _CHECKED_PREFIX = [
     "events_time_weighted_avg",
     "events_gaps",
     # events_ewma (Horner-fold trailing EWMA) takes geo_point_in_polygon's
-    # slot (r2-r4 green; ray-cast containment stays unit- and
-    # overlap-pinned, geo_polygon_overlap anchors left in r5 already —
-    # geo remains pinned by its unit/plan tests this round)
+    # slot. NOTE: with polygon_overlap already displaced this round, geo
+    # carries NO r5 window slot — a deliberate exception to the
+    # one-per-family rule: every geo query has MULTIPLE driver-green
+    # rows (r1-r4), the family stays pinned by unit + plan tests, and
+    # the slots are better spent on never-driver-checked and brand-new
+    # queries (the hygiene test in test_registry_order.py guarantees no
+    # query is left permanently unverified)
     "events_ewma",
     "funnel_step_latency",
     "customer_rfm",
