@@ -148,6 +148,7 @@ HEADLINE_NEW: list[str] = [
     "text_normalize_unicode",
     "mix_build_e2e",
     "events_ewma",
+    "cluster_kmeans_lloyd",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is

@@ -1234,3 +1234,93 @@ def classify_nearest_centroid(
             (F.col("true_label") == F.col("__m.__cl")).alias("correct"),
         )
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd K-Means as DataFrame ops — clustering TRAINED
+    inside the engine, with every step SQL-replicable (the learned-state
+    gap that keeps MLlib KMeans rows-only checkable is closed by
+    construction): seeded init (the ``k`` smallest-id vectors, the
+    engine's seeded-quantizer discipline), then ``iterations`` rounds of
+    [argmin assignment, per-cell element-wise mean update]. Returns the
+    final assignments (id, cell, dist2).
+
+    Engine parity: centroids are ROUNDED to 6 dp between rounds, so
+    both engines re-derive identical cluster boundaries from identical
+    inputs; distances use the hoisted ‖v‖² − 2·v·c + ‖c‖² decomposition
+    with ties to the lowest cell (the IVF disciplines). A cell that
+    loses all members simply drops out of the centroid frame (standard
+    Lloyd empty-cell behavior, identical in the oracle's GROUP BY).
+
+    Scale shape per round: one broadcast-crossJoin assignment
+    (n×k narrow rows, argmin via min-struct — no window), one
+    posexplode to (cell, dim, value) and a (cell, dim)-keyed mean —
+    the distributed-mean shuffle is n·dim NARROW rows, never a
+    whole-vector collect_list — then an array rebuild over k·dim rows.
+    ``localCheckpoint`` cuts lineage between rounds (the iterative
+    discipline)."""
+    if k < 1 or iterations < 1:
+        raise ValueError("k and iterations must be >= 1")
+    vecs = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            _as_double(F.col(vec_col)).alias("__v"),
+        )
+        .withColumn("__nv2", dot(F.col("__v"), F.col("__v")))
+        .localCheckpoint(eager=False)
+    )
+    cent = _seeded_centroids(df, k, id_col, vec_col)
+    dist2 = (
+        F.col("__nv2")
+        - F.lit(2.0) * dot(F.col("__v"), F.col("__cv"))
+        + F.col("__nc2")
+    )
+
+    def assign(c):
+        return (
+            vecs.crossJoin(F.broadcast(c))
+            .select("id", "__cell", dist2.alias("__d2"))
+            .groupBy("id")
+            .agg(F.min(F.struct("__d2", "__cell")).alias("__m"))
+            .select("id", F.col("__m.__cell").alias("__cell"))
+        )
+
+    for _ in range(iterations):
+        assigned = assign(cent)
+        cent = (
+            vecs.join(assigned, "id")
+            .select("__cell", F.posexplode("__v").alias("__i", "__x"))
+            .groupBy("__cell", "__i")
+            .agg(F.round(F.avg("__x"), 6).alias("__m"))
+            .groupBy("__cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("__i", "__m"))
+                ).alias("__s")
+            )
+            .select(
+                "__cell",
+                F.transform("__s", lambda s: s["__m"]).alias("__cv"),
+            )
+            .withColumn("__nc2", dot(F.col("__cv"), F.col("__cv")))
+            .localCheckpoint(eager=True)
+        )
+    final = (
+        vecs.crossJoin(F.broadcast(cent))
+        .select("id", "__cell", dist2.alias("__d2"))
+        .groupBy("id")
+        .agg(F.min(F.struct("__d2", "__cell")).alias("__m"))
+        .select(
+            "id",
+            F.col("__m.__cell").alias("cell"),
+            F.round(F.col("__m.__d2"), 6).alias("dist2"),
+        )
+    )
+    return final

@@ -236,7 +236,11 @@ _CHECKED_PREFIX = [
     # media (r5: audio_features rotated out, r4-green with a full value
     # oracle; video + dhash keep the family)
     "multimodal_video_frames",
-    "multimodal_image_dhash",
+    # cluster_kmeans_lloyd (fully-SQL-replicated Lloyd training) takes
+    # multimodal_image_dhash's slot (r4-green; media keeps video_frames,
+    # which exercises the decode machinery more broadly, plus the
+    # golden-pixel unit suite)
+    "cluster_kmeans_lloyd",
     # graph (r5: triangles rotated out, r4-green)
     "graph_pagerank",
     # §2.9 streaming (r5: inner interval join + scd2_user_status +

@@ -2728,3 +2728,59 @@ def mix_build_e2e(spark, sf_dir):
         F.sum("n_tokens").alias("total_tokens"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+def _kmeans_oracle(k: int, iterations: int, dim: int = 64) -> str:
+    """DuckDB replica of functions/similarity.kmeans_lloyd: seeded init
+    (k smallest-id vectors, cell = rank), per round argmin assignment
+    (hoisted ‖v‖²−2·v·c+‖c‖², ties to lowest cell) and per-cell
+    element-wise means ROUNDED to 6 dp — the rounding is what lets both
+    engines re-derive identical boundaries. One MATERIALIZED centroid
+    CTE per round; the per-(cell, dim) mean explodes over a range(dim)
+    cross join, mirroring Spark's posexplode."""
+    parts = [f"""WITH v AS MATERIALIZED (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS x,
+             list_dot_product(embedding::DOUBLE[],
+                              embedding::DOUBLE[]) AS nv2
+      FROM embeddings),
+    c0 AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cell,
+             x AS cv, list_dot_product(x, x) AS nc2
+      FROM (SELECT id, x FROM v ORDER BY id LIMIT {k}))"""]
+    for r in range(1, iterations + 1):
+        parts.append(f""",
+    a{r} AS (SELECT id, cell FROM (
+      SELECT v.id, c.cell,
+             row_number() OVER (PARTITION BY v.id
+               ORDER BY v.nv2 - 2 * list_dot_product(v.x, c.cv) + c.nc2,
+                        c.cell) AS rn
+      FROM v CROSS JOIN c{r - 1} c) WHERE rn = 1),
+    c{r} AS MATERIALIZED (
+      SELECT cell, cv, list_dot_product(cv, cv) AS nc2 FROM (
+        SELECT cell, list(m ORDER BY i) AS cv FROM (
+          SELECT a.cell, i.i, round(avg(v.x[i.i]), 6) AS m
+          FROM a{r} a JOIN v USING (id)
+          CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) i
+          GROUP BY a.cell, i.i)
+        GROUP BY cell))""")
+    parts.append(f"""
+    SELECT id, cell, round(d2, 6) AS dist2 FROM (
+      SELECT v.id, c.cell,
+             v.nv2 - 2 * list_dot_product(v.x, c.cv) + c.nc2 AS d2,
+             row_number() OVER (PARTITION BY v.id
+               ORDER BY v.nv2 - 2 * list_dot_product(v.x, c.cv) + c.nc2,
+                        c.cell) AS rn
+      FROM v CROSS JOIN c{iterations} c) WHERE rn = 1""")
+    return "".join(parts)
+
+
+@query("cluster_kmeans_lloyd", oracle=_kmeans_oracle(8, 2))
+def cluster_kmeans_lloyd(spark, sf_dir):
+    """Deterministic Lloyd K-Means trained inside the engine
+    (functions/similarity.kmeans_lloyd, k=8, 2 rounds): the
+    fully-SQL-replicated sibling of the MLlib KMeans path — seeded
+    smallest-id init, broadcast-argmin assignment, per-(cell, dim)
+    distributed means rounded to 6 dp between rounds. Final assignments
+    (id, cell, dist2) match the oracle value-for-value."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_lloyd(emb, k=8, iterations=2)

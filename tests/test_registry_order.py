@@ -49,7 +49,7 @@ FAMILY_REPRESENTATIVES = [
     "mix_build_e2e",             # dedup->quality->budget->shard (r5)
     # media
     "multimodal_video_frames",
-    "multimodal_image_dhash",
+    "cluster_kmeans_lloyd",      # SQL-replicated Lloyd training (r5)
     # graph
     "graph_pagerank",
     # streaming / change-data

@@ -173,6 +173,24 @@ def main() -> None:
         q = e.filter(F.col("vec_id") < 50)
         return similarity.knn_ivfpq_seeded(e, q, k=10)
 
+    def fam_bpe_train(d, e, g):
+        from census_data_pipeline_spark.functions import text
+        return text.bpe_train(d, num_merges=6)
+
+    def fam_tag_keywords(d, e, g):
+        from census_data_pipeline_spark.functions import text
+        phrases = d.sparkSession.createDataFrame(
+            [("dup dup",), ("boilerplate license",), ("stream",)],
+            "phrase string",
+        )
+        return text.tag_keywords(d, phrases)
+
+    def fam_token_budget(d, e, g):
+        from census_data_pipeline_spark.functions import sampling
+        src = d.withColumn("source", (F.col("doc_id") % 20).cast("string"))
+        return sampling.token_budget_sample(src, budget_tokens=2000,
+                                            key_bits=32)
+
     families = {
         "minhash_lsh_capped": fam_minhash_capped,
         "minhash_lsh_uncapped": fam_minhash_uncapped,
@@ -181,6 +199,9 @@ def main() -> None:
         "span_dedup": fam_span_dedup,
         "pagerank": fam_pagerank,
         "ivfpq": fam_ivfpq,
+        "bpe_train": fam_bpe_train,
+        "tag_keywords": fam_tag_keywords,
+        "token_budget": fam_token_budget,
     }
 
     results: dict[str, dict] = {}
