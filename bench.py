@@ -149,6 +149,7 @@ HEADLINE_NEW: list[str] = [
     "mix_build_e2e",
     "events_ewma",
     "cluster_kmeans_lloyd",
+    "cluster_silhouette",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is

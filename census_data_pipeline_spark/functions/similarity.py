@@ -1265,6 +1265,35 @@ def kmeans_lloyd(
     whole-vector collect_list — then an array rebuild over k·dim rows.
     ``localCheckpoint`` cuts lineage between rounds (the iterative
     discipline)."""
+    vecs, cent = _lloyd_train(df, k, iterations, id_col, vec_col)
+    dist2 = _lloyd_dist2()
+    return (
+        vecs.crossJoin(F.broadcast(cent))
+        .select("id", "__cell", dist2.alias("__d2"))
+        .groupBy("id")
+        .agg(F.min(F.struct("__d2", "__cell")).alias("__m"))
+        .select(
+            "id",
+            F.col("__m.__cell").alias("cell"),
+            F.round(F.col("__m.__d2"), 6).alias("dist2"),
+        )
+    )
+
+
+def _lloyd_dist2() -> Column:
+    return (
+        F.col("__nv2")
+        - F.lit(2.0) * dot(F.col("__v"), F.col("__cv"))
+        + F.col("__nc2")
+    )
+
+
+def _lloyd_train(
+    df: DataFrame, k: int, iterations: int, id_col: str, vec_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared Lloyd loop: returns (vecs, trained centroid frame) so the
+    assignment query and the silhouette evaluation reuse one training
+    path. See ``kmeans_lloyd`` for the parity/scale contract."""
     if k < 1 or iterations < 1:
         raise ValueError("k and iterations must be >= 1")
     vecs = (
@@ -1277,23 +1306,16 @@ def kmeans_lloyd(
         .localCheckpoint(eager=False)
     )
     cent = _seeded_centroids(df, k, id_col, vec_col)
-    dist2 = (
-        F.col("__nv2")
-        - F.lit(2.0) * dot(F.col("__v"), F.col("__cv"))
-        + F.col("__nc2")
-    )
+    dist2 = _lloyd_dist2()
 
-    def assign(c):
-        return (
-            vecs.crossJoin(F.broadcast(c))
+    for _ in range(iterations):
+        assigned = (
+            vecs.crossJoin(F.broadcast(cent))
             .select("id", "__cell", dist2.alias("__d2"))
             .groupBy("id")
             .agg(F.min(F.struct("__d2", "__cell")).alias("__m"))
             .select("id", F.col("__m.__cell").alias("__cell"))
         )
-
-    for _ in range(iterations):
-        assigned = assign(cent)
         cent = (
             vecs.join(assigned, "id")
             .select("__cell", F.posexplode("__v").alias("__i", "__x"))
@@ -1312,15 +1334,62 @@ def kmeans_lloyd(
             .withColumn("__nc2", dot(F.col("__cv"), F.col("__cv")))
             .localCheckpoint(eager=True)
         )
-    final = (
+    return vecs, cent
+
+
+def silhouette_simplified(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Simplified silhouette per cluster — the clustering-quality metric
+    that pairs with ``kmeans_lloyd``: for each vector, a = euclidean
+    distance to its OWN centroid, b = distance to the nearest OTHER
+    centroid, s = (b − a)/max(a, b) ∈ [−1, 1] (the centroid-based
+    simplification of Rousseeuw's silhouette — O(n·k) instead of the
+    O(n²) pairwise form, the only version that survives 100 TB).
+    Returns one row per populated cell: (cell, n, mean_silhouette).
+
+    Distances clamp d² at 0 before the sqrt (the hoisted decomposition
+    can go −1e−16 in FP); a degenerate max(a,b)=0 scores 0. Same
+    rounding/tie disciplines as the trainer, so the oracle replicates
+    the whole pipeline value-for-value."""
+    vecs, cent = _lloyd_train(df, k, iterations, id_col, vec_col)
+    d = (
         vecs.crossJoin(F.broadcast(cent))
-        .select("id", "__cell", dist2.alias("__d2"))
-        .groupBy("id")
+        .select(
+            "id", "__cell",
+            F.greatest(_lloyd_dist2(), F.lit(0.0)).alias("__d2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    own = (
+        d.groupBy("id")
         .agg(F.min(F.struct("__d2", "__cell")).alias("__m"))
         .select(
             "id",
-            F.col("__m.__cell").alias("cell"),
-            F.round(F.col("__m.__d2"), 6).alias("dist2"),
+            F.col("__m.__cell").alias("__own"),
+            F.col("__m.__d2").alias("__a2"),
         )
     )
-    return final
+    oth = (
+        d.join(own, "id")
+        .filter(F.col("__cell") != F.col("__own"))
+        .groupBy("id")
+        .agg(F.min("__d2").alias("__b2"))
+    )
+    a, b = F.sqrt("__a2"), F.sqrt("__b2")
+    s = F.when(F.greatest(a, b) == 0.0, F.lit(0.0)).otherwise(
+        (b - a) / F.greatest(a, b)
+    )
+    return (
+        own.join(oth, "id")
+        .select("id", F.col("__own").alias("cell"), F.round(s, 6).alias("__s"))
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("__s"), 6).alias("mean_silhouette"),
+        )
+    )

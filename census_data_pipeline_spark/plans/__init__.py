@@ -241,12 +241,16 @@ _CHECKED_PREFIX = [
     # which exercises the decode machinery more broadly, plus the
     # golden-pixel unit suite)
     "cluster_kmeans_lloyd",
+    # cluster_silhouette (the quality metric over the same training)
+    # takes streaming_interval_join_outer's slot (r4-green; real
+    # streaming keeps dedup/ohlc/session-stream anchors, and the outer
+    # join machinery stays pinned by its unit + batch-parity tests)
+    "cluster_silhouette",
     # graph (r5: triangles rotated out, r4-green)
     "graph_pagerank",
     # §2.9 streaming (r5: inner interval join + scd2_user_status +
     # orders_snapshot_diff rotated out, all r4-green; the two
     # never-checked real-stream queries + snapshot-at enter)
-    "streaming_interval_join_outer",
     "streaming_dedup_events",
     "streaming_ohlc_hourly",
     "scd2_snapshot_at",

@@ -2784,3 +2784,48 @@ def cluster_kmeans_lloyd(spark, sf_dir):
     (id, cell, dist2) match the oracle value-for-value."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.kmeans_lloyd(emb, k=8, iterations=2)
+
+
+@query(
+    "cluster_silhouette",
+    oracle=_kmeans_oracle(8, 2).replace(
+        """
+    SELECT id, cell, round(d2, 6) AS dist2 FROM (
+      SELECT v.id, c.cell,
+             v.nv2 - 2 * list_dot_product(v.x, c.cv) + c.nc2 AS d2,
+             row_number() OVER (PARTITION BY v.id
+               ORDER BY v.nv2 - 2 * list_dot_product(v.x, c.cv) + c.nc2,
+                        c.cell) AS rn
+      FROM v CROSS JOIN c2 c) WHERE rn = 1""",
+        """,
+    d AS (SELECT v.id, c.cell,
+                 greatest(v.nv2 - 2 * list_dot_product(v.x, c.cv) + c.nc2,
+                          0.0) AS d2
+          FROM v CROSS JOIN c2 c),
+    r AS (SELECT id, cell, d2,
+                 row_number() OVER (PARTITION BY id ORDER BY d2, cell) AS rn
+          FROM d),
+    own AS (SELECT id, cell AS own_cell, d2 AS a2 FROM r WHERE rn = 1),
+    oth AS (SELECT d.id, min(d.d2) AS b2
+            FROM d JOIN own USING (id) WHERE d.cell <> own.own_cell
+            GROUP BY d.id),
+    s AS (SELECT own.id, own.own_cell AS cell,
+                 round(CASE WHEN greatest(sqrt(a2), sqrt(b2)) = 0 THEN 0.0
+                            ELSE (sqrt(b2) - sqrt(a2))
+                                 / greatest(sqrt(a2), sqrt(b2)) END, 6) AS sv
+          FROM own JOIN oth USING (id))
+    SELECT cell, CAST(count(*) AS BIGINT) AS n,
+           round(avg(sv), 6) AS mean_silhouette
+    FROM s GROUP BY cell""",
+    ),
+)
+def cluster_silhouette(spark, sf_dir):
+    """Simplified (centroid-based) silhouette per cluster over the same
+    k=8 / 2-round Lloyd training as cluster_kmeans_lloyd
+    (functions/similarity.silhouette_simplified): s = (b−a)/max(a,b)
+    with a = distance to own centroid, b = nearest other centroid —
+    the O(n·k) clustering-quality summary that survives scale. The
+    oracle swaps the trainer's final-assignment tail for the
+    silhouette tail on the SAME centroid CTE chain."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.silhouette_simplified(emb, k=8, iterations=2)

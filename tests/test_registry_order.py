@@ -50,6 +50,7 @@ FAMILY_REPRESENTATIVES = [
     # media
     "multimodal_video_frames",
     "cluster_kmeans_lloyd",      # SQL-replicated Lloyd training (r5)
+    "cluster_silhouette",        # centroid-based quality metric (r5)
     # graph
     "graph_pagerank",
     # streaming / change-data
