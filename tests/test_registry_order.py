@@ -53,8 +53,8 @@ FAMILY_REPRESENTATIVES = [
     "cluster_silhouette",        # centroid-based quality metric (r5)
     # graph
     "graph_pagerank",
-    # streaming / change-data
-    "streaming_interval_join_outer",
+    # streaming / change-data (interval_join_outer rotated out for
+    # cluster_silhouette — r4-green; three real-stream anchors remain)
     "streaming_dedup_events",    # exactly-once repair stream (r5 slot)
     "streaming_ohlc_hourly",     # stateful stream rollup (r5 slot)
     "scd2_snapshot_at",          # time travel over SCD2 (r5 slot)
