@@ -203,6 +203,51 @@ def main(sf_dir: str = SF_DIR) -> int:
     for r in sorted(chi.collect(), key=lambda r: (r["class"], r.rank))[:4]:
         print(f"  {r['class']}: #{r.rank} {r.token} (chi2={r.chi2})")
 
+    # 9. r5 stages — mix assembly, tokenizer training, hybrid retrieval,
+    #    clustering: fill a per-source token budget over the curated
+    #    docs, train a BPE vocabulary and measure its compression, fuse
+    #    BM25 + vector ranks with RRF, mine hard negatives, and cluster
+    #    the embedding space with the SQL-replicated Lloyd trainer
+    mix = sampling.token_budget_sample(
+        docs.join(canonical.select("doc_id"), "doc_id"),
+        budget_tokens=400,
+    )
+    print(f"\ntoken-budget mix rows : {mix.count()}")
+
+    merges = text.bpe_train(docs, num_merges=6)
+    print("BPE merge table:")
+    for r in merges.orderBy("step").collect():
+        print(f"  step {r.step}: '{r.lhs}'+'{r.rhs}' -> '{r.merged}' "
+              f"(weight {r.weight})")
+    seg = text.bpe_segment(docs, num_merges=6)
+    cpt = seg.agg(F.round(F.avg("chars_per_token"), 4)).first()[0]
+    print(f"mean chars/BPE token  : {cpt}")
+
+    sem_hits = similarity.knn_bruteforce(
+        emb, emb.filter(F.col("vec_id") == 0), k=25
+    ).withColumnRenamed("neighbor_id", "doc_id")
+    from pyspark.sql import Window
+    lex = search.bm25_topk(corpus_text, ["vector", "stream"], k=25)
+    lex = lex.withColumn(
+        "rank", F.row_number().over(
+            Window.orderBy(F.col("score").desc(), "doc_id"))
+    )
+    fused = search.rrf_fuse([lex, sem_hits], rrf_k=60, k=5)
+    print("hybrid RRF top-5:")
+    for r in fused.collect():
+        print(f"  doc {r.doc_id}: rrf={r.rrf_score} "
+              f"retrievers={r.n_retrievers}")
+
+    negs = similarity.hard_negatives(
+        emb, emb.filter(F.col("vec_id") % 500 == 0), k=3
+    )
+    print(f"hard negatives mined  : {negs.count()}")
+
+    sil = similarity.silhouette_simplified(emb, k=8, iterations=2)
+    print("Lloyd k=8 silhouette by cell:")
+    for r in sil.orderBy("cell").collect():
+        print(f"  cell {r.cell}: n={r.n} s={r.mean_silhouette}")
+
     # NOTE: no spark.stop() — the session is shared when driven from tests
     return n_final
 
