@@ -134,9 +134,19 @@ def main() -> None:
         .distinct()
     )
 
-    # materialize both scales once so amplification cost isn't timed
+    # materialize the scales once so amplification cost isn't timed.
+    # SPARK_GRAFT_REHEARSAL_SCALES overrides (label:copies:mega,...) —
+    # e.g. "1x:1:200,100x:100:20000" for a two-decade probe;
+    # SPARK_GRAFT_REHEARSAL_FAMILIES comma-filters the family set.
+    spec = os.environ.get(
+        "SPARK_GRAFT_REHEARSAL_SCALES", "1x:1:200,10x:10:2000"
+    )
+    scale_list = []
+    for part in spec.split(","):
+        label, copies, mega = part.split(":")
+        scale_list.append((label, int(copies), int(mega)))
     scales = {}
-    for label, copies, mega in (("1x", 1, 200), ("10x", 10, 2000)):
+    for label, copies, mega in scale_list:
         d = amplify_docs(docs, copies, mega).localCheckpoint()
         e = amplify_embeddings(emb, copies).localCheckpoint()
         g = amplify_edges(edges1, copies).localCheckpoint()
@@ -204,28 +214,36 @@ def main() -> None:
         "token_budget": fam_token_budget,
     }
 
+    family_filter = os.environ.get("SPARK_GRAFT_REHEARSAL_FAMILIES")
+    if family_filter:
+        wanted = set(family_filter.split(","))
+        families = {n: f for n, f in families.items() if n in wanted}
+
+    labels = [label for label, _, _ in scale_list]
+    first, last = labels[0], labels[-1]
+    ratio = scale_list[-1][1] / scale_list[0][1]
     results: dict[str, dict] = {}
     for name, fn in families.items():
         row: dict = {}
-        for label in ("1x", "10x"):
+        for label in labels:
             d, e, g = scales[label]
             row[label] = round(timed(lambda: fn(d, e, g)), 3)
             print(f"# {name} @{label}: {row[label]} s", file=sys.stderr)
         row["exponent"] = round(
-            math.log(max(row["10x"], 1e-9) / max(row["1x"], 1e-9))
-            / math.log(10.0),
+            math.log(max(row[last], 1e-9) / max(row[first], 1e-9))
+            / math.log(ratio),
             3,
         )
         results[name] = row
 
-    print(json.dumps({"sf_base": SF_DIR, "families": results}))
-    print("\n| family | 1x (s) | 10x (s) | exponent |", file=sys.stderr)
-    print("|---|---|---|---|", file=sys.stderr)
+    print(json.dumps({"sf_base": SF_DIR, "scales": labels,
+                      "families": results}))
+    header = " | ".join(f"{lb} (s)" for lb in labels)
+    print(f"\n| family | {header} | exponent |", file=sys.stderr)
+    print("|---" * (len(labels) + 2) + "|", file=sys.stderr)
     for name, row in results.items():
-        print(
-            f"| {name} | {row['1x']} | {row['10x']} | {row['exponent']} |",
-            file=sys.stderr,
-        )
+        cells = " | ".join(str(row[lb]) for lb in labels)
+        print(f"| {name} | {cells} | {row['exponent']} |", file=sys.stderr)
     spark.stop()
 
 
