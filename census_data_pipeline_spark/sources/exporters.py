@@ -183,3 +183,85 @@ def execute_sql(spark: SparkSession, sql: str) -> DataFrame:
     """Raw SQL passthrough (reference: src/exporters.py:197-204) against the
     engine's own catalog."""
     return spark.sql(sql)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    shard_col: str = "shard",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-data export — the final mile of the curation pipeline:
+    write the mixed/sharded corpus as shard-partitioned JSONL (the
+    format training loaders consume: one JSON document per line,
+    ``path/<shard_col>=N/*.json``) plus a MANIFEST dataframe
+    (shard, n_docs, n_tokens, sha_xor) that is also persisted at
+    ``path/_manifest`` — a loader can verify shard completeness without
+    reading payloads.
+
+    ``sha_xor`` is an order-independent per-shard content fingerprint:
+    ``bit_xor`` of the first 8 md5 bytes of each document — any
+    dropped/duplicated/corrupted line changes it, and it is computable
+    identically by any engine (no dependence on file layout or row
+    order, which Spark does not guarantee).
+
+    Scale shape: ONE pass writes the data (partitionBy on the shard
+    column → one directory per shard, executor-parallel), one
+    shard-keyed aggregate builds the manifest. No driver-side rows."""
+    out = df.write.partitionBy(shard_col).mode("overwrite")
+    out.json(path)
+    manifest = (
+        df.groupBy(shard_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split(F.col(text_col), " ")))
+            .cast("long").alias("n_tokens"),
+            F.bit_xor(
+                F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10)
+                .cast("long")
+            ).alias("sha_xor"),
+        )
+    )
+    manifest.write.mode("overwrite").parquet(path + "/_manifest")
+    return manifest
+
+
+def read_training_shards(
+    spark: SparkSession, path: str, verify: bool = True
+) -> DataFrame:
+    """Load a ``write_training_shards`` export. With ``verify=True``
+    (default) the per-shard (count, fingerprint) is recomputed from the
+    loaded data and compared against the stored manifest — a missing
+    file, truncated shard, or corrupted line raises instead of silently
+    training on a damaged corpus."""
+    data = spark.read.json(path)
+    if verify:
+        stored = {
+            r[0]: (r[1], r[2], r[3])
+            for r in spark.read.parquet(path + "/_manifest").collect()
+        }
+        got = {
+            r[0]: (r[1], r[2], r[3])
+            for r in (
+                data.groupBy("shard")
+                .agg(
+                    F.count("*").alias("n_docs"),
+                    F.sum(F.size(F.split(F.col("text"), " ")))
+                    .cast("long").alias("n_tokens"),
+                    F.bit_xor(
+                        F.conv(
+                            F.substring(F.md5(F.col("text")), 1, 15), 16, 10
+                        ).cast("long")
+                    ).alias("sha_xor"),
+                )
+                .collect()
+            )
+        }
+        if stored != got:
+            bad = {k for k in set(stored) | set(got)
+                   if stored.get(k) != got.get(k)}
+            raise ValueError(
+                f"training-shard manifest mismatch for shards {sorted(bad)}: "
+                "the export is incomplete or corrupted"
+            )
+    return data

@@ -423,3 +423,50 @@ def test_kmeans_lloyd_matches_reference(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         kmeans_lloyd(df, k=0)
+
+
+def test_training_shards_round_trip_and_verify(spark, tmp_path):
+    """JSONL shard export round-trips with a verified manifest; a
+    corrupted line is DETECTED on load (the order-independent xor
+    fingerprint), not silently trained on."""
+    import glob
+    import os
+
+    from census_data_pipeline_spark.sources.exporters import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 3, f"doc {i} text tokens here") for i in range(30)],
+        "doc_id long, shard int, text string",
+    )
+    path = str(tmp_path / "shards")
+    manifest = {r.shard: (r.n_docs, r.n_tokens)
+                for r in write_training_shards(df, path).collect()}
+    assert manifest == {0: (10, 50), 1: (10, 50), 2: (10, 50)}
+    # one directory per shard, JSONL lines inside
+    assert sorted(os.path.basename(p) for p in glob.glob(path + "/shard=*")) \
+        == ["shard=0", "shard=1", "shard=2"]
+
+    loaded = read_training_shards(spark, path)
+    assert loaded.count() == 30
+    assert {r.doc_id for r in loaded.collect()} == set(range(30))
+
+    # corrupt one line -> verified load raises. The local filesystem's
+    # CRC sidecar would catch a plain overwrite first, so remove it —
+    # the manifest must catch what the transport layer cannot (object
+    # stores have no .crc)
+    victim = glob.glob(path + "/shard=1/*.json")[0]
+    crc = os.path.join(os.path.dirname(victim),
+                       "." + os.path.basename(victim) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    lines = open(victim).read().splitlines()
+    lines[0] = lines[0].replace("tokens", "tampered")
+    with open(victim, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    with pytest.raises(ValueError, match="manifest mismatch.*1"):
+        read_training_shards(spark, path)
+    # unverified load still works (explicit opt-out)
+    assert read_training_shards(spark, path, verify=False).count() == 30
