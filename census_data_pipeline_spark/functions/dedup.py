@@ -446,8 +446,12 @@ def write_dedup_index(
     index instead of re-hashing the reference.
 
     Layout under ``path``:
-    - ``bands/``    (band, bucket, id) parquet, PARTITIONED BY band —
-      the bucket join reads only colliding band partitions,
+    - ``bands/``    (band, bucket, id) parquet, PARTITIONED BY band.
+      A full probe touches every band by construction (that is what
+      banding means), so the partitioning buys file-level LOCALITY
+      (each band's bucket join reads one directory) and enables
+      pruning only for partial probes (re-probing a single band after
+      a parameter sweep, or incremental band-at-a-time maintenance),
     - ``shingles/`` (ref_id, sh_r) parquet — the verification arrays,
     - ``meta/``     1-row (num_hashes, band_size, n) — parameter guard:
       an index probed with different parameters would silently produce
