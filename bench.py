@@ -150,6 +150,7 @@ HEADLINE_NEW: list[str] = [
     "events_ewma",
     "cluster_kmeans_lloyd",
     "cluster_silhouette",
+    "dq_benford_prices",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is

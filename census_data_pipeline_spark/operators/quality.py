@@ -98,3 +98,49 @@ def profile_columns(
         for c in cols
     ])
     return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Benford first-digit audit — the classic fraud / fabricated-data
+    screen: naturally occurring multi-magnitude amounts follow
+    P(d) = log₁₀(1 + 1/d); invented numbers usually don't. Returns one
+    row per leading digit: (digit, n, observed_p, expected_p,
+    chi2_term) with chi2_term = n_total·(obs−exp)²/exp — sum the column
+    and compare against χ²(8 df) for the verdict.
+
+    Engine parity: the leading digit comes from the DECIMAL-STRING of
+    the half-up-rounded integer ``value·scale`` (cents for money) — a
+    pure integer path, immune to the float-formatting and
+    log10-at-power-boundary divergences a naive
+    ``floor(v/10^floor(log10 v))`` hits across engines. Non-positive
+    and null values are excluded (Benford is defined on positive
+    magnitudes). One narrow map + a 9-row aggregate."""
+    if scale < 1:
+        raise ValueError("scale must be >= 1")
+    cents = F.floor(
+        F.col(value_col).cast("double") * F.lit(scale) + F.lit(0.5)
+    ).cast("long")
+    base = (
+        df.filter(F.col(value_col).isNotNull() & (F.col(value_col) > 0))
+        .select(F.substring(cents.cast("string"), 1, 1).cast("int")
+                .alias("digit"))
+        .filter(F.col("digit") >= 1)
+    )
+    counts = base.groupBy("digit").agg(F.count("*").alias("n"))
+    total = base.agg(F.count("*").alias("__t"))
+    obs = F.col("n") / F.col("__t")
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit", "n",
+            F.round(obs, 6).alias("observed_p"),
+            F.round(exp, 6).alias("expected_p"),
+            F.round(F.col("__t") * F.pow(obs - exp, 2) / exp, 6)
+            .alias("chi2_term"),
+        )
+    )

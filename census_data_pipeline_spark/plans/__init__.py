@@ -174,7 +174,6 @@ _CHECKED_PREFIX = [
     "dedup_spans",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
-    "dedup_containment",
     # r5 in: cross-corpus incremental dedup — never driver-checked, and
     # it carries this round's bucket_cap change
     "dedup_against_reference",
@@ -221,6 +220,10 @@ _CHECKED_PREFIX = [
     # and the percentile family keeps histogram + drift anchors)
     "search_hybrid_rrf",
     "dq_suite_core",
+    # dq_benford_prices (Benford first-digit audit) takes
+    # dedup_containment's slot (r4-green; dedup keeps six anchors
+    # including both cross-corpus paths)
+    "dq_benford_prices",
     # r4-green dq_profile_orders rotated out; dq_suite_core anchors dq
     # §2.11 sampling (r5: sample_temperature rotated out, r1-r4 green;
     # the two never-checked sampling entrants take the slots)

@@ -3097,3 +3097,36 @@ def events_ewma(spark, sf_dir):
     return ev.select(
         "event_id", "user_id", F.round(num / den, 6).alias("ewma"),
     )
+
+
+@query(
+    "dq_benford_prices",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS digit
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+    b AS (SELECT digit FROM base WHERE digit >= 1),
+    c AS (SELECT digit, count(*) AS n FROM b GROUP BY digit),
+    t AS (SELECT count(*) AS tt FROM b)
+    SELECT digit, n, round(n / tt, 6) AS observed_p,
+           round(log10(1.0 + 1.0 / digit), 6) AS expected_p,
+           round(tt * pow(n / tt - log10(1.0 + 1.0 / digit), 2)
+                 / log10(1.0 + 1.0 / digit), 6) AS chi2_term
+    FROM c, t
+    """,
+)
+def dq_benford_prices(spark, sf_dir):
+    """Benford first-digit audit over order totals
+    (operators/quality.benford_audit): the classic fabricated-data
+    screen — per leading digit, observed vs log₁₀(1+1/d) expected share
+    and the χ² term. Digit extraction goes through the HALF-UP-rounded
+    integer cents' decimal string (pure integer path; immune to the
+    float-formatting and log10-power-boundary divergences the naive
+    magnitude formula hits across engines)."""
+    from census_data_pipeline_spark.operators.quality import benford_audit
+
+    o = load_table(spark, sf_dir, "orders")
+    return benford_audit(o, "o_totalprice")

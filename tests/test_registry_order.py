@@ -28,7 +28,6 @@ FAMILY_REPRESENTATIVES = [
     "dedup_spans",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
-    "dedup_containment",
     "dedup_against_reference",   # cross-corpus incremental (new r5 slot)
     "dedup_against_index",       # materialized write-once index (r5)
     # similarity search
@@ -42,6 +41,7 @@ FAMILY_REPRESENTATIVES = [
     "text_tag_keywords",         # gazetteer gram-join tagging (r5)
     "text_normalize_unicode",    # Arrow NFC normalization (r5)
     "dq_suite_core",
+    "dq_benford_prices",         # Benford first-digit audit (r5)
     # sampling
     "sample_weighted_docs",      # weighted sampling (new r5 slot)
     "orders_target_encoding",    # leakage-safe target encoding (r5 slot)

@@ -470,3 +470,26 @@ def test_training_shards_round_trip_and_verify(spark, tmp_path):
         read_training_shards(spark, path)
     # unverified load still works (explicit opt-out)
     assert read_training_shards(spark, path, verify=False).count() == 30
+
+
+def test_benford_audit_semantics(spark):
+    """Digits from the half-up-rounded cents string: 1.994 -> 199 cents
+    -> digit 1; 0.005 -> 1 cent -> digit 1 (magnitude-free); zero/
+    negative/null excluded; chi2 term zero when observed == expected
+    cannot happen with 9 digits but the shares must sum to 1."""
+    from census_data_pipeline_spark.operators.quality import benford_audit
+
+    df = spark.createDataFrame(
+        [(1.994,), (0.005,), (8.21,), (92.0,), (None,), (-5.0,), (0.0,)],
+        "v double",
+    )
+    out = {r.digit: r for r in benford_audit(df, "v").collect()}
+    assert set(out) == {1, 8, 9}
+    assert (out[1].n, out[8].n, out[9].n) == (2, 1, 1)
+    assert abs(sum(r.observed_p for r in out.values()) - 1.0) < 1e-9
+    import math
+    assert out[1].expected_p == round(math.log10(2), 6)
+    assert all(r.chi2_term >= 0 for r in out.values())
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        benford_audit(df, "v", scale=0)
