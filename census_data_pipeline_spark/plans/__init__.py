@@ -190,7 +190,6 @@ _CHECKED_PREFIX = [
     # §2.11 text analysis / quality / decontamination (r5:
     # bigram_logprob, dsir_logratio, chi2_features rotated out, all
     # r4-green; corpus_vocab_stats is the never-checked entrant)
-    "text_token_stats",
     "text_unigram_logprob",
     "corpus_vocab_stats",
     # text_tag_keywords (gazetteer tagging via per-length gram joins)
@@ -287,6 +286,11 @@ _CHECKED_PREFIX = [
     # stays unit-pinned, core keeps boundaries/winsorized/skew anchors,
     # geo keeps point_in_polygon)
     # drift / profiling — never driver-checked
+    # lineitem_exact_median_scalable (bounded-memory EXACT median via
+    # range narrowing — the answer to every exact-percentile OOM note)
+    # takes text_token_stats' slot (r1-r4 green; the token-stat surface
+    # stays exercised by corpus_vocab_stats + bpe_segment + unit tests)
+    "lineitem_exact_median_scalable",
     "drift_ks_click_vs_error",
     "drift_psi_purchase_value",
     "orders_price_histogram",

@@ -3130,3 +3130,27 @@ def dq_benford_prices(spark, sf_dir):
 
     o = load_table(spark, sf_dir, "orders")
     return benford_audit(o, "o_totalprice")
+
+
+@query(
+    "lineitem_exact_median_scalable",
+    oracle="""
+    SELECT CAST(count(l_extendedprice) AS BIGINT) AS n,
+           round(median(l_extendedprice), 6) AS median
+    FROM lineitem
+    """,
+)
+def lineitem_exact_median_scalable(spark, sf_dir):
+    """EXACT median of the largest fact table's price column computed
+    by iterative range narrowing (operators/rollup.exact_kth_scalable)
+    — the bounded-memory answer to the single-buffer exact-percentile
+    OOM every SCALING.md swap note warns about: per round one
+    (count, min, max)-per-bucket aggregate (≤1024 rows to the driver),
+    geometric candidate shrinkage, exact tail read. Same value as the
+    one-buffer `median()` the oracle runs, provable at any scale."""
+    from census_data_pipeline_spark.operators.rollup import (
+        exact_median_scalable,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return exact_median_scalable(li, "l_extendedprice")

@@ -35,7 +35,6 @@ FAMILY_REPRESENTATIVES = [
     "knn_lsh",
     "knn_ivfpq_seeded",
     # text / quality / decontamination
-    "text_token_stats",
     "text_unigram_logprob",
     "corpus_vocab_stats",        # vocabulary stats (new r5 slot)
     "text_tag_keywords",         # gazetteer gram-join tagging (r5)
@@ -78,6 +77,7 @@ FAMILY_REPRESENTATIVES = [
     "drift_ks_click_vs_error",
     "drift_psi_purchase_value",
     "orders_price_histogram",
+    "lineitem_exact_median_scalable",  # bounded-memory exact median (r5)
     # rollup / joins / core
     "revenue_share_of_parent",
     "bloom_join_prune",

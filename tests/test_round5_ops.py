@@ -493,3 +493,38 @@ def test_benford_audit_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         benford_audit(df, "v", scale=0)
+
+
+def test_exact_kth_scalable_narrowing(spark):
+    """Force the range-narrowing loop (tiny tail threshold) and verify
+    exactness against sorted ground truth: extremes, duplicates, even/
+    odd medians, all-equal collapse, and validation errors."""
+    from census_data_pipeline_spark.operators.rollup import (
+        exact_kth_scalable,
+        exact_median_scalable,
+    )
+
+    vals = sorted(((i * 37) % 101) * 0.5 for i in range(101))
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    for k in (1, 2, 50, 51, 100, 101):
+        got = exact_kth_scalable(df, "v", k, n_buckets=8, tail_threshold=4)
+        assert got == vals[k - 1], (k, got, vals[k - 1])
+    # interpolated median, odd n
+    m = exact_median_scalable(df, "v").collect()[0]
+    assert (m.n, m.median) == (101, round(vals[50], 6))
+    # even n with nulls excluded
+    df2 = spark.createDataFrame(
+        [(1.0,), (3.0,), (2.0,), (None,), (10.0,)], "v double"
+    )
+    m2 = exact_median_scalable(df2, "v").collect()[0]
+    assert (m2.n, m2.median) == (4, 2.5)
+    # all-equal bucket collapses immediately
+    df3 = spark.createDataFrame([(7.5,)] * 50, "v double")
+    assert exact_kth_scalable(df3, "v", 25, n_buckets=4,
+                              tail_threshold=2) == 7.5
+    with pytest.raises(ValueError):
+        exact_kth_scalable(df, "v", 0)
+    with pytest.raises(ValueError):
+        exact_kth_scalable(df, "v", 102)
+    with pytest.raises(ValueError):
+        exact_median_scalable(df2.filter("v IS NULL"), "v")
