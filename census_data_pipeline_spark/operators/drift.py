@@ -207,3 +207,47 @@ def equidepth_histogram(
             F.round(F.avg("__v"), 6).alias("mean"),
         )
     )
+
+
+def chi2_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    cat_col: str,
+) -> DataFrame:
+    """Two-sample chi-square homogeneity test for CATEGORICAL drift —
+    completing the drift trio (KS: continuous; PSI: binned numeric;
+    chi²: categories). For each category c of the 2×C contingency
+    table, contribution = Σ_side (observed − expected)²/expected with
+    expected = row_total·col_total/N; Σ contributions ~ χ²(C−1) under
+    no-drift. Output per category: (category, n_ref, n_cur,
+    contribution); categories absent from one side contribute with
+    observed = 0 (never silently dropped — that is where drift lives).
+
+    One conditional aggregate over the flag-tagged union (map-side
+    combine, category-keyed shuffle) + a 1-row totals broadcast — no
+    data-scale window, same shape as PSI. All terms are exact-integer-
+    derived doubles rounded to 6, so any engine reproduces them."""
+    tagged = ref.select(F.col(cat_col).alias("cat"),
+                        F.lit(1).alias("__is_ref")).unionAll(
+        cur.select(F.col(cat_col).alias("cat"), F.lit(0).alias("__is_ref"))
+    )
+    counts = tagged.groupBy("cat").agg(
+        F.sum("__is_ref").cast("long").alias("n_ref"),
+        F.sum(F.lit(1) - F.col("__is_ref")).cast("long").alias("n_cur"),
+    )
+    totals = counts.agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
+    )
+    n = F.col("__tr") + F.col("__tc")
+    col_total = F.col("n_ref") + F.col("n_cur")
+    e_ref = F.col("__tr") * col_total / n
+    e_cur = F.col("__tc") * col_total / n
+    contribution = (
+        F.pow(F.col("n_ref") - e_ref, 2) / e_ref
+        + F.pow(F.col("n_cur") - e_cur, 2) / e_cur
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        F.col("cat").alias(cat_col),
+        "n_ref", "n_cur",
+        F.round(contribution, 6).alias("contribution"),
+    )

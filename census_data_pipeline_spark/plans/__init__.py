@@ -190,7 +190,6 @@ _CHECKED_PREFIX = [
     # §2.11 text analysis / quality / decontamination (r5:
     # bigram_logprob, dsir_logratio, chi2_features rotated out, all
     # r4-green; corpus_vocab_stats is the never-checked entrant)
-    "text_unigram_logprob",
     "corpus_vocab_stats",
     # text_tag_keywords (gazetteer tagging via per-length gram joins)
     # takes corpus_curation_e2e's slot (r1-r4 green; every curation
@@ -293,6 +292,11 @@ _CHECKED_PREFIX = [
     "lineitem_exact_median_scalable",
     "drift_ks_click_vs_error",
     "drift_psi_purchase_value",
+    # drift_chi2_event_types (the categorical member of the drift trio)
+    # takes text_unigram_logprob's slot (r4-green; LM quality stays
+    # exercised inside corpus_curation_e2e's pipeline and the bigram
+    # unit tests)
+    "drift_chi2_event_types",
     "orders_price_histogram",
     # rollup — never driver-checked hierarchical share-of-parent
     "revenue_share_of_parent",

@@ -3154,3 +3154,39 @@ def lineitem_exact_median_scalable(spark, sf_dir):
 
     li = load_table(spark, sf_dir, "lineitem")
     return exact_median_scalable(li, "l_extendedprice")
+
+
+@query(
+    "drift_chi2_event_types",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_type AS cat,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is_ref
+      FROM events),
+    c AS (SELECT cat, CAST(sum(is_ref) AS BIGINT) AS n_ref,
+                 CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
+          FROM tagged GROUP BY cat),
+    t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM c)
+    SELECT cat AS event_type, n_ref, n_cur,
+           round(pow(n_ref - tr * (n_ref + n_cur) / (tr + tc), 2)
+                   / (tr * (n_ref + n_cur) / (tr + tc))
+                 + pow(n_cur - tc * (n_ref + n_cur) / (tr + tc), 2)
+                   / (tc * (n_ref + n_cur) / (tr + tc)), 6)
+             AS contribution
+    FROM c, t
+    """,
+)
+def drift_chi2_event_types(spark, sf_dir):
+    """Categorical drift between the two user cohorts' event-type
+    distributions (operators/drift.chi2_drift) — the chi-square
+    homogeneity member of the drift trio (KS continuous, PSI binned,
+    chi² categorical). Sum the contribution column and compare against
+    chi²(C−1) for the verdict."""
+    from census_data_pipeline_spark.operators.drift import chi2_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    return chi2_drift(
+        ev.filter(F.col("user_id") % 2 == 0),
+        ev.filter(F.col("user_id") % 2 != 0),
+        "event_type",
+    )

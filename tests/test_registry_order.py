@@ -35,7 +35,6 @@ FAMILY_REPRESENTATIVES = [
     "knn_lsh",
     "knn_ivfpq_seeded",
     # text / quality / decontamination
-    "text_unigram_logprob",
     "corpus_vocab_stats",        # vocabulary stats (new r5 slot)
     "text_tag_keywords",         # gazetteer gram-join tagging (r5)
     "text_normalize_unicode",    # Arrow NFC normalization (r5)
@@ -76,6 +75,7 @@ FAMILY_REPRESENTATIVES = [
     # drift / profiling
     "drift_ks_click_vs_error",
     "drift_psi_purchase_value",
+    "drift_chi2_event_types",    # categorical chi-square drift (r5)
     "orders_price_histogram",
     "lineitem_exact_median_scalable",  # bounded-memory exact median (r5)
     # rollup / joins / core

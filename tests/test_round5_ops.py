@@ -528,3 +528,27 @@ def test_exact_kth_scalable_narrowing(spark):
         exact_kth_scalable(df, "v", 102)
     with pytest.raises(ValueError):
         exact_median_scalable(df2.filter("v IS NULL"), "v")
+
+
+def test_chi2_drift_semantics(spark):
+    """Hand-computed 2x2 chi-square; one-sided categories contribute
+    with observed=0 instead of dropping."""
+    from census_data_pipeline_spark.operators.drift import chi2_drift
+
+    ref = spark.createDataFrame(
+        [("a",)] * 30 + [("b",)] * 10, "c string"
+    )
+    cur = spark.createDataFrame(
+        [("a",)] * 10 + [("b",)] * 30 + [("z",)] * 2, "c string"
+    )
+    out = {r.c: r for r in chi2_drift(ref, cur, "c").collect()}
+    # expected for 'a': e_ref = 40*40/82, e_cur = 42*40/82
+    e_ref = 40 * 40 / 82
+    e_cur = 42 * 40 / 82
+    want = (30 - e_ref) ** 2 / e_ref + (10 - e_cur) ** 2 / e_cur
+    assert out["a"].contribution == round(want, 6)
+    assert (out["a"].n_ref, out["a"].n_cur) == (30, 10)
+    # 'z' exists only on the current side: contributes, not dropped
+    ez_ref, ez_cur = 40 * 2 / 82, 42 * 2 / 82
+    wz = (0 - ez_ref) ** 2 / ez_ref + (2 - ez_cur) ** 2 / ez_cur
+    assert out["z"].n_ref == 0 and out["z"].contribution == round(wz, 6)
