@@ -1393,3 +1393,44 @@ def silhouette_simplified(
             F.round(F.avg("__s"), 6).alias("mean_silhouette"),
         )
     )
+
+
+def ranking_metrics(
+    approx: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Retrieval-quality metrics of an approximate retriever against
+    exact ground truth — the evaluation surface behind every ANN
+    accuracy contract in this engine, generalized: both inputs carry
+    the knn contract columns (query_id, neighbor_id, rank). Per query:
+    recall@k = |approx∩truth_topk| / |truth_topk| (the denominator is
+    the truth size, so short ground-truth lists at tiny SF don't
+    penalize), and rr = 1/rank of the FIRST relevant item in the
+    approximate ranking (0 when nothing relevant surfaced — mean this
+    column for MRR). Output: (query_id, n_relevant, n_hit, recall_at_k,
+    rr).
+
+    One equi-join on (query_id, neighbor_id) between two already-tiny
+    top-k frames + a per-query aggregate; a LEFT join from the truth
+    side keeps queries the approximate retriever missed entirely."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    rel = truth.filter(F.col("rank") <= k).select(
+        "query_id", "neighbor_id"
+    )
+    ap = approx.filter(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", F.col("rank").alias("__ar")
+    )
+    joined = rel.join(ap, ["query_id", "neighbor_id"], "left")
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_relevant"),
+            F.count("__ar").cast("long").alias("n_hit"),
+            F.round(F.count("__ar") / F.count("*"), 6).alias("recall_at_k"),
+            F.round(
+                F.coalesce(F.lit(1.0) / F.min("__ar"), F.lit(0.0)), 6
+            ).alias("rr"),
+        )
+    )

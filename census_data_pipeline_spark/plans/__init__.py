@@ -171,7 +171,6 @@ _CHECKED_PREFIX = [
     # §2.11 dedup tier (r5: semantic + minhash_ml rotated out, both
     # r4-green; the family keeps five anchors plus the cross-corpus join)
     "dedup_exact",
-    "dedup_spans",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     # r5 in: cross-corpus incremental dedup — never driver-checked, and
@@ -187,6 +186,11 @@ _CHECKED_PREFIX = [
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivfpq_seeded",
+    # ann_quality_lsh (recall@k/MRR evaluation of the LSH retriever vs
+    # exact ground truth) takes dedup_spans' slot (r4-green; span dedup
+    # stays inside the 100x rehearsal + unit tests, and dedup keeps
+    # five anchors)
+    "ann_quality_lsh",
     # §2.11 text analysis / quality / decontamination (r5:
     # bigram_logprob, dsir_logratio, chi2_features rotated out, all
     # r4-green; corpus_vocab_stats is the never-checked entrant)

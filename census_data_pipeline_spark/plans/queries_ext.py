@@ -2829,3 +2829,49 @@ def cluster_silhouette(spark, sf_dir):
     silhouette tail on the SAME centroid CTE chain."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.silhouette_simplified(emb, k=8, iterations=2)
+
+
+@query(
+    "ann_quality_lsh",
+    oracle=f"""
+    WITH approx AS ({_knn_lsh_oracle(dim=64, nbits=4, n_tables=8, seed=42)}),
+    truth AS (
+      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id % 100 = 0),
+      c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+            FROM embeddings),
+      s AS (SELECT query_id, neighbor_id, {_COS_SQL} AS cosine_sim
+            FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
+      r AS (SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine_sim DESC, neighbor_id)
+                   AS "rank"
+            FROM s)
+      SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10),
+    rel AS (SELECT query_id, neighbor_id FROM truth WHERE "rank" <= 10),
+    ap AS (SELECT query_id, neighbor_id, "rank" AS ar
+           FROM approx WHERE "rank" <= 10),
+    j AS (SELECT rel.query_id, rel.neighbor_id, ap.ar
+          FROM rel LEFT JOIN ap USING (query_id, neighbor_id))
+    SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant,
+           CAST(count(ar) AS BIGINT) AS n_hit,
+           round(count(ar) / count(*), 6) AS recall_at_k,
+           round(coalesce(1.0 / min(ar), 0.0), 6) AS rr
+    FROM j GROUP BY query_id
+    """,
+)
+def ann_quality_lsh(spark, sf_dir):
+    """Retrieval-quality report for the seeded-LSH retriever
+    (functions/similarity.ranking_metrics): per query, recall@10 and
+    reciprocal rank of knn_lsh against the knn_bruteforce ground truth
+    — the ad-hoc accuracy contracts generalized into a first-class
+    evaluation operator. Both retrievers keep their own scale
+    disciplines; the metric join runs over two already-truncated top-k
+    frames."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    approx = similarity.knn_lsh(
+        emb, queries, k=10, nbits=4, n_tables=8, dim=64, seed=42
+    )
+    truth = similarity.knn_bruteforce(emb, queries, k=10)
+    return similarity.ranking_metrics(approx, truth, k=10)

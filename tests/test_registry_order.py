@@ -25,7 +25,6 @@ PREFIX_N = 50
 FAMILY_REPRESENTATIVES = [
     # dedup
     "dedup_exact",
-    "dedup_spans",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "dedup_against_reference",   # cross-corpus incremental (new r5 slot)
@@ -34,6 +33,7 @@ FAMILY_REPRESENTATIVES = [
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivfpq_seeded",
+    "ann_quality_lsh",           # recall@k / MRR evaluation (r5)
     # text / quality / decontamination
     "corpus_vocab_stats",        # vocabulary stats (new r5 slot)
     "text_tag_keywords",         # gazetteer gram-join tagging (r5)

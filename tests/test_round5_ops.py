@@ -552,3 +552,29 @@ def test_chi2_drift_semantics(spark):
     ez_ref, ez_cur = 40 * 2 / 82, 42 * 2 / 82
     wz = (0 - ez_ref) ** 2 / ez_ref + (2 - ez_cur) ** 2 / ez_cur
     assert out["z"].n_ref == 0 and out["z"].contribution == round(wz, 6)
+
+
+def test_ranking_metrics_semantics(spark):
+    from census_data_pipeline_spark.functions.similarity import (
+        ranking_metrics,
+    )
+
+    truth = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    approx = spark.createDataFrame(
+        [(1, 99, 1), (1, 11, 2), (1, 12, 3),   # 2 of 3 relevant; first at 2
+         (2, 98, 1), (2, 97, 2)],              # nothing relevant
+        "query_id long, neighbor_id long, rank int",
+    )
+    out = {r.query_id: r for r in
+           ranking_metrics(approx, truth, k=3).collect()}
+    assert (out[1].n_relevant, out[1].n_hit) == (3, 2)
+    assert out[1].recall_at_k == round(2 / 3, 6)
+    assert out[1].rr == 0.5            # first relevant at approx rank 2
+    assert (out[2].n_hit, out[2].recall_at_k, out[2].rr) == (0, 0.0, 0.0)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ranking_metrics(approx, truth, k=0)
