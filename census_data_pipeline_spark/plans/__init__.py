@@ -172,7 +172,6 @@ _CHECKED_PREFIX = [
     # r4-green; the family keeps five anchors plus the cross-corpus join)
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
     # r5 in: cross-corpus incremental dedup — never driver-checked, and
     # it carries this round's bucket_cap change
     "dedup_against_reference",
@@ -284,6 +283,11 @@ _CHECKED_PREFIX = [
     "customer_rfm",
     "cohort_ltv_weekly",
     "ab_test_conversion",
+    # basket_rules_parts (support/confidence/lift rule mining) takes
+    # dedup_embedding_cosine's slot (r4-green; embedding dedup stays
+    # anchored by dedup_against_reference/index + semantic-dedup unit
+    # pins, and the cosine machinery by the knn anchors)
+    "basket_rules_parts",
     # (copurchase_topk, skyline_parts, geo_polygon_overlap rotated out
     # for the three r5 operators above — all r4-green; co-occurrence
     # stays unit-pinned, core keeps boundaries/winsorized/skew anchors,

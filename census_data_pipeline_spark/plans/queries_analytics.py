@@ -3190,3 +3190,48 @@ def drift_chi2_event_types(spark, sf_dir):
         ev.filter(F.col("user_id") % 2 != 0),
         "event_type",
     )
+
+
+@query(
+    "basket_rules_parts",
+    oracle="""
+    WITH pres AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                  FROM lineitem),
+    ni AS (SELECT i, count(*) AS n FROM pres GROUP BY i),
+    nb AS (SELECT count(DISTINCT b) AS nb FROM pres),
+    pairs AS (SELECT a.i AS ia, c.i AS ib, count(*) AS n_both
+              FROM pres a JOIN pres c ON a.b = c.b AND a.i < c.i
+              GROUP BY 1, 2 HAVING count(*) >= 3),
+    directed AS (SELECT ia AS antecedent, ib AS consequent, n_both
+                 FROM pairs
+                 UNION ALL
+                 SELECT ib AS antecedent, ia AS consequent, n_both
+                 FROM pairs),
+    scored AS (
+      SELECT d.antecedent, d.consequent, d.n_both,
+             round(d.n_both / nb.nb, 6) AS support,
+             round(d.n_both / na.n, 6) AS confidence,
+             round((d.n_both * nb.nb) / (na.n * nc.n), 6) AS lift
+      FROM directed d
+      JOIN ni na ON na.i = d.antecedent
+      JOIN ni nc ON nc.i = d.consequent
+      CROSS JOIN nb)
+    SELECT antecedent, consequent, n_both, support, confidence, lift
+    FROM scored ORDER BY lift DESC, antecedent, consequent LIMIT 50
+    """,
+)
+def basket_rules_parts(spark, sf_dir):
+    """Market-basket association rules over order baskets
+    (operators/basket.association_rules): top-50 directed part→part
+    rules by lift with the support/confidence triple — the rule-mining
+    extension of copurchase_topk's co-occurrence counts. Per-basket
+    fan-out is bounded by TPC-H's ≤7-item baskets (cap long baskets
+    upstream like LSH hot buckets); the support floor prunes noise
+    rules before scoring."""
+    from census_data_pipeline_spark.operators.basket import (
+        association_rules,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return association_rules(li, "l_orderkey", "l_partkey",
+                             min_co=3, k=50)

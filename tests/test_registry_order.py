@@ -26,7 +26,6 @@ FAMILY_REPRESENTATIVES = [
     # dedup
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
     "dedup_against_reference",   # cross-corpus incremental (new r5 slot)
     "dedup_against_index",       # materialized write-once index (r5)
     # similarity search
@@ -66,6 +65,7 @@ FAMILY_REPRESENTATIVES = [
     "customer_rfm",
     "cohort_ltv_weekly",
     "ab_test_conversion",
+    "basket_rules_parts",        # association-rule mining (r5)
     # r5 operators (new this round)
     "text_bpe_merges",
     "text_bpe_segment",

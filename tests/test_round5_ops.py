@@ -578,3 +578,33 @@ def test_ranking_metrics_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         ranking_metrics(approx, truth, k=0)
+
+
+def test_association_rules_semantics(spark):
+    """Hand-computed support/confidence/lift; within-basket repeats
+    count once; the min_co floor prunes; direction matters."""
+    from census_data_pipeline_spark.operators.basket import (
+        association_rules,
+    )
+
+    rows = []
+    for b in range(1, 9):
+        rows += [(b, "bread"), (b, "butter")]       # together in 8
+    rows += [(9, "bread"), (9, "bread")]            # repeat counts once
+    rows += [(10, "butter"), (10, "jam"), (11, "jam")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = {(r.antecedent, r.consequent): r
+           for r in association_rules(df, "basket", "item",
+                                      min_co=2, k=10).collect()}
+    r = out[("bread", "butter")]
+    # n_baskets=11, bread in 9, butter in 9, both in 8
+    assert r.n_both == 8
+    assert r.support == round(8 / 11, 6)
+    assert r.confidence == round(8 / 9, 6)
+    assert r.lift == round(8 * 11 / (9 * 9), 6)
+    # direction flips the antecedent count (same here), but the
+    # butter->jam rule (1 co-basket) is pruned by min_co=2
+    assert ("butter", "jam") not in out and ("jam", "butter") not in out
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        association_rules(df, "basket", "item", min_co=0)
