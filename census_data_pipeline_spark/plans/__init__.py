@@ -111,7 +111,7 @@ dq_profile_orders (one-pass column profiling) displaces text_chunking
 (r1-r3 green; chunking stays pinned by the straddle tests and the
 curation composite).
 
-r5 second batch (new operators this round): fourteen NEW queries enter
+r5 second batch (new operators this round): nineteen NEW queries enter
 the prefix as they are built, each displacing an r4-green singleton
 whose family keeps other anchors (inline comments name each swap):
 text_bpe_merges + text_bpe_segment (BPE vocabulary training and its
@@ -124,10 +124,15 @@ dedup_against_index (the materialized write-once index path, same
 oracle as the direct join), text_tag_keywords (gazetteer tagging via
 per-length gram joins), text_normalize_unicode (Arrow NFC vs DuckDB
 nfc_normalize), mix_build_e2e (the dedup→quality→budget→shard
-capstone), events_ewma (Horner-fold trailing smoother), and the
+capstone), events_ewma (Horner-fold trailing smoother), the
 clustering pair cluster_kmeans_lloyd + cluster_silhouette (Lloyd
-training + its quality metric, both fully SQL-replicated). All carry
-FULL value oracles.
+training + its quality metric, both fully SQL-replicated),
+dq_benford_prices (first-digit audit), lineitem_exact_median_scalable
+(bounded-memory EXACT order statistics via range narrowing),
+drift_chi2_event_types (the categorical member of the drift trio),
+ann_quality_lsh (recall@k/MRR evaluation of the LSH retriever), and
+basket_rules_parts (association-rule mining) — nineteen in all. Every
+one carries a FULL value oracle.
 
 r5 rotation (VERDICT r4 #1): ALL 50 r4 prefix slots went driver-green,
 so the 19 late-r4 queries that have never had a driver CORRECTNESS row
