@@ -389,6 +389,12 @@ def token_budget_sample(
         raise ValueError("budget_tokens must be >= 1")
     if not 8 <= key_bits <= 52:
         raise ValueError("key_bits must be in [8, 52]")
+    clash = {"n_tokens", "cum_tokens"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already has output column(s) {sorted(clash)} — rename "
+            "them before token_budget_sample (the result would be ambiguous)"
+        )
     from census_data_pipeline_spark.operators.prefixsum import (
         running_sum_scalable,
     )

@@ -608,3 +608,16 @@ def test_association_rules_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         association_rules(df, "basket", "item", min_co=0)
+
+
+def test_token_budget_sample_rejects_output_column_clash(spark):
+    from census_data_pipeline_spark.functions.sampling import (
+        token_budget_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "s", "a b", 5)],
+        "doc_id long, source string, text string, n_tokens long",
+    )
+    with pytest.raises(ValueError, match="n_tokens"):
+        token_budget_sample(df, budget_tokens=10)
