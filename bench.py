@@ -155,6 +155,7 @@ HEADLINE_NEW: list[str] = [
     "drift_chi2_event_types",
     "ann_quality_lsh",
     "basket_rules_parts",
+    "geo_nearest_site",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is

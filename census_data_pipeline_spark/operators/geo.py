@@ -462,3 +462,53 @@ def radius_point_join(
         cand.filter(d2 <= F.lit(r * r))
         .withColumn("dist", F.round(F.sqrt(d2), 6))
     )
+
+
+def nearest_site_join(
+    points: DataFrame,
+    sites: DataFrame,
+    point_id: str = "id",
+    site_id: str = "site_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Nearest-site assignment — the reverse-geocoding / service-area
+    join: each point gets its closest site by great-circle distance
+    (store locator, facility catchment, nearest-boundary-centroid
+    labeling). Output: (point id, site id, dist_km).
+
+    The site frame is BROADCAST (gazetteers/facility lists are
+    dimension-sized) and the argmin is a min-struct over (rounded
+    distance, site id) — one narrow crossJoin row per (point, site), no
+    window, no point-side shuffle. Distance is rounded to 4 dp BEFORE
+    the argmin with ties to the smallest site id, so the winner is
+    identical in any engine despite last-ulp libm trig differences (the
+    `haversine_km` discipline). For site sets beyond broadcast size,
+    prefilter candidates with the grid-cell machinery (`_cell` rings)
+    and apply the same argmin."""
+    p = points.select(
+        F.col(point_id).alias("__pid"),
+        F.col(lat_col).cast("double").alias("__plat"),
+        F.col(lon_col).cast("double").alias("__plon"),
+    )
+    s = sites.select(
+        F.col(site_id).alias("__sid"),
+        F.col(lat_col).cast("double").alias("__slat"),
+        F.col(lon_col).cast("double").alias("__slon"),
+    )
+    d = F.round(
+        haversine_km(F.col("__plat"), F.col("__plon"),
+                     F.col("__slat"), F.col("__slon")),
+        4,
+    )
+    return (
+        p.crossJoin(F.broadcast(s))
+        .select("__pid", "__sid", d.alias("__d"))
+        .groupBy("__pid")
+        .agg(F.min(F.struct("__d", "__sid")).alias("__m"))
+        .select(
+            F.col("__pid").alias(point_id),
+            F.col("__m.__sid").alias(site_id),
+            F.col("__m.__d").alias("dist_km"),
+        )
+    )

@@ -315,6 +315,10 @@ _CHECKED_PREFIX = [
     "revenue_share_of_parent",
     # joins (r5 in: bloom_join_prune, never driver-checked)
     "bloom_join_prune",
+    # geo_nearest_site (reverse-geocoding argmin join) restores the geo
+    # family's r5 slot, taking dq_suite_core's (r4-green; dq stays
+    # anchored by dq_benford_prices)
+    "geo_nearest_site",
     "skew_salted_join",
     "approx_sketches",
     "rates_zero_policy",

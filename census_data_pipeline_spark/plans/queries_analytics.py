@@ -3235,3 +3235,55 @@ def basket_rules_parts(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return association_rules(li, "l_orderkey", "l_partkey",
                              min_co=3, k=50)
+
+
+@query(
+    "geo_nearest_site",
+    oracle="""
+    WITH p AS (SELECT c_custkey AS id,
+                      CAST((c_custkey * 13) % 120 AS DOUBLE) - 60 + 0.25 AS lat,
+                      CAST((c_custkey * 17) % 340 AS DOUBLE) - 170 + 0.25 AS lon
+               FROM customer),
+    s AS (SELECT n_nationkey AS site_id,
+                 CAST((n_nationkey * 7) % 120 AS DOUBLE) - 60 + 0.5 AS lat,
+                 CAST((n_nationkey * 11) % 340 AS DOUBLE) - 170 + 0.5 AS lon
+          FROM nation),
+    d AS (SELECT p.id, s.site_id,
+                 round(2 * 6371.0088 * asin(sqrt(
+                   sin(radians(s.lat - p.lat) / 2)
+                     * sin(radians(s.lat - p.lat) / 2)
+                   + cos(radians(p.lat)) * cos(radians(s.lat))
+                     * sin(radians(s.lon - p.lon) / 2)
+                     * sin(radians(s.lon - p.lon) / 2))), 4) AS dist_km
+          FROM p CROSS JOIN s),
+    r AS (SELECT id, site_id, dist_km,
+                 row_number() OVER (PARTITION BY id
+                                    ORDER BY dist_km, site_id) AS rn
+          FROM d)
+    SELECT id, site_id, dist_km FROM r WHERE rn = 1
+    """,
+)
+def geo_nearest_site(spark, sf_dir):
+    """Nearest-site assignment (operators/geo.nearest_site_join): every
+    customer pseudo-coordinate labeled with its closest nation
+    pseudo-site by great-circle distance — the reverse-geocoding /
+    catchment join. Sites broadcast, min-struct argmin over the rounded
+    distance (no window, no point-side shuffle); ties to the smallest
+    site id keep the winner engine-identical despite last-ulp trig."""
+    from census_data_pipeline_spark.operators.geo import nearest_site_join
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 13 % 120).cast("double") - 60 + 0.25)
+        .alias("lat"),
+        ((F.col("c_custkey") * 17 % 340).cast("double") - 170 + 0.25)
+        .alias("lon"),
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("site_id"),
+        ((F.col("n_nationkey") * 7 % 120).cast("double") - 60 + 0.5)
+        .alias("lat"),
+        ((F.col("n_nationkey") * 11 % 340).cast("double") - 170 + 0.5)
+        .alias("lon"),
+    )
+    return nearest_site_join(c, n)

@@ -37,7 +37,6 @@ FAMILY_REPRESENTATIVES = [
     "corpus_vocab_stats",        # vocabulary stats (new r5 slot)
     "text_tag_keywords",         # gazetteer gram-join tagging (r5)
     "text_normalize_unicode",    # Arrow NFC normalization (r5)
-    "dq_suite_core",
     "dq_benford_prices",         # Benford first-digit audit (r5)
     # sampling
     "sample_weighted_docs",      # weighted sampling (new r5 slot)
@@ -81,6 +80,7 @@ FAMILY_REPRESENTATIVES = [
     # rollup / joins / core
     "revenue_share_of_parent",
     "bloom_join_prune",
+    "geo_nearest_site",          # reverse-geocoding argmin join (r5)
     "skew_salted_join",
     "approx_sketches",
     "rates_zero_policy",

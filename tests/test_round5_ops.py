@@ -621,3 +621,25 @@ def test_token_budget_sample_rejects_output_column_clash(spark):
     )
     with pytest.raises(ValueError, match="n_tokens"):
         token_budget_sample(df, budget_tokens=10)
+
+
+def test_nearest_site_join_semantics(spark):
+    from census_data_pipeline_spark.operators.geo import nearest_site_join
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 50.0, 10.0)], "id long, lat double, lon double"
+    )
+    sites = spark.createDataFrame(
+        [(100, 1.0, 1.0), (200, 49.0, 9.0), (300, -40.0, 120.0)],
+        "site_id long, lat double, lon double",
+    )
+    out = {r.id: r for r in nearest_site_join(pts, sites).collect()}
+    assert out[1].site_id == 100 and out[2].site_id == 200
+    assert out[1].dist_km > 0 and out[2].dist_km > 0
+    # equidistant tie -> smallest site id wins deterministically
+    sites2 = spark.createDataFrame(
+        [(7, 10.0, 0.0), (5, -10.0, 0.0)],
+        "site_id long, lat double, lon double",
+    )
+    tied = nearest_site_join(pts.filter("id = 1"), sites2).collect()[0]
+    assert tied.site_id == 5
