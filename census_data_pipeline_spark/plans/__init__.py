@@ -225,7 +225,8 @@ _CHECKED_PREFIX = [
     # orders_winsorized's slot (r4-green; winsorize stays unit-pinned
     # and the percentile family keeps histogram + drift anchors)
     "search_hybrid_rrf",
-    "dq_suite_core",
+    # (dq_suite_core rotated out for geo_nearest_site below — r4-green;
+    # dq stays anchored by dq_benford_prices)
     # dq_benford_prices (Benford first-digit audit) takes
     # dedup_containment's slot (r4-green; dedup keeps six anchors
     # including both cross-corpus paths)
