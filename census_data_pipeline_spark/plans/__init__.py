@@ -130,9 +130,10 @@ training + its quality metric, both fully SQL-replicated),
 dq_benford_prices (first-digit audit), lineitem_exact_median_scalable
 (bounded-memory EXACT order statistics via range narrowing),
 drift_chi2_event_types (the categorical member of the drift trio),
-ann_quality_lsh (recall@k/MRR evaluation of the LSH retriever), and
-basket_rules_parts (association-rule mining) — nineteen in all. Every
-one carries a FULL value oracle.
+ann_quality_lsh (recall@k/MRR evaluation of the LSH retriever),
+basket_rules_parts (association-rule mining), and geo_nearest_site
+(reverse-geocoding argmin join) — twenty in all. Every one carries a
+FULL value oracle.
 
 r5 rotation (VERDICT r4 #1): ALL 50 r4 prefix slots went driver-green,
 so the 19 late-r4 queries that have never had a driver CORRECTNESS row
