@@ -294,3 +294,70 @@ def test_bpe_train_matches_reference_fuzz(spark, texts):
         .orderBy("step").collect()
     ]
     assert got == expected
+
+
+@pytest.mark.slow
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=60,
+    ),
+    st.integers(1, 60),
+    st.integers(2, 6),
+)
+def test_exact_kth_scalable_fuzz(spark, values, k_raw, n_buckets):
+    """Range narrowing must return EXACTLY the k-th sorted value for
+    arbitrary doubles (duplicates, negatives, tight clusters) at any
+    bucket count, with a tail threshold small enough to force the
+    loop."""
+    from census_data_pipeline_spark.operators.rollup import (
+        exact_kth_scalable,
+    )
+
+    k = ((k_raw - 1) % len(values)) + 1
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    got = exact_kth_scalable(df, "v", k, n_buckets=n_buckets,
+                             tail_threshold=3)
+    assert got == sorted(values)[k - 1]
+
+
+@pytest.mark.slow
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.tuples(st.integers(0, 200), st.sampled_from(["s1", "s2"]),
+                       st.integers(1, 12)),
+             min_size=1, max_size=40, unique_by=lambda t: t[0]),
+    st.integers(1, 40),
+)
+def test_token_budget_sample_fuzz(spark, rows, budget):
+    """Quota filling must equal the Python reference: per source, walk
+    docs in (9-hex md5 prefix, id) order accumulating token counts;
+    keep while the EXCLUSIVE prefix is under budget."""
+    import hashlib
+
+    from census_data_pipeline_spark.functions.sampling import (
+        token_budget_sample,
+    )
+
+    data = [(i, s, "w " * (nt - 1) + "w") for i, s, nt in rows]
+    df = spark.createDataFrame(data, "doc_id long, source string, text string")
+    got = {(r.doc_id, r.cum_tokens) for r in token_budget_sample(
+        df, budget_tokens=budget, seed=11).collect()}
+    want = set()
+    by_src = {}
+    for i, s, nt in rows:
+        by_src.setdefault(s, []).append((i, nt))
+    for s, docs in by_src.items():
+        docs.sort(key=lambda d: (
+            hashlib.md5(f"11:{d[0]}".encode()).hexdigest()[:9], d[0]))
+        cum = 0
+        for i, nt in docs:
+            if cum < budget:
+                cum += nt
+                want.add((i, cum))
+            else:
+                break
+    assert got == want
