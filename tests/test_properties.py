@@ -361,3 +361,86 @@ def test_token_budget_sample_fuzz(spark, rows, budget):
             else:
                 break
     assert got == want
+
+
+@pytest.mark.slow
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.tuples(st.integers(1, 8), st.sampled_from(list("abcd"))),
+             min_size=1, max_size=30),
+)
+def test_association_rules_fuzz(spark, rows):
+    """Support/confidence/lift must match the brute-force reference over
+    arbitrary basket shapes (repeats, singleton baskets, skew)."""
+    from collections import defaultdict
+
+    from census_data_pipeline_spark.operators.basket import (
+        association_rules,
+    )
+
+    df = spark.createDataFrame(rows, "basket int, item string")
+    got = {(r.antecedent, r.consequent):
+           (r.n_both, r.support, r.confidence, r.lift)
+           for r in association_rules(df, "basket", "item",
+                                      min_co=1, k=1000).collect()}
+    baskets = defaultdict(set)
+    for b, i in rows:
+        baskets[b].add(i)
+    nb = len(baskets)
+    n_item = defaultdict(int)
+    n_pair = defaultdict(int)
+    for items in baskets.values():
+        for i in items:
+            n_item[i] += 1
+        for a in items:
+            for c in items:
+                if a < c:
+                    n_pair[(a, c)] += 1
+    want = {}
+    for (a, c), n in n_pair.items():
+        for ant, con in ((a, c), (c, a)):
+            want[(ant, con)] = (
+                n, round(n / nb, 6), round(n / n_item[ant], 6),
+                round(n * nb / (n_item[ant] * n_item[con]), 6),
+            )
+    assert got == want
+
+
+@pytest.mark.slow
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.lists(st.sampled_from(list("xyz")), min_size=1,
+                      max_size=8).map(" ".join),
+             min_size=1, max_size=8),
+    st.lists(st.lists(st.sampled_from(list("xyz")), min_size=1,
+                      max_size=3).map(" ".join),
+             min_size=1, max_size=5, unique=True),
+)
+def test_tag_keywords_fuzz(spark, texts, phrases):
+    """Gram-join tagging must equal the sliding-window reference
+    (overlapping token windows, per-length matching, short-doc
+    whole-text fallback)."""
+    from census_data_pipeline_spark.functions.text import tag_keywords
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    pdf = spark.createDataFrame([(p,) for p in phrases], "phrase string")
+    got = {(r.id, r.phrase): r.n_hits
+           for r in tag_keywords(docs, pdf).collect()}
+    want = {}
+    for i, t in enumerate(texts):
+        toks = [w for w in t.split(" ") if w != ""]
+        for p in phrases:
+            plen = len(p.split(" "))
+            if len(toks) < plen:
+                grams = [" ".join(toks)]    # whole-text fallback
+            else:
+                grams = [" ".join(toks[j:j + plen])
+                         for j in range(len(toks) - plen + 1)]
+            n = sum(1 for g in grams if g == p)
+            if n:
+                want[(i, p)] = n
+    assert got == want
