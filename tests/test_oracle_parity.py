@@ -116,8 +116,16 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     )
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
+_ROWS_ONLY = sorted(set(QUERIES) - set(ORACLE))
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY or ["__all_oracle_backed__"])
 def test_rows_only_queries_run(name, spark, sf_dir):
+    if name == "__all_oracle_backed__":
+        # every registered query carries a full value oracle — there is
+        # nothing rows-only left to smoke-run (the stronger test above
+        # covers the whole registry)
+        return
     df = QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
 
