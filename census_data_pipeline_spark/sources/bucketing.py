@@ -16,6 +16,7 @@ pruning and co-location survive table growth.
 
 from __future__ import annotations
 
+import os
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -82,7 +83,27 @@ def write_bucketed(
 ) -> None:
     """Persist ``df`` as a parquet table bucketed (and optionally sorted)
     by ``key``. Requires a metastore-backed catalog (saveAsTable) — plain
-    ``.parquet(path)`` writes cannot carry bucket metadata."""
+    ``.parquet(path)`` writes cannot carry bucket metadata.
+
+    Self-healing against orphaned warehouse directories: ``mode
+    ("overwrite").saveAsTable`` refuses to adopt a location left behind
+    by an aborted prior run whose metastore entry is gone
+    (``LOCATION_ALREADY_EXISTS``), so the write first drops any
+    metastore entry AND removes a location that exists on disk with no
+    table backing it — an aborted run can never poison the next one."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a directory left by a crashed writer (no metastore row after the
+    # DROP above) would still block saveAsTable — remove it
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    loc = urlparse(warehouse)
+    if loc.scheme in ("", "file"):
+        orphan = os.path.join(loc.path or warehouse, table.split(".")[-1])
+        if os.path.isdir(orphan):
+            shutil.rmtree(orphan, ignore_errors=True)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
     if sort:
         writer = writer.sortBy(key)
