@@ -42,6 +42,7 @@ STREAMING_QUERIES = [
     "streaming_dedup_events",
     "streaming_ohlc_hourly",
     "streaming_session_5m",
+    "streaming_session_5m_append",
 ]
 
 

@@ -1378,3 +1378,84 @@ def streaming_session_5m(spark, sf_dir):
         "n_events",
         F.round("total_value", 4).alias("total_value"),
     )
+
+
+@query(
+    "streaming_session_5m_append",
+    oracle="""
+    WITH f AS (SELECT user_id, ts, value,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+                           THEN 1 ELSE 0 END AS new_s
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+               FROM f),
+         s AS (SELECT user_id, min(ts) AS session_start,
+                      max(ts) AS session_end,
+                      count(*) AS n_events, sum(value) AS total_value
+               FROM g GROUP BY user_id, sid),
+         wm AS (SELECT max(ts) - INTERVAL 1 MINUTE AS w FROM events)
+    SELECT user_id, epoch_us(session_start) AS session_start_us,
+           n_events, round(total_value, 4) AS total_value
+    FROM s CROSS JOIN wm
+    WHERE session_end + INTERVAL '5 minutes' <= w
+    """,
+)
+def streaming_session_5m_append(spark, sf_dir):
+    """The SCALE-SAFE sessionization (VERDICT r5 #2) — the same
+    merging-session-state operator as ``streaming_session_5m`` but run
+    the way production would: **append output mode** over a
+    **time-ordered multi-batch replay** (8 range-disjoint chunks,
+    ``maxFilesPerTrigger=1``), so the watermark advances between
+    micro-batches and each closed session is emitted ONCE and evicted.
+    State holds only sessions still inside the watermark horizon
+    (state_rows_peak ≪ input rows in BENCH_STREAMING), where the
+    complete-mode form retains every session ever seen and re-emits the
+    whole result each trigger.
+
+    Horizon-closed oracle (the ``streaming_interval_join_outer``
+    discipline): append mode withholds sessions the final watermark
+    (max event time − 1 min) has not passed, so the oracle keeps only
+    sessions with session_end + gap ≤ watermark — exactly Spark's
+    state-eviction rule. Boundary-safe on this lake: no session horizon
+    ties the final watermark at sf0.001-0.1 (min margin ≫ 5 s,
+    verified)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    staged_root = tempfile.mkdtemp(prefix="stream_session_app_")
+    staged = staged_root + "/events"
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    windows.stage_time_ordered_parquet(ev, "ts", staged, n_chunks=8)
+
+    stream = windows.stream_from_parquet(
+        spark, staged, spark.read.parquet(staged).schema,
+        max_files_per_trigger=1,
+    )
+    agg = windows.session_window_agg(
+        windows.with_watermark(stream, "ts", "1 minute"),
+        "ts", "5 minutes", ["user_id"],
+        [("count", "*", "n_events"), ("sum", "value", "total_value")],
+    )
+    sink = f"stream_session_app_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        q.processAllAvailable()  # drain post-batch window eviction
+    finally:
+        q.stop()
+        shutil.rmtree(staged_root, ignore_errors=True)
+    return spark.table(sink).select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+    )

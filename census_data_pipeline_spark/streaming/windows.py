@@ -107,8 +107,57 @@ def dedup_in_stream(df: DataFrame, keys: list[str], ts_col: str,
     return wm.dropDuplicates(keys)
 
 
-def stream_from_parquet(spark: SparkSession, path: str, schema) -> DataFrame:
+def stream_from_parquet(
+    spark: SparkSession, path: str, schema,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """readStream entry over a parquet directory — used by tests to drive
     the helpers above through a real streaming query (memory sink +
-    processAllAvailable)."""
-    return spark.readStream.format("parquet").schema(schema).load(path)
+    processAllAvailable). ``max_files_per_trigger`` caps files per
+    micro-batch so a staged directory replays as MANY batches (the
+    production arrival shape) instead of one mega-batch."""
+    reader = spark.readStream.format("parquet").schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def stage_time_ordered_parquet(
+    df: DataFrame, ts_col: str, directory: str, n_chunks: int = 8,
+) -> list[str]:
+    """Stage ``df`` into ``n_chunks`` parquet files holding DISJOINT,
+    ascending ``ts_col`` ranges, with strictly increasing file mtimes so
+    FileStreamSource replays them oldest-range-first. With
+    ``maxFilesPerTrigger=1`` this reproduces production arrival order:
+    the watermark advances between micro-batches, append-mode windows
+    close incrementally, and state stays bounded by the active horizon
+    instead of accumulating every window ever seen.
+
+    Range-disjoint chunks also guarantee no late drops while replaying:
+    after chunk i the watermark is max_ts(chunk i) − delay, strictly
+    below chunk i+1's minimum ts."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    tmp = directory.rstrip("/") + "__ordered_tmp"
+    (
+        df.repartitionByRange(n_chunks, F.col(ts_col))
+        .sortWithinPartitions(ts_col)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    os.makedirs(directory, exist_ok=True)
+    # part-NNNNN numbering follows repartitionByRange partition index,
+    # so lexicographic part order IS ascending ts-range order
+    parts = sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))
+    base = time.time() - 2.0 * len(parts) - 2.0
+    staged = []
+    for i, p in enumerate(parts):
+        dst = os.path.join(directory, f"chunk-{i:05d}.parquet")
+        shutil.move(p, dst)
+        os.utime(dst, (base + 2.0 * i, base + 2.0 * i))
+        staged.append(dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return staged
