@@ -244,10 +244,10 @@ def hard_negatives(
     broadcast, the corpus is scanned ONCE with no shuffle, the label
     inequality is part of the join condition (pruned before scoring),
     and only (n_anchors × k) rows move afterwards. For anchor sets too
-    large to broadcast, restrict candidates first with the seeded-LSH /
-    IVF cell machinery (`knn_lsh`/`knn_ivf_seeded` composition) and
-    apply the same label filter — identical contract, bounded
-    candidates."""
+    large to broadcast, ``hard_negatives_ivf`` restricts candidates with
+    the seeded-IVF cell machinery and applies the same label filter —
+    identical contract and output columns, bounded candidates, no
+    broadcast of the anchor side."""
     a = anchors.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("__qvec"),
@@ -266,6 +266,118 @@ def hard_negatives(
         .join(
             F.broadcast(a),
             (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("neighbor_label") != F.col("__qlabel")),
+        )
+        .withColumn(
+            "cosine_sim",
+            _cos_precomputed(F.col("__qvec"), F.col("__cvec"),
+                             F.col("__qn"), F.col("__cn")),
+        )
+    )
+    return top_k_per_group(
+        scored, ["query_id"], by="cosine_sim", k=k,
+        tiebreak=["neighbor_id"], rank_col="rank",
+    ).select("query_id", "neighbor_id", "neighbor_label", "rank",
+             "cosine_sim")
+
+
+def hard_negatives_ivf(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probes: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """``hard_negatives`` for anchor sets BEYOND broadcast size
+    (VERDICT r5 #5): both sides are routed through the deterministic
+    seeded-IVF coarse quantizer (``_seeded_centroids`` — the same cell
+    machinery as ``knn_ivf_seeded``), and candidates come from a plain
+    shuffle equi-join on the cell id with the label-inequality predicate
+    attached to the join — the anchor frame never broadcasts and no
+    pair outside the probed cells is ever materialized.
+
+    Semantics: APPROXIMATE — an anchor only sees corpus vectors in its
+    ``n_probes`` nearest cells, so recall vs the exact broadcast form is
+    < 1 (recall floor pinned in tests/test_round5_ops.py). With
+    ``n_probes == n_centroids`` every (corpus, anchor) pair is probed
+    and the output is IDENTICAL to ``hard_negatives`` (also tested) —
+    the knob trades recall against candidate volume exactly like the
+    knn IVF family.
+
+    Scale shape: corpus assignment is one broadcast-centroid argmin +
+    one id join (corpus shuffles once); anchor assignment the same on
+    the anchor frame; the candidate join shuffles both sides by cell
+    (n_centroids keys — size n_centroids ≳ shuffle parallelism, or
+    salt cells, for very large runs); per-anchor top-k bounds the
+    output to n_anchors × k rows."""
+    cent = _seeded_centroids(corpus, n_centroids, id_col, vec_col)
+
+    vecs = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__cvec"),
+        F.col(label_col).alias("neighbor_label"),
+    ).withColumn("__nv2", dot(F.col("__cvec"), F.col("__cvec")))
+    dist2 = (
+        F.col("__nv2")
+        - F.lit(2.0) * dot(F.col("__cvec"), F.col("__cv"))
+        + F.col("__nc2")
+    )
+    c = (
+        vecs.crossJoin(F.broadcast(cent))
+        .select(
+            "neighbor_id", dist2.alias("__d2"), "__cell",
+        )
+        .groupBy("neighbor_id")
+        .agg(F.min(F.struct("__d2", "__cell")).alias("__m"))
+        .select("neighbor_id", F.col("__m.__cell").alias("__cell"))
+        .join(vecs, "neighbor_id")
+        .select(
+            "neighbor_id", "__cell", "__cvec", "neighbor_label",
+            F.sqrt("__nv2").alias("__cn"),
+        )
+    )
+
+    avecs = anchors.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("__qvec"),
+        F.col(label_col).alias("__qlabel"),
+    ).withColumn("__nq2", dot(F.col("__qvec"), F.col("__qvec")))
+    adist2 = (
+        F.col("__nq2")
+        - F.lit(2.0) * dot(F.col("__qvec"), F.col("__cv"))
+        + F.col("__nc2")
+    )
+    # per-anchor n_probes nearest cells via min-struct-of-array instead
+    # of a window: the anchor side is data-scale here by definition
+    probed = (
+        avecs.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id", "__qvec", "__qlabel",
+            F.sqrt("__nq2").alias("__qn"),
+            adist2.alias("__d2"), "__cell",
+        )
+        .groupBy("query_id", "__qvec", "__qlabel", "__qn")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct("__d2", "__cell"))
+                ),
+                1, n_probes,
+            ).alias("__probes")
+        )
+        .select(
+            "query_id", "__qvec", "__qlabel", "__qn",
+            F.explode(F.col("__probes.__cell")).alias("__qcell"),
+        )
+    )
+    scored = (
+        c.join(
+            probed,
+            (F.col("__cell") == F.col("__qcell"))
+            & (F.col("neighbor_id") != F.col("query_id"))
             & (F.col("neighbor_label") != F.col("__qlabel")),
         )
         .withColumn(

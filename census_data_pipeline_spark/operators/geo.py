@@ -484,8 +484,9 @@ def nearest_site_join(
     the argmin with ties to the smallest site id, so the winner is
     identical in any engine despite last-ulp libm trig differences (the
     `haversine_km` discipline). For site sets beyond broadcast size,
-    prefilter candidates with the grid-cell machinery (`_cell` rings)
-    and apply the same argmin."""
+    ``nearest_site_join_grid`` applies the same argmin over grid-ring
+    candidate sets — output-identical (equivalence-tested), no
+    broadcast, no crossJoin."""
     p = points.select(
         F.col(point_id).alias("__pid"),
         F.col(lat_col).cast("double").alias("__plat"),
@@ -512,3 +513,157 @@ def nearest_site_join(
             F.col("__m.__d").alias("dist_km"),
         )
     )
+
+
+def nearest_site_join_grid(
+    points: DataFrame,
+    sites: DataFrame,
+    point_id: str = "id",
+    site_id: str = "site_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_deg: float = 15.0,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """``nearest_site_join`` for site sets BEYOND broadcast size
+    (VERDICT r5 #4) — output-identical to the broadcast form (same
+    rounded-argmin tail, same (dist, site id) tie rule; equivalence-
+    tested in tests/test_geo.py) but the sites frame never broadcasts
+    and nothing crossJoins.
+
+    Shape: both sides map onto a lat/lon grid (``cell_deg`` per cell,
+    longitude cells CYCLIC mod ceil(360/cell_deg) so the antimeridian
+    seam joins its true neighbors). Each round r (doubling 1, 2, 4, …)
+    the still-unresolved points explode to the (2r+1)² cell disc around
+    their own cell and equi-join sites on the cell key — a plain
+    shuffle hash join, candidate volume bounded by disc area × site
+    density. A point accepts its candidate argmin only when it is
+    CERTIFIED: the best rounded distance must undercut the provable
+    minimum distance to any site outside the explored disc,
+
+      lb_lat = R · radians(r · g)                 (site ≥ r·g away in lat)
+      lb_lon = 2R · asin(√(cos φp · cos φ̄s) · sin(radians(min(r·g, 180))/2))
+               with φ̄s = min(90°, |φp| + (r+1)·g)  (site ≥ r·g away in lon)
+      certified  ⇔  best_d + 1e-3 < min(lb_lat, lb_lon)
+
+    (the 1e-3 km slack dominates the 4-dp rounding, so an outside site
+    can never tie or beat an accepted winner). Near the poles lb_lon
+    degrades exactly as geometry demands (meridians converge) and the
+    round doubling widens the disc until the longitude ring closes on
+    itself; once r·g ≥ 180 and 2r+1 ≥ n_lon the disc is the whole
+    globe, so termination is certain with every point resolved —
+    max_rounds is an assertion, not a correctness knob.
+
+    Driver loop state: one isEmpty() probe per round over the shrinking
+    unresolved frame (localCheckpoint cuts the growing lineage), ≤
+    log₂(180/g) + 1 rounds total. No collect of data rows."""
+    import math
+
+    g = float(cell_deg)
+    if g <= 0 or g > 180:
+        raise ValueError("cell_deg must be in (0, 180]")
+    n_lon = int(math.ceil(360.0 / g))
+    n_lat = int(math.ceil(180.0 / g))
+    earth_r = 6371.0088
+
+    p = points.select(
+        F.col(point_id).alias("__pid"),
+        F.col(lat_col).cast("double").alias("__plat"),
+        F.col(lon_col).cast("double").alias("__plon"),
+    ).withColumn(
+        "__clat", F.least(F.lit(n_lat - 1), _cell(F.col("__plat") + 90.0, g))
+    ).withColumn(
+        "__clon", F.pmod(_cell(F.col("__plon") + 180.0, g), F.lit(n_lon))
+    )
+    s = sites.select(
+        F.col(site_id).alias("__sid"),
+        F.col(lat_col).cast("double").alias("__slat"),
+        F.col(lon_col).cast("double").alias("__slon"),
+    ).withColumn(
+        "__klat", F.least(F.lit(n_lat - 1), _cell(F.col("__slat") + 90.0, g))
+    ).withColumn(
+        "__klon", F.pmod(_cell(F.col("__slon") + 180.0, g), F.lit(n_lon))
+    )
+
+    d = F.round(
+        haversine_km(F.col("__plat"), F.col("__plon"),
+                     F.col("__slat"), F.col("__slon")),
+        4,
+    )
+    out_schema = None
+    resolved_parts: list[DataFrame] = []
+    unresolved = p
+    r = 1
+    for _ in range(max_rounds):
+        covers_all = (r * g >= 180.0) and (2 * r + 1 >= n_lon)
+        disc = (
+            unresolved
+            .withColumn("__dl", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+            .withColumn("__klat", F.col("__clat") + F.col("__dl"))
+            .filter(F.col("__klat").between(0, n_lat - 1))
+            .withColumn("__dm", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+            .withColumn(
+                "__klon", F.pmod(F.col("__clon") + F.col("__dm"), F.lit(n_lon))
+            )
+            .drop("__dl", "__dm")
+        )
+        # duplicate (point, site) pairs from a wrapped lon ring are
+        # harmless under the min-struct argmin
+        best = (
+            disc.join(s, on=["__klat", "__klon"])
+            .select(
+                "__pid", "__plat", "__plon", "__clat", "__clon",
+                F.struct(d.alias("__d"), F.col("__sid").alias("__sid"))
+                .alias("__c"),
+            )
+            .groupBy("__pid", "__plat", "__plon", "__clat", "__clon")
+            .agg(F.min("__c").alias("__m"))
+        )
+        if covers_all:
+            certified = F.lit(True)
+        else:
+            lb_lat = F.lit(earth_r * math.radians(r * g))
+            phi_s = F.least(
+                F.lit(90.0), F.abs(F.col("__plat")) + (r + 1) * g
+            )
+            lb_lon = (
+                2.0
+                * earth_r
+                * F.asin(
+                    F.sqrt(
+                        F.greatest(
+                            F.lit(0.0),
+                            F.cos(F.radians(F.col("__plat")))
+                            * F.cos(F.radians(phi_s)),
+                        )
+                    )
+                    * math.sin(math.radians(min(r * g, 180.0)) / 2.0)
+                )
+            )
+            certified = F.col("__m.__d") + 1e-3 < F.least(lb_lat, lb_lon)
+        done = best.filter(certified).select(
+            F.col("__pid").alias(point_id),
+            F.col("__m.__sid").alias(site_id),
+            F.col("__m.__d").alias("dist_km"),
+        )
+        out_schema = done.schema
+        resolved_parts.append(done)
+        if covers_all:
+            unresolved = None
+            break
+        unresolved = unresolved.join(
+            best.filter(certified).select("__pid"), on="__pid", how="left_anti"
+        ).localCheckpoint(eager=True)
+        if unresolved.isEmpty():
+            unresolved = None
+            break
+        r *= 2
+    if unresolved is not None:
+        raise AssertionError(
+            "nearest_site_join_grid failed to converge — max_rounds too "
+            "small for cell_deg (needs ~log2(180/cell_deg) + 1 rounds)"
+        )
+    out = resolved_parts[0]
+    for part in resolved_parts[1:]:
+        out = out.unionByName(part)
+    return out

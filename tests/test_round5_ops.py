@@ -643,3 +643,56 @@ def test_nearest_site_join_semantics(spark):
     )
     tied = nearest_site_join(pts.filter("id = 1"), sites2).collect()[0]
     assert tied.site_id == 5
+
+
+def test_hard_negatives_ivf_full_probe_equivalence_and_recall_floor(spark):
+    """Beyond-broadcast hard-negative mining (VERDICT r5 #5): with
+    n_probes == n_centroids the IVF path must be OUTPUT-IDENTICAL to the
+    broadcast form; with partial probes, recall vs exact must clear a
+    floor on clustered data (the regime IVF is built for)."""
+    import math
+
+    from census_data_pipeline_spark.functions.similarity import (
+        hard_negatives,
+        hard_negatives_ivf,
+    )
+
+    # 4 well-separated direction clusters x 24 vectors, labels split
+    # within each cluster so near-misses exist inside every cluster
+    rows = []
+    dirs = [(1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0),
+            (0.577, 0.577, 0.577)]
+    vid = 0
+    for ci, (dx, dy, dz) in enumerate(dirs):
+        for j in range(24):
+            e = 0.05 * math.sin(vid * 2.39996)
+            f = 0.05 * math.cos(vid * 1.17)
+            rows.append(
+                (vid, [dx + e, dy + f, dz + 0.03 * ((j % 5) - 2)],
+                 (ci * 2 + j % 2))
+            )
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    anchors = df.filter("vec_id % 6 = 0")  # 16 anchors across clusters
+
+    exact = hard_negatives(df, anchors, k=3).collect()
+    full = hard_negatives_ivf(
+        df, anchors, k=3, n_centroids=8, n_probes=8
+    ).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    as_map = lambda rs: {  # noqa: E731
+        key(r): (r.neighbor_id, r.neighbor_label, r.cosine_sim) for r in rs
+    }
+    assert as_map(full) == as_map(exact)  # full probing == broadcast form
+
+    part = hard_negatives_ivf(
+        df, anchors, k=3, n_centroids=8, n_probes=3
+    ).collect()
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact}
+    part_pairs = {(r.query_id, r.neighbor_id) for r in part}
+    recall = len(part_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.8, recall
+    # contract columns/ordering identical to the broadcast form
+    assert part and set(part[0].asDict()) == set(exact[0].asDict())
