@@ -886,3 +886,135 @@ def normalize_unicode(
             )
 
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def char_grams(col: Column | str, n: int = 3) -> Column:
+    """Character n-grams of a lowercased text column (array<string>,
+    positional, duplicates kept — NB counts token occurrences). Texts
+    shorter than ``n`` characters yield an empty array (an explicit
+    guard: Spark's ``sequence(1, 0)`` would DESCEND, not return empty).
+    Pure Catalyst — identical grams are expressible in DuckDB via
+    list_transform(range(...), i -> substr(...)) for oracle parity."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    m = F.length(c) - (n - 1)
+    return F.when(
+        m >= 1,
+        F.transform(F.sequence(F.lit(1), m), lambda i: F.substring(c, i, n)),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_grams_sql(text_expr: str, n: int = 3) -> str:
+    """DuckDB replica of ``char_grams`` (range is end-exclusive there)."""
+    c = f"lower({text_expr})"
+    return (
+        f"CASE WHEN length({c}) >= {n} THEN "
+        f"list_transform(range(1, length({c}) - {n} + 2), "
+        f"i -> substr({c}, CAST(i AS INT), {n})) "
+        f"ELSE [] END"
+    )
+
+
+def nb_langid_train(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    n: int = 3,
+    alpha: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Train a char-n-gram multinomial naive-Bayes language classifier
+    IN the engine (VERDICT r5 #7 — the trained upgrade over the
+    marker-token ``lang_id`` heuristic). Returns ``(model, priors)``:
+
+    - model:  (gram, lang, logprob) over the FULL vocab × langs grid,
+      logprob = ln((count + α) / (total_l + α·V)) with add-α smoothing
+      (unseen gram-in-lang cells get the α floor via the grid, so
+      scoring needs no per-row fallback logic);
+    - priors: (lang, logprior) = ln(docs_l / docs_total).
+
+    Fit = one exploded-gram pass feeding a (lang, gram) count, a
+    vocab-distinct, and per-lang totals — the same one-shuffle
+    SQL-replicable discipline as ``unigram_logprob``. Model size is
+    bounded by charset^n × n_langs regardless of corpus size, so the
+    grid crossJoin and the scoring join below stay broadcast-scale at
+    100 TB."""
+    grams = (
+        ensure_parallelism(df)
+        .select(
+            F.col(label_col).alias("lang"),
+            F.explode(char_grams(text_col, n)).alias("gram"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    counts = grams.groupBy("lang", "gram").agg(F.count("*").alias("__c"))
+    totals = grams.groupBy("lang").agg(F.count("*").alias("__t"))
+    vocab = grams.select("gram").distinct()
+    v_size = vocab.agg(F.count("*").alias("__v"))
+    model = (
+        vocab.crossJoin(totals)
+        .join(counts, ["lang", "gram"], "left")
+        .crossJoin(F.broadcast(v_size))
+        .select(
+            "gram", "lang",
+            F.log(
+                (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(float(alpha)))
+                / (F.col("__t") + F.lit(float(alpha)) * F.col("__v"))
+            ).alias("logprob"),
+        )
+    )
+    n_docs = df.groupBy(F.col(label_col).alias("lang")).agg(
+        F.count("*").alias("__d")
+    )
+    n_total = df.agg(F.count("*").alias("__n"))
+    priors = (
+        n_docs.crossJoin(F.broadcast(n_total))
+        .select("lang", F.log(F.col("__d") / F.col("__n")).alias("logprior"))
+    )
+    return model, priors
+
+
+def nb_langid_score(
+    df: DataFrame,
+    model: DataFrame,
+    priors: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Apply a trained NB language model: per document, argmax over
+    langs of logprior + Σ_grams logprob(gram|lang). Output
+    (id, lang_pred, nb_score) with nb_score the winning rounded
+    log-posterior (6 dp BEFORE the argmax; ties → smallest lang string
+    via min-struct over (−score, lang) — engine-identical winners
+    despite last-ulp ln/sum drift).
+
+    Grams unseen at training time are dropped by the inner join (OOV
+    contributes equally-unknown mass to every class under the shared-
+    vocab grid, so dropping is rank-neutral in the uniform-α case).
+    Scale: the model frame is vocab×langs-bounded — broadcast — so the
+    corpus never shuffles for scoring; the wide exchanges are the two
+    groupBy(doc) aggregations."""
+    grams = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(char_grams(text_col, n)).alias("gram")
+    )
+    per_lang = (
+        grams.join(F.broadcast(model), "gram")
+        .groupBy(id_col, "lang")
+        .agg(F.sum("logprob").alias("__s"))
+        .join(F.broadcast(priors), "lang")
+        .select(
+            id_col,
+            F.struct(
+                (-F.round(F.col("logprior") + F.col("__s"), 6)).alias("__neg"),
+                F.col("lang").alias("__lang"),
+            ).alias("__cand"),
+        )
+    )
+    return (
+        per_lang.groupBy(id_col)
+        .agg(F.min("__cand").alias("__m"))
+        .select(
+            id_col,
+            F.col("__m.__lang").alias("lang_pred"),
+            (-F.col("__m.__neg")).alias("nb_score"),
+        )
+    )

@@ -1,0 +1,91 @@
+"""Round-6 operators: trained NB lang-id, grid nearest-site (see
+test_geo.py), IVF hard negatives (see test_round5_ops.py), append-mode
+sessionization (see test_streaming.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from census_data_pipeline_spark.functions import text
+
+
+def test_char_grams_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "Abcd"), (2, "ab"), (3, ""), (4, None), (5, "xyz")],
+        "id long, t string",
+    )
+    out = {r.id: r.g for r in df.select(
+        "id", text.char_grams("t", 3).alias("g")).collect()}
+    assert out[1] == ["abc", "bcd"]  # lowercased, sliding
+    assert out[2] == [] and out[3] == []  # shorter than n -> empty
+    assert out[4] == []  # null text -> no grams (otherwise-branch)
+    assert out[5] == ["xyz"]
+
+
+def _fake_lang_corpus(spark, docs_per_lang=60, words_per_doc=30):
+    """Deterministic corpus with REAL language signal: three invented
+    languages with disjoint character inventories (so char-3-grams
+    separate them perfectly given enough data). No RNG — word choice is
+    modular arithmetic on (doc, position)."""
+    lexicon = {
+        "aa": ["kara", "tatu", "naka", "mata", "runa", "kiwi"],
+        "bb": ["fjord", "bjorn", "vls", "grzb", "dvorj", "sfjol"],
+        "cc": ["eeple", "oodle", "eezoo", "oomph", "eepee", "zoozle"],
+    }
+    rows = []
+    did = 0
+    for lang, words in lexicon.items():
+        for d in range(docs_per_lang):
+            toks = [
+                words[(d * 7 + i * 13 + did) % len(words)]
+                for i in range(words_per_doc)
+            ]
+            rows.append((did, " ".join(toks), lang))
+            did += 1
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_nb_langid_beats_marker_heuristic_on_held_out(spark):
+    """VERDICT r5 #7 acceptance: the trained classifier must clear an
+    accuracy floor AND beat the marker-token heuristic on held-out docs
+    of a corpus with genuine language signal (the heuristic's markers
+    don't exist in these languages, so it answers 'und' everywhere)."""
+    corpus = _fake_lang_corpus(spark)
+    is_train = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cc"
+    train, heldout = corpus.filter(is_train), corpus.filter(~is_train)
+    assert 0 < heldout.count() < corpus.count()
+
+    model, priors = text.nb_langid_train(train, "text", "lang", n=3)
+    scored = text.nb_langid_score(heldout, model, priors, "text", "doc_id")
+    joined = scored.join(corpus.select("doc_id", "lang"), "doc_id")
+    nb_acc = joined.agg(
+        F.avg((F.col("lang_pred") == F.col("lang")).cast("double"))
+    ).first()[0]
+
+    heur_acc = heldout.select(
+        (text.lang_id("text") == F.col("lang")).cast("double").alias("ok")
+    ).agg(F.avg("ok")).first()[0]
+
+    assert nb_acc >= 0.95, nb_acc         # disjoint alphabets: near-perfect
+    assert heur_acc <= 0.05, heur_acc     # markers absent -> 'und'
+    assert nb_acc > heur_acc + 0.5
+
+
+def test_nb_langid_model_shape_and_smoothing(spark):
+    corpus = _fake_lang_corpus(spark, docs_per_lang=5, words_per_doc=8)
+    model, priors = text.nb_langid_train(corpus, "text", "lang", n=3)
+    langs = [r.lang for r in priors.collect()]
+    assert sorted(langs) == ["aa", "bb", "cc"]
+    m = model.collect()
+    vocab = {r.gram for r in m}
+    # full grid: every (gram, lang) cell present with a finite logprob
+    assert len(m) == len(vocab) * 3
+    assert all(r.logprob < 0 for r in m)
+    # a gram never seen in lang bb still has (smoothed) mass there
+    import math
+
+    bb_total = sum(1 for r in m if r.lang == "bb")
+    assert bb_total == len(vocab)
+    # priors sum to ~1 in probability space
+    tot = sum(math.exp(r.logprior) for r in priors.collect())
+    assert abs(tot - 1.0) < 1e-9
