@@ -162,7 +162,27 @@ plus the new scd2_snapshot_at), streaming_interval_join (real streaming
 keeps the harder outer join plus the two new stream queries),
 events_robust_outliers + events_attribution + events_rolling_median +
 events_rate_anomaly (events gains OHLC/TWA/gaps/funnel-latency/RFM/
-LTV/A-B anchors)."""
+LTV/A-B anchors).
+
+r6 rotation — CHANGE-AWARE (VERDICT r5 #1): the prefix is no longer
+hand-rotated by family; it is DERIVED from tools/driver_state.json (each
+query's symbol-level implementation fingerprint as of its latest driver
+CORRECTNESS row, tools/query_fingerprints.py) compared against the
+working tree. Priority order, enforced by tests/test_registry_order.py:
+(1) the flagship smoke query, (2) queries with NO driver row yet
+(r6 new: streaming_session_5m_append, text_lang_id_nb), (3) queries
+whose implementation changed THIS round on top of a green row (the 10
+touched by the r6 scale levers: the streaming set via
+stream_from_parquet's multi-batch option, dedup_embedding_cosine via
+the BLAS guard/chunking, geo_nearest_site and mine_hard_negatives via
+their beyond-broadcast siblings' docstring-adjacent edits), then
+(4) the stale backlog oldest-driver-row-first. The bootstrap against
+rounds 1-5 found 78 queries whose fingerprint drifted since their last
+driver row — more than 50 slots — so the prefix is SATURATED with
+backlog (47 of 78) and the remaining 31 (recorded in
+tests/test_registry_order.py::R7_BACKLOG) must enter in r7; the test
+goes red if a prefix slot is spent on a query that is neither new,
+changed, nor flagship while backlog waits."""
 
 from census_data_pipeline_spark.plans import (  # noqa: F401
     queries_analytics,
@@ -172,158 +192,59 @@ from census_data_pipeline_spark.plans import (  # noqa: F401
 from census_data_pipeline_spark.plans.registry import ORACLE, QUERIES
 
 _CHECKED_PREFIX = [
-    # flagship first (also the entry() smoke query)
+    # r6 change-aware rotation (see module docstring): flagship, then
+    # the two never-driver-checked r6 queries, then the 10 changed
+    # this round, then the stale backlog oldest-driver-row-first
     "flagship_regional_rollup",
-    # §2.11 dedup tier (r5: semantic + minhash_ml rotated out, both
-    # r4-green; the family keeps five anchors plus the cross-corpus join)
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    # r5 in: cross-corpus incremental dedup — never driver-checked, and
-    # it carries this round's bucket_cap change
-    "dedup_against_reference",
-    # dedup_against_index (the write-once materialized-index path, same
-    # oracle) takes decontam_semantic's slot (r4-green; the semantic
-    # screen stays unit-pinned and the eval-set broadcast shape is
-    # shared with classify/centroid machinery)
-    "dedup_against_index",
-    # §2.11 similarity search (r5: knn_ivf + knn_pq_seeded rotated out,
-    # both r4-green; ivfpq subsumes the PQ-ADC scan + IVF routing)
-    "knn_bruteforce",
-    "knn_lsh",
-    "knn_ivfpq_seeded",
-    # ann_quality_lsh (recall@k/MRR evaluation of the LSH retriever vs
-    # exact ground truth) takes dedup_spans' slot (r4-green; span dedup
-    # stays inside the 100x rehearsal + unit tests, and dedup keeps
-    # five anchors)
-    "ann_quality_lsh",
-    # §2.11 text analysis / quality / decontamination (r5:
-    # bigram_logprob, dsir_logratio, chi2_features rotated out, all
-    # r4-green; corpus_vocab_stats is the never-checked entrant)
-    "corpus_vocab_stats",
-    # text_tag_keywords (gazetteer tagging via per-length gram joins)
-    # takes corpus_curation_e2e's slot (r1-r4 green; every curation
-    # stage it composes stays anchored by the dedup/decontam/quality
-    # prefix rows)
-    "text_tag_keywords",
-    # text_normalize_unicode (Arrow NFC vs DuckDB nfc_normalize) takes
-    # linkage_entity_clusters' slot (r4-green; the edit-1 blocking +
-    # star-CC composition stays unit-pinned and CC is exercised by the
-    # dedup anchors)
-    "text_normalize_unicode",
-    # r5 additions (new operators this round — changed/new queries
-    # belong in the prefix; each displaces an r4-green singleton whose
-    # family keeps anchors: text_bpe_merges + text_pmi_pairs take
-    # copurchase_topk's and skyline_parts' slots, mine_hard_negatives
-    # takes geo_polygon_overlap's)
-    "text_bpe_merges",
-    # text_bpe_segment (train+apply token counting) takes search_bm25's
-    # slot: r4-green, and search_hybrid_rrf below runs the full BM25
-    # scoring pipeline inside its lexical arm (subsumption)
-    "text_bpe_segment",
-    "text_pmi_pairs",
-    "mine_hard_negatives",
-    # search_hybrid_rrf (RRF fusion of BM25 + vector ranks) takes
-    # orders_winsorized's slot (r4-green; winsorize stays unit-pinned
-    # and the percentile family keeps histogram + drift anchors)
-    "search_hybrid_rrf",
-    # (dq_suite_core rotated out for geo_nearest_site below — r4-green;
-    # dq stays anchored by dq_benford_prices)
-    # dq_benford_prices (Benford first-digit audit) takes
-    # dedup_containment's slot (r4-green; dedup keeps six anchors
-    # including both cross-corpus paths)
-    "dq_benford_prices",
-    # r4-green dq_profile_orders rotated out; dq_suite_core anchors dq
-    # §2.11 sampling (r5: sample_temperature rotated out, r1-r4 green;
-    # the two never-checked sampling entrants take the slots)
-    "sample_weighted_docs",
-    # sample_token_budget (per-source quota mix building) takes
-    # classify_nearest_centroid's slot (r4-green; the Rocchio audit
-    # stays unit-pinned and the centroid machinery is exercised by
-    # decontam_semantic/knn anchors)
-    "sample_token_budget",
-    # mix_build_e2e (dedup -> quality -> budget -> shard capstone) takes
-    # boundaries_right_join's slot (r4-green; J1 right-join semantics
-    # stay pinned by unit tests and the flagship's dim joins)
-    "mix_build_e2e",
-    "orders_target_encoding",
-    # media (r5: audio_features rotated out, r4-green with a full value
-    # oracle; video + dhash keep the family)
-    "multimodal_video_frames",
-    # cluster_kmeans_lloyd (fully-SQL-replicated Lloyd training) takes
-    # multimodal_image_dhash's slot (r4-green; media keeps video_frames,
-    # which exercises the decode machinery more broadly, plus the
-    # golden-pixel unit suite)
-    "cluster_kmeans_lloyd",
-    # cluster_silhouette (the quality metric over the same training)
-    # takes streaming_interval_join_outer's slot (r4-green; real
-    # streaming keeps dedup/ohlc/session-stream anchors, and the outer
-    # join machinery stays pinned by its unit + batch-parity tests)
-    "cluster_silhouette",
-    # graph (r5: triangles rotated out, r4-green)
-    "graph_pagerank",
-    # §2.9 streaming (r5: inner interval join + scd2_user_status +
-    # orders_snapshot_diff rotated out, all r4-green; the two
-    # never-checked real-stream queries + snapshot-at enter)
-    "streaming_dedup_events",
-    "streaming_ohlc_hourly",
-    "scd2_snapshot_at",
-    # streaming_session_5m (REAL merging-session-state stream) takes
-    # cdc_apply_changes' slot (r4-green; change-data stays anchored by
-    # scd2_snapshot_at above)
-    "streaming_session_5m",
-    # events/analytics (r5: robust_outliers, attribution,
-    # rolling_median, rate_anomaly rotated out — all r4-green; the seven
-    # never-checked analytics queries enter)
-    "events_ohlc_hourly",
-    "events_time_weighted_avg",
-    "events_gaps",
-    # events_ewma (Horner-fold trailing EWMA) takes geo_point_in_polygon's
-    # slot. NOTE: with polygon_overlap already displaced this round, geo
-    # carries NO r5 window slot — a deliberate exception to the
-    # one-per-family rule: every geo query has MULTIPLE driver-green
-    # rows (r1-r4), the family stays pinned by unit + plan tests, and
-    # the slots are better spent on never-driver-checked and brand-new
-    # queries (the hygiene test in test_registry_order.py guarantees no
-    # query is left permanently unverified)
-    "events_ewma",
-    "funnel_step_latency",
-    "customer_rfm",
-    "cohort_ltv_weekly",
-    "ab_test_conversion",
-    # basket_rules_parts (support/confidence/lift rule mining) takes
-    # dedup_embedding_cosine's slot (r4-green; embedding dedup stays
-    # anchored by dedup_against_reference/index + semantic-dedup unit
-    # pins, and the cosine machinery by the knn anchors)
-    "basket_rules_parts",
-    # (copurchase_topk, skyline_parts, geo_polygon_overlap rotated out
-    # for the three r5 operators above — all r4-green; co-occurrence
-    # stays unit-pinned, core keeps boundaries/winsorized/skew anchors,
-    # geo keeps point_in_polygon)
-    # drift / profiling — never driver-checked
-    # lineitem_exact_median_scalable (bounded-memory EXACT median via
-    # range narrowing — the answer to every exact-percentile OOM note)
-    # takes text_token_stats' slot (r1-r4 green; the token-stat surface
-    # stays exercised by corpus_vocab_stats + bpe_segment + unit tests)
-    "lineitem_exact_median_scalable",
-    "drift_ks_click_vs_error",
-    "drift_psi_purchase_value",
-    # drift_chi2_event_types (the categorical member of the drift trio)
-    # takes text_unigram_logprob's slot (r4-green; LM quality stays
-    # exercised inside corpus_curation_e2e's pipeline and the bigram
-    # unit tests)
-    "drift_chi2_event_types",
-    "orders_price_histogram",
-    # rollup — never driver-checked hierarchical share-of-parent
-    "revenue_share_of_parent",
-    # joins (r5 in: bloom_join_prune, never driver-checked)
-    "bloom_join_prune",
-    # geo_nearest_site (reverse-geocoding argmin join) restores the geo
-    # family's r5 slot, taking dq_suite_core's (r4-green; dq stays
-    # anchored by dq_benford_prices)
+    "streaming_session_5m_append",
+    "text_lang_id_nb",
+    "dedup_embedding_cosine",
     "geo_nearest_site",
-    "skew_salted_join",
-    "approx_sketches",
-    "rates_zero_policy",
+    "mine_hard_negatives",
+    "streaming_dedup_events",
+    "streaming_enriched_rollup",
+    "streaming_interval_join",
+    "streaming_interval_join_outer",
+    "streaming_ohlc_hourly",
+    "streaming_session_5m",
+    "streaming_tumbling_1h",
+    "anti_join_nations_without_suppliers",
+    "asof_click_purchase",
+    "change_over_time",
+    "cube_pricing",
+    "derived_demographics",
+    "events_gapfill_1h",
+    "geo_point_extract",
+    "geoid_hierarchy_rollup",
+    "geoid_parse",
+    "geoid_rollup_county",
+    "geoid_rollup_state",
+    "global_stats_price",
+    "grouped_quantiles",
+    "histogram_price",
+    "latest_event_per_user",
+    "moving_average_spend",
+    "normalize_minmax",
+    "normalize_robust",
+    "normalize_zscore",
+    "normalize_zscore_by_nation",
+    "part_catalog_search",
+    "parts_above_avg_price",
+    "pivot_status_by_segment",
+    "profile_lineitem",
+    "q10_returned_items",
+    "q12_shipmode_priority",
+    "q18_large_orders",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "range_join_click_errors",
+    "running_customer_spend",
+    "sentinel_clean_drop",
+    "sentinel_clean_fill",
+    "setop_nations_except",
 ]
 
 

@@ -1,92 +1,59 @@
 """Registry-order contract: the driver verifies the first ~50 registered
 queries (r1 evidence: CORRECTNESS_r01.json == registry positions 0-49), so
-the checked prefix must cover every operator family and contain no
-rows-only entries.
+the checked prefix must contain no rows-only entries, and — the r6
+CHANGE-AWARE contract (VERDICT r5 #1) — must re-verify every query whose
+implementation changed since its last driver CORRECTNESS row.
 
-r5 adds the window-hygiene contract (VERDICT r4 #5): the union of all
-driver CORRECTNESS rows recorded so far PLUS the current 50-slot prefix
-must cover EVERY registered query — a future round cannot silently grow
-an unverified tail of queries that never get a driver row. A new query
-must either take a prefix slot or the test goes red.
+Machinery: tools/query_fingerprints.py computes a symbol-level content
+fingerprint per query (function + oracle decorator + every reachable
+engine symbol); tools/driver_state.json records each query's fingerprint
+as of the round-boundary snapshot the driver last verified it (regenerate
+with tools/update_driver_state.py after each driver round). A query is
+STALE when the working-tree fingerprint differs from the recorded one,
+and NEW when it has no driver row at all.
+
+Rules enforced here:
+1. stale ∪ new queries sit in the 50-slot prefix — or, when the backlog
+   exceeds 50 (the r6 bootstrap found 78 drifted queries), every slot
+   except the flagship's must be spent on backlog (saturation: no slot
+   wasted on an already-current query while drifted ones wait).
+2. the prefix is fully oracle-backed and starts with the flagship.
+3. no query may exist without either a driver row or a prefix slot
+   (window hygiene, r5).
+4. driver_state.json must be regenerated after every driver round.
 """
 
 import glob
 import json
 import os
+import sys
+
+import pytest
 
 from census_data_pipeline_spark.plans import ORACLE, QUERIES
 
 PREFIX_N = 50
 
-# at least one anchor per operator family; every name must sit in the
-# checked prefix (r5 rotation: the 19 never-driver-checked late-r4
-# queries entered, displacing 19 r4-green queries whose families keep
-# the anchors below — see plans/__init__.py docstring for the full swap)
-FAMILY_REPRESENTATIVES = [
-    # dedup
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_against_reference",   # cross-corpus incremental (new r5 slot)
-    "dedup_against_index",       # materialized write-once index (r5)
-    # similarity search
-    "knn_bruteforce",
-    "knn_lsh",
-    "knn_ivfpq_seeded",
-    "ann_quality_lsh",           # recall@k / MRR evaluation (r5)
-    # text / quality / decontamination
-    "corpus_vocab_stats",        # vocabulary stats (new r5 slot)
-    "text_tag_keywords",         # gazetteer gram-join tagging (r5)
-    "text_normalize_unicode",    # Arrow NFC normalization (r5)
-    "dq_benford_prices",         # Benford first-digit audit (r5)
-    # sampling
-    "sample_weighted_docs",      # weighted sampling (new r5 slot)
-    "orders_target_encoding",    # leakage-safe target encoding (r5 slot)
-    "sample_token_budget",       # per-source quota mix building (r5)
-    "mix_build_e2e",             # dedup->quality->budget->shard (r5)
-    # media
-    "multimodal_video_frames",
-    "cluster_kmeans_lloyd",      # SQL-replicated Lloyd training (r5)
-    "cluster_silhouette",        # centroid-based quality metric (r5)
-    # graph
-    "graph_pagerank",
-    # streaming / change-data (interval_join_outer rotated out for
-    # cluster_silhouette — r4-green; three real-stream anchors remain)
-    "streaming_dedup_events",    # exactly-once repair stream (r5 slot)
-    "streaming_ohlc_hourly",     # stateful stream rollup (r5 slot)
-    "scd2_snapshot_at",          # time travel over SCD2 (r5 slot)
-    "streaming_session_5m",      # merging-session-state stream (r5)
-    # events / analytics
-    "events_ohlc_hourly",
-    "events_time_weighted_avg",
-    "events_gaps",
-    "events_ewma",               # Horner-fold trailing EWMA (r5)
-    "funnel_step_latency",
-    "customer_rfm",
-    "cohort_ltv_weekly",
-    "ab_test_conversion",
-    "basket_rules_parts",        # association-rule mining (r5)
-    # r5 operators (new this round)
-    "text_bpe_merges",
-    "text_bpe_segment",
-    "text_pmi_pairs",
-    "mine_hard_negatives",
-    "search_hybrid_rrf",
-    # drift / profiling
-    "drift_ks_click_vs_error",
-    "drift_psi_purchase_value",
-    "drift_chi2_event_types",    # categorical chi-square drift (r5)
-    "orders_price_histogram",
-    "lineitem_exact_median_scalable",  # bounded-memory exact median (r5)
-    # rollup / joins / core
-    "revenue_share_of_parent",
-    "bloom_join_prune",
-    "geo_nearest_site",          # reverse-geocoding argmin join (r5)
-    "skew_salted_join",
-    "approx_sketches",
-    "rates_zero_policy",
-]
-
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(_REPO, "tools"))
+
+# Stale backlog that did NOT fit the r6 prefix (oldest-first drain order;
+# see plans/__init__.py r6 rotation note). These MUST enter the r7 prefix
+# unless their implementation is re-verified by a driver row first —
+# test_backlog_is_draining keeps the list from silently growing.
+R7_BACKLOG = [
+    "setop_nations_intersect", "sql_surface_revenue", "stats_correlation",
+    "top5_customers", "unpivot_part_measures", "weighted_index_parts",
+    "window_rank_functions", "winsorize_acctbal", "dedup_ngram_jaccard",
+    "dedup_simhash", "dim_lookup_customer", "embedding_centroid_by_label",
+    "events_hypertable_rollup", "events_json_extract",
+    "events_sliding_1h_30m", "geo_bbox_contains", "geo_haversine_pairs",
+    "geo_radius_join", "sample_hash_docs", "text_lang_id", "text_pii_scrub",
+    "text_tfidf_top_terms", "zorder_locality", "dedup_clusters",
+    "dedup_clusters_star", "dedup_keep_canonical", "knn_ivf_seeded",
+    "multimodal_frame_sample", "shuffle_shard_assign", "corpus_curation_e2e",
+    "multimodal_image_dhash",
+]
 
 
 def _driver_checked_union():
@@ -97,18 +64,33 @@ def _driver_checked_union():
     return seen
 
 
+def _latest_round():
+    rounds = [
+        int(os.path.basename(p)[len("CORRECTNESS_r"):-len(".json")])
+        for p in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))
+    ]
+    return max(rounds) if rounds else 0
+
+
+@pytest.fixture(scope="module")
+def driver_state():
+    with open(os.path.join(_REPO, "tools", "driver_state.json")) as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="module")
+def current_fingerprints():
+    from query_fingerprints import compute_fingerprints
+
+    return compute_fingerprints(_REPO)
+
+
 def test_prefix_is_fully_oracle_backed():
     prefix = list(QUERIES)[:PREFIX_N]
     rows_only = [n for n in prefix if n not in ORACLE]
     assert rows_only == [], (
         f"rows-only queries waste checked-prefix slots: {rows_only}"
     )
-
-
-def test_prefix_covers_every_family():
-    prefix = set(list(QUERIES)[:PREFIX_N])
-    missing = [n for n in FAMILY_REPRESENTATIVES if n not in prefix]
-    assert missing == [], f"families missing from checked prefix: {missing}"
 
 
 def test_flagship_is_first():
@@ -120,11 +102,66 @@ def test_every_query_callable_and_every_oracle_has_query():
     assert set(ORACLE) <= set(QUERIES)
 
 
+def test_fingerprints_cover_every_registered_query(current_fingerprints):
+    missing = sorted(set(QUERIES) - set(current_fingerprints))
+    assert missing == [], (
+        f"queries invisible to the change tracker: {missing} — extend "
+        "tools/query_fingerprints.py (new registration pattern?)"
+    )
+
+
+def test_changed_queries_sit_in_checked_prefix(driver_state,
+                                               current_fingerprints):
+    """THE change-aware rule: a query whose implementation fingerprint
+    differs from its recorded last-driver-row fingerprint (or which has
+    no driver row) must be in the prefix so the next driver run
+    re-verifies it. When the backlog exceeds the prefix, saturation is
+    required instead: every non-flagship slot spent on backlog."""
+    stale = {
+        q for q in driver_state
+        if q in QUERIES
+        and current_fingerprints.get(q) != driver_state[q]["fingerprint"]
+    }
+    new = set(QUERIES) - set(driver_state)
+    need = stale | new
+    prefix = list(QUERIES)[:PREFIX_N]
+    missing = sorted(need - set(prefix))
+    if not missing:
+        return
+    wasted = [
+        q for q in prefix[1:]  # flagship slot exempt (driver smoke query)
+        if q not in need
+    ]
+    assert wasted == [], (
+        f"{len(missing)} changed/new queries lack prefix slots "
+        f"({missing[:5]}…) while slots are spent on already-current "
+        f"queries: {wasted} — rotate the backlog in (plans/__init__.py)"
+    )
+
+
+def test_backlog_is_draining(driver_state, current_fingerprints):
+    """Every stale query left out of the prefix must be on the declared
+    R7_BACKLOG list — growing the backlog silently is not allowed, and
+    the list documents exactly what r7 owes the driver."""
+    stale = {
+        q for q in driver_state
+        if q in QUERIES
+        and current_fingerprints.get(q) != driver_state[q]["fingerprint"]
+    }
+    new = set(QUERIES) - set(driver_state)
+    prefix = set(list(QUERIES)[:PREFIX_N])
+    waiting = sorted((stale | new) - prefix)
+    undeclared = sorted(set(waiting) - set(R7_BACKLOG))
+    assert undeclared == [], (
+        f"stale queries outside both the prefix and the declared backlog: "
+        f"{undeclared}"
+    )
+
+
 def test_no_unverified_tail():
     """Window hygiene (VERDICT r4 #5): every registered query must have a
     driver CORRECTNESS row already, or occupy a slot in the current
-    50-query prefix (so the NEXT driver run gives it one). Red means a
-    query was registered without rotating it into the checked window."""
+    50-query prefix (so the NEXT driver run gives it one)."""
     seen = _driver_checked_union()
     prefix = set(list(QUERIES)[:PREFIX_N])
     tail = sorted(set(QUERIES) - seen - prefix)
@@ -132,4 +169,24 @@ def test_no_unverified_tail():
         f"queries with no driver row and no prefix slot: {tail} — rotate "
         "them into _CHECKED_PREFIX (plans/__init__.py) or they will never "
         "be driver-verified"
+    )
+
+
+def test_driver_state_regenerated_after_latest_round(driver_state):
+    """tools/driver_state.json must incorporate the newest CORRECTNESS
+    file — red means a driver round landed and nobody re-ran
+    tools/update_driver_state.py, so staleness detection would compare
+    against outdated fingerprints."""
+    latest = _latest_round()
+    with open(
+        os.path.join(_REPO, f"CORRECTNESS_r{latest:02d}.json")
+    ) as f:
+        rows = set(json.load(f))
+    behind = sorted(
+        q for q in rows
+        if q in driver_state and driver_state[q]["round"] != latest
+    )
+    assert behind == [], (
+        f"driver_state.json predates CORRECTNESS_r{latest:02d}.json for "
+        f"{behind[:5]}… — run: python tools/update_driver_state.py"
     )
