@@ -89,3 +89,38 @@ def test_nb_langid_model_shape_and_smoothing(spark):
     # priors sum to ~1 in probability space
     tot = sum(math.exp(r.logprior) for r in priors.collect())
     assert abs(tot - 1.0) < 1e-9
+
+
+def test_blas_exact_path_guard_and_chunking(spark):
+    """VERDICT r5 #8: method='exact' must raise above blas_max_rows
+    instead of silently collecting; under the ceiling the chunked matmul
+    must agree with the LSH+verify path's exact scores."""
+    import pytest
+
+    from census_data_pipeline_spark.functions.similarity import (
+        embedding_dup_pairs,
+    )
+
+    vecs = spark.range(300).selectExpr(
+        "id AS vec_id",
+        # every 3rd vector duplicates its predecessor's direction
+        "transform(sequence(0, 7), j -> "
+        " round(sin((id - CASE WHEN id % 3 = 2 THEN 1 ELSE 0 END)"
+        "  * (0.731 + 0.13 * j)), 6)) AS embedding",
+    )
+    with pytest.raises(ValueError, match="blas_max_rows"):
+        embedding_dup_pairs(vecs, threshold=0.999, method="exact",
+                            blas_max_rows=100)
+    got = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in embedding_dup_pairs(
+            vecs, threshold=0.999, method="exact", blas_max_rows=1000
+        ).collect()
+    }
+    want = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in embedding_dup_pairs(
+            vecs, threshold=0.999, method="lsh", dim=8
+        ).collect()
+    }
+    assert got and got == want
