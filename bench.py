@@ -156,6 +156,9 @@ HEADLINE_NEW: list[str] = [
     "ann_quality_lsh",
     "basket_rules_parts",
     "geo_nearest_site",
+    # r6 additions (streaming_session_5m_append is measured by
+    # bench_streaming.py with the other real-stream queries)
+    "text_lang_id_nb",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is
