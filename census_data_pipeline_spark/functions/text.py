@@ -1018,3 +1018,108 @@ def nb_langid_score(
             (-F.col("__m.__neg")).alias("nb_score"),
         )
     )
+
+
+# Gopher-rule thresholds (Rae et al. 2021, arXiv:2112.11446 Table A1 —
+# the document-quality heuristics most LLM curation stacks start from).
+GOPHER_DEFAULTS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "max_bullet_line_ratio": 0.9,
+    "max_ellipsis_line_ratio": 0.3,
+    "min_alpha_word_ratio": 0.8,
+    "min_stopword_hits": 2,
+}
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    thresholds: dict | None = None,
+) -> DataFrame:
+    """Gopher-style document-quality rule suite — the standard LLM
+    pre-training filter battery (word-count band, mean word length band,
+    symbol-to-word ratio, bullet/ellipsis line ratios, alphabetic-word
+    ratio, stopword presence), each emitted as its own boolean column
+    plus the conjunction ``gopher_pass``, so a curation pipeline can
+    report WHICH rule rejected a document (reject-reason histograms are
+    how these thresholds get tuned).
+
+    Pure Catalyst array/aggregate expressions over one projection — a
+    map-only stage, no shuffle, no UDF; every measure and flag is
+    replicated in ANSI SQL by the ``text_gopher_rules`` oracle. Ratios
+    are rounded to 6 dp BEFORE comparison in both engines so boundary
+    documents flag identically."""
+    t = thresholds or GOPHER_DEFAULTS
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    safe_n = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_wl = F.round(
+        F.aggregate(
+            F.transform(toks, F.length), F.lit(0),
+            lambda a, x: a + x,
+        )
+        / safe_n,
+        6,
+    )
+    sym_ratio = F.round(
+        (
+            F.size(F.filter(toks, lambda x: x.startswith("#")))
+            + F.size(F.filter(toks, lambda x: x.contains("...")))
+        )
+        / safe_n,
+        6,
+    )
+    alpha_ratio = F.round(
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))) / safe_n, 6
+    )
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_ratio = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: ln.startswith("-") | ln.startswith("*")
+                | ln.startswith("•"),
+            )
+        )
+        / n_lines,
+        6,
+    )
+    ellipsis_ratio = F.round(
+        F.size(F.filter(lines, lambda ln: ln.endswith("..."))) / n_lines, 6
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in STOPWORDS]),
+        )
+    )
+    flags = {
+        "ok_word_count": (n_words >= t["min_words"])
+        & (n_words <= t["max_words"]),
+        "ok_mean_word_len": (mean_wl >= t["min_mean_word_len"])
+        & (mean_wl <= t["max_mean_word_len"]),
+        "ok_symbol_ratio": sym_ratio <= t["max_symbol_word_ratio"],
+        "ok_bullet_lines": bullet_ratio <= t["max_bullet_line_ratio"],
+        "ok_ellipsis_lines": ellipsis_ratio <= t["max_ellipsis_line_ratio"],
+        "ok_alpha_words": alpha_ratio >= t["min_alpha_word_ratio"],
+        "ok_stopwords": stop_hits >= t["min_stopword_hits"],
+    }
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_hits.alias("stopword_hits"),
+        *[c.alias(nm) for nm, c in flags.items()],
+    )
+    passing = F.col("ok_word_count")
+    for nm in list(flags)[1:]:
+        passing = passing & F.col(nm)
+    return out.withColumn("gopher_pass", passing)

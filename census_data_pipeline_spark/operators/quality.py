@@ -144,3 +144,39 @@ def benford_audit(
             .alias("chi2_term"),
         )
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier set — the standard
+    re-identification risk check run before releasing or sharing
+    derived microdata (every equivalence class of QI values must hold
+    ≥ k records, or those records are linkable). Output: one row per
+    VIOLATING equivalence class (class size < k) with its size and its
+    share of the table, ordered smallest-class-first (most identifying
+    first), plus the class values themselves.
+
+    One groupBy(QI) aggregation plus a 1-row total broadcast — the same
+    shape at any scale; the violating-class result is small by nature
+    (it is the tail of the group-size distribution). Suppression /
+    generalization remediation composes downstream: an inner join of
+    the source against these classes selects exactly the rows to
+    suppress."""
+    if k < 2:
+        raise ValueError("k must be >= 2 (k=1 is vacuous)")
+    total = df.agg(F.count("*").alias("__n"))
+    return (
+        df.groupBy(*quasi_identifiers)
+        .agg(F.count("*").alias("class_size"))
+        .filter(F.col("class_size") < k)
+        .crossJoin(F.broadcast(total))
+        .select(
+            *quasi_identifiers,
+            "class_size",
+            F.round(F.col("class_size") / F.col("__n"), 6)
+            .alias("class_share"),
+        )
+    )

@@ -238,3 +238,90 @@ def exact_median_scalable(df: DataFrame, value_col: str):
     return spark.createDataFrame(
         [(n, round(med, 6))], "n long, median double"
     )
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width_hex: int = 3,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch as a DataFrame — the mergeable heavy-hitter /
+    frequency summary (Cormode & Muthukrishnan 2005). depth independent
+    hash rows; each row buckets a key by a width_hex-hex-char md5
+    prefix (width = 16^width_hex buckets, default 4096 — the same
+    md5-prefix determinism trick as DSIR/sampling, so BOTH engines
+    derive identical cells and the sketch itself is oracle-checkable,
+    unlike an opaque binary sketch blob).
+
+    Output: (row_id, bucket, cnt) — depth x width rows at most,
+    regardless of input size. Mergeable by construction: sketches of
+    two corpus parts union + groupBy(row_id, bucket) sum to the sketch
+    of the union — the property that lets per-partition/per-day
+    sketches roll up without rescanning (same contract as
+    sketch_rollup_mergeable).
+
+    One explode(depth) + groupBy — a single shuffle bounded by
+    depth x width cells."""
+    if depth < 1 or width_hex < 1 or width_hex > 8:
+        raise ValueError("depth >= 1 and 1 <= width_hex <= 8 required")
+    w = F.lit(1) if weight_col is None else F.col(weight_col)
+    return (
+        df.select(
+            F.col(key_col).cast("string").alias("__k"), w.alias("__w")
+        )
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row_id"),
+            "__k", "__w",
+        )
+        .select(
+            "row_id",
+            F.substring(
+                F.md5(F.concat_ws("", F.col("row_id").cast("string"),
+                                  F.col("__k"))),
+                1, width_hex,
+            ).alias("bucket"),
+            "__w",
+        )
+        .groupBy("row_id", "bucket")
+        .agg(F.sum("__w").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width_hex: int = 3,
+) -> DataFrame:
+    """Point-frequency estimates from a cms_build sketch: for each
+    candidate key, min over the depth rows of its bucket's count — the
+    CMS guarantee (estimate >= true count; overestimate bounded by
+    collisions). The sketch frame is depth x width rows — broadcast —
+    so estimating any number of candidates is one map-side join + a
+    groupBy(candidate) min. Absent buckets count 0 (key never seen)."""
+    cand = (
+        candidates.select(F.col(key_col).cast("string").alias("__k"))
+        .distinct()
+        .select(
+            "__k",
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row_id"),
+        )
+        .select(
+            "__k", "row_id",
+            F.substring(
+                F.md5(F.concat_ws("", F.col("row_id").cast("string"),
+                                  F.col("__k"))),
+                1, width_hex,
+            ).alias("bucket"),
+        )
+    )
+    key_type = dict(candidates.dtypes)[key_col]
+    return (
+        cand.join(F.broadcast(sketch), ["row_id", "bucket"], "left")
+        .groupBy("__k")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+        .select(F.col("__k").cast(key_type).alias(key_col), "est_count")
+    )

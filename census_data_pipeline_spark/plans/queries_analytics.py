@@ -3287,3 +3287,81 @@ def geo_nearest_site(spark, sf_dir):
         .alias("lon"),
     )
     return nearest_site_join(c, n)
+
+
+@query(
+    "dq_k_anonymity",
+    oracle="""
+    WITH total AS (SELECT count(*) AS n FROM customer)
+    SELECT c_mktsegment, c_nationkey,
+           count(*) AS class_size,
+           round(count(*) * 1.0 / (SELECT n FROM total), 6) AS class_share
+    FROM customer
+    GROUP BY c_mktsegment, c_nationkey
+    HAVING count(*) < 8
+    """,
+)
+def dq_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (operators/quality.k_anonymity_audit): every
+    (mktsegment, nationkey) equivalence class holding fewer than k=8
+    customers — the re-identification risk report a release pipeline
+    gates on. One groupBy + 1-row total broadcast."""
+    from census_data_pipeline_spark.operators.quality import (
+        k_anonymity_audit,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    return k_anonymity_audit(c, ["c_mktsegment", "c_nationkey"], k=8)
+
+
+@query(
+    "sketch_cms_heavy_hitters",
+    oracle="""
+    WITH exact AS (SELECT l_partkey, count(*) AS exact_count
+                   FROM lineitem GROUP BY l_partkey
+                   ORDER BY exact_count DESC, l_partkey ASC LIMIT 20),
+    sketch AS (SELECT row_id,
+                      substr(md5(CAST(row_id AS VARCHAR)
+                                 || CAST(l_partkey AS VARCHAR)), 1, 3)
+                        AS bucket,
+                      count(*) AS cnt
+               FROM lineitem
+               CROSS JOIN (SELECT unnest(range(4)) AS row_id)
+               GROUP BY 1, 2),
+    probes AS (SELECT e.l_partkey, e.exact_count, r.row_id,
+                      substr(md5(CAST(r.row_id AS VARCHAR)
+                                 || CAST(e.l_partkey AS VARCHAR)), 1, 3)
+                        AS bucket
+               FROM exact e
+               CROSS JOIN (SELECT unnest(range(4)) AS row_id) r)
+    SELECT p.l_partkey, any_value(p.exact_count) AS exact_count,
+           min(coalesce(s.cnt, 0)) AS est_count
+    FROM probes p LEFT JOIN sketch s
+      ON s.row_id = p.row_id AND s.bucket = p.bucket
+    GROUP BY p.l_partkey
+    """,
+)
+def sketch_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters (operators/rollup.cms_build /
+    cms_estimate): build a 4×4096 md5-prefix CMS over lineitem part
+    keys, then point-estimate the 20 largest exact counts — estimate ≥
+    exact by the CMS guarantee, equal when the key's buckets are
+    collision-free. The sketch is depth×width rows regardless of input
+    (mergeable: union + re-sum), so the estimate join is broadcast. The
+    md5-bucket construction makes the WHOLE sketch oracle-checkable —
+    both engines derive identical cells."""
+    from census_data_pipeline_spark.operators import rollup as ro
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sketch = ro.cms_build(li, "l_partkey", depth=4, width_hex=3)
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("l_partkey"))
+        .limit(20)
+    )
+    est = ro.cms_estimate(sketch, exact, "l_partkey",
+                          depth=4, width_hex=3)
+    return exact.join(est, "l_partkey").select(
+        "l_partkey", "exact_count", "est_count"
+    )

@@ -2945,3 +2945,56 @@ def text_lang_id_nb(spark, sf_dir):
     return scored.join(docs.select("doc_id", "lang"), "doc_id").select(
         "doc_id", "lang", "lang_pred", "nb_score"
     )
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks,
+                      string_split(text, chr(10)) AS lines
+               FROM documents),
+    m AS (SELECT doc_id,
+            len(toks) AS n_words,
+            round(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                  / greatest(len(toks), 1), 6) AS mean_word_len,
+            round((len(list_filter(toks, x -> starts_with(x, '#')))
+                   + len(list_filter(toks, x -> contains(x, '...'))))
+                  / greatest(len(toks), 1), 6) AS symbol_word_ratio,
+            round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                  / greatest(len(toks), 1), 6) AS alpha_word_ratio,
+            len(list_intersect(list_distinct(toks), {_STOPLIST}))
+              AS stopword_hits,
+            round(len(list_filter(lines, l -> starts_with(l, '-')
+                                   OR starts_with(l, '*')
+                                   OR starts_with(l, '•')))
+                  / greatest(len(lines), 1), 6) AS bullet_ratio,
+            round(len(list_filter(lines, l -> ends_with(l, '...')))
+                  / greatest(len(lines), 1), 6) AS ellipsis_ratio
+          FROM t)
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           alpha_word_ratio, CAST(stopword_hits AS INT) AS stopword_hits,
+           n_words BETWEEN 50 AND 100000 AS ok_word_count,
+           mean_word_len BETWEEN 3.0 AND 10.0 AS ok_mean_word_len,
+           symbol_word_ratio <= 0.1 AS ok_symbol_ratio,
+           bullet_ratio <= 0.9 AS ok_bullet_lines,
+           ellipsis_ratio <= 0.3 AS ok_ellipsis_lines,
+           alpha_word_ratio >= 0.8 AS ok_alpha_words,
+           stopword_hits >= 2 AS ok_stopwords,
+           (n_words BETWEEN 50 AND 100000)
+             AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             AND symbol_word_ratio <= 0.1
+             AND bullet_ratio <= 0.9
+             AND ellipsis_ratio <= 0.3
+             AND alpha_word_ratio >= 0.8
+             AND stopword_hits >= 2 AS gopher_pass
+    FROM m
+    """,
+)
+def text_gopher_rules(spark, sf_dir):
+    """Gopher-style quality rule battery (functions/text.gopher_rules —
+    Rae et al. 2021 Table A1): per-document rule flags + the pass
+    conjunction, each measure rounded 6 dp before comparison so
+    boundary docs flag identically in both engines. Map-only stage; at
+    100 TB this is the cheap first screen before any dedup shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.gopher_rules(docs)

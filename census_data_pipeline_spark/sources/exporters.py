@@ -49,6 +49,11 @@ def export(
         _writer(out).option("header", True).csv(path)
     elif fmt == "parquet":
         _writer(df).parquet(path)
+    elif fmt == "orc":
+        # columnar alternative with the same predicate-pushdown /
+        # column-pruning story as parquet (ORC is bundled in Spark; the
+        # reference has no columnar sink at all)
+        _writer(df).orc(path)
     elif fmt == "json":
         _writer(df).json(path)
     elif fmt == "geojson":

@@ -124,3 +124,88 @@ def test_blas_exact_path_guard_and_chunking(spark):
         ).collect()
     }
     assert got and got == want
+
+
+def test_gopher_rules_flags(spark):
+    from census_data_pipeline_spark.functions.text import gopher_rules
+
+    good = " ".join(["data the query of table"] * 12)  # 60 words, stopwords
+    rows = [
+        (1, good),
+        (2, "short text the of"),                    # word-count fail
+        (3, " ".join(["#123"] * 60)),                # symbol + alpha + stop fail
+        (4, " ".join(["a"] * 60)),                   # mean word len fail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert out[1].gopher_pass
+    assert not out[2].ok_word_count and not out[2].gopher_pass
+    assert not out[3].ok_symbol_ratio and not out[3].ok_alpha_words
+    assert not out[4].ok_mean_word_len
+    assert out[1].n_words == 60 and out[1].stopword_hits >= 2
+
+
+def test_k_anonymity_audit(spark):
+    import pytest
+
+    from census_data_pipeline_spark.operators.quality import (
+        k_anonymity_audit,
+    )
+
+    rows = [("a", 1)] * 10 + [("a", 2)] * 3 + [("b", 1)] * 1
+    df = spark.createDataFrame(rows, "seg string, nat int")
+    out = {(r.seg, r.nat): r for r in
+           k_anonymity_audit(df, ["seg", "nat"], k=5).collect()}
+    assert set(out) == {("a", 2), ("b", 1)}
+    assert out[("a", 2)].class_size == 3
+    assert out[("b", 1)].class_share == round(1 / 14, 6)
+    with pytest.raises(ValueError):
+        k_anonymity_audit(df, ["seg"], k=1)
+
+
+def test_cms_guarantee_and_mergeability(spark):
+    from census_data_pipeline_spark.operators.rollup import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.range(2000).selectExpr("CAST(id % 37 AS LONG) AS k")
+    sketch = cms_build(df, "k", depth=4, width_hex=3)
+    cands = spark.range(40).selectExpr("id AS k")  # 37 seen + 3 unseen
+    est = {r.k: r.est_count for r in
+           cms_estimate(sketch, cands, "k", depth=4, width_hex=3).collect()}
+    exact = {r.k: r.cnt for r in
+             df.groupBy("k").agg(__import__(
+                 "pyspark.sql.functions", fromlist=["count"]
+             ).count("*").alias("cnt")).collect()}
+    for k, true_n in exact.items():
+        assert est[k] >= true_n  # CMS never underestimates
+    assert est[38] == 0 and est[39] == 0  # unseen keys -> 0
+    # collision-free at this density: estimates exact
+    assert sum(1 for k in exact if est[k] == exact[k]) == len(exact)
+    # mergeable: sketch(part1) + sketch(part2) == sketch(all)
+    s1 = cms_build(df.filter("k < 20"), "k", 4, 3)
+    s2 = cms_build(df.filter("k >= 20"), "k", 4, 3)
+    from pyspark.sql import functions as F
+
+    merged = (
+        s1.unionByName(s2).groupBy("row_id", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    a = {(r.row_id, r.bucket): r.cnt for r in merged.collect()}
+    b = {(r.row_id, r.bucket): r.cnt for r in sketch.collect()}
+    assert a == b
+
+
+def test_orc_export_round_trip(spark, tmp_path):
+    from census_data_pipeline_spark.sources.exporters import export
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    path = str(tmp_path / "orc_out")
+    export(df, path, "orc")
+    back = spark.read.orc(path)
+    assert back.count() == 100
+    assert back.agg({"v": "sum"}).first()[0] == 9900
+    # predicate pushdown reaches the ORC scan
+    plan = back.filter("id = 7")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "id" in plan
