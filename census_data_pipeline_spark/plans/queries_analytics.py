@@ -3237,9 +3237,9 @@ def basket_rules_parts(spark, sf_dir):
                              min_co=3, k=50)
 
 
-@query(
-    "geo_nearest_site",
-    oracle="""
+# shared by the broadcast argmin and the grid-ring form below (one oracle,
+# two physical strategies — output-identity is part of the contract)
+_NEAREST_SITE_ORACLE = """
     WITH p AS (SELECT c_custkey AS id,
                       CAST((c_custkey * 13) % 120 AS DOUBLE) - 60 + 0.25 AS lat,
                       CAST((c_custkey * 17) % 340 AS DOUBLE) - 170 + 0.25 AS lon
@@ -3261,8 +3261,10 @@ def basket_rules_parts(spark, sf_dir):
                                     ORDER BY dist_km, site_id) AS rn
           FROM d)
     SELECT id, site_id, dist_km FROM r WHERE rn = 1
-    """,
-)
+    """
+
+
+@query("geo_nearest_site", oracle=_NEAREST_SITE_ORACLE)
 def geo_nearest_site(spark, sf_dir):
     """Nearest-site assignment (operators/geo.nearest_site_join): every
     customer pseudo-coordinate labeled with its closest nation
@@ -3365,3 +3367,33 @@ def sketch_cms_heavy_hitters(spark, sf_dir):
     return exact.join(est, "l_partkey").select(
         "l_partkey", "exact_count", "est_count"
     )
+
+
+@query("geo_nearest_site_grid", oracle=_NEAREST_SITE_ORACLE)
+def geo_nearest_site_grid(spark, sf_dir):
+    """The BEYOND-BROADCAST nearest-site path held to the SAME oracle as
+    the broadcast argmin (operators/geo.nearest_site_join_grid): grid-
+    ring candidate discs with the certified accept bound must reproduce
+    the broadcast result exactly — cell size 15° forces real ring
+    escalation on these global pseudo-coordinates. The
+    dedup_against_index discipline: the scale lever earns its driver row
+    by producing the exact reference output."""
+    from census_data_pipeline_spark.operators.geo import (
+        nearest_site_join_grid,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 13 % 120).cast("double") - 60 + 0.25)
+        .alias("lat"),
+        ((F.col("c_custkey") * 17 % 340).cast("double") - 170 + 0.25)
+        .alias("lon"),
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("site_id"),
+        ((F.col("n_nationkey") * 7 % 120).cast("double") - 60 + 0.5)
+        .alias("lat"),
+        ((F.col("n_nationkey") * 11 % 340).cast("double") - 170 + 0.5)
+        .alias("lon"),
+    )
+    return nearest_site_join_grid(c, n, cell_deg=15.0)

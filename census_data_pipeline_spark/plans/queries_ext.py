@@ -2437,9 +2437,10 @@ def text_pmi_pairs(spark, sf_dir):
     return text.pmi_topk(docs, vocab_size=50, min_pairs=3, top_k=100)
 
 
-@query(
-    "mine_hard_negatives",
-    oracle=f"""
+# shared by the broadcast form and the beyond-broadcast IVF form below —
+# one oracle, two physical strategies (the dedup_against_index discipline:
+# output-identity is part of the contract, not just a unit test)
+_HARDNEG_ORACLE = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label
                FROM embeddings WHERE vec_id % 100 = 0),
     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
@@ -2457,8 +2458,10 @@ def text_pmi_pairs(spark, sf_dir):
           FROM s)
     SELECT query_id, neighbor_id, neighbor_label, "rank", cosine_sim
     FROM r WHERE "rank" <= 5
-    """,
-)
+    """
+
+
+@query("mine_hard_negatives", oracle=_HARDNEG_ORACLE)
 def mine_hard_negatives(spark, sf_dir):
     """Hard-negative mining (functions/similarity.hard_negatives): for
     each anchor embedding, the 5 most-cosine-similar vectors with a
@@ -2998,3 +3001,25 @@ def text_gopher_rules(spark, sf_dir):
     100 TB this is the cheap first screen before any dedup shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     return text.gopher_rules(docs)
+
+
+@query("mine_hard_negatives_ivf", oracle=_HARDNEG_ORACLE)
+def mine_hard_negatives_ivf(spark, sf_dir):
+    """The BEYOND-BROADCAST hard-negative path held to the SAME oracle
+    as the broadcast form (similarity.hard_negatives_ivf with
+    n_probes == n_centroids — full probing visits every (corpus,
+    anchor) pair, so the output must be identical while the plan never
+    broadcasts the anchor side and candidates flow through the seeded-
+    IVF cell equi-join). The dedup_against_index discipline: a scale
+    lever earns a driver row by producing the exact result of the
+    reference strategy it replaces; the recall-vs-probes trade is
+    pinned separately in tests/test_round5_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 100 == 0)
+    out = similarity.hard_negatives_ivf(
+        emb, anchors, k=5, n_centroids=16, n_probes=16
+    )
+    return out.select(
+        "query_id", "neighbor_id", "neighbor_label",
+        F.col("rank").cast("long").alias("rank"), "cosine_sim",
+    )
