@@ -159,6 +159,11 @@ HEADLINE_NEW: list[str] = [
     # r6 additions (streaming_session_5m_append is measured by
     # bench_streaming.py with the other real-stream queries)
     "text_lang_id_nb",
+    "text_gopher_rules",
+    "dq_k_anonymity",
+    "sketch_cms_heavy_hitters",
+    "mine_hard_negatives_ivf",
+    "geo_nearest_site_grid",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is
