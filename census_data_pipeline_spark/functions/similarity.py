@@ -27,6 +27,8 @@ are bit-reproducible across engines.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1573,4 +1575,191 @@ def ranking_metrics(
                 F.coalesce(F.lit(1.0) / F.min("__ar"), F.lit(0.0)), 6
             ).alias("rr"),
         )
+    )
+
+
+def pca_power_dominant(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    iterations: int = 8,
+    dim: int | str | None = "infer",
+) -> DataFrame:
+    """Dominant principal component of an embedding column by POWER
+    ITERATION — dimensionality analytics trained inside the engine with
+    every step SQL-replicable (the kmeans_lloyd discipline). Returns one
+    row per dimension: (dim_idx, loading, eigenvalue, explained_ratio).
+
+    Steps, identical in the oracle:
+    1. second moments + means in ONE pass over (i, j) pair explosions —
+       cov(i,j) = m2(i,j)/n − mi·mj (population covariance; no
+       mean-centering pass over the data);
+    2. ``iterations`` rounds of w = C·v (a join of the d²-row covariance
+       frame with the d-row vector frame, groupBy(i) sum) followed by
+       normalization, the vector ROUNDED to 6 dp each round so both
+       engines walk the same trajectory whether or not it has converged;
+    3. deterministic sign: flipped so the largest-|loading| component
+       (ties to the smallest index) is positive;
+    4. eigenvalue = vᵀCv, explained_ratio = eigenvalue / trace(C).
+
+    Scale shape: the data is touched ONCE (the (i,j) explode shuffles
+    n·d² narrow rows into d² partial-aggregated cells — map-side combine
+    keeps the exchange at d² keys); every iteration is arithmetic over
+    the d²- and d-row frames, independent of n. Init is the uniform unit
+    vector (deterministic, orthogonal-to-nothing)."""
+    if dim == "infer":
+        dim = _infer_dim(df, vec_col)
+    d = int(dim)
+    v = _as_double(F.col(vec_col))
+    n_frame = df.agg(F.count("*").alias("__n"))
+
+    pairs = (
+        ensure_parallelism(df)
+        .select(F.posexplode(v).alias("__i", "__xi"), v.alias("__v"))
+        .select("__i", "__xi", F.posexplode(F.col("__v")).alias("__j", "__xj"))
+    )
+    moments = (
+        pairs.groupBy("__i", "__j")
+        .agg(F.sum(F.col("__xi") * F.col("__xj")).alias("__m2"),
+             F.sum("__xi").alias("__si"))
+        .crossJoin(F.broadcast(n_frame))
+    )
+    means = moments.filter(F.col("__i") == F.col("__j")).select(
+        F.col("__i").alias("__mi_i"),
+        (F.col("__si") / F.col("__n")).alias("__mean"),
+    )
+    cov = (
+        moments.join(
+            F.broadcast(means), moments["__i"] == means["__mi_i"]
+        ).drop("__mi_i")
+        .withColumnRenamed("__mean", "__mean_i")
+        .join(
+            F.broadcast(means.withColumnsRenamed(
+                {"__mi_i": "__mj_j", "__mean": "__mean_j"})),
+            F.col("__j") == F.col("__mj_j"),
+        )
+        .select(
+            "__i", "__j",
+            (F.col("__m2") / F.col("__n")
+             - F.col("__mean_i") * F.col("__mean_j")).alias("__c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    spark = df.sparkSession
+    vec = spark.range(d).select(
+        F.col("id").cast("int").alias("__vi"),
+        F.round(F.lit(1.0 / math.sqrt(d)), 6).alias("__x"),
+    )
+    for _ in range(iterations):
+        w = (
+            cov.join(F.broadcast(vec), cov["__j"] == vec["__vi"])
+            .groupBy("__i")
+            .agg(F.sum(F.col("__c") * F.col("__x")).alias("__w"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("__w") ** 2)).alias("__nm"))
+        # localCheckpoint per round (the iterative discipline): the
+        # normalizer makes each round reference w twice, so an unbroken
+        # lineage doubles the plan tree per iteration
+        vec = (
+            w.crossJoin(F.broadcast(nrm))
+            .select(
+                F.col("__i").alias("__vi"),
+                F.round(F.col("__w") / F.col("__nm"), 6).alias("__x"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    # deterministic sign off the largest-|x| component (ties: lowest i)
+    sign = vec.agg(
+        F.min(F.struct((-F.abs(F.col("__x"))).alias("__a"),
+                       F.col("__vi").alias("__vi"),
+                       F.col("__x").alias("__x"))).alias("__m")
+    ).select(
+        F.when(F.col("__m.__x") < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+        .alias("__s")
+    )
+    vtc = (
+        cov.join(F.broadcast(vec), cov["__j"] == vec["__vi"])
+        .select("__i", (F.col("__c") * F.col("__x")).alias("__cx"))
+        .groupBy("__i").agg(F.sum("__cx").alias("__w"))
+        .join(F.broadcast(vec), F.col("__i") == F.col("__vi"))
+        .agg(F.sum(F.col("__w") * F.col("__x")).alias("__lam"))
+    )
+    trace = cov.filter(F.col("__i") == F.col("__j")).agg(
+        F.sum("__c").alias("__tr")
+    )
+    return (
+        vec.crossJoin(F.broadcast(sign))
+        .crossJoin(F.broadcast(vtc))
+        .crossJoin(F.broadcast(trace))
+        .select(
+            F.col("__vi").cast("long").alias("dim_idx"),
+            F.round(F.col("__s") * F.col("__x"), 6).alias("loading"),
+            F.round(F.col("__lam"), 6).alias("eigenvalue"),
+            F.round(F.col("__lam") / F.col("__tr"), 6)
+            .alias("explained_ratio"),
+        )
+    )
+
+
+def pca_power_oracle_sql(
+    table: str = "embeddings",
+    vec_expr: str = "embedding::DOUBLE[]",
+    dim: int = 64,
+    iterations: int = 8,
+) -> str:
+    """DuckDB replica of ``pca_power_dominant`` — unrolled-CTE power
+    iteration over the same covariance, rounding at the same points."""
+    d = dim
+    ctes = [
+        f"x AS MATERIALIZED (SELECT {vec_expr} AS v FROM {table})",
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM x)",
+        f"idx AS MATERIALIZED (SELECT CAST(i AS INT) AS i FROM range(0, {d}) t(i))",
+        # second moments + row sums; DuckDB lists are 1-based.
+        # Every CTE is MATERIALIZED: default inlining would duplicate the
+        # cov subtree at EVERY reference, and the per-iteration scalar
+        # subquery doubles references per round -> 2^iterations copies
+        # (measured: the inlined form never finishes at 8 rounds)
+        """mom AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+                 sum(x.v[a.i + 1] * x.v[b.i + 1]) AS m2,
+                 sum(x.v[a.i + 1]) AS si
+          FROM x CROSS JOIN idx a CROSS JOIN idx b
+          GROUP BY a.i, b.i)""",
+        """mu AS MATERIALIZED (SELECT i, si / (SELECT n FROM nn) AS mean_i
+          FROM mom WHERE i = j)""",
+        """cov AS MATERIALIZED (SELECT m.i, m.j,
+                 m.m2 / (SELECT n FROM nn) - a.mean_i * b.mean_i AS c
+          FROM mom m JOIN mu a ON a.i = m.i JOIN mu b ON b.i = m.j)""",
+        f"v0 AS MATERIALIZED (SELECT i, round(1.0 / sqrt({d}), 6) AS x FROM idx)",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"""w{t} AS MATERIALIZED (SELECT cov.i, sum(cov.c * v{t - 1}.x) AS w
+          FROM cov JOIN v{t - 1} ON v{t - 1}.i = cov.j GROUP BY cov.i)"""
+        )
+        ctes.append(
+            f"""v{t} AS MATERIALIZED (SELECT i, round(w / (SELECT sqrt(sum(w * w))
+          FROM w{t}), 6) AS x FROM w{t})"""
+        )
+    vk = f"v{iterations}"
+    ctes.append(
+        f"""sgn AS (SELECT CASE WHEN (SELECT x FROM {vk}
+          ORDER BY abs(x) DESC, i ASC LIMIT 1) < 0
+          THEN -1.0 ELSE 1.0 END AS s)"""
+    )
+    ctes.append(
+        f"""lam AS (SELECT sum(cw.w * {vk}.x) AS l FROM
+          (SELECT cov.i, sum(cov.c * {vk}.x) AS w
+           FROM cov JOIN {vk} ON {vk}.i = cov.j GROUP BY cov.i) cw
+          JOIN {vk} ON {vk}.i = cw.i)"""
+    )
+    ctes.append(
+        "tr AS (SELECT sum(c) AS t FROM cov WHERE i = j)"
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT CAST({vk}.i AS BIGINT) AS dim_idx,
+           round(sgn.s * {vk}.x, 6) AS loading,
+           round(lam.l, 6) AS eigenvalue,
+           round(lam.l / tr.t, 6) AS explained_ratio
+    FROM {vk} CROSS JOIN sgn CROSS JOIN lam CROSS JOIN tr"""
     )

@@ -239,12 +239,13 @@ _CHECKED_PREFIX = [
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_regional_revenue",
-    "q6_forecast_revenue",
     # (range_join_click_errors + running_customer_spend pushed to the
     # r7 backlog for the two identity-proof queries of the r6 scale
     # levers — new queries outrank backlog per the priority order)
     "mine_hard_negatives_ivf",
     "geo_nearest_site_grid",
+    # (q6_forecast_revenue pushed to the r7 backlog for the PCA query)
+    "embedding_pca_power",
     # (sentinel_clean_drop/fill + setop_nations_except pushed to the
     # r7 backlog for the three new r6 queries below — new queries
     # outrank backlog per the priority order)

@@ -3023,3 +3023,23 @@ def mine_hard_negatives_ivf(spark, sf_dir):
         "query_id", "neighbor_id", "neighbor_label",
         F.col("rank").cast("long").alias("rank"), "cosine_sim",
     )
+
+
+@query(
+    "embedding_pca_power",
+    oracle=similarity.pca_power_oracle_sql(
+        "embeddings", "embedding::DOUBLE[]", dim=64, iterations=8
+    ),
+)
+def embedding_pca_power(spark, sf_dir):
+    """Dominant principal component of the embedding corpus by power
+    iteration (functions/similarity.pca_power_dominant) — covariance in
+    ONE (i,j)-explode pass (d² partial-aggregated cells; the data is
+    never touched again), then 8 matrix-vector rounds over the d²-row
+    frame with 6-dp rounding per round so both engines walk the same
+    trajectory; deterministic sign off the largest-|loading| component.
+    Output: per-dimension loading + eigenvalue + explained variance
+    ratio. The oracle unrolls the identical iteration as CTEs (the
+    cluster_kmeans_lloyd discipline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pca_power_dominant(emb, "embedding", iterations=8)

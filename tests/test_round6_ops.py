@@ -209,3 +209,42 @@ def test_orc_export_round_trip(spark, tmp_path):
     # predicate pushdown reaches the ORC scan
     plan = back.filter("id = 7")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "id" in plan
+
+
+def test_pca_power_matches_numpy_on_anisotropic_data(spark):
+    """Power iteration must recover the dominant direction of a corpus
+    with a planted strong axis, matching numpy's eigendecomposition on
+    loadings (up to the deterministic sign), eigenvalue and explained
+    ratio."""
+    import math
+
+    import numpy as np
+
+    from census_data_pipeline_spark.functions.similarity import (
+        pca_power_dominant,
+    )
+
+    d, n = 6, 400
+    rows = []
+    for i in range(n):
+        base = math.sin(i * 0.7) * 3.0  # strong axis along (1,1,0,0,0,0)/sqrt2
+        noise = [0.3 * math.sin(i * 1.3 + j) for j in range(d)]
+        v = [base / math.sqrt(2) + noise[0], base / math.sqrt(2) + noise[1],
+             noise[2], noise[3], noise[4], noise[5]]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.dim_idx: r for r in
+           pca_power_dominant(df, "embedding", iterations=30).collect()}
+
+    mat = np.array([r[1] for r in rows])
+    cov = np.cov(mat, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, -1]
+    if top[np.argmax(np.abs(top))] < 0:
+        top = -top
+    for j in range(d):
+        assert abs(got[j].loading - top[j]) < 1e-3, (j, got[j].loading, top[j])
+    assert abs(got[0].eigenvalue - evals[-1]) < 1e-3
+    assert abs(got[0].explained_ratio - evals[-1] / evals.sum()) < 1e-3
+    # the planted axis dominates
+    assert got[0].explained_ratio > 0.8
