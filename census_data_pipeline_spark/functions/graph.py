@@ -172,3 +172,76 @@ def triangle_counts(
         .groupBy("id")
         .agg(F.count("*").cast("long").alias("triangles"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_labels: bool = False,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan et
+    al. 2007, the formulation GraphX's LabelPropagation normalizes to)
+    over an undirected graph given as a directed edge list (symmetrized
+    internally; parallel edges deduped). Returns (id, community).
+
+    Determinism (the fixed-dataflow discipline shared with ``pagerank``):
+    labels start as the node's own id; each round EVERY node
+    simultaneously adopts the most frequent label among its neighbors
+    plus itself (the self-vote is the standard damping that prevents
+    2-cycles of bipartite label swap), ties broken by the SMALLEST
+    label. A fixed iteration count and total tie order make the whole
+    computation a deterministic dataflow an ANSI-SQL oracle replicates
+    by unrolling rounds — no convergence test, no RNG vertex ordering.
+
+    Scale shape per round: one edges ⋈ labels equi-join on src (both
+    sides re-partition on the same key every round, so AQE reuses the
+    exchange), a (dst, label) partial-aggregated count — map-side
+    combine bounds the shuffle at Σ_v distinct-neighbor-labels(v) ≤ |E|
+    rows — then a per-node argmax via min(struct(-count, label)), an
+    ordinary aggregate rather than a window, so no single partition
+    ever holds the full node set. ``broadcast_labels=True`` broadcasts
+    the per-round label frame into the join (right shape when the NODE
+    set fits in an executor: edges then never shuffle); checkpointed
+    frames defeat AQE size estimation, so this cannot be left to the
+    optimizer. Lineage is cut per round with lazy ``localCheckpoint``
+    (the connected-components discipline)."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = ensure_parallelism(edges).select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    )
+    sym = (
+        e.union(e.select(F.col("dst").alias("src"),
+                         F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = sym.select(F.col("src").alias("id")).distinct().localCheckpoint(
+        eager=False
+    )
+    # self-vote edge (id, id) unioned per round below via the node frame
+    labels = nodes.select("id", F.col("id").alias("lab"))
+    for _ in range(iterations):
+        lab_in = F.broadcast(labels) if broadcast_labels else labels
+        votes = (
+            sym.join(lab_in, sym["src"] == lab_in["id"])
+            .select("dst", "lab")
+            .union(labels.select(F.col("id").alias("dst"), "lab"))
+        )
+        labels = (
+            votes.groupBy("dst", "lab")
+            .agg(F.count("*").alias("__c"))
+            .groupBy("dst")
+            .agg(
+                F.min(
+                    F.struct((-F.col("__c")).alias("nc"),
+                             F.col("lab").alias("lab"))
+                ).alias("__best")
+            )
+            .select(F.col("dst").alias("id"), F.col("__best.lab").alias("lab"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("id", F.col("lab").alias("community"))

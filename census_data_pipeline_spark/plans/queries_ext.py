@@ -3043,3 +3043,72 @@ def embedding_pca_power(spark, sf_dir):
     cluster_kmeans_lloyd discipline)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.pca_power_dominant(emb, "embedding", iterations=8)
+
+
+def _lpa_oracle(iters: int) -> str:
+    """Unrolled-CTE replica of functions/graph.label_propagation over
+    the customer->supplier purchase graph: per round, neighbor votes
+    (symmetrized edges ⋈ previous labels) plus a self-vote, most
+    frequent label wins, ties to the smallest label."""
+    rounds = []
+    prev = "l0"
+    for t in range(1, iters + 1):
+        cur = f"l{t}"
+        rounds.append(f"""
+    {cur} AS MATERIALIZED (
+      SELECT dst AS id, lab FROM (
+        SELECT dst, lab, row_number() OVER (
+                 PARTITION BY dst ORDER BY c DESC, lab ASC) AS rn
+        FROM (SELECT v.dst, v.lab, count(*) AS c
+              FROM (SELECT s.dst, l.lab
+                    FROM sym s JOIN {prev} l ON s.src = l.id
+                    UNION ALL SELECT id AS dst, lab FROM {prev}) v
+              GROUP BY v.dst, v.lab) cnt) rk
+      WHERE rn = 1)""")
+        prev = cur
+    return f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_quantity >= 45),
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym),
+    l0 AS MATERIALIZED (SELECT id, id AS lab FROM nodes),{",".join(rounds)}
+    SELECT id, lab AS community FROM {prev}
+    """
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle(iters=5))
+def graph_label_propagation(spark, sf_dir):
+    """Community detection by synchronous label propagation
+    (functions/graph.label_propagation) over the customer->supplier
+    purchase graph — 5 fixed rounds, self-vote damping, smallest-label
+    tie-break, so the whole computation is a deterministic dataflow the
+    oracle unrolls as CTEs (the pagerank discipline). Per round: one
+    edges ⋈ labels join (labels broadcast — the node set is executor-
+    sized here), a (dst,label) partial-aggregated vote count, and a
+    per-node argmax via min(struct(-count,label)) — an aggregate, not a
+    window, so no partition ever holds the full node set. Reference
+    surface: the reference has no graph tier; this is extension depth
+    for curation pipelines (domain-community grouping before per-
+    community quality thresholds). Edges are restricted to high-quantity
+    lines (l_quantity >= 45) so the graph is sparse enough that label
+    flooding does not collapse everything into one community — the dense
+    full purchase graph is a single near-clique at any SF."""
+    from census_data_pipeline_spark.functions import graph
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 45
+    ).select("l_orderkey", "l_suppkey")
+    e = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    return graph.label_propagation(e, iterations=5, broadcast_labels=True)

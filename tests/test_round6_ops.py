@@ -248,3 +248,49 @@ def test_pca_power_matches_numpy_on_anisotropic_data(spark):
     assert abs(got[0].explained_ratio - evals[-1] / evals.sum()) < 1e-3
     # the planted axis dominates
     assert got[0].explained_ratio > 0.8
+
+
+def test_label_propagation_two_communities(spark):
+    """Two triangles joined by one bridge edge: LPA must keep them as two
+    communities (the bridge vote is outnumbered 2:1 inside each
+    triangle), with each community labeled by its smallest member id."""
+    from census_data_pipeline_spark.functions.graph import label_propagation
+
+    tri1 = [("a", "b"), ("b", "c"), ("a", "c")]
+    tri2 = [("x", "y"), ("y", "z"), ("x", "z")]
+    bridge = [("c", "x")]
+    e = spark.createDataFrame(tri1 + tri2 + bridge, "src string, dst string")
+    got = {r.id: r.community
+           for r in label_propagation(e, iterations=5).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "x": "x", "y": "x", "z": "x"}
+
+
+def test_label_propagation_tie_breaks_to_smallest_label(spark):
+    """A node whose neighbor labels tie (1 vote each, plus its own
+    self-vote also 1) must adopt the smallest label deterministically."""
+    from census_data_pipeline_spark.functions.graph import label_propagation
+
+    # star: m is adjacent to b and a. Round 1: m sees {a:1, b:1, m:1}
+    # -> adopts 'a'; a sees {a,m} -> 'a'; b sees {b,m} -> 'b'.
+    e = spark.createDataFrame([("m", "a"), ("m", "b")],
+                              "src string, dst string")
+    got = {r.id: r.community
+           for r in label_propagation(e, iterations=1).collect()}
+    assert got["m"] == "a"
+    assert got["a"] == "a" and got["b"] == "b"
+
+
+def test_label_propagation_broadcast_matches_shuffle(spark):
+    """broadcast_labels=True is a physical hint only — identical output."""
+    from census_data_pipeline_spark.functions.graph import label_propagation
+
+    import random
+    rng = random.Random(7)
+    edges = [(f"n{rng.randrange(40)}", f"n{rng.randrange(40)}")
+             for _ in range(120)]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    a = sorted(map(tuple, label_propagation(e, 3).collect()))
+    b = sorted(map(tuple,
+                   label_propagation(e, 3, broadcast_labels=True).collect()))
+    assert a == b
