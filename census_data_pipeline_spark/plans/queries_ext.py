@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from census_data_pipeline_spark.functions import (
+    classify,
     decontam,
     dedup,
     linkage,
@@ -3112,3 +3113,60 @@ def graph_label_propagation(spark, sf_dir):
         )
     )
     return graph.label_propagation(e, iterations=5, broadcast_labels=True)
+
+
+_LOGREG_FEATURES_SQL = [
+    ("f_chars", "n_chars"),
+    ("f_words", "length(text) - length(replace(text, ' ', '')) + 1"),
+    ("f_e_ratio",
+     "(length(text) - length(replace(text, 'e', ''))) / CAST(n_chars AS DOUBLE)"),
+    ("f_the_cnt",
+     "(length(text) - length(replace(text, 'the', ''))) / 3.0"),
+]
+
+
+@query(
+    "quality_logreg_train",
+    oracle=classify.logreg_oracle_sql(
+        "documents",
+        "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END",
+        _LOGREG_FEATURES_SQL,
+        iterations=8,
+        lr=0.5,
+    ),
+)
+def quality_logreg_train(spark, sf_dir):
+    """Learned document classifier trained INSIDE the engine
+    (functions/classify.logreg_train): full-batch logistic regression by
+    8 gradient-descent rounds over z-scored text statistics, predicting
+    the English label — the CCNet/GPT-3-style learned quality filter,
+    expressed as a deterministic dataflow the oracle unrolls as CTEs
+    (the kmeans/pca discipline: fixed rounds, 6-dp rounding at identical
+    points). Per round: ONE whole-stage-codegen scan of the checkpointed
+    feature frame + a 1-row partial-aggregated gradient; the model is a
+    broadcast 1-row frame, never driver state. On this synthetic corpus
+    the four surface features carry little language signal, so the
+    learned weights hover near zero and accuracy near the majority rate
+    — the query pins the TRAINING dataflow, not corpus separability
+    (tests/test_round6_ops.py proves recovery on separable data)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = [
+        ("f_chars", F.col("n_chars")),
+        ("f_words",
+         F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "),
+                                               F.lit(""))) + F.lit(1)),
+        ("f_e_ratio",
+         (F.length("text") - F.length(F.replace(F.col("text"), F.lit("e"),
+                                                F.lit(""))))
+         / F.col("n_chars").cast("double")),
+        ("f_the_cnt",
+         (F.length("text") - F.length(F.replace(F.col("text"), F.lit("the"),
+                                                F.lit("")))) / F.lit(3.0)),
+    ]
+    return classify.logreg_train(
+        docs,
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)),
+        feats,
+        iterations=8,
+        lr=0.5,
+    )

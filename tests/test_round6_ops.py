@@ -294,3 +294,58 @@ def test_label_propagation_broadcast_matches_shuffle(spark):
     b = sorted(map(tuple,
                    label_propagation(e, 3, broadcast_labels=True).collect()))
     assert a == b
+
+
+def test_logreg_recovers_planted_boundary(spark):
+    """On linearly separable data the trained model must put the right
+    signs on the weights and classify the training set near-perfectly;
+    the trajectory must match a numpy replica with identical rounding."""
+    import numpy as np
+    from census_data_pipeline_spark.functions.classify import logreg_train
+
+    rng = np.random.default_rng(11)
+    n = 400
+    x1 = rng.normal(0, 1, n)
+    x2 = rng.normal(0, 1, n)
+    y = (x1 - 2.0 * x2 > 0).astype(float)  # planted: +x1, -x2
+    rows = [(float(a), float(b), float(c)) for a, b, c in zip(x1, x2, y)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    got = {
+        r.feature: r
+        for r in logreg_train(
+            df, F.col("y"), [("x1", F.col("x1")), ("x2", F.col("x2"))],
+            iterations=20, lr=0.5,
+        ).collect()
+    }
+    assert got["x1"].weight > 0.5 and got["x2"].weight < -0.5
+    assert got["x1"].train_accuracy > 0.93
+
+    # numpy replica of the exact dataflow (population z-score + rounded
+    # full-batch GD) — proves the Spark loop is the textbook algorithm
+    X = np.stack([x1, x2], axis=1)
+    m = np.round(X.mean(axis=0), 6)
+    s = np.round(X.std(axis=0), 6)
+    Z = np.round((X - m) / s, 6)
+    w = np.zeros(2)
+    b = 0.0
+    for _ in range(20):
+        p = 1.0 / (1.0 + np.exp(-(b + Z @ w)))
+        r = p - y
+        gb = np.round(r.mean(), 6)
+        g = np.round((r[:, None] * Z).mean(axis=0), 6)
+        b = np.round(b - 0.5 * gb, 6)
+        w = np.round(w - 0.5 * g, 6)
+    assert abs(got["bias"].weight - b) < 1e-5
+    assert abs(got["x1"].weight - w[0]) < 1e-5
+    assert abs(got["x2"].weight - w[1]) < 1e-5
+
+
+def test_logreg_rejects_bad_iterations(spark):
+    from census_data_pipeline_spark.functions.classify import logreg_train
+
+    df = spark.createDataFrame([(1.0, 1.0)], "x double, y double")
+    try:
+        logreg_train(df, F.col("y"), [("x", F.col("x"))], iterations=0)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
