@@ -325,3 +325,46 @@ def cms_estimate(
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
         .select(F.col("__k").cast(key_type).alias(key_col), "est_count")
     )
+
+
+def ivm_delta_join(
+    snapshot: DataFrame,
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on: Column,
+    partial: "Callable[[DataFrame], DataFrame]",
+    keys: list[str],
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Incremental view maintenance for an aggregate over a JOIN — the
+    second IVM tier above ``merge_aggregates`` (which refreshes a
+    single-table rollup). The materialized view is
+    V = γ_keys(aggs)(A ⋈ B); when delta batches dA and dB arrive, the
+    algebra of the join distributing over union gives
+
+        (A ∪ dA) ⋈ (B ∪ dB) = A⋈B  ∪  dA⋈B  ∪  A⋈dB  ∪  dA⋈dB
+
+    so the refresh computes partial aggregates of ONLY the three delta
+    terms and merges them into the snapshot with the algebraic
+    combiners — the old fact data is scanned once per delta term for
+    the join probe but A⋈B itself is never re-joined or re-aggregated,
+    and with the base sides stored partitioned on the join key the
+    probe is a shuffle-free lookup. ``partial`` maps a joined frame to
+    its per-key PARTIAL aggregate (same schema as ``snapshot``);
+    ``merges`` lists the (sum/min/max) combiners per column, exactly as
+    in ``merge_aggregates``.
+
+    Scale shape: the delta side of each term is broadcast (a delta is
+    small by definition — that is what makes IVM worth running), so
+    dA⋈B and A⋈dB never shuffle the base table; dA⋈dB is
+    broadcast ⋈ broadcast-sized. The merge unions four per-key
+    aggregate frames — O(|groups|) rows — and re-reduces. Insert-only
+    deltas; deletes need the counting/retraction form (carry signed
+    multiplicities), documented in SCALING.md."""
+    t1 = partial(F.broadcast(delta_a).join(b_old, on))
+    t2 = partial(a_old.join(F.broadcast(delta_b), on))
+    t3 = partial(F.broadcast(delta_a).join(F.broadcast(delta_b), on))
+    inc = t1.unionByName(t2).unionByName(t3)
+    return merge_aggregates(snapshot, inc, keys, merges)

@@ -3397,3 +3397,62 @@ def geo_nearest_site_grid(spark, sf_dir):
         .alias("lon"),
     )
     return nearest_site_join_grid(c, n, cell_deg=15.0)
+
+
+@query(
+    "ivm_delta_join_refresh",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY 1
+    """,
+)
+def ivm_delta_join_refresh(spark, sf_dir):
+    """Incremental view maintenance for an aggregate over a JOIN
+    (operators/rollup.ivm_delta_join): the per-nation revenue view over
+    customer ⋈ orders is materialized from old partitions of BOTH
+    sides, then a customer delta (1/7 of customers) and an orders delta
+    (1/10 of orders) arrive together; the refresh computes partial
+    aggregates of only the three delta terms (dA⋈B, A⋈dB, dA⋈dB — the
+    join distributing over union), each with the delta side BROADCAST so
+    the base table never shuffles, and merges them into the snapshot
+    with algebraic combiners. The oracle re-joins and re-aggregates the
+    FULL tables, so a green row proves the incremental refresh is exact
+    — the deeper IVM tier above ivm_incremental_rollup's single-table
+    merge. Reference: the reference recomputes eagerly
+    (src/pipeline.py:60-96); this is how the same view survives a
+    continuously-arriving fact stream at 100 TB."""
+    from census_data_pipeline_spark.operators import rollup as rollup_ops
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    a_old = cust.filter(F.col("c_custkey") % 7 != 0)
+    delta_a = cust.filter(F.col("c_custkey") % 7 == 0)
+    b_old = orders.filter(F.col("o_orderkey") % 10 != 0)
+    delta_b = orders.filter(F.col("o_orderkey") % 10 == 0)
+
+    def partial(joined):
+        return joined.groupBy("c_nationkey").agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("o_totalprice").alias("total_revenue"),
+        )
+
+    snapshot = partial(
+        a_old.join(b_old, F.col("c_custkey") == F.col("o_custkey"))
+    )
+    refreshed = rollup_ops.ivm_delta_join(
+        snapshot, a_old, delta_a, b_old, delta_b,
+        F.col("c_custkey") == F.col("o_custkey"),
+        partial, ["c_nationkey"],
+        [("sum", "n_orders"), ("sum", "total_revenue")],
+    )
+    return refreshed.select(
+        "c_nationkey", "n_orders",
+        F.round("total_revenue", 2).alias("total_revenue"),
+    )

@@ -349,3 +349,61 @@ def test_logreg_rejects_bad_iterations(spark):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_ivm_delta_join_equals_full_recompute(spark):
+    """Refresh over (A ∪ dA) ⋈ (B ∪ dB) must equal aggregating the full
+    join, for any split — the algebraic identity the operator encodes."""
+    import random
+    from census_data_pipeline_spark.operators.rollup import ivm_delta_join
+
+    rng = random.Random(3)
+    cust = [(i, rng.randrange(5)) for i in range(40)]
+    orders = [(j, rng.randrange(40), round(rng.uniform(1, 100), 2))
+              for j in range(300)]
+    c = spark.createDataFrame(cust, "ck long, nat long")
+    o = spark.createDataFrame(orders, "ok long, ck2 long, price double")
+
+    def partial(joined):
+        return joined.groupBy("nat").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("price").alias("rev"),
+        )
+
+    a_old, da = c.filter(F.col("ck") % 3 != 0), c.filter(F.col("ck") % 3 == 0)
+    b_old, db = o.filter(F.col("ok") % 4 != 0), o.filter(F.col("ok") % 4 == 0)
+    snap = partial(a_old.join(b_old, F.col("ck") == F.col("ck2")))
+    got = ivm_delta_join(
+        snap, a_old, da, b_old, db, F.col("ck") == F.col("ck2"),
+        partial, ["nat"], [("sum", "n"), ("sum", "rev")],
+    )
+    want = partial(c.join(o, F.col("ck") == F.col("ck2")))
+    g = {r.nat: (r.n, round(r.rev, 6)) for r in got.collect()}
+    w = {r.nat: (r.n, round(r.rev, 6)) for r in want.collect()}
+    assert g == w
+
+
+def test_ivm_delta_join_broadcasts_delta_terms(spark):
+    """The delta side of each increment term must be broadcast — the
+    base table never shuffles during a refresh."""
+    from census_data_pipeline_spark.operators.rollup import ivm_delta_join
+
+    c = spark.range(100).select(F.col("id").alias("ck"),
+                                (F.col("id") % 5).alias("nat"))
+    o = spark.range(1000).select(F.col("id").alias("ok"),
+                                 (F.col("id") % 100).alias("ck2"),
+                                 (F.col("id") * 1.0).alias("price"))
+
+    def partial(joined):
+        return joined.groupBy("nat").agg(F.sum("price").alias("rev"))
+
+    a_old, da = c.filter("ck % 3 != 0"), c.filter("ck % 3 = 0")
+    b_old, db = o.filter("ok % 4 != 0"), o.filter("ok % 4 = 0")
+    snap = partial(a_old.join(b_old, F.col("ck") == F.col("ck2")))
+    out = ivm_delta_join(
+        snap, a_old, da, b_old, db, F.col("ck") == F.col("ck2"),
+        partial, ["nat"], [("sum", "rev")],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
