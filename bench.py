@@ -164,6 +164,10 @@ HEADLINE_NEW: list[str] = [
     "sketch_cms_heavy_hitters",
     "mine_hard_negatives_ivf",
     "geo_nearest_site_grid",
+    "embedding_pca_power",
+    "graph_label_propagation",
+    "quality_logreg_train",
+    "ivm_delta_join_refresh",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is
