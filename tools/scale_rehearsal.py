@@ -201,6 +201,28 @@ def main() -> None:
         return sampling.token_budget_sample(src, budget_tokens=2000,
                                             key_bits=32)
 
+    def fam_label_propagation(d, e, g):
+        return graph.label_propagation(g, iterations=5,
+                                       broadcast_labels=True)
+
+    def fam_logreg(d, e, g):
+        from census_data_pipeline_spark.functions import classify
+        return classify.logreg_train(
+            d,
+            (F.col("doc_id") % 2 == 0).cast("double"),
+            [
+                ("f_chars", F.length("text")),
+                ("f_words",
+                 F.length("text")
+                 - F.length(F.replace(F.col("text"), F.lit(" "),
+                                      F.lit(""))) + F.lit(1)),
+                ("f_e", F.length("text")
+                 - F.length(F.replace(F.col("text"), F.lit("e"),
+                                      F.lit("")))),
+            ],
+            iterations=8,
+        )
+
     families = {
         "minhash_lsh_capped": fam_minhash_capped,
         "minhash_lsh_uncapped": fam_minhash_uncapped,
@@ -212,6 +234,8 @@ def main() -> None:
         "bpe_train": fam_bpe_train,
         "tag_keywords": fam_tag_keywords,
         "token_budget": fam_token_budget,
+        "label_propagation": fam_label_propagation,
+        "logreg": fam_logreg,
     }
 
     family_filter = os.environ.get("SPARK_GRAFT_REHEARSAL_FAMILIES")
