@@ -1123,3 +1123,62 @@ def gopher_rules(
     for nm in list(flags)[1:]:
         passing = passing & F.col(nm)
     return out.withColumn("gopher_pass", passing)
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    min_len: int = 4,
+    iterations: int = 5,
+    damping: float = 0.85,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-level TextRank keyword extraction (Mihalcea & Tarau 2004):
+    PageRank over the word co-occurrence graph built from ADJACENT
+    token pairs, keeping content words (length >= ``min_len``). Returns
+    the top-``k`` (word, score) rows, score rounded to 6 dp, ties
+    broken by word ascending.
+
+    A pure composition: tokenization + pair explode (map-only), one
+    DISTINCT over the pair set (the only data-scale shuffle — the graph
+    is vocab-bounded after it, |V| ≤ vocab, |E| ≤ vocab²), then the
+    fixed-iteration ``graph.pagerank`` on the symmetrized edge list
+    with ranks broadcast (the node set is vocabulary-sized by
+    construction, so the executor-sized hint is always right here).
+    The final top-k compiles to TakeOrderedAndProject — no global sort
+    materializes."""
+    from census_data_pipeline_spark.functions import graph
+
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    pairs = (
+        ensure_parallelism(df)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(toks, 1, n - 1).alias("a"),
+                    F.slice(toks, 2, n - 1).alias("b"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .filter(
+            (F.length("a") >= min_len)
+            & (F.length("b") >= min_len)
+            & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+    sym = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    pr = graph.pagerank(
+        sym, iterations=iterations, damping=damping,
+        src="a", dst="b", broadcast_ranks=True,
+    )
+    return (
+        pr.select(F.col("id").alias("word"),
+                  F.round("rank", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("word").asc())
+        .limit(k)
+    )

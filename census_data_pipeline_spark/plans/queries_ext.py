@@ -3170,3 +3170,69 @@ def quality_logreg_train(spark, sf_dir):
         iterations=8,
         lr=0.5,
     )
+
+
+def _textrank_oracle(iters: int, d: float, min_len: int, k: int) -> str:
+    """Unrolled-CTE replica of text.textrank_keywords: adjacent-token
+    pair graph, symmetrized, then the same pagerank rounds as
+    _pagerank_oracle (no dangling nodes exist in a symmetrized graph,
+    but the formula keeps the term so the replica is exact)."""
+    rounds = []
+    prev = "r0"
+    for t in range(iters):
+        cur = f"r{t + 1}"
+        rounds.append(f"""
+    {cur} AS MATERIALIZED (
+      SELECT b.id, b.deg,
+             (1.0 - {d!r}) / nn.n + {d!r} * (
+               coalesce(s.c, 0.0) + dg.m / nn.n) AS rank
+      FROM base b
+      CROSS JOIN nn
+      CROSS JOIN (SELECT coalesce(sum(rank), 0.0) AS m FROM {prev}
+                  WHERE deg IS NULL) dg
+      LEFT JOIN (SELECT e.dst, sum(r.rank / r.deg) AS c
+                 FROM edges e JOIN {prev} r ON e.src = r.id
+                 GROUP BY e.dst) s ON b.id = s.dst
+    )""")
+        prev = cur
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT string_split(text, ' ') AS l FROM documents),
+    idx AS MATERIALIZED (
+      SELECT l, unnest(generate_series(1, array_length(l) - 1)) AS i
+      FROM toks),
+    p0 AS MATERIALIZED (
+      SELECT DISTINCT l[i] AS a, l[i + 1] AS b FROM idx
+      WHERE length(l[i]) >= {min_len} AND length(l[i + 1]) >= {min_len}
+        AND l[i] <> l[i + 1]),
+    edges AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM p0
+      UNION SELECT b AS src, a AS dst FROM p0),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    od AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS deg
+           FROM edges GROUP BY src),
+    base AS (SELECT n.id, od.deg FROM nodes n LEFT JOIN od ON n.id = od.id),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT b.id, b.deg, 1.0 / nn.n AS rank
+           FROM base b CROSS JOIN nn),{",".join(rounds)}
+    SELECT id AS word, round(rank, 6) AS score FROM {prev}
+    ORDER BY score DESC, word ASC LIMIT {k}
+    """
+
+
+@query("text_textrank_keywords",
+       oracle=_textrank_oracle(iters=5, d=0.85, min_len=4, k=20))
+def text_textrank_keywords(spark, sf_dir):
+    """Corpus keyword extraction by TextRank
+    (functions/text.textrank_keywords): PageRank over the adjacent-
+    content-word co-occurrence graph — a pure composition of the
+    tokenizer (map-only pair explode), ONE data-scale DISTINCT (after
+    which everything is vocabulary-bounded), and the fixed-iteration
+    broadcast-rank pagerank; final top-20 compiles to
+    TakeOrderedAndProject. The oracle unrolls the identical rounds over
+    the identical pair graph. Reference surface: extension depth — the
+    keyword stage of a curation/indexing pipeline, sharing the pagerank
+    dataflow already driver-verified on the purchase graph."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.textrank_keywords(docs, "text", min_len=4,
+                                  iterations=5, damping=0.85, k=20)

@@ -407,3 +407,28 @@ def test_ivm_delta_join_broadcasts_delta_terms(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_textrank_keywords_semantics(spark):
+    """On a corpus where one content word co-occurs with every other,
+    that hub word must rank first; short words never enter the graph."""
+    from census_data_pipeline_spark.functions.text import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark joins spark windows spark shuffles"),
+            (2, "joins windows"),
+            (3, "ab cd spark metrics"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textrank_keywords(docs, "text", min_len=4, iterations=5, k=10)
+    rows = out.collect()
+    words = [r.word for r in rows]
+    assert "ab" not in words and "cd" not in words
+    assert words[0] == "spark"  # hub of the co-occurrence graph
+    # scores are a probability distribution over the kept vocabulary
+    assert abs(sum(r.score for r in rows) - 1.0) < 1e-3
+    # deterministic ordering: score desc then word asc
+    key = [(-r.score, r.word) for r in rows]
+    assert key == sorted(key)
