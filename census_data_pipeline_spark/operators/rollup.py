@@ -362,7 +362,17 @@ def ivm_delta_join(
     broadcast ⋈ broadcast-sized. The merge unions four per-key
     aggregate frames — O(|groups|) rows — and re-reduces. Insert-only
     deltas; deletes need the counting/retraction form (carry signed
-    multiplicities), documented in SCALING.md."""
+    multiplicities), documented in SCALING.md.
+
+    Probe pruning: a broadcast probe still SCANS the base side, so at
+    scale the base should be stored partitioned (or bucketed) on the
+    join key and the caller should pass a pruned frame — any superset
+    of the rows joinable with the delta is sound, because the join
+    itself discards everything else (e.g. with delta keys confined to
+    key-range buckets, ``b_old.filter(bucket.isin(delta_buckets))``
+    turns the probe into a partition-pruned read). Measured at a 15M-row
+    base: full recompute 1.58 s vs pruned refresh 0.50 s, a gap that
+    widens linearly with base size (SCALING.md r6)."""
     t1 = partial(F.broadcast(delta_a).join(b_old, on))
     t2 = partial(a_old.join(F.broadcast(delta_b), on))
     t3 = partial(F.broadcast(delta_a).join(F.broadcast(delta_b), on))

@@ -432,3 +432,42 @@ def test_textrank_keywords_semantics(spark):
     # deterministic ordering: score desc then word asc
     key = [(-r.score, r.word) for r in rows]
     assert key == sorted(key)
+
+
+def test_ivm_delta_join_pruned_probe(spark, tmp_path):
+    """With the base stored partitioned on a join-key bucket and delta
+    keys confined to one bucket, passing the partition-filtered base is
+    output-identical and the probe's scan reads only that partition."""
+    from census_data_pipeline_spark.operators.rollup import ivm_delta_join
+
+    o = spark.range(20000).select(
+        F.col("id").alias("ok"), (F.col("id") % 2000).alias("ck2"),
+        (F.col("id") * 1.0).alias("price"),
+        (F.col("id") % 2000 / 500).cast("int").alias("cb"),
+    )
+    path = str(tmp_path / "base")
+    o.write.partitionBy("cb").parquet(path)
+    b_old = spark.read.parquet(path)
+    c = spark.range(2000).select(F.col("id").alias("ck"),
+                                 (F.col("id") % 7).alias("nat"))
+    delta_a = c.filter(F.col("ck") < 100)       # all in bucket cb=0
+    a_old = c.filter(F.col("ck") >= 100)
+    delta_b = spark.range(20000, 20100).select(
+        F.col("id").alias("ok"), (F.col("id") % 2000).alias("ck2"),
+        (F.col("id") * 1.0).alias("price"))
+
+    def partial(j):
+        return j.groupBy("nat").agg(F.count("*").cast("long").alias("n"),
+                                    F.sum("price").alias("rev"))
+
+    cond = F.col("ck") == F.col("ck2")
+    snap = partial(a_old.join(b_old.drop("cb"), cond))
+    args = lambda b: ivm_delta_join(
+        snap, a_old, delta_a, b, delta_b, cond, partial,
+        ["nat"], [("sum", "n"), ("sum", "rev")])
+    pruned_base = b_old.filter(F.col("cb") == 0).drop("cb")
+    got = sorted(map(tuple, args(pruned_base).collect()))
+    want = sorted(map(tuple, args(b_old.drop("cb")).collect()))
+    assert got == want
+    plan = (pruned_base._jdf.queryExecution().executedPlan().toString())
+    assert "cb" in plan  # partition filter reached the scan
