@@ -168,6 +168,8 @@ HEADLINE_NEW: list[str] = [
     "graph_label_propagation",
     "quality_logreg_train",
     "ivm_delta_join_refresh",
+    "text_textrank_keywords",
+    "graph_bfs_distances",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is

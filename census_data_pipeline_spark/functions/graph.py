@@ -245,3 +245,53 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels.select("id", F.col("lab").alias("community"))
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_frontier: bool = True,
+) -> DataFrame:
+    """Hop distance from a SEED SET over a directed edge list: returns
+    (id, dist) for every node reachable within ``max_hops``, dist = the
+    minimum number of edges from any seed (seeds themselves at 0).
+    The k-hop feature extractor of fraud/linkage pipelines ("how far is
+    this account from a known-bad set").
+
+    Implementation is FRONTIER BFS, not full relaxation: each round
+    joins the edge list with only the nodes discovered last round,
+    anti-joins the visited set, and appends the new nodes at dist t+1.
+    With unit weights the first discovery is the minimum distance, so
+    the output is identical to ``max_hops`` rounds of Bellman-Ford
+    relaxation — which is what the ANSI-SQL oracle runs (a per-round
+    UNION ALL + group-min is far simpler in SQL, and the equivalence is
+    exactly the property worth pinning). Work per round is
+    O(edges-out-of-frontier), not O(|E|): the frontier join probes the
+    edge table (broadcast when ``broadcast_frontier``, the right hint
+    while the frontier is executor-sized; hash-join otherwise), and the
+    visited set only ever grows by newly reached nodes. Lineage cut per
+    round with lazy localCheckpoint (the pagerank discipline)."""
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    e = ensure_parallelism(edges).select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=False)
+    visited = seeds.select(F.col(seeds.columns[0]).alias("id")).distinct() \
+        .select("id", F.lit(0).alias("dist")).localCheckpoint(eager=False)
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        f = F.broadcast(frontier) if broadcast_frontier else frontier
+        reached = (
+            e.join(f, e["src"] == f["id"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        new = reached.join(visited, "id", "left_anti").select(
+            "id", F.lit(hop).alias("dist")
+        ).localCheckpoint(eager=False)
+        visited = visited.unionByName(new).localCheckpoint(eager=False)
+        frontier = new
+    return visited

@@ -3236,3 +3236,71 @@ def text_textrank_keywords(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return text.textrank_keywords(docs, "text", min_len=4,
                                   iterations=5, damping=0.85, k=20)
+
+
+def _bfs_oracle(max_hops: int) -> str:
+    """Relaxation-form replica of graph.bfs_distances over the
+    symmetrized high-quantity purchase graph: per round, UNION ALL the
+    current distances with edge-propagated dist+1 and take the group
+    min — with unit weights this equals frontier BFS's first-discovery
+    distance, which is the equivalence the query pins."""
+    rounds = []
+    prev = "v0"
+    for t in range(1, max_hops + 1):
+        cur = f"v{t}"
+        rounds.append(f"""
+    {cur} AS MATERIALIZED (
+      SELECT id, min(dist) AS dist FROM (
+        SELECT id, dist FROM {prev}
+        UNION ALL
+        SELECT e.dst AS id, v.dist + 1 AS dist
+        FROM sym e JOIN {prev} v ON e.src = v.id) u
+      GROUP BY id)""")
+        prev = cur
+    return f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_quantity >= 45),
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+    v0 AS MATERIALIZED (
+      SELECT DISTINCT 'c' || c_custkey AS id, 0 AS dist FROM customer
+      WHERE c_custkey % 100 = 0),{",".join(rounds)}
+    SELECT id, CAST(dist AS INT) AS dist FROM {prev}
+    """
+
+
+@query("graph_bfs_distances", oracle=_bfs_oracle(max_hops=4))
+def graph_bfs_distances(spark, sf_dir):
+    """Hop distance from a seed set (functions/graph.bfs_distances):
+    frontier BFS over the symmetrized high-quantity purchase graph,
+    seeds = every 100th customer, 4 hops. Per round the edge list is
+    probed with ONLY the newly discovered frontier (broadcast — it is
+    node-set-bounded) and the visited set grows by an anti-join; the
+    oracle instead runs 4 rounds of unit-weight Bellman-Ford
+    relaxation (UNION ALL + group-min), and a green row pins the
+    frontier-BFS ≡ relaxation equivalence that makes the cheap form
+    safe at scale."""
+    from census_data_pipeline_spark.functions import graph
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 45
+    ).select("l_orderkey", "l_suppkey")
+    e = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    sym = e.union(e.select(F.col("dst").alias("src"),
+                           F.col("src").alias("dst")))
+    seeds = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 100 == 0
+    ).select(F.concat(F.lit("c"), F.col("c_custkey")).alias("id"))
+    out = graph.bfs_distances(sym, seeds, max_hops=4)
+    return out.select("id", F.col("dist").cast("int").alias("dist"))

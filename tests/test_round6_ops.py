@@ -471,3 +471,42 @@ def test_ivm_delta_join_pruned_probe(spark, tmp_path):
     assert got == want
     plan = (pruned_base._jdf.queryExecution().executedPlan().toString())
     assert "cb" in plan  # partition filter reached the scan
+
+
+def test_bfs_distances_chain_and_unreachable(spark):
+    """Chain a->b->c->d with seed a: dist = position; nodes beyond
+    max_hops and disconnected nodes are absent from the output."""
+    from census_data_pipeline_spark.functions.graph import bfs_distances
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "id string")
+    got = {r.id: r.dist for r in bfs_distances(e, seeds, max_hops=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}  # d beyond 2 hops, x/y unreachable
+
+
+def test_bfs_first_discovery_is_min_distance(spark):
+    """On a random graph, frontier BFS must equal brute-force
+    Bellman-Ford relaxation — the equivalence the oracle pins."""
+    import random
+    from census_data_pipeline_spark.functions.graph import bfs_distances
+
+    rng = random.Random(5)
+    edges = list({(f"n{rng.randrange(60)}", f"n{rng.randrange(60)}")
+                  for _ in range(150)})
+    seeds_l = ["n0", "n7"]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([(s,) for s in seeds_l], "id string")
+    got = {r.id: r.dist
+           for r in bfs_distances(e, seeds, max_hops=5).collect()}
+
+    dist = {s: 0 for s in seeds_l}
+    for _ in range(5):
+        upd = dict(dist)
+        for (u, v) in edges:
+            if u in dist and dist[u] + 1 < upd.get(v, 10**9):
+                upd[v] = dist[u] + 1
+        dist = upd
+    assert got == dist
