@@ -510,3 +510,28 @@ def test_bfs_first_discovery_is_min_distance(spark):
                 upd[v] = dist[u] + 1
         dist = upd
     assert got == dist
+
+
+def test_pca_arrow_moments_match_catalyst(spark):
+    """moments='arrow' (per-batch BLAS Gram partials) must produce the
+    identical rounded output to the (i,j)-explode path."""
+    import math
+    from census_data_pipeline_spark.functions.similarity import (
+        pca_power_dominant,
+    )
+
+    d = 5
+    rows = [
+        (i, [math.sin(i * 0.7 + j) + (j == 1) * 0.01 * i for j in range(d)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(map(tuple, pca_power_dominant(df, "embedding", 6).collect()))
+    b = sorted(map(tuple, pca_power_dominant(
+        df, "embedding", 6, moments="arrow").collect()))
+    assert a == b
+    try:
+        pca_power_dominant(df, "embedding", 6, moments="numpy")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
