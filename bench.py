@@ -170,6 +170,7 @@ HEADLINE_NEW: list[str] = [
     "ivm_delta_join_refresh",
     "text_textrank_keywords",
     "graph_bfs_distances",
+    "survival_time_to_purchase",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is

@@ -233,12 +233,11 @@ _CHECKED_PREFIX = [
     "pivot_status_by_segment",
     "profile_lineitem",
     "q10_returned_items",
-    "q12_shipmode_priority",
-    # (q18_large_orders + q1_pricing_summary + q3_shipping_priority +
-    # q4_order_priority + q5_regional_revenue pushed to the r7 backlog
-    # for the label-propagation, logistic-regression, delta-join-IVM,
-    # TextRank and BFS queries — new queries outrank backlog per the
-    # priority order)
+    # (q12_shipmode_priority + q18_large_orders + q1_pricing_summary +
+    # q3_shipping_priority + q4_order_priority + q5_regional_revenue
+    # pushed to the r7 backlog for the label-propagation, logistic-
+    # regression, delta-join-IVM, TextRank, BFS and Kaplan-Meier
+    # queries — new queries outrank backlog per the priority order)
     # (range_join_click_errors + running_customer_spend pushed to the
     # r7 backlog for the two identity-proof queries of the r6 scale
     # levers — new queries outrank backlog per the priority order)
@@ -257,6 +256,7 @@ _CHECKED_PREFIX = [
     "ivm_delta_join_refresh",
     "text_textrank_keywords",
     "graph_bfs_distances",
+    "survival_time_to_purchase",
 ]
 
 

@@ -3456,3 +3456,53 @@ def ivm_delta_join_refresh(spark, sf_dir):
         "c_nationkey", "n_orders",
         F.round("total_revenue", 2).alias("total_revenue"),
     )
+
+
+_KM_DUR_CTE = """u AS (
+      SELECT user_id, min(ts) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+      FROM events GROUP BY user_id),
+    h AS (SELECT max(ts) AS hmax FROM events),
+    dur AS (
+      SELECT CAST(floor((epoch_us(coalesce(p, hmax)) - epoch_us(t0))
+                        / 3600000000.0) AS BIGINT) AS duration,
+             CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS observed
+      FROM u CROSS JOIN h)"""
+
+
+from census_data_pipeline_spark.operators.survival import (  # noqa: E402
+    kaplan_meier_oracle_sql,
+)
+
+
+@query("survival_time_to_purchase",
+       oracle=kaplan_meier_oracle_sql(_KM_DUR_CTE))
+def survival_time_to_purchase(spark, sf_dir):
+    """Kaplan-Meier time-to-first-purchase curve
+    (operators/survival.kaplan_meier): per user, duration = hours from
+    first activity to first purchase, censored at the corpus horizon
+    for users who never purchase — the retention question naive
+    conversion rollups answer wrongly (dropping the censored biases the
+    curve down). One per-user agg (data scale) builds durations; the KM
+    table then lives on the distinct-hour frame (horizon-bounded), with
+    the at-risk prefix and the survival product exp(Σ ln(1−d/n)) as
+    windows over THAT stats-sized frame. Oracle: identical op sequence
+    in DuckDB (registered via the module-level SQL below)."""
+    from census_data_pipeline_spark.operators import survival
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase",
+                     F.col("ts"))).alias("p"),
+    )
+    h = ev.agg(F.max("ts").alias("hmax"))
+    dur = u.crossJoin(F.broadcast(h)).select(
+        F.floor(
+            (F.unix_micros(F.coalesce("p", "hmax")) - F.unix_micros("t0"))
+            / 3_600_000_000.0
+        ).cast("long").alias("duration"),
+        F.when(F.col("p").isNotNull(), 1).otherwise(0).alias("observed"),
+    )
+    return survival.kaplan_meier(dur)
+

@@ -42,7 +42,7 @@ sys.path.insert(0, os.path.join(_REPO, "tools"))
 # unless their implementation is re-verified by a driver row first —
 # test_backlog_is_draining keeps the list from silently growing.
 R7_BACKLOG = [
-    "q18_large_orders",
+    "q12_shipmode_priority", "q18_large_orders",
     "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
     "q5_regional_revenue", "q6_forecast_revenue",
     "range_join_click_errors", "running_customer_spend",

@@ -535,3 +535,24 @@ def test_pca_arrow_moments_match_catalyst(spark):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_kaplan_meier_textbook_example(spark):
+    """The classic worked example: subjects with durations
+    (1,e),(2,c),(3,e),(3,e),(4,c),(5,e) — hand-computed survival."""
+    from census_data_pipeline_spark.operators.survival import kaplan_meier
+
+    rows = [(1, 1), (2, 0), (3, 1), (3, 1), (4, 0), (5, 1)]
+    df = spark.createDataFrame(rows, "duration long, observed int")
+    got = {r.duration: r for r in kaplan_meier(df).collect()}
+    # t=1: n=6 d=1 -> S = 5/6
+    assert got[1].n_risk == 6 and got[1].n_events == 1
+    assert abs(got[1].survival - 5 / 6) < 1e-6
+    # t=2: censored only, S unchanged
+    assert got[2].n_risk == 5 and got[2].n_events == 0
+    assert abs(got[2].survival - 5 / 6) < 1e-6
+    # t=3: n=4 d=2 -> S = 5/6 * 2/4
+    assert got[3].n_risk == 4 and got[3].n_events == 2
+    assert abs(got[3].survival - 5 / 6 * 0.5) < 1e-6
+    # t=5: last subject exits by event -> survival 0
+    assert got[5].n_risk == 1 and abs(got[5].survival) < 1e-6
