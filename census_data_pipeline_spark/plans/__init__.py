@@ -179,10 +179,20 @@ their beyond-broadcast siblings' docstring-adjacent edits), then
 (4) the stale backlog oldest-driver-row-first. The bootstrap against
 rounds 1-5 found 78 queries whose fingerprint drifted since their last
 driver row — more than 50 slots — so the prefix is SATURATED with
-backlog (47 of 78) and the remaining 31 (recorded in
-tests/test_registry_order.py::R7_BACKLOG) must enter in r7; the test
-goes red if a prefix slot is spent on a query that is neither new,
-changed, nor flagship while backlog waits."""
+backlog (47 of 78) and the remainder (recorded in
+tests/test_registry_order.py's declared-backlog list) must enter in r7;
+the test goes red if a prefix slot is spent on a query that is neither
+new, changed, nor flagship while backlog waits.
+
+r7 rotation — BACKLOG DRAIN (VERDICT r6 #1): driver_state.json was
+regenerated against CORRECTNESS_r06 as the round's first commit, leaving
+exactly the 43 declared-backlog queries stale. All 43 enter the prefix
+(oldest-driver-row-first), the declared backlog drops to empty, and the
+remaining slots take this round's new queries (IVM retractions, top-r
+PCA, grouped survival/log-rank, Holt-Winters forecast) plus any query
+whose fingerprint drifts under this round's fixes. After the r7 driver
+run, every registered query's driver row matches its current
+implementation fingerprint for the first time."""
 
 from census_data_pipeline_spark.plans import (  # noqa: F401
     queries_analytics,
@@ -192,71 +202,61 @@ from census_data_pipeline_spark.plans import (  # noqa: F401
 from census_data_pipeline_spark.plans.registry import ORACLE, QUERIES
 
 _CHECKED_PREFIX = [
-    # r6 change-aware rotation (see module docstring): flagship, then
-    # the two never-driver-checked r6 queries, then the 10 changed
-    # this round, then the stale backlog oldest-driver-row-first
+    # r7 change-aware rotation (see module docstring): flagship, then
+    # the ENTIRE 43-query stale backlog left over from the r6 bootstrap
+    # (VERDICT r6 #1: drain to zero), oldest-driver-row-first, then this
+    # round's new queries — the backlog fits with slots to spare, so for
+    # the first time every registered query's driver row will match its
+    # current implementation fingerprint after this round's driver run.
     "flagship_regional_rollup",
-    "streaming_session_5m_append",
-    "text_lang_id_nb",
-    "dedup_embedding_cosine",
-    "geo_nearest_site",
-    "mine_hard_negatives",
-    "streaming_dedup_events",
-    "streaming_enriched_rollup",
-    "streaming_interval_join",
-    "streaming_interval_join_outer",
-    "streaming_ohlc_hourly",
-    "streaming_session_5m",
-    "streaming_tumbling_1h",
-    "anti_join_nations_without_suppliers",
-    "asof_click_purchase",
-    "change_over_time",
-    "cube_pricing",
-    "derived_demographics",
-    "events_gapfill_1h",
-    "geo_point_extract",
-    "geoid_hierarchy_rollup",
-    "geoid_parse",
-    "geoid_rollup_county",
-    "geoid_rollup_state",
-    "global_stats_price",
-    "grouped_quantiles",
-    "histogram_price",
-    "latest_event_per_user",
-    "moving_average_spend",
-    "normalize_minmax",
-    "normalize_robust",
-    "normalize_zscore",
-    "normalize_zscore_by_nation",
-    "part_catalog_search",
-    "parts_above_avg_price",
-    "pivot_status_by_segment",
-    "profile_lineitem",
-    "q10_returned_items",
-    # (q12_shipmode_priority + q18_large_orders + q1_pricing_summary +
-    # q3_shipping_priority + q4_order_priority + q5_regional_revenue
-    # pushed to the r7 backlog for the label-propagation, logistic-
-    # regression, delta-join-IVM, TextRank, BFS and Kaplan-Meier
-    # queries — new queries outrank backlog per the priority order)
-    # (range_join_click_errors + running_customer_spend pushed to the
-    # r7 backlog for the two identity-proof queries of the r6 scale
-    # levers — new queries outrank backlog per the priority order)
-    "mine_hard_negatives_ivf",
-    "geo_nearest_site_grid",
-    # (q6_forecast_revenue pushed to the r7 backlog for the PCA query)
-    "embedding_pca_power",
-    # (sentinel_clean_drop/fill + setop_nations_except pushed to the
-    # r7 backlog for the three new r6 queries below — new queries
-    # outrank backlog per the priority order)
-    "text_gopher_rules",
-    "dq_k_anonymity",
-    "sketch_cms_heavy_hitters",
-    "graph_label_propagation",
-    "quality_logreg_train",
-    "ivm_delta_join_refresh",
-    "text_textrank_keywords",
-    "graph_bfs_distances",
-    "survival_time_to_purchase",
+    # --- r1-driver-row backlog ---
+    "q12_shipmode_priority",
+    "q18_large_orders",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "range_join_click_errors",
+    "running_customer_spend",
+    "sentinel_clean_drop",
+    "sentinel_clean_fill",
+    "setop_nations_except",
+    "setop_nations_intersect",
+    "sql_surface_revenue",
+    "stats_correlation",
+    "top5_customers",
+    "unpivot_part_measures",
+    "weighted_index_parts",
+    "window_rank_functions",
+    "winsorize_acctbal",
+    # --- r2-driver-row backlog ---
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dim_lookup_customer",
+    "embedding_centroid_by_label",
+    "events_hypertable_rollup",
+    "events_json_extract",
+    "events_sliding_1h_30m",
+    "geo_bbox_contains",
+    "geo_haversine_pairs",
+    "geo_radius_join",
+    "sample_hash_docs",
+    "text_lang_id",
+    "text_pii_scrub",
+    "text_tfidf_top_terms",
+    "zorder_locality",
+    # --- r3/r4-driver-row backlog ---
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_keep_canonical",
+    "knn_ivf_seeded",
+    "multimodal_frame_sample",
+    "shuffle_shard_assign",
+    "corpus_curation_e2e",
+    "multimodal_image_dhash",
+    # --- new r7 queries (registered later this round fill the
+    # remaining slots; the change-aware test enforces saturation) ---
 ]
 
 
