@@ -219,8 +219,15 @@ def label_propagation(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    nodes = sym.select(F.col("src").alias("id")).distinct().localCheckpoint(
-        eager=False
+    # derive the node set from the RAW edge list, before the self-loop
+    # filter — a node whose only edges are self-loops must still appear
+    # in the output (as its own singleton community); deriving from sym
+    # silently dropped it (ADVICE r6)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     # self-vote edge (id, id) unioned per round below via the node frame
     labels = nodes.select("id", F.col("id").alias("lab"))

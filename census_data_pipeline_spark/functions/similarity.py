@@ -661,6 +661,21 @@ def embedding_dup_pairs(
     )
 
 
+def _safe_norms(mat):
+    """Row L2 norms with zero replaced by 1 — a zero vector stays all-zero
+    after division, scores cosine 0 against everything, and is therefore
+    deterministically excluded by any threshold > 0. Without the guard,
+    0/0 yields NaN rows that silently fail every comparison (the same
+    outcome, but via IEEE accident instead of a declared rule, and with a
+    RuntimeWarning in the logs) — and it diverges from the LSH path,
+    which handles zero norms explicitly."""
+    import numpy as np
+
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return norms
+
+
 def _embedding_dup_pairs_blas(
     df: DataFrame, threshold: float, id_col: str, vec_col: str,
     max_rows: int = 200_000,
@@ -693,7 +708,7 @@ def _embedding_dup_pairs_blas(
     rows = df.select(id_col, vec_col).collect()
     ids = np.asarray([r[0] for r in rows])
     mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    mat /= _safe_norms(mat)
     b = spark.sparkContext.broadcast((ids, mat))
 
     def block(batches):
@@ -707,7 +722,7 @@ def _embedding_dup_pairs_blas(
             if not len(pdf):
                 continue
             x = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            x /= np.linalg.norm(x, axis=1, keepdims=True)
+            x /= _safe_norms(x)
             xids_all = pdf[id_col].to_numpy()
             for lo in range(0, len(x), rows_per_chunk):
                 scores = np.round(x[lo:lo + rows_per_chunk] @ bmat.T, 6)
@@ -1613,6 +1628,11 @@ def _pca_moments_arrow(df: DataFrame, vec_col: str, d: int) -> DataFrame:
     return (
         ensure_parallelism(df)
         .select(_as_double(F.col(vec_col)).alias("__v"))
+        # match the Catalyst posexplode path, which silently drops null
+        # vectors — without this filter a null row crashes np.stack and
+        # the two documented-output-identical moments modes diverge on
+        # dirty input (ADVICE r6)
+        .filter(F.col("__v").isNotNull())
         .mapInPandas(fn, "__i int, __j int, __m2 double, __si double")
         .groupBy("__i", "__j")
         .agg(F.sum("__m2").alias("__m2"), F.sum("__si").alias("__si"))

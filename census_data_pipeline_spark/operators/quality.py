@@ -179,4 +179,8 @@ def k_anonymity_audit(
             F.round(F.col("class_size") / F.col("__n"), 6)
             .alias("class_share"),
         )
+        # the docstring promises smallest-class-first (most identifying
+        # first); the result is tail-of-distribution small, so the sort
+        # is a cheap final exchange (ADVICE r6)
+        .orderBy("class_size", *quasi_identifiers)
     )

@@ -285,7 +285,13 @@ def cms_build(
             "__w",
         )
         .groupBy("row_id", "bucket")
-        .agg(F.sum("__w").cast("long").alias("cnt"))
+        # only the unweighted count is integral by construction; a
+        # user-supplied weight column may be fractional, and casting its
+        # sum to long would silently truncate (ADVICE r6)
+        .agg(
+            (F.sum("__w").cast("long") if weight_col is None
+             else F.sum("__w").cast("double")).alias("cnt")
+        )
     )
 
 

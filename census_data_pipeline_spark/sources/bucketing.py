@@ -95,15 +95,37 @@ def write_bucketed(
     from urllib.parse import urlparse
 
     spark = df.sparkSession
+    # resolve the REAL location from the catalog before dropping — the
+    # naive <warehouse>/<last name component> guess is wrong for
+    # db-qualified names (db.tbl lives at <warehouse>/db.db/tbl) and
+    # would rmtree an unrelated default-database table's directory
+    orphan = None
+    if spark.catalog.tableExists(table):
+        for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+            if row[0] == "Location":
+                parsed = urlparse(row[1])
+                if parsed.scheme in ("", "file"):
+                    orphan = parsed.path or row[1]
+                break
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # a directory left by a crashed writer (no metastore row after the
-    # DROP above) would still block saveAsTable — remove it
-    warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    loc = urlparse(warehouse)
-    if loc.scheme in ("", "file"):
-        orphan = os.path.join(loc.path or warehouse, table.split(".")[-1])
-        if os.path.isdir(orphan):
-            shutil.rmtree(orphan, ignore_errors=True)
+    # a directory left by a crashed writer (no metastore row, so the
+    # DESCRIBE above never saw it) would still block saveAsTable —
+    # derive the DEFAULT managed location the metastore will assign,
+    # db-aware and lowercased the way the metastore stores identifiers
+    if orphan is None:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        loc = urlparse(warehouse)
+        if loc.scheme in ("", "file"):
+            base = loc.path or warehouse
+            parts = [p.strip("`").lower() for p in table.split(".")]
+            if len(parts) == 1 or (len(parts) == 2 and parts[0] == "default"):
+                orphan = os.path.join(base, parts[-1])
+            elif len(parts) == 2:
+                orphan = os.path.join(base, parts[0] + ".db", parts[1])
+            # >2 parts (catalog-qualified): location unknowable here —
+            # leave healing to the writer's own error
+    if orphan and os.path.isdir(orphan) and not spark.catalog.tableExists(table):
+        shutil.rmtree(orphan, ignore_errors=True)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
     if sort:
         writer = writer.sortBy(key)
