@@ -192,7 +192,17 @@ remaining slots take this round's new queries (IVM retractions, top-r
 PCA, grouped survival/log-rank, Holt-Winters forecast) plus any query
 whose fingerprint drifts under this round's fixes. After the r7 driver
 run, every registered query's driver row matches its current
-implementation fingerprint for the first time."""
+implementation fingerprint for the first time.
+
+r8 rotation (VERDICT r7 #1): the r7 driver run went 50/50 green, so the
+stale set is exactly the four queries whose implementations were fixed by
+the r7 end-of-round sweep AFTER driver_state.json was regenerated
+(graph_label_propagation, embedding_pca_power, dq_k_anonymity,
+sketch_cms_heavy_hitters — VERDICT r7 "What's wrong"). Those four lead
+the r8 prefix behind the flagship; the remaining slots take this round's
+new queries (IVM retraction form, top-r PCA, grouped survival/log-rank,
+Holt-Winters forecast, …) plus any query whose fingerprint drifts under
+this round's fixes."""
 
 from census_data_pipeline_spark.plans import (  # noqa: F401
     queries_analytics,
@@ -202,61 +212,19 @@ from census_data_pipeline_spark.plans import (  # noqa: F401
 from census_data_pipeline_spark.plans.registry import ORACLE, QUERIES
 
 _CHECKED_PREFIX = [
-    # r7 change-aware rotation (see module docstring): flagship, then
-    # the ENTIRE 43-query stale backlog left over from the r6 bootstrap
-    # (VERDICT r6 #1: drain to zero), oldest-driver-row-first, then this
-    # round's new queries — the backlog fits with slots to spare, so for
-    # the first time every registered query's driver row will match its
-    # current implementation fingerprint after this round's driver run.
+    # r8 change-aware rotation (see module docstring): flagship, then the
+    # four queries the r7 end-of-round sweep changed after driver_state
+    # regeneration (their r6 driver rows are fingerprint-stale), then this
+    # round's new queries as they are registered. Any query whose
+    # fingerprint drifts under r8 fixes is appended here too — the
+    # change-aware test enforces it.
     "flagship_regional_rollup",
-    # --- r1-driver-row backlog ---
-    "q12_shipmode_priority",
-    "q18_large_orders",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_regional_revenue",
-    "q6_forecast_revenue",
-    "range_join_click_errors",
-    "running_customer_spend",
-    "sentinel_clean_drop",
-    "sentinel_clean_fill",
-    "setop_nations_except",
-    "setop_nations_intersect",
-    "sql_surface_revenue",
-    "stats_correlation",
-    "top5_customers",
-    "unpivot_part_measures",
-    "weighted_index_parts",
-    "window_rank_functions",
-    "winsorize_acctbal",
-    # --- r2-driver-row backlog ---
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dim_lookup_customer",
-    "embedding_centroid_by_label",
-    "events_hypertable_rollup",
-    "events_json_extract",
-    "events_sliding_1h_30m",
-    "geo_bbox_contains",
-    "geo_haversine_pairs",
-    "geo_radius_join",
-    "sample_hash_docs",
-    "text_lang_id",
-    "text_pii_scrub",
-    "text_tfidf_top_terms",
-    "zorder_locality",
-    # --- r3/r4-driver-row backlog ---
-    "dedup_clusters",
-    "dedup_clusters_star",
-    "dedup_keep_canonical",
-    "knn_ivf_seeded",
-    "multimodal_frame_sample",
-    "shuffle_shard_assign",
-    "corpus_curation_e2e",
-    "multimodal_image_dhash",
-    # --- new r7 queries (registered later this round fill the
-    # remaining slots; the change-aware test enforces saturation) ---
+    # --- r7-sweep-changed, stale driver rows (VERDICT r7 #1c) ---
+    "graph_label_propagation",
+    "embedding_pca_power",
+    "dq_k_anonymity",
+    "sketch_cms_heavy_hitters",
+    # --- new r8 queries ---
 ]
 
 

@@ -164,13 +164,21 @@ def test_no_unverified_tail():
 
 
 def _last_commit_epoch(path):
+    """Commit epoch of the last commit touching ``path``; for a file git
+    has never seen (the driver delivers CORRECTNESS_rNN.json UNTRACKED at
+    round close — VERDICT r7), fall back to file mtime so the
+    postdates-driver_state skip still fires."""
     import subprocess
 
     out = subprocess.run(
         ["git", "-C", _REPO, "log", "-1", "--format=%ct", "--", path],
         capture_output=True, text=True,
     ).stdout.strip()
-    return int(out) if out else 0
+    if out:
+        return int(out)
+    if os.path.exists(path):
+        return int(os.path.getmtime(path))
+    return 0
 
 
 def test_driver_state_regenerated_after_latest_round(driver_state):
