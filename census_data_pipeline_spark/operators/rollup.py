@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from census_data_pipeline_spark.operators.geoid import geoid_prefix
 
@@ -255,7 +256,10 @@ def cms_build(
     derive identical cells and the sketch itself is oracle-checkable,
     unlike an opaque binary sketch blob).
 
-    Output: (row_id, bucket, cnt) — depth x width rows at most,
+    Output: (row_id, bucket, cnt) — cnt is LONG for integral weights
+    (unweighted, or a byte/short/int/long weight column) and DOUBLE for
+    fractional ones, so integer-weighted sketches stay schema-compatible
+    (union-mergeable) with unweighted ones — depth x width rows at most,
     regardless of input size. Mergeable by construction: sketches of
     two corpus parts union + groupBy(row_id, bucket) sum to the sketch
     of the union — the property that lets per-partition/per-day
@@ -267,6 +271,10 @@ def cms_build(
     if depth < 1 or width_hex < 1 or width_hex > 8:
         raise ValueError("depth >= 1 and 1 <= width_hex <= 8 required")
     w = F.lit(1) if weight_col is None else F.col(weight_col)
+    _integral_weights = weight_col is None or isinstance(
+        df.schema[weight_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
     return (
         df.select(
             F.col(key_col).cast("string").alias("__k"), w.alias("__w")
@@ -285,11 +293,14 @@ def cms_build(
             "__w",
         )
         .groupBy("row_id", "bucket")
-        # only the unweighted count is integral by construction; a
-        # user-supplied weight column may be fractional, and casting its
-        # sum to long would silently truncate (ADVICE r6)
+        # cnt dtype CONTRACT (ADVICE r7): long when the weights are
+        # integral (unweighted, or an integral weight column), double
+        # only for fractional weights — so integer-weighted sketches keep
+        # the unweighted schema and stay union+groupBy-sum mergeable with
+        # it; a fractional weight sum cast to long would silently
+        # truncate (ADVICE r6)
         .agg(
-            (F.sum("__w").cast("long") if weight_col is None
+            (F.sum("__w").cast("long") if _integral_weights
              else F.sum("__w").cast("double")).alias("cnt")
         )
     )

@@ -3073,8 +3073,15 @@ def _lpa_oracle(iters: int) -> str:
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       WHERE l.l_quantity >= 45),
     sym AS MATERIALIZED (
-      SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
-    nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym),
+      -- mirror the engine (ADVICE r7): self-loops are excluded from the
+      -- vote edges (a node must not double-vote its own label on top of
+      -- the standard self-vote) but their endpoints stay in the node set
+      SELECT src, dst FROM (
+        SELECT src, dst FROM e0 UNION
+        SELECT dst AS src, src AS dst FROM e0) u WHERE src <> dst),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT id FROM (
+        SELECT src AS id FROM e0 UNION ALL SELECT dst AS id FROM e0) n),
     l0 AS MATERIALIZED (SELECT id, id AS lab FROM nodes),{",".join(rounds)}
     SELECT id, lab AS community FROM {prev}
     """

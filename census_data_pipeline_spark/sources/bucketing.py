@@ -100,19 +100,28 @@ def write_bucketed(
     # db-qualified names (db.tbl lives at <warehouse>/db.db/tbl) and
     # would rmtree an unrelated default-database table's directory
     orphan = None
+    was_external = False
     if spark.catalog.tableExists(table):
-        for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
-            if row[0] == "Location":
-                parsed = urlparse(row[1])
-                if parsed.scheme in ("", "file"):
-                    orphan = parsed.path or row[1]
-                break
+        info = {
+            row[0]: row[1]
+            for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        }
+        # only MANAGED tables may be healed: DROP TABLE on an EXTERNAL
+        # table intentionally preserves its data, and its location may be
+        # a shared user directory — rmtree'ing it (or the default-location
+        # fallback below) would delete user data the metastore never
+        # owned (ADVICE r7)
+        was_external = info.get("Type", "").upper() == "EXTERNAL"
+        if not was_external:
+            parsed = urlparse(info.get("Location", ""))
+            if parsed.scheme in ("", "file"):
+                orphan = parsed.path or info.get("Location")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # a directory left by a crashed writer (no metastore row, so the
     # DESCRIBE above never saw it) would still block saveAsTable —
     # derive the DEFAULT managed location the metastore will assign,
     # db-aware and lowercased the way the metastore stores identifiers
-    if orphan is None:
+    if orphan is None and not was_external:
         warehouse = spark.conf.get("spark.sql.warehouse.dir")
         loc = urlparse(warehouse)
         if loc.scheme in ("", "file"):

@@ -590,7 +590,7 @@ def test_decode_palette_png_golden():
     raw = bytearray()
     raw += bytes([0]) + idx[0].tobytes()           # row 0: filter None
     # row 1: filter Sub over index bytes (bpp = 1 byte)
-    r1 = idx[1]
+    r1 = idx[1].astype(int)  # plain ints: uint8 scalar subtract overflows
     enc = bytes([r1[0], (r1[1] - r1[0]) & 0xFF, (r1[2] - r1[1]) & 0xFF])
     raw += bytes([1]) + enc
     ihdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))

@@ -1,0 +1,210 @@
+"""Round-8 pins for the five r7 end-of-round sweep fixes (VERDICT r7 #2):
+each landed without a test; these make them regressions-proof.
+
+1. LPA keeps self-loop-only nodes as singleton communities (graph.py).
+2. Zero-norm vectors through the BLAS exact dup path (similarity.py).
+3. Null embeddings through the Arrow moments path stay output-identical
+   to the Catalyst explode path (similarity.py).
+4. cms_build cnt dtype contract: long for integral weights, double (no
+   truncation) for fractional ones (rollup.py).
+5. write_bucketed heals the RIGHT directory for db-qualified names and
+   never touches EXTERNAL table data (bucketing.py, ADVICE r7).
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+from census_data_pipeline_spark.functions import graph, similarity
+from census_data_pipeline_spark.operators import rollup
+from census_data_pipeline_spark.sources import bucketing
+
+
+# --- 1. LPA self-loop-only node --------------------------------------
+
+
+def test_lpa_selfloop_only_node_is_singleton_community(spark):
+    """A node whose ONLY edges are self-loops must appear in the output
+    as its own community (ADVICE r6 fix; re-pinned after the r8 node-set
+    derivation moved from the raw edge list to sym + self-loop
+    endpoints)."""
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 5)], "src long, dst long"
+    )
+    out = {r.id: r.community
+           for r in graph.label_propagation(e, iterations=3).collect()}
+    assert 5 in out, "self-loop-only node dropped from the node set"
+    assert out[5] == 5  # no neighbors -> keeps its own label
+    # the connected component is still intact and converges to min label
+    assert set(out) == {1, 2, 3, 5}
+    assert out[1] == out[2] == out[3] == 1
+
+
+def test_lpa_selfloop_does_not_double_vote(spark):
+    """A self-loop must NOT add an extra vote for the node's own label on
+    top of the standard self-vote — the engine filters src=dst out of the
+    symmetrized vote edges, and the oracle mirrors it (ADVICE r7). Node 2
+    has neighbors 1 and 3 (both labelled lower) plus a self-loop: with
+    the loop correctly excluded, votes are {1:1, 3:1, 2:1(self)} and the
+    smallest label 1 wins round one; a double self-vote would freeze
+    node 2 on label 2 forever."""
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 2)], "src long, dst long"
+    )
+    out = {r.id: r.community
+           for r in graph.label_propagation(e, iterations=1).collect()}
+    assert out[2] == 1
+
+
+# --- 2. zero-norm vectors through the BLAS exact path -----------------
+
+
+def test_blas_exact_dup_pairs_zero_norm_guard(spark):
+    """A zero vector must score cosine 0 against everything (declared
+    rule, not IEEE NaN accident): it appears in no pair at any positive
+    threshold, real duplicate pairs still surface, and numpy emits no
+    invalid-divide RuntimeWarning."""
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0]),      # exact dup of 1
+            (3, [0.0, 0.0, 0.0]),      # zero vector
+            (4, [0.0, 1.0, 0.0]),      # orthogonal to 1/2
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        pairs = {
+            (r.id_a, r.id_b): r.cosine_sim
+            for r in similarity.embedding_dup_pairs(
+                df, threshold=0.9, method="exact"
+            ).collect()
+        }
+    assert pairs == {(1, 2): pytest.approx(1.0)}
+    assert all(p == p for p in pairs.values())  # no NaN
+
+
+# --- 3. null embeddings through the Arrow moments path ----------------
+
+
+def test_pca_arrow_moments_null_identity(spark):
+    """moments='arrow' must silently drop null vectors exactly like the
+    Catalyst posexplode path (which never emits rows for them), keeping
+    the two documented-output-identical modes identical on dirty
+    input — and must not crash np.stack on the null row."""
+    rows = [
+        (i, [float(i % 7) + 1.0, float((3 * i) % 5), float(i % 2) * 2.0])
+        for i in range(40)
+    ]
+    rows += [(100, None), (101, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cat = similarity.pca_power_dominant(
+        df, "embedding", iterations=4, moments="catalyst"
+    ).orderBy("dim_idx").collect()
+    arr = similarity.pca_power_dominant(
+        df, "embedding", iterations=4, moments="arrow"
+    ).orderBy("dim_idx").collect()
+    assert [r.asDict() for r in cat] == [r.asDict() for r in arr]
+
+
+# --- 4. cms_build cnt dtype contract ----------------------------------
+
+
+def _cms_totals(sk):
+    return {r["bucket"]: r["cnt"] for r in sk.filter(F.col("row_id") == 0)
+            .collect()}
+
+
+def test_cms_fractional_weights_double_no_truncation(spark):
+    df = spark.createDataFrame(
+        [("a", 0.5), ("a", 0.25), ("b", 0.5)], "k string, w double"
+    )
+    sk = rollup.cms_build(df, "k", depth=2, width_hex=2, weight_col="w")
+    assert dict(sk.dtypes)["cnt"] == "double"
+    assert sorted(_cms_totals(sk).values()) == [0.5, 0.75]
+
+
+def test_cms_integral_weights_keep_long_schema(spark):
+    """Integer-weighted sketches must keep the unweighted long schema so
+    they stay union+groupBy-sum mergeable with unweighted sketches
+    (ADVICE r7 dtype-contract)."""
+    dfw = spark.createDataFrame([("a", 2), ("b", 3)], "k string, w int")
+    dfu = spark.createDataFrame([("a",), ("b",), ("b",)], "k string")
+    skw = rollup.cms_build(dfw, "k", depth=2, width_hex=2, weight_col="w")
+    sku = rollup.cms_build(dfu, "k", depth=2, width_hex=2)
+    assert dict(skw.dtypes)["cnt"] == "bigint"
+    assert dict(sku.dtypes)["cnt"] == "bigint"
+    # merge across the weighted/unweighted builds: one union + sum
+    merged = (
+        skw.union(sku).groupBy("row_id", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert dict(merged.dtypes)["cnt"] == "bigint"
+    assert sorted(_cms_totals(merged).values()) == [3, 5]  # a:2+1, b:3+2
+
+
+# --- 5. write_bucketed: db-qualified heal + EXTERNAL protection -------
+
+
+def test_write_bucketed_db_qualified_heals_right_directory(spark):
+    """An orphaned warehouse dir for db.tbl lives at <warehouse>/db.db/
+    tbl; healing must clear THAT path and must never touch an unrelated
+    default-database directory named <warehouse>/tbl."""
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    db_orphan = os.path.join(warehouse, "r8db.db", "t8")
+    decoy = os.path.join(warehouse, "t8")
+    decoy_file = os.path.join(decoy, "keep.txt")
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    try:
+        spark.sql("CREATE DATABASE IF NOT EXISTS r8db")
+        spark.sql("DROP TABLE IF EXISTS r8db.t8")
+        os.makedirs(db_orphan, exist_ok=True)
+        with open(os.path.join(db_orphan, "part-stale.parquet"), "wb") as f:
+            f.write(b"stale")
+        os.makedirs(decoy, exist_ok=True)
+        with open(decoy_file, "w") as f:
+            f.write("unrelated user data")
+        bucketing.write_bucketed(df, "r8db.t8", "k", 4)
+        assert bucketing.read_table(spark, "r8db.t8").count() == 20
+        assert os.path.exists(decoy_file), "healing deleted an unrelated dir"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS r8db.t8")
+        spark.sql("DROP DATABASE IF EXISTS r8db CASCADE")
+        import shutil
+
+        shutil.rmtree(decoy, ignore_errors=True)
+
+
+def test_write_bucketed_never_deletes_external_table_data(spark, tmp_path):
+    """DROP TABLE on an EXTERNAL table intentionally preserves its data,
+    and its location may be a shared user directory — overwrite-by-name
+    must leave the external files on disk (ADVICE r7)."""
+    ext_dir = str(tmp_path / "ext_data")
+    spark.range(5).select(F.col("id").alias("k")).write.parquet(ext_dir)
+    n_files_before = len(os.listdir(ext_dir))
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") + 1).alias("v")
+    )
+    try:
+        spark.sql("DROP TABLE IF EXISTS r8_ext")
+        # USING parquet + LOCATION = an unmanaged (EXTERNAL) table in the
+        # in-memory catalog (no Hive support needed)
+        spark.sql(
+            f"CREATE TABLE r8_ext (k bigint) USING parquet "
+            f"LOCATION '{ext_dir}'"
+        )
+        bucketing.write_bucketed(df, "r8_ext", "k", 4)
+        assert bucketing.read_table(spark, "r8_ext").count() == 10
+        assert os.path.isdir(ext_dir), "external table data dir deleted"
+        assert len(os.listdir(ext_dir)) == n_files_before
+    finally:
+        spark.sql("DROP TABLE IF EXISTS r8_ext")
