@@ -378,8 +378,8 @@ def ivm_delta_join(
     dA⋈B and A⋈dB never shuffle the base table; dA⋈dB is
     broadcast ⋈ broadcast-sized. The merge unions four per-key
     aggregate frames — O(|groups|) rows — and re-reduces. Insert-only
-    deltas; deletes need the counting/retraction form (carry signed
-    multiplicities), documented in SCALING.md.
+    deltas; for deletes/updates use ``ivm_retraction_merge`` (signed
+    multiplicities + confined min/max repair).
 
     Probe pruning: a broadcast probe still SCANS the base side, so at
     scale the base should be stored partitioned (or bucketed) on the
@@ -395,3 +395,103 @@ def ivm_delta_join(
     t3 = partial(F.broadcast(delta_a).join(F.broadcast(delta_b), on))
     inc = t1.unionByName(t2).unionByName(t3)
     return merge_aggregates(snapshot, inc, keys, merges)
+
+
+def ivm_retraction_merge(
+    snapshot: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    count_col: str,
+    sums: list[str],
+    extremes: list[tuple[str, str]] | None = None,
+    base_after: DataFrame | None = None,
+    sign_col: str = "__sign",
+) -> DataFrame:
+    """Incremental view maintenance under DELETES and UPDATES — the
+    counting/retraction form promised by ``ivm_delta_join``'s docstring
+    (CDC feeds are never insert-only; an update is a −1 retraction of
+    the old row plus a +1 insertion of the new one, the standard signed-
+    multiplicity encoding of differential dataflow / DBSP).
+
+    Inputs:
+      * ``snapshot`` — the materialized per-key view: ``keys`` +
+        ``count_col`` (a COUNT(*) of contributing base rows — the
+        per-group multiplicity that decides group liveness) + one summed
+        column per entry of ``sums`` + one column per ``extremes`` entry.
+      * ``delta`` — RAW change rows: ``keys``, ``sign_col`` ∈ {+1, −1},
+        and the raw VALUE columns named exactly like the snapshot's
+        aggregate columns (the caller pre-projects, e.g.
+        ``o_totalprice AS total_revenue``).
+      * ``extremes`` — (kind, col) with kind ∈ {'min','max'}. Min/max are
+        NOT algebraically retractable (deleting the current extreme needs
+        the runner-up, which the view no longer has), so groups that
+        received any retraction have their extremes RECOMPUTED from
+        ``base_after`` (the base table with the delta already applied) —
+        and only those groups: the repair probe joins ``base_after``
+        against the broadcast retracted-key set, so with the base stored
+        partitioned/bucketed on ``keys`` the repair is a pruned read, not
+        a scan (the ``ivm_delta_join`` probe-pruning discipline).
+
+    Algebra: counts and sums merge SIGNED (cnt' = cnt + Σ sign,
+    sum' = sum + Σ sign·value) via one union + re-reduce over
+    O(|groups| + |delta groups|) rows — the fact table is never
+    rescanned. Groups whose merged count reaches 0 are DROPPED (all
+    their rows were retracted); groups born in the delta appear. For
+    non-retracted groups, inserts tighten extremes for free
+    (least/greatest with the inserted values' extreme).
+
+    Exactness contract (what the oracle checks): the output equals the
+    full re-aggregation of ``base_after`` up to float summation order —
+    the same associativity guarantee as ``merge_aggregates``, extended
+    with signed cancellation."""
+    extremes = list(extremes or [])
+    if extremes and base_after is None:
+        raise ValueError(
+            "extremes need base_after for confined min/max repair"
+        )
+    bad = [k for k, _ in extremes if k not in ("min", "max")]
+    if bad:
+        raise ValueError(f"extreme kinds must be min/max, got {bad}")
+    efns = {"min": F.min, "max": F.max}
+    sgn = F.col(sign_col)
+    # per-key partial of the delta batch: signed count + signed sums,
+    # a retraction flag, and the inserted rows' extremes
+    d = delta.groupBy(*keys).agg(
+        F.sum(sgn).cast("long").alias(count_col),
+        *[F.sum(sgn * F.col(c)).alias(c) for c in sums],
+        F.max((sgn < 0).cast("int")).alias("__retr"),
+        *[
+            efns[k](F.when(sgn > 0, F.col(c))).alias(c)
+            for k, c in extremes
+        ],
+    )
+    # one union + re-reduce merges counts/sums and (for insert-only
+    # groups) extremes; __retr marks groups whose extremes need repair
+    snap = snapshot.withColumn("__retr", F.lit(0))
+    merged = (
+        snap.unionByName(d)
+        .groupBy(*keys)
+        .agg(
+            F.sum(count_col).alias(count_col),
+            *[F.sum(c).alias(c) for c in sums],
+            F.max("__retr").alias("__retr"),
+            *[efns[k](c).alias(c) for k, c in extremes],
+        )
+        .filter(F.col(count_col) > 0)
+    )
+    if not extremes:
+        return merged.drop("__retr")
+    clean = merged.filter(F.col("__retr") == 0).drop("__retr")
+    dirty = merged.filter(F.col("__retr") == 1).drop(
+        "__retr", *[c for _, c in extremes]
+    )
+    # confined repair: recompute extremes from the post-delta base for
+    # ONLY the retracted groups (broadcast key set -> pruned probe)
+    repair_keys = dirty.select(*keys)
+    repaired = (
+        base_after.join(F.broadcast(repair_keys), keys)
+        .groupBy(*keys)
+        .agg(*[efns[k](c).alias(c) for k, c in extremes])
+    )
+    fixed = dirty.join(repaired, keys, "left")
+    return clean.unionByName(fixed.select(*clean.columns))

@@ -225,6 +225,9 @@ _CHECKED_PREFIX = [
     "dq_k_anonymity",
     "sketch_cms_heavy_hitters",
     # --- new r8 queries ---
+    "ivm_retraction_refresh",
+    # --- drifted under r8 edits (docstring/impl touches) ---
+    "ivm_delta_join_refresh",
 ]
 
 

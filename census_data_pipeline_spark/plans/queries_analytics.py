@@ -3458,6 +3458,78 @@ def ivm_delta_join_refresh(spark, sf_dir):
     )
 
 
+@query(
+    "ivm_retraction_refresh",
+    oracle="""
+    WITH fb AS (
+      SELECT o_custkey, o_totalprice FROM orders WHERE o_custkey % 97 <> 0
+      UNION ALL
+      SELECT o_custkey, o_totalprice + 1000 AS o_totalprice
+      FROM orders WHERE o_custkey % 101 = 0
+    )
+    SELECT o_custkey AS c_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_revenue,
+           round(max(o_totalprice), 2) AS max_order
+    FROM fb GROUP BY 1
+    """,
+)
+def ivm_retraction_refresh(spark, sf_dir):
+    """IVM under DELETES and UPDATES (operators/rollup.
+    ivm_retraction_merge — the counting/retraction form, VERDICT r6 #4):
+    the per-customer order rollup is materialized over the FULL fact
+    table, then a CDC batch arrives that deletes every order of ~1% of
+    customers (o_custkey % 97 — whole groups die, count reaches 0) and
+    inserts repriced orders for another ~1% (o_custkey % 101). Counts
+    and sums merge with signed multiplicities over O(|groups|) rows; the
+    max column is repaired by recomputing ONLY the retracted groups from
+    the post-delta base via a broadcast key probe (pruned read when the
+    base is partitioned on the key — never a rescan). The oracle
+    re-aggregates the post-delta base from scratch, so a green row
+    proves signed cancellation + confined repair are exact. Reference:
+    the reference recomputes eagerly (src/pipeline.py:60-96); this is
+    how a materialized rollup survives a real CDC feed at 100 TB."""
+    from census_data_pipeline_spark.operators import rollup as rollup_ops
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+
+    def as_values(df, price):
+        return df.select(
+            F.col("o_custkey").alias("c_custkey"),
+            price.alias("total_revenue"),
+            price.alias("max_order"),
+        )
+
+    snapshot = orders.groupBy(
+        F.col("o_custkey").alias("c_custkey")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("o_totalprice").alias("total_revenue"),
+        F.max("o_totalprice").alias("max_order"),
+    )
+    dels = as_values(
+        orders.filter(F.col("o_custkey") % 97 == 0), F.col("o_totalprice")
+    ).withColumn("__sign", F.lit(-1))
+    ins = as_values(
+        orders.filter(F.col("o_custkey") % 101 == 0),
+        F.col("o_totalprice") + 1000,
+    ).withColumn("__sign", F.lit(1))
+    base_after = as_values(
+        orders.filter(F.col("o_custkey") % 97 != 0), F.col("o_totalprice")
+    ).unionByName(ins.drop("__sign"))
+    out = rollup_ops.ivm_retraction_merge(
+        snapshot, dels.unionByName(ins), ["c_custkey"], "n_orders",
+        ["total_revenue"], [("max", "max_order")], base_after,
+    )
+    return out.select(
+        "c_custkey", "n_orders",
+        F.round("total_revenue", 2).alias("total_revenue"),
+        F.round("max_order", 2).alias("max_order"),
+    )
+
+
 _KM_DUR_CTE = """u AS (
       SELECT user_id, min(ts) AS t0,
              min(CASE WHEN event_type = 'purchase' THEN ts END) AS p

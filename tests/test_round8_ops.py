@@ -148,6 +148,91 @@ def test_cms_integral_weights_keep_long_schema(spark):
     assert sorted(_cms_totals(merged).values()) == [3, 5]  # a:2+1, b:3+2
 
 
+# --- IVM retraction form (VERDICT r6 #4 / r7 #3) ----------------------
+
+
+def _retraction_fixture(spark):
+    """Base table of (k, v); snapshot over it; a CDC batch that kills
+    group 'dead' entirely, retracts the current max of 'mixed' while
+    inserting a smaller row, births group 'born', and leaves 'calm'
+    untouched."""
+    base = spark.createDataFrame(
+        [("dead", 10.0), ("dead", 20.0),
+         ("mixed", 5.0), ("mixed", 50.0),
+         ("calm", 7.0)],
+        "k string, v double",
+    )
+    snapshot = base.groupBy("k").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").alias("sv"),
+        F.max("v").alias("mv"),
+    )
+    delta = spark.createDataFrame(
+        [("dead", 10.0, -1), ("dead", 20.0, -1),   # group death
+         ("mixed", 50.0, -1), ("mixed", 8.0, 1),   # retract the max
+         ("born", 3.0, 1), ("born", 4.0, 1)],      # group birth
+        "k string, v double, __sign int",
+    )
+    base_after = spark.createDataFrame(
+        [("mixed", 5.0), ("mixed", 8.0), ("calm", 7.0),
+         ("born", 3.0), ("born", 4.0)],
+        "k string, v double",
+    )
+    def vals(df):
+        return df.select("k", F.col("v").alias("sv"), F.col("v").alias("mv"),
+                         *(["__sign"] if "__sign" in df.columns else []))
+    return snapshot, vals(delta), vals(base_after)
+
+
+def test_ivm_retraction_merge_exactness(spark):
+    snapshot, delta, base_after = _retraction_fixture(spark)
+    out = {
+        r.k: (r.n, r.sv, r.mv)
+        for r in rollup.ivm_retraction_merge(
+            snapshot, delta, ["k"], "n", ["sv"], [("max", "mv")], base_after
+        ).collect()
+    }
+    assert "dead" not in out                    # count reached 0 -> dropped
+    assert out["born"] == (2, 7.0, 4.0)         # born entirely from delta
+    assert out["calm"] == (1, 7.0, 7.0)         # untouched group unchanged
+    # retracting the max forces the confined repair: 50 gone, 8 inserted
+    assert out["mixed"] == (2, 13.0, 8.0)
+    assert set(out) == {"born", "calm", "mixed"}
+
+
+def test_ivm_retraction_merge_min_and_insert_only_tightening(spark):
+    """Insert-only groups tighten extremes WITHOUT a repair scan; min
+    kind mirrors max."""
+    snapshot = spark.createDataFrame(
+        [("a", 2, 9.0, 4.0)], "k string, n long, sv double, mn double"
+    )
+    delta = spark.createDataFrame(
+        [("a", 3.0, 1)], "k string, mn double, __sign int"
+    ).select("k", F.col("mn").alias("sv"), "mn", "__sign")
+    base_after = spark.createDataFrame(
+        [("a", 4.0), ("a", 5.0), ("a", 3.0)], "k string, mn double"
+    ).select("k", F.col("mn").alias("sv"), "mn")
+    out = rollup.ivm_retraction_merge(
+        snapshot, delta, ["k"], "n", ["sv"], [("min", "mn")], base_after
+    ).collect()[0]
+    assert (out.n, out.sv, out.mn) == (3, 12.0, 3.0)
+
+
+def test_ivm_retraction_merge_guards(spark):
+    snapshot = spark.createDataFrame([("a", 1, 1.0)],
+                                     "k string, n long, sv double")
+    delta = spark.createDataFrame([("a", 1.0, -1)],
+                                  "k string, sv double, __sign int")
+    with pytest.raises(ValueError, match="base_after"):
+        rollup.ivm_retraction_merge(
+            snapshot, delta, ["k"], "n", ["sv"], [("max", "sv")]
+        )
+    with pytest.raises(ValueError, match="min/max"):
+        rollup.ivm_retraction_merge(
+            snapshot, delta, ["k"], "n", ["sv"], [("median", "sv")], delta
+        )
+
+
 # --- 5. write_bucketed: db-qualified heal + EXTERNAL protection -------
 
 
