@@ -226,6 +226,7 @@ _CHECKED_PREFIX = [
     "sketch_cms_heavy_hitters",
     # --- new r8 queries ---
     "ivm_retraction_refresh",
+    "embedding_pca_topr",
     # --- drifted under r8 edits (docstring/impl touches) ---
     "ivm_delta_join_refresh",
 ]

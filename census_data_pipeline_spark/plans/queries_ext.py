@@ -3046,6 +3046,27 @@ def embedding_pca_power(spark, sf_dir):
     return similarity.pca_power_dominant(emb, "embedding", iterations=8)
 
 
+@query(
+    "embedding_pca_topr",
+    oracle=similarity.pca_power_topr_oracle_sql(
+        "embeddings", "embedding::DOUBLE[]", dim=64, r=3, iterations=8
+    ),
+)
+def embedding_pca_topr(spark, sf_dir):
+    """Top-3 principal components by sequential power iteration with
+    per-round Gram-Schmidt orthogonalization (functions/similarity.
+    pca_power_topr — VERDICT r6 #5): the covariance is built once (same
+    one-pass d²-cell frame as embedding_pca_power), then each component
+    runs 8 matvec rounds re-projected against the finalized earlier
+    components before the 6-dp-rounded normalization, so both engines
+    walk the same orthogonal trajectory. Eigenvalues are vᵀCv against
+    the ORIGINAL covariance. The oracle unrolls (component, round,
+    projection) as MATERIALIZED CTEs. Output: (component, dim_idx,
+    loading, eigenvalue, explained_ratio) — 3·64 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pca_power_topr(emb, "embedding", r=3, iterations=8)
+
+
 def _lpa_oracle(iters: int) -> str:
     """Unrolled-CTE replica of functions/graph.label_propagation over
     the customer->supplier purchase graph: per round, neighbor votes
