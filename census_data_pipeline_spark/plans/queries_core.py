@@ -1336,14 +1336,22 @@ def events_json_extract(spark, sf_dir):
     """,
 )
 def streaming_session_5m(spark, sf_dir):
-    """Sessionization as a REAL Structured Streaming query — the
-    merging-session-state operator (`F.session_window` + watermark:
-    Spark's UpdatingSessionsExec / MergingSessionsExec path, where
-    overlapping per-key sessions MERGE as events arrive, unlike the
-    fixed-window tumbling state). Complete-mode memory sink drained
-    synchronously, held to the same gaps-and-islands SQL oracle as the
-    batch form (events_session_5m) — so real streaming session-merge
-    semantics are value-checked against the lag+cumsum formulation."""
+    """REFERENCE FORM — NOT the production choice: complete mode keeps
+    EVERY session ever seen in the state store (state grows with input;
+    measured state_rows_peak ≈ input rows, BENCH_STREAMING_r06). Use
+    ``streaming_session_5m_append`` — the append-mode form registered
+    beside this one — for anything long-running: closed sessions emit
+    once and EVICT, so state is bounded by the open tail.
+
+    This query exists to value-check the merging-session-state operator
+    itself (`F.session_window` + watermark: Spark's
+    UpdatingSessionsExec / MergingSessionsExec path, where overlapping
+    per-key sessions MERGE as events arrive, unlike fixed-window
+    tumbling state): complete-mode memory sink drained synchronously,
+    held to the same gaps-and-islands SQL oracle as the batch form
+    (events_session_5m) — complete mode retains even sessions the
+    watermark would evict, which is exactly what makes the full oracle
+    comparison possible."""
     import shutil
     import tempfile
     import uuid
