@@ -227,6 +227,8 @@ _CHECKED_PREFIX = [
     # --- new r8 queries ---
     "ivm_retraction_refresh",
     "embedding_pca_topr",
+    "survival_by_segment",
+    "survival_logrank",
     # --- drifted under r8 edits (docstring/impl touches) ---
     "ivm_delta_join_refresh",
     "streaming_session_5m",

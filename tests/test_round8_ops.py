@@ -316,6 +316,75 @@ def test_ivm_retraction_merge_guards(spark):
         )
 
 
+# --- grouped survival + log-rank (VERDICT r6 #8 / r7 #8) --------------
+
+# small clinical-trial-style two-cohort set; reference constants below
+# were computed with an independent plain-Python loop (same risk-set
+# convention: censored at t stays at risk at t)
+_SURV_DATA = [
+    ("a", 6, 1), ("a", 6, 1), ("a", 6, 0), ("a", 7, 1), ("a", 10, 0),
+    ("a", 13, 1), ("a", 16, 1), ("a", 22, 0), ("a", 23, 1),
+    ("b", 1, 1), ("b", 1, 1), ("b", 2, 1), ("b", 2, 1), ("b", 3, 1),
+    ("b", 4, 1), ("b", 5, 0), ("b", 8, 1), ("b", 11, 1), ("b", 12, 0),
+]
+
+
+@pytest.fixture()
+def surv_df(spark):
+    return spark.createDataFrame(
+        _SURV_DATA, "cohort string, duration long, observed int"
+    )
+
+
+def test_kaplan_meier_grouped_textbook(surv_df):
+    from census_data_pipeline_spark.operators import survival
+
+    out = {
+        (r.cohort, r.duration): (r.n_risk, r.n_events, r.survival)
+        for r in survival.kaplan_meier_grouped(surv_df).collect()
+    }
+    # cohort a spot checks (hand-computed product-limit values)
+    assert out[("a", 6)] == (9, 2, pytest.approx(0.777778))
+    assert out[("a", 7)] == (6, 1, pytest.approx(0.648148))
+    assert out[("a", 10)] == (5, 0, pytest.approx(0.648148))  # censor only
+    assert out[("a", 23)] == (1, 1, pytest.approx(0.0))
+    # cohorts are independent: b's curve unaffected by a's exits
+    assert out[("b", 1)] == (10, 2, pytest.approx(0.8))
+    # every cohort has its own complete curve
+    assert {c for c, _ in out} == {"a", "b"}
+
+
+def test_logrank_textbook_and_symmetry(spark, surv_df):
+    from census_data_pipeline_spark.operators import survival
+
+    row = survival.logrank_test(surv_df).collect()[0]
+    assert (row.cohort_a, row.cohort_b) == ("a", "b")
+    assert row.observed_a == 6
+    assert row.expected_a == pytest.approx(9.707382, abs=1e-6)
+    assert row.chi2 == pytest.approx(5.662395, abs=1e-6)
+    assert bool(row.significant) is True  # chi2 > 3.8415
+    # identical curves -> chi2 ~ 0, not significant
+    same = spark.createDataFrame(
+        [("a", d, o) for _, d, o in _SURV_DATA]
+        + [("b", d, o) for _, d, o in _SURV_DATA],
+        "cohort string, duration long, observed int",
+    )
+    r2 = survival.logrank_test(same).collect()[0]
+    assert r2.chi2 == pytest.approx(0.0, abs=1e-9)
+    assert bool(r2.significant) is False
+
+
+def test_logrank_rejects_non_two_cohorts(spark):
+    from census_data_pipeline_spark.operators import survival
+
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("b", 2, 1), ("c", 3, 0)],
+        "cohort string, duration long, observed int",
+    )
+    with pytest.raises(ValueError, match="two-cohort"):
+        survival.logrank_test(df)
+
+
 # --- 5. write_bucketed: db-qualified heal + EXTERNAL protection -------
 
 
