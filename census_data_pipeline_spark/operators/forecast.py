@@ -1,0 +1,197 @@
+"""Time-series forecasting: additive Holt-Winters (triple exponential
+smoothing) over regularly bucketed per-key series (SURVEY.md §2.11 ⊕ —
+the events family's missing BI staple, VERDICT r6 #9: "what will next
+day's hourly volume look like", with level + trend + daily seasonality).
+
+Scale shape (the EWMA / rolling-median discipline): the data-scale work
+is ONE hash aggregation to time buckets; each key's bucketed series is
+HORIZON-BOUNDED (e.g. hours over the corpus time span — thousands of
+values, never data-scale), so collecting it into a per-key array and
+folding the smoothing recursion with Catalyst's ``aggregate`` is
+bounded-memory per key and embarrassingly parallel across keys. No
+window over data-scale rows, no driver-side state.
+
+FP discipline: level, trend, and each seasonal are rounded to 6 dp at
+every step via floor(x·1e6 + 0.5)/1e6 — NOT round() (see ``_r6``) —
+and the init means are computed with the identical left folds in both
+engines, so the DuckDB oracle (a per-key recursive CTE walking the same
+rounded trajectory) matches exactly, converged or not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _r6(c: Column) -> Column:
+    """6-dp half-up rounding as floor(x·1e6 + 0.5)/1e6 — identical IEEE
+    double ops in Spark and DuckDB, so the rounded trajectories CANNOT
+    diverge. ``F.round``/SQL ``round`` are NOT engine-portable here:
+    the smoothing recursion's values (6-dp state × decimal constants)
+    land on exact half-way cases at the 7th digit almost every step,
+    where Spark rounds the shortest decimal repr (BigDecimal.valueOf)
+    and DuckDB rounds the exact binary double — measured divergence on
+    every events key (the Benford integer-cents trick, generalized)."""
+    return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+def holt_winters_forecast(
+    series: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    value_col: str,
+    m: int = 24,
+    alpha: float = 0.2,
+    beta: float = 0.1,
+    gamma: float = 0.3,
+    horizon: int = 24,
+) -> DataFrame:
+    """Additive Holt-Winters forecast per key over a REGULAR series
+    (one row per consecutive bucket; gap-fill upstream — see
+    ``events_gapfill_1h``). Returns (keys..., h, forecast) for
+    h = 1..``horizon``.
+
+    Standard additive recursion with season length ``m``::
+
+        l_t = α(y_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+        s_t = γ(y_t − l_t) + (1−γ)s_{t−m}
+        ŷ_{T+h} = l_T + h·b_T + s_{T+h−m·⌈h/m⌉}
+
+    Deterministic init from the first two seasons (keys with fewer than
+    2m buckets are dropped): l₀ = mean(y₁..y_m), b₀ = (mean of season 2
+    − mean of season 1)/m, s₀ᵢ = yᵢ − l₀; the recursion then consumes
+    y_{m+1}..y_n. The seasonal state is kept as a ROTATING array whose
+    head is always s_{t−m}, so no index arithmetic leaks into the fold.
+    Every state component is rounded to 6 dp per step (oracle parity).
+
+    The fold runs as one Catalyst ``aggregate`` over the per-key array
+    — horizon-bounded, JVM-side, no UDF."""
+    if m < 2:
+        raise ValueError("season length m must be >= 2")
+    if horizon < 1:
+        raise ValueError("horizon must be >= 1")
+    a, b, g = float(alpha), float(beta), float(gamma)
+    arr = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(time_col).alias("t"),
+                                    F.col(value_col).alias("y")))
+        ),
+        lambda s: s["y"].cast("double"),
+    )
+    per_key = (
+        series.groupBy(*key_cols)
+        .agg(arr.alias("__ys"))
+        .filter(F.size("__ys") >= 2 * m)
+    )
+
+    def lsum(xs: Column) -> Column:
+        # left fold from 0.0 — FP-identical to DuckDB list_reduce's
+        # first-element seed because 0.0 + x == x exactly
+        return F.aggregate(xs, F.lit(0.0), lambda acc, x: acc + x)
+
+    s1 = F.slice(F.col("__ys"), 1, m)
+    s2 = F.slice(F.col("__ys"), m + 1, m)
+    l0 = _r6(lsum(s1) / F.lit(float(m)))
+    b0 = _r6((lsum(s2) / F.lit(float(m)) - lsum(s1) / F.lit(float(m)))
+             / F.lit(float(m)))
+    init = per_key.select(
+        *key_cols, "__ys",
+        l0.alias("__l0"), b0.alias("__b0"),
+        F.transform(s1, lambda x: _r6(x - l0)).alias("__s0"),
+    )
+    rest = F.slice(
+        F.col("__ys"), m + 1, F.size("__ys") - m
+    )
+
+    def step(acc: Column, y: Column) -> Column:
+        snext = F.element_at(acc["s"], 1)
+        l1 = _r6(F.lit(a) * (y - snext)
+                 + F.lit(1.0 - a) * (acc["l"] + acc["b"]))
+        b1 = _r6(F.lit(b) * (l1 - acc["l"]) + F.lit(1.0 - b) * acc["b"])
+        sn = _r6(F.lit(g) * (y - l1) + F.lit(1.0 - g) * snext)
+        return F.struct(
+            l1.alias("l"), b1.alias("b"),
+            F.concat(F.slice(acc["s"], 2, m - 1), F.array(sn)).alias("s"),
+        )
+
+    state = F.aggregate(
+        rest,
+        F.struct(F.col("__l0").alias("l"), F.col("__b0").alias("b"),
+                 F.col("__s0").alias("s")),
+        step,
+    )
+    fc = F.transform(
+        F.sequence(F.lit(1), F.lit(horizon)),
+        lambda h: _r6(
+            state["l"] + h.cast("double") * state["b"]
+            + F.element_at(state["s"],
+                           ((h - 1) % F.lit(m) + 1).cast("int"))
+        ),
+    )
+    return (
+        init.select(*key_cols, F.posexplode(fc).alias("__p", "forecast"))
+        .select(
+            *key_cols,
+            (F.col("__p") + 1).cast("long").alias("h"),
+            "forecast",
+        )
+    )
+
+
+def holt_winters_oracle_sql(
+    series_cte: str,
+    key: str = "event_type",
+    m: int = 24,
+    alpha: float = 0.2,
+    beta: float = 0.1,
+    gamma: float = 0.3,
+    horizon: int = 24,
+) -> str:
+    """DuckDB replica of ``holt_winters_forecast``: ``series_cte`` must
+    define a CTE named ``series`` with columns (key, t, y) where t is
+    the 1-based consecutive bucket index per key and y is DOUBLE. The
+    recursion is a per-key RECURSIVE CTE walking the identical 6-dp
+    trajectory (list state, head = s_{t−m}, rotate per step)."""
+    sa, sb, sg = repr(float(alpha)), repr(float(beta)), repr(float(gamma))
+    ca, cb, cg = (repr(1.0 - float(alpha)), repr(1.0 - float(beta)),
+                  repr(1.0 - float(gamma)))
+    fm = repr(float(m))
+
+    def R(expr: str) -> str:
+        # the engine's _r6: floor-based half-up — see its docstring for
+        # why SQL round() is not engine-portable here
+        return f"floor(({expr}) * 1000000.0 + 0.5) / 1000000.0"
+
+    l1 = R(f"{sa} * (ys[t + 1] - s[1]) + {ca} * (l + b)")
+    return f"""
+    WITH RECURSIVE {series_cte},
+    pk AS (SELECT {key}, list(y ORDER BY t) AS ys,
+                  count(*) AS n
+           FROM series GROUP BY {key}
+           HAVING count(*) >= {2 * m}),
+    ini AS (SELECT {key}, ys, n,
+                   {R(f"list_reduce(ys[1:{m}], (p, q) -> p + q) / {fm}")}
+                     AS l0,
+                   {R(f"(list_reduce(ys[{m + 1}:{2 * m}], (p, q) -> p + q)"
+                      f" / {fm}"
+                      f" - list_reduce(ys[1:{m}], (p, q) -> p + q)"
+                      f" / {fm}) / {fm}")} AS b0
+            FROM pk),
+    r AS (
+      SELECT {key}, ys, n, CAST({m} AS BIGINT) AS t, l0 AS l, b0 AS b,
+             list_transform(ys[1:{m}], x -> {R("x - l0")}) AS s
+      FROM ini
+      UNION ALL
+      SELECT {key}, ys, n, t + 1,
+             {l1},
+             {R(f"{sb} * ({l1} - l) + {cb} * b")},
+             list_append(s[2:{m}],
+               {R(f"{sg} * (ys[t + 1] - {l1}) + {cg} * s[1]")})
+      FROM r WHERE t < n),
+    fin AS (SELECT {key}, l, b, s FROM r WHERE t = n)
+    SELECT {key}, CAST(h AS BIGINT) AS h,
+           {R(f"l + h * b + s[((h - 1) % {m}) + 1]")} AS forecast
+    FROM fin CROSS JOIN range(1, {horizon + 1}) t(h)
+    """

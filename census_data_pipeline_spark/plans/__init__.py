@@ -229,6 +229,7 @@ _CHECKED_PREFIX = [
     "embedding_pca_topr",
     "survival_by_segment",
     "survival_logrank",
+    "events_forecast_hourly",
     # --- drifted under r8 edits (docstring/impl touches) ---
     "ivm_delta_join_refresh",
     "streaming_session_5m",

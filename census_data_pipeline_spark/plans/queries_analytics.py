@@ -3622,6 +3622,65 @@ from census_data_pipeline_spark.operators.survival import (  # noqa: E402
 )
 
 
+from census_data_pipeline_spark.operators.forecast import (  # noqa: E402
+    holt_winters_oracle_sql,
+)
+
+_HW_SERIES_CTE = """hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hb,
+             count(*) AS y
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT event_type, min(hb) AS lo, max(hb) AS hi
+               FROM hourly GROUP BY 1),
+    grid AS (SELECT event_type,
+                    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hb
+             FROM bounds),
+    series AS (
+      SELECT g.event_type AS event_type,
+             row_number() OVER (PARTITION BY g.event_type
+                                ORDER BY g.hb) AS t,
+             CAST(coalesce(h.y, 0) AS DOUBLE) AS y
+      FROM grid g LEFT JOIN hourly h
+        ON h.event_type = g.event_type AND h.hb = g.hb)"""
+
+
+@query("events_forecast_hourly",
+       oracle=holt_winters_oracle_sql(_HW_SERIES_CTE, key="event_type"))
+def events_forecast_hourly(spark, sf_dir):
+    """Next-24-hours volume forecast per event type by additive
+    Holt-Winters (operators/forecast.holt_winters_forecast — VERDICT r6
+    #9): hourly counts on a ZERO-FILLED grid (gaps are real zeros, not
+    missing samples), level + trend + 24-hour seasonality, α/β/γ =
+    0.2/0.1/0.3. One data-scale hash agg to hourly buckets; each key's
+    horizon-bounded series folds through the smoothing recursion as a
+    single Catalyst ``aggregate`` (rotating seasonal array, 6-dp
+    rounding per step). The oracle walks the identical trajectory as a
+    per-key RECURSIVE CTE. Output: (event_type, h 1..24, forecast)."""
+    from census_data_pipeline_spark.operators import forecast
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hb")
+    ).agg(F.count("*").alias("y"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hb").alias("lo"), F.max("hb").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hb"),
+    )
+    series = grid.join(hourly, ["event_type", "hb"], "left").select(
+        "event_type", "hb",
+        F.coalesce(F.col("y"), F.lit(0)).cast("double").alias("y"),
+    )
+    return forecast.holt_winters_forecast(
+        series, ["event_type"], "hb", "y", m=24,
+        alpha=0.2, beta=0.1, gamma=0.3, horizon=24,
+    )
+
+
 @query("survival_by_segment",
        oracle=kaplan_meier_grouped_oracle_sql(_KM_COHORT_DUR_CTE))
 def survival_by_segment(spark, sf_dir):
