@@ -171,6 +171,13 @@ HEADLINE_NEW: list[str] = [
     "text_textrank_keywords",
     "graph_bfs_distances",
     "survival_time_to_purchase",
+    # r8 additions
+    "ivm_retraction_refresh",
+    "embedding_pca_topr",
+    "survival_by_segment",
+    "survival_logrank",
+    "events_forecast_hourly",
+    "events_forecast_backtest",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is

@@ -209,33 +209,27 @@ def label_propagation(
     (the connected-components discipline)."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    # checkpoint the RAW edge list once: sym AND the self-loop endpoint
-    # scan below both read it, so an expensive upstream lineage (the
-    # purchase-graph join in graph_label_propagation) executes exactly
-    # once — deriving nodes straight from that lineage cost a second
-    # data-scale scan (+28% measured, VERDICT r7 #7)
     e = ensure_parallelism(edges).select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint(eager=False)
-    sym = (
+    )
+    # ONE checkpointed frame serves both the vote edges and the node
+    # set: symmetrize + dedupe WITHOUT dropping self-loops, so its src
+    # side covers every node — including self-loop-only nodes, which
+    # must appear as singleton communities (ADVICE r6). The vote join
+    # filters src≠dst per round (a predicate over the cached scan — a
+    # node must not double-vote its own label on top of the standard
+    # self-vote). Deriving nodes from a second scan of the raw lineage
+    # cost +28% (VERDICT r7 #7); checkpointing the raw edge list AND
+    # sym doubled cache pressure and OOMed the 100× rehearsal.
+    sym0 = (
         e.union(e.select(F.col("dst").alias("src"),
                          F.col("src").alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    # the node set must include nodes whose ONLY edges are self-loops
-    # (dropped by sym's filter; they are their own singleton communities,
-    # ADVICE r6): sym's src side covers every node with a non-loop edge
-    # in both directions, and the checkpointed e supplies the self-loop
-    # endpoints via a cheap src=dst filter.
-    selfloop_ids = (
-        e.filter(F.col("src") == F.col("dst"))
-        .select(F.col("src").alias("id"))
-    )
+    sym = sym0.filter(F.col("src") != F.col("dst"))
     nodes = (
-        sym.select(F.col("src").alias("id"))
-        .union(selfloop_ids)
+        sym0.select(F.col("src").alias("id"))
         .distinct()
         .localCheckpoint(eager=False)
     )

@@ -195,3 +195,46 @@ def holt_winters_oracle_sql(
            {R(f"l + h * b + s[((h - 1) % {m}) + 1]")} AS forecast
     FROM fin CROSS JOIN range(1, {horizon + 1}) t(h)
     """
+
+
+def holt_winters_backtest(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    value_col: str,
+    m: int = 24,
+    alpha: float = 0.2,
+    beta: float = 0.1,
+    gamma: float = 0.3,
+    horizon: int = 24,
+) -> DataFrame:
+    """Holdout accuracy for ``holt_winters_forecast``: per key, train on
+    the series MINUS its last ``horizon`` buckets, forecast the held-out
+    tail, and join forecasts to actuals. ``t_col`` must be the 1-based
+    consecutive bucket index per key (the oracle-generator contract).
+    Returns (keys..., h, forecast, actual, abs_err) — the
+    model-evaluation row a mix-building pipeline thresholds on before
+    trusting a forecast for capacity planning (the ``ann_quality_lsh``
+    discipline: a trained operator ships with its accuracy contract).
+
+    Scale shape: the cutoff frame is one per-key aggregate broadcast
+    back; training and actual slices are filters of the bucketed series
+    (aggregate-sized); the fold itself is ``holt_winters_forecast``."""
+    cutoff = series.groupBy(*key_cols).agg(
+        (F.max(t_col) - horizon).alias("__cut")
+    )
+    with_cut = series.join(F.broadcast(cutoff), key_cols)
+    train = with_cut.filter(F.col(t_col) <= F.col("__cut")).drop("__cut")
+    fc = holt_winters_forecast(
+        train, key_cols, t_col, value_col, m=m, alpha=alpha, beta=beta,
+        gamma=gamma, horizon=horizon,
+    )
+    actual = with_cut.filter(F.col(t_col) > F.col("__cut")).select(
+        *key_cols,
+        (F.col(t_col) - F.col("__cut")).cast("long").alias("h"),
+        F.col(value_col).cast("double").alias("actual"),
+    )
+    return fc.join(actual, [*key_cols, "h"]).select(
+        *key_cols, "h", "forecast", "actual",
+        _r6(F.abs(F.col("forecast") - F.col("actual"))).alias("abs_err"),
+    )

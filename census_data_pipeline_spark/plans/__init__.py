@@ -230,6 +230,7 @@ _CHECKED_PREFIX = [
     "survival_by_segment",
     "survival_logrank",
     "events_forecast_hourly",
+    "events_forecast_backtest",
     # --- drifted under r8 edits (docstring/impl touches) ---
     "ivm_delta_join_refresh",
     "streaming_session_5m",

@@ -3681,6 +3681,93 @@ def events_forecast_hourly(spark, sf_dir):
     )
 
 
+_HW_S0_CTE = """s0 AS MATERIALIZED (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type ORDER BY hb) AS t,
+             CAST(y AS DOUBLE) AS y
+      FROM (SELECT g.event_type, g.hb, coalesce(h.y, 0) AS y
+            FROM (SELECT event_type,
+                         unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                           AS hb
+                  FROM (SELECT event_type,
+                               date_trunc('hour', min(ts)) AS lo,
+                               date_trunc('hour', max(ts)) AS hi
+                        FROM events GROUP BY 1)) g
+            LEFT JOIN (SELECT event_type, date_trunc('hour', ts) AS hb,
+                              count(*) AS y
+                       FROM events GROUP BY 1, 2) h
+              ON h.event_type = g.event_type AND h.hb = g.hb)),
+    cut AS (SELECT event_type, max(t) - 24 AS cutoff
+            FROM s0 GROUP BY 1)"""
+
+_HW_BACKTEST_ORACLE = f"""
+    WITH {_HW_S0_CTE},
+    act AS (SELECT s0.event_type,
+                   CAST(s0.t - cut.cutoff AS BIGINT) AS h,
+                   s0.y AS actual
+            FROM s0 JOIN cut ON cut.event_type = s0.event_type
+            WHERE s0.t > cut.cutoff)
+    SELECT f.event_type, f.h, f.forecast, a.actual,
+           floor(abs(f.forecast - a.actual) * 1000000.0 + 0.5)
+             / 1000000.0 AS abs_err
+    FROM ({holt_winters_oracle_sql(
+        '''series AS (
+          SELECT s0.event_type AS event_type, s0.t, s0.y
+          FROM s0 JOIN cut ON cut.event_type = s0.event_type
+          WHERE s0.t <= cut.cutoff)''',
+        key="event_type")}) f
+    JOIN act a ON a.event_type = f.event_type AND a.h = f.h
+    """
+
+
+@query("events_forecast_backtest", oracle=_HW_BACKTEST_ORACLE)
+def events_forecast_backtest(spark, sf_dir):
+    """Holdout accuracy for the Holt-Winters forecast (operators/
+    forecast.holt_winters_backtest): train on the hourly series minus
+    its last 24 buckets, forecast the held-out day, join to actuals —
+    (event_type, h, forecast, actual, abs_err). The accuracy contract
+    that decides whether the forecast is trustworthy for capacity
+    planning (the ann_quality_lsh discipline: trained operators ship
+    with their evaluation). Same zero-filled grid and per-step rounding
+    as events_forecast_hourly; the cutoff is a per-key 1-row broadcast;
+    the oracle nests the recursive-CTE replica over the truncated
+    series and joins the same actuals."""
+    from pyspark.sql import Window
+
+    from census_data_pipeline_spark.operators import forecast
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hb")
+    ).agg(F.count("*").alias("y"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hb").alias("lo"), F.max("hb").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hb"),
+    )
+    series = (
+        grid.join(hourly, ["event_type", "hb"], "left")
+        .select(
+            "event_type", "hb",
+            F.coalesce(F.col("y"), F.lit(0)).cast("double").alias("y"),
+        )
+        .withColumn(
+            "t",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("hb")
+            ),
+        )
+    )
+    return forecast.holt_winters_backtest(
+        series, ["event_type"], "t", "y", m=24,
+        alpha=0.2, beta=0.1, gamma=0.3, horizon=24,
+    )
+
+
 @query("survival_by_segment",
        oracle=kaplan_meier_grouped_oracle_sql(_KM_COHORT_DUR_CTE))
 def survival_by_segment(spark, sf_dir):

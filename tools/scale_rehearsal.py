@@ -223,6 +223,23 @@ def main() -> None:
             iterations=8,
         )
 
+    def fam_pca_catalyst(d, e, g):
+        return similarity.pca_power_dominant(e, "embedding", iterations=8,
+                                             moments="catalyst")
+
+    def fam_pca_arrow(d, e, g):
+        return similarity.pca_power_dominant(e, "embedding", iterations=8,
+                                             moments="arrow")
+
+    def fam_bfs(d, e, g):
+        # one seed per amplified copy (the k{copy}_c17 customer), so the
+        # seed set grows with the corpus like a real watchlist would
+        seeds = g.filter(F.col("src").rlike("_c17$")).select(
+            "src"
+        ).distinct()
+        return graph.bfs_distances(g, seeds, max_hops=4,
+                                   broadcast_frontier=True)
+
     families = {
         "minhash_lsh_capped": fam_minhash_capped,
         "minhash_lsh_uncapped": fam_minhash_uncapped,
@@ -236,6 +253,9 @@ def main() -> None:
         "token_budget": fam_token_budget,
         "label_propagation": fam_label_propagation,
         "logreg": fam_logreg,
+        "pca_catalyst": fam_pca_catalyst,
+        "pca_arrow": fam_pca_arrow,
+        "bfs": fam_bfs,
     }
 
     family_filter = os.environ.get("SPARK_GRAFT_REHEARSAL_FAMILIES")
@@ -258,6 +278,16 @@ def main() -> None:
             / math.log(ratio),
             3,
         )
+        # per-consecutive-decade marginal exponents — the >1.05 alarm
+        # reads the LAST decade (superlinear growth hides in the tail
+        # when the overall exponent is averaged over a flat first decade)
+        for (la, ca, _), (lb, cb, _) in zip(scale_list, scale_list[1:]):
+            r = cb / ca
+            row[f"alpha_{la}_{lb}"] = round(
+                math.log(max(row[lb], 1e-9) / max(row[la], 1e-9))
+                / math.log(r),
+                3,
+            )
         results[name] = row
 
     print(json.dumps({"sf_base": SF_DIR, "scales": labels,
