@@ -178,6 +178,7 @@ HEADLINE_NEW: list[str] = [
     "survival_logrank",
     "events_forecast_hourly",
     "events_forecast_backtest",
+    "dq_l_diversity",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is

@@ -184,3 +184,38 @@ def k_anonymity_audit(
         # is a cheap final exchange (ADVICE r6)
         .orderBy("class_size", *quasi_identifiers)
     )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """Distinct l-diversity audit — the attribute-disclosure companion
+    to ``k_anonymity_audit`` (Machanavajjhala et al. 2007): a class can
+    be k-anonymous yet still leak the SENSITIVE attribute when every
+    record in it shares the same value ("homogeneity attack"). Output:
+    one row per VIOLATING equivalence class (fewer than ``l`` distinct
+    sensitive values) with its size and distinct count, ordered
+    least-diverse-then-smallest-first, plus the class values.
+
+    Same shape as the k-anonymity audit: ONE groupBy(QI) holding a
+    count plus an exact distinct (Spark plans the distinct with the
+    two-phase Expand it uses everywhere; swap to
+    ``approx_count_distinct`` at extreme QI cardinality, the
+    profile_columns note). Nulls in the sensitive column are not values
+    (count_distinct ignores them), so an all-null class counts 0
+    distinct — flagged, which is the right call for a release gate."""
+    if l < 2:
+        raise ValueError("l must be >= 2 (l=1 is vacuous)")
+    return (
+        df.groupBy(*quasi_identifiers)
+        .agg(
+            F.count("*").alias("class_size"),
+            F.count_distinct(F.col(sensitive_col))
+            .alias("n_distinct_sensitive"),
+        )
+        .filter(F.col("n_distinct_sensitive") < l)
+        .orderBy("n_distinct_sensitive", "class_size", *quasi_identifiers)
+    )

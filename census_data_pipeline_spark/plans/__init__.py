@@ -231,6 +231,7 @@ _CHECKED_PREFIX = [
     "survival_logrank",
     "events_forecast_hourly",
     "events_forecast_backtest",
+    "dq_l_diversity",
     # --- drifted under r8 edits (docstring/impl touches) ---
     "ivm_delta_join_refresh",
     "streaming_session_5m",

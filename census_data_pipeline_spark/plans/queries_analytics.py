@@ -3317,6 +3317,37 @@ def dq_k_anonymity(spark, sf_dir):
 
 
 @query(
+    "dq_l_diversity",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey,
+           CAST(count(*) AS BIGINT) AS class_size,
+           CAST(count(DISTINCT CAST(floor(c_acctbal / 4000) AS BIGINT))
+                AS BIGINT) AS n_distinct_sensitive
+    FROM customer
+    GROUP BY c_mktsegment, c_nationkey
+    HAVING count(DISTINCT CAST(floor(c_acctbal / 4000) AS BIGINT)) < 3
+    """,
+)
+def dq_l_diversity(spark, sf_dir):
+    """Distinct l-diversity audit (operators/quality.l_diversity_audit)
+    — the attribute-disclosure companion to dq_k_anonymity: every
+    (mktsegment, nationkey) class whose customers span fewer than l=3
+    distinct account-balance bands (floor(acctbal/4000)) leaks the band
+    by class membership alone, however k-anonymous it is. One
+    groupBy(QI) with count + exact distinct."""
+    from census_data_pipeline_spark.operators.quality import (
+        l_diversity_audit,
+    )
+
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 4000).cast("long")
+    )
+    return l_diversity_audit(
+        c, ["c_mktsegment", "c_nationkey"], "bal_band", l=3
+    )
+
+
+@query(
     "sketch_cms_heavy_hitters",
     oracle="""
     WITH exact AS (SELECT l_partkey, count(*) AS exact_count

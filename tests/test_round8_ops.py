@@ -316,6 +316,34 @@ def test_ivm_retraction_merge_guards(spark):
         )
 
 
+# --- l-diversity audit ------------------------------------------------
+
+
+def test_l_diversity_flags_homogeneous_classes(spark):
+    """A k-anonymous class whose members all share the sensitive value
+    must be flagged; diverse classes must not; all-null sensitive counts
+    0 distinct (flagged)."""
+    from census_data_pipeline_spark.operators.quality import (
+        l_diversity_audit,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, "flu"), ("a", 1, "flu"), ("a", 1, "flu"),  # homogeneous
+            ("b", 2, "flu"), ("b", 2, "cold"), ("b", 2, "ok"),  # diverse
+            ("c", 3, None), ("c", 3, None),                     # all-null
+        ],
+        "seg string, grp int, dx string",
+    )
+    out = {
+        (r.seg, r.grp): (r.class_size, r.n_distinct_sensitive)
+        for r in l_diversity_audit(df, ["seg", "grp"], "dx", l=2).collect()
+    }
+    assert out == {("a", 1): (3, 1), ("c", 3): (2, 0)}
+    with pytest.raises(ValueError, match="l must be"):
+        l_diversity_audit(df, ["seg"], "dx", l=1)
+
+
 # --- Holt-Winters forecast (VERDICT r6 #9 / r7 #9) --------------------
 
 
