@@ -3036,9 +3036,11 @@ def embedding_pca_power(spark, sf_dir):
     """Dominant principal component of the embedding corpus by power
     iteration (functions/similarity.pca_power_dominant) — covariance in
     ONE (i,j)-explode pass (d² partial-aggregated cells; the data is
-    never touched again), then 8 matrix-vector rounds over the d²-row
-    frame with 6-dp rounding per round so both engines walk the same
-    trajectory; deterministic sign off the largest-|loading| component.
+    never touched again), then 8 matrix-vector rounds on the driver
+    over the collected fixed-size d² frame (the MLlib RowMatrix
+    discipline) with 6-dp rounding per round so both engines walk the
+    same trajectory; deterministic sign off the largest-|loading|
+    component.
     Output: per-dimension loading + eigenvalue + explained variance
     ratio. The oracle unrolls the identical iteration as CTEs (the
     cluster_kmeans_lloyd discipline)."""
@@ -3056,10 +3058,11 @@ def embedding_pca_topr(spark, sf_dir):
     """Top-3 principal components by sequential power iteration with
     per-round Gram-Schmidt orthogonalization (functions/similarity.
     pca_power_topr — VERDICT r6 #5): the covariance is built once (same
-    one-pass d²-cell frame as embedding_pca_power), then each component
-    runs 8 matvec rounds re-projected against the finalized earlier
-    components before the 6-dp-rounded normalization, so both engines
-    walk the same orthogonal trajectory. Eigenvalues are vᵀCv against
+    one-pass d²-cell frame as embedding_pca_power, collected once —
+    fixed d² size), then each component runs 8 driver-side matvec
+    rounds re-projected against the finalized earlier components before
+    the 6-dp-rounded normalization, so both engines walk the same
+    orthogonal trajectory. Eigenvalues are vᵀCv against
     the ORIGINAL covariance. The oracle unrolls (component, round,
     projection) as MATERIALIZED CTEs. Output: (component, dim_idx,
     loading, eigenvalue, explained_ratio) — 3·64 rows."""
