@@ -64,14 +64,20 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     outdeg = e.groupBy("src").agg(F.count("*").alias("__deg"))
-    # static per-node frame: out-degree (null -> dangling)
-    base = nodes.join(outdeg, nodes["id"] == outdeg["src"], "left").select(
-        "id", F.col("__deg").alias("__deg")
-    ).localCheckpoint(eager=False)
     n = nodes.agg(F.count("*").alias("__n"))
+    # static per-node frame: out-degree (null -> dangling) + the node
+    # count folded in ONCE — keeping __n a 1-row frame instead costs a
+    # fresh broadcast exchange per round (checkpoint boundaries defeat
+    # ReusedExchange), 5 jobs that carry a single long
+    base = (
+        nodes.join(outdeg, nodes["id"] == outdeg["src"], "left")
+        .crossJoin(F.broadcast(n))
+        .select("id", F.col("__deg").alias("__deg"), "__n")
+        .localCheckpoint(eager=False)
+    )
 
-    ranks = base.crossJoin(F.broadcast(n)).select(
-        "id", "__deg", (F.lit(1.0) / F.col("__n")).alias("rank")
+    ranks = base.select(
+        "id", "__deg", "__n", (F.lit(1.0) / F.col("__n")).alias("rank")
     )
     d = float(damping)
     for _ in range(iterations):
@@ -87,12 +93,16 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("__c").alias("__sum"))
         )
+        if broadcast_ranks:
+            # node-scale by construction when the rank frame broadcasts —
+            # hint it past AQE (post-broadcast-join stats are unknown, so
+            # the rank-update join would otherwise shuffle both sides)
+            contribs = F.broadcast(contribs)
         ranks = (
-            base.crossJoin(F.broadcast(n))
-            .crossJoin(F.broadcast(dangling))
+            base.crossJoin(F.broadcast(dangling))
             .join(contribs, base["id"] == contribs["dst"], "left")
             .select(
-                "id", "__deg",
+                "id", "__deg", "__n",
                 (
                     (F.lit(1.0) - F.lit(d)) / F.col("__n")
                     + F.lit(d) * (

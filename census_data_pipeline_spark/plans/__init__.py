@@ -239,6 +239,10 @@ _CHECKED_PREFIX = [
     # --- drifted under r8 edits (docstring/impl touches) ---
     "ivm_delta_join_refresh",
     "streaming_session_5m",
+    # graph.pagerank exchange trim (static __n folded into base,
+    # broadcast contribs) reaches both of these
+    "graph_pagerank",
+    "text_textrank_keywords",
 ]
 
 
