@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from census_data_pipeline_spark.sources.catalog import ensure_parallelism
 
@@ -211,3 +212,405 @@ def logreg_oracle_sql(
         ]
     )
     return "WITH " + ",\n    ".join(ctes) + "\n    " + unions
+
+
+def _tree_gini(cl, pl, ct, pt):
+    """Weighted two-child Gini impurity of a candidate split, rounded to
+    12 dp for an engine-stable argmin key. Inputs are integer counts
+    (left count/positives, node total count/positives) so both engines
+    evaluate the identical double expression on identical operands:
+    gini(S) = 1 − p₁² − p₀², and |S|·gini(S) = 2·pos·(cnt−pos)/cnt."""
+    cr, pr = ct - cl, pt - pl
+    return F.round(
+        (F.lit(2.0) * pl * (cl - pl) / cl + F.lit(2.0) * pr * (cr - pr) / cr)
+        / ct,
+        12,
+    )
+
+
+def decision_tree_train(
+    df: DataFrame,
+    label: Column,
+    features: list[tuple[str, Column]],
+    bins: int = 16,
+    depth: int = 2,
+) -> DataFrame:
+    """Train a depth-bounded binary decision tree by HISTOGRAM split
+    finding — the distributed-GBDT discipline (LightGBM/XGBoost `hist`:
+    equi-width feature histograms, one data pass per tree level, all
+    split arithmetic over the model-sized histogram). Like the other
+    in-engine trainers (kmeans/pca/logreg), the whole computation is a
+    deterministic dataflow an ANSI-SQL oracle replicates level by level.
+
+    ``label`` must evaluate to 0/1; ``features`` is an ordered list of
+    (name, expression). Rows with a null label or any null feature are
+    dropped. Per feature, ``bins`` equi-width bins over [min, max]
+    (constant features land in bin 0 and can never split). Per level:
+
+    1. ONE pass over the binned data — per (node, feature, bin) counts
+       and positive counts (map-side combined; the shuffle carries at
+       most nodes·F·bins rows);
+    2. candidate splits "bin ≤ b" from prefix sums over the histogram
+       (a window over the model-sized frame), scored by weighted Gini
+       rounded to 12 dp, both children non-empty;
+    3. per-node argmin with a total deterministic order
+       (gini, feature name, bin) — row_number over nodes·F·bins rows;
+    4. node reassignment: winners broadcast back, rows move to child
+       2·node (left) or 2·node+1 (right); nodes with no valid split
+       become leaves and their rows stop moving.
+
+    Returns one row per tree node: (node, depth, kind 'split'|'leaf',
+    feature, threshold, n, pos, pos_rate, predict) — thresholds are the
+    real-valued bin boundary min + (b+1)·width rounded to 6 dp; predict
+    is the majority label (ties → 1).
+
+    Scale shape: ``depth`` scans of the checkpointed binned frame
+    (each a whole-stage-codegen projection + partial-aggregated count),
+    everything else arithmetic over histogram frames whose size is
+    bounded by nodes·F·bins, independent of n. Exactly how distributed
+    histogram-based tree learners place the work: data-scale passes
+    build histograms, split search never touches rows."""
+    if depth < 1:
+        raise ValueError("depth must be >= 1")
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    names = [n for n, _ in features]
+    raw = (
+        ensure_parallelism(df)
+        .select(
+            label.cast("bigint").alias("__y"),
+            *[expr.cast("double").alias(n) for n, expr in features],
+        )
+        .na.drop(subset=["__y", *names])
+    )
+    st = raw.agg(
+        *[F.min(n).alias(f"__mn_{n}") for n in names],
+        *[F.max(n).alias(f"__mx_{n}") for n in names],
+    ).select(
+        "*",
+        *[
+            ((F.col(f"__mx_{n}") - F.col(f"__mn_{n}")) / F.lit(float(bins)))
+            .alias(f"__w_{n}")
+            for n in names
+        ],
+    )
+    binned = (
+        raw.crossJoin(F.broadcast(st))
+        .select(
+            "__y",
+            *[
+                F.when(F.col(f"__w_{n}") == 0, F.lit(0))
+                .otherwise(
+                    F.least(
+                        F.lit(bins - 1),
+                        F.greatest(
+                            F.lit(0),
+                            F.floor(
+                                (F.col(n) - F.col(f"__mn_{n}"))
+                                / F.col(f"__w_{n}")
+                            ).cast("int"),
+                        ),
+                    )
+                )
+                .cast("int")
+                .alias(f"__b_{n}")
+                for n in names
+            ],
+        )
+        .withColumn("__node", F.lit(1).cast("bigint"))
+        .localCheckpoint(eager=False)
+    )
+    # (feature, min, width) lookup rows for threshold reconstruction
+    feat_stats = None
+    for n in names:
+        row = st.select(
+            F.lit(n).alias("__f2"),
+            F.col(f"__mn_{n}").alias("__mn"),
+            F.col(f"__w_{n}").alias("__w"),
+        )
+        feat_stats = row if feat_stats is None else feat_stats.unionByName(row)
+
+    stack_expr = "stack({}, {})".format(
+        len(names), ", ".join(f"'{n}', __b_{n}" for n in names)
+    )
+    case_bin = F.when(F.col("__f") == names[0], F.col(f"__b_{names[0]}"))
+    for n in names[1:]:
+        case_bin = case_bin.when(F.col("__f") == n, F.col(f"__b_{n}"))
+
+    assigned = binned
+    frontier = None  # (node, ct, pt) of nodes entering the level
+    internal_parts: list[DataFrame] = []
+    leaf_parts: list[DataFrame] = []
+    for _lvl in range(depth):
+        hist = (
+            assigned.select(
+                "__node", "__y", F.expr(stack_expr).alias("__f", "__bin")
+            )
+            .groupBy("__node", "__f", "__bin")
+            .agg(F.count("*").alias("__c"), F.sum("__y").alias("__p"))
+            .localCheckpoint(eager=False)
+        )
+        tot = (
+            hist.filter(F.col("__f") == names[0])
+            .groupBy("__node")
+            .agg(F.sum("__c").alias("__ct"), F.sum("__p").alias("__pt"))
+        )
+        if frontier is None:
+            frontier = tot
+        wcum = Window.partitionBy("__node", "__f").orderBy("__bin")
+        cand = (
+            hist.select(
+                "__node", "__f", "__bin",
+                F.sum("__c").over(wcum).alias("__cl"),
+                F.sum("__p").over(wcum).alias("__pl"),
+            )
+            .join(tot, "__node")
+            .filter((F.col("__cl") > 0) & (F.col("__cl") < F.col("__ct")))
+            .withColumn(
+                "__g",
+                _tree_gini(F.col("__cl"), F.col("__pl"),
+                           F.col("__ct"), F.col("__pt")),
+            )
+        )
+        wrank = Window.partitionBy("__node").orderBy("__g", "__f", "__bin")
+        winners = (
+            cand.withColumn("__rn", F.row_number().over(wrank))
+            .filter(F.col("__rn") == 1)
+            .select("__node", "__f", "__bin",
+                    "__cl", "__pl", "__ct", "__pt")
+            .localCheckpoint(eager=False)
+        )
+        internal_parts.append(
+            winners.join(F.broadcast(feat_stats),
+                         winners["__f"] == F.col("__f2"))
+            .select(
+                F.col("__node").alias("node"),
+                F.lit("split").alias("kind"),
+                F.col("__f").alias("feature"),
+                F.round(F.col("__mn") + (F.col("__bin") + 1) * F.col("__w"),
+                        6).alias("threshold"),
+                F.col("__ct").alias("n"),
+                F.col("__pt").alias("pos"),
+            )
+        )
+        leaf_parts.append(
+            frontier.join(winners.select("__node"), "__node", "left_anti")
+            .select(
+                F.col("__node").alias("node"),
+                F.lit("leaf").alias("kind"),
+                F.lit(None).cast("string").alias("feature"),
+                F.lit(None).cast("double").alias("threshold"),
+                F.col("__ct").alias("n"),
+                F.col("__pt").alias("pos"),
+            )
+        )
+        frontier = (
+            winners.select(
+                (F.col("__node") * 2).alias("__node"),
+                F.col("__cl").alias("__ct"),
+                F.col("__pl").alias("__pt"),
+            )
+            .unionByName(
+                winners.select(
+                    (F.col("__node") * 2 + 1).alias("__node"),
+                    (F.col("__ct") - F.col("__cl")).alias("__ct"),
+                    (F.col("__pt") - F.col("__pl")).alias("__pt"),
+                )
+            )
+        )
+        wsel = winners.select(
+            F.col("__node").alias("__wn"),
+            "__f",
+            F.col("__bin").alias("__sb"),
+        )
+        assigned = assigned.join(
+            F.broadcast(wsel), assigned["__node"] == wsel["__wn"], "left"
+        ).select(
+            "__y",
+            *[f"__b_{n}" for n in names],
+            F.when(F.col("__wn").isNull(), F.col("__node"))
+            .otherwise(
+                F.col("__node") * 2
+                + F.when(case_bin <= F.col("__sb"), F.lit(0)).otherwise(
+                    F.lit(1)
+                )
+            )
+            .alias("__node"),
+        )
+    leaf_parts.append(
+        frontier.select(
+            F.col("__node").alias("node"),
+            F.lit("leaf").alias("kind"),
+            F.lit(None).cast("string").alias("feature"),
+            F.lit(None).cast("double").alias("threshold"),
+            F.col("__ct").alias("n"),
+            F.col("__pt").alias("pos"),
+        )
+    )
+    out = internal_parts[0]
+    for part in internal_parts[1:] + leaf_parts:
+        out = out.unionByName(part)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.floor(F.log2("node")).cast("long").alias("depth"),
+        "kind",
+        "feature",
+        "threshold",
+        F.col("n").cast("long").alias("n"),
+        F.col("pos").cast("long").alias("pos"),
+        F.round(F.col("pos") / F.col("n"), 6).alias("pos_rate"),
+        F.when(F.col("pos") * 2 >= F.col("n"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("predict"),
+    )
+
+
+def decision_tree_oracle_sql(
+    table: str,
+    label_sql: str,
+    features_sql: list[tuple[str, str]],
+    bins: int = 16,
+    depth: int = 2,
+) -> str:
+    """DuckDB replica of ``decision_tree_train`` — the identical
+    level-by-level dataflow as CTEs: equi-width binning from the same
+    min/width doubles, per-level histogram + prefix-sum candidates,
+    12-dp-rounded Gini argmin with the same (gini, feature, bin) total
+    order, winner-join node reassignment."""
+    names = [n for n, _ in features_sql]
+    first = names[0]
+    feat_sel = ", ".join(
+        f"CAST({e} AS DOUBLE) AS {n}" for n, e in features_sql
+    )
+    null_guard = " AND ".join(
+        [f"({label_sql}) IS NOT NULL"]
+        + [f"({e}) IS NOT NULL" for _, e in features_sql]
+    )
+    st_sel = ", ".join(
+        f"min({n}) AS mn_{n}, max({n}) AS mx_{n}" for n in names
+    )
+    w_sel = ", ".join(
+        f"(mx_{n} - mn_{n}) / {float(bins)!r} AS w_{n}" for n in names
+    )
+    bin_sel = ", ".join(
+        f"CASE WHEN w_{n} = 0 THEN 0 ELSE least({bins - 1}, greatest(0, "
+        f"CAST(floor(({n} - mn_{n}) / w_{n}) AS INT))) END AS b_{n}"
+        for n in names
+    )
+    fstats = " UNION ALL ".join(
+        f"SELECT '{n}' AS feature, mn_{n} AS mn, w_{n} AS w FROM stw"
+        for n in names
+    )
+    bcols = ", ".join(f"b_{n}" for n in names)
+    unpivot = "\n      UNION ALL ".join(
+        f"SELECT node, y, '{n}' AS f, b_{n} AS bin FROM a{{lvl}}"
+        for n in names
+    )
+    case_bin = (
+        "CASE w.f "
+        + " ".join(f"WHEN '{n}' THEN a.b_{n}" for n in names)
+        + " END"
+    )
+    ctes = [
+        f"""raw AS MATERIALIZED (
+      SELECT CAST({label_sql} AS BIGINT) AS y, {feat_sel}
+      FROM {table} WHERE {null_guard})""",
+        f"st AS MATERIALIZED (SELECT {st_sel} FROM raw)",
+        f"stw AS MATERIALIZED (SELECT *, {w_sel} FROM st)",
+        f"""a0 AS MATERIALIZED (
+      SELECT y, {bin_sel}, CAST(1 AS BIGINT) AS node
+      FROM raw CROSS JOIN stw)""",
+        f"fstats AS MATERIALIZED ({fstats})",
+    ]
+    internal_sel = []
+    leaf_sel = []
+    for lvl in range(depth):
+        up = unpivot.format(lvl=lvl)
+        ctes.append(
+            f"""h{lvl} AS MATERIALIZED (
+      SELECT node, f, bin, count(*) AS c, sum(y) AS p FROM (
+      {up}) u GROUP BY node, f, bin)"""
+        )
+        ctes.append(
+            f"""t{lvl} AS MATERIALIZED (
+      SELECT node, sum(c) AS ct, sum(p) AS pt
+      FROM h{lvl} WHERE f = '{first}' GROUP BY node)"""
+        )
+        ctes.append(
+            f"""s{lvl} AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT h.node, h.f, h.bin,
+               sum(h.c) OVER (PARTITION BY h.node, h.f
+                              ORDER BY h.bin) AS cl,
+               sum(h.p) OVER (PARTITION BY h.node, h.f
+                              ORDER BY h.bin) AS pl,
+               t.ct, t.pt
+        FROM h{lvl} h JOIN t{lvl} t ON t.node = h.node) c
+      WHERE cl > 0 AND cl < ct)"""
+        )
+        ctes.append(
+            f"""w{lvl} AS MATERIALIZED (
+      SELECT node, f, bin, cl, pl, ct, pt FROM (
+        SELECT *, row_number() OVER (PARTITION BY node ORDER BY
+          round((2.0*pl*(cl-pl)/cl + 2.0*(pt-pl)*((ct-cl)-(pt-pl))/(ct-cl))
+                / ct, 12), f, bin) AS rn
+        FROM s{lvl}) r WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""a{lvl + 1} AS MATERIALIZED (
+      SELECT a.y, {bcols},
+             CASE WHEN w.node IS NULL THEN a.node
+                  ELSE a.node * 2 + CASE WHEN {case_bin} <= w.bin
+                                         THEN 0 ELSE 1 END
+             END AS node
+      FROM a{lvl} a LEFT JOIN w{lvl} w ON w.node = a.node)"""
+        )
+        frontier = (
+            f"t0"
+            if lvl == 0
+            else f"fr{lvl}"
+        )
+        if lvl > 0:
+            ctes.append(
+                f"""fr{lvl} AS MATERIALIZED (
+      SELECT node * 2 AS node, cl AS ct, pl AS pt FROM w{lvl - 1}
+      UNION ALL
+      SELECT node * 2 + 1, ct - cl, pt - pl FROM w{lvl - 1})"""
+            )
+        internal_sel.append(
+            f"""SELECT w.node, 'split' AS kind, w.f AS feature,
+             round(fs.mn + (w.bin + 1) * fs.w, 6) AS threshold,
+             w.ct AS n, w.pt AS pos
+      FROM w{lvl} w JOIN fstats fs ON fs.feature = w.f"""
+        )
+        leaf_sel.append(
+            f"""SELECT fr.node, 'leaf', CAST(NULL AS VARCHAR),
+             CAST(NULL AS DOUBLE), fr.ct, fr.pt
+      FROM {frontier} fr LEFT JOIN w{lvl} w ON w.node = fr.node
+      WHERE w.node IS NULL"""
+        )
+    ctes.append(
+        f"""fr{depth} AS MATERIALIZED (
+      SELECT node * 2 AS node, cl AS ct, pl AS pt FROM w{depth - 1}
+      UNION ALL
+      SELECT node * 2 + 1, ct - cl, pt - pl FROM w{depth - 1})"""
+    )
+    leaf_sel.append(
+        f"SELECT node, 'leaf', CAST(NULL AS VARCHAR), "
+        f"CAST(NULL AS DOUBLE), ct, pt FROM fr{depth}"
+    )
+    body = "\n      UNION ALL ".join(internal_sel + leaf_sel)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(floor(log2(node)) AS BIGINT) AS depth,
+           kind, feature, threshold,
+           CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+           round(pos / n, 6) AS pos_rate,
+           CAST(CASE WHEN pos * 2 >= n THEN 1 ELSE 0 END AS BIGINT)
+             AS predict
+    FROM ({body}) tree"""
+    )

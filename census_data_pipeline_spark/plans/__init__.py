@@ -243,6 +243,8 @@ _CHECKED_PREFIX = [
     # broadcast contribs) reaches both of these
     "graph_pagerank",
     "text_textrank_keywords",
+    # --- new in the r8 continuation ---
+    "quality_tree_train",
 ]
 
 

@@ -3203,6 +3203,55 @@ def quality_logreg_train(spark, sf_dir):
     )
 
 
+@query(
+    "quality_tree_train",
+    oracle=classify.decision_tree_oracle_sql(
+        "documents",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+        _LOGREG_FEATURES_SQL,
+        bins=16,
+        depth=2,
+    ),
+)
+def quality_tree_train(spark, sf_dir):
+    """Depth-2 binary decision tree trained INSIDE the engine by
+    HISTOGRAM split finding (functions/classify.decision_tree_train) —
+    the tree-model companion to quality_logreg_train, on the SAME four
+    surface features and English label, so the two learned-filter
+    families are directly comparable. The distributed-GBDT discipline
+    (LightGBM `hist`): per level ONE whole-stage-codegen pass builds
+    per-(node, feature, bin) counts (map-side combined to ≤ nodes·4·16
+    cells); split search is prefix sums + 12-dp-rounded Gini argmin
+    with a total (gini, feature, bin) order over the model-sized
+    histogram; winners broadcast back to reassign rows. The oracle
+    replicates every level as CTEs. Output: (node, depth, kind,
+    feature, threshold, n, pos, pos_rate, predict) — 3 splits + 4
+    leaves on this corpus."""
+    from census_data_pipeline_spark.functions import classify as _c
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = [
+        ("f_chars", F.col("n_chars")),
+        ("f_words",
+         F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "),
+                                               F.lit(""))) + F.lit(1)),
+        ("f_e_ratio",
+         (F.length("text") - F.length(F.replace(F.col("text"), F.lit("e"),
+                                                F.lit(""))))
+         / F.col("n_chars").cast("double")),
+        ("f_the_cnt",
+         (F.length("text") - F.length(F.replace(F.col("text"), F.lit("the"),
+                                                F.lit("")))) / F.lit(3.0)),
+    ]
+    return _c.decision_tree_train(
+        docs,
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)),
+        feats,
+        bins=16,
+        depth=2,
+    )
+
+
 def _textrank_oracle(iters: int, d: float, min_len: int, k: int) -> str:
     """Unrolled-CTE replica of text.textrank_keywords: adjacent-token
     pair graph, symmetrized, then the same pagerank rounds as

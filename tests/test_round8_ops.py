@@ -510,3 +510,104 @@ def test_write_bucketed_never_deletes_external_table_data(spark, tmp_path):
         assert len(os.listdir(ext_dir)) == n_files_before
     finally:
         spark.sql("DROP TABLE IF EXISTS r8_ext")
+
+
+# --- decision tree (histogram split finding) -------------------------------
+
+
+def _tree_rows(out):
+    return {r.node: r for r in out.collect()}
+
+
+def test_tree_recovers_planted_splits(spark):
+    """y = 1 iff x1 > 0.5, else 1 iff x2 > 0.7 — the greedy root must
+    split on x1 near 0.5 and the LEFT child on x2 near 0.7, with pure
+    leaves (deterministic grid, no RNG)."""
+    from census_data_pipeline_spark.functions import classify
+
+    pts = [(i / 100.0, j / 10.0) for i in range(101) for j in range(11)]
+    df = spark.createDataFrame(pts, "x1 double, x2 double")
+    out = classify.decision_tree_train(
+        df,
+        F.when(F.col("x1") > 0.5, F.lit(1)).otherwise(
+            F.when(F.col("x2") > 0.7, F.lit(1)).otherwise(F.lit(0))
+        ),
+        [("x1", F.col("x1")), ("x2", F.col("x2"))],
+        bins=16,
+        depth=2,
+    )
+    rows = _tree_rows(out)
+    root = rows[1]
+    assert root.kind == "split" and root.feature == "x1"
+    assert abs(root.threshold - 0.5) < 1.0 / 16 + 1e-9
+    left = rows[2]
+    assert left.kind == "split" and left.feature == "x2"
+    assert abs(left.threshold - 0.7) < 1.0 / 16 + 1e-9
+    # left-left leaf (x1<=t, x2<=0.7) is pure negative; left-right pure pos
+    assert rows[4].pos == 0 and rows[4].predict == 0
+    assert rows[5].pos == rows[5].n and rows[5].predict == 1
+    # the root's right side is almost-pure positive (only the x1 == 0.5
+    # boundary column, which falls in the right child, is mixed) and its
+    # own right child is pure
+    assert rows[3].pos_rate > 0.95 and rows[3].predict == 1
+    assert rows[7].pos == rows[7].n and rows[7].predict == 1
+
+
+def test_tree_pure_label_is_single_leaf(spark):
+    """All-same label: no candidate split has two non-empty children
+    with differing impurity gain... every split still exists but gini
+    is 0 everywhere; the tree must stay well-formed and every node
+    predict the constant label."""
+    from census_data_pipeline_spark.functions import classify
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(50)], "x double"
+    )
+    out = classify.decision_tree_train(
+        df, F.lit(1), [("x", F.col("x"))], bins=8, depth=2
+    )
+    rows = _tree_rows(out)
+    assert all(r.predict == 1 for r in rows.values())
+    assert all(r.pos == r.n for r in rows.values())
+
+
+def test_tree_constant_feature_is_leaf(spark):
+    """A constant feature can never split (every row in bin 0, no valid
+    boundary) — with only constant features the root is a leaf with the
+    full-row stats."""
+    from census_data_pipeline_spark.functions import classify
+
+    df = spark.createDataFrame(
+        [(1.0, i % 3 == 0) for i in range(30)], "x double, y boolean"
+    )
+    out = classify.decision_tree_train(
+        df,
+        F.col("y").cast("int"),
+        [("x", F.col("x"))],
+        bins=8,
+        depth=2,
+    )
+    rows = _tree_rows(out)
+    assert list(rows) == [1]
+    root = rows[1]
+    assert root.kind == "leaf" and root.n == 30 and root.pos == 10
+    assert root.predict == 0
+
+
+def test_tree_null_rows_dropped_and_guards(spark):
+    from census_data_pipeline_spark.functions import classify
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (None, 0), (2.0, None), (3.0, 1), (4.0, 0)],
+        "x double, y int",
+    )
+    out = classify.decision_tree_train(
+        df, F.col("y"), [("x", F.col("x"))], bins=4, depth=1
+    )
+    assert _tree_rows(out)[1].n == 3  # null feature + null label dropped
+    with pytest.raises(ValueError, match="depth"):
+        classify.decision_tree_train(df, F.col("y"), [("x", F.col("x"))],
+                                     depth=0)
+    with pytest.raises(ValueError, match="bins"):
+        classify.decision_tree_train(df, F.col("y"), [("x", F.col("x"))],
+                                     bins=1)
