@@ -228,14 +228,16 @@ def _tree_gini(cl, pl, ct, pt):
     )
 
 
-def decision_tree_train(
+def _decision_tree_build(
     df: DataFrame,
     label: Column,
     features: list[tuple[str, Column]],
     bins: int = 16,
     depth: int = 2,
-) -> DataFrame:
-    """Train a depth-bounded binary decision tree by HISTOGRAM split
+) -> tuple[DataFrame, DataFrame]:
+    """Shared trainer behind ``decision_tree_train`` (tree frame) and
+    ``decision_tree_confusion`` (tree frame + final row→node
+    assignments). Trains a depth-bounded binary tree by HISTOGRAM split
     finding — the distributed-GBDT discipline (LightGBM/XGBoost `hist`:
     equi-width feature histograms, one data pass per tree level, all
     split arithmetic over the model-sized histogram). Like the other
@@ -450,7 +452,7 @@ def decision_tree_train(
     out = internal_parts[0]
     for part in internal_parts[1:] + leaf_parts:
         out = out.unionByName(part)
-    return out.select(
+    tree = out.select(
         F.col("node").cast("long").alias("node"),
         F.floor(F.log2("node")).cast("long").alias("depth"),
         "kind",
@@ -464,20 +466,71 @@ def decision_tree_train(
         .cast("long")
         .alias("predict"),
     )
+    return tree, assigned
 
 
-def decision_tree_oracle_sql(
+def decision_tree_train(
+    df: DataFrame,
+    label: Column,
+    features: list[tuple[str, Column]],
+    bins: int = 16,
+    depth: int = 2,
+) -> DataFrame:
+    """Train a depth-bounded binary decision tree by histogram split
+    finding; returns the tree frame (node, depth, kind, feature,
+    threshold, n, pos, pos_rate, predict). Full algorithm and scale
+    notes: ``_decision_tree_build``."""
+    return _decision_tree_build(df, label, features, bins, depth)[0]
+
+
+def decision_tree_confusion(
+    df: DataFrame,
+    label: Column,
+    features: list[tuple[str, Column]],
+    bins: int = 16,
+    depth: int = 2,
+) -> DataFrame:
+    """Train the tree AND score the training rows: confusion matrix
+    (actual, predicted, cnt) — the train→apply contract beside
+    ``decision_tree_train`` (logreg carries train_accuracy the same
+    way). Scoring costs ONE broadcast hash join: training already left
+    every row at its final tree node (``_decision_tree_build``'s
+    assignment frame), and the ≤ 2^(depth+1)-row (node → predict) map
+    broadcasts into it; no re-walk of the tree, no second data shuffle."""
+    tree, assigned = _decision_tree_build(df, label, features, bins, depth)
+    pred = tree.select("node", "predict")
+    return (
+        assigned.join(
+            F.broadcast(pred), assigned["__node"] == pred["node"]
+        )
+        .groupBy(
+            F.col("__y").alias("actual"),
+            F.col("predict").alias("predicted"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("actual").cast("long").alias("actual"),
+            F.col("predicted").cast("long").alias("predicted"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+    )
+
+
+def _tree_oracle_parts(
     table: str,
     label_sql: str,
     features_sql: list[tuple[str, str]],
     bins: int = 16,
     depth: int = 2,
-) -> str:
-    """DuckDB replica of ``decision_tree_train`` — the identical
-    level-by-level dataflow as CTEs: equi-width binning from the same
-    min/width doubles, per-level histogram + prefix-sum candidates,
-    12-dp-rounded Gini argmin with the same (gini, feature, bin) total
-    order, winner-join node reassignment."""
+) -> tuple[list[str], str]:
+    """Shared CTE assembly behind ``decision_tree_oracle_sql`` and
+    ``decision_tree_confusion_oracle_sql``: the identical level-by-level
+    dataflow as CTEs — equi-width binning from the same min/width
+    doubles, per-level histogram + prefix-sum candidates, 12-dp-rounded
+    Gini argmin with the same (gini, feature, bin) total order,
+    winner-join node reassignment. Returns (ctes, tree_body) where
+    tree_body unions the internal/leaf rows (node, kind, feature,
+    threshold, n, pos); the final assignment CTE is ``a{depth}``."""
     names = [n for n, _ in features_sql]
     first = names[0]
     feat_sel = ", ".join(
@@ -601,6 +654,20 @@ def decision_tree_oracle_sql(
         f"CAST(NULL AS DOUBLE), ct, pt FROM fr{depth}"
     )
     body = "\n      UNION ALL ".join(internal_sel + leaf_sel)
+    return ctes, body
+
+
+def decision_tree_oracle_sql(
+    table: str,
+    label_sql: str,
+    features_sql: list[tuple[str, str]],
+    bins: int = 16,
+    depth: int = 2,
+) -> str:
+    """DuckDB replica of ``decision_tree_train`` (see
+    ``_tree_oracle_parts`` for the dataflow)."""
+    ctes, body = _tree_oracle_parts(table, label_sql, features_sql,
+                                    bins, depth)
     return (
         "WITH "
         + ",\n    ".join(ctes)
@@ -613,4 +680,34 @@ def decision_tree_oracle_sql(
            CAST(CASE WHEN pos * 2 >= n THEN 1 ELSE 0 END AS BIGINT)
              AS predict
     FROM ({body}) tree"""
+    )
+
+
+def decision_tree_confusion_oracle_sql(
+    table: str,
+    label_sql: str,
+    features_sql: list[tuple[str, str]],
+    bins: int = 16,
+    depth: int = 2,
+) -> str:
+    """DuckDB replica of ``decision_tree_confusion`` — the same tree
+    CTEs, then the final assignment CTE joined to the per-leaf majority
+    label exactly as the engine scores it."""
+    ctes, body = _tree_oracle_parts(table, label_sql, features_sql,
+                                    bins, depth)
+    ctes.append(
+        f"""tree AS MATERIALIZED (
+      SELECT node,
+             CAST(CASE WHEN pos * 2 >= n THEN 1 ELSE 0 END AS BIGINT)
+               AS predict
+      FROM ({body}) t)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(a.y AS BIGINT) AS actual, t.predict AS predicted,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM a{depth} a JOIN tree t ON t.node = a.node
+    GROUP BY a.y, t.predict"""
     )

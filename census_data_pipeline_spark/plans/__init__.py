@@ -245,6 +245,7 @@ _CHECKED_PREFIX = [
     "text_textrank_keywords",
     # --- new in the r8 continuation ---
     "quality_tree_train",
+    "quality_tree_eval",
 ]
 
 

