@@ -223,6 +223,25 @@ def main() -> None:
             iterations=8,
         )
 
+    def fam_tree_hist(d, e, g):
+        from census_data_pipeline_spark.functions import classify
+        return classify.decision_tree_train(
+            d,
+            (F.col("doc_id") % 2 == 0).cast("int"),
+            [
+                ("f_chars", F.length("text")),
+                ("f_words",
+                 F.length("text")
+                 - F.length(F.replace(F.col("text"), F.lit(" "),
+                                      F.lit(""))) + F.lit(1)),
+                ("f_e", F.length("text")
+                 - F.length(F.replace(F.col("text"), F.lit("e"),
+                                      F.lit("")))),
+            ],
+            bins=16,
+            depth=2,
+        )
+
     def fam_pca_catalyst(d, e, g):
         return similarity.pca_power_dominant(e, "embedding", iterations=8,
                                              moments="catalyst")
@@ -253,6 +272,7 @@ def main() -> None:
         "token_budget": fam_token_budget,
         "label_propagation": fam_label_propagation,
         "logreg": fam_logreg,
+        "tree_hist": fam_tree_hist,
         "pca_catalyst": fam_pca_catalyst,
         "pca_arrow": fam_pca_arrow,
         "bfs": fam_bfs,
