@@ -711,3 +711,330 @@ def decision_tree_confusion_oracle_sql(
     FROM a{depth} a JOIN tree t ON t.node = a.node
     GROUP BY a.y, t.predict"""
     )
+
+
+def boost_stumps_train(
+    df: DataFrame,
+    target: Column,
+    features: list[tuple[str, Column]],
+    rounds: int = 4,
+    bins: int = 16,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Gradient-boosted regression STUMPS trained in-engine — Friedman's
+    LS_Boost with depth-1 histogram trees, the additive-model companion
+    to ``decision_tree_train`` (classification tree) and ``logreg_train``
+    (linear model). Fit F₀ = mean(y); each round fits one stump to the
+    residuals by the same equi-width-histogram split search and adds
+    ν·leaf-mean to the prediction.
+
+    Determinism/oracle contract (the logreg discipline): per-ROW
+    residual updates are exact row-local double arithmetic (y, the 6-dp
+    base and the 6-dp leaf values — no cross-row accumulation, so both
+    engines hold bit-identical residuals); every cross-row SUM is
+    rounded to 6 dp before use (sums of ~n doubles differ between
+    engines only in the last ulps, absorbed at 6 dp); the split gain
+    sl²/cl + sr²/cr over the ROUNDED sums is rounded to 9 dp and
+    argmax'd under the total (gain DESC, feature, bin) order. A round
+    with no valid split (constant features) adds nothing and emits no
+    stump row — the left-join update keeps residuals intact.
+
+    Returns one row per model term: round 0 is the base prediction
+    (feature 'base', both values F₀); round k the stump (feature,
+    threshold, left_value, right_value) with values already scaled by
+    ``lr``; every row carries the final train_rmse.
+
+    Scale shape: the binned frame is built once (one min/max pass + one
+    projection) and checkpointed; each round is ONE codegen scan into a
+    map-side-combined F·bins-cell histogram plus a broadcast 1-row
+    stump joined back — cost is ``rounds`` linear passes, the
+    distributed-GBDT `hist` contract."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    names = [n for n, _ in features]
+    raw = (
+        ensure_parallelism(df)
+        .select(
+            target.cast("double").alias("__y"),
+            *[expr.cast("double").alias(n) for n, expr in features],
+        )
+        .na.drop(subset=["__y", *names])
+    )
+    st = raw.agg(
+        *[F.min(n).alias(f"__mn_{n}") for n in names],
+        *[F.max(n).alias(f"__mx_{n}") for n in names],
+    ).select(
+        "*",
+        *[
+            ((F.col(f"__mx_{n}") - F.col(f"__mn_{n}")) / F.lit(float(bins)))
+            .alias(f"__w_{n}")
+            for n in names
+        ],
+    )
+    binned = (
+        raw.crossJoin(F.broadcast(st))
+        .select(
+            "__y",
+            *[
+                F.when(F.col(f"__w_{n}") == 0, F.lit(0))
+                .otherwise(
+                    F.least(
+                        F.lit(bins - 1),
+                        F.greatest(
+                            F.lit(0),
+                            F.floor(
+                                (F.col(n) - F.col(f"__mn_{n}"))
+                                / F.col(f"__w_{n}")
+                            ).cast("int"),
+                        ),
+                    )
+                )
+                .cast("int")
+                .alias(f"__b_{n}")
+                for n in names
+            ],
+        )
+        .localCheckpoint(eager=False)
+    )
+    feat_stats = None
+    for n in names:
+        row = st.select(
+            F.lit(n).alias("__f2"),
+            F.col(f"__mn_{n}").alias("__mn"),
+            F.col(f"__w_{n}").alias("__w"),
+        )
+        feat_stats = row if feat_stats is None else feat_stats.unionByName(row)
+
+    base = raw.agg(F.round(F.avg("__y"), 6).alias("__f0"))
+    resid = binned.crossJoin(F.broadcast(base)).select(
+        *[f"__b_{n}" for n in names],
+        (F.col("__y") - F.col("__f0")).alias("__r"),
+    )
+    stack_expr = "stack({}, {})".format(
+        len(names), ", ".join(f"'{n}', __b_{n}" for n in names)
+    )
+    case_bin = F.when(F.col("__f") == names[0], F.col(f"__b_{names[0]}"))
+    for n in names[1:]:
+        case_bin = case_bin.when(F.col("__f") == n, F.col(f"__b_{n}"))
+
+    stump_parts: list[DataFrame] = []
+    for k in range(1, rounds + 1):
+        hist = (
+            resid.select("__r", F.expr(stack_expr).alias("__f", "__bin"))
+            .groupBy("__f", "__bin")
+            .agg(F.count("*").alias("__c"), F.sum("__r").alias("__s"))
+            .localCheckpoint(eager=False)
+        )
+        tot = hist.filter(F.col("__f") == names[0]).agg(
+            F.sum("__c").alias("__ct"),
+            F.round(F.sum("__s"), 6).alias("__srt"),
+        )
+        wcum = Window.partitionBy("__f").orderBy("__bin")
+        cand = (
+            hist.select(
+                "__f", "__bin",
+                F.sum("__c").over(wcum).alias("__cl"),
+                F.round(F.sum("__s").over(wcum), 6).alias("__sl"),
+            )
+            .crossJoin(F.broadcast(tot))
+            .filter((F.col("__cl") > 0) & (F.col("__cl") < F.col("__ct")))
+            .withColumn(
+                "__gain",
+                F.round(
+                    F.col("__sl") * F.col("__sl") / F.col("__cl")
+                    + (F.col("__srt") - F.col("__sl"))
+                    * (F.col("__srt") - F.col("__sl"))
+                    / (F.col("__ct") - F.col("__cl")),
+                    9,
+                ),
+            )
+        )
+        wrank = Window.orderBy(
+            F.col("__gain").desc(), F.col("__f"), F.col("__bin")
+        )
+        winner = (
+            cand.withColumn("__rn", F.row_number().over(wrank))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "__f", "__bin",
+                F.round(F.lit(lr) * F.col("__sl") / F.col("__cl"), 6)
+                .alias("__lv"),
+                F.round(
+                    F.lit(lr) * (F.col("__srt") - F.col("__sl"))
+                    / (F.col("__ct") - F.col("__cl")),
+                    6,
+                ).alias("__rv"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        stump_parts.append(
+            winner.join(F.broadcast(feat_stats),
+                        winner["__f"] == F.col("__f2"))
+            .select(
+                F.lit(k).cast("long").alias("round"),
+                F.col("__f").alias("feature"),
+                F.round(F.col("__mn") + (F.col("__bin") + 1) * F.col("__w"),
+                        6).alias("threshold"),
+                F.col("__lv").alias("left_value"),
+                F.col("__rv").alias("right_value"),
+            )
+        )
+        resid = (
+            resid.join(F.broadcast(winner), F.lit(True), "left")
+            .select(
+                *[f"__b_{n}" for n in names],
+                F.when(F.col("__f").isNull(), F.col("__r"))
+                .otherwise(
+                    F.col("__r")
+                    - F.when(case_bin <= F.col("__bin"), F.col("__lv"))
+                    .otherwise(F.col("__rv"))
+                )
+                .alias("__r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    rmse = resid.agg(
+        F.round(F.sqrt(F.avg(F.col("__r") * F.col("__r"))), 6)
+        .alias("__rmse")
+    )
+    out = base.select(
+        F.lit(0).cast("long").alias("round"),
+        F.lit("base").alias("feature"),
+        F.lit(None).cast("double").alias("threshold"),
+        F.col("__f0").alias("left_value"),
+        F.col("__f0").alias("right_value"),
+    )
+    for part in stump_parts:
+        out = out.unionByName(part)
+    return out.crossJoin(F.broadcast(rmse)).select(
+        "round", "feature", "threshold", "left_value", "right_value",
+        F.col("__rmse").alias("train_rmse"),
+    )
+
+
+def boost_stumps_oracle_sql(
+    table: str,
+    target_sql: str,
+    features_sql: list[tuple[str, str]],
+    rounds: int = 4,
+    bins: int = 16,
+    lr: float = 0.5,
+) -> str:
+    """DuckDB replica of ``boost_stumps_train`` — the identical
+    round-by-round dataflow as CTEs with sums rounded 6 dp, gain 9 dp,
+    leaf values 6 dp at the same points."""
+    names = [n for n, _ in features_sql]
+    first = names[0]
+    feat_sel = ", ".join(
+        f"CAST({e} AS DOUBLE) AS {n}" for n, e in features_sql
+    )
+    null_guard = " AND ".join(
+        [f"({target_sql}) IS NOT NULL"]
+        + [f"({e}) IS NOT NULL" for _, e in features_sql]
+    )
+    st_sel = ", ".join(
+        f"min({n}) AS mn_{n}, max({n}) AS mx_{n}" for n in names
+    )
+    w_sel = ", ".join(
+        f"(mx_{n} - mn_{n}) / {float(bins)!r} AS w_{n}" for n in names
+    )
+    bin_sel = ", ".join(
+        f"CASE WHEN w_{n} = 0 THEN 0 ELSE least({bins - 1}, greatest(0, "
+        f"CAST(floor(({n} - mn_{n}) / w_{n}) AS INT))) END AS b_{n}"
+        for n in names
+    )
+    fstats = " UNION ALL ".join(
+        f"SELECT '{n}' AS feature, mn_{n} AS mn, w_{n} AS w FROM stw"
+        for n in names
+    )
+    bcols = ", ".join(f"b_{n}" for n in names)
+    unpivot_tpl = "\n      UNION ALL ".join(
+        f"SELECT r, '{n}' AS f, b_{n} AS bin FROM {{src}}" for n in names
+    )
+    case_bin = (
+        "CASE s.f "
+        + " ".join(f"WHEN '{n}' THEN r.b_{n}" for n in names)
+        + " END"
+    )
+    ctes = [
+        f"""raw AS MATERIALIZED (
+      SELECT CAST({target_sql} AS DOUBLE) AS y, {feat_sel}
+      FROM {table} WHERE {null_guard})""",
+        f"st AS MATERIALIZED (SELECT {st_sel} FROM raw)",
+        f"stw AS MATERIALIZED (SELECT *, {w_sel} FROM st)",
+        "base AS MATERIALIZED (SELECT round(avg(y), 6) AS f0 FROM raw)",
+        f"""r0 AS MATERIALIZED (
+      SELECT {bin_sel}, y - f0 AS r
+      FROM raw CROSS JOIN stw CROSS JOIN base)""",
+        f"fstats AS MATERIALIZED ({fstats})",
+    ]
+    stump_sel = []
+    for k in range(1, rounds + 1):
+        prev = f"r{k - 1}"
+        up = unpivot_tpl.format(src=prev)
+        ctes.append(
+            f"""h{k} AS MATERIALIZED (
+      SELECT f, bin, count(*) AS c, sum(r) AS s FROM (
+      {up}) u GROUP BY f, bin)"""
+        )
+        ctes.append(
+            f"""t{k} AS MATERIALIZED (
+      SELECT sum(c) AS ct, round(sum(s), 6) AS srt
+      FROM h{k} WHERE f = '{first}')"""
+        )
+        ctes.append(
+            f"""s{k} AS MATERIALIZED (
+      SELECT f, bin,
+             round({lr!r} * sl / cl, 6) AS lv,
+             round({lr!r} * (srt - sl) / (ct - cl), 6) AS rv
+      FROM (
+        SELECT *, row_number() OVER (ORDER BY
+          round(sl * sl / cl + (srt - sl) * (srt - sl) / (ct - cl), 9)
+            DESC, f, bin) AS rn
+        FROM (
+          SELECT h.f, h.bin,
+                 sum(h.c) OVER (PARTITION BY h.f ORDER BY h.bin) AS cl,
+                 round(sum(h.s) OVER (PARTITION BY h.f ORDER BY h.bin),
+                       6) AS sl,
+                 t.ct, t.srt
+          FROM h{k} h CROSS JOIN t{k} t) c
+        WHERE cl > 0 AND cl < ct) v
+      WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""r{k} AS MATERIALIZED (
+      SELECT {bcols},
+             CASE WHEN s.f IS NULL THEN r.r
+                  ELSE r.r - CASE WHEN {case_bin} <= s.bin
+                                  THEN s.lv ELSE s.rv END
+             END AS r
+      FROM {prev} r LEFT JOIN s{k} s ON TRUE)"""
+        )
+        stump_sel.append(
+            f"""SELECT CAST({k} AS BIGINT) AS round, s.f AS feature,
+             round(fs.mn + (s.bin + 1) * fs.w, 6) AS threshold,
+             s.lv AS left_value, s.rv AS right_value
+      FROM s{k} s JOIN fstats fs ON fs.feature = s.f"""
+        )
+    ctes.append(
+        f"""rmse AS (SELECT round(sqrt(avg(r * r)), 6) AS v
+      FROM r{rounds})"""
+    )
+    body = "\n      UNION ALL ".join(
+        [
+            "SELECT CAST(0 AS BIGINT) AS round, 'base' AS feature, "
+            "CAST(NULL AS DOUBLE) AS threshold, f0 AS left_value, "
+            "f0 AS right_value FROM base"
+        ]
+        + stump_sel
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT m.round, m.feature, m.threshold, m.left_value, m.right_value,
+           rmse.v AS train_rmse
+    FROM ({body}) m CROSS JOIN rmse"""
+    )

@@ -246,6 +246,7 @@ _CHECKED_PREFIX = [
     # --- new in the r8 continuation ---
     "quality_tree_train",
     "quality_tree_eval",
+    "quality_gbt_train",
 ]
 
 

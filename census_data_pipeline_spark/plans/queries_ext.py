@@ -3296,6 +3296,53 @@ def quality_tree_eval(spark, sf_dir):
     )
 
 
+@query(
+    "quality_gbt_train",
+    oracle=classify.boost_stumps_oracle_sql(
+        "documents",
+        "(length(text) - length(replace(text, 'e', ''))) "
+        "/ CAST(n_chars AS DOUBLE)",
+        [("f_chars", "n_chars"),
+         ("f_words", "length(text) - length(replace(text, ' ', '')) + 1"),
+         ("f_the_cnt",
+          "(length(text) - length(replace(text, 'the', ''))) / 3.0")],
+        rounds=4,
+        bins=16,
+        lr=0.5,
+    ),
+)
+def quality_gbt_train(spark, sf_dir):
+    """Gradient-boosted regression stumps trained INSIDE the engine
+    (functions/classify.boost_stumps_train — Friedman LS_Boost with the
+    histogram split search): predict each document's 'e'-character
+    ratio from the other three surface statistics, 4 boosting rounds.
+    Per round ONE codegen scan of the checkpointed binned frame builds
+    a map-side-combined F·16-cell residual histogram; the stump (1 row)
+    broadcasts back and residual updates stay row-local exact doubles,
+    so the oracle replicates the trajectory with sums rounded 6 dp and
+    gains 9 dp at identical points. On this corpus boosting picks the
+    'the'-count feature first — the cross-feature language signal —
+    and train RMSE falls monotonically from the base predictor."""
+    from census_data_pipeline_spark.functions import classify as _c
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = [
+        ("f_chars", F.col("n_chars")),
+        ("f_words",
+         F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "),
+                                               F.lit(""))) + F.lit(1)),
+        ("f_the_cnt",
+         (F.length("text") - F.length(F.replace(F.col("text"), F.lit("the"),
+                                                F.lit("")))) / F.lit(3.0)),
+    ]
+    target = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("e"), F.lit("")))
+    ) / F.col("n_chars").cast("double")
+    return _c.boost_stumps_train(docs, target, feats, rounds=4, bins=16,
+                                 lr=0.5)
+
+
 def _textrank_oracle(iters: int, d: float, min_len: int, k: int) -> str:
     """Unrolled-CTE replica of text.textrank_keywords: adjacent-token
     pair graph, symmetrized, then the same pagerank rounds as

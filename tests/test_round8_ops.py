@@ -644,3 +644,87 @@ def test_tree_confusion_counts_match_tree_leaves(spark):
         ).collect()
     }
     assert sum(v for v in conf.values()) == tree[1].n
+
+
+# --- gradient-boosted stumps (LS_Boost over the histogram machinery) --
+
+
+def test_boost_recovers_planted_step_and_shrinks_rmse(spark):
+    """Target = 2·step(x1 ≥ 0.6) + step(x2 ≥ 0.3) on a deterministic
+    grid: round 1 must split x1 at the 0.6 bin edge (twice the
+    variance), a later round must pick up x2 near 0.3, and train RMSE
+    must fall well below the target's std."""
+    from census_data_pipeline_spark.functions import classify
+
+    pts = [(i / 100.0, j / 10.0) for i in range(101) for j in range(11)]
+    df = spark.createDataFrame(pts, "x1 double, x2 double")
+    target = (
+        F.when(F.col("x1") >= 0.6, F.lit(2.0)).otherwise(F.lit(0.0))
+        + F.when(F.col("x2") >= 0.3, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    feats = [("x1", F.col("x1")), ("x2", F.col("x2"))]
+    rows = classify.boost_stumps_train(
+        df, target, feats, rounds=6, bins=10, lr=0.5
+    ).collect()
+    by_round = {r["round"]: r for r in rows}
+    assert by_round[0].feature == "base"
+    assert by_round[1].feature == "x1"
+    assert abs(by_round[1].threshold - 0.6) < 0.1 + 1e-9
+    assert any(
+        r.feature == "x2" and abs(r.threshold - 0.3) < 0.1 + 1e-9
+        for r in rows if r["round"] >= 1
+    )
+    # stump directions: left below the step, right above
+    assert by_round[1].left_value < 0 < by_round[1].right_value
+    # RMSE after 6 rounds with lr=0.5 must be far below the target std
+    import math
+
+    ys = [2.0 * (x1 >= 0.6) + 1.0 * (x2 >= 0.3) for x1, x2 in pts]
+    mean = sum(ys) / len(ys)
+    std = math.sqrt(sum((y - mean) ** 2 for y in ys) / len(ys))
+    assert rows[0].train_rmse < 0.35 * std
+
+
+def test_boost_constant_target_zero_stumps(spark):
+    """A constant target leaves zero residuals: every stump's values are
+    0 and RMSE is exactly 0 — the degenerate path stays well-formed."""
+    from census_data_pipeline_spark.functions import classify
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(40)], "x double"
+    )
+    rows = classify.boost_stumps_train(
+        df, F.lit(5.0), [("x", F.col("x"))], rounds=3, bins=8
+    ).collect()
+    assert all(r.train_rmse == 0.0 for r in rows)
+    for r in rows:
+        if r["round"] >= 1:
+            assert r.left_value == 0.0 and r.right_value == 0.0
+
+
+def test_boost_constant_feature_no_stump_rows(spark):
+    """With only constant features no valid split exists: the model is
+    just the base row and residuals pass through every round intact
+    (the left-join update), so RMSE equals the target's std."""
+    from census_data_pipeline_spark.functions import classify
+
+    df = spark.createDataFrame(
+        [(1.0, float(i % 2)) for i in range(40)], "x double, y double"
+    )
+    rows = classify.boost_stumps_train(
+        df, F.col("y"), [("x", F.col("x"))], rounds=3, bins=8
+    ).collect()
+    assert [r["round"] for r in rows] == [0]
+    assert rows[0].train_rmse == 0.5  # std of a fair 0/1 column
+
+
+def test_boost_guards(spark):
+    from census_data_pipeline_spark.functions import classify
+
+    df = spark.createDataFrame([(1.0, 1.0)], "x double, y double")
+    with pytest.raises(ValueError, match="rounds"):
+        classify.boost_stumps_train(df, F.col("y"), [("x", F.col("x"))],
+                                    rounds=0)
+    with pytest.raises(ValueError, match="bins"):
+        classify.boost_stumps_train(df, F.col("y"), [("x", F.col("x"))],
+                                    bins=1)
