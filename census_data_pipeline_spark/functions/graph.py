@@ -36,11 +36,23 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     broadcast_ranks: bool = False,
+    personalization: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (duplicate
     edges should be deduped upstream if unweighted semantics are wanted).
     Returns (id, rank) for every node appearing as src or dst; ranks sum
     to 1 every round (dangling mass is redistributed, not dropped).
+
+    ``personalization`` (a 1-column DataFrame of node ids) switches to
+    PERSONALIZED PageRank / TrustRank (Gyöngyi, Garcia-Molina &
+    Pedersen, VLDB 2004 — the seed-propagated authority score web-scale
+    curation pipelines run against a hand-vetted trust set): the
+    teleport distribution is uniform over the seed∩node set instead of
+    all nodes, dangling mass is redistributed to the SEEDS, and ranks
+    start at the teleport vector. Nodes unreachable from the seeds
+    decay to 0 — exactly the spam-demotion semantics. The uniform path
+    keeps its original arithmetic bit-for-bit (its SQL replicas unroll
+    that exact expression).
 
     ``broadcast_ranks=True`` broadcasts the per-round rank frame into the
     contribution join — the right shape whenever the NODE set fits in an
@@ -69,16 +81,47 @@ def pagerank(
     # count folded in ONCE — keeping __n a 1-row frame instead costs a
     # fresh broadcast exchange per round (checkpoint boundaries defeat
     # ReusedExchange), 5 jobs that carry a single long
-    base = (
-        nodes.join(outdeg, nodes["id"] == outdeg["src"], "left")
-        .crossJoin(F.broadcast(n))
-        .select("id", F.col("__deg").alias("__deg"), "__n")
-        .localCheckpoint(eager=False)
+    base = nodes.join(outdeg, nodes["id"] == outdeg["src"], "left").select(
+        "id", F.col("__deg").alias("__deg")
     )
-
-    ranks = base.select(
-        "id", "__deg", "__n", (F.lit(1.0) / F.col("__n")).alias("rank")
-    )
+    if personalization is not None:
+        seed_col = personalization.columns[0]
+        seeds = personalization.select(
+            F.col(seed_col).alias("__sid")
+        ).distinct()
+        marked = base.join(
+            F.broadcast(seeds), base["id"] == seeds["__sid"], "left"
+        ).select(
+            "id", "__deg", F.col("__sid").isNotNull().alias("__seed")
+        )
+        ns = marked.agg(
+            F.sum(F.col("__seed").cast("long")).alias("__ns")
+        )
+        base = (
+            marked.crossJoin(F.broadcast(ns))
+            .select(
+                "id", "__deg",
+                # ns=0 (no seed intersects the graph) degrades to the
+                # all-zero teleport instead of a divide-by-zero artifact
+                F.when(
+                    F.col("__seed") & (F.col("__ns") > 0),
+                    F.lit(1.0) / F.col("__ns"),
+                )
+                .otherwise(F.lit(0.0)).alias("__p"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        ranks = base.select("id", "__deg", "__p",
+                            F.col("__p").alias("rank"))
+    else:
+        base = (
+            base.crossJoin(F.broadcast(n))
+            .select("id", "__deg", "__n")
+            .localCheckpoint(eager=False)
+        )
+        ranks = base.select(
+            "id", "__deg", "__n", (F.lit(1.0) / F.col("__n")).alias("rank")
+        )
     d = float(damping)
     for _ in range(iterations):
         dangling = ranks.filter(F.col("__deg").isNull()).agg(
@@ -98,19 +141,28 @@ def pagerank(
             # hint it past AQE (post-broadcast-join stats are unknown, so
             # the rank-update join would otherwise shuffle both sides)
             contribs = F.broadcast(contribs)
+        if personalization is not None:
+            rank_col = (
+                (F.lit(1.0) - F.lit(d)) * F.col("__p")
+                + F.lit(d) * (
+                    F.coalesce(F.col("__sum"), F.lit(0.0))
+                    + F.col("__dm") * F.col("__p")
+                )
+            )
+            keep = ["id", "__deg", "__p"]
+        else:
+            rank_col = (
+                (F.lit(1.0) - F.lit(d)) / F.col("__n")
+                + F.lit(d) * (
+                    F.coalesce(F.col("__sum"), F.lit(0.0))
+                    + F.col("__dm") / F.col("__n")
+                )
+            )
+            keep = ["id", "__deg", "__n"]
         ranks = (
             base.crossJoin(F.broadcast(dangling))
             .join(contribs, base["id"] == contribs["dst"], "left")
-            .select(
-                "id", "__deg", "__n",
-                (
-                    (F.lit(1.0) - F.lit(d)) / F.col("__n")
-                    + F.lit(d) * (
-                        F.coalesce(F.col("__sum"), F.lit(0.0))
-                        + F.col("__dm") / F.col("__n")
-                    )
-                ).alias("rank"),
-            )
+            .select(*keep, rank_col.alias("rank"))
             .localCheckpoint(eager=False)
         )
     return ranks.select("id", "rank")

@@ -247,6 +247,7 @@ _CHECKED_PREFIX = [
     "quality_tree_train",
     "quality_tree_eval",
     "quality_gbt_train",
+    "graph_trustrank",
 ]
 
 

@@ -1895,6 +1895,92 @@ def _pagerank_oracle(iters: int = 5, d: float = 0.85) -> str:
     """
 
 
+def _trustrank_oracle(iters: int = 5, d: float = 0.85) -> str:
+    """DuckDB replica of seed-personalized PageRank (TrustRank): the
+    same unrolled power iteration as _pagerank_oracle but with the
+    teleport vector uniform over the seed∩node set and dangling mass
+    redistributed to the seeds."""
+    rounds = []
+    prev = "r0"
+    for t in range(iters):
+        cur = f"r{t + 1}"
+        rounds.append(f"""
+    {cur} AS (
+      SELECT b.id, b.deg, b.p,
+             (1.0 - {d!r}) * b.p + {d!r} * (
+               coalesce(s.c, 0.0) + dg.m * b.p) AS rank
+      FROM base b
+      CROSS JOIN (SELECT coalesce(sum(rank), 0.0) AS m FROM {prev}
+                  WHERE deg IS NULL) dg
+      LEFT JOIN (SELECT e.dst, sum(r.rank / r.deg) AS c
+                 FROM edges e JOIN {prev} r ON e.src = r.id
+                 GROUP BY e.dst) s ON b.id = s.dst
+    )""")
+        prev = cur
+    return f"""
+    WITH edges AS (SELECT DISTINCT 'c' || o.o_custkey AS src,
+                                   's' || l.l_suppkey AS dst
+                   FROM orders o
+                   JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    nodes AS (SELECT DISTINCT id FROM (
+                SELECT src AS id FROM edges
+                UNION ALL SELECT dst FROM edges)),
+    od AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS deg
+           FROM edges GROUP BY src),
+    seeds AS (SELECT DISTINCT 'c' || c_custkey AS id
+              FROM customer WHERE c_nationkey = 0),
+    base0 AS (SELECT n.id, od.deg, (s.id IS NOT NULL) AS is_seed
+              FROM nodes n LEFT JOIN od ON n.id = od.id
+              LEFT JOIN seeds s ON n.id = s.id),
+    ns AS (SELECT CAST(sum(CASE WHEN is_seed THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n FROM base0),
+    base AS (SELECT id, deg,
+                    CASE WHEN is_seed AND ns.n > 0 THEN 1.0 / ns.n
+                         ELSE 0.0 END AS p
+             FROM base0 CROSS JOIN ns),
+    r0 AS (SELECT id, deg, p, p AS rank FROM base),{",".join(rounds)}
+    SELECT id, round(rank, 6) AS trustrank FROM {prev}
+    """
+
+
+@query("graph_trustrank", oracle=_trustrank_oracle(iters=5, d=0.85))
+def graph_trustrank(spark, sf_dir):
+    """Seed-personalized PageRank / TrustRank (functions/graph.pagerank
+    with ``personalization`` — Gyöngyi et al., VLDB 2004): authority
+    propagated from a hand-vetted trust set, the seed-based
+    spam-demotion signal web-corpus curation pipelines run beside plain
+    PageRank. Seeds are the nation-0 customers present in the purchase
+    graph; teleport is uniform over them, dangling mass (every
+    supplier) returns to the seeds, and nodes unreachable from the
+    trust set decay toward 0. Same per-round shape as graph_pagerank
+    (edge⋈rank join, partial-agg contribution sum, 1-row dangling
+    broadcast, lazy localCheckpoint); the oracle unrolls the identical
+    p-vector formula."""
+    from census_data_pipeline_spark.functions import graph
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    e = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    seeds = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 0)
+        .select(F.concat(F.lit("c"), F.col("c_custkey")).alias("id"))
+    )
+    pr = graph.pagerank(e, iterations=5, damping=0.85,
+                        broadcast_ranks=True, personalization=seeds)
+    return pr.select("id", F.round("rank", 6).alias("trustrank"))
+
+
 @query("graph_pagerank", oracle=_pagerank_oracle(iters=5, d=0.85))
 def graph_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank (functions/graph.pagerank) over the

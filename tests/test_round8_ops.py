@@ -728,3 +728,51 @@ def test_boost_guards(spark):
     with pytest.raises(ValueError, match="bins"):
         classify.boost_stumps_train(df, F.col("y"), [("x", F.col("x"))],
                                     bins=1)
+
+
+# --- personalized PageRank / TrustRank --------------------------------
+
+
+def test_trustrank_mass_confined_and_conserved(spark):
+    """Two disconnected chains; seeds only in the first: every node of
+    the second component must decay to 0, total mass must stay 1 (the
+    dangling redistribution returns to the seeds), and the seed must
+    out-rank its downstream nodes."""
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "id string")
+    out = {r.id: r.rank
+           for r in graph.pagerank(e, iterations=8,
+                                   personalization=seeds).collect()}
+    assert out["x"] == 0.0 and out["y"] == 0.0
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+    assert out["a"] > out["b"] > 0 and out["c"] > 0
+
+
+def test_trustrank_no_seed_in_graph_all_zero(spark):
+    """A seed set disjoint from the graph degrades to the all-zero
+    teleport (documented), not a divide-by-zero artifact."""
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame([("zzz",)], "id string")
+    out = {r.id: r.rank
+           for r in graph.pagerank(e, iterations=3,
+                                   personalization=seeds).collect()}
+    assert out == {"a": 0.0, "b": 0.0}
+
+
+def test_trustrank_uniform_path_unchanged(spark):
+    """personalization=None must keep the original uniform arithmetic:
+    on a symmetric 2-cycle both variants give 0.5/0.5, and the uniform
+    result equals seed-everything personalization."""
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    uni = {r.id: r.rank for r in graph.pagerank(e, iterations=5).collect()}
+    assert uni["a"] == pytest.approx(0.5) and uni["b"] == pytest.approx(0.5)
+    allseeds = spark.createDataFrame([("a",), ("b",)], "id string")
+    per = {r.id: r.rank
+           for r in graph.pagerank(e, iterations=5,
+                                   personalization=allseeds).collect()}
+    assert per["a"] == pytest.approx(0.5) and per["b"] == pytest.approx(0.5)
