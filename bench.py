@@ -179,6 +179,11 @@ HEADLINE_NEW: list[str] = [
     "events_forecast_hourly",
     "events_forecast_backtest",
     "dq_l_diversity",
+    "quality_tree_train",
+    "quality_tree_eval",
+    "quality_gbt_train",
+    "graph_trustrank",
+    "search_ndcg_bm25",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from census_data_pipeline_spark.functions.text import tokens
 from census_data_pipeline_spark.operators.topk import top_k
@@ -195,4 +196,162 @@ def rrf_fuse(
         fused, by="rrf_score", k=k, tiebreak=["__id"]
     ).withColumnRenamed("__id", id_col).select(
         id_col, "rrf_score", "n_retrievers", "best_rank"
+    )
+
+
+def ndcg_for_terms(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    rel_cap: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ranking-quality evaluation for the retrieval family: per-term
+    nDCG@k of the BM25 ranking against capped-tf graded relevance
+    (rel = min(tf, ``rel_cap``) — the TREC-style 0..3 grade derived
+    deterministically from the corpus itself, so the metric needs no
+    external judgments). Linear-gain DCG (gain = rel, discount
+    1/log₂(pos+1)) — the original Järvelin–Kekäläinen form, which also
+    keeps every value small enough for exact cross-engine arithmetic.
+
+    Per term: the BM25 ranking's top-k (round-before-rank 6 dp, doc-id
+    tiebreak) gives DCG@k; the relevance-ordered top-k gives IDCG@k;
+    nDCG = DCG/IDCG (0 when no relevant docs exist). Output one row per
+    term: (term, dcg_at_k, idcg_at_k, ndcg).
+
+    Scale shape: ONE tokenize+tf pass over the corpus (shared by all
+    terms, lazily checkpointed) and one global stats row; each term
+    then costs two TakeOrderedAndProject top-k passes over the scored
+    projection — no global sort, no unpartitioned data-scale window
+    (positions are assigned on the k-row frames)."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    base = ensure_parallelism(docs).select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    ).withColumn("__dl", F.size("__toks").cast("long"))
+    for i, term in enumerate(terms):
+        base = base.withColumn(f"__tf{i}", _tf(F.col("__toks"), term))
+    base = base.drop("__toks").localCheckpoint(eager=False)
+    stats = base.agg(
+        F.count("*").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("int")).cast("long")
+            .alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    rows = []
+    for i, term in enumerate(terms):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__n") - F.col(f"__df{i}") + F.lit(0.5))
+            / (F.col(f"__df{i}") + F.lit(0.5))
+        )
+        tf = F.col(f"__tf{i}")
+        score = idf * (tf * F.lit(k1 + 1.0)) / (
+            tf + F.lit(k1) * (
+                F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+            )
+        )
+        scored = base.crossJoin(F.broadcast(stats)).select(
+            id_col,
+            F.round(score, 6).alias("__s"),
+            F.least(tf, F.lit(rel_cap)).alias("__rel"),
+        )
+        gains = []
+        for by, lbl in (("__s", "__dcg"), ("__rel", "__idcg")):
+            hits = top_k(scored, by=by, k=k, tiebreak=[id_col])
+            pos = F.row_number().over(
+                Window.orderBy(F.col(by).desc(), F.col(id_col))
+            )
+            gains.append(
+                hits.withColumn("__pos", pos).agg(
+                    F.round(
+                        F.sum(F.col("__rel") / F.log2(F.col("__pos") + 1)),
+                        6,
+                    ).alias(lbl)
+                )
+            )
+        rows.append(
+            gains[0].crossJoin(F.broadcast(gains[1])).select(
+                F.lit(term).alias("term"),
+                F.col("__dcg").alias("dcg_at_k"),
+                F.col("__idcg").alias("idcg_at_k"),
+                F.when(F.col("__idcg") == 0, F.lit(0.0))
+                .otherwise(F.round(F.col("__dcg") / F.col("__idcg"), 6))
+                .alias("ndcg"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def ndcg_oracle_sql(
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    rel_cap: int = 3,
+    table: str = "documents",
+) -> str:
+    """DuckDB replica of ``ndcg_for_terms`` — same tf/df/idf text, same
+    round-before-rank, same doc-id tiebreaks, same linear-gain DCG."""
+    tf_cols = ",\n                 ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n                 ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(terms))
+    )
+    denom = f"(1.0 - {b!r} + {b!r} * dl / avgdl)"
+    ctes = [
+        f"t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {table})",
+        f"""d AS (SELECT doc_id, len(toks) AS dl,
+                 {tf_cols}
+          FROM t)""",
+        f"""st AS (SELECT count(*) AS n, avg(dl) AS avgdl,
+                 {df_cols}
+           FROM d)""",
+    ]
+    selects = []
+    for i, term in enumerate(terms):
+        score = (
+            f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+            f" * (tf{i} * {k1 + 1.0!r}) / (tf{i} + {k1!r} * {denom})"
+        )
+        ctes.append(
+            f"""s{i} AS (SELECT doc_id, round({score}, 6) AS s,
+                 least(tf{i}, {rel_cap}) AS rel
+           FROM d CROSS JOIN st)"""
+        )
+        for by, tag in (("s", "g"), ("rel", "ig")):
+            ctes.append(
+                f"""{tag}h{i} AS (SELECT rel, row_number() OVER (
+                 ORDER BY {by} DESC, doc_id) AS pos
+           FROM (SELECT * FROM s{i}
+                 ORDER BY {by} DESC, doc_id LIMIT {k}) q)"""
+            )
+            ctes.append(
+                f"""{tag}{i} AS (SELECT round(sum(rel / log2(pos + 1)), 6)
+                 AS v FROM {tag}h{i})"""
+            )
+        selects.append(
+            f"""SELECT '{term}' AS term, g{i}.v AS dcg_at_k,
+             ig{i}.v AS idcg_at_k,
+             CASE WHEN ig{i}.v = 0 THEN 0.0
+                  ELSE round(g{i}.v / ig{i}.v, 6) END AS ndcg
+      FROM g{i} CROSS JOIN ig{i}"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + "\n    " + "\n    UNION ALL ".join(selects)
     )

@@ -200,13 +200,17 @@ the r7 end-of-round sweep AFTER driver_state.json was regenerated
 (graph_label_propagation, embedding_pca_power, dq_k_anonymity,
 sketch_cms_heavy_hitters — VERDICT r7 "What's wrong"). Those four lead
 the r8 prefix behind the flagship; the slots after them take this
-round's seven new queries as registered (ivm_retraction_refresh,
+round's new queries as registered (ivm_retraction_refresh,
 embedding_pca_topr, survival_by_segment, survival_logrank,
-events_forecast_hourly, events_forecast_backtest, dq_l_diversity) and
-the two queries whose fingerprints drifted under r8 edits
-(ivm_delta_join_refresh via the ivm_delta_join docstring pointer,
-streaming_session_5m via its reference-form demotion). 14 of 50 slots
-carry stale/new queries; the rest keep registration order."""
+events_forecast_hourly, events_forecast_backtest, dq_l_diversity, then
+the continuation's quality_tree_train/quality_tree_eval/
+quality_gbt_train/graph_trustrank) and the queries whose fingerprints
+drifted under r8 edits (ivm_delta_join_refresh via the ivm_delta_join
+docstring pointer, streaming_session_5m via its reference-form
+demotion, graph_pagerank + text_textrank_keywords via the PageRank
+exchange trim and the personalization parameter, embedding_pca_power +
+embedding_pca_topr via the driver-side power-iteration solve). 19 of
+50 slots carry stale/new queries; the rest keep registration order."""
 
 from census_data_pipeline_spark.plans import (  # noqa: F401
     queries_analytics,
@@ -248,6 +252,7 @@ _CHECKED_PREFIX = [
     "quality_tree_eval",
     "quality_gbt_train",
     "graph_trustrank",
+    "search_ndcg_bm25",
 ]
 
 

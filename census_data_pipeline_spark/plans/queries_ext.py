@@ -1311,6 +1311,23 @@ _BM25_TERMS = ["vector", "stream", "merge"]
 
 
 @query(
+    "search_ndcg_bm25",
+    oracle=search.ndcg_oracle_sql(_BM25_TERMS, k=10),
+)
+def search_ndcg_bm25(spark, sf_dir):
+    """Ranking-quality evaluation beside the retrieval operators
+    (functions/search.ndcg_for_terms): per-term nDCG@10 of the BM25
+    ranking against capped-tf graded relevance (TREC-style 0..3 grade
+    derived from the corpus itself), linear-gain Järvelin–Kekäläinen
+    DCG. ONE shared tokenize+tf pass (lazily checkpointed), then two
+    TakeOrderedAndProject top-k passes per term; positions assigned on
+    the k-row frames only. Round-before-rank + doc-id tiebreaks keep
+    both engines' rankings identical; same-parameter generated oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return search.ndcg_for_terms(docs, _BM25_TERMS, k=10)
+
+
+@query(
     "search_bm25",
     oracle=search.bm25_oracle_sql(_BM25_TERMS, k=25),
 )

@@ -776,3 +776,60 @@ def test_trustrank_uniform_path_unchanged(spark):
            for r in graph.pagerank(e, iterations=5,
                                    personalization=allseeds).collect()}
     assert per["a"] == pytest.approx(0.5) and per["b"] == pytest.approx(0.5)
+
+
+# --- nDCG@k ranking evaluation ----------------------------------------
+
+
+def test_ndcg_perfect_and_degraded_rankings(spark):
+    """Hand-built corpus where one term's BM25 ranking is provably ideal
+    (higher tf => higher score, equal lengths) -> nDCG = 1; a term
+    absent everywhere -> dcg = idcg = 0 -> ndcg = 0 (defined, not NaN);
+    hand-computed idcg for the graded column."""
+    from census_data_pipeline_spark.functions import search
+
+    rows = [
+        (1, "apple apple apple pad pad"),   # tf(apple)=3 -> rel 3
+        (2, "apple apple pad pad pad"),     # rel 2
+        (3, "apple pad pad pad pad"),       # rel 1
+        (4, "pad pad pad pad pad"),         # rel 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.term: r for r in search.ndcg_for_terms(
+        df, ["apple", "zzz"], k=3).collect()}
+    import math
+
+    ideal = 3 / math.log2(2) + 2 / math.log2(3) + 1 / math.log2(4)
+    assert out["apple"].ndcg == pytest.approx(1.0)
+    assert out["apple"].idcg_at_k == pytest.approx(ideal, abs=2e-6)
+    assert out["zzz"].dcg_at_k == 0.0 and out["zzz"].ndcg == 0.0
+
+
+def test_ndcg_detects_length_normalization_demotion(spark):
+    """BM25's length normalization demotes a long document that carries
+    the highest raw tf — nDCG@k must drop below 1 exactly because the
+    graded-ideal order disagrees with the BM25 order."""
+    from census_data_pipeline_spark.functions import search
+
+    rows = [
+        (1, "apple " * 4 + "pad " * 396),   # tf 4 but 400 tokens long
+        (2, "apple apple apple"),           # tf 3, short
+        (3, "apple pad"),                   # tf 1
+    ]
+    df = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+    )
+    out = {r.term: r for r in search.ndcg_for_terms(
+        df, ["apple"], k=2, rel_cap=50).collect()}
+    r = out["apple"]
+    assert r.ndcg < 1.0 and r.dcg_at_k < r.idcg_at_k
+
+
+def test_ndcg_guards(spark):
+    from census_data_pipeline_spark.functions import search
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="terms"):
+        search.ndcg_for_terms(df, [])
+    with pytest.raises(ValueError, match="k must"):
+        search.ndcg_for_terms(df, ["a"], k=0)
