@@ -184,6 +184,7 @@ HEADLINE_NEW: list[str] = [
     "quality_gbt_train",
     "graph_trustrank",
     "search_ndcg_bm25",
+    "events_forecast_conformal",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is

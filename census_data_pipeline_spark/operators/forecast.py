@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _r6(c: Column) -> Column:
@@ -237,4 +238,66 @@ def holt_winters_backtest(
     return fc.join(actual, [*key_cols, "h"]).select(
         *key_cols, "h", "forecast", "actual",
         _r6(F.abs(F.col("forecast") - F.col("actual"))).alias("abs_err"),
+    )
+
+
+def holt_winters_conformal(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    value_col: str,
+    m: int = 24,
+    alpha: float = 0.2,
+    beta: float = 0.1,
+    gamma: float = 0.3,
+    horizon: int = 24,
+    coverage: float = 0.8,
+) -> DataFrame:
+    """SPLIT-CONFORMAL prediction bands for the Holt-Winters forecast
+    (Vovk's inductive conformal prediction, the distribution-free
+    interval the capacity-planning consumer actually needs): calibrate
+    on the per-key holdout |errors| from ``holt_winters_backtest``, take
+    the ⌈(H+1)·coverage⌉-th smallest as the conformal radius q̂ (capped
+    at H — the finite-sample-valid order statistic, an INTEGER index so
+    both engines pick the identical error, no percentile
+    interpolation), then band the full-series forward forecast at ± q̂.
+
+    Returns (keys..., h, forecast, lo, hi, qhat). Keys whose series are
+    too short for the backtest (under 2m+horizon buckets) drop out —
+    no calibration, no interval, by design.
+
+    Scale shape: the backtest (two smoothing folds over horizon-bounded
+    per-key series) plus a row_number window over the H-row-per-key
+    calibration frame (aggregate-sized) and one broadcast join of the
+    1-row-per-key radius onto the forward forecast."""
+    if not 0.0 < coverage < 1.0:
+        raise ValueError("coverage must be in (0, 1)")
+    bt = holt_winters_backtest(
+        series, key_cols, t_col, value_col, m=m, alpha=alpha, beta=beta,
+        gamma=gamma, horizon=horizon,
+    )
+    win = Window.partitionBy(*key_cols).orderBy("abs_err", "h")
+    hn = bt.groupBy(*key_cols).agg(F.count("*").alias("__hn"))
+    ranked = (
+        bt.select(*key_cols, "h", "abs_err")
+        .withColumn("__rk", F.row_number().over(win))
+        .join(F.broadcast(hn), key_cols)
+    )
+    q = ranked.filter(
+        F.col("__rk")
+        == F.least(
+            F.ceil((F.col("__hn") + 1) * F.lit(float(coverage)))
+            .cast("long"),
+            F.col("__hn"),
+        )
+    ).select(*key_cols, F.col("abs_err").alias("qhat"))
+    fc = holt_winters_forecast(
+        series, key_cols, t_col, value_col, m=m, alpha=alpha, beta=beta,
+        gamma=gamma, horizon=horizon,
+    )
+    return fc.join(F.broadcast(q), key_cols).select(
+        *key_cols, "h", "forecast",
+        _r6(F.col("forecast") - F.col("qhat")).alias("lo"),
+        _r6(F.col("forecast") + F.col("qhat")).alias("hi"),
+        "qhat",
     )

@@ -253,6 +253,7 @@ _CHECKED_PREFIX = [
     "quality_gbt_train",
     "graph_trustrank",
     "search_ndcg_bm25",
+    "events_forecast_conformal",
 ]
 
 

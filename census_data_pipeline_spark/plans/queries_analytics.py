@@ -3799,6 +3799,93 @@ def events_forecast_backtest(spark, sf_dir):
     )
 
 
+_HW_CONFORMAL_ORACLE = f"""
+    WITH {_HW_S0_CTE},
+    act AS (SELECT s0.event_type,
+                   CAST(s0.t - cut.cutoff AS BIGINT) AS h,
+                   s0.y AS actual
+            FROM s0 JOIN cut ON cut.event_type = s0.event_type
+            WHERE s0.t > cut.cutoff),
+    bt AS (SELECT f.event_type, f.h,
+                  floor(abs(f.forecast - a.actual) * 1000000.0 + 0.5)
+                    / 1000000.0 AS abs_err
+           FROM ({holt_winters_oracle_sql(
+        '''series AS (
+          SELECT s0.event_type AS event_type, s0.t, s0.y
+          FROM s0 JOIN cut ON cut.event_type = s0.event_type
+          WHERE s0.t <= cut.cutoff)''',
+        key="event_type")}) f
+           JOIN act a ON a.event_type = f.event_type AND a.h = f.h),
+    hn AS (SELECT event_type, count(*) AS n FROM bt GROUP BY 1),
+    q AS (SELECT event_type, abs_err AS qhat FROM (
+            SELECT bt.event_type, bt.abs_err,
+                   row_number() OVER (PARTITION BY bt.event_type
+                                      ORDER BY bt.abs_err, bt.h) AS rk,
+                   hn.n
+            FROM bt JOIN hn ON hn.event_type = bt.event_type) r
+          WHERE rk = least(CAST(ceil((n + 1) * 0.8) AS BIGINT), n))
+    SELECT f.event_type, f.h, f.forecast,
+           floor((f.forecast - q.qhat) * 1000000.0 + 0.5)
+             / 1000000.0 AS lo,
+           floor((f.forecast + q.qhat) * 1000000.0 + 0.5)
+             / 1000000.0 AS hi,
+           q.qhat
+    FROM ({holt_winters_oracle_sql(
+        "series AS (SELECT event_type, t, y FROM s0)",
+        key="event_type")}) f
+    JOIN q ON q.event_type = f.event_type
+    """
+
+
+@query("events_forecast_conformal", oracle=_HW_CONFORMAL_ORACLE)
+def events_forecast_conformal(spark, sf_dir):
+    """Distribution-free prediction bands on the hourly forecast
+    (operators/forecast.holt_winters_conformal — split/inductive
+    conformal prediction): calibrate on the 24 holdout |errors| from
+    the backtest, take the ⌈(H+1)·0.8⌉-th smallest as the per-key
+    conformal radius (an integer order statistic — both engines pick
+    the identical error, no percentile interpolation), band the
+    forward forecast at ± q̂. Output: (event_type, h, forecast, lo, hi,
+    qhat). The calibration window runs over the 24-row-per-key error
+    frame; the radius is a 1-row-per-key broadcast join — nothing
+    data-scale beyond the two smoothing folds the forecast pair
+    already pays."""
+    from pyspark.sql import Window
+
+    from census_data_pipeline_spark.operators import forecast
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hb")
+    ).agg(F.count("*").alias("y"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hb").alias("lo"), F.max("hb").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hb"),
+    )
+    series = (
+        grid.join(hourly, ["event_type", "hb"], "left")
+        .select(
+            "event_type", "hb",
+            F.coalesce(F.col("y"), F.lit(0)).cast("double").alias("y"),
+        )
+        .withColumn(
+            "t",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("hb")
+            ),
+        )
+    )
+    return forecast.holt_winters_conformal(
+        series, ["event_type"], "t", "y", m=24,
+        alpha=0.2, beta=0.1, gamma=0.3, horizon=24, coverage=0.8,
+    )
+
+
 @query("survival_by_segment",
        oracle=kaplan_meier_grouped_oracle_sql(_KM_COHORT_DUR_CTE))
 def survival_by_segment(spark, sf_dir):

@@ -833,3 +833,62 @@ def test_ndcg_guards(spark):
         search.ndcg_for_terms(df, [])
     with pytest.raises(ValueError, match="k must"):
         search.ndcg_for_terms(df, ["a"], k=0)
+
+
+# --- split-conformal forecast bands -----------------------------------
+
+
+def _hourly_series(spark, n_keys=1, hours=96, amp=10.0):
+    """Deterministic seasonal series builder: y = amp·(1 + sin-ish
+    periodic term via modular arithmetic), one row per (key, t)."""
+    rows = []
+    for k in range(n_keys):
+        for t in range(1, hours + 1):
+            y = amp * (1.0 + ((t % 24) / 24.0)) + k
+            rows.append((f"k{k}", t, y))
+    return spark.createDataFrame(rows, "key string, t int, y double")
+
+
+def test_conformal_bands_contain_forecast_and_calibrate(spark):
+    """Bands must be symmetric around the forecast with the per-key
+    radius equal to the ceil((H+1)·cov)-th smallest backtest error, and
+    on a noiseless periodic series (near-zero backtest error) the bands
+    must be tight."""
+    from census_data_pipeline_spark.operators import forecast
+
+    s = _hourly_series(spark, n_keys=2, hours=96)
+    out = forecast.holt_winters_conformal(
+        s, ["key"], "t", "y", m=24, horizon=24, coverage=0.8
+    ).collect()
+    assert len(out) == 2 * 24
+    bt = forecast.holt_winters_backtest(
+        s, ["key"], "t", "y", m=24, horizon=24
+    ).collect()
+    import math
+
+    for key in ("k0", "k1"):
+        errs = sorted(r.abs_err for r in bt if r.key == key)
+        h = len(errs)
+        expected_q = errs[min(math.ceil((h + 1) * 0.8), h) - 1]
+        for r in out:
+            if r.key != key:
+                continue
+            assert r.qhat == expected_q
+            assert r.lo == pytest.approx(r.forecast - r.qhat, abs=1e-6)
+            assert r.hi == pytest.approx(r.forecast + r.qhat, abs=1e-6)
+        # noiseless periodic series -> tiny calibration errors
+        assert expected_q < 0.5
+
+
+def test_conformal_short_series_dropped_and_guard(spark):
+    from census_data_pipeline_spark.operators import forecast
+
+    s = _hourly_series(spark, n_keys=1, hours=60)  # < 2m + horizon
+    out = forecast.holt_winters_conformal(
+        s, ["key"], "t", "y", m=24, horizon=24
+    ).collect()
+    assert out == []
+    with pytest.raises(ValueError, match="coverage"):
+        forecast.holt_winters_conformal(
+            s, ["key"], "t", "y", coverage=1.5
+        )
