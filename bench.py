@@ -185,6 +185,7 @@ HEADLINE_NEW: list[str] = [
     "graph_trustrank",
     "search_ndcg_bm25",
     "events_forecast_conformal",
+    "quality_logreg_calibration",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is

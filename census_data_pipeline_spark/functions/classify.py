@@ -36,26 +36,18 @@ from pyspark.sql.window import Window
 from census_data_pipeline_spark.sources.catalog import ensure_parallelism
 
 
-def logreg_train(
+def _logreg_fit(
     df: DataFrame,
     label: Column,
     features: list[tuple[str, Column]],
-    iterations: int = 8,
-    lr: float = 0.5,
-) -> DataFrame:
-    """Train binary logistic regression by full-batch gradient descent.
-
-    ``label`` must evaluate to 0.0/1.0; ``features`` is an ordered list
-    of (name, expression). Features are z-score standardized (population
-    std; mean/std rounded to 6 dp, z rounded to 6 dp) so one learning
-    rate fits all scales and the oracle sees identical inputs. Weights
-    start at zero; each round computes p = sigmoid(b + w·z), the mean
-    gradient (rounded 6 dp), and the update w ← round(w − lr·g, 6).
-
-    Returns one row per coefficient: (feature, weight, train_accuracy)
-    with feature = 'bias' first, accuracy = share of rows where the
-    final margin's sign matches the label (margin rounded 6 dp before
-    the sign test so both engines agree at the boundary)."""
+    iterations: int,
+    lr: float,
+):
+    """Shared GD loop behind ``logreg_train`` (coefficient rows) and
+    ``logreg_calibration`` (reliability bins): standardize once, run the
+    fixed rounds, return (z frame, final 1-row weight frame, names,
+    margin builder). Semantics and rounding points unchanged from the
+    original inline loop."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     names = [n for n, _ in features]
@@ -114,6 +106,30 @@ def logreg_train(
             )
             .localCheckpoint(eager=False)
         )
+    return z, w, names, margin
+
+
+def logreg_train(
+    df: DataFrame,
+    label: Column,
+    features: list[tuple[str, Column]],
+    iterations: int = 8,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Train binary logistic regression by full-batch gradient descent.
+
+    ``label`` must evaluate to 0.0/1.0; ``features`` is an ordered list
+    of (name, expression). Features are z-score standardized (population
+    std; mean/std rounded to 6 dp, z rounded to 6 dp) so one learning
+    rate fits all scales and the oracle sees identical inputs. Weights
+    start at zero; each round computes p = sigmoid(b + w·z), the mean
+    gradient (rounded 6 dp), and the update w ← round(w − lr·g, 6).
+
+    Returns one row per coefficient: (feature, weight, train_accuracy)
+    with feature = 'bias' first, accuracy = share of rows where the
+    final margin's sign matches the label (margin rounded 6 dp before
+    the sign test so both engines agree at the boundary)."""
+    z, w, names, margin = _logreg_fit(df, label, features, iterations, lr)
     acc = (
         z.crossJoin(F.broadcast(w))
         .agg(
@@ -149,16 +165,16 @@ def logreg_train(
     return out
 
 
-def logreg_oracle_sql(
+def _logreg_oracle_parts(
     table: str,
     label_sql: str,
     features_sql: list[tuple[str, str]],
     iterations: int = 8,
     lr: float = 0.5,
-) -> str:
-    """DuckDB replica of ``logreg_train`` — unrolled-CTE gradient
-    descent with rounding at the identical points (standardized
-    features, per-round gradients and weights, final margin)."""
+):
+    """Shared CTE assembly behind ``logreg_oracle_sql`` and
+    ``logreg_calibration_oracle_sql``: the unrolled GD rounds. Returns
+    (ctes, final_weight_cte, margin_expr, names)."""
     names = [n for n, _ in features_sql]
     feat_sel = ", ".join(f"CAST({e} AS DOUBLE) AS {n}" for n, e in features_sql)
     st_sel = ", ".join(
@@ -198,6 +214,22 @@ def logreg_oracle_sql(
             f"w{t} AS MATERIALIZED (SELECT {w_sel} FROM {prev} CROSS JOIN g{t})"
         )
         prev = f"w{t}"
+    return ctes, prev, marg, names
+
+
+def logreg_oracle_sql(
+    table: str,
+    label_sql: str,
+    features_sql: list[tuple[str, str]],
+    iterations: int = 8,
+    lr: float = 0.5,
+) -> str:
+    """DuckDB replica of ``logreg_train`` — unrolled-CTE gradient
+    descent with rounding at the identical points (standardized
+    features, per-round gradients and weights, final margin)."""
+    ctes, prev, marg, names = _logreg_oracle_parts(
+        table, label_sql, features_sql, iterations, lr
+    )
     ctes.append(
         f"""acc AS (SELECT round(avg(CASE WHEN
       (round({marg}, 6) >= 0) = (y = 1.0) THEN 1.0 ELSE 0.0 END), 6)
@@ -1037,4 +1069,96 @@ def boost_stumps_oracle_sql(
     SELECT m.round, m.feature, m.threshold, m.left_value, m.right_value,
            rmse.v AS train_rmse
     FROM ({body}) m CROSS JOIN rmse"""
+    )
+
+
+def logreg_calibration(
+    df: DataFrame,
+    label: Column,
+    features: list[tuple[str, Column]],
+    iterations: int = 8,
+    lr: float = 0.5,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for the trained logistic regression — the
+    calibration contract beside accuracy (``logreg_train``) and the
+    tree/boosting evals: bin the 6-dp-rounded predicted probability
+    p = σ(margin) into ``n_bins`` equal-width bins and compare the
+    bin's mean prediction to its observed positive rate. A
+    well-calibrated classifier shows |mean_pred − frac_pos| ≈ 0 per
+    bin; the gap column is what a release gate thresholds on before
+    trusting the scores as sampling weights.
+
+    Returns (bin, n, mean_pred, frac_pos, gap) for non-empty bins.
+
+    Scale shape: the same fit as ``logreg_train`` (the shared GD loop),
+    then ONE codegen scan computing p and its bin (floor arithmetic on
+    the rounded p — both engines bin identically) into an
+    ``n_bins``-cell partial-aggregated groupBy."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    z, w, names, margin = _logreg_fit(df, label, features, iterations, lr)
+    p = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-margin())), 6
+    )
+    scored = z.crossJoin(F.broadcast(w)).select(
+        "__y",
+        p.alias("__p"),
+    ).select(
+        "__y", "__p",
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor(F.col("__p") * F.lit(float(n_bins))).cast("int"),
+        ).alias("__bin"),
+    )
+    return (
+        scored.groupBy("__bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("__p"), 6).alias("mean_pred"),
+            F.round(F.avg("__y"), 6).alias("frac_pos"),
+        )
+        .select(
+            F.col("__bin").cast("long").alias("bin"),
+            F.col("n").cast("long").alias("n"),
+            "mean_pred",
+            "frac_pos",
+            F.round(F.abs(F.col("mean_pred") - F.col("frac_pos")), 6)
+            .alias("gap"),
+        )
+    )
+
+
+def logreg_calibration_oracle_sql(
+    table: str,
+    label_sql: str,
+    features_sql: list[tuple[str, str]],
+    iterations: int = 8,
+    lr: float = 0.5,
+    n_bins: int = 10,
+) -> str:
+    """DuckDB replica of ``logreg_calibration`` — the shared GD CTEs,
+    then the identical round-6 sigmoid, floor binning and per-bin
+    aggregate."""
+    ctes, prev, marg, names = _logreg_oracle_parts(
+        table, label_sql, features_sql, iterations, lr
+    )
+    ctes.append(
+        f"""cal AS (SELECT y,
+      round(1.0 / (1.0 + exp(-({marg}))), 6) AS p
+      FROM z CROSS JOIN {prev})"""
+    )
+    ctes.append(
+        f"""binned AS (SELECT y, p,
+      least({n_bins - 1}, CAST(floor(p * {float(n_bins)!r}) AS INT)) AS bin
+      FROM cal)"""
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+           round(avg(p), 6) AS mean_pred,
+           round(avg(y), 6) AS frac_pos,
+           round(abs(round(avg(p), 6) - round(avg(y), 6)), 6) AS gap
+    FROM binned GROUP BY bin"""
     )

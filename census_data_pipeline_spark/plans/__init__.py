@@ -254,6 +254,9 @@ _CHECKED_PREFIX = [
     "graph_trustrank",
     "search_ndcg_bm25",
     "events_forecast_conformal",
+    "quality_logreg_calibration",
+    # quality_logreg_train drifts via the _logreg_fit extraction
+    "quality_logreg_train",
 ]
 
 

@@ -3446,6 +3446,55 @@ def quality_gbt_train(spark, sf_dir):
                                  lr=0.5)
 
 
+@query(
+    "quality_logreg_calibration",
+    oracle=classify.logreg_calibration_oracle_sql(
+        "documents",
+        "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END",
+        _LOGREG_FEATURES_SQL,
+        iterations=8,
+        lr=0.5,
+        n_bins=10,
+    ),
+)
+def quality_logreg_calibration(spark, sf_dir):
+    """Reliability diagram for the trained quality classifier
+    (functions/classify.logreg_calibration): the calibration contract
+    beside accuracy — bin the 6-dp predicted probability into 10
+    equal-width bins and compare each bin's mean prediction to its
+    observed positive rate; the per-bin |gap| is what a release gate
+    thresholds on before trusting the scores as sampling weights. Same
+    fit as quality_logreg_train (shared GD loop), then ONE codegen scan
+    into a 10-cell partial-aggregated groupBy. The oracle reuses the
+    unrolled GD CTEs and replicates the round-6 sigmoid + floor
+    binning."""
+    from census_data_pipeline_spark.functions import classify as _c
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = [
+        ("f_chars", F.col("n_chars")),
+        ("f_words",
+         F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "),
+                                               F.lit(""))) + F.lit(1)),
+        ("f_e_ratio",
+         (F.length("text") - F.length(F.replace(F.col("text"), F.lit("e"),
+                                                F.lit(""))))
+         / F.col("n_chars").cast("double")),
+        ("f_the_cnt",
+         (F.length("text") - F.length(F.replace(F.col("text"), F.lit("the"),
+                                                F.lit(""))))
+         / F.lit(3.0)),
+    ]
+    return _c.logreg_calibration(
+        docs,
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)),
+        feats,
+        iterations=8,
+        lr=0.5,
+        n_bins=10,
+    )
+
+
 def _textrank_oracle(iters: int, d: float, min_len: int, k: int) -> str:
     """Unrolled-CTE replica of text.textrank_keywords: adjacent-token
     pair graph, symmetrized, then the same pagerank rounds as

@@ -892,3 +892,54 @@ def test_conformal_short_series_dropped_and_guard(spark):
         forecast.holt_winters_conformal(
             s, ["key"], "t", "y", coverage=1.5
         )
+
+
+# --- logreg calibration bins ------------------------------------------
+
+
+def test_calibration_constant_classifier_is_perfect(spark):
+    """With a label-independent feature (x flips every 4 rows, y fires
+    once per 4-row block — P(y|x) = 0.25 for both x values) the fitted
+    model predicts ~the base rate for every row: one occupied bin whose
+    mean prediction matches the observed positive rate (gap ≈ 0) and
+    whose n is the corpus size."""
+    from census_data_pipeline_spark.functions import classify
+
+    df = spark.createDataFrame(
+        [(float((i // 4) % 2), i % 4 == 0) for i in range(80)],
+        "x double, y boolean",
+    )
+    rows = classify.logreg_calibration(
+        df, F.col("y").cast("double"), [("x", F.col("x"))], iterations=24
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n == 80 and r.frac_pos == pytest.approx(0.25)
+    assert r.gap == pytest.approx(abs(r.mean_pred - 0.25), abs=1e-6)
+    assert r.gap < 0.05  # GD converges toward the base rate
+
+
+def test_calibration_separable_data_polarizes_bins(spark):
+    """On linearly separable data the model pushes probabilities toward
+    the extremes: the low bins must be all-negative, the high bins
+    all-positive, and every occupied bin consistent (frac_pos in
+    {0, 1})."""
+    from census_data_pipeline_spark.functions import classify
+
+    df = spark.createDataFrame(
+        [(float(i), i >= 50) for i in range(100)], "x double, y boolean"
+    )
+    rows = classify.logreg_calibration(
+        df, F.col("y").cast("double"), [("x", F.col("x"))], iterations=8
+    ).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        if r.bin <= 3:
+            assert r.frac_pos == 0.0
+        if r.bin >= 6:
+            assert r.frac_pos == 1.0
+    assert sum(r.n for r in rows) == 100
+    with pytest.raises(ValueError, match="n_bins"):
+        classify.logreg_calibration(
+            df, F.col("y").cast("double"), [("x", F.col("x"))], n_bins=1
+        )

@@ -242,6 +242,29 @@ def main() -> None:
             depth=2,
         )
 
+    def fam_gbt_stumps(d, e, g):
+        from census_data_pipeline_spark.functions import classify
+        return classify.boost_stumps_train(
+            d,
+            (F.length("text") % 97).cast("double"),
+            [
+                ("f_chars", F.length("text")),
+                ("f_words",
+                 F.length("text")
+                 - F.length(F.replace(F.col("text"), F.lit(" "),
+                                      F.lit(""))) + F.lit(1)),
+            ],
+            rounds=4,
+            bins=16,
+        )
+
+    def fam_trustrank(d, e, g):
+        seeds = g.filter(F.col("src").rlike("_c17$|^c17$")).select(
+            F.col("src").alias("id")
+        ).distinct()
+        return graph.pagerank(g, iterations=5, broadcast_ranks=True,
+                              personalization=seeds)
+
     def fam_pca_catalyst(d, e, g):
         return similarity.pca_power_dominant(e, "embedding", iterations=8,
                                              moments="catalyst")
@@ -273,6 +296,8 @@ def main() -> None:
         "label_propagation": fam_label_propagation,
         "logreg": fam_logreg,
         "tree_hist": fam_tree_hist,
+        "gbt_stumps": fam_gbt_stumps,
+        "trustrank": fam_trustrank,
         "pca_catalyst": fam_pca_catalyst,
         "pca_arrow": fam_pca_arrow,
         "bfs": fam_bfs,
