@@ -667,3 +667,144 @@ def nearest_site_join_grid(
     for part in resolved_parts[1:]:
         out = out.unionByName(part)
     return out
+
+
+def dbscan_grid(
+    points: DataFrame,
+    eps: float,
+    min_pts: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Density-based spatial clustering (DBSCAN, Ester et al. KDD'96)
+    as a distributed dataflow — the grid-partitioned formulation every
+    MapReduce-DBSCAN paper reduces to: candidate neighbor pairs come
+    from a hash equi-join on eps-sized grid cells (a point's disc can
+    only reach the 3×3 cell block around it, so the join is EXACT, not
+    approximate), never a cross join.
+
+    Planar Euclidean semantics on (x, y); the eps test compares SQUARED
+    distance to eps² (no sqrt — exact arithmetic in both engines).
+    Standard DBSCAN roles with deterministic tie-breaks:
+
+    - core: |N_eps(p)| ≥ min_pts, the neighborhood INCLUDING p itself;
+    - cluster: connected components over core-core eps-pairs
+      (functions/dedup.dup_clusters star form — O(log² n) rounds),
+      labeled by the minimum member id; a core with no core neighbor is
+      its own singleton cluster;
+    - border: non-core within eps of ≥1 core — assigned the MINIMUM
+      cluster id among its core neighbors (the deterministic resolution
+      of DBSCAN's classic border ambiguity);
+    - noise: everything else (cluster is NULL).
+
+    Returns (id, role 'core'|'border'|'noise', cluster).
+
+    Scale shape: the 3×3 explode is map-side (×9 narrow rows); the
+    candidate join hashes on cell ids, so work concentrates where
+    density does — the pair count is Σ_cell |cell|·|3×3 block|, the
+    quantity every distributed DBSCAN bounds. Neighbor counts are one
+    partial-aggregated groupBy; the CC runs on the (small) core-core
+    edge set; border assignment is one more aggregate over the already-
+    computed pair frame."""
+    if eps <= 0:
+        raise ValueError("eps must be > 0")
+    if min_pts < 1:
+        raise ValueError("min_pts must be >= 1")
+    from census_data_pipeline_spark.functions.dedup import dup_clusters
+    from census_data_pipeline_spark.sources.catalog import (
+        ensure_parallelism,
+    )
+
+    p = ensure_parallelism(points).select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    ).select(
+        "*",
+        F.floor(F.col("x") / F.lit(float(eps))).cast("long").alias("cx"),
+        F.floor(F.col("y") / F.lit(float(eps))).cast("long").alias("cy"),
+    ).localCheckpoint(eager=False)
+
+    offs = F.expr("explode(array(-1, 0, 1))")
+    a = (
+        p.select(
+            F.col("id").alias("__ai"), F.col("x").alias("__ax"),
+            F.col("y").alias("__ay"), "cx", "cy",
+        )
+        .withColumn("__dx", offs)
+        .withColumn("__dy", offs)
+        .select(
+            "__ai", "__ax", "__ay",
+            (F.col("cx") + F.col("__dx")).alias("__jx"),
+            (F.col("cy") + F.col("__dy")).alias("__jy"),
+        )
+    )
+    b = p.select(
+        F.col("id").alias("__bi"), F.col("x").alias("__bx"),
+        F.col("y").alias("__by"), F.col("cx").alias("__jx"),
+        F.col("cy").alias("__jy"),
+    )
+    e2 = F.lit(float(eps) * float(eps))
+    nb = (
+        a.join(b, ["__jx", "__jy"])
+        .filter(F.col("__ai") != F.col("__bi"))
+        .filter(
+            (F.col("__ax") - F.col("__bx")) * (F.col("__ax") - F.col("__bx"))
+            + (F.col("__ay") - F.col("__by"))
+            * (F.col("__ay") - F.col("__by"))
+            <= e2
+        )
+        .select(F.col("__ai").alias("id"), F.col("__bi").alias("nb"))
+        .localCheckpoint(eager=False)
+    )
+    ncnt = nb.groupBy("id").agg(F.count("*").alias("__n"))
+    cores = (
+        p.join(ncnt, "id", "left")
+        .filter(F.coalesce(F.col("__n"), F.lit(0)) + 1 >= min_pts)
+        .select("id")
+        .localCheckpoint(eager=False)
+    )
+    core_pairs = (
+        nb.join(cores.withColumnRenamed("id", "__ca"),
+                nb["id"] == F.col("__ca"))
+        .join(cores.withColumnRenamed("id", "__cb"),
+              nb["nb"] == F.col("__cb"))
+        .filter(F.col("id") < F.col("nb"))
+        .select(F.col("id").alias("id_a"), F.col("nb").alias("id_b"))
+    )
+    labeled = dup_clusters(core_pairs, algorithm="star").select(
+        F.col("doc_id").alias("id"), F.col("cluster_id").alias("cluster")
+    )
+    core_clusters = labeled.unionByName(
+        cores.join(labeled.select("id"), "id", "left_anti").select(
+            "id", F.col("id").alias("cluster")
+        )
+    ).localCheckpoint(eager=False)
+
+    border = (
+        nb.join(cores.withColumnRenamed("id", "__ci"),
+                nb["nb"] == F.col("__ci"))
+        .join(core_clusters.withColumnsRenamed(
+            {"id": "__cj", "cluster": "__cl"}), F.col("nb") == F.col("__cj"))
+        .join(cores.withColumnRenamed("id", "__self"),
+              nb["id"] == F.col("__self"), "left_anti")
+        .groupBy("id")
+        .agg(F.min("__cl").alias("cluster"))
+    )
+    out_core = core_clusters.select(
+        "id", F.lit("core").alias("role"), F.col("cluster").cast("long")
+    )
+    out_border = border.select(
+        "id", F.lit("border").alias("role"), F.col("cluster").cast("long")
+    )
+    out_noise = (
+        p.select("id")
+        .join(core_clusters.select("id"), "id", "left_anti")
+        .join(border.select("id"), "id", "left_anti")
+        .select(
+            "id", F.lit("noise").alias("role"),
+            F.lit(None).cast("long").alias("cluster"),
+        )
+    )
+    return out_core.unionByName(out_border).unionByName(out_noise)

@@ -3400,6 +3400,77 @@ def sketch_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+_DBSCAN_ORACLE = """
+    WITH RECURSIVE pts AS (
+      SELECT c_custkey AS id,
+             CASE WHEN c_custkey % 13 = 0
+                  THEN CAST(c_custkey * 29 % 500 AS DOUBLE) / 2.0
+                  ELSE 40.0 * (c_custkey % 4)
+                       + CAST(c_custkey * 7 % 23 AS DOUBLE) * 0.4 END AS x,
+             CASE WHEN c_custkey % 13 = 0
+                  THEN CAST(c_custkey * 31 % 500 AS DOUBLE) / 2.0
+                  ELSE 30.0 * (c_custkey % 4)
+                       + CAST(c_custkey * 11 % 19 AS DOUBLE) * 0.4 END AS y
+      FROM customer),
+    nb AS (SELECT a.id, b.id AS nb FROM pts a JOIN pts b
+           ON a.id <> b.id
+          AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 1.6*1.6),
+    cnt AS (SELECT p.id, count(nb.nb) AS n
+            FROM pts p LEFT JOIN nb ON nb.id = p.id GROUP BY p.id),
+    core AS (SELECT id FROM cnt WHERE n + 1 >= 4),
+    ce AS (SELECT nb.id AS src, nb.nb AS dst FROM nb
+           WHERE nb.id IN (SELECT id FROM core)
+             AND nb.nb IN (SELECT id FROM core)),
+    reach(id, r) AS (
+        SELECT id, id FROM core
+        UNION
+        SELECT e.src, reach.r FROM ce e JOIN reach ON e.dst = reach.id),
+    cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+    border AS (SELECT nb.id AS id, min(cl.cluster) AS cluster
+               FROM nb JOIN cl ON cl.id = nb.nb
+               WHERE nb.id NOT IN (SELECT id FROM core)
+                 AND nb.nb IN (SELECT id FROM core)
+               GROUP BY nb.id)
+    SELECT id, 'core' AS role, CAST(cluster AS BIGINT) AS cluster FROM cl
+    UNION ALL
+    SELECT id, 'border', CAST(cluster AS BIGINT) FROM border
+    UNION ALL
+    SELECT p.id, 'noise', CAST(NULL AS BIGINT) FROM pts p
+    WHERE p.id NOT IN (SELECT id FROM core)
+      AND p.id NOT IN (SELECT id FROM border)
+    """
+
+
+@query("geo_dbscan_grid", oracle=_DBSCAN_ORACLE)
+def geo_dbscan_grid(spark, sf_dir):
+    """Density-based spatial clustering (operators/geo.dbscan_grid —
+    grid-partitioned DBSCAN): four planted deterministic blobs (0.4-
+    lattice spacing) plus ~8% scattered outliers derived from the
+    customer key; eps=1.6, min_pts=4 — blob interiors are core, blob
+    fringes and lucky outliers border, the rest noise. The engine finds
+    candidate pairs via the exact 3×3 eps-cell equi-join and resolves
+    clusters by star connected components; the ORACLE is held
+    deliberately independent — a brute-force O(n²) distance join plus a
+    recursive-CTE transitive closure — so the grid path's exactness is
+    checked against first principles, not a replica (the
+    geo_nearest_site_grid discipline)."""
+    from census_data_pipeline_spark.operators.geo import dbscan_grid
+
+    k = F.col("c_custkey")
+    pts = load_table(spark, sf_dir, "customer").select(
+        k.alias("id"),
+        F.when(k % 13 == 0, (k * 29 % 500).cast("double") / 2.0)
+        .otherwise(
+            40.0 * (k % 4) + (k * 7 % 23).cast("double") * 0.4
+        ).alias("x"),
+        F.when(k % 13 == 0, (k * 31 % 500).cast("double") / 2.0)
+        .otherwise(
+            30.0 * (k % 4) + (k * 11 % 19).cast("double") * 0.4
+        ).alias("y"),
+    )
+    return dbscan_grid(pts, eps=1.6, min_pts=4)
+
+
 @query("geo_nearest_site_grid", oracle=_NEAREST_SITE_ORACLE)
 def geo_nearest_site_grid(spark, sf_dir):
     """The BEYOND-BROADCAST nearest-site path held to the SAME oracle as

@@ -943,3 +943,64 @@ def test_calibration_separable_data_polarizes_bins(spark):
         classify.logreg_calibration(
             df, F.col("y").cast("double"), [("x", F.col("x"))], n_bins=1
         )
+
+
+# --- grid DBSCAN -------------------------------------------------------
+
+
+def test_dbscan_textbook_roles_and_clusters(spark):
+    """Two tight 4-point squares far apart + one point hanging off the
+    first square + one isolated point: the squares are two distinct
+    all-core clusters labeled by their min id, the hanger is a border
+    of the first, the loner is noise."""
+    from census_data_pipeline_spark.operators.geo import dbscan_grid
+
+    pts = [
+        (1, 0.0, 0.0), (2, 0.0, 1.0), (3, 1.0, 0.0), (4, 1.0, 1.0),
+        (10, 100.0, 100.0), (11, 100.0, 101.0),
+        (12, 101.0, 100.0), (13, 101.0, 101.0),
+        (5, 2.4, 0.0),       # within 1.5 of point 3 only -> border
+        (99, 50.0, 50.0),    # noise
+    ]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    out = {r.id: (r.role, r.cluster)
+           for r in dbscan_grid(df, eps=1.5, min_pts=4).collect()}
+    for i in (1, 2, 3, 4):
+        assert out[i] == ("core", 1)
+    for i in (10, 11, 12, 13):
+        assert out[i] == ("core", 10)
+    assert out[5] == ("border", 1)
+    assert out[99] == ("noise", None)
+
+
+def test_dbscan_cross_cell_pairs_are_found(spark):
+    """Two points eps-close but in DIFFERENT grid cells (straddling a
+    cell boundary) must still pair up — the 3×3 block join is exact.
+    With min_pts=2 they form one two-core cluster."""
+    from census_data_pipeline_spark.operators.geo import dbscan_grid
+
+    df = spark.createDataFrame(
+        [(1, 0.95, 0.0), (2, 1.05, 0.0)], "id long, x double, y double"
+    )
+    out = {r.id: (r.role, r.cluster)
+           for r in dbscan_grid(df, eps=1.0, min_pts=2).collect()}
+    assert out == {1: ("core", 1), 2: ("core", 1)}
+
+
+def test_dbscan_singleton_core_and_guards(spark):
+    """min_pts=1 makes every point core; an isolated core with no core
+    neighbor is its own singleton cluster."""
+    from census_data_pipeline_spark.operators.geo import dbscan_grid
+
+    df = spark.createDataFrame(
+        [(7, 0.0, 0.0), (8, 10.0, 10.0)], "id long, x double, y double"
+    )
+    out = {r.id: (r.role, r.cluster)
+           for r in dbscan_grid(df, eps=1.0, min_pts=1).collect()}
+    assert out == {7: ("core", 7), 8: ("core", 8)}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="eps"):
+        dbscan_grid(df, eps=0.0, min_pts=2)
+    with _pt.raises(ValueError, match="min_pts"):
+        dbscan_grid(df, eps=1.0, min_pts=0)
