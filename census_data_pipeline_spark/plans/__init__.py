@@ -209,7 +209,10 @@ drifted under r8 edits (ivm_delta_join_refresh via the ivm_delta_join
 docstring pointer, streaming_session_5m via its reference-form
 demotion, graph_pagerank + text_textrank_keywords via the PageRank
 exchange trim and the personalization parameter, embedding_pca_power +
-embedding_pca_topr via the driver-side power-iteration solve). 19 of
+embedding_pca_topr via the driver-side power-iteration solve,
+quality_logreg_train via the _logreg_fit extraction). The continuation
+adds nine more new queries (histogram tree train/eval, boosted stumps,
+TrustRank, nDCG, conformal bands, calibration bins, grid DBSCAN). 25 of
 50 slots carry stale/new queries; the rest keep registration order."""
 
 from census_data_pipeline_spark.plans import (  # noqa: F401

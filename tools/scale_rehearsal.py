@@ -265,6 +265,26 @@ def main() -> None:
         return graph.pagerank(g, iterations=5, broadcast_ranks=True,
                               personalization=seeds)
 
+    def fam_dbscan(d, e, g):
+        # blob index spreads with the copy number, so amplification adds
+        # AREA at constant density (new content, same local structure —
+        # the amplify_docs philosophy); the 900M-id mega-duplicate rows
+        # form one coincident-point cell, the irreducibly-quadratic
+        # adversarial shape (DBSCAN pair count is Σ|cell|²)
+        from census_data_pipeline_spark.operators.geo import dbscan_grid
+        k = F.col("doc_id")
+        blob = (k % 4) + 4 * F.floor(k / 10_000_000)
+        pts = d.select(
+            k.alias("id"),
+            F.when(k % 13 == 0, (k * 29 % 500).cast("double") / 2.0)
+            .otherwise(40.0 * blob + (k * 7 % 23).cast("double") * 0.4)
+            .alias("x"),
+            F.when(k % 13 == 0, (k * 31 % 500).cast("double") / 2.0)
+            .otherwise(30.0 * blob + (k * 11 % 19).cast("double") * 0.4)
+            .alias("y"),
+        )
+        return dbscan_grid(pts, eps=1.6, min_pts=4)
+
     def fam_pca_catalyst(d, e, g):
         return similarity.pca_power_dominant(e, "embedding", iterations=8,
                                              moments="catalyst")
@@ -298,6 +318,7 @@ def main() -> None:
         "tree_hist": fam_tree_hist,
         "gbt_stumps": fam_gbt_stumps,
         "trustrank": fam_trustrank,
+        "dbscan": fam_dbscan,
         "pca_catalyst": fam_pca_catalyst,
         "pca_arrow": fam_pca_arrow,
         "bfs": fam_bfs,
