@@ -261,6 +261,7 @@ _CHECKED_PREFIX = [
     # quality_logreg_train drifts via the _logreg_fit extraction
     "quality_logreg_train",
     "geo_dbscan_grid",
+    "streaming_cusum_hourly",
 ]
 
 

@@ -3957,6 +3957,156 @@ def events_forecast_conformal(spark, sf_dir):
     )
 
 
+_CUSUM_R6 = "floor(({}) * 1000000.0 + 0.5) / 1000000.0"
+
+_CUSUM_ORACLE = f"""
+    WITH RECURSIVE {_HW_S0_CTE},
+    tr AS (SELECT event_type,
+                  {_CUSUM_R6.format("avg(y)")} AS mu0,
+                  {_CUSUM_R6.format("stddev_pop(y)")} AS sd,
+                  count(*) AS m
+           FROM s0 WHERE t <= 48 GROUP BY 1 HAVING count(*) = 48),
+    cons AS (SELECT event_type, mu0,
+                    {_CUSUM_R6.format("0.5 * sd")} AS sl,
+                    {_CUSUM_R6.format("5.0 * sd")} AS h
+             FROM tr),
+    mon AS (SELECT s0.event_type, list(s0.y ORDER BY s0.t) AS xs
+            FROM s0 JOIN cons ON cons.event_type = s0.event_type
+            WHERE s0.t > 48 GROUP BY 1),
+    r(event_type, xs, m, i, sp, sn, alarms) AS (
+      -- anchor seeds CAST to DOUBLE: bare 0.0 literals type the whole
+      -- recursion as DECIMAL(2,1) and the fold runs at scale 1
+      SELECT event_type, xs, len(xs), 0,
+             CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), 0 FROM mon
+      UNION ALL
+      SELECT r.event_type, xs, m, i + 1,
+        CASE WHEN greatest(0.0, sp + (xs[i+1] - c.mu0 - c.sl)) > c.h
+             THEN 0.0
+             ELSE greatest(0.0, sp + (xs[i+1] - c.mu0 - c.sl)) END,
+        CASE WHEN greatest(0.0, sn + (c.mu0 - c.sl - xs[i+1])) > c.h
+             THEN 0.0
+             ELSE greatest(0.0, sn + (c.mu0 - c.sl - xs[i+1])) END,
+        alarms
+          + CASE WHEN greatest(0.0, sp + (xs[i+1] - c.mu0 - c.sl)) > c.h
+                 THEN 1 ELSE 0 END
+          + CASE WHEN greatest(0.0, sn + (c.mu0 - c.sl - xs[i+1])) > c.h
+                 THEN 1 ELSE 0 END
+      FROM r JOIN cons c ON c.event_type = r.event_type
+      WHERE i < m)
+    SELECT event_type, CAST(m AS BIGINT) AS n_obs,
+           {_CUSUM_R6.format("sp")} AS s_pos,
+           {_CUSUM_R6.format("sn")} AS s_neg,
+           CAST(alarms AS BIGINT) AS n_alarms
+    FROM r WHERE i = m
+    """
+
+
+@query("streaming_cusum_hourly", oracle=_CUSUM_ORACLE)
+def streaming_cusum_hourly(spark, sf_dir):
+    """Per-source volume change detection as a REAL stateful stream
+    (streaming/stateful.cusum_monitor — Page's two-sided CUSUM via
+    ``applyInPandasWithState``): hourly zero-filled counts per event
+    type, reference constants (μ₀, slack = 0.5σ, threshold = 5σ,
+    engine-portable 6-dp rounding) fitted batch-side on the first 48
+    buckets and joined into the monitored tail, which is then staged
+    into 8 ascending-time chunks and replayed ONE FILE PER MICRO-BATCH
+    — the CUSUM state genuinely carries across 8 real micro-batches in
+    the state store. Final row per key = the max-n_obs update. The
+    oracle walks the identical fold as a per-key recursive CTE (the
+    Holt-Winters discipline), including the alarm-and-reset sequence —
+    a custom stateful streaming operator with a full value oracle, not
+    a rows-only check."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from census_data_pipeline_spark.operators.forecast import _r6
+    from census_data_pipeline_spark.streaming import stateful, windows
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hb")
+    ).agg(F.count("*").alias("y"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hb").alias("lo"), F.max("hb").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hb"),
+    )
+    series = (
+        grid.join(hourly, ["event_type", "hb"], "left")
+        .select(
+            "event_type",
+            F.coalesce(F.col("y"), F.lit(0)).cast("double").alias("y"),
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("hb")
+            ).alias("t"),
+        )
+    )
+    train = (
+        series.filter(F.col("t") <= 48)
+        .groupBy("event_type")
+        .agg(
+            _r6(F.avg("y")).alias("mu0"),
+            _r6(F.stddev_pop("y")).alias("sd"),
+            F.count("*").alias("m"),
+        )
+        .filter(F.col("m") == 48)
+    )
+    consts = train.select(
+        "event_type", "mu0",
+        _r6(F.lit(0.5) * F.col("sd")).alias("sl"),
+        _r6(F.lit(5.0) * F.col("sd")).alias("h"),
+    )
+    monitored = series.filter(F.col("t") > 48).join(
+        F.broadcast(consts), "event_type"
+    )
+
+    staged_root = tempfile.mkdtemp(prefix="stream_cusum_")
+    staged = staged_root + "/hourly"
+    windows.stage_time_ordered_parquet(monitored, "t", staged, n_chunks=8)
+    stream = windows.stream_from_parquet(
+        spark, staged, monitored.schema, max_files_per_trigger=1
+    )
+    out = stateful.cusum_monitor(
+        stream, key_col="event_type", t_col="t", x_col="y",
+        mu_col="mu0", slack_col="sl", h_col="h",
+    )
+    sink = f"stream_cusum_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(staged_root, ignore_errors=True)
+    last = (
+        spark.table(sink)
+        .groupBy("key")
+        .agg(
+            F.max(
+                F.struct("n_obs", "s_pos", "s_neg", "n_alarms")
+            ).alias("__m")
+        )
+    )
+    return last.select(
+        F.col("key").alias("event_type"),
+        F.col("__m.n_obs").alias("n_obs"),
+        _r6(F.col("__m.s_pos")).alias("s_pos"),
+        _r6(F.col("__m.s_neg")).alias("s_neg"),
+        F.col("__m.n_alarms").alias("n_alarms"),
+    )
+
+
 @query("survival_by_segment",
        oracle=kaplan_meier_grouped_oracle_sql(_KM_COHORT_DUR_CTE))
 def survival_by_segment(spark, sf_dir):

@@ -56,3 +56,89 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+CUSUM_OUTPUT_SCHEMA = (
+    "key string, n_obs long, s_pos double, s_neg double, n_alarms long"
+)
+CUSUM_STATE_SCHEMA = "sp double, sn double, n long, alarms long"
+
+
+def cusum_monitor(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    t_col: str = "t",
+    x_col: str = "y",
+    mu_col: str = "mu0",
+    slack_col: str = "slack",
+    h_col: str = "h",
+) -> DataFrame:
+    """Per-key two-sided CUSUM change detector (Page 1954) as a custom
+    stateful streaming operator — the canonical monitor a pipeline runs
+    on per-source volume to catch level shifts the windowed aggregates
+    smooth over. Each row carries its key's reference constants
+    (μ₀/slack/threshold, computed batch-side on a training prefix and
+    joined in), so state is exactly the CUSUM recursion:
+
+        s⁺ ← max(0, s⁺ + (x − μ₀ − slack));  alarm & reset when s⁺ > h
+        s⁻ ← max(0, s⁻ + (μ₀ − slack − x));  alarm & reset when s⁻ > h
+
+    Rows are folded in ascending ``t_col`` order WITHIN each
+    micro-batch; with a time-ordered source (stage_time_ordered_parquet
+    + maxFilesPerTrigger=1) the fold is the exact global-order
+    recursion, carried across micro-batches in the state store — the
+    determinism contract the SQL oracle replicates step by step.
+    Emits the running (n_obs, s⁺, s⁻, n_alarms) per key per batch
+    (update mode); n_obs is monotone, so the final row per key is the
+    max-n_obs one.
+
+    Scale: state is 4 scalars per key; the shuffle is the same
+    key-hash exchange as a streaming groupBy."""
+
+    def update(key, batches: Iterator["pd.DataFrame"], state: GroupState):
+        import pandas as _pd
+
+        sp, sn, n, alarms = (
+            state.get if state.exists else (0.0, 0.0, 0, 0)
+        )
+        pdf = _pd.concat(list(batches), ignore_index=True)
+        pdf = pdf.sort_values("__t")
+        for x, mu, sl, h in zip(
+            pdf["__x"], pdf["__mu"], pdf["__sl"], pdf["__h"]
+        ):
+            x, mu, sl, h = float(x), float(mu), float(sl), float(h)
+            sp = max(0.0, sp + (x - mu - sl))
+            sn = max(0.0, sn + (mu - sl - x))
+            n += 1
+            if sp > h:
+                alarms += 1
+                sp = 0.0
+            if sn > h:
+                alarms += 1
+                sn = 0.0
+        state.update((sp, sn, n, alarms))
+        yield _pd.DataFrame(
+            {"key": [key[0]], "n_obs": [n], "s_pos": [sp],
+             "s_neg": [sn], "n_alarms": [alarms]}
+        )
+
+    from pyspark.sql import functions as F
+
+    return (
+        stream.select(
+            F.col(key_col).alias("__key"),
+            F.col(t_col).alias("__t"),
+            F.col(x_col).cast("double").alias("__x"),
+            F.col(mu_col).cast("double").alias("__mu"),
+            F.col(slack_col).cast("double").alias("__sl"),
+            F.col(h_col).cast("double").alias("__h"),
+        )
+        .groupBy("__key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=CUSUM_OUTPUT_SCHEMA,
+            stateStructType=CUSUM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -46,3 +46,67 @@ def test_running_totals_match_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def _run_cusum(spark, df, n_chunks, name):
+    import tempfile
+
+    from census_data_pipeline_spark.streaming.stateful import cusum_monitor
+
+    staged = tempfile.mkdtemp(prefix="cusum_t_") + "/s"
+    windows.stage_time_ordered_parquet(df, "t", staged, n_chunks=n_chunks)
+    stream = windows.stream_from_parquet(
+        spark, staged, df.schema, max_files_per_trigger=1
+    )
+    q = (
+        cusum_monitor(stream, key_col="k", t_col="t", x_col="x",
+                      mu_col="mu0", slack_col="sl", h_col="h")
+        .writeStream.outputMode("update")
+        .format("memory").queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            f"SELECT key, n_obs, s_pos, s_neg, n_alarms FROM ("
+            f"  SELECT *, row_number() OVER ("
+            f"    PARTITION BY key ORDER BY n_obs DESC) AS rn FROM {name}"
+            f") WHERE rn = 1"
+        ).collect()
+    finally:
+        q.stop()
+    return {r.key: (r.n_obs, round(r.s_pos, 6), round(r.s_neg, 6),
+                    r.n_alarms) for r in rows}
+
+
+def test_cusum_planted_shift_alarms_and_batch_invariance(spark):
+    """A level shift of +3σ-equivalent after t=30 must raise positive-
+    side alarms and none on the negative side; and the fold must be
+    IDENTICAL whether the stream replays as 1 mega-batch or 6 ordered
+    micro-batches (state carried across batches)."""
+    rows = [("a", t, 1.0 if t <= 30 else 4.0, 1.0, 0.25, 5.0)
+            for t in range(1, 61)]
+    # flat key: never alarms
+    rows += [("b", t, 1.0, 1.0, 0.25, 5.0) for t in range(1, 61)]
+    df = spark.createDataFrame(
+        rows, "k string, t int, x double, mu0 double, sl double, h double"
+    )
+    multi = _run_cusum(spark, df, 6, "cusum_multi")
+    single = _run_cusum(spark, df, 1, "cusum_single")
+    assert multi == single
+    a = multi["a"]
+    assert a[0] == 60 and a[3] >= 2 and a[2] == 0.0  # alarms, no s_neg
+    assert multi["b"] == (60, 0.0, 0.0, 0)
+    # hand-fold the expected trajectory
+    sp = sn = 0.0
+    alarms = 0
+    for t in range(1, 61):
+        x = 1.0 if t <= 30 else 4.0
+        sp = max(0.0, sp + (x - 1.0 - 0.25))
+        sn = max(0.0, sn + (1.0 - 0.25 - x))
+        if sp > 5.0:
+            alarms += 1
+            sp = 0.0
+        if sn > 5.0:
+            alarms += 1
+            sn = 0.0
+    assert a == (60, round(sp, 6), round(sn, 6), alarms)
