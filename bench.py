@@ -186,6 +186,7 @@ HEADLINE_NEW: list[str] = [
     "search_ndcg_bm25",
     "events_forecast_conformal",
     "quality_logreg_calibration",
+    "quality_logreg_auc",
     "geo_dbscan_grid",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,

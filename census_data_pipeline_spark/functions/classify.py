@@ -1162,3 +1162,105 @@ def logreg_calibration_oracle_sql(
            round(abs(round(avg(p), 6) - round(avg(y), 6)), 6) AS gap
     FROM binned GROUP BY bin"""
     )
+
+
+def logreg_auc(
+    df: DataFrame,
+    label: Column,
+    features: list[tuple[str, Column]],
+    iterations: int = 8,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Exact ROC-AUC of the trained classifier — the threshold-free
+    ranking metric beside accuracy (``logreg_train``) and calibration
+    (``logreg_calibration``): the tie-corrected Wilcoxon rank-sum
+
+        AUC = Σ_s (neg_below(s)·pos(s) + pos(s)·neg(s)/2) / (P·N)
+
+    computed over the HISTOGRAM of 6-dp predicted probabilities, not
+    over rows. Because scores are rounded to 6 dp they live on a
+    10⁶+1-point grid, so the histogram — and the one ordered cumulative
+    window over it — is bounded regardless of corpus size; this is the
+    standard scalable-AUC shape (bucket, then rank buckets). Ties get
+    the exact average-rank credit of ½ per tied pair.
+
+    Returns one row: (n_pos, n_neg, auc) with auc NULL when either
+    class is empty (undefined, not a division error).
+
+    Scale shape: the shared GD fit, one codegen scoring scan into a
+    ≤10⁶-cell partial-aggregated histogram, one window over that
+    bounded frame, one 1-row aggregate."""
+    z, w, names, margin = _logreg_fit(df, label, features, iterations, lr)
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin())), 6)
+    hist = (
+        z.crossJoin(F.broadcast(w))
+        .select(F.col("__y"), p.alias("__p"))
+        .groupBy("__p")
+        .agg(
+            F.sum("__y").cast("long").alias("__pos"),
+            (F.count("*") - F.sum("__y")).cast("long").alias("__neg"),
+        )
+    )
+    win = (
+        Window.orderBy("__p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    contrib = hist.select(
+        "__pos", "__neg",
+        (F.sum("__neg").over(win) - F.col("__neg")).alias("__nb"),
+    ).select(
+        "__pos", "__neg",
+        (
+            F.col("__nb") * F.col("__pos")
+            + F.col("__pos") * F.col("__neg") / F.lit(2.0)
+        ).alias("__u"),
+    )
+    return contrib.agg(
+        F.sum("__pos").alias("__P"),
+        F.sum("__neg").alias("__N"),
+        F.sum("__u").alias("__U"),
+    ).select(
+        F.col("__P").cast("long").alias("n_pos"),
+        F.col("__N").cast("long").alias("n_neg"),
+        F.when(
+            (F.col("__P") > 0) & (F.col("__N") > 0),
+            F.round(F.col("__U") / (F.col("__P") * F.col("__N")), 6),
+        ).alias("auc"),
+    )
+
+
+def logreg_auc_oracle_sql(
+    table: str,
+    label_sql: str,
+    features_sql: list[tuple[str, str]],
+    iterations: int = 8,
+    lr: float = 0.5,
+) -> str:
+    """DuckDB replica of ``logreg_auc`` — shared GD CTEs, identical
+    round-6 sigmoid, the same score histogram and cumulative rank-sum."""
+    ctes, prev, marg, names = _logreg_oracle_parts(
+        table, label_sql, features_sql, iterations, lr
+    )
+    ctes.append(
+        f"""hist AS (SELECT round(1.0 / (1.0 + exp(-({marg}))), 6) AS p,
+      CAST(sum(y) AS BIGINT) AS pos,
+      CAST(count(*) - sum(y) AS BIGINT) AS neg
+      FROM z CROSS JOIN {prev} GROUP BY 1)"""
+    )
+    ctes.append(
+        """contrib AS (SELECT pos, neg,
+      (sum(neg) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND
+                      CURRENT ROW) - neg) * pos
+      + pos * neg / 2.0 AS u
+      FROM hist)"""
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + """
+    SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(neg) AS BIGINT) AS n_neg,
+           CASE WHEN sum(pos) > 0 AND sum(neg) > 0
+                THEN round(sum(u) / (sum(pos) * sum(neg)), 6)
+                ELSE NULL END AS auc
+    FROM contrib"""
+    )

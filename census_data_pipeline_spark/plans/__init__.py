@@ -262,6 +262,7 @@ _CHECKED_PREFIX = [
     "quality_logreg_train",
     "geo_dbscan_grid",
     "streaming_cusum_hourly",
+    "quality_logreg_auc",
 ]
 
 

@@ -3495,6 +3495,52 @@ def quality_logreg_calibration(spark, sf_dir):
     )
 
 
+@query(
+    "quality_logreg_auc",
+    oracle=classify.logreg_auc_oracle_sql(
+        "documents",
+        "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END",
+        _LOGREG_FEATURES_SQL,
+        iterations=8,
+        lr=0.5,
+    ),
+)
+def quality_logreg_auc(spark, sf_dir):
+    """Exact ROC-AUC of the quality classifier
+    (functions/classify.logreg_auc) — the threshold-free ranking metric
+    completing the eval trio (accuracy, calibration, AUC): tie-corrected
+    Wilcoxon rank-sum over the HISTOGRAM of 6-dp predicted
+    probabilities, which is bounded at 10⁶+1 cells regardless of corpus
+    size (the scalable-AUC shape: bucket, then rank buckets — the one
+    ordered window runs over the bounded histogram, never over rows).
+    On this weak-signal corpus AUC sits just above chance, consistent
+    with the near-zero learned weights the logreg query documents."""
+    from census_data_pipeline_spark.functions import classify as _c
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = [
+        ("f_chars", F.col("n_chars")),
+        ("f_words",
+         F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "),
+                                               F.lit(""))) + F.lit(1)),
+        ("f_e_ratio",
+         (F.length("text") - F.length(F.replace(F.col("text"), F.lit("e"),
+                                                F.lit(""))))
+         / F.col("n_chars").cast("double")),
+        ("f_the_cnt",
+         (F.length("text") - F.length(F.replace(F.col("text"), F.lit("the"),
+                                                F.lit(""))))
+         / F.lit(3.0)),
+    ]
+    return _c.logreg_auc(
+        docs,
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)),
+        feats,
+        iterations=8,
+        lr=0.5,
+    )
+
+
 def _textrank_oracle(iters: int, d: float, min_len: int, k: int) -> str:
     """Unrolled-CTE replica of text.textrank_keywords: adjacent-token
     pair graph, symmetrized, then the same pagerank rounds as

@@ -1004,3 +1004,43 @@ def test_dbscan_singleton_core_and_guards(spark):
         dbscan_grid(df, eps=0.0, min_pts=2)
     with _pt.raises(ValueError, match="min_pts"):
         dbscan_grid(df, eps=1.0, min_pts=0)
+
+
+# --- exact AUC over the score histogram --------------------------------
+
+
+def test_auc_separable_ties_and_degenerate(spark):
+    """Linearly separable data -> AUC 1; a label-independent feature
+    whose two score groups each hold a 50/50 label mix -> the
+    tie-corrected AUC equals the hand rank-sum; single-class input ->
+    NULL (undefined, not a crash)."""
+    from census_data_pipeline_spark.functions import classify
+
+    sep = spark.createDataFrame(
+        [(float(i), i >= 50) for i in range(100)], "x double, y boolean"
+    )
+    r = classify.logreg_auc(
+        sep, F.col("y").cast("double"), [("x", F.col("x"))], iterations=8
+    ).collect()[0]
+    assert (r.n_pos, r.n_neg) == (50, 50) and r.auc == 1.0
+
+    # x in {0,1} independent of y (25% positive in both groups): every
+    # pos/neg pair is either tied (same score) or split across the two
+    # scores; hand U = nb*pos + pos*neg/2 summed over both cells.
+    ind = spark.createDataFrame(
+        [(float((i // 4) % 2), i % 4 == 0) for i in range(80)],
+        "x double, y boolean",
+    )
+    r2 = classify.logreg_auc(
+        ind, F.col("y").cast("double"), [("x", F.col("x"))], iterations=4
+    ).collect()[0]
+    # with symmetric groups the ranking carries no information: AUC 0.5
+    assert r2.auc == pytest.approx(0.5, abs=1e-6)
+
+    mono = spark.createDataFrame(
+        [(float(i), True) for i in range(10)], "x double, y boolean"
+    )
+    r3 = classify.logreg_auc(
+        mono, F.col("y").cast("double"), [("x", F.col("x"))], iterations=2
+    ).collect()[0]
+    assert r3.n_neg == 0 and r3.auc is None
