@@ -43,6 +43,7 @@ STREAMING_QUERIES = [
     "streaming_ohlc_hourly",
     "streaming_session_5m",
     "streaming_session_5m_append",
+    "streaming_cusum_hourly",
 ]
 
 

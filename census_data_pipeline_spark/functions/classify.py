@@ -43,11 +43,13 @@ def _logreg_fit(
     iterations: int,
     lr: float,
 ):
-    """Shared GD loop behind ``logreg_train`` (coefficient rows) and
-    ``logreg_calibration`` (reliability bins): standardize once, run the
-    fixed rounds, return (z frame, final 1-row weight frame, names,
-    margin builder). Semantics and rounding points unchanged from the
-    original inline loop."""
+    """Shared GD loop behind ``logreg_train`` (coefficient rows),
+    ``logreg_calibration`` (reliability bins), ``logreg_auc`` and
+    ``logreg_holdout_eval``: standardize once, run the fixed rounds,
+    return (z frame, final 1-row weight frame, names, margin builder,
+    1-row standardization frame — holdout scoring standardizes unseen
+    rows with the TRAINING statistics). Semantics and rounding points
+    unchanged from the original inline loop."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     names = [n for n, _ in features]
@@ -106,7 +108,7 @@ def _logreg_fit(
             )
             .localCheckpoint(eager=False)
         )
-    return z, w, names, margin
+    return z, w, names, margin, st
 
 
 def logreg_train(
@@ -129,7 +131,8 @@ def logreg_train(
     with feature = 'bias' first, accuracy = share of rows where the
     final margin's sign matches the label (margin rounded 6 dp before
     the sign test so both engines agree at the boundary)."""
-    z, w, names, margin = _logreg_fit(df, label, features, iterations, lr)
+    z, w, names, margin, _st = _logreg_fit(df, label, features,
+                                            iterations, lr)
     acc = (
         z.crossJoin(F.broadcast(w))
         .agg(
@@ -1097,7 +1100,8 @@ def logreg_calibration(
     ``n_bins``-cell partial-aggregated groupBy."""
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
-    z, w, names, margin = _logreg_fit(df, label, features, iterations, lr)
+    z, w, names, margin, _st = _logreg_fit(df, label, features,
+                                            iterations, lr)
     p = F.round(
         F.lit(1.0) / (F.lit(1.0) + F.exp(-margin())), 6
     )
@@ -1190,16 +1194,31 @@ def logreg_auc(
     Scale shape: the shared GD fit, one codegen scoring scan into a
     ≤10⁶-cell partial-aggregated histogram, one window over that
     bounded frame, one 1-row aggregate."""
-    z, w, names, margin = _logreg_fit(df, label, features, iterations, lr)
+    z, w, names, margin, _st = _logreg_fit(df, label, features,
+                                            iterations, lr)
     p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin())), 6)
-    hist = (
-        z.crossJoin(F.broadcast(w))
-        .select(F.col("__y"), p.alias("__p"))
-        .groupBy("__p")
-        .agg(
-            F.sum("__y").cast("long").alias("__pos"),
-            (F.count("*") - F.sum("__y")).cast("long").alias("__neg"),
-        )
+    scored = z.crossJoin(F.broadcast(w)).select(
+        F.col("__y"), p.alias("__p")
+    )
+    return _auc_over_scores(scored).select(
+        F.col("__P").cast("long").alias("n_pos"),
+        F.col("__N").cast("long").alias("n_neg"),
+        F.when(
+            (F.col("__P") > 0) & (F.col("__N") > 0),
+            F.round(F.col("__U") / (F.col("__P") * F.col("__N")), 6),
+        ).alias("auc"),
+    )
+
+
+def _auc_over_scores(scored: DataFrame) -> DataFrame:
+    """Tie-corrected Wilcoxon rank-sum over a (__y, __p) scored frame:
+    histogram by the 6-dp score (bounded at 10⁶+1 cells), one ordered
+    cumulative window over the histogram, return the 1-row
+    (__P, __N, __U) frame. Shared by ``logreg_auc`` and
+    ``logreg_holdout_eval``."""
+    hist = scored.groupBy("__p").agg(
+        F.sum("__y").cast("long").alias("__pos"),
+        (F.count("*") - F.sum("__y")).cast("long").alias("__neg"),
     )
     win = (
         Window.orderBy("__p")
@@ -1219,13 +1238,6 @@ def logreg_auc(
         F.sum("__pos").alias("__P"),
         F.sum("__neg").alias("__N"),
         F.sum("__u").alias("__U"),
-    ).select(
-        F.col("__P").cast("long").alias("n_pos"),
-        F.col("__N").cast("long").alias("n_neg"),
-        F.when(
-            (F.col("__P") > 0) & (F.col("__N") > 0),
-            F.round(F.col("__U") / (F.col("__P") * F.col("__N")), 6),
-        ).alias("auc"),
     )
 
 
@@ -1263,4 +1275,146 @@ def logreg_auc_oracle_sql(
                 THEN round(sum(u) / (sum(pos) * sum(neg)), 6)
                 ELSE NULL END AS auc
     FROM contrib"""
+    )
+
+
+def logreg_holdout_eval(
+    df: DataFrame,
+    label: Column,
+    features: list[tuple[str, Column]],
+    test_pred: Column,
+    iterations: int = 8,
+    lr: float = 0.5,
+) -> DataFrame:
+    """GENERALIZATION contract for the classifier: fit on the rows where
+    ``test_pred`` is false, score the held-out rows with the TRAINING
+    statistics (the train-fold means/stds standardize the unseen
+    features — never the test fold's own), and report test accuracy and
+    test AUC. ``test_pred`` must be a deterministic boolean over the
+    input (hash-split it — the sampling module's md5-prefix discipline)
+    so both engines hold identical folds.
+
+    Returns one row: (n_train, n_test, test_accuracy, test_auc) — AUC
+    NULL when the held-out fold is single-class.
+
+    Scale shape: the shared GD fit over the train fold, then ONE
+    codegen scoring scan over the test fold (train st + weights are two
+    broadcast 1-row frames) feeding the bounded score-histogram AUC and
+    a 1-row accuracy aggregate."""
+    names = [n for n, _ in features]
+    base = ensure_parallelism(df)
+    train = base.filter(~test_pred)
+    test = base.filter(test_pred)
+    _z, w, _names, margin, st = _logreg_fit(
+        train, label, features, iterations, lr
+    )
+    zt = (
+        test.select(
+            label.cast("double").alias("__y"),
+            *[expr.cast("double").alias(n) for n, expr in features],
+        )
+        .crossJoin(F.broadcast(st))
+        .select(
+            "__y",
+            *[
+                F.round(
+                    (F.col(n) - F.col(f"__m_{n}")) / F.col(f"__s_{n}"), 6
+                ).alias(n)
+                for n in names
+            ],
+        )
+        .crossJoin(F.broadcast(w))
+        .localCheckpoint(eager=False)
+    )
+    acc = zt.agg(
+        F.count("*").alias("__nt"),
+        F.round(
+            F.avg(
+                F.when(
+                    (F.round(margin(), 6) >= 0) == (F.col("__y") == 1.0),
+                    F.lit(1.0),
+                ).otherwise(F.lit(0.0))
+            ),
+            6,
+        ).alias("__acc"),
+    )
+    ntr = train.agg(F.count("*").alias("__ntr"))
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin())), 6)
+    scored = zt.select(F.col("__y"), p.alias("__p"))
+    return (
+        _auc_over_scores(scored)
+        .crossJoin(F.broadcast(acc))
+        .crossJoin(F.broadcast(ntr))
+        .select(
+            F.col("__ntr").cast("long").alias("n_train"),
+            F.col("__nt").cast("long").alias("n_test"),
+            F.col("__acc").alias("test_accuracy"),
+            F.when(
+                (F.col("__P") > 0) & (F.col("__N") > 0),
+                F.round(F.col("__U") / (F.col("__P") * F.col("__N")), 6),
+            ).alias("test_auc"),
+        )
+    )
+
+
+def logreg_holdout_oracle_sql(
+    table: str,
+    label_sql: str,
+    features_sql: list[tuple[str, str]],
+    test_pred_sql: str,
+    iterations: int = 8,
+    lr: float = 0.5,
+) -> str:
+    """DuckDB replica of ``logreg_holdout_eval`` — the GD CTEs over the
+    train fold, then the identical train-statistics scoring of the test
+    fold, accuracy and histogram AUC."""
+    names = [n for n, _ in features_sql]
+    ctes, prev, marg, _ = _logreg_oracle_parts(
+        f"(SELECT * FROM {table} WHERE NOT ({test_pred_sql}))",
+        label_sql, features_sql, iterations, lr,
+    )
+    feat_sel = ", ".join(
+        f"CAST({e} AS DOUBLE) AS {n}" for n, e in features_sql
+    )
+    z_sel = ", ".join(
+        f"round(({n} - m_{n}) / s_{n}, 6) AS {n}" for n in names
+    )
+    ctes.append(
+        f"""test0 AS MATERIALIZED (
+      SELECT CAST({label_sql} AS DOUBLE) AS y, {feat_sel}
+      FROM {table} WHERE ({test_pred_sql}))"""
+    )
+    ctes.append(
+        f"""zt AS MATERIALIZED (
+      SELECT y, {z_sel} FROM test0 CROSS JOIN st CROSS JOIN {prev})"""
+    )
+    ctes.append(
+        f"""tacc AS (SELECT count(*) AS nt, round(avg(CASE WHEN
+      (round({marg}, 6) >= 0) = (y = 1.0) THEN 1.0 ELSE 0.0 END), 6)
+      AS a FROM zt CROSS JOIN {prev})"""
+    )
+    ctes.append(
+        f"""thist AS (SELECT round(1.0 / (1.0 + exp(-({marg}))), 6) AS p,
+      CAST(sum(y) AS BIGINT) AS pos,
+      CAST(count(*) - sum(y) AS BIGINT) AS neg
+      FROM zt CROSS JOIN {prev} GROUP BY 1)"""
+    )
+    ctes.append(
+        """tcontrib AS (SELECT pos, neg,
+      (sum(neg) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND
+                      CURRENT ROW) - neg) * pos
+      + pos * neg / 2.0 AS u
+      FROM thist)"""
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + """
+    SELECT CAST((SELECT count(*) FROM raw) AS BIGINT) AS n_train,
+           CAST(tacc.nt AS BIGINT) AS n_test,
+           tacc.a AS test_accuracy,
+           CASE WHEN sum(pos) > 0 AND sum(neg) > 0
+                THEN round(sum(u) / (sum(pos) * sum(neg)), 6)
+                ELSE NULL END AS test_auc
+    FROM tcontrib CROSS JOIN tacc
+    GROUP BY tacc.nt, tacc.a"""
     )

@@ -211,9 +211,10 @@ demotion, graph_pagerank + text_textrank_keywords via the PageRank
 exchange trim and the personalization parameter, embedding_pca_power +
 embedding_pca_topr via the driver-side power-iteration solve,
 quality_logreg_train via the _logreg_fit extraction). The continuation
-adds nine more new queries (histogram tree train/eval, boosted stumps,
-TrustRank, nDCG, conformal bands, calibration bins, grid DBSCAN). 25 of
-50 slots carry stale/new queries; the rest keep registration order."""
+adds eleven more new queries (histogram tree train/eval, boosted
+stumps, TrustRank, nDCG, conformal bands, calibration bins, grid
+DBSCAN, streaming CUSUM, exact AUC). 27 of 50 slots carry stale/new
+queries; the rest keep registration order."""
 
 from census_data_pipeline_spark.plans import (  # noqa: F401
     queries_analytics,
@@ -263,6 +264,7 @@ _CHECKED_PREFIX = [
     "geo_dbscan_grid",
     "streaming_cusum_hourly",
     "quality_logreg_auc",
+    "quality_logreg_holdout",
 ]
 
 

@@ -3541,6 +3541,63 @@ def quality_logreg_auc(spark, sf_dir):
     )
 
 
+_HOLDOUT_TEST_PRED_SQL = (
+    "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2')"
+)
+
+
+@query(
+    "quality_logreg_holdout",
+    oracle=classify.logreg_holdout_oracle_sql(
+        "documents",
+        "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END",
+        _LOGREG_FEATURES_SQL,
+        _HOLDOUT_TEST_PRED_SQL,
+        iterations=8,
+        lr=0.5,
+    ),
+)
+def quality_logreg_holdout(spark, sf_dir):
+    """GENERALIZATION eval for the quality classifier
+    (functions/classify.logreg_holdout_eval): deterministic md5-prefix
+    hash split (~3/16 held out — the sampling module's engine-parity
+    trick), fit on the train fold, standardize the UNSEEN fold with the
+    train statistics, report held-out accuracy and histogram AUC. This
+    is the number that catches a filter that merely memorized its
+    training corpus — on this weak-signal corpus the held-out AUC sits
+    at/below chance while train accuracy hovers at the base rate,
+    exactly the honest no-signal picture. Oracle: the GD CTEs over the
+    filtered train table plus the identical test-fold scoring."""
+    from census_data_pipeline_spark.functions import classify as _c
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = [
+        ("f_chars", F.col("n_chars")),
+        ("f_words",
+         F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "),
+                                               F.lit(""))) + F.lit(1)),
+        ("f_e_ratio",
+         (F.length("text") - F.length(F.replace(F.col("text"), F.lit("e"),
+                                                F.lit(""))))
+         / F.col("n_chars").cast("double")),
+        ("f_the_cnt",
+         (F.length("text") - F.length(F.replace(F.col("text"), F.lit("the"),
+                                                F.lit(""))))
+         / F.lit(3.0)),
+    ]
+    test_pred = F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 1
+    ).isin("0", "1", "2")
+    return _c.logreg_holdout_eval(
+        docs,
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)),
+        feats,
+        test_pred,
+        iterations=8,
+        lr=0.5,
+    )
+
+
 def _textrank_oracle(iters: int, d: float, min_len: int, k: int) -> str:
     """Unrolled-CTE replica of text.textrank_keywords: adjacent-token
     pair graph, symmetrized, then the same pagerank rounds as

