@@ -378,6 +378,7 @@ def _decision_tree_build(
     frontier = None  # (node, ct, pt) of nodes entering the level
     internal_parts: list[DataFrame] = []
     leaf_parts: list[DataFrame] = []
+    winners_levels: list[DataFrame] = []  # (__wn, __f, __sb) per level
     for _lvl in range(depth):
         hist = (
             assigned.select(
@@ -460,6 +461,7 @@ def _decision_tree_build(
             "__f",
             F.col("__bin").alias("__sb"),
         )
+        winners_levels.append(wsel)
         assigned = assigned.join(
             F.broadcast(wsel), assigned["__node"] == wsel["__wn"], "left"
         ).select(
@@ -501,7 +503,7 @@ def _decision_tree_build(
         .cast("long")
         .alias("predict"),
     )
-    return tree, assigned
+    return tree, assigned, st, winners_levels
 
 
 def decision_tree_train(
@@ -532,7 +534,9 @@ def decision_tree_confusion(
     every row at its final tree node (``_decision_tree_build``'s
     assignment frame), and the ≤ 2^(depth+1)-row (node → predict) map
     broadcasts into it; no re-walk of the tree, no second data shuffle."""
-    tree, assigned = _decision_tree_build(df, label, features, bins, depth)
+    tree, assigned, _st, _wl = _decision_tree_build(
+        df, label, features, bins, depth
+    )
     pred = tree.select("node", "predict")
     return (
         assigned.join(
@@ -1417,4 +1421,163 @@ def logreg_holdout_oracle_sql(
                 ELSE NULL END AS test_auc
     FROM tcontrib CROSS JOIN tacc
     GROUP BY tacc.nt, tacc.a"""
+    )
+
+
+def decision_tree_holdout(
+    df: DataFrame,
+    label: Column,
+    features: list[tuple[str, Column]],
+    test_pred: Column,
+    bins: int = 16,
+    depth: int = 2,
+) -> DataFrame:
+    """GENERALIZATION contract for the histogram tree, mirroring
+    ``logreg_holdout_eval``: fit on the rows where ``test_pred`` is
+    false, then route the UNSEEN fold through the learned tree — test
+    rows are binned with the TRAIN fold's min/width (no test-
+    distribution leakage) and replay the per-level winner reassignment
+    joins, landing each row at a leaf the training run created. Returns
+    the held-out confusion cells (actual, predicted, cnt).
+
+    Scale shape: the training build, then per level one broadcast hash
+    join of the ≤ 2^level-row winner frame against the test fold, and
+    the leaf-map broadcast join — the test fold is scanned once."""
+    names = [n for n, _ in features]
+    base = ensure_parallelism(df)
+    train = base.filter(~test_pred)
+    test = base.filter(test_pred)
+    tree, _assigned, st, winners_levels = _decision_tree_build(
+        train, label, features, bins, depth
+    )
+    tb = (
+        test.select(
+            label.cast("bigint").alias("__y"),
+            *[expr.cast("double").alias(n) for n, expr in features],
+        )
+        .na.drop(subset=["__y", *names])
+        .crossJoin(F.broadcast(st))
+        .select(
+            "__y",
+            *[
+                F.when(F.col(f"__w_{n}") == 0, F.lit(0))
+                .otherwise(
+                    F.least(
+                        F.lit(bins - 1),
+                        F.greatest(
+                            F.lit(0),
+                            F.floor(
+                                (F.col(n) - F.col(f"__mn_{n}"))
+                                / F.col(f"__w_{n}")
+                            ).cast("int"),
+                        ),
+                    )
+                )
+                .cast("int")
+                .alias(f"__b_{n}")
+                for n in names
+            ],
+        )
+        .withColumn("__node", F.lit(1).cast("bigint"))
+    )
+    case_bin = F.when(F.col("__f") == names[0], F.col(f"__b_{names[0]}"))
+    for n in names[1:]:
+        case_bin = case_bin.when(F.col("__f") == n, F.col(f"__b_{n}"))
+    for wsel in winners_levels:
+        tb = tb.join(
+            F.broadcast(wsel), tb["__node"] == wsel["__wn"], "left"
+        ).select(
+            "__y",
+            *[f"__b_{n}" for n in names],
+            F.when(F.col("__wn").isNull(), F.col("__node"))
+            .otherwise(
+                F.col("__node") * 2
+                + F.when(case_bin <= F.col("__sb"), F.lit(0)).otherwise(
+                    F.lit(1)
+                )
+            )
+            .alias("__node"),
+        )
+    pred = tree.select("node", "predict")
+    return (
+        tb.join(F.broadcast(pred), tb["__node"] == pred["node"])
+        .groupBy(
+            F.col("__y").alias("actual"),
+            F.col("predict").alias("predicted"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("actual").cast("long").alias("actual"),
+            F.col("predicted").cast("long").alias("predicted"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+    )
+
+
+def decision_tree_holdout_oracle_sql(
+    table: str,
+    label_sql: str,
+    features_sql: list[tuple[str, str]],
+    test_pred_sql: str,
+    bins: int = 16,
+    depth: int = 2,
+) -> str:
+    """DuckDB replica of ``decision_tree_holdout`` — the tree CTEs over
+    the train-filtered table, then the identical train-statistics
+    binning and winner-join routing of the test fold."""
+    names = [n for n, _ in features_sql]
+    ctes, body = _tree_oracle_parts(
+        f"(SELECT * FROM {table} WHERE NOT ({test_pred_sql}))",
+        label_sql, features_sql, bins, depth,
+    )
+    ctes.append(
+        f"""tree AS MATERIALIZED (
+      SELECT node,
+             CAST(CASE WHEN pos * 2 >= n THEN 1 ELSE 0 END AS BIGINT)
+               AS predict
+      FROM ({body}) t)"""
+    )
+    feat_sel = ", ".join(
+        f"CAST({e} AS DOUBLE) AS {n}" for n, e in features_sql
+    )
+    null_guard = " AND ".join(
+        [f"({label_sql}) IS NOT NULL"]
+        + [f"({e}) IS NOT NULL" for _, e in features_sql]
+    )
+    bin_sel = ", ".join(
+        f"CASE WHEN w_{n} = 0 THEN 0 ELSE least({bins - 1}, greatest(0, "
+        f"CAST(floor(({n} - mn_{n}) / w_{n}) AS INT))) END AS b_{n}"
+        for n in names
+    )
+    bcols = ", ".join(f"b_{n}" for n in names)
+    case_bin = (
+        "CASE w.f "
+        + " ".join(f"WHEN '{n}' THEN a.b_{n}" for n in names)
+        + " END"
+    )
+    ctes.append(
+        f"""tb0 AS MATERIALIZED (
+      SELECT y, {bin_sel}, CAST(1 AS BIGINT) AS node FROM (
+        SELECT CAST({label_sql} AS BIGINT) AS y, {feat_sel}
+        FROM {table} WHERE ({test_pred_sql}) AND {null_guard}) q
+      CROSS JOIN stw)"""
+    )
+    for lvl in range(depth):
+        ctes.append(
+            f"""tb{lvl + 1} AS MATERIALIZED (
+      SELECT a.y, {bcols},
+             CASE WHEN w.node IS NULL THEN a.node
+                  ELSE a.node * 2 + CASE WHEN {case_bin} <= w.bin
+                                         THEN 0 ELSE 1 END
+             END AS node
+      FROM tb{lvl} a LEFT JOIN w{lvl} w ON w.node = a.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(a.y AS BIGINT) AS actual, t.predict AS predicted,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM tb{depth} a JOIN tree t ON t.node = a.node
+    GROUP BY a.y, t.predict"""
     )

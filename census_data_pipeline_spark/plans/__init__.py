@@ -265,6 +265,7 @@ _CHECKED_PREFIX = [
     "streaming_cusum_hourly",
     "quality_logreg_auc",
     "quality_logreg_holdout",
+    "quality_tree_holdout",
 ]
 
 

@@ -3598,6 +3598,57 @@ def quality_logreg_holdout(spark, sf_dir):
     )
 
 
+@query(
+    "quality_tree_holdout",
+    oracle=classify.decision_tree_holdout_oracle_sql(
+        "documents",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+        _LOGREG_FEATURES_SQL,
+        _HOLDOUT_TEST_PRED_SQL,
+        bins=16,
+        depth=2,
+    ),
+)
+def quality_tree_holdout(spark, sf_dir):
+    """GENERALIZATION eval for the histogram tree
+    (functions/classify.decision_tree_holdout), mirroring the logreg
+    holdout: same md5-prefix ~3/16 hash split, fit on the train fold,
+    route the UNSEEN fold through the learned tree — test rows binned
+    with TRAIN min/width (no test-distribution leakage), then replayed
+    through the per-level winner reassignment joins to a training
+    leaf. Output: held-out confusion cells (actual, predicted, cnt).
+    Oracle: the tree CTEs over the filtered train table plus the
+    identical test-fold binning and routing."""
+    from census_data_pipeline_spark.functions import classify as _c
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = [
+        ("f_chars", F.col("n_chars")),
+        ("f_words",
+         F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "),
+                                               F.lit(""))) + F.lit(1)),
+        ("f_e_ratio",
+         (F.length("text") - F.length(F.replace(F.col("text"), F.lit("e"),
+                                                F.lit(""))))
+         / F.col("n_chars").cast("double")),
+        ("f_the_cnt",
+         (F.length("text") - F.length(F.replace(F.col("text"), F.lit("the"),
+                                                F.lit(""))))
+         / F.lit(3.0)),
+    ]
+    test_pred = F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 1
+    ).isin("0", "1", "2")
+    return _c.decision_tree_holdout(
+        docs,
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)),
+        feats,
+        test_pred,
+        bins=16,
+        depth=2,
+    )
+
+
 def _textrank_oracle(iters: int, d: float, min_len: int, k: int) -> str:
     """Unrolled-CTE replica of text.textrank_keywords: adjacent-token
     pair graph, symmetrized, then the same pagerank rounds as

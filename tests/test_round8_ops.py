@@ -1067,3 +1067,31 @@ def test_holdout_eval_generalizes_on_separable_data(spark):
     assert r.n_train + r.n_test == 1000 and r.n_test > 100
     assert r.test_accuracy > 0.97  # boundary rows may sit at margin 0
     assert r.test_auc == 1.0
+
+
+def test_tree_holdout_routes_unseen_rows_correctly(spark):
+    """A separable rule must generalize through the tree: the held-out
+    confusion is diagonal; and test rows OUTSIDE the train feature range
+    (clamped into edge bins by the train min/width) still route to a
+    training leaf instead of vanishing."""
+    from census_data_pipeline_spark.functions import classify
+
+    # train range x in [0, 199]; ids hashed out include arbitrary rows,
+    # plus two planted out-of-range points via id >= 1000
+    rows = [(i, float(i % 200), (i % 200) >= 100) for i in range(1000)]
+    rows += [(1000, -50.0, False), (1001, 500.0, True)]
+    df = spark.createDataFrame(rows, "id long, x double, y boolean")
+    test_pred = (
+        F.substring(F.md5(F.col("id").cast("string")), 1, 1)
+        .isin("0", "1", "2") | (F.col("id") >= 1000)
+    )
+    conf = {
+        (r.actual, r.predicted): r.cnt
+        for r in classify.decision_tree_holdout(
+            df, F.col("y").cast("int"), [("x", F.col("x"))], test_pred,
+            bins=10, depth=1,
+        ).collect()
+    }
+    assert (0, 1) not in conf and (1, 0) not in conf  # diagonal
+    n_test = sum(conf.values())
+    assert n_test > 100  # out-of-range rows included, none dropped
