@@ -189,6 +189,7 @@ HEADLINE_NEW: list[str] = [
     "quality_logreg_auc",
     "quality_logreg_holdout",
     "quality_tree_holdout",
+    "quality_gbt_holdout",
     "geo_dbscan_grid",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,

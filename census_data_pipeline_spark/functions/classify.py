@@ -752,14 +752,14 @@ def decision_tree_confusion_oracle_sql(
     )
 
 
-def boost_stumps_train(
+def _boost_fit(
     df: DataFrame,
     target: Column,
     features: list[tuple[str, Column]],
     rounds: int = 4,
     bins: int = 16,
     lr: float = 0.5,
-) -> DataFrame:
+):
     """Gradient-boosted regression STUMPS trained in-engine — Friedman's
     LS_Boost with depth-1 histogram trees, the additive-model companion
     to ``decision_tree_train`` (classification tree) and ``logreg_train``
@@ -859,6 +859,7 @@ def boost_stumps_train(
         case_bin = case_bin.when(F.col("__f") == n, F.col(f"__b_{n}"))
 
     stump_parts: list[DataFrame] = []
+    winner_frames: list[DataFrame] = []
     for k in range(1, rounds + 1):
         hist = (
             resid.select("__r", F.expr(stack_expr).alias("__f", "__bin"))
@@ -908,6 +909,7 @@ def boost_stumps_train(
             )
             .localCheckpoint(eager=False)
         )
+        winner_frames.append(winner)
         stump_parts.append(
             winner.join(F.broadcast(feat_stats),
                         winner["__f"] == F.col("__f2"))
@@ -947,10 +949,25 @@ def boost_stumps_train(
     )
     for part in stump_parts:
         out = out.unionByName(part)
-    return out.crossJoin(F.broadcast(rmse)).select(
+    model = out.crossJoin(F.broadcast(rmse)).select(
         "round", "feature", "threshold", "left_value", "right_value",
         F.col("__rmse").alias("train_rmse"),
     )
+    return model, st, base, winner_frames, names
+
+
+def boost_stumps_train(
+    df: DataFrame,
+    target: Column,
+    features: list[tuple[str, Column]],
+    rounds: int = 4,
+    bins: int = 16,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Train gradient-boosted regression stumps; returns the model
+    frame (round, feature, threshold, left_value, right_value,
+    train_rmse). Full algorithm and contracts: ``_boost_fit``."""
+    return _boost_fit(df, target, features, rounds, bins, lr)[0]
 
 
 def boost_stumps_oracle_sql(
@@ -1580,4 +1597,179 @@ def decision_tree_holdout_oracle_sql(
            CAST(count(*) AS BIGINT) AS cnt
     FROM tb{depth} a JOIN tree t ON t.node = a.node
     GROUP BY a.y, t.predict"""
+    )
+
+
+def boost_stumps_holdout(
+    df: DataFrame,
+    target: Column,
+    features: list[tuple[str, Column]],
+    test_pred: Column,
+    rounds: int = 4,
+    bins: int = 16,
+    lr: float = 0.5,
+) -> DataFrame:
+    """GENERALIZATION contract for the boosted stumps — the overfit
+    detector for the regression family: fit on the rows where
+    ``test_pred`` is false, bin the UNSEEN fold with the TRAIN fold's
+    min/width, apply the additive model (base + per-stump leaf values,
+    left-associated in round order — the exact training arithmetic) and
+    compare held-out RMSE to train RMSE.
+
+    Returns one row: (n_train, n_test, train_rmse, test_rmse).
+
+    Scale shape: the training fit, then ONE codegen scan of the test
+    fold through ``rounds`` broadcast 1-row stump joins and a 1-row
+    aggregate."""
+    names = [n for n, _ in features]
+    b = ensure_parallelism(df)
+    train = b.filter(~test_pred)
+    test = b.filter(test_pred)
+    model, st, fbase, winner_frames, _ = _boost_fit(
+        train, target, features, rounds, bins, lr
+    )
+    tb = (
+        test.select(
+            target.cast("double").alias("__y"),
+            *[expr.cast("double").alias(n) for n, expr in features],
+        )
+        .na.drop(subset=["__y", *names])
+        .crossJoin(F.broadcast(st))
+        .select(
+            "__y",
+            *[
+                F.when(F.col(f"__w_{n}") == 0, F.lit(0))
+                .otherwise(
+                    F.least(
+                        F.lit(bins - 1),
+                        F.greatest(
+                            F.lit(0),
+                            F.floor(
+                                (F.col(n) - F.col(f"__mn_{n}"))
+                                / F.col(f"__w_{n}")
+                            ).cast("int"),
+                        ),
+                    )
+                )
+                .cast("int")
+                .alias(f"__b_{n}")
+                for n in names
+            ],
+        )
+        .crossJoin(F.broadcast(fbase))
+        .withColumn("__pred", F.col("__f0"))
+    )
+    case_bin = F.when(F.col("__f") == names[0], F.col(f"__b_{names[0]}"))
+    for n in names[1:]:
+        case_bin = case_bin.when(F.col("__f") == n, F.col(f"__b_{n}"))
+    for w in winner_frames:
+        tb = tb.join(F.broadcast(w), F.lit(True), "left").select(
+            "__y",
+            *[f"__b_{n}" for n in names],
+            F.when(F.col("__f").isNull(), F.col("__pred"))
+            .otherwise(
+                F.col("__pred")
+                + F.when(case_bin <= F.col("__bin"), F.col("__lv"))
+                .otherwise(F.col("__rv"))
+            )
+            .alias("__pred"),
+        )
+    test_stats = tb.agg(
+        F.count("*").alias("__nt"),
+        F.round(
+            F.sqrt(
+                F.avg(
+                    (F.col("__y") - F.col("__pred"))
+                    * (F.col("__y") - F.col("__pred"))
+                )
+            ),
+            6,
+        ).alias("__trm"),
+    )
+    ntr = train.select(
+        target.cast("double").alias("__y"),
+        *[expr.cast("double").alias(n) for n, expr in features],
+    ).na.drop(subset=["__y", *names]).agg(F.count("*").alias("__ntr"))
+    train_rmse = model.agg(F.max("train_rmse").alias("__rm"))
+    return (
+        test_stats.crossJoin(F.broadcast(ntr))
+        .crossJoin(F.broadcast(train_rmse))
+        .select(
+            F.col("__ntr").cast("long").alias("n_train"),
+            F.col("__nt").cast("long").alias("n_test"),
+            F.col("__rm").alias("train_rmse"),
+            F.col("__trm").alias("test_rmse"),
+        )
+    )
+
+
+def boost_stumps_holdout_oracle_sql(
+    table: str,
+    target_sql: str,
+    features_sql: list[tuple[str, str]],
+    test_pred_sql: str,
+    rounds: int = 4,
+    bins: int = 16,
+    lr: float = 0.5,
+) -> str:
+    """DuckDB replica of ``boost_stumps_holdout`` — the boosting CTEs
+    over the train-filtered table, then the identical train-statistics
+    binning and additive scoring of the test fold."""
+    names = [n for n, _ in features_sql]
+    # rebuild the shared fit CTEs over the filtered train table by
+    # reusing the train oracle's WITH clause up to r{rounds}: simplest
+    # robust route — regenerate them from the same generator body.
+    train_tbl = f"(SELECT * FROM {table} WHERE NOT ({test_pred_sql}))"
+    full = boost_stumps_oracle_sql(
+        train_tbl, target_sql, features_sql, rounds, bins, lr
+    )
+    # strip the final SELECT (everything after the last CTE) — the CTE
+    # list ends with 'rmse AS (...)' which we keep as train rmse
+    cut = full.rindex("\n    SELECT m.round")
+    ctes_text = full[:cut]
+    feat_sel = ", ".join(
+        f"CAST({e} AS DOUBLE) AS {n}" for n, e in features_sql
+    )
+    null_guard = " AND ".join(
+        [f"({target_sql}) IS NOT NULL"]
+        + [f"({e}) IS NOT NULL" for _, e in features_sql]
+    )
+    bin_sel = ", ".join(
+        f"CASE WHEN w_{n} = 0 THEN 0 ELSE least({bins - 1}, greatest(0, "
+        f"CAST(floor(({n} - mn_{n}) / w_{n}) AS INT))) END AS b_{n}"
+        for n in names
+    )
+    bcols = ", ".join(f"b_{n}" for n in names)
+    case_bin = (
+        "CASE s.f "
+        + " ".join(f"WHEN '{n}' THEN r.b_{n}" for n in names)
+        + " END"
+    )
+    extra = [
+        f"""tb0 AS MATERIALIZED (
+      SELECT y, {bin_sel}, f0 AS pred FROM (
+        SELECT CAST({target_sql} AS DOUBLE) AS y, {feat_sel}
+        FROM {table} WHERE ({test_pred_sql}) AND {null_guard}) q
+      CROSS JOIN stw CROSS JOIN base)"""
+    ]
+    for k in range(1, rounds + 1):
+        extra.append(
+            f"""tb{k} AS MATERIALIZED (
+      SELECT r.y, {bcols},
+             CASE WHEN s.f IS NULL THEN r.pred
+                  ELSE r.pred + CASE WHEN {case_bin} <= s.bin
+                                     THEN s.lv ELSE s.rv END
+             END AS pred
+      FROM tb{k - 1} r LEFT JOIN s{k} s ON TRUE)"""
+        )
+    return (
+        ctes_text
+        + ",\n    "
+        + ",\n    ".join(extra)
+        + f"""
+    SELECT CAST((SELECT count(*) FROM raw) AS BIGINT) AS n_train,
+           CAST(count(*) AS BIGINT) AS n_test,
+           (SELECT v FROM rmse) AS train_rmse,
+           round(sqrt(avg((y - pred) * (y - pred))), 6) AS test_rmse
+    FROM tb{rounds}"""
     )

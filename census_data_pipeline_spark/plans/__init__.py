@@ -266,6 +266,7 @@ _CHECKED_PREFIX = [
     "quality_logreg_auc",
     "quality_logreg_holdout",
     "quality_tree_holdout",
+    "quality_gbt_holdout",
 ]
 
 

@@ -3649,6 +3649,57 @@ def quality_tree_holdout(spark, sf_dir):
     )
 
 
+@query(
+    "quality_gbt_holdout",
+    oracle=classify.boost_stumps_holdout_oracle_sql(
+        "documents",
+        "(length(text) - length(replace(text, 'e', ''))) "
+        "/ CAST(n_chars AS DOUBLE)",
+        [("f_chars", "n_chars"),
+         ("f_words", "length(text) - length(replace(text, ' ', '')) + 1"),
+         ("f_the_cnt",
+          "(length(text) - length(replace(text, 'the', ''))) / 3.0")],
+        _HOLDOUT_TEST_PRED_SQL,
+        rounds=4,
+        bins=16,
+        lr=0.5,
+    ),
+)
+def quality_gbt_holdout(spark, sf_dir):
+    """GENERALIZATION eval for the boosted stumps
+    (functions/classify.boost_stumps_holdout) — the overfit detector
+    for the regression family: same md5-prefix ~3/16 hash split, fit
+    the 4-round model on the train fold, bin the unseen fold with TRAIN
+    min/width and apply the additive model in exact training
+    arithmetic; compare held-out RMSE to train RMSE (a widening gap is
+    the memorization signal a curation pipeline gates on). Oracle: the
+    boosting CTEs over the filtered train table plus the identical
+    test-fold scoring chain."""
+    from census_data_pipeline_spark.functions import classify as _c
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = [
+        ("f_chars", F.col("n_chars")),
+        ("f_words",
+         F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "),
+                                               F.lit(""))) + F.lit(1)),
+        ("f_the_cnt",
+         (F.length("text") - F.length(F.replace(F.col("text"), F.lit("the"),
+                                                F.lit(""))))
+         / F.lit(3.0)),
+    ]
+    target = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("e"), F.lit("")))
+    ) / F.col("n_chars").cast("double")
+    test_pred = F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 1
+    ).isin("0", "1", "2")
+    return _c.boost_stumps_holdout(
+        docs, target, feats, test_pred, rounds=4, bins=16, lr=0.5
+    )
+
+
 def _textrank_oracle(iters: int, d: float, min_len: int, k: int) -> str:
     """Unrolled-CTE replica of text.textrank_keywords: adjacent-token
     pair graph, symmetrized, then the same pagerank rounds as

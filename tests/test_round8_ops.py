@@ -1095,3 +1095,32 @@ def test_tree_holdout_routes_unseen_rows_correctly(spark):
     assert (0, 1) not in conf and (1, 0) not in conf  # diagonal
     n_test = sum(conf.values())
     assert n_test > 100  # out-of-range rows included, none dropped
+
+
+def test_boost_holdout_generalizes_additive_target(spark):
+    """An additive two-step target learned on 4/5 of the grid must
+    carry to the held-out fold: test RMSE lands near train RMSE and far
+    below the target's std; folds sum to the corpus."""
+    import math
+
+    from census_data_pipeline_spark.functions import classify
+
+    pts = [(i, i / 100.0 % 1.0, (i // 7) % 11 / 10.0) for i in range(1100)]
+    df = spark.createDataFrame(pts, "id long, x1 double, x2 double")
+    target = (
+        F.when(F.col("x1") >= 0.6, F.lit(2.0)).otherwise(F.lit(0.0))
+        + F.when(F.col("x2") >= 0.3, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    test_pred = F.substring(
+        F.md5(F.col("id").cast("string")), 1, 1
+    ).isin("0", "1", "2")
+    r = classify.boost_stumps_holdout(
+        df, target, [("x1", F.col("x1")), ("x2", F.col("x2"))], test_pred,
+        rounds=6, bins=10, lr=0.5,
+    ).collect()[0]
+    assert r.n_train + r.n_test == 1100 and r.n_test > 100
+    ys = [2.0 * (x1 >= 0.6) + 1.0 * (x2 >= 0.3) for _, x1, x2 in pts]
+    mean = sum(ys) / len(ys)
+    std = math.sqrt(sum((y - mean) ** 2 for y in ys) / len(ys))
+    assert r.test_rmse < 0.5 * std
+    assert abs(r.test_rmse - r.train_rmse) < 0.25 * std
