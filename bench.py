@@ -190,6 +190,7 @@ HEADLINE_NEW: list[str] = [
     "quality_logreg_holdout",
     "quality_tree_holdout",
     "quality_gbt_holdout",
+    "sample_neyman_customers",
     "geo_dbscan_grid",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,

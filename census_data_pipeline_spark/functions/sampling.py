@@ -428,3 +428,148 @@ def token_budget_sample(
             F.col("cum_tokens").cast("long").alias("cum_tokens"),
         )
     )
+
+
+def neyman_sample(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    id_col: str,
+    budget: int,
+) -> DataFrame:
+    """NEYMAN-ALLOCATION stratified sampling (Neyman 1934 — the
+    survey-statistics optimum the census literature is built on, and
+    the principled way to mix training strata): allocate a fixed
+    ``budget`` across strata proportionally to N_h·σ_h (big and
+    variable strata get more), then draw each stratum's quota
+    DETERMINISTICALLY as its allocation's smallest md5(id) values —
+    the module's hash-sampling discipline, so both engines draw the
+    identical sample.
+
+    Allocation contract (all deterministic):
+    - σ_h = 6-dp population stddev of ``value_col`` (0 for singleton
+      strata); if EVERY weight is zero the allocation degrades to
+      proportional (w_h = N_h);
+    - integerization by LARGEST REMAINDER: floor the raw shares, then
+      hand the leftover units to the largest fractional parts (ties to
+      the smaller stratum key);
+    - each stratum is capped at its population (alloc ≤ N_h) — when
+      caps bind the total drawn may fall below ``budget``, by design
+      (no iterative redistribution: the contract stays one-pass).
+
+    Returns the sampled rows: (stratum, alloc, id, value).
+
+    Scale shape: one groupBy for the strata stats (a model-sized
+    frame that carries the whole allocation arithmetic, window
+    included), then ONE data pass ranked by a window PARTITIONED BY
+    stratum (parallel across strata, never a global window) keeping
+    rank ≤ the broadcast per-stratum quota."""
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(id_col).alias("id"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    strata = base.groupBy("stratum").agg(
+        F.count("*").alias("__n"),
+        F.round(F.coalesce(F.stddev_pop("value"), F.lit(0.0)), 6)
+        .alias("__sd"),
+    )
+    tot = strata.agg(
+        F.sum(F.col("__n") * F.col("__sd")).alias("__wsum"),
+        F.sum("__n").alias("__ntot"),
+    )
+    shares = strata.crossJoin(F.broadcast(tot)).select(
+        "stratum", "__n",
+        F.when(
+            F.col("__wsum") > 0,
+            F.lit(float(budget)) * (F.col("__n") * F.col("__sd"))
+            / F.col("__wsum"),
+        )
+        .otherwise(
+            F.lit(float(budget)) * F.col("__n") / F.col("__ntot")
+        )
+        .alias("__r"),
+    ).select(
+        "stratum", "__n", "__r",
+        F.floor("__r").cast("long").alias("__base"),
+        (F.col("__r") - F.floor("__r")).alias("__frac"),
+    )
+    rem = shares.agg(
+        (F.lit(budget) - F.sum("__base")).alias("__rem")
+    )
+    wfrac = Window.orderBy(F.col("__frac").desc(), F.col("stratum"))
+    alloc = (
+        shares.crossJoin(F.broadcast(rem))
+        .withColumn("__rk", F.row_number().over(wfrac))
+        .select(
+            "stratum",
+            F.least(
+                F.col("__n"),
+                F.col("__base")
+                + F.when(F.col("__rk") <= F.col("__rem"), F.lit(1))
+                .otherwise(F.lit(0)),
+            ).alias("alloc"),
+        )
+        .filter(F.col("alloc") > 0)
+    )
+    wpick = Window.partitionBy("stratum").orderBy(
+        F.md5(F.col("id").cast("string")), F.col("id")
+    )
+    return (
+        base.join(F.broadcast(alloc), "stratum")
+        .withColumn("__pick", F.row_number().over(wpick))
+        .filter(F.col("__pick") <= F.col("alloc"))
+        .select("stratum", F.col("alloc").cast("long").alias("alloc"),
+                "id", "value")
+    )
+
+
+def neyman_oracle_sql(
+    table: str,
+    stratum_sql: str,
+    value_sql: str,
+    id_sql: str,
+    budget: int,
+) -> str:
+    """DuckDB replica of ``neyman_sample`` — identical 6-dp stddev
+    weights, largest-remainder integerization with the same total
+    order, per-stratum caps, and the same md5-ranked draw."""
+    return f"""
+    WITH base AS (SELECT {stratum_sql} AS stratum, {id_sql} AS id,
+                         CAST({value_sql} AS DOUBLE) AS value
+                  FROM {table}),
+    strata AS (SELECT stratum, count(*) AS n,
+                      round(coalesce(stddev_pop(value), 0.0), 6) AS sd
+               FROM base GROUP BY stratum),
+    tot AS (SELECT sum(n * sd) AS wsum, sum(n) AS ntot FROM strata),
+    shares AS (SELECT stratum, n, r,
+                      CAST(floor(r) AS BIGINT) AS base_alloc,
+                      r - floor(r) AS frac
+               FROM (SELECT s.stratum, s.n,
+                            CASE WHEN t.wsum > 0
+                                 THEN {float(budget)!r} * (s.n * s.sd)
+                                      / t.wsum
+                                 ELSE {float(budget)!r} * s.n / t.ntot
+                            END AS r
+                     FROM strata s CROSS JOIN tot t) q),
+    rem AS (SELECT {budget} - sum(base_alloc) AS v FROM shares),
+    alloc AS (SELECT stratum,
+                     least(n, base_alloc + CASE WHEN rk <= rem.v
+                                                THEN 1 ELSE 0 END)
+                       AS alloc
+              FROM (SELECT *, row_number() OVER (
+                      ORDER BY frac DESC, stratum) AS rk FROM shares) s
+              CROSS JOIN rem),
+    picked AS (SELECT b.stratum, a.alloc, b.id, b.value,
+                      row_number() OVER (PARTITION BY b.stratum
+                        ORDER BY md5(CAST(b.id AS VARCHAR)), b.id)
+                        AS pick
+               FROM base b JOIN alloc a ON a.stratum = b.stratum
+               WHERE a.alloc > 0)
+    SELECT stratum, CAST(alloc AS BIGINT) AS alloc, id, value
+    FROM picked WHERE pick <= alloc
+    """

@@ -268,6 +268,7 @@ _CHECKED_PREFIX = [
     "quality_logreg_holdout",
     "quality_tree_holdout",
     "quality_gbt_holdout",
+    "sample_neyman_customers",
 ]
 
 

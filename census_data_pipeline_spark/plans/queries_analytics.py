@@ -150,6 +150,36 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+from census_data_pipeline_spark.functions.sampling import (  # noqa: E402
+    neyman_oracle_sql,
+)
+
+
+@query(
+    "sample_neyman_customers",
+    oracle=neyman_oracle_sql(
+        "customer", "c_mktsegment", "c_acctbal", "c_custkey", budget=100
+    ),
+)
+def sample_neyman_customers(spark, sf_dir):
+    """Neyman-allocation stratified sample
+    (functions/sampling.neyman_sample — the survey-statistics optimum,
+    allocation ∝ N_h·σ_h): draw 100 customers across market segments,
+    weighting strata by their account-balance variability, integerized
+    by largest remainder (ties to the smaller segment), capped at the
+    stratum population, and drawn deterministically as each quota's
+    smallest md5(custkey) values. One model-sized strata frame carries
+    the whole allocation; the data pass ranks within strata only
+    (window PARTITIONED BY segment — parallel, never global). The
+    oracle replicates weights, rounding order and the md5 draw."""
+    from census_data_pipeline_spark.functions import sampling
+
+    c = load_table(spark, sf_dir, "customer")
+    return sampling.neyman_sample(
+        c, "c_mktsegment", "c_acctbal", "c_custkey", budget=100
+    )
+
+
 @query(
     "sample_weighted_docs",
     oracle="""

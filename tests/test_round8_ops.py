@@ -1124,3 +1124,55 @@ def test_boost_holdout_generalizes_additive_target(spark):
     std = math.sqrt(sum((y - mean) ** 2 for y in ys) / len(ys))
     assert r.test_rmse < 0.5 * std
     assert abs(r.test_rmse - r.train_rmse) < 0.25 * std
+
+
+# --- Neyman-allocation stratified sampling -----------------------------
+
+
+def test_neyman_allocation_and_caps(spark):
+    """Hand-checkable allocation: two strata with equal counts but 3:1
+    stddev ratio split a budget of 8 as 6:2; a zero-variance stratum
+    gets nothing while weights exist; a tiny high-variance stratum is
+    capped at its population; all-zero variance degrades to
+    proportional."""
+    from census_data_pipeline_spark.functions import sampling
+
+    rows = []
+    # stratum A: values +-3 around 0 (sd 3), 10 rows
+    rows += [("A", i, 3.0 if i % 2 else -3.0) for i in range(10)]
+    # stratum B: values +-1 (sd 1), 10 rows
+    rows += [("B", 100 + i, 1.0 if i % 2 else -1.0) for i in range(10)]
+    # stratum C: constant (sd 0), 10 rows
+    rows += [("C", 200 + i, 5.0) for i in range(30)]
+    df = spark.createDataFrame(rows, "s string, id long, v double")
+    out = sampling.neyman_sample(df, "s", "v", "id", budget=8).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.stratum, []).append(r)
+    assert len(by.get("A", [])) == 6 and len(by.get("B", [])) == 2
+    assert "C" not in by
+    assert all(r.alloc == 6 for r in by["A"])
+
+    # cap: stratum D has sd 10 but only 2 rows
+    rows2 = [("D", 1, 100.0), ("D", 2, -100.0)] + [
+        ("E", 10 + i, 1.0 if i % 2 else -1.0) for i in range(20)
+    ]
+    df2 = spark.createDataFrame(rows2, "s string, id long, v double")
+    out2 = sampling.neyman_sample(df2, "s", "v", "id", budget=10).collect()
+    d_rows = [r for r in out2 if r.stratum == "D"]
+    assert len(d_rows) == 2  # capped at the population
+
+    # all-zero variance -> proportional
+    rows3 = [("X", i, 1.0) for i in range(30)] + [
+        ("Y", 100 + i, 2.0) for i in range(10)
+    ]
+    df3 = spark.createDataFrame(rows3, "s string, id long, v double")
+    out3 = sampling.neyman_sample(df3, "s", "v", "id", budget=4).collect()
+    cnt = {}
+    for r in out3:
+        cnt[r.stratum] = cnt.get(r.stratum, 0) + 1
+    assert cnt == {"X": 3, "Y": 1}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="budget"):
+        sampling.neyman_sample(df3, "s", "v", "id", budget=0)
