@@ -191,6 +191,7 @@ HEADLINE_NEW: list[str] = [
     "quality_tree_holdout",
     "quality_gbt_holdout",
     "sample_neyman_customers",
+    "sample_ht_estimate",
     "geo_dbscan_grid",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,

@@ -573,3 +573,104 @@ def neyman_oracle_sql(
     SELECT stratum, CAST(alloc AS BIGINT) AS alloc, id, value
     FROM picked WHERE pick <= alloc
     """
+
+
+def ht_estimate(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    id_col: str,
+    budget: int,
+) -> DataFrame:
+    """HORVITZ–THOMPSON estimation over the Neyman sample — the
+    design-based estimator that turns the stratified draw back into a
+    population statement (the survey-statistics pair: allocate → draw →
+    expand): per stratum, the sampled total expands by N_h/n_h, and the
+    output carries the TRUE total beside the estimate so the
+    estimator's error is part of the contract.
+
+    Returns one row per stratum plus an '<all>' rollup:
+    (stratum, n_pop, n_samp, true_total, est_total, err) — totals and
+    errors rounded 6 dp; the rollup sums the per-stratum rounded
+    estimates (deterministic in both engines).
+
+    Scale shape: the sampler's passes plus one exact per-stratum total
+    aggregate; the expansion arithmetic runs on the strata-sized
+    frame."""
+    samp = neyman_sample(df, stratum_col, value_col, id_col, budget)
+    base = df.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    truth = base.groupBy("stratum").agg(
+        F.count("*").alias("n_pop"),
+        F.round(F.sum("value"), 6).alias("true_total"),
+    )
+    per = (
+        samp.groupBy("stratum")
+        .agg(
+            F.count("*").alias("n_samp"),
+            F.sum("value").alias("__sv"),
+        )
+        .join(F.broadcast(truth), "stratum")
+        .select(
+            "stratum",
+            F.col("n_pop").cast("long").alias("n_pop"),
+            F.col("n_samp").cast("long").alias("n_samp"),
+            "true_total",
+            F.round(
+                F.col("n_pop") / F.col("n_samp") * F.col("__sv"), 6
+            ).alias("est_total"),
+        )
+        .select(
+            "*",
+            F.round(F.col("est_total") - F.col("true_total"), 6)
+            .alias("err"),
+        )
+    )
+    total = per.agg(
+        F.sum("n_pop").cast("long").alias("n_pop"),
+        F.sum("n_samp").cast("long").alias("n_samp"),
+        F.round(F.sum("true_total"), 6).alias("true_total"),
+        F.round(F.sum("est_total"), 6).alias("est_total"),
+    ).select(
+        F.lit("<all>").alias("stratum"),
+        "n_pop", "n_samp", "true_total", "est_total",
+        F.round(F.col("est_total") - F.col("true_total"), 6).alias("err"),
+    )
+    return per.unionByName(total)
+
+
+def ht_oracle_sql(
+    table: str,
+    stratum_sql: str,
+    value_sql: str,
+    id_sql: str,
+    budget: int,
+) -> str:
+    """DuckDB replica of ``ht_estimate`` — the sampler's statement as a
+    subquery, the same exact truth aggregate, expansion and rounding."""
+    samp = neyman_oracle_sql(table, stratum_sql, value_sql, id_sql, budget)
+    return f"""
+    WITH samp AS ({samp}),
+    truth AS (SELECT {stratum_sql} AS stratum, count(*) AS n_pop,
+                     round(sum(CAST({value_sql} AS DOUBLE)), 6)
+                       AS true_total
+              FROM {table} GROUP BY 1),
+    per AS (SELECT s.stratum,
+                   CAST(t.n_pop AS BIGINT) AS n_pop,
+                   CAST(count(*) AS BIGINT) AS n_samp,
+                   t.true_total,
+                   round(t.n_pop / count(*) * sum(s.value), 6)
+                     AS est_total
+            FROM samp s JOIN truth t ON t.stratum = s.stratum
+            GROUP BY s.stratum, t.n_pop, t.true_total),
+    pe AS (SELECT *, round(est_total - true_total, 6) AS err FROM per)
+    SELECT stratum, n_pop, n_samp, true_total, est_total, err FROM pe
+    UNION ALL
+    SELECT '<all>', CAST(sum(n_pop) AS BIGINT),
+           CAST(sum(n_samp) AS BIGINT),
+           round(sum(true_total), 6), round(sum(est_total), 6),
+           round(round(sum(est_total), 6) - round(sum(true_total), 6), 6)
+    FROM pe
+    """

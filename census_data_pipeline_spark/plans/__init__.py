@@ -269,6 +269,7 @@ _CHECKED_PREFIX = [
     "quality_tree_holdout",
     "quality_gbt_holdout",
     "sample_neyman_customers",
+    "sample_ht_estimate",
 ]
 
 

@@ -151,8 +151,34 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 
 from census_data_pipeline_spark.functions.sampling import (  # noqa: E402
+    ht_oracle_sql,
     neyman_oracle_sql,
 )
+
+
+@query(
+    "sample_ht_estimate",
+    oracle=ht_oracle_sql(
+        "customer", "c_mktsegment", "c_acctbal", "c_custkey", budget=100
+    ),
+)
+def sample_ht_estimate(spark, sf_dir):
+    """Horvitz–Thompson estimation over the Neyman draw
+    (functions/sampling.ht_estimate — the design-based estimator that
+    closes the survey loop: allocate → draw → expand): per-segment
+    sampled balance totals expand by N_h/n_h, reported BESIDE the true
+    totals so the estimator's error is part of the oracle-checked
+    contract (within a few percent of truth from a 100-unit draw at
+    both test scales), plus an '<all>' rollup of the rounded
+    per-stratum estimates. The expansion arithmetic runs on the
+    strata-sized frame; the only data-scale additions to the sampler
+    are one exact per-stratum total aggregate."""
+    from census_data_pipeline_spark.functions import sampling
+
+    c = load_table(spark, sf_dir, "customer")
+    return sampling.ht_estimate(
+        c, "c_mktsegment", "c_acctbal", "c_custkey", budget=100
+    )
 
 
 @query(

@@ -1176,3 +1176,27 @@ def test_neyman_allocation_and_caps(spark):
 
     with _pt.raises(ValueError, match="budget"):
         sampling.neyman_sample(df3, "s", "v", "id", budget=0)
+
+
+def test_ht_estimate_exact_on_census_and_consistent(spark):
+    """When the budget covers every row the 'sample' is a census and the
+    HT estimate must equal the true total exactly (err 0 per stratum
+    and on the rollup); with a partial draw the rollup row must equal
+    the sum of the per-stratum rounded estimates."""
+    from census_data_pipeline_spark.functions import sampling
+
+    rows = [("A", i, float(i)) for i in range(10)] + [
+        ("B", 100 + i, float(2 * i)) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "s string, id long, v double")
+    # an over-budget draw caps every stratum at its population -> census
+    census = sampling.ht_estimate(df, "s", "v", "id", budget=32).collect()
+    for r in census:
+        assert r.err == 0.0 and r.n_samp == r.n_pop
+    part = {r.stratum: r for r in sampling.ht_estimate(
+        df, "s", "v", "id", budget=6).collect()}
+    allr = part["<all>"]
+    assert allr.n_samp == 6
+    assert allr.est_total == pytest.approx(
+        round(sum(r.est_total for k, r in part.items() if k != "<all>"), 6)
+    )
