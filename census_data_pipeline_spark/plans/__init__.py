@@ -211,11 +211,11 @@ demotion, graph_pagerank + text_textrank_keywords via the PageRank
 exchange trim and the personalization parameter, embedding_pca_power +
 embedding_pca_topr via the driver-side power-iteration solve,
 quality_logreg_train via the _logreg_fit extraction). The continuation
-adds thirteen more new queries (histogram tree train/eval/holdout,
+adds fifteen more new queries (histogram tree train/eval/holdout,
 boosted stumps train/holdout, TrustRank, nDCG, conformal bands,
 calibration bins, exact AUC, logreg holdout, grid DBSCAN, streaming
-CUSUM). 30 of 50 slots carry stale/new queries; the rest keep
-registration order."""
+CUSUM, Neyman sampling + Horvitz-Thompson estimation). 32 of 50 slots
+carry stale/new queries; the rest keep registration order."""
 
 from census_data_pipeline_spark.plans import (  # noqa: F401
     queries_analytics,
