@@ -24,23 +24,51 @@ OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
 STATE_SCHEMA = "n long, total double"
 
 
-def running_user_totals(events: DataFrame) -> DataFrame:
+def running_user_totals(
+    events: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
     """Streaming: per-user running event count and value sum, updated per
     micro-batch. ``events`` must be a streaming DataFrame with columns
     ``user_id`` and ``value``.
+
+    ``idle_timeout_ms`` is the state-eviction contract for unbounded key
+    spaces: when set, a key that receives no data for that long (wall
+    clock, checked at each subsequent micro-batch) has its state REMOVED
+    from the store — a later row for the key restarts its accumulator
+    from zero, exactly as if the key had never been seen. ``None``
+    (default) keeps state forever, which is only safe when the key space
+    is bounded (e.g. event types); keying an unbounded stream by
+    ``user_id`` without a timeout accumulates dead-key state without
+    bound.
+
+    Runtime note: with a processing-time timeout configured, Spark
+    schedules micro-batches CONTINUOUSLY (empty ones included) so
+    expired timers fire — pair the knob with a real trigger interval
+    (e.g. ``.trigger(processingTime="1 second")``), and observe the
+    sink by polling: ``processAllAvailable()`` does not settle while
+    timer batches keep running.
 
     The update function is a self-contained closure (pandas imported
     inside, no module-level references) so cloudpickle ships it by value
     to workers that cannot import this package."""
 
+    timeout_ms = idle_timeout_ms
+
     def update(key, batches: Iterator["pd.DataFrame"], state: GroupState):
         import pandas as _pd
 
+        if timeout_ms is not None and state.hasTimedOut:
+            # idle past the horizon: drop the key's state entirely; a
+            # late arrival re-enters through the cold-start branch below
+            state.remove()
+            return
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in batches:
             n += len(pdf)
             total += float(pdf["value"].fillna(0.0).sum())
         state.update((n, total))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
         yield _pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
         )
@@ -53,7 +81,11 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if idle_timeout_ms is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
         )
     )
 
@@ -72,6 +104,7 @@ def cusum_monitor(
     mu_col: str = "mu0",
     slack_col: str = "slack",
     h_col: str = "h",
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Per-key two-sided CUSUM change detector (Page 1954) as a custom
     stateful streaming operator — the canonical monitor a pipeline runs
@@ -93,11 +126,25 @@ def cusum_monitor(
     max-n_obs one.
 
     Scale: state is 4 scalars per key; the shuffle is the same
-    key-hash exchange as a streaming groupBy."""
+    key-hash exchange as a streaming groupBy. ``idle_timeout_ms`` is the
+    eviction contract for unbounded key spaces: when set, a key idle
+    that long (wall clock, checked at each later micro-batch) has its
+    state REMOVED — a late row restarts the CUSUM recursion from
+    (0, 0, 0, 0), as if the key were new. Default ``None`` (keep
+    forever) is only safe for bounded key spaces such as event types.
+    With the timeout set, pair the query with a real trigger interval
+    and poll the sink — Spark schedules continuous (possibly empty)
+    micro-batches to fire timers, so ``processAllAvailable()`` does
+    not settle (see ``running_user_totals``)."""
+
+    timeout_ms = idle_timeout_ms
 
     def update(key, batches: Iterator["pd.DataFrame"], state: GroupState):
         import pandas as _pd
 
+        if timeout_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         sp, sn, n, alarms = (
             state.get if state.exists else (0.0, 0.0, 0, 0)
         )
@@ -117,6 +164,8 @@ def cusum_monitor(
                 alarms += 1
                 sn = 0.0
         state.update((sp, sn, n, alarms))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
         yield _pd.DataFrame(
             {"key": [key[0]], "n_obs": [n], "s_pos": [sp],
              "s_neg": [sn], "n_alarms": [alarms]}
@@ -139,6 +188,10 @@ def cusum_monitor(
             outputStructType=CUSUM_OUTPUT_SCHEMA,
             stateStructType=CUSUM_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if idle_timeout_ms is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
         )
     )

@@ -48,6 +48,127 @@ def test_running_totals_match_batch(spark, sf_dir, tmp_path):
     assert got == expected
 
 
+def _wait_for(spark, view, tup, cols, timeout_s=90):
+    """Poll a memory-sink view until ``tup`` appears (ProcessingTime
+    timers keep scheduling empty micro-batches, so processAllAvailable
+    never settles — polling is the correct observation here)."""
+    import time
+
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        got = {
+            tuple(getattr(r, c) for c in cols)
+            for r in spark.sql(f"SELECT * FROM {view}").collect()
+        }
+        if tup in got:
+            return got
+        time.sleep(0.3)
+    raise AssertionError(f"{tup} never appeared in {view}: {got}")
+
+
+def test_idle_timeout_evicts_state_and_late_row_restarts(spark, tmp_path):
+    """Eviction contract (idle_timeout_ms): state accumulates across
+    micro-batches INSIDE the horizon, a key idle past the horizon has
+    its state dropped by the fired timer, and its next row restarts the
+    accumulator from zero — exactly as if the key had never been seen."""
+    import time
+
+    path = str(tmp_path / "evict")
+    schema = "user_id long, value double"
+    cols = ("user_id", "n_events", "total_value")
+
+    def write_chunk(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    # two files staged up front: maxFilesPerTrigger=1 makes them two
+    # back-to-back batches, proving cross-batch accumulation in-horizon
+    write_chunk([(1, 1.0), (1, 1.0), (2, 10.0), (2, 10.0), (2, 10.0)])
+    write_chunk([(1, 1.0)])
+    stream = windows.stream_from_parquet(
+        spark, path, spark.read.parquet(path).schema, max_files_per_trigger=1
+    )
+    q = (
+        running_user_totals(stream, idle_timeout_ms=2500)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("evict_out")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        _wait_for(spark, "evict_out", (1, 3, 3.0), cols)
+        _wait_for(spark, "evict_out", (2, 3, 30.0), cols)
+        time.sleep(6.0)  # both keys idle past the 2.5 s horizon
+        # late rows: state was evicted, so these restart from zero
+        write_chunk([(2, 10.0), (2, 10.0)])
+        _wait_for(spark, "evict_out", (2, 2, 20.0), cols)
+        write_chunk([(1, 1.0)])
+        emitted = _wait_for(spark, "evict_out", (1, 1, 1.0), cols)
+    finally:
+        q.stop()
+
+    # restart means the pre-eviction totals were NOT continued
+    assert (1, 4, 4.0) not in emitted
+    assert (2, 5, 50.0) not in emitted
+
+
+def test_cusum_idle_timeout_restarts_recursion(spark, tmp_path):
+    """CUSUM + idle_timeout_ms: an evicted key's recursion restarts at
+    (0, 0, 0, 0) — n_obs resets instead of continuing its count."""
+    import time
+
+    from census_data_pipeline_spark.streaming.stateful import cusum_monitor
+
+    path = str(tmp_path / "cusum_evict")
+    schema = "k string, t int, x double, mu0 double, sl double, h double"
+
+    def write_chunk(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    write_chunk([("b", 1, 1.0, 1.0, 0.25, 5.0),
+                 ("b", 2, 1.0, 1.0, 0.25, 5.0)])
+    stream = windows.stream_from_parquet(
+        spark, path, spark.read.parquet(path).schema, max_files_per_trigger=1
+    )
+    q = (
+        cusum_monitor(stream, key_col="k", t_col="t", x_col="x",
+                      mu_col="mu0", slack_col="sl", h_col="h",
+                      idle_timeout_ms=2500)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("cusum_evict_out")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        def n_obs_b():
+            return sorted(
+                r.n_obs
+                for r in spark.sql(
+                    "SELECT n_obs FROM cusum_evict_out WHERE key = 'b'"
+                ).collect()
+            )
+
+        deadline = time.time() + 90
+        while n_obs_b() != [2] and time.time() < deadline:
+            time.sleep(0.3)
+        assert n_obs_b() == [2]
+        time.sleep(6.0)  # b idles past the horizon; its timer evicts
+        write_chunk([("b", 3, 1.0, 1.0, 0.25, 5.0)])  # b restarts fresh
+        deadline = time.time() + 90
+        while 1 not in n_obs_b() and time.time() < deadline:
+            time.sleep(0.3)
+        got = n_obs_b()
+    finally:
+        q.stop()
+
+    # 2 from the first batch, then 1 after eviction — never 3
+    assert got == [1, 2]
+
+
 def _run_cusum(spark, df, n_chunks, name):
     import tempfile
 
