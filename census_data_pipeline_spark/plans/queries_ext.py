@@ -3700,6 +3700,223 @@ def quality_gbt_holdout(spark, sf_dir):
     )
 
 
+@query(
+    "quality_gbt_classify",
+    oracle=classify.logit_boost_oracle_sql(
+        "documents",
+        "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END",
+        _LOGREG_FEATURES_SQL,
+        rounds=4,
+        bins=16,
+        lr=0.5,
+    ),
+)
+def quality_gbt_classify(spark, sf_dir):
+    """Log-loss gradient-boosted classification stumps trained INSIDE
+    the engine (functions/classify.logit_boost_train — VERDICT r8 #3):
+    the non-linear classifier the reference-free label-quality use case
+    wants, on the SAME four surface features and English label as
+    quality_logreg_train / quality_tree_train, so all three learned-
+    filter families are directly comparable. Per round ONE codegen scan
+    of the checkpointed binned frame builds a map-side-combined
+    4·16-cell pseudo-residual histogram (r = y − round(σ(margin), 6) —
+    the unit-hessian log-loss gradient); the stump (1 row) broadcasts
+    back and margin updates stay row-local exact doubles. Output: the
+    additive model (round, feature, threshold, left_value, right_value,
+    train_logloss). The oracle replicates the trajectory round by round
+    with residual sums 6 dp and gains 9 dp at identical points."""
+    from census_data_pipeline_spark.functions import classify as _c
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = [
+        ("f_chars", F.col("n_chars")),
+        ("f_words",
+         F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "),
+                                               F.lit(""))) + F.lit(1)),
+        ("f_e_ratio",
+         (F.length("text") - F.length(F.replace(F.col("text"), F.lit("e"),
+                                                F.lit(""))))
+         / F.col("n_chars").cast("double")),
+        ("f_the_cnt",
+         (F.length("text") - F.length(F.replace(F.col("text"), F.lit("the"),
+                                                F.lit("")))) / F.lit(3.0)),
+    ]
+    return _c.logit_boost_train(
+        docs,
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)),
+        feats,
+        rounds=4,
+        bins=16,
+        lr=0.5,
+    )
+
+
+@query(
+    "quality_gbt_classify_holdout",
+    oracle=classify.logit_boost_holdout_oracle_sql(
+        "documents",
+        "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END",
+        _LOGREG_FEATURES_SQL,
+        _HOLDOUT_TEST_PRED_SQL,
+        rounds=4,
+        bins=16,
+        lr=0.5,
+    ),
+)
+def quality_gbt_classify_holdout(spark, sf_dir):
+    """GENERALIZATION eval for the classification booster
+    (functions/classify.logit_boost_holdout), evaluated with the logreg
+    fold's metrics (VERDICT r8 #3): the same md5-prefix ~3/16 hash
+    split as the other three holdouts, fit the 4-round log-loss model
+    on the train fold, bin the UNSEEN fold with TRAIN min/width, apply
+    the additive margin in exact training arithmetic, and report
+    held-out accuracy (margin ≥ 0) plus the bounded score-histogram
+    ROC-AUC over the 6-dp sigmoid scores. Oracle: the boosting CTEs
+    over the filtered train table plus the identical test-fold scoring,
+    accuracy and cumulative rank-sum AUC."""
+    from census_data_pipeline_spark.functions import classify as _c
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = [
+        ("f_chars", F.col("n_chars")),
+        ("f_words",
+         F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "),
+                                               F.lit(""))) + F.lit(1)),
+        ("f_e_ratio",
+         (F.length("text") - F.length(F.replace(F.col("text"), F.lit("e"),
+                                                F.lit(""))))
+         / F.col("n_chars").cast("double")),
+        ("f_the_cnt",
+         (F.length("text") - F.length(F.replace(F.col("text"), F.lit("the"),
+                                                F.lit("")))) / F.lit(3.0)),
+    ]
+    test_pred = F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 1
+    ).isin("0", "1", "2")
+    return _c.logit_boost_holdout(
+        docs,
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)),
+        feats,
+        test_pred,
+        rounds=4,
+        bins=16,
+        lr=0.5,
+    )
+
+
+_CV_FOLD_SQL = (
+    "(instr('0123456789abcdef', "
+    "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 4"
+)
+
+
+@query(
+    "quality_logreg_cv",
+    oracle=classify.logreg_kfold_cv_oracle_sql(
+        "documents",
+        "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END",
+        _LOGREG_FEATURES_SQL,
+        _CV_FOLD_SQL,
+        k=4,
+        iterations=8,
+        lr=0.5,
+    ),
+)
+def quality_logreg_cv(spark, sf_dir):
+    """4-fold cross-validation of the quality classifier
+    (functions/classify.logreg_kfold_cv — VERDICT r8 #4): the fold id
+    is the md5 hex-digit of doc_id mod 4 (deterministic, engine-
+    identical), each fold held out in turn against a fit on the other
+    three, and the per-fold held-out accuracy/AUC rows are joined by
+    mean and population-std aggregate rows — the variance of the
+    generalization estimate the single holdout cannot measure. On this
+    weak-signal corpus the fold AUCs straddle chance and the std
+    quantifies exactly how unstable the single-holdout number was.
+    Oracle: each fold's full holdout WITH-chain as a derived table,
+    unioned, plus the identical aggregates."""
+    from census_data_pipeline_spark.functions import classify as _c
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = [
+        ("f_chars", F.col("n_chars")),
+        ("f_words",
+         F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "),
+                                               F.lit(""))) + F.lit(1)),
+        ("f_e_ratio",
+         (F.length("text") - F.length(F.replace(F.col("text"), F.lit("e"),
+                                                F.lit(""))))
+         / F.col("n_chars").cast("double")),
+        ("f_the_cnt",
+         (F.length("text") - F.length(F.replace(F.col("text"), F.lit("the"),
+                                                F.lit("")))) / F.lit(3.0)),
+    ]
+    fold = F.expr(
+        "(instr('0123456789abcdef', "
+        "substr(md5(cast(doc_id as string)), 1, 1)) - 1) % 4"
+    )
+    return _c.logreg_kfold_cv(
+        docs,
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)),
+        feats,
+        fold,
+        k=4,
+        iterations=8,
+        lr=0.5,
+    )
+
+
+@query(
+    "quality_tree_cv",
+    oracle=classify.decision_tree_kfold_cv_oracle_sql(
+        "documents",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+        _LOGREG_FEATURES_SQL,
+        _CV_FOLD_SQL,
+        k=4,
+        bins=16,
+        depth=2,
+    ),
+)
+def quality_tree_cv(spark, sf_dir):
+    """4-fold cross-validation of the histogram tree
+    (functions/classify.decision_tree_kfold_cv — VERDICT r8 #4): the
+    same md5 hex-digit mod 4 folds as quality_logreg_cv, each fold's
+    held-out confusion collapsed to accuracy (trace / total), plus
+    mean/std aggregate rows so the tree's generalization variance is
+    directly comparable to the linear model's. Oracle: each fold's
+    tree-holdout WITH-chain as a derived table, collapsed and unioned,
+    plus the identical aggregates."""
+    from census_data_pipeline_spark.functions import classify as _c
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = [
+        ("f_chars", F.col("n_chars")),
+        ("f_words",
+         F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "),
+                                               F.lit(""))) + F.lit(1)),
+        ("f_e_ratio",
+         (F.length("text") - F.length(F.replace(F.col("text"), F.lit("e"),
+                                                F.lit(""))))
+         / F.col("n_chars").cast("double")),
+        ("f_the_cnt",
+         (F.length("text") - F.length(F.replace(F.col("text"), F.lit("the"),
+                                                F.lit("")))) / F.lit(3.0)),
+    ]
+    fold = F.expr(
+        "(instr('0123456789abcdef', "
+        "substr(md5(cast(doc_id as string)), 1, 1)) - 1) % 4"
+    )
+    return _c.decision_tree_kfold_cv(
+        docs,
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)),
+        feats,
+        fold,
+        k=4,
+        bins=16,
+        depth=2,
+    )
+
+
 def _textrank_oracle(iters: int, d: float, min_len: int, k: int) -> str:
     """Unrolled-CTE replica of text.textrank_keywords: adjacent-token
     pair graph, symmetrized, then the same pagerank rounds as
