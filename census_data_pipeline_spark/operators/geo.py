@@ -676,6 +676,7 @@ def dbscan_grid(
     id_col: str = "id",
     x_col: str = "x",
     y_col: str = "y",
+    collapse_duplicates: bool = True,
 ) -> DataFrame:
     """Density-based spatial clustering (DBSCAN, Ester et al. KDD'96)
     as a distributed dataflow — the grid-partitioned formulation every
@@ -700,13 +701,27 @@ def dbscan_grid(
 
     Returns (id, role 'core'|'border'|'noise', cluster).
 
+    ``collapse_duplicates`` (default, VERDICT r8 #5) pre-collapses
+    coincident (x, y) points into WEIGHTED locations (weight = count,
+    representative = min id) before the 3×3 join, and fans roles back
+    out per id at the end. Output-identical to the point-level path
+    (coincident points share a neighborhood, hence a role; coincident
+    cores are all eps-pairs of each other, so they land in one CC
+    labeled by their min id — exactly the collapsed location's rep),
+    but the candidate-pair count runs over DISTINCT locations: a
+    million exact-duplicate points are ONE weighted row, so the
+    coincident-point mega-cell that is quadratic in the point-level
+    formulation is O(1) here. Pass ``False`` to keep the point-level
+    frame (the identity is unit-tested against it).
+
     Scale shape: the 3×3 explode is map-side (×9 narrow rows); the
     candidate join hashes on cell ids, so work concentrates where
-    density does — the pair count is Σ_cell |cell|·|3×3 block|, the
-    quantity every distributed DBSCAN bounds. Neighbor counts are one
-    partial-aggregated groupBy; the CC runs on the (small) core-core
-    edge set; border assignment is one more aggregate over the already-
-    computed pair frame."""
+    density does — the pair count is Σ_cell |cell|·|3×3 block| over
+    distinct LOCATIONS, the quantity every distributed DBSCAN bounds.
+    Neighborhood mass is one partial-aggregated weighted groupBy; the
+    CC runs on the (small) core-core location edge set; border
+    assignment is one more aggregate over the already-computed pair
+    frame; the fan-out is a co-located (x, y) equi-join."""
     if eps <= 0:
         raise ValueError("eps must be > 0")
     if min_pts < 1:
@@ -720,7 +735,21 @@ def dbscan_grid(
         F.col(id_col).alias("id"),
         F.col(x_col).cast("double").alias("x"),
         F.col(y_col).cast("double").alias("y"),
-    ).select(
+    ).localCheckpoint(eager=False)
+
+    # location frame: one row per distinct (x, y) when collapsing
+    # (rep = min id, w = multiplicity), else one row per point (w = 1).
+    # Both paths run the SAME weighted dataflow below; the unweighted
+    # original is the w ≡ 1 special case.
+    if collapse_duplicates:
+        locs = p.groupBy("x", "y").agg(
+            F.min("id").alias("rep"), F.count("*").alias("w")
+        )
+    else:
+        locs = p.select(
+            F.col("id").alias("rep"), "x", "y", F.lit(1).alias("w")
+        )
+    locs = locs.select(
         "*",
         F.floor(F.col("x") / F.lit(float(eps))).cast("long").alias("cx"),
         F.floor(F.col("y") / F.lit(float(eps))).cast("long").alias("cy"),
@@ -728,83 +757,100 @@ def dbscan_grid(
 
     offs = F.expr("explode(array(-1, 0, 1))")
     a = (
-        p.select(
-            F.col("id").alias("__ai"), F.col("x").alias("__ax"),
+        locs.select(
+            F.col("rep").alias("__ar"), F.col("x").alias("__ax"),
             F.col("y").alias("__ay"), "cx", "cy",
         )
         .withColumn("__dx", offs)
         .withColumn("__dy", offs)
         .select(
-            "__ai", "__ax", "__ay",
+            "__ar", "__ax", "__ay",
             (F.col("cx") + F.col("__dx")).alias("__jx"),
             (F.col("cy") + F.col("__dy")).alias("__jy"),
         )
     )
-    b = p.select(
-        F.col("id").alias("__bi"), F.col("x").alias("__bx"),
-        F.col("y").alias("__by"), F.col("cx").alias("__jx"),
-        F.col("cy").alias("__jy"),
+    b = locs.select(
+        F.col("rep").alias("__br"), F.col("x").alias("__bx"),
+        F.col("y").alias("__by"), F.col("w").alias("__bw"),
+        F.col("cx").alias("__jx"), F.col("cy").alias("__jy"),
     )
     e2 = F.lit(float(eps) * float(eps))
+    # self-pair (dx = dy = 0) kept: the weight sum is then the
+    # SELF-INCLUSIVE |N_eps| mass, replacing the old count + 1
     nb = (
         a.join(b, ["__jx", "__jy"])
-        .filter(F.col("__ai") != F.col("__bi"))
         .filter(
             (F.col("__ax") - F.col("__bx")) * (F.col("__ax") - F.col("__bx"))
             + (F.col("__ay") - F.col("__by"))
             * (F.col("__ay") - F.col("__by"))
             <= e2
         )
-        .select(F.col("__ai").alias("id"), F.col("__bi").alias("nb"))
+        .select(
+            F.col("__ar").alias("rep"), F.col("__br").alias("nb"),
+            F.col("__bw").alias("nw"),
+        )
         .localCheckpoint(eager=False)
     )
-    ncnt = nb.groupBy("id").agg(F.count("*").alias("__n"))
+    ncnt = nb.groupBy("rep").agg(F.sum("nw").alias("__n"))
     cores = (
-        p.join(ncnt, "id", "left")
-        .filter(F.coalesce(F.col("__n"), F.lit(0)) + 1 >= min_pts)
-        .select("id")
+        ncnt.filter(F.col("__n") >= min_pts).select("rep")
         .localCheckpoint(eager=False)
     )
     core_pairs = (
-        nb.join(cores.withColumnRenamed("id", "__ca"),
-                nb["id"] == F.col("__ca"))
-        .join(cores.withColumnRenamed("id", "__cb"),
+        nb.join(cores.withColumnRenamed("rep", "__ca"),
+                nb["rep"] == F.col("__ca"))
+        .join(cores.withColumnRenamed("rep", "__cb"),
               nb["nb"] == F.col("__cb"))
-        .filter(F.col("id") < F.col("nb"))
-        .select(F.col("id").alias("id_a"), F.col("nb").alias("id_b"))
+        .filter(F.col("rep") < F.col("nb"))
+        .select(F.col("rep").alias("id_a"), F.col("nb").alias("id_b"))
     )
     labeled = dup_clusters(core_pairs, algorithm="star").select(
-        F.col("doc_id").alias("id"), F.col("cluster_id").alias("cluster")
+        F.col("doc_id").alias("rep"), F.col("cluster_id").alias("cluster")
     )
     core_clusters = labeled.unionByName(
-        cores.join(labeled.select("id"), "id", "left_anti").select(
-            "id", F.col("id").alias("cluster")
+        cores.join(labeled.select("rep"), "rep", "left_anti").select(
+            "rep", F.col("rep").alias("cluster")
         )
     ).localCheckpoint(eager=False)
 
     border = (
-        nb.join(cores.withColumnRenamed("id", "__ci"),
+        nb.join(cores.withColumnRenamed("rep", "__ci"),
                 nb["nb"] == F.col("__ci"))
         .join(core_clusters.withColumnsRenamed(
-            {"id": "__cj", "cluster": "__cl"}), F.col("nb") == F.col("__cj"))
-        .join(cores.withColumnRenamed("id", "__self"),
-              nb["id"] == F.col("__self"), "left_anti")
-        .groupBy("id")
+            {"rep": "__cj", "cluster": "__cl"}), F.col("nb") == F.col("__cj"))
+        .join(cores.withColumnRenamed("rep", "__self"),
+              nb["rep"] == F.col("__self"), "left_anti")
+        .groupBy("rep")
         .agg(F.min("__cl").alias("cluster"))
     )
-    out_core = core_clusters.select(
-        "id", F.lit("core").alias("role"), F.col("cluster").cast("long")
-    )
-    out_border = border.select(
-        "id", F.lit("border").alias("role"), F.col("cluster").cast("long")
-    )
-    out_noise = (
-        p.select("id")
-        .join(core_clusters.select("id"), "id", "left_anti")
-        .join(border.select("id"), "id", "left_anti")
-        .select(
-            "id", F.lit("noise").alias("role"),
-            F.lit(None).cast("long").alias("cluster"),
+    loc_roles = (
+        core_clusters.select(
+            "rep", F.lit("core").alias("role"),
+            F.col("cluster").cast("long"),
+        )
+        .unionByName(border.select(
+            "rep", F.lit("border").alias("role"),
+            F.col("cluster").cast("long"),
+        ))
+        .unionByName(
+            locs.select("rep")
+            .join(core_clusters.select("rep"), "rep", "left_anti")
+            .join(border.select("rep"), "rep", "left_anti")
+            .select(
+                "rep", F.lit("noise").alias("role"),
+                F.lit(None).cast("long").alias("cluster"),
+            )
         )
     )
-    return out_core.unionByName(out_border).unionByName(out_noise)
+    if not collapse_duplicates:
+        return loc_roles.select(
+            F.col("rep").alias("id"), "role", "cluster"
+        )
+    # fan the location role back out to every coincident point id
+    return (
+        p.join(
+            locs.select("x", "y", "rep").join(loc_roles, "rep").drop("rep"),
+            ["x", "y"],
+        )
+        .select("id", "role", "cluster")
+    )

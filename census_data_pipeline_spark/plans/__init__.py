@@ -215,7 +215,16 @@ adds fifteen more new queries (histogram tree train/eval/holdout,
 boosted stumps train/holdout, TrustRank, nDCG, conformal bands,
 calibration bins, exact AUC, logreg holdout, grid DBSCAN, streaming
 CUSUM, Neyman sampling + Horvitz-Thompson estimation). 32 of 50 slots
-carry stale/new queries; the rest keep registration order."""
+carry stale/new queries; the rest keep registration order.
+
+r9 rotation (VERDICT r8 #8): the r8 driver run went 50/50 green and
+driver_state.json was regenerated against CORRECTNESS_r08 as the
+round's first commit, so NO query starts r9 stale — the cleanest
+rotation yet. The prefix is flagship, then the r9 additions
+(quality_gbt_classify + holdout: log-loss boosting per VERDICT r8 #3;
+k-fold CV, random forest, weighted DBSCAN per #4/#7/#5), then the
+queries r9 edits drift (streaming_cusum_hourly via the idle_timeout_ms
+eviction knob, #2). Remaining slots keep registration order."""
 
 from census_data_pipeline_spark.plans import (  # noqa: F401
     queries_analytics,
@@ -225,51 +234,26 @@ from census_data_pipeline_spark.plans import (  # noqa: F401
 from census_data_pipeline_spark.plans.registry import ORACLE, QUERIES
 
 _CHECKED_PREFIX = [
-    # r8 change-aware rotation (see module docstring): flagship, then the
-    # four queries the r7 end-of-round sweep changed after driver_state
-    # regeneration (their r6 driver rows are fingerprint-stale), then this
-    # round's new queries as they are registered. Any query whose
-    # fingerprint drifts under r8 fixes is appended here too — the
-    # change-aware test enforces it.
+    # r9 change-aware rotation (VERDICT r8 #8): driver_state.json was
+    # regenerated against CORRECTNESS_r08 as the round's first commit —
+    # the r8 driver run went 50/50 green, so no query starts the round
+    # stale. The prefix is flagship, then this round's new queries as
+    # registered, then every query whose fingerprint drifts under r9
+    # edits — the change-aware test enforces each addition.
     "flagship_regional_rollup",
-    # --- r7-sweep-changed, stale driver rows (VERDICT r7 #1c) ---
-    "graph_label_propagation",
-    "embedding_pca_power",
-    "dq_k_anonymity",
-    "sketch_cms_heavy_hitters",
-    # --- new r8 queries ---
-    "ivm_retraction_refresh",
-    "embedding_pca_topr",
-    "survival_by_segment",
-    "survival_logrank",
-    "events_forecast_hourly",
-    "events_forecast_backtest",
-    "dq_l_diversity",
-    # --- drifted under r8 edits (docstring/impl touches) ---
-    "ivm_delta_join_refresh",
-    "streaming_session_5m",
-    # graph.pagerank exchange trim (static __n folded into base,
-    # broadcast contribs) reaches both of these
-    "graph_pagerank",
-    "text_textrank_keywords",
-    # --- new in the r8 continuation ---
-    "quality_tree_train",
-    "quality_tree_eval",
-    "quality_gbt_train",
-    "graph_trustrank",
-    "search_ndcg_bm25",
-    "events_forecast_conformal",
-    "quality_logreg_calibration",
-    # quality_logreg_train drifts via the _logreg_fit extraction
-    "quality_logreg_train",
-    "geo_dbscan_grid",
+    # --- new r9 queries ---
+    "quality_gbt_classify",
+    "quality_gbt_classify_holdout",
+    "quality_logreg_cv",
+    "quality_tree_cv",
+    # --- drifted under r9 edits ---
+    # streaming/stateful.py grew the idle_timeout_ms eviction knob
+    # (VERDICT r8 #2) — cusum_monitor's source changed
     "streaming_cusum_hourly",
-    "quality_logreg_auc",
-    "quality_logreg_holdout",
-    "quality_tree_holdout",
-    "quality_gbt_holdout",
-    "sample_neyman_customers",
-    "sample_ht_estimate",
+    # operators/geo.dbscan_grid now pre-collapses coincident points
+    # into weighted locations (VERDICT r8 #5) — output-identical
+    # (unit-tested vs the point-level path), plan changed
+    "geo_dbscan_grid",
 ]
 
 

@@ -1,0 +1,246 @@
+"""Round-9 operators: log-loss gradient-boosted classification stumps
+(VERDICT r8 #3), k-fold cross-validation, random forest, weighted-point
+grid DBSCAN collapse."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+# --- logit boost (classification boosting on the histogram machinery) -
+
+
+def test_logit_boost_separates_planted_boundary(spark):
+    """label = 1(x1 ≥ 0.6) on a deterministic grid: round 1 must split
+    x1 at the 0.6 bin edge with negative-left / positive-right margins,
+    and train log-loss must fall far below the base-rate entropy."""
+    from census_data_pipeline_spark.functions import classify
+
+    pts = [(i / 100.0, j / 10.0) for i in range(101) for j in range(11)]
+    df = spark.createDataFrame(pts, "x1 double, x2 double")
+    label = F.when(F.col("x1") >= 0.6, F.lit(1.0)).otherwise(F.lit(0.0))
+    feats = [("x1", F.col("x1")), ("x2", F.col("x2"))]
+    rows = classify.logit_boost_train(
+        df, label, feats, rounds=6, bins=10, lr=0.5
+    ).collect()
+    by_round = {r["round"]: r for r in rows}
+    assert by_round[0].feature == "base"
+    assert by_round[1].feature == "x1"
+    assert abs(by_round[1].threshold - 0.6) < 0.1 + 1e-9
+    assert by_round[1].left_value < 0 < by_round[1].right_value
+    pbar = sum(1.0 for x1, _ in pts if x1 >= 0.6) / len(pts)
+    base_entropy = -(pbar * math.log(pbar)
+                     + (1 - pbar) * math.log(1 - pbar))
+    assert rows[0].train_logloss < 0.6 * base_entropy
+
+
+def test_logit_boost_constant_feature_base_only(spark):
+    """Degenerate rounds: with only constant features no valid split
+    exists in ANY round — the model is exactly the base log-odds row
+    and the margin passes through every round intact."""
+    from census_data_pipeline_spark.functions import classify
+
+    df = spark.createDataFrame(
+        [(1.0, float(i % 2)) for i in range(40)], "x double, y double"
+    )
+    rows = classify.logit_boost_train(
+        df, F.col("y"), [("x", F.col("x"))], rounds=3, bins=8
+    ).collect()
+    assert [r["round"] for r in rows] == [0]
+    # balanced labels: base log-odds 0, log-loss exactly ln 2
+    assert rows[0].left_value == 0.0
+    assert abs(rows[0].train_logloss - math.log(2.0)) < 1e-6
+
+
+def test_logit_boost_guards(spark):
+    from census_data_pipeline_spark.functions import classify
+
+    df = spark.createDataFrame([(1.0, 1.0)], "x double, y double")
+    with pytest.raises(ValueError, match="rounds"):
+        classify.logit_boost_train(df, F.col("y"), [("x", F.col("x"))],
+                                   rounds=0)
+    with pytest.raises(ValueError, match="bins"):
+        classify.logit_boost_train(df, F.col("y"), [("x", F.col("x"))],
+                                   bins=1)
+
+
+def test_logit_boost_holdout_generalizes_separable(spark):
+    """On a separable boundary the held-out fold (deterministic hash
+    split) must score near-perfect accuracy and AUC — the boundary is
+    learnable from the train fold alone."""
+    from census_data_pipeline_spark.functions import classify
+
+    pts = [(float(i), (i % 100) / 100.0) for i in range(1000)]
+    df = spark.createDataFrame(pts, "rid double, x double")
+    label = F.when(F.col("x") >= 0.5, F.lit(1.0)).otherwise(F.lit(0.0))
+    test_pred = F.substring(
+        F.md5(F.col("rid").cast("int").cast("string")), 1, 1
+    ).isin("0", "1", "2")
+    row = classify.logit_boost_holdout(
+        df, label, [("x", F.col("x"))], test_pred,
+        rounds=6, bins=10, lr=0.5,
+    ).collect()[0]
+    assert row.n_train + row.n_test == 1000
+    assert row.n_test > 100
+    assert row.test_accuracy >= 0.95
+    assert row.test_auc >= 0.99
+
+# --- k-fold cross-validation (VERDICT r8 #4) -------------------------
+
+
+def _fold_expr(id_col: str, k: int):
+    return (
+        F.expr(
+            "instr('0123456789abcdef', "
+            f"substr(md5(cast({id_col} as string)), 1, 1)) - 1"
+        )
+        % k
+    )
+
+
+def test_logreg_kfold_cv_separable_all_folds_perfect(spark):
+    """On a linearly separable rule every fold's held-out accuracy and
+    AUC are 1.0, so the mean rows are 1.0 and the std rows exactly 0 —
+    and the fold column carries '0'..'k-1' plus 'mean' and 'std'."""
+    from census_data_pipeline_spark.functions import classify
+
+    pts = [(i, (i % 100) / 100.0) for i in range(800)]
+    df = spark.createDataFrame(pts, "rid int, x double")
+    label = F.when(F.col("x") >= 0.5, F.lit(1.0)).otherwise(F.lit(0.0))
+    rows = classify.logreg_kfold_cv(
+        df, label, [("x", F.col("x"))], _fold_expr("rid", 4),
+        k=4, iterations=8, lr=0.5,
+    ).collect()
+    by_fold = {r.fold: r for r in rows}
+    assert set(by_fold) == {"0", "1", "2", "3", "mean", "std"}
+    for f in "0123":
+        assert by_fold[f].accuracy == 1.0
+        assert by_fold[f].auc == 1.0
+    assert by_fold["mean"].accuracy == 1.0
+    assert by_fold["mean"].auc == 1.0
+    assert by_fold["std"].accuracy == 0.0
+    assert by_fold["std"].auc == 0.0
+
+
+def test_logreg_kfold_cv_folds_partition_the_data(spark):
+    """The k folds partition the input: each fold's n_train + n_test is
+    the total row count, and the n_test values sum to it — every row is
+    held out exactly once across the k evaluations."""
+    from census_data_pipeline_spark.functions import classify
+
+    n = 500
+    df = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(n)], "rid int, x double"
+    )
+    label = F.when(F.col("x") >= 3, F.lit(1.0)).otherwise(F.lit(0.0))
+    rows = classify.logreg_kfold_cv(
+        df, label, [("x", F.col("x"))], _fold_expr("rid", 3),
+        k=3, iterations=4, lr=0.5,
+    ).collect()
+    folds = [r for r in rows if r.fold not in ("mean", "std")]
+    assert len(folds) == 3
+    for r in folds:
+        assert r.n_train + r.n_test == n
+    assert sum(r.n_test for r in folds) == n
+
+
+def test_logreg_kfold_cv_guard(spark):
+    from census_data_pipeline_spark.functions import classify
+
+    df = spark.createDataFrame([(1, 1.0)], "rid int, x double")
+    with pytest.raises(ValueError, match="k"):
+        classify.logreg_kfold_cv(
+            df, F.col("x"), [("x", F.col("x"))], _fold_expr("rid", 1), k=1
+        )
+
+
+def test_tree_kfold_cv_separable_and_aggregates_match(spark):
+    """The histogram tree nails a separable axis rule in every fold, and
+    the 'mean'/'std' rows equal the arithmetic over the fold rows."""
+    from census_data_pipeline_spark.functions import classify
+
+    pts = [(i, (i % 50) / 50.0, float(i % 3)) for i in range(600)]
+    df = spark.createDataFrame(pts, "rid int, x double, z double")
+    label = F.when(F.col("x") >= 0.5, F.lit(1)).otherwise(F.lit(0))
+    rows = classify.decision_tree_kfold_cv(
+        df, label, [("x", F.col("x")), ("z", F.col("z"))],
+        _fold_expr("rid", 3), k=3, bins=10, depth=2,
+    ).collect()
+    by_fold = {r.fold: r for r in rows}
+    accs = [by_fold[f].accuracy for f in "012"]
+    assert all(a == 1.0 for a in accs)
+    mean = sum(accs) / 3
+    var = sum((a - mean) ** 2 for a in accs) / 3
+    assert abs(by_fold["mean"].accuracy - round(mean, 6)) < 1e-9
+    assert abs(by_fold["std"].accuracy - round(math.sqrt(var), 6)) < 1e-9
+
+# --- weighted-point DBSCAN collapse (VERDICT r8 #5) -------------------
+
+
+def test_dbscan_collapse_identity_with_coincident_points(spark):
+    """The weighted-location path is output-IDENTICAL to the point-level
+    path on a fixture dominated by exact duplicates: a 40-deep stack of
+    coincident points (the mega-cell case), a second core site within
+    eps of it, a border point, an isolated noise point, and a separate
+    two-site cluster."""
+    from census_data_pipeline_spark.operators.geo import dbscan_grid
+
+    pts = (
+        [(i, 0.0, 0.0) for i in range(40)]          # coincident core stack
+        + [(100, 1.0, 0.0), (101, 1.0, 0.0)]        # second site, same CC
+        + [(200, 2.2, 0.0)]                          # border of site 2
+        + [(300, 50.0, 50.0)]                        # noise
+        + [(400, 10.0, 0.0), (401, 10.0, 0.0),
+           (402, 10.0, 0.0), (403, 10.9, 0.0)]       # separate cluster
+    )
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    kw = dict(eps=1.5, min_pts=4)
+    fast = {r.id: (r.role, r.cluster)
+            for r in dbscan_grid(df, collapse_duplicates=True, **kw)
+            .collect()}
+    slow = {r.id: (r.role, r.cluster)
+            for r in dbscan_grid(df, collapse_duplicates=False, **kw)
+            .collect()}
+    assert fast == slow
+    # semantic spot checks, independent of either implementation
+    assert fast[0] == ("core", 0)
+    assert fast[100] == ("core", 0)          # within eps of the stack
+    assert fast[200] == ("border", 0)
+    assert fast[300] == ("noise", None)
+    assert fast[400] == ("core", 400)
+    assert fast[403][0] in ("core", "border")
+
+
+def test_dbscan_collapse_identity_duplicate_border_and_minpts1(spark):
+    """Edge semantics survive the collapse: coincident NON-core points
+    all become border of the same cluster, and min_pts=1 makes every
+    point core (isolated duplicates form their own min-id cluster)."""
+    from census_data_pipeline_spark.operators.geo import dbscan_grid
+
+    # helpers at (-1.4, 0) + center: the center is core only through
+    # its spread-out mass; the coincident pair at (1.4, 0) sees ONLY
+    # the center + itself (mass 3 < 5) — genuinely border
+    pts = (
+        [(i, -1.4, 0.0) for i in range(4)]   # helper stack
+        + [(5, 0.0, 0.0)]                    # center core
+        + [(10, 1.4, 0.0), (11, 1.4, 0.0)]   # coincident border pair
+        + [(20, 9.0, 9.0), (21, 9.0, 9.0)]   # isolated duplicate pair
+    )
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    for kw in (dict(eps=1.5, min_pts=5), dict(eps=1.5, min_pts=1)):
+        fast = {r.id: (r.role, r.cluster)
+                for r in dbscan_grid(df, collapse_duplicates=True, **kw)
+                .collect()}
+        slow = {r.id: (r.role, r.cluster)
+                for r in dbscan_grid(df, collapse_duplicates=False, **kw)
+                .collect()}
+        assert fast == slow
+    out = {r.id: (r.role, r.cluster)
+           for r in dbscan_grid(df, eps=1.5, min_pts=5).collect()}
+    assert out[10] == ("border", 0) and out[11] == ("border", 0)
+    assert out[20] == ("noise", None)
+    out1 = {r.id: (r.role, r.cluster)
+            for r in dbscan_grid(df, eps=1.5, min_pts=1).collect()}
+    assert out1[20] == ("core", 20) and out1[21] == ("core", 20)
