@@ -2566,3 +2566,423 @@ def decision_tree_kfold_cv_oracle_sql(
            round(sqrt(greatest(0.0,
              avg(accuracy * accuracy) - avg(accuracy) * avg(accuracy))), 6)
     FROM folds"""
+
+
+def _rf_feature_subset(names: list[str], t: int, m: int) -> list[str]:
+    """Deterministic per-tree feature subsample shared by the engine and
+    the oracle generator (no RNG): rank feature NAMES by md5('name:t')
+    and keep the first ``m``, preserving the caller's feature order.
+    Pure plan-time Python, so both sides compute the identical subset."""
+    import hashlib
+
+    ranked = sorted(
+        names,
+        key=lambda n: hashlib.md5(f"{n}:{t}".encode()).hexdigest(),
+    )
+    chosen = set(ranked[:m])
+    return [n for n in names if n in chosen]
+
+
+def _rf_keep(id_expr: Column, t: int, row_keep: int) -> Column:
+    """Deterministic per-tree row subsample: keep rows whose md5 first
+    hex digit of '<id>:<t>' is < ``row_keep`` (of 16) — the same
+    md5-prefix discipline as the holdout split, varied per tree by the
+    ':t' suffix so trees see different ~row_keep/16 bootstraps."""
+    digit = F.conv(
+        F.substring(F.md5(F.concat(id_expr, F.lit(f":{t}"))), 1, 1), 16, 10
+    ).cast("int")
+    return digit < F.lit(row_keep)
+
+
+def _rf_keep_sql(id_sql: str, t: int, row_keep: int) -> str:
+    return (
+        f"(instr('0123456789abcdef', substr(md5(({id_sql}) || ':{t}'), "
+        f"1, 1)) - 1) < {row_keep}"
+    )
+
+
+def _rf_m(n_features: int, features_per_tree: int | None) -> int:
+    import math as _math
+
+    if features_per_tree is not None:
+        if not (1 <= features_per_tree <= n_features):
+            raise ValueError("features_per_tree out of range")
+        return features_per_tree
+    return max(1, _math.isqrt(n_features - 1) + 1)  # ceil(sqrt(F))
+
+
+def random_forest_train(
+    df: DataFrame,
+    label: Column,
+    features: list[tuple[str, Column]],
+    id_expr: Column,
+    n_trees: int = 5,
+    row_keep: int = 12,
+    bins: int = 16,
+    depth: int = 2,
+    features_per_tree: int | None = None,
+) -> DataFrame:
+    """Random forest over the histogram tree trainer (VERDICT r8 #7):
+    ``n_trees`` independent depth-bounded trees, each fit by
+    ``_decision_tree_build`` (unchanged — one codegen scan per level
+    into a nodes·F·bins histogram) on a DETERMINISTIC subsample — rows
+    whose md5 hex digit of '<id>:<t>' is < ``row_keep``/16, features
+    the md5-ranked ``features_per_tree`` (default ceil(√F)) subset per
+    tree — no RNG anywhere, so a DuckDB oracle reproduces every tree
+    exactly. ``id_expr`` must be a row-unique STRING column/expression.
+
+    Returns the forest frame: the per-tree node rows (tree, node,
+    depth, kind, feature, threshold, n, pos, pos_rate, predict).
+    Majority voting over the forest is ``random_forest_holdout``.
+
+    Scale shape: n_trees × the single tree's cost — each tree's
+    data-scale work is ``depth`` histogram scans of its subsample;
+    nothing here is new shuffle machinery, so the single tree's 100×
+    rehearsal carries over multiplied by a constant."""
+    if n_trees < 1:
+        raise ValueError("n_trees must be >= 1")
+    if not (1 <= row_keep <= 16):
+        raise ValueError("row_keep must be in [1, 16]")
+    names = [n for n, _ in features]
+    m = _rf_m(len(names), features_per_tree)
+    base = ensure_parallelism(df)
+    out = None
+    for t in range(n_trees):
+        keep_names = set(_rf_feature_subset(names, t, m))
+        feats_t = [(n, e) for n, e in features if n in keep_names]
+        sub = base.filter(_rf_keep(id_expr, t, row_keep))
+        tree, _a, _st, _w = _decision_tree_build(
+            sub, label, feats_t, bins, depth
+        )
+        row = tree.select(F.lit(t).cast("long").alias("tree"), "*")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def random_forest_oracle_sql(
+    table: str,
+    label_sql: str,
+    features_sql: list[tuple[str, str]],
+    id_sql: str,
+    n_trees: int = 5,
+    row_keep: int = 12,
+    bins: int = 16,
+    depth: int = 2,
+    features_per_tree: int | None = None,
+) -> str:
+    """DuckDB replica of ``random_forest_train`` — each tree's full
+    ``decision_tree_oracle_sql`` over its md5-filtered subsample and
+    md5-ranked feature subset, wrapped as a derived table with its tree
+    id and unioned."""
+    names = [n for n, _ in features_sql]
+    m = _rf_m(len(names), features_per_tree)
+    parts = []
+    for t in range(n_trees):
+        keep_names = set(_rf_feature_subset(names, t, m))
+        feats_t = [(n, e) for n, e in features_sql if n in keep_names]
+        filt = (
+            f"(SELECT * FROM {table} "
+            f"WHERE {_rf_keep_sql(id_sql, t, row_keep)})"
+        )
+        inner = decision_tree_oracle_sql(filt, label_sql, feats_t,
+                                         bins, depth)
+        parts.append(
+            f"SELECT CAST({t} AS BIGINT) AS tree, * FROM (\n{inner}\n"
+            f") rf{t}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def random_forest_holdout(
+    df: DataFrame,
+    label: Column,
+    features: list[tuple[str, Column]],
+    id_expr: Column,
+    test_pred: Column,
+    n_trees: int = 5,
+    row_keep: int = 12,
+    bins: int = 16,
+    depth: int = 2,
+    features_per_tree: int | None = None,
+) -> DataFrame:
+    """Generalization eval for the random forest: fit each tree on its
+    deterministic subsample of the TRAIN fold (rows where ``test_pred``
+    is false), route the unseen fold through every tree (test rows
+    binned with each tree's train min/width — no leakage), and majority-
+    vote (ties → 1, the leaf-predict convention). Test rows with a null
+    label or any null feature are dropped once, so every tree votes on
+    the identical fold. ``id_expr`` must be row-unique (it keys the
+    vote combine).
+
+    Returns n_trees+1 rows: (member '0'..'{n_trees-1}', n_train = that
+    tree's post-null-drop subsample size, n_test, accuracy) per tree,
+    then ('forest', NULL, n_test, accuracy) for the majority vote — the
+    variance-reduction story in one frame.
+
+    Scale shape: per tree the training build plus one broadcast-join
+    routing pass over the test fold; the vote combine is one groupBy on
+    the (n_test · n_trees)-row vote frame. Nothing touches the full
+    corpus beyond the single-tree passes."""
+    if n_trees < 1:
+        raise ValueError("n_trees must be >= 1")
+    if not (1 <= row_keep <= 16):
+        raise ValueError("row_keep must be in [1, 16]")
+    names = [n for n, _ in features]
+    m = _rf_m(len(names), features_per_tree)
+    base = ensure_parallelism(df)
+    train = base.filter(~test_pred)
+    # one shared null-guarded test fold (ALL features) so every tree
+    # votes on the same rows
+    test = (
+        base.filter(test_pred)
+        .select(
+            id_expr.alias("__k"),
+            label.cast("bigint").alias("__y"),
+            *[e.cast("double").alias(n) for n, e in features],
+        )
+        .na.drop(subset=["__y", *names])
+        .localCheckpoint(eager=False)
+    )
+    votes = None
+    member_rows = []
+    for t in range(n_trees):
+        keep_names = set(_rf_feature_subset(names, t, m))
+        feats_t = [(n, e) for n, e in features if n in keep_names]
+        tnames = [n for n, _ in feats_t]
+        sub = train.filter(_rf_keep(id_expr, t, row_keep))
+        tree, _a, st, winners_levels = _decision_tree_build(
+            sub, label, feats_t, bins, depth
+        )
+        tb = (
+            test.crossJoin(F.broadcast(st))
+            .select(
+                "__k", "__y",
+                *[
+                    F.when(F.col(f"__w_{n}") == 0, F.lit(0))
+                    .otherwise(
+                        F.least(
+                            F.lit(bins - 1),
+                            F.greatest(
+                                F.lit(0),
+                                F.floor(
+                                    (F.col(n) - F.col(f"__mn_{n}"))
+                                    / F.col(f"__w_{n}")
+                                ).cast("int"),
+                            ),
+                        )
+                    )
+                    .cast("int")
+                    .alias(f"__b_{n}")
+                    for n in tnames
+                ],
+            )
+            .withColumn("__node", F.lit(1).cast("bigint"))
+        )
+        case_bin = F.when(
+            F.col("__f") == tnames[0], F.col(f"__b_{tnames[0]}")
+        )
+        for n in tnames[1:]:
+            case_bin = case_bin.when(F.col("__f") == n, F.col(f"__b_{n}"))
+        for wsel in winners_levels:
+            tb = tb.join(
+                F.broadcast(wsel), tb["__node"] == wsel["__wn"], "left"
+            ).select(
+                "__k", "__y",
+                *[f"__b_{n}" for n in tnames],
+                F.when(F.col("__wn").isNull(), F.col("__node"))
+                .otherwise(
+                    F.col("__node") * 2
+                    + F.when(case_bin <= F.col("__sb"), F.lit(0))
+                    .otherwise(F.lit(1))
+                )
+                .alias("__node"),
+            )
+        pred = tree.select("node", "predict")
+        v = (
+            tb.join(F.broadcast(pred), tb["__node"] == pred["node"])
+            .select("__k", "__y", F.col("predict").alias("__v"))
+            .localCheckpoint(eager=False)
+        )
+        votes = v if votes is None else votes.unionByName(v)
+        member_rows.append(
+            v.agg(
+                F.count("*").alias("__nt"),
+                F.round(
+                    F.avg((F.col("__v") == F.col("__y")).cast("double")), 6
+                ).alias("__acc"),
+            )
+            .crossJoin(F.broadcast(
+                tree.filter(F.col("node") == 1)
+                .select(F.col("n").alias("__ntr"))
+            ))
+            .select(
+                F.lit(str(t)).alias("member"),
+                F.col("__ntr").cast("long").alias("n_train"),
+                F.col("__nt").cast("long").alias("n_test"),
+                F.col("__acc").alias("accuracy"),
+            )
+        )
+    maj = (
+        votes.groupBy("__k", "__y")
+        .agg(F.sum("__v").alias("__v"), F.count("*").alias("__c"))
+        .select(
+            "__y",
+            F.when(F.col("__v") * 2 >= F.col("__c"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("__m"),
+        )
+    )
+    forest = maj.agg(
+        F.count("*").alias("__nt"),
+        F.round(
+            F.avg((F.col("__m") == F.col("__y")).cast("double")), 6
+        ).alias("__acc"),
+    ).select(
+        F.lit("forest").alias("member"),
+        F.lit(None).cast("long").alias("n_train"),
+        F.col("__nt").cast("long").alias("n_test"),
+        F.col("__acc").alias("accuracy"),
+    )
+    out = member_rows[0]
+    for part in member_rows[1:]:
+        out = out.unionByName(part)
+    return out.unionByName(forest)
+
+
+def _rf_tree_votes_sql(
+    table: str,
+    label_sql: str,
+    features_sql: list[tuple[str, str]],
+    feats_t: list[tuple[str, str]],
+    id_sql: str,
+    test_pred_sql: str,
+    keep_sql: str,
+    bins: int,
+    depth: int,
+) -> str:
+    """One tree's key-preserving holdout votes as a standalone query:
+    the tree CTEs over the md5-subsampled train fold, then the test fold
+    (null-guarded over ALL features so every tree sees the same rows)
+    binned with the tree's train stats and routed through the winner
+    joins. Returns rows (k, y, v)."""
+    names_t = [n for n, _ in feats_t]
+    ctes, body = _tree_oracle_parts(
+        f"(SELECT * FROM {table} WHERE NOT ({test_pred_sql}) "
+        f"AND {keep_sql})",
+        label_sql, feats_t, bins, depth,
+    )
+    ctes.append(
+        f"""tree AS MATERIALIZED (
+      SELECT node,
+             CAST(CASE WHEN pos * 2 >= n THEN 1 ELSE 0 END AS BIGINT)
+               AS predict
+      FROM ({body}) t)"""
+    )
+    feat_sel = ", ".join(
+        f"CAST({e} AS DOUBLE) AS {n}" for n, e in feats_t
+    )
+    null_guard = " AND ".join(
+        [f"({label_sql}) IS NOT NULL"]
+        + [f"({e}) IS NOT NULL" for _, e in features_sql]
+    )
+    bin_sel = ", ".join(
+        f"CASE WHEN w_{n} = 0 THEN 0 ELSE least({bins - 1}, greatest(0, "
+        f"CAST(floor(({n} - mn_{n}) / w_{n}) AS INT))) END AS b_{n}"
+        for n in names_t
+    )
+    bcols = ", ".join(f"b_{n}" for n in names_t)
+    case_bin = (
+        "CASE w.f "
+        + " ".join(f"WHEN '{n}' THEN a.b_{n}" for n in names_t)
+        + " END"
+    )
+    ctes.append(
+        f"""tb0 AS MATERIALIZED (
+      SELECT k, y, {bin_sel}, CAST(1 AS BIGINT) AS node FROM (
+        SELECT {id_sql} AS k, CAST({label_sql} AS BIGINT) AS y, {feat_sel}
+        FROM {table} WHERE ({test_pred_sql}) AND {null_guard}) q
+      CROSS JOIN stw)"""
+    )
+    for lvl in range(depth):
+        ctes.append(
+            f"""tb{lvl + 1} AS MATERIALIZED (
+      SELECT a.k, a.y, {bcols},
+             CASE WHEN w.node IS NULL THEN a.node
+                  ELSE a.node * 2 + CASE WHEN {case_bin} <= w.bin
+                                         THEN 0 ELSE 1 END
+             END AS node
+      FROM tb{lvl} a LEFT JOIN w{lvl} w ON w.node = a.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT a.k, a.y, t.predict AS v
+    FROM tb{depth} a JOIN tree t ON t.node = a.node"""
+    )
+
+
+def random_forest_holdout_oracle_sql(
+    table: str,
+    label_sql: str,
+    features_sql: list[tuple[str, str]],
+    id_sql: str,
+    test_pred_sql: str,
+    n_trees: int = 5,
+    row_keep: int = 12,
+    bins: int = 16,
+    depth: int = 2,
+    features_per_tree: int | None = None,
+) -> str:
+    """DuckDB replica of ``random_forest_holdout`` — per-tree vote
+    queries unioned with their member id, per-member accuracy rows
+    (n_train = the tree's null-guarded subsample count, which equals
+    the engine's root-node n), and the identical ties-to-1 majority
+    vote for the forest row."""
+    names = [n for n, _ in features_sql]
+    m = _rf_m(len(names), features_per_tree)
+    vote_parts = []
+    ntr_parts = []
+    for t in range(n_trees):
+        keep_names = set(_rf_feature_subset(names, t, m))
+        feats_t = [(n, e) for n, e in features_sql if n in keep_names]
+        keep = _rf_keep_sql(id_sql, t, row_keep)
+        votes = _rf_tree_votes_sql(
+            table, label_sql, features_sql, feats_t, id_sql,
+            test_pred_sql, keep, bins, depth,
+        )
+        vote_parts.append(
+            f"SELECT '{t}' AS member, k, y, v FROM (\n{votes}\n) rfv{t}"
+        )
+        tree_guard = " AND ".join(
+            [f"({label_sql}) IS NOT NULL"]
+            + [f"({e}) IS NOT NULL" for _, e in feats_t]
+        )
+        ntr_parts.append(
+            f"""SELECT '{t}' AS member, count(*) AS n_train
+      FROM {table} WHERE NOT ({test_pred_sql}) AND {keep}
+        AND {tree_guard}"""
+        )
+    votes_all = "\n      UNION ALL ".join(vote_parts)
+    ntr_all = "\n      UNION ALL ".join(ntr_parts)
+    return f"""WITH votes AS MATERIALIZED (
+      {votes_all}),
+    ntr AS MATERIALIZED (
+      {ntr_all}),
+    pertree AS (
+      SELECT v.member,
+             CAST(n.n_train AS BIGINT) AS n_train,
+             CAST(count(*) AS BIGINT) AS n_test,
+             round(avg(CASE WHEN v.v = v.y THEN 1.0 ELSE 0.0 END), 6)
+               AS accuracy
+      FROM votes v JOIN ntr n ON n.member = v.member
+      GROUP BY v.member, n.n_train),
+    maj AS (
+      SELECT k, y,
+             CASE WHEN 2 * sum(v) >= count(*) THEN 1 ELSE 0 END AS mv
+      FROM votes GROUP BY k, y)
+    SELECT member, n_train, n_test, accuracy FROM pertree
+    UNION ALL
+    SELECT 'forest', CAST(NULL AS BIGINT), CAST(count(*) AS BIGINT),
+           round(avg(CASE WHEN mv = y THEN 1.0 ELSE 0.0 END), 6)
+    FROM maj"""

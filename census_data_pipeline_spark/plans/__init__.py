@@ -246,6 +246,8 @@ _CHECKED_PREFIX = [
     "quality_gbt_classify_holdout",
     "quality_logreg_cv",
     "quality_tree_cv",
+    "quality_rf_train",
+    "quality_rf_holdout",
     # --- drifted under r9 edits ---
     # streaming/stateful.py grew the idle_timeout_ms eviction knob
     # (VERDICT r8 #2) — cusum_monitor's source changed

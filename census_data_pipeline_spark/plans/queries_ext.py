@@ -3917,6 +3917,106 @@ def quality_tree_cv(spark, sf_dir):
     )
 
 
+_RF_ID_SQL = "CAST(doc_id AS VARCHAR)"
+
+
+def _rf_features():
+    return [
+        ("f_chars", F.col("n_chars")),
+        ("f_words",
+         F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "),
+                                               F.lit(""))) + F.lit(1)),
+        ("f_e_ratio",
+         (F.length("text") - F.length(F.replace(F.col("text"), F.lit("e"),
+                                                F.lit(""))))
+         / F.col("n_chars").cast("double")),
+        ("f_the_cnt",
+         (F.length("text") - F.length(F.replace(F.col("text"), F.lit("the"),
+                                                F.lit("")))) / F.lit(3.0)),
+    ]
+
+
+@query(
+    "quality_rf_train",
+    oracle=classify.random_forest_oracle_sql(
+        "documents",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+        _LOGREG_FEATURES_SQL,
+        _RF_ID_SQL,
+        n_trees=5,
+        row_keep=12,
+        bins=16,
+        depth=2,
+    ),
+)
+def quality_rf_train(spark, sf_dir):
+    """Random forest trained INSIDE the engine
+    (functions/classify.random_forest_train — VERDICT r8 #7): five
+    depth-2 histogram trees, each on a deterministic md5 subsample
+    (rows whose md5 digit of 'doc_id:t' < 12/16; ceil(√4)=2 md5-ranked
+    features per tree) — the variance-reduction counterpart to the
+    single quality_tree_train, with zero RNG so the oracle replays
+    every tree. Output: the forest frame (tree id + that tree's node
+    rows). Oracle: per-tree decision-tree CTEs over the filtered table,
+    unioned with tree ids."""
+    from census_data_pipeline_spark.functions import classify as _c
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _c.random_forest_train(
+        docs,
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)),
+        _rf_features(),
+        F.col("doc_id").cast("string"),
+        n_trees=5,
+        row_keep=12,
+        bins=16,
+        depth=2,
+    )
+
+
+@query(
+    "quality_rf_holdout",
+    oracle=classify.random_forest_holdout_oracle_sql(
+        "documents",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+        _LOGREG_FEATURES_SQL,
+        _RF_ID_SQL,
+        _HOLDOUT_TEST_PRED_SQL,
+        n_trees=5,
+        row_keep=12,
+        bins=16,
+        depth=2,
+    ),
+)
+def quality_rf_holdout(spark, sf_dir):
+    """Majority-vote generalization eval for the random forest
+    (functions/classify.random_forest_holdout): the same md5-prefix
+    ~3/16 hash split as the other holdouts, each tree fit on its
+    subsample of the train fold, the IDENTICAL null-guarded test fold
+    routed through every tree with that tree's train binning, ties-to-1
+    majority vote. Output: per-tree held-out accuracy rows plus the
+    'forest' row — the variance-reduction story in one frame. Oracle:
+    per-tree key-preserving vote queries unioned, re-aggregated with
+    the identical majority arithmetic."""
+    from census_data_pipeline_spark.functions import classify as _c
+
+    docs = load_table(spark, sf_dir, "documents")
+    test_pred = F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 1
+    ).isin("0", "1", "2")
+    return _c.random_forest_holdout(
+        docs,
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)),
+        _rf_features(),
+        F.col("doc_id").cast("string"),
+        test_pred,
+        n_trees=5,
+        row_keep=12,
+        bins=16,
+        depth=2,
+    )
+
+
 def _textrank_oracle(iters: int, d: float, min_len: int, k: int) -> str:
     """Unrolled-CTE replica of text.textrank_keywords: adjacent-token
     pair graph, symmetrized, then the same pagerank rounds as

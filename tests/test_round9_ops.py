@@ -244,3 +244,95 @@ def test_dbscan_collapse_identity_duplicate_border_and_minpts1(spark):
     out1 = {r.id: (r.role, r.cluster)
             for r in dbscan_grid(df, eps=1.5, min_pts=1).collect()}
     assert out1[20] == ("core", 20) and out1[21] == ("core", 20)
+
+# --- random forest over the histogram trees (VERDICT r8 #7) -----------
+
+
+def test_rf_train_tree_structure_and_determinism(spark):
+    """Each tree in the forest recovers the planted x1-threshold rule
+    from its own subsample/feature draw whenever x1 is in its subset,
+    and two runs produce identical frames (no RNG anywhere)."""
+    from census_data_pipeline_spark.functions import classify
+
+    pts = [(str(i), (i % 100) / 100.0, float(i % 7)) for i in range(1200)]
+    df = spark.createDataFrame(pts, "rid string, x1 double, x2 double")
+    label = F.when(F.col("x1") >= 0.5, F.lit(1)).otherwise(F.lit(0))
+    feats = [("x1", F.col("x1")), ("x2", F.col("x2"))]
+    kw = dict(n_trees=3, row_keep=12, bins=10, depth=1)
+    rows = classify.random_forest_train(
+        df, label, feats, F.col("rid"), **kw
+    ).collect()
+    again = classify.random_forest_train(
+        df, label, feats, F.col("rid"), **kw
+    ).collect()
+    key = lambda r: (r.tree, r.node)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    assert {r.tree for r in rows} == {0, 1, 2}
+    # ceil(sqrt(2)) = 2 features per tree -> every tree sees x1 and
+    # must split on it at the planted boundary
+    for r in rows:
+        if r.kind == "split":
+            assert r.feature == "x1"
+            assert abs(r.threshold - 0.5) < 0.1 + 1e-9
+
+
+def test_rf_holdout_majority_beats_or_matches_single_tree(spark):
+    """On the planted-split fixture the forest's majority-vote held-out
+    accuracy is >= the single tree's (VERDICT r8 #7 acceptance): label
+    depends on x1 XOR-free but with a noisy nuisance feature, so
+    per-tree draws wobble and the vote stabilizes."""
+    from census_data_pipeline_spark.functions import classify
+
+    # planted rule on x1 with a nuisance x2 that sometimes wins splits
+    # in small subsamples
+    pts = [
+        (str(i), (i % 100) / 100.0, float((i * 7919) % 13))
+        for i in range(1500)
+    ]
+    df = spark.createDataFrame(pts, "rid string, x1 double, x2 double")
+    label = F.when(F.col("x1") >= 0.5, F.lit(1)).otherwise(F.lit(0))
+    feats = [("x1", F.col("x1")), ("x2", F.col("x2"))]
+    test_pred = F.substring(F.md5(F.col("rid")), 1, 1).isin("0", "1", "2")
+    rows = classify.random_forest_holdout(
+        df, label, feats, F.col("rid"), test_pred,
+        n_trees=5, row_keep=12, bins=10, depth=2,
+    ).collect()
+    by = {r.member: r for r in rows}
+    assert set(by) == {"0", "1", "2", "3", "4", "forest"}
+    n_test = by["forest"].n_test
+    assert n_test > 100
+    for t in "01234":
+        assert by[t].n_test == n_test          # identical test fold
+        assert by[t].n_train < 1500            # genuinely subsampled
+    tree_accs = [by[t].accuracy for t in "01234"]
+    assert by["forest"].accuracy >= max(tree_accs) - 1e-9
+    assert by["forest"].accuracy >= 0.95
+
+    # the single full-data tree (same fold) for the >= comparison the
+    # verdict asks for: forest >= single tree on this fixture
+    conf = classify.decision_tree_holdout(
+        df, label, feats, test_pred, bins=10, depth=2
+    ).collect()
+    total = sum(r.cnt for r in conf)
+    diag = sum(r.cnt for r in conf if r.actual == r.predicted)
+    single = diag / total
+    assert by["forest"].accuracy >= single - 1e-9
+
+
+def test_rf_guards(spark):
+    from census_data_pipeline_spark.functions import classify
+
+    df = spark.createDataFrame([("1", 1.0)], "rid string, x double")
+    with pytest.raises(ValueError, match="n_trees"):
+        classify.random_forest_train(
+            df, F.col("x"), [("x", F.col("x"))], F.col("rid"), n_trees=0
+        )
+    with pytest.raises(ValueError, match="row_keep"):
+        classify.random_forest_train(
+            df, F.col("x"), [("x", F.col("x"))], F.col("rid"), row_keep=17
+        )
+    with pytest.raises(ValueError, match="features_per_tree"):
+        classify.random_forest_train(
+            df, F.col("x"), [("x", F.col("x"))], F.col("rid"),
+            features_per_tree=2,
+        )
