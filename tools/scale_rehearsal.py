@@ -102,6 +102,24 @@ def amplify_edges(edges: DataFrame, copies: int) -> DataFrame:
     return reduce(DataFrame.unionAll, parts)
 
 
+def amplify_events(ev: DataFrame, copies: int) -> DataFrame:
+    """Events ×copies along BOTH scaling axes a real deployment grows:
+    copy k shifts user_id (10× users for the survival per-user agg) and
+    suffixes event_type (10× forecast keys, so the per-key
+    horizon-bounded fold frame grows with the corpus, not just the
+    data-scale hourly agg)."""
+    parts = [
+        ev.select(
+            (F.col("user_id") + k * 10_000_000).alias("user_id"),
+            F.concat(F.col("event_type"), F.lit(f"_{k}"))
+            .alias("event_type"),
+            "ts",
+        )
+        for k in range(copies)
+    ]
+    return reduce(DataFrame.unionAll, parts)
+
+
 def timed(build, runs: int = 2) -> float:
     best = float("inf")
     for _ in range(runs):
@@ -145,49 +163,55 @@ def main() -> None:
     for part in spec.split(","):
         label, copies, mega = part.split(":")
         scale_list.append((label, int(copies), int(mega)))
+    from census_data_pipeline_spark.sources.catalog import load_table
+
+    events1 = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "ts"
+    )
     scales = {}
     for label, copies, mega in scale_list:
         d = amplify_docs(docs, copies, mega).localCheckpoint()
         e = amplify_embeddings(emb, copies).localCheckpoint()
         g = amplify_edges(edges1, copies).localCheckpoint()
-        scales[label] = (d, e, g)
+        v = amplify_events(events1, copies).localCheckpoint()
+        scales[label] = (d, e, g, v)
         print(
             f"# scale {label}: docs={d.count()} emb={e.count()} "
-            f"edges={g.count()}",
+            f"edges={g.count()} events={v.count()}",
             file=sys.stderr,
         )
 
-    def fam_minhash_capped(d, e, g):
+    def fam_minhash_capped(d, e, g, v):
         return dedup.minhash_lsh_pairs(d, threshold=0.5, bucket_cap=8)
 
-    def fam_minhash_uncapped(d, e, g):
+    def fam_minhash_uncapped(d, e, g, v):
         return dedup.minhash_lsh_pairs(d, threshold=0.5)
 
-    def fam_cross_corpus(d, e, g):
+    def fam_cross_corpus(d, e, g, v):
         ref = d.filter(F.col("doc_id") % 3 == 0)
         new = d.filter(F.col("doc_id") % 3 != 0)
         return dedup.minhash_dedup_against(new, ref, threshold=0.5,
                                            bucket_cap=8)
 
-    def fam_cc_star(d, e, g):
+    def fam_cc_star(d, e, g, v):
         pairs = dedup.minhash_lsh_pairs(d, threshold=0.5, bucket_cap=8)
         return dedup.dup_clusters(pairs, algorithm="star")
 
-    def fam_span_dedup(d, e, g):
+    def fam_span_dedup(d, e, g, v):
         return dedup.span_dedup(d, span_tokens=16)
 
-    def fam_pagerank(d, e, g):
+    def fam_pagerank(d, e, g, v):
         return graph.pagerank(g, iterations=5, broadcast_ranks=True)
 
-    def fam_ivfpq(d, e, g):
+    def fam_ivfpq(d, e, g, v):
         q = e.filter(F.col("vec_id") < 50)
         return similarity.knn_ivfpq_seeded(e, q, k=10)
 
-    def fam_bpe_train(d, e, g):
+    def fam_bpe_train(d, e, g, v):
         from census_data_pipeline_spark.functions import text
         return text.bpe_train(d, num_merges=6)
 
-    def fam_tag_keywords(d, e, g):
+    def fam_tag_keywords(d, e, g, v):
         from census_data_pipeline_spark.functions import text
         phrases = d.sparkSession.createDataFrame(
             [("dup dup",), ("boilerplate license",), ("stream",)],
@@ -195,17 +219,17 @@ def main() -> None:
         )
         return text.tag_keywords(d, phrases)
 
-    def fam_token_budget(d, e, g):
+    def fam_token_budget(d, e, g, v):
         from census_data_pipeline_spark.functions import sampling
         src = d.withColumn("source", (F.col("doc_id") % 20).cast("string"))
         return sampling.token_budget_sample(src, budget_tokens=2000,
                                             key_bits=32)
 
-    def fam_label_propagation(d, e, g):
+    def fam_label_propagation(d, e, g, v):
         return graph.label_propagation(g, iterations=5,
                                        broadcast_labels=True)
 
-    def fam_logreg(d, e, g):
+    def fam_logreg(d, e, g, v):
         from census_data_pipeline_spark.functions import classify
         return classify.logreg_train(
             d,
@@ -223,7 +247,7 @@ def main() -> None:
             iterations=8,
         )
 
-    def fam_tree_hist(d, e, g):
+    def fam_tree_hist(d, e, g, v):
         from census_data_pipeline_spark.functions import classify
         return classify.decision_tree_train(
             d,
@@ -242,7 +266,7 @@ def main() -> None:
             depth=2,
         )
 
-    def fam_gbt_stumps(d, e, g):
+    def fam_gbt_stumps(d, e, g, v):
         from census_data_pipeline_spark.functions import classify
         return classify.boost_stumps_train(
             d,
@@ -258,14 +282,14 @@ def main() -> None:
             bins=16,
         )
 
-    def fam_trustrank(d, e, g):
+    def fam_trustrank(d, e, g, v):
         seeds = g.filter(F.col("src").rlike("_c17$|^c17$")).select(
             F.col("src").alias("id")
         ).distinct()
         return graph.pagerank(g, iterations=5, broadcast_ranks=True,
                               personalization=seeds)
 
-    def fam_dbscan(d, e, g):
+    def fam_dbscan(d, e, g, v):
         # blob index spreads with the copy number, so amplification adds
         # AREA at constant density (new content, same local structure —
         # the amplify_docs philosophy); the 900M-id mega-duplicate rows
@@ -285,15 +309,15 @@ def main() -> None:
         )
         return dbscan_grid(pts, eps=1.6, min_pts=4)
 
-    def fam_pca_catalyst(d, e, g):
+    def fam_pca_catalyst(d, e, g, v):
         return similarity.pca_power_dominant(e, "embedding", iterations=8,
                                              moments="catalyst")
 
-    def fam_pca_arrow(d, e, g):
+    def fam_pca_arrow(d, e, g, v):
         return similarity.pca_power_dominant(e, "embedding", iterations=8,
                                              moments="arrow")
 
-    def fam_bfs(d, e, g):
+    def fam_bfs(d, e, g, v):
         # one seed per amplified copy (the k{copy}_c17 customer), so the
         # seed set grows with the corpus like a real watchlist would
         seeds = g.filter(F.col("src").rlike("_c17$")).select(
@@ -301,6 +325,78 @@ def main() -> None:
         ).distinct()
         return graph.bfs_distances(g, seeds, max_hops=4,
                                    broadcast_frontier=True)
+
+    def fam_forecast_hw(d, e, g, v):
+        # mirrors events_forecast_hourly: one data-scale hourly hash agg
+        # onto a zero-filled grid, then the Catalyst-aggregate HW fold —
+        # amplification grows BOTH the scan and the key count (suffixed
+        # event types), so the per-key fold frame scales with the data
+        from census_data_pipeline_spark.operators import forecast
+        hourly = v.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hb")
+        ).agg(F.count("*").alias("y"))
+        bounds = hourly.groupBy("event_type").agg(
+            F.min("hb").alias("lo"), F.max("hb").alias("hi")
+        )
+        grid = bounds.select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hb"),
+        )
+        series = grid.join(hourly, ["event_type", "hb"], "left").select(
+            "event_type", "hb",
+            F.coalesce(F.col("y"), F.lit(0)).cast("double").alias("y"),
+        )
+        return forecast.holt_winters_forecast(
+            series, ["event_type"], "hb", "y", m=24,
+            alpha=0.2, beta=0.1, gamma=0.3, horizon=24,
+        )
+
+    def fam_survival_km(d, e, g, v):
+        # mirrors survival_by_segment: one per-user data-scale agg (10×
+        # users per decade), then cohort-partitioned windows over the
+        # |cohorts|×|durations| frame
+        from census_data_pipeline_spark.operators import survival
+        u = v.groupBy("user_id").agg(
+            F.min("ts").alias("t0"),
+            F.min(F.when(F.col("event_type").startswith("purchase"),
+                         F.col("ts"))).alias("p"),
+        )
+        h = v.agg(F.max("ts").alias("hmax"))
+        dur = u.crossJoin(F.broadcast(h)).select(
+            F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd")
+            .alias("cohort"),
+            F.floor(
+                (F.unix_micros(F.coalesce("p", "hmax"))
+                 - F.unix_micros("t0")) / 3_600_000_000.0
+            ).cast("long").alias("duration"),
+            F.when(F.col("p").isNotNull(), 1).otherwise(0)
+            .alias("observed"),
+        )
+        return survival.kaplan_meier_grouped(dur)
+
+    def fam_random_forest(d, e, g, v):
+        from census_data_pipeline_spark.functions import classify
+        return classify.random_forest_train(
+            d,
+            (F.col("doc_id") % 2 == 0).cast("int"),
+            [
+                ("f_chars", F.length("text")),
+                ("f_words",
+                 F.length("text")
+                 - F.length(F.replace(F.col("text"), F.lit(" "),
+                                      F.lit(""))) + F.lit(1)),
+                ("f_e", F.length("text")
+                 - F.length(F.replace(F.col("text"), F.lit("e"),
+                                      F.lit("")))),
+            ],
+            F.col("doc_id").cast("string"),
+            n_trees=3,
+            row_keep=12,
+            bins=16,
+            depth=2,
+        )
 
     families = {
         "minhash_lsh_capped": fam_minhash_capped,
@@ -321,6 +417,9 @@ def main() -> None:
         "dbscan": fam_dbscan,
         "pca_catalyst": fam_pca_catalyst,
         "pca_arrow": fam_pca_arrow,
+        "forecast_hw": fam_forecast_hw,
+        "survival_km": fam_survival_km,
+        "random_forest": fam_random_forest,
         "bfs": fam_bfs,
     }
 
@@ -336,8 +435,8 @@ def main() -> None:
     for name, fn in families.items():
         row: dict = {}
         for label in labels:
-            d, e, g = scales[label]
-            row[label] = round(timed(lambda: fn(d, e, g)), 3)
+            d, e, g, v = scales[label]
+            row[label] = round(timed(lambda: fn(d, e, g, v)), 3)
             print(f"# {name} @{label}: {row[label]} s", file=sys.stderr)
         row["exponent"] = round(
             math.log(max(row[last], 1e-9) / max(row[first], 1e-9))
