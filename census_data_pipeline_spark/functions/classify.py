@@ -2986,3 +2986,96 @@ def random_forest_holdout_oracle_sql(
     SELECT 'forest', CAST(NULL AS BIGINT), CAST(count(*) AS BIGINT),
            round(avg(CASE WHEN mv = y THEN 1.0 ELSE 0.0 END), 6)
     FROM maj"""
+
+
+def feature_importance(model: DataFrame) -> DataFrame:
+    """Split-gain feature importance over a fitted tree or forest MODEL
+    frame (the output of ``decision_tree_train`` /
+    ``random_forest_train``): each split node's Gini gain is its own
+    impurity minus the size-weighted impurity of its two children
+    (nodes 2·node and 2·node+1, which the histogram builder always
+    emits with their n/pos), rounded to 9 dp; per feature the output is
+    (feature, n_splits, total_gain) with the sum rounded to 6 dp —
+    the standard GBDT importance report.
+
+    Pure MODEL-frame arithmetic: two self-joins and one aggregate over
+    the nodes·trees-sized frame — nothing here ever touches data-scale
+    rows, so it costs the same at any corpus size."""
+    has_tree = "tree" in model.columns
+    m = model if has_tree else model.select(
+        F.lit(0).cast("long").alias("tree"), "*"
+    )
+    splits = m.filter(F.col("kind") == "split").select(
+        F.col("tree").alias("__t"), F.col("node").alias("__n"),
+        "feature", F.col("n").alias("__pn"), F.col("pos").alias("__pp"),
+    )
+    kids = m.select(
+        F.col("tree").alias("__kt"), F.col("node").alias("__kn"),
+        F.col("n").alias("__cn"), F.col("pos").alias("__cp"),
+    )
+
+    def imp(n, p):
+        return F.lit(2.0) * p * (n - p) / n / n
+
+    left = kids.withColumnsRenamed(
+        {"__cn": "__ln", "__cp": "__lp"}
+    )
+    right = kids.withColumnsRenamed(
+        {"__kt": "__rt", "__kn": "__rn", "__cn": "__rn2", "__cp": "__rp"}
+    )
+    j = (
+        splits.join(
+            left,
+            (left["__kt"] == splits["__t"])
+            & (left["__kn"] == splits["__n"] * 2),
+        )
+        .join(
+            right,
+            (right["__rt"] == splits["__t"])
+            & (right["__rn"] == splits["__n"] * 2 + 1),
+        )
+        .select(
+            "feature",
+            F.round(
+                imp(F.col("__pn"), F.col("__pp"))
+                - (F.col("__ln") / F.col("__pn"))
+                * imp(F.col("__ln"), F.col("__lp"))
+                - (F.col("__rn2") / F.col("__pn"))
+                * imp(F.col("__rn2"), F.col("__rp")),
+                9,
+            ).alias("__gain"),
+        )
+    )
+    return j.groupBy("feature").agg(
+        F.count("*").cast("long").alias("n_splits"),
+        F.round(F.sum("__gain"), 6).alias("total_gain"),
+    )
+
+
+def feature_importance_oracle_sql(model_sql: str,
+                                  has_tree: bool = True) -> str:
+    """DuckDB replica of ``feature_importance`` over a model query
+    (e.g. the output of ``random_forest_oracle_sql`` or
+    ``decision_tree_oracle_sql``) — identical join and arithmetic."""
+    tree_col = "tree" if has_tree else "CAST(0 AS BIGINT) AS tree"
+    sel = "*" if has_tree else f"{tree_col}, *"
+    return f"""WITH model AS MATERIALIZED (
+      SELECT {sel} FROM (
+      {model_sql}
+      ) mq),
+    s AS (SELECT tree, node, feature, n, pos FROM model
+          WHERE kind = 'split'),
+    c AS (SELECT tree, node, n, pos FROM model)
+    SELECT s.feature,
+           CAST(count(*) AS BIGINT) AS n_splits,
+           round(sum(round(
+             2.0 * s.pos * (s.n - s.pos) / s.n / s.n
+             - (CAST(l.n AS DOUBLE) / s.n)
+               * (2.0 * l.pos * (l.n - l.pos) / l.n / l.n)
+             - (CAST(r.n AS DOUBLE) / s.n)
+               * (2.0 * r.pos * (r.n - r.pos) / r.n / r.n), 9)), 6)
+             AS total_gain
+    FROM s
+    JOIN c l ON l.tree = s.tree AND l.node = s.node * 2
+    JOIN c r ON r.tree = s.tree AND r.node = s.node * 2 + 1
+    GROUP BY s.feature"""

@@ -368,3 +368,103 @@ def bfs_distances(
         visited = visited.unionByName(new).localCheckpoint(eager=False)
         frontier = new
     return visited
+
+
+def kcore_nodes(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition for a GIVEN k by synchronous iterative
+    peeling (Matula & Beck 1983's algorithm in its distributed
+    fixed-round form): the k-core is the maximal subgraph where every
+    node keeps degree ≥ k, computed by repeatedly deleting nodes whose
+    CURRENT degree is < k. The graph is symmetrized and deduped
+    (self-loops dropped — they never contribute to coreness).
+
+    Determinism (the pagerank/LPA fixed-dataflow discipline): exactly
+    ``rounds`` peel rounds — each round recomputes degrees over the
+    surviving edge set and keeps both-endpoint-surviving edges. Peeling
+    is monotone, so once the set stabilizes further rounds are no-ops;
+    if ``rounds`` is smaller than the peel depth the result is the
+    deterministic partial peel (both engines agree — the oracle unrolls
+    the same rounds). Returns (id, degree) for nodes surviving all
+    rounds, with their degree inside the surviving subgraph.
+
+    Scale shape per round: one partial-aggregated degree count over the
+    surviving edges (shuffle ≤ |V| rows), then two equi-joins of the
+    edge set against the ≥k survivor frame (shuffle ≤ |E| rows) —
+    bounded by the LPA round cost; lineage cut per round with lazy
+    localCheckpoint. Cite: reference has no graph tier; this extends
+    SURVEY §2.11 alongside pagerank/triangles/LPA/BFS."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = ensure_parallelism(edges).select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    )
+    cur = (
+        e.unionByName(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        keep = (
+            cur.groupBy("src")
+            .agg(F.count("*").alias("__deg"))
+            .filter(F.col("__deg") >= k)
+            .select("src")
+        )
+        cur = (
+            cur.join(keep, "src")
+            .join(keep.withColumnRenamed("src", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        cur.groupBy("src")
+        .agg(F.count("*").cast("long").alias("degree"))
+        .select(F.col("src").alias("id"), "degree")
+    )
+
+
+def kcore_oracle_sql(
+    edges_sql: str,
+    k: int,
+    rounds: int = 8,
+) -> str:
+    """DuckDB replica of ``kcore_nodes`` — the symmetrized deduped edge
+    set, then each peel round unrolled as (degree, survivor, edge) CTEs.
+    ``edges_sql`` must select columns (src, dst)."""
+    ctes = [
+        f"""e0 AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM ({edges_sql}) r0
+        UNION ALL
+        SELECT dst, src FROM ({edges_sql}) r1) u
+      WHERE src <> dst)"""
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""k{r} AS MATERIALIZED (
+      SELECT src FROM (SELECT src, count(*) AS deg FROM e{r}
+                       GROUP BY src) d WHERE deg >= {k})"""
+        )
+        ctes.append(
+            f"""e{r + 1} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e{r} e
+      JOIN k{r} a ON e.src = a.src
+      JOIN k{r} b ON e.dst = b.src)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT src AS id, CAST(count(*) AS BIGINT) AS degree
+    FROM e{rounds} GROUP BY src"""
+    )

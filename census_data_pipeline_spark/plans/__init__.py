@@ -248,6 +248,8 @@ _CHECKED_PREFIX = [
     "quality_tree_cv",
     "quality_rf_train",
     "quality_rf_holdout",
+    "quality_rf_importance",
+    "graph_kcore",
     # --- drifted under r9 edits ---
     # streaming/stateful.py grew the idle_timeout_ms eviction knob
     # (VERDICT r8 #2) — cusum_monitor's source changed

@@ -20,6 +20,7 @@ from census_data_pipeline_spark.functions import (
     classify,
     decontam,
     dedup,
+    graph,
     linkage,
     multimodal,
     sampling,
@@ -4015,6 +4016,86 @@ def quality_rf_holdout(spark, sf_dir):
         bins=16,
         depth=2,
     )
+
+
+@query(
+    "quality_rf_importance",
+    oracle=classify.feature_importance_oracle_sql(
+        classify.random_forest_oracle_sql(
+            "documents",
+            "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+            _LOGREG_FEATURES_SQL,
+            _RF_ID_SQL,
+            n_trees=5,
+            row_keep=12,
+            bins=16,
+            depth=2,
+        ),
+        has_tree=True,
+    ),
+)
+def quality_rf_importance(spark, sf_dir):
+    """Split-gain feature importance for the random forest
+    (functions/classify.feature_importance): per feature, the number of
+    splits across all five trees and the summed Gini gain (parent
+    impurity minus size-weighted child impurity, from the model frame's
+    own n/pos columns) — the standard GBDT importance report, computed
+    as pure model-frame arithmetic (two self-joins + one aggregate over
+    the nodes·trees rows; zero data-scale work beyond the training
+    itself). Oracle: the forest CTEs wrapped and re-aggregated with the
+    identical arithmetic."""
+    from census_data_pipeline_spark.functions import classify as _c
+
+    docs = load_table(spark, sf_dir, "documents")
+    forest = _c.random_forest_train(
+        docs,
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)),
+        _rf_features(),
+        F.col("doc_id").cast("string"),
+        n_trees=5,
+        row_keep=12,
+        bins=16,
+        depth=2,
+    )
+    return _c.feature_importance(forest)
+
+
+_KCORE_EDGES_SQL = """SELECT concat('c', o_custkey) AS src,
+             concat('s', l_suppkey) AS dst
+      FROM (SELECT DISTINCT o_custkey, l_suppkey
+            FROM orders o JOIN lineitem l
+              ON o.o_orderkey = l.l_orderkey) q"""
+
+
+@query(
+    "graph_kcore",
+    oracle=graph.kcore_oracle_sql(_KCORE_EDGES_SQL, k=4, rounds=8),
+)
+def graph_kcore(spark, sf_dir):
+    """k-core decomposition (functions/graph.kcore_nodes) of the
+    customer–supplier purchase graph at k=4: synchronous iterative
+    peeling — 8 fixed rounds, each one degree count over the surviving
+    edges plus two survivor equi-joins — returning the nodes whose
+    mutual-support subgraph keeps everyone at degree ≥ 4 (the dense
+    trading core), with their in-core degree. Monotone peeling makes
+    extra rounds no-ops once stable; the oracle unrolls the identical
+    rounds as CTEs."""
+    from census_data_pipeline_spark.functions import graph as _g
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    e = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    return _g.kcore_nodes(e, k=4, rounds=8)
 
 
 def _textrank_oracle(iters: int, d: float, min_len: int, k: int) -> str:

@@ -336,3 +336,90 @@ def test_rf_guards(spark):
             df, F.col("x"), [("x", F.col("x"))], F.col("rid"),
             features_per_tree=2,
         )
+
+# --- k-core decomposition ---------------------------------------------
+
+
+def test_kcore_clique_survives_chain_peels(spark):
+    """4-clique + pendant chain: at k=3 the chain peels away over the
+    rounds and exactly the clique survives with in-core degree 3; at
+    k=4 nothing survives."""
+    from census_data_pipeline_spark.functions import graph
+
+    clique = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+              ("b", "d"), ("c", "d")]
+    chain = [("d", "e"), ("e", "f"), ("f", "g")]
+    df = spark.createDataFrame(clique + chain, "src string, dst string")
+    got = {r.id: r.degree
+           for r in graph.kcore_nodes(df, k=3, rounds=8).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+    assert graph.kcore_nodes(df, k=4, rounds=8).count() == 0
+
+
+def test_kcore_stabilizes_and_extra_rounds_are_noops(spark):
+    """Once peeling stabilizes, more rounds change nothing — and a
+    too-small round budget yields the deterministic partial peel (the
+    long chain needs one round per link)."""
+    from census_data_pipeline_spark.functions import graph
+    import pytest as _pt
+
+    # chain of 6: k=2 peels one endpoint-pair per round until empty
+    chain = [(str(i), str(i + 1)) for i in range(6)]
+    df = spark.createDataFrame(chain, "src string, dst string")
+    full = {(r.id, r.degree)
+            for r in graph.kcore_nodes(df, k=2, rounds=8).collect()}
+    more = {(r.id, r.degree)
+            for r in graph.kcore_nodes(df, k=2, rounds=12).collect()}
+    assert full == more == set()           # no 2-core in a path
+    partial = {r.id for r in graph.kcore_nodes(df, k=2, rounds=1)
+               .collect()}
+    assert partial == {"1", "2", "3", "4", "5"}  # endpoints 0/6 dropped
+    with _pt.raises(ValueError, match="k"):
+        graph.kcore_nodes(df, k=0)
+    with _pt.raises(ValueError, match="rounds"):
+        graph.kcore_nodes(df, k=2, rounds=0)
+
+
+# --- split-gain feature importance ------------------------------------
+
+
+def test_feature_importance_planted_rule_all_gain_on_x1(spark):
+    """A tree trained on label = 1(x1 >= 0.5) with a useless x2 puts
+    every split (and all the gain) on x1, and the root gain equals the
+    hand-computed Gini drop."""
+    from census_data_pipeline_spark.functions import classify
+
+    pts = [((i % 100) / 100.0, float(i % 3)) for i in range(600)]
+    df = spark.createDataFrame(pts, "x1 double, x2 double")
+    label = F.when(F.col("x1") >= 0.5, F.lit(1)).otherwise(F.lit(0))
+    tree = classify.decision_tree_train(
+        df, label, [("x1", F.col("x1")), ("x2", F.col("x2"))],
+        bins=10, depth=2,
+    )
+    imp = classify.feature_importance(tree).collect()
+    assert [r.feature for r in imp] == ["x1"]
+    # perfect split at the root: parent impurity 0.5, children pure
+    root = [r for r in tree.collect() if r.node == 1][0]
+    assert root.kind == "split"
+    assert imp[0].total_gain > 0.49
+
+
+def test_feature_importance_forest_frame_groups_across_trees(spark):
+    """Over a forest frame the importance sums across trees: with
+    3 trees that all split on x1, n_splits counts every tree's splits
+    and the gain is positive."""
+    from census_data_pipeline_spark.functions import classify
+
+    pts = [(str(i), (i % 100) / 100.0, float(i % 3))
+           for i in range(900)]
+    df = spark.createDataFrame(pts, "rid string, x1 double, x2 double")
+    label = F.when(F.col("x1") >= 0.5, F.lit(1)).otherwise(F.lit(0))
+    forest = classify.random_forest_train(
+        df, label, [("x1", F.col("x1")), ("x2", F.col("x2"))],
+        F.col("rid"), n_trees=3, row_keep=12, bins=10, depth=1,
+    )
+    imp = {r.feature: r for r in
+           classify.feature_importance(forest).collect()}
+    assert set(imp) == {"x1"}
+    assert imp["x1"].n_splits == 3          # depth-1: one split per tree
+    assert imp["x1"].total_gain > 1.0       # ~0.5 gain per tree
