@@ -495,3 +495,125 @@ def ivm_retraction_merge(
     )
     fixed = dirty.join(repaired, keys, "left")
     return clean.unionByName(fixed.select(*clean.columns))
+
+
+_HLL_ALPHA_256 = 0.7213 / (1.0 + 1.079 / 256.0)
+
+
+def hll_build(df: DataFrame, key_col: str) -> DataFrame:
+    """HyperLogLog register frame (Flajolet et al. 2007) — the
+    mergeable DISTINCT-COUNT summary beside cms_build's frequency
+    summary, built from the same md5 determinism trick so the sketch
+    itself is oracle-checkable rather than an opaque binary blob:
+    bucket = the first 2 md5 hex chars (m = 256 registers), rho = 1 +
+    the number of leading zero BITS in the next 13 hex chars (a 52-bit
+    window), derived purely from hex-digit string arithmetic (leading
+    '0' digits contribute 4 bits each; the first nonzero digit adds
+    3/2/1/0 by its high bits) — no floating log2 anywhere, so both
+    engines compute identical registers.
+
+    Output: (bucket, rho) with rho = max over the bucket's keys —
+    ≤ 256 rows regardless of input size. Mergeable by construction:
+    register frames of two corpus parts union + groupBy(bucket)
+    max(rho) to the frame of the union (the property that lets per-day
+    sketches roll up without rescanning, same contract as cms_build).
+
+    One scan + a partial-aggregated groupBy bounded by 256 cells."""
+    h = F.md5(F.col(key_col).cast("string"))
+    suf = F.substring(h, 3, 13)
+    zhex = F.length(F.regexp_extract(suf, "^0*", 0))
+    first = F.regexp_extract(suf, "^0*([1-9a-f])", 1)
+    extra = (
+        F.when(first == "1", F.lit(3))
+        .when(first.isin("2", "3"), F.lit(2))
+        .when(first.isin("4", "5", "6", "7"), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    rho = (
+        F.when(first == "", F.lit(53))
+        .otherwise(zhex * 4 + extra + 1)
+        .cast("int")
+    )
+    return (
+        df.select(
+            F.substring(h, 1, 2).alias("bucket"), rho.alias("__rho")
+        )
+        .groupBy("bucket")
+        .agg(F.max("__rho").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """Distinct-count estimate from an ``hll_build`` register frame,
+    with the standard small-range correction: raw = α₂₅₆·m²/Σ2^(−rho)
+    (absent buckets contribute rho = 0), and when raw ≤ 2.5m with V > 0
+    empty registers, linear counting m·ln(m/V) instead. The harmonic
+    sum is EXACT integer arithmetic (Σ 2^(53−rho) via shiftleft over
+    the ≤256-row frame; one double division at the end), so both
+    engines agree to the 6-dp rounding.
+
+    Output: one row (m, nonempty_buckets, estimate)."""
+    m = 256
+    agg = registers.agg(
+        F.count("*").cast("long").alias("__nb"),
+        F.sum(
+            F.expr("shiftleft(cast(1 as bigint), 53 - rho)")
+        ).cast("long").alias("__s"),
+    ).select(
+        "__nb",
+        (F.col("__s") + (F.lit(m) - F.col("__nb"))
+         * F.lit(1 << 53).cast("long")).alias("__snum"),
+    )
+    raw = (
+        F.lit(_HLL_ALPHA_256) * F.lit(float(m * m))
+        * F.lit(float(1 << 53)) / F.col("__snum")
+    )
+    v = F.lit(m) - F.col("__nb")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        F.col("__nb").alias("nonempty_buckets"),
+        F.round(est, 6).alias("estimate"),
+    )
+
+
+def hll_oracle_sql(table: str, key_sql: str) -> str:
+    """DuckDB replica of ``hll_build`` |> ``hll_estimate`` — identical
+    hex-digit register derivation, exact-integer harmonic sum, the same
+    correction branch and final rounding."""
+    alpha = repr(_HLL_ALPHA_256)
+    return f"""WITH h AS MATERIALIZED (
+      SELECT md5(CAST({key_sql} AS VARCHAR)) AS hx FROM {table}),
+    r AS MATERIALIZED (
+      SELECT substr(hx, 1, 2) AS bucket,
+             max(CASE WHEN regexp_extract(substr(hx, 3, 13),
+                                          '^0*([1-9a-f])', 1) = ''
+                      THEN 53
+                      ELSE length(regexp_extract(substr(hx, 3, 13),
+                                                 '^0*', 0)) * 4
+                           + CASE regexp_extract(substr(hx, 3, 13),
+                                                 '^0*([1-9a-f])', 1)
+                             WHEN '1' THEN 3
+                             WHEN '2' THEN 2 WHEN '3' THEN 2
+                             WHEN '4' THEN 1 WHEN '5' THEN 1
+                             WHEN '6' THEN 1 WHEN '7' THEN 1
+                             ELSE 0 END + 1 END) AS rho
+      FROM h GROUP BY 1),
+    a AS (
+      SELECT count(*) AS nb,
+             sum(CAST(1 AS BIGINT) << (53 - rho))
+             + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS snum
+      FROM r)
+    SELECT CAST(256 AS BIGINT) AS m,
+           CAST(nb AS BIGINT) AS nonempty_buckets,
+           round(CASE WHEN (CAST({alpha} AS DOUBLE) * 65536.0
+                            * 9007199254740992.0 / snum) <= 640.0
+                           AND (256 - nb) > 0
+                      THEN 256.0 * ln(256.0 / (256 - nb))
+                      ELSE CAST({alpha} AS DOUBLE) * 65536.0
+                           * 9007199254740992.0 / snum
+                 END, 6) AS estimate
+    FROM a"""

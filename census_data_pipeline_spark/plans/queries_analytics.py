@@ -3403,6 +3403,55 @@ def dq_l_diversity(spark, sf_dir):
     )
 
 
+from census_data_pipeline_spark.operators.rollup import (  # noqa: E402
+    hll_oracle_sql,
+)
+
+
+@query(
+    "sketch_hll_distinct",
+    oracle=f"""
+    WITH est AS MATERIALIZED (
+      {hll_oracle_sql("orders", "o_custkey")}),
+    ex AS (SELECT count(DISTINCT o_custkey) AS exact_distinct
+           FROM orders)
+    SELECT est.m, est.nonempty_buckets, est.estimate,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+           round(abs(est.estimate - ex.exact_distinct)
+                 / ex.exact_distinct, 6) AS rel_err
+    FROM est CROSS JOIN ex
+    """,
+)
+def sketch_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct count (operators/rollup.hll_build /
+    hll_estimate): how many distinct customers placed orders, from a
+    256-register md5 sketch — the mergeable distinct-count summary
+    beside the CMS frequency summary. The register derivation is pure
+    hex-digit arithmetic (no float log2) and the harmonic sum is exact
+    integer shiftleft arithmetic, so the sketch AND the estimate are
+    oracle-checkable; the row also carries the exact distinct count and
+    the relative error — the accuracy contract (σ ≈ 1.04/√256 ≈ 6.5%)
+    is part of the output, not a claim. Scale: one scan into ≤256
+    cells; the estimate is arithmetic over the register frame; the
+    exact count is the honesty check the sketch replaces at 100 TB."""
+    from census_data_pipeline_spark.operators.rollup import (
+        hll_build, hll_estimate,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    est = hll_estimate(hll_build(o, "o_custkey"))
+    exact = o.agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_distinct")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "m", "nonempty_buckets", "estimate", "exact_distinct",
+        F.round(
+            F.abs(F.col("estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"), 6,
+        ).alias("rel_err"),
+    )
+
+
 @query(
     "sketch_cms_heavy_hitters",
     oracle="""

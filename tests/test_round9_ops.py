@@ -423,3 +423,55 @@ def test_feature_importance_forest_frame_groups_across_trees(spark):
     assert set(imp) == {"x1"}
     assert imp["x1"].n_splits == 3          # depth-1: one split per tree
     assert imp["x1"].total_gain > 1.0       # ~0.5 gain per tree
+
+# --- HyperLogLog distinct sketch --------------------------------------
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """256 registers give sigma ~ 1.04/sqrt(256) ~ 6.5%; on 20k distinct
+    keys the estimate must land well within 4 sigma, and the register
+    frame stays at m rows."""
+    from census_data_pipeline_spark.operators.rollup import (
+        hll_build, hll_estimate,
+    )
+
+    df = spark.range(20_000).select(F.col("id").alias("k"))
+    regs = hll_build(df, "k")
+    assert regs.count() == 256
+    est = hll_estimate(regs).collect()[0]
+    assert est.m == 256 and est.nonempty_buckets == 256
+    assert abs(est.estimate - 20_000) / 20_000 < 0.26
+
+
+def test_hll_registers_merge_to_union_sketch(spark):
+    """Mergeability contract: union + groupBy max of two halves'
+    registers equals the whole corpus's registers (hence the same
+    estimate) — the property that lets per-day sketches roll up."""
+    from census_data_pipeline_spark.operators.rollup import (
+        hll_build, hll_estimate,
+    )
+
+    whole = spark.range(5_000).select(F.col("id").alias("k"))
+    a = hll_build(whole.filter(F.col("k") < 2_500), "k")
+    b = hll_build(whole.filter(F.col("k") >= 2_500), "k")
+    merged = (
+        a.unionByName(b).groupBy("bucket").agg(F.max("rho").alias("rho"))
+    )
+    direct = {(r.bucket, r.rho) for r in hll_build(whole, "k").collect()}
+    assert {(r.bucket, r.rho) for r in merged.collect()} == direct
+    e1 = hll_estimate(merged).collect()[0].estimate
+    e2 = hll_estimate(hll_build(whole, "k")).collect()[0].estimate
+    assert e1 == e2
+
+
+def test_hll_small_range_linear_counting(spark):
+    """With a handful of keys the small-range branch fires (empty
+    registers exist, raw <= 2.5m) and linear counting is near-exact."""
+    from census_data_pipeline_spark.operators.rollup import (
+        hll_build, hll_estimate,
+    )
+
+    df = spark.range(30).select(F.col("id").alias("k"))
+    est = hll_estimate(hll_build(df, "k")).collect()[0]
+    assert est.nonempty_buckets <= 30
+    assert abs(est.estimate - 30) < 3
