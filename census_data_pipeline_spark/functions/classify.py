@@ -3079,3 +3079,158 @@ def feature_importance_oracle_sql(model_sql: str,
     JOIN c l ON l.tree = s.tree AND l.node = s.node * 2
     JOIN c r ON r.tree = s.tree AND r.node = s.node * 2 + 1
     GROUP BY s.feature"""
+
+
+def mutual_information(
+    df: DataFrame,
+    label: Column,
+    features: list[tuple[str, Column]],
+    bins: int = 16,
+) -> DataFrame:
+    """Mutual information I(label; binned feature) in nats per feature —
+    the model-free supervised ranking beside chi2 (text.chi2_features)
+    and the split-gain importance: each feature is equi-width binned
+    over [min, max] (the histogram-tree discipline: one stats pass
+    broadcast back, constant features land in bin 0 and score 0), one
+    codegen scan builds the (feature, bin, label) cell counts, and
+    MI = Σ (c/N)·ln(c·N / (c_bin·c_label)) over observed cells — absent
+    cells contribute 0 by the 0·ln0 convention, which the groupBy
+    realizes for free. Rows with a null label or any null feature are
+    dropped (the shared trainer contract, so rankings are comparable
+    across the classify family).
+
+    Returns (feature, mi) with mi rounded to 6 dp.
+
+    Scale shape: one stats aggregate + ONE data-scale scan into at most
+    F·bins·2 cells (map-side combined); everything after is arithmetic
+    over the model-sized cell frame."""
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    names = [n for n, _ in features]
+    raw = (
+        ensure_parallelism(df)
+        .select(
+            label.cast("bigint").alias("__y"),
+            *[expr.cast("double").alias(n) for n, expr in features],
+        )
+        .na.drop(subset=["__y", *names])
+    )
+    st = raw.agg(
+        *[F.min(n).alias(f"__mn_{n}") for n in names],
+        *[F.max(n).alias(f"__mx_{n}") for n in names],
+    ).select(
+        "*",
+        *[
+            ((F.col(f"__mx_{n}") - F.col(f"__mn_{n}")) / F.lit(float(bins)))
+            .alias(f"__w_{n}")
+            for n in names
+        ],
+    )
+    binned = raw.crossJoin(F.broadcast(st)).select(
+        "__y",
+        *[
+            F.when(F.col(f"__w_{n}") == 0, F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.col(n) - F.col(f"__mn_{n}"))
+                            / F.col(f"__w_{n}")
+                        ).cast("int"),
+                    ),
+                )
+            )
+            .cast("int")
+            .alias(f"__b_{n}")
+            for n in names
+        ],
+    )
+    stack_expr = "stack({}, {})".format(
+        len(names), ", ".join(f"'{n}', __b_{n}" for n in names)
+    )
+    cells = (
+        binned.select("__y", F.expr(stack_expr).alias("__f", "__bin"))
+        .groupBy("__f", "__bin", "__y")
+        .agg(F.count("*").alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    cb = cells.groupBy("__f", "__bin").agg(F.sum("__c").alias("__cb"))
+    cy = cells.groupBy("__f", "__y").agg(F.sum("__c").alias("__cy"))
+    nn = cells.groupBy("__f").agg(F.sum("__c").alias("__n"))
+    return (
+        cells.join(cb, ["__f", "__bin"])
+        .join(cy, ["__f", "__y"])
+        .join(nn, ["__f"])
+        .groupBy("__f")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("__c")
+                    * F.log(
+                        F.col("__c").cast("double") * F.col("__n")
+                        / (F.col("__cb").cast("double") * F.col("__cy"))
+                    )
+                )
+                / F.first("__n"),
+                6,
+            ).alias("mi")
+        )
+        .select(F.col("__f").alias("feature"), "mi")
+    )
+
+
+def mutual_information_oracle_sql(
+    table: str,
+    label_sql: str,
+    features_sql: list[tuple[str, str]],
+    bins: int = 16,
+) -> str:
+    """DuckDB replica of ``mutual_information`` — identical binning
+    CTEs (the tree-oracle pattern), cell counts, marginals, and the
+    observed-cells MI sum."""
+    names = [n for n, _ in features_sql]
+    feat_sel = ", ".join(
+        f"CAST({e} AS DOUBLE) AS {n}" for n, e in features_sql
+    )
+    null_guard = " AND ".join(
+        [f"({label_sql}) IS NOT NULL"]
+        + [f"({e}) IS NOT NULL" for _, e in features_sql]
+    )
+    st_sel = ", ".join(
+        f"min({n}) AS mn_{n}, max({n}) AS mx_{n}" for n in names
+    )
+    w_sel = ", ".join(
+        f"(mx_{n} - mn_{n}) / {float(bins)!r} AS w_{n}" for n in names
+    )
+    bin_sel = ", ".join(
+        f"CASE WHEN w_{n} = 0 THEN 0 ELSE least({bins - 1}, greatest(0, "
+        f"CAST(floor(({n} - mn_{n}) / w_{n}) AS INT))) END AS b_{n}"
+        for n in names
+    )
+    unpivot = "\n      UNION ALL ".join(
+        f"SELECT '{n}' AS f, b_{n} AS bin, y FROM b0" for n in names
+    )
+    return f"""WITH raw AS MATERIALIZED (
+      SELECT CAST({label_sql} AS BIGINT) AS y, {feat_sel}
+      FROM {table} WHERE {null_guard}),
+    st AS MATERIALIZED (SELECT {st_sel} FROM raw),
+    stw AS MATERIALIZED (SELECT *, {w_sel} FROM st),
+    b0 AS MATERIALIZED (
+      SELECT y, {bin_sel} FROM raw CROSS JOIN stw),
+    cells AS MATERIALIZED (
+      SELECT f, bin, y, count(*) AS c FROM (
+      {unpivot}) u GROUP BY f, bin, y),
+    cb AS (SELECT f, bin, sum(c) AS cb FROM cells GROUP BY f, bin),
+    cy AS (SELECT f, y, sum(c) AS cy FROM cells GROUP BY f, y),
+    nn AS (SELECT f, sum(c) AS n FROM cells GROUP BY f)
+    SELECT cells.f AS feature,
+           round(sum(cells.c * ln(CAST(cells.c AS DOUBLE) * nn.n
+                                  / (CAST(cb.cb AS DOUBLE) * cy.cy)))
+                 / any_value(nn.n), 6) AS mi
+    FROM cells
+    JOIN cb ON cb.f = cells.f AND cb.bin = cells.bin
+    JOIN cy ON cy.f = cells.f AND cy.y = cells.y
+    JOIN nn ON nn.f = cells.f
+    GROUP BY cells.f"""

@@ -251,6 +251,7 @@ _CHECKED_PREFIX = [
     "quality_rf_importance",
     "graph_kcore",
     "sketch_hll_distinct",
+    "quality_mi_features",
     # --- drifted under r9 edits ---
     # streaming/stateful.py grew the idle_timeout_ms eviction knob
     # (VERDICT r8 #2) — cusum_monitor's source changed

@@ -4098,6 +4098,37 @@ def graph_kcore(spark, sf_dir):
     return _g.kcore_nodes(e, k=4, rounds=8)
 
 
+@query(
+    "quality_mi_features",
+    oracle=classify.mutual_information_oracle_sql(
+        "documents",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+        _LOGREG_FEATURES_SQL,
+        bins=16,
+    ),
+)
+def quality_mi_features(spark, sf_dir):
+    """Mutual-information feature ranking
+    (functions/classify.mutual_information): I(English label; binned
+    feature) in nats for the four surface features — the model-free
+    counterpart to split-gain importance and the chi2 vocabulary
+    ranker, answering 'which raw signals carry ANY label information'
+    before a model is fit. One stats pass + one codegen scan into
+    ≤ F·16·2 cells; MI arithmetic runs on the model-sized cell frame.
+    On this weak-signal corpus the MI values hover near zero — the
+    honest picture, consistent with the near-chance classifiers.
+    Oracle: identical binning CTEs, marginals, observed-cell sum."""
+    from census_data_pipeline_spark.functions import classify as _c
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _c.mutual_information(
+        docs,
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)),
+        _rf_features(),
+        bins=16,
+    )
+
+
 def _textrank_oracle(iters: int, d: float, min_len: int, k: int) -> str:
     """Unrolled-CTE replica of text.textrank_keywords: adjacent-token
     pair graph, symmetrized, then the same pagerank rounds as

@@ -475,3 +475,33 @@ def test_hll_small_range_linear_counting(spark):
     est = hll_estimate(hll_build(df, "k")).collect()[0]
     assert est.nonempty_buckets <= 30
     assert abs(est.estimate - 30) < 3
+
+# --- mutual-information feature ranking --------------------------------
+
+
+def test_mutual_information_separable_vs_noise(spark):
+    """A feature that determines the label carries ln 2 nats (balanced
+    binary); an independent feature carries ~0; a constant feature
+    carries exactly 0 (single bin)."""
+    from census_data_pipeline_spark.functions import classify
+
+    pts = [((i % 2) * 1.0, (i % 7) / 7.0, 5.0) for i in range(700)]
+    df = spark.createDataFrame(pts, "sig double, noise double, const double")
+    label = F.when(F.col("sig") >= 0.5, F.lit(1)).otherwise(F.lit(0))
+    mi = {r.feature: r.mi for r in classify.mutual_information(
+        df, label,
+        [("sig", F.col("sig")), ("noise", F.col("noise")),
+         ("const", F.col("const"))],
+        bins=8,
+    ).collect()}
+    assert abs(mi["sig"] - math.log(2.0)) < 1e-6
+    assert mi["const"] == 0.0
+    assert mi["noise"] < 0.02
+
+
+def test_mutual_information_guard(spark):
+    from census_data_pipeline_spark.functions import classify
+    df = spark.createDataFrame([(1.0, 1)], "x double, y int")
+    with pytest.raises(ValueError, match="bins"):
+        classify.mutual_information(df, F.col("y"), [("x", F.col("x"))],
+                                    bins=1)
