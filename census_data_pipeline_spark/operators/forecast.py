@@ -301,3 +301,68 @@ def holt_winters_conformal(
         _r6(F.col("forecast") + F.col("qhat")).alias("hi"),
         "qhat",
     )
+
+
+def holt_winters_mase(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    value_col: str,
+    m: int = 24,
+    alpha: float = 0.2,
+    beta: float = 0.1,
+    gamma: float = 0.3,
+    horizon: int = 24,
+) -> DataFrame:
+    """MASE (Hyndman & Koehler 2006) for the Holt-Winters holdout — the
+    scale-free skill score that answers the question the raw backtest
+    can't: IS THE MODEL BETTER THAN THE SEASONAL-NAIVE BASELINE?
+    Numerator: the per-key mean |error| of ``holt_winters_backtest``'s
+    held-out forecasts. Denominator: the in-sample seasonal-naive MAE
+    on the TRAIN slice (mean |y_t − y_{t−m}| for t > m up to the
+    cutoff) — the standard m-step naive scaling. MASE < 1 means the
+    model beats repeating last season; NULL when the naive MAE is 0
+    (a perfectly periodic train series).
+
+    Returns (keys..., mae_model, mae_naive, mase), all 6-dp
+    floor-rounded (the engine-portable convention of this module, with
+    mase computed FROM the rounded MAEs so both engines agree).
+
+    Scale shape: the backtest fold plus one self-join of the bucketed
+    train series shifted by m — both aggregate-sized frames; nothing
+    data-scale beyond the hourly agg that built ``series``."""
+    bt = holt_winters_backtest(
+        series, key_cols, t_col, value_col, m=m, alpha=alpha, beta=beta,
+        gamma=gamma, horizon=horizon,
+    )
+    mae_model = bt.groupBy(*key_cols).agg(
+        _r6(F.avg("abs_err")).alias("mae_model")
+    )
+    cutoff = series.groupBy(*key_cols).agg(
+        (F.max(t_col) - horizon).alias("__cut")
+    )
+    train = (
+        series.join(F.broadcast(cutoff), key_cols)
+        .filter(F.col(t_col) <= F.col("__cut"))
+        .select(
+            *key_cols, F.col(t_col).alias("__t"),
+            F.col(value_col).cast("double").alias("__y"),
+        )
+    )
+    prev = train.select(
+        *key_cols, (F.col("__t") + m).alias("__t"),
+        F.col("__y").alias("__yprev"),
+    )
+    mae_naive = (
+        train.join(prev, [*key_cols, "__t"])
+        .groupBy(*key_cols)
+        .agg(_r6(F.avg(F.abs(F.col("__y") - F.col("__yprev"))))
+             .alias("mae_naive"))
+    )
+    return mae_model.join(mae_naive, key_cols).select(
+        *key_cols, "mae_model", "mae_naive",
+        F.when(
+            F.col("mae_naive") > 0,
+            _r6(F.col("mae_model") / F.col("mae_naive")),
+        ).otherwise(F.lit(None).cast("double")).alias("mase"),
+    )

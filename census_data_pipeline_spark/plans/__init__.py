@@ -252,6 +252,7 @@ _CHECKED_PREFIX = [
     "graph_kcore",
     "sketch_hll_distinct",
     "quality_mi_features",
+    "events_forecast_mase",
     # --- drifted under r9 edits ---
     # streaming/stateful.py grew the idle_timeout_ms eviction knob
     # (VERDICT r8 #2) — cusum_monitor's source changed

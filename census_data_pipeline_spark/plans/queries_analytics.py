@@ -3975,6 +3975,91 @@ def events_forecast_backtest(spark, sf_dir):
     )
 
 
+_HW_MASE_ORACLE = f"""
+    WITH {_HW_S0_CTE},
+    act AS (SELECT s0.event_type,
+                   CAST(s0.t - cut.cutoff AS BIGINT) AS h,
+                   s0.y AS actual
+            FROM s0 JOIN cut ON cut.event_type = s0.event_type
+            WHERE s0.t > cut.cutoff),
+    bt AS (SELECT f.event_type,
+                  floor(abs(f.forecast - a.actual) * 1000000.0 + 0.5)
+                    / 1000000.0 AS abs_err
+           FROM ({holt_winters_oracle_sql(
+        '''series AS (
+          SELECT s0.event_type AS event_type, s0.t, s0.y
+          FROM s0 JOIN cut ON cut.event_type = s0.event_type
+          WHERE s0.t <= cut.cutoff)''',
+        key="event_type")}) f
+           JOIN act a ON a.event_type = f.event_type AND a.h = f.h),
+    mm AS (SELECT event_type,
+                  floor(avg(abs_err) * 1000000.0 + 0.5) / 1000000.0
+                    AS mae_model
+           FROM bt GROUP BY 1),
+    tr AS (SELECT s0.event_type, s0.t, s0.y
+           FROM s0 JOIN cut ON cut.event_type = s0.event_type
+           WHERE s0.t <= cut.cutoff),
+    nv AS (SELECT a.event_type,
+                  floor(avg(abs(a.y - b.y)) * 1000000.0 + 0.5)
+                    / 1000000.0 AS mae_naive
+           FROM tr a JOIN tr b
+             ON b.event_type = a.event_type AND b.t = a.t - 24
+           GROUP BY 1)
+    SELECT mm.event_type, mm.mae_model, nv.mae_naive,
+           CASE WHEN nv.mae_naive > 0
+                THEN floor(mm.mae_model / nv.mae_naive * 1000000.0 + 0.5)
+                     / 1000000.0
+                ELSE NULL END AS mase
+    FROM mm JOIN nv ON nv.event_type = mm.event_type
+    """
+
+
+@query("events_forecast_mase", oracle=_HW_MASE_ORACLE)
+def events_forecast_mase(spark, sf_dir):
+    """Scale-free forecast skill (operators/forecast.holt_winters_mase):
+    MASE of the Holt-Winters holdout against the in-sample seasonal-
+    naive baseline — MASE < 1 means the model beats repeating last
+    season, the acceptance bar a capacity planner applies before
+    trusting any forecast. Same folds, grid, and 6-dp floor rounding as
+    the backtest; the naive denominator is one self-join of the train
+    series shifted by m=24. Output: (event_type, mae_model, mae_naive,
+    mase)."""
+    from pyspark.sql import Window
+
+    from census_data_pipeline_spark.operators import forecast
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hb")
+    ).agg(F.count("*").alias("y"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hb").alias("lo"), F.max("hb").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hb"),
+    )
+    series = (
+        grid.join(hourly, ["event_type", "hb"], "left")
+        .select(
+            "event_type", "hb",
+            F.coalesce(F.col("y"), F.lit(0)).cast("double").alias("y"),
+        )
+        .withColumn(
+            "t",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("hb")
+            ),
+        )
+    )
+    return forecast.holt_winters_mase(
+        series, ["event_type"], "t", "y", m=24,
+        alpha=0.2, beta=0.1, gamma=0.3, horizon=24,
+    )
+
+
 _HW_CONFORMAL_ORACLE = f"""
     WITH {_HW_S0_CTE},
     act AS (SELECT s0.event_type,

@@ -505,3 +505,29 @@ def test_mutual_information_guard(spark):
     with pytest.raises(ValueError, match="bins"):
         classify.mutual_information(df, F.col("y"), [("x", F.col("x"))],
                                     bins=1)
+
+# --- MASE forecast skill ------------------------------------------------
+
+
+def test_mase_trend_beats_naive_and_periodic_is_null(spark):
+    """A linear-trend series: Holt-Winters tracks the trend while the
+    seasonal-naive is off by exactly m every step (mae_naive = m), so
+    MASE << 1. A perfectly periodic series: the in-sample naive MAE is
+    0 and MASE is NULL by contract."""
+    from census_data_pipeline_spark.operators.forecast import (
+        holt_winters_mase,
+    )
+
+    rows = []
+    for t in range(1, 25):
+        rows.append(("tr", t, float(t)))           # linear trend
+        rows.append(("p", t, float((t - 1) % 4)))  # period-4 repeat
+    df = spark.createDataFrame(rows, "k string, t int, y double")
+    out = {r.k: r for r in holt_winters_mase(
+        df, ["k"], "t", "y", m=4, alpha=0.3, beta=0.2, gamma=0.2,
+        horizon=4,
+    ).collect()}
+    assert out["tr"].mae_naive == 4.0
+    assert out["tr"].mase is not None and out["tr"].mase < 0.5
+    assert out["p"].mae_naive == 0.0
+    assert out["p"].mase is None
