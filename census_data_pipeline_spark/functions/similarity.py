@@ -2014,3 +2014,79 @@ def pca_power_topr_oracle_sql(
         "WITH " + ",\n    ".join(ctes) + "\n    "
         + "\n    UNION ALL\n    ".join(selects)
     )
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    r: int = 2,
+    iterations: int = 8,
+    dim: int | str | None = "infer",
+    moments: str = "catalyst",
+) -> DataFrame:
+    """The TRANSFORM half of the PCA pair: project every vector onto
+    the top-``r`` components from ``pca_power_topr``'s shared solve —
+    the dimensionality-reduction step a training pipeline runs before
+    cheap downstream similarity / clustering (scores in r dims instead
+    of d). Returns long-form (id, component 1-based, score) with the
+    dot product rounded to 6 dp (the knn-family parity idiom: both
+    engines' fold orders differ only in absorbed ULPs).
+
+    Scale shape: the covariance is the same ONE data pass as training
+    (d² cells); the projection is a second data-scale pass of r·d
+    codegen multiply-adds per row via ``aggregate(zip_with(...))`` —
+    components ride along as broadcast literals, nothing shuffles."""
+    if r < 1:
+        raise ValueError("r must be >= 1")
+    if dim == "infer":
+        dim = _infer_dim(df, vec_col)
+    d = int(dim)
+    if r > d:
+        raise ValueError(f"r={r} exceeds dim={d}")
+    cov = _pca_cov(df, vec_col, d, moments)
+    comps, _lams, _tr = _pca_power_driver(
+        _pca_collect_cov(cov, d), r, iterations
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    score_cols = []
+    for k, v in enumerate(comps, start=1):
+        w = F.array(*[F.lit(float(v[i])) for i in range(d)])
+        score_cols.append(
+            F.round(
+                F.aggregate(
+                    F.zip_with(vec, w, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias(f"__s{k}")
+        )
+    stack_expr = "stack({}, {})".format(
+        r, ", ".join(f"CAST({k} AS BIGINT), __s{k}"
+                     for k in range(1, r + 1))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), *score_cols)
+        .select("id", F.expr(stack_expr).alias("component", "score"))
+    )
+
+
+def pca_project_oracle_sql(
+    table: str = "embeddings",
+    vec_expr: str = "embedding::DOUBLE[]",
+    id_sql: str = "vec_id",
+    dim: int = 64,
+    r: int = 2,
+    iterations: int = 8,
+) -> str:
+    """DuckDB replica of ``pca_project`` — the ``pca_power_topr``
+    oracle's component rows collapsed to ordered loading lists, then
+    one list_dot_product per (row, component)."""
+    inner = pca_power_topr_oracle_sql(table, vec_expr, dim, r, iterations)
+    return f"""WITH comp AS MATERIALIZED (
+      SELECT component, list(loading ORDER BY dim_idx) AS w
+      FROM ({inner}) t GROUP BY component)
+    SELECT {id_sql} AS id, comp.component,
+           round(list_dot_product({vec_expr}, comp.w), 6) AS score
+    FROM {table} CROSS JOIN comp"""

@@ -4129,6 +4129,32 @@ def quality_mi_features(spark, sf_dir):
     )
 
 
+@query(
+    "embedding_pca_project",
+    oracle=similarity.pca_project_oracle_sql(
+        "embeddings", "embedding::DOUBLE[]", "vec_id",
+        dim=64, r=2, iterations=8,
+    ),
+)
+def embedding_pca_project(spark, sf_dir):
+    """PCA projection (functions/similarity.pca_project): every
+    embedding scored against the top-2 principal components from the
+    shared one-pass covariance — the dimensionality-reduction transform
+    a curation pipeline runs before cheap downstream clustering, as
+    long-form (id, component, score). The components come from the same
+    driver solve as embedding_pca_topr (bit-identical loadings, proven
+    by that query's hash parity); the projection is one codegen pass of
+    aggregate(zip_with(...)) multiply-adds with the components as
+    broadcast literals. Oracle: the top-r CTE replica collapsed to
+    loading lists + list_dot_product per row."""
+    from census_data_pipeline_spark.functions import similarity as _s
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _s.pca_project(
+        emb, "embedding", "vec_id", r=2, iterations=8,
+    )
+
+
 def _textrank_oracle(iters: int, d: float, min_len: int, k: int) -> str:
     """Unrolled-CTE replica of text.textrank_keywords: adjacent-token
     pair graph, symmetrized, then the same pagerank rounds as

@@ -531,3 +531,48 @@ def test_mase_trend_beats_naive_and_periodic_is_null(spark):
     assert out["tr"].mase is not None and out["tr"].mase < 0.5
     assert out["p"].mae_naive == 0.0
     assert out["p"].mase is None
+
+# --- PCA projection -----------------------------------------------------
+
+
+def test_pca_project_planted_axes(spark):
+    """Two orthogonal planted variance axes (axis 0 dominant, axis 1
+    secondary; axes 2-3 constant): component 1 scores reproduce the
+    axis-0 spread up to sign, component 2 scores group by the axis-1
+    value — and every row gets exactly r score rows."""
+    from census_data_pipeline_spark.functions import similarity
+
+    # independent planted digits: a = (i//4) % 10 on axis 0 (var 8.25),
+    # b = i % 4 on axis 1 (var 1.25), cov(a, b) = 0 — so the principal
+    # axes are exactly e0/e1 and the eigengap makes 8 rounds plenty
+    rows = [(i, [float((i // 4) % 10), float(i % 4), 2.0, 3.0])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = similarity.pca_project(df, "embedding", "vec_id", r=2,
+                                 iterations=8, dim=4).collect()
+    assert len(out) == 400
+    by_comp = {}
+    for r_ in out:
+        by_comp.setdefault(r_.component, {})[r_.id] = r_.score
+    # component 1 carries the 10 axis-0 levels, component 2 the 4
+    # axis-1 levels (sign free, so count distinct rounded scores)
+    assert len({round(v, 2) for v in by_comp[1].values()}) == 10
+    assert len({round(v, 2) for v in by_comp[2].values()}) == 4
+    # and the axis-0 level step is ~1 along component 1
+    a_of = {i: (i // 4) % 10 for i in range(200)}
+    lvl = {}
+    for i, sc in by_comp[1].items():
+        lvl.setdefault(a_of[i], set()).add(round(sc, 4))
+    assert all(len(v) == 1 for v in lvl.values())
+    step = abs(next(iter(lvl[1])) - next(iter(lvl[0])))
+    assert abs(step - 1.0) < 0.01
+
+
+def test_pca_project_guards(spark):
+    from census_data_pipeline_spark.functions import similarity
+    df = spark.createDataFrame([(1, [1.0, 2.0])],
+                               "vec_id int, embedding array<double>")
+    with pytest.raises(ValueError, match="r"):
+        similarity.pca_project(df, r=0)
+    with pytest.raises(ValueError, match="exceeds"):
+        similarity.pca_project(df, r=3, dim=2)
