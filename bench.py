@@ -193,6 +193,20 @@ HEADLINE_NEW: list[str] = [
     "sample_neyman_customers",
     "sample_ht_estimate",
     "geo_dbscan_grid",
+    # r9 additions (streaming_cusum_hourly stays in bench_streaming.py)
+    "quality_gbt_classify",
+    "quality_gbt_classify_holdout",
+    "quality_logreg_cv",
+    "quality_tree_cv",
+    "quality_rf_train",
+    "quality_rf_holdout",
+    "quality_rf_importance",
+    "graph_kcore",
+    "sketch_hll_distinct",
+    "quality_mi_features",
+    "events_forecast_mase",
+    "embedding_pca_project",
+    "lineitem_corr_matrix",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is

@@ -617,3 +617,91 @@ def hll_oracle_sql(table: str, key_sql: str) -> str:
                            * 9007199254740992.0 / snum
                  END, 6) AS estimate
     FROM a"""
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pearson correlation matrix over numeric columns in ONE aggregate
+    pass — the co-moment discipline of the PCA covariance applied to
+    named columns: a single scan computes n, Σx, and Σxy for every
+    ordered pair, and r = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²)(n·Σy² −
+    (Σy)²)) is arithmetic over the one-row moment frame. Rows with a
+    null in ANY listed column are dropped first, so every pair shares
+    the same basis (the listwise-complete contract). Returns
+    (col_a, col_b, r) for each unordered pair a < b (list order), r
+    rounded to 6 dp and NULL when either column is constant.
+
+    Scale shape: one whole-stage-codegen scan into F·(F+3)/2 partial-
+    aggregated sums; everything after runs on a single row."""
+    if len(cols) < 2:
+        raise ValueError("need at least 2 columns")
+    d = df.na.drop(subset=cols).select(
+        *[F.col(c).cast("double").alias(c) for c in cols]
+    )
+    aggs = [F.count("*").alias("__n")]
+    for i, a in enumerate(cols):
+        aggs.append(F.sum(F.col(a)).alias(f"__s_{i}"))
+        for j in range(i, len(cols)):
+            aggs.append(
+                F.sum(F.col(a) * F.col(cols[j])).alias(f"__p_{i}_{j}")
+            )
+    mom = d.agg(*aggs)
+    pairs = []
+    n = F.col("__n")
+    for i, a in enumerate(cols):
+        for j in range(i + 1, len(cols)):
+            b = cols[j]
+            num = n * F.col(f"__p_{i}_{j}") - F.col(f"__s_{i}") * F.col(
+                f"__s_{j}"
+            )
+            va = n * F.col(f"__p_{i}_{i}") - F.col(f"__s_{i}") * F.col(
+                f"__s_{i}"
+            )
+            vb = n * F.col(f"__p_{j}_{j}") - F.col(f"__s_{j}") * F.col(
+                f"__s_{j}"
+            )
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.when(
+                        (va > 0) & (vb > 0),
+                        F.round(num / F.sqrt(va * vb), 6),
+                    ).otherwise(F.lit(None).cast("double")).alias("r"),
+                )
+            )
+    return mom.select(
+        F.explode(F.array(*pairs)).alias("__pr")
+    ).select("__pr.col_a", "__pr.col_b", "__pr.r")
+
+
+def corr_matrix_oracle_sql(table: str, cols: list[str]) -> str:
+    """DuckDB replica of ``corr_matrix`` — the identical one-row moment
+    aggregate and pair arithmetic, unioned per pair."""
+    null_guard = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    sums = ["count(*) AS n"]
+    for i, a in enumerate(cols):
+        sums.append(f"sum(CAST({a} AS DOUBLE)) AS s_{i}")
+        for j in range(i, len(cols)):
+            sums.append(
+                f"sum(CAST({a} AS DOUBLE) * CAST({cols[j]} AS DOUBLE)) "
+                f"AS p_{i}_{j}"
+            )
+    pair_sel = []
+    for i, a in enumerate(cols):
+        for j in range(i + 1, len(cols)):
+            b = cols[j]
+            num = f"(n * p_{i}_{j} - s_{i} * s_{j})"
+            va = f"(n * p_{i}_{i} - s_{i} * s_{i})"
+            vb = f"(n * p_{j}_{j} - s_{j} * s_{j})"
+            pair_sel.append(
+                f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+             CASE WHEN {va} > 0 AND {vb} > 0
+                  THEN round({num} / sqrt({va} * {vb}), 6)
+                  ELSE NULL END AS r
+      FROM mom"""
+            )
+    body = "\n      UNION ALL ".join(pair_sel)
+    return f"""WITH mom AS MATERIALIZED (
+      SELECT {', '.join(sums)}
+      FROM {table} WHERE {null_guard})
+    {body}"""

@@ -254,6 +254,7 @@ _CHECKED_PREFIX = [
     "quality_mi_features",
     "events_forecast_mase",
     "embedding_pca_project",
+    "lineitem_corr_matrix",
     # --- drifted under r9 edits ---
     # streaming/stateful.py grew the idle_timeout_ms eviction knob
     # (VERDICT r8 #2) — cusum_monitor's source changed

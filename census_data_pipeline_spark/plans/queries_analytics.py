@@ -3452,6 +3452,35 @@ def sketch_hll_distinct(spark, sf_dir):
     )
 
 
+from census_data_pipeline_spark.operators.rollup import (  # noqa: E402
+    corr_matrix_oracle_sql,
+)
+
+
+@query(
+    "lineitem_corr_matrix",
+    oracle=corr_matrix_oracle_sql(
+        "lineitem",
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    ),
+)
+def lineitem_corr_matrix(spark, sf_dir):
+    """Pearson correlation matrix (operators/rollup.corr_matrix) over
+    the four lineitem numeric measures — the co-moment discipline of
+    the PCA covariance on named columns: ONE codegen scan into
+    F·(F+3)/2 partial-aggregated sums, then pair arithmetic on the
+    single moment row. On this synthetic data all four measures are
+    independent draws, so every pair sits near zero — the honest
+    picture, and exactly what the oracle confirms. NULL for constant
+    columns by contract."""
+    from census_data_pipeline_spark.operators.rollup import corr_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
 @query(
     "sketch_cms_heavy_hitters",
     oracle="""

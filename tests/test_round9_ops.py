@@ -576,3 +576,35 @@ def test_pca_project_guards(spark):
         similarity.pca_project(df, r=0)
     with pytest.raises(ValueError, match="exceeds"):
         similarity.pca_project(df, r=3, dim=2)
+
+# --- one-pass correlation matrix ----------------------------------------
+
+
+def test_corr_matrix_known_correlations(spark):
+    """y = 2x is r = 1, z = -x is r = -1, a constant column is NULL,
+    and pairs come out in list order a < b."""
+    from census_data_pipeline_spark.operators.rollup import corr_matrix
+
+    rows = [(float(i), 2.0 * i, -float(i), 7.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "x double, y double, z double, c double")
+    got = {(r.col_a, r.col_b): r.r
+           for r in corr_matrix(df, ["x", "y", "z", "c"]).collect()}
+    assert got[("x", "y")] == 1.0
+    assert got[("x", "z")] == -1.0
+    assert got[("y", "z")] == -1.0
+    assert got[("x", "c")] is None and got[("y", "c")] is None
+    assert len(got) == 6
+
+
+def test_corr_matrix_guard_and_null_basis(spark):
+    """Rows with a null in ANY listed column drop (listwise-complete),
+    and fewer than two columns is an error."""
+    from census_data_pipeline_spark.operators.rollup import corr_matrix
+    import pytest as _pt
+
+    rows = [(1.0, 1.0), (2.0, 2.0), (3.0, None), (4.0, 4.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = corr_matrix(df, ["x", "y"]).collect()[0]
+    assert got.r == 1.0          # the null row is out of the basis
+    with _pt.raises(ValueError, match="2 columns"):
+        corr_matrix(df, ["x"])
