@@ -705,3 +705,89 @@ def corr_matrix_oracle_sql(table: str, cols: list[str]) -> str:
       SELECT {', '.join(sums)}
       FROM {table} WHERE {null_guard})
     {body}"""
+
+
+def grouped_ols_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group simple linear regression (closed-form OLS) in ONE
+    aggregate pass — the trend detector an analytics consumer runs per
+    segment: slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²), intercept =
+    (Σy − slope·Σx)/n, and R² = slope²·Sxx/Syy — all arithmetic over
+    the per-group moment row. Rows with a null x or y are dropped.
+    Returns (groups..., n, slope, intercept, r2), 6-dp rounded; slope/
+    intercept/r2 NULL when x is constant within the group (and r2 NULL
+    when y is constant — a flat target has no variance to explain).
+
+    Scale shape: one codegen scan into five partial-aggregated sums per
+    group — the same shuffle as any groupBy; no windows, no sorts."""
+    d = df.na.drop(subset=[x_col, y_col]).select(
+        *group_cols,
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    )
+    mom = d.groupBy(*group_cols).agg(
+        F.count("*").alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    n = F.col("__n")
+    sxx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    syy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    sxy = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    slope = sxy / sxx
+    return mom.select(
+        *group_cols,
+        n.cast("long").alias("n"),
+        F.when(sxx > 0, F.round(slope, 6))
+        .otherwise(F.lit(None).cast("double")).alias("slope"),
+        F.when(
+            sxx > 0,
+            F.round((F.col("__sy") - slope * F.col("__sx")) / n, 6),
+        ).otherwise(F.lit(None).cast("double")).alias("intercept"),
+        F.when(
+            (sxx > 0) & (syy > 0),
+            F.round(sxy * sxy / (sxx * syy), 6),
+        ).otherwise(F.lit(None).cast("double")).alias("r2"),
+    )
+
+
+def grouped_ols_oracle_sql(
+    table: str,
+    group_sql: list[str],
+    x_sql: str,
+    y_sql: str,
+) -> str:
+    """DuckDB replica of ``grouped_ols_trend`` — identical moment
+    aggregate and closed-form arithmetic."""
+    keys = ", ".join(group_sql)
+    return f"""WITH mom AS MATERIALIZED (
+      SELECT {keys}, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM (SELECT {keys},
+                   CAST({x_sql} AS DOUBLE) AS x,
+                   CAST({y_sql} AS DOUBLE) AS y
+            FROM {table}
+            WHERE ({x_sql}) IS NOT NULL AND ({y_sql}) IS NOT NULL) q
+      GROUP BY {keys})
+    SELECT {keys}, CAST(n AS BIGINT) AS n,
+           CASE WHEN (n * sxx - sx * sx) > 0
+                THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                ELSE NULL END AS slope,
+           CASE WHEN (n * sxx - sx * sx) > 0
+                THEN round((sy - (n * sxy - sx * sy)
+                                 / (n * sxx - sx * sx) * sx) / n, 6)
+                ELSE NULL END AS intercept,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                           6)
+                ELSE NULL END AS r2
+    FROM mom"""

@@ -3454,6 +3454,7 @@ def sketch_hll_distinct(spark, sf_dir):
 
 from census_data_pipeline_spark.operators.rollup import (  # noqa: E402
     corr_matrix_oracle_sql,
+    grouped_ols_oracle_sql,
 )
 
 
@@ -3479,6 +3480,47 @@ def lineitem_corr_matrix(spark, sf_dir):
     return corr_matrix(
         li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     )
+
+
+_OLS_EVENTS_SRC = """(WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hb, count(*) AS y
+      FROM events GROUP BY 1, 2),
+    lo AS (SELECT min(hb) AS lo FROM hourly)
+    SELECT event_type,
+           (epoch(hb) - epoch(lo)) / 3600.0 AS x, y
+    FROM hourly CROSS JOIN lo) src"""
+
+
+@query(
+    "events_trend_by_type",
+    oracle=grouped_ols_oracle_sql(_OLS_EVENTS_SRC, ["event_type"],
+                                  "x", "y"),
+)
+def events_trend_by_type(spark, sf_dir):
+    """Per-segment trend detection (operators/rollup.grouped_ols_trend):
+    closed-form OLS of hourly event volume against the hour index for
+    each event type — slope (events/hour drift), intercept, and R² from
+    ONE co-moment scan per group (no windows, no sorts; the hour index
+    is offset from the global min hour, a 1-row broadcast, so the
+    moment arithmetic stays small). On this synthetic stream volumes
+    are stationary, so slopes sit near zero with tiny R² — the honest
+    no-trend picture the oracle confirms."""
+    from census_data_pipeline_spark.operators.rollup import (
+        grouped_ols_trend,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hb")
+    ).agg(F.count("*").alias("y"))
+    lo = hourly.agg(F.min("hb").alias("__lo"))
+    pts = hourly.crossJoin(F.broadcast(lo)).select(
+        "event_type",
+        ((F.unix_micros("hb") - F.unix_micros("__lo"))
+         / F.lit(3.6e9)).alias("x"),
+        "y",
+    )
+    return grouped_ols_trend(pts, ["event_type"], "x", "y")
 
 
 @query(

@@ -608,3 +608,41 @@ def test_corr_matrix_guard_and_null_basis(spark):
     assert got.r == 1.0          # the null row is out of the basis
     with _pt.raises(ValueError, match="2 columns"):
         corr_matrix(df, ["x"])
+
+# --- grouped OLS trend ---------------------------------------------------
+
+
+def test_grouped_ols_recovers_planted_lines(spark):
+    """Exact lines per group: y = 3x + 2 and y = -x + 10 come back with
+    slope/intercept to 6 dp and R² = 1; a constant-x group is NULL."""
+    from census_data_pipeline_spark.operators.rollup import (
+        grouped_ols_trend,
+    )
+
+    rows = (
+        [("a", float(x), 3.0 * x + 2.0) for x in range(20)]
+        + [("b", float(x), -1.0 * x + 10.0) for x in range(20)]
+        + [("c", 5.0, float(v)) for v in range(5)]
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r.g: r for r in grouped_ols_trend(df, ["g"], "x", "y")
+           .collect()}
+    assert (got["a"].slope, got["a"].intercept, got["a"].r2) == (3.0, 2.0, 1.0)
+    assert (got["b"].slope, got["b"].intercept, got["b"].r2) == (-1.0, 10.0, 1.0)
+    assert got["c"].slope is None and got["c"].r2 is None
+    assert got["a"].n == 20
+
+
+def test_grouped_ols_flat_target_r2_null(spark):
+    """Constant y with varying x: slope 0, intercept = y, R² NULL (no
+    variance to explain)."""
+    from census_data_pipeline_spark.operators.rollup import (
+        grouped_ols_trend,
+    )
+
+    df = spark.createDataFrame(
+        [("g", float(x), 7.0) for x in range(10)],
+        "g string, x double, y double",
+    )
+    r = grouped_ols_trend(df, ["g"], "x", "y").collect()[0]
+    assert r.slope == 0.0 and r.intercept == 7.0 and r.r2 is None
