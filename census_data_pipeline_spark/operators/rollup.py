@@ -791,3 +791,109 @@ def grouped_ols_oracle_sql(
                            6)
                 ELSE NULL END AS r2
     FROM mom"""
+
+
+def welch_t_test(
+    df: DataFrame,
+    group_cols: list[str],
+    cohort: Column,
+    value_col: str,
+) -> DataFrame:
+    """Per-group Welch two-sample t-test (unequal variances) — the A/B
+    significance readout an analytics consumer runs per segment:
+    cohort A is the rows where ``cohort`` is true, B the rest; one
+    co-moment scan per group yields both cohorts' n/Σx/Σx² via
+    conditional aggregation, and t = (mā − m̄b)/√(s²a/na + s²b/nb) with
+    the Welch–Satterthwaite df is arithmetic over the per-group moment
+    row. ``significant_95`` uses the NORMAL approximation (|t| >
+    1.959964 — documented: exact only as df → ∞, conservative beyond
+    ~30 per arm, which is the regime a data-scale test lives in).
+
+    Returns (groups..., n_a, n_b, mean_a, mean_b, t_stat, df,
+    significant_95), 6-dp rounded; t/df/flag NULL when either arm has
+    < 2 rows or both sample variances are 0.
+
+    Scale shape: one codegen scan into six partial-aggregated sums per
+    group — the same shuffle as any groupBy."""
+    d = df.na.drop(subset=[value_col]).select(
+        *group_cols,
+        cohort.cast("boolean").alias("__c"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    v = F.col("__v")
+    mom = d.groupBy(*group_cols).agg(
+        F.count(F.when(F.col("__c"), 1)).alias("__na"),
+        F.sum(F.when(F.col("__c"), v)).alias("__sa"),
+        F.sum(F.when(F.col("__c"), v * v)).alias("__qa"),
+        F.count(F.when(~F.col("__c"), 1)).alias("__nb"),
+        F.sum(F.when(~F.col("__c"), v)).alias("__sb"),
+        F.sum(F.when(~F.col("__c"), v * v)).alias("__qb"),
+    )
+    na, nb = F.col("__na"), F.col("__nb")
+    ma = F.col("__sa") / na
+    mb = F.col("__sb") / nb
+    va = (F.col("__qa") - F.col("__sa") * F.col("__sa") / na) / (na - 1)
+    vb = (F.col("__qb") - F.col("__sb") * F.col("__sb") / nb) / (nb - 1)
+    sea = va / na
+    seb = vb / nb
+    se2 = sea + seb
+    t = (ma - mb) / F.sqrt(se2)
+    dfw = (se2 * se2) / (sea * sea / (na - 1) + seb * seb / (nb - 1))
+    ok = (na >= 2) & (nb >= 2) & (se2 > 0)
+    return mom.select(
+        *group_cols,
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.when(na >= 1, F.round(ma, 6)).alias("mean_a"),
+        F.when(nb >= 1, F.round(mb, 6)).alias("mean_b"),
+        F.when(ok, F.round(t, 6))
+        .otherwise(F.lit(None).cast("double")).alias("t_stat"),
+        F.when(ok, F.round(dfw, 6))
+        .otherwise(F.lit(None).cast("double")).alias("df"),
+        F.when(ok, F.abs(t) > 1.959964)
+        .otherwise(F.lit(None).cast("boolean")).alias("significant_95"),
+    )
+
+
+def welch_t_test_oracle_sql(
+    table: str,
+    group_sql: list[str],
+    cohort_sql: str,
+    value_sql: str,
+) -> str:
+    """DuckDB replica of ``welch_t_test`` — identical conditional
+    co-moment aggregate and Welch arithmetic."""
+    keys = ", ".join(group_sql)
+    return f"""WITH mom AS MATERIALIZED (
+      SELECT {keys},
+             count(CASE WHEN c THEN 1 END) AS na,
+             sum(CASE WHEN c THEN v END) AS sa,
+             sum(CASE WHEN c THEN v * v END) AS qa,
+             count(CASE WHEN NOT c THEN 1 END) AS nb,
+             sum(CASE WHEN NOT c THEN v END) AS sb,
+             sum(CASE WHEN NOT c THEN v * v END) AS qb
+      FROM (SELECT {keys}, CAST({cohort_sql} AS BOOLEAN) AS c,
+                   CAST({value_sql} AS DOUBLE) AS v
+            FROM {table} WHERE ({value_sql}) IS NOT NULL) q
+      GROUP BY {keys}),
+    w AS (SELECT *,
+             sa / na AS ma, sb / nb AS mb,
+             ((qa - sa * sa / na) / (na - 1)) / na AS sea,
+             ((qb - sb * sb / nb) / (nb - 1)) / nb AS seb
+          FROM mom)
+    SELECT {keys},
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CASE WHEN na >= 1 THEN round(ma, 6) END AS mean_a,
+           CASE WHEN nb >= 1 THEN round(mb, 6) END AS mean_b,
+           CASE WHEN na >= 2 AND nb >= 2 AND (sea + seb) > 0
+                THEN round((ma - mb) / sqrt(sea + seb), 6)
+                ELSE NULL END AS t_stat,
+           CASE WHEN na >= 2 AND nb >= 2 AND (sea + seb) > 0
+                THEN round((sea + seb) * (sea + seb)
+                           / (sea * sea / (na - 1)
+                              + seb * seb / (nb - 1)), 6)
+                ELSE NULL END AS df,
+           CASE WHEN na >= 2 AND nb >= 2 AND (sea + seb) > 0
+                THEN abs((ma - mb) / sqrt(sea + seb)) > 1.959964
+                ELSE NULL END AS significant_95
+    FROM w"""

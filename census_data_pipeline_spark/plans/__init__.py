@@ -256,6 +256,7 @@ _CHECKED_PREFIX = [
     "embedding_pca_project",
     "lineitem_corr_matrix",
     "events_trend_by_type",
+    "orders_welch_by_priority",
     # --- drifted under r9 edits ---
     # streaming/stateful.py grew the idle_timeout_ms eviction knob
     # (VERDICT r8 #2) — cusum_monitor's source changed

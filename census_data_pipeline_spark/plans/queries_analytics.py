@@ -3455,6 +3455,7 @@ def sketch_hll_distinct(spark, sf_dir):
 from census_data_pipeline_spark.operators.rollup import (  # noqa: E402
     corr_matrix_oracle_sql,
     grouped_ols_oracle_sql,
+    welch_t_test_oracle_sql,
 )
 
 
@@ -3521,6 +3522,35 @@ def events_trend_by_type(spark, sf_dir):
         "y",
     )
     return grouped_ols_trend(pts, ["event_type"], "x", "y")
+
+
+@query(
+    "orders_welch_by_priority",
+    oracle=welch_t_test_oracle_sql(
+        "orders",
+        ["o_orderstatus"],
+        "o_orderpriority IN ('1-URGENT', '2-HIGH')",
+        "o_totalprice",
+    ),
+)
+def orders_welch_by_priority(spark, sf_dir):
+    """Per-segment Welch two-sample t-test (operators/rollup.
+    welch_t_test): does urgent/high-priority ordering move the order
+    value, within each order status? One conditional co-moment scan
+    per group; the t statistic, Welch-Satterthwaite df, and the
+    normal-approximation 95% flag are arithmetic over the per-group
+    moment row. Priority is assigned independently of price in this
+    synthetic data, so the honest expectation is no significant
+    difference — which the flag reports."""
+    from census_data_pipeline_spark.operators.rollup import welch_t_test
+
+    o = load_table(spark, sf_dir, "orders")
+    return welch_t_test(
+        o,
+        ["o_orderstatus"],
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        "o_totalprice",
+    )
 
 
 @query(

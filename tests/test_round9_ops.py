@@ -646,3 +646,28 @@ def test_grouped_ols_flat_target_r2_null(spark):
     )
     r = grouped_ols_trend(df, ["g"], "x", "y").collect()[0]
     assert r.slope == 0.0 and r.intercept == 7.0 and r.r2 is None
+
+# --- Welch two-sample t-test --------------------------------------------
+
+
+def test_welch_detects_planted_shift_and_null_case(spark):
+    """A planted +10 mean shift with tiny spread is significant; equal
+    distributions are not; an arm with < 2 rows is NULL."""
+    from census_data_pipeline_spark.operators.rollup import welch_t_test
+
+    rows = (
+        [("shift", True, 10.0 + (i % 5) * 0.1) for i in range(40)]
+        + [("shift", False, 0.0 + (i % 5) * 0.1) for i in range(40)]
+        + [("same", True, float(i % 7)) for i in range(40)]
+        + [("same", False, float((i + 3) % 7)) for i in range(40)]
+        + [("tiny", True, 1.0)]
+        + [("tiny", False, float(i)) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "g string, c boolean, v double")
+    got = {r.g: r for r in welch_t_test(df, ["g"], F.col("c"), "v")
+           .collect()}
+    assert got["shift"].significant_95 is True
+    assert abs(got["shift"].mean_a - got["shift"].mean_b - 10.0) < 1e-9
+    assert got["same"].significant_95 is False
+    assert got["tiny"].t_stat is None and got["tiny"].significant_95 is None
+    assert got["shift"].n_a == 40 and got["shift"].n_b == 40
