@@ -209,6 +209,7 @@ HEADLINE_NEW: list[str] = [
     "lineitem_corr_matrix",
     "events_trend_by_type",
     "orders_welch_by_priority",
+    "text_zipf_fit",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is

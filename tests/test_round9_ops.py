@@ -671,3 +671,24 @@ def test_welch_detects_planted_shift_and_null_case(spark):
     assert got["same"].significant_95 is False
     assert got["tiny"].t_stat is None and got["tiny"].significant_95 is None
     assert got["shift"].n_a == 40 and got["shift"].n_b == 40
+
+# --- Zipf fit ------------------------------------------------------------
+
+
+def test_zipf_fit_recovers_planted_power_law(spark):
+    """A corpus constructed with freq(token_r) ∝ 1/r comes back with
+    slope ≈ −1 and high R²; the guard rejects top_n < 2."""
+    from census_data_pipeline_spark.functions import text
+
+    # token 'w{r}' appears floor(1200 / r) times, spread across docs
+    words = []
+    for r in range(1, 40):
+        words.extend([f"w{r:02d}"] * (1200 // r))
+    docs = [" ".join(words[i::60]) for i in range(60)]
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    row = text.zipf_fit(df, "text", top_n=39).collect()[0]
+    assert row.n_tokens == 39
+    assert abs(row.slope + 1.0) < 0.05
+    assert row.r2 > 0.99
+    with pytest.raises(ValueError, match="top_n"):
+        text.zipf_fit(df, "text", top_n=1)
