@@ -258,6 +258,7 @@ _CHECKED_PREFIX = [
     "events_trend_by_type",
     "orders_welch_by_priority",
     "text_zipf_fit",
+    "streaming_user_totals",
     # --- drifted under r9 edits ---
     # streaming/stateful.py grew the idle_timeout_ms eviction knob
     # (VERDICT r8 #2) — cusum_monitor's source changed

@@ -4292,6 +4292,67 @@ _CUSUM_ORACLE = f"""
     """
 
 
+@query(
+    "streaming_user_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(coalesce(value, 0.0)), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_user_totals(spark, sf_dir):
+    """Per-user running accumulator as a REAL stateful stream
+    (streaming/stateful.running_user_totals via applyInPandasWithState):
+    events staged into 8 ascending-time chunks and replayed one file
+    per micro-batch, so the (count, sum) state genuinely carries across
+    micro-batches in the state store; the final emission per user (the
+    max-n_events update row) must equal the batch groupBy over the same
+    data — the exactly-once accumulation contract. Totals rounded to
+    4 dp on both sides (the state folds values in replay order, the
+    batch sum in scan order; rounding absorbs the float reorder).
+    The idle_timeout_ms eviction knob on this operator is pinned by
+    tests/test_stateful_streaming.py (a bounded replay must NOT evict)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from census_data_pipeline_spark.streaming import stateful, windows
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "value", "ts"
+    )
+    staged_root = tempfile.mkdtemp(prefix="stream_totals_")
+    staged = staged_root + "/events"
+    windows.stage_time_ordered_parquet(ev, "ts", staged, n_chunks=8)
+    stream = windows.stream_from_parquet(
+        spark, staged, ev.schema, max_files_per_trigger=1
+    )
+    out = stateful.running_user_totals(stream)
+    sink = f"stream_totals_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(staged_root, ignore_errors=True)
+    last = (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("__m"))
+    )
+    return last.select(
+        "user_id",
+        F.col("__m.n_events").alias("n_events"),
+        F.round(F.col("__m.total_value"), 4).alias("total_value"),
+    )
+
+
 @query("streaming_cusum_hourly", oracle=_CUSUM_ORACLE)
 def streaming_cusum_hourly(spark, sf_dir):
     """Per-source volume change detection as a REAL stateful stream
