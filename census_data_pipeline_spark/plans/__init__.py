@@ -220,11 +220,16 @@ carry stale/new queries; the rest keep registration order.
 r9 rotation (VERDICT r8 #8): the r8 driver run went 50/50 green and
 driver_state.json was regenerated against CORRECTNESS_r08 as the
 round's first commit, so NO query starts r9 stale — the cleanest
-rotation yet. The prefix is flagship, then the r9 additions
-(quality_gbt_classify + holdout: log-loss boosting per VERDICT r8 #3;
-k-fold CV, random forest, weighted DBSCAN per #4/#7/#5), then the
-queries r9 edits drift (streaming_cusum_hourly via the idle_timeout_ms
-eviction knob, #2). Remaining slots keep registration order."""
+rotation yet. The prefix is flagship, then the 17 r9 additions —
+log-loss boosting + holdout (VERDICT r8 #3), the two k-fold CV
+evaluators (#4), the random-forest trio (#7 + split-gain importance),
+k-core, the HLL distinct sketch, mutual-information ranking, MASE
+forecast skill, PCA projection, the correlation matrix, grouped OLS
+trend, the Welch t-test, the Zipf diagnostic, and the promoted
+streaming_user_totals — then the two queries r9 edits drift:
+streaming_cusum_hourly (idle_timeout_ms eviction knob, #2) and
+geo_dbscan_grid (weighted-location collapse, #5). Remaining slots
+keep registration order."""
 
 from census_data_pipeline_spark.plans import (  # noqa: F401
     queries_analytics,
