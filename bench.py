@@ -210,6 +210,7 @@ HEADLINE_NEW: list[str] = [
     "events_trend_by_type",
     "orders_welch_by_priority",
     "text_zipf_fit",
+    "quality_learning_curve",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is

@@ -3234,3 +3234,82 @@ def mutual_information_oracle_sql(
     JOIN cy ON cy.f = cells.f AND cy.y = cells.y
     JOIN nn ON nn.f = cells.f
     GROUP BY cells.f"""
+
+
+def logreg_learning_curve(
+    df: DataFrame,
+    label: Column,
+    features: list[tuple[str, Column]],
+    id_expr: Column,
+    test_pred: Column,
+    train_sixteenths: tuple[int, ...] = (4, 8, 12, 16),
+    iterations: int = 8,
+    lr: float = 0.5,
+) -> DataFrame:
+    """LEARNING CURVE for the logistic quality classifier: held-out
+    accuracy/AUC as the train set grows — the diagnostic that says
+    whether more data or a better model is the next move (flat curve =
+    model-limited, rising = data-limited). Each point k ∈
+    ``train_sixteenths`` reuses ``logreg_holdout_eval`` VERBATIM on the
+    input filtered to (test fold) ∪ (train rows whose md5 digit of
+    '<id>:lc' is < k of 16) — the ':lc' salt keeps the growth nests
+    independent of the fold split, and nesting is monotone: each
+    point's train rows contain the previous point's. The test fold is
+    identical at every point.
+
+    Returns one row per point: (train_sixteenths, n_train, n_test,
+    accuracy, auc).
+
+    Scale shape: |points| independent holdout evaluations, each the
+    shared GD fit + one scoring scan over its slice — the CV cost
+    model with nested rather than disjoint slices."""
+    if not train_sixteenths:
+        raise ValueError("train_sixteenths must be non-empty")
+    if any(not (1 <= k <= 16) for k in train_sixteenths):
+        raise ValueError("train_sixteenths values must be in [1, 16]")
+    digit = F.conv(
+        F.substring(F.md5(F.concat(id_expr, F.lit(":lc"))), 1, 1), 16, 10
+    ).cast("int")
+    out = None
+    for k in train_sixteenths:
+        sub = df.filter(test_pred | (digit < F.lit(k)))
+        row = logreg_holdout_eval(
+            sub, label, features, test_pred, iterations, lr
+        ).select(
+            F.lit(k).cast("long").alias("train_sixteenths"),
+            "n_train", "n_test",
+            F.col("test_accuracy").alias("accuracy"),
+            F.col("test_auc").alias("auc"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def logreg_learning_curve_oracle_sql(
+    table: str,
+    label_sql: str,
+    features_sql: list[tuple[str, str]],
+    id_sql: str,
+    test_pred_sql: str,
+    train_sixteenths: tuple[int, ...] = (4, 8, 12, 16),
+    iterations: int = 8,
+    lr: float = 0.5,
+) -> str:
+    """DuckDB replica of ``logreg_learning_curve`` — each point's
+    holdout WITH-chain over the identically filtered table, unioned."""
+    parts = []
+    for k in train_sixteenths:
+        filt = (
+            f"(SELECT * FROM {table} WHERE ({test_pred_sql}) OR "
+            f"(instr('0123456789abcdef', substr(md5(({id_sql}) || "
+            f"':lc'), 1, 1)) - 1) < {k})"
+        )
+        inner = logreg_holdout_oracle_sql(
+            filt, label_sql, features_sql, test_pred_sql, iterations, lr
+        )
+        parts.append(
+            f"""SELECT CAST({k} AS BIGINT) AS train_sixteenths,
+      n_train, n_test, test_accuracy AS accuracy, test_auc AS auc
+      FROM (\n{inner}\n) lc{k}"""
+        )
+    return "\nUNION ALL\n".join(parts)

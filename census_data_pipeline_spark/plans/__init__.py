@@ -264,6 +264,7 @@ _CHECKED_PREFIX = [
     "orders_welch_by_priority",
     "text_zipf_fit",
     "streaming_user_totals",
+    "quality_learning_curve",
     # --- drifted under r9 edits ---
     # streaming/stateful.py grew the idle_timeout_ms eviction knob
     # (VERDICT r8 #2) — cusum_monitor's source changed

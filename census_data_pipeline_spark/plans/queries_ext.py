@@ -4174,6 +4174,46 @@ def text_zipf_fit(spark, sf_dir):
     return _t.zipf_fit(docs, "text", top_n=1000)
 
 
+@query(
+    "quality_learning_curve",
+    oracle=classify.logreg_learning_curve_oracle_sql(
+        "documents",
+        "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END",
+        _LOGREG_FEATURES_SQL,
+        _RF_ID_SQL,
+        _HOLDOUT_TEST_PRED_SQL,
+        train_sixteenths=(4, 8, 12, 16),
+        iterations=8,
+        lr=0.5,
+    ),
+)
+def quality_learning_curve(spark, sf_dir):
+    """Learning curve for the quality classifier
+    (functions/classify.logreg_learning_curve): held-out accuracy/AUC
+    at 4/16, 8/16, 12/16 and all of the train fold, with the identical
+    md5-prefix test fold at every point — data-limited vs model-limited
+    in one frame. On this weak-signal corpus the curve is flat at the
+    majority rate (model- AND signal-limited), the honest picture.
+    Oracle: each point's holdout WITH-chain over the identically
+    filtered table, unioned."""
+    from census_data_pipeline_spark.functions import classify as _c
+
+    docs = load_table(spark, sf_dir, "documents")
+    test_pred = F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 1
+    ).isin("0", "1", "2")
+    return _c.logreg_learning_curve(
+        docs,
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)),
+        _rf_features(),
+        F.col("doc_id").cast("string"),
+        test_pred,
+        train_sixteenths=(4, 8, 12, 16),
+        iterations=8,
+        lr=0.5,
+    )
+
+
 def _textrank_oracle(iters: int, d: float, min_len: int, k: int) -> str:
     """Unrolled-CTE replica of text.textrank_keywords: adjacent-token
     pair graph, symmetrized, then the same pagerank rounds as

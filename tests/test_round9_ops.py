@@ -692,3 +692,31 @@ def test_zipf_fit_recovers_planted_power_law(spark):
     assert row.r2 > 0.99
     with pytest.raises(ValueError, match="top_n"):
         text.zipf_fit(df, "text", top_n=1)
+
+# --- learning curve ------------------------------------------------------
+
+
+def test_learning_curve_rises_to_perfect_on_separable(spark):
+    """On a separable rule the curve reaches accuracy/AUC 1.0 at the
+    full train fold, train sizes strictly grow (nested slices), and the
+    test fold is identical at every point."""
+    from census_data_pipeline_spark.functions import classify
+
+    pts = [(str(i), (i % 100) / 100.0) for i in range(1200)]
+    df = spark.createDataFrame(pts, "rid string, x double")
+    label = F.when(F.col("x") >= 0.5, F.lit(1.0)).otherwise(F.lit(0.0))
+    test_pred = F.substring(F.md5(F.col("rid")), 1, 1).isin("0", "1", "2")
+    rows = classify.logreg_learning_curve(
+        df, label, [("x", F.col("x"))], F.col("rid"), test_pred,
+        train_sixteenths=(4, 8, 16), iterations=8, lr=0.5,
+    ).collect()
+    by_k = {r.train_sixteenths: r for r in rows}
+    assert list(by_k) == [4, 8, 16]
+    assert by_k[4].n_train < by_k[8].n_train < by_k[16].n_train
+    assert len({r.n_test for r in rows}) == 1
+    assert by_k[16].accuracy == 1.0 and by_k[16].auc == 1.0
+    with pytest.raises(ValueError, match="train_sixteenths"):
+        classify.logreg_learning_curve(
+            df, label, [("x", F.col("x"))], F.col("rid"), test_pred,
+            train_sixteenths=(),
+        )
