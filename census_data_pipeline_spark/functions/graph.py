@@ -413,19 +413,34 @@ def kcore_nodes(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # early-exit when a round peels nothing: further rounds are exact
+    # no-ops (peeling is monotone), so the output is IDENTICAL to
+    # running all ``rounds`` — and the oracle's unrolled no-op rounds
+    # reproduce the same frame. The driver-side state per round is ONE
+    # node count (the bounded-small-actions discipline of the CC loop);
+    # without it, 8 rounds of 59M-row checkpointed edge frames thrash a
+    # single JVM while rounds 3+ change nothing.
+    prev_nodes = None
     for _ in range(rounds):
         keep = (
             cur.groupBy("src")
             .agg(F.count("*").alias("__deg"))
             .filter(F.col("__deg") >= k)
             .select("src")
+            .localCheckpoint(eager=False)
         )
+        n_keep = keep.count()
+        if prev_nodes is not None and n_keep == prev_nodes:
+            break
+        prev_nodes = n_keep
         cur = (
             cur.join(keep, "src")
             .join(keep.withColumnRenamed("src", "dst"), "dst")
             .select("src", "dst")
             .localCheckpoint(eager=False)
         )
+        if n_keep == 0:
+            break
     return (
         cur.groupBy("src")
         .agg(F.count("*").cast("long").alias("degree"))

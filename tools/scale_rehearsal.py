@@ -168,18 +168,52 @@ def main() -> None:
     events1 = load_table(spark, SF_DIR, "events").select(
         "user_id", "event_type", "ts"
     )
+    # materialize only the inputs the selected families read — a
+    # family-filtered run must not pay for amplifying 100x of inputs it
+    # never touches (the 100x salted-docs build alone dominates a
+    # graph-only rehearsal otherwise)
+    _family_inputs = {
+        "minhash_lsh_capped": "d", "minhash_lsh_uncapped": "d",
+        "cross_corpus_dedup": "d", "cc_star": "d", "span_dedup": "d",
+        "pagerank": "g", "ivfpq": "e", "bpe_train": "d",
+        "tag_keywords": "d", "token_budget": "d",
+        "label_propagation": "g", "logreg": "d", "tree_hist": "d",
+        "gbt_stumps": "d", "trustrank": "g", "dbscan": "d",
+        "pca_catalyst": "e", "pca_arrow": "e", "bfs": "g",
+        "forecast_hw": "v", "survival_km": "v", "random_forest": "d",
+        "kcore": "g",
+    }
+    _filter_env = os.environ.get("SPARK_GRAFT_REHEARSAL_FAMILIES")
+    if _filter_env:
+        needed = {
+            _family_inputs.get(f, "degv")
+            for f in _filter_env.split(",")
+        }
+        needed = set("".join(needed))
+    else:
+        needed = set("degv")
+
     scales = {}
     for label, copies, mega in scale_list:
-        d = amplify_docs(docs, copies, mega).localCheckpoint()
-        e = amplify_embeddings(emb, copies).localCheckpoint()
-        g = amplify_edges(edges1, copies).localCheckpoint()
-        v = amplify_events(events1, copies).localCheckpoint()
+        d = amplify_docs(docs, copies, mega)
+        e = amplify_embeddings(emb, copies)
+        g = amplify_edges(edges1, copies)
+        v = amplify_events(events1, copies)
+        counts = []
+        if "d" in needed:
+            d = d.localCheckpoint()
+            counts.append(f"docs={d.count()}")
+        if "e" in needed:
+            e = e.localCheckpoint()
+            counts.append(f"emb={e.count()}")
+        if "g" in needed:
+            g = g.localCheckpoint()
+            counts.append(f"edges={g.count()}")
+        if "v" in needed:
+            v = v.localCheckpoint()
+            counts.append(f"events={v.count()}")
         scales[label] = (d, e, g, v)
-        print(
-            f"# scale {label}: docs={d.count()} emb={e.count()} "
-            f"edges={g.count()} events={v.count()}",
-            file=sys.stderr,
-        )
+        print(f"# scale {label}: {' '.join(counts)}", file=sys.stderr)
 
     def fam_minhash_capped(d, e, g, v):
         return dedup.minhash_lsh_pairs(d, threshold=0.5, bucket_cap=8)
@@ -398,6 +432,10 @@ def main() -> None:
             depth=2,
         )
 
+    def fam_kcore(d, e, g, v):
+        from census_data_pipeline_spark.functions import graph as _g
+        return _g.kcore_nodes(g, k=4, rounds=8)
+
     families = {
         "minhash_lsh_capped": fam_minhash_capped,
         "minhash_lsh_uncapped": fam_minhash_uncapped,
@@ -420,6 +458,7 @@ def main() -> None:
         "forecast_hw": fam_forecast_hw,
         "survival_km": fam_survival_km,
         "random_forest": fam_random_forest,
+        "kcore": fam_kcore,
         "bfs": fam_bfs,
     }
 
