@@ -500,7 +500,9 @@ def ivm_retraction_merge(
 _HLL_ALPHA_256 = 0.7213 / (1.0 + 1.079 / 256.0)
 
 
-def hll_build(df: DataFrame, key_col: str) -> DataFrame:
+def hll_build(
+    df: DataFrame, key_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
     """HyperLogLog register frame (Flajolet et al. 2007) — the
     mergeable DISTINCT-COUNT summary beside cms_build's frequency
     summary, built from the same md5 determinism trick so the sketch
@@ -518,7 +520,13 @@ def hll_build(df: DataFrame, key_col: str) -> DataFrame:
     max(rho) to the frame of the union (the property that lets per-day
     sketches roll up without rescanning, same contract as cms_build).
 
-    One scan + a partial-aggregated groupBy bounded by 256 cells."""
+    ``group_cols`` keys the sketch per group — the per-segment
+    distinct-count summary (registers become ≤ 256 rows PER GROUP, the
+    shuffle is the same group-hash exchange as any groupBy).
+
+    One scan + a partial-aggregated groupBy bounded by groups·256
+    cells."""
+    gcols = list(group_cols or [])
     h = F.md5(F.col(key_col).cast("string"))
     suf = F.substring(h, 3, 13)
     zhex = F.length(F.regexp_extract(suf, "^0*", 0))
@@ -536,14 +544,17 @@ def hll_build(df: DataFrame, key_col: str) -> DataFrame:
     )
     return (
         df.select(
+            *gcols,
             F.substring(h, 1, 2).alias("bucket"), rho.alias("__rho")
         )
-        .groupBy("bucket")
+        .groupBy(*gcols, "bucket")
         .agg(F.max("__rho").alias("rho"))
     )
 
 
-def hll_estimate(registers: DataFrame) -> DataFrame:
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
     """Distinct-count estimate from an ``hll_build`` register frame,
     with the standard small-range correction: raw = α₂₅₆·m²/Σ2^(−rho)
     (absent buckets contribute rho = 0), and when raw ≤ 2.5m with V > 0
@@ -552,14 +563,17 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
     the ≤256-row frame; one double division at the end), so both
     engines agree to the 6-dp rounding.
 
-    Output: one row (m, nonempty_buckets, estimate)."""
+    Output: one row (groups..., m, nonempty_buckets, estimate) — one
+    per group when ``group_cols`` is set."""
     m = 256
-    agg = registers.agg(
+    gcols = list(group_cols or [])
+    agg = registers.groupBy(*gcols).agg(
         F.count("*").cast("long").alias("__nb"),
         F.sum(
             F.expr("shiftleft(cast(1 as bigint), 53 - rho)")
         ).cast("long").alias("__s"),
     ).select(
+        *gcols,
         "__nb",
         (F.col("__s") + (F.lit(m) - F.col("__nb"))
          * F.lit(1 << 53).cast("long")).alias("__snum"),
@@ -574,21 +588,28 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
         F.lit(float(m)) * F.log(F.lit(float(m)) / v),
     ).otherwise(raw)
     return agg.select(
+        *gcols,
         F.lit(m).cast("long").alias("m"),
         F.col("__nb").alias("nonempty_buckets"),
         F.round(est, 6).alias("estimate"),
     )
 
 
-def hll_oracle_sql(table: str, key_sql: str) -> str:
+def hll_oracle_sql(
+    table: str, key_sql: str, group_sql: list[str] | None = None
+) -> str:
     """DuckDB replica of ``hll_build`` |> ``hll_estimate`` — identical
     hex-digit register derivation, exact-integer harmonic sum, the same
     correction branch and final rounding."""
     alpha = repr(_HLL_ALPHA_256)
+    g = list(group_sql or [])
+    gsel = "".join(f"{c}, " for c in g)
+    gby = ("GROUP BY " + ", ".join(g)) if g else ""
+    gby_b = ", ".join(g) + ", bucket" if g else "1"
     return f"""WITH h AS MATERIALIZED (
-      SELECT md5(CAST({key_sql} AS VARCHAR)) AS hx FROM {table}),
+      SELECT {gsel}md5(CAST({key_sql} AS VARCHAR)) AS hx FROM {table}),
     r AS MATERIALIZED (
-      SELECT substr(hx, 1, 2) AS bucket,
+      SELECT {gsel}substr(hx, 1, 2) AS bucket,
              max(CASE WHEN regexp_extract(substr(hx, 3, 13),
                                           '^0*([1-9a-f])', 1) = ''
                       THEN 53
@@ -601,13 +622,13 @@ def hll_oracle_sql(table: str, key_sql: str) -> str:
                              WHEN '4' THEN 1 WHEN '5' THEN 1
                              WHEN '6' THEN 1 WHEN '7' THEN 1
                              ELSE 0 END + 1 END) AS rho
-      FROM h GROUP BY 1),
+      FROM h GROUP BY {gby_b}),
     a AS (
-      SELECT count(*) AS nb,
+      SELECT {gsel}count(*) AS nb,
              sum(CAST(1 AS BIGINT) << (53 - rho))
              + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS snum
-      FROM r)
-    SELECT CAST(256 AS BIGINT) AS m,
+      FROM r {gby})
+    SELECT {gsel}CAST(256 AS BIGINT) AS m,
            CAST(nb AS BIGINT) AS nonempty_buckets,
            round(CASE WHEN (CAST({alpha} AS DOUBLE) * 65536.0
                             * 9007199254740992.0 / snum) <= 640.0

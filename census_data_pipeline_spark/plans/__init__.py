@@ -265,6 +265,7 @@ _CHECKED_PREFIX = [
     "text_zipf_fit",
     "streaming_user_totals",
     "quality_learning_curve",
+    "events_hll_users_by_type",
     # --- drifted under r9 edits ---
     # streaming/stateful.py grew the idle_timeout_ms eviction knob
     # (VERDICT r8 #2) — cusum_monitor's source changed

@@ -3554,6 +3554,50 @@ def orders_welch_by_priority(spark, sf_dir):
 
 
 @query(
+    "events_hll_users_by_type",
+    oracle=f"""
+    WITH est AS MATERIALIZED (
+      {hll_oracle_sql("events", "user_id", ["event_type"])}),
+    ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+           FROM events GROUP BY 1)
+    SELECT est.event_type, est.m, est.nonempty_buckets, est.estimate,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+           round(abs(est.estimate - ex.exact_distinct)
+                 / ex.exact_distinct, 6) AS rel_err
+    FROM est JOIN ex ON ex.event_type = est.event_type
+    """,
+)
+def events_hll_users_by_type(spark, sf_dir):
+    """Grouped HyperLogLog (operators/rollup.hll_build/hll_estimate
+    with group_cols): distinct users PER EVENT TYPE from one scan into
+    groups×256 register cells — the per-segment distinct-count a 100 TB
+    pipeline runs where count(DISTINCT) per group would shuffle every
+    (group, user) pair. Estimate beside the exact per-group count and
+    relative error, the accuracy contract in the output. The register
+    derivation and harmonic sum stay exact-arithmetic, so the grouped
+    estimates hash-match the oracle."""
+    from census_data_pipeline_spark.operators.rollup import (
+        hll_build, hll_estimate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    est = hll_estimate(
+        hll_build(ev, "user_id", ["event_type"]), ["event_type"]
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "m", "nonempty_buckets", "estimate",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"), 6,
+        ).alias("rel_err"),
+    )
+
+
+@query(
     "sketch_cms_heavy_hitters",
     oracle="""
     WITH exact AS (SELECT l_partkey, count(*) AS exact_count

@@ -720,3 +720,31 @@ def test_learning_curve_rises_to_perfect_on_separable(spark):
             df, label, [("x", F.col("x"))], F.col("rid"), test_pred,
             train_sixteenths=(),
         )
+
+# --- grouped HLL ---------------------------------------------------------
+
+
+def test_hll_grouped_matches_per_group_build(spark):
+    """Grouped registers equal each group's standalone sketch, and the
+    grouped estimate tracks per-group exact counts within 4 sigma."""
+    from census_data_pipeline_spark.operators.rollup import (
+        hll_build, hll_estimate,
+    )
+
+    df = spark.range(9_000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").alias("k"),
+    )
+    grouped = hll_build(df, "k", ["g"])
+    for gv in "012":
+        solo = {(r.bucket, r.rho)
+                for r in hll_build(df.filter(F.col("g") == gv), "k")
+                .collect()}
+        part = {(r.bucket, r.rho)
+                for r in grouped.filter(F.col("g") == gv)
+                .select("bucket", "rho").collect()}
+        assert solo == part
+    est = {r.g: r.estimate
+           for r in hll_estimate(grouped, ["g"]).collect()}
+    for gv in "012":
+        assert abs(est[gv] - 3_000) / 3_000 < 0.26
