@@ -918,3 +918,107 @@ def welch_t_test_oracle_sql(
                 THEN abs((ma - mb) / sqrt(sea + seb)) > 1.959964
                 ELSE NULL END AS significant_95
     FROM w"""
+
+
+def chi2_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson chi-squared test of independence between two categorical
+    columns — the contingency-table audit beside the drift chi2 (which
+    compares one distribution to a reference): one partial-aggregated
+    cross-tab scan, then the statistic Σ (o − e)²/e over the
+    |A|·|B|-cell model frame with expected counts from the broadcast
+    marginals. Zero-observed cells are handled in closed form: their
+    contribution Σ_{o=0} e equals n − Σ_observed e (all expecteds sum
+    to n), so the sparse cross-tab needs no zero-cell materialization. Returns one row (n, cells, dof, chi2, significant_95) —
+    the 95% cut uses the Wilson–Hilferty chi-square approximation of
+    the critical value (exact-arithmetic in both engines, accurate to
+    ~1e-3 relative for dof ≥ 1, documented), so the flag needs no
+    critical-value table. Rows with a null in either column drop.
+
+    Scale shape: ONE data-scale groupBy; everything after is arithmetic
+    over cell/marginal frames bounded by the category cardinalities."""
+    d = df.na.drop(subset=[col_a, col_b]).select(
+        F.col(col_a).cast("string").alias("__a"),
+        F.col(col_b).cast("string").alias("__b"),
+    )
+    cells = d.groupBy("__a", "__b").agg(F.count("*").alias("__o"))
+    ra = cells.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    rb = cells.groupBy("__b").agg(F.sum("__o").alias("__rb"))
+    nn = cells.agg(
+        F.sum("__o").alias("__n"),
+        F.countDistinct("__a").alias("__ka"),
+        F.countDistinct("__b").alias("__kb"),
+    )
+    joined = (
+        cells.join(ra, "__a").join(rb, "__b")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "__n", "__ka", "__kb",
+            (
+                (F.col("__o") - F.col("__ra") * F.col("__rb") / F.col("__n"))
+                * (F.col("__o") - F.col("__ra") * F.col("__rb") / F.col("__n"))
+                / (F.col("__ra") * F.col("__rb") / F.col("__n"))
+            ).alias("__t"),
+            (F.col("__ra") * F.col("__rb") / F.col("__n")).alias("__e"),
+        )
+    )
+    agg = joined.groupBy("__n", "__ka", "__kb").agg(
+        F.round(
+            F.sum("__t") + (F.col("__n") - F.sum("__e")), 6
+        ).alias("__chi2")
+    )
+    dof = (F.col("__ka") - 1) * (F.col("__kb") - 1)
+    # Wilson–Hilferty: chi2_crit(p, k) ≈ k·(1 − 2/(9k) + z_p·√(2/(9k)))³
+    z95 = F.lit(1.644854)
+    wh = F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dof) + z95 * F.sqrt(
+        F.lit(2.0) / (F.lit(9.0) * dof)
+    )
+    crit = dof * wh * wh * wh
+    return agg.select(
+        F.col("__n").cast("long").alias("n"),
+        (F.col("__ka") * F.col("__kb")).cast("long").alias("cells"),
+        dof.cast("long").alias("dof"),
+        F.col("__chi2").alias("chi2"),
+        F.when(dof >= 1, F.col("__chi2") > crit)
+        .otherwise(F.lit(None).cast("boolean")).alias("significant_95"),
+    )
+
+
+def chi2_independence_oracle_sql(
+    table: str, a_sql: str, b_sql: str
+) -> str:
+    """DuckDB replica of ``chi2_independence`` — identical cross-tab,
+    marginals, statistic, and Wilson–Hilferty cut."""
+    return f"""WITH d AS MATERIALIZED (
+      SELECT CAST({a_sql} AS VARCHAR) AS a, CAST({b_sql} AS VARCHAR) AS b
+      FROM {table}
+      WHERE ({a_sql}) IS NOT NULL AND ({b_sql}) IS NOT NULL),
+    cells AS MATERIALIZED (
+      SELECT a, b, count(*) AS o FROM d GROUP BY a, b),
+    ra AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a),
+    rb AS (SELECT b, sum(o) AS rb FROM cells GROUP BY b),
+    nn AS (SELECT sum(o) AS n, count(DISTINCT a) AS ka,
+                  count(DISTINCT b) AS kb FROM cells),
+    agg AS (
+      SELECT nn.n, nn.ka, nn.kb,
+             round(sum((cells.o - ra.ra * rb.rb / nn.n)
+                       * (cells.o - ra.ra * rb.rb / nn.n)
+                       / (ra.ra * rb.rb / nn.n))
+                   + (nn.n - sum(ra.ra * rb.rb / nn.n)), 6) AS chi2
+      FROM cells JOIN ra ON ra.a = cells.a
+                 JOIN rb ON rb.b = cells.b
+                 CROSS JOIN nn
+      GROUP BY nn.n, nn.ka, nn.kb)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(ka * kb AS BIGINT) AS cells,
+           CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
+           chi2,
+           CASE WHEN dof1 >= 1
+                THEN chi2 > dof1 * wh * wh * wh
+                ELSE NULL END AS significant_95
+    FROM (SELECT *, (ka - 1) * (kb - 1) AS dof1,
+                 1.0 - 2.0 / (9.0 * ((ka - 1) * (kb - 1)))
+                 + 1.644854 * sqrt(2.0 / (9.0 * ((ka - 1) * (kb - 1))))
+                   AS wh
+          FROM agg) w"""

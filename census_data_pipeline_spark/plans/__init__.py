@@ -266,6 +266,7 @@ _CHECKED_PREFIX = [
     "streaming_user_totals",
     "quality_learning_curve",
     "events_hll_users_by_type",
+    "orders_chi2_status_priority",
     # --- drifted under r9 edits ---
     # streaming/stateful.py grew the idle_timeout_ms eviction knob
     # (VERDICT r8 #2) — cusum_monitor's source changed

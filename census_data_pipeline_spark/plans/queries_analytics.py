@@ -3453,6 +3453,7 @@ def sketch_hll_distinct(spark, sf_dir):
 
 
 from census_data_pipeline_spark.operators.rollup import (  # noqa: E402
+    chi2_independence_oracle_sql,
     corr_matrix_oracle_sql,
     grouped_ols_oracle_sql,
     welch_t_test_oracle_sql,
@@ -3595,6 +3596,27 @@ def events_hll_users_by_type(spark, sf_dir):
             / F.col("exact_distinct"), 6,
         ).alias("rel_err"),
     )
+
+
+@query(
+    "orders_chi2_status_priority",
+    oracle=chi2_independence_oracle_sql(
+        "orders", "o_orderstatus", "o_orderpriority"
+    ),
+)
+def orders_chi2_status_priority(spark, sf_dir):
+    """Chi-squared independence audit (operators/rollup.
+    chi2_independence): is order priority assigned independently of
+    order status? One cross-tab scan, the statistic over the 3×5 cell
+    frame with broadcast marginals, and a Wilson–Hilferty 95% cut (no
+    critical-value table needed). Independent by construction in this
+    synthetic data — the flag says so, the honest null result."""
+    from census_data_pipeline_spark.operators.rollup import (
+        chi2_independence,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    return chi2_independence(o, "o_orderstatus", "o_orderpriority")
 
 
 @query(

@@ -748,3 +748,31 @@ def test_hll_grouped_matches_per_group_build(spark):
            for r in hll_estimate(grouped, ["g"]).collect()}
     for gv in "012":
         assert abs(est[gv] - 3_000) / 3_000 < 0.26
+
+# --- chi-squared independence --------------------------------------------
+
+
+def test_chi2_independence_dependent_vs_independent(spark):
+    """A deterministic b = f(a) table is flagrantly dependent; a
+    balanced product table is exactly independent (chi2 = 0)."""
+    from census_data_pipeline_spark.operators.rollup import (
+        chi2_independence,
+    )
+
+    dep = spark.createDataFrame(
+        [(str(i % 3), str(i % 3)) for i in range(300)],
+        "a string, b string",
+    )
+    r = chi2_independence(dep, "a", "b").collect()[0]
+    assert r.n == 300 and r.dof == 4
+    assert r.chi2 == 600.0            # 2·n for a 3x3 perfect diagonal
+    assert r.significant_95 is True
+
+    ind = spark.createDataFrame(
+        [(str(i % 3), str(i % 5)) for i in range(300)],
+        "a string, b string",
+    )
+    r2 = chi2_independence(ind, "a", "b").collect()[0]
+    assert r2.cells == 15 and r2.dof == 8
+    assert r2.chi2 == 0.0
+    assert r2.significant_95 is False
