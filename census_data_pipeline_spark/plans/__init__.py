@@ -239,42 +239,13 @@ from census_data_pipeline_spark.plans import (  # noqa: F401
 from census_data_pipeline_spark.plans.registry import ORACLE, QUERIES
 
 _CHECKED_PREFIX = [
-    # r9 change-aware rotation (VERDICT r8 #8): driver_state.json was
-    # regenerated against CORRECTNESS_r08 as the round's first commit —
-    # the r8 driver run went 50/50 green, so no query starts the round
+    # r10 change-aware rotation (VERDICT r9 #8): driver_state.json was
+    # regenerated against CORRECTNESS_r09 as the round's first commit —
+    # the r9 driver run went 50/50 green, so no query starts the round
     # stale. The prefix is flagship, then this round's new queries as
-    # registered, then every query whose fingerprint drifts under r9
+    # registered, then every query whose fingerprint drifts under r10
     # edits — the change-aware test enforces each addition.
     "flagship_regional_rollup",
-    # --- new r9 queries ---
-    "quality_gbt_classify",
-    "quality_gbt_classify_holdout",
-    "quality_logreg_cv",
-    "quality_tree_cv",
-    "quality_rf_train",
-    "quality_rf_holdout",
-    "quality_rf_importance",
-    "graph_kcore",
-    "sketch_hll_distinct",
-    "quality_mi_features",
-    "events_forecast_mase",
-    "embedding_pca_project",
-    "lineitem_corr_matrix",
-    "events_trend_by_type",
-    "orders_welch_by_priority",
-    "text_zipf_fit",
-    "streaming_user_totals",
-    "quality_learning_curve",
-    "events_hll_users_by_type",
-    "orders_chi2_status_priority",
-    # --- drifted under r9 edits ---
-    # streaming/stateful.py grew the idle_timeout_ms eviction knob
-    # (VERDICT r8 #2) — cusum_monitor's source changed
-    "streaming_cusum_hourly",
-    # operators/geo.dbscan_grid now pre-collapses coincident points
-    # into weighted locations (VERDICT r8 #5) — output-identical
-    # (unit-tested vs the point-level path), plan changed
-    "geo_dbscan_grid",
 ]
 
 
