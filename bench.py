@@ -213,6 +213,8 @@ HEADLINE_NEW: list[str] = [
     "quality_learning_curve",
     "events_hll_users_by_type",
     "orders_chi2_status_priority",
+    # r10 additions
+    "graph_coreness",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is

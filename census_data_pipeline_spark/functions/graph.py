@@ -376,6 +376,7 @@ def kcore_nodes(
     rounds: int = 8,
     src: str = "src",
     dst: str = "dst",
+    broadcast_max_drop: int = 2_000_000,
 ) -> DataFrame:
     """k-core decomposition for a GIVEN k by synchronous iterative
     peeling (Matula & Beck 1983's algorithm in its distributed
@@ -393,12 +394,32 @@ def kcore_nodes(
     the same rounds). Returns (id, degree) for nodes surviving all
     rounds, with their degree inside the surviving subgraph.
 
-    Scale shape per round: one partial-aggregated degree count over the
-    surviving edges (shuffle ≤ |V| rows), then two equi-joins of the
-    edge set against the ≥k survivor frame (shuffle ≤ |E| rows) —
-    bounded by the LPA round cost; lineage cut per round with lazy
-    localCheckpoint. Cite: reference has no graph tier; this extends
-    SURVEY §2.11 alongside pagerank/triangles/LPA/BFS."""
+    Scale shape (r10 frontier-delta rework, VERDICT r9 #1): degrees are
+    counted over the full edge set ONCE, then MAINTAINED — each round
+    shuffles only node-scale frames. Per round: (1) the dropped-node
+    set D = {deg < k} (node-scale, usually tiny after round 1);
+    (2) the degree delta, a broadcast-hash join of the surviving edges
+    against D on dst followed by a partial-aggregated count — only
+    edges INCIDENT TO DROPPED NODES reach the shuffle, the frontier
+    discipline of ``bfs_distances``; (3) the degree frame update, two
+    node-scale joins; (4) the edge prune, two broadcast-hash LEFT ANTI
+    joins (map-side — the |E|-row frame is scanned but never
+    shuffled). r9's shape shuffled |E| rows twice per round (survivor
+    equi-joins) plus a full degree recount; at 100× that was the
+    costliest rehearsed family (133 s, last-decade α 0.949). With a
+    broadcast-able D the per-round shuffle is now O(|V| + edges-into-D)
+    instead of O(|E|); above ``broadcast_max_drop`` dropped nodes the
+    round falls back to shuffle joins (same semantics — only round 1 of
+    a low-k peel ever gets near that). Maintained degrees are exact:
+    the symmetrized simple graph has one row (v,u) per neighbor u, so
+    for a survivor v, new_deg(v) = deg(v) − |{(v,u): u ∈ D}| — exactly
+    the recount over the pruned edge frame, which is what the unrolled
+    SQL oracle computes. Early-exit when a round drops nothing: peeling
+    is monotone, further rounds are exact no-ops, so the output is
+    IDENTICAL to running all ``rounds`` (one driver-side count per
+    round — the bounded-small-actions discipline). Cite: reference has
+    no graph tier; this extends SURVEY §2.11 alongside
+    pagerank/triangles/LPA/BFS."""
     if k < 1:
         raise ValueError("k must be >= 1")
     if rounds < 1:
@@ -413,38 +434,50 @@ def kcore_nodes(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    # early-exit when a round peels nothing: further rounds are exact
-    # no-ops (peeling is monotone), so the output is IDENTICAL to
-    # running all ``rounds`` — and the oracle's unrolled no-op rounds
-    # reproduce the same frame. The driver-side state per round is ONE
-    # node count (the bounded-small-actions discipline of the CC loop);
-    # without it, 8 rounds of 59M-row checkpointed edge frames thrash a
-    # single JVM while rounds 3+ change nothing.
-    prev_nodes = None
-    for _ in range(rounds):
-        keep = (
-            cur.groupBy("src")
-            .agg(F.count("*").alias("__deg"))
-            .filter(F.col("__deg") >= k)
-            .select("src")
-            .localCheckpoint(eager=False)
-        )
-        n_keep = keep.count()
-        if prev_nodes is not None and n_keep == prev_nodes:
-            break
-        prev_nodes = n_keep
-        cur = (
-            cur.join(keep, "src")
-            .join(keep.withColumnRenamed("src", "dst"), "dst")
-            .select("src", "dst")
-            .localCheckpoint(eager=False)
-        )
-        if n_keep == 0:
-            break
-    return (
+    deg = (
         cur.groupBy("src")
-        .agg(F.count("*").cast("long").alias("degree"))
-        .select(F.col("src").alias("id"), "degree")
+        .agg(F.count("*").alias("__deg"))
+        .select(F.col("src").alias("id"), "__deg")
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        drop = (
+            deg.filter(F.col("__deg") < k)
+            .select("id")
+            .localCheckpoint(eager=False)
+        )
+        n_drop = drop.count()
+        if n_drop == 0:
+            break
+        d = F.broadcast(drop) if n_drop <= broadcast_max_drop else drop
+        lost = (
+            cur.join(d, cur["dst"] == d["id"])
+            .groupBy("src")
+            .agg(F.count("*").alias("__lost"))
+        )
+        deg = (
+            deg.join(d, "id", "left_anti")
+            .join(lost, F.col("id") == lost["src"], "left")
+            .select(
+                "id",
+                (F.col("__deg")
+                 - F.coalesce(F.col("__lost"), F.lit(0))).alias("__deg"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        cur = (
+            cur.join(d, cur["src"] == d["id"], "left_anti")
+            .join(d, cur["dst"] == d["id"], "left_anti")
+            .localCheckpoint(eager=False)
+        )
+    # the oracle derives its output from the surviving EDGE frame
+    # (GROUP BY src over e{rounds}), so a survivor whose last neighbor
+    # was peeled in the final executed round — maintained degree 0,
+    # no surviving edges — must not appear; with early-exit this only
+    # matters when ``rounds`` is exhausted mid-peel.
+    return (
+        deg.filter(F.col("__deg") > 0)
+        .select("id", F.col("__deg").cast("long").alias("degree"))
     )
 
 
@@ -483,3 +516,148 @@ def kcore_oracle_sql(
     SELECT src AS id, CAST(count(*) AS BIGINT) AS degree
     FROM e{rounds} GROUP BY src"""
     )
+
+
+def coreness(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 20_000,
+    broadcast_max_drop: int = 2_000_000,
+) -> DataFrame:
+    """FULL coreness decomposition (Matula & Beck 1983): every
+    non-isolated node's core number — the largest k such that the node
+    belongs to the k-core — by ascending-k peeling that REUSES the
+    maintained state across k instead of restarting per k (VERDICT r9
+    #1). Returns (id, coreness); the graph is symmetrized, deduped,
+    self-loops dropped (they never contribute to coreness). This is the
+    standard graph-curation density signal: coreness ≥ k is exactly
+    ``kcore_nodes(k)`` membership, for every k at once.
+
+    Scale shape — three disciplines compose:
+
+    * **Min-degree level jumps.** When no alive node has degree < k the
+      peel level jumps straight to min(alive degree) + 1 (the next level
+      at which anything peels), so EVERY round drops ≥ 1 node and the
+      round count is bounded by the number of distinct drop events
+      (68 at sf0.1), not by the degeneracy × inner-depth product.
+      Dropped nodes get coreness k−1 — identical to stepping k by 1
+      through the intervening exact-no-op levels.
+    * **Frontier-delta degrees, never a recount.** Degrees are counted
+      ONCE over the symmetrized edge set, then maintained: per round the
+      drop set D = {deg < k} is broadcast against the STATIC edge frame
+      to count each survivor's edges into D (drop sets are disjoint, so
+      every edge is debited exactly once across the whole peel and the
+      edge frame never needs pruning or rewriting — no per-round |E|-row
+      shuffle OR checkpoint; the only |E|-scale work is one broadcast-
+      hash probe scan per round). Maintained degree is exact: for alive
+      v, deg(v) − |{(v,u): u ∈ ∪D}| is the recount over surviving edges.
+    * **One bounded driver action per round** (the CC/BFS discipline): a
+      single (min, count) scalar aggregate over the node-scale degree
+      frame decides the jump and the broadcast; node-scale frames are
+      lineage-cut with lazy localCheckpoint.
+
+    Above ``broadcast_max_drop`` ALIVE nodes the per-round joins fall
+    back to shuffles (same semantics; only the first rounds of a
+    billion-node graph get there, and the frames are node-scale).
+    ``max_rounds`` is a safety cap — every round drops ≥ 1 node so the
+    peel terminates in ≤ |V| rounds; exceeding the cap raises rather
+    than returning a silent partial decomposition. Oracle:
+    ``coreness_oracle_sql`` replicates the peel as ONE recursive CTE
+    (window-function degree recount per iteration, level increments as
+    exact-no-op iterations) — run-to-completion, so both engines compute
+    the unique peel fixpoint. Cite: reference has no graph tier; this
+    extends SURVEY §2.11 alongside kcore_nodes/pagerank/LPA/BFS."""
+    e = ensure_parallelism(edges).select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    )
+    cur = (
+        e.unionByName(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        cur.groupBy("src")
+        .agg(F.count("*").alias("__deg"))
+        .select(F.col("src").alias("id"), "__deg")
+        .localCheckpoint(eager=False)
+    )
+    out: list[DataFrame] = []
+    k = 1
+    for _ in range(max_rounds):
+        row = deg.agg(
+            F.min("__deg").alias("mn"), F.count("*").alias("n")
+        ).first()
+        if row["n"] == 0:
+            break
+        k = max(k, int(row["mn"]) + 1)
+        drop = (
+            deg.filter(F.col("__deg") < k)
+            .select("id")
+            .localCheckpoint(eager=False)
+        )
+        out.append(drop.select(
+            "id", F.lit(k - 1).cast("long").alias("coreness")
+        ))
+        d = F.broadcast(drop) if row["n"] <= broadcast_max_drop else drop
+        lost = (
+            cur.join(d, cur["dst"] == d["id"])
+            .groupBy("src")
+            .agg(F.count("*").alias("__lost"))
+        )
+        deg = (
+            deg.join(d, "id", "left_anti")
+            .join(lost, F.col("id") == lost["src"], "left")
+            .select(
+                "id",
+                (F.col("__deg")
+                 - F.coalesce(F.col("__lost"), F.lit(0))).alias("__deg"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    else:
+        raise RuntimeError(
+            f"coreness did not converge within max_rounds={max_rounds}"
+        )
+    if not out:
+        return deg.select("id", F.lit(0).cast("long").alias("coreness"))
+    res = out[0]
+    for frame in out[1:]:
+        res = res.unionByName(frame)
+    return res
+
+
+def coreness_oracle_sql(edges_sql: str) -> str:
+    """DuckDB replica of ``coreness`` as ONE recursive CTE. State rows
+    are (k, src, dst) over the alive symmetrized edge set; each
+    iteration recounts both endpoint degrees with window functions in a
+    single pass (the one-self-reference restriction), drops edges with
+    an under-k endpoint, and advances k only on exact-no-op iterations
+    — so a node's final coreness is max(k it was alive at) − 1, the
+    level that peeled it minus one. Recount-based edge survival equals
+    the engine's maintained-degree arithmetic (debits are exact), and
+    run-to-completion makes the shared fixpoint the compared output.
+    ``edges_sql`` must select columns (src, dst)."""
+    return f"""WITH RECURSIVE e0 AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM ({edges_sql}) r0
+        UNION ALL
+        SELECT dst, src FROM ({edges_sql}) r1) u
+      WHERE src <> dst),
+    peel AS (
+      SELECT 1 AS k, src, dst FROM e0
+      UNION ALL
+      SELECT CASE WHEN mx = 1 THEN k ELSE k + 1 END AS k, src, dst
+      FROM (
+        SELECT k, src, dst, ds, dd,
+               MAX(CASE WHEN ds < k THEN 1 ELSE 0 END) OVER () AS mx
+        FROM (
+          SELECT k, src, dst,
+                 COUNT(*) OVER (PARTITION BY src) AS ds,
+                 COUNT(*) OVER (PARTITION BY dst) AS dd
+          FROM peel) t1) t2
+      WHERE mx = 0 OR (ds >= k AND dd >= k))
+    SELECT src AS id, CAST(MAX(k) - 1 AS BIGINT) AS coreness
+    FROM peel GROUP BY src"""

@@ -246,6 +246,11 @@ _CHECKED_PREFIX = [
     # registered, then every query whose fingerprint drifts under r10
     # edits — the change-aware test enforces each addition.
     "flagship_regional_rollup",
+    # r10 new queries
+    "graph_coreness",
+    # r10 fingerprint drift: kcore_nodes reworked to frontier-delta
+    # maintained degrees (VERDICT r9 #1)
+    "graph_kcore",
 ]
 
 
