@@ -215,6 +215,7 @@ HEADLINE_NEW: list[str] = [
     "orders_chi2_status_priority",
     # r10 additions
     "graph_coreness",
+    "graph_modularity",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is

@@ -661,3 +661,149 @@ def coreness_oracle_sql(edges_sql: str) -> str:
       WHERE mx = 0 OR (ds >= k AND dd >= k))
     SELECT src AS id, CAST(MAX(k) - 1 AS BIGINT) AS coreness
     FROM peel GROUP BY src"""
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    label_col: str = "community",
+) -> DataFrame:
+    """Newman modularity of a community assignment (Newman & Girvan
+    2004): Q = Σ_c [ s_c/S − (d_c/S)² ] over the symmetrized simple
+    graph, where S = 2m symmetric edge rows, s_c = symmetric intra-
+    community rows and d_c = the community's degree sum — the
+    evaluation contract for ``label_propagation``/TrustRank output
+    (VERDICT r9 #4): Q near 0 means the labels are no better than
+    random cuts, Q ≳ 0.3 means real community structure.
+
+    Returns one row per community — (community, n_nodes, intra_edges,
+    degree_sum, q_contrib) — plus a ``<all>`` total row whose
+    q_contrib is Q (sum of the 6-dp-rounded per-community
+    contributions, the HT-'<all>' rollup discipline). Nodes appear via
+    the LABELS frame, so edge-free labeled nodes count in n_nodes with
+    zero stats; unlabeled endpoints drop their edges (label your whole
+    node set). Self-loops are dropped (they carry no cut information
+    under this formulation).
+
+    Scale shape: two equi-joins of the symmetric edge frame against
+    the node-scale label frame, ONE partial-aggregated groupBy to
+    (s_c, d_c) per community, the grand total S broadcast back as a
+    1-row crossJoin (never a driver collect) — closed-form, no
+    iteration, no window. Cite: reference has no graph tier; this is
+    the missing evaluation beside LPA (SURVEY §2.11)."""
+    e = ensure_parallelism(edges).select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    )
+    sym = (
+        e.unionByName(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    lab = labels.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("lab")
+    )
+    la = lab.select(F.col("id").alias("__sid"), F.col("lab").alias("lsrc"))
+    lb = lab.select(F.col("id").alias("__did"), F.col("lab").alias("ldst"))
+    labeled = (
+        sym.join(la, sym["src"] == la["__sid"])
+        .join(lb, sym["dst"] == lb["__did"])
+        .select("lsrc", "ldst")
+    )
+    stats = labeled.groupBy(F.col("lsrc").alias("community")).agg(
+        F.sum(
+            F.when(F.col("lsrc") == F.col("ldst"), F.lit(1)).otherwise(0)
+        ).alias("__s"),
+        F.count("*").alias("__d"),
+    )
+    sizes = lab.groupBy(F.col("lab").alias("community")).agg(
+        F.count("*").alias("n_nodes")
+    )
+    total = stats.agg(
+        F.coalesce(F.sum("__d"), F.lit(0)).alias("__St")
+    )
+    per = (
+        sizes.join(stats, "community", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "community",
+            "n_nodes",
+            (F.coalesce(F.col("__s"), F.lit(0)) / 2)
+            .cast("long").alias("intra_edges"),
+            F.coalesce(F.col("__d"), F.lit(0))
+            .cast("long").alias("degree_sum"),
+            F.when(F.col("__St") == 0, F.lit(0.0)).otherwise(
+                F.round(
+                    F.coalesce(F.col("__s"), F.lit(0)) / F.col("__St")
+                    - F.pow(
+                        F.coalesce(F.col("__d"), F.lit(0)) / F.col("__St"),
+                        F.lit(2),
+                    ),
+                    6,
+                )
+            ).alias("q_contrib"),
+        )
+    )
+    grand = per.agg(
+        F.sum("n_nodes").alias("n_nodes"),
+        F.sum("intra_edges").alias("intra_edges"),
+        F.sum("degree_sum").alias("degree_sum"),
+        F.round(F.coalesce(F.sum("q_contrib"), F.lit(0.0)), 6)
+        .alias("q_contrib"),
+    ).select(
+        F.lit("<all>").alias("community"),
+        "n_nodes", "intra_edges", "degree_sum", "q_contrib",
+    )
+    return per.unionByName(grand)
+
+
+def modularity_oracle_sql(
+    edges_sql: str,
+    labels_sql: str,
+) -> str:
+    """DuckDB replica of ``modularity``: identical symmetrize, the same
+    two label joins, the same (s_c, d_c) aggregate, per-community
+    contributions rounded at 6 dp, the '<all>' row summing the rounded
+    contributions. ``edges_sql`` selects (src, dst); ``labels_sql``
+    selects (id, lab)."""
+    return f"""WITH me0 AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM ({edges_sql}) r0
+        UNION ALL
+        SELECT dst, src FROM ({edges_sql}) r1) u
+      WHERE src <> dst),
+    mlab AS MATERIALIZED (SELECT id, lab FROM ({labels_sql}) ml),
+    mlabeled AS (
+      SELECT la.lab AS lsrc, lb.lab AS ldst
+      FROM me0 s JOIN mlab la ON s.src = la.id
+                 JOIN mlab lb ON s.dst = lb.id),
+    mstats AS (
+      SELECT lsrc AS community,
+             SUM(CASE WHEN lsrc = ldst THEN 1 ELSE 0 END) AS s_c,
+             COUNT(*) AS d_c
+      FROM mlabeled GROUP BY lsrc),
+    msizes AS (
+      SELECT lab AS community, COUNT(*) AS n_nodes
+      FROM mlab GROUP BY lab),
+    mtot AS (SELECT COALESCE(SUM(d_c), 0) AS S FROM mstats),
+    mper AS (
+      SELECT z.community,
+             z.n_nodes,
+             CAST(COALESCE(t.s_c, 0) / 2 AS BIGINT) AS intra_edges,
+             CAST(COALESCE(t.d_c, 0) AS BIGINT) AS degree_sum,
+             CASE WHEN mtot.S = 0 THEN 0.0 ELSE ROUND(
+               CAST(COALESCE(t.s_c, 0) AS DOUBLE) / mtot.S
+               - POW(CAST(COALESCE(t.d_c, 0) AS DOUBLE) / mtot.S, 2),
+             6) END AS q_contrib
+      FROM msizes z LEFT JOIN mstats t ON z.community = t.community,
+           mtot)
+    SELECT community, CAST(n_nodes AS BIGINT) AS n_nodes, intra_edges,
+           degree_sum, q_contrib FROM mper
+    UNION ALL
+    SELECT '<all>', CAST(SUM(n_nodes) AS BIGINT), CAST(SUM(intra_edges) AS BIGINT),
+           CAST(SUM(degree_sum) AS BIGINT),
+           ROUND(COALESCE(SUM(q_contrib), 0.0), 6)
+    FROM mper"""

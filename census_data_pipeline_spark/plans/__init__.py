@@ -248,6 +248,7 @@ _CHECKED_PREFIX = [
     "flagship_regional_rollup",
     # r10 new queries
     "graph_coreness",
+    "graph_modularity",
     # r10 fingerprint drift: kcore_nodes reworked to frontier-delta
     # maintained degrees (VERDICT r9 #1)
     "graph_kcore",

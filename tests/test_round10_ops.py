@@ -82,3 +82,66 @@ def test_coreness_matches_duckdb_oracle(spark, sf_dir):
            for r in QUERIES["graph_coreness"](spark, sf_dir).collect()}
     assert got == want
     assert len(got) > 0
+
+# --- Newman modularity --------------------------------------------------
+
+
+def test_modularity_planted_two_cliques(spark):
+    """Two K4s joined by one bridge, scored against the TRUE partition:
+    S = 26, each community has s_c = 12, d_c = 13, so
+    q_c = 12/26 - (13/26)^2 = 0.211538 and Q = 0.423077."""
+    from census_data_pipeline_spark.functions import graph
+
+    k4a = [(f"a{i}", f"a{j}") for i in range(4) for j in range(i + 1, 4)]
+    k4b = [(f"b{i}", f"b{j}") for i in range(4) for j in range(i + 1, 4)]
+    bridge = [("a0", "b0")]
+    edges = spark.createDataFrame(k4a + k4b + bridge,
+                                  "src string, dst string")
+    labels = spark.createDataFrame(
+        [(f"a{i}", "A") for i in range(4)]
+        + [(f"b{i}", "B") for i in range(4)],
+        "id string, community string",
+    )
+    rows = {r.community: r for r in graph.modularity(edges, labels)
+            .collect()}
+    assert rows["A"].n_nodes == 4 and rows["A"].intra_edges == 6
+    assert rows["A"].degree_sum == 13
+    assert rows["A"].q_contrib == pytest.approx(0.211538)
+    assert rows["B"].q_contrib == pytest.approx(0.211538)
+    assert rows["<all>"].q_contrib == pytest.approx(0.423076)
+    assert rows["<all>"].degree_sum == 26
+    assert rows["<all>"].intra_edges == 12
+
+
+def test_modularity_single_community_is_zero(spark):
+    """One community holding everything scores exactly Q = 0 (s_c = S
+    and d_c = S), and an edge-free labeled node contributes zero
+    stats but counts in n_nodes."""
+    from census_data_pipeline_spark.functions import graph
+
+    edges = spark.createDataFrame(
+        [("x", "y"), ("y", "z")], "src string, dst string")
+    labels = spark.createDataFrame(
+        [("x", "C"), ("y", "C"), ("z", "C"), ("lonely", "D")],
+        "id string, community string")
+    rows = {r.community: r for r in graph.modularity(edges, labels)
+            .collect()}
+    assert rows["C"].q_contrib == pytest.approx(0.0)
+    assert rows["D"].n_nodes == 1 and rows["D"].degree_sum == 0
+    assert rows["D"].q_contrib == 0.0
+    assert rows["<all>"].q_contrib == pytest.approx(0.0)
+
+
+def test_modularity_lpa_recovers_planted_communities(spark):
+    """LPA on the planted two-clique graph finds the true partition and
+    modularity confirms it with the exact planted-partition Q."""
+    from census_data_pipeline_spark.functions import graph
+
+    k4a = [(f"a{i}", f"a{j}") for i in range(4) for j in range(i + 1, 4)]
+    k4b = [(f"b{i}", f"b{j}") for i in range(4) for j in range(i + 1, 4)]
+    edges = spark.createDataFrame(
+        k4a + k4b + [("a0", "b0")], "src string, dst string")
+    labels = graph.label_propagation(edges, iterations=5)
+    rows = {r.community: r for r in graph.modularity(edges, labels)
+            .collect()}
+    assert rows["<all>"].q_contrib == pytest.approx(0.423076, abs=1e-6)
