@@ -216,6 +216,8 @@ HEADLINE_NEW: list[str] = [
     # r10 additions
     "graph_coreness",
     "graph_modularity",
+    "events_forecast_ar",
+    "events_forecast_model_select",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is

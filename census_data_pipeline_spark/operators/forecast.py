@@ -366,3 +366,432 @@ def holt_winters_mase(
             _r6(F.col("mae_model") / F.col("mae_naive")),
         ).otherwise(F.lit(None).cast("double")).alias("mase"),
     )
+
+
+def ar_forecast(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    value_col: str,
+    p: int = 24,
+    horizon: int = 24,
+) -> DataFrame:
+    """AR(p) forecast per key by CLOSED-FORM Yule–Walker (VERDICT r9
+    #5): biased autocovariances c_0..c_p from the mean-centered series,
+    the Toeplitz system solved by the Levinson–Durbin recursion (the
+    standard O(p²) closed-form walk — p scalar/vector steps, no matrix
+    inverse), then the multi-step AR recursion ŷ_{T+h} = ȳ +
+    Σ_j φ_j·(ỹ_{T+h−j} − ȳ) feeding its own forecasts forward.
+    Returns (keys..., h, forecast) for h = 1..``horizon`` — the same
+    contract as ``holt_winters_forecast`` so MASE can referee the two.
+
+    Keys with fewer than 2p buckets are dropped (same guard class as
+    HW's 2m). Degenerate steps are deterministic, not NaN: a constant
+    series (c_0 = 0) or a step where the prediction-error variance
+    hits 0 takes reflection coefficient 0 — both engines walk the same
+    branch. Every scalar is rounded to 6 dp per step (``_r6``), so the
+    DuckDB oracle (per-key recursive CTEs walking the identical
+    Levinson and forecast trajectories) matches exactly.
+
+    Scale shape: identical to Holt-Winters — ONE hash agg upstream
+    builds the bucketed series; everything here is per-key Catalyst
+    ``aggregate`` folds over horizon-bounded arrays (p+1 covariance
+    sums, p Levinson steps, ``horizon`` forecast steps), JVM-side, no
+    UDF, no window over data-scale rows."""
+    if p < 1:
+        raise ValueError("p must be >= 1")
+    if horizon < 1:
+        raise ValueError("horizon must be >= 1")
+    arr = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(t_col).alias("t"),
+                                    F.col(value_col).alias("y")))
+        ),
+        lambda s: s["y"].cast("double"),
+    )
+    per_key = (
+        series.groupBy(*key_cols)
+        .agg(arr.alias("__ys"))
+        .filter(F.size("__ys") >= 2 * p)
+    )
+
+    def lsum(xs: Column) -> Column:
+        return F.aggregate(xs, F.lit(0.0), lambda acc, x: acc + x)
+
+    n = F.size("__ys")
+    mu = _r6(lsum(F.col("__ys")) / n.cast("double"))
+    with_mu = per_key.select(*key_cols, "__ys", mu.alias("__mu"))
+    # cs[i] = c_{i-1} (1-based array of lags 0..p), biased /n estimator
+    cs = F.transform(
+        F.sequence(F.lit(0), F.lit(p)),
+        lambda k: _r6(
+            lsum(
+                F.zip_with(
+                    F.slice(F.col("__ys"), 1, F.size("__ys") - k),
+                    F.slice(F.col("__ys"), k + 1, F.size("__ys") - k),
+                    lambda x, z: (x - F.col("__mu")) * (z - F.col("__mu")),
+                )
+            )
+            / F.size("__ys").cast("double")
+        ),
+    )
+    with_cs = with_mu.select(*key_cols, "__ys", "__mu", cs.alias("__cs"))
+
+    # Levinson–Durbin: state (a: coefficients so far, e: prediction
+    # error variance); reflection coefficient 0 when e <= 0 (constant
+    # or perfectly-predicted series) keeps the walk deterministic.
+    def lev_step(acc: Column, k: Column) -> Column:
+        a, e = acc["a"], acc["e"]
+        dot = F.aggregate(
+            F.filter(F.sequence(F.lit(1), k), lambda j: j < k),
+            F.lit(0.0),
+            lambda s, j: s
+            + F.element_at(a, j) * F.element_at(F.col("__cs"), k - j + 1),
+        )
+        lam = F.when(
+            e > 0, _r6((F.element_at(F.col("__cs"), k + 1) - dot) / e)
+        ).otherwise(F.lit(0.0))
+        a1 = F.concat(
+            F.transform(
+                F.filter(F.sequence(F.lit(1), k), lambda j: j < k),
+                lambda j: _r6(
+                    F.element_at(a, j) - lam * F.element_at(a, k - j)
+                ),
+            ),
+            F.array(lam),
+        )
+        return F.struct(
+            a1.alias("a"), _r6(e * (F.lit(1.0) - lam * lam)).alias("e")
+        )
+
+    phi = F.aggregate(
+        F.sequence(F.lit(1), F.lit(p)),
+        F.struct(
+            F.array().cast("array<double>").alias("a"),
+            F.element_at(F.col("__cs"), 1).alias("e"),
+        ),
+        lev_step,
+    )["a"]
+    with_phi = with_cs.select(*key_cols, "__ys", "__mu", phi.alias("__phi"))
+
+    # multi-step recursion over the centered tail (last p train values)
+    tail0 = F.transform(
+        F.slice(F.col("__ys"), F.size("__ys") - p + 1, p),
+        lambda x: _r6(x - F.col("__mu")),
+    )
+
+    def fc_step(acc: Column, _h: Column) -> Column:
+        tail = acc["tail"]
+        pred = _r6(
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(p)),
+                F.lit(0.0),
+                lambda s, j: s
+                + F.element_at(F.col("__phi"), j)
+                * F.element_at(tail, p + 1 - j),
+            )
+        )
+        return F.struct(
+            F.concat(F.slice(tail, 2, p - 1), F.array(pred)).alias("tail"),
+            F.concat(acc["out"],
+                     F.array(_r6(F.col("__mu") + pred))).alias("out"),
+        )
+
+    out = F.aggregate(
+        F.sequence(F.lit(1), F.lit(horizon)),
+        F.struct(
+            tail0.alias("tail"),
+            F.array().cast("array<double>").alias("out"),
+        ),
+        fc_step,
+    )["out"]
+    return (
+        with_phi.select(*key_cols, F.posexplode(out).alias("__p", "forecast"))
+        .select(
+            *key_cols,
+            (F.col("__p") + 1).cast("long").alias("h"),
+            "forecast",
+        )
+    )
+
+
+def ar_oracle_sql(
+    series_cte: str,
+    key: str = "event_type",
+    p: int = 24,
+    horizon: int = 24,
+) -> str:
+    """DuckDB replica of ``ar_forecast``: ``series_cte`` must define a
+    CTE named ``series`` with (key, t, y). Autocovariances as list
+    folds, the Levinson walk and the forecast recursion as per-key
+    RECURSIVE CTEs stepping the identical 6-dp trajectory."""
+
+    def R(expr: str) -> str:
+        return f"floor(({expr}) * 1000000.0 + 0.5) / 1000000.0"
+
+    # the recursive step builds state k+1 from state k: the reflection
+    # coefficient lamv is computed in a subquery from the PREVIOUS row
+    # (a has k entries, e is the step-k error variance), with the new
+    # step index spelled k+1 throughout
+    lam = (
+        "CASE WHEN e > 0 THEN "
+        + R(
+            "(cs[lk + 2] - CASE WHEN lk = 0 THEN 0.0 ELSE "
+            "list_reduce(list_transform(generate_series(1, lk), "
+            "j -> a[j] * cs[lk - j + 2]), (x, y) -> x + y) END) / e"
+        )
+        + " ELSE 0.0 END"
+    )
+    pred = R(
+        f"list_reduce(list_transform(generate_series(1, {p}), "
+        f"j -> phi[j] * tail[{p} + 1 - j]), (x, y) -> x + y)"
+    )
+    return f"""
+    WITH RECURSIVE {series_cte},
+    apk AS (SELECT {key}, list(y ORDER BY t) AS ys, count(*) AS n
+            FROM series GROUP BY {key}
+            HAVING count(*) >= {2 * p}),
+    amu AS (SELECT {key}, ys, n,
+                   {R("list_reduce(ys, (x, y) -> x + y) / n")} AS mu
+            FROM apk),
+    acs AS (SELECT {key}, ys, n, mu,
+                   list_transform(generate_series(0, {p}), k ->
+                     {R("list_reduce(list_transform("
+                        "generate_series(1, CAST(n - k AS BIGINT)), i -> "
+                        "(ys[CAST(i AS BIGINT)] - mu) * "
+                        "(ys[CAST(i + k AS BIGINT)] - mu)), "
+                        "(x, y) -> x + y) / n")}) AS cs
+            FROM amu),
+    lev AS (
+      SELECT {key}, ys, n, mu, cs, 0 AS lk,
+             CAST([] AS DOUBLE[]) AS a, cs[1] AS e
+      FROM acs
+      UNION ALL
+      SELECT {key}, ys, n, mu, cs, lk + 1,
+             list_append(
+               CASE WHEN lk = 0 THEN CAST([] AS DOUBLE[])
+                    ELSE list_transform(generate_series(1, lk),
+                      j -> {R("a[j] - lamv * a[lk + 1 - j]")}) END,
+               lamv),
+             {R("e * (1.0 - lamv * lamv)")}
+      FROM (SELECT *, {lam} AS lamv
+            FROM lev WHERE lk < {p}) q1),
+    aphi AS (SELECT {key}, ys, n, mu, a AS phi FROM lev WHERE lk = {p}),
+    fc AS (
+      SELECT {key}, mu, phi, 0 AS h,
+             list_transform(ys[CAST(n - {p} + 1 AS BIGINT):CAST(n AS BIGINT)],
+                            x -> {R("x - mu")}) AS tail,
+             CAST(NULL AS DOUBLE) AS forecast
+      FROM aphi
+      UNION ALL
+      SELECT {key}, mu, phi, h + 1,
+             list_append(tail[2:{p}], {pred}),
+             {R(f"mu + ({pred})")}
+      FROM fc WHERE h < {horizon})
+    SELECT {key}, CAST(h AS BIGINT) AS h, forecast
+    FROM fc WHERE h >= 1
+    """
+
+
+def ar_backtest(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    value_col: str,
+    p: int = 24,
+    horizon: int = 24,
+) -> DataFrame:
+    """Holdout accuracy for ``ar_forecast`` — the same protocol as
+    ``holt_winters_backtest`` (train = series minus its last
+    ``horizon`` buckets via a broadcast per-key cutoff, forecast the
+    held-out tail, join to actuals) so the two models' errors are
+    measured on IDENTICAL folds. Returns (keys..., h, forecast,
+    actual, abs_err)."""
+    cutoff = series.groupBy(*key_cols).agg(
+        (F.max(t_col) - horizon).alias("__cut")
+    )
+    with_cut = series.join(F.broadcast(cutoff), key_cols)
+    train = with_cut.filter(F.col(t_col) <= F.col("__cut")).drop("__cut")
+    fc = ar_forecast(train, key_cols, t_col, value_col, p=p,
+                     horizon=horizon)
+    actual = with_cut.filter(F.col(t_col) > F.col("__cut")).select(
+        *key_cols,
+        (F.col(t_col) - F.col("__cut")).cast("long").alias("h"),
+        F.col(value_col).cast("double").alias("actual"),
+    )
+    return fc.join(actual, [*key_cols, "h"]).select(
+        *key_cols, "h", "forecast", "actual",
+        _r6(F.abs(F.col("forecast") - F.col("actual"))).alias("abs_err"),
+    )
+
+
+def _naive_denominator(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    value_col: str,
+    m: int,
+    horizon: int,
+) -> DataFrame:
+    """Shared MASE denominator: in-sample seasonal-naive MAE on the
+    TRAIN slice (mean |y_t − y_{t−m}|, t ≤ cutoff) — one broadcast
+    cutoff + one self-join of the bucketed series shifted by m. Every
+    model's MASE divides by THIS number, so scores are comparable."""
+    cutoff = series.groupBy(*key_cols).agg(
+        (F.max(t_col) - horizon).alias("__cut")
+    )
+    train = (
+        series.join(F.broadcast(cutoff), key_cols)
+        .filter(F.col(t_col) <= F.col("__cut"))
+        .select(
+            *key_cols, F.col(t_col).alias("__t"),
+            F.col(value_col).cast("double").alias("__y"),
+        )
+    )
+    prev = train.select(
+        *key_cols, (F.col("__t") + m).alias("__t"),
+        F.col("__y").alias("__yprev"),
+    )
+    return (
+        train.join(prev, [*key_cols, "__t"])
+        .groupBy(*key_cols)
+        .agg(_r6(F.avg(F.abs(F.col("__y") - F.col("__yprev"))))
+             .alias("mae_naive"))
+    )
+
+
+def ar_mase(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    value_col: str,
+    p: int = 24,
+    m: int = 24,
+    horizon: int = 24,
+) -> DataFrame:
+    """MASE for the AR(p) holdout — numerator from ``ar_backtest``,
+    denominator the SAME in-sample seasonal-naive MAE as
+    ``holt_winters_mase`` (scale parameter m), so HW and AR skill
+    scores are directly comparable. Returns (keys..., mae_model,
+    mae_naive, mase); NULL mase when the train series is perfectly
+    m-periodic."""
+    bt = ar_backtest(series, key_cols, t_col, value_col, p=p,
+                     horizon=horizon)
+    mae_model = bt.groupBy(*key_cols).agg(
+        _r6(F.avg("abs_err")).alias("mae_model")
+    )
+    mae_naive = _naive_denominator(series, key_cols, t_col, value_col,
+                                   m, horizon)
+    return mae_model.join(mae_naive, key_cols).select(
+        *key_cols, "mae_model", "mae_naive",
+        F.when(
+            F.col("mae_naive") > 0,
+            _r6(F.col("mae_model") / F.col("mae_naive")),
+        ).otherwise(F.lit(None).cast("double")).alias("mase"),
+    )
+
+
+def seasonal_naive_mase(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    value_col: str,
+    m: int = 24,
+    horizon: int = 24,
+) -> DataFrame:
+    """MASE of the seasonal-naive forecaster itself on the SAME holdout
+    fold (ŷ_{T+h} = y_{T+h−m} from the train slice; requires
+    horizon ≤ m, which the module's m = horizon = 24 defaults satisfy):
+    the degenerate baseline every model-selection table needs — if
+    nothing beats this row, ship the naive forecast. Returns
+    (keys..., mae_model, mae_naive, mase)."""
+    if horizon > m:
+        raise ValueError("seasonal-naive holdout needs horizon <= m")
+    cutoff = series.groupBy(*key_cols).agg(
+        (F.max(t_col) - horizon).alias("__cut")
+    )
+    with_cut = series.join(F.broadcast(cutoff), key_cols)
+    fc = with_cut.filter(
+        (F.col(t_col) > F.col("__cut") - m)
+        & (F.col(t_col) <= F.col("__cut") - m + horizon)
+    ).select(
+        *key_cols,
+        (F.col(t_col) - (F.col("__cut") - m)).cast("long").alias("h"),
+        F.col(value_col).cast("double").alias("forecast"),
+    )
+    actual = with_cut.filter(F.col(t_col) > F.col("__cut")).select(
+        *key_cols,
+        (F.col(t_col) - F.col("__cut")).cast("long").alias("h"),
+        F.col(value_col).cast("double").alias("actual"),
+    )
+    mae_model = (
+        fc.join(actual, [*key_cols, "h"])
+        .groupBy(*key_cols)
+        .agg(_r6(F.avg(F.abs(F.col("forecast") - F.col("actual"))))
+             .alias("mae_model"))
+    )
+    mae_naive = _naive_denominator(series, key_cols, t_col, value_col,
+                                   m, horizon)
+    return mae_model.join(mae_naive, key_cols).select(
+        *key_cols, "mae_model", "mae_naive",
+        F.when(
+            F.col("mae_naive") > 0,
+            _r6(F.col("mae_model") / F.col("mae_naive")),
+        ).otherwise(F.lit(None).cast("double")).alias("mase"),
+    )
+
+
+def forecast_model_select(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    value_col: str,
+    m: int = 24,
+    p: int = 24,
+    alpha: float = 0.2,
+    beta: float = 0.1,
+    gamma: float = 0.3,
+    horizon: int = 24,
+) -> DataFrame:
+    """Model selection by MASE (VERDICT r9 #5): Holt-Winters vs AR(p)
+    vs seasonal-naive, each scored on the IDENTICAL holdout fold with
+    the IDENTICAL in-sample naive denominator, long-form one row per
+    (key, model) with ``best`` flagging the per-key minimum (ties to
+    the lexicographically smallest model name via min(struct), an
+    aggregate — no window; NULL-mase rows never win). The table a
+    capacity planner reads instead of trusting any single forecaster.
+
+    Scale shape: three already-audited holdout evaluations (per-key
+    folds over horizon-bounded arrays) + one per-key min aggregate
+    broadcast back."""
+    hw = holt_winters_mase(
+        series, key_cols, t_col, value_col, m=m, alpha=alpha, beta=beta,
+        gamma=gamma, horizon=horizon,
+    ).select(*key_cols, F.lit("holt_winters").alias("model"),
+             "mae_model", "mae_naive", "mase")
+    ar = ar_mase(
+        series, key_cols, t_col, value_col, p=p, m=m, horizon=horizon,
+    ).select(*key_cols, F.lit("ar").alias("model"),
+             "mae_model", "mae_naive", "mase")
+    naive = seasonal_naive_mase(
+        series, key_cols, t_col, value_col, m=m, horizon=horizon,
+    ).select(*key_cols, F.lit("seasonal_naive").alias("model"),
+             "mae_model", "mae_naive", "mase")
+    allm = hw.unionByName(ar).unionByName(naive)
+    winner = (
+        allm.filter(F.col("mase").isNotNull())
+        .groupBy(*key_cols)
+        .agg(
+            F.min(F.struct(F.col("mase").alias("mase"),
+                           F.col("model").alias("model"))).alias("__w")
+        )
+        .select(*key_cols, F.col("__w.model").alias("__best_model"))
+    )
+    return allm.join(F.broadcast(winner), key_cols, "left").select(
+        *key_cols, "model", "mae_model", "mae_naive", "mase",
+        (F.col("model") == F.col("__best_model"))
+        .cast("boolean").alias("best"),
+    ).select(
+        *key_cols, "model", "mae_model", "mae_naive", "mase",
+        F.coalesce(F.col("best"), F.lit(False)).alias("best"),
+    )

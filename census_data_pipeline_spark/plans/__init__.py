@@ -249,6 +249,8 @@ _CHECKED_PREFIX = [
     # r10 new queries
     "graph_coreness",
     "graph_modularity",
+    "events_forecast_ar",
+    "events_forecast_model_select",
     # r10 fingerprint drift: kcore_nodes reworked to frontier-delta
     # maintained degrees (VERDICT r9 #1)
     "graph_kcore",

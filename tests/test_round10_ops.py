@@ -145,3 +145,72 @@ def test_modularity_lpa_recovers_planted_communities(spark):
     rows = {r.community: r for r in graph.modularity(edges, labels)
             .collect()}
     assert rows["<all>"].q_contrib == pytest.approx(0.423076, abs=1e-6)
+
+# --- AR(p) Yule-Walker forecasting -------------------------------------
+
+
+def test_ar_constant_series_forecasts_constant(spark):
+    """c_0 = 0 takes the deterministic zero-reflection branch: the
+    forecast of a constant series is exactly the constant, and a key
+    shorter than 2p drops out."""
+    from census_data_pipeline_spark.operators import forecast
+
+    rows = [("B", t, 5.0) for t in range(1, 21)]
+    rows += [("C", t, float(t)) for t in range(1, 6)]
+    df = spark.createDataFrame(rows, "k string, t int, y double")
+    got = forecast.ar_forecast(df, ["k"], "t", "y", p=3, horizon=4)
+    out = {(r.k, r.h): r.forecast for r in got.collect()}
+    assert out == {("B", h): 5.0 for h in range(1, 5)}
+
+
+def test_ar_learns_alternating_signal(spark):
+    """y = 5 + 3·(−1)^t: AR(1) recovers φ ≈ −0.9 and forecasts the
+    alternation within a small bias; the seasonal-naive at mismatched
+    m=3 flips sign every step (mase 1), so AR must win model
+    selection."""
+    from census_data_pipeline_spark.operators import forecast
+
+    rows = [("A", t, 5.0 + 3.0 * (1 if t % 2 == 0 else -1))
+            for t in range(1, 31)]
+    df = spark.createDataFrame(rows, "k string, t int, y double")
+    fc = {r.h: r.forecast
+          for r in forecast.ar_forecast(df, ["k"], "t", "y",
+                                        p=1, horizon=3).collect()}
+    # last train value is t=30 (even, 8.0): forecasts alternate 2, 8, 2
+    assert abs(fc[1] - 2.0) < 0.8 and abs(fc[2] - 8.0) < 1.2
+    sel = forecast.forecast_model_select(
+        df, ["k"], "t", "y", m=3, p=1, horizon=3)
+    rows = {r.model: r for r in sel.collect()}
+    assert set(rows) == {"holt_winters", "ar", "seasonal_naive"}
+    assert rows["ar"].best and not rows["seasonal_naive"].best
+    assert rows["ar"].mase < 0.5
+    assert rows["seasonal_naive"].mase == pytest.approx(1.0)
+
+
+def test_ar_backtest_fold_matches_hw_protocol(spark):
+    """ar_backtest holds out exactly the last `horizon` buckets and
+    reports 6-dp |errors| against them (same fold as the HW backtest,
+    so MASE numerators are comparable)."""
+    from census_data_pipeline_spark.operators import forecast
+
+    rows = [("A", t, float(t % 7)) for t in range(1, 41)]
+    df = spark.createDataFrame(rows, "k string, t int, y double")
+    bt = forecast.ar_backtest(df, ["k"], "t", "y", p=2, horizon=5)
+    got = {r.h: r for r in bt.collect()}
+    assert sorted(got) == [1, 2, 3, 4, 5]
+    for h, r in got.items():
+        assert r.actual == float((35 + h) % 7)
+        assert r.abs_err == pytest.approx(abs(r.forecast - r.actual),
+                                          abs=1e-6)
+
+
+def test_ar_guards(spark):
+    from census_data_pipeline_spark.operators import forecast
+
+    df = spark.createDataFrame([("A", 1, 1.0)], "k string, t int, y double")
+    with pytest.raises(ValueError, match="p"):
+        forecast.ar_forecast(df, ["k"], "t", "y", p=0)
+    with pytest.raises(ValueError, match="horizon"):
+        forecast.ar_forecast(df, ["k"], "t", "y", p=1, horizon=0)
+    with pytest.raises(ValueError, match="horizon"):
+        forecast.seasonal_naive_mase(df, ["k"], "t", "y", m=3, horizon=5)
