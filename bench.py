@@ -218,6 +218,7 @@ HEADLINE_NEW: list[str] = [
     "graph_modularity",
     "events_forecast_ar",
     "events_forecast_model_select",
+    "quality_pr_auc",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is

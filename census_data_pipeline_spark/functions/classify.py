@@ -1299,6 +1299,123 @@ def logreg_auc_oracle_sql(
     )
 
 
+def logreg_pr_auc(
+    df: DataFrame,
+    label: Column,
+    features: list[tuple[str, Column]],
+    iterations: int = 8,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Precision-Recall AUC of the trained classifier as AVERAGE
+    PRECISION (the sklearn ``average_precision_score`` step-sum
+    AP = Σ_k (R_k − R_{k−1})·P_k over descending score thresholds) —
+    the metric that actually moves on CLASS-IMBALANCED corpora, where
+    ROC-AUC is propped up by the huge true-negative pool (VERDICT r9
+    #7). Computed over the same bounded histogram of 6-dp predicted
+    probabilities as ``logreg_auc`` (bucket, then rank buckets): per
+    distinct score, ΔR = bucket_pos/P and precision =
+    cum_pos/(cum_pos+cum_neg) with ONE descending cumulative window
+    over the ≤10⁶-cell frame; tied scores collapse into one bucket,
+    matching sklearn's tie handling.
+
+    Returns one row: (n_pos, n_neg, prevalence, pr_auc) — prevalence
+    = P/(P+N) is the random-classifier AP, the baseline that makes
+    PR-AUC legible (an AP of 0.3 is strong at 5% prevalence and
+    broken at 50%); pr_auc NULL when there are no positives.
+
+    Scale shape: the shared GD fit, one codegen scoring scan into the
+    partial-aggregated histogram, one window over that bounded frame,
+    one 1-row aggregate — identical cost to the ROC-AUC pass."""
+    z, w, names, margin, _st = _logreg_fit(df, label, features,
+                                           iterations, lr)
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin())), 6)
+    scored = z.crossJoin(F.broadcast(w)).select(
+        F.col("__y"), p.alias("__p")
+    )
+    return _pr_auc_over_scores(scored)
+
+
+def _pr_auc_over_scores(scored: DataFrame) -> DataFrame:
+    """Average precision over a (__y, __p) scored frame: histogram by
+    the 6-dp score, one DESCENDING cumulative window, AP as the
+    recall-weighted precision sum. Returns the 1-row
+    (n_pos, n_neg, prevalence, pr_auc) frame."""
+    hist = scored.groupBy("__p").agg(
+        F.sum("__y").cast("long").alias("__pos"),
+        (F.count("*") - F.sum("__y")).cast("long").alias("__neg"),
+    )
+    win = (
+        Window.orderBy(F.col("__p").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "__pos", "__neg",
+        F.sum("__pos").over(win).alias("__cp"),
+        F.sum("__neg").over(win).alias("__cn"),
+    )
+    return cum.agg(
+        F.sum("__pos").alias("__P"),
+        F.sum("__neg").alias("__N"),
+        F.sum(
+            # double before the multiply: long·long overflows silently
+            # at web-scale cumulative counts
+            F.col("__pos").cast("double") * F.col("__cp")
+            / (F.col("__cp") + F.col("__cn"))
+        ).alias("__ap"),
+    ).select(
+        F.col("__P").cast("long").alias("n_pos"),
+        F.col("__N").cast("long").alias("n_neg"),
+        F.round(F.col("__P") / (F.col("__P") + F.col("__N")), 6)
+        .alias("prevalence"),
+        F.when(
+            F.col("__P") > 0,
+            F.round(F.col("__ap") / F.col("__P"), 6),
+        ).alias("pr_auc"),
+    )
+
+
+def logreg_pr_auc_oracle_sql(
+    table: str,
+    label_sql: str,
+    features_sql: list[tuple[str, str]],
+    iterations: int = 8,
+    lr: float = 0.5,
+) -> str:
+    """DuckDB replica of ``logreg_pr_auc`` — shared GD CTEs, identical
+    round-6 sigmoid, the same descending-score histogram walk and
+    recall-weighted precision sum."""
+    ctes, prev, marg, names = _logreg_oracle_parts(
+        table, label_sql, features_sql, iterations, lr
+    )
+    ctes.append(
+        f"""hist AS (SELECT round(1.0 / (1.0 + exp(-({marg}))), 6) AS p,
+      CAST(sum(y) AS BIGINT) AS pos,
+      CAST(count(*) - sum(y) AS BIGINT) AS neg
+      FROM z CROSS JOIN {prev} GROUP BY 1)"""
+    )
+    ctes.append(
+        """prcum AS (SELECT pos, neg,
+      sum(pos) OVER (ORDER BY p DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS cp,
+      sum(neg) OVER (ORDER BY p DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS cn
+      FROM hist)"""
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + """
+    SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(neg) AS BIGINT) AS n_neg,
+           round(CAST(sum(pos) AS DOUBLE) / (sum(pos) + sum(neg)), 6)
+             AS prevalence,
+           CASE WHEN sum(pos) > 0
+                THEN round(sum(CAST(pos AS DOUBLE) * cp / (cp + cn))
+                           / sum(pos), 6)
+                ELSE NULL END AS pr_auc
+    FROM prcum"""
+    )
+
+
 def logreg_holdout_eval(
     df: DataFrame,
     label: Column,

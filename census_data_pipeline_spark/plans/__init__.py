@@ -251,6 +251,7 @@ _CHECKED_PREFIX = [
     "graph_modularity",
     "events_forecast_ar",
     "events_forecast_model_select",
+    "quality_pr_auc",
     # r10 fingerprint drift: kcore_nodes reworked to frontier-delta
     # maintained degrees (VERDICT r9 #1)
     "graph_kcore",

@@ -214,3 +214,50 @@ def test_ar_guards(spark):
         forecast.ar_forecast(df, ["k"], "t", "y", p=1, horizon=0)
     with pytest.raises(ValueError, match="horizon"):
         forecast.seasonal_naive_mase(df, ["k"], "t", "y", m=3, horizon=5)
+
+# --- PR-AUC (average precision) -----------------------------------------
+
+
+def test_pr_auc_perfect_separation(spark):
+    """A separable rule (x >= 0.6 => positive) scores AP = 1.0 and
+    ROC-AUC = 1.0; prevalence reports the positive rate."""
+    from census_data_pipeline_spark.functions import classify
+
+    pts = [(i / 100.0,) for i in range(101)]
+    df = spark.createDataFrame(pts, "x double")
+    label = F.when(F.col("x") >= 0.6, F.lit(1.0)).otherwise(F.lit(0.0))
+    row = classify.logreg_pr_auc(
+        df, label, [("x", F.col("x"))], iterations=8, lr=2.0
+    ).collect()[0]
+    assert row.pr_auc == pytest.approx(1.0)
+    assert row.n_pos == 41 and row.n_neg == 60
+    assert row.prevalence == pytest.approx(41 / 101, abs=1e-6)
+
+
+def test_pr_auc_random_scores_near_prevalence(spark):
+    """A constant (uninformative) feature gives every row the same
+    score: one histogram bucket, AP = prevalence exactly — the
+    random-classifier baseline the output row documents."""
+    from census_data_pipeline_spark.functions import classify
+
+    rows = [(1.0, 1.0)] * 10 + [(1.0, 0.0)] * 90
+    df = spark.createDataFrame(rows, "x double, y double")
+    row = classify.logreg_pr_auc(
+        df, F.col("y"), [("x", F.col("x"))], iterations=4, lr=0.1
+    ).collect()[0]
+    assert row.pr_auc == pytest.approx(row.prevalence, abs=1e-6)
+    assert row.prevalence == pytest.approx(0.1)
+
+
+def test_pr_auc_matches_sklearn_convention(spark):
+    """Hand-checked AP on a 4-row ranking with one inversion:
+    scores (desc) pos,neg,pos,neg -> AP = 1/2·(1/1) + 1/2·(2/3)
+    = 0.833333 (tie-free step sum)."""
+    from census_data_pipeline_spark.functions import classify
+
+    scored = spark.createDataFrame(
+        [(1.0, 0.9), (0.0, 0.7), (1.0, 0.5), (0.0, 0.3)],
+        "__y double, __p double")
+    row = classify._pr_auc_over_scores(scored).collect()[0]
+    assert row.pr_auc == pytest.approx(0.833333, abs=1e-6)
+    assert row.n_pos == 2 and row.n_neg == 2
