@@ -229,3 +229,28 @@ def test_driver_state_regenerated_after_latest_round(driver_state):
         f"driver_state.json predates CORRECTNESS_r{latest:02d}.json for "
         f"{behind[:5]}… — run: python tools/update_driver_state.py"
     )
+
+
+def test_readme_query_counts_match_registry():
+    """README's prose query counts drifted in r9 (223 vs 243 —
+    VERDICT r9 'What's wrong'); parse every 'N named queries' /
+    'N DuckDB oracles' claim and pin it to the live registry so the
+    next drift is a red test, not a judge finding."""
+    import re
+
+    from census_data_pipeline_spark.plans import ORACLE, QUERIES
+
+    text = open(os.path.join(os.path.dirname(__file__), "..",
+                             "README.md")).read()
+    named = re.findall(r"\((\d+) named queries\)", text)
+    oracles = re.findall(r"\((\d+) DuckDB oracles", text)
+    assert named, "README no longer states the query count"
+    assert oracles, "README no longer states the oracle count"
+    for n in named:
+        assert int(n) == len(QUERIES), (
+            f"README says {n} named queries; registry has {len(QUERIES)}"
+        )
+    for n in oracles:
+        assert int(n) == len(ORACLE), (
+            f"README says {n} DuckDB oracles; registry has {len(ORACLE)}"
+        )
