@@ -82,6 +82,76 @@ def _settle(collector: _ProgressCollector, n_before: int) -> list[dict]:
     return collector.events[n_before:]
 
 
+def _event_time_eviction_scenario(spark, sf_dir, collector) -> dict:
+    """Event-time eviction at stream scale (VERDICT r9 #3): the events
+    table keyed by USER-DAY (an unbounded-key-space stand-in — new keys
+    appear every day and old ones go dead), replayed as 8 ascending-time
+    micro-batches through ``running_user_totals`` with a 1-day
+    ``event_time_horizon_ms``. Keys whose last event falls a day behind
+    the watermark are evicted by their event-time timers, so
+    ``state_rows_peak`` must sit at O(keys live within the horizon) —
+    a small multiple of keys-per-day — not at the total distinct key
+    count a timeout-free run accumulates (reported beside it)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from census_data_pipeline_spark.sources.catalog import load_table
+    from census_data_pipeline_spark.streaming import stateful, windows
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") * F.lit(1000)
+         + F.dayofmonth("ts")).alias("user_id"),
+        "value", "ts",
+    )
+    total_keys = ev.select("user_id").distinct().count()
+    staged_root = tempfile.mkdtemp(prefix="stream_evict_")
+    staged = staged_root + "/events"
+    windows.stage_time_ordered_parquet(ev, "ts", staged, n_chunks=8)
+    stream = windows.stream_from_parquet(
+        spark, staged, ev.schema, max_files_per_trigger=1
+    )
+    n_before = len(collector.events)
+    t0 = time.perf_counter()
+    out = stateful.running_user_totals(
+        stream, event_time_horizon_ms=86_400_000
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("bench_et_evict")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out_rows = spark.table("bench_et_evict").count()
+    finally:
+        q.stop()
+        shutil.rmtree(staged_root, ignore_errors=True)
+    wall = time.perf_counter() - t0
+    progresses = _settle(collector, n_before)
+    batch_ids = {p.get("batchId") for p in progresses
+                 if p.get("numInputRows", 0) > 0}
+    input_rows = sum(p.get("numInputRows", 0) for p in progresses)
+    state_peak = max(
+        (
+            sum(op.get("numRowsTotal", 0)
+                for op in p.get("stateOperators", []))
+            for p in progresses
+        ),
+        default=0,
+    )
+    return {
+        "wall_sec": round(wall, 3),
+        "out_rows": out_rows,
+        "micro_batches": len(batch_ids),
+        "input_rows": input_rows,
+        "state_rows_peak": state_peak,
+        "distinct_keys_total": total_keys,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -117,6 +187,10 @@ def main() -> None:
             "input_rows": input_rows,
             "state_rows_peak": state_peak,
         }
+
+    results["stateful_event_time_eviction"] = _event_time_eviction_scenario(
+        spark, sf_dir, collector
+    )
 
     total = round(sum(r["wall_sec"] for r in results.values()), 3)
     print(

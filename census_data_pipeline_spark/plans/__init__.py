@@ -253,8 +253,12 @@ _CHECKED_PREFIX = [
     "events_forecast_model_select",
     "quality_pr_auc",
     # r10 fingerprint drift: kcore_nodes reworked to frontier-delta
-    # maintained degrees (VERDICT r9 #1)
+    # maintained degrees (VERDICT r9 #1); the two stateful streaming
+    # queries drift under the event_time_horizon_ms eviction knob
+    # (VERDICT r9 #3)
     "graph_kcore",
+    "streaming_user_totals",
+    "streaming_cusum_hourly",
 ]
 
 

@@ -231,3 +231,138 @@ def test_cusum_planted_shift_alarms_and_batch_invariance(spark):
             alarms += 1
             sn = 0.0
     assert a == (60, round(sp, 6), round(sn, 6), alarms)
+
+
+def _run_event_time_replay(spark, path, name, trigger_ms):
+    """Replay the staged 4-file sequence (maxFilesPerTrigger=1) with the
+    event-time horizon and return the emitted row set."""
+    from census_data_pipeline_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    stream = windows.stream_from_parquet(
+        spark, path, spark.read.parquet(path).schema, max_files_per_trigger=1
+    )
+    q = (
+        running_user_totals(stream, event_time_horizon_ms=3_600_000)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime=f"{trigger_ms} milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.n_events, round(r.total_value, 4))
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+    finally:
+        q.stop()
+    return got
+
+
+def test_event_time_horizon_evicts_identically_at_any_replay_speed(
+    spark, tmp_path
+):
+    """event_time_horizon_ms (VERDICT r9 #3): eviction keyed to the
+    WATERMARK, not the wall clock. Four staged files replay as four
+    ordered micro-batches: A's last event is 10:00, the watermark
+    passes 11:00 (A's 1h horizon) in batch 3 while A has no data, so
+    A is evicted and its batch-4 row restarts from zero. The SAME
+    files replayed at a 10× slower trigger evict identically — with
+    the wall-clock knob, replay speed would change the outcome."""
+    from datetime import datetime
+
+    path = str(tmp_path / "et_evict")
+    schema = "user_id long, value double, ts timestamp"
+
+    def write_chunk(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    d = datetime
+    write_chunk([(1, 1.0, d(2026, 1, 1, 10, 0)),
+                 (2, 10.0, d(2026, 1, 1, 10, 0))])
+    write_chunk([(2, 10.0, d(2026, 1, 1, 12, 0))])   # wm -> 10:00, then 12:00
+    write_chunk([(2, 10.0, d(2026, 1, 1, 12, 5))])   # A idle: timer fires
+    write_chunk([(1, 2.0, d(2026, 1, 1, 12, 10))])   # A restarts from zero
+
+    fast = _run_event_time_replay(spark, path, "et_fast", 100)
+    slow = _run_event_time_replay(spark, path, "et_slow", 1000)
+    assert fast == slow
+    assert (1, 1, 1.0) in fast      # A before eviction
+    assert (1, 1, 2.0) in fast      # A restarted from zero after eviction
+    assert (1, 2, 3.0) not in fast  # never continued across the horizon
+    assert (2, 3, 30.0) in fast     # B kept accumulating (timer kept moving)
+
+
+def test_cusum_event_time_horizon_restarts_recursion(spark, tmp_path):
+    """CUSUM + event_time_horizon_ms: t is a TIMESTAMP, the stream is
+    watermarked on it, and a key whose last observation falls a horizon
+    behind the watermark restarts at (0,0,0,0) — no sleeps, the data
+    alone drives eviction."""
+    from datetime import datetime
+
+    from census_data_pipeline_spark.streaming.stateful import cusum_monitor
+
+    path = str(tmp_path / "cusum_et")
+    schema = ("k string, t timestamp, x double, mu0 double, sl double,"
+              " h double")
+
+    def write_chunk(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    d = datetime
+    write_chunk([("b", d(2026, 1, 1, 10, 0), 1.0, 1.0, 0.25, 5.0),
+                 ("b", d(2026, 1, 1, 10, 5), 1.0, 1.0, 0.25, 5.0)])
+    write_chunk([("c", d(2026, 1, 1, 12, 0), 1.0, 1.0, 0.25, 5.0)])
+    write_chunk([("c", d(2026, 1, 1, 12, 5), 1.0, 1.0, 0.25, 5.0)])
+    write_chunk([("b", d(2026, 1, 1, 12, 10), 1.0, 1.0, 0.25, 5.0)])
+
+    stream = windows.stream_from_parquet(
+        spark, path, spark.read.parquet(path).schema, max_files_per_trigger=1
+    )
+    q = (
+        cusum_monitor(stream, key_col="k", t_col="t", x_col="x",
+                      mu_col="mu0", slack_col="sl", h_col="h",
+                      event_time_horizon_ms=3_600_000)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("cusum_et_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            r.n_obs
+            for r in spark.sql(
+                "SELECT n_obs FROM cusum_et_out WHERE key = 'b'"
+            ).collect()
+        )
+    finally:
+        q.stop()
+    # 2 from the first batch, then 1 after watermark-driven eviction
+    assert got == [1, 2]
+
+
+def test_eviction_knobs_mutually_exclusive(spark):
+    from census_data_pipeline_spark.streaming.stateful import (
+        cusum_monitor, running_user_totals,
+    )
+
+    df = spark.readStream.format("rate").load().selectExpr(
+        "value AS user_id", "CAST(value AS DOUBLE) AS value",
+        "timestamp AS ts", "'k' AS k", "timestamp AS t",
+        "CAST(0 AS DOUBLE) AS x", "CAST(0 AS DOUBLE) AS mu0",
+        "CAST(0 AS DOUBLE) AS sl", "CAST(1 AS DOUBLE) AS h",
+    )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        running_user_totals(df, idle_timeout_ms=1000,
+                            event_time_horizon_ms=1000)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        cusum_monitor(df, key_col="k", t_col="t", x_col="x",
+                      mu_col="mu0", slack_col="sl", h_col="h",
+                      idle_timeout_ms=1000, event_time_horizon_ms=1000)
