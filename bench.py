@@ -219,6 +219,9 @@ HEADLINE_NEW: list[str] = [
     "events_forecast_ar",
     "events_forecast_model_select",
     "quality_pr_auc",
+    "graph_clustering",
+    "graph_adamic_adar",
+    "events_trend_theil_sen",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is
@@ -326,9 +329,7 @@ def main() -> None:
 
     total = round(sum(mins.values()), 3)
     shared = round(sum(mins[n] for n in HEADLINE_R02), 3)
-    print(
-        json.dumps(
-            {
+    record = {
                 "metric": "headline_query_latency_total",
                 "value": total,
                 "unit": "sec",
@@ -357,9 +358,20 @@ def main() -> None:
                     ),
                 },
                 "sf": sf,
-            }
-        )
-    )
+    }
+    # full per-query record to disk (VERDICT r9 #2): the driver's
+    # BENCH_r{N}.json keeps only a 2,000-char stdout tail, losing most
+    # of the ~180 per-query timings — committing the complete record
+    # (SPARK_GRAFT_BENCH_OUT, e.g. BENCH_LOCAL_r10.json) makes
+    # round-over-round regressions auditable from artifacts;
+    # tests/test_registry_order.py asserts the latest committed record
+    # covers every current HEADLINE query.
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(record, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    print(json.dumps(record))
     spark.stop()
 
 

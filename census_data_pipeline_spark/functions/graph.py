@@ -807,3 +807,220 @@ def modularity_oracle_sql(
            CAST(SUM(degree_sum) AS BIGINT),
            ROUND(COALESCE(SUM(q_contrib), 0.0), 6)
     FROM mper"""
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient per node + global transitivity —
+    the density diagnostics beside ``modularity`` (Watts & Strogatz
+    1998; Newman's transitivity): c(v) = tri(v) / (deg(v)·(deg(v)−1)/2)
+    over the symmetrized simple graph, 0 for degree-<2 nodes (the
+    networkx convention). Returns one row per node — (id, degree,
+    triangles, coeff) — plus an ``<all>`` row whose coeff is the GLOBAL
+    transitivity 3·|triangles| / |wedges| (wedges = Σ_v C(deg v, 2)),
+    with degree = Σ deg and triangles = the distinct triangle count.
+
+    Scale shape: ``triangle_counts``'s degree-ordered orientation
+    (wedge volume O(m^{3/2}) regardless of skew) plus one degree agg
+    and a node-scale left join; the global row is a 1-row aggregate.
+    Cite: reference has no graph tier; extends SURVEY §2.11."""
+    e = ensure_parallelism(edges).select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    )
+    und = (
+        e.select(
+            F.least(F.col("src"), F.col("dst")).alias("a"),
+            F.greatest(F.col("src"), F.col("dst")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .union(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("__deg"))
+    )
+    tri = triangle_counts(und, src="a", dst="b")
+    per = (
+        deg.join(tri, "id", "left")
+        .select(
+            "id",
+            F.col("__deg").cast("long").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0))
+            .cast("long").alias("triangles"),
+            F.when(
+                F.col("__deg") >= 2,
+                F.round(
+                    F.coalesce(F.col("triangles"), F.lit(0))
+                    / (F.col("__deg").cast("double")
+                       * (F.col("__deg") - 1) / F.lit(2.0)),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("coeff"),
+        )
+    )
+    grand = per.agg(
+        F.sum("degree").alias("degree"),
+        (F.sum("triangles") / 3).cast("long").alias("triangles"),
+        F.round(
+            F.coalesce(
+                F.sum("triangles")
+                # double before the multiply: deg² in long overflows on
+                # billion-degree hubs
+                / F.sum(F.col("degree").cast("double")
+                        * (F.col("degree") - 1) / F.lit(2.0)),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("coeff"),
+    ).select(
+        F.lit("<all>").alias("id"), "degree", "triangles", "coeff"
+    )
+    return per.unionByName(grand)
+
+
+def clustering_oracle_sql(edges_sql: str) -> str:
+    """DuckDB replica of ``clustering_coefficient``: canonical simple
+    pairs, textbook id-ordered 3-way triangle join (orientation-
+    invariant, so it matches the engine's degree-ordered pass),
+    symmetric degrees, identical coefficient arithmetic and the
+    '<all>' transitivity row. ``edges_sql`` selects (src, dst)."""
+    return f"""WITH ce AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM ({edges_sql}) ge WHERE src <> dst),
+    cdeg AS (SELECT id, count(*) AS d FROM (
+        SELECT a AS id FROM ce UNION ALL SELECT b FROM ce) u
+      GROUP BY id),
+    ct AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM ce e1 JOIN ce e2 ON e1.b = e2.a
+                      JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b),
+    ctri AS (SELECT id, count(*) AS tri FROM (
+        SELECT x AS id FROM ct
+        UNION ALL SELECT y FROM ct
+        UNION ALL SELECT z FROM ct) n
+      GROUP BY id),
+    cper AS (
+      SELECT d.id,
+             CAST(d.d AS BIGINT) AS degree,
+             CAST(COALESCE(t.tri, 0) AS BIGINT) AS triangles,
+             CASE WHEN d.d >= 2 THEN
+               ROUND(COALESCE(t.tri, 0) / (d.d * (d.d - 1) / 2.0), 6)
+             ELSE 0.0 END AS coeff
+      FROM cdeg d LEFT JOIN ctri t ON t.id = d.id)
+    SELECT id, degree, triangles, coeff FROM cper
+    UNION ALL
+    SELECT '<all>', CAST(SUM(degree) AS BIGINT),
+           CAST(SUM(triangles) / 3 AS BIGINT),
+           ROUND(COALESCE(SUM(triangles)
+                 / SUM(degree * (degree - 1) / 2.0), 0.0), 6)
+    FROM cper"""
+
+
+def adamic_adar_topk(
+    edges: DataFrame,
+    k: int = 50,
+    max_degree: int = 1000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Adamic–Adar link prediction (Adamic & Adar 2003): for every
+    non-adjacent node pair sharing ≥1 common neighbor, score
+    AA(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w), and return the global
+    top-``k`` candidate pairs — the "who should be linked" signal a
+    curation pipeline uses for entity linkage / recommendation audits.
+    Returns (src, dst, score, rank) with src < dst, rank 1..k by
+    (score desc, src, dst) — a total order, so both engines pick the
+    identical set.
+
+    Scale shape: candidate pairs are generated as 2-paths through
+    common neighbors with deg(w) ≤ ``max_degree`` — the HUB CAP that
+    bounds wedge volume at Σ_{deg(w)≤cap} deg(w)² ≤ cap·2m instead of
+    the Σ deg² a celebrity node makes quadratic (the standard
+    Adamic-Adar practicality; a hub's 1/ln(deg) contribution is also
+    the least informative, which is the metric's own point). One
+    degree agg, one self-join on the capped apex, one groupBy(pair)
+    partial-aggregated score sum, an existing-edge anti-join, and a
+    bounded global top-k via TakeOrderedAndProject (orderBy + limit —
+    never a full sort materialization). Weak-signal caveat: scores
+    round to 6 dp before ranking so float summation order cannot
+    reorder ties across engines."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if max_degree < 2:
+        raise ValueError("max_degree must be >= 2")
+    e = ensure_parallelism(edges).select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    )
+    sym = (
+        e.unionByName(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("__deg"))
+    # apex = common neighbor w with its weight; cap kills hub wedges
+    apex = (
+        sym.join(deg.filter(F.col("__deg") <= max_degree), "src")
+        .select(
+            F.col("src").alias("w"), F.col("dst").alias("n"),
+            (F.lit(1.0) / F.log(F.col("__deg"))).alias("__wt"),
+        )
+    )
+    l, r = apex.alias("l"), apex.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.w") == F.col("r.w"))
+               & (F.col("l.n") < F.col("r.n")))
+        .groupBy(F.col("l.n").alias("src"), F.col("r.n").alias("dst"))
+        .agg(F.round(F.sum("l.__wt"), 6).alias("score"))
+    )
+    existing = sym.filter(F.col("src") < F.col("dst"))
+    cand = pairs.join(existing, ["src", "dst"], "left_anti")
+    top = cand.orderBy(
+        F.col("score").desc(), F.col("src"), F.col("dst")
+    ).limit(k)
+    # unpartitioned window is safe here: it runs over the ≤k-row
+    # TakeOrderedAndProject output, never the candidate frame
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col("src"), F.col("dst"))
+    return top.select(
+        "src", "dst", "score",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+def adamic_adar_oracle_sql(
+    edges_sql: str, k: int = 50, max_degree: int = 1000
+) -> str:
+    """DuckDB replica of ``adamic_adar_topk``: identical symmetrize,
+    hub-capped apex weights, pair score sum rounded at 6 dp BEFORE
+    ranking, existing-edge anti-join, and the same (score desc, src,
+    dst) total order."""
+    return f"""WITH aae AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM ({edges_sql}) r0
+        UNION ALL SELECT dst, src FROM ({edges_sql}) r1) u
+      WHERE src <> dst),
+    adeg AS (SELECT src AS w, count(*) AS d FROM aae GROUP BY src),
+    apex AS (
+      SELECT e.src AS w, e.dst AS n, 1.0 / ln(d.d) AS wt
+      FROM aae e JOIN adeg d ON d.w = e.src
+      WHERE d.d <= {max_degree}),
+    prs AS (
+      SELECT l.n AS src, r.n AS dst, ROUND(SUM(l.wt), 6) AS score
+      FROM apex l JOIN apex r ON l.w = r.w AND l.n < r.n
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT p.src, p.dst, p.score FROM prs p
+      WHERE NOT EXISTS (SELECT 1 FROM aae x
+                        WHERE x.src = p.src AND x.dst = p.dst)),
+    ranked AS (
+      SELECT src, dst, score,
+             row_number() OVER (ORDER BY score DESC, src, dst) AS rank
+      FROM cand)
+    SELECT src, dst, score, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {k}"""

@@ -1022,3 +1022,141 @@ def chi2_independence_oracle_sql(
                  + 1.644854 * sqrt(2.0 / (9.0 * ((ka - 1) * (kb - 1))))
                    AS wh
           FROM agg) w"""
+
+
+def grouped_theil_sen(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Theil–Sen robust trend (Theil 1950 / Sen 1968): slope
+    = MEDIAN of all pairwise slopes (y_j−y_i)/(x_j−x_i) over x_i < x_j,
+    intercept = median of (y_i − slope·x_i) — the outlier-resistant
+    rival to ``grouped_ols_trend`` (a single corrupted bucket moves OLS
+    arbitrarily; Theil–Sen has a 29% breakdown point). Returns
+    (groups..., n_points, n_pairs, slope, intercept), 6-dp rounded;
+    equal-x pairs are skipped (their slope is undefined — the standard
+    convention), and a group whose x is constant drops out entirely.
+
+    Exact medians with NO driver/array state: the pair frame is a
+    group-co-partitioned self-join (x_i < x_j), the median is extracted
+    by one row_number window per group + the two middle ranks averaged
+    (⌊(n+1)/2⌋ / ⌊(n+2)/2⌋ — both engines pick identical positions; tied
+    slope VALUES make rank-order ambiguity harmless). Intercepts reuse
+    the ROUNDED median slope so both engines walk identical arithmetic.
+
+    Scale contract: pair volume is Σ_g n_g² — quadratic in the GROUP
+    size by definition of the estimator, so feed it bounded per-group
+    series (the hourly/bucketed frames every trend query here uses:
+    ~700 buckets → ~245k pairs per group, distributed across the pair
+    shuffle, never a single partition). Data-scale inputs belong in
+    ``grouped_ols_trend``."""
+    from pyspark.sql import Window
+
+    d = (
+        df.na.drop(subset=[x_col, y_col])
+        .select(
+            *group_cols,
+            F.col(x_col).cast("double").alias("__x"),
+            F.col(y_col).cast("double").alias("__y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a, b = d.alias("a"), d.alias("b")
+    cond = F.col("a.__x") < F.col("b.__x")
+    for g in group_cols:
+        cond = cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
+    slopes = a.join(b, cond).select(
+        *[F.col(f"a.{g}").alias(g) for g in group_cols],
+        ((F.col("b.__y") - F.col("a.__y"))
+         / (F.col("b.__x") - F.col("a.__x"))).alias("__s"),
+    )
+    win = Window.partitionBy(*group_cols).orderBy("__s")
+    cnt = slopes.groupBy(*group_cols).agg(F.count("*").alias("__np"))
+    med_slope = (
+        slopes.withColumn("__rk", F.row_number().over(win))
+        .join(F.broadcast(cnt), group_cols)
+        .filter(
+            (F.col("__rk") == F.floor((F.col("__np") + 1) / 2))
+            | (F.col("__rk") == F.floor((F.col("__np") + 2) / 2))
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.round(F.avg("__s"), 6).alias("slope"),
+            F.first("__np").alias("n_pairs"),
+        )
+    )
+    with_slope = d.join(F.broadcast(med_slope), group_cols).select(
+        *group_cols, "slope", "n_pairs",
+        (F.col("__y") - F.col("slope") * F.col("__x")).alias("__i"),
+    )
+    iwin = Window.partitionBy(*group_cols).orderBy("__i")
+    icnt = with_slope.groupBy(*group_cols).agg(
+        F.count("*").alias("__ni")
+    )
+    return (
+        with_slope.withColumn("__rk", F.row_number().over(iwin))
+        .join(F.broadcast(icnt), group_cols)
+        .filter(
+            (F.col("__rk") == F.floor((F.col("__ni") + 1) / 2))
+            | (F.col("__rk") == F.floor((F.col("__ni") + 2) / 2))
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.first("__ni").cast("long").alias("n_points"),
+            F.first("n_pairs").cast("long").alias("n_pairs"),
+            F.first("slope").alias("slope"),
+            F.round(F.avg("__i"), 6).alias("intercept"),
+        )
+    )
+
+
+def grouped_theil_sen_oracle_sql(
+    src_sql: str,
+    group_sql: list[str],
+    x_sql: str,
+    y_sql: str,
+) -> str:
+    """DuckDB replica of ``grouped_theil_sen`` — identical pair join,
+    middle-rank median positions, rounded-slope intercept residuals.
+    ``src_sql`` is a FROM-able relation (table or parenthesized
+    subquery with alias)."""
+    keys = ", ".join(group_sql)
+    akeys = ", ".join(f"a.{g}" for g in group_sql)
+    join_on = " AND ".join(f"a.{g} = b.{g}" for g in group_sql)
+    return f"""WITH td AS MATERIALIZED (
+      SELECT {keys}, CAST({x_sql} AS DOUBLE) AS x,
+             CAST({y_sql} AS DOUBLE) AS y
+      FROM {src_sql}
+      WHERE ({x_sql}) IS NOT NULL AND ({y_sql}) IS NOT NULL),
+    tprs AS (
+      SELECT {akeys}, (b.y - a.y) / (b.x - a.x) AS s
+      FROM td a JOIN td b ON {join_on} AND a.x < b.x),
+    trk AS (
+      SELECT {keys}, s,
+             row_number() OVER (PARTITION BY {keys} ORDER BY s) AS rk,
+             count(*) OVER (PARTITION BY {keys}) AS np
+      FROM tprs),
+    tmed AS (
+      SELECT {keys}, ROUND(AVG(s), 6) AS slope, ANY_VALUE(np) AS np
+      FROM trk
+      WHERE rk = CAST(floor((np + 1) / 2) AS BIGINT)
+         OR rk = CAST(floor((np + 2) / 2) AS BIGINT)
+      GROUP BY {keys}),
+    tic AS (
+      SELECT {akeys}, m.slope, m.np, a.y - m.slope * a.x AS i
+      FROM td a JOIN tmed m ON {" AND ".join(f"a.{g} = m.{g}" for g in group_sql)}),
+    tirk AS (
+      SELECT {keys}, slope, np, i,
+             row_number() OVER (PARTITION BY {keys} ORDER BY i) AS rk,
+             count(*) OVER (PARTITION BY {keys}) AS ni
+      FROM tic)
+    SELECT {keys}, CAST(ANY_VALUE(ni) AS BIGINT) AS n_points,
+           CAST(ANY_VALUE(np) AS BIGINT) AS n_pairs,
+           ANY_VALUE(slope) AS slope,
+           ROUND(AVG(i), 6) AS intercept
+    FROM tirk
+    WHERE rk = CAST(floor((ni + 1) / 2) AS BIGINT)
+       OR rk = CAST(floor((ni + 2) / 2) AS BIGINT)
+    GROUP BY {keys}"""

@@ -252,6 +252,9 @@ _CHECKED_PREFIX = [
     "events_forecast_ar",
     "events_forecast_model_select",
     "quality_pr_auc",
+    "graph_clustering",
+    "graph_adamic_adar",
+    "events_trend_theil_sen",
     # r10 fingerprint drift: kcore_nodes reworked to frontier-delta
     # maintained degrees (VERDICT r9 #1); the two stateful streaming
     # queries drift under the event_time_horizon_ms eviction knob

@@ -3525,6 +3525,46 @@ def events_trend_by_type(spark, sf_dir):
     return grouped_ols_trend(pts, ["event_type"], "x", "y")
 
 
+from census_data_pipeline_spark.operators.rollup import (  # noqa: E402
+    grouped_theil_sen_oracle_sql,
+)
+
+
+@query(
+    "events_trend_theil_sen",
+    oracle=grouped_theil_sen_oracle_sql(_OLS_EVENTS_SRC, ["event_type"],
+                                        "x", "y"),
+)
+def events_trend_theil_sen(spark, sf_dir):
+    """Robust per-segment trend (operators/rollup.grouped_theil_sen):
+    Theil–Sen slope/intercept of hourly event volume per event type —
+    the 29%-breakdown-point rival to events_trend_by_type's OLS, the
+    estimator that shrugs off the outage spikes and backfill bursts
+    that move OLS arbitrarily. Exact pair-slope medians with no driver
+    state: group-co-partitioned pair self-join (~bucket² pairs per key,
+    bounded by the hourly horizon), one row_number window per median,
+    intercept residuals against the ROUNDED median slope so both
+    engines walk identical arithmetic. On this stationary synthetic
+    stream the robust slopes sit near zero, agreeing with OLS — the
+    honest no-trend cross-check."""
+    from census_data_pipeline_spark.operators.rollup import (
+        grouped_theil_sen,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hb")
+    ).agg(F.count("*").alias("y"))
+    lo = hourly.agg(F.min("hb").alias("__lo"))
+    pts = hourly.crossJoin(F.broadcast(lo)).select(
+        "event_type",
+        ((F.unix_micros("hb") - F.unix_micros("__lo"))
+         / F.lit(3.6e9)).alias("x"),
+        "y",
+    )
+    return grouped_theil_sen(pts, ["event_type"], "x", "y")
+
+
 @query(
     "orders_welch_by_priority",
     oracle=welch_t_test_oracle_sql(

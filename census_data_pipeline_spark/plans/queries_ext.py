@@ -4232,6 +4232,83 @@ def graph_coreness(spark, sf_dir):
     return _g.coreness(e)
 
 
+_TRI_EDGES_SQL = """SELECT CAST(a.l_partkey AS VARCHAR) AS src,
+             CAST(b.l_partkey AS VARCHAR) AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2"""
+
+
+@query(
+    "graph_clustering",
+    oracle=graph.clustering_oracle_sql(_TRI_EDGES_SQL),
+)
+def graph_clustering(spark, sf_dir):
+    """Local clustering coefficient + global transitivity
+    (functions/graph.clustering_coefficient) over the part co-purchase
+    graph — the density diagnostic beside graph_modularity: per part,
+    triangles / possible neighbor pairs (0 for degree-<2 nodes), plus
+    the '<all>' transitivity row 3·|triangles|/|wedges|. The engine
+    counts triangles with the degree-ordered orientation (wedge volume
+    O(m^{3/2}) on any skew); the oracle runs the textbook id-ordered
+    3-way join — the triangle set is orientation-invariant, so every
+    coefficient matches exactly."""
+    from census_data_pipeline_spark.functions import graph as _g
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select(F.col("src").cast("string").alias("src"),
+                F.col("dst").cast("string").alias("dst"))
+    )
+    return _g.clustering_coefficient(edges)
+
+
+@query(
+    "graph_adamic_adar",
+    oracle=graph.adamic_adar_oracle_sql(_LPA_EDGES_SQL, k=50,
+                                        max_degree=64),
+)
+def graph_adamic_adar(spark, sf_dir):
+    """Adamic–Adar link prediction (functions/graph.adamic_adar_topk)
+    over the sparse customer–supplier purchase graph: the top-50
+    non-adjacent pairs ranked by Σ 1/ln(deg) over shared neighbors —
+    on this bipartite graph the candidates are customer–customer (or
+    supplier–supplier) pairs tied through shared RARE counterparties,
+    the entity-linkage audit signal. Hub cap max_degree=64 bounds the
+    wedge volume at cap·2m (a celebrity supplier contributes the least
+    information anyway — 1/ln(deg) — which is the metric's own point);
+    scores round to 6 dp before the (score desc, src, dst) total-order
+    rank, so both engines select the identical 50 pairs."""
+    from census_data_pipeline_spark.functions import graph as _g
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 45
+    ).select("l_orderkey", "l_suppkey")
+    e = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    return _g.adamic_adar_topk(e, k=50, max_degree=64)
+
+
 @query(
     "quality_mi_features",
     oracle=classify.mutual_information_oracle_sql(

@@ -254,3 +254,27 @@ def test_readme_query_counts_match_registry():
         assert int(n) == len(ORACLE), (
             f"README says {n} DuckDB oracles; registry has {len(ORACLE)}"
         )
+
+
+def test_latest_bench_local_record_covers_every_headline_query():
+    """The builder's full bench record (VERDICT r9 #2): the newest
+    committed BENCH_LOCAL_r*.json must carry a min AND mean for every
+    query in the CURRENT bench HEADLINE list — so adding a headline
+    query without re-running (and committing) the full bench is a red
+    test, and per-query regressions stay auditable from artifacts."""
+    import re as _re
+
+    import bench
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    records = sorted(
+        glob.glob(os.path.join(root, "BENCH_LOCAL_r*.json")),
+        key=lambda p: int(_re.search(r"_r(\d+)", p).group(1)),
+    )
+    assert records, "no BENCH_LOCAL_r*.json committed"
+    rec = json.load(open(records[-1]))
+    missing_min = sorted(set(bench.HEADLINE) - set(rec["queries"]))
+    missing_mean = sorted(set(bench.HEADLINE) - set(rec["queries_mean"]))
+    assert not missing_min, f"headline queries without a recorded min: {missing_min}"
+    assert not missing_mean, f"headline queries without a recorded mean: {missing_mean}"
+    assert "calibration" in rec and "baseline_sec" in rec["calibration"]

@@ -261,3 +261,112 @@ def test_pr_auc_matches_sklearn_convention(spark):
     row = classify._pr_auc_over_scores(scored).collect()[0]
     assert row.pr_auc == pytest.approx(0.833333, abs=1e-6)
     assert row.n_pos == 2 and row.n_neg == 2
+
+# --- clustering coefficient ---------------------------------------------
+
+
+def test_clustering_coefficient_known_graph(spark):
+    """Triangle with a pendant: the triangle nodes have coeff 1 except
+    the one carrying the pendant (deg 3, 1 triangle -> 1/3); pendant
+    deg 1 -> 0. Global transitivity = 3·1 / (1+1+3+0 wedges... = 3/5)."""
+    from census_data_pipeline_spark.functions import graph
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "p")],
+        "src string, dst string")
+    rows = {r.id: r for r in graph.clustering_coefficient(edges)
+            .collect()}
+    assert rows["b"].coeff == 1.0 and rows["c"].coeff == 1.0
+    assert rows["a"].degree == 3 and rows["a"].triangles == 1
+    assert rows["a"].coeff == pytest.approx(1 / 3, abs=1e-6)
+    assert rows["p"].coeff == 0.0 and rows["p"].degree == 1
+    # wedges: C(3,2)+C(2,2)+C(2,2)+C(1,2) = 3+1+1+0 = 5
+    assert rows["<all>"].triangles == 1
+    assert rows["<all>"].coeff == pytest.approx(3 / 5, abs=1e-6)
+
+
+def test_clustering_coefficient_clique_is_one(spark):
+    from census_data_pipeline_spark.functions import graph
+
+    k4 = [(f"n{i}", f"n{j}") for i in range(4) for j in range(i + 1, 4)]
+    df = spark.createDataFrame(k4, "src string, dst string")
+    rows = {r.id: r.coeff for r in graph.clustering_coefficient(df)
+            .collect()}
+    assert all(c == 1.0 for c in rows.values())
+
+
+# --- Adamic-Adar link prediction ----------------------------------------
+
+
+def test_adamic_adar_scores_and_excludes_existing(spark):
+    """Square a-b-c-d-a: the two diagonals are the only candidates,
+    each scoring 2/ln(2); existing edges never appear; rank order is
+    the (score desc, src, dst) total order."""
+    import math
+
+    from census_data_pipeline_spark.functions import graph
+
+    square = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    df = spark.createDataFrame(square, "src string, dst string")
+    rows = graph.adamic_adar_topk(df, k=10).collect()
+    got = {(r.src, r.dst): (r.score, r.rank) for r in rows}
+    want_score = round(2 / math.log(2), 6)
+    assert set(got) == {("a", "c"), ("b", "d")}
+    assert got[("a", "c")] == (want_score, 1)
+    assert got[("b", "d")] == (want_score, 2)
+
+
+def test_adamic_adar_hub_cap_drops_celebrity_wedges(spark):
+    """A hub connected to everyone creates wedges between all pairs;
+    with max_degree below the hub's degree those wedges vanish and
+    only the low-degree common neighbor contributes."""
+    from census_data_pipeline_spark.functions import graph
+
+    hub = [("hub", f"x{i}") for i in range(6)]
+    shared = [("w", "x0"), ("w", "x1")]
+    df = spark.createDataFrame(hub + shared, "src string, dst string")
+    rows = graph.adamic_adar_topk(df, k=100, max_degree=5).collect()
+    got = {(r.src, r.dst) for r in rows}
+    assert ("x0", "x1") in got          # via w (deg 2 <= cap)
+    assert ("x2", "x3") not in got      # only via the capped hub
+    with pytest.raises(ValueError, match="k"):
+        graph.adamic_adar_topk(df, k=0)
+    with pytest.raises(ValueError, match="max_degree"):
+        graph.adamic_adar_topk(df, k=5, max_degree=1)
+
+
+# --- Theil-Sen robust trend ---------------------------------------------
+
+
+def test_theil_sen_exact_on_clean_line(spark):
+    """y = 3x + 7 exactly: every pair slope is 3, every residual 7."""
+    from census_data_pipeline_spark.operators.rollup import (
+        grouped_theil_sen,
+    )
+
+    pts = [("g", float(x), 3.0 * x + 7.0) for x in range(20)]
+    df = spark.createDataFrame(pts, "g string, x double, y double")
+    row = grouped_theil_sen(df, ["g"], "x", "y").collect()[0]
+    assert row.slope == pytest.approx(3.0)
+    assert row.intercept == pytest.approx(7.0)
+    assert row.n_points == 20 and row.n_pairs == 190
+
+
+def test_theil_sen_shrugs_off_outlier_where_ols_moves(spark):
+    """One wild outlier: OLS slope is dragged far from 1; the Theil-Sen
+    median slope stays at 1 (the estimator's whole point)."""
+    from census_data_pipeline_spark.operators.rollup import (
+        grouped_ols_trend, grouped_theil_sen,
+    )
+
+    pts = [("g", float(x), float(x)) for x in range(21)]
+    pts[20] = ("g", 20.0, 1000.0)  # corrupted endpoint (max leverage)
+    df = spark.createDataFrame(pts, "g string, x double, y double")
+    ts = grouped_theil_sen(df, ["g"], "x", "y").collect()[0]
+    ols = grouped_ols_trend(df, ["g"], "x", "y").collect()[0]
+    assert ts.slope == pytest.approx(1.0, abs=0.01)
+    assert abs(ols.slope - 1.0) > 1.0
+    # constant-x group drops out (no defined pair slope)
+    flat = spark.createDataFrame(
+        [("h", 1.0, 1.0), ("h", 1.0, 2.0)], "g string, x double, y double")
+    assert grouped_theil_sen(flat, ["g"], "x", "y").count() == 0

@@ -181,7 +181,7 @@ def main() -> None:
         "gbt_stumps": "d", "trustrank": "g", "dbscan": "d",
         "pca_catalyst": "e", "pca_arrow": "e", "bfs": "g",
         "forecast_hw": "v", "survival_km": "v", "random_forest": "d",
-        "kcore": "g",
+        "kcore": "g", "coreness": "g",
     }
     _filter_env = os.environ.get("SPARK_GRAFT_REHEARSAL_FAMILIES")
     if _filter_env:
@@ -436,6 +436,14 @@ def main() -> None:
         from census_data_pipeline_spark.functions import graph as _g
         return _g.kcore_nodes(g, k=4, rounds=8)
 
+    def fam_coreness(d, e, g, v):
+        # full all-k decomposition; the amplified graph is disconnected
+        # key-shifted copies, so the peel DEPTH stays constant across
+        # decades (copies peel in parallel) while per-round cost grows
+        # with the data — the design claim the rehearsal checks
+        from census_data_pipeline_spark.functions import graph as _g
+        return _g.coreness(g)
+
     families = {
         "minhash_lsh_capped": fam_minhash_capped,
         "minhash_lsh_uncapped": fam_minhash_uncapped,
@@ -459,6 +467,7 @@ def main() -> None:
         "survival_km": fam_survival_km,
         "random_forest": fam_random_forest,
         "kcore": fam_kcore,
+        "coreness": fam_coreness,
         "bfs": fam_bfs,
     }
 
