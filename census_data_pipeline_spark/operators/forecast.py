@@ -368,40 +368,17 @@ def holt_winters_mase(
     )
 
 
-def ar_forecast(
+def _ar_phi_frame(
     series: DataFrame,
     key_cols: list[str],
     t_col: str,
     value_col: str,
-    p: int = 24,
-    horizon: int = 24,
+    p: int,
 ) -> DataFrame:
-    """AR(p) forecast per key by CLOSED-FORM Yule–Walker (VERDICT r9
-    #5): biased autocovariances c_0..c_p from the mean-centered series,
-    the Toeplitz system solved by the Levinson–Durbin recursion (the
-    standard O(p²) closed-form walk — p scalar/vector steps, no matrix
-    inverse), then the multi-step AR recursion ŷ_{T+h} = ȳ +
-    Σ_j φ_j·(ỹ_{T+h−j} − ȳ) feeding its own forecasts forward.
-    Returns (keys..., h, forecast) for h = 1..``horizon`` — the same
-    contract as ``holt_winters_forecast`` so MASE can referee the two.
-
-    Keys with fewer than 2p buckets are dropped (same guard class as
-    HW's 2m). Degenerate steps are deterministic, not NaN: a constant
-    series (c_0 = 0) or a step where the prediction-error variance
-    hits 0 takes reflection coefficient 0 — both engines walk the same
-    branch. Every scalar is rounded to 6 dp per step (``_r6``), so the
-    DuckDB oracle (per-key recursive CTEs walking the identical
-    Levinson and forecast trajectories) matches exactly.
-
-    Scale shape: identical to Holt-Winters — ONE hash agg upstream
-    builds the bucketed series; everything here is per-key Catalyst
-    ``aggregate`` folds over horizon-bounded arrays (p+1 covariance
-    sums, p Levinson steps, ``horizon`` forecast steps), JVM-side, no
-    UDF, no window over data-scale rows."""
-    if p < 1:
-        raise ValueError("p must be >= 1")
-    if horizon < 1:
-        raise ValueError("horizon must be >= 1")
+    """Shared Yule–Walker fit: per key (≥ 2p buckets), the sorted value
+    array, its 6-dp mean, and the AR(p) coefficients from the
+    Levinson–Durbin walk — the (keys..., __ys, __mu, __phi) frame
+    ``ar_forecast`` and ``ar_ljung_box`` both start from."""
     arr = F.transform(
         F.array_sort(
             F.collect_list(F.struct(F.col(t_col).alias("t"),
@@ -472,7 +449,44 @@ def ar_forecast(
         ),
         lev_step,
     )["a"]
-    with_phi = with_cs.select(*key_cols, "__ys", "__mu", phi.alias("__phi"))
+    return with_cs.select(*key_cols, "__ys", "__mu", phi.alias("__phi"))
+
+
+def ar_forecast(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    value_col: str,
+    p: int = 24,
+    horizon: int = 24,
+) -> DataFrame:
+    """AR(p) forecast per key by CLOSED-FORM Yule–Walker (VERDICT r9
+    #5): biased autocovariances c_0..c_p from the mean-centered series,
+    the Toeplitz system solved by the Levinson–Durbin recursion (the
+    standard O(p²) closed-form walk — p scalar/vector steps, no matrix
+    inverse), then the multi-step AR recursion ŷ_{T+h} = ȳ +
+    Σ_j φ_j·(ỹ_{T+h−j} − ȳ) feeding its own forecasts forward.
+    Returns (keys..., h, forecast) for h = 1..``horizon`` — the same
+    contract as ``holt_winters_forecast`` so MASE can referee the two.
+
+    Keys with fewer than 2p buckets are dropped (same guard class as
+    HW's 2m). Degenerate steps are deterministic, not NaN: a constant
+    series (c_0 = 0) or a step where the prediction-error variance
+    hits 0 takes reflection coefficient 0 — both engines walk the same
+    branch. Every scalar is rounded to 6 dp per step (``_r6``), so the
+    DuckDB oracle (per-key recursive CTEs walking the identical
+    Levinson and forecast trajectories) matches exactly.
+
+    Scale shape: identical to Holt-Winters — ONE hash agg upstream
+    builds the bucketed series; everything here is per-key Catalyst
+    ``aggregate`` folds over horizon-bounded arrays (p+1 covariance
+    sums, p Levinson steps, ``horizon`` forecast steps), JVM-side, no
+    UDF, no window over data-scale rows."""
+    if p < 1:
+        raise ValueError("p must be >= 1")
+    if horizon < 1:
+        raise ValueError("horizon must be >= 1")
+    with_phi = _ar_phi_frame(series, key_cols, t_col, value_col, p)
 
     # multi-step recursion over the centered tail (last p train values)
     tail0 = F.transform(
@@ -515,20 +529,16 @@ def ar_forecast(
     )
 
 
-def ar_oracle_sql(
-    series_cte: str,
-    key: str = "event_type",
-    p: int = 24,
-    horizon: int = 24,
-) -> str:
-    """DuckDB replica of ``ar_forecast``: ``series_cte`` must define a
-    CTE named ``series`` with (key, t, y). Autocovariances as list
-    folds, the Levinson walk and the forecast recursion as per-key
-    RECURSIVE CTEs stepping the identical 6-dp trajectory."""
+def _oracle_r6(expr: str) -> str:
+    return f"floor(({expr}) * 1000000.0 + 0.5) / 1000000.0"
 
-    def R(expr: str) -> str:
-        return f"floor(({expr}) * 1000000.0 + 0.5) / 1000000.0"
 
+def _ar_fit_ctes_sql(series_cte: str, key: str, p: int) -> str:
+    """The shared Yule–Walker fit as DuckDB CTE text — series grouping,
+    6-dp mean, autocovariance list, the Levinson recursive CTE, and the
+    final ``aphi`` (key, ys, n, mu, phi) relation both AR oracles
+    continue from (the ``_ar_phi_frame`` replica)."""
+    R = _oracle_r6
     # the recursive step builds state k+1 from state k: the reflection
     # coefficient lamv is computed in a subquery from the PREVIOUS row
     # (a has k entries, e is the step-k error variance), with the new
@@ -541,10 +551,6 @@ def ar_oracle_sql(
             "j -> a[j] * cs[lk - j + 2]), (x, y) -> x + y) END) / e"
         )
         + " ELSE 0.0 END"
-    )
-    pred = R(
-        f"list_reduce(list_transform(generate_series(1, {p}), "
-        f"j -> phi[j] * tail[{p} + 1 - j]), (x, y) -> x + y)"
     )
     return f"""
     WITH RECURSIVE {series_cte},
@@ -576,7 +582,25 @@ def ar_oracle_sql(
              {R("e * (1.0 - lamv * lamv)")}
       FROM (SELECT *, {lam} AS lamv
             FROM lev WHERE lk < {p}) q1),
-    aphi AS (SELECT {key}, ys, n, mu, a AS phi FROM lev WHERE lk = {p}),
+    aphi AS (SELECT {key}, ys, n, mu, a AS phi FROM lev WHERE lk = {p})"""
+
+
+def ar_oracle_sql(
+    series_cte: str,
+    key: str = "event_type",
+    p: int = 24,
+    horizon: int = 24,
+) -> str:
+    """DuckDB replica of ``ar_forecast``: ``series_cte`` must define a
+    CTE named ``series`` with (key, t, y). Autocovariances as list
+    folds, the Levinson walk and the forecast recursion as per-key
+    RECURSIVE CTEs stepping the identical 6-dp trajectory."""
+    R = _oracle_r6
+    pred = R(
+        f"list_reduce(list_transform(generate_series(1, {p}), "
+        f"j -> phi[j] * tail[{p} + 1 - j]), (x, y) -> x + y)"
+    )
+    return f"""{_ar_fit_ctes_sql(series_cte, key, p)},
     fc AS (
       SELECT {key}, mu, phi, 0 AS h,
              list_transform(ys[CAST(n - {p} + 1 AS BIGINT):CAST(n AS BIGINT)],
@@ -795,3 +819,184 @@ def forecast_model_select(
         *key_cols, "model", "mae_model", "mae_naive", "mase",
         F.coalesce(F.col("best"), F.lit(False)).alias("best"),
     )
+
+
+def ar_ljung_box(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    value_col: str,
+    p: int = 24,
+    lags: int = 36,
+) -> DataFrame:
+    """Ljung–Box whiteness test on the AR(p) IN-SAMPLE residuals
+    (Ljung & Box 1978) — the diagnostic that closes the AR family: if
+    the one-step residuals r_t = y_t − (ȳ + Σ_j φ_j(y_{t−j} − ȳ)) are
+    still autocorrelated, the model is underfit and its forecasts
+    inherit the structure it missed.
+
+        Q = m(m+2) Σ_{k=1..h} ρ̂_k² / (m−k),   m = n − p residuals
+
+    tested against χ²(h − p) at 95% via the same Wilson–Hilferty cube
+    the χ² independence audit uses — closed form, no quantile table.
+    Returns (keys..., n_resid, q_stat, df, q_crit, white_noise);
+    white_noise NULL when df < 1 (h ≤ p leaves no degrees of freedom).
+    Keys need > p + lags buckets (every ρ̂_k must see m > k pairs);
+    shorter keys drop. Residuals, autocorrelations, Q, and the
+    critical value are all 6-dp floor-rounded (``_r6``), so the DuckDB
+    replica walks the identical arithmetic.
+
+    Scale shape: the shared Yule–Walker fit plus three horizon-bounded
+    per-key folds (residual transform, lags+1 autocovariance sums, the
+    Q sum) — JVM-side Catalyst ``aggregate``s, nothing data-scale."""
+    if p < 1:
+        raise ValueError("p must be >= 1")
+    if lags < 1:
+        raise ValueError("lags must be >= 1")
+    with_phi = _ar_phi_frame(series, key_cols, t_col, value_col, p)
+    with_phi = with_phi.filter(F.size("__ys") > p + lags)
+
+    def lsum(xs: Column) -> Column:
+        return F.aggregate(xs, F.lit(0.0), lambda acc, x: acc + x)
+
+    res = F.transform(
+        F.sequence(F.lit(p + 1), F.size("__ys")),
+        lambda t: _r6(
+            F.element_at(F.col("__ys"), t)
+            - (
+                F.col("__mu")
+                + F.aggregate(
+                    F.sequence(F.lit(1), F.lit(p)),
+                    F.lit(0.0),
+                    lambda s, j: s
+                    + F.element_at(F.col("__phi"), j)
+                    * (F.element_at(F.col("__ys"), t - j) - F.col("__mu")),
+                )
+            )
+        ),
+    )
+    rframe = with_phi.select(*key_cols, res.alias("__res"))
+    m = F.size("__res")
+    rbar = _r6(lsum(F.col("__res")) / m.cast("double"))
+    rframe = rframe.select(*key_cols, "__res", rbar.alias("__rbar"))
+    rc = F.transform(
+        F.sequence(F.lit(0), F.lit(lags)),
+        lambda k: _r6(
+            lsum(
+                F.zip_with(
+                    F.slice(F.col("__res"), 1, F.size("__res") - k),
+                    F.slice(F.col("__res"), k + 1, F.size("__res") - k),
+                    lambda x, z: (x - F.col("__rbar"))
+                    * (z - F.col("__rbar")),
+                )
+            )
+            / F.size("__res").cast("double")
+        ),
+    )
+    cframe = rframe.select(*key_cols, F.size("__res").alias("__m"),
+                           rc.alias("__rc"))
+    c0 = F.element_at(F.col("__rc"), 1)
+    q = _r6(
+        F.col("__m") * (F.col("__m") + 2)
+        * F.aggregate(
+            F.sequence(F.lit(1), F.lit(lags)),
+            F.lit(0.0),
+            lambda s, k: s
+            + F.pow(
+                F.when(c0 > 0,
+                       _r6(F.element_at(F.col("__rc"), k + 1) / c0))
+                .otherwise(F.lit(0.0)),
+                F.lit(2),
+            )
+            / (F.col("__m") - k).cast("double"),
+        )
+    )
+    df = lags - p
+    if df >= 1:
+        fdf = float(df)
+        crit = round(
+            fdf
+            * (1.0 - 2.0 / (9.0 * fdf)
+               + 1.644854 * (2.0 / (9.0 * fdf)) ** 0.5) ** 3,
+            6,
+        )
+        crit_col = F.lit(crit)
+        white = (q <= F.lit(crit)).cast("boolean")
+    else:
+        crit_col = F.lit(None).cast("double")
+        white = F.lit(None).cast("boolean")
+    return cframe.select(
+        *key_cols,
+        F.col("__m").cast("long").alias("n_resid"),
+        q.alias("q_stat"),
+        F.lit(df).cast("long").alias("df"),
+        crit_col.alias("q_crit"),
+        white.alias("white_noise"),
+    )
+
+
+def ar_ljung_box_oracle_sql(
+    series_cte: str,
+    key: str = "event_type",
+    p: int = 24,
+    lags: int = 36,
+) -> str:
+    """DuckDB replica of ``ar_ljung_box`` — the shared Yule–Walker fit
+    CTEs, then identical residual / autocorrelation / Q arithmetic as
+    list folds with the same 6-dp rounding and Wilson–Hilferty cut."""
+    R = _oracle_r6
+    df = lags - p
+    if df >= 1:
+        fdf = float(df)
+        crit = round(
+            fdf
+            * (1.0 - 2.0 / (9.0 * fdf)
+               + 1.644854 * (2.0 / (9.0 * fdf)) ** 0.5) ** 3,
+            6,
+        )
+        # CAST: DuckDB parses a bare decimal literal as DECIMAL(18,…),
+        # which fails the driver's double-vs-decimal schema comparison
+        crit_sql = f"CAST({crit!r} AS DOUBLE)"
+        white_sql = f"q_stat <= {crit!r}"
+    else:
+        crit_sql = "CAST(NULL AS DOUBLE)"
+        white_sql = "CAST(NULL AS BOOLEAN)"
+    resid = R(
+        f"ys[CAST(t + {p} AS BIGINT)] - (mu + "
+        f"list_reduce(list_transform(generate_series(1, {p}), j -> "
+        f"phi[j] * (ys[CAST(t + {p} - j AS BIGINT)] - mu)), "
+        f"(x, y) -> x + y))"
+    )
+    return f"""{_ar_fit_ctes_sql(series_cte, key, p)},
+    ares AS (
+      SELECT {key},
+             list_transform(generate_series(1, CAST(n - {p} AS BIGINT)),
+                            t -> {resid}) AS res
+      FROM aphi WHERE n > {p + lags}),
+    arbar AS (
+      SELECT {key}, res, len(res) AS m,
+             {R("list_reduce(res, (x, y) -> x + y) / len(res)")} AS rbar
+      FROM ares),
+    arc AS (
+      SELECT {key}, m,
+             list_transform(generate_series(0, {lags}), k ->
+               {R("list_reduce(list_transform("
+                  "generate_series(1, CAST(m - k AS BIGINT)), i -> "
+                  "(res[CAST(i AS BIGINT)] - rbar) * "
+                  "(res[CAST(i + k AS BIGINT)] - rbar)), "
+                  "(x, y) -> x + y) / m")}) AS rc
+      FROM arbar),
+    aq AS (
+      SELECT {key}, m,
+             {R(f"m * (m + 2) * list_reduce("
+                f"list_transform(generate_series(1, {lags}), k -> "
+                f"pow(CASE WHEN rc[1] > 0 THEN "
+                + R("rc[CAST(k + 1 AS BIGINT)] / rc[1]")
+                + f" ELSE 0.0 END, 2) / (m - k)), (x, y) -> x + y)")}
+               AS q_stat
+      FROM arc)
+    SELECT {key}, CAST(m AS BIGINT) AS n_resid, q_stat,
+           CAST({df} AS BIGINT) AS df,
+           {crit_sql} AS q_crit,
+           {white_sql} AS white_noise
+    FROM aq"""

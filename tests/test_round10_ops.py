@@ -370,3 +370,48 @@ def test_theil_sen_shrugs_off_outlier_where_ols_moves(spark):
     flat = spark.createDataFrame(
         [("h", 1.0, 1.0), ("h", 1.0, 2.0)], "g string, x double, y double")
     assert grouped_theil_sen(flat, ["g"], "x", "y").count() == 0
+
+# --- Ljung-Box AR residual whiteness -------------------------------------
+
+
+def test_ljung_box_ar1_signal_vs_unmodeled_season(spark):
+    """An AR(1)-generated series fit with p=1 leaves white residuals;
+    the SAME series fit cannot happen for a period-7 seasonal signal at
+    p=2 — its residual autocorrelation at lag 7 blows Q past the
+    critical value. Both engines' arithmetic is pinned by parity; this
+    pins the STATISTICS."""
+    from census_data_pipeline_spark.operators import forecast
+
+    rows = []
+    v = 0.0
+    for t in range(1, 121):
+        # deterministic drive with long-period irrational-ish phase so
+        # the driver itself carries no short-lag autocorrelation
+        drive = 1.0 if (t * 17) % 29 < 14 else -1.0
+        v = 0.5 * v + drive
+        rows.append(("ar1", t, round(v, 6)))
+    season = [3.0, 1.0, -2.0, 0.0, 4.0, -1.0, -5.0]
+    rows += [("seasonal", t, 10.0 + season[t % 7])
+             for t in range(1, 121)]
+    df = spark.createDataFrame(rows, "k string, t int, y double")
+    got = {r.k: r for r in forecast.ar_ljung_box(
+        df, ["k"], "t", "y", p=2, lags=10).collect()}
+    assert got["seasonal"].white_noise is False
+    assert got["seasonal"].q_stat > got["seasonal"].q_crit
+    assert got["ar1"].q_stat < got["seasonal"].q_stat
+    assert got["ar1"].df == 8
+
+
+def test_ljung_box_guards_and_short_keys_drop(spark):
+    from census_data_pipeline_spark.operators import forecast
+
+    df = spark.createDataFrame(
+        [("k", t, float(t % 3)) for t in range(1, 12)],
+        "k string, t int, y double")
+    # n=11 <= p + lags = 2 + 10: key drops
+    assert forecast.ar_ljung_box(df, ["k"], "t", "y", p=2,
+                                 lags=10).count() == 0
+    with pytest.raises(ValueError, match="p"):
+        forecast.ar_ljung_box(df, ["k"], "t", "y", p=0)
+    with pytest.raises(ValueError, match="lags"):
+        forecast.ar_ljung_box(df, ["k"], "t", "y", p=1, lags=0)
