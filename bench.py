@@ -223,6 +223,7 @@ HEADLINE_NEW: list[str] = [
     "graph_adamic_adar",
     "events_trend_theil_sen",
     "events_forecast_ar_whiteness",
+    "sketch_quantiles_bottomk",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is

@@ -1160,3 +1160,118 @@ def grouped_theil_sen_oracle_sql(
     WHERE rk = CAST(floor((ni + 1) / 2) AS BIGINT)
        OR rk = CAST(floor((ni + 2) / 2) AS BIGINT)
     GROUP BY {keys}"""
+
+
+def quantile_bottomk_sketch(
+    df: DataFrame,
+    value_col: str,
+    id_col: str | Column,
+    probs: list[float] | None = None,
+    k: int = 4096,
+) -> DataFrame:
+    """Mergeable quantile sketch by DETERMINISTIC bottom-k priority
+    sampling — the quantile member of the sketch tier beside CMS
+    (frequencies) and HLL (distinct counts): each row's priority is
+    md5(id), the sketch is the k smallest-priority rows, and a
+    quantile estimate is the ⌈q·k⌉-th value of the sorted sample.
+    Bottom-k is a uniform sample of the DATA (priorities are
+    independent of values) and is trivially mergeable — bottom-k of a
+    union is bottom-k of the parts' bottom-k frames (unit-pinned) —
+    with zero RNG, so reruns and the SQL oracle reproduce it exactly.
+    Standard sample-quantile error: rank error O(√(q(1−q)/k)) with
+    high probability (~±1.6% of rank at k=4096, q=0.5).
+
+    The ACCURACY CONTRACT RIDES IN THE OUTPUT (the HLL discipline):
+    each row reports achieved_prob — the estimate's TRUE rank fraction
+    count(value ≤ estimate)/n from one conditional-count scan — and
+    abs_rank_err = |achieved_prob − prob|, so a consumer sees the
+    realized error without trusting the bound. Returns one row per
+    requested prob: (prob, estimate, sample_n, achieved_prob,
+    abs_rank_err). Null values are excluded (they have no rank).
+
+    Scale shape: the sample is ONE TakeOrderedAndProject over
+    (priority, value) — k rows to the driver-side limit, never a full
+    sort; estimates broadcast back as a |probs|-row frame; the
+    achieved-rank check is one codegen conditional-count scan. An
+    EXACT quantile would need a data-scale sort or an all-values
+    aggregation buffer — this is the standard trade."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    probs = [0.25, 0.5, 0.75, 0.9, 0.99] if probs is None else probs
+    if not probs or any(not 0.0 < q <= 1.0 for q in probs):
+        raise ValueError("probs must be in (0, 1]")
+    idc = id_col if isinstance(id_col, Column) else F.col(id_col)
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.md5(idc.cast("string")).alias("__pri"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    sample = base.orderBy("__pri").limit(k)
+    svals = sample.agg(
+        F.array_sort(F.collect_list("__v")).alias("__sv"),
+        F.count("*").alias("__sn"),
+    )
+    pframe = svals.select(
+        F.explode(
+            F.array(*[F.lit(float(q)) for q in probs])
+        ).alias("prob"),
+        "__sv", "__sn",
+    ).select(
+        "prob",
+        F.element_at(
+            "__sv",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("prob") * F.col("__sn")).cast("int"),
+            ),
+        ).alias("estimate"),
+        F.col("__sn").cast("long").alias("sample_n"),
+    )
+    totals = base.crossJoin(F.broadcast(pframe)).groupBy(
+        "prob", "estimate", "sample_n"
+    ).agg(
+        F.round(
+            F.sum(F.when(F.col("__v") <= F.col("estimate"), 1)
+                  .otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("achieved_prob"),
+    )
+    return totals.select(
+        "prob", "estimate", "sample_n", "achieved_prob",
+        F.round(F.abs(F.col("achieved_prob") - F.col("prob")), 6)
+        .alias("abs_rank_err"),
+    )
+
+
+def quantile_bottomk_oracle_sql(
+    table: str,
+    value_sql: str,
+    id_sql: str,
+    probs: list[float] | None = None,
+    k: int = 4096,
+) -> str:
+    """DuckDB replica of ``quantile_bottomk_sketch`` — identical md5
+    priorities, bottom-k, ⌈q·n⌉ positions, and achieved-rank scan."""
+    probs = [0.25, 0.5, 0.75, 0.9, 0.99] if probs is None else probs
+    plist = ", ".join(f"CAST({q!r} AS DOUBLE)" for q in probs)
+    return f"""WITH qb AS MATERIALIZED (
+      SELECT md5(CAST({id_sql} AS VARCHAR)) AS pri,
+             CAST({value_sql} AS DOUBLE) AS v
+      FROM {table} WHERE ({value_sql}) IS NOT NULL),
+    qs AS (SELECT list(v ORDER BY v) AS sv, count(*) AS sn FROM (
+             SELECT v FROM qb ORDER BY pri LIMIT {k}) s),
+    qp AS (SELECT unnest([{plist}]) AS prob, sv, sn FROM qs),
+    qe AS (SELECT prob,
+                  sv[CAST(greatest(1, ceil(prob * sn)) AS BIGINT)]
+                    AS estimate,
+                  CAST(sn AS BIGINT) AS sample_n
+           FROM qp)
+    SELECT e.prob, e.estimate, e.sample_n,
+           round(SUM(CASE WHEN b.v <= e.estimate THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS achieved_prob,
+           round(abs(round(SUM(CASE WHEN b.v <= e.estimate
+                                    THEN 1 ELSE 0 END)
+                           / CAST(COUNT(*) AS DOUBLE), 6) - e.prob), 6)
+             AS abs_rank_err
+    FROM qe e CROSS JOIN qb b
+    GROUP BY e.prob, e.estimate, e.sample_n"""

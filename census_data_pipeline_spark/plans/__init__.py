@@ -256,6 +256,7 @@ _CHECKED_PREFIX = [
     "graph_adamic_adar",
     "events_trend_theil_sen",
     "events_forecast_ar_whiteness",
+    "sketch_quantiles_bottomk",
     # r10 fingerprint drift: kcore_nodes reworked to frontier-delta
     # maintained degrees (VERDICT r9 #1); the two stateful streaming
     # queries drift under the event_time_horizon_ms eviction knob

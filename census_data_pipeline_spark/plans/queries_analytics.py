@@ -4817,3 +4817,36 @@ def events_forecast_ar_whiteness(spark, sf_dir):
     return forecast.ar_ljung_box(
         series, ["event_type"], "t", "y", p=24, lags=36,
     )
+
+
+from census_data_pipeline_spark.operators.rollup import (  # noqa: E402
+    quantile_bottomk_oracle_sql,
+)
+
+
+@query("sketch_quantiles_bottomk",
+       oracle=quantile_bottomk_oracle_sql(
+           "lineitem", "l_extendedprice",
+           "l_orderkey * 10 + l_linenumber", k=4096))
+def sketch_quantiles_bottomk(spark, sf_dir):
+    """Mergeable quantile sketch (operators/rollup.
+    quantile_bottomk_sketch) — the quantile member of the sketch tier
+    beside CMS and HLL: deterministic md5-priority bottom-4096 sample
+    of l_extendedprice, estimates at p25/p50/p75/p90/p99, and the
+    ACHIEVED rank fraction of each estimate from one conditional-count
+    scan — the realized |rank error| rides in the output (≈ ±1.6%
+    bound at k=4096), so the accuracy contract is checked on every
+    run, not asserted in prose. The sample is one
+    TakeOrderedAndProject (k rows, never a data-scale sort); bottom-k
+    frames from partitions/days merge by taking the union's bottom-k
+    (unit-pinned)."""
+    from census_data_pipeline_spark.operators.rollup import (
+        quantile_bottomk_sketch,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return quantile_bottomk_sketch(
+        li, "l_extendedprice",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")),
+        k=4096,
+    )

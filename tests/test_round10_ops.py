@@ -415,3 +415,61 @@ def test_ljung_box_guards_and_short_keys_drop(spark):
         forecast.ar_ljung_box(df, ["k"], "t", "y", p=0)
     with pytest.raises(ValueError, match="lags"):
         forecast.ar_ljung_box(df, ["k"], "t", "y", p=1, lags=0)
+
+# --- bottom-k quantile sketch --------------------------------------------
+
+
+def test_quantile_bottomk_small_data_is_exact(spark):
+    """When n <= k the sample IS the data, so every estimate is the
+    exact disc-quantile and achieved_prob lands within 1/n of prob."""
+    from census_data_pipeline_spark.operators.rollup import (
+        quantile_bottomk_sketch,
+    )
+
+    rows = [(i, float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {r.prob: r for r in quantile_bottomk_sketch(
+        df, "v", "id", probs=[0.25, 0.5, 0.9], k=4096).collect()}
+    assert got[0.5].estimate == 50.0 and got[0.5].achieved_prob == 0.5
+    assert got[0.25].estimate == 25.0
+    assert got[0.9].estimate == 90.0
+    assert all(r.sample_n == 100 for r in got.values())
+    assert all(r.abs_rank_err == 0.0 for r in got.values())
+
+
+def test_quantile_bottomk_mergeable_and_accurate(spark):
+    """Bottom-k of the union equals bottom-k of the parts' bottom-k
+    frames (the mergeability contract), and at n >> k the realized
+    rank error stays inside ~4/sqrt(k)."""
+    from census_data_pipeline_spark.operators.rollup import (
+        quantile_bottomk_sketch,
+    )
+
+    k = 256
+    rows = [(i, float((i * 7919) % 10000)) for i in range(1, 20001)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    whole = {r.prob: r for r in quantile_bottomk_sketch(
+        df, "v", "id", probs=[0.5, 0.9], k=k).collect()}
+    # merge path: bottom-k of each half, then bottom-k of their union
+    h1 = df.filter(F.col("id") % 2 == 0).select(
+        F.md5(F.col("id").cast("string")).alias("p"), "v"
+    ).orderBy("p").limit(k)
+    h2 = df.filter(F.col("id") % 2 == 1).select(
+        F.md5(F.col("id").cast("string")).alias("p"), "v"
+    ).orderBy("p").limit(k)
+    merged = set(
+        r.p for r in h1.unionByName(h2).orderBy("p").limit(k).collect()
+    )
+    direct = set(
+        r.p for r in df.select(
+            F.md5(F.col("id").cast("string")).alias("p")
+        ).orderBy("p").limit(k).collect()
+    )
+    assert merged == direct
+    bound = 4 / (k ** 0.5)  # ~0.25 at k=256
+    assert whole[0.5].abs_rank_err < bound
+    assert whole[0.9].abs_rank_err < bound
+    with pytest.raises(ValueError, match="probs"):
+        quantile_bottomk_sketch(df, "v", "id", probs=[1.5])
+    with pytest.raises(ValueError, match="k"):
+        quantile_bottomk_sketch(df, "v", "id", k=0)
