@@ -395,26 +395,30 @@ def kcore_nodes(
     rounds, with their degree inside the surviving subgraph.
 
     Scale shape (r10 frontier-delta rework, VERDICT r9 #1): degrees are
-    counted over the full edge set ONCE, then MAINTAINED — each round
-    shuffles only node-scale frames. Per round: (1) the dropped-node
-    set D = {deg < k} (node-scale, usually tiny after round 1);
-    (2) the degree delta, a broadcast-hash join of the surviving edges
-    against D on dst followed by a partial-aggregated count — only
-    edges INCIDENT TO DROPPED NODES reach the shuffle, the frontier
-    discipline of ``bfs_distances``; (3) the degree frame update, two
-    node-scale joins; (4) the edge prune, two broadcast-hash LEFT ANTI
-    joins (map-side — the |E|-row frame is scanned but never
-    shuffled). r9's shape shuffled |E| rows twice per round (survivor
-    equi-joins) plus a full degree recount; at 100× that was the
-    costliest rehearsed family (133 s, last-decade α 0.949). With a
-    broadcast-able D the per-round shuffle is now O(|V| + edges-into-D)
-    instead of O(|E|); above ``broadcast_max_drop`` dropped nodes the
-    round falls back to shuffle joins (same semantics — only round 1 of
-    a low-k peel ever gets near that). Maintained degrees are exact:
-    the symmetrized simple graph has one row (v,u) per neighbor u, so
-    for a survivor v, new_deg(v) = deg(v) − |{(v,u): u ∈ D}| — exactly
-    the recount over the pruned edge frame, which is what the unrolled
-    SQL oracle computes. Early-exit when a round drops nothing: peeling
+    counted over the full edge set ONCE, then MAINTAINED, and the edge
+    frame is STATIC — never pruned, never re-checkpointed. Per round:
+    (1) the dropped-node set D = {deg < k} (node-scale, usually tiny
+    after round 1); (2) the degree delta, a broadcast-hash probe of
+    the static edge frame against D on dst followed by a
+    partial-aggregated count — only edges INTO DROPPED NODES reach the
+    shuffle, the frontier discipline of ``bfs_distances``; (3) the
+    degree frame update, two node-scale joins. Drop sets are DISJOINT
+    across rounds, so probing the static frame debits each edge
+    exactly once over the whole peel — pruning would change nothing
+    but costs: r9's shape shuffled |E| rows twice per round (survivor
+    equi-joins) plus a full degree recount (133 s / last-decade α
+    0.949 at 100×, the costliest rehearsed family), and an
+    intermediate r10 variant that re-checkpointed a pruned edge frame
+    per round OOMed the 24 g rehearsal JVM at 100× (eight 59M-edge
+    cached copies). Maintained degrees are exact: the symmetrized
+    simple graph has one row (v,u) per neighbor u, so for a survivor
+    v, new_deg(v) = deg(v) − |{(v,u): u ∈ ∪D}| — exactly the recount
+    over the surviving edges, which is what the unrolled SQL oracle
+    computes; a survivor whose degree hits 0 is excluded from the
+    output (the oracle derives output from surviving EDGES). Above
+    ``broadcast_max_drop`` dropped nodes the probe falls back to a
+    shuffle join (same semantics — only round 1 of a low-k peel ever
+    gets near that). Early-exit when a round drops nothing: peeling
     is monotone, further rounds are exact no-ops, so the output is
     IDENTICAL to running all ``rounds`` (one driver-side count per
     round — the bounded-small-actions discipline). Cite: reference has
@@ -463,11 +467,6 @@ def kcore_nodes(
                 (F.col("__deg")
                  - F.coalesce(F.col("__lost"), F.lit(0))).alias("__deg"),
             )
-            .localCheckpoint(eager=False)
-        )
-        cur = (
-            cur.join(d, cur["src"] == d["id"], "left_anti")
-            .join(d, cur["dst"] == d["id"], "left_anti")
             .localCheckpoint(eager=False)
         )
     # the oracle derives its output from the surviving EDGE frame
