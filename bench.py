@@ -293,6 +293,16 @@ def main() -> None:
     # (VERDICT r2 #7). r4: default raised to 3 + contention sentinel.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     cal_baseline = min(_calibrate(spark) for _ in range(5))
+    # ROLLING spike reference (r10): the session-start baseline is a
+    # fresh-JVM best case — after ~190 heavy queries the steady-state
+    # calibration sits ~2× higher from heap/code-cache pressure alone,
+    # which made the fixed-baseline sentinel discard 797 samples on an
+    # IDLE host (BENCH_LOCAL_r10's first run). Spikes are now judged
+    # against the min of the trailing window, which tracks slow
+    # systematic drift while still catching transient host load;
+    # ``sustained_load`` still compares the session median against the
+    # fresh baseline so cross-round drift stays visible.
+    _ROLL_WINDOW = 30
     spikes = 0
     discarded = 0
     flagged: list[str] = []
@@ -314,7 +324,8 @@ def main() -> None:
             cal = _calibrate(spark)
             cal_all.append(cal)
             cal_max = max(cal_max, cal)
-            if cal > _SPIKE_FACTOR * cal_baseline:
+            roll_ref = min(min(cal_all[-_ROLL_WINDOW:]), cal_baseline * 2)
+            if cal > _SPIKE_FACTOR * roll_ref:
                 # host was loaded while (or right after) this sample ran —
                 # its timing is untrustworthy in EITHER direction
                 spikes += 1

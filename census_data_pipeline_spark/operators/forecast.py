@@ -853,8 +853,16 @@ def ar_ljung_box(
         raise ValueError("p must be >= 1")
     if lags < 1:
         raise ValueError("lags must be >= 1")
-    with_phi = _ar_phi_frame(series, key_cols, t_col, value_col, p)
-    with_phi = with_phi.filter(F.size("__ys") > p + lags)
+    # lineage barriers on the |keys|-row frames: without them Catalyst's
+    # CollapseProject INLINES the fit expressions into every one of the
+    # lags+1 autocorrelation references (and those into the Q sum) — an
+    # exponentially exploding expression tree that turned this query's
+    # sf0.1 run into 107 s of codegen/eval; with barriers it is sub-second
+    with_phi = (
+        _ar_phi_frame(series, key_cols, t_col, value_col, p)
+        .filter(F.size("__ys") > p + lags)
+        .localCheckpoint(eager=False)
+    )
 
     def lsum(xs: Column) -> Column:
         return F.aggregate(xs, F.lit(0.0), lambda acc, x: acc + x)
@@ -875,7 +883,8 @@ def ar_ljung_box(
             )
         ),
     )
-    rframe = with_phi.select(*key_cols, res.alias("__res"))
+    rframe = with_phi.select(*key_cols, res.alias("__res")) \
+        .localCheckpoint(eager=False)
     m = F.size("__res")
     rbar = _r6(lsum(F.col("__res")) / m.cast("double"))
     rframe = rframe.select(*key_cols, "__res", rbar.alias("__rbar"))
@@ -894,7 +903,7 @@ def ar_ljung_box(
         ),
     )
     cframe = rframe.select(*key_cols, F.size("__res").alias("__m"),
-                           rc.alias("__rc"))
+                           rc.alias("__rc")).localCheckpoint(eager=False)
     c0 = F.element_at(F.col("__rc"), 1)
     q = _r6(
         F.col("__m") * (F.col("__m") + 2)
