@@ -297,9 +297,11 @@ def main() -> None:
     # fresh-JVM best case — after ~190 heavy queries the steady-state
     # calibration sits ~2× higher from heap/code-cache pressure alone,
     # which made the fixed-baseline sentinel discard 797 samples on an
-    # IDLE host (BENCH_LOCAL_r10's first run). Spikes are now judged
-    # against the min of the trailing window, which tracks slow
-    # systematic drift while still catching transient host load;
+    # IDLE host (BENCH_LOCAL_r10's first run). The reference is the
+    # trailing-window MEDIAN (a trailing min re-fired on every normal
+    # sample whenever one GC-free calibration dipped low — the
+    # distribution is bimodal), capped at 2× the fresh baseline so
+    # genuine sustained load cannot ratchet the reference up with it;
     # ``sustained_load`` still compares the session median against the
     # fresh baseline so cross-round drift stays visible.
     _ROLL_WINDOW = 30
@@ -324,7 +326,8 @@ def main() -> None:
             cal = _calibrate(spark)
             cal_all.append(cal)
             cal_max = max(cal_max, cal)
-            roll_ref = min(min(cal_all[-_ROLL_WINDOW:]), cal_baseline * 2)
+            recent = sorted(cal_all[-_ROLL_WINDOW:])
+            roll_ref = min(recent[len(recent) // 2], cal_baseline * 2)
             if cal > _SPIKE_FACTOR * roll_ref:
                 # host was loaded while (or right after) this sample ran —
                 # its timing is untrustworthy in EITHER direction
