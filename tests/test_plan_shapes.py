@@ -266,3 +266,40 @@ def test_bpe_segment_corpus_join_no_symbol_strings(spark, sf_dir):
     # token explode stage; it lives upstream on the checkpointed vocab
     explode_lines = [ln for ln in plan.splitlines() if "Generate explode" in ln]
     assert all("replace" not in ln for ln in explode_lines)
+
+
+def test_adamic_adar_take_ordered_and_hub_cap_no_cartesian(spark, sf_dir):
+    # global top-k must be a per-partition heap; the apex self-join and
+    # the existing-edge anti-join must stay equi-joins — a cartesian
+    # here means the hub cap / pair keys fell out of the plan
+    plan = _plan(spark, sf_dir, "graph_adamic_adar")
+    assert "TakeOrderedAndProject" in plan
+    assert "NestedLoop" not in plan.replace("BroadcastNestedLoop", "")
+    assert "CartesianProduct" not in plan
+
+
+def test_quantile_bottomk_sample_is_take_ordered(spark, sf_dir):
+    # the k-row priority sample must compile to TakeOrderedAndProject —
+    # a global Sort here re-introduces the data-scale sort the sketch
+    # exists to avoid; the |probs|-row estimate frame broadcasts back
+    plan = _plan(spark, sf_dir, "sketch_quantiles_bottomk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # estimates crossJoin
+    sort_lines = [ln for ln in plan.splitlines()
+                  if " Sort " in ln and "TakeOrdered" not in ln]
+    assert not sort_lines, sort_lines
+
+
+def test_modularity_broadcasts_grand_total(spark, sf_dir):
+    # the 1-row S total must broadcast back (never a driver collect),
+    # and the label joins must be hash equi-joins
+    plan = _plan(spark, sf_dir, "graph_modularity")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pr_auc_single_bounded_window(spark, sf_dir):
+    # one window over the bounded score histogram — same discipline the
+    # ROC-AUC plan pins; the scoring scan must not shuffle rows twice
+    plan = _plan(spark, sf_dir, "quality_pr_auc")
+    assert plan.count("Window") == 1
