@@ -1023,3 +1023,289 @@ def adamic_adar_oracle_sql(
       FROM cand)
     SELECT src, dst, score, CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= {k}"""
+
+
+def conductance(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    label_col: str = "community",
+) -> DataFrame:
+    """Conductance of a community assignment — the CUT-quality score
+    beside ``modularity``'s density score (Kannan, Vempala & Vetta
+    2004): φ(C) = cut(C) / min(vol(C), vol(V∖C)) over the symmetrized
+    simple graph, where vol(C) = Σ_{v∈C} deg(v) and cut(C) = edges
+    with exactly one endpoint in C. Low φ = few escape routes relative
+    to internal mass (a well-separated community); φ near 1 = the
+    "community" is mostly boundary. Modularity and conductance fail in
+    opposite directions (resolution limit vs. balance blindness), so a
+    curation pipeline evaluating LPA output wants BOTH.
+
+    Returns one row per community — (community, n_nodes, cut_edges,
+    volume, phi) — plus a ``<all>`` row whose phi is the
+    VOLUME-WEIGHTED mean of the per-community φ (the partition-level
+    summary; communities with undefined φ — vol 0 or the whole graph —
+    are excluded from the mean and carry NULL). Nodes enter via the
+    LABELS frame, so edge-free labeled communities appear with zero
+    stats and NULL φ; unlabeled endpoints drop their edges.
+
+    Scale shape: IDENTICAL to ``modularity`` — two node-scale label
+    equi-joins on the symmetric edge frame, ONE partial-aggregated
+    groupBy to (cut_c, vol_c), the grand total S broadcast back as a
+    1-row crossJoin; closed-form, no iteration. Per-community φ is
+    rounded at 6 dp before the weighted mean so float summation order
+    cannot drift the '<all>' row across engines. Cite: reference has
+    no graph tier; extends SURVEY §2.11 beside ``modularity``."""
+    e = ensure_parallelism(edges).select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    )
+    sym = (
+        e.unionByName(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    lab = labels.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("lab")
+    )
+    la = lab.select(F.col("id").alias("__sid"), F.col("lab").alias("lsrc"))
+    lb = lab.select(F.col("id").alias("__did"), F.col("lab").alias("ldst"))
+    labeled = (
+        sym.join(la, sym["src"] == la["__sid"])
+        .join(lb, sym["dst"] == lb["__did"])
+        .select("lsrc", "ldst")
+    )
+    stats = labeled.groupBy(F.col("lsrc").alias("community")).agg(
+        F.sum(
+            F.when(F.col("lsrc") != F.col("ldst"), F.lit(1)).otherwise(0)
+        ).alias("__cut"),
+        F.count("*").alias("__vol"),
+    )
+    sizes = lab.groupBy(F.col("lab").alias("community")).agg(
+        F.count("*").alias("n_nodes")
+    )
+    total = stats.agg(
+        F.coalesce(F.sum("__vol"), F.lit(0)).alias("__St")
+    )
+    minvol = F.least(
+        F.col("__v").cast("double"), (F.col("__St") - F.col("__v")).cast("double")
+    )
+    per = (
+        sizes.join(stats, "community", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce(F.col("__cut"), F.lit(0))
+            .cast("long").alias("cut_edges"),
+            F.coalesce(F.col("__vol"), F.lit(0))
+            .cast("long").alias("volume"),
+            F.col("__St"),
+        )
+        .withColumn("__v", F.col("volume"))
+        .select(
+            "community", "n_nodes", "cut_edges", "volume",
+            F.when(
+                minvol > 0,
+                F.round(F.col("cut_edges") / minvol, 6),
+            ).otherwise(F.lit(None).cast("double")).alias("phi"),
+        )
+    )
+    grand = per.agg(
+        F.sum("n_nodes").alias("n_nodes"),
+        F.sum("cut_edges").alias("cut_edges"),
+        F.sum("volume").alias("volume"),
+        F.round(
+            F.sum(
+                F.when(F.col("phi").isNotNull(),
+                       F.col("phi") * F.col("volume"))
+            )
+            / F.sum(
+                F.when(F.col("phi").isNotNull(), F.col("volume"))
+            ),
+            6,
+        ).alias("phi"),
+    ).select(
+        F.lit("<all>").alias("community"),
+        "n_nodes", "cut_edges", "volume", "phi",
+    )
+    return per.unionByName(grand)
+
+
+def conductance_oracle_sql(
+    edges_sql: str,
+    labels_sql: str,
+) -> str:
+    """DuckDB replica of ``conductance``: identical symmetrize, the
+    same two label joins, the same (cut_c, vol_c) aggregate, per-
+    community φ rounded at 6 dp, the '<all>' volume-weighted mean over
+    the rounded φ. ``edges_sql`` selects (src, dst); ``labels_sql``
+    selects (id, lab)."""
+    return f"""WITH pe0 AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM ({edges_sql}) r0
+        UNION ALL
+        SELECT dst, src FROM ({edges_sql}) r1) u
+      WHERE src <> dst),
+    plab AS MATERIALIZED (SELECT id, lab FROM ({labels_sql}) pl),
+    plabeled AS (
+      SELECT la.lab AS lsrc, lb.lab AS ldst
+      FROM pe0 s JOIN plab la ON s.src = la.id
+                 JOIN plab lb ON s.dst = lb.id),
+    pstats AS (
+      SELECT lsrc AS community,
+             SUM(CASE WHEN lsrc <> ldst THEN 1 ELSE 0 END) AS cut_c,
+             COUNT(*) AS vol_c
+      FROM plabeled GROUP BY lsrc),
+    psizes AS (
+      SELECT lab AS community, COUNT(*) AS n_nodes
+      FROM plab GROUP BY lab),
+    ptot AS (SELECT COALESCE(SUM(vol_c), 0) AS S FROM pstats),
+    pper AS (
+      SELECT z.community,
+             z.n_nodes,
+             CAST(COALESCE(t.cut_c, 0) AS BIGINT) AS cut_edges,
+             CAST(COALESCE(t.vol_c, 0) AS BIGINT) AS volume,
+             CASE WHEN least(CAST(COALESCE(t.vol_c, 0) AS DOUBLE),
+                             CAST(ptot.S - COALESCE(t.vol_c, 0) AS DOUBLE))
+                       > 0
+                  THEN ROUND(CAST(COALESCE(t.cut_c, 0) AS DOUBLE)
+                    / least(CAST(COALESCE(t.vol_c, 0) AS DOUBLE),
+                            CAST(ptot.S - COALESCE(t.vol_c, 0) AS DOUBLE)),
+                  6)
+                  ELSE NULL END AS phi
+      FROM psizes z LEFT JOIN pstats t ON z.community = t.community,
+           ptot)
+    SELECT community, CAST(n_nodes AS BIGINT) AS n_nodes, cut_edges,
+           volume, phi FROM pper
+    UNION ALL
+    SELECT '<all>', CAST(SUM(n_nodes) AS BIGINT),
+           CAST(SUM(cut_edges) AS BIGINT), CAST(SUM(volume) AS BIGINT),
+           ROUND(SUM(CASE WHEN phi IS NOT NULL THEN phi * volume END)
+                 / SUM(CASE WHEN phi IS NOT NULL THEN volume END), 6)
+    FROM pper"""
+
+
+def jaccard_topk(
+    edges: DataFrame,
+    k: int = 50,
+    max_degree: int = 1000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Jaccard-coefficient link prediction — the set-overlap rival to
+    ``adamic_adar_topk`` (Liben-Nowell & Kleinberg 2003): for every
+    non-adjacent pair sharing ≥1 common neighbor,
+    J(u,v) = |N(u)∩N(v)| / |N(u)∪N(v)|, and return the global top-``k``
+    pairs as (src, dst, common, score, rank) with src < dst, rank 1..k
+    by (score desc, src, dst) — a total order, so both engines pick
+    the identical set. Where Adamic–Adar rewards RARE shared
+    neighbors, Jaccard normalizes by the pair's combined reach —
+    together they bracket the common-neighbor signal family.
+
+    Scale shape: the same hub-capped 2-path wedge generation as
+    Adamic–Adar — common neighbors counted only through apexes with
+    deg(w) ≤ ``max_degree`` (wedge volume ≤ cap·2m) — then the TRUE
+    (uncapped) degrees of u and v arrive by two node-scale equi-joins
+    for the union denominator |N(u)|+|N(v)|−|∩| (the cap bounds which
+    wedges GENERATE a candidate, never the degrees that score it; the
+    docstring states this estimator choice). One degree agg, one apex
+    self-join, one groupBy(pair) count, an existing-edge anti-join,
+    bounded global top-k via TakeOrderedAndProject. Scores round to
+    6 dp before ranking. Cite: reference has no graph tier; extends
+    SURVEY §2.11 beside ``adamic_adar_topk``."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if max_degree < 2:
+        raise ValueError("max_degree must be >= 2")
+    e = ensure_parallelism(edges).select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    )
+    sym = (
+        e.unionByName(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("__deg"))
+    apex = (
+        sym.join(deg.filter(F.col("__deg") <= max_degree), "src")
+        .select(F.col("src").alias("w"), F.col("dst").alias("n"))
+    )
+    l, r = apex.alias("l"), apex.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.w") == F.col("r.w"))
+               & (F.col("l.n") < F.col("r.n")))
+        .groupBy(F.col("l.n").alias("src"), F.col("r.n").alias("dst"))
+        .agg(F.count("*").alias("common"))
+    )
+    du = deg.select(F.col("src").alias("src"), F.col("__deg").alias("__du"))
+    dv = deg.select(F.col("src").alias("dst"), F.col("__deg").alias("__dv"))
+    scored = (
+        pairs.join(du, "src").join(dv, "dst")
+        .select(
+            "src", "dst", F.col("common").cast("long").alias("common"),
+            F.round(
+                F.col("common")
+                / (F.col("__du") + F.col("__dv") - F.col("common"))
+                .cast("double"),
+                6,
+            ).alias("score"),
+        )
+    )
+    existing = sym.filter(F.col("src") < F.col("dst"))
+    cand = scored.join(existing, ["src", "dst"], "left_anti")
+    top = cand.orderBy(
+        F.col("score").desc(), F.col("src"), F.col("dst")
+    ).limit(k)
+    # unpartitioned window is safe here: it runs over the ≤k-row
+    # TakeOrderedAndProject output, never the candidate frame
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col("src"), F.col("dst"))
+    return top.select(
+        "src", "dst", "common", "score",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+def jaccard_oracle_sql(
+    edges_sql: str, k: int = 50, max_degree: int = 1000
+) -> str:
+    """DuckDB replica of ``jaccard_topk``: identical symmetrize,
+    hub-capped wedge counting, TRUE-degree union denominator, 6-dp
+    rounding BEFORE ranking, existing-edge anti-join, and the same
+    (score desc, src, dst) total order."""
+    return f"""WITH jae AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM ({edges_sql}) r0
+        UNION ALL SELECT dst, src FROM ({edges_sql}) r1) u
+      WHERE src <> dst),
+    jdeg AS (SELECT src AS id, count(*) AS d FROM jae GROUP BY src),
+    japex AS (
+      SELECT e.src AS w, e.dst AS n
+      FROM jae e JOIN jdeg d ON d.id = e.src
+      WHERE d.d <= {max_degree}),
+    jprs AS (
+      SELECT l.n AS src, r.n AS dst, count(*) AS common
+      FROM japex l JOIN japex r ON l.w = r.w AND l.n < r.n
+      GROUP BY 1, 2),
+    jsc AS (
+      SELECT p.src, p.dst, CAST(p.common AS BIGINT) AS common,
+             ROUND(CAST(p.common AS DOUBLE)
+                   / (du.d + dv.d - p.common), 6) AS score
+      FROM jprs p JOIN jdeg du ON du.id = p.src
+                  JOIN jdeg dv ON dv.id = p.dst),
+    jcand AS (
+      SELECT s.src, s.dst, s.common, s.score FROM jsc s
+      WHERE NOT EXISTS (SELECT 1 FROM jae x
+                        WHERE x.src = s.src AND x.dst = s.dst)),
+    jranked AS (
+      SELECT src, dst, common, score,
+             row_number() OVER (ORDER BY score DESC, src, dst) AS rank
+      FROM jcand)
+    SELECT src, dst, common, score, CAST(rank AS BIGINT) AS rank
+    FROM jranked WHERE rank <= {k}"""

@@ -257,6 +257,9 @@ _CHECKED_PREFIX = [
     "events_trend_theil_sen",
     "events_forecast_ar_whiteness",
     "sketch_quantiles_bottomk",
+    # r10 second batch (this session's additions)
+    "graph_conductance",
+    "graph_jaccard_linkpred",
     # r10 fingerprint drift: kcore_nodes reworked to frontier-delta
     # maintained degrees (VERDICT r9 #1); the two stateful streaming
     # queries drift under the event_time_horizon_ms eviction knob

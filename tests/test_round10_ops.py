@@ -473,3 +473,117 @@ def test_quantile_bottomk_mergeable_and_accurate(spark):
         quantile_bottomk_sketch(df, "v", "id", probs=[1.5])
     with pytest.raises(ValueError, match="k"):
         quantile_bottomk_sketch(df, "v", "id", k=0)
+
+
+# --- conductance ---------------------------------------------------------
+
+
+def test_conductance_planted_two_cliques(spark):
+    """Two K4s joined by one bridge, scored against the TRUE partition:
+    each community has vol = 13 (within-clique degree 3×3 + bridge
+    endpoint 4), cut = 1, S = 26, so φ = 1/min(13, 13) = 0.076923 for
+    both — and the '<all>' volume-weighted mean equals the same."""
+    from census_data_pipeline_spark.functions import graph
+
+    k4a = [(f"a{i}", f"a{j}") for i in range(4) for j in range(i + 1, 4)]
+    k4b = [(f"b{i}", f"b{j}") for i in range(4) for j in range(i + 1, 4)]
+    edges = spark.createDataFrame(k4a + k4b + [("a0", "b0")],
+                                  "src string, dst string")
+    labels = spark.createDataFrame(
+        [(f"a{i}", "A") for i in range(4)]
+        + [(f"b{i}", "B") for i in range(4)],
+        "id string, community string",
+    )
+    rows = {r.community: r for r in graph.conductance(edges, labels)
+            .collect()}
+    assert rows["A"].n_nodes == 4 and rows["A"].cut_edges == 1
+    assert rows["A"].volume == 13
+    assert rows["A"].phi == pytest.approx(0.076923)
+    assert rows["B"].phi == pytest.approx(0.076923)
+    assert rows["<all>"].volume == 26 and rows["<all>"].cut_edges == 2
+    assert rows["<all>"].phi == pytest.approx(0.076923)
+
+
+def test_conductance_degenerate_communities_are_null(spark):
+    """A community holding the WHOLE graph has min(vol, S−vol) = 0 →
+    φ NULL; an edge-free community is NULL too; the '<all>' mean
+    excludes NULLs (here: no defined φ at all → NULL)."""
+    from census_data_pipeline_spark.functions import graph
+
+    edges = spark.createDataFrame(
+        [("x", "y"), ("y", "z")], "src string, dst string")
+    labels = spark.createDataFrame(
+        [("x", "C"), ("y", "C"), ("z", "C"), ("lonely", "D")],
+        "id string, community string")
+    rows = {r.community: r for r in graph.conductance(edges, labels)
+            .collect()}
+    assert rows["C"].phi is None and rows["C"].volume == 4
+    assert rows["D"].phi is None and rows["D"].volume == 0
+    assert rows["<all>"].phi is None
+
+
+def test_conductance_separates_good_from_bad_cut(spark):
+    """On the planted two-clique graph the TRUE partition's weighted φ
+    must beat (be lower than) a deliberately wrong split that cuts
+    through a clique."""
+    from census_data_pipeline_spark.functions import graph
+
+    k4a = [(f"a{i}", f"a{j}") for i in range(4) for j in range(i + 1, 4)]
+    k4b = [(f"b{i}", f"b{j}") for i in range(4) for j in range(i + 1, 4)]
+    edges = spark.createDataFrame(k4a + k4b + [("a0", "b0")],
+                                  "src string, dst string")
+    true_lab = spark.createDataFrame(
+        [(f"a{i}", "A") for i in range(4)]
+        + [(f"b{i}", "B") for i in range(4)],
+        "id string, community string")
+    # wrong split: a0,a1,b0,b1 vs a2,a3,b2,b3 slices both cliques
+    wrong_lab = spark.createDataFrame(
+        [("a0", "W1"), ("a1", "W1"), ("b0", "W1"), ("b1", "W1"),
+         ("a2", "W2"), ("a3", "W2"), ("b2", "W2"), ("b3", "W2")],
+        "id string, community string")
+    phi_true = {r.community: r.phi
+                for r in graph.conductance(edges, true_lab).collect()}
+    phi_wrong = {r.community: r.phi
+                 for r in graph.conductance(edges, wrong_lab).collect()}
+    assert phi_true["<all>"] < phi_wrong["<all>"]
+
+
+# --- Jaccard link prediction ---------------------------------------------
+
+
+def test_jaccard_scores_and_excludes_existing(spark):
+    """Square a-b-c-d-a: diagonals are the only candidates, each with
+    2 common neighbors out of a union of 2 (deg 2 + deg 2 − 2), so
+    J = 1.0; existing edges never appear; ranks follow the
+    (score desc, src, dst) total order."""
+    from census_data_pipeline_spark.functions import graph
+
+    square = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    df = spark.createDataFrame(square, "src string, dst string")
+    rows = graph.jaccard_topk(df, k=10).collect()
+    got = {(r.src, r.dst): (r.common, r.score, r.rank) for r in rows}
+    assert set(got) == {("a", "c"), ("b", "d")}
+    assert got[("a", "c")] == (2, 1.0, 1)
+    assert got[("b", "d")] == (2, 1.0, 2)
+
+
+def test_jaccard_union_uses_true_degrees_past_hub_cap(spark):
+    """The hub cap gates which wedges GENERATE candidates, but the
+    union denominator uses TRUE degrees: x0 and x1 share only the
+    low-degree w as a counted apex, yet their degrees still include
+    the capped hub, so J = 1 / (3 + 3 − 1) = 0.2."""
+    from census_data_pipeline_spark.functions import graph
+
+    hub = [("hub", f"x{i}") for i in range(6)]
+    shared = [("w", "x0"), ("w", "x1"), ("v", "x0"), ("v", "x1")]
+    df = spark.createDataFrame(hub + shared, "src string, dst string")
+    rows = graph.jaccard_topk(df, k=100, max_degree=5).collect()
+    got = {(r.src, r.dst): (r.common, r.score) for r in rows}
+    # x0, x1 each have true degree 3 (hub, w, v); common counted via
+    # w and v only (hub capped) = 2 → J = 2 / (3 + 3 - 2) = 0.5
+    assert got[("x0", "x1")] == (2, 0.5)
+    assert ("x2", "x3") not in got      # only via the capped hub
+    with pytest.raises(ValueError, match="k"):
+        graph.jaccard_topk(df, k=0)
+    with pytest.raises(ValueError, match="max_degree"):
+        graph.jaccard_topk(df, k=5, max_degree=1)
