@@ -1009,3 +1009,495 @@ def ar_ljung_box_oracle_sql(
            {crit_sql} AS q_crit,
            {white_sql} AS white_noise
     FROM aq"""
+
+
+def acf(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    value_col: str,
+    lags: int = 48,
+) -> DataFrame:
+    """Sample autocorrelation function per key — THE diagnostic a user
+    runs BEFORE choosing p for ``ar_forecast`` or a season length for
+    Holt-Winters (Box & Jenkins' identification step): r_k = c_k/c_0
+    from the biased autocovariances of the bucketed series, for
+    k = 1..``lags``, with the ±1.96/√n white-noise band and a
+    per-lag significance flag. Returns (keys..., lag, acf, band,
+    significant); constant series (c_0 = 0) emit NULL acf with
+    significant = false. Keys with fewer than 2·``lags`` buckets drop
+    (the 2p guard class).
+
+    Scale shape: ONE hash agg upstream builds the bucketed series;
+    here a single groupBy collects each key's horizon-bounded array
+    and every autocovariance is a Catalyst ``aggregate`` fold
+    (lags+1 sequential sums, JVM-side, no UDF, no window) — identical
+    to the fit step ``ar_forecast`` already runs, exposed as its own
+    contract. Every scalar rounds via ``_r6`` so the DuckDB oracle's
+    list folds walk the identical trajectory. Cite: reference has no
+    time-series tier; extends SURVEY §2.11 beside ar_forecast."""
+    if lags < 1:
+        raise ValueError("lags must be >= 1")
+    arr = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(t_col).alias("t"),
+                                    F.col(value_col).alias("y")))
+        ),
+        lambda s: s["y"].cast("double"),
+    )
+    per_key = (
+        series.groupBy(*key_cols)
+        .agg(arr.alias("__ys"))
+        .filter(F.size("__ys") >= 2 * lags)
+    )
+
+    def lsum(xs: Column) -> Column:
+        return F.aggregate(xs, F.lit(0.0), lambda acc, x: acc + x)
+
+    n = F.size("__ys")
+    mu = _r6(lsum(F.col("__ys")) / n.cast("double"))
+    with_mu = per_key.select(
+        *key_cols, "__ys", n.alias("__n"), mu.alias("__mu")
+    )
+    cs = F.transform(
+        F.sequence(F.lit(0), F.lit(lags)),
+        lambda k: _r6(
+            lsum(
+                F.zip_with(
+                    F.slice(F.col("__ys"), 1, F.size("__ys") - k),
+                    F.slice(F.col("__ys"), k + 1, F.size("__ys") - k),
+                    lambda x, z: (x - F.col("__mu")) * (z - F.col("__mu")),
+                )
+            )
+            / F.size("__ys").cast("double")
+        ),
+    )
+    with_cs = with_mu.select(*key_cols, "__n", cs.alias("__cs"))
+    band = _r6(F.lit(1.96) / F.sqrt(F.col("__n").cast("double")))
+    r = F.when(
+        F.col("__c0") > 0, _r6(F.col("__c") / F.col("__c0"))
+    ).otherwise(F.lit(None).cast("double"))
+    return (
+        with_cs.select(
+            *key_cols, "__n",
+            F.element_at("__cs", 1).alias("__c0"),
+            F.posexplode(F.slice("__cs", 2, lags)).alias("__k", "__c"),
+        )
+        .select(
+            *key_cols,
+            (F.col("__k") + 1).cast("long").alias("lag"),
+            r.alias("acf"),
+            band.alias("band"),
+            F.coalesce(F.abs(r) > band, F.lit(False)).alias("significant"),
+        )
+    )
+
+
+def acf_oracle_sql(
+    series_cte: str,
+    key: str = "event_type",
+    lags: int = 48,
+) -> str:
+    """DuckDB replica of ``acf``: the same grouped series list, biased
+    autocovariance list folds, r_k = c_k/c_0 and the 1.96/√n band with
+    identical ``_r6`` rounding. ``series_cte`` must define a CTE named
+    ``series`` with (key, t, y)."""
+    R = _oracle_r6
+    return f"""WITH {series_cte},
+    fpk AS (SELECT {key}, list(y ORDER BY t) AS ys, count(*) AS n
+            FROM series GROUP BY {key}
+            HAVING count(*) >= {2 * lags}),
+    fmu AS (SELECT {key}, ys, n,
+                   {R("list_reduce(ys, (x, y) -> x + y) / n")} AS mu
+            FROM fpk),
+    fcs AS (SELECT {key}, n,
+                   list_transform(generate_series(0, {lags}), k ->
+                     {R("list_reduce(list_transform("
+                        "generate_series(1, CAST(n - k AS BIGINT)), i -> "
+                        "(ys[CAST(i AS BIGINT)] - mu) * "
+                        "(ys[CAST(i + k AS BIGINT)] - mu)), "
+                        "(x, y) -> x + y) / n")}) AS cs
+            FROM fmu),
+    flg AS (
+      SELECT {key}, n, cs, unnest(generate_series(1, {lags})) AS lag
+      FROM fcs),
+    fr AS (
+      SELECT {key}, CAST(lag AS BIGINT) AS lag,
+             CASE WHEN cs[1] > 0
+                  THEN {R("cs[CAST(lag + 1 AS BIGINT)] / cs[1]")}
+                  ELSE NULL END AS acf,
+             {R("1.96 / sqrt(CAST(n AS DOUBLE))")} AS band
+      FROM flg)
+    SELECT {key}, lag, acf, band,
+           COALESCE(abs(acf) > band, FALSE) AS significant
+    FROM fr"""
+
+
+# 95% critical value of sup|Brownian bridge| (the Kolmogorov statistic):
+# the asymptotic null distribution of max|S_t| / (σ√n) for the centered
+# cumulative-sum path of an i.i.d. series.
+_CUSUM_CRIT_95 = 1.358099
+
+
+def changepoint_cusum(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Offline single-changepoint detection per key — the batch twin of
+    the streaming CUSUM monitor: over the bucketed series, the centered
+    cumulative sum S_t = Σ_{i≤t}(y_i − ȳ) peaks exactly where a mean
+    shift happens (Page 1954; the CUSUM estimator t* = argmax|S_t|,
+    first index on ties), and max|S_t|/(σ̂√n) converges to the
+    sup-|Brownian-bridge| law under no-change, giving the closed-form
+    95% significance cut at 1.358099 — no bootstrap, no RNG. Returns
+    one row per key: (keys..., n, t_star, stat, mean_before,
+    mean_after, delta, significant); constant series (σ̂ = 0) emit
+    stat 0 / significant false, and mean_after is NULL when t* = n.
+    Keys with fewer than 8 buckets drop.
+
+    Scale shape: ONE hash agg upstream builds the series; here a
+    single groupBy collects each key's horizon-bounded array, ONE
+    O(n) Catalyst ``aggregate`` fold carries (running sum, best |S|,
+    argmax) — JVM-side, sequential, so the raw prefix sums are
+    bit-identical to the oracle's left-to-right list folds; rounding
+    via ``_r6`` only at comparisons and outputs. No UDF, no window,
+    no driver state. Cite: reference has no time-series tier; extends
+    SURVEY §2.11 beside streaming cusum_monitor."""
+    arr = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(t_col).alias("t"),
+                                    F.col(value_col).alias("y")))
+        ),
+        lambda s: s["y"].cast("double"),
+    )
+    per_key = (
+        series.groupBy(*key_cols)
+        .agg(arr.alias("__ys"))
+        .filter(F.size("__ys") >= 8)
+    )
+
+    def lsum(xs: Column) -> Column:
+        return F.aggregate(xs, F.lit(0.0), lambda acc, x: acc + x)
+
+    n = F.size("__ys")
+    mu = _r6(lsum(F.col("__ys")) / n.cast("double"))
+    with_mu = per_key.select(
+        *key_cols, "__ys", n.alias("__n"), mu.alias("__mu")
+    )
+    c0 = _r6(
+        lsum(
+            F.transform(
+                F.col("__ys"),
+                lambda x: (x - F.col("__mu")) * (x - F.col("__mu")),
+            )
+        )
+        / F.col("__n").cast("double")
+    )
+
+    # one sequential fold: raw running sum (never rounded — addition
+    # order matches the oracle's left-to-right list_reduce exactly),
+    # best = rounded |S_t|, first strict improvement wins ties
+    def step(acc: Column, t: Column) -> Column:
+        s1 = acc["s"] + F.element_at(F.col("__ys"), t) - F.col("__mu")
+        r = _r6(F.abs(s1))
+        better = r > acc["best"]
+        return F.struct(
+            s1.alias("s"),
+            F.when(better, r).otherwise(acc["best"]).alias("best"),
+            F.when(better, t).otherwise(acc["bt"]).alias("bt"),
+        )
+
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.col("__n")),
+        F.struct(
+            F.lit(0.0).alias("s"),
+            F.lit(-1.0).alias("best"),
+            F.lit(0).alias("bt"),
+        ),
+        step,
+    )
+    staged = with_mu.select(
+        *key_cols, "__ys", "__n",
+        c0.alias("__c0"),
+        walk["best"].alias("__best"),
+        walk["bt"].alias("__bt"),
+    )
+    sigma = _r6(F.sqrt(F.col("__c0")))
+    stat = F.when(
+        sigma > 0,
+        _r6(
+            F.col("__best")
+            / (sigma * F.sqrt(F.col("__n").cast("double")))
+        ),
+    ).otherwise(F.lit(0.0))
+    mb = _r6(
+        lsum(F.slice("__ys", 1, F.col("__bt")))
+        / F.col("__bt").cast("double")
+    )
+    ma = F.when(
+        F.col("__bt") < F.col("__n"),
+        _r6(
+            lsum(
+                F.slice(
+                    "__ys", F.col("__bt") + 1, F.col("__n") - F.col("__bt")
+                )
+            )
+            / (F.col("__n") - F.col("__bt")).cast("double")
+        ),
+    ).otherwise(F.lit(None).cast("double"))
+    return staged.select(
+        *key_cols,
+        F.col("__n").cast("long").alias("n"),
+        F.col("__bt").cast("long").alias("t_star"),
+        stat.alias("stat"),
+        mb.alias("mean_before"),
+        ma.alias("mean_after"),
+        F.when(ma.isNotNull(), _r6(ma - mb)).alias("delta"),
+        (stat > F.lit(_CUSUM_CRIT_95)).alias("significant"),
+    )
+
+
+def changepoint_oracle_sql(
+    series_cte: str,
+    key: str = "event_type",
+) -> str:
+    """DuckDB replica of ``changepoint_cusum``: the same grouped series
+    list, rounded-|prefix-sum| list (each prefix a left-to-right fold —
+    bit-identical to the engine's sequential walk), first-argmax via
+    list_position(list_max), and identical stat / before-after / 95%
+    cut arithmetic."""
+    R = _oracle_r6
+    prefix_abs = R(
+        "abs(list_reduce(list_transform(generate_series(1, "
+        "CAST(t AS BIGINT)), i -> ys[CAST(i AS BIGINT)] - mu), "
+        "(x, y) -> x + y))"
+    )
+    return f"""WITH {series_cte},
+    gpk AS (SELECT {key}, list(y ORDER BY t) AS ys, count(*) AS n
+            FROM series GROUP BY {key}
+            HAVING count(*) >= 8),
+    gmu AS (SELECT {key}, ys, n,
+                   {R("list_reduce(ys, (x, y) -> x + y) / n")} AS mu
+            FROM gpk),
+    gc0 AS (SELECT {key}, ys, n, mu,
+                   {R("list_reduce(list_transform(ys, x -> "
+                      "(x - mu) * (x - mu)), (x, y) -> x + y) / n")} AS c0
+            FROM gmu),
+    gsb AS (SELECT {key}, ys, n, mu, c0,
+                   list_transform(generate_series(1, CAST(n AS BIGINT)),
+                                  t -> {prefix_abs}) AS sabs
+            FROM gc0),
+    gbt AS (SELECT {key}, ys, n, mu, c0,
+                   list_max(sabs) AS best,
+                   list_position(sabs, list_max(sabs)) AS bt
+            FROM gsb),
+    gst AS (SELECT {key}, ys, n, bt,
+                   CASE WHEN {R("sqrt(c0)")} > 0
+                        THEN {R(f"best / ({_oracle_r6('sqrt(c0)')}"
+                                f" * sqrt(CAST(n AS DOUBLE)))")}
+                        ELSE 0.0 END AS stat,
+                   {R("list_reduce(ys[1:CAST(bt AS BIGINT)], "
+                      "(x, y) -> x + y) / bt")} AS mean_before,
+                   CASE WHEN bt < n THEN
+                     {R("list_reduce(ys[CAST(bt + 1 AS BIGINT):"
+                        "CAST(n AS BIGINT)], (x, y) -> x + y) / (n - bt)")}
+                   ELSE NULL END AS mean_after
+            FROM gbt)
+    SELECT {key}, CAST(n AS BIGINT) AS n, CAST(bt AS BIGINT) AS t_star,
+           stat, mean_before, mean_after,
+           CASE WHEN mean_after IS NOT NULL
+                THEN {R("mean_after - mean_before")} END AS delta,
+           stat > CAST({_CUSUM_CRIT_95!r} AS DOUBLE) AS significant
+    FROM gst"""
+
+
+def seasonal_decompose(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    value_col: str,
+    period: int = 24,
+) -> DataFrame:
+    """Classic additive seasonal decomposition per key (the moving-
+    average method STL generalizes; Kendall & Stuart's "ratio to
+    moving average" in additive form): trend = centered moving average
+    of width ``period`` (the 2×m weighted form when m is even, so the
+    window stays symmetric), seasonal = per-phase mean of the
+    detrended values re-centered to sum ≈ 0, remainder = y − trend −
+    seasonal. THE decomposition a capacity planner reads before
+    trusting any forecast: how much of the series is structure vs
+    noise. Returns (keys..., t, phase, y, trend, seasonal, remainder)
+    for every bucket; trend/remainder are NULL in the half-window
+    edges where the centered MA is undefined. Keys with fewer than
+    2·``period`` buckets drop (so every phase has ≥1 detrended
+    observation).
+
+    Scale shape: ONE hash agg upstream builds the series; here a
+    single groupBy collects each key's horizon-bounded array and
+    everything — the n moving-average windows (O(n·m) scalar adds),
+    the m phase means, the re-centering — is Catalyst ``aggregate`` /
+    ``transform`` folds, JVM-side, sequential (bit-identical to the
+    oracle's left-to-right list folds), 6-dp-rounded via ``_r6`` at
+    every emitted scalar. No UDF, no window, no driver state. Cite:
+    reference has no time-series tier; extends SURVEY §2.11 beside
+    holt_winters_forecast (whose seasonal state this decomposition
+    lets a user sanity-check)."""
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    m = period
+    h = m // 2
+    even = m % 2 == 0
+    arr = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(t_col).alias("t"),
+                                    F.col(value_col).alias("y")))
+        ),
+        lambda s: s["y"].cast("double"),
+    )
+    per_key = (
+        series.groupBy(*key_cols)
+        .agg(arr.alias("__ys"))
+        .filter(F.size("__ys") >= 2 * m)
+    )
+
+    def lsum(xs: Column) -> Column:
+        return F.aggregate(xs, F.lit(0.0), lambda acc, x: acc + x)
+
+    n = F.size("__ys")
+    staged = per_key.select(*key_cols, "__ys", n.alias("__n"))
+
+    def trend_at(t: Column) -> Column:
+        ys = F.col("__ys")
+        if even:
+            core = lsum(F.slice(ys, t - h + 1, F.lit(m - 1)))
+            return _r6(
+                (F.element_at(ys, t - h) * F.lit(0.5)
+                 + core
+                 + F.element_at(ys, t + h) * F.lit(0.5))
+                / F.lit(float(m))
+            )
+        return _r6(lsum(F.slice(ys, t - h, F.lit(m))) / F.lit(float(m)))
+
+    tr = F.transform(
+        F.sequence(F.lit(1), F.col("__n")),
+        lambda t: F.when(
+            (t >= h + 1) & (t <= F.col("__n") - h), trend_at(t)
+        ).otherwise(F.lit(None).cast("double")),
+    )
+    with_tr = staged.select(*key_cols, "__ys", "__n", tr.alias("__tr"))
+
+    def phase_of(t: Column) -> Column:
+        return (t - 1) % m + 1
+
+    def phase_ts(p: Column) -> Column:
+        return F.filter(
+            F.sequence(F.lit(h + 1), F.col("__n") - h),
+            lambda t: phase_of(t) == p,
+        )
+
+    sr = F.transform(
+        F.sequence(F.lit(1), F.lit(m)),
+        lambda p: _r6(
+            F.aggregate(
+                phase_ts(p),
+                F.lit(0.0),
+                lambda acc, t: acc
+                + F.element_at(F.col("__ys"), t)
+                - F.element_at(F.col("__tr"), t),
+            )
+            / F.size(phase_ts(p)).cast("double")
+        ),
+    )
+    with_sr = with_tr.select(*key_cols, "__ys", "__n", "__tr",
+                             sr.alias("__sr"))
+    sm = _r6(lsum(F.col("__sr")) / F.lit(float(m)))
+    se = F.transform(F.col("__sr"), lambda s: _r6(s - sm))
+    with_se = with_sr.select(*key_cols, "__ys", "__n", "__tr",
+                             se.alias("__se"))
+    exploded = with_se.select(
+        *key_cols, "__ys", "__tr", "__se",
+        F.posexplode(F.sequence(F.lit(1), F.col("__n")))
+        .alias("__i", "__t"),
+    )
+    t = F.col("__t")
+    y = F.element_at("__ys", t)
+    trend = F.element_at("__tr", t)
+    seasonal = F.element_at("__se", phase_of(t))
+    return exploded.select(
+        *key_cols,
+        t.cast("long").alias("t"),
+        phase_of(t).cast("long").alias("phase"),
+        y.alias("y"),
+        trend.alias("trend"),
+        seasonal.alias("seasonal"),
+        F.when(trend.isNotNull(), _r6(y - trend - seasonal))
+        .alias("remainder"),
+    )
+
+
+def seasonal_decompose_oracle_sql(
+    series_cte: str,
+    key: str = "event_type",
+    period: int = 24,
+) -> str:
+    """DuckDB replica of ``seasonal_decompose``: the same grouped series
+    list, centered-MA list folds (2×m weighted form for even m),
+    per-phase detrended means, re-centering, and remainder — every
+    scalar ``_r6``-rounded at the identical points."""
+    R = _oracle_r6
+    m = period
+    h = m // 2
+    even = m % 2 == 0
+    if even:
+        trend_expr = R(
+            f"(ys[CAST(t - {h} AS BIGINT)] * 0.5 + "
+            f"list_reduce(ys[CAST(t - {h} + 1 AS BIGINT):"
+            f"CAST(t + {h} - 1 AS BIGINT)], (x, y) -> x + y) + "
+            f"ys[CAST(t + {h} AS BIGINT)] * 0.5) / {float(m)!r}"
+        )
+    else:
+        trend_expr = R(
+            f"list_reduce(ys[CAST(t - {h} AS BIGINT):"
+            f"CAST(t + {h} AS BIGINT)], (x, y) -> x + y) / {float(m)!r}"
+        )
+    return f"""WITH {series_cte},
+    hpk AS (SELECT {key}, list(y ORDER BY t) AS ys, count(*) AS n
+            FROM series GROUP BY {key}
+            HAVING count(*) >= {2 * m}),
+    htr AS (SELECT {key}, ys, n,
+                   list_transform(generate_series(1, CAST(n AS BIGINT)),
+                     t -> CASE WHEN t >= {h + 1} AND t <= n - {h}
+                               THEN {trend_expr} ELSE NULL END) AS tr
+            FROM hpk),
+    hsr AS (SELECT {key}, ys, n, tr,
+                   list_transform(generate_series(1, {m}), p ->
+                     {R(f"list_reduce(list_transform("
+                        f"list_filter(generate_series({h + 1}, "
+                        f"CAST(n - {h} AS BIGINT)), "
+                        f"t -> (t - 1) % {m} + 1 = p), "
+                        f"t -> ys[CAST(t AS BIGINT)] - "
+                        f"tr[CAST(t AS BIGINT)]), (x, y) -> x + y) / "
+                        f"len(list_filter(generate_series({h + 1}, "
+                        f"CAST(n - {h} AS BIGINT)), "
+                        f"t -> (t - 1) % {m} + 1 = p))")}) AS sr
+            FROM htr),
+    hse AS (SELECT {key}, ys, n, tr,
+                   list_transform(sr, s ->
+                     {R(R("list_reduce(sr, (x, y) -> x + y) / "
+                          + repr(float(m))) + " * (-1.0) + s")}) AS se
+            FROM hsr),
+    hxp AS (SELECT {key}, ys, tr, se,
+                   unnest(generate_series(1, CAST(n AS BIGINT))) AS t
+            FROM hse)
+    SELECT {key}, CAST(t AS BIGINT) AS t,
+           CAST((t - 1) % {m} + 1 AS BIGINT) AS phase,
+           ys[CAST(t AS BIGINT)] AS y,
+           tr[CAST(t AS BIGINT)] AS trend,
+           se[CAST((t - 1) % {m} + 1 AS BIGINT)] AS seasonal,
+           CASE WHEN tr[CAST(t AS BIGINT)] IS NOT NULL THEN
+             {R("ys[CAST(t AS BIGINT)] - tr[CAST(t AS BIGINT)] - "
+                f"se[CAST((t - 1) % {m} + 1 AS BIGINT)]")}
+           END AS remainder
+    FROM hxp"""

@@ -260,6 +260,9 @@ _CHECKED_PREFIX = [
     # r10 second batch (this session's additions)
     "graph_conductance",
     "graph_jaccard_linkpred",
+    "events_acf",
+    "events_changepoint",
+    "events_seasonal_decompose",
     # r10 fingerprint drift: kcore_nodes reworked to frontier-delta
     # maintained degrees (VERDICT r9 #1); the two stateful streaming
     # queries drift under the event_time_horizon_ms eviction knob

@@ -4850,3 +4850,80 @@ def sketch_quantiles_bottomk(spark, sf_dir):
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")),
         k=4096,
     )
+
+
+from census_data_pipeline_spark.operators.forecast import (  # noqa: E402
+    acf_oracle_sql,
+    changepoint_oracle_sql,
+    seasonal_decompose_oracle_sql,
+)
+
+
+@query("events_acf",
+       oracle=acf_oracle_sql(_HW_SERIES_CTE, key="event_type", lags=48))
+def events_acf(spark, sf_dir):
+    """Sample autocorrelation function per event type
+    (operators/forecast.acf): r_k = c_k/c_0 for lags 1..48 over the
+    zero-filled hourly series, with the ±1.96/√n white-noise band and
+    a per-lag significance flag — the Box-Jenkins identification step
+    a user runs BEFORE picking ar_forecast's p or Holt-Winters' season
+    length. One data-scale hash agg to hourly buckets; the 49
+    autocovariances are sequential Catalyst aggregate folds over each
+    key's ~720-bucket array, the identical fit arithmetic
+    events_forecast_ar already runs, exposed as its own contract.
+    HONEST EXPECTED VALUE (measured): the synthetic hourly counts are
+    near-WHITE — every |r_k| hovers at/inside the ±1.96/√n ≈ 0.073
+    band with NO lag-24 spike (max |r_k| ≈ 0.08 at sf0.001, ≈ 0.074
+    at sf0.01, at noise lags) — consistent with the Ljung-Box
+    all-white verdict and the weak forecast skill; the diagnostic
+    exists exactly so a user SEES there is no cycle to model."""
+    from census_data_pipeline_spark.operators import forecast
+
+    series = _hourly_series_t(spark, sf_dir)
+    return forecast.acf(series, ["event_type"], "t", "y", lags=48)
+
+
+@query("events_changepoint",
+       oracle=changepoint_oracle_sql(_HW_SERIES_CTE, key="event_type"))
+def events_changepoint(spark, sf_dir):
+    """Offline single-changepoint detection per event type
+    (operators/forecast.changepoint_cusum) — the batch twin of
+    streaming_cusum_hourly: the centered cumulative sum S_t peaks at
+    the most likely mean-shift index; max|S_t|/(σ̂√n) against the
+    closed-form sup-Brownian-bridge 95% value (1.358099) decides
+    significance — no bootstrap, no RNG. Output per key: (n, t_star,
+    stat, mean_before, mean_after, delta, significant). One O(n)
+    sequential fold per key after the hourly hash agg; the oracle's
+    prefix-sum folds are bit-identical left-to-right walks.
+    HONEST EXPECTED VALUE (measured): the synthetic event stream has
+    no planted mean shift — 0/5 keys significant at sf0.01 (stats
+    0.65-0.95) and one marginal trigger at sf0.001 ('error', 1.418 vs
+    1.358 — small-sample noise); the query exists so a user can SEE
+    that instead of assuming stationarity."""
+    from census_data_pipeline_spark.operators import forecast
+
+    series = _hourly_series_t(spark, sf_dir)
+    return forecast.changepoint_cusum(series, ["event_type"], "t", "y")
+
+
+@query("events_seasonal_decompose",
+       oracle=seasonal_decompose_oracle_sql(_HW_SERIES_CTE,
+                                            key="event_type", period=24))
+def events_seasonal_decompose(spark, sf_dir):
+    """Classic additive seasonal decomposition per event type
+    (operators/forecast.seasonal_decompose): trend = centered 2×24
+    weighted moving average, seasonal = re-centered per-hour-of-day
+    mean of the detrended series, remainder = what's left — the
+    structure-vs-noise split a capacity planner reads before trusting
+    events_forecast_hourly's seasonal state. Full-series output
+    (event_type, t, phase, y, trend, seasonal, remainder); trend and
+    remainder NULL in the 12-bucket half-window edges. O(n·m) scalar
+    adds per key as Catalyst folds over the ~720-bucket array —
+    JVM-side, sequential, 6-dp-rounded at every emitted scalar, so
+    the oracle's list folds match exactly."""
+    from census_data_pipeline_spark.operators import forecast
+
+    series = _hourly_series_t(spark, sf_dir)
+    return forecast.seasonal_decompose(
+        series, ["event_type"], "t", "y", period=24
+    )

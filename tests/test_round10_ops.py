@@ -587,3 +587,178 @@ def test_jaccard_union_uses_true_degrees_past_hub_cap(spark):
         graph.jaccard_topk(df, k=0)
     with pytest.raises(ValueError, match="max_degree"):
         graph.jaccard_topk(df, k=5, max_degree=1)
+
+
+# --- ACF -------------------------------------------------------------------
+
+
+def test_acf_alternating_series(spark):
+    """A perfect ±alternation has r_1 ≈ −1 and r_2 ≈ +1 (biased
+    estimator shrinks by (n−k)/n), both flagged significant against
+    the 1.96/√n band."""
+    from census_data_pipeline_spark.operators import forecast
+
+    n = 96
+    rows = [("k", t, float(t % 2)) for t in range(1, n + 1)]
+    df = spark.createDataFrame(rows, "key string, t int, y double")
+    got = {r.lag: r for r in forecast.acf(df, ["key"], "t", "y",
+                                          lags=4).collect()}
+    assert got[1].acf == pytest.approx(-1.0 + 1.0 / n, abs=1e-4)
+    assert got[2].acf == pytest.approx(1.0 - 2.0 / n, abs=1e-4)
+    assert got[1].band == pytest.approx(1.96 / n ** 0.5, abs=1e-6)
+    assert got[1].significant and got[2].significant
+
+
+def test_acf_constant_series_is_null(spark):
+    """c_0 = 0 → NULL acf, significant false (never a div-by-zero)."""
+    from census_data_pipeline_spark.operators import forecast
+
+    rows = [("k", t, 5.0) for t in range(1, 33)]
+    df = spark.createDataFrame(rows, "key string, t int, y double")
+    out = forecast.acf(df, ["key"], "t", "y", lags=8).collect()
+    assert len(out) == 8
+    assert all(r.acf is None and r.significant is False for r in out)
+
+
+def test_acf_short_key_drops_and_guard(spark):
+    from census_data_pipeline_spark.operators import forecast
+
+    rows = [("short", t, float(t)) for t in range(1, 10)]
+    df = spark.createDataFrame(rows, "key string, t int, y double")
+    assert forecast.acf(df, ["key"], "t", "y", lags=8).count() == 0
+    with pytest.raises(ValueError, match="lags"):
+        forecast.acf(df, ["key"], "t", "y", lags=0)
+
+
+def test_acf_period_cycle_peaks_at_season_lag(spark):
+    """A period-8 cosine peaks positive at lag 8 and dips negative at
+    lag 4 — the identification signature the diagnostic exists for."""
+    import math
+
+    from census_data_pipeline_spark.operators import forecast
+
+    rows = [("k", t, math.cos(2 * math.pi * t / 8))
+            for t in range(1, 129)]
+    df = spark.createDataFrame(rows, "key string, t int, y double")
+    got = {r.lag: r.acf for r in forecast.acf(df, ["key"], "t", "y",
+                                              lags=12).collect()}
+    assert got[8] > 0.8 and got[4] < -0.8
+    assert got[8] > got[12] > got[4] or got[8] > 0 > got[4]
+
+
+# --- offline changepoint ----------------------------------------------------
+
+
+def test_changepoint_planted_step(spark):
+    """A clean 0→10 step at t=50 in 100 buckets: t* = 50, the means
+    bracket the step exactly, and the statistic clears the 95% cut."""
+    from census_data_pipeline_spark.operators import forecast
+
+    rows = [("k", t, 0.0 if t <= 50 else 10.0) for t in range(1, 101)]
+    df = spark.createDataFrame(rows, "key string, t int, y double")
+    r = forecast.changepoint_cusum(df, ["key"], "t", "y").collect()[0]
+    assert r.t_star == 50
+    assert r.mean_before == pytest.approx(0.0)
+    assert r.mean_after == pytest.approx(10.0)
+    assert r.delta == pytest.approx(10.0)
+    assert r.significant and r.stat > 1.358099
+
+
+def test_changepoint_constant_series(spark):
+    """Constant series: σ̂ = 0 → stat 0, not significant, t* = 1 (the
+    first index wins when every |S_t| ties at 0)."""
+    from census_data_pipeline_spark.operators import forecast
+
+    rows = [("k", t, 7.0) for t in range(1, 21)]
+    df = spark.createDataFrame(rows, "key string, t int, y double")
+    r = forecast.changepoint_cusum(df, ["key"], "t", "y").collect()[0]
+    assert r.stat == 0.0 and r.significant is False
+    assert r.t_star == 1
+    assert r.mean_before == pytest.approx(7.0)
+    assert r.mean_after == pytest.approx(7.0)
+    assert r.delta == pytest.approx(0.0)
+
+
+def test_changepoint_short_key_drops(spark):
+    from census_data_pipeline_spark.operators import forecast
+
+    rows = [("k", t, float(t)) for t in range(1, 8)]
+    df = spark.createDataFrame(rows, "key string, t int, y double")
+    assert forecast.changepoint_cusum(df, ["key"], "t", "y").count() == 0
+
+
+def test_changepoint_detects_drift_and_ignores_stationary_noise(spark):
+    """CUSUM flags ANY mean non-stationarity — a linear ramp triggers
+    (stat ≈ 0.433·√n ≫ 1.358 at n=100) — while seeded stationary noise
+    stays under the sup-Brownian-bridge 95% cut."""
+    import random
+
+    from census_data_pipeline_spark.operators import forecast
+
+    ramp = [("ramp", t, float(t)) for t in range(1, 101)]
+    rng = random.Random(42)
+    noise = [("noise", t, rng.gauss(0.0, 1.0)) for t in range(1, 201)]
+    df = spark.createDataFrame(ramp + noise,
+                               "key string, t int, y double")
+    got = {r.key: r for r in
+           forecast.changepoint_cusum(df, ["key"], "t", "y").collect()}
+    assert got["ramp"].significant and got["ramp"].stat > 1.358099
+    assert not got["noise"].significant
+
+
+# --- seasonal decomposition --------------------------------------------------
+
+
+def test_seasonal_decompose_pure_seasonal(spark):
+    """y = 10 + s[phase] with a sum-zero period-4 pattern and no trend:
+    trend is exactly 10 wherever defined, the seasonal indices recover
+    the pattern, and every defined remainder is 0."""
+    from census_data_pipeline_spark.operators import forecast
+
+    pat = {1: 3.0, 2: -1.0, 3: -4.0, 4: 2.0}
+    rows = [("k", t, 10.0 + pat[(t - 1) % 4 + 1])
+            for t in range(1, 41)]
+    df = spark.createDataFrame(rows, "key string, t int, y double")
+    out = forecast.seasonal_decompose(df, ["key"], "t", "y",
+                                      period=4).collect()
+    assert len(out) == 40
+    by_t = {r.t: r for r in out}
+    assert by_t[1].trend is None and by_t[2].trend is None
+    assert by_t[39].trend is None and by_t[40].trend is None
+    for t in range(3, 39):
+        assert by_t[t].trend == pytest.approx(10.0, abs=1e-6), t
+        assert by_t[t].remainder == pytest.approx(0.0, abs=1e-5), t
+    for t in range(1, 41):
+        assert by_t[t].seasonal == pytest.approx(
+            pat[(t - 1) % 4 + 1], abs=1e-5), t
+
+
+def test_seasonal_decompose_trend_plus_seasonal(spark):
+    """y = t + s[phase]: the centered MA recovers the linear trend
+    exactly (a symmetric window is unbiased on a line) and the
+    remainder vanishes."""
+    from census_data_pipeline_spark.operators import forecast
+
+    pat = {1: 1.0, 2: -1.0}
+    rows = [("k", t, float(t) + pat[(t - 1) % 2 + 1])
+            for t in range(1, 25)]
+    df = spark.createDataFrame(rows, "key string, t int, y double")
+    out = {r.t: r for r in forecast.seasonal_decompose(
+        df, ["key"], "t", "y", period=2).collect()}
+    for t in range(2, 24):
+        assert out[t].trend == pytest.approx(float(t), abs=1e-5), t
+        assert out[t].remainder == pytest.approx(0.0, abs=1e-4), t
+    assert out[5].seasonal == pytest.approx(1.0, abs=1e-5)
+    assert out[6].seasonal == pytest.approx(-1.0, abs=1e-5)
+
+
+def test_seasonal_decompose_guards(spark):
+    from census_data_pipeline_spark.operators import forecast
+
+    rows = [("k", t, float(t)) for t in range(1, 8)]
+    df = spark.createDataFrame(rows, "key string, t int, y double")
+    # n = 7 < 2*4 → key drops
+    assert forecast.seasonal_decompose(df, ["key"], "t", "y",
+                                       period=4).count() == 0
+    with pytest.raises(ValueError, match="period"):
+        forecast.seasonal_decompose(df, ["key"], "t", "y", period=1)
