@@ -1256,3 +1256,129 @@ def zipf_fit_oracle_sql(
     inner = grouped_ols_oracle_sql(src, ["g"], "x", "y")
     return f"""SELECT n AS n_tokens, slope, intercept, r2
     FROM ({inner}) q"""
+
+
+def js_divergence(
+    df: DataFrame,
+    cohort: Column,
+    text_col: str = "text",
+    resolution: int = 4096,
+) -> DataFrame:
+    """Jensen–Shannon divergence between two corpus slices' unigram
+    distributions — the TEXT-level distribution-shift score beside the
+    numeric/categorical drift trio (KS/PSI/χ², operators/drift.py) and
+    the selection-oriented DSIR log-ratio: cohort A = rows where
+    ``cohort`` is true, B the rest;
+    JSD = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m) with m = (p+q)/2, bounded by
+    ln 2, symmetric, and finite even on disjoint vocabularies (where
+    KL explodes — the reason JSD is the corpus-comparison standard).
+    Returns ONE row: (n_tokens_a, n_tokens_b, n_buckets_a,
+    n_buckets_b, jsd_nats, jsd_normalized = jsd/ln 2); NULL scores
+    when either slice is empty.
+
+    Tokens are md5-prefix hash buckets (3 hex chars = 4096) — the DSIR
+    parity trick: bounded feature space at any corpus size and a
+    bucket id both engines derive identically. Zero-mass buckets
+    contribute exactly 0 (no smoothing needed — m > 0 whenever either
+    side is present).
+
+    Scale shape: one exploded token pass partial-aggregates straight
+    to ≤``resolution`` bucket rows with BOTH sides' counts
+    (conditional agg — one shuffle, model-sized); totals arrive as a
+    1-row broadcast crossJoin; the JSD sum runs on the bucket frame.
+    The corpus never shuffles by document. Cite: reference has no
+    text tier; extends SURVEY §2.11 beside dsir_logratio/drift."""
+    if resolution != 4096:
+        raise ValueError("resolution must be 4096 (3 md5 hex chars)")
+    tok = (
+        ensure_parallelism(df)
+        .select(
+            cohort.alias("__a"),
+            F.explode(tokens(text_col)).alias("__t"),
+        )
+        .select("__a", F.substring(F.md5("__t"), 1, 3).alias("__b"))
+    )
+    buckets = tok.groupBy("__b").agg(
+        F.count(F.when(F.col("__a"), 1)).alias("__ca"),
+        F.count(F.when(~F.col("__a"), 1)).alias("__cb"),
+    )
+    totals = buckets.agg(
+        F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
+    )
+    p = F.col("__ca") / F.col("__na").cast("double")
+    q = F.col("__cb") / F.col("__nb").cast("double")
+    m = (p + q) / 2
+    contrib = (
+        F.when(F.col("__ca") > 0, p * F.log(p / m) / 2).otherwise(0.0)
+        + F.when(F.col("__cb") > 0, q * F.log(q / m) / 2).otherwise(0.0)
+    )
+    agg = (
+        buckets.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("__na").alias("n_tokens_a"),
+            F.max("__nb").alias("n_tokens_b"),
+            F.count(F.when(F.col("__ca") > 0, 1)).alias("n_buckets_a"),
+            F.count(F.when(F.col("__cb") > 0, 1)).alias("n_buckets_b"),
+            F.sum(contrib).alias("__jsd"),
+        )
+    )
+    ok = (F.col("n_tokens_a") > 0) & (F.col("n_tokens_b") > 0)
+    import math as _math
+
+    return agg.select(
+        F.col("n_tokens_a").cast("long").alias("n_tokens_a"),
+        F.col("n_tokens_b").cast("long").alias("n_tokens_b"),
+        F.col("n_buckets_a").cast("long").alias("n_buckets_a"),
+        F.col("n_buckets_b").cast("long").alias("n_buckets_b"),
+        F.when(ok, F.round(F.col("__jsd"), 6))
+        .otherwise(F.lit(None).cast("double")).alias("jsd_nats"),
+        F.when(ok, F.round(F.col("__jsd") / F.lit(_math.log(2.0)), 6))
+        .otherwise(F.lit(None).cast("double")).alias("jsd_normalized"),
+    )
+
+
+def js_divergence_oracle_sql(
+    table: str,
+    cohort_sql: str,
+    text_sql: str = "text",
+) -> str:
+    """DuckDB replica of ``js_divergence``: identical md5 bucketing,
+    conditional bucket counts, zero-mass handling, and ln-2
+    normalization."""
+    return f"""WITH jst AS (
+      SELECT CAST(({cohort_sql}) AS BOOLEAN) AS a,
+             substring(md5(u.t), 1, 3) AS b
+      FROM {table}, unnest(string_split({text_sql}, ' ')) AS u(t)),
+    jsb AS (
+      SELECT b,
+             count(*) FILTER (WHERE a) AS ca,
+             count(*) FILTER (WHERE NOT a) AS cb
+      FROM jst GROUP BY b),
+    jstot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM jsb),
+    jsagg AS (
+      SELECT MAX(na) AS n_tokens_a, MAX(nb) AS n_tokens_b,
+             count(*) FILTER (WHERE ca > 0) AS n_buckets_a,
+             count(*) FILTER (WHERE cb > 0) AS n_buckets_b,
+             SUM(
+               CASE WHEN ca > 0 THEN
+                 (ca / CAST(na AS DOUBLE))
+                 * ln((ca / CAST(na AS DOUBLE))
+                      / ((ca / CAST(na AS DOUBLE)
+                          + cb / CAST(nb AS DOUBLE)) / 2)) / 2
+               ELSE 0.0 END
+               + CASE WHEN cb > 0 THEN
+                 (cb / CAST(nb AS DOUBLE))
+                 * ln((cb / CAST(nb AS DOUBLE))
+                      / ((ca / CAST(na AS DOUBLE)
+                          + cb / CAST(nb AS DOUBLE)) / 2)) / 2
+               ELSE 0.0 END) AS jsd
+      FROM jsb, jstot)
+    SELECT CAST(n_tokens_a AS BIGINT) AS n_tokens_a,
+           CAST(n_tokens_b AS BIGINT) AS n_tokens_b,
+           CAST(n_buckets_a AS BIGINT) AS n_buckets_a,
+           CAST(n_buckets_b AS BIGINT) AS n_buckets_b,
+           CASE WHEN n_tokens_a > 0 AND n_tokens_b > 0
+                THEN ROUND(jsd, 6) END AS jsd_nats,
+           CASE WHEN n_tokens_a > 0 AND n_tokens_b > 0
+                THEN ROUND(jsd / ln(2.0), 6) END AS jsd_normalized
+    FROM jsagg"""

@@ -352,3 +352,101 @@ def logrank_oracle_sql(durations_cte: str) -> str:
                 THEN TRUE ELSE FALSE END AS significant
     FROM s
     """
+
+
+def nelson_aalen(
+    durations: DataFrame,
+    duration_col: str = "duration",
+    observed_col: str = "observed",
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator over the same
+    (duration, observed) frame as ``kaplan_meier`` — the hazard-side
+    twin of the survival curve (Nelson 1972, Aalen 1978):
+    H(t) = Σ_{u ≤ t} d_u/n_u, with the variance estimate
+    Σ d_u/n_u² and the Fleming–Harrington survival exp(−H(t)) that
+    beats KM in small risk sets. Reading hazard INCREMENTS directly is
+    what KM can't give: a flat S(t) stretch hides whether risk paused
+    or subjects ran out; d_u/n_u says which. Returns one row per
+    distinct duration: (duration, n_risk, n_events, n_censored,
+    hazard_inc, cum_hazard, var_hazard, survival_fh), 6-dp rounded.
+
+    Conventions match ``kaplan_meier`` exactly: censored-at-t subjects
+    stay in the risk set for events at t, durations pre-bucketed so
+    the distinct-duration frame is horizon-bounded — the cumulative
+    windows run on THAT frame, never on subject-level data (the KM
+    scale discipline, one data-scale agg upstream). Cite: reference
+    has no survival tier; extends SURVEY §2.11 beside kaplan_meier."""
+    dur = F.col(duration_col)
+    g = durations.groupBy(dur.alias("duration")).agg(
+        F.sum(F.col(observed_col).cast("long")).alias("n_events"),
+        F.sum(F.lit(1) - F.col(observed_col).cast("long"))
+        .alias("n_censored"),
+    )
+    total = durations.agg(F.count("*").alias("__n"))
+    w_prior = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_upto = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = g.crossJoin(F.broadcast(total)).withColumn(
+        "n_risk",
+        F.col("__n")
+        - F.coalesce(
+            F.sum(F.col("n_events") + F.col("n_censored")).over(w_prior),
+            F.lit(0),
+        ),
+    )
+    nr = F.col("n_risk").cast("double")
+    inc = F.col("n_events") / nr
+    vinc = F.col("n_events") / (nr * nr)
+    cum = F.sum(inc).over(w_upto)
+    return r.select(
+        "duration",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        "n_events",
+        "n_censored",
+        F.round(inc, 6).alias("hazard_inc"),
+        F.round(cum, 6).alias("cum_hazard"),
+        F.round(F.sum(vinc).over(w_upto), 6).alias("var_hazard"),
+        F.round(F.exp(-cum), 6).alias("survival_fh"),
+    )
+
+
+def nelson_aalen_oracle_sql(durations_cte: str) -> str:
+    """DuckDB replica of ``nelson_aalen``: ``durations_cte`` must define
+    a CTE named ``dur`` with columns (duration, observed) — identical
+    risk-set windows and hazard arithmetic as the engine."""
+    return f"""
+    WITH {durations_cte},
+    nag AS (SELECT duration,
+                 CAST(sum(observed) AS BIGINT) AS n_events,
+                 CAST(sum(1 - observed) AS BIGINT) AS n_censored
+          FROM dur GROUP BY duration),
+    nat AS (SELECT count(*) AS n FROM dur),
+    nar AS (SELECT duration, n_events, n_censored,
+                 (SELECT n FROM nat) - coalesce(
+                   sum(n_events + n_censored) OVER (
+                     ORDER BY duration
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS n_risk
+          FROM nag)
+    SELECT duration,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           n_events, n_censored,
+           round(n_events / CAST(n_risk AS DOUBLE), 6) AS hazard_inc,
+           round(sum(n_events / CAST(n_risk AS DOUBLE))
+             OVER (ORDER BY duration
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             6) AS cum_hazard,
+           round(sum(n_events / (CAST(n_risk AS DOUBLE)
+                                 * CAST(n_risk AS DOUBLE)))
+             OVER (ORDER BY duration
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             6) AS var_hazard,
+           round(exp(-sum(n_events / CAST(n_risk AS DOUBLE))
+             OVER (ORDER BY duration
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             6) AS survival_fh
+    FROM nar
+    """

@@ -265,6 +265,8 @@ _CHECKED_PREFIX = [
     "events_seasonal_decompose",
     "lineitem_mannwhitney_returns",
     "events_trend_spearman",
+    "survival_hazard_nelson_aalen",
+    "text_js_divergence",
     # r10 fingerprint drift: kcore_nodes reworked to frontier-delta
     # maintained degrees (VERDICT r9 #1); the two stateful streaming
     # queries drift under the event_time_horizon_ms eviction knob

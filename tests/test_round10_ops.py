@@ -863,3 +863,80 @@ def test_spearman_shrugs_off_outlier_that_wrecks_pearson(spark):
     assert r.rho == pytest.approx(1.0)
     pearson = df.groupBy("k").agg(F.corr("x", "y")).collect()[0][1]
     assert pearson < 0.6
+
+
+# --- Nelson-Aalen cumulative hazard -------------------------------------------
+
+
+def test_nelson_aalen_hand_computed(spark):
+    """durations {1✓,1✓,2✗,3✓}: H jumps 2/4 then 1/1, variance sums
+    d/n², survival_fh = exp(−H)."""
+    from census_data_pipeline_spark.operators import survival
+
+    rows = [(1, 1), (1, 1), (2, 0), (3, 1)]
+    df = spark.createDataFrame(rows, "duration int, observed int")
+    got = {r.duration: r for r in survival.nelson_aalen(df).collect()}
+    assert got[1].n_risk == 4 and got[1].n_events == 2
+    assert got[1].hazard_inc == pytest.approx(0.5)
+    assert got[1].cum_hazard == pytest.approx(0.5)
+    assert got[1].var_hazard == pytest.approx(2 / 16)
+    assert got[1].survival_fh == pytest.approx(math.exp(-0.5), abs=1e-6)
+    assert got[2].n_risk == 2 and got[2].n_events == 0
+    assert got[2].cum_hazard == pytest.approx(0.5)
+    assert got[3].n_risk == 1
+    assert got[3].cum_hazard == pytest.approx(1.5)
+    assert got[3].var_hazard == pytest.approx(2 / 16 + 1.0)
+    assert got[3].survival_fh == pytest.approx(math.exp(-1.5), abs=1e-6)
+
+
+def test_nelson_aalen_dominates_km(spark):
+    """Fleming–Harrington exp(−H) is ≥ the KM product at every time
+    (1−x ≤ e^−x), and the two agree closely while risk sets are
+    large."""
+    from census_data_pipeline_spark.operators import survival
+
+    rows = [(t, 1 if t % 3 else 0) for t in range(1, 40)]
+    df = spark.createDataFrame(rows, "duration int, observed int")
+    na = {r.duration: r.survival_fh
+          for r in survival.nelson_aalen(df).collect()}
+    km = {r.duration: r.survival
+          for r in survival.kaplan_meier(df).collect()}
+    assert set(na) == set(km)
+    for t in na:
+        assert na[t] >= km[t] - 1e-9, t
+    assert na[1] == pytest.approx(km[1], abs=1e-3)
+
+
+# --- Jensen-Shannon corpus divergence ------------------------------------------
+
+
+def test_js_divergence_identical_slices_is_zero(spark):
+    from census_data_pipeline_spark.functions import text as t
+
+    rows = [(i, "aaa bbb ccc", i % 2 == 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, a boolean")
+    r = t.js_divergence(df, F.col("a")).collect()[0]
+    assert r.jsd_nats == pytest.approx(0.0)
+    assert r.jsd_normalized == pytest.approx(0.0)
+    assert r.n_tokens_a == 15 and r.n_tokens_b == 15
+
+
+def test_js_divergence_disjoint_vocab_is_ln2(spark):
+    from census_data_pipeline_spark.functions import text as t
+
+    rows = [(1, "aaa bbb aaa", True), (2, "ccc ddd eee", False)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, a boolean")
+    r = t.js_divergence(df, F.col("a")).collect()[0]
+    assert r.jsd_nats == pytest.approx(math.log(2.0), abs=1e-6)
+    assert r.jsd_normalized == pytest.approx(1.0, abs=1e-6)
+
+
+def test_js_divergence_empty_side_is_null_and_guard(spark):
+    from census_data_pipeline_spark.functions import text as t
+
+    rows = [(1, "aaa bbb", True), (2, "ccc", True)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, a boolean")
+    r = t.js_divergence(df, F.col("a")).collect()[0]
+    assert r.jsd_nats is None and r.jsd_normalized is None
+    with pytest.raises(ValueError, match="resolution"):
+        t.js_divergence(df, F.col("a"), resolution=1024)
