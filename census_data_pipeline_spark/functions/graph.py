@@ -1309,3 +1309,93 @@ def jaccard_oracle_sql(
       FROM jcand)
     SELECT src, dst, common, score, CAST(rank AS BIGINT) AS rank
     FROM jranked WHERE rank <= {k}"""
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002; the
+    networkx ``degree_assortativity_coefficient`` convention): the
+    Pearson correlation of the endpoint-degree pairs over every
+    SYMMETRIC edge row of the simple graph. r > 0 = hubs attach to
+    hubs (social graphs), r < 0 = hubs attach to leaves (the
+    hub-and-spoke / bipartite-purchase signature), r ≈ 0 = neutral
+    wiring — the one-number topology summary a curation pipeline reads
+    beside clustering coefficient and coreness before trusting any
+    community structure. Returns ONE row: (n_nodes, n_edges,
+    assortativity), 6-dp; NULL when degrees are constant (a regular
+    graph has no degree variance to correlate).
+
+    Scale shape: one degree agg, two node-scale equi-joins to put
+    (deg u, deg v) on each symmetric row, ONE co-moment codegen scan —
+    closed-form, no iteration, no window. The symmetric frame makes r
+    direction-free (each edge contributes both orderings, the
+    undirected convention). Cite: reference has no graph tier; extends
+    SURVEY §2.11 beside clustering_coefficient."""
+    e = ensure_parallelism(edges).select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    )
+    sym = (
+        e.unionByName(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("__deg"))
+    du = deg.select(F.col("src").alias("src"),
+                    F.col("__deg").cast("double").alias("__du"))
+    dv = deg.select(F.col("src").alias("dst"),
+                    F.col("__deg").cast("double").alias("__dv"))
+    paired = sym.join(du, "src").join(dv, "dst")
+    x, y = F.col("__du"), F.col("__dv")
+    mom = paired.agg(
+        F.count("*").alias("__m"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__qx"),
+        F.sum(y * y).alias("__qy"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    nodes = deg.agg(F.count("*").alias("__nn"))
+    m = F.col("__m").cast("double")
+    cov = m * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    vx = m * F.col("__qx") - F.col("__sx") * F.col("__sx")
+    vy = m * F.col("__qy") - F.col("__sy") * F.col("__sy")
+    ok = (vx > 0) & (vy > 0)
+    return mom.crossJoin(F.broadcast(nodes)).select(
+        F.col("__nn").cast("long").alias("n_nodes"),
+        (F.col("__m") / 2).cast("long").alias("n_edges"),
+        F.when(ok, F.round(cov / F.sqrt(vx * vy), 6))
+        .otherwise(F.lit(None).cast("double")).alias("assortativity"),
+    )
+
+
+def degree_assortativity_oracle_sql(edges_sql: str) -> str:
+    """DuckDB replica of ``degree_assortativity``: identical
+    symmetrize, degree joins, and co-moment arithmetic."""
+    return f"""WITH dae AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM ({edges_sql}) r0
+        UNION ALL SELECT dst, src FROM ({edges_sql}) r1) u
+      WHERE src <> dst),
+    dad AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS d
+            FROM dae GROUP BY src),
+    dap AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM dae e JOIN dad du ON du.id = e.src
+                 JOIN dad dv ON dv.id = e.dst),
+    dam AS (
+      SELECT count(*) AS m, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS qx, SUM(y * y) AS qy, SUM(x * y) AS sxy
+      FROM dap),
+    dan AS (SELECT count(*) AS nn FROM dad)
+    SELECT CAST(dan.nn AS BIGINT) AS n_nodes,
+           CAST(dam.m / 2 AS BIGINT) AS n_edges,
+           CASE WHEN dam.m * dam.qx - dam.sx * dam.sx > 0
+                 AND dam.m * dam.qy - dam.sy * dam.sy > 0
+                THEN ROUND((dam.m * dam.sxy - dam.sx * dam.sy)
+                  / sqrt((dam.m * dam.qx - dam.sx * dam.sx)
+                         * (dam.m * dam.qy - dam.sy * dam.sy)), 6)
+           END AS assortativity
+    FROM dam, dan"""

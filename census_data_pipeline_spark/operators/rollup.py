@@ -1554,3 +1554,151 @@ def spearman_oracle_sql(
                   * sqrt(CAST(n AS DOUBLE) - 1)) > 1.959964
            END AS significant_95
     FROM spm"""
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_cols: list[str],
+    cohort_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group Kruskal–Wallis H test — the k-sample extension of
+    ``mann_whitney_u`` (one-way ANOVA on ranks): do the ``cohort_col``
+    categories draw from the same value distribution? Tie-corrected:
+    H = [12/(N(N+1))·Σ R_j²/n_j − 3(N+1)] / [1 − Σ(t³−t)/(N³−N)],
+    χ²(k−1) via the same Wilson–Hilferty 95% cut as
+    ``chi2_independence``. Returns (groups..., n, k, h_stat, dof,
+    significant_95); NULL h/flag when a group has a single cohort
+    (dof 0) or every value ties (correction 0).
+
+    Scale shape: ONE data-scale codegen scan partial-aggregates to the
+    (groups × distinct values × cohorts) count frame; midranks come
+    from the DISTINCT-VALUE frame (cumulative window over the bounded
+    histogram — the ``mann_whitney_u`` discipline, bounded-cardinality
+    value contract documented there); rank sums R_j are exact
+    .5-multiple doubles. Everything after the histogram is arithmetic
+    on cohort-count-sized frames. Cite: reference has no stats tier;
+    extends SURVEY §2.11 beside mann_whitney_u/welch_t_test."""
+    from pyspark.sql import Window
+
+    d = df.na.drop(subset=[value_col, cohort_col]).select(
+        *group_cols,
+        F.col(cohort_col).cast("string").alias("__k"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    h1 = d.groupBy(*group_cols, "__v", "__k").agg(
+        F.count("*").alias("__c")
+    )
+    hv = h1.groupBy(*group_cols, "__v").agg(
+        F.sum("__c").cast("double").alias("__t")
+    )
+    w = (
+        Window.partitionBy(*group_cols).orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hv_mid = hv.select(
+        *group_cols, "__v", "__t",
+        (F.coalesce(F.sum("__t").over(w), F.lit(0.0))
+         + (F.col("__t") + 1) / 2).alias("__mid"),
+    )
+    rj = (
+        h1.join(hv_mid, [*group_cols, "__v"])
+        .groupBy(*group_cols, "__k")
+        .agg(
+            F.sum(F.col("__c").cast("double") * F.col("__mid"))
+            .alias("__rj"),
+            F.sum("__c").cast("double").alias("__nj"),
+        )
+    )
+    gagg = rj.groupBy(*group_cols).agg(
+        F.sum(F.col("__rj") * F.col("__rj") / F.col("__nj")).alias("__s"),
+        F.sum("__nj").alias("__N"),
+        F.countDistinct("__k").alias("__kk"),
+    )
+    ties = hv.groupBy(*group_cols).agg(
+        F.sum(F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t"))
+        .alias("__ties")
+    )
+    n = F.col("__N")
+    h = F.lit(12.0) / (n * (n + 1)) * F.col("__s") - 3 * (n + 1)
+    corr = F.lit(1.0) - F.col("__ties") / (n * n * n - n)
+    hc = h / corr
+    dof = F.col("__kk") - 1
+    z95 = F.lit(1.644854)
+    wh = F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dof) + z95 * F.sqrt(
+        F.lit(2.0) / (F.lit(9.0) * dof)
+    )
+    crit = dof * wh * wh * wh
+    ok = (dof >= 1) & (corr > 0)
+    return gagg.join(ties, group_cols).select(
+        *group_cols,
+        n.cast("long").alias("n"),
+        F.col("__kk").cast("long").alias("k"),
+        F.when(ok, F.round(hc, 6))
+        .otherwise(F.lit(None).cast("double")).alias("h_stat"),
+        dof.cast("long").alias("dof"),
+        F.when(ok, hc > crit)
+        .otherwise(F.lit(None).cast("boolean")).alias("significant_95"),
+    )
+
+
+def kruskal_wallis_oracle_sql(
+    table: str,
+    group_cols: list[str],
+    cohort_sql: str,
+    value_sql: str,
+    where: str = "TRUE",
+) -> str:
+    """DuckDB replica of ``kruskal_wallis``: identical histogram,
+    distinct-value midrank window, rank sums, tie correction, and
+    Wilson–Hilferty cut."""
+    g = ", ".join(group_cols)
+    gp = f"PARTITION BY {g}" if group_cols else ""
+    gsel = f"{g}, " if group_cols else ""
+    gjoin = " AND ".join(f"a.{c} = b.{c}" for c in group_cols) or "TRUE"
+    return f"""WITH kwd AS (
+      SELECT {gsel}CAST(({cohort_sql}) AS VARCHAR) AS k,
+             CAST(({value_sql}) AS DOUBLE) AS v
+      FROM {table}
+      WHERE ({value_sql}) IS NOT NULL AND ({cohort_sql}) IS NOT NULL
+        AND ({where})),
+    kwh AS (
+      SELECT {gsel}v, k, count(*) AS c
+      FROM kwd GROUP BY {gsel}v, k),
+    kwv AS (
+      SELECT {gsel}v, CAST(SUM(c) AS DOUBLE) AS t
+      FROM kwh GROUP BY {gsel}v),
+    kwm AS (
+      SELECT {gsel}v, t,
+             COALESCE(SUM(t) OVER ({gp} ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0.0) + (t + 1) / 2 AS mid
+      FROM kwv),
+    kwr AS (
+      SELECT {"".join(f"a.{c}, " for c in group_cols)}a.k,
+             SUM(CAST(a.c AS DOUBLE) * b.mid) AS rj,
+             CAST(SUM(a.c) AS DOUBLE) AS nj
+      FROM kwh a JOIN kwm b ON {gjoin} AND a.v = b.v
+      GROUP BY {"".join(f"a.{c}, " for c in group_cols)}a.k),
+    kwg AS (
+      SELECT {gsel}SUM(rj * rj / nj) AS s, SUM(nj) AS N,
+             COUNT(DISTINCT k) AS kk
+      FROM kwr GROUP BY {'ALL' if group_cols else '()'} ),
+    kwt AS (
+      SELECT {gsel}SUM(t * t * t - t) AS ties
+      FROM kwv GROUP BY {'ALL' if group_cols else '()'} ),
+    kwf AS (
+      SELECT g.*, t.ties,
+             (12.0 / (g.N * (g.N + 1)) * g.s - 3 * (g.N + 1))
+               / (1.0 - t.ties / (g.N * g.N * g.N - g.N)) AS hc,
+             g.kk - 1 AS dof,
+             1.0 - t.ties / (g.N * g.N * g.N - g.N) AS corr
+      FROM kwg g JOIN kwt t ON {" AND ".join(f"g.{c} = t.{c}" for c in group_cols) or "TRUE"})
+    SELECT {gsel}CAST(N AS BIGINT) AS n, CAST(kk AS BIGINT) AS k,
+           CASE WHEN dof >= 1 AND corr > 0 THEN ROUND(hc, 6) END AS h_stat,
+           CAST(dof AS BIGINT) AS dof,
+           CASE WHEN dof >= 1 AND corr > 0 THEN
+             hc > dof * pow(1.0 - 2.0 / (9.0 * dof)
+                            + 1.644854 * sqrt(2.0 / (9.0 * dof)), 3)
+           END AS significant_95
+    FROM kwf"""

@@ -267,6 +267,8 @@ _CHECKED_PREFIX = [
     "events_trend_spearman",
     "survival_hazard_nelson_aalen",
     "text_js_divergence",
+    "lineitem_kruskal_returns",
+    "graph_assortativity",
     # r10 fingerprint drift: kcore_nodes reworked to frontier-delta
     # maintained degrees (VERDICT r9 #1); the two stateful streaming
     # queries drift under the event_time_horizon_ms eviction knob

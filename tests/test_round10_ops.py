@@ -940,3 +940,87 @@ def test_js_divergence_empty_side_is_null_and_guard(spark):
     assert r.jsd_nats is None and r.jsd_normalized is None
     with pytest.raises(ValueError, match="resolution"):
         t.js_divergence(df, F.col("a"), resolution=1024)
+
+
+# --- Kruskal-Wallis -----------------------------------------------------------
+
+
+def test_kruskal_wallis_hand_computed(spark):
+    """Three fully-separated arms {1,2,3} < {4,5,6} < {7,8,9}: no ties,
+    H = 12/(9·10)·279 − 33 = 7.2 > χ²(2)'s 5.99 cut."""
+    from census_data_pipeline_spark.operators.rollup import kruskal_wallis
+
+    rows = ([("g", "a", float(v)) for v in (1, 2, 3)]
+            + [("g", "b", float(v)) for v in (4, 5, 6)]
+            + [("g", "c", float(v)) for v in (7, 8, 9)])
+    df = spark.createDataFrame(rows, "g string, k string, v double")
+    r = kruskal_wallis(df, ["g"], "k", "v").collect()[0]
+    assert (r.n, r.k, r.dof) == (9, 3, 2)
+    assert r.h_stat == pytest.approx(7.2)
+    assert r.significant_95
+
+
+def test_kruskal_wallis_two_arms_equals_mw_z_squared(spark):
+    """With k = 2 the tie-corrected H is exactly the Mann–Whitney z²
+    (the defining identity) — checked on the tied example where
+    z² = 2.25/4.05."""
+    from census_data_pipeline_spark.operators.rollup import kruskal_wallis
+
+    rows = [("g", "A", 1.0), ("g", "A", 1.0), ("g", "A", 2.0),
+            ("g", "B", 1.0), ("g", "B", 2.0), ("g", "B", 2.0)]
+    df = spark.createDataFrame(rows, "g string, k string, v double")
+    r = kruskal_wallis(df, ["g"], "k", "v").collect()[0]
+    assert r.dof == 1
+    assert r.h_stat == pytest.approx(2.25 / 4.05, abs=1e-5)
+    assert not r.significant_95
+
+
+def test_kruskal_wallis_degenerate_null(spark):
+    """A single cohort (dof 0) and an all-tied value column (tie
+    correction 0) both yield NULL H instead of a division blowup."""
+    from census_data_pipeline_spark.operators.rollup import kruskal_wallis
+
+    onek = [("onek", "A", float(v)) for v in range(1, 6)]
+    tied = [("tied", c, 5.0) for c in ("A", "B", "A", "B")]
+    df = spark.createDataFrame(onek + tied, "g string, k string, v double")
+    got = {r.g: r for r in kruskal_wallis(df, ["g"], "k", "v").collect()}
+    assert got["onek"].h_stat is None and got["onek"].dof == 0
+    assert got["tied"].h_stat is None
+    assert got["tied"].significant_95 is None
+
+
+# --- degree assortativity -------------------------------------------------------
+
+
+def test_assortativity_star_is_minus_one(spark):
+    """K1,5: every edge pairs the degree-5 hub with a degree-1 leaf —
+    the degree pairs sit on a perfectly decreasing line, r = −1."""
+    from census_data_pipeline_spark.functions import graph
+
+    edges = [("hub", f"x{i}") for i in range(5)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    r = graph.degree_assortativity(df).collect()[0]
+    assert (r.n_nodes, r.n_edges) == (6, 5)
+    assert r.assortativity == pytest.approx(-1.0)
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    """A cycle is 2-regular: zero degree variance → NULL, not NaN."""
+    from census_data_pipeline_spark.functions import graph
+
+    edges = [(f"c{i}", f"c{(i + 1) % 6}") for i in range(6)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    r = graph.degree_assortativity(df).collect()[0]
+    assert r.assortativity is None and r.n_edges == 6
+
+
+def test_assortativity_homophilous_cliques_positive(spark):
+    """Disjoint K3 ∪ K5: every edge pairs equal degrees (2,2) or (4,4)
+    → r = +1 (perfect assortativity)."""
+    from census_data_pipeline_spark.functions import graph
+
+    k3 = [(f"a{i}", f"a{j}") for i in range(3) for j in range(i + 1, 3)]
+    k5 = [(f"b{i}", f"b{j}") for i in range(5) for j in range(i + 1, 5)]
+    df = spark.createDataFrame(k3 + k5, "src string, dst string")
+    r = graph.degree_assortativity(df).collect()[0]
+    assert r.assortativity == pytest.approx(1.0)
