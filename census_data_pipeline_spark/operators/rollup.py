@@ -1702,3 +1702,243 @@ def kruskal_wallis_oracle_sql(
                             + 1.644854 * sqrt(2.0 / (9.0 * dof)), 3)
            END AS significant_95
     FROM kwf"""
+
+
+def oneway_anova(
+    df: DataFrame,
+    group_cols: list[str],
+    cohort_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group one-way ANOVA F test — the PARAMETRIC partner of
+    ``kruskal_wallis`` on the identical (groups, cohort, value)
+    contract: do the cohorts share a mean? F = (SSB/(k−1)) /
+    (SSW/(N−k)) from the classic between/within decomposition, all of
+    it arithmetic over ONE conditional co-moment scan (per-cohort n,
+    Σx, Σx² — the ``welch_t_test`` discipline generalized to k arms).
+    ``significant_95`` uses the large-N approximation (k−1)·F ≈
+    χ²(k−1) with the same Wilson–Hilferty cut as ``chi2_independence``
+    — exact only as N−k → ∞ (documented; at data scale the
+    denominator df is astronomically large, which is exactly the
+    regime where the F and χ²/(k−1) quantiles coincide to ~1e-4).
+
+    Returns (groups..., n, k, ss_between, ss_within, f_stat, dof,
+    significant_95), 6-dp rounded; f/flag NULL when the group has a
+    single cohort (dof 0), when N ≤ k (no within df), or when SSW ≤ 0
+    (all values tie within every cohort — F undefined).
+
+    Scale shape: ONE data-scale codegen scan partial-aggregates to the
+    (groups × cohorts) moment frame; everything after is closed-form
+    arithmetic on that bounded frame. Cite: reference has no stats
+    tier; extends SURVEY §2.11 beside kruskal_wallis/welch_t_test."""
+    d = df.na.drop(subset=[value_col, cohort_col]).select(
+        *group_cols,
+        F.col(cohort_col).cast("string").alias("__k"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    coh = d.groupBy(*group_cols, "__k").agg(
+        F.count("*").cast("double").alias("__n"),
+        F.sum("__v").alias("__s"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__q"),
+    )
+    agg = coh.groupBy(*group_cols).agg(
+        F.sum("__n").alias("__N"),
+        F.count("*").alias("__kk"),
+        F.sum("__s").alias("__S"),
+        F.sum(F.col("__s") * F.col("__s") / F.col("__n")).alias("__sb"),
+        F.sum("__q").alias("__Q"),
+    )
+    n, kk = F.col("__N"), F.col("__kk")
+    ssb = F.col("__sb") - F.col("__S") * F.col("__S") / n
+    ssw = F.col("__Q") - F.col("__sb")
+    dof = kk - 1
+    fstat = (ssb / dof) / (ssw / (n - kk))
+    z95 = F.lit(1.644854)
+    wh = F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dof) + z95 * F.sqrt(
+        F.lit(2.0) / (F.lit(9.0) * dof)
+    )
+    crit = dof * wh * wh * wh
+    ok = (dof >= 1) & (n > kk) & (ssw > 0)
+    return agg.select(
+        *group_cols,
+        n.cast("long").alias("n"),
+        kk.cast("long").alias("k"),
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.when(ok, F.round(fstat, 6))
+        .otherwise(F.lit(None).cast("double")).alias("f_stat"),
+        dof.cast("long").alias("dof"),
+        F.when(ok, dof * fstat > crit)
+        .otherwise(F.lit(None).cast("boolean")).alias("significant_95"),
+    )
+
+
+def oneway_anova_oracle_sql(
+    table: str,
+    group_cols: list[str],
+    cohort_sql: str,
+    value_sql: str,
+    where: str = "TRUE",
+) -> str:
+    """DuckDB replica of ``oneway_anova`` — identical co-moment scan,
+    between/within decomposition, and Wilson–Hilferty cut."""
+    g = ", ".join(group_cols)
+    gsel = f"{g}, " if group_cols else ""
+    return f"""WITH avd AS (
+      SELECT {gsel}CAST(({cohort_sql}) AS VARCHAR) AS k,
+             CAST(({value_sql}) AS DOUBLE) AS v
+      FROM {table}
+      WHERE ({value_sql}) IS NOT NULL AND ({cohort_sql}) IS NOT NULL
+        AND ({where})),
+    avc AS (
+      SELECT {gsel}k, CAST(count(*) AS DOUBLE) AS nj,
+             sum(v) AS sj, sum(v * v) AS qj
+      FROM avd GROUP BY {gsel}k),
+    avg_ AS (
+      SELECT {gsel}sum(nj) AS N, count(*) AS kk, sum(sj) AS S,
+             sum(sj * sj / nj) AS sb, sum(qj) AS Q
+      FROM avc GROUP BY {'ALL' if group_cols else '()'} ),
+    avf AS (
+      SELECT *, sb - S * S / N AS ssb, Q - sb AS ssw,
+             kk - 1 AS dof
+      FROM avg_)
+    SELECT {gsel}CAST(N AS BIGINT) AS n, CAST(kk AS BIGINT) AS k,
+           round(ssb, 6) AS ss_between, round(ssw, 6) AS ss_within,
+           CASE WHEN dof >= 1 AND N > kk AND ssw > 0
+                THEN round((ssb / dof) / (ssw / (N - kk)), 6)
+                END AS f_stat,
+           CAST(dof AS BIGINT) AS dof,
+           CASE WHEN dof >= 1 AND N > kk AND ssw > 0
+                THEN dof * (ssb / dof) / (ssw / (N - kk))
+                     > dof * pow(1.0 - 2.0 / (9.0 * dof)
+                                 + 1.644854 * sqrt(2.0 / (9.0 * dof)), 3)
+                END AS significant_95
+    FROM avf"""
+
+
+def bartlett_test(
+    df: DataFrame,
+    group_cols: list[str],
+    cohort_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group Bartlett test of variance homogeneity — the
+    PRECONDITION check for ``oneway_anova`` (whose pooled SSW assumes
+    equal cohort variances): T = [(N−k)·ln(s̄²) − Σ(n_j−1)·ln(s_j²)]
+    / C with the Bartlett correction C = 1 + (Σ1/(n_j−1) − 1/(N−k)) /
+    (3(k−1)), where s̄² = Σ(n_j−1)s_j² / (N−k) is the pooled variance;
+    vs the same Wilson–Hilferty χ²(k−1) 95% cut. Cohorts with n_j < 2
+    carry no variance information and are excluded (the scipy
+    convention is to error; excluding keeps the data-scale contract
+    total). Returns (groups..., n, k, pooled_var, t_stat, dof,
+    significant_95), 6-dp rounded; t/flag NULL when fewer than two
+    usable cohorts remain, N ≤ k, or any cohort variance is 0
+    (ln undefined).
+
+    Scale shape: identical to ``oneway_anova`` — one conditional
+    co-moment scan to the (groups × cohorts) frame, then closed-form
+    arithmetic. Cite: reference has no stats tier; extends SURVEY
+    §2.11 beside oneway_anova/welch_t_test."""
+    d = df.na.drop(subset=[value_col, cohort_col]).select(
+        *group_cols,
+        F.col(cohort_col).cast("string").alias("__k"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    coh = (
+        d.groupBy(*group_cols, "__k")
+        .agg(
+            F.count("*").cast("double").alias("__n"),
+            F.sum("__v").alias("__s"),
+            F.sum(F.col("__v") * F.col("__v")).alias("__q"),
+        )
+        .filter(F.col("__n") >= 2)
+        .select(
+            *group_cols, "__n",
+            ((F.col("__q") - F.col("__s") * F.col("__s") / F.col("__n"))
+             / (F.col("__n") - 1)).alias("__vj"),
+        )
+    )
+    agg = coh.groupBy(*group_cols).agg(
+        F.sum("__n").alias("__N"),
+        F.count("*").alias("__kk"),
+        F.sum((F.col("__n") - 1) * F.col("__vj")).alias("__ssw"),
+        F.sum(
+            F.when(F.col("__vj") > 0,
+                   (F.col("__n") - 1) * F.log(F.col("__vj")))
+        ).alias("__slog"),
+        F.sum(F.lit(1.0) / (F.col("__n") - 1)).alias("__sinv"),
+        F.min("__vj").alias("__vmin"),
+    )
+    n, kk = F.col("__N"), F.col("__kk")
+    dof = kk - 1
+    pooled = F.col("__ssw") / (n - kk)
+    c = F.lit(1.0) + (F.col("__sinv") - F.lit(1.0) / (n - kk)) / (
+        F.lit(3.0) * dof
+    )
+    t = ((n - kk) * F.log(pooled) - F.col("__slog")) / c
+    z95 = F.lit(1.644854)
+    wh = F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dof) + z95 * F.sqrt(
+        F.lit(2.0) / (F.lit(9.0) * dof)
+    )
+    crit = dof * wh * wh * wh
+    ok = (dof >= 1) & (n > kk) & (F.col("__vmin") > 0)
+    return agg.select(
+        *group_cols,
+        n.cast("long").alias("n"),
+        kk.cast("long").alias("k"),
+        F.when(n > kk, F.round(pooled, 6)).alias("pooled_var"),
+        F.when(ok, F.round(t, 6))
+        .otherwise(F.lit(None).cast("double")).alias("t_stat"),
+        dof.cast("long").alias("dof"),
+        F.when(ok, t > crit)
+        .otherwise(F.lit(None).cast("boolean")).alias("significant_95"),
+    )
+
+
+def bartlett_oracle_sql(
+    table: str,
+    group_cols: list[str],
+    cohort_sql: str,
+    value_sql: str,
+    where: str = "TRUE",
+) -> str:
+    """DuckDB replica of ``bartlett_test`` — identical cohort filter,
+    pooled variance, correction term, and Wilson–Hilferty cut."""
+    g = ", ".join(group_cols)
+    gsel = f"{g}, " if group_cols else ""
+    return f"""WITH btd AS (
+      SELECT {gsel}CAST(({cohort_sql}) AS VARCHAR) AS k,
+             CAST(({value_sql}) AS DOUBLE) AS v
+      FROM {table}
+      WHERE ({value_sql}) IS NOT NULL AND ({cohort_sql}) IS NOT NULL
+        AND ({where})),
+    btc AS (
+      SELECT * FROM (
+        SELECT {gsel}k, CAST(count(*) AS DOUBLE) AS nj,
+               (sum(v * v) - sum(v) * sum(v) / count(*))
+                 / (count(*) - 1) AS vj
+        FROM btd GROUP BY {gsel}k) q
+      WHERE nj >= 2),
+    btg AS (
+      SELECT {gsel}sum(nj) AS N, count(*) AS kk,
+             sum((nj - 1) * vj) AS ssw,
+             sum(CASE WHEN vj > 0 THEN (nj - 1) * ln(vj) END) AS slog,
+             sum(1.0 / (nj - 1)) AS sinv,
+             min(vj) AS vmin
+      FROM btc GROUP BY {'ALL' if group_cols else '()'} ),
+    btf AS (
+      SELECT *, kk - 1 AS dof, ssw / (N - kk) AS pooled,
+             1.0 + (sinv - 1.0 / (N - kk)) / (3.0 * (kk - 1)) AS c
+      FROM btg)
+    SELECT {gsel}CAST(N AS BIGINT) AS n, CAST(kk AS BIGINT) AS k,
+           CASE WHEN N > kk THEN round(pooled, 6) END AS pooled_var,
+           CASE WHEN dof >= 1 AND N > kk AND vmin > 0
+                THEN round(((N - kk) * ln(pooled) - slog) / c, 6)
+                END AS t_stat,
+           CAST(dof AS BIGINT) AS dof,
+           CASE WHEN dof >= 1 AND N > kk AND vmin > 0
+                THEN ((N - kk) * ln(pooled) - slog) / c
+                     > dof * pow(1.0 - 2.0 / (9.0 * dof)
+                                 + 1.644854 * sqrt(2.0 / (9.0 * dof)), 3)
+                END AS significant_95
+    FROM btf"""

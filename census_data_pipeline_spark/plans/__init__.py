@@ -269,6 +269,8 @@ _CHECKED_PREFIX = [
     "text_js_divergence",
     "lineitem_kruskal_returns",
     "graph_assortativity",
+    "lineitem_anova_returns",
+    "lineitem_bartlett_returns",
     # r10 fingerprint drift: kcore_nodes reworked to frontier-delta
     # maintained degrees (VERDICT r9 #1); the two stateful streaming
     # queries drift under the event_time_horizon_ms eviction knob

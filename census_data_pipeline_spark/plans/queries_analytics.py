@@ -5132,3 +5132,57 @@ def graph_assortativity(spark, sf_dir):
         )
     )
     return _g.degree_assortativity(e)
+
+
+from census_data_pipeline_spark.operators.rollup import (  # noqa: E402
+    bartlett_oracle_sql,
+    oneway_anova_oracle_sql,
+)
+
+
+@query(
+    "lineitem_anova_returns",
+    oracle=oneway_anova_oracle_sql(
+        "lineitem", ["l_linestatus"], "l_returnflag", "l_quantity"
+    ),
+)
+def lineitem_anova_returns(spark, sf_dir):
+    """Per-linestatus one-way ANOVA F test (operators/rollup.
+    oneway_anova) on the IDENTICAL contract as
+    lineitem_kruskal_returns — the parametric/rank pair a consumer
+    runs together: if both say "no effect" the null is solid; if they
+    disagree, the distributions differ in shape, not location. One
+    conditional co-moment scan to the 3-cohort moment frame, closed
+    form after. HONEST EXPECTED VALUE (measured): flags are assigned
+    independently of quantity in this synthetic TPC-H — F 0.71-1.13
+    (sf0.001: O 0.722853 / F 1.126808; sf0.01: O 0.713048 / F
+    1.07166) vs the (k−1)F ≈ χ²(2) cut, nothing significant,
+    agreeing with Kruskal–Wallis."""
+    from census_data_pipeline_spark.operators.rollup import oneway_anova
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return oneway_anova(li, ["l_linestatus"], "l_returnflag",
+                        "l_quantity")
+
+
+@query(
+    "lineitem_bartlett_returns",
+    oracle=bartlett_oracle_sql(
+        "lineitem", ["l_linestatus"], "l_returnflag", "l_quantity"
+    ),
+)
+def lineitem_bartlett_returns(spark, sf_dir):
+    """Per-linestatus Bartlett variance-homogeneity test
+    (operators/rollup.bartlett_test) — the PRECONDITION audit for
+    lineitem_anova_returns' pooled within-variance: same columns, same
+    one-scan moment frame, T vs χ²(2). HONEST EXPECTED VALUE
+    (measured): quantities are uniform(1..50) regardless of flag, so
+    the three cohort variances coincide — T 0.07-0.92 (sf0.001: O
+    0.665809 / F 0.920828; sf0.01: O 0.271527 / F 0.071468) vs the
+    5.99 cut, equal-variance assumption holds and the ANOVA readout
+    is valid."""
+    from census_data_pipeline_spark.operators.rollup import bartlett_test
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return bartlett_test(li, ["l_linestatus"], "l_returnflag",
+                         "l_quantity")

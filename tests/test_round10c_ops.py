@@ -1,0 +1,119 @@
+"""Round-10c operators: one-way ANOVA + Bartlett variance homogeneity
+(the parametric partners of the Kruskal–Wallis / Mann–Whitney rank
+family), and the rest of this session's analytics additions."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+# --- one-way ANOVA ------------------------------------------------------
+
+
+def _anova_df(spark):
+    rows = (
+        [("g", "A", v) for v in (1.0, 2.0, 3.0)]
+        + [("g", "B", v) for v in (2.0, 4.0, 6.0)]
+        + [("g", "C", v) for v in (5.0, 5.0, 8.0)]
+    )
+    return spark.createDataFrame(rows, "grp string, coh string, v double")
+
+
+def test_anova_hand_computed(spark):
+    """A=[1,2,3] B=[2,4,6] C=[5,5,8]: SSB = 24, SSW = 16,
+    F = (24/2)/(16/6) = 4.5; (k−1)F = 9 > χ²(2) cut 5.99 →
+    significant."""
+    from census_data_pipeline_spark.operators.rollup import oneway_anova
+
+    got = oneway_anova(_anova_df(spark), ["grp"], "coh", "v").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n == 9 and r.k == 3 and r.dof == 2
+    assert r.ss_between == pytest.approx(24.0, abs=1e-6)
+    assert r.ss_within == pytest.approx(16.0, abs=1e-6)
+    assert r.f_stat == pytest.approx(4.5, abs=1e-6)
+    assert r.significant_95 is True
+
+
+def test_anova_single_cohort_null(spark):
+    from census_data_pipeline_spark.operators.rollup import oneway_anova
+
+    df = spark.createDataFrame(
+        [("g", "A", 1.0), ("g", "A", 2.0), ("g", "A", 3.0)],
+        "grp string, coh string, v double",
+    )
+    r = oneway_anova(df, ["grp"], "coh", "v").collect()[0]
+    assert r.k == 1 and r.dof == 0
+    assert r.f_stat is None and r.significant_95 is None
+
+
+def test_anova_zero_within_variance_null(spark):
+    """All values tie within every cohort → SSW = 0, F undefined →
+    NULL (not infinity)."""
+    from census_data_pipeline_spark.operators.rollup import oneway_anova
+
+    df = spark.createDataFrame(
+        [("g", "A", 1.0), ("g", "A", 1.0),
+         ("g", "B", 9.0), ("g", "B", 9.0)],
+        "grp string, coh string, v double",
+    )
+    r = oneway_anova(df, ["grp"], "coh", "v").collect()[0]
+    assert r.ss_within == pytest.approx(0.0, abs=1e-9)
+    assert r.f_stat is None and r.significant_95 is None
+
+
+# --- Bartlett variance homogeneity --------------------------------------
+
+
+def test_bartlett_hand_computed(spark):
+    """A=[1,2,3,4] (s²=5/3), B=[2,4,6,8] (s²=20/3): pooled = 25/6,
+    C = 1 + (2/3 − 1/6)/3, T = [6·ln(25/6) − 3·ln(5/3) − 3·ln(20/3)]/C
+    ≈ 1.147595 — under the χ²(1) cut (not significant)."""
+    from census_data_pipeline_spark.operators.rollup import bartlett_test
+
+    rows = [("g", "A", v) for v in (1.0, 2.0, 3.0, 4.0)] + [
+        ("g", "B", v) for v in (2.0, 4.0, 6.0, 8.0)
+    ]
+    df = spark.createDataFrame(rows, "grp string, coh string, v double")
+    r = bartlett_test(df, ["grp"], "coh", "v").collect()[0]
+    pooled = 25.0 / 6.0
+    c = 1.0 + (2.0 / 3.0 - 1.0 / 6.0) / 3.0
+    t = (6.0 * math.log(pooled)
+         - 3.0 * math.log(5.0 / 3.0)
+         - 3.0 * math.log(20.0 / 3.0)) / c
+    assert r.n == 8 and r.k == 2 and r.dof == 1
+    assert r.pooled_var == pytest.approx(round(pooled, 6), abs=1e-6)
+    assert r.t_stat == pytest.approx(round(t, 6), abs=1e-6)
+    assert r.significant_95 is False
+
+
+def test_bartlett_excludes_singleton_cohorts(spark):
+    """A cohort with one row carries no variance → excluded; k counts
+    only usable cohorts."""
+    from census_data_pipeline_spark.operators.rollup import bartlett_test
+
+    rows = (
+        [("g", "A", v) for v in (1.0, 2.0, 3.0)]
+        + [("g", "B", v) for v in (2.0, 5.0, 9.0)]
+        + [("g", "solo", 7.0)]
+    )
+    df = spark.createDataFrame(rows, "grp string, coh string, v double")
+    r = bartlett_test(df, ["grp"], "coh", "v").collect()[0]
+    assert r.k == 2 and r.n == 6
+    assert r.t_stat is not None
+
+
+def test_bartlett_zero_variance_cohort_null(spark):
+    """A constant cohort has s² = 0 → ln undefined → NULL statistic,
+    but pooled_var still reports."""
+    from census_data_pipeline_spark.operators.rollup import bartlett_test
+
+    rows = [("g", "A", 5.0), ("g", "A", 5.0)] + [
+        ("g", "B", v) for v in (1.0, 2.0, 3.0)
+    ]
+    df = spark.createDataFrame(rows, "grp string, coh string, v double")
+    r = bartlett_test(df, ["grp"], "coh", "v").collect()[0]
+    assert r.t_stat is None and r.significant_95 is None
+    assert r.pooled_var is not None
