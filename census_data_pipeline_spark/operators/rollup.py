@@ -1942,3 +1942,108 @@ def bartlett_oracle_sql(
                                  + 1.644854 * sqrt(2.0 / (9.0 * dof)), 3)
                 END AS significant_95
     FROM btf"""
+
+
+def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cramér's V effect size between two categorical columns — the
+    MAGNITUDE companion to ``chi2_independence`` (at data scale the χ²
+    test rejects for effects too small to matter — n sits in the
+    statistic; V = √(χ²/(n·min(k_a−1, k_b−1))) divides the scale back
+    out and lands in [0, 1], comparable across datasets). Same one
+    data-scale cross-tab scan and closed-form zero-cell handling as
+    the test; V is computed from the 6-dp-ROUNDED χ² (cross-engine
+    determinism, clamped at 0 against rounding underflow) and
+    ``effect`` labels it by the standard convention (<0.1 negligible,
+    <0.3 small, <0.5 medium, else large — thresholds applied to the
+    ROUNDED V). Returns one row (n, k_a, k_b, chi2, cramers_v,
+    effect); V/effect NULL when either column is constant.
+
+    Scale shape: identical to ``chi2_independence`` — ONE groupBy,
+    then arithmetic on category-bounded frames. Cite: reference has no
+    stats tier; extends SURVEY §2.11 beside chi2_independence."""
+    d = df.na.drop(subset=[col_a, col_b]).select(
+        F.col(col_a).cast("string").alias("__a"),
+        F.col(col_b).cast("string").alias("__b"),
+    )
+    cells = d.groupBy("__a", "__b").agg(F.count("*").alias("__o"))
+    ra = cells.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    rb = cells.groupBy("__b").agg(F.sum("__o").alias("__rb"))
+    nn = cells.agg(
+        F.sum("__o").alias("__n"),
+        F.countDistinct("__a").alias("__ka"),
+        F.countDistinct("__b").alias("__kb"),
+    )
+    e = F.col("__ra") * F.col("__rb") / F.col("__n")
+    joined = (
+        cells.join(ra, "__a").join(rb, "__b")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "__n", "__ka", "__kb",
+            ((F.col("__o") - e) * (F.col("__o") - e) / e).alias("__t"),
+            e.alias("__e"),
+        )
+    )
+    agg = joined.groupBy("__n", "__ka", "__kb").agg(
+        F.greatest(
+            F.round(F.sum("__t") + (F.col("__n") - F.sum("__e")), 6),
+            F.lit(0.0),
+        ).alias("__chi2")
+    )
+    m = F.least(F.col("__ka") - 1, F.col("__kb") - 1)
+    v = F.round(F.sqrt(F.col("__chi2") / (F.col("__n") * m)), 6)
+    ok = (m >= 1) & (F.col("__n") > 0)
+    vr = F.when(ok, v)
+    return agg.select(
+        F.col("__n").cast("long").alias("n"),
+        F.col("__ka").cast("long").alias("k_a"),
+        F.col("__kb").cast("long").alias("k_b"),
+        F.col("__chi2").alias("chi2"),
+        vr.otherwise(F.lit(None).cast("double")).alias("cramers_v"),
+        F.when(
+            ok,
+            F.when(v < 0.1, F.lit("negligible"))
+            .when(v < 0.3, F.lit("small"))
+            .when(v < 0.5, F.lit("medium"))
+            .otherwise(F.lit("large")),
+        ).otherwise(F.lit(None).cast("string")).alias("effect"),
+    )
+
+
+def cramers_v_oracle_sql(table: str, a_sql: str, b_sql: str) -> str:
+    """DuckDB replica of ``cramers_v`` — identical cross-tab, rounded
+    χ², clamp, and effect thresholds."""
+    return f"""WITH d AS MATERIALIZED (
+      SELECT CAST({a_sql} AS VARCHAR) AS a, CAST({b_sql} AS VARCHAR) AS b
+      FROM {table}
+      WHERE ({a_sql}) IS NOT NULL AND ({b_sql}) IS NOT NULL),
+    cells AS MATERIALIZED (
+      SELECT a, b, count(*) AS o FROM d GROUP BY a, b),
+    ra AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a),
+    rb AS (SELECT b, sum(o) AS rb FROM cells GROUP BY b),
+    nn AS (SELECT sum(o) AS n, count(DISTINCT a) AS ka,
+                  count(DISTINCT b) AS kb FROM cells),
+    agg AS (
+      SELECT nn.n, nn.ka, nn.kb,
+             greatest(round(sum((cells.o - ra.ra * rb.rb / nn.n)
+                                * (cells.o - ra.ra * rb.rb / nn.n)
+                                / (ra.ra * rb.rb / nn.n))
+                            + (nn.n - sum(ra.ra * rb.rb / nn.n)), 6),
+                      0.0) AS chi2
+      FROM cells JOIN ra ON ra.a = cells.a
+                 JOIN rb ON rb.b = cells.b
+                 CROSS JOIN nn
+      GROUP BY nn.n, nn.ka, nn.kb),
+    f AS (
+      SELECT *, least(ka - 1, kb - 1) AS m,
+             round(sqrt(chi2 / (n * least(ka - 1, kb - 1))), 6) AS v
+      FROM agg)
+    SELECT CAST(n AS BIGINT) AS n, CAST(ka AS BIGINT) AS k_a,
+           CAST(kb AS BIGINT) AS k_b, chi2,
+           CASE WHEN m >= 1 AND n > 0 THEN v END AS cramers_v,
+           CASE WHEN m >= 1 AND n > 0 THEN
+             CASE WHEN v < 0.1 THEN 'negligible'
+                  WHEN v < 0.3 THEN 'small'
+                  WHEN v < 0.5 THEN 'medium'
+                  ELSE 'large' END
+           END AS effect
+    FROM f"""

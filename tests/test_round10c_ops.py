@@ -117,3 +117,77 @@ def test_bartlett_zero_variance_cohort_null(spark):
     r = bartlett_test(df, ["grp"], "coh", "v").collect()[0]
     assert r.t_stat is None and r.significant_95 is None
     assert r.pooled_var is not None
+
+
+# --- exact two-sample 1-Wasserstein --------------------------------------
+
+
+def test_wasserstein_point_masses(spark):
+    from census_data_pipeline_spark.operators.drift import wasserstein_1
+
+    a = spark.createDataFrame([(0.0,)], "v double")
+    b = spark.createDataFrame([(1.0,)], "v double")
+    r = wasserstein_1(a, b, "v").collect()[0]
+    assert r.w1_distance == pytest.approx(1.0, abs=1e-9)
+    assert (r.n_a, r.n_b) == (1, 1)
+
+
+def test_wasserstein_hand_computed(spark):
+    """A=[0,1], B=[0.5,1.5]: segments .5·|.5−0| + .5·|.5−.5| +
+    .5·|1−.5| = 0.5 — and a pure shift of c moves W1 by exactly c."""
+    from census_data_pipeline_spark.operators.drift import wasserstein_1
+
+    a = spark.createDataFrame([(0.0,), (1.0,)], "v double")
+    b = spark.createDataFrame([(0.5,), (1.5,)], "v double")
+    assert wasserstein_1(a, b, "v").collect()[0].w1_distance == (
+        pytest.approx(0.5, abs=1e-9)
+    )
+    a3 = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "v double")
+    b3 = spark.createDataFrame([(3.0,), (4.0,), (5.0,)], "v double")
+    assert wasserstein_1(a3, b3, "v").collect()[0].w1_distance == (
+        pytest.approx(2.0, abs=1e-9)
+    )
+
+
+def test_wasserstein_identical_and_empty(spark):
+    from census_data_pipeline_spark.operators.drift import wasserstein_1
+
+    a = spark.createDataFrame([(2.0,), (2.0,), (7.0,)], "v double")
+    assert wasserstein_1(a, a, "v").collect()[0].w1_distance == 0.0
+    empty = spark.createDataFrame([], "v double")
+    r = wasserstein_1(a, empty, "v").collect()[0]
+    assert r.w1_distance is None and r.n_b == 0
+
+
+# --- Cramér's V ----------------------------------------------------------
+
+
+def test_cramers_v_perfect_association(spark):
+    """Diagonal 2×2 (a always pairs with x, b with y): χ² = n,
+    V = 1 → 'large'."""
+    from census_data_pipeline_spark.operators.rollup import cramers_v
+
+    rows = [("a", "x")] * 5 + [("b", "y")] * 5
+    df = spark.createDataFrame(rows, "u string, w string")
+    r = cramers_v(df, "u", "w").collect()[0]
+    assert r.cramers_v == pytest.approx(1.0, abs=1e-9)
+    assert r.effect == "large" and r.chi2 == pytest.approx(10.0)
+
+
+def test_cramers_v_independent_zero(spark):
+    """Uniform 2×2 product table: χ² = 0, V = 0 → 'negligible'."""
+    from census_data_pipeline_spark.operators.rollup import cramers_v
+
+    rows = [(u, w) for u in ("a", "b") for w in ("x", "y")] * 3
+    df = spark.createDataFrame(rows, "u string, w string")
+    r = cramers_v(df, "u", "w").collect()[0]
+    assert r.cramers_v == 0.0 and r.effect == "negligible"
+
+
+def test_cramers_v_constant_column_null(spark):
+    from census_data_pipeline_spark.operators.rollup import cramers_v
+
+    rows = [("a", "x"), ("a", "y"), ("a", "x")]
+    df = spark.createDataFrame(rows, "u string, w string")
+    r = cramers_v(df, "u", "w").collect()[0]
+    assert r.cramers_v is None and r.effect is None
