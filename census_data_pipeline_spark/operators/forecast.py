@@ -1501,3 +1501,124 @@ def seasonal_decompose_oracle_sql(
                 f"se[CAST((t - 1) % {m} + 1 AS BIGINT)]")}
            END AS remainder
     FROM hxp"""
+
+
+def cross_correlation(
+    series_a: DataFrame,
+    series_b: DataFrame,
+    t_col: str,
+    y_col: str,
+    max_lag: int = 6,
+) -> DataFrame:
+    """Sample cross-correlation function between two bucketed series
+    sharing one time axis — the LEAD/LAG diagnostic the ACF can't
+    answer: does series A at hour t predict series B at hour t+ℓ?
+    For every lag ℓ ∈ [−max_lag, +max_lag], ``ccf`` is the Pearson
+    correlation of the MATCHED pairs (a_t, b_{t+ℓ}) (the overlap
+    convention: means/variances recomputed per lag over the n−|ℓ|
+    aligned buckets — exactly what a regression on the shifted series
+    would see; the alternative fixed-global-moment estimator is
+    documented and NOT used). ``best`` flags the lag(s) with the
+    largest |ccf| among defined lags.
+
+    Returns (lag, n, ccf, best) — one row per lag, 6-dp rounded; ccf
+    NULL when a lag has < 2 matched pairs or a constant side.
+
+    Scale shape: both inputs are horizon-bounded bucketed frames (the
+    module contract above); the lag frame (2·max_lag+1 rows) is
+    broadcast, the shifted equi-join and per-lag co-moment agg touch
+    |series|·(2K+1) bounded rows. Cite: reference has no forecast
+    tier; extends SURVEY §2.11 beside acf/holt_winters."""
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    spark = series_a.sparkSession
+    lags = spark.range(-max_lag, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = series_a.select(
+        F.col(t_col).cast("long").alias("__t"),
+        F.col(y_col).cast("double").alias("__ya"),
+    ).na.drop()
+    b = series_b.select(
+        F.col(t_col).cast("long").alias("__t"),
+        F.col(y_col).cast("double").alias("__yb"),
+    ).na.drop()
+    shifted = (
+        a.crossJoin(F.broadcast(lags))
+        .select("lag", (F.col("__t") + F.col("lag")).alias("__tb"),
+                "__ya")
+        .join(b, F.col("__tb") == b["__t"])
+    )
+    mom = shifted.groupBy("lag").agg(
+        F.count("*").cast("double").alias("__n"),
+        F.sum("__ya").alias("__sa"),
+        F.sum(F.col("__ya") * F.col("__ya")).alias("__qa"),
+        F.sum("__yb").alias("__sb"),
+        F.sum(F.col("__yb") * F.col("__yb")).alias("__qb"),
+        F.sum(F.col("__ya") * F.col("__yb")).alias("__sab"),
+    )
+    n = F.col("__n")
+    cov = n * F.col("__sab") - F.col("__sa") * F.col("__sb")
+    va = n * F.col("__qa") - F.col("__sa") * F.col("__sa")
+    vb = n * F.col("__qb") - F.col("__sb") * F.col("__sb")
+    ok = (n >= 2) & (va > 0) & (vb > 0)
+    scored = lags.join(mom, "lag", "left").select(
+        "lag",
+        F.coalesce(n, F.lit(0.0)).cast("long").alias("n"),
+        F.when(ok, F.round(cov / F.sqrt(va * vb), 6))
+        .otherwise(F.lit(None).cast("double")).alias("ccf"),
+    )
+    peak = scored.agg(F.max(F.abs(F.col("ccf"))).alias("__peak"))
+    return (
+        scored.crossJoin(F.broadcast(peak))
+        .select(
+            "lag", "n", "ccf",
+            F.when(
+                F.col("ccf").isNotNull(),
+                F.abs(F.col("ccf")) == F.col("__peak"),
+            ).otherwise(F.lit(None).cast("boolean")).alias("best"),
+        )
+    )
+
+
+def cross_correlation_oracle_sql(
+    series_ctes: str,
+    series_a: str,
+    series_b: str,
+    t_sql: str,
+    y_sql: str,
+    max_lag: int = 6,
+) -> str:
+    """DuckDB replica of ``cross_correlation`` over two prepared series
+    CTEs — identical matched-pair overlap, per-lag co-moments, and
+    peak flag."""
+    return f"""WITH {series_ctes},
+    cca AS (SELECT CAST({t_sql} AS BIGINT) AS t,
+                   CAST({y_sql} AS DOUBLE) AS ya FROM {series_a}),
+    ccb AS (SELECT CAST({t_sql} AS BIGINT) AS t,
+                   CAST({y_sql} AS DOUBLE) AS yb FROM {series_b}),
+    lags AS (SELECT CAST(unnest(range(-{max_lag}, {max_lag} + 1))
+                        AS INTEGER) AS lag),
+    mom AS (
+      SELECT l.lag, CAST(count(*) AS DOUBLE) AS n,
+             sum(a.ya) AS sa, sum(a.ya * a.ya) AS qa,
+             sum(b.yb) AS sb, sum(b.yb * b.yb) AS qb,
+             sum(a.ya * b.yb) AS sab
+      FROM cca a CROSS JOIN lags l
+      JOIN ccb b ON b.t = a.t + l.lag
+      GROUP BY l.lag),
+    scored AS (
+      SELECT lags.lag,
+             CAST(coalesce(mom.n, 0.0) AS BIGINT) AS n,
+             CASE WHEN mom.n >= 2
+                       AND (mom.n * mom.qa - mom.sa * mom.sa) > 0
+                       AND (mom.n * mom.qb - mom.sb * mom.sb) > 0
+                  THEN round((mom.n * mom.sab - mom.sa * mom.sb)
+                             / sqrt((mom.n * mom.qa - mom.sa * mom.sa)
+                                    * (mom.n * mom.qb - mom.sb * mom.sb)),
+                             6) END AS ccf
+      FROM lags LEFT JOIN mom ON mom.lag = lags.lag),
+    peak AS (SELECT max(abs(ccf)) AS p FROM scored)
+    SELECT lag, n, ccf,
+           CASE WHEN ccf IS NOT NULL THEN abs(ccf) = peak.p END AS best
+    FROM scored CROSS JOIN peak"""

@@ -2047,3 +2047,159 @@ def cramers_v_oracle_sql(table: str, a_sql: str, b_sql: str) -> str:
                   ELSE 'large' END
            END AS effect
     FROM f"""
+
+
+def kendall_tau(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Kendall τ-b rank correlation — the fourth member of
+    the trend family (OLS slope → Theil–Sen slope → Spearman ρ →
+    Kendall τ): the probability-scale concordance measure, τ =
+    (C − D)/√((n₀−n₁)(n₀−n₂)) with n₀ = n(n−1)/2 and the standard
+    tie terms n₁ = Σ_x t(t−1)/2, n₂ = Σ_y u(u−1)/2. Concordant /
+    discordant counts come from the strict-x pair join (x-tied pairs
+    are neither, exactly the τ-b convention); ``z_stat`` uses the
+    no-tie null variance 2(2n+5)/(9n(n−1)) (documented: the usual
+    large-n approximation, conservative under light ties).
+
+    Returns (groups..., n, n_pairs, concordant, discordant, tau_b,
+    z_stat, significant_95), 6-dp rounded; τ/z NULL when n < 2 or a
+    column is constant (zero tie-corrected pairs).
+
+    Scale contract: pair volume is Σ_g n_g² — the ``grouped_theil_sen``
+    bounded-series contract verbatim (hourly/bucketed frames, ~700
+    buckets → ~245k pairs per group distributed across the pair
+    shuffle); data-scale monotone association belongs in
+    ``spearman_corr`` (whose histogram path is linear). Cite:
+    reference has no stats tier; extends SURVEY §2.11."""
+    d = (
+        df.na.drop(subset=[x_col, y_col])
+        .select(
+            *group_cols,
+            F.col(x_col).cast("double").alias("__x"),
+            F.col(y_col).cast("double").alias("__y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a, b = d.alias("a"), d.alias("b")
+    cond = F.col("a.__x") < F.col("b.__x")
+    for g in group_cols:
+        cond = cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
+    cd = (
+        a.join(b, cond)
+        .select(
+            *[F.col(f"a.{g}").alias(g) for g in group_cols],
+            F.when(F.col("a.__y") < F.col("b.__y"), 1)
+            .otherwise(0).alias("__c"),
+            F.when(F.col("a.__y") > F.col("b.__y"), 1)
+            .otherwise(0).alias("__d"),
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("__c").cast("double").alias("__C"),
+            F.sum("__d").cast("double").alias("__D"),
+        )
+    )
+    nrow = d.groupBy(*group_cols).agg(
+        F.count("*").cast("double").alias("__n")
+    )
+    tx = (
+        d.groupBy(*group_cols, "__x").agg(F.count("*").alias("__t"))
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(F.col("__t") * (F.col("__t") - 1) / 2)
+            .cast("double").alias("__n1")
+        )
+    )
+    ty = (
+        d.groupBy(*group_cols, "__y").agg(F.count("*").alias("__u"))
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(F.col("__u") * (F.col("__u") - 1) / 2)
+            .cast("double").alias("__n2")
+        )
+    )
+    j = nrow.join(cd, group_cols, "left").join(tx, group_cols).join(
+        ty, group_cols
+    )
+    n = F.col("__n")
+    n0 = n * (n - 1) / 2
+    den = (n0 - F.col("__n1")) * (n0 - F.col("__n2"))
+    tau = (F.coalesce(F.col("__C"), F.lit(0.0))
+           - F.coalesce(F.col("__D"), F.lit(0.0))) / F.sqrt(den)
+    var0 = F.lit(2.0) * (2 * n + 5) / (F.lit(9.0) * n * (n - 1))
+    z = tau / F.sqrt(var0)
+    ok = (n >= 2) & (den > 0)
+    return j.select(
+        *group_cols,
+        n.cast("long").alias("n"),
+        n0.cast("long").alias("n_pairs"),
+        F.coalesce(F.col("__C"), F.lit(0.0)).cast("long")
+        .alias("concordant"),
+        F.coalesce(F.col("__D"), F.lit(0.0)).cast("long")
+        .alias("discordant"),
+        F.when(ok, F.round(tau, 6))
+        .otherwise(F.lit(None).cast("double")).alias("tau_b"),
+        F.when(ok, F.round(z, 6))
+        .otherwise(F.lit(None).cast("double")).alias("z_stat"),
+        F.when(ok, F.abs(z) > 1.959964)
+        .otherwise(F.lit(None).cast("boolean")).alias("significant_95"),
+    )
+
+
+def kendall_tau_oracle_sql(
+    series_ctes: str,
+    series: str,
+    key: str,
+    x_sql: str,
+    y_sql: str,
+) -> str:
+    """DuckDB replica of ``kendall_tau`` over a prepared per-key series
+    CTE — identical strict-x pair join, tie terms, τ-b arithmetic, and
+    normal-approximation z."""
+    return f"""WITH {series_ctes},
+    ktd AS (SELECT {key} AS g, CAST({x_sql} AS DOUBLE) AS x,
+                   CAST({y_sql} AS DOUBLE) AS y
+            FROM {series}
+            WHERE ({x_sql}) IS NOT NULL AND ({y_sql}) IS NOT NULL),
+    ktcd AS (
+      SELECT a.g,
+             CAST(sum(CASE WHEN a.y < b.y THEN 1 ELSE 0 END) AS DOUBLE)
+               AS C,
+             CAST(sum(CASE WHEN a.y > b.y THEN 1 ELSE 0 END) AS DOUBLE)
+               AS D
+      FROM ktd a JOIN ktd b ON a.g = b.g AND a.x < b.x
+      GROUP BY a.g),
+    ktn AS (SELECT g, CAST(count(*) AS DOUBLE) AS n FROM ktd GROUP BY g),
+    ktx AS (SELECT g, CAST(sum(t * (t - 1) / 2) AS DOUBLE) AS n1
+            FROM (SELECT g, x, count(*) AS t FROM ktd GROUP BY g, x) q
+            GROUP BY g),
+    kty AS (SELECT g, CAST(sum(u * (u - 1) / 2) AS DOUBLE) AS n2
+            FROM (SELECT g, y, count(*) AS u FROM ktd GROUP BY g, y) q
+            GROUP BY g),
+    ktf AS (
+      SELECT ktn.g, ktn.n, ktn.n * (ktn.n - 1) / 2 AS n0,
+             coalesce(ktcd.C, 0.0) AS C, coalesce(ktcd.D, 0.0) AS D,
+             ktx.n1, kty.n2,
+             (ktn.n * (ktn.n - 1) / 2 - ktx.n1)
+               * (ktn.n * (ktn.n - 1) / 2 - kty.n2) AS den,
+             2.0 * (2 * ktn.n + 5) / (9.0 * ktn.n * (ktn.n - 1)) AS var0
+      FROM ktn LEFT JOIN ktcd ON ktcd.g = ktn.g
+               JOIN ktx ON ktx.g = ktn.g
+               JOIN kty ON kty.g = ktn.g)
+    SELECT g AS {key}, CAST(n AS BIGINT) AS n,
+           CAST(n0 AS BIGINT) AS n_pairs,
+           CAST(C AS BIGINT) AS concordant,
+           CAST(D AS BIGINT) AS discordant,
+           CASE WHEN n >= 2 AND den > 0
+                THEN round((C - D) / sqrt(den), 6) END AS tau_b,
+           CASE WHEN n >= 2 AND den > 0
+                THEN round((C - D) / sqrt(den) / sqrt(var0), 6)
+                END AS z_stat,
+           CASE WHEN n >= 2 AND den > 0
+                THEN abs((C - D) / sqrt(den) / sqrt(var0)) > 1.959964
+                END AS significant_95
+    FROM ktf"""

@@ -191,3 +191,105 @@ def test_cramers_v_constant_column_null(spark):
     df = spark.createDataFrame(rows, "u string, w string")
     r = cramers_v(df, "u", "w").collect()[0]
     assert r.cramers_v is None and r.effect is None
+
+
+# --- Kendall τ-b ---------------------------------------------------------
+
+
+def test_kendall_perfect_and_inverse(spark):
+    from census_data_pipeline_spark.operators.rollup import kendall_tau
+
+    up = spark.createDataFrame(
+        [("g", float(i), float(i * i)) for i in range(1, 7)],
+        "grp string, x double, y double",
+    )
+    r = kendall_tau(up, ["grp"], "x", "y").collect()[0]
+    assert r.tau_b == pytest.approx(1.0) and r.significant_95 is True
+    down = spark.createDataFrame(
+        [("g", float(i), float(-i)) for i in range(1, 7)],
+        "grp string, x double, y double",
+    )
+    assert kendall_tau(down, ["grp"], "x", "y").collect()[0].tau_b == (
+        pytest.approx(-1.0)
+    )
+
+
+def test_kendall_hand_computed(spark):
+    """x=[1,2,3,4], y=[1,3,2,4]: C=5, D=1, no ties → τ = 4/6."""
+    from census_data_pipeline_spark.operators.rollup import kendall_tau
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 1.0), ("g", 2.0, 3.0), ("g", 3.0, 2.0),
+         ("g", 4.0, 4.0)],
+        "grp string, x double, y double",
+    )
+    r = kendall_tau(df, ["grp"], "x", "y").collect()[0]
+    assert (r.concordant, r.discordant, r.n_pairs) == (5, 1, 6)
+    assert r.tau_b == pytest.approx(round(4.0 / 6.0, 6), abs=1e-6)
+
+
+def test_kendall_tie_corrected(spark):
+    """x=[1,1,2,2], y=[1,2,1,2]: C=D=1, n1=n2=2 → τ-b = 0 with the
+    tie-shrunk denominator 4 (not n0=6)."""
+    from census_data_pipeline_spark.operators.rollup import kendall_tau
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 1.0), ("g", 1.0, 2.0), ("g", 2.0, 1.0),
+         ("g", 2.0, 2.0)],
+        "grp string, x double, y double",
+    )
+    r = kendall_tau(df, ["grp"], "x", "y").collect()[0]
+    assert (r.concordant, r.discordant) == (1, 1)
+    assert r.tau_b == pytest.approx(0.0)
+
+
+def test_kendall_constant_y_null(spark):
+    from census_data_pipeline_spark.operators.rollup import kendall_tau
+
+    df = spark.createDataFrame(
+        [("g", float(i), 5.0) for i in range(4)],
+        "grp string, x double, y double",
+    )
+    r = kendall_tau(df, ["grp"], "x", "y").collect()[0]
+    assert r.tau_b is None and r.z_stat is None
+
+
+# --- cross-correlation ---------------------------------------------------
+
+
+_SPIKY = [0.0, 1.0, 0.0, 0.0, 5.0, 2.0, 0.0, 7.0, 1.0, 0.0, 3.0, 0.0]
+
+
+def test_ccf_recovers_known_shift(spark):
+    """b_t = a_{t−2} (B lags A by 2 hours) → ccf = 1.0 exactly at
+    lag +2 and that row is flagged best."""
+    from census_data_pipeline_spark.operators.forecast import (
+        cross_correlation,
+    )
+
+    a = spark.createDataFrame(
+        [(t, v) for t, v in enumerate(_SPIKY)], "t long, y double"
+    )
+    b = spark.createDataFrame(
+        [(t + 2, v) for t, v in enumerate(_SPIKY)], "t long, y double"
+    )
+    rows = {r.lag: r for r in
+            cross_correlation(a, b, "t", "y", max_lag=3).collect()}
+    assert len(rows) == 7
+    assert rows[2].ccf == pytest.approx(1.0)
+    assert rows[2].best is True
+    assert all(not r.best for lag, r in rows.items()
+               if lag != 2 and r.best is not None)
+
+
+def test_ccf_no_overlap_and_guard(spark):
+    from census_data_pipeline_spark.operators.forecast import (
+        cross_correlation,
+    )
+
+    a = spark.createDataFrame([(0, 1.0), (1, 2.0)], "t long, y double")
+    b = spark.createDataFrame([(10, 1.0), (11, 2.0)], "t long, y double")
+    rows = cross_correlation(a, b, "t", "y", max_lag=2).collect()
+    assert all(r.ccf is None and r.n == 0 for r in rows)
+    with pytest.raises(ValueError):
+        cross_correlation(a, b, "t", "y", max_lag=0)
