@@ -2203,3 +2203,240 @@ def kendall_tau_oracle_sql(
                 THEN abs((C - D) / sqrt(den) / sqrt(var0)) > 1.959964
                 END AS significant_95
     FROM ktf"""
+
+
+def gini_binned(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Per-group Gini coefficient from a binned Lorenz curve — the
+    inequality/concentration readout ("does 1% of the customers carry
+    99% of the revenue?"). Grouped-data estimator: values bin into
+    ``n_bins`` equal-width buckets per group, the Lorenz curve is the
+    cumulative (population share, value share) walk over the ORDERED
+    bin frame, and G = 1 − Σ (x_i − x_{i−1})(y_i + y_{i−1}) by the
+    trapezoid rule — the standard grouped-data Gini, which UNDERSTATES
+    the exact statistic by the within-bin inequality (error → 0 as
+    bins narrow; ``bins_used`` rides in the output so a consumer sees
+    the resolution). Negative values are excluded (shares undefined —
+    the Lorenz convention); an all-equal group lands in one bin and
+    reads exactly 0.
+
+    Returns (groups..., n, total_value, gini, bins_used), 6-dp
+    rounded; gini NULL when the group's total is ≤ 0.
+
+    Scale shape: one min/max/count/sum agg per group broadcast back,
+    one data-scale binning scan to the ≤n_bins-row per-group frame,
+    then windows over THAT bounded frame only — the exact-rank Gini
+    needs a global sort (one partition at data scale) and is exactly
+    what this estimator avoids. Cite: reference has no concentration
+    tier; extends SURVEY §2.11."""
+    from pyspark.sql import Window
+
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    d = df.na.drop(subset=[value_col]).select(
+        *group_cols, F.col(value_col).cast("double").alias("__v")
+    ).filter(F.col("__v") >= 0)
+    rng = d.groupBy(*group_cols).agg(
+        F.min("__v").alias("__lo"),
+        F.max("__v").alias("__hi"),
+        F.count("*").cast("double").alias("__n"),
+        F.sum("__v").alias("__tot"),
+    )
+    binned = d.join(F.broadcast(rng), group_cols).select(
+        *group_cols, "__n", "__tot",
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("__v") - F.col("__lo"))
+                    / (F.col("__hi") - F.col("__lo"))
+                    * F.lit(n_bins)
+                ),
+                F.lit(n_bins - 1),
+            )
+        ).cast("long").alias("__bin"),
+        "__v",
+    )
+    bins = binned.groupBy(*group_cols, "__n", "__tot", "__bin").agg(
+        F.count("*").cast("double").alias("__c"),
+        F.sum("__v").alias("__sv"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lorenz = bins.select(
+        *group_cols, "__n", "__tot",
+        (F.sum("__c").over(w) / F.col("__n")).alias("__cx"),
+        (F.sum("__sv").over(w) / F.col("__tot")).alias("__cy"),
+    )
+    wl = Window.partitionBy(*group_cols).orderBy("__cx")
+    seg = lorenz.select(
+        *group_cols, "__n", "__tot",
+        (
+            (F.col("__cx") - F.coalesce(F.lag("__cx").over(wl), F.lit(0.0)))
+            * (F.col("__cy")
+               + F.coalesce(F.lag("__cy").over(wl), F.lit(0.0)))
+        ).alias("__a"),
+    )
+    out = seg.groupBy(*group_cols, "__n", "__tot").agg(
+        F.count("*").alias("__bu"),
+        (F.lit(1.0) - F.sum("__a")).alias("__g"),
+    )
+    return out.select(
+        *group_cols,
+        F.col("__n").cast("long").alias("n"),
+        F.round("__tot", 6).alias("total_value"),
+        F.when(F.col("__tot") > 0, F.round("__g", 6))
+        .otherwise(F.lit(None).cast("double")).alias("gini"),
+        F.col("__bu").cast("long").alias("bins_used"),
+    )
+
+
+def gini_binned_oracle_sql(
+    table: str,
+    group_cols: list[str],
+    value_sql: str,
+    n_bins: int = 256,
+    where: str = "TRUE",
+) -> str:
+    """DuckDB replica of ``gini_binned`` — identical binning, Lorenz
+    walk, and trapezoid."""
+    g = ", ".join(group_cols)
+    gp = f"PARTITION BY {g}" if group_cols else ""
+    gsel = f"{g}, " if group_cols else ""
+    gjoin = " AND ".join(f"d.{c} = r.{c}" for c in group_cols) or "TRUE"
+    return f"""WITH gnd AS (
+      SELECT {gsel}CAST(({value_sql}) AS DOUBLE) AS v
+      FROM {table}
+      WHERE ({value_sql}) IS NOT NULL AND ({value_sql}) >= 0
+        AND ({where})),
+    gnr AS (
+      SELECT {gsel}min(v) AS lo, max(v) AS hi,
+             CAST(count(*) AS DOUBLE) AS n, sum(v) AS tot
+      FROM gnd GROUP BY {'ALL' if group_cols else '()'} ),
+    gnb AS (
+      SELECT {"".join(f"d.{c}, " for c in group_cols)}r.n, r.tot,
+             CASE WHEN r.hi = r.lo THEN 0
+                  ELSE CAST(least(floor((d.v - r.lo) / (r.hi - r.lo)
+                                        * {n_bins}),
+                                  {n_bins - 1}) AS BIGINT)
+                  END AS bin,
+             d.v
+      FROM gnd d JOIN gnr r ON {gjoin}),
+    gnh AS (
+      SELECT {gsel}n, tot, bin, CAST(count(*) AS DOUBLE) AS c,
+             sum(v) AS sv
+      FROM gnb GROUP BY {gsel}n, tot, bin),
+    gnl AS (
+      SELECT {gsel}n, tot,
+             sum(c) OVER ({gp} ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) / n AS cx,
+             sum(sv) OVER ({gp} ORDER BY bin
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) / tot AS cy
+      FROM gnh),
+    gns AS (
+      SELECT {gsel}n, tot,
+             (cx - coalesce(lag(cx) OVER ({gp} ORDER BY cx), 0.0))
+             * (cy + coalesce(lag(cy) OVER ({gp} ORDER BY cx), 0.0))
+               AS a
+      FROM gnl)
+    SELECT {gsel}CAST(n AS BIGINT) AS n, round(tot, 6) AS total_value,
+           CASE WHEN tot > 0 THEN round(1.0 - sum(a), 6) END AS gini,
+           CAST(count(*) AS BIGINT) AS bins_used
+    FROM gns GROUP BY {gsel}n, tot"""
+
+
+def concentration_metrics(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group market-concentration metrics over the value shares of
+    ``key_col`` entities — the antitrust/portfolio view beside
+    ``gini_binned``'s inequality curve: HHI = Σ s_i² (1/n_keys =
+    perfectly even, 1 = monopoly), Shannon entropy H = −Σ s_i·ln s_i,
+    and the effective key count exp(H) ("revenue behaves as if spread
+    over this many equal keys"). Keys whose value total is ≤ 0 are
+    excluded (shares undefined — documented). Returns (groups...,
+    n_keys, total_value, hhi, shannon_entropy, effective_keys), 6-dp
+    rounded; metrics NULL when no positive-total key remains.
+
+    Scale shape: one data-scale (group, key) agg, one group-total agg
+    broadcast back, one share scan — grouped counts all the way, no
+    window at all. Cite: reference has no concentration tier; extends
+    SURVEY §2.11 beside gini_binned."""
+    d = df.na.drop(subset=[key_col, value_col]).select(
+        *group_cols,
+        F.col(key_col).alias("__k"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    keys = (
+        d.groupBy(*group_cols, "__k")
+        .agg(F.sum("__v").alias("__kv"))
+        .filter(F.col("__kv") > 0)
+    )
+    tot = keys.groupBy(*group_cols).agg(
+        F.sum("__kv").alias("__tot"), F.count("*").alias("__nk")
+    )
+    s = F.col("__kv") / F.col("__tot")
+    agg = (
+        keys.join(F.broadcast(tot), group_cols)
+        .groupBy(*group_cols, "__tot", "__nk")
+        .agg(
+            F.sum(s * s).alias("__hhi"),
+            (-F.sum(s * F.log(s))).alias("__ent"),
+        )
+    )
+    return agg.select(
+        *group_cols,
+        F.col("__nk").cast("long").alias("n_keys"),
+        F.round("__tot", 6).alias("total_value"),
+        F.round("__hhi", 6).alias("hhi"),
+        F.round("__ent", 6).alias("shannon_entropy"),
+        F.round(F.exp("__ent"), 6).alias("effective_keys"),
+    )
+
+
+def concentration_oracle_sql(
+    table_sql: str,
+    group_cols: list[str],
+    key_sql: str,
+    value_sql: str,
+) -> str:
+    """DuckDB replica of ``concentration_metrics`` — identical share
+    walk. ``table_sql`` may be a table name or a parenthesized
+    subquery."""
+    g = ", ".join(group_cols)
+    gsel = f"{g}, " if group_cols else ""
+    gjoin = " AND ".join(f"k.{c} = t.{c}" for c in group_cols) or "TRUE"
+    return f"""WITH cnd AS (
+      SELECT {gsel}{key_sql} AS k, CAST(({value_sql}) AS DOUBLE) AS v
+      FROM {table_sql}
+      WHERE ({key_sql}) IS NOT NULL AND ({value_sql}) IS NOT NULL),
+    cnk AS (
+      SELECT * FROM (
+        SELECT {gsel}k, sum(v) AS kv FROM cnd GROUP BY {gsel}k) q
+      WHERE kv > 0),
+    cnt_ AS (
+      SELECT {gsel}sum(kv) AS tot, count(*) AS nk
+      FROM cnk GROUP BY {'ALL' if group_cols else '()'} ),
+    cna AS (
+      SELECT {"".join(f"k.{c}, " for c in group_cols)}t.tot, t.nk,
+             sum((k.kv / t.tot) * (k.kv / t.tot)) AS hhi,
+             -sum((k.kv / t.tot) * ln(k.kv / t.tot)) AS ent
+      FROM cnk k JOIN cnt_ t ON {gjoin}
+      GROUP BY {"".join(f"k.{c}, " for c in group_cols)}t.tot, t.nk)
+    SELECT {gsel}CAST(nk AS BIGINT) AS n_keys,
+           round(tot, 6) AS total_value, round(hhi, 6) AS hhi,
+           round(ent, 6) AS shannon_entropy,
+           round(exp(ent), 6) AS effective_keys
+    FROM cna"""

@@ -275,6 +275,8 @@ _CHECKED_PREFIX = [
     "orders_cramers_v",
     "events_trend_kendall",
     "events_ccf_click_purchase",
+    "customer_revenue_gini",
+    "customer_revenue_concentration",
     # r10 fingerprint drift: kcore_nodes reworked to frontier-delta
     # maintained degrees (VERDICT r9 #1); the two stateful streaming
     # queries drift under the event_time_horizon_ms eviction knob

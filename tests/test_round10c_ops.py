@@ -293,3 +293,83 @@ def test_ccf_no_overlap_and_guard(spark):
     assert all(r.ccf is None and r.n == 0 for r in rows)
     with pytest.raises(ValueError):
         cross_correlation(a, b, "t", "y", max_lag=0)
+
+
+# --- binned-Lorenz Gini --------------------------------------------------
+
+
+def test_gini_ordering_and_extremes(spark):
+    """All-equal → exactly 0; one whale among zeros → near 1; and a
+    concentrated group scores strictly above an even one."""
+    from census_data_pipeline_spark.operators.rollup import gini_binned
+
+    rows = (
+        [("equal", 10.0)] * 8
+        + [("whale", 0.0)] * 9 + [("whale", 1000.0)]
+        + [("spread", float(v)) for v in (8, 9, 10, 11, 12)]
+        + [("skew", float(v)) for v in (1, 1, 1, 1, 100)]
+    )
+    df = spark.createDataFrame(rows, "grp string, v double")
+    g = {r.grp: r for r in
+         gini_binned(df, ["grp"], "v", n_bins=64).collect()}
+    assert g["equal"].gini == 0.0 and g["equal"].bins_used == 1
+    assert g["whale"].gini == pytest.approx(0.9, abs=1e-6)
+    assert g["skew"].gini > g["spread"].gini > 0.0
+
+
+def test_gini_negative_excluded_and_guard(spark):
+    from census_data_pipeline_spark.operators.rollup import gini_binned
+
+    df = spark.createDataFrame(
+        [("g", -5.0), ("g", 4.0), ("g", 4.0)], "grp string, v double"
+    )
+    r = gini_binned(df, ["grp"], "v").collect()[0]
+    assert r.n == 2 and r.gini == 0.0
+    with pytest.raises(ValueError):
+        gini_binned(df, ["grp"], "v", n_bins=1)
+
+
+def test_gini_zero_total_null(spark):
+    from census_data_pipeline_spark.operators.rollup import gini_binned
+
+    df = spark.createDataFrame([("g", 0.0), ("g", 0.0)],
+                               "grp string, v double")
+    assert gini_binned(df, ["grp"], "v").collect()[0].gini is None
+
+
+# --- concentration metrics -----------------------------------------------
+
+
+def test_concentration_monopoly_and_even(spark):
+    """One key owning everything → HHI 1, entropy 0, effective 1;
+    four even keys → HHI 0.25, entropy ln4, effective 4."""
+    from census_data_pipeline_spark.operators.rollup import (
+        concentration_metrics,
+    )
+
+    rows = [("mono", "k1", 10.0), ("mono", "k1", 5.0)] + [
+        ("even", f"k{i}", 3.0) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "grp string, k string, v double")
+    got = {r.grp: r for r in
+           concentration_metrics(df, ["grp"], "k", "v").collect()}
+    assert got["mono"].hhi == 1.0
+    assert got["mono"].shannon_entropy == 0.0
+    assert got["mono"].effective_keys == 1.0
+    assert got["even"].hhi == pytest.approx(0.25)
+    assert got["even"].shannon_entropy == pytest.approx(
+        round(math.log(4.0), 6)
+    )
+    assert got["even"].effective_keys == pytest.approx(4.0, abs=1e-5)
+
+
+def test_concentration_nonpositive_keys_excluded(spark):
+    from census_data_pipeline_spark.operators.rollup import (
+        concentration_metrics,
+    )
+
+    rows = [("g", "a", 6.0), ("g", "b", 6.0), ("g", "zero", 0.0),
+            ("g", "neg", -3.0)]
+    df = spark.createDataFrame(rows, "grp string, k string, v double")
+    r = concentration_metrics(df, ["grp"], "k", "v").collect()[0]
+    assert r.n_keys == 2 and r.hhi == pytest.approx(0.5)
