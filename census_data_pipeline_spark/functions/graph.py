@@ -1399,3 +1399,118 @@ def degree_assortativity_oracle_sql(edges_sql: str) -> str:
                          * (dam.m * dam.qy - dam.sy * dam.sy)), 6)
            END AS assortativity
     FROM dam, dan"""
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 60,
+) -> DataFrame:
+    """Connected components of the undirected graph by synchronous
+    MIN-LABEL propagation to fixpoint — the membership primitive under
+    ``label_propagation``'s communities and the dedup tier's cluster
+    stars, surfaced as its own operator: every node's component id is
+    the SMALLEST node id reachable from it. Returns (id, component)
+    over non-isolated nodes (the graph is symmetrized, deduped,
+    self-loops dropped — the ``coreness`` conventions).
+
+    Determinism: labels start as the node's own id and each round
+    every node simultaneously takes min(own label, neighbor labels);
+    labels are monotonically non-increasing so the fixpoint is unique
+    and reached in ≤ diameter rounds — no tie-break policy needed at
+    all (min is total on the id type).
+
+    Scale shape per round (the ``label_propagation`` dataflow): one
+    edges ⋈ labels equi-join on src with a (dst, min) partial
+    aggregate — map-side combine bounds the shuffle — one node-scale
+    compare join, ONE scalar driver action (the changed-count that
+    decides termination), node-scale frames lineage-cut with lazy
+    localCheckpoint. Rounds are bounded by the largest component's
+    diameter (hub-and-spoke graphs: a handful); for diameter-heavy
+    graphs at extreme scale the alternating large-star/small-star
+    contraction (Kiveris 2014) halves rounds but re-keys edges every
+    round — documented, not needed here. ``max_rounds`` exceeded
+    raises rather than returning a silent partial labeling. Cite:
+    reference has no graph tier; extends SURVEY §2.11 beside
+    coreness/label_propagation."""
+    e = ensure_parallelism(edges).select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    )
+    sym = (
+        e.unionByName(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct()
+        .select("id", F.col("id").alias("lbl"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_rounds):
+        nb = (
+            sym.join(labels, sym["src"] == labels["id"])
+            .groupBy(sym["dst"].alias("nid"))
+            .agg(F.min("lbl").alias("__nl"))
+        )
+        stepped = (
+            labels.join(nb, labels["id"] == nb["nid"], "left")
+            .select(
+                "id", "lbl",
+                F.least(
+                    F.col("lbl"), F.coalesce("__nl", F.col("lbl"))
+                ).alias("__new"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = stepped.filter(F.col("__new") < F.col("lbl")).count()
+        labels = stepped.select("id", F.col("__new").alias("lbl"))
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"max_rounds={max_rounds}"
+        )
+    return labels.select("id", F.col("lbl").alias("component"))
+
+
+def connected_components_oracle_sql(edges_sql: str) -> str:
+    """DuckDB replica of ``connected_components`` as ONE recursive CTE:
+    the edge set is augmented with self-loops so a single
+    comp-to-edges join reads both a node's own label and its
+    neighbors' (the one-self-reference restriction); each iteration
+    emits the full relabeled state while ANY label decreased and stops
+    on the exact-no-op iteration. Labels only decrease, so the
+    per-node MIN over all emitted rows is the fixpoint — the identical
+    labeling the engine's loop converges to. ``edges_sql`` must select
+    (src, dst)."""
+    return f"""WITH RECURSIVE cce0 AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM ({edges_sql}) r0
+        UNION ALL
+        SELECT dst, src FROM ({edges_sql}) r1) u
+      WHERE src <> dst),
+    cce1 AS MATERIALIZED (
+      SELECT src, dst FROM cce0
+      UNION ALL
+      SELECT DISTINCT src, src FROM cce0),
+    comp AS (
+      SELECT src AS node, src AS lbl
+      FROM (SELECT DISTINCT src FROM cce0) n0
+      UNION ALL
+      SELECT node, newl FROM (
+        SELECT node, newl, oldl,
+               MAX(CASE WHEN newl < oldl THEN 1 ELSE 0 END)
+                 OVER () AS mx
+        FROM (
+          SELECT DISTINCT e.dst AS node,
+                 MIN(c.lbl) OVER (PARTITION BY e.dst) AS newl,
+                 MAX(CASE WHEN e.src = e.dst THEN c.lbl END)
+                   OVER (PARTITION BY e.dst) AS oldl
+          FROM comp c JOIN cce1 e ON e.src = c.node) t1) t2
+      WHERE mx = 1)
+    SELECT node AS id, MIN(lbl) AS component
+    FROM comp GROUP BY node"""

@@ -2440,3 +2440,88 @@ def concentration_oracle_sql(
            round(ent, 6) AS shannon_entropy,
            round(exp(ent), 6) AS effective_keys
     FROM cna"""
+
+
+def new_vs_returning(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """Per-bucket new-vs-returning user decomposition — the growth
+    accountant's daily-active split: of today's active users, how many
+    are seen for the FIRST time ever, how many came back, and how many
+    distinct users has the product accumulated. One (bucket, user)
+    dedup scan; first-seen = min bucket per user (a second hash agg);
+    new_users = count of first-seens landing in the bucket;
+    returning = active − new; cumulative = running sum of new over the
+    bucket frame. Returns (bucket, active_users, new_users,
+    returning_users, cumulative_users) — all exact longs, one row per
+    ACTIVE bucket (a bucket with zero events doesn't appear; its
+    cumulative is readable off the next row).
+
+    Scale shape: two data-scale hash aggs (the dedup and the per-user
+    min — both partial-aggregated) and one bucket-frame join; the only
+    window is the cumulative sum over the HORIZON-BOUNDED bucket frame
+    (days over the corpus span — never data-scale; the
+    survival/duration-grid precedent). Cite: reference has no user
+    analytics; extends SURVEY §2.11."""
+    from pyspark.sql import Window
+
+    bu = (
+        df.na.drop(subset=[ts_col, user_col])
+        .select(
+            F.date_trunc(bucket, F.col(ts_col)).alias("__b"),
+            F.col(user_col).alias("__u"),
+        )
+        .distinct()
+    )
+    active = bu.groupBy("__b").agg(F.count("*").alias("active_users"))
+    first = bu.groupBy("__u").agg(F.min("__b").alias("__fb"))
+    new = first.groupBy("__fb").agg(F.count("*").alias("__new"))
+    return (
+        active.join(new, active["__b"] == new["__fb"], "left")
+        .select(
+            F.col("__b").alias("bucket"),
+            "active_users",
+            F.coalesce("__new", F.lit(0)).alias("new_users"),
+        )
+        .select(
+            "bucket", "active_users", "new_users",
+            (F.col("active_users") - F.col("new_users"))
+            .alias("returning_users"),
+            F.sum("new_users").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ).alias("cumulative_users"),
+        )
+    )
+
+
+def new_vs_returning_oracle_sql(
+    table: str,
+    ts_sql: str,
+    user_sql: str,
+    bucket: str = "day",
+) -> str:
+    """DuckDB replica of ``new_vs_returning`` — identical dedup,
+    first-seen, split, and running sum."""
+    return f"""WITH nvb AS (
+      SELECT DISTINCT CAST(date_trunc('{bucket}', {ts_sql})
+                           AS TIMESTAMP) AS b,
+             {user_sql} AS u
+      FROM {table}
+      WHERE ({ts_sql}) IS NOT NULL AND ({user_sql}) IS NOT NULL),
+    nva AS (SELECT b, count(*) AS active FROM nvb GROUP BY b),
+    nvf AS (SELECT u, min(b) AS fb FROM nvb GROUP BY u),
+    nvn AS (SELECT fb AS b, count(*) AS nw FROM nvf GROUP BY fb)
+    SELECT nva.b AS bucket,
+           nva.active AS active_users,
+           coalesce(nvn.nw, 0) AS new_users,
+           nva.active - coalesce(nvn.nw, 0) AS returning_users,
+           CAST(sum(coalesce(nvn.nw, 0)) OVER (
+             ORDER BY nva.b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cumulative_users
+    FROM nva LEFT JOIN nvn ON nvn.b = nva.b"""

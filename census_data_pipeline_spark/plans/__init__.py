@@ -277,6 +277,8 @@ _CHECKED_PREFIX = [
     "events_ccf_click_purchase",
     "customer_revenue_gini",
     "customer_revenue_concentration",
+    "graph_components",
+    "events_new_vs_returning",
     # r10 fingerprint drift: kcore_nodes reworked to frontier-delta
     # maintained degrees (VERDICT r9 #1); the two stateful streaming
     # queries drift under the event_time_horizon_ms eviction knob

@@ -5443,3 +5443,70 @@ def customer_revenue_concentration(spark, sf_dir):
     )
     return concentration_metrics(j, ["n_name"], "o_custkey",
                                  "o_totalprice")
+
+
+from census_data_pipeline_spark.functions.graph import (  # noqa: E402
+    connected_components_oracle_sql,
+)
+from census_data_pipeline_spark.operators.rollup import (  # noqa: E402
+    new_vs_returning_oracle_sql,
+)
+
+
+@query(
+    "graph_components",
+    oracle=connected_components_oracle_sql(_LPA_EDGES_SQL_ANALYTICS),
+)
+def graph_components(spark, sf_dir):
+    """Connected components of the sparse purchase graph
+    (functions/graph.connected_components) — the membership primitive
+    the community/coreness family sits on, surfaced directly: each
+    node's component is the smallest reachable node id, by min-label
+    propagation run to its unique fixpoint (≤ diameter rounds, one
+    scalar action each). The run-to-completion recursive-CTE oracle
+    computes the identical labeling. HONEST EXPECTED VALUE (measured):
+    the hub-and-spoke purchase graph collapses to exactly ONE
+    component absorbing every node (155 nodes at sf0.001, 1,564 at
+    sf0.01) — the standard giant-component shape for a bipartite
+    co-purchase graph, stated so the count isn't read as structure."""
+    from census_data_pipeline_spark.functions import graph as _g
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey",
+                                                   "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 45
+    ).select("l_orderkey", "l_suppkey")
+    e = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    return _g.connected_components(e)
+
+
+@query(
+    "events_new_vs_returning",
+    oracle=new_vs_returning_oracle_sql("events", "ts", "user_id",
+                                       bucket="day"),
+)
+def events_new_vs_returning(spark, sf_dir):
+    """Daily new-vs-returning user split with the cumulative distinct
+    user count (operators/rollup.new_vs_returning) — the growth
+    accountant's view of the events stream: first-seen decomposition
+    from two partial-aggregated hash scans, running total over the
+    horizon-bounded day frame only. HONEST EXPECTED VALUE (measured):
+    the synthetic stream draws from a FINITE user pool, so new users
+    front-load hard — day 1 is all-new (15/15 at sf0.001; 134 at
+    sf0.01 with the last 16 arriving day 2), the cumulative curve
+    saturates at the pool size (15 / 150) immediately, and every
+    later day is 100% returning users."""
+    from census_data_pipeline_spark.operators.rollup import (
+        new_vs_returning,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return new_vs_returning(ev, "ts", "user_id", bucket="day")

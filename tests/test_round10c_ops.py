@@ -373,3 +373,84 @@ def test_concentration_nonpositive_keys_excluded(spark):
     df = spark.createDataFrame(rows, "grp string, k string, v double")
     r = concentration_metrics(df, ["grp"], "k", "v").collect()[0]
     assert r.n_keys == 2 and r.hhi == pytest.approx(0.5)
+
+
+# --- connected components -------------------------------------------------
+
+
+def test_components_two_cliques_and_pair(spark):
+    from census_data_pipeline_spark.functions import graph
+
+    k3 = [("a1", "a2"), ("a2", "a3"), ("a3", "a1")]
+    k2 = [("b1", "b2"), ("b2", "b3")]
+    pair = [("z8", "z9")]
+    df = spark.createDataFrame(k3 + k2 + pair, "src string, dst string")
+    got = {r.id: r.component
+           for r in graph.connected_components(df).collect()}
+    assert got == {"a1": "a1", "a2": "a1", "a3": "a1",
+                   "b1": "b1", "b2": "b1", "b3": "b1",
+                   "z8": "z8", "z9": "z8"}
+
+
+def test_components_path_needs_propagation(spark):
+    """A 6-node path: the min label must travel the full diameter."""
+    from census_data_pipeline_spark.functions import graph
+
+    path = [(f"n{i}", f"n{i + 1}") for i in range(1, 6)]
+    df = spark.createDataFrame(path, "src string, dst string")
+    got = {r.component for r in graph.connected_components(df).collect()}
+    assert got == {"n1"}
+
+
+def test_components_self_loops_duplicates_and_cap(spark):
+    from census_data_pipeline_spark.functions import graph
+
+    df = spark.createDataFrame(
+        [("x", "x"), ("x", "y"), ("y", "x"), ("x", "y")],
+        "src string, dst string",
+    )
+    got = {r.id: r.component
+           for r in graph.connected_components(df).collect()}
+    assert got == {"x": "x", "y": "x"}
+    with pytest.raises(RuntimeError):
+        graph.connected_components(df, max_rounds=0)
+
+
+# --- new vs returning -----------------------------------------------------
+
+
+def test_new_vs_returning_hand_case(spark):
+    from census_data_pipeline_spark.operators.rollup import (
+        new_vs_returning,
+    )
+
+    rows = [
+        ("2024-01-01 03:00:00", 1), ("2024-01-01 05:00:00", 1),
+        ("2024-01-02 09:00:00", 1), ("2024-01-02 10:00:00", 2),
+        ("2024-01-04 01:00:00", 2),
+    ]
+    df = spark.createDataFrame(rows, "ts string, user_id long").select(
+        F.to_timestamp("ts").alias("ts"), "user_id"
+    )
+    got = {r.bucket.day: r for r in
+           new_vs_returning(df, "ts", "user_id").collect()}
+    assert (got[1].active_users, got[1].new_users,
+            got[1].returning_users, got[1].cumulative_users) == (1, 1, 0, 1)
+    assert (got[2].active_users, got[2].new_users,
+            got[2].returning_users, got[2].cumulative_users) == (2, 1, 1, 2)
+    assert (got[4].active_users, got[4].new_users,
+            got[4].returning_users, got[4].cumulative_users) == (1, 0, 1, 2)
+    assert 3 not in got  # empty buckets don't appear
+
+
+def test_new_vs_returning_null_user_dropped(spark):
+    from census_data_pipeline_spark.operators.rollup import (
+        new_vs_returning,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-01 03:00:00", 7), ("2024-01-01 04:00:00", None)],
+        "ts string, user_id long",
+    ).select(F.to_timestamp("ts").alias("ts"), "user_id")
+    rows = new_vs_returning(df, "ts", "user_id").collect()
+    assert len(rows) == 1 and rows[0].active_users == 1
