@@ -1382,3 +1382,88 @@ def js_divergence_oracle_sql(
            CASE WHEN n_tokens_a > 0 AND n_tokens_b > 0
                 THEN ROUND(jsd / ln(2.0), 6) END AS jsd_normalized
     FROM jsagg"""
+
+
+def readability_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Flesch reading-ease — the curation-side
+    readability member of the quality-score family (Gopher rules gate
+    on structure, this scores STYLE): flesch = 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/words), with the
+    standard closed-vocabulary-free heuristics — words = single-space
+    tokens (the module's tokenizer convention), sentences = runs of
+    [.!?] clamped to ≥ 1, syllables = vowel-GROUP count ([aeiouy]+ of
+    the lowercased text; the classic approximation — within ~10% of
+    dictionary syllabification on English prose, meaningless on
+    non-Latin scripts, documented). ``band`` labels the ROUNDED score
+    by the condensed Flesch bands (≥90 very_easy / ≥70 easy / ≥50
+    medium / ≥30 difficult / else very_difficult — unbounded both
+    ways by construction on degenerate text, also documented).
+
+    Returns (id, n_words, n_sentences, n_syllables, flesch, band),
+    flesch 6-dp rounded.
+
+    Scale shape: pure per-row codegen expressions — no shuffle, no
+    UDF, no window; the scan stays whole-stage. Cite: reference has no
+    text tier; extends SURVEY §2.11 beside quality_scores/
+    gopher_rules."""
+    t = F.col(text_col)
+    words = F.size(F.split(t, " ")).cast("double")
+    sentences = F.greatest(
+        F.size(F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)")),
+        F.lit(1),
+    ).cast("double")
+    syllables = F.size(
+        F.expr(f"regexp_extract_all(lower({text_col}), '[aeiouy]+', 0)")
+    ).cast("double")
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sentences)
+        - F.lit(84.6) * (syllables / words),
+        6,
+    )
+    return docs.na.drop(subset=[text_col]).select(
+        F.col(id_col),
+        words.cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+        syllables.cast("long").alias("n_syllables"),
+        flesch.alias("flesch"),
+        F.when(flesch >= 90, F.lit("very_easy"))
+        .when(flesch >= 70, F.lit("easy"))
+        .when(flesch >= 50, F.lit("medium"))
+        .when(flesch >= 30, F.lit("difficult"))
+        .otherwise(F.lit("very_difficult")).alias("band"),
+    )
+
+
+def readability_oracle_sql(
+    table: str, text_sql: str = "text", id_sql: str = "doc_id"
+) -> str:
+    """DuckDB replica of ``readability_scores`` — identical token,
+    sentence-run, and vowel-group counts and band thresholds."""
+    return f"""WITH rdm AS (
+      SELECT {id_sql} AS id,
+             CAST(len(string_split({text_sql}, ' ')) AS DOUBLE) AS w,
+             CAST(greatest(len(regexp_extract_all({text_sql},
+                                                  '[.!?]+')), 1)
+                  AS DOUBLE) AS s,
+             CAST(len(regexp_extract_all(lower({text_sql}),
+                                         '[aeiouy]+')) AS DOUBLE) AS y
+      FROM {table} WHERE ({text_sql}) IS NOT NULL),
+    rdf AS (
+      SELECT id, w, s, y,
+             round(206.835 - 1.015 * (w / s) - 84.6 * (y / w), 6) AS f
+      FROM rdm)
+    SELECT id AS {id_sql}, CAST(w AS BIGINT) AS n_words,
+           CAST(s AS BIGINT) AS n_sentences,
+           CAST(y AS BIGINT) AS n_syllables,
+           f AS flesch,
+           CASE WHEN f >= 90 THEN 'very_easy'
+                WHEN f >= 70 THEN 'easy'
+                WHEN f >= 50 THEN 'medium'
+                WHEN f >= 30 THEN 'difficult'
+                ELSE 'very_difficult' END AS band
+    FROM rdf"""

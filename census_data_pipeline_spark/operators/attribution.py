@@ -65,3 +65,121 @@ def touch_attribution(
             F.max_by("__tt", key).alias("last_touch_type"),
         )
     )
+
+
+def session_paths(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    type_col: str,
+    gap_minutes: int = 5,
+    depth: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k session OPENING paths — the journey-mining companion to
+    the attribution first/last-touch split: sessionize by inactivity
+    gap (the ``events_session_5m`` convention), take each session's
+    first ``depth`` event types in order, concatenate with '>', and
+    rank paths by frequency. "view>click>purchase vs
+    view>view>view" is the canonical product question neither a funnel
+    (fixed target sequence) nor a transition matrix (memoryless) can
+    answer. Returns exactly the top ``k`` rows (path, n_sessions)
+    under the TOTAL order (n_sessions DESC, path ASC) — the
+    deterministic tie-break both engines share.
+
+    Scale shape: the sessionizing windows are PARTITIONED BY user (a
+    user's history is bounded — the sessionization precedent), the
+    path build is one groupBy over (user, session) with an in-group
+    sort of ≤ depth elements, and the final ranking is one
+    grouped count + TakeOrderedAndProject (never a full sort).
+    Ordering ties beyond (ts, type) are harmless: identical rows
+    produce identical path elements. Cite: reference has no journey
+    tier; extends SURVEY §2.11 beside touch_attribution."""
+    from pyspark.sql import Window
+
+    d = df.na.drop(subset=[ts_col, user_col, type_col]).select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(type_col).cast("string").alias("__t"),
+    )
+    w = Window.partitionBy("__u").orderBy("__ts", "__t")
+    gap_us = gap_minutes * 60 * 1_000_000
+    f = d.select(
+        "__u", "__ts", "__t",
+        F.when(
+            F.lag("__ts").over(w).isNull()
+            | (
+                F.unix_micros("__ts")
+                - F.unix_micros(F.lag("__ts").over(w))
+                >= gap_us
+            ),
+            1,
+        ).otherwise(0).alias("__new"),
+    )
+    g = f.select(
+        "__u", "__ts", "__t",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("__sid"),
+    )
+    r = g.select(
+        "__u", "__sid", "__t",
+        F.row_number().over(
+            Window.partitionBy("__u", "__sid").orderBy("__ts", "__t")
+        ).alias("__rn"),
+    ).filter(F.col("__rn") <= depth)
+    paths = r.groupBy("__u", "__sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__rn", "__t"))),
+                lambda x: x["__t"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(k)
+    )
+
+
+def session_paths_oracle_sql(
+    table: str,
+    ts_sql: str,
+    user_sql: str,
+    type_sql: str,
+    gap_minutes: int = 5,
+    depth: int = 3,
+    k: int = 20,
+) -> str:
+    """DuckDB replica of ``session_paths`` — identical sessionization,
+    in-session ranking, concatenation, and total-order top-k."""
+    return f"""WITH spf AS (
+      SELECT {user_sql} AS u, {ts_sql} AS ts,
+             CAST({type_sql} AS VARCHAR) AS t,
+             CASE WHEN lag({ts_sql}) OVER w IS NULL
+                  OR {ts_sql} - lag({ts_sql}) OVER w
+                     >= INTERVAL '{gap_minutes} minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM {table}
+      WHERE ({ts_sql}) IS NOT NULL AND ({user_sql}) IS NOT NULL
+        AND ({type_sql}) IS NOT NULL
+      WINDOW w AS (PARTITION BY {user_sql}
+                   ORDER BY {ts_sql}, CAST({type_sql} AS VARCHAR))),
+    spg AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY u ORDER BY ts, t
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM spf),
+    spr AS (
+      SELECT *, row_number() OVER (PARTITION BY u, sid
+                                   ORDER BY ts, t) AS rn
+      FROM spg),
+    spp AS (
+      SELECT u, sid, string_agg(t, '>' ORDER BY rn) AS path
+      FROM spr WHERE rn <= {depth} GROUP BY u, sid)
+    SELECT path, count(*) AS n_sessions
+    FROM spp GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT {k}"""

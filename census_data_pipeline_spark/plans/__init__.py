@@ -279,6 +279,8 @@ _CHECKED_PREFIX = [
     "customer_revenue_concentration",
     "graph_components",
     "events_new_vs_returning",
+    "events_session_paths",
+    "text_readability",
     # r10 fingerprint drift: kcore_nodes reworked to frontier-delta
     # maintained degrees (VERDICT r9 #1); the two stateful streaming
     # queries drift under the event_time_horizon_ms eviction knob

@@ -454,3 +454,90 @@ def test_new_vs_returning_null_user_dropped(spark):
     ).select(F.to_timestamp("ts").alias("ts"), "user_id")
     rows = new_vs_returning(df, "ts", "user_id").collect()
     assert len(rows) == 1 and rows[0].active_users == 1
+
+
+# --- session paths ---------------------------------------------------------
+
+
+def test_session_paths_hand_case(spark):
+    """u1: three events within 5m → one session 'a>b>c'; then a 10m
+    gap opens a second session 'a'. u2: one session 'b>a'."""
+    from census_data_pipeline_spark.operators.attribution import (
+        session_paths,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00", "a"),
+        (1, "2024-01-01 10:01:00", "b"),
+        (1, "2024-01-01 10:02:00", "c"),
+        (1, "2024-01-01 10:12:00", "a"),
+        (2, "2024-01-01 10:00:00", "b"),
+        (2, "2024-01-01 10:03:00", "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).select("user_id", F.to_timestamp("ts").alias("ts"), "event_type")
+    got = {(r.path, r.n_sessions) for r in
+           session_paths(df, "ts", "user_id", "event_type").collect()}
+    assert got == {("a>b>c", 1), ("a", 1), ("b>a", 1)}
+
+
+def test_session_paths_depth_and_topk(spark):
+    """depth=2 truncates openings; k=1 keeps only the modal path under
+    the (count DESC, path ASC) total order."""
+    from census_data_pipeline_spark.operators.attribution import (
+        session_paths,
+    )
+
+    rows = []
+    for u in range(3):
+        rows += [(u, f"2024-01-01 10:0{i}:00", t)
+                 for i, t in enumerate(("x", "y", "z"))]
+    rows.append((9, "2024-01-01 10:00:00", "x"))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).select("user_id", F.to_timestamp("ts").alias("ts"), "event_type")
+    top = session_paths(df, "ts", "user_id", "event_type",
+                        depth=2, k=1).collect()
+    assert [(r.path, r.n_sessions) for r in top] == [("x>y", 3)]
+
+
+# --- readability -----------------------------------------------------------
+
+
+def test_readability_hand_computed(spark):
+    """'the cat sat.' → 3 words, 1 sentence, 3 vowel groups:
+    flesch = 206.835 − 1.015·3 − 84.6·1 = 119.19 → very_easy."""
+    from census_data_pipeline_spark.functions.text import (
+        readability_scores,
+    )
+
+    df = spark.createDataFrame([(1, "the cat sat.")],
+                               "doc_id long, text string")
+    r = readability_scores(df, "text", "doc_id").collect()[0]
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (3, 1, 3)
+    assert r.flesch == pytest.approx(206.835 - 1.015 * 3 - 84.6 * 1,
+                                     abs=1e-6)
+    assert r.band == "very_easy"
+
+
+def test_readability_ordering_and_clamp(spark):
+    """Dense polysyllabic prose scores below simple prose; a
+    terminator-free doc clamps to 1 sentence instead of dividing by
+    zero."""
+    from census_data_pipeline_spark.functions.text import (
+        readability_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "we go. we run. it is fun."),
+         (2, "extraordinarily sophisticated epistemological "
+             "contemplations necessitate uninterrupted concentration"),
+         (3, "no terminator here at all")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in
+           readability_scores(df, "text", "doc_id").collect()}
+    assert got[1].flesch > got[2].flesch
+    assert got[3].n_sentences == 1
+    assert got[2].band == "very_difficult"
