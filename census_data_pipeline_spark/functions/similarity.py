@@ -2090,3 +2090,94 @@ def pca_project_oracle_sql(
     SELECT {id_sql} AS id, comp.component,
            round(list_dot_product({vec_expr}, comp.w), 6) AS score
     FROM {table} CROSS JOIN comp"""
+
+
+def quantize_sq8(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar int8 quantization audit of an embedding column — the
+    storage-side member of the ANN tier (PQ compresses for DISTANCE
+    arithmetic; SQ8 is the 4× wire/disk format vector stores actually
+    persist): per dimension, learn (lo, hi) over the corpus, encode
+    q = round((v−lo)/(hi−lo)·255) clamped to [0,255], decode
+    v̂ = lo + q·(hi−lo)/255, and report per-dimension reconstruction
+    error so a consumer can decide whether 8 bits survive their recall
+    target. Returns one row per dimension: (pos, lo, hi, mse,
+    max_abs_err, rmse_vs_range) — 6-dp rounded; a constant dimension
+    (hi = lo) encodes to 0 with exactly zero error.
+
+    The theoretical check rides in the interpretation: uniform values
+    quantized to 256 levels have mse ≈ step²/12, i.e. rmse_vs_range ≈
+    1/(255·√12) ≈ 0.00113 — measured agreement IS the correctness
+    signal on this corpus.
+
+    Scale shape: TWO posexplode passes (data-scale × d rows, both
+    partial-aggregated straight down to the d-row dimension frame) —
+    the (lo, hi) model frame is broadcast back for the error pass;
+    nothing driver-side, no window. Cite: reference has no embedding
+    tier; extends SURVEY §2.11 beside pq/ivf."""
+    d = emb.na.drop(subset=[vec_col]).select(
+        F.posexplode(F.col(vec_col)).alias("pos", "__v")
+    ).select("pos", F.col("__v").cast("double").alias("__v"))
+    rng = d.groupBy("pos").agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    scale = F.col("__hi") - F.col("__lo")
+    q = F.when(scale == 0, F.lit(0.0)).otherwise(
+        F.round((F.col("__v") - F.col("__lo")) / scale * 255.0, 0)
+    )
+    deq = F.col("__lo") + q * scale / 255.0
+    err = F.col("__v") - deq
+    out = (
+        d.join(F.broadcast(rng), "pos")
+        .select("pos", "__lo", "__hi", (err * err).alias("__e2"),
+                F.abs(err).alias("__ae"), scale.alias("__sc"))
+        .groupBy("pos", "__lo", "__hi", "__sc")
+        .agg(
+            F.avg("__e2").alias("__mse"),
+            F.max("__ae").alias("__mx"),
+        )
+    )
+    return out.select(
+        F.col("pos").cast("long").alias("pos"),
+        F.round("__lo", 6).alias("lo"),
+        F.round("__hi", 6).alias("hi"),
+        F.round("__mse", 6).alias("mse"),
+        F.round("__mx", 6).alias("max_abs_err"),
+        F.when(
+            F.col("__sc") > 0,
+            F.round(F.sqrt(F.col("__mse")) / F.col("__sc"), 6),
+        ).otherwise(F.lit(0.0)).alias("rmse_vs_range"),
+    )
+
+
+def quantize_sq8_oracle_sql(
+    table: str, vec_sql: str = "embedding"
+) -> str:
+    """DuckDB replica of ``quantize_sq8`` — identical per-dimension
+    range learn, encode/decode, and error aggregation."""
+    return f"""WITH sqd AS (
+      SELECT CAST(t.i AS BIGINT) - 1 AS pos,
+             CAST({vec_sql}[t.i] AS DOUBLE) AS v
+      FROM {table},
+           unnest(generate_series(1, len({vec_sql}))) AS t(i)
+      WHERE ({vec_sql}) IS NOT NULL),
+    sqr AS (
+      SELECT pos, min(v) AS lo, max(v) AS hi FROM sqd GROUP BY pos),
+    sqe AS (
+      SELECT d.pos, r.lo, r.hi, r.hi - r.lo AS sc,
+             d.v - (r.lo + (CASE WHEN r.hi = r.lo THEN 0.0
+                            ELSE round((d.v - r.lo) / (r.hi - r.lo)
+                                       * 255.0, 0) END)
+                    * (r.hi - r.lo) / 255.0) AS e
+      FROM sqd d JOIN sqr r ON r.pos = d.pos),
+    sqa AS (
+      SELECT pos, lo, hi, sc, avg(e * e) AS mse, max(abs(e)) AS mx
+      FROM sqe GROUP BY pos, lo, hi, sc)
+    SELECT CAST(pos AS BIGINT) AS pos, round(lo, 6) AS lo,
+           round(hi, 6) AS hi, round(mse, 6) AS mse,
+           round(mx, 6) AS max_abs_err,
+           CASE WHEN sc > 0 THEN round(sqrt(mse) / sc, 6)
+                ELSE 0.0 END AS rmse_vs_range
+    FROM sqa"""

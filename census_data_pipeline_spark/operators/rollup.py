@@ -2525,3 +2525,132 @@ def new_vs_returning_oracle_sql(
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS BIGINT) AS cumulative_users
     FROM nva LEFT JOIN nvn ON nvn.b = nva.b"""
+
+
+def markov_stationary(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    type_col: str,
+    order_col: str,
+    iterations: int = 30,
+) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain
+    — the long-run answer the bigram transition counts
+    (``events_top_transitions``) only hint at: if users keep walking
+    this chain, what fraction of time lands in each state? Transition
+    probabilities come from consecutive-event bigrams (the
+    (ts, order_col) tie-broken per-user sequence); states are the
+    types observed as transition SOURCES, edges into sink-only types
+    are dropped and rows renormalized (the single-pass convention,
+    documented — a source losing every edge would leak mass and is a
+    modeling error this synthetic-complete chain can't hit). π starts
+    uniform and takes ``iterations`` fixed power steps, every entry
+    6-dp floor-rounded per step (the forecast-module ``_r6``
+    discipline) so both engines walk ONE deterministic trajectory —
+    convergence is visible in the output because ``stationary_prob``
+    sits beside ``empirical_prob``, the plain marginal share.
+
+    Returns (event_type, stationary_prob, empirical_prob), 6-dp.
+
+    Scale shape: one data-scale lead window partitioned by user
+    (bounded per-user history — the sessionization precedent) down to
+    the k²-cell transition frame; the power iteration is
+    ``iterations`` joins over k-row/k²-row BOUNDED frames (k = event
+    types), lineage-cut per step. Cite: reference has no chain tier;
+    extends SURVEY §2.11 beside events_top_transitions."""
+    from pyspark.sql import Window
+
+    def r6(c):
+        return F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    pr = df.select(
+        F.col(type_col).alias("__s"),
+        F.lead(type_col).over(w).alias("__j"),
+    ).filter(F.col("__j").isNotNull())
+    cnt = pr.groupBy("__s", "__j").agg(F.count("*").alias("__n"))
+    st = cnt.select(F.col("__s").alias("__state")).distinct()
+    keep = cnt.join(
+        F.broadcast(st), cnt["__j"] == st["__state"]
+    ).select("__s", "__j", "__n")
+    tot = keep.groupBy("__s").agg(F.sum("__n").alias("__t"))
+    pm = (
+        keep.join(F.broadcast(tot), "__s")
+        .select(
+            "__s", "__j",
+            (F.col("__n").cast("double") / F.col("__t")).alias("__p"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    k = F.broadcast(st.agg(F.count("*").alias("__k")))
+    pi = st.crossJoin(k).select(
+        F.col("__state").alias("__s"),
+        r6(F.lit(1.0) / F.col("__k")).alias("__pi"),
+    ).localCheckpoint(eager=False)
+    for _ in range(iterations):
+        pi = (
+            pi.join(pm, "__s")
+            .groupBy(F.col("__j").alias("__s"))
+            .agg(r6(F.sum(F.col("__pi") * F.col("__p"))).alias("__pi"))
+            .localCheckpoint(eager=False)
+        )
+    emp = df.na.drop(subset=[type_col]).groupBy(
+        F.col(type_col).alias("__e")
+    ).agg(F.count("*").alias("__c"))
+    emp_tot = emp.agg(F.sum("__c").alias("__et"))
+    return (
+        pi.join(emp, pi["__s"] == emp["__e"])
+        .crossJoin(F.broadcast(emp_tot))
+        .select(
+            F.col("__s").alias("event_type"),
+            F.round("__pi", 6).alias("stationary_prob"),
+            F.round(F.col("__c") / F.col("__et"), 6)
+            .alias("empirical_prob"),
+        )
+    )
+
+
+def markov_stationary_oracle_sql(
+    table: str,
+    ts_sql: str,
+    user_sql: str,
+    type_sql: str,
+    order_sql: str,
+    iterations: int = 30,
+) -> str:
+    """DuckDB replica of ``markov_stationary`` — identical bigram
+    chain, renormalization, and 6-dp-rounded power trajectory as one
+    recursive CTE with an iteration counter."""
+    return f"""WITH RECURSIVE mkp AS (
+      SELECT {type_sql} AS s,
+             lead({type_sql}) OVER (PARTITION BY {user_sql}
+                                    ORDER BY {ts_sql}, {order_sql}) AS j
+      FROM {table}),
+    mkc AS (SELECT s, j, count(*) AS n FROM mkp
+            WHERE j IS NOT NULL GROUP BY s, j),
+    mks AS (SELECT DISTINCT s FROM mkc),
+    mkk AS (SELECT c.s, c.j, c.n
+            FROM mkc c JOIN mks ON mks.s = c.j),
+    mkm AS (SELECT s, j,
+                   CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY s) AS p
+            FROM mkk),
+    mkn AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM mks),
+    mki AS (
+      SELECT 0 AS i, s,
+             floor(1.0 / k * 1000000 + 0.5) / 1000000 AS pi
+      FROM mks CROSS JOIN mkn
+      UNION ALL
+      SELECT i + 1, j AS s,
+             floor(sum(pi * p) * 1000000 + 0.5) / 1000000 AS pi
+      FROM mki JOIN mkm ON mkm.s = mki.s
+      WHERE i < {iterations}
+      GROUP BY i, j),
+    mke AS (SELECT {type_sql} AS e, count(*) AS c FROM {table}
+            WHERE ({type_sql}) IS NOT NULL GROUP BY 1),
+    mkt AS (SELECT sum(c) AS et FROM mke)
+    SELECT mki.s AS event_type,
+           round(pi, 6) AS stationary_prob,
+           round(CAST(c AS DOUBLE) / et, 6) AS empirical_prob
+    FROM mki JOIN mke ON mke.e = mki.s CROSS JOIN mkt
+    WHERE i = {iterations}"""

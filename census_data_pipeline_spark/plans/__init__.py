@@ -281,6 +281,8 @@ _CHECKED_PREFIX = [
     "events_new_vs_returning",
     "events_session_paths",
     "text_readability",
+    "embedding_quantize_sq8",
+    "events_markov_stationary",
     # r10 fingerprint drift: kcore_nodes reworked to frontier-delta
     # maintained degrees (VERDICT r9 #1); the two stateful streaming
     # queries drift under the event_time_horizon_ms eviction knob

@@ -5569,3 +5569,59 @@ def text_readability(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return readability_scores(docs, "text", "doc_id")
+
+
+from census_data_pipeline_spark.functions.similarity import (  # noqa: E402
+    quantize_sq8_oracle_sql,
+)
+from census_data_pipeline_spark.operators.rollup import (  # noqa: E402
+    markov_stationary_oracle_sql,
+)
+
+
+@query(
+    "embedding_quantize_sq8",
+    oracle=quantize_sq8_oracle_sql("embeddings", "embedding"),
+)
+def embedding_quantize_sq8(spark, sf_dir):
+    """Scalar int8 quantization audit of the embedding corpus
+    (functions/similarity.quantize_sq8) — the 4× storage format
+    beside PQ's distance codes: per-dimension (lo, hi) ranges, encode/
+    decode round trip, and reconstruction error so recall-vs-bytes is
+    a measured decision. HONEST EXPECTED VALUE (measured): the
+    synthetic embeddings are near-uniform per dimension, so
+    rmse_vs_range lands on the theoretical uniform-quantization floor
+    1/(255·√12) ≈ 0.00113 for all 64 dimensions — the closed-form
+    agreement IS the correctness signal."""
+    from census_data_pipeline_spark.functions.similarity import (
+        quantize_sq8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_sq8(emb, "embedding")
+
+
+@query(
+    "events_markov_stationary",
+    oracle=markov_stationary_oracle_sql("events", "ts", "user_id",
+                                        "event_type", "event_id",
+                                        iterations=30),
+)
+def events_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the per-user event-type Markov chain
+    (operators/rollup.markov_stationary) — the long-run occupancy the
+    raw transition counts only hint at, power-iterated 30 6-dp-rounded
+    steps from uniform (the recursive-CTE oracle walks the identical
+    trajectory). empirical_prob (the plain marginal) rides beside it
+    as the built-in convergence check. HONEST EXPECTED VALUE
+    (measured): event types draw i.i.d. per event, so every transition
+    row ≈ the marginal and the chain mixes in ONE step —
+    stationary_prob ≈ empirical_prob ≈ 0.2 per type, the memoryless
+    signature, stated (a real funnel would separate them)."""
+    from census_data_pipeline_spark.operators.rollup import (
+        markov_stationary,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return markov_stationary(ev, "ts", "user_id", "event_type",
+                             "event_id", iterations=30)

@@ -541,3 +541,91 @@ def test_readability_ordering_and_clamp(spark):
     assert got[1].flesch > got[2].flesch
     assert got[3].n_sentences == 1
     assert got[2].band == "very_difficult"
+
+
+# --- SQ8 quantization ------------------------------------------------------
+
+
+def test_sq8_exact_endpoints_and_constant_dim(spark):
+    """Endpoint values encode losslessly (codes 0 and 255); a constant
+    dimension reports zero error; a midpoint value carries the
+    half-step error 0.5/255·range."""
+    from census_data_pipeline_spark.functions.similarity import (
+        quantize_sq8,
+    )
+
+    rows = [(1, [0.0, 7.0, 0.0]), (2, [1.0, 7.0, 0.5]),
+            (3, [0.0, 7.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.pos: r for r in quantize_sq8(df, "embedding").collect()}
+    assert got[0].mse == 0.0 and got[0].max_abs_err == 0.0
+    assert got[1].mse == 0.0 and got[1].rmse_vs_range == 0.0
+    assert got[2].max_abs_err == pytest.approx(
+        abs(0.5 - round(0.5 * 255) / 255), abs=1e-6
+    )
+
+
+def test_sq8_uniform_grid_hits_quantization_floor(spark):
+    """A fine uniform grid reconstructs within the step/√12 noise
+    floor: rmse_vs_range must land near 1/(255·√12) ≈ 0.00113."""
+    from census_data_pipeline_spark.functions.similarity import (
+        quantize_sq8,
+    )
+
+    rows = [(i, [i / 999.0]) for i in range(1000)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r = quantize_sq8(df, "embedding").collect()[0]
+    floor_ = 1.0 / (255.0 * math.sqrt(12.0))
+    assert r.rmse_vs_range == pytest.approx(floor_, rel=0.15)
+
+
+# --- Markov stationary -----------------------------------------------------
+
+
+def _chain_df(spark, bigrams):
+    rows = []
+    uid = 0
+    for (s, j), n in bigrams.items():
+        for _ in range(n):
+            rows.append((uid, "2024-01-01 10:00:00", 2 * uid, s))
+            rows.append((uid, "2024-01-01 10:01:00", 2 * uid + 1, j))
+            uid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, event_type string"
+    )
+    return df.select("user_id", F.to_timestamp("ts").alias("ts"),
+                     "event_id", "event_type")
+
+
+def test_markov_stationary_planted_chain(spark):
+    """P = [[.9,.1],[.5,.5]] has stationary (5/6, 1/6); 30 rounded
+    power steps from uniform land within a 6-dp ulp of it."""
+    from census_data_pipeline_spark.operators.rollup import (
+        markov_stationary,
+    )
+
+    df = _chain_df(spark, {("a", "a"): 9, ("a", "b"): 1,
+                           ("b", "a"): 5, ("b", "b"): 5})
+    got = {r.event_type: r.stationary_prob for r in
+           markov_stationary(df, "ts", "user_id", "event_type",
+                             "event_id").collect()}
+    assert got["a"] == pytest.approx(5.0 / 6.0, abs=1e-5)
+    assert got["b"] == pytest.approx(1.0 / 6.0, abs=1e-5)
+
+
+def test_markov_sink_only_type_renormalized(spark):
+    """'c' never transitions OUT → it is not a state; edges into it
+    drop and the surviving rows renormalize, so π still sums to 1."""
+    from census_data_pipeline_spark.operators.rollup import (
+        markov_stationary,
+    )
+
+    df = _chain_df(spark, {("a", "a"): 2, ("a", "b"): 1, ("a", "c"): 1,
+                           ("b", "a"): 1})
+    rows = markov_stationary(df, "ts", "user_id", "event_type",
+                             "event_id").collect()
+    types = {r.event_type for r in rows}
+    assert types == {"a", "b"}
+    assert sum(r.stationary_prob for r in rows) == pytest.approx(
+        1.0, abs=1e-4
+    )
