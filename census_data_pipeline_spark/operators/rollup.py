@@ -2654,3 +2654,191 @@ def markov_stationary_oracle_sql(
            round(CAST(c AS DOUBLE) / et, 6) AS empirical_prob
     FROM mki JOIN mke ON mke.e = mki.s CROSS JOIN mkt
     WHERE i = {iterations}"""
+
+
+# Poisson(1) inverse-CDF ladder: cumulative P(X <= k) for k = 0..6.
+# Literal doubles so Spark and DuckDB branch on identical constants;
+# the k >= 7 tail carries ~8.3e-5 mass and truncates to 7 (documented).
+_POIS1_CUM = (
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119,
+)
+
+
+def bootstrap_mean_diff(
+    df: DataFrame,
+    id_col: str,
+    cohort: Column,
+    value_col: str,
+    n_boot: int = 200,
+    alpha: float = 0.05,
+    seed: int = 42,
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the A/B difference
+    in means — the UNCERTAINTY readout beside ``welch_t_test``'s
+    verdict (the t test assumes the CLT has kicked in; the bootstrap
+    makes no shape assumption and hands back an interval a PM can
+    read). ZERO RNG: the Poissonized bootstrap draws each row's
+    replicate-b multiplicity as Poisson(1) by inverse-CDF over the
+    md5(seed:id:b) uniform (the sampler tier's determinism discipline;
+    Poisson(1) weights approximate the multinomial resample with error
+    O(1/n) — standard for distributed bootstrap; the k ≥ 7 tail,
+    ~8.3e-5 mass, truncates). Replicates where either arm draws zero
+    total weight are dropped (probability ~(B·e^{-n}); documented).
+    CI endpoints are the ⌈q·B_eff⌉-th sorted replicate deltas (the
+    bottom-k sketch convention). Returns ONE row (n_a, n_b,
+    observed_diff, ci_lo, ci_hi, n_boot_effective, excludes_zero),
+    6-dp rounded.
+
+    Scale shape: ONE scan fans each row out to ``n_boot`` weighted
+    copies (explode of a literal sequence — n·B rows, partial-
+    aggregated straight down to the B-row replicate frame; B is the
+    knob, and the bag-of-little-bootstraps subsample-then-rescale
+    variant is the extreme-scale alternative, documented); the only
+    windows run over the ≤B-row delta frame. Cite: reference has no
+    stats tier; extends SURVEY §2.11 beside welch_t_test/
+    ab_test_conversion."""
+    from pyspark.sql import Window
+
+    d = df.na.drop(subset=[id_col, value_col]).select(
+        F.col(id_col).cast("string").alias("__id"),
+        cohort.cast("boolean").alias("__c"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    obs = d.agg(
+        F.count(F.when(F.col("__c"), 1)).alias("__na"),
+        F.count(F.when(~F.col("__c"), 1)).alias("__nb"),
+        (
+            F.sum(F.when(F.col("__c"), F.col("__v")))
+            / F.count(F.when(F.col("__c"), 1))
+            - F.sum(F.when(~F.col("__c"), F.col("__v")))
+            / F.count(F.when(~F.col("__c"), 1))
+        ).alias("__obs"),
+    )
+    rep = d.select(
+        "__id", "__c", "__v",
+        F.explode(F.sequence(F.lit(1), F.lit(n_boot))).alias("__b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("__id"),
+                                  F.col("__b").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    w = F.lit(7)
+    for kk in range(len(_POIS1_CUM) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CUM[kk]), F.lit(kk)).otherwise(w)
+    wd = rep.select("__b", "__c", "__v",
+                    w.cast("double").alias("__w"))
+    per_b = wd.groupBy("__b").agg(
+        F.sum(F.when(F.col("__c"), F.col("__w"))).alias("__wa"),
+        F.sum(F.when(F.col("__c"), F.col("__w") * F.col("__v")))
+        .alias("__va"),
+        F.sum(F.when(~F.col("__c"), F.col("__w"))).alias("__wb"),
+        F.sum(F.when(~F.col("__c"), F.col("__w") * F.col("__v")))
+        .alias("__vb"),
+    )
+    deltas = per_b.filter(
+        (F.col("__wa") > 0) & (F.col("__wb") > 0)
+    ).select(
+        "__b",
+        (F.col("__va") / F.col("__wa")
+         - F.col("__vb") / F.col("__wb")).alias("__d"),
+    )
+    cnt = deltas.agg(F.count("*").alias("__beff"))
+    ranked = deltas.select(
+        "__d",
+        F.row_number().over(Window.orderBy("__d", "__b")).alias("__rk"),
+    ).crossJoin(F.broadcast(cnt))
+    lo = ranked.filter(
+        F.col("__rk") == F.ceil(F.lit(alpha / 2.0) * F.col("__beff"))
+    ).select(F.col("__d").alias("__lo"), "__beff")
+    hi = ranked.filter(
+        F.col("__rk")
+        == F.ceil(F.lit(1.0 - alpha / 2.0) * F.col("__beff"))
+    ).select(F.col("__d").alias("__hi"))
+    return (
+        obs.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+        .select(
+            F.col("__na").cast("long").alias("n_a"),
+            F.col("__nb").cast("long").alias("n_b"),
+            F.round("__obs", 6).alias("observed_diff"),
+            F.round("__lo", 6).alias("ci_lo"),
+            F.round("__hi", 6).alias("ci_hi"),
+            F.col("__beff").cast("long").alias("n_boot_effective"),
+            ((F.col("__lo") > 0) | (F.col("__hi") < 0))
+            .alias("excludes_zero"),
+        )
+    )
+
+
+def bootstrap_mean_diff_oracle_sql(
+    table: str,
+    id_sql: str,
+    cohort_sql: str,
+    value_sql: str,
+    n_boot: int = 200,
+    alpha: float = 0.05,
+    seed: int = 42,
+    where: str = "TRUE",
+) -> str:
+    """DuckDB replica of ``bootstrap_mean_diff`` — identical md5
+    uniforms, Poisson ladder, replicate deltas, and percentile
+    positions."""
+    ladder = "CASE " + " ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(_POIS1_CUM)
+    ) + " ELSE 7 END"
+    return f"""WITH bsd AS (
+      SELECT CAST({id_sql} AS VARCHAR) AS id,
+             CAST(({cohort_sql}) AS BOOLEAN) AS c,
+             CAST(({value_sql}) AS DOUBLE) AS v
+      FROM {table}
+      WHERE ({id_sql}) IS NOT NULL AND ({value_sql}) IS NOT NULL
+        AND ({where})),
+    bso AS (
+      SELECT count(CASE WHEN c THEN 1 END) AS na,
+             count(CASE WHEN NOT c THEN 1 END) AS nb,
+             sum(CASE WHEN c THEN v END)
+               / count(CASE WHEN c THEN 1 END)
+             - sum(CASE WHEN NOT c THEN v END)
+               / count(CASE WHEN NOT c THEN 1 END) AS obs
+      FROM bsd),
+    bsr AS (
+      SELECT id, c, v, CAST(t.b AS BIGINT) AS b,
+             CAST(CAST(concat('0x',
+                    substr(md5(concat('{seed}', ':', id, ':',
+                                      CAST(t.b AS VARCHAR))), 1, 8))
+                  AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+      FROM bsd, unnest(generate_series(1, {n_boot})) AS t(b)),
+    bsw AS (
+      SELECT b, c, v, CAST({ladder} AS DOUBLE) AS w FROM bsr),
+    bsp AS (
+      SELECT b,
+             sum(CASE WHEN c THEN w END) AS wa,
+             sum(CASE WHEN c THEN w * v END) AS va,
+             sum(CASE WHEN NOT c THEN w END) AS wb,
+             sum(CASE WHEN NOT c THEN w * v END) AS vb
+      FROM bsw GROUP BY b),
+    bsdl AS (
+      SELECT b, va / wa - vb / wb AS d
+      FROM bsp WHERE wa > 0 AND wb > 0),
+    bsc AS (SELECT count(*) AS beff FROM bsdl),
+    bsk AS (
+      SELECT d, row_number() OVER (ORDER BY d, b) AS rk, beff
+      FROM bsdl CROSS JOIN bsc)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(obs, 6) AS observed_diff,
+           round(lo.d, 6) AS ci_lo, round(hi.d, 6) AS ci_hi,
+           CAST(lo.beff AS BIGINT) AS n_boot_effective,
+           (lo.d > 0 OR hi.d < 0) AS excludes_zero
+    FROM bso
+    CROSS JOIN (SELECT d, beff FROM bsk
+                WHERE rk = ceil({alpha / 2.0} * beff)) lo
+    CROSS JOIN (SELECT d FROM bsk
+                WHERE rk = ceil({1.0 - alpha / 2.0} * beff)) hi"""

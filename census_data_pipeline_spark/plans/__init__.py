@@ -283,6 +283,7 @@ _CHECKED_PREFIX = [
     "text_readability",
     "embedding_quantize_sq8",
     "events_markov_stationary",
+    "ab_test_bootstrap_ci",
     # r10 fingerprint drift: kcore_nodes reworked to frontier-delta
     # maintained degrees (VERDICT r9 #1); the two stateful streaming
     # queries drift under the event_time_horizon_ms eviction knob

@@ -5625,3 +5625,39 @@ def events_markov_stationary(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return markov_stationary(ev, "ts", "user_id", "event_type",
                              "event_id", iterations=30)
+
+
+from census_data_pipeline_spark.operators.rollup import (  # noqa: E402
+    bootstrap_mean_diff_oracle_sql,
+)
+
+
+@query(
+    "ab_test_bootstrap_ci",
+    oracle=bootstrap_mean_diff_oracle_sql(
+        "events", "event_id", "user_id % 2 = 0", "value",
+        n_boot=200, where="event_type = 'purchase'",
+    ),
+)
+def ab_test_bootstrap_ci(spark, sf_dir):
+    """Percentile-bootstrap 95% CI for the A/B difference in purchase
+    value (operators/rollup.bootstrap_mean_diff) — the
+    assumption-free uncertainty band beside ab_test_conversion's
+    verdict and orders_welch_by_priority's t test, on the same
+    user-parity split the PSI drift query uses. 200 zero-RNG
+    Poissonized replicates (md5 inverse-CDF weights), every replicate
+    delta replayed identically by the SQL oracle. HONEST EXPECTED
+    VALUE (measured): both parities draw purchase values from the same
+    generator — the CI straddles zero comfortably and excludes_zero is
+    FALSE at both SFs, the no-effect reading the test family agrees
+    on."""
+    from census_data_pipeline_spark.operators.rollup import (
+        bootstrap_mean_diff,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return bootstrap_mean_diff(ev, "event_id",
+                               F.col("user_id") % 2 == 0, "value",
+                               n_boot=200)

@@ -629,3 +629,52 @@ def test_markov_sink_only_type_renormalized(spark):
     assert sum(r.stationary_prob for r in rows) == pytest.approx(
         1.0, abs=1e-4
     )
+
+
+# --- bootstrap CI -----------------------------------------------------------
+
+
+def test_bootstrap_detects_planted_separation(spark):
+    """A ≈ 110, B ≈ 10: the 95% CI must sit strictly above zero and
+    bracket the observed ~100 difference."""
+    from census_data_pipeline_spark.operators.rollup import (
+        bootstrap_mean_diff,
+    )
+
+    rows = [(i, True, 110.0 + (i % 5)) for i in range(20)] + [
+        (100 + i, False, 10.0 + (i % 5)) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "id long, c boolean, v double")
+    r = bootstrap_mean_diff(df, "id", F.col("c"), "v",
+                            n_boot=100).collect()[0]
+    assert r.n_a == 20 and r.n_b == 20
+    assert r.excludes_zero is True and r.ci_lo > 50.0
+    assert r.ci_lo <= r.observed_diff <= r.ci_hi
+
+
+def test_bootstrap_null_effect_straddles_zero(spark):
+    from census_data_pipeline_spark.operators.rollup import (
+        bootstrap_mean_diff,
+    )
+
+    rows = [(i, i % 2 == 0, float(10 + i % 7)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, c boolean, v double")
+    r = bootstrap_mean_diff(df, "id", F.col("c"), "v",
+                            n_boot=100).collect()[0]
+    assert r.excludes_zero is False
+    assert r.ci_lo < 0.0 < r.ci_hi
+
+
+def test_bootstrap_is_deterministic(spark):
+    from census_data_pipeline_spark.operators.rollup import (
+        bootstrap_mean_diff,
+    )
+
+    rows = [(i, i % 2 == 0, float(i % 11)) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, c boolean, v double")
+    a = bootstrap_mean_diff(df, "id", F.col("c"), "v",
+                            n_boot=50).collect()[0]
+    b = bootstrap_mean_diff(df, "id", F.col("c"), "v",
+                            n_boot=50).collect()[0]
+    assert tuple(a) == tuple(b)
+    assert a.n_boot_effective <= 50
