@@ -303,3 +303,55 @@ def test_pr_auc_single_bounded_window(spark, sf_dir):
     # ROC-AUC plan pins; the scoring scan must not shuffle rows twice
     plan = _plan(spark, sf_dir, "quality_pr_auc")
     assert plan.count("Window") == 1
+
+
+def test_readability_is_map_only(spark, sf_dir):
+    # pure codegen row expressions — no Exchange anywhere
+    plan = _plan(spark, sf_dir, "text_readability")
+    assert "Exchange" not in plan
+
+
+def test_session_paths_topk_is_take_ordered(spark, sf_dir):
+    # the final ranking must compile to TakeOrderedAndProject, never a
+    # full sort of the path frame
+    plan = _plan(spark, sf_dir, "events_session_paths")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_gini_broadcasts_range_frame(spark, sf_dir):
+    # the per-group (lo, hi, n, tot) frame rides a broadcast join back
+    # onto the data scan; no cartesian anywhere
+    plan = _plan(spark, sf_dir, "customer_revenue_gini")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sq8_broadcasts_dim_ranges(spark, sf_dir):
+    # d-row dimension ranges broadcast into the error pass; the vector
+    # fan-out is a Generate (posexplode), not a join
+    plan = _plan(spark, sf_dir, "embedding_quantize_sq8")
+    assert "BroadcastHashJoin" in plan and "Generate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_anova_reads_only_three_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "lineitem_anova_returns")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema
+    assert "l_quantity" in read_schema and "l_returnflag" in read_schema
+
+
+def test_bootstrap_pushes_event_type_filter(spark, sf_dir):
+    # the purchase filter must reach the parquet scan before the n·B
+    # fan-out
+    plan = _plan(spark, sf_dir, "ab_test_bootstrap_ci")
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "event_type" in pushed
+    assert "CartesianProduct" not in plan
+
+
+def test_wasserstein_and_ccf_no_cartesian(spark, sf_dir):
+    for q in ("drift_wasserstein_click_error",
+              "events_ccf_click_purchase", "events_trend_kendall"):
+        plan = _plan(spark, sf_dir, q)
+        assert "CartesianProduct" not in plan, q

@@ -182,6 +182,8 @@ def main() -> None:
         "pca_catalyst": "e", "pca_arrow": "e", "bfs": "g",
         "forecast_hw": "v", "survival_km": "v", "random_forest": "d",
         "kcore": "g", "coreness": "g",
+        "components": "g", "markov": "v", "wasserstein_w1": "v",
+        "bootstrap_ci": "v",
     }
     _filter_env = os.environ.get("SPARK_GRAFT_REHEARSAL_FAMILIES")
     if _filter_env:
@@ -436,6 +438,50 @@ def main() -> None:
         from census_data_pipeline_spark.functions import graph as _g
         return _g.kcore_nodes(g, k=4, rounds=8)
 
+    def fam_components(d, e, g, v):
+        # iterative min-label propagation; the amplified graph is
+        # disconnected key-shifted copies, so ROUND count (diameter)
+        # stays constant across decades while per-round join cost
+        # grows with the data — the same design claim coreness checks
+        from census_data_pipeline_spark.functions import graph as _g
+        return _g.connected_components(g)
+
+    def fam_markov(d, e, g, v):
+        # the data-scale cost is the per-user lead window; the k² chain
+        # frame grows with the suffixed event types (k×copies states),
+        # so the 30 bounded-frame iterations also scale in WIDTH
+        from census_data_pipeline_spark.operators import rollup as _r
+        return _r.markov_stationary(v, "ts", "user_id", "event_type",
+                                    "ts", iterations=30)
+
+    def fam_wasserstein_w1(d, e, g, v):
+        # pooled distinct-value frame grows with the data: three
+        # bucketed prefix sums + the successor-gap equi-join
+        from census_data_pipeline_spark.operators import drift as _dr
+        a = v.filter(F.col("event_type").startswith("click")).select(
+            (F.unix_micros("ts") % 100_000).cast("double").alias("val")
+        )
+        b = v.filter(F.col("event_type").startswith("error")).select(
+            (F.unix_micros("ts") % 100_000).cast("double").alias("val")
+        )
+        return _dr.wasserstein_1(a, b, "val")
+
+    def fam_bootstrap_ci(d, e, g, v):
+        # n·B fan-out partial-aggregated to the B-row replicate frame —
+        # B held constant (20) so the exponent isolates the data axis
+        from census_data_pipeline_spark.operators import rollup as _r
+        rows = v.filter(
+            F.col("event_type").startswith("purchase")
+        ).select(
+            F.concat_ws("-", "user_id",
+                        F.unix_micros("ts").cast("string")).alias("rid"),
+            "user_id",
+            (F.unix_micros("ts") % 1000).cast("double").alias("val"),
+        )
+        return _r.bootstrap_mean_diff(rows, "rid",
+                                      F.col("user_id") % 2 == 0,
+                                      "val", n_boot=20)
+
     def fam_coreness(d, e, g, v):
         # full all-k decomposition; the amplified graph is disconnected
         # key-shifted copies, so the peel DEPTH stays constant across
@@ -469,6 +515,10 @@ def main() -> None:
         "kcore": fam_kcore,
         "coreness": fam_coreness,
         "bfs": fam_bfs,
+        "components": fam_components,
+        "markov": fam_markov,
+        "wasserstein_w1": fam_wasserstein_w1,
+        "bootstrap_ci": fam_bootstrap_ci,
     }
 
     family_filter = os.environ.get("SPARK_GRAFT_REHEARSAL_FAMILIES")
