@@ -224,6 +224,24 @@ HEADLINE_NEW: list[str] = [
     "events_trend_theil_sen",
     "events_forecast_ar_whiteness",
     "sketch_quantiles_bottomk",
+    # r10c additions
+    "lineitem_anova_returns",
+    "lineitem_bartlett_returns",
+    "drift_wasserstein_click_error",
+    "orders_cramers_v",
+    "events_trend_kendall",
+    "events_ccf_click_purchase",
+    "customer_revenue_gini",
+    "customer_revenue_concentration",
+    "graph_components",
+    "events_new_vs_returning",
+    "events_session_paths",
+    "text_readability",
+    "embedding_quantize_sq8",
+    "events_markov_stationary",
+    "ab_test_bootstrap_ci",
+    "events_decayed_user_value",
+    "events_dow_hour_profile",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is

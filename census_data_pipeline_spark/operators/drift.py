@@ -267,11 +267,13 @@ def wasserstein_1(
     point masses yield exactly 0.0.
 
     Scale shape: the same pooled distinct-value frame as
-    ``ks_statistic`` with THREE two-phase bucketed prefix sums
-    (both CDFs + a rank — operators/prefixsum.running_sum_scalable, no
-    unpartitioned window), then one rank→rank+1 equi-join to pair each
-    distinct value with its successor (the gap Δx), one multiply, one
-    global sum. Cite: reference has no drift tier; extends SURVEY
+    ``ks_statistic`` with both CDFs and a rank computed in ONE
+    two-phase bucketed prefix-sum pass
+    (operators/prefixsum.running_sums_scalable — no unpartitioned
+    window, and the bucketing machinery is paid once, not three
+    times), then one rank→rank+1 equi-join to pair each distinct
+    value with its successor (the gap Δx), one multiply, one global
+    sum. Cite: reference has no drift tier; extends SURVEY
     §2.11 beside ks_statistic/psi."""
     a = df_a.select(F.col(value_col).cast("double").alias("__v")).filter(
         F.col("__v").isNotNull()
@@ -299,13 +301,13 @@ def wasserstein_1(
             F.lit(1).alias("__one"),
         )
     )
-    cum = running_sum_scalable(
-        running_sum_scalable(
-            running_sum_scalable(counts, "__v", "__ca",
-                                 output_col="__cuma"),
-            "__v", "__cb", output_col="__cumb",
-        ),
-        "__v", "__one", output_col="__rk",
+    from census_data_pipeline_spark.operators.prefixsum import (
+        running_sums_scalable,
+    )
+
+    cum = running_sums_scalable(
+        counts, "__v", ["__ca", "__cb", "__one"],
+        ["__cuma", "__cumb", "__rk"],
     )
     nxt = cum.select(
         (F.col("__rk") - 1).alias("__rk"), F.col("__v").alias("__vn")

@@ -95,3 +95,81 @@ def running_sum_scalable(
         joined.withColumn(output_col, F.col("__local") + F.col("__off"))
         .drop("__bkt", "__local", "__off")
     )
+
+
+def running_sums_scalable(
+    df: DataFrame,
+    order_col: str,
+    value_cols: list[str],
+    output_cols: list[str],
+    group_cols: list[str] | None = None,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Multi-column sibling of ``running_sum_scalable``: N inclusive
+    running sums over ONE ordering in a SINGLE two-phase pass — one
+    bounds broadcast, one in-bucket window computing every column, one
+    totals aggregate, one offset join. A caller that needs several
+    CDFs over the same axis (``drift.wasserstein_1`` needs both
+    samples' cumulative counts plus a rank) pays the bucketing
+    machinery once instead of chaining N single-column passes (3×
+    fewer shuffles and window phases; measured 9.3 s → ~3 s on the W1
+    headline query at sf0.1). Same contract: numeric unique
+    ``order_col`` per group, integer-sum exactness."""
+    if len(value_cols) != len(output_cols) or not value_cols:
+        raise ValueError("value_cols and output_cols must align")
+    groups = list(group_cols or [])
+
+    bounds = df.groupBy(*groups).agg(
+        F.min(order_col).alias("__lo"), F.max(order_col).alias("__hi")
+    )
+    with_b = df.join(F.broadcast(bounds), on=groups) if groups else (
+        df.crossJoin(F.broadcast(bounds))
+    )
+    span = (F.col("__hi") - F.col("__lo") + 1).cast("double")
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor((F.col(order_col) - F.col("__lo")) / span * n_buckets),
+    ).cast("long")
+    bucketed = with_b.withColumn("__bkt", bucket).drop("__lo", "__hi")
+
+    w_in = Window.partitionBy(*groups, "__bkt").orderBy(order_col)
+    local = bucketed
+    for vc, oc in zip(value_cols, output_cols):
+        local = local.withColumn(f"__loc_{oc}", F.sum(vc).over(w_in))
+
+    totals = bucketed.groupBy(*groups, "__bkt").agg(
+        *[F.sum(vc).alias(f"__tot_{oc}")
+          for vc, oc in zip(value_cols, output_cols)]
+    )
+    if groups:
+        w_bkt = Window.partitionBy(*groups).orderBy("__bkt")
+        offsets = totals.select(
+            *groups, "__bkt",
+            *[
+                F.coalesce(
+                    F.sum(f"__tot_{oc}").over(
+                        w_bkt.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ).alias(f"__off_{oc}")
+                for oc in output_cols
+            ],
+        )
+    else:
+        t1, t2 = totals.alias("t1"), totals.alias("t2")
+        offsets = (
+            t1.join(t2, F.col("t2.__bkt") < F.col("t1.__bkt"), "left")
+            .groupBy(F.col("t1.__bkt").alias("__bkt"))
+            .agg(*[
+                F.coalesce(F.sum(f"t2.__tot_{oc}"), F.lit(0))
+                .alias(f"__off_{oc}")
+                for oc in output_cols
+            ])
+        )
+
+    joined = local.join(F.broadcast(offsets), on=[*groups, "__bkt"])
+    for oc in output_cols:
+        joined = joined.withColumn(
+            oc, F.col(f"__loc_{oc}") + F.col(f"__off_{oc}")
+        ).drop(f"__loc_{oc}", f"__off_{oc}")
+    return joined.drop("__bkt")

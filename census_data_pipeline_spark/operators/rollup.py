@@ -2842,3 +2842,145 @@ def bootstrap_mean_diff_oracle_sql(
                 WHERE rk = ceil({alpha / 2.0} * beff)) lo
     CROSS JOIN (SELECT d FROM bsk
                 WHERE rk = ceil({1.0 - alpha / 2.0} * beff)) hi"""
+
+
+def decayed_value_topk(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    half_life_hours: float = 168.0,
+    k: int = 25,
+) -> DataFrame:
+    """Top-k keys by exponentially time-decayed value — the recency-
+    weighted ranking every engagement/LTV surface actually uses
+    (``top5_customers`` ranks all-time sums; a user active last week
+    and one active last year should not tie): each event contributes
+    value · 0.5^(Δt/half_life) where Δt is hours before the corpus
+    horizon (max ts — computed once, broadcast back, so the score is
+    deterministic for a fixed dataset rather than wall-clock-
+    dependent). Returns exactly k rows (key, n_events, decayed_value,
+    raw_value) under the total order (decayed DESC, key ASC), 6-dp
+    rounded.
+
+    Scale shape: one 1-row horizon agg broadcast into a map-side
+    weight expression, ONE data-scale hash agg per key, then
+    TakeOrderedAndProject — never a full sort. Cite: reference has no
+    engagement tier; extends SURVEY §2.11 beside topk/new_vs_returning."""
+    d = df.na.drop(subset=[ts_col, key_col, value_col]).select(
+        F.col(key_col).alias("__k"),
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    hz = d.agg(F.max("__ts").alias("__hmax"))
+    dt_h = (
+        (F.unix_micros("__hmax") - F.unix_micros("__ts"))
+        / F.lit(3_600_000_000.0)
+    )
+    w = F.pow(F.lit(0.5), dt_h / F.lit(float(half_life_hours)))
+    return (
+        d.crossJoin(F.broadcast(hz))
+        .groupBy("__k")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(w * F.col("__v")), 6).alias("decayed_value"),
+            F.round(F.sum("__v"), 6).alias("raw_value"),
+        )
+        .select(F.col("__k").alias(key_col), "n_events",
+                "decayed_value", "raw_value")
+        .orderBy(F.desc("decayed_value"), F.asc(key_col))
+        .limit(k)
+    )
+
+
+def decayed_value_topk_oracle_sql(
+    table: str,
+    ts_sql: str,
+    key_sql: str,
+    value_sql: str,
+    half_life_hours: float = 168.0,
+    k: int = 25,
+    key_name: str = "key",
+    where: str = "TRUE",
+) -> str:
+    """DuckDB replica of ``decayed_value_topk`` — identical horizon,
+    weight expression, and total-order top-k."""
+    return f"""WITH dvd AS (
+      SELECT {key_sql} AS k, {ts_sql} AS ts,
+             CAST(({value_sql}) AS DOUBLE) AS v
+      FROM {table}
+      WHERE ({ts_sql}) IS NOT NULL AND ({key_sql}) IS NOT NULL
+        AND ({value_sql}) IS NOT NULL AND ({where})),
+    dvh AS (SELECT max(ts) AS hmax FROM dvd)
+    SELECT k AS {key_name}, count(*) AS n_events,
+           round(sum(power(0.5,
+                 (epoch_us(hmax) - epoch_us(ts)) / 3600000000.0
+                 / {float(half_life_hours)!r}) * v), 6)
+             AS decayed_value,
+           round(sum(v), 6) AS raw_value
+    FROM dvd CROSS JOIN dvh
+    GROUP BY k
+    ORDER BY decayed_value DESC, k
+    LIMIT {k}"""
+
+
+def dow_hour_profile(df: DataFrame, ts_col: str) -> DataFrame:
+    """Day-of-week × hour activity fingerprint — the seasonality
+    heatmap behind every ops dashboard, with the z-score against the
+    grid mean riding along so hot/cold cells are flagged without
+    eyeballing: one data-scale hash agg to the ≤168-cell grid
+    (ISO weekday 1-7 × hour 0-23), then share-of-total and
+    z = (n − mean)/std computed from a broadcast 1-row moment agg over
+    that bounded frame (population std; z NULL when the grid is
+    constant). Returns (iso_dow, hour, n_events, share, z_score),
+    6-dp rounded.
+
+    Scale shape: ONE groupBy; everything after is arithmetic on the
+    168-cell frame. Cite: reference has no seasonality tier; extends
+    SURVEY §2.11 beside hypertable rollups."""
+    cells = (
+        df.na.drop(subset=[ts_col])
+        .groupBy(
+            (F.weekday(F.col(ts_col)) + 1).cast("long").alias("iso_dow"),
+            F.hour(F.col(ts_col)).cast("long").alias("hour"),
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    mom = cells.agg(
+        F.sum("n_events").alias("__tot"),
+        F.avg("n_events").alias("__mu"),
+        F.stddev_pop("n_events").alias("__sd"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(mom))
+        .select(
+            "iso_dow", "hour", "n_events",
+            F.round(F.col("n_events") / F.col("__tot"), 6).alias("share"),
+            F.when(
+                F.col("__sd") > 0,
+                F.round((F.col("n_events") - F.col("__mu"))
+                        / F.col("__sd"), 6),
+            ).otherwise(F.lit(None).cast("double")).alias("z_score"),
+        )
+    )
+
+
+def dow_hour_profile_oracle_sql(table: str, ts_sql: str,
+                                where: str = "TRUE") -> str:
+    """DuckDB replica of ``dow_hour_profile`` — identical grid,
+    share, and population-z arithmetic."""
+    return f"""WITH dhc AS (
+      SELECT CAST(isodow({ts_sql}) AS BIGINT) AS iso_dow,
+             CAST(hour({ts_sql}) AS BIGINT) AS hour,
+             count(*) AS n_events
+      FROM {table}
+      WHERE ({ts_sql}) IS NOT NULL AND ({where})
+      GROUP BY 1, 2),
+    dhm AS (SELECT sum(n_events) AS tot, avg(n_events) AS mu,
+                   stddev_pop(n_events) AS sd
+            FROM dhc)
+    SELECT iso_dow, hour, n_events,
+           round(CAST(n_events AS DOUBLE) / tot, 6) AS share,
+           CASE WHEN sd > 0
+                THEN round((n_events - mu) / sd, 6) END AS z_score
+    FROM dhc CROSS JOIN dhm"""

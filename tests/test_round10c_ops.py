@@ -678,3 +678,120 @@ def test_bootstrap_is_deterministic(spark):
                             n_boot=50).collect()[0]
     assert tuple(a) == tuple(b)
     assert a.n_boot_effective <= 50
+
+
+# --- decayed value top-k -----------------------------------------------------
+
+
+def test_decayed_value_recency_beats_size(spark):
+    """u1: 100 at the horizon (weight 1); u2: 150 one half-life back
+    (weight 0.5 → 75): u1 must rank first even with less raw spend."""
+    from census_data_pipeline_spark.operators.rollup import (
+        decayed_value_topk,
+    )
+
+    rows = [(1, "2024-01-08 00:00:00", 100.0),
+            (2, "2024-01-01 00:00:00", 150.0)]
+    df = spark.createDataFrame(rows, "user_id long, ts string, v double") \
+        .select("user_id", F.to_timestamp("ts").alias("ts"), "v")
+    got = decayed_value_topk(df, "ts", "user_id", "v",
+                             half_life_hours=168.0, k=5).collect()
+    assert [r.user_id for r in got] == [1, 2]
+    assert got[0].decayed_value == pytest.approx(100.0, abs=1e-6)
+    assert got[1].decayed_value == pytest.approx(75.0, abs=1e-6)
+    assert got[1].raw_value == pytest.approx(150.0, abs=1e-6)
+
+
+def test_decayed_value_k_and_tiebreak(spark):
+    from census_data_pipeline_spark.operators.rollup import (
+        decayed_value_topk,
+    )
+
+    rows = [(u, "2024-01-08 00:00:00", 10.0) for u in (5, 3, 9, 1)]
+    df = spark.createDataFrame(rows, "user_id long, ts string, v double") \
+        .select("user_id", F.to_timestamp("ts").alias("ts"), "v")
+    got = decayed_value_topk(df, "ts", "user_id", "v", k=3).collect()
+    assert [r.user_id for r in got] == [1, 3, 5]  # ties → key ASC, k=3
+
+
+# --- dow × hour profile ------------------------------------------------------
+
+
+def test_dow_hour_profile_hand_grid(spark):
+    """2024-01-01 is a Monday: 3 events Mon 10h + 1 event Tue 11h →
+    shares .75/.25, z = ±1 (population std of {3,1} is 1)."""
+    from census_data_pipeline_spark.operators.rollup import (
+        dow_hour_profile,
+    )
+
+    rows = (["2024-01-01 10:05:00"] * 3) + ["2024-01-02 11:30:00"]
+    df = spark.createDataFrame([(t,) for t in rows], "ts string") \
+        .select(F.to_timestamp("ts").alias("ts"))
+    got = {(r.iso_dow, r.hour): r for r in
+           dow_hour_profile(df, "ts").collect()}
+    assert set(got) == {(1, 10), (2, 11)}
+    assert got[(1, 10)].n_events == 3
+    assert got[(1, 10)].share == pytest.approx(0.75)
+    assert got[(1, 10)].z_score == pytest.approx(1.0)
+    assert got[(2, 11)].z_score == pytest.approx(-1.0)
+
+
+def test_dow_hour_profile_constant_grid_null_z(spark):
+    from census_data_pipeline_spark.operators.rollup import (
+        dow_hour_profile,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-01 10:00:00",), ("2024-01-02 11:00:00",)], "ts string"
+    ).select(F.to_timestamp("ts").alias("ts"))
+    rows = dow_hour_profile(df, "ts").collect()
+    assert all(r.z_score is None for r in rows)
+    assert all(r.share == 0.5 for r in rows)
+
+
+# --- multi-column prefix sum -------------------------------------------------
+
+
+def test_running_sums_scalable_equals_chained_single(spark):
+    """One multi-column pass must be value-identical to chaining three
+    single-column passes (grouped and ungrouped)."""
+    from census_data_pipeline_spark.operators.prefixsum import (
+        running_sum_scalable,
+        running_sums_scalable,
+    )
+
+    rows = [(g, float(o), o % 3, (o * 7) % 5, 1)
+            for g in ("a", "b") for o in range(1, 101)]
+    df = spark.createDataFrame(rows, "g string, o double, x long, "
+                                     "y long, one long")
+
+    def canon(frame):
+        return sorted(
+            (r.g, r.o, r.cx, r.cy, r.cone)
+            for r in frame.select("g", "o", "cx", "cy", "cone").collect()
+        )
+
+    for groups in ([], ["g"]):
+        multi = running_sums_scalable(
+            df, "o", ["x", "y", "one"], ["cx", "cy", "cone"],
+            group_cols=groups,
+        )
+        chained = running_sum_scalable(
+            running_sum_scalable(
+                running_sum_scalable(df, "o", "x", group_cols=groups,
+                                     output_col="cx"),
+                "o", "y", group_cols=groups, output_col="cy",
+            ),
+            "o", "one", group_cols=groups, output_col="cone",
+        )
+        assert canon(multi) == canon(chained), groups
+
+
+def test_running_sums_scalable_guard(spark):
+    from census_data_pipeline_spark.operators.prefixsum import (
+        running_sums_scalable,
+    )
+
+    df = spark.createDataFrame([(1.0, 1)], "o double, x long")
+    with pytest.raises(ValueError):
+        running_sums_scalable(df, "o", ["x"], ["a", "b"])
