@@ -242,6 +242,8 @@ HEADLINE_NEW: list[str] = [
     "ab_test_bootstrap_ci",
     "events_decayed_user_value",
     "events_dow_hour_profile",
+    "embedding_sq8_recall",
+    "events_seasonal_anomaly",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is

@@ -2181,3 +2181,81 @@ def quantize_sq8_oracle_sql(
            CASE WHEN sc > 0 THEN round(sqrt(mse) / sc, 6)
                 ELSE 0.0 END AS rmse_vs_range
     FROM sqa"""
+
+
+def sq8_dequantize(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Round-trip an embedding column through the SQ8 code
+    (``quantize_sq8``'s encode→decode) and hand back the dequantized
+    vectors — the input a recall audit scores: (id, vec_col) with
+    every element replaced by lo_d + round((v−lo_d)/(hi_d−lo_d)·255)·
+    (hi_d−lo_d)/255. The per-dimension ranges collapse to ONE row of
+    (lo[], hi[]) arrays (d-sized model state — the pca_project
+    broadcast-literal discipline, built dataflow-side with
+    array_sort(collect_list), no driver round trip) and broadcast into
+    an index-aware transform; constant dimensions pass through
+    exactly.
+
+    Scale shape: one posexplode range pass partial-aggregated to d
+    rows → 1 array row, then a map-only transform over the corpus."""
+    d = emb.na.drop(subset=[vec_col]).select(
+        F.posexplode(F.col(vec_col)).alias("pos", "__v")
+    ).select("pos", F.col("__v").cast("double").alias("__v"))
+    rng = d.groupBy("pos").agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    arrs = rng.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "__lo"))),
+            lambda x: x["__lo"],
+        ).alias("__los"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "__hi"))),
+            lambda x: x["__hi"],
+        ).alias("__his"),
+    )
+
+    def deq(x, i):
+        lo = F.element_at(F.col("__los"), i + 1)
+        hi = F.element_at(F.col("__his"), i + 1)
+        q = F.when(hi == lo, F.lit(0.0)).otherwise(
+            F.round((x.cast("double") - lo) / (hi - lo) * 255.0, 0)
+        )
+        return lo + q * (hi - lo) / 255.0
+
+    return emb.crossJoin(F.broadcast(arrs)).select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), deq).alias(vec_col),
+    )
+
+
+def sq8_knn_recall(
+    emb: DataFrame,
+    query_pred,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall audit of the SQ8 storage code — the question
+    ``quantize_sq8``'s per-dimension error table can't answer alone:
+    after the 4× round trip, does each query still retrieve the SAME
+    neighbors? Exact cosine top-k over the raw corpus (ground truth)
+    vs exact top-k over the ``sq8_dequantize``d corpus, scored with
+    the engine's standard ``ranking_metrics`` (recall@k + reciprocal
+    rank per query, same tie-break on both sides). Returns one row
+    per query: (query_id, n_relevant, n_hit, recall_at_k, rr).
+
+    Scale shape: two broadcast-query brute-force scans (the
+    knn_bruteforce shape — queries broadcast, corpus scanned once
+    each) + one tiny top-k join; the IVF/LSH retrievers are the
+    data-scale path, this is their evaluation harness pointed at the
+    storage format."""
+    truth = knn_bruteforce(emb, emb.filter(query_pred), k=k,
+                           id_col=id_col, vec_col=vec_col)
+    deq = sq8_dequantize(emb, vec_col=vec_col, id_col=id_col)
+    approx = knn_bruteforce(deq, deq.filter(query_pred), k=k,
+                            id_col=id_col, vec_col=vec_col)
+    return ranking_metrics(approx, truth, k=k)

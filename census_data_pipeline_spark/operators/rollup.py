@@ -2984,3 +2984,116 @@ def dow_hour_profile_oracle_sql(table: str, ts_sql: str,
            CASE WHEN sd > 0
                 THEN round((n_events - mu) / sd, 6) END AS z_score
     FROM dhc CROSS JOIN dhm"""
+
+
+def seasonal_anomaly(
+    df: DataFrame,
+    ts_col: str,
+    z_cut: float = 3.0,
+) -> DataFrame:
+    """Seasonally-conditioned hourly anomaly detection — the question
+    the trailing-window detector (``events_rate_anomaly``) gets wrong
+    on periodic traffic: "is this hour unusual FOR a Tuesday 15:00?"
+    Each zero-filled hourly bucket is z-scored against the OTHER
+    buckets sharing its (ISO weekday, hour) cell — leave-one-out, so a
+    spike can't mask itself (the rate-anomaly discipline), closed-form
+    from the cell's (m, Σx, Σx²): μ₋ = (S−x)/(m−1), s²₋ =
+    (Q−x² − (S−x)²/(m−1))/(m−2). Buckets whose cell has m < 4 members
+    or zero remaining variance are unscored. The flag derives from the
+    ROUNDED z (fp discipline). Returns (bucket_us, iso_dow, hour,
+    n_events, baseline_mean, z_score, is_anomaly), 6-dp rounded.
+
+    Scale shape: one data-scale hash agg to the horizon-bounded hourly
+    frame (zero-filled via the bounds→sequence grid), one ≤168-cell
+    moment agg broadcast back — NO window at all (the LOO algebra
+    replaces the usual per-cell window). Cite: reference has no
+    anomaly tier; extends SURVEY §2.11 beside events_rate_anomaly/
+    dow_hour_profile."""
+    d = df.na.drop(subset=[ts_col])
+    hourly = d.groupBy(
+        F.date_trunc("hour", F.col(ts_col)).alias("__hb")
+    ).agg(F.count("*").alias("__n"))
+    bounds = d.agg(
+        F.min(F.date_trunc("hour", F.col(ts_col))).alias("__lo"),
+        F.max(F.date_trunc("hour", F.col(ts_col))).alias("__hi"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("__hb")
+    )
+    filled = grid.join(hourly, "__hb", "left").select(
+        "__hb",
+        F.coalesce(F.col("__n"), F.lit(0)).cast("double").alias("__n"),
+        (F.weekday("__hb") + 1).cast("long").alias("iso_dow"),
+        F.hour("__hb").cast("long").alias("hour"),
+    )
+    cells = filled.groupBy("iso_dow", "hour").agg(
+        F.count("*").cast("double").alias("__m"),
+        F.sum("__n").alias("__S"),
+        F.sum(F.col("__n") * F.col("__n")).alias("__Q"),
+    )
+    j = filled.join(F.broadcast(cells), ["iso_dow", "hour"])
+    m, x = F.col("__m"), F.col("__n")
+    mu = (F.col("__S") - x) / (m - 1)
+    var = (
+        F.col("__Q") - x * x - (F.col("__S") - x) * (F.col("__S") - x)
+        / (m - 1)
+    ) / (m - 2)
+    z = F.round((x - mu) / F.sqrt(var), 6)
+    ok = (m >= 4) & (var > 0)
+    return j.select(
+        F.unix_micros("__hb").alias("bucket_us"),
+        "iso_dow", "hour",
+        x.cast("long").alias("n_events"),
+        F.when(m >= 2, F.round(mu, 6)).alias("baseline_mean"),
+        F.when(ok, z).otherwise(F.lit(None).cast("double"))
+        .alias("z_score"),
+        F.when(ok, F.abs(z) > z_cut)
+        .otherwise(F.lit(None).cast("boolean")).alias("is_anomaly"),
+    )
+
+
+def seasonal_anomaly_oracle_sql(table: str, ts_sql: str,
+                                z_cut: float = 3.0,
+                                where: str = "TRUE") -> str:
+    """DuckDB replica of ``seasonal_anomaly`` — identical grid, cell
+    moments, and leave-one-out algebra."""
+    return f"""WITH sad AS (
+      SELECT {ts_sql} AS ts FROM {table}
+      WHERE ({ts_sql}) IS NOT NULL AND ({where})),
+    sah AS (
+      SELECT date_trunc('hour', ts) AS hb, count(*) AS n
+      FROM sad GROUP BY 1),
+    sab AS (SELECT min(date_trunc('hour', ts)) AS lo,
+                   max(date_trunc('hour', ts)) AS hi
+            FROM sad),
+    sag AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                   AS hb
+            FROM sab),
+    saf AS (
+      SELECT g.hb, CAST(coalesce(h.n, 0) AS DOUBLE) AS n,
+             CAST(isodow(g.hb) AS BIGINT) AS iso_dow,
+             CAST(hour(g.hb) AS BIGINT) AS hour
+      FROM sag g LEFT JOIN sah h ON h.hb = g.hb),
+    sac AS (
+      SELECT iso_dow, hour, CAST(count(*) AS DOUBLE) AS m,
+             sum(n) AS S, sum(n * n) AS Q
+      FROM saf GROUP BY 1, 2),
+    saz AS (
+      SELECT f.hb, f.iso_dow, f.hour, f.n, c.m,
+             (c.S - f.n) / (c.m - 1) AS mu,
+             (c.Q - f.n * f.n
+              - (c.S - f.n) * (c.S - f.n) / (c.m - 1)) / (c.m - 2)
+               AS var
+      FROM saf f JOIN sac c
+        ON c.iso_dow = f.iso_dow AND c.hour = f.hour)
+    SELECT epoch_us(hb) AS bucket_us, iso_dow, hour,
+           CAST(n AS BIGINT) AS n_events,
+           CASE WHEN m >= 2 THEN round(mu, 6) END AS baseline_mean,
+           CASE WHEN m >= 4 AND var > 0
+                THEN round((n - mu) / sqrt(var), 6) END AS z_score,
+           CASE WHEN m >= 4 AND var > 0
+                THEN abs(round((n - mu) / sqrt(var), 6)) > {z_cut!r}
+                END AS is_anomaly
+    FROM saz"""

@@ -286,6 +286,8 @@ _CHECKED_PREFIX = [
     "ab_test_bootstrap_ci",
     "events_decayed_user_value",
     "events_dow_hour_profile",
+    "embedding_sq8_recall",
+    "events_seasonal_anomaly",
     # r10 fingerprint drift: kcore_nodes reworked to frontier-delta
     # maintained degrees (VERDICT r9 #1); the two stateful streaming
     # queries drift under the event_time_horizon_ms eviction knob

