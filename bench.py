@@ -244,6 +244,7 @@ HEADLINE_NEW: list[str] = [
     "events_dow_hour_profile",
     "embedding_sq8_recall",
     "events_seasonal_anomaly",
+    "events_markov_attribution",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is

@@ -288,6 +288,7 @@ _CHECKED_PREFIX = [
     "events_dow_hour_profile",
     "embedding_sq8_recall",
     "events_seasonal_anomaly",
+    "events_markov_attribution",
     # r10 fingerprint drift: kcore_nodes reworked to frontier-delta
     # maintained degrees (VERDICT r9 #1); the two stateful streaming
     # queries drift under the event_time_horizon_ms eviction knob

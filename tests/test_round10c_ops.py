@@ -875,3 +875,73 @@ def test_sq8_recall_perfect_on_separated_clusters(spark):
     out = sq8_knn_recall(df, F.col("vec_id") % 10 == 0, k=3).collect()
     assert len(out) == 3
     assert all(r.recall_at_k == 1.0 and r.rr == 1.0 for r in out)
+
+
+# --- Markov removal attribution ---------------------------------------------
+
+
+def _journey_df(spark, journeys):
+    """journeys: list of event-type sequences; each becomes one user
+    with events 1 minute apart (single session)."""
+    rows = []
+    for u, seq in enumerate(journeys):
+        for i, t in enumerate(seq):
+            rows.append((u, f"2024-01-01 10:{i:02d}:00", i, t))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, event_type string"
+    )
+    return df.select("user_id", F.to_timestamp("ts").alias("ts"),
+                     "event_id", "event_type")
+
+
+def test_markov_attribution_planted_causal_channel(spark):
+    """Five a→purchase journeys and five b-only journeys: removing
+    'a' kills every conversion (effect 1, share 1); removing 'b'
+    changes nothing."""
+    from census_data_pipeline_spark.operators.attribution import (
+        markov_removal_attribution,
+    )
+
+    df = _journey_df(spark, [["a", "purchase"]] * 5 + [["b"]] * 5)
+    got = {r.channel: r for r in markov_removal_attribution(
+        df, "ts", "user_id", "event_type", "event_id", "purchase"
+    ).collect()}
+    assert got["a"].base_cvr == pytest.approx(0.5, abs=1e-5)
+    assert got["a"].removed_cvr == pytest.approx(0.0, abs=1e-5)
+    assert got["a"].removal_effect == pytest.approx(1.0, abs=1e-5)
+    assert got["a"].attribution_share == pytest.approx(1.0, abs=1e-5)
+    assert got["b"].removal_effect == pytest.approx(0.0, abs=1e-5)
+
+
+def test_markov_attribution_zero_touch_conversion(spark):
+    """A purchase-first session contributes start→conv directly: with
+    one such session and one a→purchase session, base = 1.0 and
+    removing 'a' halves it."""
+    from census_data_pipeline_spark.operators.attribution import (
+        markov_removal_attribution,
+    )
+
+    df = _journey_df(spark, [["purchase"], ["a", "purchase"]])
+    got = {r.channel: r for r in markov_removal_attribution(
+        df, "ts", "user_id", "event_type", "event_id", "purchase"
+    ).collect()}
+    assert got["a"].base_cvr == pytest.approx(1.0, abs=1e-5)
+    assert got["a"].removed_cvr == pytest.approx(0.5, abs=1e-5)
+    assert got["a"].removal_effect == pytest.approx(0.5, abs=1e-5)
+
+
+def test_markov_attribution_two_step_path(spark):
+    """a→b→purchase: both a and b sit on the only converting path, so
+    removing either kills it — equal credit."""
+    from census_data_pipeline_spark.operators.attribution import (
+        markov_removal_attribution,
+    )
+
+    df = _journey_df(spark, [["a", "b", "purchase"]] * 3 + [["c"]] * 3)
+    got = {r.channel: r for r in markov_removal_attribution(
+        df, "ts", "user_id", "event_type", "event_id", "purchase"
+    ).collect()}
+    for ch in ("a", "b"):
+        assert got[ch].removal_effect == pytest.approx(1.0, abs=1e-5)
+        assert got[ch].attribution_share == pytest.approx(0.5, abs=1e-5)
+    assert got["c"].removal_effect == pytest.approx(0.0, abs=1e-5)
