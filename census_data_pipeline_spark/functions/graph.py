@@ -734,6 +734,10 @@ def modularity(
             .cast("long").alias("intra_edges"),
             F.coalesce(F.col("__d"), F.lit(0))
             .cast("long").alias("degree_sum"),
+            # ``+ 0.0`` = the corpus zero-sign convention (VERDICT r10
+            # #1): IEEE (-0.0) + 0.0 == +0.0 and x + 0.0 == x otherwise,
+            # so a contribution that rounds to zero from below can never
+            # stringify as '-0.0' in the driver hash.
             F.when(F.col("__St") == 0, F.lit(0.0)).otherwise(
                 F.round(
                     F.coalesce(F.col("__s"), F.lit(0)) / F.col("__St")
@@ -743,6 +747,7 @@ def modularity(
                     ),
                     6,
                 )
+                + F.lit(0.0)
             ).alias("q_contrib"),
         )
     )
@@ -750,7 +755,8 @@ def modularity(
         F.sum("n_nodes").alias("n_nodes"),
         F.sum("intra_edges").alias("intra_edges"),
         F.sum("degree_sum").alias("degree_sum"),
-        F.round(F.coalesce(F.sum("q_contrib"), F.lit(0.0)), 6)
+        (F.round(F.coalesce(F.sum("q_contrib"), F.lit(0.0)), 6)
+         + F.lit(0.0))
         .alias("q_contrib"),
     ).select(
         F.lit("<all>").alias("community"),
@@ -766,8 +772,11 @@ def modularity_oracle_sql(
     """DuckDB replica of ``modularity``: identical symmetrize, the same
     two label joins, the same (s_c, d_c) aggregate, per-community
     contributions rounded at 6 dp, the '<all>' row summing the rounded
-    contributions. ``edges_sql`` selects (src, dst); ``labels_sql``
-    selects (id, lab)."""
+    contributions. ``ROUND(…) + 0`` normalizes DuckDB's IEEE −0.0 (a
+    q_contrib that rounds to zero from below) to +0.0, matching Spark —
+    the corpus zero-sign convention (VERDICT r10 #1; this exact site was
+    r10's one hash-fail). ``edges_sql`` selects (src, dst);
+    ``labels_sql`` selects (id, lab)."""
     return f"""WITH me0 AS MATERIALIZED (
       SELECT DISTINCT src, dst FROM (
         SELECT src, dst FROM ({edges_sql}) r0
@@ -796,7 +805,7 @@ def modularity_oracle_sql(
              CASE WHEN mtot.S = 0 THEN 0.0 ELSE ROUND(
                CAST(COALESCE(t.s_c, 0) AS DOUBLE) / mtot.S
                - POW(CAST(COALESCE(t.d_c, 0) AS DOUBLE) / mtot.S, 2),
-             6) END AS q_contrib
+             6) + 0 END AS q_contrib
       FROM msizes z LEFT JOIN mstats t ON z.community = t.community,
            mtot)
     SELECT community, CAST(n_nodes AS BIGINT) AS n_nodes, intra_edges,
@@ -804,7 +813,7 @@ def modularity_oracle_sql(
     UNION ALL
     SELECT '<all>', CAST(SUM(n_nodes) AS BIGINT), CAST(SUM(intra_edges) AS BIGINT),
            CAST(SUM(degree_sum) AS BIGINT),
-           ROUND(COALESCE(SUM(q_contrib), 0.0), 6)
+           ROUND(COALESCE(SUM(q_contrib), 0.0), 6) + 0
     FROM mper"""
 
 
@@ -1366,7 +1375,8 @@ def degree_assortativity(
     return mom.crossJoin(F.broadcast(nodes)).select(
         F.col("__nn").cast("long").alias("n_nodes"),
         (F.col("__m") / 2).cast("long").alias("n_edges"),
-        F.when(ok, F.round(cov / F.sqrt(vx * vy), 6))
+        # + 0.0 = corpus zero-sign convention (see modularity)
+        F.when(ok, F.round(cov / F.sqrt(vx * vy), 6) + F.lit(0.0))
         .otherwise(F.lit(None).cast("double")).alias("assortativity"),
     )
 
@@ -1396,7 +1406,7 @@ def degree_assortativity_oracle_sql(edges_sql: str) -> str:
                  AND dam.m * dam.qy - dam.sy * dam.sy > 0
                 THEN ROUND((dam.m * dam.sxy - dam.sx * dam.sy)
                   / sqrt((dam.m * dam.qx - dam.sx * dam.sx)
-                         * (dam.m * dam.qy - dam.sy * dam.sy)), 6)
+                         * (dam.m * dam.qy - dam.sy * dam.sy)), 6) + 0
            END AS assortativity
     FROM dam, dan"""
 

@@ -509,7 +509,7 @@ def markov_attribution_oracle_sql(
     est AS (SELECT sum(e) AS es FROM efx)
     SELECT channel, round(b, 6) AS base_cvr,
            round(r, 6) AS removed_cvr,
-           round(e, 6) AS removal_effect,
-           CASE WHEN es > 0 THEN round(e / es, 6)
+           round(e, 6) + 0 AS removal_effect,
+           CASE WHEN es > 0 THEN round(e / es, 6) + 0
                 END AS attribution_share
     FROM efx CROSS JOIN est"""

@@ -1616,7 +1616,7 @@ def cross_correlation_oracle_sql(
                   THEN round((mom.n * mom.sab - mom.sa * mom.sb)
                              / sqrt((mom.n * mom.qa - mom.sa * mom.sa)
                                     * (mom.n * mom.qb - mom.sb * mom.sb)),
-                             6) END AS ccf
+                             6) + 0 END AS ccf
       FROM lags LEFT JOIN mom ON mom.lag = lags.lag),
     peak AS (SELECT max(abs(ccf)) AS p FROM scored)
     SELECT lag, n, ccf,

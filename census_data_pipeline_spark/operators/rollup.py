@@ -717,7 +717,7 @@ def corr_matrix_oracle_sql(table: str, cols: list[str]) -> str:
             pair_sel.append(
                 f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
              CASE WHEN {va} > 0 AND {vb} > 0
-                  THEN round({num} / sqrt({va} * {vb}), 6)
+                  THEN round({num} / sqrt({va} * {vb}), 6) + 0
                   ELSE NULL END AS r
       FROM mom"""
             )
@@ -801,10 +801,11 @@ def grouped_ols_oracle_sql(
     SELECT {keys}, CAST(n AS BIGINT) AS n,
            CASE WHEN (n * sxx - sx * sx) > 0
                 THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                     + 0
                 ELSE NULL END AS slope,
            CASE WHEN (n * sxx - sx * sx) > 0
                 THEN round((sy - (n * sxy - sx * sy)
-                                 / (n * sxx - sx * sx) * sx) / n, 6)
+                                 / (n * sxx - sx * sx) * sx) / n, 6) + 0
                 ELSE NULL END AS intercept,
            CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
                 THEN round((n * sxy - sx * sy) * (n * sxy - sx * sy)
@@ -904,10 +905,10 @@ def welch_t_test_oracle_sql(
           FROM mom)
     SELECT {keys},
            CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-           CASE WHEN na >= 1 THEN round(ma, 6) END AS mean_a,
-           CASE WHEN nb >= 1 THEN round(mb, 6) END AS mean_b,
+           CASE WHEN na >= 1 THEN round(ma, 6) + 0 END AS mean_a,
+           CASE WHEN nb >= 1 THEN round(mb, 6) + 0 END AS mean_b,
            CASE WHEN na >= 2 AND nb >= 2 AND (sea + seb) > 0
-                THEN round((ma - mb) / sqrt(sea + seb), 6)
+                THEN round((ma - mb) / sqrt(sea + seb), 6) + 0
                 ELSE NULL END AS t_stat,
            CASE WHEN na >= 2 AND nb >= 2 AND (sea + seb) > 0
                 THEN round((sea + seb) * (sea + seb)
@@ -1139,7 +1140,7 @@ def grouped_theil_sen_oracle_sql(
              count(*) OVER (PARTITION BY {keys}) AS np
       FROM tprs),
     tmed AS (
-      SELECT {keys}, ROUND(AVG(s), 6) AS slope, ANY_VALUE(np) AS np
+      SELECT {keys}, ROUND(AVG(s), 6) + 0 AS slope, ANY_VALUE(np) AS np
       FROM trk
       WHERE rk = CAST(floor((np + 1) / 2) AS BIGINT)
          OR rk = CAST(floor((np + 2) / 2) AS BIGINT)
@@ -1155,7 +1156,7 @@ def grouped_theil_sen_oracle_sql(
     SELECT {keys}, CAST(ANY_VALUE(ni) AS BIGINT) AS n_points,
            CAST(ANY_VALUE(np) AS BIGINT) AS n_pairs,
            ANY_VALUE(slope) AS slope,
-           ROUND(AVG(i), 6) AS intercept
+           ROUND(AVG(i), 6) + 0 AS intercept
     FROM tirk
     WHERE rk = CAST(floor((ni + 1) / 2) AS BIGINT)
        OR rk = CAST(floor((ni + 2) / 2) AS BIGINT)
@@ -1413,7 +1414,7 @@ def mann_whitney_oracle_sql(
                   / sqrt(CAST(Na AS DOUBLE) * Nb / 12
                          * ((Na + Nb + 1)
                             - ties / (CAST(Na + Nb AS DOUBLE)
-                                      * (Na + Nb - 1)))), 6)
+                                      * (Na + Nb - 1)))), 6) + 0
            END AS z_stat,
            CASE WHEN Na >= 1 AND Nb >= 1
                  AND CAST(Na AS DOUBLE) * Nb / 12
@@ -1539,13 +1540,13 @@ def spearman_oracle_sql(
            CASE WHEN n >= 3 AND n * qx - sx * sx > 0
                  AND n * qy - sy * sy > 0
                 THEN ROUND((n * sxy - sx * sy)
-                  / sqrt((n * qx - sx * sx) * (n * qy - sy * sy)), 6)
+                  / sqrt((n * qx - sx * sx) * (n * qy - sy * sy)), 6) + 0
            END AS rho,
            CASE WHEN n >= 3 AND n * qx - sx * sx > 0
                  AND n * qy - sy * sy > 0
                 THEN ROUND((n * sxy - sx * sy)
                   / sqrt((n * qx - sx * sx) * (n * qy - sy * sy))
-                  * sqrt(CAST(n AS DOUBLE) - 1), 6)
+                  * sqrt(CAST(n AS DOUBLE) - 1), 6) + 0
            END AS z_stat,
            CASE WHEN n >= 3 AND n * qx - sx * sx > 0
                  AND n * qy - sy * sy > 0
@@ -2195,9 +2196,9 @@ def kendall_tau_oracle_sql(
            CAST(C AS BIGINT) AS concordant,
            CAST(D AS BIGINT) AS discordant,
            CASE WHEN n >= 2 AND den > 0
-                THEN round((C - D) / sqrt(den), 6) END AS tau_b,
+                THEN round((C - D) / sqrt(den), 6) + 0 END AS tau_b,
            CASE WHEN n >= 2 AND den > 0
-                THEN round((C - D) / sqrt(den) / sqrt(var0), 6)
+                THEN round((C - D) / sqrt(den) / sqrt(var0), 6) + 0
                 END AS z_stat,
            CASE WHEN n >= 2 AND den > 0
                 THEN abs((C - D) / sqrt(den) / sqrt(var0)) > 1.959964
@@ -2833,8 +2834,8 @@ def bootstrap_mean_diff_oracle_sql(
       SELECT d, row_number() OVER (ORDER BY d, b) AS rk, beff
       FROM bsdl CROSS JOIN bsc)
     SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-           round(obs, 6) AS observed_diff,
-           round(lo.d, 6) AS ci_lo, round(hi.d, 6) AS ci_hi,
+           round(obs, 6) + 0 AS observed_diff,
+           round(lo.d, 6) + 0 AS ci_lo, round(hi.d, 6) + 0 AS ci_hi,
            CAST(lo.beff AS BIGINT) AS n_boot_effective,
            (lo.d > 0 OR hi.d < 0) AS excludes_zero
     FROM bso
@@ -2982,7 +2983,7 @@ def dow_hour_profile_oracle_sql(table: str, ts_sql: str,
     SELECT iso_dow, hour, n_events,
            round(CAST(n_events AS DOUBLE) / tot, 6) AS share,
            CASE WHEN sd > 0
-                THEN round((n_events - mu) / sd, 6) END AS z_score
+                THEN round((n_events - mu) / sd, 6) + 0 END AS z_score
     FROM dhc CROSS JOIN dhm"""
 
 
@@ -3092,7 +3093,7 @@ def seasonal_anomaly_oracle_sql(table: str, ts_sql: str,
            CAST(n AS BIGINT) AS n_events,
            CASE WHEN m >= 2 THEN round(mu, 6) END AS baseline_mean,
            CASE WHEN m >= 4 AND var > 0
-                THEN round((n - mu) / sqrt(var), 6) END AS z_score,
+                THEN round((n - mu) / sqrt(var), 6) + 0 END AS z_score,
            CASE WHEN m >= 4 AND var > 0
                 THEN abs(round((n - mu) / sqrt(var), 6)) > {z_cut!r}
                 END AS is_anomaly
