@@ -2104,7 +2104,9 @@ def quantize_sq8(
     v̂ = lo + q·(hi−lo)/255, and report per-dimension reconstruction
     error so a consumer can decide whether 8 bits survive their recall
     target. Returns one row per dimension: (pos, lo, hi, mse,
-    max_abs_err, rmse_vs_range) — 6-dp rounded; a constant dimension
+    max_abs_err, rmse_vs_range) — 6-dp rounded except mse at 12 dp
+    (its expected magnitude is step²/12 ≈ 1.3e-6 for a unit-range
+    dimension, so 6 dp would erase the signal); a constant dimension
     (hi = lo) encodes to 0 with exactly zero error.
 
     The theoretical check rides in the interpretation: uniform values
@@ -2143,7 +2145,10 @@ def quantize_sq8(
         F.col("pos").cast("long").alias("pos"),
         F.round("__lo", 6).alias("lo"),
         F.round("__hi", 6).alias("hi"),
-        F.round("__mse", 6).alias("mse"),
+        # 12 dp, not the corpus 6 (ADVICE r10): expected mse for a
+        # unit-range dimension is step²/12 ≈ 1.3e-6, so 6 dp kept ~one
+        # significant digit of the readout the docstring promises.
+        F.round("__mse", 12).alias("mse"),
         F.round("__mx", 6).alias("max_abs_err"),
         F.when(
             F.col("__sc") > 0,
@@ -2176,7 +2181,7 @@ def quantize_sq8_oracle_sql(
       SELECT pos, lo, hi, sc, avg(e * e) AS mse, max(abs(e)) AS mx
       FROM sqe GROUP BY pos, lo, hi, sc)
     SELECT CAST(pos AS BIGINT) AS pos, round(lo, 6) AS lo,
-           round(hi, 6) AS hi, round(mse, 6) AS mse,
+           round(hi, 6) AS hi, round(mse, 12) AS mse,
            round(mx, 6) AS max_abs_err,
            CASE WHEN sc > 0 THEN round(sqrt(mse) / sc, 6)
                 ELSE 0.0 END AS rmse_vs_range

@@ -231,11 +231,16 @@ def markov_removal_attribution(
     def r6(c):
         return F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000
 
+    # Real channel states carry a 'ch:' prefix inside the chain so a
+    # dataset whose type values literally include 'start'/'conv'/
+    # 'null'/'<none>' cannot merge with the synthetic source/absorbing
+    # states (ADVICE r10); the prefix is stripped from the output.
     d = df.na.drop(subset=[ts_col, user_col, type_col]).select(
         F.col(user_col).alias("__u"),
         F.col(ts_col).alias("__ts"),
         F.col(order_col).alias("__o"),
-        F.col(type_col).cast("string").alias("__t"),
+        F.concat(F.lit("ch:"),
+                 F.col(type_col).cast("string")).alias("__t"),
     )
     w = Window.partitionBy("__u").orderBy("__ts", "__o")
     gap_us = gap_minutes * 60 * 1_000_000
@@ -262,7 +267,7 @@ def markov_removal_attribution(
         ).alias("__rn"),
     ).localCheckpoint(eager=False)
     fp = (
-        r.filter(F.col("__t") == conversion_type)
+        r.filter(F.col("__t") == "ch:" + conversion_type)
         .groupBy("__u", "__sid")
         .agg(F.min("__rn").alias("__prn"))
     )
@@ -378,7 +383,7 @@ def markov_removal_attribution(
         starts.filter(F.col("__rem") != "<none>")
         .crossJoin(F.broadcast(base))
         .select(
-            F.col("__rem").alias("channel"),
+            F.expr("substring(__rem, 4)").alias("channel"),
             F.col("__base").alias("__b"),
             F.col("__pv").alias("__r"),
             F.when(
@@ -422,7 +427,7 @@ def markov_attribution_oracle_sql(
     r6o = "floor(({}) * 1000000 + 0.5) / 1000000"
     return f"""WITH RECURSIVE mad AS (
       SELECT {user_sql} AS u, {ts_sql} AS ts, {order_sql} AS o,
-             CAST({type_sql} AS VARCHAR) AS t
+             'ch:' || CAST({type_sql} AS VARCHAR) AS t
       FROM {table}
       WHERE ({ts_sql}) IS NOT NULL AND ({user_sql}) IS NOT NULL
         AND ({type_sql}) IS NOT NULL),
@@ -443,7 +448,7 @@ def markov_attribution_oracle_sql(
                                 ORDER BY ts, o) AS rn
       FROM mag),
     mapp AS (SELECT u, sid, min(rn) AS prn FROM mar
-             WHERE t = '{conversion_type}' GROUP BY u, sid),
+             WHERE t = 'ch:{conversion_type}' GROUP BY u, sid),
     maj AS (SELECT mar.*, mapp.prn
             FROM mar LEFT JOIN mapp USING (u, sid)),
     mak AS (SELECT * FROM maj WHERE prn IS NULL OR rn < prn),
@@ -502,7 +507,7 @@ def markov_attribution_oracle_sql(
             WHERE i = {iterations} AND st = 'start'),
     bse AS (SELECT pv AS b FROM fin WHERE rem = '<none>'),
     efx AS (
-      SELECT f.rem AS channel, bse.b, f.pv AS r,
+      SELECT substring(f.rem, 4) AS channel, bse.b, f.pv AS r,
              CASE WHEN bse.b > 0 THEN (bse.b - f.pv) / bse.b
                   ELSE CAST(0.0 AS DOUBLE) END AS e
       FROM fin f CROSS JOIN bse WHERE f.rem <> '<none>'),

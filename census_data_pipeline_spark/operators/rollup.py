@@ -2566,7 +2566,13 @@ def markov_stationary(
         return F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000
 
     w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
-    pr = df.select(
+    # Drop NULL ts/user/type BEFORE the lead window (ADVICE r10): a
+    # NULL type would otherwise splinter the surrounding bigram, seed
+    # a phantom NULL source state with 1/k of the initial mass, and
+    # leak that mass (NULL join keys never match) so stationary_prob
+    # stopped summing to 1 — consistent with session_paths/
+    # markov_removal_attribution.
+    pr = df.na.drop(subset=[ts_col, user_col, type_col]).select(
         F.col(type_col).alias("__s"),
         F.lead(type_col).over(w).alias("__j"),
     ).filter(F.col("__j").isNotNull())
@@ -2627,7 +2633,9 @@ def markov_stationary_oracle_sql(
       SELECT {type_sql} AS s,
              lead({type_sql}) OVER (PARTITION BY {user_sql}
                                     ORDER BY {ts_sql}, {order_sql}) AS j
-      FROM {table}),
+      FROM {table}
+      WHERE ({ts_sql}) IS NOT NULL AND ({user_sql}) IS NOT NULL
+        AND ({type_sql}) IS NOT NULL),
     mkc AS (SELECT s, j, count(*) AS n FROM mkp
             WHERE j IS NOT NULL GROUP BY s, j),
     mks AS (SELECT DISTINCT s FROM mkc),
@@ -2764,15 +2772,26 @@ def bootstrap_mean_diff(
         F.col("__rk")
         == F.ceil(F.lit(1.0 - alpha / 2.0) * F.col("__beff"))
     ).select(F.col("__d").alias("__hi"))
+    # LEFT joins, not crossJoins (ADVICE r10): when no replicate
+    # survives the wa/wb > 0 filter (an empty arm, or every draw
+    # zero-weights one arm) the lo/hi endpoint frames are EMPTY and a
+    # crossJoin would collapse the result to zero rows — the one row
+    # with n_a/n_b/observed_diff and NULL CI is exactly what the
+    # caller needs then.
+    lo1 = lo.withColumn("__k1", F.lit(1))
+    hi1 = hi.withColumn("__k1", F.lit(1))
     return (
-        obs.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+        obs.withColumn("__k1", F.lit(1))
+        .join(F.broadcast(lo1), "__k1", "left")
+        .join(F.broadcast(hi1), "__k1", "left")
         .select(
             F.col("__na").cast("long").alias("n_a"),
             F.col("__nb").cast("long").alias("n_b"),
             F.round("__obs", 6).alias("observed_diff"),
             F.round("__lo", 6).alias("ci_lo"),
             F.round("__hi", 6).alias("ci_hi"),
-            F.col("__beff").cast("long").alias("n_boot_effective"),
+            F.coalesce(F.col("__beff"), F.lit(0))
+            .cast("long").alias("n_boot_effective"),
             ((F.col("__lo") > 0) | (F.col("__hi") < 0))
             .alias("excludes_zero"),
         )
@@ -2836,13 +2855,13 @@ def bootstrap_mean_diff_oracle_sql(
     SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
            round(obs, 6) + 0 AS observed_diff,
            round(lo.d, 6) + 0 AS ci_lo, round(hi.d, 6) + 0 AS ci_hi,
-           CAST(lo.beff AS BIGINT) AS n_boot_effective,
+           CAST(coalesce(lo.beff, 0) AS BIGINT) AS n_boot_effective,
            (lo.d > 0 OR hi.d < 0) AS excludes_zero
     FROM bso
-    CROSS JOIN (SELECT d, beff FROM bsk
-                WHERE rk = ceil({alpha / 2.0} * beff)) lo
-    CROSS JOIN (SELECT d FROM bsk
-                WHERE rk = ceil({1.0 - alpha / 2.0} * beff)) hi"""
+    LEFT JOIN (SELECT d, beff FROM bsk
+               WHERE rk = ceil({alpha / 2.0} * beff)) lo ON TRUE
+    LEFT JOIN (SELECT d FROM bsk
+               WHERE rk = ceil({1.0 - alpha / 2.0} * beff)) hi ON TRUE"""
 
 
 def decayed_value_topk(
