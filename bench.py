@@ -245,6 +245,10 @@ HEADLINE_NEW: list[str] = [
     "embedding_sq8_recall",
     "events_seasonal_anomaly",
     "events_markov_attribution",
+    # r11 weighted graph tier + the Louvain refiner
+    "graph_pagerank_weighted",
+    "graph_weighted_distances",
+    "graph_louvain_move",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is

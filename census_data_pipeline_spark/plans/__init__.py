@@ -239,63 +239,70 @@ from census_data_pipeline_spark.plans import (  # noqa: F401
 from census_data_pipeline_spark.plans.registry import ORACLE, QUERIES
 
 _CHECKED_PREFIX = [
-    # r10 change-aware rotation (VERDICT r9 #8): driver_state.json was
-    # regenerated against CORRECTNESS_r09 as the round's first commit —
-    # the r9 driver run went 50/50 green, so no query starts the round
-    # stale. The prefix is flagship, then this round's new queries as
-    # registered, then every query whose fingerprint drifts under r10
-    # edits — the change-aware test enforces each addition.
+    # r11 change-aware rotation (VERDICT r10 #7): driver_state.json was
+    # regenerated against CORRECTNESS_r10 as the round's first commit.
+    # Prefix = flagship, then the three r11 queries (weighted PageRank,
+    # weighted Bellman-Ford distances, Louvain local move), then
+    # graph_modularity FIRST among the drifted set (r10's one hash-fail
+    # - the -0.0 fix MUST be re-checked), then every query whose
+    # fingerprint drifts under the r11 edits (the zero-sign oracle
+    # sweep, the Markov/bootstrap/SQ8 hardening, the coreness local
+    # tail), then 28 of the queries with the OLDEST driver rows (r1/r3
+    # vintage) rotated in for freshness - everything else has a green
+    # row from r4-r10 at its current fingerprint.
     "flagship_regional_rollup",
-    # r10 new queries
-    "graph_coreness",
+    # r11 new queries
+    "graph_louvain_move",
+    "graph_pagerank_weighted",
+    "graph_weighted_distances",
+    # r11 fingerprint drift - zero-sign sweep + hardening + coreness
     "graph_modularity",
-    "events_forecast_ar",
-    "events_forecast_model_select",
-    "quality_pr_auc",
-    "graph_clustering",
-    "graph_adamic_adar",
-    "events_trend_theil_sen",
-    "events_forecast_ar_whiteness",
-    "sketch_quantiles_bottomk",
-    # r10 second batch (this session's additions)
-    "graph_conductance",
-    "graph_jaccard_linkpred",
-    "events_acf",
-    "events_changepoint",
-    "events_seasonal_decompose",
-    "lineitem_mannwhitney_returns",
-    "events_trend_spearman",
-    "survival_hazard_nelson_aalen",
-    "text_js_divergence",
-    "lineitem_kruskal_returns",
-    "graph_assortativity",
-    "lineitem_anova_returns",
-    "lineitem_bartlett_returns",
-    "drift_wasserstein_click_error",
-    "orders_cramers_v",
-    "events_trend_kendall",
-    "events_ccf_click_purchase",
-    "customer_revenue_gini",
-    "customer_revenue_concentration",
-    "graph_components",
-    "events_new_vs_returning",
-    "events_session_paths",
-    "text_readability",
-    "embedding_quantize_sq8",
-    "events_markov_stationary",
+    "graph_coreness",
     "ab_test_bootstrap_ci",
-    "events_decayed_user_value",
+    "embedding_quantize_sq8",
+    "events_ccf_click_purchase",
     "events_dow_hour_profile",
-    "embedding_sq8_recall",
-    "events_seasonal_anomaly",
     "events_markov_attribution",
-    # r10 fingerprint drift: kcore_nodes reworked to frontier-delta
-    # maintained degrees (VERDICT r9 #1); the two stateful streaming
-    # queries drift under the event_time_horizon_ms eviction knob
-    # (VERDICT r9 #3)
-    "graph_kcore",
-    "streaming_user_totals",
-    "streaming_cusum_hourly",
+    "events_markov_stationary",
+    "events_seasonal_anomaly",
+    "events_trend_by_type",
+    "events_trend_kendall",
+    "events_trend_spearman",
+    "events_trend_theil_sen",
+    "graph_assortativity",
+    "lineitem_corr_matrix",
+    "lineitem_mannwhitney_returns",
+    "orders_welch_by_priority",
+    "text_zipf_fit",
+    # oldest-driver-row freshness rotation (r1 + r3 vintage)
+    "variable_catalog_search",
+    "cohort_retention_weekly",
+    "corpus_clean_pipeline",
+    "decontam_ngram_overlap",
+    "dedup_simhash_pairs",
+    "doc_fingerprint",
+    "events_funnel_3step",
+    "events_interpolate_1h",
+    "events_session_5m",
+    "events_top_transitions",
+    "events_tumbling_1h",
+    "geo_polygon_stats",
+    "linkage_edit1_names",
+    "multimodal_features",
+    "multimodal_payload",
+    "numeric_coerce",
+    "sample_cap_per_source",
+    "sample_stratified_events",
+    "sample_upweight_rare",
+    "sketch_rollup_mergeable",
+    "skew_salted_agg",
+    "split_assign_docs",
+    "text_chunking",
+    "text_pack_bins",
+    "text_quality_scores",
+    "text_repetition_stats",
+    "text_term_frequency",
+    "text_tokens_bpeish",
 ]
 
 

@@ -254,6 +254,17 @@ def test_readme_query_counts_match_registry():
         assert int(n) == len(ORACLE), (
             f"README says {n} DuckDB oracles; registry has {len(ORACLE)}"
         )
+    # r11 extension (VERDICT r10 #6): the bench headline-count claim
+    # drifted too ("~180" vs 201 benched) — pin it the same way.
+    import bench
+
+    headline = re.findall(r"(\d+) headline queries", text)
+    assert headline, "README no longer states the headline query count"
+    for n in headline:
+        assert int(n) == len(bench.HEADLINE), (
+            f"README says {n} headline queries; bench.HEADLINE has "
+            f"{len(bench.HEADLINE)}"
+        )
 
 
 def test_latest_bench_local_record_covers_every_headline_query():

@@ -160,3 +160,169 @@ def test_sq8_mse_retains_signal_at_12dp(spark):
     assert r.mse == pytest.approx(expected, rel=0.2)
     # 6-dp rounding would have produced exactly 1e-6 or 0.0
     assert r.mse not in (0.0, 1e-6)
+
+
+# --- coreness bounded local tail (VERDICT r10 #2) ----------------------------
+
+
+def test_coreness_local_tail_equals_distributed(spark):
+    """The bounded driver-local tail must be invisible in the output:
+    same (id, coreness) multiset as the all-distributed peel on a
+    seeded random graph (tail triggers immediately at this size)."""
+    import random
+
+    from census_data_pipeline_spark.functions.graph import coreness
+
+    random.seed(7)
+    edges = set()
+    for _ in range(400):
+        a, b = random.randrange(120), random.randrange(120)
+        if a != b:
+            edges.add((f"n{a}", f"n{b}"))
+    df = spark.createDataFrame(sorted(edges), "src string, dst string")
+    with_tail = sorted(
+        (r.id, r.coreness) for r in coreness(df).collect()
+    )
+    pure = sorted(
+        (r.id, r.coreness)
+        for r in coreness(df, local_tail_max=0).collect()
+    )
+    assert with_tail == pure and len(pure) > 100
+
+
+def test_coreness_tail_switch_mid_peel(spark):
+    """Force the switch to happen AFTER some distributed rounds (cap
+    sized between the full graph and the residue) — the k floor must
+    carry over: a path pendant chain (core 1) hanging off a K5
+    (core 4) peels the chain distributed, the clique locally."""
+    from census_data_pipeline_spark.functions.graph import coreness
+
+    k5 = [(f"k{i}", f"k{j}") for i in range(5) for j in range(i + 1, 5)]
+    chain = [("k0", "p0")] + [(f"p{i}", f"p{i+1}") for i in range(30)]
+    df = spark.createDataFrame(k5 + chain, "src string, dst string")
+    # n + sum_deg at the start: 36 nodes + 2*51 edges > 60, so a cap
+    # of 60 keeps the first rounds distributed.
+    got = {r.id: r.coreness
+           for r in coreness(df, local_tail_max=60).collect()}
+    want = {r.id: r.coreness
+            for r in coreness(df, local_tail_max=0).collect()}
+    assert got == want
+    assert got["k1"] == 4 and got["p5"] == 1
+
+
+# --- r11 weighted graph tier -------------------------------------------------
+
+
+def test_weighted_pagerank_follows_weights(spark):
+    """Rank must flow with edge weight: a->b carries 9x a->c, so b
+    outranks c; ranks still sum to 1 (dangling redistribution)."""
+    from census_data_pipeline_spark.functions.graph import (
+        weighted_pagerank,
+    )
+
+    rows = [("a", "b", 9.0), ("a", "c", 1.0), ("b", "a", 1.0),
+            ("c", "a", 1.0)]
+    df = spark.createDataFrame(rows, "src string, dst string, w double")
+    got = {r.id: r.rank for r in
+           weighted_pagerank(df, "w", iterations=10).collect()}
+    assert got["b"] > got["c"]
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_weighted_pagerank_drops_nonpositive_and_sums_parallel(spark):
+    """Parallel edges weight-sum; zero/negative/NULL weights drop (a
+    node left with no out-edge becomes dangling, not a crash)."""
+    from census_data_pipeline_spark.functions.graph import (
+        weighted_pagerank,
+    )
+
+    rows = [("a", "b", 2.0), ("a", "b", 3.0), ("b", "a", -1.0),
+            ("b", "c", 0.0), ("b", "a", None), ("c", "a", 1.0)]
+    df = spark.createDataFrame(rows, "src string, dst string, w double")
+    got = {r.id: r.rank for r in
+           weighted_pagerank(df, "w", iterations=5).collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_weighted_distances_prefers_light_two_hop_path(spark):
+    """A 2-edge path of total weight 3 must beat the direct weight-10
+    edge once enough relaxation rounds run."""
+    from census_data_pipeline_spark.functions.graph import (
+        weighted_distances,
+    )
+
+    rows = [("s", "a", 10.0), ("s", "b", 1.0), ("b", "a", 2.0)]
+    df = spark.createDataFrame(rows, "src string, dst string, w double")
+    seeds = spark.createDataFrame([("s",)], "id string")
+    one = {r.id: r.dist for r in
+           weighted_distances(df, seeds, "w", rounds=1).collect()}
+    assert one["a"] == 10.0  # only the direct edge after one round
+    two = {r.id: r.dist for r in
+           weighted_distances(df, seeds, "w", rounds=2).collect()}
+    assert two["a"] == 3.0 and two["b"] == 1.0 and two["s"] == 0.0
+
+
+def test_louvain_recovers_planted_cliques_and_matches_oracle(spark):
+    """Two K4s joined by one bridge: from-singleton local moves must
+    recover exactly the two cliques (Q = 0.423), and the unrolled
+    DuckDB oracle must replay the identical trajectory."""
+    from census_data_pipeline_spark.functions.graph import (
+        louvain_labels_oracle_sql,
+        louvain_local_move,
+        modularity,
+        modularity_oracle_sql,
+    )
+
+    k4a = [(f"a{i}", f"a{j}") for i in range(4) for j in range(i + 1, 4)]
+    k4b = [(f"b{i}", f"b{j}") for i in range(4) for j in range(i + 1, 4)]
+    edges = k4a + k4b + [("a0", "b0")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    lab = louvain_local_move(df, rounds=6)
+    coms = {r.id: r.community for r in lab.collect()}
+    assert len({coms[f"a{i}"] for i in range(4)}) == 1
+    assert len({coms[f"b{i}"] for i in range(4)}) == 1
+    assert coms["a0"] != coms["b0"]
+    mod = modularity(df, lab, label_col="community")
+    mrows = sorted(tuple(str(v) for v in r) for r in mod.collect())
+
+    con = duckdb.connect()
+    con.register("lv_e", pd.DataFrame(edges, columns=["src", "dst"]))
+    osql = modularity_oracle_sql(
+        "SELECT src, dst FROM lv_e",
+        louvain_labels_oracle_sql("SELECT src, dst FROM lv_e", rounds=6),
+    )
+    orows = sorted(tuple(str(v) for v in r)
+                   for r in con.execute(osql).fetchall())
+    con.close()
+    assert mrows == orows
+
+
+def test_louvain_q_monotone_over_lpa_init(spark):
+    """The disjoint-move rule makes Q non-decreasing, so refining any
+    init can never score below it — checked on a seeded random graph
+    with an LPA init."""
+    import random
+
+    from census_data_pipeline_spark.functions.graph import (
+        label_propagation,
+        louvain_local_move,
+        modularity,
+    )
+
+    random.seed(11)
+    edges = set()
+    for _ in range(300):
+        a, b = random.randrange(60), random.randrange(60)
+        if a != b:
+            edges.add((f"n{a}", f"n{b}"))
+    df = spark.createDataFrame(sorted(edges), "src string, dst string")
+
+    def q_of(labels):
+        rows = modularity(df, labels, label_col="community").collect()
+        return [r for r in rows if r.community == "<all>"][0].q_contrib
+
+    lpa = label_propagation(df, iterations=3)
+    q0 = q_of(lpa)
+    q1 = q_of(louvain_local_move(df, rounds=4, init_labels=lpa))
+    assert q1 >= q0
