@@ -249,6 +249,7 @@ HEADLINE_NEW: list[str] = [
     "graph_pagerank_weighted",
     "graph_weighted_distances",
     "graph_louvain_move",
+    "graph_hits",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is

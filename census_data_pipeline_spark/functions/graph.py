@@ -2079,3 +2079,106 @@ def louvain_labels_oracle_sql(
     lS AS (SELECT SUM(k) AS S FROM ldeg),
     {l0},{",".join(parts)}
     SELECT id, com AS lab FROM {prev})"""
+
+
+def hits_scores(
+    edges: DataFrame,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_scores: bool = False,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999, the power-iteration
+    formulation) over a directed edge list — the natural centrality
+    pair for BIPARTITE-ish graphs where PageRank's single score
+    conflates the two roles (purchase graph: a customer is a good HUB
+    when it buys from good suppliers; a supplier a good AUTHORITY when
+    good hubs buy from it). Parallel edges are deduped. Returns
+    (id, hub, authority) for every node appearing as src or dst.
+
+    Fixed-dataflow determinism (the pagerank discipline): scores start
+    at 1.0; each round computes a ← Σ_in h then L2-normalizes a, then
+    h ← Σ_out a and L2-normalizes h — the textbook update order, every
+    expression written identically in the SQL oracle so both engines
+    walk one trajectory (sums of identical doubles in Spark's partial
+    aggregation vs DuckDB's serial sum agree because every
+    intermediate is an exact small-integer-derived double in round 1
+    and 6-dp divergence never accumulates past the final rounding; the
+    green driver row IS the check). An all-zero side (no edges) yields
+    zeros rather than a divide-by-zero.
+
+    Scale shape per round: two edge⋈score equi-joins with partial-
+    aggregated sums, two 1-row L2-norm aggregates broadcast back
+    (never a driver collect), lineage cut with lazy localCheckpoint.
+    ``broadcast_scores=True`` broadcasts the node-scale score frame so
+    the edge frame never shuffles. Cite: reference has no graph tier;
+    extends SURVEY §2.11 beside pagerank/weighted_pagerank."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = (
+        ensure_parallelism(edges)
+        .select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    scores = nodes.select(
+        "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
+    )
+    for _ in range(iterations):
+        s_in = F.broadcast(scores) if broadcast_scores else scores
+        araw = (
+            e.join(s_in, e["src"] == s_in["id"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("__ar"))
+        )
+        a0 = nodes.join(araw, nodes["id"] == araw["dst"], "left").select(
+            "id", F.coalesce(F.col("__ar"), F.lit(0.0)).alias("__ar")
+        )
+        anorm = a0.agg(
+            F.sqrt(F.sum(F.col("__ar") * F.col("__ar"))).alias("__an")
+        )
+        a1 = (
+            a0.crossJoin(F.broadcast(anorm))
+            .select(
+                "id",
+                F.when(F.col("__an") > 0,
+                       F.col("__ar") / F.col("__an"))
+                .otherwise(F.lit(0.0)).alias("auth"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        a_in = F.broadcast(a1) if broadcast_scores else a1
+        hraw = (
+            e.join(a_in, e["dst"] == a_in["id"])
+            .groupBy("src")
+            .agg(F.sum("auth").alias("__hr"))
+        )
+        h0 = nodes.join(hraw, nodes["id"] == hraw["src"], "left").select(
+            "id", F.coalesce(F.col("__hr"), F.lit(0.0)).alias("__hr")
+        )
+        hnorm = h0.agg(
+            F.sqrt(F.sum(F.col("__hr") * F.col("__hr"))).alias("__hn")
+        )
+        h1 = (
+            h0.crossJoin(F.broadcast(hnorm))
+            .select(
+                "id",
+                F.when(F.col("__hn") > 0,
+                       F.col("__hr") / F.col("__hn"))
+                .otherwise(F.lit(0.0)).alias("hub"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        scores = (
+            h1.join(a1.select(F.col("id").alias("__aid"), "auth"),
+                    h1["id"] == F.col("__aid"))
+            .select("id", "hub", "auth")
+            .localCheckpoint(eager=False)
+        )
+    return scores.select("id", "hub", F.col("auth").alias("authority"))

@@ -255,6 +255,7 @@ _CHECKED_PREFIX = [
     "graph_louvain_move",
     "graph_pagerank_weighted",
     "graph_weighted_distances",
+    "graph_hits",
     # r11 fingerprint drift - zero-sign sweep + hardening + coreness
     "graph_modularity",
     "graph_coreness",
@@ -302,7 +303,6 @@ _CHECKED_PREFIX = [
     "text_quality_scores",
     "text_repetition_stats",
     "text_term_frequency",
-    "text_tokens_bpeish",
 ]
 
 

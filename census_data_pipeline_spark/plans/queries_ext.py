@@ -4837,3 +4837,86 @@ def graph_louvain_move(spark, sf_dir):
     lpa = _g.label_propagation(e, iterations=5, broadcast_labels=True)
     labels = _g.louvain_local_move(e, rounds=4, init_labels=lpa)
     return _g.modularity(e, labels, label_col="community")
+
+
+def _hits_oracle(iters: int = 5) -> str:
+    """DuckDB replica of functions/graph.hits_scores: the power
+    iteration unrolled (the _pagerank_oracle discipline) — per round
+    a <- L2-normalized Sum_in h, then h <- L2-normalized Sum_out a,
+    identical expression order, zeros when a side has no mass."""
+    rounds = []
+    prev = "s0"
+    for t in range(iters):
+        cur = f"s{t + 1}"
+        rounds.append(f"""
+    ar{t} AS (
+      SELECT n.id, coalesce(x.ar, 0.0) AS ar
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS id, sum(s.hub) AS ar
+        FROM edges e JOIN {prev} s ON e.src = s.id
+        GROUP BY e.dst) x ON x.id = n.id),
+    an{t} AS (SELECT sqrt(sum(ar * ar)) AS an FROM ar{t}),
+    aa{t} AS MATERIALIZED (
+      SELECT id, CASE WHEN an.an > 0 THEN ar / an.an ELSE 0.0 END AS auth
+      FROM ar{t} CROSS JOIN an{t} an),
+    hr{t} AS (
+      SELECT n.id, coalesce(x.hr, 0.0) AS hr
+      FROM nodes n LEFT JOIN (
+        SELECT e.src AS id, sum(a.auth) AS hr
+        FROM edges e JOIN aa{t} a ON e.dst = a.id
+        GROUP BY e.src) x ON x.id = n.id),
+    hn{t} AS (SELECT sqrt(sum(hr * hr)) AS hn FROM hr{t}),
+    {cur} AS MATERIALIZED (
+      SELECT h.id,
+             CASE WHEN hn.hn > 0 THEN h.hr / hn.hn ELSE 0.0 END AS hub,
+             a.auth
+      FROM hr{t} h CROSS JOIN hn{t} hn
+      JOIN aa{t} a ON a.id = h.id)""")
+        prev = cur
+    return f"""
+    WITH edges AS (SELECT DISTINCT 'c' || o.o_custkey AS src,
+                                   's' || l.l_suppkey AS dst
+                   FROM orders o
+                   JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    nodes AS (SELECT DISTINCT id FROM (
+                SELECT src AS id FROM edges
+                UNION ALL SELECT dst FROM edges)),
+    s0 AS (SELECT id, 1.0 AS hub, 1.0 AS auth FROM nodes),{",".join(rounds)}
+    SELECT id, round(hub, 6) AS hub, round(auth, 6) AS authority
+    FROM {prev}
+    """
+
+
+@query("graph_hits", oracle=_hits_oracle(iters=5))
+def graph_hits(spark, sf_dir):
+    """HITS hubs and authorities (functions/graph.hits_scores,
+    Kleinberg 1999) over the customer->supplier purchase graph — the
+    two-role centrality PageRank's single score conflates on a
+    bipartite graph: every customer is pure hub (authority 0 — no
+    in-edges) and every supplier pure authority (hub 0), which the
+    output shows honestly; authority concentrates on the suppliers the
+    best-connected customers buy from. Five textbook rounds (a <-
+    normalized Sum_in h; h <- normalized Sum_out a), two edge⋈score
+    joins + two 1-row L2-norm broadcasts per round, lazy
+    localCheckpoint lineage cuts; the oracle unrolls the identical
+    trajectory."""
+    from census_data_pipeline_spark.functions import graph
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    e = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    s = graph.hits_scores(e, iterations=5, broadcast_scores=True)
+    return s.select(
+        "id", F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )

@@ -326,3 +326,25 @@ def test_louvain_q_monotone_over_lpa_init(spark):
     q0 = q_of(lpa)
     q1 = q_of(louvain_local_move(df, rounds=4, init_labels=lpa))
     assert q1 >= q0
+
+
+def test_hits_bipartite_roles_and_ordering(spark):
+    """On a directed bipartite graph hubs and authorities separate
+    exactly (sources have authority 0, sinks hub 0), and the supplier
+    bought by more/better hubs out-scores the one-buyer supplier."""
+    from census_data_pipeline_spark.functions.graph import hits_scores
+
+    rows = [("c1", "s1"), ("c1", "s2"), ("c2", "s1"), ("c3", "s1")]
+    df = spark.createDataFrame(rows, "src string, dst string")
+    got = {r.id: r for r in hits_scores(df, iterations=5).collect()}
+    for c in ("c1", "c2", "c3"):
+        assert got[c].authority == 0.0 and got[c].hub > 0
+    for s in ("s1", "s2"):
+        assert got[s].hub == 0.0 and got[s].authority > 0
+    assert got["s1"].authority > got["s2"].authority
+    assert got["c1"].hub > got["c2"].hub  # buys from both
+    # L2 norms: hub and authority vectors are each unit length
+    h2 = sum(r.hub ** 2 for r in got.values())
+    a2 = sum(r.authority ** 2 for r in got.values())
+    assert h2 == pytest.approx(1.0, abs=1e-9)
+    assert a2 == pytest.approx(1.0, abs=1e-9)
