@@ -661,6 +661,7 @@ def coreness(
     )
     out: list[DataFrame] = []
     k = 1
+    frame_rows: int | None = None  # |cur| = Σdeg at the last (re)build
     for _ in range(max_rounds):
         row = deg.agg(
             F.min("__deg").alias("mn"), F.count("*").alias("n"),
@@ -668,6 +669,8 @@ def coreness(
         ).first()
         if row["n"] == 0:
             break
+        if frame_rows is None:
+            frame_rows = int(row["sd"])
         if (
             local_tail_max > 0
             and int(row["n"]) + int(row["sd"]) <= local_tail_max
@@ -675,6 +678,26 @@ def coreness(
             tail = _coreness_local_tail(cur, deg, k)
             out.append(tail)
             break
+        if int(row["sd"]) * 2 <= frame_rows:
+            # Amortized frame prune (r11): the static-frame discipline
+            # avoids per-round |E| rewrites, but once HALF the frame is
+            # dead every probe scans 2× the live edges — one alive⨝alive
+            # rebuild here costs a single probe's work and halves every
+            # later round, so total probe work tracks Σ alive sizes
+            # (geometric) instead of rounds × |E|. Dead rows never match
+            # a drop set (drops are alive-only), so pruning is
+            # semantics-free — unit-pinned against the unpruned path.
+            alive1 = deg.select(F.col("id").alias("__al1"))
+            alive2 = deg.select(F.col("id").alias("__al2"))
+            if int(row["n"]) <= broadcast_max_drop:
+                alive1, alive2 = F.broadcast(alive1), F.broadcast(alive2)
+            cur = (
+                cur.join(alive1, cur["src"] == F.col("__al1"))
+                .join(alive2, cur["dst"] == F.col("__al2"))
+                .select("src", "dst")
+                .localCheckpoint(eager=False)
+            )
+            frame_rows = int(row["sd"])
         k = max(k, int(row["mn"]) + 1)
         drop = (
             deg.filter(F.col("__deg") < k)
