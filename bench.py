@@ -250,6 +250,8 @@ HEADLINE_NEW: list[str] = [
     "graph_weighted_distances",
     "graph_louvain_move",
     "graph_hits",
+    "lineitem_welch_fdr",
+    "embedding_truncation_recall",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is

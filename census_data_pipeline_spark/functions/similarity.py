@@ -2264,3 +2264,48 @@ def sq8_knn_recall(
     approx = knn_bruteforce(deq, deq.filter(query_pred), k=k,
                             id_col=id_col, vec_col=vec_col)
     return ranking_metrics(approx, truth, k=k)
+
+
+def truncation_recall(
+    emb: DataFrame,
+    query_pred,
+    dims: tuple = (32, 16),
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka-style truncation audit — the dimension-vs-recall
+    trade every embedding-storage decision needs beside ``quantize_sq8``'s
+    bits-vs-recall: for each prefix length m in ``dims``, truncate every
+    vector to its FIRST m components, run the exact cosine top-k on the
+    truncated corpus, and score it against the full-dimension ground
+    truth with the engine's standard ``ranking_metrics``. Returns one
+    row per (dim, query): (dim, query_id, n_relevant, n_hit,
+    recall_at_k, rr). A matryoshka-trained model holds recall ≈ 1 at
+    m = d/2; independent-component embeddings (this synthetic corpus)
+    degrade visibly — the measured number IS the decision input.
+
+    Scale shape: one ground-truth brute-force pass (broadcast queries,
+    corpus scanned once — the knn_bruteforce shape) reused across all
+    dims via a lazy localCheckpoint, plus one truncated scan per dim;
+    the scoring joins touch only (queries × k)-row frames. Cite:
+    reference has no embedding tier; extends SURVEY §2.11 beside
+    quantize_sq8/sq8_knn_recall."""
+    truth = knn_bruteforce(
+        emb, emb.filter(query_pred), k=k, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=False)
+    out = None
+    for m in dims:
+        tr = emb.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), 1, int(m)).alias(vec_col),
+        )
+        got = knn_bruteforce(
+            tr, tr.filter(query_pred), k=k, id_col=id_col,
+            vec_col=vec_col,
+        )
+        r = ranking_metrics(got, truth, k=k).select(
+            F.lit(int(m)).cast("int").alias("dim"), "*"
+        )
+        out = r if out is None else out.unionByName(r)
+    return out

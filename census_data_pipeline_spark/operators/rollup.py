@@ -3117,3 +3117,123 @@ def seasonal_anomaly_oracle_sql(table: str, ts_sql: str,
                 THEN abs(round((n - mu) / sqrt(var), 6)) > {z_cut!r}
                 END AS is_anomaly
     FROM saz"""
+
+
+def normal_two_sided_p(t: Column) -> Column:
+    """Two-sided normal-approximation p-value 2·(1−Φ(|t|)) = erfc(|t|/√2)
+    via the Abramowitz–Stegun 7.1.26 erf polynomial (|err| < 1.5e-7 —
+    three more digits than the corpus's 6-dp outputs need). Neither
+    Spark nor DuckDB exposes erf/erfc as a portable builtin, so both
+    engines evaluate THIS identical left-associated arithmetic
+    (``normal_two_sided_p_sql`` is the character-for-character SQL twin)
+    — the Wilson–Hilferty precedent (chi2 tier) of closed-form special
+    functions instead of lookup tables. Callers feed an already-6-dp-
+    rounded statistic so both engines start from identical doubles."""
+    x = F.abs(t) / F.lit(1.4142135623730951)
+    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = (
+        F.lit(0.254829592) * tt
+        - F.lit(0.284496736) * tt * tt
+        + F.lit(1.421413741) * tt * tt * tt
+        - F.lit(1.453152027) * tt * tt * tt * tt
+        + F.lit(1.061405429) * tt * tt * tt * tt * tt
+    )
+    return poly * F.exp(-x * x)
+
+
+def normal_two_sided_p_sql(expr: str) -> str:
+    """SQL twin of ``normal_two_sided_p`` — identical constants and
+    left-associated evaluation order."""
+    x = f"(abs({expr}) / 1.4142135623730951)"
+    t = f"(1.0 / (1.0 + 0.3275911 * {x}))"
+    return (
+        f"((0.254829592 * {t} - 0.284496736 * {t} * {t}"
+        f" + 1.421413741 * {t} * {t} * {t}"
+        f" - 1.453152027 * {t} * {t} * {t} * {t}"
+        f" + 1.061405429 * {t} * {t} * {t} * {t} * {t})"
+        f" * exp(-{x} * {x}))"
+    )
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str,
+    key_cols: list[str],
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR correction (Benjamini & Hochberg
+    1995) — the MULTIPLE-COMPARISONS layer the per-group test families
+    (Welch, Mann-Whitney, Kruskal-Wallis, ANOVA, …) were missing: each
+    emits one hypothesis per group with a fixed |z| > 1.96 flag, so a
+    user screening 25 segments at α=0.05 expects ~1.25 false positives
+    by construction. Input is any frame with one row per hypothesis and
+    a p-value column; rows with a NULL p (degenerate test arms) are
+    dropped (they are not hypotheses). Returns the input columns plus
+    (rank, q_value, reject): rank orders p ascending (ties broken by
+    ``key_cols`` — total order, engine-portable), q_value is the
+    monotone step-up adjustment min_{j ≥ rank}(m·p_(j)/j) capped at 1
+    and 6-dp rounded, and reject ⇔ q_value ≤ α (equivalent to the
+    classic largest-k rule).
+
+    Scale shape: the frame is HYPOTHESIS-scale (one row per tested
+    group — bounded by the grouping's cardinality, not the data), so
+    the two unpartitioned windows (rank, suffix-min) run over a
+    bounded frame — the corpus's documented bounded-frame window
+    convention (top-k outputs, histogram grids); m arrives as a 1-row
+    broadcast, never a driver collect. Cite: reference has no
+    statistics tier; extends SURVEY §2.11 beside welch_t_test."""
+    from pyspark.sql import Window
+
+    d = df.filter(F.col(p_col).isNotNull())
+    mm = d.agg(F.count("*").alias("__m"))
+    order = [F.col(p_col).asc()] + [F.col(k).asc() for k in key_cols]
+    ranked = (
+        d.crossJoin(F.broadcast(mm))
+        .select(
+            "*",
+            F.row_number().over(Window.orderBy(*order)).alias("rank"),
+        )
+    )
+    # suffix min of m·p/j from the largest rank down — bounded frame
+    wmin = Window.orderBy(F.col("rank").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    qraw = F.min(
+        F.col("__m") * F.col(p_col) / F.col("rank")
+    ).over(wmin)
+    return ranked.select(
+        *[c for c in ranked.columns if c != "__m"],
+        (F.round(F.least(F.lit(1.0), qraw), 6)).alias("q_value"),
+    ).withColumn("reject", F.col("q_value") <= F.lit(alpha))
+
+
+def bh_fdr_oracle_sql(
+    tests_sql: str,
+    p_sql: str,
+    key_sql: list[str],
+    carry_sql: list[str],
+    alpha: float = 0.05,
+) -> str:
+    """DuckDB replica of ``bh_fdr``: identical NULL-p drop, rank order
+    (p, then keys), suffix-min step-up adjustment, cap, 6-dp round.
+    ``tests_sql`` yields one row per hypothesis; ``carry_sql`` lists the
+    passthrough output columns (must include the keys and p column)."""
+    keys = ", ".join(key_sql)
+    carry = ", ".join(carry_sql)
+    return f"""WITH bht AS ({tests_sql}),
+    bhf AS (SELECT * FROM bht WHERE ({p_sql}) IS NOT NULL),
+    bhm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM bhf),
+    bhr AS (
+      SELECT bhf.*, bhm.m,
+             row_number() OVER (ORDER BY {p_sql} ASC, {keys}) AS rank
+      FROM bhf CROSS JOIN bhm)
+    SELECT {carry}, rank,
+           round(least(1.0, min(m * ({p_sql}) / rank) OVER (
+             ORDER BY rank DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+             AS q_value,
+           round(least(1.0, min(m * ({p_sql}) / rank) OVER (
+             ORDER BY rank DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+             <= {alpha!r} AS reject
+    FROM bhr"""

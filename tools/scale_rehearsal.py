@@ -181,7 +181,8 @@ def main() -> None:
         "gbt_stumps": "d", "trustrank": "g", "dbscan": "d",
         "pca_catalyst": "e", "pca_arrow": "e", "bfs": "g",
         "forecast_hw": "v", "survival_km": "v", "random_forest": "d",
-        "kcore": "g", "coreness": "g",
+        "kcore": "g", "coreness": "g", "louvain": "g",
+        "hits": "g", "weighted_bf": "g",
         "components": "g", "markov": "v", "wasserstein_w1": "v",
         "bootstrap_ci": "v",
     }
@@ -482,6 +483,37 @@ def main() -> None:
                                       F.col("user_id") % 2 == 0,
                                       "val", n_boot=20)
 
+    def fam_louvain(d, e, g, v):
+        # LPA init + 4 disjoint-move rounds (the graph_louvain_move
+        # shape); disconnected key-shifted copies keep the round count
+        # constant across decades while per-round joins grow with data
+        from census_data_pipeline_spark.functions import graph as _g
+        lpa = _g.label_propagation(g, iterations=5,
+                                   broadcast_labels=True)
+        lab = _g.louvain_local_move(g, rounds=4, init_labels=lpa)
+        return _g.modularity(g, lab, label_col="community")
+
+    def fam_hits(d, e, g, v):
+        from census_data_pipeline_spark.functions import graph as _g
+        return _g.hits_scores(g, iterations=5, broadcast_scores=True)
+
+    def fam_weighted_bf(d, e, g, v):
+        # closeness weights over the deduped amplified graph; seeds =
+        # a fixed slice of src nodes so the frontier is node-bounded
+        from census_data_pipeline_spark.functions import graph as _g
+        ew = g.groupBy("src", "dst").agg(
+            (F.lit(1.0) / F.count("*")).alias("w")
+        )
+        sym = ew.unionByName(
+            ew.select(F.col("dst").alias("src"),
+                      F.col("src").alias("dst"), "w")
+        )
+        seeds = g.select("src").distinct().filter(
+            F.abs(F.hash("src")) % 100 == 0
+        )
+        return _g.weighted_distances(sym, seeds, weight_col="w",
+                                     rounds=4)
+
     def fam_coreness(d, e, g, v):
         # full all-k decomposition; the amplified graph is disconnected
         # key-shifted copies, so the peel DEPTH stays constant across
@@ -514,6 +546,9 @@ def main() -> None:
         "random_forest": fam_random_forest,
         "kcore": fam_kcore,
         "coreness": fam_coreness,
+        "louvain": fam_louvain,
+        "hits": fam_hits,
+        "weighted_bf": fam_weighted_bf,
         "bfs": fam_bfs,
         "components": fam_components,
         "markov": fam_markov,
