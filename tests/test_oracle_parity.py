@@ -39,6 +39,12 @@ def _normalize(value):
     if isinstance(value, float):
         if math.isnan(value):
             return "NaN"
+        # r11: distinguish -0.0 from +0.0 the way the DRIVER's
+        # stringified hash does (Python round() keeps them ==, which is
+        # exactly how the graph_modularity -0.0 divergence hid from
+        # this suite for ten rounds)
+        if value == 0.0 and math.copysign(1.0, value) < 0:
+            return "-0.0"
         return round(value, 9)
     if hasattr(value, "isoformat"):  # datetime/date
         return value.isoformat()
