@@ -769,6 +769,51 @@ def coreness_oracle_sql(edges_sql: str) -> str:
     FROM peel GROUP BY src"""
 
 
+def _symmetrize_simple(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    weight_col: str | None,
+) -> DataFrame:
+    """Shared symmetrize for the community tier: returns the
+    (src, dst, __w) symmetric SIMPLE frame (self-loops dropped).
+
+    Unweighted (``weight_col is None``): the historical contract —
+    union-reversed, deduped, every surviving row weighs 1.0.
+    Weighted: ``weighted_pagerank``'s exact conventions (VERDICT r11
+    #1) — NULL/non-positive weights dropped (no random-walk meaning),
+    then parallel edges weight-summed per SYMMETRIC direction, so
+    w(a,b) = w(b,a) = Σ of every input weight on (a,b) or (b,a).
+    Integer-valued weights keep every downstream sum an exact double,
+    which is what makes the engine↔oracle trajectories bit-identical."""
+    if weight_col is None:
+        e = ensure_parallelism(edges).select(
+            F.col(src).alias("src"), F.col(dst).alias("dst")
+        )
+        return (
+            e.unionByName(e.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .withColumn("__w", F.lit(1.0))
+        )
+    e = (
+        ensure_parallelism(edges)
+        .select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"),
+            F.col(weight_col).cast("double").alias("__w"),
+        )
+        .filter(F.col("__w").isNotNull() & (F.col("__w") > 0))
+    )
+    return (
+        e.unionByName(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst"), "__w"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum("__w").alias("__w"))
+    )
+
+
 def modularity(
     edges: DataFrame,
     labels: DataFrame,
@@ -776,6 +821,7 @@ def modularity(
     dst: str = "dst",
     id_col: str = "id",
     label_col: str = "community",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Newman modularity of a community assignment (Newman & Girvan
     2004): Q = Σ_c [ s_c/S − (d_c/S)² ] over the symmetrized simple
@@ -784,6 +830,18 @@ def modularity(
     evaluation contract for ``label_propagation``/TrustRank output
     (VERDICT r9 #4): Q near 0 means the labels are no better than
     random cuts, Q ≳ 0.3 means real community structure.
+
+    ``weight_col`` (VERDICT r11 #1) generalizes every term to edge
+    weights under ``weighted_pagerank``'s conventions (parallel edges
+    weight-summed per symmetric direction, NULL/non-positive dropped):
+    Q = Σ_c [ w_c/W − (s_c/W)² ] with W = total symmetric weight,
+    w_c = intra-community symmetric weight, s_c = the community's
+    WEIGHTED degree sum — so the purchase graph's multiplicities score
+    community quality instead of being binarized away. Weighted mode
+    returns (community, n_nodes, intra_weight, weight_sum, q_contrib)
+    — doubles where the unweighted contract has edge/degree counts;
+    integer-valued weights keep every sum an exact double (the
+    engine↔oracle parity argument is unchanged).
 
     Returns one row per community — (community, n_nodes, intra_edges,
     degree_sum, q_contrib) — plus a ``<all>`` total row whose
@@ -800,15 +858,7 @@ def modularity(
     1-row crossJoin (never a driver collect) — closed-form, no
     iteration, no window. Cite: reference has no graph tier; this is
     the missing evaluation beside LPA (SURVEY §2.11)."""
-    e = ensure_parallelism(edges).select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    )
-    sym = (
-        e.unionByName(e.select(F.col("dst").alias("src"),
-                               F.col("src").alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    sym = _symmetrize_simple(edges, src, dst, weight_col)
     lab = labels.select(
         F.col(id_col).alias("id"), F.col(label_col).alias("lab")
     )
@@ -817,39 +867,53 @@ def modularity(
     labeled = (
         sym.join(la, sym["src"] == la["__sid"])
         .join(lb, sym["dst"] == lb["__did"])
-        .select("lsrc", "ldst")
+        .select("lsrc", "ldst", "__w")
     )
     stats = labeled.groupBy(F.col("lsrc").alias("community")).agg(
         F.sum(
-            F.when(F.col("lsrc") == F.col("ldst"), F.lit(1)).otherwise(0)
+            F.when(F.col("lsrc") == F.col("ldst"), F.col("__w"))
+            .otherwise(F.lit(0.0))
         ).alias("__s"),
-        F.count("*").alias("__d"),
+        F.sum("__w").alias("__d"),
     )
     sizes = lab.groupBy(F.col("lab").alias("community")).agg(
         F.count("*").alias("n_nodes")
     )
     total = stats.agg(
-        F.coalesce(F.sum("__d"), F.lit(0)).alias("__St")
+        F.coalesce(F.sum("__d"), F.lit(0.0)).alias("__St")
     )
+    if weight_col is None:
+        mass_cols = [
+            (F.coalesce(F.col("__s"), F.lit(0.0)) / 2)
+            .cast("long").alias("intra_edges"),
+            F.coalesce(F.col("__d"), F.lit(0.0))
+            .cast("long").alias("degree_sum"),
+        ]
+        mass_names = ["intra_edges", "degree_sum"]
+    else:
+        mass_cols = [
+            (F.coalesce(F.col("__s"), F.lit(0.0)) / 2)
+            .alias("intra_weight"),
+            F.coalesce(F.col("__d"), F.lit(0.0)).alias("weight_sum"),
+        ]
+        mass_names = ["intra_weight", "weight_sum"]
     per = (
         sizes.join(stats, "community", "left")
         .crossJoin(F.broadcast(total))
         .select(
             "community",
             "n_nodes",
-            (F.coalesce(F.col("__s"), F.lit(0)) / 2)
-            .cast("long").alias("intra_edges"),
-            F.coalesce(F.col("__d"), F.lit(0))
-            .cast("long").alias("degree_sum"),
+            *mass_cols,
             # ``+ 0.0`` = the corpus zero-sign convention (VERDICT r10
             # #1): IEEE (-0.0) + 0.0 == +0.0 and x + 0.0 == x otherwise,
             # so a contribution that rounds to zero from below can never
             # stringify as '-0.0' in the driver hash.
             F.when(F.col("__St") == 0, F.lit(0.0)).otherwise(
                 F.round(
-                    F.coalesce(F.col("__s"), F.lit(0)) / F.col("__St")
+                    F.coalesce(F.col("__s"), F.lit(0.0)) / F.col("__St")
                     - F.pow(
-                        F.coalesce(F.col("__d"), F.lit(0)) / F.col("__St"),
+                        F.coalesce(F.col("__d"), F.lit(0.0))
+                        / F.col("__St"),
                         F.lit(2),
                     ),
                     6,
@@ -860,21 +924,46 @@ def modularity(
     )
     grand = per.agg(
         F.sum("n_nodes").alias("n_nodes"),
-        F.sum("intra_edges").alias("intra_edges"),
-        F.sum("degree_sum").alias("degree_sum"),
+        F.sum(mass_names[0]).alias(mass_names[0]),
+        F.sum(mass_names[1]).alias(mass_names[1]),
         (F.round(F.coalesce(F.sum("q_contrib"), F.lit(0.0)), 6)
          + F.lit(0.0))
         .alias("q_contrib"),
     ).select(
         F.lit("<all>").alias("community"),
-        "n_nodes", "intra_edges", "degree_sum", "q_contrib",
+        "n_nodes", *mass_names, "q_contrib",
     )
     return per.unionByName(grand)
+
+
+def _sym_simple_sql(edges_sql: str, name: str, weighted: bool) -> str:
+    """SQL replica of ``_symmetrize_simple`` as one MATERIALIZED CTE
+    named ``name`` selecting (src, dst, w): unweighted = union-reversed
+    DISTINCT with w = 1.0; weighted = NULL/non-positive dropped then
+    weight-summed per symmetric direction (``edges_sql`` then selects
+    (src, dst, w))."""
+    if not weighted:
+        return f"""{name} AS MATERIALIZED (
+      SELECT src, dst, 1.0 AS w FROM (
+        SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM ({edges_sql}) r0
+          UNION ALL
+          SELECT dst, src FROM ({edges_sql}) r1) u
+        WHERE src <> dst) d)"""
+    return f"""{name} AS MATERIALIZED (
+      SELECT src, dst, SUM(w) AS w FROM (
+        SELECT src, dst, w FROM ({edges_sql}) r0
+        WHERE w IS NOT NULL AND w > 0
+        UNION ALL
+        SELECT dst, src, w FROM ({edges_sql}) r1
+        WHERE w IS NOT NULL AND w > 0) u
+      WHERE src <> dst GROUP BY src, dst)"""
 
 
 def modularity_oracle_sql(
     edges_sql: str,
     labels_sql: str,
+    weighted: bool = False,
 ) -> str:
     """DuckDB replica of ``modularity``: identical symmetrize, the same
     two label joins, the same (s_c, d_c) aggregate, per-community
@@ -882,44 +971,50 @@ def modularity_oracle_sql(
     contributions. ``ROUND(…) + 0`` normalizes DuckDB's IEEE −0.0 (a
     q_contrib that rounds to zero from below) to +0.0, matching Spark —
     the corpus zero-sign convention (VERDICT r10 #1; this exact site was
-    r10's one hash-fail). ``edges_sql`` selects (src, dst);
-    ``labels_sql`` selects (id, lab)."""
-    return f"""WITH me0 AS MATERIALIZED (
-      SELECT DISTINCT src, dst FROM (
-        SELECT src, dst FROM ({edges_sql}) r0
-        UNION ALL
-        SELECT dst, src FROM ({edges_sql}) r1) u
-      WHERE src <> dst),
+    r10's one hash-fail). ``edges_sql`` selects (src, dst) — plus w when
+    ``weighted`` (VERDICT r11 #1: the weighted generalization, doubles
+    instead of counts); ``labels_sql`` selects (id, lab)."""
+    if weighted:
+        mass = """COALESCE(t.s_c, 0.0) / 2 AS intra_weight,
+             COALESCE(t.d_c, 0.0) AS weight_sum"""
+        mass_names = ("intra_weight", "weight_sum")
+        mass_total = """SUM(intra_weight), SUM(weight_sum)"""
+    else:
+        mass = """CAST(COALESCE(t.s_c, 0.0) / 2 AS BIGINT) AS intra_edges,
+             CAST(COALESCE(t.d_c, 0.0) AS BIGINT) AS degree_sum"""
+        mass_names = ("intra_edges", "degree_sum")
+        mass_total = (
+            "CAST(SUM(intra_edges) AS BIGINT), CAST(SUM(degree_sum) AS BIGINT)"
+        )
+    return f"""WITH {_sym_simple_sql(edges_sql, "me0", weighted)},
     mlab AS MATERIALIZED (SELECT id, lab FROM ({labels_sql}) ml),
     mlabeled AS (
-      SELECT la.lab AS lsrc, lb.lab AS ldst
+      SELECT la.lab AS lsrc, lb.lab AS ldst, s.w
       FROM me0 s JOIN mlab la ON s.src = la.id
                  JOIN mlab lb ON s.dst = lb.id),
     mstats AS (
       SELECT lsrc AS community,
-             SUM(CASE WHEN lsrc = ldst THEN 1 ELSE 0 END) AS s_c,
-             COUNT(*) AS d_c
+             SUM(CASE WHEN lsrc = ldst THEN w ELSE 0.0 END) AS s_c,
+             SUM(w) AS d_c
       FROM mlabeled GROUP BY lsrc),
     msizes AS (
       SELECT lab AS community, COUNT(*) AS n_nodes
       FROM mlab GROUP BY lab),
-    mtot AS (SELECT COALESCE(SUM(d_c), 0) AS S FROM mstats),
+    mtot AS (SELECT COALESCE(SUM(d_c), 0.0) AS S FROM mstats),
     mper AS (
       SELECT z.community,
              z.n_nodes,
-             CAST(COALESCE(t.s_c, 0) / 2 AS BIGINT) AS intra_edges,
-             CAST(COALESCE(t.d_c, 0) AS BIGINT) AS degree_sum,
+             {mass},
              CASE WHEN mtot.S = 0 THEN 0.0 ELSE ROUND(
-               CAST(COALESCE(t.s_c, 0) AS DOUBLE) / mtot.S
-               - POW(CAST(COALESCE(t.d_c, 0) AS DOUBLE) / mtot.S, 2),
+               COALESCE(t.s_c, 0.0) / mtot.S
+               - POW(COALESCE(t.d_c, 0.0) / mtot.S, 2),
              6) + 0 END AS q_contrib
       FROM msizes z LEFT JOIN mstats t ON z.community = t.community,
            mtot)
-    SELECT community, CAST(n_nodes AS BIGINT) AS n_nodes, intra_edges,
-           degree_sum, q_contrib FROM mper
+    SELECT community, CAST(n_nodes AS BIGINT) AS n_nodes, {mass_names[0]},
+           {mass_names[1]}, q_contrib FROM mper
     UNION ALL
-    SELECT '<all>', CAST(SUM(n_nodes) AS BIGINT), CAST(SUM(intra_edges) AS BIGINT),
-           CAST(SUM(degree_sum) AS BIGINT),
+    SELECT '<all>', CAST(SUM(n_nodes) AS BIGINT), {mass_total},
            ROUND(COALESCE(SUM(q_contrib), 0.0), 6) + 0
     FROM mper"""
 
@@ -1649,10 +1744,14 @@ def weighted_pagerank(
     purchase graph expect once edges carry multiplicities or spend.
     Parallel edges are weight-summed per (src, dst) first; rows with a
     NULL or non-positive weight are dropped (a zero-weight edge cannot
-    carry rank and a negative one has no random-walk meaning). Dangling
-    nodes (no surviving out-edge) redistribute uniformly, and ranks sum
-    to 1 every round — the exact ``pagerank`` conventions, so the two
-    operators differ ONLY in the contribution split.
+    carry rank and a negative one has no random-walk meaning). The
+    node universe comes from the UNFILTERED edge list (ADVICE r11): a
+    node whose every incident edge is weight-dropped stays in the
+    output as a dangling/unreferenced node with baseline rank, exactly
+    as ``pagerank`` would keep it. Dangling nodes (no surviving
+    out-edge) redistribute uniformly, and ranks sum to 1 every round —
+    the exact ``pagerank`` conventions, so the two operators differ
+    ONLY in the contribution split.
 
     Scale shape: identical to ``pagerank`` — per round one edge⋈rank
     join, one partial-aggregated contribution sum, a 1-row dangling
@@ -1664,20 +1763,21 @@ def weighted_pagerank(
     pagerank/trustrank."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    e0 = ensure_parallelism(edges).select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"),
+        F.col(weight_col).cast("double").alias("__w"),
+    )
     e = (
-        ensure_parallelism(edges)
-        .select(
-            F.col(src).alias("src"), F.col(dst).alias("dst"),
-            F.col(weight_col).cast("double").alias("__w"),
-        )
-        .filter(F.col("__w").isNotNull() & (F.col("__w") > 0))
+        e0.filter(F.col("__w").isNotNull() & (F.col("__w") > 0))
         .groupBy("src", "dst")
         .agg(F.sum("__w").alias("__w"))
         .localCheckpoint(eager=False)
     )
+    # node universe over the UNFILTERED edge list (ADVICE r11) so
+    # weight-dropped nodes survive as dangling with baseline rank
     nodes = (
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
+        e0.select(F.col("src").alias("id"))
+        .union(e0.select(F.col("dst").alias("id")))
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -1745,10 +1845,14 @@ def weighted_distances(
     generalization of ``bfs_distances``'s hop counts: returns
     (id, dist) for every node reachable within ``rounds`` relaxation
     rounds, dist = the minimum total edge weight from any seed (seeds
-    at 0.0). Weights must be non-negative; NULL-weight edges are
-    dropped. After r rounds dist(v) is exact over all paths of ≤ r
-    edges — the standard fixed-horizon contract (run rounds ≥ graph
-    diameter for the full fixpoint).
+    at 0.0). Weights must be non-negative, and the contract is
+    ENFORCED (ADVICE r11): NULL-weight AND negative-weight edges are
+    dropped — a negative weight has no shortest-path meaning under a
+    fixed horizon (Bellman-Ford with negative edges needs |V|−1
+    rounds plus a cycle check; silently accepting them degraded the
+    'shortest' semantics). After r rounds dist(v) is exact over all
+    paths of ≤ r edges — the standard fixed-horizon contract (run
+    rounds ≥ graph diameter for the full fixpoint).
 
     Frontier-delta discipline (the BFS shape, carried over): per round
     only the nodes whose distance IMPROVED last round propagate —
@@ -1770,7 +1874,7 @@ def weighted_distances(
             F.col(src).alias("src"), F.col(dst).alias("dst"),
             F.col(weight_col).cast("double").alias("__w"),
         )
-        .filter(F.col("__w").isNotNull())
+        .filter(F.col("__w").isNotNull() & (F.col("__w") >= 0))
         .localCheckpoint(eager=False)
     )
     dist = (
@@ -1812,108 +1916,37 @@ def weighted_distances(
 
 
 
-def louvain_local_move(
-    edges: DataFrame,
-    src: str = "src",
-    dst: str = "dst",
-    rounds: int = 8,
-    init_labels: DataFrame | None = None,
+def _louvain_rounds(
+    sym: DataFrame,
+    labels: DataFrame,
+    stot: DataFrame,
+    rounds: int,
 ) -> DataFrame:
-    """Deterministic one-level Louvain-style local move (Blondel et al.
-    2008, phase 1) — the modularity IMPROVER the evaluation tier was
-    missing (VERDICT r10 #3: ``modularity`` can tell the user LPA's
-    labels are weak, but nothing offered anything better). Returns
-    (id, community) over the symmetrized simple graph, ``modularity``'s
-    exact conventions (S = 2m symmetric rows, degree sums, self-loops
-    dropped), so the two compose; labels start as each node's own id,
-    or as ``init_labels`` (a 2-column (id, label) frame — pass
-    ``label_propagation`` output to REFINE it: with the monotone rule
-    below the result's Q can never fall below the init's, so
-    louvain-over-LPA is guaranteed ≥ LPA). Nodes missing from
-    ``init_labels`` fall back to their own id.
+    """The shared Louvain move core (distributed path): ``rounds``
+    synchronous best-move rounds with the both-endpoints-winner
+    disjointness guard, over an already-symmetric weighted frame.
 
-    ΔQ for moving v from community a to b, in ``modularity``'s
-    Q = Σ_c [s_c/S − (d_c/S)²] terms (all inputs INTEGER counts, so
-    both engines compute bit-identical doubles):
-
-        ΔQ = 2·(e_vb − e_va)/S − 2·k_v·(d_b − d_a + k_v)/S²
-
-    where e_vc = v's edges into c, k_v = v's degree, d_c = c's degree
-    sum (v counted inside a). ΔQ is 6-dp floor-half-up rounded (the
-    forecast ``_r6`` discipline) before every comparison so the move
-    decisions are engine-portable.
-
-    **Q is provably non-decreasing — the synchronous-stampede guard.**
-    Naive synchronous local moves are a known trap: thousands of nodes
-    join the same target at once (each ΔQ positive ALONE, jointly
-    catastrophic — measured Q = −0.09 on the purchase graph), and
-    connected singleton pairs swap labels forever. Instead, per round:
-    (1) every node proposes its single best strictly-improving move
-    (max ΔQ, ties to the smallest target label); (2) a proposal
-    survives only if it is the best proposal TOUCHING both its source
-    and its target community (best = (ΔQ desc, node asc, target asc),
-    a total order because each node proposes once). Surviving moves
-    touch pairwise-disjoint community pairs, and ΔQ over disjoint
-    pairs is exactly additive (a mover outside communities {c, d}
-    changes neither their degree sums nor their intra counts), so
-    every round strictly increases Q — no oscillation is possible, and
-    up to #communities/2 disjoint moves still apply in parallel per
-    round. Fixed ``rounds``, no convergence action.
-
-    Scale shape per round: one edges ⋈ labels equi-join + a
-    (node, neighbor-community) partial-aggregated count (≤ |E| rows),
-    node-scale joins against the community-degree frame, the 1-row S
-    broadcast, and the winner resolution as ordinary min(struct)
-    aggregates — never a node-set window; lineage cut with lazy
-    localCheckpoint (the LPA round shape). Cite: reference has no
-    graph tier; extends SURVEY §2.11 beside
-    label_propagation/modularity."""
-    if rounds < 1:
-        raise ValueError("rounds must be >= 1")
-    e = ensure_parallelism(edges).select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    )
-    sym = (
-        e.union(e.select(F.col("dst").alias("src"),
-                         F.col("src").alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    deg = (
-        sym.groupBy("src")
-        .agg(F.count("*").alias("__k"))
-        .select(F.col("src").alias("id"), "__k")
-        .localCheckpoint(eager=False)
-    )
-    stot = deg.agg(F.sum("__k").alias("__S"))
-    if init_labels is not None:
-        il = init_labels.select(
-            F.col(init_labels.columns[0]).alias("__il_id"),
-            F.col(init_labels.columns[1]).alias("__il_com"),
-        )
-        labels = (
-            deg.join(il, deg["id"] == il["__il_id"], "left")
-            .select(
-                "id",
-                F.coalesce(F.col("__il_com"), F.col("id")).alias("com"),
-                "__k",
-            )
-            .localCheckpoint(eager=False)
-        )
-    else:
-        labels = deg.select(
-            "id", F.col("id").alias("com"), "__k"
-        ).localCheckpoint(eager=False)
+    ``sym`` is (src, dst, __w) and MAY carry self-rows (contracted
+    levels represent a community's intra weight as one (c, c, s_c)
+    row): candidate weights e_vc come from the src≠dst subset only,
+    while ``labels``' __k column — the weighted degree — INCLUDES
+    self-row weight. Under that split the closed-form ΔQ
+    (2·(e_vb−e_va)/S − 2·k_v·(d_b−d_a+k_v)/S²) is level-invariant: a
+    supernode's self-loop moves with it, so it cancels in the intra
+    term and only widens k_v — which is exactly why contracted-level
+    modularity equals original-graph modularity. ``labels`` is
+    (id, com, __k); ``stot`` a 1-row (__S) frame (S is invariant
+    across contraction levels)."""
+    ev_edges = sym.filter(F.col("src") != F.col("dst"))
     for _ in range(rounds):
         dc = labels.groupBy("com").agg(F.sum("__k").alias("__d"))
         nbl = labels.select(F.col("id").alias("__nid"),
                             F.col("com").alias("__ncom"))
         evc = (
-            sym.join(nbl, sym["dst"] == nbl["__nid"])
+            ev_edges.join(nbl, ev_edges["dst"] == nbl["__nid"])
             .groupBy(F.col("src").alias("__v"),
                      F.col("__ncom").alias("__cand"))
-            .agg(F.count("*").alias("__evb"))
+            .agg(F.sum("__w").alias("__evb"))
             .localCheckpoint(eager=False)
         )
         me = labels.select(F.col("id").alias("__v2"),
@@ -1940,7 +1973,7 @@ def louvain_local_move(
                         (
                             F.lit(2.0)
                             * (F.col("__evb")
-                               - F.coalesce(F.col("__eva"), F.lit(0)))
+                               - F.coalesce(F.col("__eva"), F.lit(0.0)))
                             / F.col("__S")
                             - F.lit(2.0) * F.col("__kv")
                             * (F.col("__db") - F.col("__da")
@@ -1979,11 +2012,11 @@ def louvain_local_move(
                     F.struct((-F.col("__dq")).alias("nd"),
                              F.col("__v").alias("v"),
                              F.col("__cand").alias("cand"))
-                ).alias("__w")
+                ).alias("__w2")
             )
             .select(
-                "__tcom", F.col("__w.v").alias("__wv"),
-                F.col("__w.cand").alias("__wcand"),
+                "__tcom", F.col("__w2.v").alias("__wv"),
+                F.col("__w2.cand").alias("__wcand"),
             )
         )
         win_s = win.select(F.col("__tcom").alias("__ws_com"),
@@ -2017,17 +2050,385 @@ def louvain_local_move(
             )
             .localCheckpoint(eager=False)
         )
+    return labels
+
+
+def _louvain_local_tail(
+    sym: DataFrame,
+    labels: DataFrame,
+    s_total: float,
+    rounds: int,
+) -> DataFrame:
+    """Finish the Louvain move rounds in ONE bounded driver pass — the
+    ``_coreness_local_tail`` discipline (VERDICT r11 #3): collect the
+    ≤-cap (src, dst, __w) frame plus the node-scale (id, com, __k)
+    frame via Arrow, replay the EXACT per-round dataflow locally
+    (identical IEEE expression order for ΔQ incl. the 6-dp
+    floor-half-up, identical (−ΔQ, cand) / (−ΔQ, v, cand) tuple
+    orders — Python tuple comparison ≡ Spark struct comparison on
+    doubles + ASCII strings/ints), and hand back the labels frame.
+    Callers gate on |sym| + |labels| before entering; every sum is
+    over integer-valued doubles so the local trajectory is
+    bit-identical to the distributed one (unit-pinned:
+    tests/test_round12_ops.py)."""
+    import math
+
+    pdf = sym.toPandas()  # Arrow batch transfer — bounded by the gate
+    lpdf = labels.toPandas()
+    lab = dict(zip(lpdf["id"].tolist(), lpdf["com"].tolist()))
+    kv_map = dict(zip(lpdf["id"].tolist(),
+                      (float(x) for x in lpdf["__k"].tolist())))
+    esrc = pdf["src"].tolist()
+    edst = pdf["dst"].tolist()
+    ew = [float(x) for x in pdf["__w"].tolist()]
+    S = float(s_total)
+    for _ in range(rounds):
+        dcom: dict = {}
+        for i, c in lab.items():
+            dcom[c] = dcom.get(c, 0.0) + kv_map[i]
+        evc: dict = {}
+        for u, v, w in zip(esrc, edst, ew):
+            if u == v:
+                continue
+            key = (u, lab[v])
+            evc[key] = evc.get(key, 0.0) + w
+        best: dict = {}
+        for (v, cnd), evb in evc.items():
+            myc = lab[v]
+            if cnd == myc:
+                continue
+            eva = evc.get((v, myc), 0.0)
+            kv = kv_map[v]
+            dq = math.floor(
+                (2.0 * (evb - eva) / S
+                 - 2.0 * kv * (dcom[cnd] - dcom[myc] + kv)
+                 / (S * 1.0 * S)) * 1_000_000.0 + 0.5
+            ) / 1_000_000.0
+            if dq > 0:
+                cur = best.get(v)
+                if cur is None or (-dq, cnd) < cur:
+                    best[v] = (-dq, cnd)
+        win: dict = {}
+        for v, (nd, cnd) in best.items():
+            key = (nd, v, cnd)
+            for t in (lab[v], cnd):
+                if t not in win or key < win[t]:
+                    win[t] = key
+        for v, (nd, cnd) in best.items():
+            key = (nd, v, cnd)
+            if win.get(lab[v]) == key and win.get(cnd) == key:
+                lab[v] = cnd
+    import pandas as pd
+
+    out = pd.DataFrame(
+        {"id": list(lab.keys()), "com": list(lab.values()),
+         "__k": [kv_map[i] for i in lab.keys()]}
+    )
+    # Arrow batch transfer back out, mirroring the toPandas on the way in
+    return labels.sparkSession.createDataFrame(out, labels.schema)
+
+
+def _louvain_level(
+    sym: DataFrame,
+    labels: DataFrame,
+    stot: DataFrame,
+    rounds: int,
+    local_tail_max: int,
+) -> DataFrame:
+    """One Louvain move phase over (sym, labels): bounded local tail
+    when |sym| + |labels| ≤ ``local_tail_max`` (one scalar count each —
+    the coreness gate discipline; the sym count also materializes the
+    lazy checkpoint the rounds would force anyway), else the
+    distributed round core. Both paths are output-identical
+    (unit-pinned)."""
+    if local_tail_max > 0:
+        m = sym.count()
+        n = labels.count()
+        if m + n <= local_tail_max:
+            s_total = stot.first()["__S"]
+            if not s_total:
+                return labels
+            return _louvain_local_tail(sym, labels, s_total, rounds)
+    return _louvain_rounds(sym, labels, stot, rounds)
+
+
+def _louvain_init_labels(
+    deg: DataFrame, init_labels: DataFrame | None
+) -> DataFrame:
+    """(id, com, __k) start frame: each node its own community, or the
+    caller's (id, label) frame with own-id fallback for missing
+    nodes."""
+    if init_labels is None:
+        return deg.select(
+            "id", F.col("id").alias("com"), "__k"
+        ).localCheckpoint(eager=False)
+    il = init_labels.select(
+        F.col(init_labels.columns[0]).alias("__il_id"),
+        F.col(init_labels.columns[1]).alias("__il_com"),
+    )
+    return (
+        deg.join(il, deg["id"] == il["__il_id"], "left")
+        .select(
+            "id",
+            F.coalesce(F.col("__il_com"), F.col("id")).alias("com"),
+            "__k",
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def louvain_local_move(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 8,
+    init_labels: DataFrame | None = None,
+    weight_col: str | None = None,
+    local_tail_max: int = 2_000_000,
+) -> DataFrame:
+    """Deterministic one-level Louvain-style local move (Blondel et al.
+    2008, phase 1) — the modularity IMPROVER the evaluation tier was
+    missing (VERDICT r10 #3: ``modularity`` can tell the user LPA's
+    labels are weak, but nothing offered anything better). Returns
+    (id, community) over the symmetrized simple graph, ``modularity``'s
+    exact conventions (S = 2m symmetric rows, degree sums, self-loops
+    dropped), so the two compose; labels start as each node's own id,
+    or as ``init_labels`` (a 2-column (id, label) frame — pass
+    ``label_propagation`` output to REFINE it: with the monotone rule
+    below the result's Q can never fall below the init's, so
+    louvain-over-LPA is guaranteed ≥ LPA). Nodes missing from
+    ``init_labels`` fall back to their own id.
+
+    ΔQ for moving v from community a to b, in ``modularity``'s
+    Q = Σ_c [s_c/S − (d_c/S)²] terms (all inputs INTEGER counts — or
+    integer-valued weights — so both engines compute bit-identical
+    doubles):
+
+        ΔQ = 2·(e_vb − e_va)/S − 2·k_v·(d_b − d_a + k_v)/S²
+
+    where e_vc = v's edges into c, k_v = v's degree, d_c = c's degree
+    sum (v counted inside a). ΔQ is 6-dp floor-half-up rounded (the
+    forecast ``_r6`` discipline) before every comparison so the move
+    decisions are engine-portable.
+
+    ``weight_col`` (VERDICT r11 #1) generalizes every term to edge
+    weights under ``weighted_pagerank``'s conventions (NULL/non-
+    positive dropped, parallel edges weight-summed per symmetric
+    direction — ``_symmetrize_simple``, shared with ``modularity``):
+    e_vc and k_v become weighted sums and ΔQ optimizes the WEIGHTED
+    modularity, so a 40-purchase relationship pulls 40× harder than a
+    one-off. Integer-valued weights keep the parity argument intact.
+
+    **Bounded local tail** (VERDICT r11 #3 — the
+    ``_coreness_local_tail`` discipline applied verbatim): the move
+    rounds' wall is a fixed per-round scheduling floor, so once
+    |sym rows| + |nodes| ≤ ``local_tail_max`` (hard gate, default 2M,
+    0 disables) the WHOLE move phase runs in one bounded Arrow
+    collect + local replay of the identical dataflow — bit-identical
+    output (unit-pinned), 100 TB graphs never enter (the gate keeps
+    them fully distributed).
+
+    **Q is provably non-decreasing — the synchronous-stampede guard.**
+    Naive synchronous local moves are a known trap: thousands of nodes
+    join the same target at once (each ΔQ positive ALONE, jointly
+    catastrophic — measured Q = −0.09 on the purchase graph), and
+    connected singleton pairs swap labels forever. Instead, per round:
+    (1) every node proposes its single best strictly-improving move
+    (max ΔQ, ties to the smallest target label); (2) a proposal
+    survives only if it is the best proposal TOUCHING both its source
+    and its target community (best = (ΔQ desc, node asc, target asc),
+    a total order because each node proposes once). Surviving moves
+    touch pairwise-disjoint community pairs, and ΔQ over disjoint
+    pairs is exactly additive (a mover outside communities {c, d}
+    changes neither their degree sums nor their intra counts), so
+    every round strictly increases Q — no oscillation is possible, and
+    up to #communities/2 disjoint moves still apply in parallel per
+    round. Fixed ``rounds``, no convergence action.
+
+    Scale shape per round: one edges ⋈ labels equi-join + a
+    (node, neighbor-community) partial-aggregated count (≤ |E| rows),
+    node-scale joins against the community-degree frame, the 1-row S
+    broadcast, and the winner resolution as ordinary min(struct)
+    aggregates — never a node-set window; lineage cut with lazy
+    localCheckpoint (the LPA round shape). Cite: reference has no
+    graph tier; extends SURVEY §2.11 beside
+    label_propagation/modularity."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    sym = _symmetrize_simple(
+        edges, src, dst, weight_col
+    ).localCheckpoint(eager=False)
+    deg = (
+        sym.groupBy("src")
+        .agg(F.sum("__w").alias("__k"))
+        .select(F.col("src").alias("id"), "__k")
+        .localCheckpoint(eager=False)
+    )
+    stot = deg.agg(F.sum("__k").alias("__S"))
+    labels = _louvain_init_labels(deg, init_labels)
+    labels = _louvain_level(sym, labels, stot, rounds, local_tail_max)
     return labels.select("id", F.col("com").alias("community"))
+
+
+def louvain_multilevel(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    levels: int = 2,
+    rounds: int = 4,
+    init_labels: DataFrame | None = None,
+    weight_col: str | None = None,
+    local_tail_max: int = 2_000_000,
+) -> DataFrame:
+    """Full multi-level Louvain (Blondel et al. 2008, phases 1+2 —
+    VERDICT r11 #2): alternate ``louvain_local_move``'s guarded
+    synchronous move phase with graph CONTRACTION — communities become
+    supernodes, edges weight-sum into superedges, intra-community
+    weight becomes the supernode's self-loop — and re-run the mover on
+    the contracted graph, ``levels`` times. This is where Louvain's
+    real modularity gains live: one-level moves shift single nodes,
+    contracted-level moves merge whole communities at once.
+
+    Returns (id, community) over the ORIGINAL node ids (labels
+    composed down through the levels). Q is non-decreasing across
+    rounds AND levels: contraction preserves modularity exactly
+    (degree sums, intra weights, and S are invariant under the
+    supernode representation — the self-loop carries s_c and cancels
+    in ΔQ's intra term, see ``_louvain_rounds``), and every move phase
+    is the guarded non-decreasing mover. Contracted graphs are
+    inherently weighted, so the weighted core (VERDICT r11 #1) is the
+    prerequisite this builds on; level-0 weights come from
+    ``weight_col`` (or 1.0 — contraction weights are then integer edge
+    counts, keeping engine↔oracle sums exact either way).
+
+    Scale shape: level 0 is ``louvain_local_move``'s exact dataflow;
+    each contraction is ONE edges⋈labels double equi-join +
+    partial-aggregated groupBy to the superedge frame (strictly
+    smaller than its input — ≤ alive communities² and in practice a
+    sliver); later levels run on community-scale frames and hit the
+    bounded local tail almost immediately. Oracle:
+    ``louvain_multilevel_oracle_sql`` unrolls every level's rounds and
+    contraction as CTEs. Cite: reference has no graph tier; extends
+    SURVEY §2.11 beside louvain_local_move."""
+    if levels < 1:
+        raise ValueError("levels must be >= 1")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    sym = _symmetrize_simple(
+        edges, src, dst, weight_col
+    ).localCheckpoint(eager=False)
+    deg = (
+        sym.groupBy("src")
+        .agg(F.sum("__w").alias("__k"))
+        .select(F.col("src").alias("id"), "__k")
+        .localCheckpoint(eager=False)
+    )
+    stot = deg.agg(F.sum("__k").alias("__S"))
+    labels = _louvain_init_labels(deg, init_labels)
+    labels = _louvain_level(sym, labels, stot, rounds, local_tail_max)
+    mapping = labels.select("id", "com").localCheckpoint(eager=False)
+    for _ in range(1, levels):
+        ls = labels.select(F.col("id").alias("__ls_id"),
+                           F.col("com").alias("__ls_com"))
+        ld = labels.select(F.col("id").alias("__ld_id"),
+                           F.col("com").alias("__ld_com"))
+        sym = (
+            sym.join(ls, sym["src"] == ls["__ls_id"])
+            .join(ld, sym["dst"] == ld["__ld_id"])
+            .groupBy(F.col("__ls_com").alias("src"),
+                     F.col("__ld_com").alias("dst"))
+            .agg(F.sum("__w").alias("__w"))
+            .localCheckpoint(eager=False)
+        )
+        deg = (
+            sym.groupBy("src")
+            .agg(F.sum("__w").alias("__k"))
+            .select(F.col("src").alias("id"), "__k")
+            .localCheckpoint(eager=False)
+        )
+        labels = _louvain_init_labels(deg, None)
+        labels = _louvain_level(sym, labels, stot, rounds, local_tail_max)
+        sl = labels.select(F.col("id").alias("__sl_id"),
+                           F.col("com").alias("__sl_com"))
+        mapping = (
+            mapping.join(sl, mapping["com"] == sl["__sl_id"])
+            .select("id", F.col("__sl_com").alias("com"))
+            .localCheckpoint(eager=False)
+        )
+    return mapping.select("id", F.col("com").alias("community"))
+
+
+def _louvain_round_ctes(
+    tag: str, sym_name: str, prev: str, rounds: int
+) -> tuple[list[str], str]:
+    """Emit the per-round Louvain move CTEs (the ``_louvain_rounds``
+    replica): over the already-symmetric weighted CTE ``sym_name``
+    (src, dst, w — self-rows excluded from candidate weights, matching
+    the engine's ev_edges filter) and the label CTE ``prev`` (id, com,
+    k). ``lS`` (the shared 1-row S CTE) must exist in scope — S is
+    level-invariant so every level references the same one. Returns
+    (cte_parts, final_label_cte)."""
+    parts = []
+    for t in range(rounds):
+        cur = f"{tag}l{t + 1}"
+        parts.append(f"""
+    {tag}dc{t} AS MATERIALIZED (
+      SELECT com, SUM(k) AS d FROM {prev} GROUP BY com),
+    {tag}evc{t} AS MATERIALIZED (
+      SELECT s.src AS v, l.com AS cand, SUM(s.w) AS evb
+      FROM {sym_name} s JOIN {prev} l ON s.dst = l.id
+      WHERE s.src <> s.dst GROUP BY 1, 2),
+    {tag}cnd{t} AS (
+      SELECT c.v, me.com AS mycom, c.cand,
+             floor((2.0 * (c.evb - coalesce(ev.evb, 0.0)) / lS.S
+                    - 2.0 * me.k * (db.d - da.d + me.k)
+                      / (lS.S * 1.0 * lS.S))
+                   * 1000000.0 + 0.5) / 1000000.0 AS dq
+      FROM {tag}evc{t} c
+      JOIN {prev} me ON me.id = c.v
+      LEFT JOIN {tag}evc{t} ev ON ev.v = c.v AND ev.cand = me.com
+      JOIN {tag}dc{t} db ON db.com = c.cand
+      JOIN {tag}dc{t} da ON da.com = me.com
+      CROSS JOIN lS
+      WHERE c.cand <> me.com),
+    {tag}prop{t} AS MATERIALIZED (
+      SELECT v, mycom, cand, dq FROM (
+        SELECT v, mycom, cand, dq, row_number() OVER (
+                 PARTITION BY v ORDER BY dq DESC, cand ASC) AS rn
+        FROM {tag}cnd{t} WHERE dq > 0) p
+      WHERE rn = 1),
+    {tag}win{t} AS (
+      SELECT tcom, v, cand FROM (
+        SELECT tcom, v, cand, row_number() OVER (
+                 PARTITION BY tcom ORDER BY dq DESC, v ASC, cand ASC
+               ) AS rn
+        FROM (SELECT mycom AS tcom, v, cand, dq FROM {tag}prop{t}
+              UNION ALL
+              SELECT cand AS tcom, v, cand, dq FROM {tag}prop{t}) u) w
+      WHERE rn = 1),
+    {tag}mv{t} AS (
+      SELECT p.v, p.cand
+      FROM {tag}prop{t} p
+      JOIN {tag}win{t} ws ON ws.tcom = p.mycom AND ws.v = p.v
+                    AND ws.cand = p.cand
+      JOIN {tag}win{t} wt ON wt.tcom = p.cand AND wt.v = p.v
+                    AND wt.cand = p.cand),
+    {cur} AS MATERIALIZED (
+      SELECT l.id, coalesce(m.cand, l.com) AS com, l.k
+      FROM {prev} l LEFT JOIN {tag}mv{t} m ON m.v = l.id)""")
+        prev = cur
+    return parts, prev
 
 
 def louvain_labels_oracle_sql(
     edges_sql: str,
     rounds: int = 8,
     init_labels_sql: str | None = None,
+    weighted: bool = False,
 ) -> str:
     """DuckDB replica of ``louvain_local_move`` as UNROLLED round CTEs
     (the _pagerank_oracle discipline): identical symmetrize, degree
-    frame, per-round (node, neighbor-community) counts, the same
+    frame, per-round (node, neighbor-community) weights, the same
     integer-derived ΔQ with the same 6-dp floor-half-up rounding, the
     same per-node proposal pick, and the same both-endpoints winner
     filter (row_number windows here — the total order (ΔQ desc, node
@@ -2035,73 +2436,75 @@ def louvain_labels_oracle_sql(
     a parenthesized subquery selecting (id, lab) — feed it to
     ``modularity_oracle_sql`` as ``labels_sql``. ``init_labels_sql``
     (a subquery selecting (id, lab)) mirrors the engine's
-    ``init_labels`` refinement mode."""
+    ``init_labels`` refinement mode; ``weighted`` mirrors
+    ``weight_col`` (``edges_sql`` then selects (src, dst, w))."""
     if init_labels_sql is None:
         l0 = "l0 AS (SELECT id, id AS com, k FROM ldeg)"
     else:
         l0 = f"""l0 AS MATERIALIZED (
       SELECT d.id, coalesce(il.lab, d.id) AS com, d.k
       FROM ldeg d LEFT JOIN ({init_labels_sql}) il ON il.id = d.id)"""
-    parts = []
-    prev = "l0"
-    for t in range(rounds):
-        cur = f"l{t + 1}"
-        parts.append(f"""
-    dc{t} AS MATERIALIZED (
-      SELECT com, SUM(k) AS d FROM {prev} GROUP BY com),
-    evc{t} AS MATERIALIZED (
-      SELECT s.src AS v, l.com AS cand, count(*) AS evb
-      FROM lsym s JOIN {prev} l ON s.dst = l.id GROUP BY 1, 2),
-    cnd{t} AS (
-      SELECT c.v, me.com AS mycom, c.cand,
-             floor((2.0 * (c.evb - coalesce(ev.evb, 0)) / lS.S
-                    - 2.0 * me.k * (db.d - da.d + me.k)
-                      / (lS.S * 1.0 * lS.S))
-                   * 1000000.0 + 0.5) / 1000000.0 AS dq
-      FROM evc{t} c
-      JOIN {prev} me ON me.id = c.v
-      LEFT JOIN evc{t} ev ON ev.v = c.v AND ev.cand = me.com
-      JOIN dc{t} db ON db.com = c.cand
-      JOIN dc{t} da ON da.com = me.com
-      CROSS JOIN lS
-      WHERE c.cand <> me.com),
-    prop{t} AS MATERIALIZED (
-      SELECT v, mycom, cand, dq FROM (
-        SELECT v, mycom, cand, dq, row_number() OVER (
-                 PARTITION BY v ORDER BY dq DESC, cand ASC) AS rn
-        FROM cnd{t} WHERE dq > 0) p
-      WHERE rn = 1),
-    win{t} AS (
-      SELECT tcom, v, cand FROM (
-        SELECT tcom, v, cand, row_number() OVER (
-                 PARTITION BY tcom ORDER BY dq DESC, v ASC, cand ASC
-               ) AS rn
-        FROM (SELECT mycom AS tcom, v, cand, dq FROM prop{t}
-              UNION ALL
-              SELECT cand AS tcom, v, cand, dq FROM prop{t}) u) w
-      WHERE rn = 1),
-    mv{t} AS (
-      SELECT p.v, p.cand
-      FROM prop{t} p
-      JOIN win{t} ws ON ws.tcom = p.mycom AND ws.v = p.v
-                    AND ws.cand = p.cand
-      JOIN win{t} wt ON wt.tcom = p.cand AND wt.v = p.v
-                    AND wt.cand = p.cand),
-    {cur} AS MATERIALIZED (
-      SELECT l.id, coalesce(m.cand, l.com) AS com, l.k
-      FROM {prev} l LEFT JOIN mv{t} m ON m.v = l.id)""")
-        prev = cur
-    return f"""(WITH lsym AS MATERIALIZED (
-      SELECT DISTINCT src, dst FROM (
-        SELECT src, dst FROM ({edges_sql}) r0
-        UNION ALL
-        SELECT dst, src FROM ({edges_sql}) r1) u
-      WHERE src <> dst),
+    parts, prev = _louvain_round_ctes("", "lsym", "l0", rounds)
+    return f"""(WITH {_sym_simple_sql(edges_sql, "lsym", weighted)},
     ldeg AS MATERIALIZED (
-      SELECT src AS id, count(*) AS k FROM lsym GROUP BY src),
+      SELECT src AS id, SUM(w) AS k FROM lsym GROUP BY src),
     lS AS (SELECT SUM(k) AS S FROM ldeg),
     {l0},{",".join(parts)}
     SELECT id, com AS lab FROM {prev})"""
+
+
+def louvain_multilevel_oracle_sql(
+    edges_sql: str,
+    levels: int = 2,
+    rounds: int = 4,
+    init_labels_sql: str | None = None,
+    weighted: bool = False,
+) -> str:
+    """DuckDB replica of ``louvain_multilevel``: every level's move
+    rounds unrolled via ``_louvain_round_ctes``, each contraction as
+    one double-label-join + weight-summing groupBy (self-rows kept —
+    they carry intra weight into the next level's degrees exactly as
+    the engine does), level labels composed back down to original node
+    ids at the end. S (``lS``) is computed once at level 0 and shared
+    — it is invariant under contraction. Returns a parenthesized
+    subquery selecting (id, lab)."""
+    if init_labels_sql is None:
+        l0 = "a0l0 AS (SELECT id, id AS com, k FROM mdeg0)"
+    else:
+        l0 = f"""a0l0 AS MATERIALIZED (
+      SELECT d.id, coalesce(il.lab, d.id) AS com, d.k
+      FROM mdeg0 d LEFT JOIN ({init_labels_sql}) il ON il.id = d.id)"""
+    ctes = [
+        _sym_simple_sql(edges_sql, "m0sym", weighted),
+        """mdeg0 AS MATERIALIZED (
+      SELECT src AS id, SUM(w) AS k FROM m0sym GROUP BY src)""",
+        "lS AS (SELECT SUM(k) AS S FROM mdeg0)",
+        l0,
+    ]
+    parts, prev = _louvain_round_ctes("a0", "m0sym", "a0l0", rounds)
+    ctes.extend(parts)
+    finals = [prev]
+    for lv in range(1, levels):
+        ctes.append(f"""m{lv}sym AS MATERIALIZED (
+      SELECT ls.com AS src, ld.com AS dst, SUM(s.w) AS w
+      FROM m{lv - 1}sym s JOIN {finals[-1]} ls ON s.src = ls.id
+                JOIN {finals[-1]} ld ON s.dst = ld.id
+      GROUP BY 1, 2)""")
+        ctes.append(f"""mdeg{lv} AS MATERIALIZED (
+      SELECT src AS id, SUM(w) AS k FROM m{lv}sym GROUP BY src)""")
+        ctes.append(
+            f"a{lv}l0 AS (SELECT id, id AS com, k FROM mdeg{lv})"
+        )
+        parts, prev = _louvain_round_ctes(f"a{lv}", f"m{lv}sym",
+                                          f"a{lv}l0", rounds)
+        ctes.extend(parts)
+        finals.append(prev)
+    sel = f"SELECT b0.id, b{levels - 1}.com AS lab FROM {finals[0]} b0"
+    for lv in range(1, levels):
+        sel += (f"\n    JOIN {finals[lv]} b{lv}"
+                f" ON b{lv}.id = b{lv - 1}.com")
+    return f"""(WITH {",".join(ctes)}
+    {sel})"""
 
 
 def hits_scores(
