@@ -13,6 +13,7 @@ column, unlike ``count()`` which lets Catalyst prune projections).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -252,6 +253,10 @@ HEADLINE_NEW: list[str] = [
     "graph_hits",
     "lineitem_welch_fdr",
     "embedding_truncation_recall",
+    # r12 weighted community tier + multi-level Louvain
+    "graph_modularity_weighted",
+    "graph_louvain_weighted",
+    "graph_louvain_multilevel",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is
@@ -338,13 +343,36 @@ def main() -> None:
     flagged: list[str] = []
     cal_max = cal_baseline
     cal_all: list[float] = []
+    # Sub-2s swing guard (VERDICT r11 #4): r11 recorded dedup_minhash_lsh
+    # 0.81 → 1.22 s and knn_bruteforce 0.50 → 0.68 s with ZERO code change
+    # on either path — small-absolute swings the per-sample spike sentinel
+    # cannot see. Before recording a ≥30% round-over-round swing on a
+    # sub-2s query, take one extra batch of samples so a transient does
+    # not become the round's number; a swing that SURVIVES the retry is
+    # recorded and listed in calibration.swing_confirmed.
+    prev_mins: dict[str, float] = {}
+    prev_recs = sorted(
+        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LOCAL_r*.json"))
+    )
+    if prev_recs:
+        try:
+            with open(prev_recs[-1]) as fh:
+                prev_mins = json.load(fh).get("queries", {})
+        except Exception:
+            prev_mins = {}
+    swing_confirmed: list[str] = []
+
     mins: dict[str, float] = {}
     means: dict[str, float] = {}
     for name in HEADLINE:
         samples: list[float] = []
         contaminated: list[float] = []
         attempts = 0
-        while len(samples) < runs and attempts < runs + _EXTRA_BUDGET:
+        budget = runs + _EXTRA_BUDGET
+        want = runs
+        retried_swing = False
+        while len(samples) < want and attempts < budget:
             attempts += 1
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
@@ -364,6 +392,21 @@ def main() -> None:
                 contaminated.append(dt)
                 continue
             samples.append(dt)
+            if len(samples) == want and not retried_swing:
+                p = prev_mins.get(name)
+                cur = min(samples)
+                if (
+                    p is not None and max(cur, p) < 2.0
+                    and (cur > 1.3 * p or p > 1.3 * cur)
+                ):
+                    retried_swing = True
+                    want += runs
+                    budget += runs
+        if retried_swing:
+            p = prev_mins.get(name, 0.0)
+            cur = min(samples) if samples else float("inf")
+            if cur > 1.3 * p or p > 1.3 * cur:
+                swing_confirmed.append(name)
         if not samples:
             # sustained load: keep the contaminated mins but say so
             samples = contaminated
@@ -391,6 +434,7 @@ def main() -> None:
                     "spikes": spikes,
                     "discarded_samples": discarded,
                     "still_contaminated": flagged,
+                    "swing_confirmed": swing_confirmed,
                     # sustained moderate load inflates EVERY sample without
                     # tripping the per-sample spike threshold; a median
                     # calibration well above the session baseline is the

@@ -236,12 +236,102 @@ def triangle_counts(
     )
 
 
+def _lpa_local_tail(sym0: DataFrame, iterations: int) -> DataFrame:
+    """Run the WHOLE label-propagation loop in one bounded driver pass
+    (the ``_coreness_local_tail`` discipline, r12): collect the ≤-cap
+    symmetric deduped frame (self-loops included — they define the
+    node set), replay the identical per-round dataflow locally (vote
+    counts are exact integers; the (−count, label) tuple order is the
+    struct-min order), and hand back (id, lab). Callers gate on
+    2·|sym0| before entering (nodes ⊆ sym0 src values, so the collect
+    is bounded). Bit-identical to the distributed rounds
+    (unit-pinned: tests/test_round12_ops.py)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    pdf = sym0.toPandas()  # Arrow batch transfer — bounded by the gate
+    ids = np.unique(pdf["src"].to_numpy())  # sorted ⇒ code order = value order
+    n = len(ids)
+    f = sym0.schema["src"]
+    schema = StructType([
+        StructField("id", f.dataType, f.nullable),
+        StructField("lab", f.dataType, f.nullable),
+    ])
+    if n == 0:
+        return sym0.sparkSession.createDataFrame(
+            pd.DataFrame({"id": [], "lab": []}), schema)
+    scode = np.searchsorted(ids, pdf["src"].to_numpy()).astype(np.int64)
+    dcode = np.searchsorted(ids, pdf["dst"].to_numpy()).astype(np.int64)
+    lab = _lpa_replay(scode, dcode, n, iterations)
+    out = pd.DataFrame({"id": ids, "lab": ids[lab]})
+    return sym0.sparkSession.createDataFrame(out, schema)
+
+
+def _lpa_replay(scode, dcode, n, iterations):
+    """The numpy LPA vote core — identical round-for-round to the
+    distributed dataflow (integer vote counts, (−count, label)
+    struct-min tie order as a lexsort over sorted value codes).
+    ``scode/dcode`` form the deduped symmetric frame WITH self-loops
+    (they define the node set; votes exclude them, the self-vote is
+    added explicitly). Returns the final label-code array."""
+    import numpy as np
+
+    mask = scode != dcode  # vote edges exclude self-loops
+    vdst = dcode[mask]
+    vsrc = scode[mask]
+    lab = np.arange(n, dtype=np.int64)  # own-id start, codes = sorted ids
+    selfk = np.arange(n, dtype=np.int64) * n
+    for _ in range(iterations):
+        # vote keys (dst, label-of-src) + the standard self-vote; counts
+        # are exact integers, so engine order cannot matter
+        keys = np.concatenate([vdst * n + lab[vsrc], selfk + lab])
+        uk, cnts = np.unique(keys, return_counts=True)
+        kd = uk // n
+        kl = uk % n
+        # per dst: min(−count, label) ≡ the distributed struct-min
+        order = np.lexsort((kl, -cnts, kd))
+        firsts = np.unique(kd[order], return_index=True)[1]
+        lab = kl[order][firsts]  # every node has ≥ the self vote
+    return lab
+
+
+def _lpa_full_local(eprep: DataFrame, iterations: int) -> DataFrame:
+    """The whole LPA run in ONE bounded driver pass off the RAW edge
+    frame (r12): collect, symmetrize+dedupe in numpy (self-loops kept
+    — they define the node set, the ADVICE r6 contract), replay the
+    vote rounds. Skips the distributed union+distinct shuffle the
+    sym0-based tail still paid; output identical (unit-pinned)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    pdf = eprep.toPandas()  # Arrow batch transfer — bounded by the gate
+    f = eprep.schema["src"]
+    schema = StructType([
+        StructField("id", f.dataType, f.nullable),
+        StructField("community", f.dataType, f.nullable),
+    ])
+    svals = pdf["src"].to_numpy()
+    dvals = pdf["dst"].to_numpy()
+    if len(svals) == 0:
+        return eprep.sparkSession.createDataFrame(
+            pd.DataFrame({"id": [], "community": []}), schema)
+    ids = np.unique(np.concatenate([svals, dvals]))
+    scode, dcode, _ = _np_symmetrize(svals, dvals, None, ids,
+                                     keep_self=True)
+    lab = _lpa_replay(scode, dcode, len(ids), iterations)
+    out = pd.DataFrame({"id": ids, "community": ids[lab]})
+    return eprep.sparkSession.createDataFrame(out, schema)
+
+
 def label_propagation(
     edges: DataFrame,
     iterations: int = 5,
     src: str = "src",
     dst: str = "dst",
     broadcast_labels: bool = False,
+    local_tail_max: int = 2_000_000,
 ) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation (Raghavan et
     al. 2007, the formulation GraphX's LabelPropagation normalizes to)
@@ -268,12 +358,23 @@ def label_propagation(
     set fits in an executor: edges then never shuffle); checkpointed
     frames defeat AQE size estimation, so this cannot be left to the
     optimizer. Lineage is cut per round with lazy ``localCheckpoint``
-    (the connected-components discipline)."""
+    (the connected-components discipline).
+
+    **Bounded local tail** (r12, the ``_coreness_local_tail``
+    discipline): the synchronous rounds' wall-clock is a fixed
+    per-round scheduling floor, so once 2·|sym| ≤ ``local_tail_max``
+    (hard gate, default 2M, 0 disables — nodes ⊆ sym src values bounds
+    the collect) the whole loop runs locally off one Arrow collect,
+    bit-identical output (integer vote counts, identical tie order;
+    unit-pinned). 100 TB graphs never enter the gate and stay fully
+    distributed."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     e = ensure_parallelism(edges).select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     )
+    if local_tail_max > 0 and 2 * e.count() <= local_tail_max:
+        return _lpa_full_local(e, iterations)
     # ONE checkpointed frame serves both the vote edges and the node
     # set: symmetrize + dedupe WITHOUT dropping self-loops, so its src
     # side covers every node — including self-loop-only nodes, which
@@ -289,6 +390,9 @@ def label_propagation(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    if local_tail_max > 0 and 2 * sym0.count() <= local_tail_max:
+        tail = _lpa_local_tail(sym0, iterations)
+        return tail.select("id", F.col("lab").alias("community"))
     sym = sym0.filter(F.col("src") != F.col("dst"))
     nodes = (
         sym0.select(F.col("src").alias("id"))
@@ -822,6 +926,7 @@ def modularity(
     id_col: str = "id",
     label_col: str = "community",
     weight_col: str | None = None,
+    local_tail_max: int = 2_000_000,
 ) -> DataFrame:
     """Newman modularity of a community assignment (Newman & Girvan
     2004): Q = Σ_c [ s_c/S − (d_c/S)² ] over the symmetrized simple
@@ -855,33 +960,117 @@ def modularity(
     Scale shape: two equi-joins of the symmetric edge frame against
     the node-scale label frame, ONE partial-aggregated groupBy to
     (s_c, d_c) per community, the grand total S broadcast back as a
-    1-row crossJoin (never a driver collect) — closed-form, no
-    iteration, no window. Cite: reference has no graph tier; this is
-    the missing evaluation beside LPA (SURVEY §2.11)."""
-    sym = _symmetrize_simple(edges, src, dst, weight_col)
+    1-row crossJoin (never an unbounded driver collect) — closed-form,
+    no iteration, no window. Under 2·|sym| ≤ ``local_tail_max`` (hard
+    gate, 2M default, 0 disables — the coreness/louvain discipline)
+    the integer-exact (s_c, d_c, n_nodes) stats pass runs in numpy off
+    one bounded Arrow collect while ALL rounding-sensitive arithmetic
+    (÷, pow, F.round, the '<all>' sum) stays in the shared Spark
+    expressions — the two paths cannot diverge at rounding boundaries.
+    Cite: reference has no graph tier; this is the missing evaluation
+    beside LPA (SURVEY §2.11)."""
+    eprep = _louvain_eprep(edges, src, dst, weight_col)
     lab = labels.select(
         F.col(id_col).alias("id"), F.col(label_col).alias("lab")
     )
-    la = lab.select(F.col("id").alias("__sid"), F.col("lab").alias("lsrc"))
-    lb = lab.select(F.col("id").alias("__did"), F.col("lab").alias("ldst"))
-    labeled = (
-        sym.join(la, sym["src"] == la["__sid"])
-        .join(lb, sym["dst"] == lb["__did"])
-        .select("lsrc", "ldst", "__w")
-    )
-    stats = labeled.groupBy(F.col("lsrc").alias("community")).agg(
-        F.sum(
-            F.when(F.col("lsrc") == F.col("ldst"), F.col("__w"))
-            .otherwise(F.lit(0.0))
-        ).alias("__s"),
-        F.sum("__w").alias("__d"),
-    )
-    sizes = lab.groupBy(F.col("lab").alias("community")).agg(
-        F.count("*").alias("n_nodes")
-    )
-    total = stats.agg(
-        F.coalesce(F.sum("__d"), F.lit(0.0)).alias("__St")
-    )
+    if local_tail_max > 0 and 2 * eprep.count() <= local_tail_max:
+        # Bounded local stats pass (r12, the coreness/louvain gate
+        # discipline): the heavy part — two |E|-scale label joins + the
+        # (s_c, d_c) groupBy — runs in numpy off one Arrow collect
+        # (every sum is over exact integer-valued doubles, so order
+        # cannot matter), while the ROUNDING-SENSITIVE final arithmetic
+        # (round/pow/÷, the '<all>' sum of rounded contributions) stays
+        # in the SAME Spark expressions below over the tiny
+        # per-community stats frame — the two paths share every
+        # division and F.round call, so they cannot diverge at
+        # rounding boundaries. 100 TB graphs never enter the gate.
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                       StructType)
+
+        epdf = eprep.toPandas()
+        lpdf = lab.toPandas()
+        lids = lpdf["id"].to_numpy()
+        llabs = lpdf["lab"].to_numpy()
+        coms, lab_codes = np.unique(llabs, return_inverse=True)
+        C = len(coms)
+        n_nodes_a = np.bincount(lab_codes, minlength=C).astype(np.int64)
+        s_a = np.zeros(C, dtype=np.float64)
+        d_a = np.zeros(C, dtype=np.float64)
+        if len(epdf) and C:
+            svals = epdf[src].to_numpy()
+            dvals = epdf[dst].to_numpy()
+            wvals = (epdf["__w"].to_numpy(dtype=np.float64)
+                     if weight_col is not None else None)
+            endpoints = np.unique(np.concatenate([svals, dvals]))
+            scode, dcode, w_sym = _np_symmetrize(
+                svals, dvals, wvals, endpoints)
+            order = np.argsort(lids, kind="mergesort")
+            lsort, csort = lids[order], lab_codes[order]
+
+            def _lookup(vals):
+                pos = np.searchsorted(lsort, vals)
+                ok = pos < len(lsort)
+                posc = np.where(ok, pos, 0)
+                ok &= lsort[posc] == vals
+                return np.where(ok, csort[posc], -1), ok
+            lsrc, ok_s = _lookup(endpoints[scode])
+            ldst, ok_d = _lookup(endpoints[dcode])
+            keep = ok_s & ok_d  # unlabeled endpoints drop their edges
+            w_k = w_sym[keep]
+            lsrc_k, ldst_k = lsrc[keep], ldst[keep]
+            np.add.at(d_a, lsrc_k, w_k)
+            intra = lsrc_k == ldst_k
+            np.add.at(s_a, lsrc_k[intra], w_k[intra])
+        lab_field = lab.schema["lab"]
+        stats_schema = StructType([
+            StructField("community", lab_field.dataType,
+                        lab_field.nullable),
+            StructField("n_nodes", LongType(), False),
+            StructField("__s", DoubleType(), False),
+            StructField("__d", DoubleType(), False),
+        ])
+        stats_pdf = pd.DataFrame({
+            "community": coms, "n_nodes": n_nodes_a,
+            "__s": s_a, "__d": d_a,
+        })
+        per_stats = lab.sparkSession.createDataFrame(
+            stats_pdf, stats_schema)
+        total = per_stats.agg(
+            F.coalesce(F.sum("__d"), F.lit(0.0)).alias("__St")
+        )
+        joined = per_stats.crossJoin(F.broadcast(total))
+    else:
+        sym = _symmetrize_simple(
+            eprep, src, dst, "__w" if weight_col else None
+        )
+        la = lab.select(F.col("id").alias("__sid"),
+                        F.col("lab").alias("lsrc"))
+        lb = lab.select(F.col("id").alias("__did"),
+                        F.col("lab").alias("ldst"))
+        labeled = (
+            sym.join(la, sym["src"] == la["__sid"])
+            .join(lb, sym["dst"] == lb["__did"])
+            .select("lsrc", "ldst", "__w")
+        )
+        stats = labeled.groupBy(F.col("lsrc").alias("community")).agg(
+            F.sum(
+                F.when(F.col("lsrc") == F.col("ldst"), F.col("__w"))
+                .otherwise(F.lit(0.0))
+            ).alias("__s"),
+            F.sum("__w").alias("__d"),
+        )
+        sizes = lab.groupBy(F.col("lab").alias("community")).agg(
+            F.count("*").alias("n_nodes")
+        )
+        total = stats.agg(
+            F.coalesce(F.sum("__d"), F.lit(0.0)).alias("__St")
+        )
+        joined = (
+            sizes.join(stats, "community", "left")
+            .crossJoin(F.broadcast(total))
+        )
     if weight_col is None:
         mass_cols = [
             (F.coalesce(F.col("__s"), F.lit(0.0)) / 2)
@@ -898,8 +1087,7 @@ def modularity(
         ]
         mass_names = ["intra_weight", "weight_sum"]
     per = (
-        sizes.join(stats, "community", "left")
-        .crossJoin(F.broadcast(total))
+        joined
         .select(
             "community",
             "n_nodes",
@@ -1916,6 +2104,29 @@ def weighted_distances(
 
 
 
+def _round_materialize(df: DataFrame, prior: DataFrame | None = None) -> DataFrame:
+    """Round-boundary materialization for chained iterative frames
+    (r12). In this Spark build, a plan built ON TOP of a
+    ``localCheckpoint`` dataset RECOMPUTES the checkpoint's lineage
+    instead of reading its stored blocks (measured: 5-8× per chained
+    Louvain round — exponential in rounds; reliable ``checkpoint`` has
+    the same consumer-side behavior). Routing consumers through
+    ``persist`` fixes it — the cache manager rewrites consumer plans
+    to InMemoryTableScan, which DOES reuse blocks (measured flat
+    1.1 s/round over 10 chained rounds) — while the lazy
+    ``localCheckpoint`` underneath keeps the LOGICAL plan a flat
+    LogicalRDD so per-round analysis stays O(1). One count
+    materializes the blocks (the coreness one-bounded-action-per-round
+    discipline); ``prior`` — the previous round's frame — is
+    unpersisted once the new frame is live, so cache residency stays
+    O(one round's frames) at any round count."""
+    out = df.localCheckpoint(eager=False).persist()
+    out.count()
+    if prior is not None:
+        prior.unpersist()
+    return out
+
+
 def _louvain_rounds(
     sym: DataFrame,
     labels: DataFrame,
@@ -1947,8 +2158,8 @@ def _louvain_rounds(
             .groupBy(F.col("src").alias("__v"),
                      F.col("__ncom").alias("__cand"))
             .agg(F.sum("__w").alias("__evb"))
-            .localCheckpoint(eager=False)
         )
+        evc = _round_materialize(evc)  # consumed twice (evc2 / eva)
         me = labels.select(F.col("id").alias("__v2"),
                            F.col("com").alias("__mycom"),
                            F.col("__k").alias("__kv"))
@@ -1998,8 +2209,8 @@ def _louvain_rounds(
                 F.col("__b.cand").alias("__cand"),
                 (-F.col("__b.nd")).alias("__dq"),
             )
-            .localCheckpoint(eager=False)
         )
+        prop = _round_materialize(prop)  # consumed by touch (2x) + mv
         touch = prop.select(
             F.col("__mycom").alias("__tcom"), "__v", "__cand", "__dq"
         ).unionByName(prop.select(
@@ -2041,115 +2252,303 @@ def _louvain_rounds(
             .select(F.col("__v").alias("__mv_v"),
                     F.col("__cand").alias("__mv_cand"))
         )
-        labels = (
+        labels = _round_materialize(
             labels.join(mv, labels["id"] == mv["__mv_v"], "left")
             .select(
                 "id",
                 F.coalesce(F.col("__mv_cand"), F.col("com")).alias("com"),
                 "__k",
-            )
-            .localCheckpoint(eager=False)
+            ),
+            prior=labels,
         )
+        evc.unpersist()
+        prop.unpersist()
     return labels
 
 
 def _louvain_local_tail(
     sym: DataFrame,
-    labels: DataFrame,
-    s_total: float,
+    init_labels: DataFrame | None,
     rounds: int,
 ) -> DataFrame:
-    """Finish the Louvain move rounds in ONE bounded driver pass — the
+    """Run the Louvain move rounds in ONE bounded driver pass — the
     ``_coreness_local_tail`` discipline (VERDICT r11 #3): collect the
-    ≤-cap (src, dst, __w) frame plus the node-scale (id, com, __k)
-    frame via Arrow, replay the EXACT per-round dataflow locally
-    (identical IEEE expression order for ΔQ incl. the 6-dp
-    floor-half-up, identical (−ΔQ, cand) / (−ΔQ, v, cand) tuple
-    orders — Python tuple comparison ≡ Spark struct comparison on
-    doubles + ASCII strings/ints), and hand back the labels frame.
-    Callers gate on |sym| + |labels| before entering; every sum is
-    over integer-valued doubles so the local trajectory is
-    bit-identical to the distributed one (unit-pinned:
-    tests/test_round12_ops.py)."""
-    import math
+    ≤-cap (src, dst, __w) frame via Arrow (plus the node-scale init
+    labels, when given) and replay the EXACT per-round dataflow
+    vectorized: weighted degrees/community degrees/candidate weights
+    as ``np.add.at`` sums (exact — every addend is an integer-valued
+    double), ΔQ elementwise in the identical IEEE expression order
+    incl. the 6-dp floor-half-up, and the (−ΔQ, cand) /
+    (−ΔQ, v, cand) struct-min orders as ``np.lexsort`` passes over
+    SORTED-unique value codes (code order ≡ value order, so integer
+    comparisons reproduce the engine's string/int comparisons).
+    Returns the (id, com) frame; bit-identical to the distributed
+    rounds (unit-pinned: tests/test_round12_ops.py)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
 
     pdf = sym.toPandas()  # Arrow batch transfer — bounded by the gate
-    lpdf = labels.toPandas()
-    lab = dict(zip(lpdf["id"].tolist(), lpdf["com"].tolist()))
-    kv_map = dict(zip(lpdf["id"].tolist(),
-                      (float(x) for x in lpdf["__k"].tolist())))
-    esrc = pdf["src"].tolist()
-    edst = pdf["dst"].tolist()
-    ew = [float(x) for x in pdf["__w"].tolist()]
-    S = float(s_total)
-    for _ in range(rounds):
-        dcom: dict = {}
-        for i, c in lab.items():
-            dcom[c] = dcom.get(c, 0.0) + kv_map[i]
-        evc: dict = {}
-        for u, v, w in zip(esrc, edst, ew):
-            if u == v:
-                continue
-            key = (u, lab[v])
-            evc[key] = evc.get(key, 0.0) + w
-        best: dict = {}
-        for (v, cnd), evb in evc.items():
-            myc = lab[v]
-            if cnd == myc:
-                continue
-            eva = evc.get((v, myc), 0.0)
-            kv = kv_map[v]
-            dq = math.floor(
-                (2.0 * (evb - eva) / S
-                 - 2.0 * kv * (dcom[cnd] - dcom[myc] + kv)
-                 / (S * 1.0 * S)) * 1_000_000.0 + 0.5
-            ) / 1_000_000.0
-            if dq > 0:
-                cur = best.get(v)
-                if cur is None or (-dq, cnd) < cur:
-                    best[v] = (-dq, cnd)
-        win: dict = {}
-        for v, (nd, cnd) in best.items():
-            key = (nd, v, cnd)
-            for t in (lab[v], cnd):
-                if t not in win or key < win[t]:
-                    win[t] = key
-        for v, (nd, cnd) in best.items():
-            key = (nd, v, cnd)
-            if win.get(lab[v]) == key and win.get(cnd) == key:
-                lab[v] = cnd
-    import pandas as pd
-
-    out = pd.DataFrame(
-        {"id": list(lab.keys()), "com": list(lab.values()),
-         "__k": [kv_map[i] for i in lab.keys()]}
-    )
+    f = sym.schema["src"]
+    schema = StructType([
+        StructField("id", f.dataType, f.nullable),
+        StructField("com", f.dataType, f.nullable),
+    ])
+    src = pdf["src"].to_numpy()
+    dst = pdf["dst"].to_numpy()
+    w = pdf["__w"].to_numpy(dtype=np.float64)
+    ids = np.unique(src)  # symmetric frame ⇒ src covers every node
+    if len(ids) == 0:
+        return sym.sparkSession.createDataFrame(
+            pd.DataFrame({"id": [], "com": []}), schema)
+    ipdf = None
+    if init_labels is not None:
+        ipdf = init_labels.select(
+            F.col(init_labels.columns[0]).alias("id"),
+            F.col(init_labels.columns[1]).alias("lab"),
+        ).toPandas()
+        universe = np.unique(np.concatenate(
+            [ids, ipdf["lab"].to_numpy()]))
+    else:
+        universe = ids
+    scode = np.searchsorted(universe, src).astype(np.int64)
+    dcode = np.searchsorted(universe, dst).astype(np.int64)
+    full = _louvain_init_full(universe, ids, ipdf)
+    full = _louvain_replay(universe, scode, dcode, w, full, rounds)
+    node_codes = np.searchsorted(universe, ids).astype(np.int64)
+    out = pd.DataFrame({"id": ids, "com": universe[full[node_codes]]})
     # Arrow batch transfer back out, mirroring the toPandas on the way in
-    return labels.sparkSession.createDataFrame(out, labels.schema)
+    return sym.sparkSession.createDataFrame(out, schema)
+
+
+def _louvain_init_full(universe, ids, ipdf):
+    """Label-code array over ``universe``: every graph node its own
+    id, overridden by the init (id, lab) pandas frame where the id is
+    a graph node (the distributed left-join semantics); non-node
+    universe positions stay −1."""
+    import numpy as np
+
+    lab = np.searchsorted(universe, ids).astype(np.int64)
+    full = np.full(len(universe), -1, dtype=np.int64)
+    full[lab] = lab
+    if ipdf is not None and len(ipdf):
+        iid = np.searchsorted(universe, ipdf["id"].to_numpy())
+        iid_ok = (iid < len(universe))
+        iid_c = np.where(iid_ok, iid, 0)
+        iid_ok &= universe[iid_c] == ipdf["id"].to_numpy()
+        ilab = np.searchsorted(universe, ipdf["lab"].to_numpy())
+        present = iid_ok & (full[iid_c] >= 0)
+        full[iid_c[present]] = ilab[present]
+    return full
+
+
+def _louvain_replay(universe, scode, dcode, w, full, rounds):
+    """The numpy Louvain move core — the EXACT distributed dataflow
+    over coded arrays (see ``_louvain_local_tail``'s docstring for the
+    bit-identity argument). ``scode/dcode/w`` form the symmetric
+    weighted frame (self-rows allowed: they count in the weighted
+    degree, the contracted-level contract, and are excluded from
+    candidate weights); ``full`` is the label-code array over
+    ``universe``. Returns the updated ``full``."""
+    import numpy as np
+
+    U = len(universe)
+    # weighted degree INCLUDING self-rows (contracted-level contract)
+    k = np.zeros(U, dtype=np.float64)
+    np.add.at(k, scode, w)
+    S = float(k.sum())
+    if S == 0.0:
+        return full
+    mask = scode != dcode  # candidate weights exclude self-rows
+    esrc = scode[mask]
+    edst = dcode[mask]
+    ew = w[mask]
+    node_codes = np.unique(scode)
+    for _ in range(rounds):
+        # community weighted degree: every node's k into its community
+        dcom = np.zeros(U, dtype=np.float64)
+        np.add.at(dcom, full[node_codes], k[node_codes])
+        keys = esrc * U + full[edst]
+        uk, inv = np.unique(keys, return_inverse=True)
+        evb = np.zeros(len(uk), dtype=np.float64)
+        np.add.at(evb, inv, ew)
+        kv = uk // U
+        kc = uk % U
+        myc = full[kv]
+        # e_va lookup: (v, mycom) entry or 0.0 (the distributed coalesce)
+        akey = kv * U + myc
+        pos = np.searchsorted(uk, akey)
+        pos_ok = (pos < len(uk))
+        pos_c = np.where(pos_ok, pos, 0)
+        eva = np.where(pos_ok & (uk[pos_c] == akey), evb[pos_c], 0.0)
+        cand = kc != myc
+        kvv = k[kv]
+        dq = np.floor(
+            (2.0 * (evb - eva) / S
+             - 2.0 * kvv * (dcom[kc] - dcom[myc] + kvv) / (S * 1.0 * S))
+            * 1_000_000.0 + 0.5
+        ) / 1_000_000.0
+        sel = cand & (dq > 0)
+        if not sel.any():
+            continue
+        sv, sc, sq, sm = kv[sel], kc[sel], dq[sel], myc[sel]
+        # per-node proposal: min(−ΔQ, cand) ≡ lexsort(cand, −ΔQ; v)
+        order = np.lexsort((sc, -sq, sv))
+        firsts = np.unique(sv[order], return_index=True)[1]
+        pv = sv[order][firsts]
+        pc = sc[order][firsts]
+        pq = sq[order][firsts]
+        pm = sm[order][firsts]
+        # winner per touched community: min(−ΔQ, v, cand) per tcom
+        tcom = np.concatenate([pm, pc])
+        tv = np.concatenate([pv, pv])
+        tc = np.concatenate([pc, pc])
+        tq = np.concatenate([pq, pq])
+        worder = np.lexsort((tc, tv, -tq, tcom))
+        wfirsts = np.unique(tcom[worder], return_index=True)[1]
+        wt = tcom[worder][wfirsts]
+        wv = np.full(U, -1, dtype=np.int64)
+        wc = np.full(U, -1, dtype=np.int64)
+        wv[wt] = tv[worder][wfirsts]
+        wc[wt] = tc[worder][wfirsts]
+        mv = (wv[pm] == pv) & (wc[pm] == pc) \
+            & (wv[pc] == pv) & (wc[pc] == pc)
+        full[pv[mv]] = pc[mv]
+    return full
+
+
+def _np_symmetrize(svals, dvals, wvals, universe, keep_self=False):
+    """Numpy replica of ``_symmetrize_simple`` over raw edge values:
+    weighted (``wvals`` given) = NULL/non-positive dropped then
+    weight-summed per symmetric direction; unweighted = union-reversed
+    DISTINCT with w = 1.0. Self-loops dropped unless ``keep_self``
+    (the LPA sym0 contract). Every sum is over integer-valued doubles
+    ⇒ exact regardless of order. Returns (scode, dcode, w) coded over
+    ``universe``."""
+    import numpy as np
+
+    a0 = np.searchsorted(universe, svals).astype(np.int64)
+    b0 = np.searchsorted(universe, dvals).astype(np.int64)
+    U = len(universe)
+    if wvals is not None:
+        wv = np.asarray(wvals, dtype=np.float64)
+        keep = wv > 0  # NaN/NULL compare False — the distributed filter
+        a0, b0, wv = a0[keep], b0[keep], wv[keep]
+        a = np.concatenate([a0, b0])
+        b = np.concatenate([b0, a0])
+        ww = np.concatenate([wv, wv])
+        if not keep_self:
+            ns = a != b
+            a, b, ww = a[ns], b[ns], ww[ns]
+        key = a * U + b
+        uk, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros(len(uk), dtype=np.float64)
+        np.add.at(sums, inv, ww)
+        return (uk // U), (uk % U), sums
+    a = np.concatenate([a0, b0])
+    b = np.concatenate([b0, a0])
+    if not keep_self:
+        ns = a != b
+        a, b = a[ns], b[ns]
+    uk = np.unique(a * U + b)
+    return (uk // U), (uk % U), np.ones(len(uk), dtype=np.float64)
+
+
+def _louvain_full_local(
+    eprep: DataFrame,
+    src: str,
+    dst: str,
+    weight_col: str | None,
+    init_labels: DataFrame | None,
+    rounds: int,
+    levels: int,
+) -> DataFrame:
+    """The whole (multi-level) Louvain run in ONE bounded driver pass:
+    collect the RAW projected edge frame (≤ gate rows — half the
+    symmetric frame the per-level tail would collect), symmetrize in
+    numpy (``_np_symmetrize``, exact), then per level replay the move
+    rounds (``_louvain_replay``) and contract locally (one
+    integer-exact grouped weight sum, self-rows kept). Skips every
+    distributed symmetrize/shuffle — the level-0 fast path behind the
+    same ``local_tail_max`` gate; output identical to the distributed
+    path (unit-pinned)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    pdf = eprep.toPandas()  # Arrow batch transfer — bounded by the gate
+    f = eprep.schema[src]
+    schema = StructType([
+        StructField("id", f.dataType, f.nullable),
+        StructField("community", f.dataType, f.nullable),
+    ])
+    svals = pdf[src].to_numpy()
+    dvals = pdf[dst].to_numpy()
+    wvals = pdf["__w"].to_numpy(dtype=np.float64) if weight_col else None
+    ipdf = None
+    vals = [svals, dvals]
+    if init_labels is not None:
+        ipdf = init_labels.select(
+            F.col(init_labels.columns[0]).alias("id"),
+            F.col(init_labels.columns[1]).alias("lab"),
+        ).toPandas()
+        vals.append(ipdf["lab"].to_numpy())
+        vals.append(ipdf["id"].to_numpy())
+    universe = np.unique(np.concatenate(vals)) if len(svals) or (
+        ipdf is not None and len(ipdf)) else np.array([], dtype=object)
+    scode, dcode, w = _np_symmetrize(svals, dvals, wvals, universe)
+    node_codes = np.unique(scode)
+    ids = universe[node_codes]
+    if len(ids) == 0:
+        return eprep.sparkSession.createDataFrame(
+            pd.DataFrame({"id": [], "community": []}), schema)
+    full = _louvain_init_full(universe, ids, ipdf)
+    assign = full[node_codes].copy()  # original node → community code
+    for lv in range(levels):
+        full = _louvain_replay(universe, scode, dcode, w, full, rounds)
+        assign = full[assign] if lv else full[node_codes].copy()
+        if lv == levels - 1:
+            break
+        # local contraction: weight-summed supergraph, self-rows KEPT
+        U = len(universe)
+        key = full[scode] * U + full[dcode]
+        uk, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros(len(uk), dtype=np.float64)
+        np.add.at(sums, inv, w)
+        scode, dcode, w = (uk // U), (uk % U), sums
+        cnodes = np.unique(scode)
+        full = np.full(U, -1, dtype=np.int64)
+        full[cnodes] = cnodes  # contracted level starts at singletons
+    out = pd.DataFrame({"id": ids, "community": universe[assign]})
+    return eprep.sparkSession.createDataFrame(out, schema)
 
 
 def _louvain_level(
     sym: DataFrame,
-    labels: DataFrame,
-    stot: DataFrame,
+    init_labels: DataFrame | None,
     rounds: int,
     local_tail_max: int,
 ) -> DataFrame:
-    """One Louvain move phase over (sym, labels): bounded local tail
-    when |sym| + |labels| ≤ ``local_tail_max`` (one scalar count each —
-    the coreness gate discipline; the sym count also materializes the
-    lazy checkpoint the rounds would force anyway), else the
-    distributed round core. Both paths are output-identical
-    (unit-pinned)."""
-    if local_tail_max > 0:
-        m = sym.count()
-        n = labels.count()
-        if m + n <= local_tail_max:
-            s_total = stot.first()["__S"]
-            if not s_total:
-                return labels
-            return _louvain_local_tail(sym, labels, s_total, rounds)
-    return _louvain_rounds(sym, labels, stot, rounds)
+    """One Louvain move phase over the symmetric weighted frame:
+    bounded local tail when 2·|sym| ≤ ``local_tail_max`` (nodes ⊆ sym
+    src values bounds the collect; the one scalar count also
+    materializes the lazy checkpoint the rounds would force anyway —
+    the coreness gate discipline), else the distributed round core.
+    Both paths are output-identical (unit-pinned). Returns (id, com)."""
+    if local_tail_max > 0 and 2 * sym.count() <= local_tail_max:
+        return _louvain_local_tail(sym, init_labels, rounds)
+    deg = _round_materialize(
+        sym.groupBy("src")
+        .agg(F.sum("__w").alias("__k"))
+        .select(F.col("src").alias("id"), "__k")
+    )
+    stot = deg.agg(F.sum("__k").alias("__S"))
+    labels = _louvain_init_labels(deg, init_labels)
+    return _louvain_rounds(sym, labels, stot, rounds).select("id", "com")
 
 
 def _louvain_init_labels(
@@ -2159,21 +2558,20 @@ def _louvain_init_labels(
     caller's (id, label) frame with own-id fallback for missing
     nodes."""
     if init_labels is None:
-        return deg.select(
+        return _round_materialize(deg.select(
             "id", F.col("id").alias("com"), "__k"
-        ).localCheckpoint(eager=False)
+        ))
     il = init_labels.select(
         F.col(init_labels.columns[0]).alias("__il_id"),
         F.col(init_labels.columns[1]).alias("__il_com"),
     )
-    return (
+    return _round_materialize(
         deg.join(il, deg["id"] == il["__il_id"], "left")
         .select(
             "id",
             F.coalesce(F.col("__il_com"), F.col("id")).alias("com"),
             "__k",
         )
-        .localCheckpoint(eager=False)
     )
 
 
@@ -2255,19 +2653,26 @@ def louvain_local_move(
     label_propagation/modularity."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
+    eprep = _louvain_eprep(edges, src, dst, weight_col)
+    if local_tail_max > 0 and 2 * eprep.count() <= local_tail_max:
+        return _louvain_full_local(
+            eprep, src, dst, weight_col, init_labels, rounds, levels=1)
     sym = _symmetrize_simple(
-        edges, src, dst, weight_col
-    ).localCheckpoint(eager=False)
-    deg = (
-        sym.groupBy("src")
-        .agg(F.sum("__w").alias("__k"))
-        .select(F.col("src").alias("id"), "__k")
-        .localCheckpoint(eager=False)
-    )
-    stot = deg.agg(F.sum("__k").alias("__S"))
-    labels = _louvain_init_labels(deg, init_labels)
-    labels = _louvain_level(sym, labels, stot, rounds, local_tail_max)
+        eprep, src, dst, "__w" if weight_col else None
+    ).localCheckpoint(eager=False).persist()
+    labels = _louvain_level(sym, init_labels, rounds, local_tail_max)
     return labels.select("id", F.col("com").alias("community"))
+
+
+def _louvain_eprep(
+    edges: DataFrame, src: str, dst: str, weight_col: str | None
+) -> DataFrame:
+    """Projected raw edge frame shared by the gate/full-local path and
+    the distributed symmetrize: (src, dst[, __w])."""
+    cols = [F.col(src).alias(src), F.col(dst).alias(dst)]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("double").alias("__w"))
+    return ensure_parallelism(edges).select(*cols)
 
 
 def louvain_multilevel(
@@ -2314,19 +2719,16 @@ def louvain_multilevel(
         raise ValueError("levels must be >= 1")
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
+    eprep = _louvain_eprep(edges, src, dst, weight_col)
+    if local_tail_max > 0 and 2 * eprep.count() <= local_tail_max:
+        return _louvain_full_local(
+            eprep, src, dst, weight_col, init_labels, rounds, levels)
     sym = _symmetrize_simple(
-        edges, src, dst, weight_col
-    ).localCheckpoint(eager=False)
-    deg = (
-        sym.groupBy("src")
-        .agg(F.sum("__w").alias("__k"))
-        .select(F.col("src").alias("id"), "__k")
-        .localCheckpoint(eager=False)
-    )
-    stot = deg.agg(F.sum("__k").alias("__S"))
-    labels = _louvain_init_labels(deg, init_labels)
-    labels = _louvain_level(sym, labels, stot, rounds, local_tail_max)
-    mapping = labels.select("id", "com").localCheckpoint(eager=False)
+        eprep, src, dst, "__w" if weight_col else None
+    ).localCheckpoint(eager=False).persist()
+    prior_sym = sym
+    labels = _louvain_level(sym, init_labels, rounds, local_tail_max)
+    mapping = labels
     for _ in range(1, levels):
         ls = labels.select(F.col("id").alias("__ls_id"),
                            F.col("com").alias("__ls_com"))
@@ -2338,22 +2740,16 @@ def louvain_multilevel(
             .groupBy(F.col("__ls_com").alias("src"),
                      F.col("__ld_com").alias("dst"))
             .agg(F.sum("__w").alias("__w"))
-            .localCheckpoint(eager=False)
         )
-        deg = (
-            sym.groupBy("src")
-            .agg(F.sum("__w").alias("__k"))
-            .select(F.col("src").alias("id"), "__k")
-            .localCheckpoint(eager=False)
-        )
-        labels = _louvain_init_labels(deg, None)
-        labels = _louvain_level(sym, labels, stot, rounds, local_tail_max)
+        sym = _round_materialize(sym, prior=prior_sym)
+        prior_sym = sym
+        labels = _louvain_level(sym, None, rounds, local_tail_max)
         sl = labels.select(F.col("id").alias("__sl_id"),
                            F.col("com").alias("__sl_com"))
-        mapping = (
+        mapping = _round_materialize(
             mapping.join(sl, mapping["com"] == sl["__sl_id"])
-            .select("id", F.col("__sl_com").alias("com"))
-            .localCheckpoint(eager=False)
+            .select("id", F.col("__sl_com").alias("com")),
+            prior=mapping,
         )
     return mapping.select("id", F.col("com").alias("community"))
 

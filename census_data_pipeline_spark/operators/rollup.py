@@ -3168,12 +3168,17 @@ def bh_fdr(
     user screening 25 segments at α=0.05 expects ~1.25 false positives
     by construction. Input is any frame with one row per hypothesis and
     a p-value column; rows with a NULL p (degenerate test arms) are
-    dropped (they are not hypotheses). Returns the input columns plus
-    (rank, q_value, reject): rank orders p ascending (ties broken by
-    ``key_cols`` — total order, engine-portable), q_value is the
-    monotone step-up adjustment min_{j ≥ rank}(m·p_(j)/j) capped at 1
-    and 6-dp rounded, and reject ⇔ q_value ≤ α (equivalent to the
-    classic largest-k rule).
+    dropped (they are not hypotheses). ``(p_col, *key_cols)`` MUST
+    totally order the hypothesis rows (ADVICE r11: key_cols unique per
+    row — e.g. the grouping keys of the upstream per-group test);
+    non-unique keys would make the rank-tie resolution, and therefore
+    both engines' q-values, nondeterministic. Returns the input columns
+    plus (rank, q_value, reject): rank orders p ascending (ties broken
+    by ``key_cols``), q_value is the monotone step-up adjustment
+    min_{j ≥ rank}(m·p_(j)/j) capped at 1 and 6-dp rounded, and reject
+    ⇔ UNROUNDED q ≤ α (ADVICE r11: the exact BH largest-k rule — the
+    6-dp rounding applies only to the REPORTED q_value, so a true q in
+    (α, α+5e-7] can no longer round down into a rejection).
 
     Scale shape: the frame is HYPOTHESIS-scale (one row per tested
     group — bounded by the grouping's cardinality, not the data), so
@@ -3204,7 +3209,10 @@ def bh_fdr(
     return ranked.select(
         *[c for c in ranked.columns if c != "__m"],
         (F.round(F.least(F.lit(1.0), qraw), 6)).alias("q_value"),
-    ).withColumn("reject", F.col("q_value") <= F.lit(alpha))
+        # reject from the UNROUNDED suffix-min q (ADVICE r11) — the
+        # exact BH decision; the REPORTED q_value alone is rounded
+        (F.least(F.lit(1.0), qraw) <= F.lit(alpha)).alias("reject"),
+    )
 
 
 def bh_fdr_oracle_sql(
@@ -3232,8 +3240,8 @@ def bh_fdr_oracle_sql(
              ORDER BY rank DESC
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
              AS q_value,
-           round(least(1.0, min(m * ({p_sql}) / rank) OVER (
+           least(1.0, min(m * ({p_sql}) / rank) OVER (
              ORDER BY rank DESC
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
              <= {alpha!r} AS reject
     FROM bhr"""

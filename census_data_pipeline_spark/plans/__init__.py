@@ -239,70 +239,73 @@ from census_data_pipeline_spark.plans import (  # noqa: F401
 from census_data_pipeline_spark.plans.registry import ORACLE, QUERIES
 
 _CHECKED_PREFIX = [
-    # r11 change-aware rotation (VERDICT r10 #7): driver_state.json was
-    # regenerated against CORRECTNESS_r10 as the round's first commit.
-    # Prefix = flagship, then the three r11 queries (weighted PageRank,
-    # weighted Bellman-Ford distances, Louvain local move), then
-    # graph_modularity FIRST among the drifted set (r10's one hash-fail
-    # - the -0.0 fix MUST be re-checked), then every query whose
-    # fingerprint drifts under the r11 edits (the zero-sign oracle
-    # sweep, the Markov/bootstrap/SQ8 hardening, the coreness local
-    # tail), then 28 of the queries with the OLDEST driver rows (r1/r3
-    # vintage) rotated in for freshness - everything else has a green
-    # row from r4-r10 at its current fingerprint.
+    # r12 change-aware rotation (VERDICT r11 #8): driver_state.json was
+    # regenerated against CORRECTNESS_r11 as the round's first commit.
+    # Prefix = flagship, then the three r12 queries (weighted
+    # modularity, weighted Louvain local move, multi-level Louvain),
+    # then the four queries whose fingerprints drift under the r12
+    # edits (the community-tier weighting refactor + Louvain local
+    # tail touch graph_modularity/graph_louvain_move, the ADVICE node-
+    # universe/negative-weight fixes touch graph_pagerank_weighted/
+    # graph_weighted_distances — the drifted list is computed by
+    # tools/query_fingerprints.py, not by hand), then the 39 queries
+    # with the OLDEST driver rows (r3/r4/r5 vintage) rotated in for
+    # freshness.
     "flagship_regional_rollup",
-    # r11 new queries
+    # r12 new queries
+    "graph_modularity_weighted",
+    "graph_louvain_weighted",
+    "graph_louvain_multilevel",
+    # r12 fingerprint drift (community-tier weighting, the LPA/louvain/
+    # modularity bounded local tails, + ADVICE fixes) - computed by
+    # tools/query_fingerprints.py against driver_state.json
+    "graph_modularity",
     "graph_louvain_move",
+    "graph_label_propagation",
+    "graph_conductance",
     "graph_pagerank_weighted",
     "graph_weighted_distances",
-    "graph_hits",
     "lineitem_welch_fdr",
-    "embedding_truncation_recall",
-    # r11 fingerprint drift - zero-sign sweep + hardening + coreness
-    "graph_modularity",
-    "graph_coreness",
-    "ab_test_bootstrap_ci",
-    "embedding_quantize_sq8",
-    "events_ccf_click_purchase",
-    "events_dow_hour_profile",
-    "events_markov_attribution",
-    "events_markov_stationary",
-    "events_seasonal_anomaly",
-    "events_trend_by_type",
-    "events_trend_kendall",
-    "events_trend_spearman",
-    "events_trend_theil_sen",
-    "graph_assortativity",
-    "lineitem_corr_matrix",
-    "lineitem_mannwhitney_returns",
-    "orders_welch_by_priority",
-    "text_zipf_fit",
-    # oldest-driver-row freshness rotation (r1 + r3 vintage)
-    "variable_catalog_search",
-    "cohort_retention_weekly",
-    "corpus_clean_pipeline",
-    "decontam_ngram_overlap",
-    "dedup_simhash_pairs",
-    "doc_fingerprint",
-    "events_funnel_3step",
-    "events_interpolate_1h",
-    "events_session_5m",
-    "events_top_transitions",
-    "events_tumbling_1h",
-    "geo_polygon_stats",
-    "linkage_edit1_names",
-    "multimodal_features",
-    "multimodal_payload",
-    "numeric_coerce",
-    "sample_cap_per_source",
-    "sample_stratified_events",
-    "sample_upweight_rare",
-    "sketch_rollup_mergeable",
-    "skew_salted_agg",
-    "split_assign_docs",
-    "text_chunking",
-    "text_pack_bins",
-    "text_quality_scores",
+    # oldest-driver-row freshness rotation (r3 + r4 + r5 vintage)
+    "text_repetition_stats",
+    "text_term_frequency",
+    "text_tokens_bpeish",
+    "topk_per_nation",
+    "union_batch_states",
+    "boundaries_right_join",
+    "cdc_apply_changes",
+    "classify_nearest_centroid",
+    "copurchase_topk",
+    "decontam_semantic",
+    "dedup_containment",
+    "dedup_minhash_ml",
+    "dedup_spans",
+    "events_rate_anomaly",
+    "geo_point_in_polygon",
+    "geo_polygon_overlap",
+    "graph_triangles",
+    "ivm_incremental_rollup",
+    "knn_ivf",
+    "knn_pq_seeded",
+    "linkage_entity_clusters",
+    "multimodal_audio_features",
+    "sample_temperature",
+    "scd2_user_status",
+    "search_bm25",
+    "text_bigram_logprob",
+    "text_chi2_features",
+    "text_dsir_logratio",
+    "text_token_stats",
+    "text_unigram_logprob",
+    "ab_test_conversion",
+    "ann_quality_lsh",
+    "approx_sketches",
+    "basket_rules_parts",
+    "cluster_kmeans_lloyd",
+    "cluster_silhouette",
+    "cohort_ltv_weekly",
+    "customer_rfm",
+    "dedup_against_index",
 ]
 
 
