@@ -26,7 +26,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from census_data_pipeline_spark.sources.catalog import ensure_parallelism
+from census_data_pipeline_spark.sources.catalog import (
+    ensure_parallelism,
+    round_materialize as _round_materialize,
+)
 
 
 def pagerank(
@@ -2102,29 +2105,6 @@ def weighted_distances(
         dist = merged.select("id", "dist")
     return dist
 
-
-
-def _round_materialize(df: DataFrame, prior: DataFrame | None = None) -> DataFrame:
-    """Round-boundary materialization for chained iterative frames
-    (r12). In this Spark build, a plan built ON TOP of a
-    ``localCheckpoint`` dataset RECOMPUTES the checkpoint's lineage
-    instead of reading its stored blocks (measured: 5-8× per chained
-    Louvain round — exponential in rounds; reliable ``checkpoint`` has
-    the same consumer-side behavior). Routing consumers through
-    ``persist`` fixes it — the cache manager rewrites consumer plans
-    to InMemoryTableScan, which DOES reuse blocks (measured flat
-    1.1 s/round over 10 chained rounds) — while the lazy
-    ``localCheckpoint`` underneath keeps the LOGICAL plan a flat
-    LogicalRDD so per-round analysis stays O(1). One count
-    materializes the blocks (the coreness one-bounded-action-per-round
-    discipline); ``prior`` — the previous round's frame — is
-    unpersisted once the new frame is live, so cache residency stays
-    O(one round's frames) at any round count."""
-    out = df.localCheckpoint(eager=False).persist()
-    out.count()
-    if prior is not None:
-        prior.unpersist()
-    return out
 
 
 def _louvain_rounds(

@@ -98,6 +98,30 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df.repartition(target)
 
 
+def round_materialize(df: DataFrame, prior: DataFrame | None = None) -> DataFrame:
+    """Round-boundary materialization for chained iterative frames
+    (r12, shared by the graph community tier and the trained-in-engine
+    fit loops). In this Spark build, a plan built ON TOP of a
+    ``localCheckpoint`` dataset RECOMPUTES the checkpoint's lineage
+    instead of reading its stored blocks (measured on the Louvain move
+    chain: 5-8× growth per chained round — exponential in rounds;
+    reliable ``checkpoint`` behaves the same on the consumer side).
+    Routing consumers through ``persist`` fixes it — the cache manager
+    rewrites consumer plans to InMemoryTableScan, which DOES reuse
+    blocks (measured flat 1.1 s/round over 10 chained rounds) — while
+    the lazy ``localCheckpoint`` underneath keeps the LOGICAL plan a
+    flat LogicalRDD so per-round analysis stays O(1). One count
+    materializes the blocks (the coreness one-bounded-action-per-round
+    discipline); ``prior`` — the previous round's frame, when supplied
+    — is unpersisted once the new frame is live, so cache residency
+    stays O(one round's frames) at any round count."""
+    out = df.localCheckpoint(eager=False).persist()
+    out.count()
+    if prior is not None:
+        prior.unpersist()
+    return out
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

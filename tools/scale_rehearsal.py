@@ -182,6 +182,7 @@ def main() -> None:
         "pca_catalyst": "e", "pca_arrow": "e", "bfs": "g",
         "forecast_hw": "v", "survival_km": "v", "random_forest": "d",
         "kcore": "g", "coreness": "g", "louvain": "g",
+        "louvain_multilevel": "g",
         "hits": "g", "weighted_bf": "g",
         "components": "g", "markov": "v", "wasserstein_w1": "v",
         "bootstrap_ci": "v",
@@ -486,12 +487,31 @@ def main() -> None:
     def fam_louvain(d, e, g, v):
         # LPA init + 4 disjoint-move rounds (the graph_louvain_move
         # shape); disconnected key-shifted copies keep the round count
-        # constant across decades while per-round joins grow with data
+        # constant across decades while per-round joins grow with data.
+        # local_tail_max=0 everywhere: the rehearsal measures the
+        # DISTRIBUTED path a 100 TB graph takes — the bounded local
+        # tails would otherwise absorb the 1x/10x decades (their gate
+        # admits up to 2M rows) and the exponent would compare paths,
+        # not scaling.
         from census_data_pipeline_spark.functions import graph as _g
         lpa = _g.label_propagation(g, iterations=5,
-                                   broadcast_labels=True)
-        lab = _g.louvain_local_move(g, rounds=4, init_labels=lpa)
-        return _g.modularity(g, lab, label_col="community")
+                                   broadcast_labels=True,
+                                   local_tail_max=0)
+        lab = _g.louvain_local_move(g, rounds=4, init_labels=lpa,
+                                    local_tail_max=0)
+        return _g.modularity(g, lab, label_col="community",
+                             local_tail_max=0)
+
+    def fam_louvain_multilevel(d, e, g, v):
+        # the graph_louvain_multilevel shape (4 levels x 10 rounds,
+        # singleton init) on the distributed path — contraction keeps
+        # the level-1+ frames community-scale, so the claim under test
+        # is that the LEVEL-0 rounds dominate and scale like the move
+        # family above
+        from census_data_pipeline_spark.functions import graph as _g
+        lab = _g.louvain_multilevel(g, levels=4, rounds=10,
+                                    local_tail_max=0)
+        return _g.modularity(g, lab, local_tail_max=0)
 
     def fam_hits(d, e, g, v):
         from census_data_pipeline_spark.functions import graph as _g
@@ -547,6 +567,7 @@ def main() -> None:
         "kcore": fam_kcore,
         "coreness": fam_coreness,
         "louvain": fam_louvain,
+        "louvain_multilevel": fam_louvain_multilevel,
         "hits": fam_hits,
         "weighted_bf": fam_weighted_bf,
         "bfs": fam_bfs,
