@@ -257,6 +257,7 @@ HEADLINE_NEW: list[str] = [
     "graph_modularity_weighted",
     "graph_louvain_weighted",
     "graph_louvain_multilevel",
+    "embedding_mmr_rerank",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is

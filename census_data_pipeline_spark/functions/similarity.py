@@ -2309,3 +2309,128 @@ def truncation_recall(
         )
         out = r if out is None else out.unionByName(r)
     return out
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 8,
+    n_candidates: int = 32,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_collect: int = 1_000_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity-aware selection a RAG retriever runs after
+    top-N recall: per query, greedily pick ``k`` of the ``n_candidates``
+    nearest vectors maximizing λ·sim(q, d) − (1−λ)·max_{s∈selected}
+    sim(d, s), so near-duplicate passages stop crowding the context
+    window. Returns (query_id, rank, vec_id, qsim, mmr_score); rank 1
+    is pure relevance (no selected set yet — the max term coalesces to
+    0.0), later ranks trade relevance against redundancy.
+
+    Determinism & parity: BOTH similarity surfaces are computed in
+    Spark with the shared 6-dp-rounded cosine (``_cos_precomputed`` —
+    index-ordered dot, so DuckDB's ``list_dot_product`` replays it
+    bit-identically), and the greedy score uses the 6-dp
+    floor-half-up (the louvain ΔQ discipline) so the selection
+    trajectory is engine-portable; ties break to the smallest
+    candidate id at every step.
+
+    Scale shape: candidate generation is ``knn_bruteforce`` (swap in
+    the IVF variant at scale); the pairwise-similarity frame is a
+    bounded per-query self-join (n_queries × N × (N−1) rows — N is a
+    caller-bounded constant like top-k's k) computed distributed, and
+    only that bounded frame is collected for the inherently SEQUENTIAL
+    greedy (the documented bounded-collect convention; hard
+    ``max_collect`` guard). Cite: reference has no retrieval tier;
+    extends SURVEY §2.11 beside knn/search_hybrid_rrf."""
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    if k < 1 or n_candidates < k:
+        raise ValueError("need 1 <= k <= n_candidates")
+    cands = knn_bruteforce(
+        corpus, queries, k=n_candidates, id_col=id_col, vec_col=vec_col
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("__cid"),
+        _as_double(F.col(vec_col)).alias("__cv"),
+        norm(F.col(vec_col)).alias("__cn"),
+    )
+    cf = (
+        cands.join(cv, cands["neighbor_id"] == F.col("__cid"))
+        .select("query_id", "neighbor_id", "cosine_sim", "__cv", "__cn")
+        .localCheckpoint(eager=False)
+    )
+    a = cf.select(F.col("query_id").alias("__qa"),
+                  F.col("neighbor_id").alias("__ia"),
+                  F.col("__cv").alias("__va"), F.col("__cn").alias("__na"))
+    b = cf.select(F.col("query_id").alias("__qb"),
+                  F.col("neighbor_id").alias("__ib"),
+                  F.col("__cv").alias("__vb"), F.col("__cn").alias("__nb"))
+    pair = (
+        a.join(b, (F.col("__qa") == F.col("__qb"))
+               & (F.col("__ia") != F.col("__ib")))
+        .select(
+            F.col("__qa").alias("query_id"), "__ia", "__ib",
+            _cos_precomputed(F.col("__va"), F.col("__vb"),
+                             F.col("__na"), F.col("__nb")).alias("__sim"),
+        )
+    )
+    qpdf = cf.select("query_id", "neighbor_id", "cosine_sim").toPandas()
+    if len(qpdf) * n_candidates > max_collect:
+        raise ValueError(
+            f"mmr_rerank: {len(qpdf)} candidate rows x N={n_candidates} "
+            f"exceeds max_collect={max_collect}; bound n_queries or N"
+        )
+    ppdf = pair.toPandas()
+    import math
+
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    one_minus = 1.0 - lam
+    by_q: dict = {}
+    for q, n, s in zip(qpdf["query_id"], qpdf["neighbor_id"],
+                       qpdf["cosine_sim"]):
+        by_q.setdefault(q, {})[n] = float(s)
+    sims: dict = {}
+    for q, ia, ib, s in zip(ppdf["query_id"], ppdf["__ia"],
+                            ppdf["__ib"], ppdf["__sim"]):
+        sims[(q, ia, ib)] = float(s)
+    rows = []
+    for q in sorted(by_q):
+        qsim = by_q[q]
+        sel: list = []
+        rem = set(qsim)
+        for r in range(1, k + 1):
+            if not rem:
+                break
+            best = None
+            for i in rem:
+                ms = max((sims[(q, i, s)] for s in sel), default=0.0)
+                score = math.floor(
+                    (lam * qsim[i] - one_minus * ms) * 1_000_000.0 + 0.5
+                ) / 1_000_000.0
+                key = (-score, i)
+                if best is None or key < best[0]:
+                    best = (key, i, score)
+            _, pick, score = best
+            rows.append((q, r, pick, qsim[pick], score))
+            sel.append(pick)
+            rem.discard(pick)
+    qf = cands.schema["query_id"]
+    nf = cands.schema["neighbor_id"]
+    schema = StructType([
+        StructField("query_id", qf.dataType, qf.nullable),
+        StructField("rank", LongType(), False),
+        StructField("vec_id", nf.dataType, nf.nullable),
+        StructField("qsim", DoubleType(), True),
+        StructField("mmr_score", DoubleType(), True),
+    ])
+    import pandas as pd
+
+    out = pd.DataFrame(rows, columns=["query_id", "rank", "vec_id",
+                                      "qsim", "mmr_score"])
+    return corpus.sparkSession.createDataFrame(out, schema)

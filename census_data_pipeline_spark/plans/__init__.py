@@ -241,14 +241,15 @@ from census_data_pipeline_spark.plans.registry import ORACLE, QUERIES
 _CHECKED_PREFIX = [
     # r12 change-aware rotation (VERDICT r11 #8): driver_state.json was
     # regenerated against CORRECTNESS_r11 as the round's first commit.
-    # Prefix = flagship, then the three r12 queries (weighted
-    # modularity, weighted Louvain local move, multi-level Louvain),
+    # Prefix = flagship, then the four r12 queries (weighted
+    # modularity, weighted Louvain local move, multi-level Louvain,
+    # MMR re-ranking),
     # then the four queries whose fingerprints drift under the r12
     # edits (the community-tier weighting refactor + Louvain local
     # tail touch graph_modularity/graph_louvain_move, the ADVICE node-
     # universe/negative-weight fixes touch graph_pagerank_weighted/
     # graph_weighted_distances — the drifted list is computed by
-    # tools/query_fingerprints.py, not by hand), then the 39 queries
+    # tools/query_fingerprints.py, not by hand), then the 38 queries
     # with the OLDEST driver rows (r3/r4/r5 vintage) rotated in for
     # freshness.
     "flagship_regional_rollup",
@@ -256,6 +257,7 @@ _CHECKED_PREFIX = [
     "graph_modularity_weighted",
     "graph_louvain_weighted",
     "graph_louvain_multilevel",
+    "embedding_mmr_rerank",
     # r12 fingerprint drift (community-tier weighting, the LPA/louvain/
     # modularity bounded local tails, + ADVICE fixes) - computed by
     # tools/query_fingerprints.py against driver_state.json
@@ -305,7 +307,6 @@ _CHECKED_PREFIX = [
     "cluster_silhouette",
     "cohort_ltv_weekly",
     "customer_rfm",
-    "dedup_against_index",
 ]
 
 

@@ -5083,6 +5083,104 @@ def graph_louvain_multilevel(spark, sf_dir):
     return _g.modularity(e, labels)
 
 
+def _mmr_oracle(n: int = 32, k: int = 8, lam: float = 0.7,
+                qmod: int = 100) -> str:
+    """DuckDB replica of functions/similarity.mmr_rerank: the same
+    top-N candidate pull (6-dp cosine, neighbor-id tiebreak), the same
+    6-dp pairwise similarity surface, and the greedy unrolled as k
+    round CTEs — per round, remaining = candidates minus selections,
+    max-sim-to-selected via the pair join (coalesced to 0.0 on round
+    1), score = 6-dp floor-half-up of λ·qsim − (1−λ)·maxsim (the
+    louvain ΔQ rounding discipline, sign-consistent across engines),
+    one pick per query by (score DESC, id ASC)."""
+    oml = 1.0 - lam
+    cos = ("round(list_dot_product(a.cv, b.cv)"
+           " / (sqrt(list_dot_product(a.cv, a.cv))"
+           " * sqrt(list_dot_product(b.cv, b.cv))), 6)")
+    parts = []
+    picks = []
+    for r in range(1, k + 1):
+        prev = f"msel{r - 1}"
+        parts.append(f"""
+    mrem{r} AS MATERIALIZED (
+      SELECT c.* FROM mcand c
+      WHERE NOT EXISTS (SELECT 1 FROM {prev} s
+                        WHERE s.query_id = c.query_id
+                          AND s.nid = c.nid)),
+    mms{r} AS MATERIALIZED (
+      SELECT r.query_id, r.nid, max(p.sim) AS ms
+      FROM mrem{r} r
+      JOIN mpair p ON p.query_id = r.query_id AND p.ia = r.nid
+      JOIN {prev} s ON s.query_id = p.query_id AND s.nid = p.ib
+      GROUP BY 1, 2),
+    msc{r} AS MATERIALIZED (
+      SELECT r.query_id, r.nid, r.qsim,
+             floor(({lam!r} * r.qsim - {oml!r} * coalesce(m.ms, 0.0))
+                   * 1000000.0 + 0.5) / 1000000.0 AS score
+      FROM mrem{r} r LEFT JOIN mms{r} m
+        ON m.query_id = r.query_id AND m.nid = r.nid),
+    mpick{r} AS MATERIALIZED (
+      SELECT query_id, nid, qsim, score FROM (
+        SELECT z.*, row_number() OVER (
+                 PARTITION BY query_id ORDER BY score DESC, nid ASC
+               ) AS rn
+        FROM msc{r} z) zz WHERE rn = 1),
+    msel{r} AS MATERIALIZED (
+      SELECT query_id, nid FROM {prev}
+      UNION ALL SELECT query_id, nid FROM mpick{r})""")
+        picks.append(
+            f"SELECT query_id, CAST({r} AS BIGINT) AS rank, nid AS vec_id,"
+            f" qsim, score AS mmr_score FROM mpick{r}"
+        )
+    return f"""
+    WITH mq AS MATERIALIZED (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id % {qmod} = 0),
+    mcv AS MATERIALIZED (
+      SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+    ms0 AS MATERIALIZED (
+      SELECT q.query_id, c.nid,
+             round(list_dot_product(q.qv, c.cv)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) AS qsim
+      FROM mq q CROSS JOIN mcv c WHERE c.nid <> q.query_id),
+    mcand AS MATERIALIZED (
+      SELECT query_id, nid, qsim, cv FROM (
+        SELECT s.query_id, s.nid, s.qsim, c.cv,
+               row_number() OVER (PARTITION BY s.query_id
+                                  ORDER BY s.qsim DESC, s.nid) AS rn
+        FROM ms0 s JOIN mcv c ON c.nid = s.nid) t
+      WHERE rn <= {n}),
+    mpair AS MATERIALIZED (
+      SELECT a.query_id, a.nid AS ia, b.nid AS ib, {cos} AS sim
+      FROM mcand a JOIN mcand b
+        ON a.query_id = b.query_id AND a.nid <> b.nid),
+    msel0(query_id, nid) AS (
+      SELECT query_id, nid FROM mcand WHERE 1 = 0),{",".join(parts)}
+    {" UNION ALL ".join(picks)}
+    """
+
+
+@query("embedding_mmr_rerank", oracle=_mmr_oracle(n=32, k=8, lam=0.7))
+def embedding_mmr_rerank(spark, sf_dir):
+    """Maximal Marginal Relevance re-ranking (functions/similarity.
+    mmr_rerank, Carbonell & Goldstein 1998): for every 100th vector as
+    a query, pull the 32 nearest by exact cosine, then greedily select
+    8 trading relevance against redundancy at λ=0.7 — the
+    diversity-aware post-retrieval step a RAG pipeline runs so
+    near-duplicate passages stop crowding the context window. Both
+    similarity surfaces (query-side and pairwise) are 6-dp Spark
+    cosines; the greedy trajectory is deterministic (6-dp
+    floor-half-up scores, smallest-id ties) and the oracle unrolls it
+    as per-round CTEs over the identical surfaces. rank 1 is pure
+    relevance; later ranks show the redundancy penalty (mmr_score <
+    λ·qsim exactly when the pick is similar to an earlier one)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.mmr_rerank(emb, queries, k=8, n_candidates=32,
+                                 lam=0.7)
+
+
 def _welch_fdr_oracle(alpha: float = 0.05) -> str:
     """DuckDB replica of lineitem_welch_fdr: the per-brand Welch WITH-
     chain, the shared erf-polynomial p-value on the 6-dp t, then the

@@ -11,6 +11,7 @@ import itertools
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from census_data_pipeline_spark.functions import graph as G
 
@@ -248,6 +249,38 @@ def test_multilevel_q_never_below_one_level(spark):
 
 
 # ------------------------------------------------------------ ADVICE fixes
+
+
+def test_mmr_rerank_skips_redundant_candidate(spark):
+    """MMR's whole point: with two near-identical high-relevance
+    vectors, rank 1 takes the best and rank 2 SKIPS its near-duplicate
+    for a diverse lower-relevance candidate; λ=1 degenerates to pure
+    relevance order."""
+    from census_data_pipeline_spark.functions.similarity import mmr_rerank
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),        # query
+        (1, [0.99, 0.14, 0.0]),      # top relevance
+        (2, [0.995, 0.1, 0.0]),      # near-duplicate of 1
+        (3, [0.7, 0.0, 0.71]),       # diverse, lower relevance
+        (4, [0.6, 0.0, -0.8]),       # diverse, lowest
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") == 0)
+    out = mmr_rerank(emb, q, k=3, n_candidates=4, lam=0.5)
+    got = [r["vec_id"] for r in sorted(out.collect(),
+                                       key=lambda r: r["rank"])]
+    assert got[0] == 2  # slightly higher qsim than 1
+    assert got[1] == 3  # the near-duplicate 1 is penalized below 3
+    pure = mmr_rerank(emb, q, k=3, n_candidates=4, lam=1.0)
+    got_pure = [r["vec_id"] for r in sorted(pure.collect(),
+                                            key=lambda r: r["rank"])]
+    assert got_pure[:2] == [2, 1]  # relevance order when λ=1
+    # rank-1 row is pure relevance: mmr_score == floor6(λ·qsim)
+    r1 = [r for r in out.collect() if r["rank"] == 1][0]
+    import math
+    assert r1["mmr_score"] == math.floor(
+        0.5 * r1["qsim"] * 1_000_000.0 + 0.5) / 1_000_000.0
 
 
 def test_bh_fdr_reject_from_unrounded_q(spark):
