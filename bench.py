@@ -16,6 +16,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -352,9 +353,13 @@ def main() -> None:
     # not become the round's number; a swing that SURVIVES the retry is
     # recorded and listed in calibration.swing_confirmed.
     prev_mins: dict[str, float] = {}
+    # Numeric round sort (ADVICE r12): a lexicographic sort orders
+    # r9 > r13, so any single-digit record (or round ≥ 100) would
+    # silently become the swing baseline.
     prev_recs = sorted(
         glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_LOCAL_r*.json"))
+                               "BENCH_LOCAL_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", os.path.basename(p)).group(1)),
     )
     if prev_recs:
         try:

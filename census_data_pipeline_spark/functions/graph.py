@@ -32,6 +32,20 @@ from census_data_pipeline_spark.sources.catalog import (
 )
 
 
+def _local_codes_ok(*series) -> bool:
+    """Gate for the bounded numpy fast paths (ADVICE r12): they code
+    values via np.unique/np.searchsorted, which raise TypeError when a
+    None/NaN is mixed into an object array, while the distributed
+    equi-joins simply never match the null rows. Any null in a coded
+    column ⇒ the local path bails (returns None at its call site) and
+    the caller falls through to the distributed dataflow — identical
+    semantics by construction, no per-path null policy to keep in
+    sync."""
+    import pandas as pd
+
+    return not any(bool(pd.isna(s).any()) for s in series)
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 5,
@@ -239,7 +253,8 @@ def triangle_counts(
     )
 
 
-def _lpa_local_tail(sym0: DataFrame, iterations: int) -> DataFrame:
+def _lpa_local_tail(sym0: DataFrame, iterations: int,
+                    weighted: bool = False) -> DataFrame:
     """Run the WHOLE label-propagation loop in one bounded driver pass
     (the ``_coreness_local_tail`` discipline, r12): collect the ≤-cap
     symmetric deduped frame (self-loops included — they define the
@@ -248,12 +263,16 @@ def _lpa_local_tail(sym0: DataFrame, iterations: int) -> DataFrame:
     struct-min order), and hand back (id, lab). Callers gate on
     2·|sym0| before entering (nodes ⊆ sym0 src values, so the collect
     is bounded). Bit-identical to the distributed rounds
-    (unit-pinned: tests/test_round12_ops.py)."""
+    (unit-pinned: tests/test_round12_ops.py). Returns None when a
+    null src/dst is present (ADVICE r12) — caller falls back to the
+    distributed rounds."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import StructField, StructType
 
     pdf = sym0.toPandas()  # Arrow batch transfer — bounded by the gate
+    if not _local_codes_ok(pdf["src"], pdf["dst"]):
+        return None
     ids = np.unique(pdf["src"].to_numpy())  # sorted ⇒ code order = value order
     n = len(ids)
     f = sym0.schema["src"]
@@ -266,50 +285,68 @@ def _lpa_local_tail(sym0: DataFrame, iterations: int) -> DataFrame:
             pd.DataFrame({"id": [], "lab": []}), schema)
     scode = np.searchsorted(ids, pdf["src"].to_numpy()).astype(np.int64)
     dcode = np.searchsorted(ids, pdf["dst"].to_numpy()).astype(np.int64)
-    lab = _lpa_replay(scode, dcode, n, iterations)
+    wv = (pdf["__w"].to_numpy(dtype=np.float64) if weighted else None)
+    lab = _lpa_replay(scode, dcode, n, iterations, w=wv)
     out = pd.DataFrame({"id": ids, "lab": ids[lab]})
     return sym0.sparkSession.createDataFrame(out, schema)
 
 
-def _lpa_replay(scode, dcode, n, iterations):
+def _lpa_replay(scode, dcode, n, iterations, w=None):
     """The numpy LPA vote core — identical round-for-round to the
-    distributed dataflow (integer vote counts, (−count, label)
+    distributed dataflow (integer vote counts — or weight sums with
+    the 6-dp floor-half-up score, r13 — and the (−score, label)
     struct-min tie order as a lexsort over sorted value codes).
     ``scode/dcode`` form the deduped symmetric frame WITH self-loops
-    (they define the node set; votes exclude them, the self-vote is
-    added explicitly). Returns the final label-code array."""
+    (they define the node set; votes exclude them, the self-vote —
+    weight 1.0 — is added explicitly). Returns the final label-code
+    array."""
     import numpy as np
 
     mask = scode != dcode  # vote edges exclude self-loops
     vdst = dcode[mask]
     vsrc = scode[mask]
+    vw = w[mask] if w is not None else None
     lab = np.arange(n, dtype=np.int64)  # own-id start, codes = sorted ids
     selfk = np.arange(n, dtype=np.int64) * n
     for _ in range(iterations):
         # vote keys (dst, label-of-src) + the standard self-vote; counts
-        # are exact integers, so engine order cannot matter
+        # are exact integers (weighted: integer-valued-double sums, the
+        # community-tier parity argument), so engine order cannot matter
         keys = np.concatenate([vdst * n + lab[vsrc], selfk + lab])
-        uk, cnts = np.unique(keys, return_counts=True)
+        if w is None:
+            uk, score = np.unique(keys, return_counts=True)
+        else:
+            vals = np.concatenate([vw, np.ones(n, dtype=np.float64)])
+            uk, inv = np.unique(keys, return_inverse=True)
+            sums = np.zeros(len(uk), dtype=np.float64)
+            np.add.at(sums, inv, vals)
+            # the louvain ΔQ 6-dp floor-half-up — engine-portable order
+            score = np.floor(sums * 1_000_000.0 + 0.5) / 1_000_000.0
         kd = uk // n
         kl = uk % n
-        # per dst: min(−count, label) ≡ the distributed struct-min
-        order = np.lexsort((kl, -cnts, kd))
+        # per dst: min(−score, label) ≡ the distributed struct-min
+        order = np.lexsort((kl, -score, kd))
         firsts = np.unique(kd[order], return_index=True)[1]
         lab = kl[order][firsts]  # every node has ≥ the self vote
     return lab
 
 
-def _lpa_full_local(eprep: DataFrame, iterations: int) -> DataFrame:
+def _lpa_full_local(eprep: DataFrame, iterations: int,
+                    weighted: bool = False) -> DataFrame:
     """The whole LPA run in ONE bounded driver pass off the RAW edge
     frame (r12): collect, symmetrize+dedupe in numpy (self-loops kept
     — they define the node set, the ADVICE r6 contract), replay the
     vote rounds. Skips the distributed union+distinct shuffle the
-    sym0-based tail still paid; output identical (unit-pinned)."""
+    sym0-based tail still paid; output identical (unit-pinned).
+    Returns None when a null src/dst is present (ADVICE r12) — caller
+    falls back to the distributed rounds."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import StructField, StructType
 
     pdf = eprep.toPandas()  # Arrow batch transfer — bounded by the gate
+    if not _local_codes_ok(pdf["src"], pdf["dst"]):
+        return None
     f = eprep.schema["src"]
     schema = StructType([
         StructField("id", f.dataType, f.nullable),
@@ -317,13 +354,20 @@ def _lpa_full_local(eprep: DataFrame, iterations: int) -> DataFrame:
     ])
     svals = pdf["src"].to_numpy()
     dvals = pdf["dst"].to_numpy()
+    wvals = pdf["__w"].to_numpy(dtype=np.float64) if weighted else None
+    if weighted:
+        # the weight dialect drops NULL/non-positive rows BEFORE the
+        # node set forms — ids must come from surviving edges only
+        keep = wvals > 0  # NaN compares False, the distributed filter
+        svals, dvals, wvals = svals[keep], dvals[keep], wvals[keep]
     if len(svals) == 0:
         return eprep.sparkSession.createDataFrame(
             pd.DataFrame({"id": [], "community": []}), schema)
     ids = np.unique(np.concatenate([svals, dvals]))
-    scode, dcode, _ = _np_symmetrize(svals, dvals, None, ids,
-                                     keep_self=True)
-    lab = _lpa_replay(scode, dcode, len(ids), iterations)
+    scode, dcode, wsym = _np_symmetrize(svals, dvals, wvals, ids,
+                                        keep_self=True)
+    lab = _lpa_replay(scode, dcode, len(ids), iterations,
+                      w=wsym if weighted else None)
     out = pd.DataFrame({"id": ids, "community": ids[lab]})
     return eprep.sparkSession.createDataFrame(out, schema)
 
@@ -335,6 +379,7 @@ def label_propagation(
     dst: str = "dst",
     broadcast_labels: bool = False,
     local_tail_max: int = 2_000_000,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation (Raghavan et
     al. 2007, the formulation GraphX's LabelPropagation normalizes to)
@@ -349,6 +394,19 @@ def label_propagation(
     label. A fixed iteration count and total tie order make the whole
     computation a deterministic dataflow an ANSI-SQL oracle replicates
     by unrolling rounds — no convergence test, no RNG vertex ordering.
+
+    ``weight_col`` (r13 — VERDICT r12 #4, completing the community
+    tier's weight parity): votes become WEIGHT SUMS under the single
+    ``_symmetrize_simple`` dialect (NULL/non-positive rows dropped —
+    before the node set forms — parallel edges weight-summed per
+    symmetric direction), the self-vote keeps weight 1.0 (the same
+    fixed damping), and each round's per-label score is 6-dp
+    floor-half-up rounded (the louvain ΔQ discipline) before the
+    (−score, label) struct-min so the adoption trajectory is
+    engine-portable; integer-valued weights keep every sum an exact
+    double. A 40-purchase relationship then pulls 40× harder than a
+    one-off, matching weighted modularity/Louvain's reading of the
+    same graph.
 
     Scale shape per round: one edges ⋈ labels equi-join on src (both
     sides re-partition on the same key every round, so AQE reuses the
@@ -373,11 +431,20 @@ def label_propagation(
     distributed."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    e = ensure_parallelism(edges).select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    )
+    weighted = weight_col is not None
+    if weighted:
+        e = ensure_parallelism(edges).select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"),
+            F.col(weight_col).cast("double").alias("__w"),
+        )
+    else:
+        e = ensure_parallelism(edges).select(
+            F.col(src).alias("src"), F.col(dst).alias("dst")
+        )
     if local_tail_max > 0 and 2 * e.count() <= local_tail_max:
-        return _lpa_full_local(e, iterations)
+        full = _lpa_full_local(e, iterations, weighted=weighted)
+        if full is not None:  # None ⇒ null src/dst, stay distributed
+            return full
     # ONE checkpointed frame serves both the vote edges and the node
     # set: symmetrize + dedupe WITHOUT dropping self-loops, so its src
     # side covers every node — including self-loop-only nodes, which
@@ -387,15 +454,26 @@ def label_propagation(
     # self-vote). Deriving nodes from a second scan of the raw lineage
     # cost +28% (VERDICT r7 #7); checkpointing the raw edge list AND
     # sym doubled cache pressure and OOMed the 100× rehearsal.
-    sym0 = (
-        e.union(e.select(F.col("dst").alias("src"),
-                         F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    if weighted:
+        ef = e.filter(F.col("__w").isNotNull() & (F.col("__w") > 0))
+        sym0 = (
+            ef.union(ef.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst"), "__w"))
+            .groupBy("src", "dst")
+            .agg(F.sum("__w").alias("__w"))
+            .localCheckpoint(eager=False)
+        )
+    else:
+        sym0 = (
+            e.union(e.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst")))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
     if local_tail_max > 0 and 2 * sym0.count() <= local_tail_max:
-        tail = _lpa_local_tail(sym0, iterations)
-        return tail.select("id", F.col("lab").alias("community"))
+        tail = _lpa_local_tail(sym0, iterations, weighted=weighted)
+        if tail is not None:  # None ⇒ null src/dst, stay distributed
+            return tail.select("id", F.col("lab").alias("community"))
     sym = sym0.filter(F.col("src") != F.col("dst"))
     nodes = (
         sym0.select(F.col("src").alias("id"))
@@ -404,16 +482,24 @@ def label_propagation(
     )
     # self-vote edge (id, id) unioned per round below via the node frame
     labels = nodes.select("id", F.col("id").alias("lab"))
+    vote_w = (F.col("__w") if weighted else F.lit(1)).alias("__vw")
+    self_w = (F.lit(1.0) if weighted else F.lit(1)).alias("__vw")
     for _ in range(iterations):
         lab_in = F.broadcast(labels) if broadcast_labels else labels
         votes = (
             sym.join(lab_in, sym["src"] == lab_in["id"])
-            .select("dst", "lab")
-            .union(labels.select(F.col("id").alias("dst"), "lab"))
+            .select("dst", "lab", vote_w)
+            .union(labels.select(F.col("id").alias("dst"), "lab", self_w))
         )
+        if weighted:
+            # 6-dp floor-half-up score (the louvain ΔQ discipline)
+            score = (F.floor(F.sum("__vw") * 1_000_000.0 + F.lit(0.5))
+                     / F.lit(1_000_000.0)).alias("__c")
+        else:
+            score = F.count("*").alias("__c")
         labels = (
             votes.groupBy("dst", "lab")
-            .agg(F.count("*").alias("__c"))
+            .agg(score)
             .groupBy("dst")
             .agg(
                 F.min(
@@ -921,6 +1007,87 @@ def _symmetrize_simple(
     )
 
 
+def _modularity_local_joined(eprep, lab, src, dst, weight_col):
+    """``modularity``'s bounded local stats pass (r12, the
+    coreness/louvain gate discipline): the heavy part — two |E|-scale
+    label joins + the (s_c, d_c) groupBy — runs in numpy off one Arrow
+    collect (every sum is over exact integer-valued doubles, so order
+    cannot matter), while the ROUNDING-SENSITIVE final arithmetic
+    (round/pow/÷, the '<all>' sum of rounded contributions) stays in
+    the SAME Spark expressions in ``modularity`` over the tiny
+    per-community stats frame — the two paths share every division and
+    F.round call, so they cannot diverge at rounding boundaries.
+    100 TB graphs never enter the gate.
+
+    Returns the per-community (community, n_nodes, __s, __d, __St)
+    frame, or None — caller runs the distributed stats pass — when a
+    null src/dst/id/label is present (np.unique/searchsorted raise on
+    None in object arrays) or when the labels frame carries DUPLICATE
+    ids (ADVICE r12: the distributed equi-join fans each edge out per
+    duplicate label row; the searchsorted lookup resolves one label
+    per id, so the local path must not claim those inputs)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    epdf = eprep.toPandas()
+    lpdf = lab.toPandas()
+    if (not _local_codes_ok(epdf[src], epdf[dst], lpdf["id"], lpdf["lab"])
+            or bool(lpdf["id"].duplicated().any())):
+        return None
+    lids = lpdf["id"].to_numpy()
+    llabs = lpdf["lab"].to_numpy()
+    coms, lab_codes = np.unique(llabs, return_inverse=True)
+    C = len(coms)
+    n_nodes_a = np.bincount(lab_codes, minlength=C).astype(np.int64)
+    s_a = np.zeros(C, dtype=np.float64)
+    d_a = np.zeros(C, dtype=np.float64)
+    if len(epdf) and C:
+        svals = epdf[src].to_numpy()
+        dvals = epdf[dst].to_numpy()
+        wvals = (epdf["__w"].to_numpy(dtype=np.float64)
+                 if weight_col is not None else None)
+        endpoints = np.unique(np.concatenate([svals, dvals]))
+        scode, dcode, w_sym = _np_symmetrize(
+            svals, dvals, wvals, endpoints)
+        order = np.argsort(lids, kind="mergesort")
+        lsort, csort = lids[order], lab_codes[order]
+
+        def _lookup(vals):
+            pos = np.searchsorted(lsort, vals)
+            ok = pos < len(lsort)
+            posc = np.where(ok, pos, 0)
+            ok &= lsort[posc] == vals
+            return np.where(ok, csort[posc], -1), ok
+        lsrc, ok_s = _lookup(endpoints[scode])
+        ldst, ok_d = _lookup(endpoints[dcode])
+        keep = ok_s & ok_d  # unlabeled endpoints drop their edges
+        w_k = w_sym[keep]
+        lsrc_k, ldst_k = lsrc[keep], ldst[keep]
+        np.add.at(d_a, lsrc_k, w_k)
+        intra = lsrc_k == ldst_k
+        np.add.at(s_a, lsrc_k[intra], w_k[intra])
+    lab_field = lab.schema["lab"]
+    stats_schema = StructType([
+        StructField("community", lab_field.dataType,
+                    lab_field.nullable),
+        StructField("n_nodes", LongType(), False),
+        StructField("__s", DoubleType(), False),
+        StructField("__d", DoubleType(), False),
+    ])
+    stats_pdf = pd.DataFrame({
+        "community": coms, "n_nodes": n_nodes_a,
+        "__s": s_a, "__d": d_a,
+    })
+    per_stats = lab.sparkSession.createDataFrame(
+        stats_pdf, stats_schema)
+    total = per_stats.agg(
+        F.coalesce(F.sum("__d"), F.lit(0.0)).alias("__St")
+    )
+    return per_stats.crossJoin(F.broadcast(total))
+
+
 def modularity(
     edges: DataFrame,
     labels: DataFrame,
@@ -976,75 +1143,10 @@ def modularity(
     lab = labels.select(
         F.col(id_col).alias("id"), F.col(label_col).alias("lab")
     )
+    joined = None
     if local_tail_max > 0 and 2 * eprep.count() <= local_tail_max:
-        # Bounded local stats pass (r12, the coreness/louvain gate
-        # discipline): the heavy part — two |E|-scale label joins + the
-        # (s_c, d_c) groupBy — runs in numpy off one Arrow collect
-        # (every sum is over exact integer-valued doubles, so order
-        # cannot matter), while the ROUNDING-SENSITIVE final arithmetic
-        # (round/pow/÷, the '<all>' sum of rounded contributions) stays
-        # in the SAME Spark expressions below over the tiny
-        # per-community stats frame — the two paths share every
-        # division and F.round call, so they cannot diverge at
-        # rounding boundaries. 100 TB graphs never enter the gate.
-        import numpy as np
-        import pandas as pd
-        from pyspark.sql.types import (DoubleType, LongType, StructField,
-                                       StructType)
-
-        epdf = eprep.toPandas()
-        lpdf = lab.toPandas()
-        lids = lpdf["id"].to_numpy()
-        llabs = lpdf["lab"].to_numpy()
-        coms, lab_codes = np.unique(llabs, return_inverse=True)
-        C = len(coms)
-        n_nodes_a = np.bincount(lab_codes, minlength=C).astype(np.int64)
-        s_a = np.zeros(C, dtype=np.float64)
-        d_a = np.zeros(C, dtype=np.float64)
-        if len(epdf) and C:
-            svals = epdf[src].to_numpy()
-            dvals = epdf[dst].to_numpy()
-            wvals = (epdf["__w"].to_numpy(dtype=np.float64)
-                     if weight_col is not None else None)
-            endpoints = np.unique(np.concatenate([svals, dvals]))
-            scode, dcode, w_sym = _np_symmetrize(
-                svals, dvals, wvals, endpoints)
-            order = np.argsort(lids, kind="mergesort")
-            lsort, csort = lids[order], lab_codes[order]
-
-            def _lookup(vals):
-                pos = np.searchsorted(lsort, vals)
-                ok = pos < len(lsort)
-                posc = np.where(ok, pos, 0)
-                ok &= lsort[posc] == vals
-                return np.where(ok, csort[posc], -1), ok
-            lsrc, ok_s = _lookup(endpoints[scode])
-            ldst, ok_d = _lookup(endpoints[dcode])
-            keep = ok_s & ok_d  # unlabeled endpoints drop their edges
-            w_k = w_sym[keep]
-            lsrc_k, ldst_k = lsrc[keep], ldst[keep]
-            np.add.at(d_a, lsrc_k, w_k)
-            intra = lsrc_k == ldst_k
-            np.add.at(s_a, lsrc_k[intra], w_k[intra])
-        lab_field = lab.schema["lab"]
-        stats_schema = StructType([
-            StructField("community", lab_field.dataType,
-                        lab_field.nullable),
-            StructField("n_nodes", LongType(), False),
-            StructField("__s", DoubleType(), False),
-            StructField("__d", DoubleType(), False),
-        ])
-        stats_pdf = pd.DataFrame({
-            "community": coms, "n_nodes": n_nodes_a,
-            "__s": s_a, "__d": d_a,
-        })
-        per_stats = lab.sparkSession.createDataFrame(
-            stats_pdf, stats_schema)
-        total = per_stats.agg(
-            F.coalesce(F.sum("__d"), F.lit(0.0)).alias("__St")
-        )
-        joined = per_stats.crossJoin(F.broadcast(total))
-    else:
+        joined = _modularity_local_joined(eprep, lab, src, dst, weight_col)
+    if joined is None:
         sym = _symmetrize_simple(
             eprep, src, dst, "__w" if weight_col else None
         )
@@ -1434,6 +1536,7 @@ def conductance(
     dst: str = "dst",
     id_col: str = "id",
     label_col: str = "community",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Conductance of a community assignment — the CUT-quality score
     beside ``modularity``'s density score (Kannan, Vempala & Vetta
@@ -1453,6 +1556,19 @@ def conductance(
     LABELS frame, so edge-free labeled communities appear with zero
     stats and NULL φ; unlabeled endpoints drop their edges.
 
+    ``weight_col`` (r13 — VERDICT r12 #4, the parity argument that
+    motivated r12's weighted modularity/Louvain: the user who scores
+    weighted communities wants the weighted cut metric too)
+    generalizes every term to edge weights under the single
+    ``_symmetrize_simple`` weight dialect the whole community tier
+    speaks (NULL/non-positive dropped, parallel edges weight-summed
+    per symmetric direction): φ(C) = cutw(C) / min(volw(C), W −
+    volw(C)) with volw = weighted degree sums and cutw = the weight of
+    boundary rows. Weighted mode returns (community, n_nodes,
+    cut_weight, volume, phi) — doubles where the unweighted contract
+    has counts; integer-valued weights keep every sum an exact double
+    (the engine↔oracle parity argument is unchanged).
+
     Scale shape: IDENTICAL to ``modularity`` — two node-scale label
     equi-joins on the symmetric edge frame, ONE partial-aggregated
     groupBy to (cut_c, vol_c), the grand total S broadcast back as a
@@ -1460,15 +1576,7 @@ def conductance(
     rounded at 6 dp before the weighted mean so float summation order
     cannot drift the '<all>' row across engines. Cite: reference has
     no graph tier; extends SURVEY §2.11 beside ``modularity``."""
-    e = ensure_parallelism(edges).select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    )
-    sym = (
-        e.unionByName(e.select(F.col("dst").alias("src"),
-                               F.col("src").alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    sym = _symmetrize_simple(edges, src, dst, weight_col)
     lab = labels.select(
         F.col(id_col).alias("id"), F.col(label_col).alias("lab")
     )
@@ -1477,19 +1585,33 @@ def conductance(
     labeled = (
         sym.join(la, sym["src"] == la["__sid"])
         .join(lb, sym["dst"] == lb["__did"])
-        .select("lsrc", "ldst")
+        .select("lsrc", "ldst", "__w")
     )
-    stats = labeled.groupBy(F.col("lsrc").alias("community")).agg(
-        F.sum(
-            F.when(F.col("lsrc") != F.col("ldst"), F.lit(1)).otherwise(0)
-        ).alias("__cut"),
-        F.count("*").alias("__vol"),
-    )
+    if weight_col is None:
+        stats = labeled.groupBy(F.col("lsrc").alias("community")).agg(
+            F.sum(
+                F.when(F.col("lsrc") != F.col("ldst"), F.lit(1))
+                .otherwise(0)
+            ).alias("__cut"),
+            F.count("*").alias("__vol"),
+        )
+        zero = F.lit(0)
+        cut_name, cast_t = "cut_edges", "long"
+    else:
+        stats = labeled.groupBy(F.col("lsrc").alias("community")).agg(
+            F.sum(
+                F.when(F.col("lsrc") != F.col("ldst"), F.col("__w"))
+                .otherwise(F.lit(0.0))
+            ).alias("__cut"),
+            F.sum("__w").alias("__vol"),
+        )
+        zero = F.lit(0.0)
+        cut_name, cast_t = "cut_weight", "double"
     sizes = lab.groupBy(F.col("lab").alias("community")).agg(
         F.count("*").alias("n_nodes")
     )
     total = stats.agg(
-        F.coalesce(F.sum("__vol"), F.lit(0)).alias("__St")
+        F.coalesce(F.sum("__vol"), zero).alias("__St")
     )
     minvol = F.least(
         F.col("__v").cast("double"), (F.col("__St") - F.col("__v")).cast("double")
@@ -1500,24 +1622,24 @@ def conductance(
         .select(
             "community",
             "n_nodes",
-            F.coalesce(F.col("__cut"), F.lit(0))
-            .cast("long").alias("cut_edges"),
-            F.coalesce(F.col("__vol"), F.lit(0))
-            .cast("long").alias("volume"),
+            F.coalesce(F.col("__cut"), zero)
+            .cast(cast_t).alias(cut_name),
+            F.coalesce(F.col("__vol"), zero)
+            .cast(cast_t).alias("volume"),
             F.col("__St"),
         )
         .withColumn("__v", F.col("volume"))
         .select(
-            "community", "n_nodes", "cut_edges", "volume",
+            "community", "n_nodes", cut_name, "volume",
             F.when(
                 minvol > 0,
-                F.round(F.col("cut_edges") / minvol, 6),
+                F.round(F.col(cut_name) / minvol, 6),
             ).otherwise(F.lit(None).cast("double")).alias("phi"),
         )
     )
     grand = per.agg(
         F.sum("n_nodes").alias("n_nodes"),
-        F.sum("cut_edges").alias("cut_edges"),
+        F.sum(cut_name).alias(cut_name),
         F.sum("volume").alias("volume"),
         F.round(
             F.sum(
@@ -1531,7 +1653,7 @@ def conductance(
         ).alias("phi"),
     ).select(
         F.lit("<all>").alias("community"),
-        "n_nodes", "cut_edges", "volume", "phi",
+        "n_nodes", cut_name, "volume", "phi",
     )
     return per.unionByName(grand)
 
@@ -1539,52 +1661,62 @@ def conductance(
 def conductance_oracle_sql(
     edges_sql: str,
     labels_sql: str,
+    weighted: bool = False,
 ) -> str:
-    """DuckDB replica of ``conductance``: identical symmetrize, the
-    same two label joins, the same (cut_c, vol_c) aggregate, per-
-    community φ rounded at 6 dp, the '<all>' volume-weighted mean over
-    the rounded φ. ``edges_sql`` selects (src, dst); ``labels_sql``
-    selects (id, lab)."""
-    return f"""WITH pe0 AS MATERIALIZED (
-      SELECT DISTINCT src, dst FROM (
-        SELECT src, dst FROM ({edges_sql}) r0
-        UNION ALL
-        SELECT dst, src FROM ({edges_sql}) r1) u
-      WHERE src <> dst),
+    """DuckDB replica of ``conductance``: identical symmetrize
+    (``_sym_simple_sql`` — the one weight dialect), the same two label
+    joins, the same (cut_c, vol_c) aggregate, per-community φ rounded
+    at 6 dp, the '<all>' volume-weighted mean over the rounded φ.
+    ``edges_sql`` selects (src, dst) — plus w when ``weighted`` (r13:
+    doubles instead of counts); ``labels_sql`` selects (id, lab)."""
+    if weighted:
+        cut_expr = "SUM(CASE WHEN lsrc <> ldst THEN w ELSE 0.0 END)"
+        vol_expr = "SUM(w)"
+        cut_name = "cut_weight"
+        mass_cast = "DOUBLE"
+        zero = "0.0"
+    else:
+        cut_expr = "SUM(CASE WHEN lsrc <> ldst THEN 1 ELSE 0 END)"
+        vol_expr = "COUNT(*)"
+        cut_name = "cut_edges"
+        mass_cast = "BIGINT"
+        zero = "0"
+    return f"""WITH {_sym_simple_sql(edges_sql, "pe0", weighted)},
     plab AS MATERIALIZED (SELECT id, lab FROM ({labels_sql}) pl),
     plabeled AS (
-      SELECT la.lab AS lsrc, lb.lab AS ldst
+      SELECT la.lab AS lsrc, lb.lab AS ldst, s.w AS w
       FROM pe0 s JOIN plab la ON s.src = la.id
                  JOIN plab lb ON s.dst = lb.id),
     pstats AS (
       SELECT lsrc AS community,
-             SUM(CASE WHEN lsrc <> ldst THEN 1 ELSE 0 END) AS cut_c,
-             COUNT(*) AS vol_c
+             {cut_expr} AS cut_c,
+             {vol_expr} AS vol_c
       FROM plabeled GROUP BY lsrc),
     psizes AS (
       SELECT lab AS community, COUNT(*) AS n_nodes
       FROM plab GROUP BY lab),
-    ptot AS (SELECT COALESCE(SUM(vol_c), 0) AS S FROM pstats),
+    ptot AS (SELECT COALESCE(SUM(vol_c), {zero}) AS S FROM pstats),
     pper AS (
       SELECT z.community,
              z.n_nodes,
-             CAST(COALESCE(t.cut_c, 0) AS BIGINT) AS cut_edges,
-             CAST(COALESCE(t.vol_c, 0) AS BIGINT) AS volume,
-             CASE WHEN least(CAST(COALESCE(t.vol_c, 0) AS DOUBLE),
-                             CAST(ptot.S - COALESCE(t.vol_c, 0) AS DOUBLE))
+             CAST(COALESCE(t.cut_c, {zero}) AS {mass_cast}) AS {cut_name},
+             CAST(COALESCE(t.vol_c, {zero}) AS {mass_cast}) AS volume,
+             CASE WHEN least(CAST(COALESCE(t.vol_c, {zero}) AS DOUBLE),
+                             CAST(ptot.S - COALESCE(t.vol_c, {zero}) AS DOUBLE))
                        > 0
-                  THEN ROUND(CAST(COALESCE(t.cut_c, 0) AS DOUBLE)
-                    / least(CAST(COALESCE(t.vol_c, 0) AS DOUBLE),
-                            CAST(ptot.S - COALESCE(t.vol_c, 0) AS DOUBLE)),
+                  THEN ROUND(CAST(COALESCE(t.cut_c, {zero}) AS DOUBLE)
+                    / least(CAST(COALESCE(t.vol_c, {zero}) AS DOUBLE),
+                            CAST(ptot.S - COALESCE(t.vol_c, {zero}) AS DOUBLE)),
                   6)
                   ELSE NULL END AS phi
       FROM psizes z LEFT JOIN pstats t ON z.community = t.community,
            ptot)
-    SELECT community, CAST(n_nodes AS BIGINT) AS n_nodes, cut_edges,
+    SELECT community, CAST(n_nodes AS BIGINT) AS n_nodes, {cut_name},
            volume, phi FROM pper
     UNION ALL
     SELECT '<all>', CAST(SUM(n_nodes) AS BIGINT),
-           CAST(SUM(cut_edges) AS BIGINT), CAST(SUM(volume) AS BIGINT),
+           CAST(SUM({cut_name}) AS {mass_cast}),
+           CAST(SUM(volume) AS {mass_cast}),
            ROUND(SUM(CASE WHEN phi IS NOT NULL THEN phi * volume END)
                  / SUM(CASE WHEN phi IS NOT NULL THEN volume END), 6)
     FROM pper"""
@@ -1954,27 +2086,28 @@ def weighted_pagerank(
     pagerank/trustrank."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    # persisted: BOTH the surviving-edge aggregate and the unfiltered
-    # node universe (ADVICE r11) scan this frame — without the persist
-    # the upstream lineage (typically a join) runs twice (measured
-    # +42% on the sf0.1 bench row)
-    e0 = _round_materialize(
+    # ONE scan of the raw lineage (VERDICT r12 #3): a single
+    # groupBy(src, dst) produces BOTH the surviving-edge weight sums
+    # (__w — null when every parallel edge was NULL/non-positive, the
+    # conditional sum replicating filter-then-sum exactly: a sum of
+    # positive weights is itself positive) AND the UNFILTERED pair
+    # universe the node frame needs (ADVICE r11: weight-dropped nodes
+    # stay dangling with baseline rank). The r11/r12 shape scanned a
+    # persisted raw projection twice (filtered agg + union-distinct
+    # over 2·|E| raw rows); here the raw lineage runs once and the
+    # node dedup runs over the already-deduped pair frame.
+    g = _round_materialize(
         ensure_parallelism(edges).select(
             F.col(src).alias("src"), F.col(dst).alias("dst"),
             F.col(weight_col).cast("double").alias("__w"),
         )
-    )
-    e = (
-        e0.filter(F.col("__w").isNotNull() & (F.col("__w") > 0))
         .groupBy("src", "dst")
-        .agg(F.sum("__w").alias("__w"))
-        .localCheckpoint(eager=False)
+        .agg(F.sum(F.when(F.col("__w") > 0, F.col("__w"))).alias("__w"))
     )
-    # node universe over the UNFILTERED edge list (ADVICE r11) so
-    # weight-dropped nodes survive as dangling with baseline rank
+    e = g.filter(F.col("__w").isNotNull())
     nodes = (
-        e0.select(F.col("src").alias("id"))
-        .union(e0.select(F.col("dst").alias("id")))
+        g.select(F.col("src").alias("id"))
+        .union(g.select(F.col("dst").alias("id")))
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -2025,7 +2158,10 @@ def weighted_pagerank(
             )
             .localCheckpoint(eager=False)
         )
-    return ranks.select("id", "rank")
+    # Materialize the returned node-scale frame, then release the
+    # edge-scale pair cache (ADVICE r12): the returned frame stays
+    # persisted (callers may unpersist); g does not outlive the call.
+    return _round_materialize(ranks.select("id", "rank"), prior=g)
 
 
 def weighted_distances(
@@ -2269,16 +2405,19 @@ def _louvain_local_tail(
     SORTED-unique value codes (code order ≡ value order, so integer
     comparisons reproduce the engine's string/int comparisons).
     Returns the (id, com) frame; bit-identical to the distributed
-    rounds (unit-pinned: tests/test_round12_ops.py)."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import StructField, StructType
-
+    rounds (unit-pinned: tests/test_round12_ops.py). Returns None —
+    caller falls back to the distributed rounds — when a null src/dst
+    or init label is present, or when ``init_labels`` carries
+    duplicate ids (ADVICE r12: the distributed init join FANS OUT on
+    duplicates; the searchsorted lookup cannot, so the local path must
+    not claim those inputs)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import StructField, StructType
 
     pdf = sym.toPandas()  # Arrow batch transfer — bounded by the gate
+    if not _local_codes_ok(pdf["src"], pdf["dst"]):
+        return None
     f = sym.schema["src"]
     schema = StructType([
         StructField("id", f.dataType, f.nullable),
@@ -2297,6 +2436,9 @@ def _louvain_local_tail(
             F.col(init_labels.columns[0]).alias("id"),
             F.col(init_labels.columns[1]).alias("lab"),
         ).toPandas()
+        if (not _local_codes_ok(ipdf["id"], ipdf["lab"])
+                or bool(ipdf["id"].duplicated().any())):
+            return None
         universe = np.unique(np.concatenate(
             [ids, ipdf["lab"].to_numpy()]))
     else:
@@ -2461,12 +2603,16 @@ def _louvain_full_local(
     integer-exact grouped weight sum, self-rows kept). Skips every
     distributed symmetrize/shuffle — the level-0 fast path behind the
     same ``local_tail_max`` gate; output identical to the distributed
-    path (unit-pinned)."""
+    path (unit-pinned). Returns None — caller falls back to the
+    distributed dataflow — on null src/dst/init values or duplicate
+    init ids (ADVICE r12, see ``_louvain_local_tail``)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import StructField, StructType
 
     pdf = eprep.toPandas()  # Arrow batch transfer — bounded by the gate
+    if not _local_codes_ok(pdf[src], pdf[dst]):
+        return None
     f = eprep.schema[src]
     schema = StructType([
         StructField("id", f.dataType, f.nullable),
@@ -2482,6 +2628,9 @@ def _louvain_full_local(
             F.col(init_labels.columns[0]).alias("id"),
             F.col(init_labels.columns[1]).alias("lab"),
         ).toPandas()
+        if (not _local_codes_ok(ipdf["id"], ipdf["lab"])
+                or bool(ipdf["id"].duplicated().any())):
+            return None
         vals.append(ipdf["lab"].to_numpy())
         vals.append(ipdf["id"].to_numpy())
     universe = np.unique(np.concatenate(vals)) if len(svals) or (
@@ -2526,7 +2675,9 @@ def _louvain_level(
     the coreness gate discipline), else the distributed round core.
     Both paths are output-identical (unit-pinned). Returns (id, com)."""
     if local_tail_max > 0 and 2 * sym.count() <= local_tail_max:
-        return _louvain_local_tail(sym, init_labels, rounds)
+        tail = _louvain_local_tail(sym, init_labels, rounds)
+        if tail is not None:  # None ⇒ nulls/dup init ids, stay distributed
+            return tail
     deg = _round_materialize(
         sym.groupBy("src")
         .agg(F.sum("__w").alias("__k"))
@@ -2534,7 +2685,12 @@ def _louvain_level(
     )
     stot = deg.agg(F.sum("__k").alias("__S"))
     labels = _louvain_init_labels(deg, init_labels)
-    return _louvain_rounds(sym, labels, stot, rounds).select("id", "com")
+    final = _louvain_rounds(sym, labels, stot, rounds)
+    # ``final`` is counted+persisted by its last round_materialize, so
+    # the node-degree cache can be released here (ADVICE r12) — it does
+    # not outlive the level.
+    deg.unpersist()
+    return final.select("id", "com")
 
 
 def _louvain_init_labels(
@@ -2641,13 +2797,24 @@ def louvain_local_move(
         raise ValueError("rounds must be >= 1")
     eprep = _louvain_eprep(edges, src, dst, weight_col)
     if local_tail_max > 0 and 2 * eprep.count() <= local_tail_max:
-        return _louvain_full_local(
+        full = _louvain_full_local(
             eprep, src, dst, weight_col, init_labels, rounds, levels=1)
+        if full is not None:  # None ⇒ nulls/dup init ids, stay distributed
+            return full
     sym = _symmetrize_simple(
         eprep, src, dst, "__w" if weight_col else None
     ).localCheckpoint(eager=False).persist()
     labels = _louvain_level(sym, init_labels, rounds, local_tail_max)
-    return labels.select("id", F.col("com").alias("community"))
+    # Materialize the returned node-scale frame, then release the
+    # edge-scale caches (ADVICE r12): the returned frame stays
+    # persisted (callers may unpersist); sym/labels do not outlive the
+    # call.
+    out = _round_materialize(
+        labels.select("id", F.col("com").alias("community")),
+        prior=labels,  # unpersist is a no-op on the local-tail frame
+    )
+    sym.unpersist()
+    return out
 
 
 def _louvain_eprep(
@@ -2707,15 +2874,17 @@ def louvain_multilevel(
         raise ValueError("rounds must be >= 1")
     eprep = _louvain_eprep(edges, src, dst, weight_col)
     if local_tail_max > 0 and 2 * eprep.count() <= local_tail_max:
-        return _louvain_full_local(
+        full = _louvain_full_local(
             eprep, src, dst, weight_col, init_labels, rounds, levels)
+        if full is not None:  # None ⇒ nulls/dup init ids, stay distributed
+            return full
     sym = _symmetrize_simple(
         eprep, src, dst, "__w" if weight_col else None
     ).localCheckpoint(eager=False).persist()
     prior_sym = sym
     labels = _louvain_level(sym, init_labels, rounds, local_tail_max)
     mapping = labels
-    for _ in range(1, levels):
+    for lv in range(1, levels):
         ls = labels.select(F.col("id").alias("__ls_id"),
                            F.col("com").alias("__ls_com"))
         ld = labels.select(F.col("id").alias("__ld_id"),
@@ -2729,6 +2898,7 @@ def louvain_multilevel(
         )
         sym = _round_materialize(sym, prior=prior_sym)
         prior_sym = sym
+        contract_src = labels
         labels = _louvain_level(sym, None, rounds, local_tail_max)
         sl = labels.select(F.col("id").alias("__sl_id"),
                            F.col("com").alias("__sl_com"))
@@ -2737,7 +2907,22 @@ def louvain_multilevel(
             .select("id", F.col("__sl_com").alias("com")),
             prior=mapping,
         )
-    return mapping.select("id", F.col("com").alias("community"))
+        if lv > 1:
+            # level-(lv−1) labels are fully consumed (sym + mapping
+            # both materialized); the lv==1 frame IS the old mapping,
+            # already released via prior=mapping above (ADVICE r12).
+            contract_src.unpersist()
+    # Materialize the returned node-scale frame, then release the
+    # remaining caches (ADVICE r12): the returned frame stays persisted
+    # (callers may unpersist); sym/labels do not outlive the call.
+    out = _round_materialize(
+        mapping.select("id", F.col("com").alias("community")),
+        prior=mapping,
+    )
+    if labels is not mapping:
+        labels.unpersist()
+    prior_sym.unpersist()
+    return out
 
 
 def _louvain_round_ctes(

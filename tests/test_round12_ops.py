@@ -172,6 +172,37 @@ def test_modularity_local_stats_identical_to_distributed(spark):
     assert got["<all>"][1] == "3"  # unlabeled 'zz' outside n_nodes
 
 
+def test_lpa_local_tail_identical_to_distributed(spark):
+    """ADVICE r12: the LPA local fast paths are output-IDENTICAL to
+    the distributed rounds through BOTH gates — the raw-edge gate
+    (``_lpa_full_local``) and the sym0 gate (``_lpa_local_tail``) —
+    including a self-loop-only node (must survive as a singleton
+    community, the ADVICE r6 contract)."""
+    base = [(f"n{i}", f"n{(i + 1) % 8}") for i in range(8)]
+    base += [("a", "b"), ("b", "c"), ("n0", "a"), ("solo", "solo")]
+    rows = base * 15  # heavy duplication: |sym0| ≪ |raw rows|
+    e = spark.createDataFrame(rows, ["src", "dst"])
+    dist = sorted(G.label_propagation(
+        e, iterations=4, local_tail_max=0).collect())
+    # raw-edge gate: default cap (2M) ≫ 2·|raw|
+    raw_gate = sorted(G.label_propagation(e, iterations=4).collect())
+    assert raw_gate == dist
+    # sym0 gate ONLY: cap below 2·|raw| (=360) but above 2·|sym0|
+    n_raw = e.count()
+    sym0_n = (
+        e.union(e.select(F.col("dst").alias("src"),
+                         F.col("src").alias("dst")))
+        .distinct().count()
+    )
+    cap = 2 * n_raw - 1
+    assert 2 * sym0_n <= cap  # the chosen cap really exercises the tail
+    sym_gate = sorted(G.label_propagation(
+        e, iterations=4, local_tail_max=cap).collect())
+    assert sym_gate == dist
+    comm = {r["id"]: r["community"] for r in dist}
+    assert comm["solo"] == "solo"
+
+
 # -------------------------------------------------------------- multilevel
 
 
