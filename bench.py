@@ -259,6 +259,10 @@ HEADLINE_NEW: list[str] = [
     "graph_louvain_weighted",
     "graph_louvain_multilevel",
     "embedding_mmr_rerank",
+    # r13 weighted LPA/conductance + Leiden refinement
+    "graph_lpa_weighted",
+    "graph_conductance_weighted",
+    "graph_leiden",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is

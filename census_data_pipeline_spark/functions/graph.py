@@ -513,6 +513,65 @@ def label_propagation(
     return labels.select("id", F.col("lab").alias("community"))
 
 
+def lpa_labels_oracle_sql(
+    edges_sql: str,
+    iterations: int = 5,
+    weighted: bool = False,
+) -> str:
+    """DuckDB replica of ``label_propagation`` as UNROLLED round CTEs
+    (the _pagerank_oracle discipline) returning a parenthesized
+    subquery selecting (id, community). Unweighted: integer vote
+    counts; ``weighted`` mirrors ``weight_col`` (``edges_sql`` then
+    selects (src, dst, w)) — NULL/non-positive rows dropped BEFORE the
+    node set forms, per-direction weight sums, self-vote weight 1.0,
+    the 6-dp floor-half-up score before the (score desc, label asc)
+    pick, exactly the engine's round dataflow."""
+    if weighted:
+        head = f"""pe0 AS MATERIALIZED (
+      SELECT src, dst, w FROM ({edges_sql}) pe
+      WHERE w IS NOT NULL AND w > 0),
+    psym0 AS MATERIALIZED (
+      SELECT src, dst, SUM(w) AS w FROM (
+        SELECT src, dst, w FROM pe0
+        UNION ALL SELECT dst, src, w FROM pe0) u
+      GROUP BY src, dst),
+    psym AS (SELECT src, dst, w FROM psym0 WHERE src <> dst)"""
+        vote = """SELECT s.dst, l.lab, s.w
+                FROM psym s JOIN {prev} l ON s.src = l.id
+                UNION ALL SELECT id AS dst, lab, 1.0 AS w FROM {prev}"""
+        score = "FLOOR(SUM(v.w) * 1000000.0 + 0.5) / 1000000.0"
+    else:
+        head = f"""pe0 AS MATERIALIZED (
+      SELECT src, dst FROM ({edges_sql}) pe),
+    psym0 AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM pe0
+        UNION ALL SELECT dst, src FROM pe0) u),
+    psym AS (SELECT src, dst FROM psym0 WHERE src <> dst)"""
+        vote = """SELECT s.dst, l.lab
+                FROM psym s JOIN {prev} l ON s.src = l.id
+                UNION ALL SELECT id AS dst, lab FROM {prev}"""
+        score = "count(*)"
+    rounds = []
+    prev = "pl0"
+    for t in range(1, iterations + 1):
+        cur = f"pl{t}"
+        rounds.append(f"""
+    {cur} AS MATERIALIZED (
+      SELECT dst AS id, lab FROM (
+        SELECT dst, lab, row_number() OVER (
+                 PARTITION BY dst ORDER BY c DESC, lab ASC) AS rn
+        FROM (SELECT v.dst, v.lab, {score} AS c
+              FROM ({vote.format(prev=prev)}) v
+              GROUP BY v.dst, v.lab) cnt) rk
+      WHERE rn = 1)""")
+        prev = cur
+    return f"""(WITH {head},
+    pnodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM psym0),
+    pl0 AS MATERIALIZED (SELECT id, id AS lab FROM pnodes),{",".join(rounds)}
+    SELECT id, lab AS community FROM {prev})"""
+
+
 def bfs_distances(
     edges: DataFrame,
     seeds: DataFrame,
@@ -3072,6 +3131,399 @@ def louvain_multilevel_oracle_sql(
                 f" ON b{lv}.id = b{lv - 1}.com")
     return f"""(WITH {",".join(ctes)}
     {sel})"""
+
+
+def _leiden_refine(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """Leiden's refinement step (Traag, Waltman & van Eck 2019, the
+    connectivity-restoring phase): split every community of ``labels``
+    (an (id, com) frame) into its CONNECTED COMPONENTS over the
+    intra-community subgraph of ``sym``; each node's refined id is the
+    smallest member id reachable inside its community (the
+    ``connected_components`` min-label fixpoint — deterministic, no
+    tie policy needed), nodes with no intra-community edge become
+    singletons under their own id. Splitting a disconnected community
+    into components NEVER decreases Q (no intra edge is lost and
+    Σd_i² < (Σd_i)² for ≥2 parts), which is what makes the refinement
+    safe to insert between move and contraction. Returns
+    (id, refined)."""
+    la = labels.select(F.col("id").alias("__ri"),
+                       F.col("com").alias("__rc"))
+    lb = labels.select(F.col("id").alias("__rj"),
+                       F.col("com").alias("__rd"))
+    intra = (
+        sym.join(la, sym["src"] == F.col("__ri"))
+        .join(lb, sym["dst"] == F.col("__rj"))
+        .filter(F.col("__rc") == F.col("__rd"))
+        .select("src", "dst")
+    )
+    cc = connected_components(intra)
+    return (
+        labels.join(cc, labels["id"] == cc["id"], "left")
+        .select(labels["id"],
+                F.coalesce(cc["component"], labels["id"]).alias("refined"))
+    )
+
+
+def _np_cc_min_label(es, ed, U):
+    """Vectorized min-label connected components over coded symmetric
+    edges: per round one np.minimum.at neighbor gather + a
+    pointer-jump shortcut (labels only decrease and always name a
+    same-component node, so the fixpoint is the component min — the
+    ``connected_components`` labeling, in O(E·log n) worst case).
+    Returns the label array over ``U`` codes (identity for isolated
+    codes)."""
+    import numpy as np
+
+    lab = np.arange(U, dtype=np.int64)
+    while True:
+        prev = lab
+        nl = lab.copy()
+        if len(es):
+            np.minimum.at(nl, ed, lab[es])
+        nl = np.minimum(nl, nl[nl])
+        lab = nl
+        if np.array_equal(lab, prev):
+            return lab
+
+
+def _np_leiden_refine(scode, dcode, full, U):
+    """Numpy replica of ``_leiden_refine`` over coded arrays: connected
+    components of the intra-community subgraph (codes over a SORTED
+    universe, so min-code ≡ the distributed min-id convention).
+    Returns the refined array over ``U`` codes (identity outside)."""
+    m = (full[scode] == full[dcode]) & (scode != dcode)
+    return _np_cc_min_label(scode[m], dcode[m], U)
+
+
+def _leiden_full_local(
+    eprep: DataFrame,
+    src: str,
+    dst: str,
+    weight_col: str | None,
+    init_labels: DataFrame | None,
+    rounds: int,
+    levels: int,
+) -> DataFrame:
+    """The whole leiden run in ONE bounded driver pass (the
+    ``_louvain_full_local`` discipline): collect the raw projected
+    edge frame (≤ gate rows), symmetrize in numpy, then per level
+    replay the move rounds (``_louvain_replay``), refine via the
+    vectorized min-label component pass, contract by the refined
+    partition with the coarse communities as the next level's start,
+    and finish with the connectivity pass over the level-0 frame.
+    Output identical to the distributed path (unit-pinned:
+    tests/test_round13_ops.py). Returns None — caller falls back to
+    the distributed dataflow — on null src/dst/init values or
+    duplicate init ids (ADVICE r12)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    pdf = eprep.toPandas()  # Arrow batch transfer — bounded by the gate
+    if not _local_codes_ok(pdf[src], pdf[dst]):
+        return None
+    f = eprep.schema[src]
+    schema = StructType([
+        StructField("id", f.dataType, f.nullable),
+        StructField("community", f.dataType, f.nullable),
+    ])
+    svals = pdf[src].to_numpy()
+    dvals = pdf[dst].to_numpy()
+    wvals = pdf["__w"].to_numpy(dtype=np.float64) if weight_col else None
+    ipdf = None
+    vals = [svals, dvals]
+    if init_labels is not None:
+        ipdf = init_labels.select(
+            F.col(init_labels.columns[0]).alias("id"),
+            F.col(init_labels.columns[1]).alias("lab"),
+        ).toPandas()
+        if (not _local_codes_ok(ipdf["id"], ipdf["lab"])
+                or bool(ipdf["id"].duplicated().any())):
+            return None
+        vals.append(ipdf["lab"].to_numpy())
+        vals.append(ipdf["id"].to_numpy())
+    universe = np.unique(np.concatenate(vals)) if len(svals) or (
+        ipdf is not None and len(ipdf)) else np.array([], dtype=object)
+    scode, dcode, w = _np_symmetrize(svals, dvals, wvals, universe)
+    node_codes0 = np.unique(scode)
+    ids = universe[node_codes0]
+    if len(ids) == 0:
+        return eprep.sparkSession.createDataFrame(
+            pd.DataFrame({"id": [], "community": []}), schema)
+    U = len(universe)
+    scode0, dcode0 = scode, dcode  # level-0 frame for the final pass
+    full = _louvain_init_full(universe, ids, ipdf)
+    chain = node_codes0.copy()  # original node → current-level node code
+    node_codes = node_codes0
+    for lv in range(levels):
+        full = _louvain_replay(universe, scode, dcode, w, full, rounds)
+        if lv == levels - 1:
+            break
+        refined = _np_leiden_refine(scode, dcode, full, U)
+        chain = refined[chain]
+        # contraction by the refined partition, self-rows KEPT
+        key = refined[scode] * U + refined[dcode]
+        uk, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros(len(uk), dtype=np.float64)
+        np.add.at(sums, inv, w)
+        scode, dcode, w = (uk // U), (uk % U), sums
+        # next level starts from the COARSE partition (the Leiden
+        # init): each refined supernode opens in its move-phase
+        # community (all members share one com by construction)
+        new_full = np.full(U, -1, dtype=np.int64)
+        new_full[refined[node_codes]] = full[node_codes]
+        full = new_full
+        node_codes = np.unique(scode)
+    coarse = full[chain]  # label codes per original node
+    full_coarse = np.full(U, -1, dtype=np.int64)
+    full_coarse[node_codes0] = coarse
+    refined_final = _np_leiden_refine(scode0, dcode0, full_coarse, U)
+    out = pd.DataFrame({
+        "id": ids, "community": universe[refined_final[node_codes0]]})
+    return eprep.sparkSession.createDataFrame(out, schema)
+
+
+def leiden(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    levels: int = 2,
+    rounds: int = 4,
+    init_labels: DataFrame | None = None,
+    weight_col: str | None = None,
+    local_tail_max: int = 2_000_000,
+) -> DataFrame:
+    """Leiden-style community detection (Traag, Waltman & van Eck
+    2019 — VERDICT r12 #6): ``louvain_multilevel``'s guarded move +
+    contraction alternation with the REFINEMENT phase in between.
+    Plain Louvain provably produces internally DISCONNECTED
+    communities (Traag et al. 2019 §2: a node bridging two parts of
+    its community can move away and orphan them); Leiden's fix is to
+    contract by a REFINED partition — here each community's connected
+    components (``_leiden_refine``) — while the contracted level's
+    move phase STARTS from the coarse partition, so whole
+    subcommunities can relocate without ever gluing disconnected
+    pieces into one supernode. A final refinement pass over the
+    original graph then guarantees the returned communities are
+    internally connected (asserted in tests/test_round13_ops.py);
+    every phase is Q-non-decreasing (guarded moves by construction,
+    contraction Q-invariant, component splits strictly raise Q on
+    disconnected communities), so Q ≥ the one-level mover's at the
+    same rounds. Returns (id, community) over the original node ids;
+    the community id is the smallest member id of its connected
+    component (the ``connected_components`` convention).
+
+    Determinism: the move rounds are ``louvain_local_move``'s fixed
+    dataflow; the refinement is a min-label fixpoint (unique, no tie
+    policy); the composed trajectory is replicated by
+    ``leiden_oracle_sql`` as unrolled CTEs with recursive-CTE
+    component passes.
+
+    Scale shape: level-0 moves are the louvain round dataflow (bounded
+    local tail under the gate); each refinement adds one double
+    equi-join + the ``connected_components`` min-label rounds (per
+    round: one edges ⋈ labels join + a (dst, min) partial aggregate —
+    diameter-bounded, and intra-community diameters are small by
+    construction); contraction and later levels run on
+    community-scale frames. Cite: reference has no graph tier; extends
+    SURVEY §2.11 beside louvain_multilevel."""
+    if levels < 1:
+        raise ValueError("levels must be >= 1")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    eprep = _louvain_eprep(edges, src, dst, weight_col)
+    if local_tail_max > 0 and 2 * eprep.count() <= local_tail_max:
+        full = _leiden_full_local(
+            eprep, src, dst, weight_col, init_labels, rounds, levels)
+        if full is not None:  # None ⇒ nulls/dup init ids, stay distributed
+            return full
+    sym0 = _symmetrize_simple(
+        eprep, src, dst, "__w" if weight_col else None
+    ).localCheckpoint(eager=False).persist()
+    sym = sym0
+    prior_sym = None  # contracted frames only — sym0 lives to the end
+    labels = _louvain_level(sym, init_labels, rounds, local_tail_max)
+    assign = None  # original id → current-level node id
+    for _ in range(1, levels):
+        refined = _round_materialize(_leiden_refine(sym, labels))
+        rinit = (
+            refined.join(labels, "id")
+            .groupBy("refined")
+            .agg(F.min("com").alias("lab"))
+        )
+        rs = refined.select(F.col("id").alias("__cs_id"),
+                            F.col("refined").alias("__cs_c"))
+        rd = refined.select(F.col("id").alias("__cd_id"),
+                            F.col("refined").alias("__cd_c"))
+        sym = (
+            sym.join(rs, sym["src"] == rs["__cs_id"])
+            .join(rd, sym["dst"] == rd["__cd_id"])
+            .groupBy(F.col("__cs_c").alias("src"),
+                     F.col("__cd_c").alias("dst"))
+            .agg(F.sum("__w").alias("__w"))
+        )
+        sym = _round_materialize(sym, prior=prior_sym)
+        prior_sym = sym
+        old_labels = labels
+        if assign is None:
+            assign = _round_materialize(
+                refined.select("id", F.col("refined").alias("cur")))
+        else:
+            assign = _round_materialize(
+                assign.join(refined,
+                            assign["cur"] == refined["id"])
+                .select(assign["id"], F.col("refined").alias("cur")),
+                prior=assign,
+            )
+        labels = _louvain_level(sym, rinit, rounds, local_tail_max)
+        old_labels.unpersist()
+        refined.unpersist()
+    if assign is None:
+        coarse = labels.select("id", "com")
+    else:
+        coarse = assign.join(
+            labels.select(F.col("id").alias("__fl_id"), "com"),
+            assign["cur"] == F.col("__fl_id"),
+        ).select(assign["id"], "com")
+    # final connectivity pass over the ORIGINAL graph: every returned
+    # community is one connected component of its induced subgraph
+    out = _round_materialize(
+        _leiden_refine(sym0, coarse)
+        .select("id", F.col("refined").alias("community"))
+    )
+    labels.unpersist()
+    if assign is not None:
+        assign.unpersist()
+    if prior_sym is not None:
+        prior_sym.unpersist()
+    sym0.unpersist()
+    return out
+
+
+def _cc_ctes(tag: str, intra_cte: str) -> tuple[list[str], str]:
+    """Recursive-CTE connected components over an already-symmetric
+    self-loop-free edge CTE (the ``connected_components_oracle_sql``
+    pattern, instanced with a ``tag`` prefix so several passes compose
+    in one WITH RECURSIVE list). Returns (ctes, final_name) where
+    final selects (id, component)."""
+    return [
+        f"""{tag}e1 AS MATERIALIZED (
+      SELECT src, dst FROM {intra_cte}
+      UNION ALL
+      SELECT DISTINCT src, src FROM {intra_cte})""",
+        f"""{tag}comp AS (
+      SELECT src AS node, src AS lbl
+      FROM (SELECT DISTINCT src FROM {intra_cte}) n0
+      UNION ALL
+      SELECT node, newl FROM (
+        SELECT node, newl, oldl,
+               MAX(CASE WHEN newl < oldl THEN 1 ELSE 0 END)
+                 OVER () AS mx
+        FROM (
+          SELECT DISTINCT e.dst AS node,
+                 MIN(c.lbl) OVER (PARTITION BY e.dst) AS newl,
+                 MAX(CASE WHEN e.src = e.dst THEN c.lbl END)
+                   OVER (PARTITION BY e.dst) AS oldl
+          FROM {tag}comp c JOIN {tag}e1 e ON e.src = c.node) t1) t2
+      WHERE mx = 1)""",
+        f"""{tag}cc AS MATERIALIZED (
+      SELECT node AS id, MIN(lbl) AS component
+      FROM {tag}comp GROUP BY node)""",
+    ], f"{tag}cc"
+
+
+def _leiden_refine_ctes(
+    tag: str, sym_cte: str, labels_cte: str
+) -> tuple[list[str], str]:
+    """SQL replica of ``_leiden_refine``: intra-community edges of
+    ``sym_cte`` under ``labels_cte`` (an (id, com) CTE), recursive-CTE
+    components, own-id fallback. Returns (ctes, refined_name) where
+    refined selects (id, refined)."""
+    ctes = [f"""{tag}intra AS MATERIALIZED (
+      SELECT s.src, s.dst
+      FROM {sym_cte} s JOIN {labels_cte} ls ON s.src = ls.id
+                       JOIN {labels_cte} ld ON s.dst = ld.id
+      WHERE ls.com = ld.com AND s.src <> s.dst)"""]
+    cc, ccname = _cc_ctes(tag, f"{tag}intra")
+    ctes.extend(cc)
+    ctes.append(f"""{tag}ref AS MATERIALIZED (
+      SELECT l.id, COALESCE(c.component, l.id) AS refined
+      FROM {labels_cte} l LEFT JOIN {ccname} c ON c.id = l.id)""")
+    return ctes, f"{tag}ref"
+
+
+def leiden_oracle_sql(
+    edges_sql: str,
+    levels: int = 2,
+    rounds: int = 4,
+    init_labels_sql: str | None = None,
+    weighted: bool = False,
+) -> str:
+    """DuckDB replica of ``leiden``: every level's move rounds
+    unrolled via ``_louvain_round_ctes``, each refinement as a
+    recursive-CTE component pass over the intra-community subgraph
+    (``_leiden_refine_ctes``), contraction by the refined partition
+    with the coarse communities as the next level's init, the final
+    connectivity pass over the level-0 graph. Returns a parenthesized
+    subquery selecting (id, lab) — feed it to ``modularity_oracle_sql``
+    as ``labels_sql``."""
+    if init_labels_sql is None:
+        l0 = "z0l0 AS (SELECT id, id AS com, k FROM zdeg0)"
+    else:
+        l0 = f"""z0l0 AS MATERIALIZED (
+      SELECT d.id, coalesce(il.lab, d.id) AS com, d.k
+      FROM zdeg0 d LEFT JOIN ({init_labels_sql}) il ON il.id = d.id)"""
+    ctes = [
+        _sym_simple_sql(edges_sql, "z0sym", weighted),
+        """zdeg0 AS MATERIALIZED (
+      SELECT src AS id, SUM(w) AS k FROM z0sym GROUP BY src)""",
+        "lS AS (SELECT SUM(k) AS S FROM zdeg0)",
+        l0,
+    ]
+    parts, prev = _louvain_round_ctes("z0", "z0sym", "z0l0", rounds)
+    ctes.extend(parts)
+    level_labels = [prev]  # (id, com) per level
+    refs = []  # refined (id, refined) per contraction
+    for lv in range(1, levels):
+        rctes, rname = _leiden_refine_ctes(
+            f"zr{lv}", f"z{lv - 1}sym", level_labels[-1])
+        ctes.extend(rctes)
+        refs.append(rname)
+        ctes.append(f"""zri{lv} AS MATERIALIZED (
+      SELECT r.refined AS id, MIN(l.com) AS lab
+      FROM {rname} r JOIN {level_labels[-1]} l ON l.id = r.id
+      GROUP BY r.refined)""")
+        ctes.append(f"""z{lv}sym AS MATERIALIZED (
+      SELECT rs.refined AS src, rd.refined AS dst, SUM(s.w) AS w
+      FROM z{lv - 1}sym s JOIN {rname} rs ON s.src = rs.id
+                JOIN {rname} rd ON s.dst = rd.id
+      GROUP BY 1, 2)""")
+        ctes.append(f"""zdeg{lv} AS MATERIALIZED (
+      SELECT src AS id, SUM(w) AS k FROM z{lv}sym GROUP BY src)""")
+        ctes.append(f"""z{lv}l0 AS MATERIALIZED (
+      SELECT d.id, coalesce(il.lab, d.id) AS com, d.k
+      FROM zdeg{lv} d LEFT JOIN zri{lv} il ON il.id = d.id)""")
+        parts, prev = _louvain_round_ctes(f"z{lv}", f"z{lv}sym",
+                                          f"z{lv}l0", rounds)
+        ctes.extend(parts)
+        level_labels.append(prev)
+    if levels == 1:
+        coarse = f"(SELECT id, com FROM {level_labels[0]})"
+    else:
+        sel = f"SELECT c0.id, cl.com AS com FROM {refs[0]} c0"
+        prev_alias = "c0"
+        for i in range(1, len(refs)):
+            sel += (f"\n      JOIN {refs[i]} c{i}"
+                    f" ON c{i}.id = {prev_alias}.refined")
+            prev_alias = f"c{i}"
+        sel += (f"\n      JOIN {level_labels[-1]} cl"
+                f" ON cl.id = {prev_alias}.refined")
+        coarse = f"({sel})"
+    ctes.append(f"zcoarse AS MATERIALIZED (SELECT id, com FROM {coarse} zc)")
+    fctes, fname = _leiden_refine_ctes("zf", "z0sym", "zcoarse")
+    ctes.extend(fctes)
+    return f"""(WITH RECURSIVE {",".join(ctes)}
+    SELECT id, refined AS lab FROM {fname})"""
 
 
 def hits_scores(

@@ -239,74 +239,72 @@ from census_data_pipeline_spark.plans import (  # noqa: F401
 from census_data_pipeline_spark.plans.registry import ORACLE, QUERIES
 
 _CHECKED_PREFIX = [
-    # r12 change-aware rotation (VERDICT r11 #8): driver_state.json was
-    # regenerated against CORRECTNESS_r11 as the round's first commit.
-    # Prefix = flagship, then the four r12 queries (weighted
-    # modularity, weighted Louvain local move, multi-level Louvain,
-    # MMR re-ranking),
-    # then the four queries whose fingerprints drift under the r12
-    # edits (the community-tier weighting refactor + Louvain local
-    # tail touch graph_modularity/graph_louvain_move, the ADVICE node-
-    # universe/negative-weight fixes touch graph_pagerank_weighted/
-    # graph_weighted_distances — the drifted list is computed by
-    # tools/query_fingerprints.py, not by hand), then the 38 queries
-    # with the OLDEST driver rows (r3/r4/r5 vintage) rotated in for
+    # r13 change-aware rotation (VERDICT r12 #8): driver_state.json was
+    # regenerated against CORRECTNESS_r12 at round open. Prefix =
+    # flagship, then the three r13 queries (weighted LPA, weighted
+    # conductance, Leiden refinement), then the nine queries whose
+    # fingerprints drift under the r13 edits (the ADVICE r12 local-
+    # fast-path hardening + weight plumbing touches the whole
+    # community tier, the single-scan rewrite touches
+    # graph_pagerank_weighted, the applyInPandas greedy touches
+    # embedding_mmr_rerank — the drifted list is computed by
+    # tools/query_fingerprints.py, not by hand), then the 37 queries
+    # with the OLDEST driver rows (r4/r5 vintage) rotated in for
     # freshness.
     "flagship_regional_rollup",
-    # r12 new queries
-    "graph_modularity_weighted",
-    "graph_louvain_weighted",
-    "graph_louvain_multilevel",
+    # r13 new queries
+    "graph_lpa_weighted",
+    "graph_conductance_weighted",
+    "graph_leiden",
+    # r13 fingerprint drift (computed by tools/query_fingerprints.py
+    # against driver_state.json)
     "embedding_mmr_rerank",
-    # r12 fingerprint drift (community-tier weighting, the LPA/louvain/
-    # modularity bounded local tails, + ADVICE fixes) - computed by
-    # tools/query_fingerprints.py against driver_state.json
-    "graph_modularity",
-    "graph_louvain_move",
-    "graph_label_propagation",
     "graph_conductance",
+    "graph_label_propagation",
+    "graph_louvain_move",
+    "graph_louvain_multilevel",
+    "graph_louvain_weighted",
+    "graph_modularity",
+    "graph_modularity_weighted",
     "graph_pagerank_weighted",
-    "graph_weighted_distances",
-    "lineitem_welch_fdr",
-    # oldest-driver-row freshness rotation (r3 + r4 + r5 vintage)
-    "text_repetition_stats",
-    "text_term_frequency",
-    "text_tokens_bpeish",
-    "topk_per_nation",
-    "union_batch_states",
-    "boundaries_right_join",
-    "cdc_apply_changes",
-    "classify_nearest_centroid",
-    "copurchase_topk",
-    "decontam_semantic",
-    "dedup_containment",
-    "dedup_minhash_ml",
-    "dedup_spans",
-    "events_rate_anomaly",
-    "geo_point_in_polygon",
-    "geo_polygon_overlap",
-    "graph_triangles",
-    "ivm_incremental_rollup",
-    "knn_ivf",
-    "knn_pq_seeded",
-    "linkage_entity_clusters",
-    "multimodal_audio_features",
-    "sample_temperature",
-    "scd2_user_status",
-    "search_bm25",
-    "text_bigram_logprob",
-    "text_chi2_features",
-    "text_dsir_logratio",
-    "text_token_stats",
-    "text_unigram_logprob",
-    "ab_test_conversion",
-    "ann_quality_lsh",
-    "approx_sketches",
-    "basket_rules_parts",
-    "cluster_kmeans_lloyd",
-    "cluster_silhouette",
-    "cohort_ltv_weekly",
-    "customer_rfm",
+    # oldest-driver-row freshness rotation (r4 + r5 vintage)
+    "dedup_against_index",
+    "dedup_against_reference",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dq_benford_prices",
+    "drift_chi2_event_types",
+    "events_ewma",
+    "events_gaps",
+    "funnel_step_latency",
+    "knn_bruteforce",
+    "knn_ivfpq_seeded",
+    "knn_lsh",
+    "lineitem_exact_median_scalable",
+    "mix_build_e2e",
+    "multimodal_video_frames",
+    "orders_price_histogram",
+    "rates_zero_policy",
+    "sample_token_budget",
+    "scd2_snapshot_at",
+    "search_hybrid_rrf",
+    "skew_salted_join",
+    "text_bpe_merges",
+    "text_bpe_segment",
+    "text_normalize_unicode",
+    "text_pmi_pairs",
+    "text_tag_keywords",
+    "anti_join_nations_without_suppliers",
+    "asof_click_purchase",
+    "change_over_time",
+    "derived_demographics",
+    "events_gapfill_1h",
+    "geo_nearest_site",
+    "geo_nearest_site_grid",
+    "geo_point_extract",
+    "geoid_hierarchy_rollup",
+    "geoid_parse",
+    "geoid_rollup_county",
 ]
 
 
