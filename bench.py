@@ -263,6 +263,7 @@ HEADLINE_NEW: list[str] = [
     "graph_lpa_weighted",
     "graph_conductance_weighted",
     "graph_leiden",
+    "embedding_mmr_ivf",
     # REAL-streaming queries (streaming_tumbling_1h,
     # streaming_enriched_rollup, both interval joins, streaming_dedup,
     # streaming_ohlc) are excluded here by design — their cost is

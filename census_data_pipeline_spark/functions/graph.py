@@ -2164,9 +2164,10 @@ def weighted_pagerank(
         .agg(F.sum(F.when(F.col("__w") > 0, F.col("__w"))).alias("__w"))
     )
     e = g.filter(F.col("__w").isNotNull())
+    # explode, not union: ONE scan of the cached pair frame feeds the
+    # endpoint dedup (the union form scans the cache twice)
     nodes = (
-        g.select(F.col("src").alias("id"))
-        .union(g.select(F.col("dst").alias("id")))
+        g.select(F.explode(F.array("src", "dst")).alias("id"))
         .distinct()
         .localCheckpoint(eager=False)
     )

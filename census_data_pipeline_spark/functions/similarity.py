@@ -2354,6 +2354,9 @@ def mmr_rerank(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_collect: int = 1_000_000,
+    candidates: str = "bruteforce",
+    n_centroids: int = 16,
+    n_probes: int = 3,
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
     1998) — the diversity-aware selection a RAG retriever runs after
@@ -2373,7 +2376,9 @@ def mmr_rerank(
     candidate id at every step.
 
     Scale shape (r13 — VERDICT r12 #2): candidate generation is
-    ``knn_bruteforce`` (swap in the IVF variant at scale); the
+    ``knn_bruteforce`` or — ``candidates='ivf_seeded'``, the 100 TB
+    path — ``knn_ivf_seeded`` (per-query cost bounded by the probed
+    cells, trajectory still SQL-replicable); the
     pairwise-similarity frame is a bounded per-query self-join
     (n_queries × N × (N−1) rows — N is a caller-bounded constant like
     top-k's k) computed distributed. The greedy is sequential only
@@ -2391,9 +2396,25 @@ def mmr_rerank(
         raise ValueError("lam must be in [0, 1]")
     if k < 1 or n_candidates < k:
         raise ValueError("need 1 <= k <= n_candidates")
-    cands = knn_bruteforce(
-        corpus, queries, k=n_candidates, id_col=id_col, vec_col=vec_col
-    )
+    if candidates == "bruteforce":
+        cands = knn_bruteforce(
+            corpus, queries, k=n_candidates, id_col=id_col, vec_col=vec_col
+        )
+    elif candidates == "ivf_seeded":
+        # the 100 TB candidate path (r13): per-query cost is bounded by
+        # the probed cells instead of the whole corpus; the seeded
+        # quantizer keeps the whole trajectory SQL-replicable (the
+        # knn_ivf_seeded contract). Swap-in is transparent — the greedy
+        # re-ranks whatever candidate surface arrives.
+        cands = knn_ivf_seeded(
+            corpus, queries, k=n_candidates, n_centroids=n_centroids,
+            id_col=id_col, vec_col=vec_col, n_probes=n_probes,
+        )
+    else:
+        raise ValueError(
+            f"candidates must be 'bruteforce' or 'ivf_seeded', "
+            f"got {candidates!r}"
+        )
     cv = corpus.select(
         F.col(id_col).alias("__cid"),
         _as_double(F.col(vec_col)).alias("__cv"),

@@ -256,6 +256,7 @@ _CHECKED_PREFIX = [
     "graph_lpa_weighted",
     "graph_conductance_weighted",
     "graph_leiden",
+    "embedding_mmr_ivf",
     # r13 fingerprint drift (computed by tools/query_fingerprints.py
     # against driver_state.json)
     "embedding_mmr_rerank",
@@ -304,7 +305,6 @@ _CHECKED_PREFIX = [
     "geo_point_extract",
     "geoid_hierarchy_rollup",
     "geoid_parse",
-    "geoid_rollup_county",
 ]
 
 

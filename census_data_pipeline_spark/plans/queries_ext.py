@@ -5187,7 +5187,8 @@ def graph_louvain_multilevel(spark, sf_dir):
 
 
 def _mmr_oracle(n: int = 32, k: int = 8, lam: float = 0.7,
-                qmod: int = 100) -> str:
+                qmod: int = 100, ivf: bool = False,
+                n_centroids: int = 16, n_probes: int = 3) -> str:
     """DuckDB replica of functions/similarity.mmr_rerank: the same
     top-N candidate pull (6-dp cosine, neighbor-id tiebreak), the same
     6-dp pairwise similarity surface, and the greedy unrolled as k
@@ -5195,7 +5196,11 @@ def _mmr_oracle(n: int = 32, k: int = 8, lam: float = 0.7,
     max-sim-to-selected via the pair join (coalesced to 0.0 on round
     1), score = 6-dp floor-half-up of λ·qsim − (1−λ)·maxsim (the
     louvain ΔQ rounding discipline, sign-consistent across engines),
-    one pick per query by (score DESC, id ASC)."""
+    one pick per query by (score DESC, id ASC). ``ivf=True`` swaps the
+    brute-force candidate pull for the seeded-IVF cell restriction
+    (knn_ivf_seeded's assignment/probe CTEs — the _knn_ivfpq_oracle
+    fragments): candidates come only from the query's ``n_probes``
+    nearest cells, exactly the engine's candidates='ivf_seeded'."""
     oml = 1.0 - lam
     cos = ("round(list_dot_product(a.cv, b.cv)"
            " / (sqrt(list_dot_product(a.cv, a.cv))"
@@ -5235,18 +5240,57 @@ def _mmr_oracle(n: int = 32, k: int = 8, lam: float = 0.7,
             f"SELECT query_id, CAST({r} AS BIGINT) AS rank, nid AS vec_id,"
             f" qsim, score AS mmr_score FROM mpick{r}"
         )
+    if ivf:
+        pair_src = """ms0 AS MATERIALIZED (
+      SELECT q.query_id, c.nid,
+             round(list_dot_product(q.qv, c.cv)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) AS qsim
+      FROM mq q JOIN mqp ON mqp.query_id = q.query_id
+                JOIN massign a ON a.cell = mqp.cell
+                JOIN mcv c ON c.nid = a.vec_id
+      WHERE c.nid <> q.query_id)"""
+        ivf_ctes = f"""
+    micent AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+             embedding::DOUBLE[] AS cv
+      FROM embeddings ORDER BY vec_id LIMIT {n_centroids}),
+    mcn AS (SELECT cell, cv, list_dot_product(cv, cv) AS nc2 FROM micent),
+    men AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                   list_dot_product(embedding::DOUBLE[],
+                                    embedding::DOUBLE[]) AS nv2
+            FROM embeddings),
+    mivfd AS MATERIALIZED (
+      SELECT vec_id, cell,
+             nv2 - 2.0 * list_dot_product(v, cv) + nc2 AS d2
+      FROM men CROSS JOIN mcn),
+    massign AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cell) AS rn
+        FROM mivfd) WHERE rn = 1),
+    mqp AS MATERIALIZED (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cell) AS rn
+        FROM mivfd WHERE vec_id % {qmod} = 0) WHERE rn <= {n_probes}),"""
+    else:
+        pair_src = """ms0 AS MATERIALIZED (
+      SELECT q.query_id, c.nid,
+             round(list_dot_product(q.qv, c.cv)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) AS qsim
+      FROM mq q CROSS JOIN mcv c WHERE c.nid <> q.query_id)"""
+        ivf_ctes = ""
     return f"""
     WITH mq AS MATERIALIZED (
       SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
       FROM embeddings WHERE vec_id % {qmod} = 0),
     mcv AS MATERIALIZED (
-      SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
-    ms0 AS MATERIALIZED (
-      SELECT q.query_id, c.nid,
-             round(list_dot_product(q.qv, c.cv)
-                   / (sqrt(list_dot_product(q.qv, q.qv))
-                      * sqrt(list_dot_product(c.cv, c.cv))), 6) AS qsim
-      FROM mq q CROSS JOIN mcv c WHERE c.nid <> q.query_id),
+      SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),{ivf_ctes}
+    {pair_src},
     mcand AS MATERIALIZED (
       SELECT query_id, nid, qsim, cv FROM (
         SELECT s.query_id, s.nid, s.qsim, c.cv,
@@ -5262,6 +5306,31 @@ def _mmr_oracle(n: int = 32, k: int = 8, lam: float = 0.7,
       SELECT query_id, nid FROM mcand WHERE 1 = 0),{",".join(parts)}
     {" UNION ALL ".join(picks)}
     """
+
+
+@query("embedding_mmr_ivf",
+       oracle=_mmr_oracle(n=32, k=8, lam=0.7, ivf=True))
+def embedding_mmr_ivf(spark, sf_dir):
+    """MMR re-ranking over SEEDED-IVF candidates (functions/similarity.
+    mmr_rerank with candidates='ivf_seeded' — r13, the 100 TB candidate
+    path the bruteforce variant's docstring promised): the same greedy
+    diversity trade (N=32, k=8, λ=0.7, 6-dp floor-half-up scores,
+    smallest-id ties) but candidates come only from the query's 3
+    nearest of 16 seeded cells — per-query candidate cost is bounded by
+    the probed cells instead of one full corpus scan, and the seeded
+    quantizer keeps the WHOLE trajectory (assignment, probing, cosine
+    ranking, greedy) SQL-replicated, unlike a KMeans IVF. Diff this
+    against embedding_mmr_rerank to see exactly which picks cell
+    restriction changes — the recall contract for the underlying
+    candidate pull is audited by ann_quality_lsh/knn_ivf's boolean
+    oracles; this query pins the composition's exact dataflow."""
+    from census_data_pipeline_spark.functions.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return mmr_rerank(emb, queries, k=8, n_candidates=32, lam=0.7,
+                      candidates="ivf_seeded", n_centroids=16,
+                      n_probes=3)
 
 
 @query("embedding_mmr_rerank", oracle=_mmr_oracle(n=32, k=8, lam=0.7))

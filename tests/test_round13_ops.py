@@ -360,6 +360,36 @@ def test_mmr_distributed_greedy_identical_to_driver_path(spark):
     assert len(driver) == 5 * 4
 
 
+def test_mmr_candidate_modes(spark):
+    """candidates='ivf_seeded' routes through the cell-restricted
+    candidate pull: same output contract, same rank-1-is-best-qsim
+    property, and an unknown mode raises."""
+    import random
+
+    from census_data_pipeline_spark.functions.similarity import mmr_rerank
+
+    random.seed(47)
+    emb = spark.createDataFrame(
+        [(i, [random.gauss(0, 1) for _ in range(8)]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") % 40 == 0)
+    out = mmr_rerank(emb, q, k=3, n_candidates=6,
+                     candidates="ivf_seeded", n_centroids=4, n_probes=2)
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 40}
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3]
+        # rank 1 is pure relevance: max qsim among the picks
+        assert rs[0]["qsim"] == max(r["qsim"] for r in rs)
+    with pytest.raises(ValueError):
+        mmr_rerank(emb, q, k=3, n_candidates=6, candidates="nope")
+
+
 def test_weighted_pagerank_mixed_sign_parallel_edges(spark):
     """A pair with BOTH a positive and a non-positive parallel edge
     keeps only the positive mass (the conditional-sum replication of

@@ -182,7 +182,8 @@ def main() -> None:
         "pca_catalyst": "e", "pca_arrow": "e", "bfs": "g",
         "forecast_hw": "v", "survival_km": "v", "random_forest": "d",
         "kcore": "g", "coreness": "g", "louvain": "g",
-        "louvain_multilevel": "g",
+        "louvain_multilevel": "g", "louvain_weighted": "g",
+        "lpa_weighted": "g", "leiden": "g", "mmr": "e",
         "hits": "g", "weighted_bf": "g",
         "components": "g", "markov": "v", "wasserstein_w1": "v",
         "bootstrap_ci": "v",
@@ -513,6 +514,61 @@ def main() -> None:
                                     local_tail_max=0)
         return _g.modularity(g, lab, local_tail_max=0)
 
+    def _weighted_edges(g):
+        # deterministic integer-valued multiplicities (1..5) so every
+        # weighted sum stays an exact double — the community tier's
+        # parity convention — without amplifying a separate input
+        return g.withColumn(
+            "w", ((F.abs(F.hash("src", "dst")) % 5) + 1).cast("double")
+        )
+
+    def fam_louvain_weighted(d, e, g, v):
+        # the graph_louvain_weighted shape on the distributed path:
+        # weighted move rounds + weighted modularity score — the r12
+        # weight plumbing adds one weight-sum pass per symmetrize and
+        # weighted aggregates per round; claim under test is that the
+        # weights change constants, not the exponent
+        from census_data_pipeline_spark.functions import graph as _g
+        ew = _weighted_edges(g)
+        lab = _g.louvain_local_move(ew, rounds=4, weight_col="w",
+                                    local_tail_max=0)
+        return _g.modularity(ew, lab, weight_col="w",
+                             label_col="community", local_tail_max=0)
+
+    def fam_lpa_weighted(d, e, g, v):
+        # weighted vote rounds (r13): per round the (dst, label) sum
+        # aggregates weights instead of counts — same join shape
+        from census_data_pipeline_spark.functions import graph as _g
+        return _g.label_propagation(_weighted_edges(g), iterations=5,
+                                    broadcast_labels=True,
+                                    weight_col="w", local_tail_max=0)
+
+    def fam_leiden(d, e, g, v):
+        # the graph_leiden DATAFLOW on the distributed path: move
+        # rounds + per-level min-label component refinement +
+        # contraction + final connectivity pass; disconnected
+        # key-shifted copies keep refinement diameters constant across
+        # decades while per-round join cost grows with data. 2 levels
+        # × 4 rounds (not the query's 4×14): the rehearsal measures
+        # the EXPONENT of the per-round/per-pass dataflow, and the
+        # fixed round count is a constant multiplier — the full config
+        # at 100× would burn ~3 h of rehearsal budget on the same
+        # per-round shapes measured here
+        from census_data_pipeline_spark.functions import graph as _g
+        lab = _g.leiden(g, levels=2, rounds=4, local_tail_max=0)
+        return _g.modularity(g, lab, label_col="community",
+                             local_tail_max=0)
+
+    def fam_mmr(d, e, g, v):
+        # the r13 distributed MMR greedy (max_collect=0 forces the
+        # applyInPandas route): fixed query count, so candidate
+        # generation (one corpus scan per batch of queries) is the
+        # data-scale term and the per-query greedy is O(N²) constant
+        from census_data_pipeline_spark.functions import similarity as _s
+        q = e.filter(F.col("vec_id") < 30)
+        return _s.mmr_rerank(e, q, k=8, n_candidates=32,
+                             max_collect=0)
+
     def fam_hits(d, e, g, v):
         from census_data_pipeline_spark.functions import graph as _g
         return _g.hits_scores(g, iterations=5, broadcast_scores=True)
@@ -568,6 +624,10 @@ def main() -> None:
         "coreness": fam_coreness,
         "louvain": fam_louvain,
         "louvain_multilevel": fam_louvain_multilevel,
+        "louvain_weighted": fam_louvain_weighted,
+        "lpa_weighted": fam_lpa_weighted,
+        "leiden": fam_leiden,
+        "mmr": fam_mmr,
         "hits": fam_hits,
         "weighted_bf": fam_weighted_bf,
         "bfs": fam_bfs,
