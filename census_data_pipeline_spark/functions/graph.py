@@ -2173,12 +2173,16 @@ def weighted_pagerank(
     )
     outw = e.groupBy("src").agg(F.sum("__w").alias("__ws"))
     n = nodes.agg(F.count("*").alias("__n"))
-    base = (
+    # persisted, not just lazily checkpointed: the static node frame is
+    # consumed by every round's join through a NEW plan — exactly the
+    # many-consumer chained-frame shape the r12 persist-discipline
+    # probe recorded as paying (SCALING.md r12 addendum); released
+    # before return alongside g
+    base = _round_materialize(
         nodes.join(outw, nodes["id"] == outw["src"], "left")
         .select("id", F.col("__ws").alias("__ws"))
         .crossJoin(F.broadcast(n))
         .select("id", "__ws", "__n")
-        .localCheckpoint(eager=False)
     )
     ranks = base.select(
         "id", "__ws", "__n", (F.lit(1.0) / F.col("__n")).alias("rank")
@@ -2220,8 +2224,10 @@ def weighted_pagerank(
         )
     # Materialize the returned node-scale frame, then release the
     # edge-scale pair cache (ADVICE r12): the returned frame stays
-    # persisted (callers may unpersist); g does not outlive the call.
-    return _round_materialize(ranks.select("id", "rank"), prior=g)
+    # persisted (callers may unpersist); g/base do not outlive the call.
+    out = _round_materialize(ranks.select("id", "rank"), prior=g)
+    base.unpersist()
+    return out
 
 
 def weighted_distances(

@@ -306,6 +306,15 @@ def test_leiden_local_gate_identical_to_distributed(spark):
         dist = _sorted_rows(G.leiden(src, levels=2, rounds=3,
                                      weight_col=wc, local_tail_max=0))
         assert gated == dist
+    # init-labels refinement mode through both paths
+    init = spark.createDataFrame(
+        [(f"n{i}", f"P{i % 4}") for i in range(30)], ["id", "lab"])
+    gated = _sorted_rows(G.leiden(e.select("src", "dst"), levels=2,
+                                  rounds=3, init_labels=init))
+    dist = _sorted_rows(G.leiden(e.select("src", "dst"), levels=2,
+                                 rounds=3, init_labels=init,
+                                 local_tail_max=0))
+    assert gated == dist
 
 
 # --------------------------------------------- weighted_pagerank rewrite

@@ -120,7 +120,12 @@ def amplify_events(ev: DataFrame, copies: int) -> DataFrame:
     return reduce(DataFrame.unionAll, parts)
 
 
-def timed(build, runs: int = 2) -> float:
+def timed(build, runs: int | None = None) -> float:
+    # SPARK_GRAFT_REHEARSAL_RUNS overrides the min-of-2 protocol —
+    # min-of-1 trades sampling robustness for fitting more families in
+    # a round's rehearsal budget; records carry the runs used.
+    if runs is None:
+        runs = int(os.environ.get("SPARK_GRAFT_REHEARSAL_RUNS", "2"))
     best = float("inf")
     for _ in range(runs):
         t0 = time.perf_counter()
@@ -639,8 +644,11 @@ def main() -> None:
 
     family_filter = os.environ.get("SPARK_GRAFT_REHEARSAL_FAMILIES")
     if family_filter:
-        wanted = set(family_filter.split(","))
-        families = {n: f for n, f in families.items() if n in wanted}
+        # filter ORDER is honored so a budgeted run can sequence its
+        # heaviest families last (partial stderr progress stays useful
+        # if the run is cut)
+        families = {n: families[n]
+                    for n in family_filter.split(",") if n in families}
 
     labels = [label for label, _, _ in scale_list]
     first, last = labels[0], labels[-1]
