@@ -36,6 +36,24 @@ from pyspark.sql.window import Window
 from census_data_pipeline_spark.sources.catalog import ensure_parallelism
 
 
+def _dlit(v) -> Column:
+    """A double literal that preserves NULL model state (a fold with an
+    empty train side yields NULL gradients; NULL must stay NULL through
+    every later round, exactly as the 1-row-frame formulation behaved)."""
+    return F.lit(None).cast("double") if v is None else F.lit(float(v))
+
+
+def _row1(spark, cols: dict) -> DataFrame:
+    """One-row literal DataFrame (model/statistics state). Replaces the
+    chained crossJoin(broadcast(...)) model frames: the VALUES are the
+    same doubles the chained plan produced (collected from the identical
+    Spark aggregate), but the frame plans as a flat 1-row scan instead
+    of a round-deep Catalyst tree."""
+    return spark.range(1).select(
+        *[_dlit(v).alias(k) for k, v in cols.items()]
+    )
+
+
 def _logreg_fit(
     df: DataFrame,
     label: Column,
@@ -49,65 +67,78 @@ def _logreg_fit(
     return (z frame, final 1-row weight frame, names, margin builder,
     1-row standardization frame — holdout scoring standardizes unseen
     rows with the TRAINING statistics). Semantics and rounding points
-    unchanged from the original inline loop."""
+    unchanged from the original inline loop.
+
+    r13 shape (the MLlib treeAggregate discipline): each round is ONE
+    partial-aggregated scan of the checkpointed z frame whose 1-row
+    result — the UPDATED weights, every rounding still computed by the
+    identical Spark expressions — is collected to the driver (d+1
+    doubles, strictly less driver traffic than the BroadcastExchange
+    the previous 1-row-frame formulation shipped per round) and fed
+    back as literals. The previous shape chained round-deep
+    crossJoin(broadcast(w)) plans through lazy localCheckpoints, and
+    its cost at ANY data scale was dominated by driver-side Catalyst
+    work: 8 rounds × (analyze+optimize+codegen of an ever-deeper tree)
+    ≈ seconds per fit while the sf0.1 execution itself was <0.3 s
+    (measured; OPTIMIZATION_r13.md). Flat per-round plans keep the
+    driver O(1) per round at 100 TB too."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     names = [n for n, _ in features]
+    # persist the EVALUATED label/feature projection, not bare
+    # localCheckpoint (the round_materialize finding: consumers of a
+    # lazy localCheckpoint recompute its lineage): feature expressions
+    # are routinely string-heavy (length/replace over full documents),
+    # and without the cache every GD round — plus the st aggregate —
+    # would re-run them over the source scan
     raw = ensure_parallelism(df).select(
         label.cast("double").alias("__y"),
         *[expr.cast("double").alias(n) for n, expr in features],
-    )
-    st = raw.agg(
+    ).persist()
+    strow = raw.agg(
         *[F.round(F.avg(n), 6).alias(f"__m_{n}") for n in names],
         *[F.round(F.stddev_pop(n), 6).alias(f"__s_{n}") for n in names],
+    ).first()
+    spark = df.sparkSession
+    st = _row1(spark, {k: strow[k] for k in strow.asDict()})
+    # z stays a plain projection of the cached raw frame: the per-round
+    # standardization arithmetic is trivial against cached numeric
+    # columns, and one cached frame per fit beats two
+    z = raw.select(
+        "__y",
+        *[
+            F.round(
+                (F.col(n) - _dlit(strow[f"__m_{n}"]))
+                / _dlit(strow[f"__s_{n}"]), 6
+            ).alias(n)
+            for n in names
+        ],
     )
-    z = (
-        raw.crossJoin(F.broadcast(st))
-        .select(
-            "__y",
+    wb = 0.0
+    wf = {n: 0.0 for n in names}
+    for _ in range(iterations):
+        marg = _dlit(wb) + sum(
+            (_dlit(wf[n]) * F.col(n) for n in names), F.lit(0.0)
+        )
+        r = F.lit(1.0) / (F.lit(1.0) + F.exp(-marg)) - F.col("__y")
+        upd = z.agg(
+            F.round(_dlit(wb) - F.lit(lr) * F.round(F.avg(r), 6), 6)
+            .alias("__b"),
             *[
                 F.round(
-                    (F.col(n) - F.col(f"__m_{n}")) / F.col(f"__s_{n}"), 6
-                ).alias(n)
+                    _dlit(wf[n])
+                    - F.lit(lr) * F.round(F.avg(r * F.col(n)), 6), 6
+                ).alias(f"__w_{n}")
                 for n in names
             ],
-        )
-        .localCheckpoint(eager=False)
-    )
-    spark = df.sparkSession
-    w = spark.range(1).select(
-        F.lit(0.0).alias("__b"),
-        *[F.lit(0.0).alias(f"__w_{n}") for n in names],
-    )
+        ).first()
+        wb = upd["__b"]
+        wf = {n: upd[f"__w_{n}"] for n in names}
+    w = _row1(spark, {"__b": wb, **{f"__w_{n}": wf[n] for n in names}})
     margin = lambda: (  # noqa: E731 — rebuilt per round against fresh cols
         F.col("__b")
         + sum((F.col(f"__w_{n}") * F.col(n) for n in names), F.lit(0.0))
     )
-    for _ in range(iterations):
-        scored = z.crossJoin(F.broadcast(w)).withColumn(
-            "__r", F.lit(1.0) / (F.lit(1.0) + F.exp(-margin())) - F.col("__y")
-        )
-        g = scored.agg(
-            F.round(F.avg("__r"), 6).alias("__gb"),
-            *[
-                F.round(F.avg(F.col("__r") * F.col(n)), 6).alias(f"__g_{n}")
-                for n in names
-            ],
-        )
-        w = (
-            w.crossJoin(F.broadcast(g))
-            .select(
-                F.round(F.col("__b") - F.lit(lr) * F.col("__gb"), 6)
-                .alias("__b"),
-                *[
-                    F.round(
-                        F.col(f"__w_{n}") - F.lit(lr) * F.col(f"__g_{n}"), 6
-                    ).alias(f"__w_{n}")
-                    for n in names
-                ],
-            )
-            .localCheckpoint(eager=False)
-        )
     return z, w, names, margin, st
 
 
@@ -263,6 +294,35 @@ def _tree_gini(cl, pl, ct, pt):
     )
 
 
+def _pyround(x, d: int):
+    """HALF_UP decimal rounding of a double, matching Spark's
+    ``round(col, d)`` (BigDecimal.valueOf(double) → setScale(d,
+    HALF_UP)): quantize the shortest round-trip decimal representation.
+    Python's ``repr`` and Java's ``Double.toString`` both emit a
+    decimal that rounds back to the exact double, so the quantized
+    value agrees on every non-boundary input (and the oracle-parity
+    suite pins the tree family at three scale factors)."""
+    if x is None:
+        return None
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal(1).scaleb(-d), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _py_gini(cl: int, pl: int, ct: int, pt: int) -> float:
+    """Driver-side twin of ``_tree_gini`` over the collected histogram:
+    the identical double expression on identical integer operands,
+    rounded 12 dp by ``_pyround``."""
+    cr, pr = ct - cl, pt - pl
+    return _pyround(
+        (2.0 * pl * (cl - pl) / cl + 2.0 * pr * (cr - pr) / cr) / ct, 12
+    )
+
+
 def _decision_tree_build(
     df: DataFrame,
     label: Column,
@@ -312,6 +372,7 @@ def _decision_tree_build(
     if bins < 2:
         raise ValueError("bins must be >= 2")
     names = [n for n, _ in features]
+    spark = df.sparkSession
     raw = (
         ensure_parallelism(df)
         .select(
@@ -320,7 +381,15 @@ def _decision_tree_build(
         )
         .na.drop(subset=["__y", *names])
     )
-    st = raw.agg(
+    # r13: collect the 2F-double min/max row (the identical aggregate)
+    # and feed mins/widths back as literals — the binned frame then
+    # plans flat instead of through a crossJoin(broadcast(st)), and the
+    # split search below runs on the driver over the collected
+    # model-sized histogram instead of a per-level window+join+broadcast
+    # plan chain whose Catalyst cost dominated wall-clock at every
+    # data scale (OPTIMIZATION_r13.md: execution at sf0.1 was <1 s
+    # while query construction planned for 10-20 s on the rf family).
+    strow = raw.agg(
         *[F.min(n).alias(f"__mn_{n}") for n in names],
         *[F.max(n).alias(f"__mx_{n}") for n in names],
     ).select(
@@ -330,21 +399,26 @@ def _decision_tree_build(
             .alias(f"__w_{n}")
             for n in names
         ],
-    )
+    ).first()
+    st = _row1(spark, {k: strow[k] for k in strow.asDict()})
+    mn = {n: strow[f"__mn_{n}"] for n in names}
+    wd = {n: strow[f"__w_{n}"] for n in names}
+    # persist, not bare localCheckpoint (the round_materialize finding:
+    # consumers of a lazy localCheckpoint recompute its lineage) — each
+    # level's histogram pass must read the binned blocks, not re-scan
+    # the source
     binned = (
-        raw.crossJoin(F.broadcast(st))
-        .select(
+        raw.select(
             "__y",
             *[
-                F.when(F.col(f"__w_{n}") == 0, F.lit(0))
+                F.when(_dlit(wd[n]) == F.lit(0.0), F.lit(0))
                 .otherwise(
                     F.least(
                         F.lit(bins - 1),
                         F.greatest(
                             F.lit(0),
                             F.floor(
-                                (F.col(n) - F.col(f"__mn_{n}"))
-                                / F.col(f"__w_{n}")
+                                (F.col(n) - _dlit(mn[n])) / _dlit(wd[n])
                             ).cast("int"),
                         ),
                     )
@@ -355,148 +429,127 @@ def _decision_tree_build(
             ],
         )
         .withColumn("__node", F.lit(1).cast("bigint"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
-    # (feature, min, width) lookup rows for threshold reconstruction
-    feat_stats = None
-    for n in names:
-        row = st.select(
-            F.lit(n).alias("__f2"),
-            F.col(f"__mn_{n}").alias("__mn"),
-            F.col(f"__w_{n}").alias("__w"),
-        )
-        feat_stats = row if feat_stats is None else feat_stats.unionByName(row)
-
     stack_expr = "stack({}, {})".format(
         len(names), ", ".join(f"'{n}', __b_{n}" for n in names)
     )
-    case_bin = F.when(F.col("__f") == names[0], F.col(f"__b_{names[0]}"))
-    for n in names[1:]:
-        case_bin = case_bin.when(F.col("__f") == n, F.col(f"__b_{n}"))
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
 
+    wsel_schema = StructType([
+        StructField("__wn", LongType()),
+        StructField("__f", StringType()),
+        StructField("__sb", IntegerType()),
+    ])
     assigned = binned
-    frontier = None  # (node, ct, pt) of nodes entering the level
-    internal_parts: list[DataFrame] = []
-    leaf_parts: list[DataFrame] = []
+    frontier: dict | None = None  # node -> (ct, pt) entering the level
+    tree_rows: list[tuple] = []
     winners_levels: list[DataFrame] = []  # (__wn, __f, __sb) per level
     for _lvl in range(depth):
-        hist = (
+        # ONE data pass per level (the distributed-GBDT `hist`
+        # contract, unchanged); the nodes·F·bins histogram is
+        # model-sized by construction, so collecting it is the same
+        # driver traffic the old winners/tot plans shipped via
+        # broadcasts — and the whole split search is exact integer
+        # prefix-sum arithmetic plus the 12-dp gini double expression
+        # evaluated on identical operands (_py_gini).
+        hrows = (
             assigned.select(
                 "__node", "__y", F.expr(stack_expr).alias("__f", "__bin")
             )
             .groupBy("__node", "__f", "__bin")
             .agg(F.count("*").alias("__c"), F.sum("__y").alias("__p"))
-            .localCheckpoint(eager=False)
+            .collect()
         )
-        tot = (
-            hist.filter(F.col("__f") == names[0])
-            .groupBy("__node")
-            .agg(F.sum("__c").alias("__ct"), F.sum("__p").alias("__pt"))
-        )
+        hist: dict = {}
+        for r in hrows:
+            hist.setdefault((r["__node"], r["__f"]), []).append(
+                (r["__bin"], r["__c"], r["__p"])
+            )
+        tot = {
+            node: (
+                sum(c for _b, c, _p in cells),
+                sum(p for _b, _c, p in cells),
+            )
+            for (node, f), cells in hist.items()
+            if f == names[0]
+        }
         if frontier is None:
-            frontier = tot
-        wcum = Window.partitionBy("__node", "__f").orderBy("__bin")
-        cand = (
-            hist.select(
-                "__node", "__f", "__bin",
-                F.sum("__c").over(wcum).alias("__cl"),
-                F.sum("__p").over(wcum).alias("__pl"),
+            frontier = dict(tot)
+        winners: dict = {}  # node -> (gini, f, bin, cl, pl, ct, pt)
+        for (node, f), cells in sorted(hist.items()):
+            ct, pt = tot[node]
+            cl = pl = 0
+            for b, c, p in sorted(cells):
+                cl += c
+                pl += p
+                if not (0 < cl < ct):
+                    continue
+                g = _py_gini(cl, pl, ct, pt)
+                if node not in winners or (g, f, b) < winners[node][:3]:
+                    winners[node] = (g, f, b, cl, pl, ct, pt)
+        for node, (_g, f, b, _cl, _pl, ct, pt) in sorted(winners.items()):
+            # raw threshold — the 6-dp round stays a Spark expression in
+            # the tree select below
+            tree_rows.append(
+                (node, "split", f, mn[f] + (b + 1) * wd[f], ct, pt)
             )
-            .join(tot, "__node")
-            .filter((F.col("__cl") > 0) & (F.col("__cl") < F.col("__ct")))
-            .withColumn(
-                "__g",
-                _tree_gini(F.col("__cl"), F.col("__pl"),
-                           F.col("__ct"), F.col("__pt")),
-            )
-        )
-        wrank = Window.partitionBy("__node").orderBy("__g", "__f", "__bin")
-        winners = (
-            cand.withColumn("__rn", F.row_number().over(wrank))
-            .filter(F.col("__rn") == 1)
-            .select("__node", "__f", "__bin",
-                    "__cl", "__pl", "__ct", "__pt")
-            .localCheckpoint(eager=False)
-        )
-        internal_parts.append(
-            winners.join(F.broadcast(feat_stats),
-                         winners["__f"] == F.col("__f2"))
-            .select(
-                F.col("__node").alias("node"),
-                F.lit("split").alias("kind"),
-                F.col("__f").alias("feature"),
-                F.round(F.col("__mn") + (F.col("__bin") + 1) * F.col("__w"),
-                        6).alias("threshold"),
-                F.col("__ct").alias("n"),
-                F.col("__pt").alias("pos"),
-            )
-        )
-        leaf_parts.append(
-            frontier.join(winners.select("__node"), "__node", "left_anti")
-            .select(
-                F.col("__node").alias("node"),
-                F.lit("leaf").alias("kind"),
-                F.lit(None).cast("string").alias("feature"),
-                F.lit(None).cast("double").alias("threshold"),
-                F.col("__ct").alias("n"),
-                F.col("__pt").alias("pos"),
-            )
-        )
-        frontier = (
-            winners.select(
-                (F.col("__node") * 2).alias("__node"),
-                F.col("__cl").alias("__ct"),
-                F.col("__pl").alias("__pt"),
-            )
-            .unionByName(
-                winners.select(
-                    (F.col("__node") * 2 + 1).alias("__node"),
-                    (F.col("__ct") - F.col("__cl")).alias("__ct"),
-                    (F.col("__pt") - F.col("__pl")).alias("__pt"),
-                )
-            )
-        )
-        wsel = winners.select(
-            F.col("__node").alias("__wn"),
-            "__f",
-            F.col("__bin").alias("__sb"),
+        for node, (ct, pt) in sorted(frontier.items()):
+            if node not in winners:
+                tree_rows.append((node, "leaf", None, None, ct, pt))
+        frontier = {}
+        for node, (_g, _f, _b, cl, pl, ct, pt) in winners.items():
+            frontier[node * 2] = (cl, pl)
+            frontier[node * 2 + 1] = (ct - cl, pt - pl)
+        wsel = spark.createDataFrame(
+            [
+                (node, f, b)
+                for node, (_g, f, b, *_r) in sorted(winners.items())
+            ],
+            wsel_schema,
         )
         winners_levels.append(wsel)
-        assigned = assigned.join(
-            F.broadcast(wsel), assigned["__node"] == wsel["__wn"], "left"
-        ).select(
-            "__y",
-            *[f"__b_{n}" for n in names],
-            F.when(F.col("__wn").isNull(), F.col("__node"))
-            .otherwise(
-                F.col("__node") * 2
-                + F.when(case_bin <= F.col("__sb"), F.lit(0)).otherwise(
-                    F.lit(1)
-                )
+        upd = None
+        for node, (_g, f, b, *_r) in sorted(winners.items()):
+            child = F.lit(node * 2) + F.when(
+                F.col(f"__b_{f}") <= F.lit(b), F.lit(0)
+            ).otherwise(F.lit(1))
+            cond = F.col("__node") == F.lit(node)
+            upd = F.when(cond, child) if upd is None else upd.when(
+                cond, child
             )
-            .alias("__node"),
-        )
-    leaf_parts.append(
-        frontier.select(
-            F.col("__node").alias("node"),
-            F.lit("leaf").alias("kind"),
-            F.lit(None).cast("string").alias("feature"),
-            F.lit(None).cast("double").alias("threshold"),
-            F.col("__ct").alias("n"),
-            F.col("__pt").alias("pos"),
-        )
-    )
-    out = internal_parts[0]
-    for part in internal_parts[1:] + leaf_parts:
-        out = out.unionByName(part)
-    tree = out.select(
-        F.col("node").cast("long").alias("node"),
+        if upd is not None:
+            assigned = assigned.select(
+                "__y",
+                *[f"__b_{n}" for n in names],
+                upd.otherwise(F.col("__node")).cast("bigint")
+                .alias("__node"),
+            )
+    for node, (ct, pt) in sorted(frontier.items()):
+        tree_rows.append((node, "leaf", None, None, ct, pt))
+    tree_schema = StructType([
+        StructField("node", LongType()),
+        StructField("kind", StringType()),
+        StructField("feature", StringType()),
+        StructField("__thr", DoubleType()),
+        StructField("n", LongType()),
+        StructField("pos", LongType()),
+    ])
+    tree = spark.createDataFrame(tree_rows, tree_schema).select(
+        "node",
         F.floor(F.log2("node")).cast("long").alias("depth"),
         "kind",
         "feature",
-        "threshold",
-        F.col("n").cast("long").alias("n"),
-        F.col("pos").cast("long").alias("pos"),
+        F.round(F.col("__thr"), 6).alias("threshold"),
+        "n",
+        "pos",
         F.round(F.col("pos") / F.col("n"), 6).alias("pos_rate"),
         F.when(F.col("pos") * 2 >= F.col("n"), F.lit(1))
         .otherwise(F.lit(0))
@@ -1440,16 +1493,24 @@ def logreg_holdout_eval(
     broadcast 1-row frames) feeding the bounded score-histogram AUC and
     a 1-row accuracy aggregate."""
     names = [n for n, _ in features]
-    base = ensure_parallelism(df)
-    train = base.filter(~test_pred)
-    test = base.filter(test_pred)
+    # evaluate fold predicate, label and features ONCE, cached (r13):
+    # the GD fit and the test-fold scoring previously each re-ran the
+    # string-heavy feature expressions over the source scan
+    prep = ensure_parallelism(df).select(
+        test_pred.alias("__t"),
+        label.cast("double").alias("__y0"),
+        *[expr.cast("double").alias(n) for n, expr in features],
+    ).persist()
+    train = prep.filter(~F.col("__t"))
+    test = prep.filter(F.col("__t"))
     _z, w, _names, margin, st = _logreg_fit(
-        train, label, features, iterations, lr
+        train, F.col("__y0"), [(n, F.col(n)) for n in names],
+        iterations, lr
     )
     zt = (
         test.select(
-            label.cast("double").alias("__y"),
-            *[expr.cast("double").alias(n) for n, expr in features],
+            F.col("__y0").alias("__y"),
+            *[F.col(n).alias(n) for n in names],
         )
         .crossJoin(F.broadcast(st))
         .select(
@@ -1578,16 +1639,24 @@ def decision_tree_holdout(
     join of the ≤ 2^level-row winner frame against the test fold, and
     the leaf-map broadcast join — the test fold is scanned once."""
     names = [n for n, _ in features]
-    base = ensure_parallelism(df)
-    train = base.filter(~test_pred)
-    test = base.filter(test_pred)
+    # evaluate fold predicate, label and features ONCE, cached (r13):
+    # the training build and the test-fold routing previously each
+    # re-ran the string-heavy feature expressions over the source scan
+    prep = ensure_parallelism(df).select(
+        test_pred.alias("__t"),
+        label.alias("__l0"),
+        *[e.alias(n) for n, e in features],
+    ).persist()
+    train = prep.filter(~F.col("__t"))
+    test = prep.filter(F.col("__t"))
+    feats_c = [(n, F.col(n)) for n, _e in features]
     tree, _assigned, st, winners_levels = _decision_tree_build(
-        train, label, features, bins, depth
+        train, F.col("__l0"), feats_c, bins, depth
     )
     tb = (
         test.select(
-            label.cast("bigint").alias("__y"),
-            *[expr.cast("double").alias(n) for n, expr in features],
+            F.col("__l0").cast("bigint").alias("__y"),
+            *[F.col(n).cast("double").alias(n) for n in names],
         )
         .na.drop(subset=["__y", *names])
         .crossJoin(F.broadcast(st))
@@ -2493,10 +2562,20 @@ def logreg_kfold_cv(
     (k+2)-row model frame; the aggregate pass runs over k rows."""
     if k < 2:
         raise ValueError("k must be >= 2")
+    # evaluate the fold id, label and features ONCE, cached (r13): each
+    # fold's holdout otherwise re-runs the string-heavy feature
+    # expressions over a fresh source scan
+    prep = ensure_parallelism(df).select(
+        fold_col.alias("__cvf"),
+        label.cast("double").alias("__cvl"),
+        *[e.cast("double").alias(n) for n, e in features],
+    ).persist()
+    feats_c = [(n, F.col(n)) for n, _e in features]
     per_fold = None
     for f in range(k):
         row = logreg_holdout_eval(
-            df, label, features, fold_col == F.lit(f), iterations, lr
+            prep, F.col("__cvl"), feats_c,
+            F.col("__cvf") == F.lit(f), iterations, lr
         ).select(
             F.lit(str(f)).alias("fold"),
             "n_train", "n_test",
@@ -2603,10 +2682,20 @@ def decision_tree_kfold_cv(
     collapsing to a 1-row accuracy frame; aggregates run over k rows."""
     if k < 2:
         raise ValueError("k must be >= 2")
+    # evaluate the fold id, label and features ONCE, cached (r13): each
+    # fold's holdout otherwise re-runs the string-heavy feature
+    # expressions over a fresh source scan
+    prep = ensure_parallelism(df).select(
+        fold_col.alias("__cvf"),
+        label.alias("__cvl"),
+        *[e.alias(n) for n, e in features],
+    ).persist()
+    feats_c = [(n, F.col(n)) for n, _e in features]
     per_fold = None
     for f in range(k):
         conf = decision_tree_holdout(
-            df, label, features, fold_col == F.lit(f), bins, depth
+            prep, F.col("__cvl"), feats_c,
+            F.col("__cvf") == F.lit(f), bins, depth
         )
         row = conf.agg(
             F.sum("cnt").cast("long").alias("n_test"),
@@ -2762,14 +2851,25 @@ def random_forest_train(
         raise ValueError("row_keep must be in [1, 16]")
     names = [n for n, _ in features]
     m = _rf_m(len(names), features_per_tree)
-    base = ensure_parallelism(df)
+    # ONE pass evaluates the label, every feature and every tree's md5
+    # keep flag, cached (r13): feature expressions are string-heavy
+    # (length/replace over document text) and each tree previously
+    # re-ran them — plus a fresh md5 scan — over the full source
+    prep = ensure_parallelism(df).select(
+        label.alias("__l0"),
+        *[e.alias(n) for n, e in features],
+        *[
+            _rf_keep(id_expr, t, row_keep).alias(f"__keep_{t}")
+            for t in range(n_trees)
+        ],
+    ).persist()
     out = None
     for t in range(n_trees):
         keep_names = set(_rf_feature_subset(names, t, m))
-        feats_t = [(n, e) for n, e in features if n in keep_names]
-        sub = base.filter(_rf_keep(id_expr, t, row_keep))
+        feats_t = [(n, F.col(n)) for n, _e in features if n in keep_names]
+        sub = prep.filter(F.col(f"__keep_{t}"))
         tree, _a, _st, _w = _decision_tree_build(
-            sub, label, feats_t, bins, depth
+            sub, F.col("__l0"), feats_t, bins, depth
         )
         row = tree.select(F.lit(t).cast("long").alias("tree"), "*")
         out = row if out is None else out.unionByName(row)
@@ -2846,16 +2946,28 @@ def random_forest_holdout(
         raise ValueError("row_keep must be in [1, 16]")
     names = [n for n, _ in features]
     m = _rf_m(len(names), features_per_tree)
-    base = ensure_parallelism(df)
-    train = base.filter(~test_pred)
+    # ONE pass evaluates the id, fold predicate, label, every feature
+    # and every tree's md5 keep flag, cached (r13) — see
+    # random_forest_train for the rationale
+    prep = ensure_parallelism(df).select(
+        id_expr.alias("__id"),
+        test_pred.alias("__t"),
+        label.alias("__l0"),
+        *[e.alias(n) for n, e in features],
+        *[
+            _rf_keep(id_expr, t, row_keep).alias(f"__keep_{t}")
+            for t in range(n_trees)
+        ],
+    ).persist()
+    train = prep.filter(~F.col("__t"))
     # one shared null-guarded test fold (ALL features) so every tree
     # votes on the same rows
     test = (
-        base.filter(test_pred)
+        prep.filter(F.col("__t"))
         .select(
-            id_expr.alias("__k"),
-            label.cast("bigint").alias("__y"),
-            *[e.cast("double").alias(n) for n, e in features],
+            F.col("__id").alias("__k"),
+            F.col("__l0").cast("bigint").alias("__y"),
+            *[F.col(n).cast("double").alias(n) for n in names],
         )
         .na.drop(subset=["__y", *names])
         .localCheckpoint(eager=False)
@@ -2864,11 +2976,11 @@ def random_forest_holdout(
     member_rows = []
     for t in range(n_trees):
         keep_names = set(_rf_feature_subset(names, t, m))
-        feats_t = [(n, e) for n, e in features if n in keep_names]
+        feats_t = [(n, F.col(n)) for n, _e in features if n in keep_names]
         tnames = [n for n, _ in feats_t]
-        sub = train.filter(_rf_keep(id_expr, t, row_keep))
+        sub = train.filter(F.col(f"__keep_{t}"))
         tree, _a, st, winners_levels = _decision_tree_build(
-            sub, label, feats_t, bins, depth
+            sub, F.col("__l0"), feats_t, bins, depth
         )
         tb = (
             test.crossJoin(F.broadcast(st))
@@ -3387,11 +3499,21 @@ def logreg_learning_curve(
     digit = F.conv(
         F.substring(F.md5(F.concat(id_expr, F.lit(":lc"))), 1, 1), 16, 10
     ).cast("int")
+    # evaluate the growth digit, fold predicate, label and features
+    # ONCE, cached (r13): each curve point's holdout otherwise re-runs
+    # the string-heavy feature expressions over a fresh source scan
+    prep = ensure_parallelism(df).select(
+        digit.alias("__lcd"),
+        test_pred.alias("__lct"),
+        label.cast("double").alias("__lcl"),
+        *[e.cast("double").alias(n) for n, e in features],
+    ).persist()
+    feats_c = [(n, F.col(n)) for n, _e in features]
     out = None
     for k in train_sixteenths:
-        sub = df.filter(test_pred | (digit < F.lit(k)))
+        sub = prep.filter(F.col("__lct") | (F.col("__lcd") < F.lit(k)))
         row = logreg_holdout_eval(
-            sub, label, features, test_pred, iterations, lr
+            sub, F.col("__lcl"), feats_c, F.col("__lct"), iterations, lr
         ).select(
             F.lit(k).cast("long").alias("train_sixteenths"),
             "n_train", "n_test",
