@@ -46,6 +46,88 @@ def _local_codes_ok(*series) -> bool:
     return not any(bool(pd.isna(s).any()) for s in series)
 
 
+def _pagerank_full_local(
+    eprep: DataFrame,
+    iterations: int,
+    d: float,
+    personalization: DataFrame | None = None,
+) -> DataFrame | None:
+    """The whole power iteration in ONE bounded driver pass (r13, the
+    ``_lpa_full_local`` discipline): collect the projected edge list
+    (parallel edges KEPT — they split rank per edge row, exactly as the
+    distributed contribution join fans out), replay the identical
+    per-round arithmetic in numpy — same expression order, dangling
+    mass and teleport formulas — and hand back (id, rank). Per-dst
+    float sums accumulate in a different order than Spark's partial
+    aggregation, which differs by last-ulp amounts absorbed by the
+    query-level 6-dp rounding (the hits_scores tolerance argument; the
+    green driver rows pin it). Callers gate on the edge count before
+    entering; returns None on a null src/dst or null seed (the caller
+    falls back to the distributed rounds)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    pdf = eprep.toPandas()  # Arrow batch transfer — bounded by the gate
+    if not _local_codes_ok(pdf["src"], pdf["dst"]):
+        return None
+    seeds_vals = None
+    if personalization is not None:
+        sc0 = personalization.columns[0]
+        spdf = (
+            personalization.select(F.col(sc0).alias("__sid"))
+            .distinct()
+            .toPandas()
+        )
+        if bool(pd.isna(spdf["__sid"]).any()):
+            return None
+        seeds_vals = spdf["__sid"].to_numpy()
+    f = eprep.schema["src"]
+    schema = StructType([
+        StructField("id", f.dataType, f.nullable),
+        StructField("rank", DoubleType(), True),
+    ])
+    svals = pdf["src"].to_numpy()
+    dvals = pdf["dst"].to_numpy()
+    if len(svals) == 0:
+        return eprep.sparkSession.createDataFrame(
+            pd.DataFrame({"id": [], "rank": []}), schema)
+    # hash-coded, not sort-coded (pd.factorize, first-seen order): rank
+    # semantics never depend on code ORDER, and np.unique/searchsorted
+    # over millions of Python string objects costs seconds
+    codes, ids = pd.factorize(np.concatenate([svals, dvals]))
+    ids = np.asarray(ids)
+    n = len(ids)
+    scode = codes[: len(svals)].astype(np.int64)
+    dcode = codes[len(svals):].astype(np.int64)
+    outdeg = np.zeros(n, dtype=np.int64)
+    np.add.at(outdeg, scode, 1)
+    dang = outdeg == 0
+    nd = float(n)
+    if seeds_vals is not None:
+        sm = np.zeros(n, dtype=bool)
+        pos = pd.Index(ids).get_indexer(seeds_vals)
+        sm[pos[pos >= 0]] = True
+        ns = int(sm.sum())
+        # ns = 0 degrades to the all-zero teleport (the distributed
+        # branch's divide-by-zero guard)
+        p = np.where(sm, 1.0 / ns, 0.0) if ns > 0 else np.zeros(n)
+        rank = p.copy()
+    else:
+        p = None
+        rank = np.full(n, 1.0 / nd)
+    for _ in range(iterations):
+        dm = float(rank[dang].sum())
+        contrib = np.zeros(n)
+        np.add.at(contrib, dcode, rank[scode] / outdeg[scode])
+        if p is not None:
+            rank = (1.0 - d) * p + d * (contrib + dm * p)
+        else:
+            rank = (1.0 - d) / nd + d * (contrib + dm / nd)
+    out = pd.DataFrame({"id": ids, "rank": rank})
+    return eprep.sparkSession.createDataFrame(out, schema)
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 5,
@@ -54,6 +136,7 @@ def pagerank(
     dst: str = "dst",
     broadcast_ranks: bool = False,
     personalization: DataFrame | None = None,
+    local_tail_max: int = 2_000_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (duplicate
     edges should be deduped upstream if unweighted semantics are wanted).
@@ -83,9 +166,26 @@ def pagerank(
     # the edge frame is re-read EVERY round (contribution join) and per
     # round twice more via the dangling broadcast's lineage — cut its
     # upstream plan (which may itself be a multi-join graph build) once
-    e = ensure_parallelism(edges).select(
+    # materialize the projected edge list ONCE (round_materialize:
+    # persist + count — a bare lazy localCheckpoint's consumers
+    # recompute its lineage): the gate count, the local tail's collect
+    # AND the distributed rounds all read the same blocks instead of
+    # re-running the upstream graph build
+    e = _round_materialize(ensure_parallelism(edges).select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint(eager=False)
+    ))
+    # Bounded local tail (r13, the label_propagation discipline): the
+    # power iteration's wall-clock under ~1M edges is pure per-round
+    # scheduling/planning floor, so below the hard gate the whole loop
+    # replays off one Arrow collect (6-dp-identical; unit-pinned).
+    # 100 TB graphs never enter the gate and stay fully distributed.
+    if local_tail_max > 0 and e.count() <= local_tail_max:
+        tail = _pagerank_full_local(
+            e, iterations, float(damping), personalization
+        )
+        if tail is not None:  # None ⇒ nulls present, stay distributed
+            e.unpersist()
+            return tail
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -114,7 +214,7 @@ def pagerank(
         ns = marked.agg(
             F.sum(F.col("__seed").cast("long")).alias("__ns")
         )
-        base = (
+        base = _round_materialize(
             marked.crossJoin(F.broadcast(ns))
             .select(
                 "id", "__deg",
@@ -126,15 +226,12 @@ def pagerank(
                 )
                 .otherwise(F.lit(0.0)).alias("__p"),
             )
-            .localCheckpoint(eager=False)
         )
         ranks = base.select("id", "__deg", "__p",
                             F.col("__p").alias("rank"))
     else:
-        base = (
-            base.crossJoin(F.broadcast(n))
-            .select("id", "__deg", "__n")
-            .localCheckpoint(eager=False)
+        base = _round_materialize(
+            base.crossJoin(F.broadcast(n)).select("id", "__deg", "__n")
         )
         ranks = base.select(
             "id", "__deg", "__n", (F.lit(1.0) / F.col("__n")).alias("rank")
@@ -432,15 +529,18 @@ def label_propagation(
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     weighted = weight_col is not None
+    # materialized (r13): the gate count, the full-local Arrow collect
+    # and the distributed symmetrize otherwise each re-run the
+    # upstream graph build (the round_materialize finding)
     if weighted:
-        e = ensure_parallelism(edges).select(
+        e = _round_materialize(ensure_parallelism(edges).select(
             F.col(src).alias("src"), F.col(dst).alias("dst"),
             F.col(weight_col).cast("double").alias("__w"),
-        )
+        ))
     else:
-        e = ensure_parallelism(edges).select(
+        e = _round_materialize(ensure_parallelism(edges).select(
             F.col(src).alias("src"), F.col(dst).alias("dst")
-        )
+        ))
     if local_tail_max > 0 and 2 * e.count() <= local_tail_max:
         full = _lpa_full_local(e, iterations, weighted=weighted)
         if full is not None:  # None ⇒ null src/dst, stay distributed
@@ -1588,6 +1688,82 @@ def adamic_adar_oracle_sql(
     FROM ranked WHERE rank <= {k}"""
 
 
+def _conductance_local_stats(
+    eprep: DataFrame, lab: DataFrame, src: str, dst: str,
+    weight_col: str | None,
+) -> DataFrame | None:
+    """Bounded local stats pass for ``conductance`` (r13, the
+    ``_modularity_local_joined`` discipline): the integer-exact
+    (cut_c, vol_c, n_nodes) sums run in numpy off one Arrow collect
+    while ALL rounding-sensitive arithmetic (min, ÷, F.round, the
+    '<all>' row) stays in the shared Spark expressions — the two paths
+    cannot diverge at rounding boundaries. Returns the
+    (community, n_nodes, __cut, __vol) frame or None (nulls or
+    duplicate label ids ⇒ caller stays distributed)."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    epdf = eprep.toPandas()
+    lpdf = lab.toPandas()
+    if (not _local_codes_ok(epdf[src], epdf[dst], lpdf["id"], lpdf["lab"])
+            or bool(lpdf["id"].duplicated().any())):
+        return None
+    lids = lpdf["id"].to_numpy()
+    llabs = lpdf["lab"].to_numpy()
+    coms, lab_codes = np.unique(llabs, return_inverse=True)
+    C = len(coms)
+    n_nodes_a = np.bincount(lab_codes, minlength=C).astype(np.int64)
+    cut_a = np.zeros(C, dtype=np.float64)
+    vol_a = np.zeros(C, dtype=np.float64)
+    has = np.zeros(C, dtype=bool)
+    if len(epdf) and C:
+        svals = epdf[src].to_numpy()
+        dvals = epdf[dst].to_numpy()
+        wvals = (epdf["__w"].to_numpy(dtype=np.float64)
+                 if weight_col is not None else None)
+        endpoints = np.unique(np.concatenate([svals, dvals]))
+        scode, dcode, w_sym = _np_symmetrize(svals, dvals, wvals, endpoints)
+        order = np.argsort(lids, kind="mergesort")
+        lsort, csort = lids[order], lab_codes[order]
+
+        def _lookup(vals):
+            pos = np.searchsorted(lsort, vals)
+            ok = pos < len(lsort)
+            posc = np.where(ok, pos, 0)
+            ok &= lsort[posc] == vals
+            return np.where(ok, csort[posc], -1), ok
+
+        lsrc, ok_s = _lookup(endpoints[scode])
+        ldst, ok_d = _lookup(endpoints[dcode])
+        keep = ok_s & ok_d  # unlabeled endpoints drop their edges
+        w_k = w_sym[keep]
+        lsrc_k, ldst_k = lsrc[keep], ldst[keep]
+        np.add.at(vol_a, lsrc_k, w_k)
+        boundary = lsrc_k != ldst_k
+        np.add.at(cut_a, lsrc_k[boundary], w_k[boundary])
+        has[lsrc_k] = True
+    lab_field = lab.schema["lab"]
+    stats_schema = StructType([
+        StructField("community", lab_field.dataType, lab_field.nullable),
+        StructField("n_nodes", LongType(), False),
+        StructField("__cut", DoubleType(), True),
+        StructField("__vol", DoubleType(), True),
+    ])
+    # edge-less communities carry NULL cut/vol, exactly like the
+    # distributed sizes ⟕ stats left join (list-of-tuples, not a
+    # pandas float column: NaN would survive as NaN, not NULL)
+    rows = [
+        (
+            c,
+            int(n_nodes_a[i]),
+            float(cut_a[i]) if has[i] else None,
+            float(vol_a[i]) if has[i] else None,
+        )
+        for i, c in enumerate(coms.tolist())
+    ]
+    return lab.sparkSession.createDataFrame(rows, stats_schema)
+
+
 def conductance(
     edges: DataFrame,
     labels: DataFrame,
@@ -1596,6 +1772,7 @@ def conductance(
     id_col: str = "id",
     label_col: str = "community",
     weight_col: str | None = None,
+    local_tail_max: int = 2_000_000,
 ) -> DataFrame:
     """Conductance of a community assignment — the CUT-quality score
     beside ``modularity``'s density score (Kannan, Vempala & Vetta
@@ -1635,48 +1812,66 @@ def conductance(
     rounded at 6 dp before the weighted mean so float summation order
     cannot drift the '<all>' row across engines. Cite: reference has
     no graph tier; extends SURVEY §2.11 beside ``modularity``."""
-    sym = _symmetrize_simple(edges, src, dst, weight_col)
     lab = labels.select(
         F.col(id_col).alias("id"), F.col(label_col).alias("lab")
     )
-    la = lab.select(F.col("id").alias("__sid"), F.col("lab").alias("lsrc"))
-    lb = lab.select(F.col("id").alias("__did"), F.col("lab").alias("ldst"))
-    labeled = (
-        sym.join(la, sym["src"] == la["__sid"])
-        .join(lb, sym["dst"] == lb["__did"])
-        .select("lsrc", "ldst", "__w")
-    )
     if weight_col is None:
-        stats = labeled.groupBy(F.col("lsrc").alias("community")).agg(
-            F.sum(
-                F.when(F.col("lsrc") != F.col("ldst"), F.lit(1))
-                .otherwise(0)
-            ).alias("__cut"),
-            F.count("*").alias("__vol"),
-        )
         zero = F.lit(0)
         cut_name, cast_t = "cut_edges", "long"
     else:
-        stats = labeled.groupBy(F.col("lsrc").alias("community")).agg(
-            F.sum(
-                F.when(F.col("lsrc") != F.col("ldst"), F.col("__w"))
-                .otherwise(F.lit(0.0))
-            ).alias("__cut"),
-            F.sum("__w").alias("__vol"),
-        )
         zero = F.lit(0.0)
         cut_name, cast_t = "cut_weight", "double"
-    sizes = lab.groupBy(F.col("lab").alias("community")).agg(
-        F.count("*").alias("n_nodes")
-    )
-    total = stats.agg(
+    # Bounded local stats pass (r13, the _modularity_local_joined
+    # discipline): integer-exact cut/vol sums in numpy off one Arrow
+    # collect; every rounding-sensitive expression below is shared by
+    # both paths. 100 TB graphs never enter the gate.
+    eprep = _louvain_eprep(edges, src, dst, weight_col)
+    combined = None
+    if local_tail_max > 0 and 2 * eprep.count() <= local_tail_max:
+        combined = _conductance_local_stats(
+            eprep, lab, src, dst, weight_col
+        )
+    if combined is None:
+        sym = _symmetrize_simple(
+            eprep, src, dst, "__w" if weight_col else None
+        )
+        la = lab.select(F.col("id").alias("__sid"),
+                        F.col("lab").alias("lsrc"))
+        lb = lab.select(F.col("id").alias("__did"),
+                        F.col("lab").alias("ldst"))
+        labeled = (
+            sym.join(la, sym["src"] == la["__sid"])
+            .join(lb, sym["dst"] == lb["__did"])
+            .select("lsrc", "ldst", "__w")
+        )
+        if weight_col is None:
+            stats = labeled.groupBy(F.col("lsrc").alias("community")).agg(
+                F.sum(
+                    F.when(F.col("lsrc") != F.col("ldst"), F.lit(1))
+                    .otherwise(0)
+                ).alias("__cut"),
+                F.count("*").alias("__vol"),
+            )
+        else:
+            stats = labeled.groupBy(F.col("lsrc").alias("community")).agg(
+                F.sum(
+                    F.when(F.col("lsrc") != F.col("ldst"), F.col("__w"))
+                    .otherwise(F.lit(0.0))
+                ).alias("__cut"),
+                F.sum("__w").alias("__vol"),
+            )
+        sizes = lab.groupBy(F.col("lab").alias("community")).agg(
+            F.count("*").alias("n_nodes")
+        )
+        combined = sizes.join(stats, "community", "left")
+    total = combined.agg(
         F.coalesce(F.sum("__vol"), zero).alias("__St")
     )
     minvol = F.least(
         F.col("__v").cast("double"), (F.col("__St") - F.col("__v")).cast("double")
     )
     per = (
-        sizes.join(stats, "community", "left")
+        combined
         .crossJoin(F.broadcast(total))
         .select(
             "community",
@@ -1995,6 +2190,61 @@ def degree_assortativity_oracle_sql(edges_sql: str) -> str:
     FROM dam, dan"""
 
 
+def _cc_full_local(eprep: DataFrame, max_rounds: int) -> DataFrame | None:
+    """The whole min-label fixpoint in ONE bounded driver pass (r13):
+    collect the raw projected edges, symmetrize/dedupe/drop-self in
+    numpy (codes over the sorted universe, so min-code ≡ min-id), run
+    the SYNCHRONOUS neighbor-min rounds — same round semantics and the
+    same ``max_rounds`` RuntimeError contract as the distributed loop,
+    no pointer jumping — and return (id, component) over non-isolated
+    nodes. Exact: labels are ids, no float arithmetic. Returns None on
+    null src/dst."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    pdf = eprep.toPandas()  # Arrow batch transfer — bounded by the gate
+    if not _local_codes_ok(pdf["src"], pdf["dst"]):
+        return None
+    f = eprep.schema["src"]
+    schema = StructType([
+        StructField("id", f.dataType, f.nullable),
+        StructField("component", f.dataType, f.nullable),
+    ])
+    svals = pdf["src"].to_numpy()
+    dvals = pdf["dst"].to_numpy()
+    keep = svals != dvals  # self-loops dropped before the node set forms
+    svals, dvals = svals[keep], dvals[keep]
+    if len(svals) == 0:
+        return eprep.sparkSession.createDataFrame(
+            pd.DataFrame({"id": [], "component": []}), schema)
+    ids = np.unique(np.concatenate([svals, dvals]))
+    n = len(ids)
+    sc0 = np.searchsorted(ids, svals).astype(np.int64)
+    dc0 = np.searchsorted(ids, dvals).astype(np.int64)
+    keys = np.unique(
+        np.concatenate([sc0 * n + dc0, dc0 * n + sc0])
+    )  # symmetrized + deduped
+    es = keys // n
+    ed = keys % n
+    lab = np.arange(n, dtype=np.int64)
+    for _ in range(max_rounds):
+        nl = lab.copy()
+        np.minimum.at(nl, ed, lab[es])
+        new = np.minimum(lab, nl)
+        changed = int((new < lab).sum())
+        lab = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"max_rounds={max_rounds}"
+        )
+    out = pd.DataFrame({"id": ids, "component": ids[lab]})
+    return eprep.sparkSession.createDataFrame(out, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -2028,15 +2278,29 @@ def connected_components(
     raises rather than returning a silent partial labeling. Cite:
     reference has no graph tier; extends SURVEY §2.11 beside
     coreness/label_propagation."""
-    e = ensure_parallelism(edges).select(
+    # materialize the projected edge list ONCE (round_materialize —
+    # see pagerank): gate count, local collect and the distributed
+    # symmetrize all read the same blocks
+    e = _round_materialize(ensure_parallelism(edges).select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
-    )
-    sym = (
+    ))
+    # Bounded local tail (r13, the label_propagation discipline): the
+    # min-label fixpoint under ~1M edges is pure per-round scheduling
+    # floor — below the gate the whole loop (symmetrize, dedupe,
+    # synchronous min rounds INCLUDING the max_rounds contract) replays
+    # off one Arrow collect, bit-identical (integer/string mins, no
+    # float arithmetic anywhere). 100 TB graphs never enter.
+    if 2 * e.count() <= 2_000_000:
+        tail = _cc_full_local(e, max_rounds)
+        if tail is not None:  # None ⇒ nulls present, stay distributed
+            e.unpersist()
+            return tail
+    sym = _round_materialize(
         e.unionByName(e.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint(eager=False)
+        .distinct(),
+        prior=e,
     )
     labels = (
         sym.select(F.col("src").alias("id")).distinct()
@@ -2110,6 +2374,59 @@ def connected_components_oracle_sql(edges_sql: str) -> str:
     FROM comp GROUP BY node"""
 
 
+def _wpagerank_full_local(
+    g: DataFrame, iterations: int, d: float
+) -> DataFrame | None:
+    """Node-scale tail of ``weighted_pagerank`` in ONE bounded driver
+    pass (r13): collect the distributed (src, dst, Σw|null) pair frame
+    — null weight marks a fully weight-dropped pair whose endpoints
+    must stay in the node universe as dangling/unreferenced nodes (the
+    ADVICE r11 contract) — and replay the identical per-round
+    rank·w/Σ_out w arithmetic in numpy. Float-sum order differences vs
+    Spark's partial aggregation are last-ulp and absorbed by the
+    query-level 6-dp rounding. Returns None on null src/dst."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    pdf = g.toPandas()  # Arrow batch transfer — bounded by the gate
+    if not _local_codes_ok(pdf["src"], pdf["dst"]):
+        return None
+    f = g.schema["src"]
+    schema = StructType([
+        StructField("id", f.dataType, f.nullable),
+        StructField("rank", DoubleType(), True),
+    ])
+    svals = pdf["src"].to_numpy()
+    dvals = pdf["dst"].to_numpy()
+    wvals = pdf["__w"].to_numpy(dtype=np.float64)
+    if len(svals) == 0:
+        return g.sparkSession.createDataFrame(
+            pd.DataFrame({"id": [], "rank": []}), schema)
+    # hash-coded (pd.factorize) — see _pagerank_full_local
+    codes, ids = pd.factorize(np.concatenate([svals, dvals]))
+    ids = np.asarray(ids)
+    n = len(ids)
+    scode = codes[: len(svals)].astype(np.int64)
+    dcode = codes[len(svals):].astype(np.int64)
+    live = ~np.isnan(wvals)  # surviving pairs (the e = w-not-null filter)
+    ls, ld, lw = scode[live], dcode[live], wvals[live]
+    outw = np.zeros(n)
+    np.add.at(outw, ls, lw)
+    outhas = np.zeros(n, dtype=bool)
+    outhas[ls] = True
+    dang = ~outhas
+    nd = float(n)
+    rank = np.full(n, 1.0 / nd)
+    for _ in range(iterations):
+        dm = float(rank[dang].sum())
+        contrib = np.zeros(n)
+        np.add.at(contrib, ld, rank[ls] * lw / outw[ls])
+        rank = (1.0 - d) / nd + d * (contrib + dm / nd)
+    out = pd.DataFrame({"id": ids, "rank": rank})
+    return g.sparkSession.createDataFrame(out, schema)
+
+
 def weighted_pagerank(
     edges: DataFrame,
     weight_col: str = "weight",
@@ -2118,6 +2435,7 @@ def weighted_pagerank(
     src: str = "src",
     dst: str = "dst",
     broadcast_ranks: bool = False,
+    local_tail_max: int = 2_000_000,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list (VERDICT r10 #5):
     each node distributes rank proportional to EDGE WEIGHT — the
@@ -2163,6 +2481,16 @@ def weighted_pagerank(
         .groupBy("src", "dst")
         .agg(F.sum(F.when(F.col("__w") > 0, F.col("__w"))).alias("__w"))
     )
+    # Bounded local tail (r13): the data-scale parallel-edge weight
+    # aggregation above stays DISTRIBUTED; only the node-scale power
+    # iteration replays off one Arrow collect of the already-reduced
+    # pair frame when it fits the gate (6-dp-identical; unit-pinned).
+    # 100 TB graphs never enter and run the rounds below.
+    if local_tail_max > 0 and g.count() <= local_tail_max:
+        tail = _wpagerank_full_local(g, iterations, float(damping))
+        if tail is not None:  # None ⇒ nulls present, stay distributed
+            g.unpersist()
+            return tail
     e = g.filter(F.col("__w").isNotNull())
     # explode, not union: ONE scan of the cached pair frame feeds the
     # endpoint dedup (the union form scans the cache twice)
@@ -2230,6 +2558,63 @@ def weighted_pagerank(
     return out
 
 
+def _wdist_full_local(
+    eprep: DataFrame, seeds: DataFrame, rounds: int
+) -> DataFrame | None:
+    """Fixed-round Bellman-Ford in ONE bounded driver pass (r13):
+    collect the filtered weighted edges and the seed set, relax in
+    numpy. Full relaxation per round is round-for-round identical to
+    the distributed frontier-delta (the weighted_distances docstring's
+    own equivalence argument), and every distance is an exact min over
+    identical per-path double sums — bit-identical output. Returns
+    None on null src/dst/seed (caller stays distributed)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    pdf = eprep.toPandas()  # Arrow batch transfer — bounded by the gate
+    spdf = seeds.select(
+        F.col(seeds.columns[0]).alias("__sid")
+    ).distinct().toPandas()
+    if not _local_codes_ok(pdf["src"], pdf["dst"]) or bool(
+        pd.isna(spdf["__sid"]).any()
+    ):
+        return None
+    f = eprep.schema["src"]
+    schema = StructType([
+        StructField("id", f.dataType, f.nullable),
+        StructField("dist", DoubleType(), True),
+    ])
+    svals = pdf["src"].to_numpy()
+    dvals = pdf["dst"].to_numpy()
+    wvals = pdf["__w"].to_numpy(dtype=np.float64)
+    seedv = spdf["__sid"].to_numpy()
+    # hash-coded (pd.factorize) — see _pagerank_full_local
+    codes, ids = pd.factorize(np.concatenate([svals, dvals, seedv]))
+    ids = np.asarray(ids)
+    n = len(ids)
+    if n == 0:
+        return eprep.sparkSession.createDataFrame(
+            pd.DataFrame({"id": [], "dist": []}), schema)
+    ne = len(svals)
+    scode = codes[:ne].astype(np.int64)
+    dcode = codes[ne:2 * ne].astype(np.int64)
+    dist = np.full(n, np.inf)
+    dist[codes[2 * ne:]] = 0.0
+    for _ in range(rounds):
+        active = np.isfinite(dist[scode])
+        if not active.any():
+            break
+        cand = np.full(n, np.inf)
+        np.minimum.at(
+            cand, dcode[active], dist[scode[active]] + wvals[active]
+        )
+        dist = np.minimum(dist, cand)
+    reach = np.isfinite(dist)
+    out = pd.DataFrame({"id": ids[reach], "dist": dist[reach]})
+    return eprep.sparkSession.createDataFrame(out, schema)
+
+
 def weighted_distances(
     edges: DataFrame,
     seeds: DataFrame,
@@ -2267,15 +2652,27 @@ def weighted_distances(
     bfs_distances."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
-    e = (
+    e0 = (
         ensure_parallelism(edges)
         .select(
             F.col(src).alias("src"), F.col(dst).alias("dst"),
             F.col(weight_col).cast("double").alias("__w"),
         )
         .filter(F.col("__w").isNotNull() & (F.col("__w") >= 0))
-        .localCheckpoint(eager=False)
     )
+    # Bounded local tail (r13): fixed-round relaxation is exact min
+    # arithmetic over per-path weight sums — the local replay is
+    # bit-identical, not merely 6-dp-identical. The gate count and the
+    # collect stay two scans of the (caller-cached) projection rather
+    # than paying a second cache write of the doubled symmetric frame.
+    # 100 TB graphs never enter the gate.
+    if e0.count() <= 2_000_000:
+        tail = _wdist_full_local(e0, seeds, rounds)
+        if tail is not None:  # None ⇒ nulls present, stay distributed
+            return tail
+    # distributed rounds re-read the frame every round — materialize
+    # (round_materialize — see pagerank)
+    e = _round_materialize(e0)
     dist = (
         seeds.select(F.col(seeds.columns[0]).alias("id"))
         .distinct()
@@ -2887,11 +3284,15 @@ def _louvain_eprep(
     edges: DataFrame, src: str, dst: str, weight_col: str | None
 ) -> DataFrame:
     """Projected raw edge frame shared by the gate/full-local path and
-    the distributed symmetrize: (src, dst[, __w])."""
+    the distributed symmetrize: (src, dst[, __w]). Materialized (r13):
+    the gate count, the local tail's Arrow collect and the distributed
+    symmetrize each re-ran the upstream graph build otherwise (a lazy
+    localCheckpoint's consumers recompute its lineage — the
+    round_materialize finding)."""
     cols = [F.col(src).alias(src), F.col(dst).alias(dst)]
     if weight_col is not None:
         cols.append(F.col(weight_col).cast("double").alias("__w"))
-    return ensure_parallelism(edges).select(*cols)
+    return _round_materialize(ensure_parallelism(edges).select(*cols))
 
 
 def louvain_multilevel(
@@ -3533,12 +3934,67 @@ def leiden_oracle_sql(
     SELECT id, refined AS lab FROM {fname})"""
 
 
+def _hits_full_local(eprep: DataFrame, iterations: int) -> DataFrame | None:
+    """The whole HITS loop in ONE bounded driver pass (r13, the
+    ``_pagerank_full_local`` discipline): collect the raw projected
+    edges, dedupe locally (the distributed path's .distinct()), replay
+    the textbook a←Σh / normalize / h←Σa rounds in numpy with the
+    identical expression order. Per-node float sums and the L2 norms
+    accumulate in a different order than Spark's partial aggregation —
+    last-ulp differences absorbed by the query-level 6-dp rounding (the
+    hits_scores docstring's own tolerance argument). Returns None on
+    null src/dst (caller stays distributed)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    pdf = eprep.toPandas()  # Arrow batch transfer — bounded by the gate
+    if not _local_codes_ok(pdf["src"], pdf["dst"]):
+        return None
+    f = eprep.schema["src"]
+    schema = StructType([
+        StructField("id", f.dataType, f.nullable),
+        StructField("hub", DoubleType(), True),
+        StructField("authority", DoubleType(), True),
+    ])
+    svals = pdf["src"].to_numpy()
+    dvals = pdf["dst"].to_numpy()
+    if len(svals) == 0:
+        return eprep.sparkSession.createDataFrame(
+            pd.DataFrame({"id": [], "hub": [], "authority": []}), schema)
+    # hash-coded (pd.factorize) — see _pagerank_full_local
+    codes, ids = pd.factorize(np.concatenate([svals, dvals]))
+    ids = np.asarray(ids)
+    n = len(ids)
+    keys = (
+        codes[: len(svals)].astype(np.int64) * n
+        + codes[len(svals):].astype(np.int64)
+    )
+    uk = np.unique(keys)  # the distributed path's .distinct()
+    es = uk // n
+    ed = uk % n
+    hub = np.ones(n)
+    auth = np.ones(n)
+    for _ in range(iterations):
+        araw = np.zeros(n)
+        np.add.at(araw, ed, hub[es])
+        an = float(np.sqrt(np.sum(araw * araw)))
+        auth = araw / an if an > 0 else np.zeros(n)
+        hraw = np.zeros(n)
+        np.add.at(hraw, es, auth[ed])
+        hn = float(np.sqrt(np.sum(hraw * hraw)))
+        hub = hraw / hn if hn > 0 else np.zeros(n)
+    out = pd.DataFrame({"id": ids, "hub": hub, "authority": auth})
+    return eprep.sparkSession.createDataFrame(out, schema)
+
+
 def hits_scores(
     edges: DataFrame,
     iterations: int = 5,
     src: str = "src",
     dst: str = "dst",
     broadcast_scores: bool = False,
+    local_tail_max: int = 2_000_000,
 ) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg 1999, the power-iteration
     formulation) over a directed edge list — the natural centrality
@@ -3567,17 +4023,25 @@ def hits_scores(
     extends SURVEY §2.11 beside pagerank/weighted_pagerank."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    e = (
-        ensure_parallelism(edges)
-        .select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    nodes = (
+    # materialize the projected edge list ONCE (round_materialize —
+    # see pagerank): gate count, local collect and distributed rounds
+    # all read the same blocks
+    e0 = _round_materialize(ensure_parallelism(edges).select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ))
+    # Bounded local tail (r13, the label_propagation discipline):
+    # below the hard gate the whole loop replays off one Arrow collect
+    # (6-dp-identical; unit-pinned); 100 TB graphs never enter.
+    if local_tail_max > 0 and e0.count() <= local_tail_max:
+        tail = _hits_full_local(e0, iterations)
+        if tail is not None:  # None ⇒ nulls present, stay distributed
+            e0.unpersist()
+            return tail
+    e = _round_materialize(e0.distinct(), prior=e0)
+    nodes = _round_materialize(
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=False)
     )
     scores = nodes.select(
         "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")

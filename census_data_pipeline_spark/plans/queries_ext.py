@@ -29,7 +29,10 @@ from census_data_pipeline_spark.functions import (
     text,
 )
 from census_data_pipeline_spark.plans.registry import query
-from census_data_pipeline_spark.sources.catalog import load_table
+from census_data_pipeline_spark.sources.catalog import (
+    load_table,
+    round_materialize,
+)
 
 _TOKS = "string_split(text, ' ')"
 _STOPLIST = "['" + "', '".join(text.STOPWORDS) + "']"
@@ -3291,10 +3294,10 @@ def graph_modularity(spark, sf_dir):
             F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
         )
-        # lazy checkpoint: LPA and the modularity scorer both consume e,
-        # so the orders-x-lineitem join materializes once, not twice (r12)
-        .localCheckpoint(eager=False)
     )
+    # materialized (r13): LPA and the modularity scorer both consume e,
+    # and a lazy localCheckpoint's consumers recompute its lineage
+    e = round_materialize(e)
     labels = _g.label_propagation(e, iterations=5, broadcast_labels=True)
     return _g.modularity(e, labels)
 
@@ -4773,7 +4776,7 @@ def graph_weighted_distances(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
-    e = (
+    e = round_materialize(
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .groupBy("o_custkey", "l_suppkey")
         .agg(F.count("*").alias("cnt"))
@@ -4782,7 +4785,7 @@ def graph_weighted_distances(spark, sf_dir):
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
             (F.lit(1.0) / F.col("cnt")).alias("w"),
         )
-    )
+    )  # materialized: both union branches otherwise re-run the join
     sym = e.unionByName(e.select(F.col("dst").alias("src"),
                                  F.col("src").alias("dst"), "w"))
     seeds = load_table(spark, sf_dir, "customer").filter(
@@ -4836,10 +4839,11 @@ def graph_louvain_move(spark, sf_dir):
             F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
         )
-        # lazy checkpoint: LPA init, the mover, and the modularity scorer
-        # all consume e - one materialization instead of three (r12)
-        .localCheckpoint(eager=False)
     )
+    # materialized (r13): LPA init, the mover and the modularity scorer
+    # all consume e, and a lazy localCheckpoint's consumers recompute
+    # its lineage
+    e = round_materialize(e)
     lpa = _g.label_propagation(e, iterations=5, broadcast_labels=True)
     labels = _g.louvain_local_move(e, rounds=4, init_labels=lpa)
     return _g.modularity(e, labels, label_col="community")
@@ -4951,11 +4955,14 @@ def _sparse_purchase_graphs(spark, sf_dir):
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select("o_custkey", "l_suppkey")
     )
-    base = base.localCheckpoint(eager=False)  # shared by both forms (r12)
+    # materialized (r13): both forms consume base, and a lazy
+    # localCheckpoint's consumers recompute its lineage; e/ew stay lazy
+    # because every graph operator materializes its own projection now
+    base = round_materialize(base)
     e = base.distinct().select(
         F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
         F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-    ).localCheckpoint(eager=False)
+    )
     ew = (
         base.groupBy("o_custkey", "l_suppkey")
         .agg(F.count("*").cast("double").alias("w"))
@@ -4964,7 +4971,6 @@ def _sparse_purchase_graphs(spark, sf_dir):
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
             "w",
         )
-        .localCheckpoint(eager=False)
     )
     return e, ew
 
@@ -5131,8 +5137,9 @@ def graph_leiden(spark, sf_dir):
             F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
         )
-        .localCheckpoint(eager=False)
     )
+    # materialized (r13): leiden and the modularity scorer both consume e
+    e = round_materialize(e)
     labels = _g.leiden(e, levels=4, rounds=14)
     return _g.modularity(e, labels)
 
@@ -5178,10 +5185,11 @@ def graph_louvain_multilevel(spark, sf_dir):
             F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
         )
-        # lazy checkpoint: the multilevel mover and the modularity scorer
-        # both consume e - one materialization (r12)
-        .localCheckpoint(eager=False)
     )
+    # materialized (r13): the multilevel mover and the modularity scorer
+    # both consume e, and a lazy localCheckpoint's consumers recompute
+    # its lineage
+    e = round_materialize(e)
     labels = _g.louvain_multilevel(e, levels=4, rounds=10)
     return _g.modularity(e, labels)
 
