@@ -846,6 +846,7 @@ def _boost_fit(
     if bins < 2:
         raise ValueError("bins must be >= 2")
     names = [n for n, _ in features]
+    spark = df.sparkSession
     raw = (
         ensure_parallelism(df)
         .select(
@@ -853,8 +854,14 @@ def _boost_fit(
             *[expr.cast("double").alias(n) for n, expr in features],
         )
         .na.drop(subset=["__y", *names])
+        .persist()
     )
-    st = raw.agg(
+    # r13 (the _decision_tree_build shape): min/max/width and the base
+    # prediction collect as scalars; each round is ONE histogram scan
+    # of the cached binned frame whose F·bins cells collect to the
+    # driver, where the split search runs as exact integer/rounded-6dp
+    # arithmetic — no per-round window/broadcast plan chains.
+    strow = raw.agg(
         *[F.min(n).alias(f"__mn_{n}") for n in names],
         *[F.max(n).alias(f"__mx_{n}") for n in names],
     ).select(
@@ -864,146 +871,133 @@ def _boost_fit(
             .alias(f"__w_{n}")
             for n in names
         ],
-    )
-    binned = (
-        raw.crossJoin(F.broadcast(st))
-        .select(
-            "__y",
-            *[
-                F.when(F.col(f"__w_{n}") == 0, F.lit(0))
-                .otherwise(
-                    F.least(
-                        F.lit(bins - 1),
-                        F.greatest(
-                            F.lit(0),
-                            F.floor(
-                                (F.col(n) - F.col(f"__mn_{n}"))
-                                / F.col(f"__w_{n}")
-                            ).cast("int"),
-                        ),
-                    )
+    ).first()
+    st = _row1(spark, {k: strow[k] for k in strow.asDict()})
+    mn = {n: strow[f"__mn_{n}"] for n in names}
+    wd = {n: strow[f"__w_{n}"] for n in names}
+    binned = raw.select(
+        "__y",
+        *[
+            F.when(_dlit(wd[n]) == F.lit(0.0), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.col(n) - _dlit(mn[n])) / _dlit(wd[n])
+                        ).cast("int"),
+                    ),
                 )
-                .cast("int")
-                .alias(f"__b_{n}")
-                for n in names
-            ],
-        )
-        .localCheckpoint(eager=False)
+            )
+            .cast("int")
+            .alias(f"__b_{n}")
+            for n in names
+        ],
     )
-    feat_stats = None
-    for n in names:
-        row = st.select(
-            F.lit(n).alias("__f2"),
-            F.col(f"__mn_{n}").alias("__mn"),
-            F.col(f"__w_{n}").alias("__w"),
-        )
-        feat_stats = row if feat_stats is None else feat_stats.unionByName(row)
-
-    base = raw.agg(F.round(F.avg("__y"), 6).alias("__f0"))
-    resid = binned.crossJoin(F.broadcast(base)).select(
+    f0 = raw.agg(F.round(F.avg("__y"), 6).alias("__f0")).first()["__f0"]
+    base = _row1(spark, {"__f0": f0})
+    resid = binned.select(
         *[f"__b_{n}" for n in names],
-        (F.col("__y") - F.col("__f0")).alias("__r"),
+        (F.col("__y") - _dlit(f0)).alias("__r"),
     )
     stack_expr = "stack({}, {})".format(
         len(names), ", ".join(f"'{n}', __b_{n}" for n in names)
     )
-    case_bin = F.when(F.col("__f") == names[0], F.col(f"__b_{names[0]}"))
-    for n in names[1:]:
-        case_bin = case_bin.when(F.col("__f") == n, F.col(f"__b_{n}"))
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
 
-    stump_parts: list[DataFrame] = []
+    winner_schema = StructType([
+        StructField("__f", StringType()),
+        StructField("__bin", IntegerType()),
+        StructField("__lv", DoubleType()),
+        StructField("__rv", DoubleType()),
+    ])
+    stump_rows: list[tuple] = []
     winner_frames: list[DataFrame] = []
     for k in range(1, rounds + 1):
-        hist = (
+        hrows = (
             resid.select("__r", F.expr(stack_expr).alias("__f", "__bin"))
             .groupBy("__f", "__bin")
             .agg(F.count("*").alias("__c"), F.sum("__r").alias("__s"))
-            .localCheckpoint(eager=False)
+            .collect()
         )
-        tot = hist.filter(F.col("__f") == names[0]).agg(
-            F.sum("__c").alias("__ct"),
-            F.round(F.sum("__s"), 6).alias("__srt"),
-        )
-        wcum = Window.partitionBy("__f").orderBy("__bin")
-        cand = (
-            hist.select(
-                "__f", "__bin",
-                F.sum("__c").over(wcum).alias("__cl"),
-                F.round(F.sum("__s").over(wcum), 6).alias("__sl"),
+        hist: dict = {}
+        for r in hrows:
+            hist.setdefault(r["__f"], []).append(
+                (r["__bin"], r["__c"], r["__s"])
             )
-            .crossJoin(F.broadcast(tot))
-            .filter((F.col("__cl") > 0) & (F.col("__cl") < F.col("__ct")))
-            .withColumn(
-                "__gain",
-                F.round(
-                    F.col("__sl") * F.col("__sl") / F.col("__cl")
-                    + (F.col("__srt") - F.col("__sl"))
-                    * (F.col("__srt") - F.col("__sl"))
-                    / (F.col("__ct") - F.col("__cl")),
+        first = sorted(hist.get(names[0], []))
+        ct = sum(c for _b, c, _s in first)
+        srt = _pyround(sum(s for _b, _c, s in first), 6)
+        best = None  # (-gain, f, bin, lv, rv)
+        for f, cells in sorted(hist.items()):
+            cl = 0
+            sl_raw = 0.0
+            for b, c, s in sorted(cells):
+                cl += c
+                sl_raw += s
+                sl = _pyround(sl_raw, 6)
+                if not (0 < cl < ct):
+                    continue
+                gain = _pyround(
+                    sl * sl / cl
+                    + (srt - sl) * (srt - sl) / (ct - cl),
                     9,
-                ),
-            )
-        )
-        wrank = Window.orderBy(
-            F.col("__gain").desc(), F.col("__f"), F.col("__bin")
-        )
-        winner = (
-            cand.withColumn("__rn", F.row_number().over(wrank))
-            .filter(F.col("__rn") == 1)
-            .select(
-                "__f", "__bin",
-                F.round(F.lit(lr) * F.col("__sl") / F.col("__cl"), 6)
-                .alias("__lv"),
-                F.round(
-                    F.lit(lr) * (F.col("__srt") - F.col("__sl"))
-                    / (F.col("__ct") - F.col("__cl")),
-                    6,
-                ).alias("__rv"),
-            )
-            .localCheckpoint(eager=False)
-        )
-        winner_frames.append(winner)
-        stump_parts.append(
-            winner.join(F.broadcast(feat_stats),
-                        winner["__f"] == F.col("__f2"))
-            .select(
-                F.lit(k).cast("long").alias("round"),
-                F.col("__f").alias("feature"),
-                F.round(F.col("__mn") + (F.col("__bin") + 1) * F.col("__w"),
-                        6).alias("threshold"),
-                F.col("__lv").alias("left_value"),
-                F.col("__rv").alias("right_value"),
-            )
-        )
-        resid = (
-            resid.join(F.broadcast(winner), F.lit(True), "left")
-            .select(
-                *[f"__b_{n}" for n in names],
-                F.when(F.col("__f").isNull(), F.col("__r"))
-                .otherwise(
-                    F.col("__r")
-                    - F.when(case_bin <= F.col("__bin"), F.col("__lv"))
-                    .otherwise(F.col("__rv"))
                 )
-                .alias("__r"),
+                key = (-gain, f, b)
+                if best is None or key < best[0]:
+                    lv = _pyround(lr * sl / cl, 6)
+                    rv = _pyround(lr * (srt - sl) / (ct - cl), 6)
+                    best = (key, f, b, lv, rv)
+        if best is not None:
+            _k0, f, b, lv, rv = best
+            winner_frames.append(
+                spark.createDataFrame([(f, b, lv, rv)], winner_schema)
             )
-            .localCheckpoint(eager=False)
-        )
+            stump_rows.append(
+                (k, f, mn[f] + (b + 1) * wd[f], lv, rv)
+            )
+            resid = resid.select(
+                *[f"__b_{n}" for n in names],
+                (
+                    F.col("__r")
+                    - F.when(
+                        F.col(f"__b_{f}") <= F.lit(b), _dlit(lv)
+                    ).otherwise(_dlit(rv))
+                ).alias("__r"),
+            )
+        else:
+            # no valid split this round: no stump row, residuals intact
+            winner_frames.append(
+                spark.createDataFrame([], winner_schema)
+            )
     rmse = resid.agg(
         F.round(F.sqrt(F.avg(F.col("__r") * F.col("__r"))), 6)
         .alias("__rmse")
     )
-    out = base.select(
-        F.lit(0).cast("long").alias("round"),
-        F.lit("base").alias("feature"),
-        F.lit(None).cast("double").alias("threshold"),
-        F.col("__f0").alias("left_value"),
-        F.col("__f0").alias("right_value"),
+    model_schema = StructType([
+        StructField("round", LongType()),
+        StructField("feature", StringType()),
+        StructField("__thr", DoubleType()),
+        StructField("left_value", DoubleType()),
+        StructField("right_value", DoubleType()),
+    ])
+    out = spark.createDataFrame(
+        [(0, "base", None, f0, f0)]
+        + [(k, f, thr, lv, rv) for k, f, thr, lv, rv in stump_rows],
+        model_schema,
     )
-    for part in stump_parts:
-        out = out.unionByName(part)
     model = out.crossJoin(F.broadcast(rmse)).select(
-        "round", "feature", "threshold", "left_value", "right_value",
+        "round", "feature",
+        F.round(F.col("__thr"), 6).alias("threshold"),
+        "left_value", "right_value",
         F.col("__rmse").alias("train_rmse"),
     )
     return model, st, base, winner_frames, names
@@ -2001,6 +1995,7 @@ def _logit_boost_fit(
     if bins < 2:
         raise ValueError("bins must be >= 2")
     names = [n for n, _ in features]
+    spark = df.sparkSession
     raw = (
         ensure_parallelism(df)
         .select(
@@ -2008,8 +2003,13 @@ def _logit_boost_fit(
             *[expr.cast("double").alias(n) for n, expr in features],
         )
         .na.drop(subset=["__y", *names])
+        .persist()
     )
-    st = raw.agg(
+    # r13: same driver-side split search as _boost_fit; the margin is
+    # an expression chain over the cached binned frame (f0 and every
+    # leaf value are collected 6-dp constants, so per-row margins stay
+    # bit-identical to the broadcast-join formulation)
+    strow = raw.agg(
         *[F.min(n).alias(f"__mn_{n}") for n in names],
         *[F.max(n).alias(f"__mx_{n}") for n in names],
     ).select(
@@ -2019,144 +2019,125 @@ def _logit_boost_fit(
             .alias(f"__w_{n}")
             for n in names
         ],
-    )
-    binned = (
-        raw.crossJoin(F.broadcast(st))
-        .select(
-            "__y",
-            *[
-                F.when(F.col(f"__w_{n}") == 0, F.lit(0))
-                .otherwise(
-                    F.least(
-                        F.lit(bins - 1),
-                        F.greatest(
-                            F.lit(0),
-                            F.floor(
-                                (F.col(n) - F.col(f"__mn_{n}"))
-                                / F.col(f"__w_{n}")
-                            ).cast("int"),
-                        ),
-                    )
+    ).first()
+    st = _row1(spark, {k: strow[k] for k in strow.asDict()})
+    mn = {n: strow[f"__mn_{n}"] for n in names}
+    wd = {n: strow[f"__w_{n}"] for n in names}
+    binned = raw.select(
+        "__y",
+        *[
+            F.when(_dlit(wd[n]) == F.lit(0.0), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.col(n) - _dlit(mn[n])) / _dlit(wd[n])
+                        ).cast("int"),
+                    ),
                 )
-                .cast("int")
-                .alias(f"__b_{n}")
-                for n in names
-            ],
-        )
-        .localCheckpoint(eager=False)
+            )
+            .cast("int")
+            .alias(f"__b_{n}")
+            for n in names
+        ],
     )
-    feat_stats = None
-    for n in names:
-        row = st.select(
-            F.lit(n).alias("__f2"),
-            F.col(f"__mn_{n}").alias("__mn"),
-            F.col(f"__w_{n}").alias("__w"),
-        )
-        feat_stats = row if feat_stats is None else feat_stats.unionByName(row)
-
     pbar = F.least(
         F.greatest(F.avg("__y"), F.lit(0.000001)), F.lit(0.999999)
     )
-    base = raw.agg(
+    f0 = raw.agg(
         F.round(F.log(pbar / (F.lit(1.0) - pbar)), 6).alias("__f0")
-    )
-    pred = binned.crossJoin(F.broadcast(base)).select(
+    ).first()["__f0"]
+    base = _row1(spark, {"__f0": f0})
+    pred = binned.select(
         "__y",
         *[f"__b_{n}" for n in names],
-        F.col("__f0").alias("__m"),
+        _dlit(f0).alias("__m"),
     )
     stack_expr = "stack({}, {})".format(
         len(names), ", ".join(f"'{n}', __b_{n}" for n in names)
     )
-    case_bin = F.when(F.col("__f") == names[0], F.col(f"__b_{names[0]}"))
-    for n in names[1:]:
-        case_bin = case_bin.when(F.col("__f") == n, F.col(f"__b_{n}"))
-
     sigmoid = F.round(
         F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__m"))), 6
     )
-    stump_parts: list[DataFrame] = []
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    winner_schema = StructType([
+        StructField("__f", StringType()),
+        StructField("__bin", IntegerType()),
+        StructField("__lv", DoubleType()),
+        StructField("__rv", DoubleType()),
+    ])
+    stump_rows: list[tuple] = []
     winner_frames: list[DataFrame] = []
     for k in range(1, rounds + 1):
-        hist = (
+        hrows = (
             pred.select(
                 (F.col("__y") - sigmoid).alias("__r"),
                 F.expr(stack_expr).alias("__f", "__bin"),
             )
             .groupBy("__f", "__bin")
             .agg(F.count("*").alias("__c"), F.sum("__r").alias("__s"))
-            .localCheckpoint(eager=False)
+            .collect()
         )
-        tot = hist.filter(F.col("__f") == names[0]).agg(
-            F.sum("__c").alias("__ct"),
-            F.round(F.sum("__s"), 6).alias("__srt"),
-        )
-        wcum = Window.partitionBy("__f").orderBy("__bin")
-        cand = (
-            hist.select(
-                "__f", "__bin",
-                F.sum("__c").over(wcum).alias("__cl"),
-                F.round(F.sum("__s").over(wcum), 6).alias("__sl"),
+        hist: dict = {}
+        for r in hrows:
+            hist.setdefault(r["__f"], []).append(
+                (r["__bin"], r["__c"], r["__s"])
             )
-            .crossJoin(F.broadcast(tot))
-            .filter((F.col("__cl") > 0) & (F.col("__cl") < F.col("__ct")))
-            .withColumn(
-                "__gain",
-                F.round(
-                    F.col("__sl") * F.col("__sl") / F.col("__cl")
-                    + (F.col("__srt") - F.col("__sl"))
-                    * (F.col("__srt") - F.col("__sl"))
-                    / (F.col("__ct") - F.col("__cl")),
+        first = sorted(hist.get(names[0], []))
+        ct = sum(c for _b, c, _s in first)
+        srt = _pyround(sum(s for _b, _c, s in first), 6)
+        best = None  # (key, f, bin, lv, rv)
+        for f, cells in sorted(hist.items()):
+            cl = 0
+            sl_raw = 0.0
+            for b, c, s in sorted(cells):
+                cl += c
+                sl_raw += s
+                sl = _pyround(sl_raw, 6)
+                if not (0 < cl < ct):
+                    continue
+                gain = _pyround(
+                    sl * sl / cl
+                    + (srt - sl) * (srt - sl) / (ct - cl),
                     9,
-                ),
+                )
+                key = (-gain, f, b)
+                if best is None or key < best[0]:
+                    lv = _pyround(lr * sl / cl, 6)
+                    rv = _pyround(lr * (srt - sl) / (ct - cl), 6)
+                    best = (key, f, b, lv, rv)
+        if best is not None:
+            _k0, f, b, lv, rv = best
+            winner_frames.append(
+                spark.createDataFrame([(f, b, lv, rv)], winner_schema)
             )
-        )
-        wrank = Window.orderBy(
-            F.col("__gain").desc(), F.col("__f"), F.col("__bin")
-        )
-        winner = (
-            cand.withColumn("__rn", F.row_number().over(wrank))
-            .filter(F.col("__rn") == 1)
-            .select(
-                "__f", "__bin",
-                F.round(F.lit(lr) * F.col("__sl") / F.col("__cl"), 6)
-                .alias("__lv"),
-                F.round(
-                    F.lit(lr) * (F.col("__srt") - F.col("__sl"))
-                    / (F.col("__ct") - F.col("__cl")),
-                    6,
-                ).alias("__rv"),
+            stump_rows.append(
+                (k, f, mn[f] + (b + 1) * wd[f], lv, rv)
             )
-            .localCheckpoint(eager=False)
-        )
-        winner_frames.append(winner)
-        stump_parts.append(
-            winner.join(F.broadcast(feat_stats),
-                        winner["__f"] == F.col("__f2"))
-            .select(
-                F.lit(k).cast("long").alias("round"),
-                F.col("__f").alias("feature"),
-                F.round(F.col("__mn") + (F.col("__bin") + 1) * F.col("__w"),
-                        6).alias("threshold"),
-                F.col("__lv").alias("left_value"),
-                F.col("__rv").alias("right_value"),
-            )
-        )
-        pred = (
-            pred.join(F.broadcast(winner), F.lit(True), "left")
-            .select(
+            pred = pred.select(
                 "__y",
                 *[f"__b_{n}" for n in names],
-                F.when(F.col("__f").isNull(), F.col("__m"))
-                .otherwise(
+                (
                     F.col("__m")
-                    + F.when(case_bin <= F.col("__bin"), F.col("__lv"))
-                    .otherwise(F.col("__rv"))
-                )
-                .alias("__m"),
+                    + F.when(
+                        F.col(f"__b_{f}") <= F.lit(b), _dlit(lv)
+                    ).otherwise(_dlit(rv))
+                ).alias("__m"),
             )
-            .localCheckpoint(eager=False)
-        )
+        else:
+            winner_frames.append(
+                spark.createDataFrame([], winner_schema)
+            )
     pc = F.least(F.greatest(sigmoid, F.lit(0.000001)), F.lit(0.999999))
     loss = pred.agg(
         F.round(
@@ -2169,17 +2150,22 @@ def _logit_boost_fit(
             6,
         ).alias("__ll")
     )
-    out = base.select(
-        F.lit(0).cast("long").alias("round"),
-        F.lit("base").alias("feature"),
-        F.lit(None).cast("double").alias("threshold"),
-        F.col("__f0").alias("left_value"),
-        F.col("__f0").alias("right_value"),
+    model_schema = StructType([
+        StructField("round", LongType()),
+        StructField("feature", StringType()),
+        StructField("__thr", DoubleType()),
+        StructField("left_value", DoubleType()),
+        StructField("right_value", DoubleType()),
+    ])
+    out = spark.createDataFrame(
+        [(0, "base", None, f0, f0)]
+        + [(k, f, thr, lv, rv) for k, f, thr, lv, rv in stump_rows],
+        model_schema,
     )
-    for part in stump_parts:
-        out = out.unionByName(part)
     model = out.crossJoin(F.broadcast(loss)).select(
-        "round", "feature", "threshold", "left_value", "right_value",
+        "round", "feature",
+        F.round(F.col("__thr"), 6).alias("threshold"),
+        "left_value", "right_value",
         F.col("__ll").alias("train_logloss"),
     )
     return model, st, base, winner_frames, names
@@ -2570,13 +2556,25 @@ def logreg_kfold_cv(
         label.cast("double").alias("__cvl"),
         *[e.cast("double").alias(n) for n, e in features],
     ).persist()
+    prep.count()  # materialize once before the concurrent fold fits
     feats_c = [(n, F.col(n)) for n, _e in features]
+    # fold fits are eager (scalar gradient collects) and independent —
+    # overlap them on driver threads (guide §2.6: concurrent jobs
+    # back-fill the scheduling gaps; each fold's trajectory is
+    # untouched, the folds just stop waiting single-file)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, k)) as pool:
+        evals = list(pool.map(
+            lambda f: logreg_holdout_eval(
+                prep, F.col("__cvl"), feats_c,
+                F.col("__cvf") == F.lit(f), iterations, lr
+            ),
+            range(k),
+        ))
     per_fold = None
     for f in range(k):
-        row = logreg_holdout_eval(
-            prep, F.col("__cvl"), feats_c,
-            F.col("__cvf") == F.lit(f), iterations, lr
-        ).select(
+        row = evals[f].select(
             F.lit(str(f)).alias("fold"),
             "n_train", "n_test",
             F.col("test_accuracy").alias("accuracy"),
@@ -2690,13 +2688,23 @@ def decision_tree_kfold_cv(
         label.alias("__cvl"),
         *[e.alias(n) for n, e in features],
     ).persist()
+    prep.count()  # materialize once before the concurrent fold fits
     feats_c = [(n, F.col(n)) for n, _e in features]
+    # fold builds are eager (histogram collects) and independent —
+    # overlap them on driver threads (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, k)) as pool:
+        confs = list(pool.map(
+            lambda f: decision_tree_holdout(
+                prep, F.col("__cvl"), feats_c,
+                F.col("__cvf") == F.lit(f), bins, depth
+            ),
+            range(k),
+        ))
     per_fold = None
     for f in range(k):
-        conf = decision_tree_holdout(
-            prep, F.col("__cvl"), feats_c,
-            F.col("__cvf") == F.lit(f), bins, depth
-        )
+        conf = confs[f]
         row = conf.agg(
             F.sum("cnt").cast("long").alias("n_test"),
             F.round(
@@ -2863,15 +2871,25 @@ def random_forest_train(
             for t in range(n_trees)
         ],
     ).persist()
-    out = None
-    for t in range(n_trees):
+    prep.count()  # materialize once before the concurrent tree builds
+
+    def _tree(t):
         keep_names = set(_rf_feature_subset(names, t, m))
         feats_t = [(n, F.col(n)) for n, _e in features if n in keep_names]
         sub = prep.filter(F.col(f"__keep_{t}"))
         tree, _a, _st, _w = _decision_tree_build(
             sub, F.col("__l0"), feats_t, bins, depth
         )
-        row = tree.select(F.lit(t).cast("long").alias("tree"), "*")
+        return tree.select(F.lit(t).cast("long").alias("tree"), "*")
+
+    # tree builds are eager (histogram collects) and independent —
+    # overlap them on driver threads (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, n_trees)) as pool:
+        rows = list(pool.map(_tree, range(n_trees)))
+    out = None
+    for row in rows:
         out = row if out is None else out.unionByName(row)
     return out
 
@@ -2972,16 +2990,28 @@ def random_forest_holdout(
         .na.drop(subset=["__y", *names])
         .localCheckpoint(eager=False)
     )
+    prep.count()  # materialize once before the concurrent tree builds
+
+    def _fit_tree(t):
+        keep_names = set(_rf_feature_subset(names, t, m))
+        feats_t = [(n, F.col(n)) for n, _e in features if n in keep_names]
+        sub = train.filter(F.col(f"__keep_{t}"))
+        return feats_t, _decision_tree_build(
+            sub, F.col("__l0"), feats_t, bins, depth
+        )
+
+    # tree builds are eager (histogram collects) and independent —
+    # overlap them on driver threads (guide §2.6); the vote routing
+    # below stays lazy and per-tree
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, n_trees)) as pool:
+        fitted = list(pool.map(_fit_tree, range(n_trees)))
     votes = None
     member_rows = []
     for t in range(n_trees):
-        keep_names = set(_rf_feature_subset(names, t, m))
-        feats_t = [(n, F.col(n)) for n, _e in features if n in keep_names]
+        feats_t, (tree, _a, st, winners_levels) = fitted[t]
         tnames = [n for n, _ in feats_t]
-        sub = train.filter(F.col(f"__keep_{t}"))
-        tree, _a, st, winners_levels = _decision_tree_build(
-            sub, F.col("__l0"), feats_t, bins, depth
-        )
         tb = (
             test.crossJoin(F.broadcast(st))
             .select(
@@ -3508,13 +3538,25 @@ def logreg_learning_curve(
         label.cast("double").alias("__lcl"),
         *[e.cast("double").alias(n) for n, e in features],
     ).persist()
+    prep.count()  # materialize once before the concurrent point fits
     feats_c = [(n, F.col(n)) for n, _e in features]
-    out = None
-    for k in train_sixteenths:
+    # curve points are eager independent fits — overlap on driver
+    # threads (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _point(k):
         sub = prep.filter(F.col("__lct") | (F.col("__lcd") < F.lit(k)))
-        row = logreg_holdout_eval(
+        return logreg_holdout_eval(
             sub, F.col("__lcl"), feats_c, F.col("__lct"), iterations, lr
-        ).select(
+        )
+
+    with ThreadPoolExecutor(
+        max_workers=min(4, len(train_sixteenths))
+    ) as pool:
+        evals = list(pool.map(_point, train_sixteenths))
+    out = None
+    for k, ev in zip(train_sixteenths, evals):
+        row = ev.select(
             F.lit(k).cast("long").alias("train_sixteenths"),
             "n_train", "n_test",
             F.col("test_accuracy").alias("accuracy"),

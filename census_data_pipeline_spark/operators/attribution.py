@@ -18,6 +18,82 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from census_data_pipeline_spark.sources.catalog import (
+    round_materialize as _round_materialize,
+)
+
+
+def _markov_absorption_local(pm: DataFrame, iterations: int, r6):
+    """Bounded local replay of the removal×state absorption rounds
+    (r13): collect the model-sized transition frame, iterate in numpy
+    with the identical expression order — p ← r6(P→conv + Σ P·p) with
+    the removed channel's mass pinned to 0 — and hand back the
+    (__rem, __pv) start-state frame the caller's removal-effect
+    arithmetic consumes (that arithmetic, and all its rounding, stays
+    in Spark). Returns None on a null state (caller stays
+    distributed)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    pdfm = pm.toPandas()
+    if bool(pd.isna(pdfm["__s"]).any() or pd.isna(pdfm["__tt"]).any()):
+        return None
+    spark = pm.sparkSession
+    schema = StructType([
+        StructField("__rem", pm.schema["__s"].dataType, True),
+        StructField("__pv", DoubleType(), True),
+    ])
+    states = np.unique(pdfm["__s"].to_numpy())
+    slist = states.tolist()
+    S = len(slist)
+    if S == 0 or "start" not in slist:
+        rows = []
+        if S:
+            # no 'start' source: every removal's start row is absent
+            rows = []
+        return spark.createDataFrame(rows, schema)
+    sidx = {s: i for i, s in enumerate(slist)}
+    start_i = sidx["start"]
+    removals = [s for s in slist if s != "start"] + ["<none>"]
+    # transitions restricted to targets that are themselves states
+    tt_all = pdfm["__tt"].to_numpy()
+    keep = np.array([t in sidx for t in tt_all.tolist()], dtype=bool)
+    scode = np.array(
+        [sidx[s] for s in pdfm["__s"].to_numpy()[keep].tolist()],
+        dtype=np.int64,
+    )
+    tcode = np.array(
+        [sidx[t] for t in tt_all[keep].tolist()], dtype=np.int64
+    )
+    pval = pdfm["__p"].to_numpy(dtype=np.float64)[keep]
+    cp = np.zeros(S)
+    conv = pdfm["__tt"].to_numpy() == "conv"
+    for s, pv_ in zip(pdfm["__s"].to_numpy()[conv].tolist(),
+                      pdfm["__p"].to_numpy(dtype=np.float64)[conv]):
+        cp[sidx[s]] = pv_
+
+    def _r6a(x):
+        return np.floor(x * 1_000_000.0 + 0.5) / 1_000_000.0
+
+    R = len(removals)
+    remstate = np.array(
+        [sidx.get(r, -1) for r in removals], dtype=np.int64
+    )
+    PV = np.zeros((R, S))
+    for _ in range(iterations):
+        new = np.empty((R, S))
+        for r in range(R):
+            vals = pval * np.where(
+                tcode == remstate[r], 0.0, PV[r][tcode]
+            )
+            acc = np.zeros(S)
+            np.add.at(acc, scode, vals)
+            new[r] = _r6a(cp + acc)
+        PV = new
+    rows = [(removals[r], float(PV[r, start_i])) for r in range(R)]
+    return spark.createDataFrame(rows, schema)
+
 
 def touch_attribution(
     events: DataFrame,
@@ -260,12 +336,15 @@ def markov_removal_attribution(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ).alias("__sid"),
     )
-    r = g.select(
+    # materialized (r13): consumed by the first-conversion aggregate
+    # AND the journey rejoin — a lazy localCheckpoint's consumers
+    # recompute the sessionization windows per scan
+    r = _round_materialize(g.select(
         "__u", "__sid", "__t",
         F.row_number().over(
             Window.partitionBy("__u", "__sid").orderBy("__ts", "__o")
         ).alias("__rn"),
-    ).localCheckpoint(eager=False)
+    ))
     fp = (
         r.filter(F.col("__t") == "ch:" + conversion_type)
         .groupBy("__u", "__sid")
@@ -275,7 +354,9 @@ def markov_removal_attribution(
     kept = rj.filter(
         F.col("__prn").isNull() | (F.col("__rn") < F.col("__prn"))
     )
-    seq = kept.select(
+    # materialized (r13): three union branches of the transition frame
+    # scan seq — lazily checkpointed, each scan re-ran the windows
+    seq = _round_materialize(kept.select(
         "__u", "__sid", "__t", "__prn",
         F.lead("__t").over(
             Window.partitionBy("__u", "__sid").orderBy("__rn")
@@ -283,7 +364,7 @@ def markov_removal_attribution(
         F.row_number().over(
             Window.partitionBy("__u", "__sid").orderBy("__rn")
         ).alias("__krn"),
-    ).localCheckpoint(eager=False)
+    ))
     conv_lbl = F.when(F.col("__prn").isNotNull(), F.lit("conv")) \
         .otherwise(F.lit("null"))
     trans = (
@@ -310,72 +391,84 @@ def markov_removal_attribution(
     )
     cnt = trans.groupBy("__s", "__tt").agg(F.count("*").alias("__n"))
     tot = cnt.groupBy("__s").agg(F.sum("__n").alias("__tot"))
-    pm = (
+    pm = _round_materialize(
         cnt.join(tot, "__s")
         .select(
             "__s", "__tt",
             (F.col("__n").cast("double") / F.col("__tot")).alias("__p"),
         )
-        .localCheckpoint(eager=False)
     )
-    states = pm.select(F.col("__s").alias("__st")).distinct() \
-        .localCheckpoint(eager=False)
-    channels = states.filter(F.col("__st") != "start")
-    removals = channels.select(F.col("__st").alias("__rem")).unionByName(
-        channels.sparkSession.createDataFrame(
-            [("<none>",)], "__rem string"
-        )
-    ).localCheckpoint(eager=False)
-    cp = pm.filter(F.col("__tt") == "conv").select(
-        F.col("__s").alias("__st"), F.col("__p").alias("__cp")
-    )
-    ptrans = pm.join(states, pm["__tt"] == states["__st"]).select(
-        "__s", "__tt", "__p"
-    ).localCheckpoint(eager=False)
-    # p(rem, state), iterated; start at 0
-    p = removals.crossJoin(states).select(
-        "__rem", "__st", F.lit(0.0).alias("__pv")
-    ).localCheckpoint(eager=False)
-    base_term = removals.crossJoin(
-        states.join(cp, "__st", "left").select(
-            "__st", F.coalesce("__cp", F.lit(0.0)).alias("__cp")
-        )
-    ).localCheckpoint(eager=False)
-    for it in range(iterations):
-        summed = (
-            ptrans.join(
-                p, (ptrans["__tt"] == p["__st"]), "inner"
+    # Bounded local absorption (r13, the markov_stationary discipline):
+    # the transition frame is ≤(k+2)²-cell MODEL-sized (k = observed
+    # channels), so the 30 fixed removal×state rounds — previously 30
+    # chained distributed join plans, pure planning/scheduling floor —
+    # replay off one Arrow collect with the IDENTICAL per-step
+    # arithmetic (r6 floor-half-up is bit-exact on identical doubles;
+    # sum-order ulps are absorbed exactly as the DuckDB oracle's
+    # serial sums already are). A >10⁶-cell chain falls back to the
+    # distributed rounds below.
+    starts = None
+    if pm.count() <= 1_000_000:
+        starts = _markov_absorption_local(pm, iterations, r6)
+    if starts is None:
+        states = pm.select(F.col("__s").alias("__st")).distinct() \
+            .localCheckpoint(eager=False)
+        channels = states.filter(F.col("__st") != "start")
+        removals = channels.select(F.col("__st").alias("__rem")).unionByName(
+            channels.sparkSession.createDataFrame(
+                [("<none>",)], "__rem string"
             )
-            .select(
-                "__rem", "__s",
-                (F.col("__p")
-                 * F.when(F.col("__tt") == F.col("__rem"), F.lit(0.0))
-                 .otherwise(F.col("__pv"))).alias("__c"),
-            )
-            .groupBy("__rem", "__s")
-            .agg(F.sum("__c").alias("__sum"))
+        ).localCheckpoint(eager=False)
+        cp = pm.filter(F.col("__tt") == "conv").select(
+            F.col("__s").alias("__st"), F.col("__p").alias("__cp")
         )
-        p = (
-            base_term.join(
-                summed,
-                (base_term["__rem"] == summed["__rem"])
-                & (base_term["__st"] == summed["__s"]),
-                "left",
+        ptrans = pm.join(states, pm["__tt"] == states["__st"]).select(
+            "__s", "__tt", "__p"
+        ).localCheckpoint(eager=False)
+        # p(rem, state), iterated; start at 0
+        p = removals.crossJoin(states).select(
+            "__rem", "__st", F.lit(0.0).alias("__pv")
+        ).localCheckpoint(eager=False)
+        base_term = removals.crossJoin(
+            states.join(cp, "__st", "left").select(
+                "__st", F.coalesce("__cp", F.lit(0.0)).alias("__cp")
             )
-            .select(
-                base_term["__rem"].alias("__rem"),
-                base_term["__st"].alias("__st"),
-                r6(
-                    F.col("__cp") + F.coalesce("__sum", F.lit(0.0))
-                ).alias("__pv"),
+        ).localCheckpoint(eager=False)
+        for it in range(iterations):
+            summed = (
+                ptrans.join(
+                    p, (ptrans["__tt"] == p["__st"]), "inner"
+                )
+                .select(
+                    "__rem", "__s",
+                    (F.col("__p")
+                     * F.when(F.col("__tt") == F.col("__rem"), F.lit(0.0))
+                     .otherwise(F.col("__pv"))).alias("__c"),
+                )
+                .groupBy("__rem", "__s")
+                .agg(F.sum("__c").alias("__sum"))
             )
-        )
-        # lineage cut every few rounds: the frames are (removals ×
-        # states)-sized, so a handful of chained joins between cuts is
-        # cheaper than one checkpoint job per iteration
-        if it % 5 == 4 or it == iterations - 1:
-            p = p.localCheckpoint(eager=False)
-    starts = p.filter(F.col("__st") == "start").select("__rem", "__pv")
+            p = (
+                base_term.join(
+                    summed,
+                    (base_term["__rem"] == summed["__rem"])
+                    & (base_term["__st"] == summed["__s"]),
+                    "left",
+                )
+                .select(
+                    base_term["__rem"].alias("__rem"),
+                    base_term["__st"].alias("__st"),
+                    r6(
+                        F.col("__cp") + F.coalesce("__sum", F.lit(0.0))
+                    ).alias("__pv"),
+                )
+            )
+            # lineage cut every few rounds: the frames are (removals ×
+            # states)-sized, so a handful of chained joins between cuts
+            # is cheaper than one checkpoint job per iteration
+            if it % 5 == 4 or it == iterations - 1:
+                p = p.localCheckpoint(eager=False)
+        starts = p.filter(F.col("__st") == "start").select("__rem", "__pv")
     base = starts.filter(F.col("__rem") == "<none>").select(
         F.col("__pv").alias("__base")
     )

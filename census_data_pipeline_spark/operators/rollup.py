@@ -21,6 +21,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from census_data_pipeline_spark.operators.geoid import geoid_prefix
+from census_data_pipeline_spark.sources.catalog import (
+    round_materialize as _round_materialize,
+)
 
 _AGG_FNS = {
     "sum": F.sum,
@@ -2588,20 +2591,83 @@ def markov_stationary(
             "__s", "__j",
             (F.col("__n").cast("double") / F.col("__t")).alias("__p"),
         )
-        .localCheckpoint(eager=False)
     )
-    k = F.broadcast(st.agg(F.count("*").alias("__k")))
-    pi = st.crossJoin(k).select(
-        F.col("__state").alias("__s"),
-        r6(F.lit(1.0) / F.col("__k")).alias("__pi"),
-    ).localCheckpoint(eager=False)
-    for _ in range(iterations):
-        pi = (
-            pi.join(pm, "__s")
-            .groupBy(F.col("__j").alias("__s"))
-            .agg(r6(F.sum(F.col("__pi") * F.col("__p"))).alias("__pi"))
-            .localCheckpoint(eager=False)
-        )
+    # Bounded local power iteration (r13, the graph local-tail
+    # discipline): the transition frame is k²-cell MODEL-sized by
+    # construction (k = observed event types), so the 30 fixed rounds
+    # — previously 30 chained distributed joins over ≤k²-row frames,
+    # pure per-round planning/scheduling floor — replay off one Arrow
+    # collect with the IDENTICAL per-step arithmetic (the 6-dp
+    # floor-half-up r6 is bit-exact in numpy: floor(x·1e6+0.5)/1e6 on
+    # identical doubles). Sum-order ulp differences vs Spark's partial
+    # aggregation are absorbed exactly as the DuckDB oracle's serial
+    # sums already are. A >10⁶-cell chain (k > 1000) falls back to the
+    # distributed rounds.
+    pm = _round_materialize(pm)
+    pi = None
+    if pm.count() <= 1_000_000:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        pdfm = pm.toPandas()
+        if not bool(
+            pd.isna(pdfm["__s"]).any() or pd.isna(pdfm["__j"]).any()
+        ):
+            states = np.unique(pdfm["__s"].to_numpy())
+            kk = len(states)
+            scode = np.searchsorted(states, pdfm["__s"].to_numpy())
+            jcode = np.searchsorted(states, pdfm["__j"].to_numpy())
+            pv = pdfm["__p"].to_numpy(dtype=np.float64)
+
+            def _r6a(x):
+                return np.floor(x * 1_000_000.0 + 0.5) / 1_000_000.0
+
+            piv = np.full(kk, float(np.floor(
+                (1.0 / kk) * 1_000_000.0 + 0.5) / 1_000_000.0)) \
+                if kk else np.zeros(0)
+            for _ in range(iterations):
+                nxt = np.zeros(kk)
+                np.add.at(nxt, jcode, piv[scode] * pv)
+                # the distributed round only emits states reached via a
+                # join row; unreached states drop out (inner join) —
+                # replicate by masking to targets with incoming mass
+                piv = _r6a(nxt)
+                seen = np.zeros(kk, dtype=bool)
+                seen[jcode] = True
+                piv = np.where(seen, piv, np.nan)
+                # states that dropped out stay out of later rounds
+                scode_keep = ~np.isnan(piv[scode])
+                scode, jcode, pv = (
+                    scode[scode_keep], jcode[scode_keep], pv[scode_keep]
+                )
+            svals = states.tolist()  # preserves the id type
+            rows = [
+                (svals[i], float(piv[i]))
+                for i in range(kk)
+                if not np.isnan(piv[i])
+            ]
+            f = pm.schema["__s"]
+            pi = pm.sparkSession.createDataFrame(
+                rows,
+                StructType([
+                    StructField("__s", f.dataType, f.nullable),
+                    StructField("__pi", DoubleType(), True),
+                ]),
+            )
+    if pi is None:
+        k = F.broadcast(st.agg(F.count("*").alias("__k")))
+        pi = st.crossJoin(k).select(
+            F.col("__state").alias("__s"),
+            r6(F.lit(1.0) / F.col("__k")).alias("__pi"),
+        ).localCheckpoint(eager=False)
+        for _ in range(iterations):
+            pi = (
+                pi.join(pm, "__s")
+                .groupBy(F.col("__j").alias("__s"))
+                .agg(r6(F.sum(F.col("__pi") * F.col("__p"))).alias("__pi"))
+                .localCheckpoint(eager=False)
+            )
     emp = df.na.drop(subset=[type_col]).groupBy(
         F.col(type_col).alias("__e")
     ).agg(F.count("*").alias("__c"))
