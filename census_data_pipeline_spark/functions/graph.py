@@ -998,12 +998,14 @@ def coreness(
     e = ensure_parallelism(edges).select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     )
-    cur = (
+    # materialized (r13): the k-probe aggregate, the local tail's two
+    # collects and every distributed round read cur — lazily
+    # checkpointed, each consumer re-ran the symmetrize+distinct
+    cur = _round_materialize(
         e.unionByName(e.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
     deg = (
         cur.groupBy("src")

@@ -801,7 +801,14 @@ def forecast_model_select(
         series, key_cols, t_col, value_col, m=m, horizon=horizon,
     ).select(*key_cols, F.lit("seasonal_naive").alias("model"),
              "mae_model", "mae_naive", "mase")
-    allm = hw.unionByName(ar).unionByName(naive)
+    # materialized (r13): the winner aggregate AND the final join both
+    # consume allm — without the cut the three model evaluations (and
+    # their heavyweight generated code) execute twice
+    from census_data_pipeline_spark.sources.catalog import (
+        round_materialize,
+    )
+
+    allm = round_materialize(hw.unionByName(ar).unionByName(naive))
     winner = (
         allm.filter(F.col("mase").isNotNull())
         .groupBy(*key_cols)

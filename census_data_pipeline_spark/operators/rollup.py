@@ -2776,10 +2776,20 @@ def bootstrap_mean_diff(
     ab_test_conversion."""
     from pyspark.sql import Window
 
-    d = df.na.drop(subset=[id_col, value_col]).select(
-        F.col(id_col).cast("string").alias("__id"),
-        cohort.cast("boolean").alias("__c"),
-        F.col(value_col).cast("double").alias("__v"),
+    from census_data_pipeline_spark.sources.catalog import (
+        ensure_parallelism,
+    )
+
+    # repartition BEFORE the n_boot fan-out (r13): a single-file scan
+    # arrives as ONE partition, and the explode × md5 inverse-CDF below
+    # multiplies every row n_boot× — measured 4M md5 evaluations on one
+    # core (~7 s) that parallelize to <1 s once spread
+    d = ensure_parallelism(
+        df.na.drop(subset=[id_col, value_col]).select(
+            F.col(id_col).cast("string").alias("__id"),
+            cohort.cast("boolean").alias("__c"),
+            F.col(value_col).cast("double").alias("__v"),
+        )
     )
     obs = d.agg(
         F.count(F.when(F.col("__c"), 1)).alias("__na"),

@@ -239,72 +239,73 @@ from census_data_pipeline_spark.plans import (  # noqa: F401
 from census_data_pipeline_spark.plans.registry import ORACLE, QUERIES
 
 _CHECKED_PREFIX = [
-    # r13 change-aware rotation (VERDICT r12 #8): driver_state.json was
-    # regenerated against CORRECTNESS_r12 at round open. Prefix =
-    # flagship, then the three r13 queries (weighted LPA, weighted
-    # conductance, Leiden refinement), then the nine queries whose
-    # fingerprints drift under the r13 edits (the ADVICE r12 local-
-    # fast-path hardening + weight plumbing touches the whole
-    # community tier, the single-scan rewrite touches
-    # graph_pagerank_weighted, the applyInPandas greedy touches
-    # embedding_mmr_rerank — the drifted list is computed by
-    # tools/query_fingerprints.py, not by hand), then the 37 queries
-    # with the OLDEST driver rows (r4/r5 vintage) rotated in for
-    # freshness.
+    # r13 OPTIMIZATION-round rotation (VERDICT r12 #8 discipline):
+    # flagship, then the r13-build additions, then EVERY query whose
+    # compute path the optimization round rewired — the scalar-collect
+    # fit loops (whole quality tier), the graph local tails + shared
+    # edge-build materialization, the markov local absorption, the
+    # bootstrap repartition and the forecast shared-series
+    # materialization — so a 50-query driver cap re-checks exactly the
+    # changed surface. Previously-rotated r4/r5-vintage queries return
+    # to registration order (all driver-green in earlier rounds).
     "flagship_regional_rollup",
-    # r13 new queries
+    # r13-build new queries
     "graph_lpa_weighted",
     "graph_conductance_weighted",
     "graph_leiden",
     "embedding_mmr_ivf",
-    # r13 fingerprint drift (computed by tools/query_fingerprints.py
-    # against driver_state.json)
     "embedding_mmr_rerank",
+    # r13 optimization: iterative graph tier (bounded local tails,
+    # round_materialize edge builds, factorize coding)
+    "graph_pagerank",
+    "graph_trustrank",
+    "graph_hits",
+    "graph_components",
+    "graph_pagerank_weighted",
+    "graph_weighted_distances",
     "graph_conductance",
+    "graph_coreness",
     "graph_label_propagation",
     "graph_louvain_move",
     "graph_louvain_multilevel",
     "graph_louvain_weighted",
     "graph_modularity",
     "graph_modularity_weighted",
-    "graph_pagerank_weighted",
-    # oldest-driver-row freshness rotation (r4 + r5 vintage)
-    "dedup_against_index",
-    "dedup_against_reference",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dq_benford_prices",
-    "drift_chi2_event_types",
-    "events_ewma",
-    "events_gaps",
-    "funnel_step_latency",
-    "knn_bruteforce",
-    "knn_ivfpq_seeded",
-    "knn_lsh",
-    "lineitem_exact_median_scalable",
-    "mix_build_e2e",
-    "multimodal_video_frames",
-    "orders_price_histogram",
-    "rates_zero_policy",
-    "sample_token_budget",
-    "scd2_snapshot_at",
-    "search_hybrid_rrf",
-    "skew_salted_join",
-    "text_bpe_merges",
-    "text_bpe_segment",
-    "text_normalize_unicode",
-    "text_pmi_pairs",
-    "text_tag_keywords",
-    "anti_join_nations_without_suppliers",
-    "asof_click_purchase",
-    "change_over_time",
-    "derived_demographics",
-    "events_gapfill_1h",
-    "geo_nearest_site",
-    "geo_nearest_site_grid",
-    "geo_point_extract",
-    "geoid_hierarchy_rollup",
-    "geoid_parse",
+    "text_textrank_keywords",
+    # r13 optimization: trained-in-engine fits (scalar-collect loops,
+    # shared feature prep, threaded folds/trees)
+    "quality_logreg_train",
+    "quality_logreg_calibration",
+    "quality_logreg_auc",
+    "quality_pr_auc",
+    "quality_logreg_holdout",
+    "quality_logreg_cv",
+    "quality_learning_curve",
+    "quality_tree_train",
+    "quality_tree_eval",
+    "quality_tree_holdout",
+    "quality_tree_cv",
+    "quality_rf_train",
+    "quality_rf_holdout",
+    "quality_rf_importance",
+    "quality_gbt_train",
+    "quality_gbt_holdout",
+    "quality_gbt_classify",
+    "quality_gbt_classify_holdout",
+    # r13 optimization: markov local absorption, bootstrap
+    # parallelism, shared forecast series
+    "events_markov_attribution",
+    "events_markov_stationary",
+    "ab_test_bootstrap_ci",
+    "events_forecast_model_select",
+    "events_forecast_conformal",
+    "events_forecast_hourly",
+    "events_forecast_ar",
+    "events_forecast_backtest",
+    "events_forecast_mase",
+    "events_forecast_ar_whiteness",
+    # r13 optimization: materialized double-consumed result frames
+    "knn_ivf",
 ]
 
 

@@ -16,7 +16,10 @@ from census_data_pipeline_spark.operators.asof import asof_join
 from census_data_pipeline_spark.operators.rangejoin import interval_join
 from census_data_pipeline_spark.operators.normalize import normalize_by_group
 from census_data_pipeline_spark.plans.registry import query
-from census_data_pipeline_spark.sources.catalog import load_table
+from census_data_pipeline_spark.sources.catalog import (
+    load_table,
+    round_materialize,
+)
 
 
 @query(
@@ -4622,7 +4625,10 @@ def _hourly_series_t(spark, sf_dir):
             F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
         ).alias("hb"),
     )
-    return (
+    # materialized (r13): every forecast query hands this frame to
+    # 2-6 model evaluators, each of which otherwise re-ran the
+    # data-scale hourly aggregate + gap-fill per consumer
+    return round_materialize(
         grid.join(hourly, ["event_type", "hb"], "left")
         .select(
             "event_type", "hb",

@@ -1626,15 +1626,13 @@ def knn_ivf_query(spark, sf_dir):
     keeps the stronger EXACT SQL-replicated oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    # lazy checkpoints: both result sets feed two downstream consumers
-    # (recall join + rank/row stats); without the lineage cut each
-    # consumer re-executes the whole scoring pipeline
-    ivf = similarity.knn_ivf(
+    # materialized (r13): both result sets feed two downstream
+    # consumers (recall join + rank/row stats), and a lazy
+    # localCheckpoint's consumers re-execute the whole scoring pipeline
+    ivf = round_materialize(similarity.knn_ivf(
         emb, queries, k=10, n_centroids=16, n_probes=3
-    ).localCheckpoint(eager=False)
-    bf = similarity.knn_bruteforce(emb, queries, k=10).localCheckpoint(
-        eager=False
-    )
+    ))
+    bf = round_materialize(similarity.knn_bruteforce(emb, queries, k=10))
     # one pass over bf for BOTH totals: left-join an ivf hit marker
     marked = bf.join(
         ivf.select("query_id", "neighbor_id").withColumn("__hit", F.lit(1)),
