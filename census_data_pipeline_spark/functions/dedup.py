@@ -612,7 +612,54 @@ def simhash_hamming_pairs(
     )
 
 
-def dup_clusters(pairs: DataFrame, algorithm: str = "label") -> DataFrame:
+def _dup_clusters_local(edges: DataFrame) -> DataFrame | None:
+    """The whole min-label fixpoint in ONE bounded driver pass (r14 —
+    the graph tier's ``_cc_full_local`` discipline, applied to the
+    dedup cluster resolver): collect the already-symmetrized pair
+    edges, run synchronous neighbor-min rounds to the no-change
+    fixpoint in numpy, and return the (doc_id, cluster_id) literal
+    frame. Exact: labels are ids coded over the SORTED id universe
+    (min-code ≡ min-id), no float arithmetic anywhere, and the
+    fixpoint is the same component-minimum the distributed loop's
+    consistency stop certifies. Returns None on a null endpoint (the
+    caller stays distributed)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    pdf = edges.toPandas()  # Arrow transfer — bounded by the gate
+    if bool(pd.isna(pdf["src"]).any() or pd.isna(pdf["dst"]).any()):
+        return None
+    f = edges.schema["src"]
+    schema = StructType([
+        StructField("doc_id", f.dataType, f.nullable),
+        StructField("cluster_id", f.dataType, f.nullable),
+    ])
+    svals = pdf["src"].to_numpy()
+    dvals = pdf["dst"].to_numpy()
+    if len(svals) == 0:
+        return edges.sparkSession.createDataFrame(
+            pd.DataFrame({"doc_id": [], "cluster_id": []}), schema)
+    ids = np.unique(np.concatenate([svals, dvals]))
+    sc = np.searchsorted(ids, svals).astype(np.int64)
+    dc = np.searchsorted(ids, dvals).astype(np.int64)
+    lab = np.arange(len(ids), dtype=np.int64)
+    while True:
+        nl = lab.copy()
+        np.minimum.at(nl, dc, lab[sc])
+        new = np.minimum(lab, nl)
+        if int((new < lab).sum()) == 0:
+            break
+        lab = new
+    out = pd.DataFrame({"doc_id": ids, "cluster_id": ids[lab]})
+    return edges.sparkSession.createDataFrame(out, schema)
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    algorithm: str = "label",
+    local_tail_max: int = 2_000_000,
+) -> DataFrame:
     """Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
     components over the pair graph, labeling every member with the minimum
     doc id of its component (the canonical keeper).
@@ -642,20 +689,35 @@ def dup_clusters(pairs: DataFrame, algorithm: str = "label") -> DataFrame:
         return labels
     if algorithm != "label":
         raise ValueError(f"algorithm must be 'label' or 'star', got {algorithm!r}")
-    # lazy checkpoints throughout: round 1's action materializes them;
-    # eager would run one extra job apiece just to checkpoint
-    edges = (
+    # persisted, lazily (r14): the pair-generation lineage upstream is
+    # routinely the query's whole cost (edit-1 variant self-join,
+    # minhash banding), and the label loop's per-round join AND the
+    # per-round consistency count each re-ran it through the bare lazy
+    # localCheckpoint; the gate count below materializes the blocks
+    # once and every consumer reads them
+    from census_data_pipeline_spark.sources.catalog import round_persist
+
+    edges = round_persist(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    # Bounded local tail (r14, the graph _cc_full_local discipline):
+    # under the gate the whole min-label fixpoint replays off one Arrow
+    # collect, bit-identical (integer/string mins, no float arithmetic).
+    # 100 TB pair sets never enter and run the distributed loop below.
+    if local_tail_max > 0 and edges.count() <= local_tail_max:
+        tail = _dup_clusters_local(edges)
+        if tail is not None:  # None ⇒ null endpoints, stay distributed
+            edges.unpersist()
+            return tail
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False).persist()
     )
+    prior = labels
     while True:
         neighbor_labels = edges.join(
             labels.withColumnRenamed("id", "dst"), on="dst"
@@ -664,7 +726,7 @@ def dup_clusters(pairs: DataFrame, algorithm: str = "label") -> DataFrame:
             labels.unionByName(neighbor_labels)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False).persist()
         )
         # Convergence = label CONSISTENCY across every edge (one action
         # per round, materializing the checkpoint as a side effect).
@@ -683,6 +745,11 @@ def dup_clusters(pairs: DataFrame, algorithm: str = "label") -> DataFrame:
             .limit(1)
             .count()
         )
+        # the consistency count above materialized the new labels; the
+        # previous round's cache is dead weight from here (r14)
+        if prior is not labels:
+            prior.unpersist()
+            prior = labels
         if inconsistent == 0:
             break
     return labels.select(
@@ -715,14 +782,19 @@ def _dup_clusters_star(pairs: DataFrame) -> tuple[DataFrame, int]:
     checksum-stability scheme it needs no extra confirming round and
     cannot false-positive. Returns (labels, rounds) — rounds exposed for
     the log-bound test."""
-    edges = (
+    from census_data_pipeline_spark.sources.catalog import round_persist
+
+    # persisted, lazily (r14): the convergence probe scans each round's
+    # edge frame three times (star self-join twice + parent count), the
+    # node frame twice more at the end — through bare lazy checkpoints
+    # every scan re-ran the whole pair-generation lineage
+    edges = round_persist(
         pairs.select(
             F.greatest("id_a", "id_b").alias("src"),
             F.least("id_a", "id_b").alias("dst"),
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
     all_nodes = edges.select(F.col("src").alias("id")).union(
         edges.select(F.col("dst").alias("id"))
@@ -770,11 +842,25 @@ def _dup_clusters_star(pairs: DataFrame) -> tuple[DataFrame, int]:
         )
 
     rounds = 0
-    while not_converged(edges):
+    first = edges  # stays cached: all_nodes reads it at the end
+    pending: DataFrame | None = None
+    while True:
+        nc = not_converged(edges)
+        # the probe materialized the current round's blocks — NOW the
+        # previous round's cache is dead weight (releasing it any
+        # earlier would force the fresh round to recompute its input
+        # through the lazy-checkpoint lineage)
+        if pending is not None and pending is not first:
+            pending.unpersist()
+        pending = None
+        if not nc:
+            break
         rounds += 1
-        # lazy: the next not_converged() is the round's only action and
-        # materializes the checkpoint as a side effect
-        edges = small_star(large_star(edges)).localCheckpoint(eager=False)
+        # lazy persist: the next not_converged() is the round's first
+        # action and materializes the blocks (r14)
+        new_edges = round_persist(small_star(large_star(edges)))
+        pending = edges
+        edges = new_edges
     # converged edges are stars (v -> component min); roots map to themselves
     labels = all_nodes.join(
         edges.select(F.col("src").alias("id"), F.col("dst").alias("label")),

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from census_data_pipeline_spark.sources.catalog import (
     ensure_parallelism,
     round_materialize as _round_materialize,
+    round_persist as _round_persist,
 )
 
 
@@ -166,12 +167,14 @@ def pagerank(
     # the edge frame is re-read EVERY round (contribution join) and per
     # round twice more via the dangling broadcast's lineage — cut its
     # upstream plan (which may itself be a multi-join graph build) once
-    # materialize the projected edge list ONCE (round_materialize:
-    # persist + count — a bare lazy localCheckpoint's consumers
-    # recompute its lineage): the gate count, the local tail's collect
-    # AND the distributed rounds all read the same blocks instead of
-    # re-running the upstream graph build
-    e = _round_materialize(ensure_parallelism(edges).select(
+    # persist the projected edge list ONCE, lazily (r14 — a bare lazy
+    # localCheckpoint's consumers recompute its lineage): the GATE
+    # count right below is the first action and materializes the
+    # blocks, so the local tail's collect and the distributed rounds
+    # read them instead of re-running the upstream graph build; the
+    # r13 eager count inside round_materialize was a duplicate of the
+    # gate count
+    e = _round_persist(ensure_parallelism(edges).select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ))
     # Bounded local tail (r13, the label_propagation discipline): the
@@ -303,7 +306,11 @@ def triangle_counts(
     orientation, wedge self-join on the apex, closing equi-join on the
     (v, w) pair — every join a plain shuffle-hash/SMJ equi-join, no
     driver state."""
-    und = (
+    # lazy persists (r14): und feeds the degree union (2 scans) and
+    # the orientation join; oriented feeds both wedge sides and the
+    # closing join — bare lazy checkpoints re-ran the caller's edge
+    # build per consumer
+    und = _round_persist(
         ensure_parallelism(edges)
         .select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -311,7 +318,6 @@ def triangle_counts(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("a").alias("id"))
@@ -332,8 +338,8 @@ def triangle_counts(
             .otherwise(F.col("a")).alias("v"),
             F.greatest("__ka", "__kb").alias("__kv"),
         )
-        .localCheckpoint(eager=False)
     )
+    oriented = _round_persist(oriented)
     w1 = oriented.select("u", F.col("v").alias("x"), F.col("__kv").alias("__kx"))
     w2 = oriented.select("u", F.col("v").alias("y"), F.col("__kv").alias("__ky"))
     wedges = w1.join(w2, "u").filter(F.col("__kx") < F.col("__ky")).select(
@@ -529,16 +535,18 @@ def label_propagation(
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     weighted = weight_col is not None
-    # materialized (r13): the gate count, the full-local Arrow collect
-    # and the distributed symmetrize otherwise each re-run the
-    # upstream graph build (the round_materialize finding)
+    # lazily persisted (r14): the GATE count right below is the first
+    # action and materializes the blocks; the full-local Arrow collect
+    # and the distributed symmetrize then read them instead of
+    # re-running the upstream graph build (the round_materialize
+    # finding, minus r13's duplicate eager count)
     if weighted:
-        e = _round_materialize(ensure_parallelism(edges).select(
+        e = _round_persist(ensure_parallelism(edges).select(
             F.col(src).alias("src"), F.col(dst).alias("dst"),
             F.col(weight_col).cast("double").alias("__w"),
         ))
     else:
-        e = _round_materialize(ensure_parallelism(edges).select(
+        e = _round_persist(ensure_parallelism(edges).select(
             F.col(src).alias("src"), F.col(dst).alias("dst")
         ))
     if local_tail_max > 0 and 2 * e.count() <= local_tail_max:
@@ -998,10 +1006,12 @@ def coreness(
     e = ensure_parallelism(edges).select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     )
-    # materialized (r13): the k-probe aggregate, the local tail's two
-    # collects and every distributed round read cur — lazily
-    # checkpointed, each consumer re-ran the symmetrize+distinct
-    cur = _round_materialize(
+    # lazily persisted (r14): the first degree-probe aggregate below
+    # materializes the blocks; the k-probe aggregates, the local
+    # tail's two collects and every distributed round then read cur
+    # instead of re-running the symmetrize+distinct (r13's eager count
+    # duplicated that first probe)
+    cur = _round_persist(
         e.unionByName(e.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
@@ -1492,14 +1502,17 @@ def clustering_coefficient(
     e = ensure_parallelism(edges).select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     )
-    und = (
+    # lazy persists (r14): und feeds the degree union (2 scans) and
+    # the triangle pass; per feeds its own output AND the '<all>'
+    # re-aggregate — bare lazy checkpoints re-ran the caller's
+    # co-purchase build per consumer
+    und = _round_persist(
         e.select(
             F.least(F.col("src"), F.col("dst")).alias("a"),
             F.greatest(F.col("src"), F.col("dst")).alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("a").alias("id"))
@@ -1526,6 +1539,7 @@ def clustering_coefficient(
             ).otherwise(F.lit(0.0)).alias("coeff"),
         )
     )
+    per = _round_persist(per)
     grand = per.agg(
         F.sum("degree").alias("degree"),
         (F.sum("triangles") / 3).cast("long").alias("triangles"),
@@ -2280,10 +2294,10 @@ def connected_components(
     raises rather than returning a silent partial labeling. Cite:
     reference has no graph tier; extends SURVEY §2.11 beside
     coreness/label_propagation."""
-    # materialize the projected edge list ONCE (round_materialize —
-    # see pagerank): gate count, local collect and the distributed
-    # symmetrize all read the same blocks
-    e = _round_materialize(ensure_parallelism(edges).select(
+    # persist the projected edge list ONCE, lazily (r14 — see
+    # pagerank): the gate count right below materializes the blocks;
+    # the local collect and the distributed symmetrize read them
+    e = _round_persist(ensure_parallelism(edges).select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ))
     # Bounded local tail (r13, the label_propagation discipline): the
@@ -2475,14 +2489,14 @@ def weighted_pagerank(
     # persisted raw projection twice (filtered agg + union-distinct
     # over 2·|E| raw rows); here the raw lineage runs once and the
     # node dedup runs over the already-deduped pair frame.
-    g = _round_materialize(
+    g = _round_persist(
         ensure_parallelism(edges).select(
             F.col(src).alias("src"), F.col(dst).alias("dst"),
             F.col(weight_col).cast("double").alias("__w"),
         )
         .groupBy("src", "dst")
         .agg(F.sum(F.when(F.col("__w") > 0, F.col("__w"))).alias("__w"))
-    )
+    )  # lazily persisted (r14): the gate count below materializes it
     # Bounded local tail (r13): the data-scale parallel-edge weight
     # aggregation above stays DISTRIBUTED; only the node-scale power
     # iteration replays off one Arrow collect of the already-reduced
@@ -3294,7 +3308,10 @@ def _louvain_eprep(
     cols = [F.col(src).alias(src), F.col(dst).alias(dst)]
     if weight_col is not None:
         cols.append(F.col(weight_col).cast("double").alias("__w"))
-    return _round_materialize(ensure_parallelism(edges).select(*cols))
+    # lazily persisted (r14): every caller's gate count is the first
+    # action over this frame and materializes the blocks; r13's eager
+    # count inside round_materialize duplicated it
+    return _round_persist(ensure_parallelism(edges).select(*cols))
 
 
 def louvain_multilevel(
@@ -4025,10 +4042,10 @@ def hits_scores(
     extends SURVEY §2.11 beside pagerank/weighted_pagerank."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    # materialize the projected edge list ONCE (round_materialize —
-    # see pagerank): gate count, local collect and distributed rounds
-    # all read the same blocks
-    e0 = _round_materialize(ensure_parallelism(edges).select(
+    # persist the projected edge list ONCE, lazily (r14 — see
+    # pagerank): the gate count right below materializes the blocks;
+    # local collect and distributed rounds read them
+    e0 = _round_persist(ensure_parallelism(edges).select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ))
     # Bounded local tail (r13, the label_propagation discipline):

@@ -33,7 +33,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from census_data_pipeline_spark.operators.topk import top_k_per_group
-from census_data_pipeline_spark.sources.catalog import ensure_parallelism
+from census_data_pipeline_spark.sources.catalog import (
+    ensure_parallelism,
+    round_persist,
+)
 
 
 def _as_double(col: Column) -> Column:
@@ -1286,13 +1289,14 @@ def semantic_dedup(
         .groupBy("id")
         .agg(F.min(F.struct("__d2", "__cell")).alias("__m"))
         .select("id", F.col("__m.__cell").alias("cell"))
-        # lineage cut: the crossJoin+argmin feeds BOTH self-join sides
-        # and the final keep frame — uncut it executes three times
-        .localCheckpoint(eager=False)
+        # lineage cut + persist (r14): the crossJoin+argmin feeds BOTH
+        # self-join sides and the final keep frame — uncut (or cut but
+        # unpersisted) it executes three times
+        .localCheckpoint(eager=False).persist()
     )
     cellv = vecs.join(assigned, "id").select(
         "id", "cell", "__v", F.sqrt("__nv2").alias("__n")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False).persist()
     a = cellv.select(
         F.col("id").alias("id_a"), F.col("cell").alias("__ca"),
         F.col("__v").alias("__va"), F.col("__n").alias("__na"),
@@ -1453,14 +1457,16 @@ def _lloyd_train(
     path. See ``kmeans_lloyd`` for the parity/scale contract."""
     if k < 1 or iterations < 1:
         raise ValueError("k and iterations must be >= 1")
-    vecs = (
+    # lazy persist (r14): every Lloyd round scans vecs twice (argmin
+    # assignment + the posexplode mean) and the caller scans it again —
+    # a bare lazy checkpoint re-ran the source projection per scan
+    vecs = round_persist(
         ensure_parallelism(df)
         .select(
             F.col(id_col).alias("id"),
             _as_double(F.col(vec_col)).alias("__v"),
         )
         .withColumn("__nv2", dot(F.col("__v"), F.col("__v")))
-        .localCheckpoint(eager=False)
     )
     cent = _seeded_centroids(df, k, id_col, vec_col)
     dist2 = _lloyd_dist2()
@@ -1514,14 +1520,13 @@ def silhouette_simplified(
     rounding/tie disciplines as the trainer, so the oracle replicates
     the whole pipeline value-for-value."""
     vecs, cent = _lloyd_train(df, k, iterations, id_col, vec_col)
-    d = (
+    d = round_persist(
         vecs.crossJoin(F.broadcast(cent))
         .select(
             "id", "__cell",
             F.greatest(_lloyd_dist2(), F.lit(0.0)).alias("__d2"),
         )
-        .localCheckpoint(eager=False)
-    )
+    )  # persisted (r14): consumed by own-distance AND other-distance
     own = (
         d.groupBy("id")
         .agg(F.min(F.struct("__d2", "__cell")).alias("__m"))
@@ -2291,9 +2296,9 @@ def truncation_recall(
     the scoring joins touch only (queries × k)-row frames. Cite:
     reference has no embedding tier; extends SURVEY §2.11 beside
     quantize_sq8/sq8_knn_recall."""
-    truth = knn_bruteforce(
+    truth = round_persist(knn_bruteforce(
         emb, emb.filter(query_pred), k=k, id_col=id_col, vec_col=vec_col
-    ).localCheckpoint(eager=False)
+    ))  # persisted (r14): reused across every dim's scoring join
     out = None
     for m in dims:
         tr = emb.select(
@@ -2420,10 +2425,13 @@ def mmr_rerank(
         _as_double(F.col(vec_col)).alias("__cv"),
         norm(F.col(vec_col)).alias("__cn"),
     )
-    cf = (
+    # lazy persist (r14): cf is consumed by the route-guard count, the
+    # per-query collect AND both sides of the pairwise self-join — a
+    # bare lazy checkpoint re-ran the whole candidate pipeline
+    # (bruteforce or IVF scoring) once per consumer
+    cf = round_persist(
         cands.join(cv, cands["neighbor_id"] == F.col("__cid"))
         .select("query_id", "neighbor_id", "cosine_sim", "__cv", "__cn")
-        .localCheckpoint(eager=False)
     )
     a = cf.select(F.col("query_id").alias("__qa"),
                   F.col("neighbor_id").alias("__ia"),

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from census_data_pipeline_spark.sources.catalog import (
     round_materialize as _round_materialize,
+    round_persist as _round_persist,
 )
 
 
@@ -336,10 +337,11 @@ def markov_removal_attribution(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ).alias("__sid"),
     )
-    # materialized (r13): consumed by the first-conversion aggregate
-    # AND the journey rejoin — a lazy localCheckpoint's consumers
-    # recompute the sessionization windows per scan
-    r = _round_materialize(g.select(
+    # lazily persisted (r14): consumed by the first-conversion
+    # aggregate AND the journey rejoin — the persist still computes the
+    # sessionization windows once (first consumer materializes), the
+    # r13 eager count was just an extra job boundary
+    r = _round_persist(g.select(
         "__u", "__sid", "__t",
         F.row_number().over(
             Window.partitionBy("__u", "__sid").orderBy("__ts", "__o")
@@ -354,9 +356,10 @@ def markov_removal_attribution(
     kept = rj.filter(
         F.col("__prn").isNull() | (F.col("__rn") < F.col("__prn"))
     )
-    # materialized (r13): three union branches of the transition frame
-    # scan seq — lazily checkpointed, each scan re-ran the windows
-    seq = _round_materialize(kept.select(
+    # lazily persisted (r14): three union branches of the transition
+    # frame scan seq — the first scan materializes the blocks, the
+    # others read them
+    seq = _round_persist(kept.select(
         "__u", "__sid", "__t", "__prn",
         F.lead("__t").over(
             Window.partitionBy("__u", "__sid").orderBy("__rn")
@@ -391,7 +394,8 @@ def markov_removal_attribution(
     )
     cnt = trans.groupBy("__s", "__tt").agg(F.count("*").alias("__n"))
     tot = cnt.groupBy("__s").agg(F.sum("__n").alias("__tot"))
-    pm = _round_materialize(
+    # lazily persisted (r14): the gate count right below materializes
+    pm = _round_persist(
         cnt.join(tot, "__s")
         .select(
             "__s", "__tt",

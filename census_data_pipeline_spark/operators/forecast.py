@@ -801,14 +801,17 @@ def forecast_model_select(
         series, key_cols, t_col, value_col, m=m, horizon=horizon,
     ).select(*key_cols, F.lit("seasonal_naive").alias("model"),
              "mae_model", "mae_naive", "mase")
-    # materialized (r13): the winner aggregate AND the final join both
-    # consume allm — without the cut the three model evaluations (and
-    # their heavyweight generated code) execute twice
+    # lazily persisted (r14 — VERDICT r13 #1): the winner aggregate AND
+    # the final join both consume allm, so the lineage cut + persist
+    # stays (without it the three model evaluations and their
+    # heavyweight generated code execute twice) — but the winner
+    # broadcast, built first at the sink, materializes the blocks, so
+    # the r13 eager count was a third full evaluation pass
     from census_data_pipeline_spark.sources.catalog import (
-        round_materialize,
+        round_persist,
     )
 
-    allm = round_materialize(hw.unionByName(ar).unionByName(naive))
+    allm = round_persist(hw.unionByName(ar).unionByName(naive))
     winner = (
         allm.filter(F.col("mase").isNotNull())
         .groupBy(*key_cols)

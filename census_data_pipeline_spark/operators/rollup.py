@@ -23,6 +23,7 @@ from pyspark.sql import types as T
 from census_data_pipeline_spark.operators.geoid import geoid_prefix
 from census_data_pipeline_spark.sources.catalog import (
     round_materialize as _round_materialize,
+    round_persist as _round_persist,
 )
 
 _AGG_FNS = {
@@ -2603,7 +2604,9 @@ def markov_stationary(
     # aggregation are absorbed exactly as the DuckDB oracle's serial
     # sums already are. A >10⁶-cell chain (k > 1000) falls back to the
     # distributed rounds.
-    pm = _round_materialize(pm)
+    # lazily persisted (r14): the gate count right below is the first
+    # action and materializes the blocks
+    pm = _round_persist(pm)
     pi = None
     if pm.count() <= 1_000_000:
         import numpy as np
@@ -2611,14 +2614,34 @@ def markov_stationary(
         from pyspark.sql.types import DoubleType, StructField, StructType
 
         pdfm = pm.toPandas()
+        # The state UNIVERSE is st (every cnt source) — NOT pm's
+        # surviving sources (ADVICE r13, medium): a source whose every
+        # out-edge targets sink-only types keeps its st row (and its
+        # 1/k share of the initial mass) while contributing no pm row,
+        # and a pm __j can name such a state. Coding over pm.__s alone
+        # mapped those targets out of bounds (np.add.at IndexError) or
+        # onto the wrong state; the distributed rounds below start pi
+        # on st, so the local replay must too.
+        stpdf = st.toPandas()
         if not bool(
             pd.isna(pdfm["__s"]).any() or pd.isna(pdfm["__j"]).any()
+            or pd.isna(stpdf["__state"]).any()
         ):
-            states = np.unique(pdfm["__s"].to_numpy())
+            states = np.unique(stpdf["__state"].to_numpy())
             kk = len(states)
-            scode = np.searchsorted(states, pdfm["__s"].to_numpy())
-            jcode = np.searchsorted(states, pdfm["__j"].to_numpy())
+            sidx = pd.Index(states)
+            scode = sidx.get_indexer(pdfm["__s"].to_numpy())
+            jcode = sidx.get_indexer(pdfm["__j"].to_numpy())
             pv = pdfm["__p"].to_numpy(dtype=np.float64)
+            if (scode < 0).any() or (jcode < 0).any():
+                # a pm endpoint outside the st universe cannot happen
+                # by construction (keep joins __j against st; __s ⊆
+                # cnt sources) — but if it ever does, the distributed
+                # rounds handle it; never guess a code
+                scode = jcode = None  # type: ignore[assignment]
+        else:
+            scode = jcode = None  # type: ignore[assignment]
+        if scode is not None:
 
             def _r6a(x):
                 return np.floor(x * 1_000_000.0 + 0.5) / 1_000_000.0

@@ -32,6 +32,7 @@ from census_data_pipeline_spark.plans.registry import query
 from census_data_pipeline_spark.sources.catalog import (
     load_table,
     round_materialize,
+    round_persist,
 )
 
 _TOKS = "string_split(text, ' ')"
@@ -1553,12 +1554,11 @@ def dedup_minhash_ml(spark, sf_dir):
     # checkpointed: consumed by fit() once and by BOTH sides of the
     # approx join — without the cut the shingle+hash pipeline re-runs
     # three times
-    feats = (
+    feats = round_persist(
         tf.transform(sh)
         .filter(F.expr("size(sh) > 0"))
         .select("doc_id", "features")
-        .localCheckpoint(eager=False)
-    )
+    )  # lazy persist (r14): fit() is the first action and materializes
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
     model = lsh.fit(feats)
     raw = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
@@ -1569,10 +1569,11 @@ def dedup_minhash_ml(spark, sf_dir):
             F.col("datasetB.doc_id").alias("id_b"),
         )
         .distinct()
-        # consumed by the recall join AND the verify join — cut, or the
-        # whole MLlib approx join runs twice (measured ~2x on this query)
-        .localCheckpoint(eager=False)
     )
+    # consumed by the recall join AND the verify join — cut + persist,
+    # or the whole MLlib approx join runs once per consumer (r14: the
+    # bare lazy checkpoint did NOT stop that recompute)
+    ml_pairs = round_persist(ml_pairs)
     exact = dedup.ngram_jaccard_pairs(docs, n=4, threshold=0.5)
     n_exact = exact.agg(F.count("*").alias("n_exact_pairs"))
     n_hit = ml_pairs.join(exact, ["id_a", "id_b"]).agg(
@@ -1626,13 +1627,16 @@ def knn_ivf_query(spark, sf_dir):
     keeps the stronger EXACT SQL-replicated oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    # materialized (r13): both result sets feed two downstream
-    # consumers (recall join + rank/row stats), and a lazy
-    # localCheckpoint's consumers re-execute the whole scoring pipeline
-    ivf = round_materialize(similarity.knn_ivf(
+    # lazily persisted (r14 — VERDICT r13 #1: the r13 eager
+    # persist+count pair here regressed the query +16%): both result
+    # sets feed two downstream consumers (recall join + rank/row
+    # stats), so the lineage cut + persist stays — but the sink's first
+    # scan materializes the blocks, making the two up-front count
+    # passes pure overhead
+    ivf = round_persist(similarity.knn_ivf(
         emb, queries, k=10, n_centroids=16, n_probes=3
     ))
-    bf = round_materialize(similarity.knn_bruteforce(emb, queries, k=10))
+    bf = round_persist(similarity.knn_bruteforce(emb, queries, k=10))
     # one pass over bf for BOTH totals: left-join an ivf hit marker
     marked = bf.join(
         ivf.select("query_id", "neighbor_id").withColumn("__hit", F.lit(1)),
@@ -3293,9 +3297,12 @@ def graph_modularity(spark, sf_dir):
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
         )
     )
-    # materialized (r13): LPA and the modularity scorer both consume e,
-    # and a lazy localCheckpoint's consumers recompute its lineage
-    e = round_materialize(e)
+    # lazily persisted (r14 — VERDICT r13 #1): LPA and the modularity
+    # scorer both consume e, but each consumer's own edge projection is
+    # eagerly counted inside the graph functions, so the FIRST of those
+    # counts materializes these blocks; the r13 eager count here was a
+    # redundant third pass over the orders⋈lineitem join
+    e = round_persist(e)
     labels = _g.label_propagation(e, iterations=5, broadcast_labels=True)
     return _g.modularity(e, labels)
 
@@ -4838,10 +4845,11 @@ def graph_louvain_move(spark, sf_dir):
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
         )
     )
-    # materialized (r13): LPA init, the mover and the modularity scorer
-    # all consume e, and a lazy localCheckpoint's consumers recompute
-    # its lineage
-    e = round_materialize(e)
+    # lazily persisted (r14 — VERDICT r13 #1): LPA init, the mover and
+    # the modularity scorer all consume e; the first consumer's own
+    # eager edge-projection count materializes these blocks, so the
+    # r13 eager count here was a redundant extra pass
+    e = round_persist(e)
     lpa = _g.label_propagation(e, iterations=5, broadcast_labels=True)
     labels = _g.louvain_local_move(e, rounds=4, init_labels=lpa)
     return _g.modularity(e, labels, label_col="community")
@@ -4953,10 +4961,11 @@ def _sparse_purchase_graphs(spark, sf_dir):
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select("o_custkey", "l_suppkey")
     )
-    # materialized (r13): both forms consume base, and a lazy
-    # localCheckpoint's consumers recompute its lineage; e/ew stay lazy
-    # because every graph operator materializes its own projection now
-    base = round_materialize(base)
+    # lazily persisted (r14 — VERDICT r13 #1): both forms consume base,
+    # and the first consumer's eager edge-projection count materializes
+    # these blocks; e/ew stay lazy because every graph operator
+    # materializes its own projection now
+    base = round_persist(base)
     e = base.distinct().select(
         F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
         F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
@@ -5136,8 +5145,10 @@ def graph_leiden(spark, sf_dir):
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
         )
     )
-    # materialized (r13): leiden and the modularity scorer both consume e
-    e = round_materialize(e)
+    # lazily persisted (r14 — VERDICT r13 #1): leiden and the modularity
+    # scorer both consume e; the first consumer's eager edge-projection
+    # count materializes these blocks
+    e = round_persist(e)
     labels = _g.leiden(e, levels=4, rounds=14)
     return _g.modularity(e, labels)
 
@@ -5184,10 +5195,10 @@ def graph_louvain_multilevel(spark, sf_dir):
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
         )
     )
-    # materialized (r13): the multilevel mover and the modularity scorer
-    # both consume e, and a lazy localCheckpoint's consumers recompute
-    # its lineage
-    e = round_materialize(e)
+    # lazily persisted (r14 — VERDICT r13 #1): the multilevel mover and
+    # the modularity scorer both consume e; the first consumer's eager
+    # edge-projection count materializes these blocks
+    e = round_persist(e)
     labels = _g.louvain_multilevel(e, levels=4, rounds=10)
     return _g.modularity(e, labels)
 
