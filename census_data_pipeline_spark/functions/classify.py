@@ -43,6 +43,19 @@ def _dlit(v) -> Column:
     return F.lit(None).cast("double") if v is None else F.lit(float(v))
 
 
+def _sql_dlit(v) -> str:
+    """SQL text of the exact double literal ``_dlit`` builds — the
+    shortest round-trip decimal parsed back by Java's Double.parseDouble
+    (string→double cast), so the parsed plan holds the bit-identical
+    double. Used by the fused GD rounds, where building thousands of
+    Column objects through py4j measurably dominated the round (r14:
+    ~0.27 s/round of pure expression construction at ANY data scale)."""
+    return (
+        "CAST(NULL AS DOUBLE)" if v is None
+        else f"CAST('{float(v)!r}' AS DOUBLE)"
+    )
+
+
 def _row1(spark, cols: dict) -> DataFrame:
     """One-row literal DataFrame (model/statistics state). Replaces the
     chained crossJoin(broadcast(...)) model frames: the VALUES are the
@@ -140,6 +153,128 @@ def _logreg_fit(
         + sum((F.col(f"__w_{n}") * F.col(n) for n in names), F.lit(0.0))
     )
     return z, w, names, margin, st
+
+
+def _logreg_fit_multi(
+    prep: DataFrame,
+    label_col: str,
+    names: list[str],
+    train_conds: list[Column],
+    iterations: int,
+    lr: float,
+) -> list[dict]:
+    """Fused K-model GD (r14 — VERDICT r13 #3): fit every model of a
+    CV / learning-curve family in ONE scan per round via conditional
+    aggregates — ``avg(when(cond, e))`` aggregates exactly the rows
+    ``filter(cond)`` would, in the same per-partition order over the
+    same cached frame, so each model's trajectory is arithmetically
+    identical to ``_logreg_fit`` run on ``prep.filter(cond)`` (the
+    identical Spark expressions produce the identical doubles; the
+    round-6 points are unchanged). K·(d+1) aggregate expressions per
+    round replace K independent round jobs: the per-round job count
+    drops K-fold at every data scale, and at 100 TB the train fold is
+    scanned once per round instead of K times.
+
+    ``prep`` must be persisted with ``label_col`` (double) and the
+    feature columns (double) already evaluated. Returns one dict per
+    model: {"wb", "wf": {name: w}, "m": {name}, "s": {name}} — weights
+    and the train-fold standardization stats, all collected scalars
+    produced by the same Spark round-6 expressions ``_logreg_fit``
+    collects."""
+    kk = len(train_conds)
+    stat_exprs = []
+    for i, cond in enumerate(train_conds):
+        for n in names:
+            stat_exprs.append(
+                F.round(F.avg(F.when(cond, F.col(n))), 6)
+                .alias(f"__m_{i}_{n}")
+            )
+            stat_exprs.append(
+                F.round(F.stddev_pop(F.when(cond, F.col(n))), 6)
+                .alias(f"__s_{i}_{n}")
+            )
+    srow = prep.agg(*stat_exprs).first()
+    models = [
+        {
+            "m": {n: srow[f"__m_{i}_{n}"] for n in names},
+            "s": {n: srow[f"__s_{i}_{n}"] for n in names},
+            "wb": 0.0,
+            "wf": {n: 0.0 for n in names},
+        }
+        for i in range(kk)
+    ]
+    # ONE reusable base projection (built through py4j ONCE): the label,
+    # each model's train flag and each model's standardized features.
+    # Per round only the residuals change, and those are parsed SQL over
+    # these stable column names — Column-object construction through
+    # py4j was ~0.27 s/round (measured, r14), pure driver overhead at
+    # every data scale. The arithmetic is untouched: projecting
+    # z/cond/r as columns and aggregating them evaluates the identical
+    # double expressions on the identical rows in the identical
+    # partition order as the previous inline-in-aggregate formulation.
+    base_cols = [F.col(label_col).alias("__y")]
+    for i, cond in enumerate(train_conds):
+        base_cols.append(cond.alias(f"__c_{i}"))
+        base_cols.extend(
+            F.round(
+                (F.col(n) - _dlit(models[i]["m"][n]))
+                / _dlit(models[i]["s"][n]), 6
+            ).alias(f"__z_{i}_{n}")
+            for n in names
+        )
+    base = prep.select(*base_cols)
+    one, lr_s = _sql_dlit(1.0), _sql_dlit(lr)
+    for _ in range(iterations):
+        rcols, exprs = [], []
+        for i in range(kk):
+            wb, wf = models[i]["wb"], models[i]["wf"]
+            # exact grouping of the py4j tree this replaces:
+            # wb + ((((0.0 + w1*z1) + w2*z2) + ...) + wd*zd)
+            acc = _sql_dlit(0.0)
+            for n in names:
+                acc = f"({acc} + ({_sql_dlit(wf[n])} * __z_{i}_{n}))"
+            marg = f"({_sql_dlit(wb)} + {acc})"
+            rcols.append(
+                F.expr(
+                    f"(({one} / ({one} + exp(-{marg}))) - __y)"
+                ).alias(f"__r_{i}")
+            )
+            exprs.append(
+                F.expr(
+                    f"round({_sql_dlit(wb)} - ({lr_s} * "
+                    f"round(avg(CASE WHEN __c_{i} THEN __r_{i} END), 6)"
+                    f"), 6)"
+                ).alias(f"__b_{i}")
+            )
+            exprs.extend(
+                F.expr(
+                    f"round({_sql_dlit(wf[n])} - ({lr_s} * "
+                    f"round(avg(CASE WHEN __c_{i} THEN "
+                    f"(__r_{i} * __z_{i}_{n}) END), 6)), 6)"
+                ).alias(f"__w_{i}_{n}")
+                for n in names
+            )
+        upd = base.select("*", *rcols).agg(*exprs).first()
+        for i in range(kk):
+            models[i]["wb"] = upd[f"__b_{i}"]
+            models[i]["wf"] = {n: upd[f"__w_{i}_{n}"] for n in names}
+    return models
+
+
+def _logreg_margin_lit(model: dict, names: list[str]) -> Column:
+    """Margin over the standardized features as one literal expression
+    (train-stats z, then w·z + b) — the zt/crossJoin(st)/crossJoin(w)
+    arithmetic of ``logreg_holdout_eval`` on identical literal
+    operands."""
+    z = {
+        n: F.round(
+            (F.col(n) - _dlit(model["m"][n])) / _dlit(model["s"][n]), 6
+        )
+        for n in names
+    }
+    return _dlit(model["wb"]) + sum(
+        (_dlit(model["wf"][n]) * z[n] for n in names), F.lit(0.0)
+    )
 
 
 def logreg_train(
@@ -323,13 +458,71 @@ def _py_gini(cl: int, pl: int, ct: int, pt: int) -> float:
     )
 
 
+def _tree_route_predict(names_t: list[str], bins: int, pym: dict) -> Column:
+    """Route a null-guarded feature row to its leaf's predict as ONE
+    literal CASE expression over the driver-side model payload (r14 —
+    VERDICT r13 #2: the per-level broadcast-join replay chains executed
+    lazily at the sink, so a 5-tree forest scanned the test fold
+    through five join chains). Arithmetic is the holdout routing's own,
+    on identical literal operands: per feature the train-stats bin
+    ``when(w = 0, 0).otherwise(least(bins-1, greatest(0,
+    floor((x - mn)/w))))``, per level the winner map
+    ``node -> 2·node + (bin_f <= b ? 0 : 1)`` with no-winner nodes
+    staying put, then the leaf predict map. Rows always land on a leaf
+    (levels reassign exactly the split nodes; every terminal node is a
+    leaf row by construction)."""
+    bincol = {}
+    for n in names_t:
+        w, m = pym["wd"][n], pym["mn"][n]
+        bincol[n] = (
+            F.when(_dlit(w) == F.lit(0.0), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.col(n).cast("double") - _dlit(m)) / _dlit(w)
+                        ).cast("int"),
+                    ),
+                )
+            )
+            .cast("int")
+        )
+    node: Column = F.lit(1).cast("bigint")
+    for lvl in pym["levels"]:
+        upd = None
+        for nd, (f, b) in sorted(lvl.items()):
+            child = (
+                F.lit(nd * 2)
+                + F.when(bincol[f] <= F.lit(b), F.lit(0)).otherwise(F.lit(1))
+            ).cast("bigint")
+            cond = node == F.lit(nd)
+            upd = F.when(cond, child) if upd is None else upd.when(
+                cond, child
+            )
+        if upd is not None:
+            node = upd.otherwise(node)
+    pred = None
+    for nd, pv in sorted(pym["leaves"].items()):
+        cond = node == F.lit(nd)
+        pred = (
+            F.when(cond, F.lit(pv)) if pred is None
+            else pred.when(cond, F.lit(pv))
+        )
+    if pred is None:  # degenerate: no rows trained — no leaves
+        pred = F.lit(None)
+    return pred.cast("long")
+
+
 def _decision_tree_build(
     df: DataFrame,
     label: Column,
     features: list[tuple[str, Column]],
     bins: int = 16,
     depth: int = 2,
-) -> tuple[DataFrame, DataFrame]:
+    keep_assigned: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame, list[DataFrame], dict]:
     """Shared trainer behind ``decision_tree_train`` (tree frame) and
     ``decision_tree_confusion`` (tree frame + final row→node
     assignments). Trains a depth-bounded binary tree by HISTOGRAM split
@@ -452,6 +645,7 @@ def _decision_tree_build(
     frontier: dict | None = None  # node -> (ct, pt) entering the level
     tree_rows: list[tuple] = []
     winners_levels: list[DataFrame] = []  # (__wn, __f, __sb) per level
+    levels_py: list[dict] = []  # node -> (feature, bin) per level (r14)
     for _lvl in range(depth):
         # ONE data pass per level (the distributed-GBDT `hist`
         # contract, unchanged); the nodes·F·bins histogram is
@@ -516,6 +710,9 @@ def _decision_tree_build(
             wsel_schema,
         )
         winners_levels.append(wsel)
+        levels_py.append(
+            {node: (f, b) for node, (_g, f, b, *_r) in winners.items()}
+        )
         upd = None
         for node, (_g, f, b, *_r) in sorted(winners.items()):
             child = F.lit(node * 2) + F.when(
@@ -556,7 +753,257 @@ def _decision_tree_build(
         .cast("long")
         .alias("predict"),
     )
-    return tree, assigned, st, winners_levels
+    # Driver-side model payload (r14 — VERDICT r13 #2): everything a
+    # caller needs to route unseen rows as ONE literal CASE expression
+    # instead of replaying the per-level broadcast-join chain. Exact
+    # integer arithmetic throughout: predict = (2·pos >= n) on the
+    # collected counts is the tree frame's own Spark expression on
+    # identical operands.
+    pym = {
+        "mn": mn,
+        "wd": wd,
+        "levels": levels_py,
+        "leaves": {
+            node: (1 if 2 * pt >= ct else 0)
+            for node, kind, _f, _thr, ct, pt in tree_rows
+            if kind == "leaf"
+        },
+        "n_nodes": {node: ct for node, _k, _f, _t, ct, _p in tree_rows},
+    }
+    if not keep_assigned:
+        # the model is driver-side literals now; nothing downstream
+        # reads the binned cache (ADVICE r13: threaded tree builds left
+        # every tree's binned frame resident until the next query)
+        binned.unpersist()
+    return tree, assigned, st, winners_levels, pym
+
+
+def _decision_tree_build_multi(
+    prep: DataFrame,
+    label_col: str,
+    specs: list[tuple[Column, list[str]]],
+    bins: int,
+    depth: int,
+) -> list[tuple[list[tuple], dict]]:
+    """Fused K-tree histogram trainer (r14 — VERDICT r13 #3, the
+    _logreg_fit_multi discipline for trees): train every tree of a
+    CV/forest family in ONE scan per level. ``specs`` is one
+    (row_condition, feature_names) pair per tree over the shared
+    persisted ``prep`` frame.
+
+    Equivalence to per-tree ``_decision_tree_build`` runs: the per-tree
+    min/max stats are conditional aggregates (min/max are
+    order-independent, so conditional ≡ filtered exactly); bin widths
+    are the identical Spark division over the identical collected
+    doubles; each level's (tree, node, feature, bin) histogram is an
+    integer count/sum — the inline(struct-array) fan-out guarded by
+    ``when(cond ∧ non-null, node)`` emits exactly the rows the
+    per-tree na.drop+filter pipeline aggregated, and integer sums are
+    order-free — so the collected histograms, and therefore the
+    driver-side gini split search and every tree, are IDENTICAL.
+    Per level the shuffle carries Σ_t nodes·F_t·bins rows (model-sized)
+    and the job count drops K-fold at every data scale.
+
+    Returns per tree (tree_rows, pym) — the literal node rows
+    (node, kind, feature, raw_threshold, n, pos) and the routing
+    payload ``_tree_route_predict`` consumes."""
+    kk = len(specs)
+    y = F.col(label_col).cast("bigint")
+    xcol = {}
+    valid = []
+    for cond, names_t in specs:
+        for n in names_t:
+            if n not in xcol:
+                xcol[n] = F.col(n).cast("double")
+        v = y.isNotNull()
+        for n in names_t:
+            v = v & xcol[n].isNotNull()
+        valid.append(cond & v)
+    # per-tree min/max in ONE scan, widths in the same Spark select
+    stat_exprs = []
+    for i, (cond, names_t) in enumerate(specs):
+        for n in names_t:
+            stat_exprs.append(
+                F.min(F.when(valid[i], xcol[n])).alias(f"__mn_{i}_{n}")
+            )
+            stat_exprs.append(
+                F.max(F.when(valid[i], xcol[n])).alias(f"__mx_{i}_{n}")
+            )
+    width_exprs = [
+        (
+            (F.col(f"__mx_{i}_{n}") - F.col(f"__mn_{i}_{n}"))
+            / F.lit(float(bins))
+        ).alias(f"__w_{i}_{n}")
+        for i, (_c, names_t) in enumerate(specs)
+        for n in names_t
+    ]
+    strow = prep.agg(*stat_exprs).select("*", *width_exprs).first()
+    mn = [
+        {n: strow[f"__mn_{i}_{n}"] for n in names_t}
+        for i, (_c, names_t) in enumerate(specs)
+    ]
+    wd = [
+        {n: strow[f"__w_{i}_{n}"] for n in names_t}
+        for i, (_c, names_t) in enumerate(specs)
+    ]
+    bincol = [
+        {
+            n: F.when(_dlit(wd[i][n]) == F.lit(0.0), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (xcol[n] - _dlit(mn[i][n])) / _dlit(wd[i][n])
+                        ).cast("int"),
+                    ),
+                )
+            )
+            .cast("int")
+            for n in names_t
+        }
+        for i, (_c, names_t) in enumerate(specs)
+    ]
+    node_expr: list[Column] = [
+        F.lit(1).cast("bigint") for _ in range(kk)
+    ]
+    frontier: list[dict | None] = [None] * kk
+    tree_rows: list[list[tuple]] = [[] for _ in range(kk)]
+    levels_py: list[list[dict]] = [[] for _ in range(kk)]
+    for _lvl in range(depth):
+        entries = []
+        for i, (_c, names_t) in enumerate(specs):
+            for n in names_t:
+                entries.append(
+                    F.struct(
+                        F.lit(i).alias("__i"),
+                        F.lit(n).alias("__f"),
+                        F.when(valid[i], node_expr[i]).alias("__node"),
+                        bincol[i][n].alias("__bin"),
+                        y.alias("__y"),
+                    )
+                )
+        hrows = (
+            prep.select(F.inline(F.array(*entries)))
+            .filter(F.col("__node").isNotNull())
+            .groupBy("__i", "__f", "__node", "__bin")
+            .agg(F.count("*").alias("__c"), F.sum("__y").alias("__p"))
+            .collect()
+        )
+        hists: list[dict] = [{} for _ in range(kk)]
+        for r in hrows:
+            hists[r["__i"]].setdefault((r["__node"], r["__f"]), []).append(
+                (r["__bin"], r["__c"], r["__p"])
+            )
+        for i, (_c, names_t) in enumerate(specs):
+            hist = hists[i]
+            tot = {
+                node: (
+                    sum(c for _b, c, _p in cells),
+                    sum(p for _b, _c, p in cells),
+                )
+                for (node, f), cells in hist.items()
+                if f == names_t[0]
+            }
+            if frontier[i] is None:
+                frontier[i] = dict(tot)
+            winners: dict = {}
+            for (node, f), cells in sorted(hist.items()):
+                ct, pt = tot[node]
+                cl = pl = 0
+                for b, c, p in sorted(cells):
+                    cl += c
+                    pl += p
+                    if not (0 < cl < ct):
+                        continue
+                    g = _py_gini(cl, pl, ct, pt)
+                    if node not in winners or (g, f, b) < winners[node][:3]:
+                        winners[node] = (g, f, b, cl, pl, ct, pt)
+            for node, (_g, f, b, _cl, _pl, ct, pt) in sorted(
+                winners.items()
+            ):
+                tree_rows[i].append(
+                    (node, "split", f, mn[i][f] + (b + 1) * wd[i][f],
+                     ct, pt)
+                )
+            for node, (ct, pt) in sorted(frontier[i].items()):
+                if node not in winners:
+                    tree_rows[i].append((node, "leaf", None, None, ct, pt))
+            levels_py[i].append(
+                {node: (f, b) for node, (_g, f, b, *_r) in winners.items()}
+            )
+            nf: dict = {}
+            for node, (_g, _f, _b, cl, pl, ct, pt) in winners.items():
+                nf[node * 2] = (cl, pl)
+                nf[node * 2 + 1] = (ct - cl, pt - pl)
+            frontier[i] = nf
+            upd = None
+            for node, (_g, f, b, *_r) in sorted(winners.items()):
+                child = F.lit(node * 2) + F.when(
+                    bincol[i][f] <= F.lit(b), F.lit(0)
+                ).otherwise(F.lit(1))
+                cond_n = node_expr[i] == F.lit(node)
+                upd = (
+                    F.when(cond_n, child) if upd is None
+                    else upd.when(cond_n, child)
+                )
+            if upd is not None:
+                node_expr[i] = upd.otherwise(node_expr[i]).cast("bigint")
+    out: list[tuple[list[tuple], dict]] = []
+    for i, (_c, names_t) in enumerate(specs):
+        rows = list(tree_rows[i])
+        for node, (ct, pt) in sorted((frontier[i] or {}).items()):
+            rows.append((node, "leaf", None, None, ct, pt))
+        pym = {
+            "mn": mn[i],
+            "wd": wd[i],
+            "levels": levels_py[i],
+            "leaves": {
+                node: (1 if 2 * pt >= ct else 0)
+                for node, kind, _f, _t, ct, pt in rows
+                if kind == "leaf"
+            },
+            "n_nodes": {node: ct for node, _k, _f, _t, ct, _p in rows},
+        }
+        out.append((rows, pym))
+    return out
+
+
+def _tree_frame_from_rows(spark, rows: list[tuple]) -> DataFrame:
+    """The tree MODEL frame from literal node rows — the exact select
+    ``_decision_tree_build`` ends with (same schema, same Spark round
+    and predict expressions over the same collected integers)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    tree_schema = StructType([
+        StructField("node", LongType()),
+        StructField("kind", StringType()),
+        StructField("feature", StringType()),
+        StructField("__thr", DoubleType()),
+        StructField("n", LongType()),
+        StructField("pos", LongType()),
+    ])
+    return spark.createDataFrame(rows, tree_schema).select(
+        "node",
+        F.floor(F.log2("node")).cast("long").alias("depth"),
+        "kind",
+        "feature",
+        F.round(F.col("__thr"), 6).alias("threshold"),
+        "n",
+        "pos",
+        F.round(F.col("pos") / F.col("n"), 6).alias("pos_rate"),
+        F.when(F.col("pos") * 2 >= F.col("n"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("predict"),
+    )
 
 
 def decision_tree_train(
@@ -570,7 +1017,9 @@ def decision_tree_train(
     finding; returns the tree frame (node, depth, kind, feature,
     threshold, n, pos, pos_rate, predict). Full algorithm and scale
     notes: ``_decision_tree_build``."""
-    return _decision_tree_build(df, label, features, bins, depth)[0]
+    return _decision_tree_build(
+        df, label, features, bins, depth, keep_assigned=False
+    )[0]
 
 
 def decision_tree_confusion(
@@ -587,7 +1036,7 @@ def decision_tree_confusion(
     every row at its final tree node (``_decision_tree_build``'s
     assignment frame), and the ≤ 2^(depth+1)-row (node → predict) map
     broadcasts into it; no re-walk of the tree, no second data shuffle."""
-    tree, assigned, _st, _wl = _decision_tree_build(
+    tree, assigned, _st, _wl, _pym = _decision_tree_build(
         df, label, features, bins, depth
     )
     pred = tree.select("node", "predict")
@@ -1644,63 +2093,25 @@ def decision_tree_holdout(
     train = prep.filter(~F.col("__t"))
     test = prep.filter(F.col("__t"))
     feats_c = [(n, F.col(n)) for n, _e in features]
-    tree, _assigned, st, winners_levels = _decision_tree_build(
-        train, F.col("__l0"), feats_c, bins, depth
+    _tree, _assigned, _st, _wl, pym = _decision_tree_build(
+        train, F.col("__l0"), feats_c, bins, depth, keep_assigned=False
     )
-    tb = (
-        test.select(
-            F.col("__l0").cast("bigint").alias("__y"),
-            *[F.col(n).cast("double").alias(n) for n in names],
-        )
-        .na.drop(subset=["__y", *names])
-        .crossJoin(F.broadcast(st))
-        .select(
-            "__y",
-            *[
-                F.when(F.col(f"__w_{n}") == 0, F.lit(0))
-                .otherwise(
-                    F.least(
-                        F.lit(bins - 1),
-                        F.greatest(
-                            F.lit(0),
-                            F.floor(
-                                (F.col(n) - F.col(f"__mn_{n}"))
-                                / F.col(f"__w_{n}")
-                            ).cast("int"),
-                        ),
-                    )
-                )
-                .cast("int")
-                .alias(f"__b_{n}")
-                for n in names
-            ],
-        )
-        .withColumn("__node", F.lit(1).cast("bigint"))
-    )
-    case_bin = F.when(F.col("__f") == names[0], F.col(f"__b_{names[0]}"))
-    for n in names[1:]:
-        case_bin = case_bin.when(F.col("__f") == n, F.col(f"__b_{n}"))
-    for wsel in winners_levels:
-        tb = tb.join(
-            F.broadcast(wsel), tb["__node"] == wsel["__wn"], "left"
-        ).select(
-            "__y",
-            *[f"__b_{n}" for n in names],
-            F.when(F.col("__wn").isNull(), F.col("__node"))
-            .otherwise(
-                F.col("__node") * 2
-                + F.when(case_bin <= F.col("__sb"), F.lit(0)).otherwise(
-                    F.lit(1)
-                )
-            )
-            .alias("__node"),
-        )
-    pred = tree.select("node", "predict")
+    # ONE-PASS routing (r14 — the rf_holdout fusion, VERDICT r13 #2):
+    # the model is driver-side literals, so the per-level
+    # broadcast-join replay collapses into one literal CASE expression
+    # over a single scan of the test fold — identical bin arithmetic,
+    # winner maps and leaf predicts on identical literal operands.
+    tb = test.select(
+        F.col("__l0").cast("bigint").alias("__y"),
+        *[F.col(n).cast("double").alias(n) for n in names],
+    ).na.drop(subset=["__y", *names])
     return (
-        tb.join(F.broadcast(pred), tb["__node"] == pred["node"])
+        tb.select(
+            "__y", _tree_route_predict(names, bins, pym).alias("__p")
+        )
         .groupBy(
             F.col("__y").alias("actual"),
-            F.col("predict").alias("predicted"),
+            F.col("__p").alias("predicted"),
         )
         .agg(F.count("*").alias("cnt"))
         .select(
@@ -2556,32 +2967,105 @@ def logreg_kfold_cv(
         label.cast("double").alias("__cvl"),
         *[e.cast("double").alias(n) for n, e in features],
     ).persist()
-    prep.count()  # materialize once before the concurrent fold fits
-    feats_c = [(n, F.col(n)) for n, _e in features]
-    # fold fits are eager (scalar gradient collects) and independent —
-    # overlap them on driver threads (guide §2.6: concurrent jobs
-    # back-fill the scheduling gaps; each fold's trajectory is
-    # untouched, the folds just stop waiting single-file)
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=min(4, k)) as pool:
-        evals = list(pool.map(
-            lambda f: logreg_holdout_eval(
-                prep, F.col("__cvl"), feats_c,
-                F.col("__cvf") == F.lit(f), iterations, lr
-            ),
-            range(k),
-        ))
-    per_fold = None
+    prep.count()  # materialize once before the fused fit rounds
+    names = [n for n, _ in features]
+    # FUSED k-model fit (r14 — VERDICT r13 #3): all folds' gradients in
+    # ONE conditional-aggregate scan per round (8 jobs, was ~k×9), each
+    # fold's trajectory arithmetically identical to its independent
+    # logreg_holdout_eval fit (see _logreg_fit_multi).
+    train_conds = [F.col("__cvf") != F.lit(f) for f in range(k)]
+    models = _logreg_fit_multi(
+        prep, "__cvl", names, train_conds, iterations, lr
+    )
+    # FUSED eval: every row is the test row of exactly its own fold, so
+    # ONE scan computes all folds' n_train/n_test/accuracy (conditional
+    # aggregates) and ONE fold-partitioned histogram computes every
+    # fold's tie-corrected AUC — the per-fold arithmetic (round-6
+    # sigmoid scores, cumulative rank-sum, U/(P·N)) is
+    # logreg_holdout_eval's own on identical operands; per-fold sums
+    # stay exact (integer counts, half-integer U terms), so fusion
+    # cannot move a rounding boundary.
+    margins = [_logreg_margin_lit(models[f], names) for f in range(k)]
+    agg_exprs = []
     for f in range(k):
-        row = evals[f].select(
-            F.lit(str(f)).alias("fold"),
-            "n_train", "n_test",
-            F.col("test_accuracy").alias("accuracy"),
-            F.col("test_auc").alias("auc"),
+        test_f = F.col("__cvf") == F.lit(f)
+        agg_exprs.append(
+            F.count(F.when(train_conds[f], F.lit(1))).alias(f"__ntr_{f}")
         )
-        per_fold = row if per_fold is None else per_fold.unionByName(row)
-    per_fold = per_fold.localCheckpoint(eager=False)
+        agg_exprs.append(
+            F.count(F.when(test_f, F.lit(1))).alias(f"__nt_{f}")
+        )
+        agg_exprs.append(
+            F.round(
+                F.avg(
+                    F.when(
+                        test_f,
+                        F.when(
+                            (F.round(margins[f], 6) >= 0)
+                            == (F.col("__cvl") == 1.0),
+                            F.lit(1.0),
+                        ).otherwise(F.lit(0.0)),
+                    )
+                ),
+                6,
+            ).alias(f"__acc_{f}")
+        )
+    arow = prep.agg(*agg_exprs)
+    pcol = None
+    for f in range(k):
+        pf = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margins[f])), 6)
+        cond = F.col("__cvf") == F.lit(f)
+        pcol = F.when(cond, pf) if pcol is None else pcol.when(cond, pf)
+    scored = prep.select(
+        F.col("__cvf").alias("__fold"),
+        F.col("__cvl").alias("__y"),
+        pcol.alias("__p"),
+    )
+    hist = scored.groupBy("__fold", "__p").agg(
+        F.sum("__y").cast("long").alias("__pos"),
+        (F.count("*") - F.sum("__y")).cast("long").alias("__neg"),
+    )
+    win = (
+        Window.partitionBy("__fold").orderBy("__p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    contrib = hist.select(
+        "__fold", "__pos", "__neg",
+        (F.sum("__neg").over(win) - F.col("__neg")).alias("__nb"),
+    ).select(
+        "__fold", "__pos", "__neg",
+        (
+            F.col("__nb") * F.col("__pos")
+            + F.col("__pos") * F.col("__neg") / F.lit(2.0)
+        ).alias("__u"),
+    )
+    aucf = contrib.groupBy("__fold").agg(
+        F.sum("__pos").alias("__P"),
+        F.sum("__neg").alias("__N"),
+        F.sum("__u").alias("__U"),
+    )
+    stacked = arow.select(
+        F.expr(
+            f"stack({k}, " + ", ".join(
+                f"{f}, __ntr_{f}, __nt_{f}, __acc_{f}" for f in range(k)
+            ) + ")"
+        ).alias("__f", "__n_train", "__n_test", "__accuracy")
+    )
+    from census_data_pipeline_spark.sources.catalog import round_persist
+
+    per_fold = round_persist(
+        stacked.join(aucf, stacked["__f"] == aucf["__fold"], "left")
+        .select(
+            F.col("__f").cast("string").alias("fold"),
+            F.col("__n_train").cast("long").alias("n_train"),
+            F.col("__n_test").cast("long").alias("n_test"),
+            F.col("__accuracy").alias("accuracy"),
+            F.when(
+                (F.col("__P") > 0) & (F.col("__N") > 0),
+                F.round(F.col("__U") / (F.col("__P") * F.col("__N")), 6),
+            ).alias("auc"),
+        )
+    )
     mean = per_fold.agg(
         F.round(F.avg("accuracy"), 6).alias("accuracy"),
         F.round(F.avg("auc"), 6).alias("auc"),
@@ -2688,36 +3172,59 @@ def decision_tree_kfold_cv(
         label.alias("__cvl"),
         *[e.alias(n) for n, e in features],
     ).persist()
-    prep.count()  # materialize once before the concurrent fold fits
-    feats_c = [(n, F.col(n)) for n, _e in features]
-    # fold builds are eager (histogram collects) and independent —
-    # overlap them on driver threads (guide §2.6)
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=min(4, k)) as pool:
-        confs = list(pool.map(
-            lambda f: decision_tree_holdout(
-                prep, F.col("__cvl"), feats_c,
-                F.col("__cvf") == F.lit(f), bins, depth
-            ),
-            range(k),
-        ))
-    per_fold = None
+    prep.count()  # materialize once before the fused level scans
+    names = [n for n, _ in features]
+    # FUSED k-tree fit (r14 — VERDICT r13 #3): all folds' histograms in
+    # ONE scan per level (depth jobs, was ~k×(depth+1)); each fold's
+    # tree is bit-identical to its independent decision_tree_holdout
+    # build (integer histograms — see _decision_tree_build_multi).
+    built = _decision_tree_build_multi(
+        prep,
+        "__cvl",
+        [(F.col("__cvf") != F.lit(f), names) for f in range(k)],
+        bins,
+        depth,
+    )
+    # FUSED eval: ONE conditional-aggregate scan routes every fold's
+    # test rows through its own tree as a literal CASE expression
+    # (_tree_route_predict) — the confusion-matrix collapse
+    # round(n_correct / n_test, 6) on identical integers.
+    y = F.col("__cvl").cast("bigint")
+    vcond = y.isNotNull()
+    for n in names:
+        vcond = vcond & F.col(n).cast("double").isNotNull()
+    agg_exprs = []
     for f in range(k):
-        conf = confs[f]
-        row = conf.agg(
-            F.sum("cnt").cast("long").alias("n_test"),
+        tcond = (F.col("__cvf") == F.lit(f)) & vcond
+        pred = _tree_route_predict(names, bins, built[f][1])
+        agg_exprs.append(
+            F.count(F.when(tcond, F.lit(1))).alias(f"__nt_{f}")
+        )
+        agg_exprs.append(
             F.round(
                 F.sum(
-                    F.when(F.col("actual") == F.col("predicted"),
-                           F.col("cnt")).otherwise(F.lit(0))
+                    F.when(tcond & (pred == y), F.lit(1))
+                    .otherwise(F.lit(0))
                 )
-                / F.sum("cnt"),
+                / F.count(F.when(tcond, F.lit(1))),
                 6,
-            ).alias("accuracy"),
-        ).select(F.lit(str(f)).alias("fold"), "n_test", "accuracy")
-        per_fold = row if per_fold is None else per_fold.unionByName(row)
-    per_fold = per_fold.localCheckpoint(eager=False)
+            ).alias(f"__acc_{f}")
+        )
+    from census_data_pipeline_spark.sources.catalog import round_persist
+
+    per_fold = round_persist(
+        prep.agg(*agg_exprs).select(
+            F.expr(
+                f"stack({k}, " + ", ".join(
+                    f"'{f}', __nt_{f}, __acc_{f}" for f in range(k)
+                ) + ")"
+            ).alias("fold", "__nt", "accuracy")
+        ).select(
+            "fold",
+            F.col("__nt").cast("long").alias("n_test"),
+            "accuracy",
+        )
+    )
     mean = per_fold.agg(
         F.round(F.avg("accuracy"), 6).alias("accuracy")
     ).select(
@@ -2871,26 +3378,25 @@ def random_forest_train(
             for t in range(n_trees)
         ],
     ).persist()
-    prep.count()  # materialize once before the concurrent tree builds
-
-    def _tree(t):
+    prep.count()  # materialize once before the fused level scans
+    # FUSED n_trees-histogram fit (r14 — VERDICT r13 #3): every tree's
+    # level histogram in ONE scan (depth jobs, was ~n_trees×(depth+1));
+    # trees bit-identical to the per-tree builds (integer histograms —
+    # see _decision_tree_build_multi).
+    specs = []
+    for t in range(n_trees):
         keep_names = set(_rf_feature_subset(names, t, m))
-        feats_t = [(n, F.col(n)) for n, _e in features if n in keep_names]
-        sub = prep.filter(F.col(f"__keep_{t}"))
-        tree, _a, _st, _w = _decision_tree_build(
-            sub, F.col("__l0"), feats_t, bins, depth
-        )
-        return tree.select(F.lit(t).cast("long").alias("tree"), "*")
-
-    # tree builds are eager (histogram collects) and independent —
-    # overlap them on driver threads (guide §2.6)
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=min(4, n_trees)) as pool:
-        rows = list(pool.map(_tree, range(n_trees)))
+        names_t = [n for n in names if n in keep_names]
+        specs.append((F.col(f"__keep_{t}"), names_t))
+    built = _decision_tree_build_multi(prep, "__l0", specs, bins, depth)
+    spark = df.sparkSession
     out = None
-    for row in rows:
+    for t in range(n_trees):
+        row = _tree_frame_from_rows(spark, built[t][0]).select(
+            F.lit(t).cast("long").alias("tree"), "*"
+        )
         out = row if out is None else out.unionByName(row)
+    prep.unpersist()  # the models are driver-side literals now
     return out
 
 
@@ -2977,135 +3483,86 @@ def random_forest_holdout(
             for t in range(n_trees)
         ],
     ).persist()
-    train = prep.filter(~F.col("__t"))
     # one shared null-guarded test fold (ALL features) so every tree
     # votes on the same rows
     test = (
         prep.filter(F.col("__t"))
         .select(
-            F.col("__id").alias("__k"),
             F.col("__l0").cast("bigint").alias("__y"),
             *[F.col(n).cast("double").alias(n) for n in names],
         )
         .na.drop(subset=["__y", *names])
-        .localCheckpoint(eager=False)
     )
-    prep.count()  # materialize once before the concurrent tree builds
-
-    def _fit_tree(t):
-        keep_names = set(_rf_feature_subset(names, t, m))
-        feats_t = [(n, F.col(n)) for n, _e in features if n in keep_names]
-        sub = train.filter(F.col(f"__keep_{t}"))
-        return feats_t, _decision_tree_build(
-            sub, F.col("__l0"), feats_t, bins, depth
-        )
-
-    # tree builds are eager (histogram collects) and independent —
-    # overlap them on driver threads (guide §2.6); the vote routing
-    # below stays lazy and per-tree
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=min(4, n_trees)) as pool:
-        fitted = list(pool.map(_fit_tree, range(n_trees)))
-    votes = None
-    member_rows = []
+    prep.count()  # materialize once before the fused level scans
+    # FUSED tree fits (r14 — VERDICT r13 #3): every tree's level
+    # histogram in ONE scan of the cached prep (depth jobs, was
+    # ~n_trees×(depth+1)); trees bit-identical to the per-tree builds
+    # (integer histograms — see _decision_tree_build_multi).
+    specs = []
+    names_by_tree = []
     for t in range(n_trees):
-        feats_t, (tree, _a, st, winners_levels) = fitted[t]
-        tnames = [n for n, _ in feats_t]
-        tb = (
-            test.crossJoin(F.broadcast(st))
-            .select(
-                "__k", "__y",
-                *[
-                    F.when(F.col(f"__w_{n}") == 0, F.lit(0))
-                    .otherwise(
-                        F.least(
-                            F.lit(bins - 1),
-                            F.greatest(
-                                F.lit(0),
-                                F.floor(
-                                    (F.col(n) - F.col(f"__mn_{n}"))
-                                    / F.col(f"__w_{n}")
-                                ).cast("int"),
-                            ),
-                        )
-                    )
-                    .cast("int")
-                    .alias(f"__b_{n}")
-                    for n in tnames
-                ],
-            )
-            .withColumn("__node", F.lit(1).cast("bigint"))
+        keep_names = set(_rf_feature_subset(names, t, m))
+        names_t = [n for n in names if n in keep_names]
+        names_by_tree.append(names_t)
+        specs.append(
+            ((~F.col("__t")) & F.col(f"__keep_{t}"), names_t)
         )
-        case_bin = F.when(
-            F.col("__f") == tnames[0], F.col(f"__b_{tnames[0]}")
+    built = _decision_tree_build_multi(prep, "__l0", specs, bins, depth)
+    # ONE-PASS vote routing (r14 — VERDICT r13 #2): the model is
+    # driver-side literals after r13, so each tree's test routing is a
+    # literal CASE expression (_tree_route_predict) instead of the
+    # per-level broadcast-join chain — ONE scan of the shared test fold
+    # computes every tree's vote column, the per-tree accuracies AND
+    # the majority vote in a single aggregate. Arithmetic identical:
+    # per-tree accuracy = round(avg(vote == y), 6) over the same rows;
+    # the majority = (2·Σ votes >= n_trees) replicates the old
+    # (2·sum >= count) per-key combine because ``__k`` is row-unique
+    # (the documented contract), so every key held exactly n_trees
+    # votes; n_train per tree is the collected root count (exact int).
+    vote_cols = []
+    for t in range(n_trees):
+        vote_cols.append(
+            _tree_route_predict(names_by_tree[t], bins, built[t][1])
+            .alias(f"__v_{t}")
         )
-        for n in tnames[1:]:
-            case_bin = case_bin.when(F.col("__f") == n, F.col(f"__b_{n}"))
-        for wsel in winners_levels:
-            tb = tb.join(
-                F.broadcast(wsel), tb["__node"] == wsel["__wn"], "left"
-            ).select(
-                "__k", "__y",
-                *[f"__b_{n}" for n in tnames],
-                F.when(F.col("__wn").isNull(), F.col("__node"))
-                .otherwise(
-                    F.col("__node") * 2
-                    + F.when(case_bin <= F.col("__sb"), F.lit(0))
-                    .otherwise(F.lit(1))
-                )
-                .alias("__node"),
-            )
-        pred = tree.select("node", "predict")
-        v = (
-            tb.join(F.broadcast(pred), tb["__node"] == pred["node"])
-            .select("__k", "__y", F.col("predict").alias("__v"))
-            .localCheckpoint(eager=False)
+    scored = test.select("__y", *vote_cols)
+    vote_sum = None
+    for t in range(n_trees):
+        vote_sum = (
+            F.col(f"__v_{t}") if vote_sum is None
+            else vote_sum + F.col(f"__v_{t}")
         )
-        votes = v if votes is None else votes.unionByName(v)
-        member_rows.append(
-            v.agg(
-                F.count("*").alias("__nt"),
-                F.round(
-                    F.avg((F.col("__v") == F.col("__y")).cast("double")), 6
-                ).alias("__acc"),
-            )
-            .crossJoin(F.broadcast(
-                tree.filter(F.col("node") == 1)
-                .select(F.col("n").alias("__ntr"))
-            ))
-            .select(
-                F.lit(str(t)).alias("member"),
-                F.col("__ntr").cast("long").alias("n_train"),
-                F.col("__nt").cast("long").alias("n_test"),
-                F.col("__acc").alias("accuracy"),
-            )
-        )
-    maj = (
-        votes.groupBy("__k", "__y")
-        .agg(F.sum("__v").alias("__v"), F.count("*").alias("__c"))
-        .select(
-            "__y",
-            F.when(F.col("__v") * 2 >= F.col("__c"), F.lit(1))
-            .otherwise(F.lit(0))
-            .alias("__m"),
-        )
+    maj = F.when(vote_sum * 2 >= F.lit(n_trees), F.lit(1)).otherwise(
+        F.lit(0)
     )
-    forest = maj.agg(
+    agg = scored.agg(
         F.count("*").alias("__nt"),
+        *[
+            F.round(
+                F.avg((F.col(f"__v_{t}") == F.col("__y")).cast("double")),
+                6,
+            ).alias(f"__acc_{t}")
+            for t in range(n_trees)
+        ],
         F.round(
-            F.avg((F.col("__m") == F.col("__y")).cast("double")), 6
-        ).alias("__acc"),
-    ).select(
-        F.lit("forest").alias("member"),
-        F.lit(None).cast("long").alias("n_train"),
-        F.col("__nt").cast("long").alias("n_test"),
-        F.col("__acc").alias("accuracy"),
+            F.avg((maj == F.col("__y")).cast("double")), 6
+        ).alias("__acc_forest"),
     )
-    out = member_rows[0]
-    for part in member_rows[1:]:
-        out = out.unionByName(part)
-    return out.unionByName(forest)
+    stack_rows = []
+    for t in range(n_trees):
+        n_train_t = int(built[t][1]["n_nodes"].get(1, 0))
+        stack_rows.append(
+            f"'{t}', CAST({n_train_t} AS BIGINT), "
+            f"CAST(__nt AS BIGINT), __acc_{t}"
+        )
+    stack_rows.append(
+        "'forest', CAST(NULL AS BIGINT), CAST(__nt AS BIGINT), __acc_forest"
+    )
+    return agg.select(
+        F.expr(
+            f"stack({n_trees + 1}, " + ", ".join(stack_rows) + ")"
+        ).alias("member", "n_train", "n_test", "accuracy")
+    ).select("member", "n_train", "n_test", "accuracy")
 
 
 def _rf_tree_votes_sql(
@@ -3538,32 +3995,121 @@ def logreg_learning_curve(
         label.cast("double").alias("__lcl"),
         *[e.cast("double").alias(n) for n, e in features],
     ).persist()
-    prep.count()  # materialize once before the concurrent point fits
-    feats_c = [(n, F.col(n)) for n, _e in features]
-    # curve points are eager independent fits — overlap on driver
-    # threads (guide §2.6)
-    from concurrent.futures import ThreadPoolExecutor
-
-    def _point(k):
-        sub = prep.filter(F.col("__lct") | (F.col("__lcd") < F.lit(k)))
-        return logreg_holdout_eval(
-            sub, F.col("__lcl"), feats_c, F.col("__lct"), iterations, lr
+    prep.count()  # materialize once before the fused fit rounds
+    names = [n for n, _ in features]
+    # FUSED multi-point fit + eval (r14 — VERDICT r13 #3, the
+    # logreg_kfold_cv shape): every curve point's train fold is a
+    # conditional slice of the SAME cached frame (test ∪ nested md5
+    # growth slice, train = ¬test ∧ digit < k), so one
+    # conditional-aggregate scan per round fits every point, and —
+    # because all points share the identical test fold — the per-point
+    # scores stack into one fold-partitioned AUC histogram. Arithmetic
+    # identical to the per-point logreg_holdout_eval (see
+    # _logreg_fit_multi / logreg_kfold_cv).
+    pts = list(train_sixteenths)
+    train_conds = [
+        (~F.col("__lct")) & (F.col("__lcd") < F.lit(kk)) for kk in pts
+    ]
+    models = _logreg_fit_multi(
+        prep, "__lcl", names, train_conds, iterations, lr
+    )
+    margins = [_logreg_margin_lit(models[i], names) for i in range(len(pts))]
+    test_c = F.col("__lct")
+    agg_exprs = []
+    for i, kk in enumerate(pts):
+        agg_exprs.append(
+            F.count(F.when(train_conds[i], F.lit(1))).alias(f"__ntr_{i}")
         )
-
-    with ThreadPoolExecutor(
-        max_workers=min(4, len(train_sixteenths))
-    ) as pool:
-        evals = list(pool.map(_point, train_sixteenths))
-    out = None
-    for k, ev in zip(train_sixteenths, evals):
-        row = ev.select(
-            F.lit(k).cast("long").alias("train_sixteenths"),
-            "n_train", "n_test",
-            F.col("test_accuracy").alias("accuracy"),
-            F.col("test_auc").alias("auc"),
+        agg_exprs.append(
+            F.count(F.when(test_c, F.lit(1))).alias(f"__nt_{i}")
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+        agg_exprs.append(
+            F.round(
+                F.avg(
+                    F.when(
+                        test_c,
+                        F.when(
+                            (F.round(margins[i], 6) >= 0)
+                            == (F.col("__lcl") == 1.0),
+                            F.lit(1.0),
+                        ).otherwise(F.lit(0.0)),
+                    )
+                ),
+                6,
+            ).alias(f"__acc_{i}")
+        )
+    arow = prep.agg(*agg_exprs)
+    # the test fold is IDENTICAL at every point, so each test row feeds
+    # every point's score histogram: stack one (point, y, p_point)
+    # tuple per point per test row
+    scored = prep.filter(test_c).select(
+        F.col("__lcl").alias("__y"),
+        *[
+            F.lit(int(kk)).alias(f"__pt_{i}")
+            for i, kk in enumerate(pts)
+        ],
+        *[
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margins[i])), 6)
+            .alias(f"__pp_{i}")
+            for i in range(len(pts))
+        ],
+    ).select(
+        "__y",
+        F.expr(
+            "stack({}, {})".format(
+                len(pts),
+                ", ".join(
+                    f"__pt_{i}, __pp_{i}" for i in range(len(pts))
+                ),
+            )
+        ).alias("__point", "__p"),
+    )
+    hist = scored.groupBy("__point", "__p").agg(
+        F.sum("__y").cast("long").alias("__pos"),
+        (F.count("*") - F.sum("__y")).cast("long").alias("__neg"),
+    )
+    win = (
+        Window.partitionBy("__point").orderBy("__p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    contrib = hist.select(
+        "__point", "__pos", "__neg",
+        (F.sum("__neg").over(win) - F.col("__neg")).alias("__nb"),
+    ).select(
+        "__point", "__pos", "__neg",
+        (
+            F.col("__nb") * F.col("__pos")
+            + F.col("__pos") * F.col("__neg") / F.lit(2.0)
+        ).alias("__u"),
+    )
+    aucp = contrib.groupBy("__point").agg(
+        F.sum("__pos").alias("__P"),
+        F.sum("__neg").alias("__N"),
+        F.sum("__u").alias("__U"),
+    )
+    stacked = arow.select(
+        F.expr(
+            f"stack({len(pts)}, " + ", ".join(
+                f"CAST({int(kk)} AS BIGINT), __ntr_{i}, __nt_{i}, __acc_{i}"
+                for i, kk in enumerate(pts)
+            ) + ")"
+        ).alias("train_sixteenths", "__n_train", "__n_test", "__accuracy")
+    )
+    return (
+        stacked.join(
+            aucp, stacked["train_sixteenths"] == aucp["__point"], "left"
+        )
+        .select(
+            "train_sixteenths",
+            F.col("__n_train").cast("long").alias("n_train"),
+            F.col("__n_test").cast("long").alias("n_test"),
+            F.col("__accuracy").alias("accuracy"),
+            F.when(
+                (F.col("__P") > 0) & (F.col("__N") > 0),
+                F.round(F.col("__U") / (F.col("__P") * F.col("__N")), 6),
+            ).alias("auc"),
+        )
+    )
 
 
 def logreg_learning_curve_oracle_sql(
