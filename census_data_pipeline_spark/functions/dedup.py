@@ -782,19 +782,20 @@ def _dup_clusters_star(pairs: DataFrame) -> tuple[DataFrame, int]:
     checksum-stability scheme it needs no extra confirming round and
     cannot false-positive. Returns (labels, rounds) — rounds exposed for
     the log-bound test."""
-    from census_data_pipeline_spark.sources.catalog import round_persist
-
-    # persisted, lazily (r14): the convergence probe scans each round's
-    # edge frame three times (star self-join twice + parent count), the
-    # node frame twice more at the end — through bare lazy checkpoints
-    # every scan re-ran the whole pair-generation lineage
-    edges = round_persist(
+    # bare lazy checkpoints throughout (r14: the round_persist variant
+    # — per-round persist + staged unpersist — was probed paired and
+    # REGRESSED dedup_clusters_star 2.6→2.9 s and geo_dbscan_grid
+    # 4.4→5.6 s; the checkpoint conversion already executes each round
+    # under AQE, and the InMemoryRelation writes cost more than the
+    # probe-scan recomputes they saved)
+    edges = (
         pairs.select(
             F.greatest("id_a", "id_b").alias("src"),
             F.least("id_a", "id_b").alias("dst"),
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     all_nodes = edges.select(F.col("src").alias("id")).union(
         edges.select(F.col("dst").alias("id"))
@@ -842,25 +843,11 @@ def _dup_clusters_star(pairs: DataFrame) -> tuple[DataFrame, int]:
         )
 
     rounds = 0
-    first = edges  # stays cached: all_nodes reads it at the end
-    pending: DataFrame | None = None
-    while True:
-        nc = not_converged(edges)
-        # the probe materialized the current round's blocks — NOW the
-        # previous round's cache is dead weight (releasing it any
-        # earlier would force the fresh round to recompute its input
-        # through the lazy-checkpoint lineage)
-        if pending is not None and pending is not first:
-            pending.unpersist()
-        pending = None
-        if not nc:
-            break
+    while not_converged(edges):
         rounds += 1
-        # lazy persist: the next not_converged() is the round's first
-        # action and materializes the blocks (r14)
-        new_edges = round_persist(small_star(large_star(edges)))
-        pending = edges
-        edges = new_edges
+        # lazy: the next not_converged() is the round's only action and
+        # materializes the checkpoint as a side effect
+        edges = small_star(large_star(edges)).localCheckpoint(eager=False)
     # converged edges are stars (v -> component min); roots map to themselves
     labels = all_nodes.join(
         edges.select(F.col("src").alias("id"), F.col("dst").alias("label")),

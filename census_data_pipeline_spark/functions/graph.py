@@ -306,11 +306,11 @@ def triangle_counts(
     orientation, wedge self-join on the apex, closing equi-join on the
     (v, w) pair — every join a plain shuffle-hash/SMJ equi-join, no
     driver state."""
-    # lazy persists (r14): und feeds the degree union (2 scans) and
-    # the orientation join; oriented feeds both wedge sides and the
-    # closing join — bare lazy checkpoints re-ran the caller's edge
-    # build per consumer
-    und = _round_persist(
+    # bare lazy checkpoints here (r14: the round_persist variant was
+    # probed paired and REGRESSED graph_triangles 3.3→4.4 s — the
+    # checkpoint conversion already executes these frames under AQE,
+    # and the extra InMemoryRelation write cost more than it saved)
+    und = (
         ensure_parallelism(edges)
         .select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -318,6 +318,7 @@ def triangle_counts(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("a").alias("id"))
@@ -338,8 +339,8 @@ def triangle_counts(
             .otherwise(F.col("a")).alias("v"),
             F.greatest("__ka", "__kb").alias("__kv"),
         )
+        .localCheckpoint(eager=False)
     )
-    oriented = _round_persist(oriented)
     w1 = oriented.select("u", F.col("v").alias("x"), F.col("__kv").alias("__kx"))
     w2 = oriented.select("u", F.col("v").alias("y"), F.col("__kv").alias("__ky"))
     wedges = w1.join(w2, "u").filter(F.col("__kx") < F.col("__ky")).select(
@@ -1502,17 +1503,18 @@ def clustering_coefficient(
     e = ensure_parallelism(edges).select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     )
-    # lazy persists (r14): und feeds the degree union (2 scans) and
-    # the triangle pass; per feeds its own output AND the '<all>'
-    # re-aggregate — bare lazy checkpoints re-ran the caller's
-    # co-purchase build per consumer
-    und = _round_persist(
+    # bare lazy checkpoint (r14: the round_persist variant was probed
+    # paired and REGRESSED graph_clustering 4.8→6.6 s — the checkpoint
+    # conversion already executes this frame under AQE, and stacking an
+    # InMemoryRelation write on top cost more than it saved)
+    und = (
         e.select(
             F.least(F.col("src"), F.col("dst")).alias("a"),
             F.greatest(F.col("src"), F.col("dst")).alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("a").alias("id"))
@@ -1539,7 +1541,6 @@ def clustering_coefficient(
             ).otherwise(F.lit(0.0)).alias("coeff"),
         )
     )
-    per = _round_persist(per)
     grand = per.agg(
         F.sum("degree").alias("degree"),
         (F.sum("triangles") / 3).cast("long").alias("triangles"),

@@ -1520,13 +1520,18 @@ def silhouette_simplified(
     rounding/tie disciplines as the trainer, so the oracle replicates
     the whole pipeline value-for-value."""
     vecs, cent = _lloyd_train(df, k, iterations, id_col, vec_col)
-    d = round_persist(
+    # bare lazy checkpoint (r14: the round_persist variant was probed
+    # paired and REGRESSED cluster_silhouette 2.8→3.5 s — d is a cheap
+    # derivation of the already-cached vecs, so caching its |vecs|-row
+    # expansion cost more than recomputing it per consumer)
+    d = (
         vecs.crossJoin(F.broadcast(cent))
         .select(
             "id", "__cell",
             F.greatest(_lloyd_dist2(), F.lit(0.0)).alias("__d2"),
         )
-    )  # persisted (r14): consumed by own-distance AND other-distance
+        .localCheckpoint(eager=False)
+    )
     own = (
         d.groupBy("id")
         .agg(F.min(F.struct("__d2", "__cell")).alias("__m"))

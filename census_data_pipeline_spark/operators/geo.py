@@ -729,18 +729,13 @@ def dbscan_grid(
     from census_data_pipeline_spark.functions.dedup import dup_clusters
     from census_data_pipeline_spark.sources.catalog import (
         ensure_parallelism,
-        round_persist,
     )
 
-    # lazy persists throughout (r14): every multi-consumer frame below
-    # was a bare lazy localCheckpoint, and each consumer re-ran the
-    # full lineage (the 3x3 candidate join executed three times — the
-    # neighborhood count, the core-pair build and the border pass)
-    p = round_persist(ensure_parallelism(points).select(
+    p = ensure_parallelism(points).select(
         F.col(id_col).alias("id"),
         F.col(x_col).cast("double").alias("x"),
         F.col(y_col).cast("double").alias("y"),
-    ))
+    ).localCheckpoint(eager=False)
 
     # location frame: one row per distinct (x, y) when collapsing
     # (rep = min id, w = multiplicity), else one row per point (w = 1).
@@ -754,11 +749,11 @@ def dbscan_grid(
         locs = p.select(
             F.col("id").alias("rep"), "x", "y", F.lit(1).alias("w")
         )
-    locs = round_persist(locs.select(
+    locs = locs.select(
         "*",
         F.floor(F.col("x") / F.lit(float(eps))).cast("long").alias("cx"),
         F.floor(F.col("y") / F.lit(float(eps))).cast("long").alias("cy"),
-    ))
+    ).localCheckpoint(eager=False)
 
     offs = F.expr("explode(array(-1, 0, 1))")
     a = (
@@ -794,11 +789,12 @@ def dbscan_grid(
             F.col("__ar").alias("rep"), F.col("__br").alias("nb"),
             F.col("__bw").alias("nw"),
         )
+        .localCheckpoint(eager=False)
     )
-    nb = round_persist(nb)
     ncnt = nb.groupBy("rep").agg(F.sum("nw").alias("__n"))
-    cores = round_persist(
+    cores = (
         ncnt.filter(F.col("__n") >= min_pts).select("rep")
+        .localCheckpoint(eager=False)
     )
     core_pairs = (
         nb.join(cores.withColumnRenamed("rep", "__ca"),
@@ -811,11 +807,11 @@ def dbscan_grid(
     labeled = dup_clusters(core_pairs, algorithm="star").select(
         F.col("doc_id").alias("rep"), F.col("cluster_id").alias("cluster")
     )
-    core_clusters = round_persist(labeled.unionByName(
+    core_clusters = labeled.unionByName(
         cores.join(labeled.select("rep"), "rep", "left_anti").select(
             "rep", F.col("rep").alias("cluster")
         )
-    ))
+    ).localCheckpoint(eager=False)
 
     border = (
         nb.join(cores.withColumnRenamed("rep", "__ci"),
