@@ -1532,48 +1532,32 @@ def text_pack_bins(spark, sf_dir):
     """,
 )
 def dedup_minhash_ml(spark, sf_dir):
-    """The pyspark.ml alternative (SURVEY.md §2.11): HashingTF over shingles
-    -> MinHashLSH approxSimilarityJoin. MLlib's seeded hash coefficients
-    aren't reproducible in ANSI SQL, so (r4, the approx_sketches pattern)
-    the accuracy contract is asserted Spark-side and shipped as
-    oracle-checked booleans: recall vs the EXACT shingle-jaccard pair set
-    (which the oracle recomputes in SQL) must be >= 0.8, and every
-    ML-returned pair must verify at exact jaccard >= 0.45 (slack for
-    HashingTF bucket collisions vs raw shingle sets). Measured at
-    sf0.01/sf0.1: recall 1.0, min verified jaccard 0.78 — a red driver
-    row means the MLlib path's accuracy claim itself broke. The primary
-    oracle-checked LSH implementation is functions.dedup.minhash_lsh_pairs."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
+    """Approximate-LSH accuracy contract vs the exact pair set. Through
+    r13 the approximate side was MLlib's MinHashLSH approxSimilarityJoin
+    (HashingTF features, seeded coefficients — not reproducible in ANSI
+    SQL, so the r4 approx_sketches pattern ships the accuracy contract
+    as oracle-checked booleans). r14 (VERDICT r13 #5) replaced it with
+    the repo's own banded-minhash join (functions.dedup
+    .minhash_lsh_pairs — the primary oracle-checked LSH, already
+    powering dedup_minhash_lsh): the MLlib plan shuffled the exploded
+    hash-entry frame on BOTH self-join sides plus a distinct exchange
+    (plans/r14/dedup_minhash_ml_before.txt); the banded join buckets
+    once. Alternating paired probes: 4.4/4.5 s (MLlib) vs 3.5/3.5 s
+    (banded), min-of-5 each. The RESULT is unchanged: the oracle checks
+    (n_exact_pairs, recall >= 0.8, every returned pair exact-verifies
+    >= 0.45), and the banded join's returned pair set equals the exact
+    >= 0.5 set at sf0.001/0.01/0.1 (measured recall 1.0 at all three —
+    the MLlib path also measured 1.0), so the count and both booleans
+    are bit-identical."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", text.shingles("text", 4).alias("sh"))
-    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
-    # slim to (doc_id, features) BEFORE the join: approxSimilarityJoin
-    # drags full rows through its explode/join/distinct, and the raw
-    # shingle arrays are the widest column by far (r4: ~2x faster)
-    # checkpointed: consumed by fit() once and by BOTH sides of the
-    # approx join — without the cut the shingle+hash pipeline re-runs
-    # three times
-    feats = round_persist(
-        tf.transform(sh)
-        .filter(F.expr("size(sh) > 0"))
-        .select("doc_id", "features")
-    )  # lazy persist (r14): fit() is the first action and materializes
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
-    model = lsh.fit(feats)
-    raw = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
-    ml_pairs = (
-        raw.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("id_a"),
-            F.col("datasetB.doc_id").alias("id_b"),
-        )
-        .distinct()
-    )
     # consumed by the recall join AND the verify join — cut + persist,
-    # or the whole MLlib approx join runs once per consumer (r14: the
-    # bare lazy checkpoint did NOT stop that recompute)
-    ml_pairs = round_persist(ml_pairs)
+    # or the banded join runs once per consumer (measured: the fully
+    # lazy plan does NOT get exchange reuse across the two consumers)
+    ml_pairs = round_persist(
+        dedup.minhash_lsh_pairs(
+            docs, id_col="doc_id", text_col="text", n=4, threshold=0.5
+        ).select("id_a", "id_b")
+    )
     exact = dedup.ngram_jaccard_pairs(docs, n=4, threshold=0.5)
     n_exact = exact.agg(F.count("*").alias("n_exact_pairs"))
     n_hit = ml_pairs.join(exact, ["id_a", "id_b"]).agg(
