@@ -640,9 +640,9 @@ def _dup_clusters_local(edges: DataFrame) -> DataFrame | None:
     if len(svals) == 0:
         return edges.sparkSession.createDataFrame(
             pd.DataFrame({"doc_id": [], "cluster_id": []}), schema)
-    ids = np.unique(np.concatenate([svals, dvals]))
-    sc = np.searchsorted(ids, svals).astype(np.int64)
-    dc = np.searchsorted(ids, dvals).astype(np.int64)
+    from census_data_pipeline_spark.functions.graph import _sorted_codes
+
+    ids, (sc, dc) = _sorted_codes(svals, dvals)  # ≡ unique+searchsorted
     lab = np.arange(len(ids), dtype=np.int64)
     while True:
         nl = lab.copy()
