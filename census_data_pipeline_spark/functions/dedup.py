@@ -612,17 +612,21 @@ def simhash_hamming_pairs(
     )
 
 
-def _dup_clusters_local(edges: DataFrame) -> DataFrame | None:
+def _dup_clusters_local(
+    edges: DataFrame, symmetrize: bool = False
+) -> DataFrame | None:
     """The whole min-label fixpoint in ONE bounded driver pass (r14 —
     the graph tier's ``_cc_full_local`` discipline, applied to the
     dedup cluster resolver): collect the already-symmetrized pair
-    edges, run synchronous neighbor-min rounds to the no-change
-    fixpoint in numpy, and return the (doc_id, cluster_id) literal
-    frame. Exact: labels are ids coded over the SORTED id universe
-    (min-code ≡ min-id), no float arithmetic anywhere, and the
-    fixpoint is the same component-minimum the distributed loop's
-    consistency stop certifies. Returns None on a null endpoint (the
-    caller stays distributed)."""
+    edges (or one-directional canonical pairs with ``symmetrize=True``
+    — both code directions are added locally, a numpy int concat), run
+    synchronous neighbor-min rounds to the no-change fixpoint in
+    numpy, and return the (doc_id, cluster_id) literal frame. Exact:
+    labels are ids coded over the SORTED id universe (min-code ≡
+    min-id), no float arithmetic anywhere, and the fixpoint is the
+    same component-minimum the distributed label loop's consistency
+    stop — and the star rounds' converged star shape — certify.
+    Returns None on a null endpoint (the caller stays distributed)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import StructField, StructType
@@ -643,6 +647,8 @@ def _dup_clusters_local(edges: DataFrame) -> DataFrame | None:
     from census_data_pipeline_spark.functions.graph import _sorted_codes
 
     ids, (sc, dc) = _sorted_codes(svals, dvals)  # ≡ unique+searchsorted
+    if symmetrize:
+        sc, dc = np.concatenate([sc, dc]), np.concatenate([dc, sc])
     lab = np.arange(len(ids), dtype=np.int64)
     while True:
         nl = lab.copy()
@@ -685,7 +691,9 @@ def dup_clusters(
     returned (singletons are their own cluster implicitly).
     """
     if algorithm == "star":
-        labels, _rounds = _dup_clusters_star(pairs)
+        labels, _rounds = _dup_clusters_star(
+            pairs, local_tail_max=local_tail_max
+        )
         return labels
     if algorithm != "label":
         raise ValueError(f"algorithm must be 'label' or 'star', got {algorithm!r}")
@@ -757,7 +765,9 @@ def dup_clusters(
     )
 
 
-def _dup_clusters_star(pairs: DataFrame) -> tuple[DataFrame, int]:
+def _dup_clusters_star(
+    pairs: DataFrame, local_tail_max: int = 2_000_000
+) -> tuple[DataFrame, int]:
     """Alternating large-star/small-star connected components.
 
     Edges are kept directed child→parent with the invariant src > dst.
@@ -797,6 +807,17 @@ def _dup_clusters_star(pairs: DataFrame) -> tuple[DataFrame, int]:
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # Bounded local tail (r14, the label-path discipline): the star
+    # rounds' converged labels ARE the component minimum per node, so
+    # the same exact min-label fixpoint replay applies (symmetrize:
+    # these edges are one-directional canonical pairs). The per-round
+    # convergence probes are the resolver's whole cost at bench scale
+    # (geo_dbscan_grid measured 4.4 s, dominated by this loop); 100 TB
+    # pair sets never enter and run the log-round star rounds below.
+    if local_tail_max > 0 and edges.count() <= local_tail_max:
+        tail = _dup_clusters_local(edges, symmetrize=True)
+        if tail is not None:  # None ⇒ null endpoints, stay distributed
+            return tail, 0
     all_nodes = edges.select(F.col("src").alias("id")).union(
         edges.select(F.col("dst").alias("id"))
     ).distinct()

@@ -1373,10 +1373,20 @@ def test_dup_clusters_star_path_graph_log_rounds(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
-    labels_df, rounds = dedup._dup_clusters_star(pairs)
+    # local_tail_max=0: the bound being tested is the DISTRIBUTED star
+    # rounds' (the r14 local tail would resolve this in 0 rounds)
+    labels_df, rounds = dedup._dup_clusters_star(pairs, local_tail_max=0)
     labels = {r.doc_id: r.cluster_id for r in labels_df.collect()}
     assert labels == {i: 0 for i in range(n)}
+    assert rounds >= 1, "distributed star rounds must actually run"
     assert rounds <= 15, f"star CC took {rounds} rounds on a 100-path"
+    # r14 local-tail parity: the fixpoint replay returns the identical
+    # component-min labels the star rounds converged to
+    tail = {
+        r.doc_id: r.cluster_id
+        for r in dedup._dup_clusters_star(pairs)[0].collect()
+    }
+    assert tail == labels
 
 
 def test_dup_clusters_star_matches_label_on_random_graph(spark):
