@@ -90,12 +90,18 @@ def psi(
     if epsilon <= 0:
         raise ValueError("epsilon must be > 0")
     qs = [i / n_bins for i in range(1, n_bins)]
+    # ONE percentile buffer for all edges (r14 — see
+    # equidepth_histogram): identical doubles, n_bins−1× less
+    # aggregation-buffer funneling
     edges_row = reference.agg(
+        F.percentile(
+            F.col(value_col).cast("double"),
+            F.array(*[F.lit(q) for q in qs]),
+        ).alias("__qs")
+    ).select(
         *[
-            F.round(
-                F.percentile(F.col(value_col).cast("double"), F.lit(q)), 6
-            ).alias(f"__e{i}")
-            for i, q in enumerate(qs)
+            F.round(F.col("__qs")[i], 6).alias(f"__e{i}")
+            for i in range(len(qs))
         ]
     )
 
@@ -170,8 +176,16 @@ def equidepth_histogram(
     edge placement is approximate (SCALING.md "Exact percentiles")."""
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
+    from census_data_pipeline_spark.sources.catalog import (
+        ensure_parallelism,
+    )
+
     qs = [i / n_bins for i in range(1, n_bins)]
-    base = df.filter(F.col(value_col).isNotNull()).select(
+    # parallelize the partials (r14): a single-file scan arrives as one
+    # partition, serializing the percentile partial aggregation; the
+    # exact percentile is order-independent, so the repartition cannot
+    # move an edge
+    base = ensure_parallelism(df.filter(F.col(value_col).isNotNull())).select(
         F.col(value_col).cast("double").alias("__v")
     )
     if approx:
@@ -187,10 +201,21 @@ def equidepth_histogram(
             ]
         )
     else:
-        edges_row = base.agg(
+        # ONE percentile buffer (r14): the scalar-per-edge form kept
+        # n_bins−1 independent Percentile aggregation buffers, each
+        # funneling EVERY value; the array form computes all edges
+        # from one buffer (identical doubles — same sorted-counts
+        # evaluation per percentage). Probed 3.5 → 1.4 s with the
+        # parallelized partials below.
+        pct = base.agg(
+            F.percentile(
+                "__v", F.array(*[F.lit(q) for q in qs])
+            ).alias("__qs")
+        )
+        edges_row = pct.select(
             *[
-                F.round(F.percentile("__v", F.lit(q)), 6).alias(f"__e{i}")
-                for i, q in enumerate(qs)
+                F.round(F.col("__qs")[i], 6).alias(f"__e{i}")
+                for i in range(len(qs))
             ]
         )
     b = F.lit(1)

@@ -4322,36 +4322,14 @@ def events_forecast_conformal(spark, sf_dir):
     frame; the radius is a 1-row-per-key broadcast join — nothing
     data-scale beyond the two smoothing folds the forecast pair
     already pays."""
-    from pyspark.sql import Window
-
     from census_data_pipeline_spark.operators import forecast
 
-    ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("hb")
-    ).agg(F.count("*").alias("y"))
-    bounds = hourly.groupBy("event_type").agg(
-        F.min("hb").alias("lo"), F.max("hb").alias("hi")
-    )
-    grid = bounds.select(
-        "event_type",
-        F.explode(
-            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
-        ).alias("hb"),
-    )
-    series = (
-        grid.join(hourly, ["event_type", "hb"], "left")
-        .select(
-            "event_type", "hb",
-            F.coalesce(F.col("y"), F.lit(0)).cast("double").alias("y"),
-        )
-        .withColumn(
-            "t",
-            F.row_number().over(
-                Window.partitionBy("event_type").orderBy("hb")
-            ),
-        )
-    )
+    # shared persisted series (r14): this query built the identical
+    # zero-filled hourly frame inline, and the conformal evaluator's
+    # TWO smoothing folds each re-ran the events scan + gap-fill
+    # through it (probed exec 3.7 s); _hourly_series_t is the same
+    # expressions, computed once
+    series = _hourly_series_t(spark, sf_dir)
     return forecast.holt_winters_conformal(
         series, ["event_type"], "t", "y", m=24,
         alpha=0.2, beta=0.1, gamma=0.3, horizon=24, coverage=0.8,
