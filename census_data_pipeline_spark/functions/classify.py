@@ -1370,6 +1370,7 @@ def _boost_fit(
     ])
     stump_rows: list[tuple] = []
     winner_frames: list[DataFrame] = []
+    winners: list[tuple | None] = []  # (f, b, lv, rv) per round (r14)
     for k in range(1, rounds + 1):
         hrows = (
             resid.select("__r", F.expr(stack_expr).alias("__f", "__bin"))
@@ -1410,6 +1411,7 @@ def _boost_fit(
             winner_frames.append(
                 spark.createDataFrame([(f, b, lv, rv)], winner_schema)
             )
+            winners.append((f, b, lv, rv))
             stump_rows.append(
                 (k, f, mn[f] + (b + 1) * wd[f], lv, rv)
             )
@@ -1427,6 +1429,7 @@ def _boost_fit(
             winner_frames.append(
                 spark.createDataFrame([], winner_schema)
             )
+            winners.append(None)
     rmse = resid.agg(
         F.round(F.sqrt(F.avg(F.col("__r") * F.col("__r"))), 6)
         .alias("__rmse")
@@ -1449,7 +1452,8 @@ def _boost_fit(
         "left_value", "right_value",
         F.col("__rmse").alias("train_rmse"),
     )
-    return model, st, base, winner_frames, names
+    payload = {"mn": mn, "wd": wd, "f0": f0, "winners": winners}
+    return model, st, base, winner_frames, names, payload
 
 
 def boost_stumps_train(
@@ -2191,6 +2195,53 @@ def decision_tree_holdout_oracle_sql(
     )
 
 
+def _boost_score(
+    fold: DataFrame,
+    target: Column,
+    features: list[tuple[str, Column]],
+    bins: int,
+    pym: dict,
+    out_col: str,
+) -> DataFrame:
+    """Null-guarded fold scored through the boost payload as ONE
+    literal projection (r14): train-stats bins per feature, then the
+    additive model — base + per-surviving-round
+    ``when(bin_f <= b, lv).otherwise(rv)``, left-associated in round
+    order, exactly the training-side update arithmetic on identical
+    literal operands. Returns (__y, <out_col>)."""
+    names = [n for n, _ in features]
+    mn, wd = pym["mn"], pym["wd"]
+    base_rows = fold.select(
+        target.cast("double").alias("__y"),
+        *[expr.cast("double").alias(n) for n, expr in features],
+    ).na.drop(subset=["__y", *names])
+    bincol = {
+        n: F.when(_dlit(wd[n]) == F.lit(0.0), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col(n) - _dlit(mn[n])) / _dlit(wd[n])
+                    ).cast("int"),
+                ),
+            )
+        )
+        .cast("int")
+        for n in names
+    }
+    pred = _dlit(pym["f0"])
+    for w in pym["winners"]:
+        if w is None:
+            continue
+        f, bn, lv, rv = w
+        pred = pred + F.when(
+            bincol[f] <= F.lit(bn), _dlit(lv)
+        ).otherwise(_dlit(rv))
+    return base_rows.select("__y", pred.alias(out_col))
+
+
 def boost_stumps_holdout(
     df: DataFrame,
     target: Column,
@@ -2216,55 +2267,17 @@ def boost_stumps_holdout(
     b = ensure_parallelism(df)
     train = b.filter(~test_pred)
     test = b.filter(test_pred)
-    model, st, fbase, winner_frames, _ = _boost_fit(
+    model, _st, _fbase, _wf, _, pym = _boost_fit(
         train, target, features, rounds, bins, lr
     )
-    tb = (
-        test.select(
-            target.cast("double").alias("__y"),
-            *[expr.cast("double").alias(n) for n, expr in features],
-        )
-        .na.drop(subset=["__y", *names])
-        .crossJoin(F.broadcast(st))
-        .select(
-            "__y",
-            *[
-                F.when(F.col(f"__w_{n}") == 0, F.lit(0))
-                .otherwise(
-                    F.least(
-                        F.lit(bins - 1),
-                        F.greatest(
-                            F.lit(0),
-                            F.floor(
-                                (F.col(n) - F.col(f"__mn_{n}"))
-                                / F.col(f"__w_{n}")
-                            ).cast("int"),
-                        ),
-                    )
-                )
-                .cast("int")
-                .alias(f"__b_{n}")
-                for n in names
-            ],
-        )
-        .crossJoin(F.broadcast(fbase))
-        .withColumn("__pred", F.col("__f0"))
-    )
-    case_bin = F.when(F.col("__f") == names[0], F.col(f"__b_{names[0]}"))
-    for n in names[1:]:
-        case_bin = case_bin.when(F.col("__f") == n, F.col(f"__b_{n}"))
-    for w in winner_frames:
-        tb = tb.join(F.broadcast(w), F.lit(True), "left").select(
-            "__y",
-            *[f"__b_{n}" for n in names],
-            F.when(F.col("__f").isNull(), F.col("__pred"))
-            .otherwise(
-                F.col("__pred")
-                + F.when(case_bin <= F.col("__bin"), F.col("__lv"))
-                .otherwise(F.col("__rv"))
-            )
-            .alias("__pred"),
-        )
+    # ONE-PASS literal scoring (r14 — the rf_holdout VERDICT #2 shape):
+    # the model is driver-side scalars after the fit, so the test bins
+    # and the additive prediction are literal expressions over one scan
+    # — no st/base crossJoins, no per-round broadcast-join chain. The
+    # arithmetic is the old chain's own on identical literal operands
+    # (per surviving round: pred + when(bin_f <= b, lv).otherwise(rv),
+    # left-associated in round order; skipped rounds left pred intact).
+    tb = _boost_score(test, target, features, bins, pym, "__pred")
     test_stats = tb.agg(
         F.count("*").alias("__nt"),
         F.round(
@@ -2489,6 +2502,7 @@ def _logit_boost_fit(
     ])
     stump_rows: list[tuple] = []
     winner_frames: list[DataFrame] = []
+    winners: list[tuple | None] = []  # (f, b, lv, rv) per round (r14)
     for k in range(1, rounds + 1):
         hrows = (
             pred.select(
@@ -2532,6 +2546,7 @@ def _logit_boost_fit(
             winner_frames.append(
                 spark.createDataFrame([(f, b, lv, rv)], winner_schema)
             )
+            winners.append((f, b, lv, rv))
             stump_rows.append(
                 (k, f, mn[f] + (b + 1) * wd[f], lv, rv)
             )
@@ -2549,6 +2564,7 @@ def _logit_boost_fit(
             winner_frames.append(
                 spark.createDataFrame([], winner_schema)
             )
+            winners.append(None)
     pc = F.least(F.greatest(sigmoid, F.lit(0.000001)), F.lit(0.999999))
     loss = pred.agg(
         F.round(
@@ -2579,7 +2595,8 @@ def _logit_boost_fit(
         "left_value", "right_value",
         F.col("__ll").alias("train_logloss"),
     )
-    return model, st, base, winner_frames, names
+    payload = {"mn": mn, "wd": wd, "f0": f0, "winners": winners}
+    return model, st, base, winner_frames, names, payload
 
 
 def logit_boost_train(
@@ -2757,55 +2774,12 @@ def logit_boost_holdout(
     b = ensure_parallelism(df)
     train = b.filter(~test_pred)
     test = b.filter(test_pred)
-    _model, st, fbase, winner_frames, _ = _logit_boost_fit(
+    _model, _st, _fbase, _wf, _, pym = _logit_boost_fit(
         train, label, features, rounds, bins, lr
     )
-    tb = (
-        test.select(
-            label.cast("double").alias("__y"),
-            *[expr.cast("double").alias(n) for n, expr in features],
-        )
-        .na.drop(subset=["__y", *names])
-        .crossJoin(F.broadcast(st))
-        .select(
-            "__y",
-            *[
-                F.when(F.col(f"__w_{n}") == 0, F.lit(0))
-                .otherwise(
-                    F.least(
-                        F.lit(bins - 1),
-                        F.greatest(
-                            F.lit(0),
-                            F.floor(
-                                (F.col(n) - F.col(f"__mn_{n}"))
-                                / F.col(f"__w_{n}")
-                            ).cast("int"),
-                        ),
-                    )
-                )
-                .cast("int")
-                .alias(f"__b_{n}")
-                for n in names
-            ],
-        )
-        .crossJoin(F.broadcast(fbase))
-        .withColumn("__m", F.col("__f0"))
-    )
-    case_bin = F.when(F.col("__f") == names[0], F.col(f"__b_{names[0]}"))
-    for n in names[1:]:
-        case_bin = case_bin.when(F.col("__f") == n, F.col(f"__b_{n}"))
-    for w in winner_frames:
-        tb = tb.join(F.broadcast(w), F.lit(True), "left").select(
-            "__y",
-            *[f"__b_{n}" for n in names],
-            F.when(F.col("__f").isNull(), F.col("__m"))
-            .otherwise(
-                F.col("__m")
-                + F.when(case_bin <= F.col("__bin"), F.col("__lv"))
-                .otherwise(F.col("__rv"))
-            )
-            .alias("__m"),
-        )
+    # ONE-PASS literal scoring (r14 — see boost_stumps_holdout): the
+    # additive margin as a literal expression chain over one scan.
+    tb = _boost_score(test, label, features, bins, pym, "__m")
     tb = tb.localCheckpoint(eager=False)
     acc = tb.agg(
         F.count("*").alias("__nt"),
