@@ -239,62 +239,56 @@ from census_data_pipeline_spark.plans import (  # noqa: F401
 from census_data_pipeline_spark.plans.registry import ORACLE, QUERIES
 
 _CHECKED_PREFIX = [
-    # r14 round-open rotation (VERDICT r13 #9): the r13 registry-wide
-    # fingerprint drift left 248 queries stale after the driver's 50
-    # rows landed; with no r14 code changes yet, the prefix saturates
-    # on the stale backlog oldest-driver-round-first (the 38 rotated
-    # out in r13 return first). Rewritten again at round close to lead
-    # with every query the r14 optimization actually touches.
     "flagship_regional_rollup",
+    "quality_logreg_cv",
+    "quality_learning_curve",
+    "quality_rf_holdout",
+    "quality_rf_train",
+    "quality_rf_importance",
+    "quality_tree_cv",
+    "quality_tree_holdout",
+    "quality_tree_train",
+    "quality_tree_eval",
+    "quality_gbt_holdout",
+    "quality_gbt_classify_holdout",
+    "quality_gbt_train",
+    "quality_gbt_classify",
+    "dedup_minhash_ml",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "linkage_entity_clusters",
+    "geo_dbscan_grid",
+    "events_markov_stationary",
+    "events_markov_attribution",
+    "graph_louvain_move",
+    "graph_louvain_multilevel",
+    "graph_louvain_weighted",
+    "graph_leiden",
+    "graph_modularity",
+    "graph_modularity_weighted",
+    "graph_label_propagation",
+    "graph_lpa_weighted",
+    "graph_conductance_weighted",
+    "graph_components",
+    "graph_clustering",
+    "graph_triangles",
+    "graph_coreness",
+    "graph_pagerank",
+    "graph_pagerank_weighted",
+    "graph_hits",
+    "graph_trustrank",
+    "knn_ivf",
+    "embedding_mmr_ivf",
+    "embedding_mmr_rerank",
+    "cluster_silhouette",
+    "cluster_kmeans_lloyd",
+    "dedup_semantic",
+    "events_forecast_conformal",
     "orders_price_histogram",
+    "drift_psi_purchase_value",
+    "events_forecast_model_select",
     "funnel_step_latency",
     "events_gaps",
-    "scd2_snapshot_at",
-    "events_ewma",
-    "dq_benford_prices",
-    "lineitem_exact_median_scalable",
-    "drift_chi2_event_types",
-    "rates_zero_policy",
-    "skew_salted_join",
-    "dedup_exact",
-    "dedup_against_reference",
-    "dedup_minhash_lsh",
-    "knn_bruteforce",
-    "knn_lsh",
-    "multimodal_video_frames",
-    "knn_ivfpq_seeded",
-    "text_bpe_merges",
-    "text_pmi_pairs",
-    "search_hybrid_rrf",
-    "text_bpe_segment",
-    "sample_token_budget",
-    "dedup_against_index",
-    "text_tag_keywords",
-    "text_normalize_unicode",
-    "mix_build_e2e",
-    "anti_join_nations_without_suppliers",
-    "asof_click_purchase",
-    "global_stats_price",
-    "q10_returned_items",
-    "latest_event_per_user",
-    "parts_above_avg_price",
-    "histogram_price",
-    "geo_point_extract",
-    "grouped_quantiles",
-    "moving_average_spend",
-    "events_gapfill_1h",
-    "profile_lineitem",
-    "geo_nearest_site",
-    "geo_nearest_site_grid",
-    "survival_time_to_purchase",
-    "part_catalog_search",
-    "derived_demographics",
-    "geoid_rollup_state",
-    "geoid_rollup_county",
-    "geoid_parse",
-    "geoid_hierarchy_rollup",
-    "normalize_minmax",
-    "normalize_zscore",
 ]
 
 

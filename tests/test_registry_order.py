@@ -53,15 +53,15 @@ sys.path.insert(0, os.path.join(_REPO, "tools"))
 DECLARED_BACKLOG = [
     "ab_test_conversion",
     "ann_quality_lsh",
+    "anti_join_nations_without_suppliers",
     "approx_sketches",
+    "asof_click_purchase",
     "basket_rules_parts",
     "bloom_join_prune",
     "boundaries_right_join",
     "cdc_apply_changes",
     "change_over_time",
     "classify_nearest_centroid",
-    "cluster_kmeans_lloyd",
-    "cluster_silhouette",
     "cohort_ltv_weekly",
     "cohort_retention_weekly",
     "copurchase_topk",
@@ -74,25 +74,27 @@ DECLARED_BACKLOG = [
     "customer_rfm",
     "decontam_ngram_overlap",
     "decontam_semantic",
-    "dedup_clusters",
-    "dedup_clusters_star",
+    "dedup_against_index",
+    "dedup_against_reference",
     "dedup_containment",
     "dedup_embedding_cosine",
+    "dedup_exact",
     "dedup_keep_canonical",
-    "dedup_minhash_ml",
+    "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_semantic",
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_spans",
+    "derived_demographics",
     "dim_lookup_customer",
     "doc_fingerprint",
+    "dq_benford_prices",
     "dq_k_anonymity",
     "dq_l_diversity",
     "dq_profile_orders",
     "dq_suite_core",
+    "drift_chi2_event_types",
     "drift_ks_click_vs_error",
-    "drift_psi_purchase_value",
     "drift_wasserstein_click_error",
     "embedding_centroid_by_label",
     "embedding_pca_power",
@@ -107,7 +109,11 @@ DECLARED_BACKLOG = [
     "events_changepoint",
     "events_decayed_user_value",
     "events_dow_hour_profile",
+    "events_ewma",
+    "events_forecast_ar",
+    "events_forecast_ar_whiteness",
     "events_funnel_3step",
+    "events_gapfill_1h",
     "events_hll_users_by_type",
     "events_hypertable_rollup",
     "events_interpolate_1h",
@@ -130,40 +136,57 @@ DECLARED_BACKLOG = [
     "events_trend_theil_sen",
     "events_tumbling_1h",
     "geo_bbox_contains",
-    "geo_dbscan_grid",
     "geo_haversine_pairs",
+    "geo_nearest_site",
+    "geo_nearest_site_grid",
+    "geo_point_extract",
     "geo_point_in_polygon",
     "geo_polygon_overlap",
     "geo_polygon_stats",
     "geo_radius_join",
+    "geoid_hierarchy_rollup",
+    "geoid_parse",
+    "geoid_rollup_county",
+    "geoid_rollup_state",
+    "global_stats_price",
     "graph_adamic_adar",
     "graph_assortativity",
     "graph_bfs_distances",
-    "graph_clustering",
+    "graph_conductance",
     "graph_jaccard_linkpred",
     "graph_kcore",
-    "graph_triangles",
+    "grouped_quantiles",
+    "histogram_price",
     "ivm_delta_join_refresh",
     "ivm_incremental_rollup",
     "ivm_retraction_refresh",
+    "knn_bruteforce",
     "knn_ivf_seeded",
+    "knn_ivfpq_seeded",
+    "knn_lsh",
     "knn_pq_seeded",
+    "latest_event_per_user",
     "lineitem_anova_returns",
     "lineitem_bartlett_returns",
     "lineitem_corr_matrix",
+    "lineitem_exact_median_scalable",
     "lineitem_kruskal_returns",
     "lineitem_mannwhitney_returns",
     "lineitem_welch_fdr",
     "linkage_edit1_names",
-    "linkage_entity_clusters",
     "mine_hard_negatives",
     "mine_hard_negatives_ivf",
+    "mix_build_e2e",
+    "moving_average_spend",
     "multimodal_audio_features",
     "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_image_dhash",
     "multimodal_payload",
+    "multimodal_video_frames",
+    "normalize_minmax",
     "normalize_robust",
+    "normalize_zscore",
     "normalize_zscore_by_nation",
     "numeric_coerce",
     "orders_chi2_status_priority",
@@ -172,7 +195,11 @@ DECLARED_BACKLOG = [
     "orders_target_encoding",
     "orders_welch_by_priority",
     "orders_winsorized",
+    "part_catalog_search",
+    "parts_above_avg_price",
     "pivot_status_by_segment",
+    "profile_lineitem",
+    "q10_returned_items",
     "q12_shipmode_priority",
     "q18_large_orders",
     "q1_pricing_summary",
@@ -182,6 +209,7 @@ DECLARED_BACKLOG = [
     "q6_forecast_revenue",
     "quality_mi_features",
     "range_join_click_errors",
+    "rates_zero_policy",
     "revenue_share_of_parent",
     "running_customer_spend",
     "sample_cap_per_source",
@@ -190,10 +218,13 @@ DECLARED_BACKLOG = [
     "sample_neyman_customers",
     "sample_stratified_events",
     "sample_temperature",
+    "sample_token_budget",
     "sample_upweight_rare",
     "sample_weighted_docs",
+    "scd2_snapshot_at",
     "scd2_user_status",
     "search_bm25",
+    "search_hybrid_rrf",
     "search_ndcg_bm25",
     "sentinel_clean_drop",
     "sentinel_clean_fill",
@@ -205,6 +236,7 @@ DECLARED_BACKLOG = [
     "sketch_quantiles_bottomk",
     "sketch_rollup_mergeable",
     "skew_salted_agg",
+    "skew_salted_join",
     "skyline_parts",
     "split_assign_docs",
     "sql_surface_revenue",
@@ -222,7 +254,10 @@ DECLARED_BACKLOG = [
     "survival_by_segment",
     "survival_hazard_nelson_aalen",
     "survival_logrank",
+    "survival_time_to_purchase",
     "text_bigram_logprob",
+    "text_bpe_merges",
+    "text_bpe_segment",
     "text_chi2_features",
     "text_chunking",
     "text_dsir_logratio",
@@ -230,12 +265,16 @@ DECLARED_BACKLOG = [
     "text_js_divergence",
     "text_lang_id",
     "text_lang_id_nb",
+    "text_normalize_unicode",
     "text_pack_bins",
     "text_pii_scrub",
+    "text_pmi_pairs",
     "text_quality_scores",
     "text_readability",
     "text_repetition_stats",
+    "text_tag_keywords",
     "text_term_frequency",
+    "text_textrank_keywords",
     "text_tfidf_top_terms",
     "text_token_stats",
     "text_tokens_bpeish",
