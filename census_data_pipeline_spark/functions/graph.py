@@ -2295,6 +2295,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 60,
+    local_tail_max: int = 2_000_000,
 ) -> DataFrame:
     """Connected components of the undirected graph by synchronous
     MIN-LABEL propagation to fixpoint — the membership primitive under
@@ -2335,7 +2336,7 @@ def connected_components(
     # synchronous min rounds INCLUDING the max_rounds contract) replays
     # off one Arrow collect, bit-identical (integer/string mins, no
     # float arithmetic anywhere). 100 TB graphs never enter.
-    if 2 * e.count() <= 2_000_000:
+    if local_tail_max > 0 and 2 * e.count() <= local_tail_max:
         tail = _cc_full_local(e, max_rounds)
         if tail is not None:  # None ⇒ nulls present, stay distributed
             e.unpersist()
