@@ -2580,7 +2580,13 @@ def markov_stationary(
         F.col(type_col).alias("__s"),
         F.lead(type_col).over(w).alias("__j"),
     ).filter(F.col("__j").isNotNull())
-    cnt = pr.groupBy("__s", "__j").agg(F.count("*").alias("__n"))
+    # persisted (r14): cnt is ≤k²-row MODEL-sized but its lineage is
+    # the data-scale lead window — and the ADVICE r13 fix added a
+    # second consumer (the st state-universe collect for the local
+    # coding), which re-ran the window per scan (probed +0.3 s)
+    cnt = _round_persist(
+        pr.groupBy("__s", "__j").agg(F.count("*").alias("__n"))
+    )
     st = cnt.select(F.col("__s").alias("__state")).distinct()
     keep = cnt.join(
         F.broadcast(st), cnt["__j"] == st["__state"]
